@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline set (median of N_RUNS per
+query).  Every timing forces a full materialization via count() on the
+query's result (the driver-side collect cost is excluded — we measure the
+engine, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from cassandra_snap_to_hadoop_spark.registry import load_all
+from cassandra_snap_to_hadoop_spark.session import get_spark
+
+# Headline set: the flagship + the heaviest representative per operator
+# family (scan+agg, fact join, window, sessionization, dedup, similarity,
+# tf-idf).  Kept deliberately diverse — bench regressions localize to a family.
+HEADLINE = [
+    "flagship_snapshot_star",
+    "e2_groupby_pricing_summary",
+    "d2_sortmerge_fact_join",
+    "d7_asof_join",
+    "f3_running_agg",
+    "k3_session_windows",
+    "j1_exact_dedup",
+    "j2_minhash_lsh_pairs",
+    "j3_knn_bruteforce",
+    "j7_tfidf",
+]
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    registry = load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        q.fn(spark, sf_dir).count()  # warm (JIT, code cache, FS cache)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Cassandra-semantics transforms (SURVEY §2-B) — the reference's "soul".
+
+The reference tool moves Cassandra snapshot SSTables into HDFS; the data
+semantics those files carry (last-write-wins cells, tombstones, TTLs,
+counters, partition/clustering layout) are re-expressed here as declarative
+DataFrame transforms so Catalyst owns distribution.
+
+Scale notes (100 TB posture):
+- Every merge is ONE hash shuffle on the primary key — never a collect, never
+  a per-group in-memory assumption (window state spills via
+  UnsafeExternalSorter).
+- LWW merge runs at the ingest boundary (bronze -> silver), *before* any wide
+  join, so downstream plans see already-deduplicated data (SURVEY §4
+  "LWW-merge pushdown" convention).
+- Skewed partitions (Cassandra "wide rows") are handled by AQE skew-join /
+  partition splitting; nothing here pins a partition to one task by hand.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_bucket(df: DataFrame, pk_cols: Sequence[str], n_buckets: int, out_col: str = "bucket") -> DataFrame:
+    """B1: Murmur3-token-style partition bucketing.
+
+    Cassandra places a partition by ``murmur3(pk) mod ranges``; Spark's
+    ``hash`` *is* Murmur3 (32-bit), so ``pmod(hash(pk), n)`` reproduces the
+    placement discipline.  Use ``df.repartition(n, col)`` downstream for
+    physical co-location (e.g. to pre-co-locate both sides of a join and
+    avoid a second shuffle).
+    """
+    return df.withColumn(out_col, F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)))
+
+
+def lww_merge(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    writetime_col: str = "_writetime",
+    seq_col: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """B2: last-write-wins merge across overlapping snapshot generations.
+
+    SSTable-compaction semantics: for each (partition key, clustering key)
+    the surviving row is the one with the greatest writetime; ties break on
+    ``seq_col`` (greatest wins) so the result is deterministic (SURVEY §7
+    hard-part 4).  If the source itself can hold several rows with equal
+    (key, writetime, seq) — i.e. seq is not truly unique — pass
+    ``tiebreak_cols`` (descending value order) to pin a deterministic
+    survivor; otherwise the pick is engine/partitioning-dependent.
+
+    Plan shape: one shuffle on ``key_cols`` + window row_number — partial
+    sort spills, no driver involvement, safe at any partition cardinality.
+    """
+    order: list[Column] = [F.col(writetime_col).desc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).desc())
+    order.extend(F.col(c).desc() for c in tiebreak_cols)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("__lww_rn", F.row_number().over(w))
+        .filter(F.col("__lww_rn") == 1)
+        .drop("__lww_rn")
+    )
+
+
+def apply_tombstones(df: DataFrame, tombstone_col: str = "_tombstone") -> DataFrame:
+    """B3 (row tombstones): after LWW merge, a winning delete marker
+    suppresses the row entirely.  Null marker == live."""
+    c = F.col(tombstone_col)
+    return df.filter(c.isNull() | ~c).drop(tombstone_col)
+
+
+def apply_range_tombstones(
+    df: DataFrame,
+    deletes: DataFrame,
+    pk_col: str,
+    ck_col: str,
+    lo_col: str = "ck_lo",
+    hi_col: str = "ck_hi",
+    delete_time_col: str = "del_writetime",
+    writetime_col: str = "_writetime",
+) -> DataFrame:
+    """B3 (range tombstones): drop live rows covered by a newer range delete.
+
+    Left-anti join on (pk equal, ck within [lo, hi], row older than the
+    delete).  The equi key ``pk`` keeps this a hash join, not a nested loop;
+    range-delete sets are tiny in practice so Catalyst broadcasts them.
+    """
+    cond = (
+        (df[pk_col] == deletes[pk_col])
+        & (df[ck_col] >= deletes[lo_col])
+        & (df[ck_col] <= deletes[hi_col])
+        & (df[writetime_col] < deletes[delete_time_col])
+    )
+    return df.join(F.broadcast(deletes), cond, "left_anti")
+
+
+def apply_ttl(
+    df: DataFrame,
+    asof_micros: int,
+    writetime_col: str = "_writetime",
+    ttl_col: str = "_ttl",
+) -> DataFrame:
+    """B4: TTL expiry — a cell is invisible once ``writetime + ttl`` passes.
+
+    ``writetime`` is microseconds (Cassandra convention), ``ttl`` seconds;
+    null ttl == never expires.  Pure filter -> pushes down to the scan.
+    """
+    wt = F.col(writetime_col)
+    ttl = F.col(ttl_col)
+    return df.filter(ttl.isNull() | (wt + ttl.cast("long") * F.lit(1_000_000) > F.lit(asof_micros)))
+
+
+def wide_row_regroup(
+    df: DataFrame,
+    pk_cols: Sequence[str],
+    ck_col: str,
+    value_cols: Sequence[str],
+    out_col: str = "cells",
+) -> DataFrame:
+    """B5: partition view — one output row per partition key, clustering rows
+    nested as an array sorted by clustering key (Cassandra's wide-row shape).
+
+    ``sort_array(collect_list(struct(ck, ...)))`` sorts by the struct's first
+    field, giving deterministic cell order without a global sort.
+    """
+    cell = F.struct(F.col(ck_col).alias("ck"), *[F.col(c) for c in value_cols])
+    return df.groupBy(*[F.col(c) for c in pk_cols]).agg(F.sort_array(F.collect_list(cell)).alias(out_col))
+
+
+def counter_merge(df: DataFrame, key_cols: Sequence[str], delta_col: str = "delta") -> DataFrame:
+    """B6: counter-column merge — commutative sum of per-replica deltas.
+
+    Plain hash aggregate: partial (map-side) sums then one shuffle, the exact
+    distributed shape Cassandra's counter reconciliation implies.
+    """
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(F.sum(delta_col).alias(f"{delta_col}_total"))

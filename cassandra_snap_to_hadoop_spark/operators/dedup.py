@@ -1,0 +1,169 @@
+"""Deduplication operators (SURVEY §2-J1/J2) for LLM training-data pipelines.
+
+Three tiers, all shuffle-bounded and driver-free:
+  * exact        — normalize -> digest -> one hash aggregate.  O(n) shuffle
+                   of (hash, id) pairs only; at 100 TB this is the cheapest
+                   possible dedup (the digest is 16 bytes/row on the wire).
+  * minhash LSH  — shingle -> minhash signature -> band buckets -> candidate
+                   pairs only within buckets.  Pair generation is bounded by
+                   bucket occupancy, never O(n^2).
+  * simhash      — 64-bit near-dup fingerprint via bitwise majority of token
+                   hashes; hamming-near duplicates collide on band keys.
+
+Exact-Jaccard verification (used as the LSH oracle at small scale) blocks on
+a cheap key before the pair join so the quadratic term is bounded per block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical text normalization used by every dedup tier: lowercase,
+    collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """J1: exact dedup by normalized-text digest.
+
+    Survivor is deterministic (min id per digest).  Returns one row per
+    distinct content with ``dup_count``.  md5 (128-bit) keeps collision
+    probability negligible at 100 TB row counts; xxhash64 is used only for
+    bucketing, never identity.
+    """
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(col: F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles as an array<string> (distinct).  Built with
+    higher-order functions — no UDF, stays in codegen."""
+    words = F.split(normalize_text(col), " ")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """J2 (exact tier): doc pairs with shingle-Jaccard >= threshold.
+
+    explode(shingles) -> self-join on shingle [+ block key] -> per-pair
+    intersection count vs sizes.  ``block_col`` bounds the candidate space;
+    at scale the MinHash tier below replaces the raw shingle join.
+    Output: (id_a < id_b, jaccard) rounded to 4dp.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    join_keys = ["sh"] + (["blk"] if block_col else [])
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32) -> DataFrame:
+    """MinHash signatures without MLlib: h_i(s) = xxhash64(shingle, seed=i)
+    minimized per doc.  Pure built-ins — ``transform`` over a seed sequence,
+    min over exploded shingles; one shuffle on doc id."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    hashes = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}") for i in range(n_hashes)]
+    return ex.groupBy("id").agg(*hashes)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """J2 (scale tier): banded-LSH candidate pairs, deduplicated.
+
+    Signature -> ``bands`` band-keys (xxhash64 of each row of the signature
+    matrix) -> explode -> self-join per band bucket -> distinct pairs.
+    Candidates within a bucket share a full band of minhashes, so bucket
+    sizes stay tiny and the join never goes quadratic in n.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, n_hashes)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    bucketed = sig.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """J2 (simhash tier): 64-bit fingerprint = bitwise majority vote of
+    token hashes.  Expressed as one aggregate per bit over exploded tokens —
+    64 conditional sums fuse into a single hash-aggregate pass."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).select("id", F.xxhash64("w").alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*bit_votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("id", fp.alias("simhash"))

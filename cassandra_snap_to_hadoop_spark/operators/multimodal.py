@@ -1,0 +1,118 @@
+"""Multimodal column handling (SURVEY §2-J10).
+
+Images/audio/video travel as opaque ``binary`` columns with a typed struct
+of metadata alongside.  The Spark-side plumbing — schema, Arrow batch
+shapes, ``mapInPandas`` signatures, partition sizing — is real and tested;
+the actual codec work is stubbed (this container has no image/audio libs)
+behind ``decode_stub``: a deterministic fake that computes byte-level
+statistics, so pipelines exercise the exact same dataflow a real decoder
+would.
+
+Scale notes: binary payloads dominate row size, so multimodal scans set
+``spark.sql.files.maxPartitionBytes`` down (payload-aware splitting) and
+metadata-only queries MUST prune the binary column — both asserted in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_min", T.IntegerType()),
+        T.StructField("byte_max", T.IntegerType()),
+        T.StructField("sha_prefix", T.StringType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into the media schema (text bytes as the
+    opaque payload) — the harness stand-in for an image/audio table."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Feature-extraction over binary payloads via ``mapInPandas``.
+
+    STUB: a real deployment swaps ``_featurize`` for PIL/librosa/ffmpeg
+    decode + model features; the Arrow batch transport, schema contract, and
+    partition-parallel execution here are exactly what production uses.
+    The fake features are deterministic byte statistics so tests can assert
+    values end-to-end.
+    """
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "byte_mean": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if b else None
+                    ),
+                    "byte_min": payloads.map(lambda b: min(b) if b else None),
+                    "byte_max": payloads.map(lambda b: max(b) if b else None),
+                    "sha_prefix": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest()[:16] if b is not None else None
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stub: emits one row per sampled "frame" (byte offset)
+    per media row — the UDTF-like fan-out shape of video frame extraction,
+    implemented with built-ins (posexplode over a computed offset sequence).
+    A real decoder replaces offsets with frame timestamps."""
+    n = F.col("meta.n_bytes")
+    offsets = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(n - 1, F.lit(0).cast("long")),
+        F.lit(every_n_bytes).cast("long"),
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(offsets).alias("frame_no", "byte_offset"),
+    )

@@ -1,0 +1,202 @@
+"""Vector similarity search (SURVEY §2-J3/J4) over embedding columns.
+
+Vector math uses array higher-order functions (``zip_with`` + ``aggregate``)
+— JVM-side, no Python boundary, works on ``array<float>`` directly.  The
+scale ladder:
+
+  brute force   — queries broadcast against the corpus; per-row dot product,
+                  top-k via per-query window.  Right answer, O(|Q| * n) —
+                  fine when |Q| is small, the baseline oracle otherwise.
+  IVF (blocked) — corpus pre-clustered (here: the ``label`` column or
+                  k-means centroids); queries probe only the nearest
+                  cluster(s).  Cuts the scan to n/clusters per query.
+  LSH (random   — sign-random-projection bucket keys; candidates collide on
+  hyperplanes)    band keys, exact re-rank inside buckets.  Fully
+                  shuffle-bounded, no broadcast of the corpus, the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM higher-order fns)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm (mirrored in
+    oracles — FIXTURES.md §3.3 edge-case rule)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (the small side by construction); the corpus is
+    scanned once, cosine computed row-wise, and a per-query window keeps the
+    top k.  Ties break on neighbor id for determinism.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    joined = corpus.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos", 4).alias("cos"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ivf_centroids(corpus: DataFrame, cluster_col: str, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-cluster centroid via posexplode -> positional mean -> re-assemble.
+    Distributed on (cluster, position): no vector ever sits whole in an
+    aggregation buffer, so dim and cluster count scale independently."""
+    pos = corpus.select(
+        F.col(cluster_col).alias("cluster"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    means = pos.groupBy("cluster", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cluster_col: str = "label",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: route each query to its ``n_probe`` nearest centroids,
+    then exact top-k only within those clusters.  The equi-join on cluster id
+    replaces the all-pairs scan — per-query work drops to n/n_clusters."""
+    cents = ivf_centroids(corpus, cluster_col, vec_col)
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    probe_w = Window.partitionBy(query_id_col).orderBy(F.col("cdist").desc(), F.col("cluster"))
+    routed = (
+        q.join(F.broadcast(cents))
+        .withColumn("cdist", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= n_probe)
+        .select(query_id_col, "__qvec", "cluster")
+    )
+    cand = corpus.join(
+        routed,
+        (F.col(cluster_col) == F.col("cluster")) & (F.col(id_col) != F.col(query_id_col)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos", 4).alias("cos"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def srp_bucket_keys(vec: Column, planes: list[list[float]], bands: int) -> Column:
+    """Sign-random-projection LSH: hyperplane sign bits grouped into band
+    keys.  ``planes`` are fixed (seeded) so results are deterministic."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    per_band = len(bits) // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "",
+                F.lit(str(b)),
+                *(bits[b * per_band + r].cast("string") for r in range(per_band)),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency in
+    the plan, values inlined as literals)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def similarity_join_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """All-pairs similarity self-join above ``threshold`` via SRP-LSH:
+    bucket on band keys, exact cosine re-rank inside buckets only."""
+    planes = make_planes(dim, n_planes)
+    keyed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(srp_bucket_keys(F.col(vec_col), planes, bands)).alias("bkey"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,145 @@
+"""Text analysis operators (SURVEY §2-J5/J6/J7/J9 + north-star text ops):
+tokenization, language ID, quality scoring, token counting, fingerprinting.
+
+Everything is built-in-expression based (codegen, no UDFs): at 100 TB the
+text pipeline is a pure map stage — no shuffle until the corpus-level
+aggregates (term stats), which are plain hash aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real pipelines plug a fastText-style model in via pandas UDF; the heuristic
+# keeps language-ID deterministic and SQL-mirrorable for the oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "mit", "von", "ein"),
+    "es": ("el", "la", "de", "que", "los", "con", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "zh": ("de5", "shi4", "zai4", "you3", "he2", "wo3", "le5", "bu4"),
+}
+
+# A BPE-ish token: word chars, or a single non-space symbol — approximates
+# subword pre-tokenization (public GPT-2/tiktoken-style split, simplified).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish token count via regexp matches (letters runs / digit runs /
+    single symbols) — a deterministic proxy for subword token budgets."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def marker_hits(col: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``col`` are in the marker list."""
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda w: F.array_contains(marker_arr, w)))
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-token hits, 'und' when no
+    marker matches.  Deterministic tie-break on language code order."""
+    scored = [
+        F.struct(marker_hits(col, LANG_MARKERS[lang]).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ]
+    # array_max picks (max hits, max lang-code) — invert lang for asc tiebreak
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style quality features (PAPERS.md corpus): length bounds,
+    mean word length, symbol/digit ratios, repetition.  Adds feature columns
+    + a composite ``quality_ok`` flag; thresholds follow the published
+    Gopher rules, adapted to the synthetic corpus ranges."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda a, w: a + F.length(w).cast("double")) / n_tok,
+    )
+    n_chars = F.length(t)
+    digit_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double") / n_chars
+    ).otherwise(0.0)
+    space_ratio = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^ ]", "")).cast("double") / n_chars
+    ).otherwise(0.0)
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok)
+    return df.select(
+        "*",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(space_ratio, 4).alias("space_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_token_ratio"),
+        (
+            (n_tok >= 10)
+            & (n_tok <= 1000)
+            & (mean_wl >= 2)
+            & (mean_wl <= 12)
+            & (distinct_ratio >= 0.2)
+        )
+        .cast("int")
+        .alias("quality_ok"),
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """J9-adjacent rolling fingerprint: fold tokens through
+    h = xxhash64(h, token), in token order.  Order-sensitive (unlike a
+    bag-of-words hash) and computed as one codegen'd fold — the streaming
+    shape of a Rabin-Karp rolling hash, using xxhash64 as the mixer so the
+    fold can't overflow under ANSI arithmetic."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.xxhash64(acc, w),
+    )
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """J6: (doc, term, tf) long format — the base relation for TF-IDF."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """J7: tf * ln(N / df) per (doc, term).
+
+    Three hash aggregations + one broadcast-able join on term stats; no
+    collect, no pivot — the classic scalable formulation.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    doc_freq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    return (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )

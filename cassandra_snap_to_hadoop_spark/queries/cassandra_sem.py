@@ -1,0 +1,171 @@
+"""Cassandra-semantics checked queries (SURVEY §2-B) over driver testdata.
+
+The generic operators live in ``operators/cassandra.py``; these queries bind
+them to the events table (an event stream doubles as a cell-update stream:
+``user_id`` = partition key, ``ts`` = writetime, ``event_id`` = unique seq
+for tie-breaks) so every merge rule is value-checked against DuckDB.
+Snapshot-layout fixtures with real _writetime/_ttl/_tombstone columns are
+exercised in tests/test_cassandra_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge, token_bucket
+from cassandra_snap_to_hadoop_spark.queries._util import qsum
+from cassandra_snap_to_hadoop_spark.registry import register
+
+
+@register(
+    "b1_token_buckets",
+    oracle="""
+    SELECT ((c_custkey % 16) + 16) % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer GROUP BY 1
+    """,
+    survey="B1",
+)
+def b1_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-range bucketing distribution.  The oracle-checkable variant
+    buckets on the raw key (murmur3 differs between engines by design);
+    ``operators.cassandra.token_bucket`` provides the hash-based placement
+    used for physical co-location and is asserted in unit tests."""
+    c = Tables(spark, sf_dir).customer
+    return (
+        c.withColumn("bucket", F.pmod(F.col("c_custkey"), F.lit(16)).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("c_custkey").cast("long").alias("min_key"))
+    )
+
+
+@register("b1_murmur3_placement", oracle=None, survey="B1")
+def b1_murmur3_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murmur3 (Spark ``hash``) token placement — rows-only: hash values are
+    engine-specific, but the bucket count and per-bucket totals are stable."""
+    c = Tables(spark, sf_dir).customer
+    return (
+        token_bucket(c, ["c_custkey"], 16)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "b2_lww_latest_state",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, value AS last_value,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey="B2",
+)
+def b2_lww_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins merge: events as cell updates keyed by user_id,
+    writetime = ts, tiebreak = event_id.  One shuffle, window, filter."""
+    e = Tables(spark, sf_dir).events
+    merged = lww_merge(e, ["user_id"], writetime_col="ts", seq_col="event_id")
+    return merged.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+    )
+
+
+@register(
+    "b3_tombstone_suppression",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    survey="B3",
+)
+def b3_tombstone_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone semantics: treat 'error' as a delete marker — if a user's
+    LWW-winning row is a tombstone, the whole partition key disappears
+    (merge first, THEN filter — the order is the semantics)."""
+    e = Tables(spark, sf_dir).events.withColumn("_tombstone", F.col("event_type") == "error")
+    merged = lww_merge(e, ["user_id"], writetime_col="ts", seq_col="event_id")
+    live = merged.filter(~F.col("_tombstone"))
+    return live.select("user_id", F.col("event_type").alias("last_event_type"))
+
+
+@register(
+    "b4_ttl_expiry",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS live_value
+    FROM events
+    WHERE epoch_ms(ts) + CAST(value * 86400000 AS BIGINT) > epoch_ms(TIMESTAMP '2024-01-20 00:00:00')
+    """,
+    survey="B4",
+)
+def b4_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL expiry as-of 2024-01-20: each event carries a synthetic TTL of
+    ``value`` days; expired cells drop.  Pure filter — pushes to the scan."""
+    e = Tables(spark, sf_dir).events
+    asof_ms = F.unix_millis(F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    live = e.filter(
+        F.unix_millis("ts") + (F.col("value") * 86400000).cast("long") > asof_ms
+    )
+    return live.agg(
+        F.count("*").alias("n_live"),
+        F.countDistinct("user_id").alias("n_users"),
+        qsum(F.col("value")).alias("live_value"),
+    )
+
+
+@register(
+    "b5_wide_row_regroup",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(event_id) AS BIGINT) AS first_cell,
+           CAST(MAX(event_id) AS BIGINT) AS last_cell,
+           array_to_string(list_sort(list(event_id))[1:5], ',') AS head_cells
+    FROM events GROUP BY user_id
+    """,
+    survey="B5",
+)
+def b5_wide_row_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-row partition view: clustering cells regrouped per partition key
+    (summary scalars checked; the array<struct> shape itself is exercised by
+    ``operators.cassandra.wide_row_regroup`` unit tests)."""
+    e = Tables(spark, sf_dir).events
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_cells"),
+        F.min("event_id").cast("long").alias("first_cell"),
+        F.max("event_id").cast("long").alias("last_cell"),
+        F.concat_ws(",", F.slice(F.sort_array(F.collect_list("event_id")), 1, 5)).alias("head_cells"),
+    )
+
+
+@register(
+    "b6_counter_merge",
+    oracle="""
+    SELECT user_id, event_type,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS delta_total,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas
+    FROM events GROUP BY user_id, event_type
+    """,
+    survey="B6",
+)
+def b6_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-column merge: commutative sum of deltas per (pk, ck) — the
+    map-side partial sum IS the replica-local counter shard."""
+    e = Tables(spark, sf_dir).events
+    return e.groupBy("user_id", "event_type").agg(
+        qsum(F.col("value")).alias("delta_total"),
+        F.count("*").alias("n_deltas"),
+    )

@@ -1,0 +1,109 @@
+"""M0 flagship (SURVEY §7): the snapshot-flavored star query.
+
+One query exercising the whole engine lifecycle: parquet scan (A1) ->
+simulated overlapping snapshot generations (union, H1) -> LWW merge (B2) ->
+star join with broadcast dims (D1) + sort-merge fact join (D2) -> revenue
+aggregate (E2, I2) -> top region per year (F1/G3).
+
+Snapshot simulation: generation 0 is the full lineitem table at writetime 1;
+generation 1 "re-snapshots" lines 1-2 of every order with an updated
+discount at writetime 2.  The LWW merge must pick the generation-1 rows —
+identical construction in the DuckDB oracle, so the merge semantics are
+value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+from cassandra_snap_to_hadoop_spark.queries._util import qsum, yr
+from cassandra_snap_to_hadoop_spark.registry import register
+
+FLAGSHIP_ORACLE = """
+WITH gen0 AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_orderkey AS _wt_src,
+           1 AS _writetime, 0 AS _seq
+    FROM lineitem
+), gen1 AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount * 0.5 AS l_discount,
+           l_orderkey AS _wt_src, 2 AS _writetime, 1 AS _seq
+    FROM lineitem WHERE l_linenumber <= 2
+), unioned AS (
+    SELECT * FROM gen0 UNION ALL SELECT * FROM gen1
+), merged AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_orderkey, l_linenumber
+            ORDER BY _writetime DESC, _seq DESC,
+                     l_extendedprice DESC, l_discount DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+), rev AS (
+    SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM merged
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+)
+SELECT r_name, order_year, revenue FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY order_year ORDER BY revenue DESC, r_name) AS rk
+    FROM rev
+) WHERE rk = 1
+"""
+
+
+def _merged_lineitem(li: DataFrame) -> DataFrame:
+    """Simulated snapshot generations + B2 LWW merge (shared with entry())."""
+    base = li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    gen0 = base.withColumn("_writetime", F.lit(1).cast("long")).withColumn("_seq", F.lit(0).cast("long"))
+    gen1 = (
+        base.filter(F.col("l_linenumber") <= 2)
+        .withColumn("l_discount", F.col("l_discount") * 0.5)
+        .withColumn("_writetime", F.lit(2).cast("long"))
+        .withColumn("_seq", F.lit(1).cast("long"))
+    )
+    # The synthetic lineitem has colliding (orderkey, linenumber) pairs, so
+    # the merge pins a deterministic survivor via value-column tiebreaks.
+    unioned = gen0.unionByName(gen1)
+    return lww_merge(
+        unioned,
+        ["l_orderkey", "l_linenumber"],
+        "_writetime",
+        "_seq",
+        tiebreak_cols=["l_extendedprice", "l_discount"],
+    ).drop("_writetime", "_seq")
+
+
+@register("flagship_snapshot_star", oracle=FLAGSHIP_ORACLE, survey="A1,H1,B2,D1,D2,E2,I2,F1,G3")
+def flagship_snapshot_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue region per order-year over LWW-merged snapshot generations.
+
+    Plan shape at scale: the dims (region/nation/customer at TPC-H ratios)
+    broadcast; lineitem⋈orders is the one big sort-merge join; the LWW
+    window shares its hash partitioning with nothing downstream but runs at
+    ingest before the join fan-out (SURVEY §4 merge-pushdown convention).
+    """
+    t = Tables(spark, sf_dir)
+    merged = _merged_lineitem(t.lineitem)
+    rev = (
+        merged.join(t.orders, merged.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", yr(F.col("o_orderdate")).alias("order_year"))
+        .agg(qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+    )
+    w = Window.partitionBy("order_year").orderBy(F.col("revenue").desc(), F.col("r_name"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("r_name", "order_year", "revenue")
+    )

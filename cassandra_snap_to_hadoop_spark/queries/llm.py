@@ -1,0 +1,450 @@
+"""LLM training-data pipeline queries (SURVEY §2-J) over documents/embeddings.
+
+Each operator has an exact, SQL-expressible tier (value-checked against
+DuckDB) and, where relevant, a scale tier (LSH/banding — rows-only check,
+since bucketing hashes are engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators import similarity as sim
+from cassandra_snap_to_hadoop_spark.operators import text as tx
+from cassandra_snap_to_hadoop_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+)
+from cassandra_snap_to_hadoop_spark.operators.multimodal import decode_stub, documents_as_media
+from cassandra_snap_to_hadoop_spark.queries._util import round2, round4
+from cassandra_snap_to_hadoop_spark.registry import register
+
+# DuckDB mirror of operators.dedup.normalize_text
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB mirror of word 3-shingles over normalized text (1-based inclusive slices)
+_SHINGLES = f"""
+    list_distinct([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, greatest(len(words) - 1, 1))])
+"""
+
+
+@register(
+    "j1_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    survey="J1",
+)
+def j1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content digest, deterministic survivor."""
+    d = Tables(spark, sf_dir).documents
+    return exact_dedup(d, "doc_id", "text")
+
+
+@register(
+    "j2_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang, unnest({_SHINGLES}) AS sh FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+    """,
+    survey="J2,D9",
+)
+def j2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs, blocked by lang.  The checked
+    small-scale truth that the LSH tier approximates."""
+    d = Tables(spark, sf_dir).documents
+    return jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.05, block_col="lang")
+
+
+@register("j2_minhash_lsh_pairs", oracle=None, survey="J2,D9")
+def j2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (scale tier): banded xxhash64 signatures.
+    Rows-only (hash-dependent); recall vs j2_jaccard_pairs asserted in
+    tests/test_llm_ops.py."""
+    d = Tables(spark, sf_dir).documents
+    return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=32, bands=8)
+
+
+@register("j2_simhash", oracle=None, survey="J2")
+def j2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: xxhash64-derived)."""
+    d = Tables(spark, sf_dir).documents
+    return simhash(d, "doc_id", "text")
+
+
+@register(
+    "j3_knn_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    survey="J3",
+)
+def j3_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors — the ANN baseline.
+    Queries broadcast; corpus scanned once; JVM higher-order-fn dot product."""
+    e = Tables(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.knn_bruteforce(e, queries, k=5)
+
+
+@register("j3_knn_ivf", oracle=None, survey="J3")
+def j3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-clustered inverted file, 1-probe.  Rows-only;
+    recall vs brute force asserted in tests/test_llm_ops.py."""
+    e = Tables(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.knn_ivf(e, queries, cluster_col="label", k=5)
+
+
+@register("j3_similarity_join_lsh", oracle=None, survey="J3,D9")
+def j3_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.15 via sign-random-projection LSH buckets
+    (scale tier for the similarity self-join)."""
+    e = Tables(spark, sf_dir).embeddings
+    return sim.similarity_join_lsh(e, threshold=0.15)
+
+
+@register(
+    "j4_pairwise_block",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.label AS label,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(cos), 4) AS avg_cos,
+           ROUND(MAX(cos), 4) AS max_cos
+    FROM pairs GROUP BY label
+    """,
+    survey="J4",
+)
+def j4_pairwise_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded pairwise similarity: all-pairs cosine WITHIN a label block
+    (the blocking is what keeps it off the O(n^2) cliff at scale)."""
+    e = Tables(spark, sf_dir).embeddings
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.label").alias("label"),
+        sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    )
+    return pairs.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        round4(F.avg("cos")).alias("avg_cos"),
+        round4(F.max("cos")).alias("max_cos"),
+    )
+
+
+@register(
+    "j5_shingling",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct_tokens,
+           CAST(len({_SHINGLES}) AS INTEGER) AS n_shingles,
+           list_sort({_SHINGLES})[1] AS first_shingle
+    FROM toks
+    """,
+    survey="J5",
+)
+def j5_shingling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + k-shingling statistics per document."""
+    d = Tables(spark, sf_dir).documents
+    words = tx.tokens(F.col("text"))
+    sh = shingles(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct_tokens"),
+        F.size(sh).cast("int").alias("n_shingles"),
+        F.array_sort(sh).getItem(0).alias("first_shingle"),
+    )
+
+
+@register(
+    "j6_word_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+    WHERE word NOT IN ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', '')
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+    survey="J6",
+)
+def j6_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies with stopword removal, top-25 (unique
+    tiebreak on the word itself keeps LIMIT deterministic)."""
+    d = Tables(spark, sf_dir).documents
+    stop = ["the", "a", "an", "of", "and", "to", "in", "is", ""]
+    return (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("word"))
+        .filter(~F.col("word").isin(stop))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(25)
+    )
+
+
+@register(
+    "j7_tfidf",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ), tfc AS (
+        SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2
+    ), dfc AS (
+        SELECT term, COUNT(DISTINCT doc) AS df FROM tfc GROUP BY 1
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc, tfc.term, tf, ROUND(tf * ln(n_docs / df), 4) AS tfidf
+        FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN nd
+    )
+    SELECT doc, term, tf, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3 AND doc < 50
+    """,
+    survey="J7,G3",
+)
+def j7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 scoring terms per document (docs 0-49)."""
+    d = Tables(spark, sf_dir).documents
+    scored = tx.tf_idf(d, "doc_id", "text")
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc") < 50))
+        .select("doc", "term", "tf", "tfidf")
+    )
+
+
+@register(
+    "j8_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    survey="J8",
+)
+def j8_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slicing: per (lang, source) length statistics."""
+    d = Tables(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        round2(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "j9_quality_heuristics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words,
+               length(text) AS nc
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) AS mean_wl,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / nc AS digit_ratio,
+               length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / nc AS space_ratio,
+               len(list_distinct(words)) * 1.0 / len(words) AS dtr
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(mean_wl, 4) AS mean_word_len,
+           ROUND(digit_ratio, 4) AS digit_ratio,
+           ROUND(space_ratio, 4) AS space_ratio,
+           ROUND(dtr, 4) AS distinct_token_ratio,
+           CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+                      AND mean_wl >= 2 AND mean_wl <= 12
+                      AND dtr >= 0.2 THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+    FROM feats
+    """,
+    survey="J9",
+)
+def j9_quality_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality features + composite filter flag."""
+    d = Tables(spark, sf_dir).documents
+    return tx.quality_features(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "digit_ratio",
+        "space_ratio",
+        "distinct_token_ratio",
+        "quality_ok",
+    )
+
+
+@register(
+    "j9_language_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(words, w -> list_contains(['der','die','und','das','ist','mit','von','ein'], w))) AS h_de,
+               len(list_filter(words, w -> list_contains(['the','and','of','to','in','is','for','with'], w))) AS h_en,
+               len(list_filter(words, w -> list_contains(['el','la','de','que','los','con','una','por'], w))) AS h_es,
+               len(list_filter(words, w -> list_contains(['le','la','les','des','est','une','dans','pour'], w))) AS h_fr,
+               len(list_filter(words, w -> list_contains(['de5','shi4','zai4','you3','he2','wo3','le5','bu4'], w))) AS h_zh
+        FROM t
+    )
+    SELECT doc_id, lang AS true_lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_zh >= greatest(h_de, h_en, h_es, h_fr) THEN 'zh'
+                WHEN h_fr >= greatest(h_de, h_en, h_es) THEN 'fr'
+                WHEN h_es >= greatest(h_de, h_en) THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS pred_lang
+    FROM hits
+    """,
+    survey="J9",
+)
+def j9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-token language ID (argmax, later-alphabet wins ties
+    — mirrored exactly by the oracle's cascaded >= comparisons)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        tx.language_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register("j9_fingerprint", oracle=None, survey="J9")
+def j9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (xxhash64 fold —
+    rows-only; collision/determinism properties unit-tested)."""
+    d = Tables(spark, sf_dir).documents
+    return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "j10_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS mime,
+           left(sha256(text), 16) AS sha_prefix
+    FROM documents
+    """,
+    survey="J10",
+)
+def j10_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal schema plumbing: binary payload + typed metadata struct,
+    checked on the metadata scalars (payload bytes stay opaque)."""
+    d = Tables(spark, sf_dir).documents
+    media = documents_as_media(d)
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.substring(F.sha2(F.col("payload"), 256), 1, 16).alias("sha_prefix"),
+    )
+
+
+@register("j10_multimodal_decode", oracle=None, survey="J10,L4")
+def j10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through the mapInPandas decode stub — the
+    real Arrow-batched plumbing a production image/audio decoder uses
+    (decode itself stubbed: deterministic byte statistics)."""
+    d = Tables(spark, sf_dir).documents
+    return decode_stub(documents_as_media(d))
+
+
+@register(
+    "j11_embedding_norms",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ), per_label AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(AVG(nrm), 4) AS avg_norm
+        FROM norms GROUP BY label
+    ), pos AS (
+        SELECT label, i, AVG(embedding[i]::DOUBLE) AS m
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
+    ), cent AS (
+        SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm FROM pos GROUP BY label
+    )
+    SELECT p.label, n_vecs, avg_norm, centroid_norm
+    FROM per_label p JOIN cent c ON p.label = c.label
+    """,
+    survey="J11",
+)
+def j11_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding statistics: per-label vector-norm average + centroid norm
+    (centroid via positional explode — dim-independent distribution)."""
+    e = Tables(spark, sf_dir).embeddings
+    norms = e.select("label", sim.l2_norm(F.col("embedding")).alias("nrm"))
+    per_label = norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), round4(F.avg("nrm")).alias("avg_norm")
+    )
+    cents = sim.ivf_centroids(e, "label").select(
+        F.col("cluster").alias("label"), round4(sim.l2_norm(F.col("centroid"))).alias("centroid_norm")
+    )
+    return per_label.join(cents, "label")

@@ -1,0 +1,73 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores);
+the same configs are the right starting point on a real cluster — AQE owns
+runtime re-planning (partition coalescing, skew-join splitting, broadcast
+conversion), Arrow backs every Python<->JVM batch transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting, and
+    # SMJ->broadcast conversion.  This is the 100-TB answer to skew/sizing:
+    # plans are declared key-partitioned and AQE right-sizes at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter pushdown for selective joins (SURVEY §4).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Arrow for all pandas UDF / toPandas traffic.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic wall-clock timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Columnar parquet + pushdown are on by default; pin them explicitly so
+    # a misconfigured environment can't silently disable the fast path.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts) outright; read the
+    # raw int64 nanos and convert at the ingest boundary (io.load).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "cs2h_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``cpus`` only applies when no session exists yet (master is fixed at
+    session creation).  Shuffle partitions default to the core count — at
+    cluster scale this would instead be sized to total executor cores and
+    AQE coalesces down.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's *runtime-mutable* confs to a foreign session.
+
+    The driver harness constructs its own SparkSession; query entry points
+    call this so correctness-critical settings (UTC session timezone, AQE,
+    Arrow) hold regardless of who built the session.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep whatever it has
+    return spark
