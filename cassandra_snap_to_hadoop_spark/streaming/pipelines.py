@@ -1,0 +1,140 @@
+"""Structured Streaming pipelines (SURVEY §2-K, §5.6).
+
+Each builder takes a *streaming* DataFrame (``readStream`` file source over
+micro-batch shards) and returns the streaming aggregation whose complete
+output must equal the batch declaration in ``queries/streaming_sem.py`` —
+the engine's batch/stream parity contract, asserted by
+tests/test_streaming_parity.py.
+
+Scale notes: all stateful operators carry a watermark so state is bounded
+(without one, window state grows forever); file-source ingestion uses
+``maxFilesPerTrigger`` for backpressure.  In production the file source
+swaps for Kafka without touching the transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.queries._util import qsum
+
+_FMT = "yyyy-MM-dd HH:mm"
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, shard_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """A5/K7 ingestion edge: incremental file-source read of event shards
+    (arrival order = file order; late rows live in later files)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(shard_dir)
+    )
+
+
+def k1_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """K1 streaming twin: watermarked tumbling-window counts/sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), qsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def k3_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 days") -> DataFrame:
+    """K3 streaming twin: native ``session_window`` sessionization.
+
+    Emits (user_id, session_start, n_events, duration_ms) — session ids are
+    an artifact of the batch formulation, so parity is asserted on the
+    session's natural key (user, start)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).cast("long").alias("duration_ms"),
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_ms")
+    )
+
+
+def k5_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """K5 streaming twin: dedup by event_id within the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> list:
+    """Test helper: run a streaming aggregation over a bounded file source
+    until exhausted (availableNow), collecting emitted rows via foreachBatch
+    (which, unlike the memory sink, supports resuming from a checkpoint —
+    needed for multi-run late-data scenarios)."""
+    collected: list = []
+
+    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "complete":
+            collected.clear()  # complete mode re-emits the full result set
+        collected.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(collect_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+def incremental_snapshot_pipeline(
+    spark: SparkSession,
+    shard_dir: str,
+    bronze_dir: str,
+    silver_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    writetime_col: str,
+    seq_col: str,
+) -> None:
+    """K7: the reference's cron loop, Sparkified — incremental snapshot
+    shards stream into an append-only bronze parquet table; each trigger
+    recomputes the silver LWW view from bronze via ``foreachBatch``.
+
+    Exactly-once story: the file source + checkpoint give exactly-once
+    bronze appends; silver is a deterministic function of bronze so replays
+    are idempotent (LWW merge is idempotent — tested property).
+    """
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(shard_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(bronze_dir)
+        bronze = batch_df.sparkSession.read.parquet(bronze_dir)
+        silver = lww_merge(bronze, key_cols, writetime_col, seq_col)
+        silver.write.mode("overwrite").parquet(silver_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

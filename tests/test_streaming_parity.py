@@ -1,0 +1,129 @@
+"""Batch/stream parity tests (SURVEY §5.6): the streaming twins must produce
+the batch declarations' answers when run incrementally over micro-batch
+shards of the same events (FIXTURES.md §3.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import load
+from cassandra_snap_to_hadoop_spark.registry import load_all
+from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
+    incremental_snapshot_pipeline,
+    k1_stream,
+    k3_stream,
+    k5_stream,
+    read_event_stream,
+    run_to_completion,
+)
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def event_shards(spark, sf_dir, tmp_path_factory):
+    """events re-sharded by day in arrival order (~30 micro-batch files)."""
+    root = str(tmp_path_factory.mktemp("stream") / "events")
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(root)
+    return root + "/*"  # glob over day partitions
+
+
+def _rows(df):
+    return sorted(map(tuple, df))
+
+
+def test_k1_tumbling_parity(spark, sf_dir, event_shards, tmp_path):
+    batch = REGISTRY["k1_tumbling_window"].fn(spark, sf_dir).collect()
+    stream = run_to_completion(
+        k1_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
+        str(tmp_path / "ck1"),
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_k3_session_parity(spark, sf_dir, event_shards, tmp_path):
+    # compare on the session natural key: (user, start, n_events, duration)
+    batch = (
+        REGISTRY["k3_session_windows"]
+        .fn(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "duration_ms")
+        .collect()
+    )
+    stream = run_to_completion(
+        k3_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
+        str(tmp_path / "ck3"),
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_k5_dedup_parity(spark, sf_dir, event_shards, tmp_path):
+    stream_rows = run_to_completion(
+        k5_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n")),
+        str(tmp_path / "ck5"),
+    )
+    batch = load(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert _rows(batch) == _rows(stream_rows)
+
+
+def test_k4_watermark_drops_late_rows(spark, tmp_path):
+    """Late-arrival fixture: a row older than watermark arriving in a later
+    file must be dropped from its (closed) window."""
+    shard_dir = tmp_path / "late"
+    shard_dir.mkdir()
+    ddl = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    f1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 02:00:00", 1, "view", 1.0, "{}"),  # advances watermark past 01:50
+        ],
+        ddl,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [
+            (3, "2024-01-01 00:10:00", 1, "view", 1.0, "{}"),  # late by ~2h -> dropped
+            (4, "2024-01-01 02:30:00", 1, "view", 1.0, "{}"),
+        ],
+        ddl,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ck = str(tmp_path / "ck4")
+
+    # run 1: only b0 exists -> watermark reaches 01:50, closing the hour-00
+    # window (availableNow's final flush emits it with n=1)
+    f1.coalesce(1).write.parquet(str(shard_dir / "b0"))
+    stream = read_event_stream(spark, str(shard_dir) + "/*", max_files_per_trigger=1)
+    out1 = run_to_completion(k1_stream(stream, watermark="10 minutes"), ck, mode="append")
+
+    # run 2: b1 arrives with a 2h-late row; the checkpointed watermark must
+    # drop it — were it admitted, the closed window would re-emit
+    f2.coalesce(1).write.parquet(str(shard_dir / "b1"))
+    stream = read_event_stream(spark, str(shard_dir) + "/*", max_files_per_trigger=1)
+    out2 = run_to_completion(k1_stream(stream, watermark="10 minutes"), ck, mode="append")
+
+    got = {(r.window_start, r.n) for r in out1 + out2}
+    assert ("2024-01-01 00:00", 1) in got  # closed with only event 1
+    assert ("2024-01-01 00:00", 2) not in got  # late event 3 discarded
+    assert len(out2) == 0  # nothing re-opens after the watermark
+
+
+def test_k7_incremental_snapshot_pipeline(spark, sf_dir, event_shards, tmp_path):
+    """Bronze/silver incremental pipeline: silver equals batch LWW of all data."""
+    incremental_snapshot_pipeline(
+        spark,
+        event_shards,
+        bronze_dir=str(tmp_path / "bronze"),
+        silver_dir=str(tmp_path / "silver"),
+        checkpoint=str(tmp_path / "ck7"),
+        key_cols=["user_id"],
+        writetime_col="ts",
+        seq_col="event_id",
+    )
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    batch = lww_merge(load(spark, sf_dir, "events"), ["user_id"], "ts", "event_id")
+    key = lambda df: sorted((r.user_id, r.event_id) for r in df.collect())
+    assert key(silver) == key(batch)
