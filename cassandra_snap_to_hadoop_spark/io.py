@@ -141,6 +141,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work (shingling,
+    hashing, vector math).
+
+    A small parquet file arrives as ONE scan split, serializing everything
+    downstream on one core regardless of cluster size.  At real scale the
+    scan already yields thousands of splits and this is a no-op — the
+    round-robin repartition only fires when the input is under-split.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 class Tables:
     """Lazy per-query table accessor: ``t = Tables(spark, sf_dir); t.lineitem``."""
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_snap_to_hadoop_spark.io import fan_out
+
 
 def normalize_text(col: F.Column) -> F.Column:
     """Canonical text normalization used by every dedup tier: lowercase,
@@ -47,15 +49,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles(col: F.Column, k: int = 3) -> F.Column:
     """Word k-shingles as an array<string> (distinct).  Built with
-    higher-order functions — no UDF, stays in codegen."""
+    higher-order functions — no UDF, stays in codegen.
+
+    Texts shorter than k words yield an empty array.  (The guard matters:
+    ``sequence(1, 0)`` counts DOWN in Spark, so an unguarded short text
+    produces an invalid slice index — found by Hypothesis.)"""
     words = F.split(normalize_text(col), " ")
-    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
+    n = F.size(words) - F.lit(k - 1)
+    built = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         )
     )
+    return F.when(n >= 1, built).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_pairs(
@@ -73,7 +80,7 @@ def jaccard_pairs(
     at scale the MinHash tier below replaces the raw shingle join.
     Output: (id_a < id_b, jaccard) rounded to 4dp.
     """
-    ex = df.select(
+    ex = fan_out(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
@@ -103,7 +110,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_h
     """MinHash signatures without MLlib: h_i(s) = xxhash64(shingle, seed=i)
     minimized per doc.  Pure built-ins — ``transform`` over a seed sequence,
     min over exploded shingles; one shuffle on doc id."""
-    ex = df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    ex = fan_out(df).select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh"))
     hashes = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}") for i in range(n_hashes)]
     return ex.groupBy("id").agg(*hashes)
 
@@ -150,7 +157,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """J2 (simhash tier): 64-bit fingerprint = bitwise majority vote of
     token hashes.  Expressed as one aggregate per bit over exploded tokens —
     64 conditional sums fuse into a single hash-aggregate pass."""
-    ex = df.select(
+    ex = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
     ).select("id", F.xxhash64("w").alias("h"))

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cassandra_snap_to_hadoop_spark.io import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM higher-order fns)."""
@@ -64,7 +66,7 @@ def knn_bruteforce(
     top k.  Ties break on neighbor id for determinism.
     """
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    joined = corpus.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    joined = fan_out(corpus).join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
     scored = joined.select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
@@ -179,7 +181,7 @@ def similarity_join_lsh(
     """All-pairs similarity self-join above ``threshold`` via SRP-LSH:
     bucket on band keys, exact cosine re-rank inside buckets only."""
     planes = make_planes(dim, n_planes)
-    keyed = corpus.select(
+    keyed = fan_out(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(srp_bucket_keys(F.col(vec_col), planes, bands)).alias("bkey"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_snap_to_hadoop_spark.io import fan_out
 from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -118,7 +119,7 @@ def doc_fingerprint(col: Column) -> Column:
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """J6: (doc, term, tf) long format — the base relation for TF-IDF."""
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        fan_out(df).select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )

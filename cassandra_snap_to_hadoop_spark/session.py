@@ -32,6 +32,12 @@ ENGINE_CONFS: dict[str, str] = {
     # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts) outright; read the
     # raw int64 nanos and convert at the ingest boundary (io.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Scan split size: 16 MB keeps small single-file tables (the local test
+    # corpus) parallel across cores.  On a production cluster with TB-scale
+    # multi-file tables the default 128 MB amortizes scheduling better —
+    # override via get_spark or session conf there; row-group size bounds
+    # the effective minimum either way.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
 }
 
 

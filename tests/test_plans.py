@@ -1,0 +1,125 @@
+"""Plan-shape tests (SURVEY §4): would this plan survive a 100x scale-up?
+
+These assert the *physical* properties the oracle can't see: predicate
+pushdown, column pruning, broadcast choices, shuffle counts, and the two
+engine-wide bans (cartesian products, row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import load
+from cassandra_snap_to_hadoop_spark.plans.explain import (
+    broadcast_join_count,
+    count_shuffles,
+    plan_string,
+    pushed_filters,
+    scan_columns,
+    uses_cartesian_product,
+    uses_rowwise_python,
+)
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    """Engine-wide invariant: no unpartitioned cartesian product in any
+    checked query — every pair generation is blocked, bucketed, or
+    broadcast (BroadcastNestedLoopJoin with a small side is sanctioned)."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert not uses_cartesian_product(df), plan_string(df, "simple")
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_rowwise_python_anywhere(spark, sf_dir, name):
+    """Engine-wide invariant: Python only via Arrow-vectorized exec."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert not uses_rowwise_python(df), plan_string(df, "simple")
+
+
+def test_c1_pushdown_and_pruning(spark, sf_dir):
+    """The filter reaches the parquet reader; the scan reads only the five
+    referenced columns of lineitem's eleven."""
+    df = REGISTRY["c1_project_compute"].fn(spark, sf_dir)
+    assert "l_linenumber" in pushed_filters(df)
+    cols = scan_columns(df)
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+
+
+def test_d1_dim_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["d1_broadcast_dim_join"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    # the fact side is never shuffled for a broadcast join: shuffles present
+    # belong to the aggregation, not the join
+    assert count_shuffles(df) <= 2
+
+
+def test_flagship_all_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["flagship_snapshot_star"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3  # customer, nation, region
+    assert not uses_cartesian_product(df)
+
+
+def test_d2_fact_join_partitioned(spark, sf_dir):
+    """Fact-fact join must be a partitioned join (SMJ/shuffled-hash), never
+    a nested loop, when broadcast is off the table."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["d2_sortmerge_fact_join"].fn(spark, sf_dir)
+        s = plan_string(df, "simple")
+        assert ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s), s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_e2_partial_aggregation(spark, sf_dir):
+    """Map-side partial aggregation: two HashAggregate levels around one
+    exchange — the shuffle moves group states, not rows."""
+    df = REGISTRY["e2_groupby_pricing_summary"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert s.count("HashAggregate") >= 2
+    assert count_shuffles(df) == 1
+
+
+def test_g1_topk_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    df = REGISTRY["g1_g2_global_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_lww_merge_is_single_shuffle(spark, sf_dir):
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+
+    e = load(spark, sf_dir, "events")
+    df = lww_merge(e, ["user_id"], "ts", "event_id")
+    assert count_shuffles(df) == 1
+
+
+def test_j2_lsh_join_is_partitioned_not_cartesian(spark, sf_dir):
+    df = REGISTRY["j2_minhash_lsh_pairs"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert not uses_cartesian_product(df)
+    assert ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s) or ("BroadcastHashJoin" in s)
+
+
+def test_j4_blocked_pairs_equi_join(spark, sf_dir):
+    """The label block is the equi key — the pair join must hash on it."""
+    df = REGISTRY["j4_pairwise_block"].fn(spark, sf_dir)
+    assert not uses_cartesian_product(df)
+
+
+def test_multimodal_metadata_prunes_payload(spark, sf_dir):
+    """Metadata-only multimodal queries must not read the text/payload
+    column from parquet (binary dominates row size at scale)."""
+    from cassandra_snap_to_hadoop_spark.operators.multimodal import documents_as_media
+
+    d = load(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    meta_only = media.select("media_id", F.col("meta.mime"))
+    assert "text" not in scan_columns(meta_only)

@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY §5.3, Hypothesis): algebraic invariants on
+small random frames — the edge-case generator the fixed testdata can't be.
+
+Settings note: each Spark round-trip costs ~100ms, so examples are capped
+low; the properties are about structure (idempotence, additivity,
+containment), not statistical coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+from cassandra_snap_to_hadoop_spark.operators.dedup import exact_dedup, shingles
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+cells = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # pk
+        st.integers(0, 3),  # ck
+        st.integers(0, 100),  # writetime
+        st.integers(0, 10_000),  # seq (unique-ified below)
+        st.text(alphabet="abc", max_size=3),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.fixture(scope="module")
+def sparkm(spark):
+    return spark
+
+
+@SLOW
+@given(rows=cells)
+def test_lww_merge_idempotent_and_key_unique(sparkm, rows):
+    # unique-ify seq so the ordering is total
+    rows = [(pk, ck, wt, i, v) for i, (pk, ck, wt, _, v) in enumerate(rows)]
+    df = sparkm.createDataFrame(rows, "pk long, ck long, _writetime long, _seq long, v string")
+    m1 = lww_merge(df, ["pk", "ck"], "_writetime", "_seq")
+    out = m1.collect()
+    keys = [(r.pk, r.ck) for r in out]
+    # one survivor per key, and that survivor is the max (writetime, seq)
+    assert len(keys) == len(set(keys)) == df.select("pk", "ck").distinct().count()
+    best = {}
+    for pk, ck, wt, seq, v in rows:
+        cur = best.get((pk, ck))
+        if cur is None or (wt, seq) > cur[0]:
+            best[(pk, ck)] = ((wt, seq), v)
+    assert {(r.pk, r.ck): r.v for r in out} == {k: v for k, (_, v) in best.items()}
+    # idempotence: merging the merge changes nothing
+    m2 = lww_merge(m1, ["pk", "ck"], "_writetime", "_seq")
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, out))
+
+
+@SLOW
+@given(
+    xs=st.lists(st.integers(-100, 100), min_size=0, max_size=20),
+    ys=st.lists(st.integers(-100, 100), min_size=0, max_size=20),
+)
+def test_union_count_additivity_and_set_ops(sparkm, xs, ys):
+    a = sparkm.createDataFrame([(x,) for x in xs] or [(None,)], "v int").filter("v is not null")
+    b = sparkm.createDataFrame([(y,) for y in ys] or [(None,)], "v int").filter("v is not null")
+    assert a.unionAll(b).count() == a.count() + b.count()
+    inter = {r.v for r in a.intersect(b).collect()}
+    assert inter == set(xs) & set(ys)
+    diff = {r.v for r in a.subtract(b).collect()}
+    assert diff == set(xs) - set(ys)
+
+
+@SLOW
+@given(xs=st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=25))
+def test_semi_join_is_inner_projection(sparkm, xs):
+    left = sparkm.createDataFrame([(k, v) for k, v in xs], "k int, v int")
+    right = sparkm.createDataFrame([(k,) for k in range(0, 2)], "k int")
+    semi = {tuple(r) for r in left.join(right, "k", "left_semi").collect()}
+    inner = {(r.k, r.v) for r in left.join(right, "k").select(left.k, left.v).collect()}
+    anti = {tuple(r) for r in left.join(right, "k", "left_anti").collect()}
+    assert semi == inner
+    assert semi | anti == {tuple(r) for r in left.collect()}
+    assert semi & anti == set()
+
+
+@SLOW
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=20), min_size=1, max_size=10))
+def test_exact_dedup_partitions_ids(sparkm, texts):
+    df = sparkm.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(df, "doc_id", "text").collect()
+    # dup counts account for every row; survivors are distinct docs
+    assert sum(r.dup_count for r in out) == len(texts)
+    assert len({r.survivor_id for r in out}) == len(out)
+
+
+@SLOW
+@given(text=st.text(alphabet="xy z", min_size=0, max_size=40))
+def test_shingle_count_bound(sparkm, text):
+    df = sparkm.createDataFrame([(1, text)], "doc_id long, text string")
+    row = df.select(
+        F.size(shingles(F.col("text"), 3)).alias("n_sh"),
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n_tok"),
+    ).collect()[0]
+    # at most max(n_tok - 2, 0) distinct 3-shingles, never negative
+    assert 0 <= row.n_sh <= max(row.n_tok - 2, 1)
+
+
+@SLOW
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=30))
+def test_quantized_sum_engine_invariant(sparkm, vals):
+    """qsum is partitioning-independent: 1 partition == 8 partitions."""
+    from cassandra_snap_to_hadoop_spark.queries._util import qsum
+
+    df = sparkm.createDataFrame([(v,) for v in vals], "v double")
+    one = df.coalesce(1).agg(qsum(F.col("v")).alias("s")).collect()[0].s
+    many = df.repartition(8).agg(qsum(F.col("v")).alias("s")).collect()[0].s
+    assert one == many
