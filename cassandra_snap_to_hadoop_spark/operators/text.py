@@ -133,7 +133,9 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     tf = term_frequencies(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    doc_freq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    # tf already holds exactly one row per (doc, term), so document
+    # frequency is a plain count — no distinct expansion/extra shuffle.
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(doc_freq), "term")
         .crossJoin(F.broadcast(n_docs))

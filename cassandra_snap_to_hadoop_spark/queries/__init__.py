@@ -12,6 +12,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     joins,
     llm,
     relational,
+    sources_io,
     streaming_sem,
     tpch,
     udf,

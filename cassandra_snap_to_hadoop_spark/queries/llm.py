@@ -89,6 +89,27 @@ def j2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=32, bands=8)
 
 
+@register("j2_minhash_lsh_ml", oracle=None, survey="J2,D9")
+def j2_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib alternative for the MinHash tier (HashingTF + MinHashLSH
+    approxSimilarityJoin) — rows-only; recall asserted in tests."""
+    from cassandra_snap_to_hadoop_spark.operators.ml_lsh import minhash_lsh_pairs_ml
+
+    d = Tables(spark, sf_dir).documents
+    return minhash_lsh_pairs_ml(d, "doc_id", "text", jaccard_distance_threshold=0.9)
+
+
+@register("j3_knn_brp_lsh_ml", oracle=None, survey="J3")
+def j3_knn_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib alternative for ANN (BucketedRandomProjectionLSH on the unit
+    sphere, distributed approxSimilarityJoin + top-k window)."""
+    from cassandra_snap_to_hadoop_spark.operators.ml_lsh import brp_lsh_neighbors_ml
+
+    e = Tables(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brp_lsh_neighbors_ml(e, queries, k=5)
+
+
 @register("j2_simhash", oracle=None, survey="J2")
 def j2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only: xxhash64-derived)."""

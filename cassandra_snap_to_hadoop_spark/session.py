@@ -32,6 +32,9 @@ ENGINE_CONFS: dict[str, str] = {
     # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts) outright; read the
     # raw int64 nanos and convert at the ingest boundary (io.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as INT64 micros (INT96 is deprecated and breaks
+    # Arrow-based readers, including the Python DataSource API).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Scan split size: 16 MB keeps small single-file tables (the local test
     # corpus) parallel across cores.  On a production cluster with TB-scale
     # multi-file tables the default 128 MB amortizes scheduling better —

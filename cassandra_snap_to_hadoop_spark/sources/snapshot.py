@@ -177,6 +177,13 @@ class _SnapshotReader(DataSourceReader):
 
         want = [f.name for f in self._schema.fields if f.name != "_sstable"]
         table = pq.read_table(partition.path, columns=want)
+        # Spark's Arrow bridge rejects nanosecond timestamps (e.g. from
+        # INT96 or TIMESTAMP(NANOS) files) — coerce to microseconds.
+        for i, field in enumerate(table.schema):
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                table = table.set_column(
+                    i, field.name, table.column(i).cast(pa.timestamp("us", field.type.tz))
+                )
         tag = pa.array([partition.path] * table.num_rows, type=pa.string())
         table = table.append_column("_sstable", tag)
         yield from table.to_batches(max_chunksize=8192)

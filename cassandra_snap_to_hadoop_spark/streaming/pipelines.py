@@ -76,6 +76,46 @@ def k5_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def k6_stream(events: DataFrame) -> DataFrame:
+    """K6 streaming twin: first-touch attribution via arbitrary stateful
+    processing (``applyInPandasWithState``).
+
+    Per-user state = (first event's ts/id/type, running count); every
+    micro-batch emits the user's current attribution (update semantics), so
+    the LAST emission per user equals the batch declaration in
+    queries/streaming_sem.py — asserted by the parity test.  State is a few
+    scalars per key: bounded, spillable, 100 TB-safe.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, first_touch string, n_events long"
+    state_schema = "first_us long, first_id long, first_touch string, n long"
+
+    def attribute(key, pdfs, state: GroupState):
+        if state.exists:
+            first_us, first_id, touch, n = state.get
+        else:
+            first_us, first_id, touch, n = None, None, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            idx = pdf.sort_values(["ts", "event_id"]).index[0]
+            batch_us = int(pd.Timestamp(pdf.loc[idx, "ts"]).value // 1000)
+            batch_id = int(pdf.loc[idx, "event_id"])
+            if first_us is None or (batch_us, batch_id) < (first_us, first_id):
+                first_us, first_id, touch = batch_us, batch_id, str(pdf.loc[idx, "event_type"])
+        state.update((first_us, first_id, touch, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "first_touch": [touch], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        attribute, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> list:
     """Test helper: run a streaming aggregation over a bounded file source
     until exhausted (availableNow), collecting emitted rows via foreachBatch

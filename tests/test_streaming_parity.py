@@ -14,6 +14,7 @@ from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     k1_stream,
     k3_stream,
     k5_stream,
+    k6_stream,
     read_event_stream,
     run_to_completion,
 )
@@ -107,6 +108,24 @@ def test_k4_watermark_drops_late_rows(spark, tmp_path):
     assert ("2024-01-01 00:00", 1) in got  # closed with only event 1
     assert ("2024-01-01 00:00", 2) not in got  # late event 3 discarded
     assert len(out2) == 0  # nothing re-opens after the watermark
+
+
+def test_k6_stateful_first_touch_parity(spark, sf_dir, event_shards, tmp_path):
+    """Arbitrary stateful processing: the last per-user emission of the
+    update-mode stream equals the batch first-touch declaration."""
+    emissions = run_to_completion(
+        k6_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
+        str(tmp_path / "ck6"),
+        mode="update",
+    )
+    last = {}
+    for r in emissions:  # collected in emission order; later overwrites
+        last[r.user_id] = (r.first_touch, r.n_events)
+    batch = {
+        r.user_id: (r.first_touch, r.n_events)
+        for r in REGISTRY["k6_first_touch"].fn(spark, sf_dir).collect()
+    }
+    assert last == batch
 
 
 def test_k7_incremental_snapshot_pipeline(spark, sf_dir, event_shards, tmp_path):
