@@ -91,6 +91,23 @@ def check_query(spark: SparkSession, name: str, sf_dir: str, con=None) -> Parity
         res.ok = False
         res.issues.append(f"columns spark={sorted(s_names)} oracle={sorted(o_names)}")
         return res
+    # Python's 5 == 5.0 would hide int-vs-float divergence that a
+    # stricter driver-side hash may reject — compare cell type signatures.
+    def type_sig(rows: list[tuple], names: list[str]) -> dict[str, set]:
+        sig: dict[str, set] = {n: set() for n in names}
+        for r in rows[:100]:
+            for n, v in zip(names, r):
+                if v is not None:
+                    sig[n].add(type(v).__name__)
+        return sig
+
+    s_sig, o_sig = type_sig(s_rows, s_names), type_sig(o_rows, o_names)
+    for n in s_sig:
+        if s_sig[n] and o_sig.get(n) and s_sig[n] != o_sig[n]:
+            res.ok = False
+            res.issues.append(f"type mismatch col={n} spark={s_sig[n]} oracle={o_sig[n]}")
+    if not res.ok:
+        return res
     if len(s_rows) != len(o_rows):
         res.ok = False
         res.issues.append(f"row count spark={len(s_rows)} oracle={len(o_rows)}")

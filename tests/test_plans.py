@@ -114,6 +114,34 @@ def test_j4_blocked_pairs_equi_join(spark, sf_dir):
     assert not uses_cartesian_product(df)
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """A4/D2 at scale: pre-bucketing both fact tables on the join key makes
+    the join shuffle-free — the co-location strategy for repeated joins
+    (SURVEY §4 'Partitioning & shuffle')."""
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    load(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    load(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert count_shuffles(j) == 0, plan_string(j, "simple")
+        # and the answer is still right
+        assert j.count() == load(spark, sf_dir, "lineitem").join(
+            load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
 def test_multimodal_metadata_prunes_payload(spark, sf_dir):
     """Metadata-only multimodal queries must not read the text/payload
     column from parquet (binary dominates row size at scale)."""
