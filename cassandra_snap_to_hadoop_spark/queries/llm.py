@@ -89,6 +89,35 @@ def j2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=32, bands=8)
 
 
+@register(
+    "j2_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+    survey="J2,J4,D9",
+)
+def j2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact tier): label-blocked
+    pairwise cosine >= 0.35.  The blocking keeps pair generation equi-joined;
+    the LSH tier (j3_similarity_join_lsh) is the unblocked scale path."""
+    e = Tables(spark, sf_dir).embeddings
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= 0.35)
+        .select("id_a", "id_b", F.round("raw_cos", 4).alias("cos"))
+    )
+
+
 @register("j2_minhash_lsh_ml", oracle=None, survey="J2,D9")
 def j2_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib alternative for the MinHash tier (HashingTF + MinHashLSH

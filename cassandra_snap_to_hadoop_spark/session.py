@@ -19,6 +19,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesce target: the 64 MB default collapses the local corpus's
+    # shuffles to ~6 partitions and leaves cores idle behind one straggler;
+    # 16 MB keeps CPU-heavy reduce stages parallel.  (Cluster deployments
+    # with TB-scale shuffles should keep the 64 MB default.)
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
     # Runtime bloom-filter pushdown for selective joins (SURVEY §4).
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for all pandas UDF / toPandas traffic.
