@@ -464,6 +464,34 @@ def j10_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j10_frame_sampling",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(off) AS BIGINT) AS last_offset
+    FROM (
+        SELECT doc_id, unnest(range(0, octet_length(encode(text)), 64)) AS off
+        FROM documents
+    ) GROUP BY 1
+    """,
+    survey="J10",
+)
+def j10_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out shape (video -> frames): one output row per
+    sampled byte offset per media row, via the frame_sample_stub's
+    posexplode over a computed offset sequence — summarized per media id so
+    the oracle stays scalar."""
+    from cassandra_snap_to_hadoop_spark.operators.multimodal import frame_sample_stub
+
+    d = Tables(spark, sf_dir).documents
+    frames = frame_sample_stub(documents_as_media(d), every_n_bytes=64)
+    return frames.groupBy(F.col("media_id")).agg(
+        F.count("*").alias("n_frames"),
+        F.max("byte_offset").cast("long").alias("last_offset"),
+    )
+
+
+@register(
     "j11_embedding_norms",
     oracle="""
     WITH norms AS (

@@ -53,6 +53,21 @@ def k1_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def k2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """K2 streaming twin: watermarked sliding-window (1h / 15m) aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), qsum(F.col("value")).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def k3_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 days") -> DataFrame:
     """K3 streaming twin: native ``session_window`` sessionization.
 

@@ -12,6 +12,7 @@ from cassandra_snap_to_hadoop_spark.registry import load_all
 from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     incremental_snapshot_pipeline,
     k1_stream,
+    k2_stream,
     k3_stream,
     k5_stream,
     k6_stream,
@@ -40,6 +41,16 @@ def test_k1_tumbling_parity(spark, sf_dir, event_shards, tmp_path):
     stream = run_to_completion(
         k1_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
         str(tmp_path / "ck1"),
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_k2_sliding_parity(spark, sf_dir, event_shards, tmp_path):
+    batch = REGISTRY["k2_sliding_window"].fn(spark, sf_dir).collect()
+    # large watermark => nothing dropped in the bounded replay
+    stream = run_to_completion(
+        k2_stream(read_event_stream(spark, event_shards, max_files_per_trigger=10), watermark="30 days"),
+        str(tmp_path / "ck2"),
     )
     assert _rows(batch) == _rows(stream)
 
