@@ -13,6 +13,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     llm,
     relational,
     sources_io,
+    sql_api,
     streaming_sem,
     tpch,
     udf,
