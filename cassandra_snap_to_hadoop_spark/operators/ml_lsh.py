@@ -32,17 +32,22 @@ def minhash_lsh_pairs_ml(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hash_tables: int = 8,
-    jaccard_distance_threshold: float = 0.8,
+    num_hash_tables: int = 4,
+    jaccard_distance_threshold: float = 0.4,
     num_features: int = 1 << 18,
 ) -> DataFrame:
-    """J2 via MLlib: tokens -> binary HashingTF vectors -> MinHashLSH
-    approxSimilarityJoin.  Returns (id_a < id_b, jaccard_dist)."""
+    """J2 via MLlib: 3-word shingles -> binary HashingTF vectors ->
+    MinHashLSH approxSimilarityJoin.  Returns (id_a < id_b, jaccard_dist).
+
+    Shingles, not unigrams: token-SET Jaccard saturates on a shared
+    vocabulary (every doc pair looks similar → quadratic candidate sets);
+    shingle sets keep the same similarity definition as the native tier
+    (operators/dedup.py) and keep collisions rare."""
     _require_ml()
-    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
 
     toks = df.select(
-        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("words")
+        F.col(id_col).alias("id"), shingles(F.col(text_col), 3).alias("words")
     )
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(toks).filter(F.size("words") > 0)

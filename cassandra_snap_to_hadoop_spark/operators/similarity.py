@@ -64,13 +64,26 @@ def knn_bruteforce(
     ``queries`` is broadcast (the small side by construction); the corpus is
     scanned once, cosine computed row-wise, and a per-query window keeps the
     top k.  Ties break on neighbor id for determinism.
+
+    Both sides are L2-normalized per ROW before the pair expansion, so the
+    per-pair cost is one fused dot product instead of dot + two norms —
+    the per-pair term is what multiplies by |Q|·n.
     """
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    joined = fan_out(corpus).join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    q = queries.select(
+        F.col(query_id_col),
+        l2_normalize(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__cnorm")
+    )
+    joined = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
     scored = joined.select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__qvec"), F.col(vec_col)).alias("cos"),
+        F.when(
+            F.col("__qnorm").isNotNull() & F.col("__cnorm").isNotNull(),
+            dot(F.col("__qnorm"), F.col("__cnorm")),
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -175,15 +188,18 @@ def similarity_join_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int = 24,
     bands: int = 4,
 ) -> DataFrame:
     """All-pairs similarity self-join above ``threshold`` via SRP-LSH:
-    bucket on band keys, exact cosine re-rank inside buckets only."""
+    bucket on band keys, exact cosine re-rank inside buckets only.
+    6 sign bits per band => 64 buckets/band; candidate volume per band is
+    Σ bucket² — the bits-per-band knob trades recall for that quadratic
+    term and is the thing to raise first when the corpus grows."""
     planes = make_planes(dim, n_planes)
     keyed = fan_out(corpus).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        l2_normalize(F.col(vec_col)).alias("vec"),
         F.explode(srp_bucket_keys(F.col(vec_col), planes, bands)).alias("bkey"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -198,7 +214,7 @@ def similarity_join_lsh(
         .distinct()
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        cand.withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -103,15 +103,18 @@ def j2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact tier): label-blocked
     pairwise cosine >= 0.35.  The blocking keeps pair generation equi-joined;
-    the LSH tier (j3_similarity_join_lsh) is the unblocked scale path."""
+    the LSH tier (j3_similarity_join_lsh) is the unblocked scale path.
+    Vectors are L2-normalized per row BEFORE the pair join (one dot product
+    per pair instead of dot + two norms — 3x on the quadratic term)."""
     e = Tables(spark, sf_dir).embeddings
-    a, b = e.alias("a"), e.alias("b")
+    n = e.select("vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv"))
+    a, b = n.alias("a"), n.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("raw_cos"),
+            sim.dot(F.col("a.nv"), F.col("b.nv")).alias("raw_cos"),
         )
         .filter(F.col("raw_cos") >= 0.35)
         .select("id_a", "id_b", F.round("raw_cos", 4).alias("cos"))
@@ -124,8 +127,11 @@ def j2_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin) — rows-only; recall asserted in tests."""
     from cassandra_snap_to_hadoop_spark.operators.ml_lsh import minhash_lsh_pairs_ml
 
+    # distance <= 0.4 (similarity >= 0.6): a loose threshold on a
+    # shared-vocabulary corpus returns a quadratic candidate set (12M pairs
+    # at sf0.1 when this was 0.9) — the threshold IS the scale control.
     d = Tables(spark, sf_dir).documents
-    return minhash_lsh_pairs_ml(d, "doc_id", "text", jaccard_distance_threshold=0.9)
+    return minhash_lsh_pairs_ml(d, "doc_id", "text", jaccard_distance_threshold=0.4)
 
 
 @register("j3_knn_brp_lsh_ml", oracle=None, survey="J3")
@@ -210,12 +216,13 @@ def j4_pairwise_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded pairwise similarity: all-pairs cosine WITHIN a label block
     (the blocking is what keeps it off the O(n^2) cliff at scale)."""
     e = Tables(spark, sf_dir).embeddings
-    a, b = e.alias("a"), e.alias("b")
+    n = e.select("vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv"))
+    a, b = n.alias("a"), n.alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     ).select(
         F.col("a.label").alias("label"),
-        sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        sim.dot(F.col("a.nv"), F.col("b.nv")).alias("cos"),
     )
     return pairs.groupBy("label").agg(
         F.count("*").alias("n_pairs"),

