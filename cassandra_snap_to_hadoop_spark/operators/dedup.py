@@ -153,6 +153,51 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(nodes: DataFrame, pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """J2 cluster assembly: connected components of the near-dup pair graph
+    by smallest-id label propagation.
+
+    ``nodes``: one column ``id``; ``pairs``: columns ``id_a < id_b``.
+    Each iteration joins labels across edges and keeps the per-node min —
+    all distributed hash joins/aggregates; the driver loop only counts
+    iterations (convergence ≤ graph diameter, bounded by max_iterations;
+    near-dup components are tiny by construction so this is 2-3 rounds).
+    Returns (id, cluster_id) where cluster_id = smallest id in the component.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """J2 (simhash tier): 64-bit fingerprint = bitwise majority vote of
     token hashes.  Expressed as one aggregate per bit over exploded tokens —

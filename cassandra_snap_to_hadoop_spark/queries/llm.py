@@ -15,6 +15,7 @@ from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.operators import similarity as sim
 from cassandra_snap_to_hadoop_spark.operators import text as tx
 from cassandra_snap_to_hadoop_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -87,6 +88,57 @@ def j2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     d = Tables(spark, sf_dir).documents
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, n_hashes=32, bands=8)
+
+
+@register(
+    "j2_dup_clusters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang, unnest({_SHINGLES}) AS sh FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        -- transitive closure by recursion (dup components are tiny)
+        WITH RECURSIVE r(id, root) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, MIN(root) AS cluster_id FROM r GROUP BY id
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    survey="J2",
+)
+def j2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assembly: connected components over the exact-
+    Jaccard pair graph by iterative smallest-id propagation (the one
+    iterative algorithm in scope — SURVEY §2 exhaustiveness note).
+    Emits only multi-doc clusters (cluster_id = smallest member)."""
+    d = Tables(spark, sf_dir).documents
+    pairs = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.05, block_col="lang")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    labels = dup_clusters(nodes, pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
 
 
 @register(

@@ -66,6 +66,28 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert exact <= cand or len(exact) == 0
 
 
+def test_dup_clusters_connected_components(spark):
+    """Hand-built graph: chain 1-2-3, pair 10-11, isolates 20/21."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21]], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    fixpoint loop, not just one iteration."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import dup_clusters
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_simhash_identical_docs_same_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "one two three four"), (2, "one two three four"), (3, "five six seven eight")],
