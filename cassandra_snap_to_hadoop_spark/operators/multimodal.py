@@ -8,9 +8,9 @@ behind ``decode_stub``: a deterministic fake that computes byte-level
 statistics, so pipelines exercise the exact same dataflow a real decoder
 would.
 
-Scale notes: binary payloads dominate row size, so multimodal scans set
-``spark.sql.files.maxPartitionBytes`` down (payload-aware splitting) and
-metadata-only queries MUST prune the binary column — both asserted in tests.
+Scale notes: binary payloads dominate row size — metadata-only queries MUST
+prune the binary column (asserted in tests/test_plans.py), and deployments
+size ``spark.sql.files.maxPartitionBytes`` to payload rows, not row counts.
 """
 
 from __future__ import annotations

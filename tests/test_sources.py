@@ -135,6 +135,25 @@ def test_export_and_verify_roundtrip(spark, sf_dir, tmp_path):
     assert len(years) >= 5
 
 
+def test_export_job_raw_and_merged(spark, snapshot_fixture, tmp_path):
+    """The reference's whole CLI job through export_snapshot: raw mode
+    preserves all generations + lineage; merged mode lands LWW state."""
+    from cassandra_snap_to_hadoop_spark.export import export_snapshot
+
+    raw = export_snapshot(
+        spark, snapshot_fixture, "ks1", "events_wide", "tag-001",
+        str(tmp_path / "raw"), merge=False,
+    )
+    assert raw == {"mode": "raw", "rows_exported": 6, "verified": True, "out": str(tmp_path / "raw")}
+    merged = export_snapshot(
+        spark, snapshot_fixture, "ks1", "events_wide", "tag-001",
+        str(tmp_path / "merged"), merge=True, key_cols=["pk", "ck"],
+    )
+    assert merged["mode"] == "merged" and merged["verified"] is True
+    back = {(r.pk, r.ck): r.v1 for r in spark.read.parquet(str(tmp_path / "merged")).collect()}
+    assert back == {(1, 1): "a2", (1, 2): "b", (3, 1): "d"}
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
     csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
