@@ -148,6 +148,30 @@ def knn_ivf(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    cluster_col: str = "__cluster",
+) -> DataFrame:
+    """Learn IVF cells with MLlib KMeans (fixed seed => deterministic given
+    fixed input) and return the corpus with an integer cell-assignment
+    column.  This replaces label-blocking as the IVF partitioner when no
+    natural blocking key exists: training is O(iters * k * n) distributed,
+    and the model (k dim-sized centers) broadcasts for assignment.  At
+    100 TB, fit on a sample (``corpus.sample``) — centroid quality converges
+    long before the full corpus is seen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__v", predictionCol=cluster_col
+    ).fit(vecs)
+    return model.transform(vecs).drop("__v")
+
+
 def srp_bucket_keys(vec: Column, planes: list[list[float]], bands: int) -> Column:
     """Sign-random-projection LSH: hyperplane sign bits grouped into band
     keys.  ``planes`` are fixed (seeded) so results are deterministic."""

@@ -240,6 +240,21 @@ def j3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivf(e, queries, cluster_col="label", k=5)
 
 
+@register("j3_knn_ivf_kmeans", oracle=None, survey="J3")
+def j3_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED cells: KMeans (fixed seed) partitions the corpus
+    into 8 inverted lists; queries probe their 2 nearest centroids.  The
+    general-corpus ANN path when no natural blocking column exists (the
+    label-blocked j3_knn_ivf needs one).  Rows-only: cell boundaries are
+    model-dependent; recall vs brute force asserted in tests."""
+    e = Tables(spark, sf_dir).embeddings
+    clustered = sim.kmeans_assign(e, n_clusters=8)
+    queries = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.knn_ivf(clustered, queries, cluster_col="__cluster", k=5, n_probe=2)
+
+
 @register("j3_similarity_join_lsh", oracle=None, survey="J3,D9")
 def j3_similarity_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine >= 0.15 via sign-random-projection LSH buckets

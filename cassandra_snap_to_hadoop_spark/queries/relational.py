@@ -376,6 +376,49 @@ def e8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e8_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           SUM(CAST(ROUND(l_quantity) AS BIGINT)) / 1.0 AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    survey="E8",
+)
+def e8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS via the DataFrame API (Spark 4
+    ``df.groupingSets``) — the general form that rollup/cube specialize.
+    The set list here is deliberately NOT a rollup prefix chain
+    ((flag,status),(status),()) to prove the general expansion."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            qsum(F.col("l_quantity"), 1).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
     "e9_pivot",
     oracle="""
     SELECT user_id,
@@ -398,6 +441,38 @@ def e9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
     )
+
+
+@register(
+    "e9_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n
+    FROM wide UNPIVOT (n FOR kind IN (click, "view", purchase, signup, error))
+    """,
+    survey="E9",
+)
+def e9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of e9_pivot: wide per-user counts back to
+    (user_id, kind, n) long form via ``DataFrame.unpivot`` (physical plan is
+    an Expand node, no shuffle beyond the feeding aggregate).  Counts are
+    coalesced to 0 first: DuckDB's UNPIVOT drops NULL cells while Spark's
+    keeps them, so the engines only agree on a NULL-free wide table."""
+    e = Tables(spark, sf_dir).events
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = e.groupBy("user_id").pivot("event_type", kinds).count()
+    wide = wide.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+    return wide.unpivot("user_id", kinds, "kind", "n")
 
 
 @register(

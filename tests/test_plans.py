@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from cassandra_snap_to_hadoop_spark.io import load
 from cassandra_snap_to_hadoop_spark.plans.explain import (
+    optimized_plan_string,
     broadcast_join_count,
     count_shuffles,
     plan_string,
@@ -151,3 +152,31 @@ def test_multimodal_metadata_prunes_payload(spark, sf_dir):
     media = documents_as_media(d)
     meta_only = media.select("media_id", F.col("meta.mime"))
     assert "text" not in scan_columns(meta_only)
+
+
+def test_bloom_filter_runtime_injection(spark, sf_dir):
+    """SURVEY §4 'Bloom-filter join / runtime filters': with a selective
+    filter on one shuffle-join side, the optimizer injects a bloom filter
+    that prunes the big side's scan before the shuffle.  Size thresholds are
+    lowered to make the local fixture qualify — on the 100 TB cluster the
+    defaults (10 MB creation side / 10 GB application side) do the gating."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        s = optimized_plan_string(df)
+        assert "might_contain" in s, s
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
