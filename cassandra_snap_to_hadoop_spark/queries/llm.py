@@ -496,6 +496,56 @@ def j9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j9_language_id_learned",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE doc_id % 10 = 0 GROUP BY lang, w
+    ), grid AS (
+        SELECT l.lang, v.w, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT lang FROM counts) l
+        CROSS JOIN (SELECT DISTINCT w FROM counts) v
+        LEFT JOIN counts c ON c.lang = l.lang AND c.w = v.w
+    ), model AS (
+        SELECT lang AS plang, w,
+               CAST(ROUND(ln((c + 1) / CAST(SUM(c) OVER (PARTITION BY lang)
+                                            + COUNT(*) OVER (PARTITION BY lang) AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+        FROM grid
+    ), scores AS (
+        SELECT doc_id, plang, SUM(lp_q) AS score
+        FROM words JOIN model USING (w)
+        WHERE doc_id % 10 <> 0
+        GROUP BY doc_id, plang
+    ), best AS (
+        SELECT doc_id, plang FROM (
+            SELECT doc_id, plang,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang AS true_lang, COALESCE(b.plang, 'und') AS pred_lang
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+    survey="J9",
+)
+def j9_language_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID (NEXT.md round-1 queue): naive-Bayes unigram
+    model trained on the docs with doc_id % 10 == 0, applied to the other
+    90% — replaces the hand-curated marker lexicon with corpus-derived
+    frequency evidence (the corpus' languages share one vocabulary, so
+    presence-based heuristics cap out).  Train + classify is deterministic
+    joins/windows with integer-quantized log-probs, so the oracle
+    value-checks the whole pipeline end to end."""
+    d = Tables(spark, sf_dir).documents
+    return tx.language_id_learned(d)
+
+
 @register("j9_fingerprint", oracle=None, survey="J9")
 def j9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint (xxhash64 fold —

@@ -131,6 +131,62 @@ def k6_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def k6_stream_tws(events: DataFrame) -> DataFrame:
+    """K6 via Spark 4's ``transformWithStateInPandas`` — the arbitrary-state
+    API that supersedes applyInPandasWithState: named state variables
+    (value/list/map), timers, and state TTL.  Same first-touch semantics as
+    ``k6_stream`` so the parity test can assert both twins agree with the
+    batch declaration.  Requires the RocksDB state store provider (set by
+    the caller), which is also the 100 TB answer: state lives off-heap
+    on local disk, checkpointed incrementally, not in executor memory.
+
+    Runtime requirement: the TWS Python worker speaks protobuf to the
+    state server, so ``google.protobuf`` must be importable on workers —
+    the parity test skips where it isn't (applyInPandasWithState has no
+    such dependency and remains the always-available twin).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = "user_id long, first_touch string, n_events long"
+
+    class FirstTouchProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "attr", "first_us long, first_id long, first_touch string, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                first_us, first_id, touch, n = self._state.get()
+            else:
+                first_us, first_id, touch, n = None, None, None, 0
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                idx = pdf.sort_values(["ts", "event_id"]).index[0]
+                batch_us = int(pd.Timestamp(pdf.loc[idx, "ts"]).value // 1000)
+                batch_id = int(pdf.loc[idx, "event_id"])
+                if first_us is None or (batch_us, batch_id) < (first_us, first_id):
+                    first_us, first_id, touch = batch_us, batch_id, str(pdf.loc[idx, "event_type"])
+            self._state.update((first_us, first_id, touch, n))
+            yield pd.DataFrame({"user_id": [key[0]], "first_touch": [touch], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstTouchProcessor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> list:
     """Test helper: run a streaming aggregation over a bounded file source
     until exhausted (availableNow), collecting emitted rows via foreachBatch

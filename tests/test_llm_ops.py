@@ -154,3 +154,21 @@ def test_knn_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
     # label-blocked 1-probe recall on this data is ~0.2-0.4; learned cells
     # with 2 probes should clear half
     assert recall >= 0.5, recall
+
+
+def test_language_id_learned_recovers_frequency_signal(spark):
+    """Naive-Bayes language ID must classify perfectly when languages share
+    a vocabulary but differ in token frequencies (the regime where the
+    marker heuristic is blind).  Docs alternate train/test via doc_id % 10."""
+    from cassandra_snap_to_hadoop_spark.operators.text import language_id_learned
+
+    # lang A: mostly 'alpha', some 'beta'; lang B: the reverse.  Same vocab.
+    rows = []
+    for i in range(40):
+        lang = "aa" if i < 20 else "bb"  # both langs hit the %10==0 train slice
+        common, rare = ("alpha", "beta") if lang == "aa" else ("beta", "alpha")
+        rows.append((i, " ".join([common] * 8 + [rare] * 2), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = language_id_learned(df).collect()
+    assert len(out) == 36  # 4 train docs held out
+    assert all(r.pred_lang == r.true_lang for r in out)

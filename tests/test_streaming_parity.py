@@ -16,6 +16,7 @@ from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     k3_stream,
     k5_stream,
     k6_stream,
+    k6_stream_tws,
     read_event_stream,
     run_to_completion,
 )
@@ -131,6 +132,40 @@ def test_k6_stateful_first_touch_parity(spark, sf_dir, event_shards, tmp_path):
     )
     last = {}
     for r in emissions:  # collected in emission order; later overwrites
+        last[r.user_id] = (r.first_touch, r.n_events)
+    batch = {
+        r.user_id: (r.first_touch, r.n_events)
+        for r in REGISTRY["k6_first_touch"].fn(spark, sf_dir).collect()
+    }
+    assert last == batch
+
+
+def test_k6_transform_with_state_parity(spark, sf_dir, event_shards, tmp_path):
+    """The transformWithStateInPandas twin (named state variables + RocksDB
+    state store) must produce the same final per-user attribution as both
+    the applyInPandasWithState twin and the batch declaration."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python worker speaks protobuf to the state server",
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emissions = run_to_completion(
+            k6_stream_tws(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
+            str(tmp_path / "ck6t"),
+            mode="update",
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    last = {}
+    for r in emissions:
         last[r.user_id] = (r.first_touch, r.n_events)
     batch = {
         r.user_id: (r.first_touch, r.n_events)
