@@ -27,6 +27,7 @@ HEADLINE = [
     "flagship_snapshot_star",
     "e2_groupby_pricing_summary",
     "d2_sortmerge_fact_join",
+    "tpch_q8_market_share",
     "d7_asof_join",
     "f3_running_agg",
     "k3_session_windows",

@@ -148,3 +148,210 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(yr(F.col("l_shipdate")).alias("ship_year"))
         .agg((100.0 * qsum_int(std_rev) / qsum_int(rev)).alias("standard_pct"))
     )
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    """Register cs2h_<t> temp views for SQL-form queries (subquery shapes
+    that the DataFrame API can't express directly)."""
+    from cassandra_snap_to_hadoop_spark.io import load
+
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"cs2h_{t}")
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    survey="D4",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (adapted: shipped-late = shipdate 60+ days after order, since
+    the synthetic schema has no commit/receipt dates): correlated EXISTS.
+    Declared as SQL so Catalyst's subquery decorrelation rewrites it — the
+    physical plan is a left SEMI join on l_orderkey, never a per-row probe
+    (asserted in test_plans.py)."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM cs2h_orders
+        WHERE EXISTS (
+            SELECT 1 FROM cs2h_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="C2,C3,E1",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: all three predicates push to the parquet scan (row-group
+    stats skip most of the file at scale) and the agg is a single partial ->
+    final sum — the canonical scan-bound query."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            qsum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volume AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               n2.n_name AS supp_nation,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT order_year,
+           SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) * 10000) AS BIGINT))
+             / CAST(SUM(CAST(ROUND(rev * 10000) AS BIGINT)) AS DOUBLE) AS mkt_share
+    FROM volume GROUP BY order_year
+    """,
+    survey="D1,D2,E11,I4",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — a 7-table star join (nation joined
+    TWICE under different roles) feeding a conditional-share aggregate.  All
+    five dims broadcast; the only shuffles are the two fact joins and the
+    final group-by.  The share is a ratio of two integer-quantized sums, so
+    the double division is engine-exact."""
+    t = Tables(spark, sf_dir)
+    n_cust = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    europe = t.region.filter(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qsum_int = lambda c: F.sum(F.round(c * 10000).cast("long"))
+    volume = (
+        t.lineitem.join(F.broadcast(t.part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(europe), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return volume.groupBy(yr(F.col("o_orderdate")).alias("order_year")).agg(
+        (
+            qsum_int(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0))
+            / qsum_int(rev).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    survey="D1,E1",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated SCALAR subquery (per-part average) gating the
+    outer row.  Declared as SQL so Catalyst's RewriteCorrelatedScalarSubquery
+    turns the per-row probe into one aggregate-then-join — the decorrelated
+    plan every warehouse engine produces.  AVG over integer-valued doubles
+    is an exact integer sum / exact count, so the 0.2*avg threshold is
+    bit-identical across engines."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / CAST(700 AS DOUBLE) AS avg_yearly
+        FROM cs2h_lineitem JOIN cs2h_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity) FROM cs2h_lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) / 1.0 AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) / 1.0 > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    survey="D2,E2,G3",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose line quantities sum past a threshold (~top
+    1%), joined back to customers.  The IN-subquery form decorrelates to
+    exactly this aggregate-then-join; the pre-aggregation collapses lineitem
+    before any wide join touches it — at 100 TB the HAVING filter is what
+    keeps the join input tiny."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(qsum(F.col("l_quantity"), 1).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )

@@ -180,3 +180,21 @@ def test_bloom_filter_runtime_injection(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS in tpch_q4 must compile to ONE semi join on the
+    correlation key — not a per-outer-row subquery execution."""
+    df = REGISTRY["tpch_q4_order_priority"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "LeftSemi" in s, s
+
+
+def test_q17_scalar_subquery_decorrelates_to_agg_join(spark, sf_dir):
+    """The correlated scalar subquery (per-part AVG) in tpch_q17 must
+    decorrelate to aggregate-then-join: the physical plan contains the
+    pre-computed avg as a join input, and no subquery node survives."""
+    df = REGISTRY["tpch_q17_small_qty_revenue"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "avg(l_quantity)" in s, s
+    assert "Subquery" not in s, s
