@@ -198,3 +198,26 @@ def test_q17_scalar_subquery_decorrelates_to_agg_join(spark, sf_dir):
     s = plan_string(df, "simple")
     assert "avg(l_quantity)" in s, s
     assert "Subquery" not in s, s
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """SURVEY §4 'partition pruning / DPP': once A4 writes a partitioned
+    layout, a join against a data-dependent dim must inject a dynamic
+    pruning subquery into the fact scan — at 100 TB this is what turns a
+    full-table scan into reading only the matching partitions.  (A foldable
+    literal would be STATIC pruning; the dim here is computed from data, so
+    the years are only known at runtime.)"""
+    d = str(tmp_path / "orders_by_year")
+    load(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate")).write.partitionBy(
+        "order_year"
+    ).parquet(d)
+    po = spark.read.parquet(d)
+    dim = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.year("l_shipdate").alias("y"))
+        .distinct()
+    )
+    j = po.join(F.broadcast(dim), po.order_year == F.col("y")).agg(F.count("*").alias("n"))
+    s = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in s, s
