@@ -215,3 +215,53 @@ def k6_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "k8_stream_stream_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS lag_us
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    """,
+    survey="K8,D6",
+)
+def k8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch-declared: every purchase matched to the
+    same user's clicks in the preceding 30 minutes (click-attribution).
+    The equi key (user_id) keeps the pair generation a hash join with the
+    time band as a post-filter — never a cartesian.  Under readStream the
+    identical condition plus watermarks bounds both join-state buffers
+    (streaming/pipelines.py k8_stream; parity-tested).  Lag emitted in
+    exact integer microseconds — both engines see identical instants."""
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))).cast("long").alias("lag_us"),
+        )
+    )

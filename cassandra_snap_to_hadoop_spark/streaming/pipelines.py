@@ -187,6 +187,42 @@ def k6_stream_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def k8_stream(clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """K8 streaming twin: stream-stream inner join — purchases matched to
+    the same user's clicks within the preceding 30 minutes.
+
+    Both sides carry a watermark and the join condition bounds event time in
+    BOTH directions, so Spark can expire join state: a buffered click is
+    droppable once the purchase-side watermark passes click_ts + 30 min —
+    without the time bound, stream-stream join state grows forever (the
+    scale failure mode this twin exists to demonstrate avoiding)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"))
+        .withWatermark("pts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))).cast("long").alias("lag_us"),
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> list:
     """Test helper: run a streaming aggregation over a bounded file source
     until exhausted (availableNow), collecting emitted rows via foreachBatch

@@ -17,6 +17,7 @@ from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     k5_stream,
     k6_stream,
     k6_stream_tws,
+    k8_stream,
     read_event_stream,
     run_to_completion,
 )
@@ -172,6 +173,28 @@ def test_k6_transform_with_state_parity(spark, sf_dir, event_shards, tmp_path):
         for r in REGISTRY["k6_first_touch"].fn(spark, sf_dir).collect()
     }
     assert last == batch
+
+
+def test_k8_stream_stream_join_parity(spark, sf_dir, event_shards, tmp_path):
+    """Stream-stream join with two independent file-source streams over the
+    same shards must emit exactly the batch declaration's pairs (append
+    mode; availableNow drains everything, so no pair is lost to the
+    watermark)."""
+    out = run_to_completion(
+        k8_stream(
+            read_event_stream(spark, event_shards, max_files_per_trigger=5),
+            read_event_stream(spark, event_shards, max_files_per_trigger=5),
+        ),
+        str(tmp_path / "ck8"),
+        mode="append",
+    )
+    got = {(r.user_id, r.click_id, r.purchase_id, r.lag_us) for r in out}
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in REGISTRY["k8_stream_stream_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(out) == len(got)  # no duplicate emissions
 
 
 def test_k7_incremental_snapshot_pipeline(spark, sf_dir, event_shards, tmp_path):
