@@ -91,6 +91,16 @@ def k5_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def k5_stream_within_watermark(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """K5 variant: ``dropDuplicatesWithinWatermark`` — unlike plain
+    ``dropDuplicates``, each key's dedup state EXPIRES once the watermark
+    passes it, so state stays bounded even over an unbounded event_id
+    domain.  The guarantee weakens accordingly (duplicates farther apart
+    than the watermark delay both survive) — the right trade at 100 TB/day
+    where duplicate pairs arrive close together."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def k6_stream(events: DataFrame) -> DataFrame:
     """K6 streaming twin: first-touch attribution via arbitrary stateful
     processing (``applyInPandasWithState``).

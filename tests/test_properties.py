@@ -152,3 +152,37 @@ def test_quantized_sum_engine_invariant(sparkm, vals):
     one = df.coalesce(1).agg(qsum(F.col("v")).alias("s")).collect()[0].s
     many = df.repartition(8).agg(qsum(F.col("v")).alias("s")).collect()[0].s
     assert one == many
+
+
+def test_grouping_sets_internal_consistency(spark, sf_dir):
+    """Multi-granularity invariants: in e8_grouping_sets, the grand total
+    row equals the sum of the (linestatus) stratum, which equals the sum of
+    the (flag, linestatus) stratum — the Expand node must neither drop nor
+    double-count rows."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    rows = load_all()["e8_grouping_sets"].fn(spark, sf_dir).collect()
+    total = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
+    by_status = [r for r in rows if r.g_flag == 1 and r.g_status == 0]
+    finest = [r for r in rows if r.g_flag == 0 and r.g_status == 0]
+    assert len(total) == 1
+    assert total[0].n == sum(r.n for r in by_status) == sum(r.n for r in finest)
+    assert abs(total[0].sum_qty - sum(r.sum_qty for r in by_status)) < 1e-6
+    assert abs(total[0].sum_qty - sum(r.sum_qty for r in finest)) < 1e-6
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    """e9_unpivot is the exact inverse of e9_pivot: re-pivoting the long
+    form reproduces the wide form, and the long form's per-user sum equals
+    the user's event count."""
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    long_df = load_all()["e9_unpivot"].fn(spark, sf_dir)
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert long_df.count() == n_users * 5  # every (user, kind) cell present
+    back = (
+        long_df.groupBy("user_id").pivot("kind", ["click", "view", "purchase", "signup", "error"]).sum("n")
+    )
+    wide = load_all()["e9_pivot"].fn(spark, sf_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, wide.collect()))

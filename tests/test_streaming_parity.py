@@ -15,6 +15,7 @@ from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     k2_stream,
     k3_stream,
     k5_stream,
+    k5_stream_within_watermark,
     k6_stream,
     k6_stream_tws,
     k8_stream,
@@ -78,6 +79,20 @@ def test_k5_dedup_parity(spark, sf_dir, event_shards, tmp_path):
         .groupBy("event_type")
         .agg(F.count("*").alias("n")),
         str(tmp_path / "ck5"),
+    )
+    batch = load(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    assert _rows(batch) == _rows(stream_rows)
+
+
+def test_k5_dedup_within_watermark_parity(spark, sf_dir, event_shards, tmp_path):
+    """dropDuplicatesWithinWatermark with a watermark spanning the whole
+    replay must agree with exact batch dedup (its state-expiry weakening
+    only shows when duplicates straddle the watermark horizon)."""
+    stream_rows = run_to_completion(
+        k5_stream_within_watermark(read_event_stream(spark, event_shards, max_files_per_trigger=5))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n")),
+        str(tmp_path / "ck5w"),
     )
     batch = load(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n")).collect()
     assert _rows(batch) == _rows(stream_rows)
