@@ -287,6 +287,23 @@ def e6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e6_percentile_approx", oracle=None, survey="E6")
+def e6_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e6 scale tier: ``percentile_approx`` (Greenwald-Khanna sketch —
+    mergeable map-side, one pass, bounded memory) next to the exact
+    interpolated percentile it replaces at 100 TB.  Rows-only: sketch
+    estimates are engine-specific by design; e6_percentiles is the exact
+    value-checked twin, and the sketch error is bounded by the accuracy
+    parameter (10000 -> within 1/10000 rank units)."""
+    o = Tables(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        round4(F.percentile_approx("o_totalprice", 0.5, 10000)).alias("approx_median"),
+        round4(F.percentile("o_totalprice", 0.5)).alias("exact_median"),
+        round4(F.percentile_approx("o_totalprice", 0.95, 10000)).alias("approx_p95"),
+        round4(F.percentile("o_totalprice", 0.95)).alias("exact_p95"),
+    )
+
+
 @register(
     "e7_collect_aggs",
     oracle="""

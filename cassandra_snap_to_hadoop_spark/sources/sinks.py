@@ -68,3 +68,40 @@ def read_csv(spark: SparkSession, path: str, schema_ddl: str, **options) -> Data
 def read_json(spark: SparkSession, path: str, schema_ddl: str, **options) -> DataFrame:
     """A3: JSON-lines ingest with an explicit schema."""
     return spark.read.schema(schema_ddl).options(**options).json(path)
+
+
+def export_parquet_observed(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_files_per_partition: int | None = None,
+) -> tuple[int, int]:
+    """A4+A6 fused: export with ``df.observe`` metrics — the source-side
+    row count and content checksum are accumulated BY the write job itself
+    (Spark's observation API attaches aggregates to the plan without an
+    extra action), so post-copy verification drops from three distributed
+    passes (write + source re-scan + sink re-scan) to two.  At 100 TB the
+    saved pass is hours.  Returns (n_rows, checksum) as observed in-flight.
+    """
+    from pyspark.sql import Observation
+
+    cols = sorted(df.columns)
+    h = F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(2_147_483_647))
+    obs = Observation("export_metrics")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum"))
+    export_parquet(observed, path, partition_by, mode, max_files_per_partition)
+    got = obs.get
+    return int(got["n"]), int(got["checksum"])
+
+
+def verify_export_observed(
+    spark: SparkSession, path: str, expected: tuple[int, int], cols: list[str]
+) -> bool:
+    """Sink-side half of the observed verification: one scan of the export,
+    same commutative fingerprint, compared to the in-flight metrics."""
+    back = spark.read.parquet(path)
+    cols = sorted(cols)
+    h = F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in cols]), F.lit(2_147_483_647))
+    row = back.select(F.count(F.lit(1)).alias("n"), F.sum(h).alias("checksum")).collect()[0]
+    return (int(row.n), int(row.checksum)) == expected

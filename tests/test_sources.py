@@ -164,3 +164,22 @@ def test_csv_json_roundtrip(spark, tmp_path):
     expect = sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, back_csv.collect())) == expect
     assert sorted(map(tuple, back_json.collect())) == expect
+
+
+def test_export_observed_metrics_roundtrip(spark, sf_dir, tmp_path):
+    """Observed export: in-flight count+checksum from df.observe must match
+    a fresh scan of the written data (and detect corruption: a different
+    frame's fingerprint must NOT verify)."""
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.sources.sinks import (
+        export_parquet_observed,
+        verify_export_observed,
+    )
+
+    o = load(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_obs")
+    metrics = export_parquet_observed(o, out, partition_by=["order_year"], max_files_per_partition=2)
+    assert metrics[0] == o.count()
+    assert verify_export_observed(spark, out, metrics, o.columns)
+    # tampered expectation fails closed
+    assert not verify_export_observed(spark, out, (metrics[0] - 1, metrics[1]), o.columns)
