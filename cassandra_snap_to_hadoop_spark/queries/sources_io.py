@@ -126,6 +126,30 @@ def a3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a3_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders GROUP BY 1
+    """,
+    survey="A3,A4",
+)
+def a3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC sink -> re-scan -> aggregate.  ORC ships in Spark's
+    distribution (no extra jars) and is the other columnar lake format a
+    Hadoop-destined export realistically lands in; the read side gets the
+    same vectorized scan + pushdown treatment as parquet."""
+    path = _stage_dir(sf_dir) / "orders_orc"
+    if not (path / "_SUCCESS").exists():
+        load(spark, sf_dir, "orders").write.mode("overwrite").orc(str(path))
+    back = spark.read.orc(str(path))
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), qsum(F.col("o_totalprice")).alias("total_price")
+    )
+
+
+@register(
     "a4_parquet_sink_roundtrip",
     oracle="""
     SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
