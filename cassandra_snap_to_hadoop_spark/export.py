@@ -47,8 +47,14 @@ def export_snapshot(
     asof_micros: int | None = None,
     partition_by: list[str] | None = None,
     verify: bool = True,
+    observed: bool = False,
 ) -> dict:
-    """Run the export; returns a summary dict (rows, files verified, mode)."""
+    """Run the export; returns a summary dict (rows, files verified, mode).
+
+    ``observed=True`` uses the fused verification tier: source count +
+    checksum are accumulated by the write job itself (``df.observe``), so
+    verification costs one sink scan instead of a second full source pass —
+    the default for large exports."""
     df: DataFrame = snapshot_scan(spark, data_dir, keyspace, table, tag)
     mode = "raw"
     if merge:
@@ -60,6 +66,21 @@ def export_snapshot(
             df = apply_tombstones(df)
         if asof_micros is not None and "_ttl" in df.columns:
             df = apply_ttl(df, asof_micros)
+    if observed:
+        from cassandra_snap_to_hadoop_spark.sources.sinks import (
+            export_parquet_observed,
+            verify_export_observed,
+        )
+
+        n, checksum = export_parquet_observed(df, out, partition_by=partition_by, mode="overwrite")
+        ok = verify_export_observed(spark, out, (n, checksum), df.columns) if verify else None
+        return {
+            "mode": mode,
+            "rows_exported": n,
+            "verified": ok,
+            "out": out,
+            "observed_checksum": checksum,
+        }
     export_parquet(df, out, partition_by=partition_by, mode="overwrite")
     ok = verify_export(spark, df, out, key_cols or []) if verify else None
     n = spark.read.parquet(out).count()
@@ -78,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--asof-micros", type=int, default=None)
     ap.add_argument("--partition-by", nargs="*", default=None)
     ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument(
+        "--observed",
+        action="store_true",
+        help="fused verification: in-flight df.observe metrics, one sink scan",
+    )
     args = ap.parse_args(argv)
 
     from cassandra_snap_to_hadoop_spark.session import get_spark
@@ -95,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         asof_micros=args.asof_micros,
         partition_by=args.partition_by,
         verify=not args.no_verify,
+        observed=args.observed,
     )
     print(json.dumps(summary))
     return 0 if summary["verified"] in (True, None) else 1

@@ -325,3 +325,29 @@ def i9_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.col("s.price")).alias("s_price"),
         F.col("s.status").alias("s_status"),
     )
+
+
+@register(
+    "i7_variant_funcs",
+    oracle="""
+    SELECT user_id,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="I7",
+)
+def i7_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` once
+    into the binary VARIANT encoding, then typed ``variant_get`` paths —
+    at scale this beats per-path ``get_json_object`` because the document
+    is parsed a single time however many paths are extracted (and VARIANT
+    columns can be stored parsed, amortizing across queries).  Values
+    checked against DuckDB's JSON extraction on the same paths."""
+    e = Tables(spark, sf_dir).events
+    v = e.select("user_id", F.parse_json(F.col("props")).alias("pv"))
+    return v.groupBy("user_id").agg(
+        F.sum(F.variant_get(F.col("pv"), "$.k", "long")).alias("k_sum"),
+        F.count("*").alias("n"),
+    )

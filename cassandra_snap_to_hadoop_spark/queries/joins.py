@@ -283,3 +283,39 @@ def d8_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.o_custkey").alias("custkey"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "d6_range_join_bucketed",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id AS iv_id, ts AS lo, ts + INTERVAL 45 MINUTE AS hi
+        FROM events WHERE event_id % 50 = 0
+    )
+    SELECT e.event_id, iv_id
+    FROM events e JOIN iv ON e.ts >= lo AND e.ts <= hi
+    """,
+    survey="D6",
+)
+def d6_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 scale tier: the same interval-containment join as a bucket
+    EQUI-join (operators/rangejoin.py) — facts keyed by their time bucket,
+    intervals exploded across the buckets they span, precise band
+    re-filtered after the hash join.  The oracle is the plain theta join:
+    the formulations are provably pair-identical (tested), only the plan
+    shape differs (no nested loop — asserted in test_plans.py)."""
+    from cassandra_snap_to_hadoop_spark.operators.rangejoin import bucketed_range_join
+
+    e = Tables(spark, sf_dir).events
+    facts = e.select("event_id", "ts")
+    iv = (
+        e.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("hi"),
+        )
+    )
+    return bucketed_range_join(facts, iv, "ts", "lo", "hi", bucket_width_s=1800).select(
+        "event_id", "iv_id"
+    )

@@ -221,3 +221,34 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     j = po.join(F.broadcast(dim), po.order_year == F.col("y")).agg(F.count("*").alias("n"))
     s = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in s, s
+
+
+def test_bucketed_range_join_equivalent_and_equi(spark, sf_dir):
+    """D6 scale path: the bucketed range join must (a) produce exactly the
+    naive theta join's pairs and (b) compile to a hash-partitioned EQUI
+    join — the plan property that keeps two large sides feasible where the
+    theta form degenerates to a nested loop."""
+    from cassandra_snap_to_hadoop_spark.operators.rangejoin import bucketed_range_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    # deterministic interval table: one 45-minute window per 50th event
+    iv = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("hi"),
+        )
+    )
+    fast = bucketed_range_join(e, iv, "ts", "lo", "hi", bucket_width_s=1800)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = plan_string(bucketed_range_join(e, iv, "ts", "lo", "hi", 1800), "simple")
+        assert ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s), s
+        assert "NestedLoop" not in s, s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    naive = e.join(iv, (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+    key = lambda rows: sorted((r.event_id, r.iv_id) for r in rows)
+    assert key(fast.collect()) == key(naive.collect())

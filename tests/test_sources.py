@@ -152,6 +152,13 @@ def test_export_job_raw_and_merged(spark, snapshot_fixture, tmp_path):
     assert merged["mode"] == "merged" and merged["verified"] is True
     back = {(r.pk, r.ck): r.v1 for r in spark.read.parquet(str(tmp_path / "merged")).collect()}
     assert back == {(1, 1): "a2", (1, 2): "b", (3, 1): "d"}
+    # observed tier: same merged answer, verification from in-flight metrics
+    observed = export_snapshot(
+        spark, snapshot_fixture, "ks1", "events_wide", "tag-001",
+        str(tmp_path / "obs"), merge=True, key_cols=["pk", "ck"], observed=True,
+    )
+    assert observed["mode"] == "merged" and observed["verified"] is True
+    assert observed["rows_exported"] == 3 and "observed_checksum" in observed
 
 
 def test_csv_json_roundtrip(spark, tmp_path):
