@@ -252,3 +252,37 @@ def test_bucketed_range_join_equivalent_and_equi(spark, sf_dir):
     naive = e.join(iv, (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
     key = lambda rows: sorted((r.event_id, r.iv_id) for r in rows)
     assert key(fast.collect()) == key(naive.collect())
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Bench-tuning knobs (SURVEY D2): when Catalyst's default strategy is
+    wrong for a workload, hints must actually flip the physical join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders")
+        merged = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "SortMergeJoin" in plan_string(merged, "simple")
+        hashed = li.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "ShuffledHashJoin" in plan_string(hashed, "simple")
+        bcast = li.join(o.hint("broadcast"), F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "BroadcastHashJoin" in plan_string(bcast, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """SURVEY §4 'optionally ANALYZE TABLE after ingest': computed stats
+    must be visible to the optimizer (rowCount in the catalog), the
+    CBO precondition for join reordering on a 100 TB warehouse."""
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("nation_stats")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats_row = [
+            r for r in spark.sql("DESCRIBE EXTENDED nation_stats").collect()
+            if r.col_name == "Statistics"
+        ]
+        assert stats_row and "rows" in stats_row[0].data_type, stats_row
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
