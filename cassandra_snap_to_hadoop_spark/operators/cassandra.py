@@ -148,3 +148,25 @@ def counter_merge(df: DataFrame, key_cols: Sequence[str], delta_col: str = "delt
     distributed shape Cassandra's counter reconciliation implies.
     """
     return df.groupBy(*[F.col(c) for c in key_cols]).agg(F.sum(delta_col).alias(f"{delta_col}_total"))
+
+
+def asof_state(
+    df,
+    key_cols: list[str],
+    writetime_col: str,
+    seq_col: str | None = None,
+    asof=None,
+):
+    """B7: point-in-time read — the keyspace state AS OF ``asof``.
+
+    Cassandra semantics: a cell is visible at time T iff its writetime is
+    <= T and it wins LWW among cells written by T.  So: filter on
+    writetime (scan-pushable — at 100 TB this prunes whole row groups /
+    snapshot generations before any shuffle), THEN merge.  The filter
+    must come first: merging before filtering would let a post-T overwrite
+    shadow the version that was current at T.
+    """
+    from pyspark.sql import functions as F
+
+    snap = df.filter(F.col(writetime_col) <= F.lit(asof)) if asof is not None else df
+    return lww_merge(snap, key_cols, writetime_col, seq_col)

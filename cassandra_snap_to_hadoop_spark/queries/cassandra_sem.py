@@ -80,6 +80,36 @@ def b2_lww_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b7_asof_snapshot",
+    oracle="""
+    SELECT user_id, event_type AS asof_event_type,
+           CAST(event_id AS BIGINT) AS asof_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    """,
+    survey="B2,B4",
+)
+def b7_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read (Cassandra time travel): per-user state AS OF
+    2024-01-15 — writetime filter pushed to the scan, THEN LWW merge.
+    Users whose first write is after the cutoff don't exist yet; users
+    overwritten later show their mid-January version."""
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import asof_state
+
+    e = Tables(spark, sf_dir).events
+    state = asof_state(
+        e, ["user_id"], "ts", "event_id", asof=F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("asof_event_type"),
+        F.col("event_id").cast("long").alias("asof_event_id"),
+    )
+
+
+@register(
     "b3_tombstone_suppression",
     oracle="""
     SELECT user_id, event_type AS last_event_type

@@ -118,3 +118,26 @@ def test_token_bucket_is_stable_and_bounded(spark, sf_dir):
     x = sorted((r.c_custkey, r.bucket) for r in b1.select("c_custkey", "bucket").collect())
     y = sorted((r.c_custkey, r.bucket) for r in token_bucket(c, ["c_custkey"], 16).select("c_custkey", "bucket").collect())
     assert x == y
+
+
+def test_asof_state_semantics(spark):
+    """As-of reads: (1) as-of >= max writetime == full merge; (2) as-of
+    before a key's first write -> key absent; (3) monotonic: keys visible
+    at T1 are visible at every T2 > T1; (4) filter-then-merge, not
+    merge-then-filter (a post-T overwrite must not shadow the version
+    current at T)."""
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import asof_state, lww_merge
+
+    rows = [
+        # (pk, writetime, value)
+        (1, 10, "v1@10"),
+        (1, 30, "v1@30"),   # overwrite after T=20
+        (2, 25, "v2@25"),   # first write after T=20
+    ]
+    df = spark.createDataFrame(rows, "pk long, wt long, v string")
+    at20 = {r.pk: r.v for r in asof_state(df, ["pk"], "wt", asof=20).collect()}
+    assert at20 == {1: "v1@10"}  # (2) absent, (4) pre-overwrite version
+    at30 = {r.pk: r.v for r in asof_state(df, ["pk"], "wt", asof=30).collect()}
+    full = {r.pk: r.v for r in lww_merge(df, ["pk"], "wt").collect()}
+    assert at30 == full == {1: "v1@30", 2: "v2@25"}  # (1)
+    assert set(at20) <= set(at30)  # (3)
