@@ -154,6 +154,7 @@ def kmeans_assign(
     seed: int = 7,
     vec_col: str = "embedding",
     cluster_col: str = "__cluster",
+    max_iter: int = 8,
 ) -> DataFrame:
     """Learn IVF cells with MLlib KMeans (fixed seed => deterministic given
     fixed input) and return the corpus with an integer cell-assignment
@@ -166,8 +167,11 @@ def kmeans_assign(
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
+    # max_iter=8: an ANN cell index needs balanced cells, not converged
+    # Lloyd's — k-means|| seeding does most of the work, and each extra
+    # iteration is a full corpus pass at scale
     model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="__v", predictionCol=cluster_col
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol=cluster_col
     ).fit(vecs)
     return model.transform(vecs).drop("__v")
 
