@@ -177,3 +177,39 @@ def f6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "f7_value_windows",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 3) OVER w AS third_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    survey="F6,F1",
+)
+def f7_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wide value picks: first / last / nth event type per user
+    over the full-partition frame (UNBOUNDED..UNBOUNDED — the default
+    RANGE..CURRENT ROW frame would make last_value degenerate).  Ordering
+    carries the event_id tiebreak so every pick is deterministic; DISTINCT
+    collapses the per-row window output to one row per user."""
+    e = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 3).over(w).alias("third_type"),
+        )
+        .distinct()
+    )
