@@ -32,24 +32,37 @@ def _salt(cols: Sequence[Column], n_salts: int) -> Column:
 def salted_agg(
     df: DataFrame,
     key_cols: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, "object"]],
     salt_id_cols: Sequence[str],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
-    ``aggs`` maps output name -> first-phase aggregate expression; the
-    second phase re-combines with the matching algebraic merge (sum for
-    sum/count, min for min, max for max), inferred from the expression name
-    convention: pass ``{"n": F.count("*"), "total": F.sum(...), ...}`` and
-    give the merge explicitly via tuples for anything non-summable.
+    ``aggs`` maps output name -> either
+
+      * a bare first-phase ``Column`` whose partials merge by SUM
+        (``F.sum``/``F.count`` — the common algebraic cases), or
+      * a ``(Column, merge_fn)`` tuple for anything whose partials merge
+        differently: ``{"lo": (F.min("v"), F.min), "hi": (F.max("v"),
+        F.max)}``.  ``merge_fn`` is applied to the phase-1 partial column
+        in the re-combine groupBy.
+
+    Summing per-salt minima/maxima would be silently wrong, so the bare
+    form is reserved for sum-mergeable partials — non-decomposable
+    aggregates (e.g. exact ``countDistinct``, ``avg``) must be expressed
+    as decompositions by the caller (sum+count for avg), as on any
+    two-phase combiner.
     """
     phase1 = df.withColumn("__salt", _salt([F.col(c) for c in salt_id_cols], n_salts))
+    split = {
+        name: (spec if isinstance(spec, tuple) else (spec, F.sum))
+        for name, spec in aggs.items()
+    }
     p1 = phase1.groupBy(*key_cols, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in split.items()]
     )
     merged = p1.groupBy(*key_cols).agg(
-        *[F.sum(f"__p_{name}").alias(name) for name in aggs]
+        *[merge(f"__p_{name}").alias(name) for name, (_, merge) in split.items()]
     )
     return merged
 

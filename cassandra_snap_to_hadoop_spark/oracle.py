@@ -82,11 +82,25 @@ def check_query(spark: SparkSession, name: str, sf_dir: str, con=None) -> Parity
         return ParityResult(name, len(s_rows) >= 0, "rows-only", len(s_rows), -1)
 
     con = con or duck_connection(sf_dir)
-    cur = con.execute(q.oracle)
-    o_rows = cur.fetchall()
-    o_names = [d[0].lower() for d in cur.description]
+    rel = con.sql(q.oracle)
+    o_rows = rel.fetchall()
+    o_names = [c.lower() for c in rel.columns]
+    o_types = [str(t).upper() for t in rel.types]
 
     res = ParityResult(name, True, "oracle", len(s_rows), len(o_rows))
+    # DuckDB silently widens SUM(BIGINT) to HUGEINT (int128).  Python's
+    # fetchall() flattens that back to int, so the value compare below
+    # can't see it — but the driver's stricter value-hash serializes
+    # int128 differently from Spark's int64 and fails the query (round-1
+    # i7_variant lesson).  Reject the engine type before values.
+    for cname, ctype in zip(o_names, o_types):
+        if "HUGEINT" in ctype:
+            res.ok = False
+            res.issues.append(
+                f"oracle col={cname} is DuckDB {ctype} (int128) — wrap in CAST(... AS BIGINT)"
+            )
+    if not res.ok:
+        return res
     if sorted(s_names) != sorted(o_names):
         res.ok = False
         res.issues.append(f"columns spark={sorted(s_names)} oracle={sorted(o_names)}")

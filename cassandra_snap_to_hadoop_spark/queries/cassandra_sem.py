@@ -137,17 +137,20 @@ def b3_tombstone_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS live_value
     FROM events
-    WHERE epoch_ms(ts) + CAST(value * 86400000 AS BIGINT) > epoch_ms(TIMESTAMP '2024-01-20 00:00:00')
+    WHERE epoch_ms(ts) + CAST(FLOOR(value * 86400000) AS BIGINT) > epoch_ms(TIMESTAMP '2024-01-20 00:00:00')
     """,
     survey="B4",
 )
 def b4_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL expiry as-of 2024-01-20: each event carries a synthetic TTL of
-    ``value`` days; expired cells drop.  Pure filter — pushes to the scan."""
+    ``value`` days; expired cells drop.  Pure filter — pushes to the scan.
+    Both engines FLOOR the ms product explicitly: Spark's long cast
+    truncates toward zero while DuckDB's rounds to nearest, so a bare cast
+    can disagree by 1 ms exactly at the expiry boundary."""
     e = Tables(spark, sf_dir).events
     asof_ms = F.unix_millis(F.lit("2024-01-20 00:00:00").cast("timestamp"))
     live = e.filter(
-        F.unix_millis("ts") + (F.col("value") * 86400000).cast("long") > asof_ms
+        F.unix_millis("ts") + F.floor(F.col("value") * 86400000).cast("long") > asof_ms
     )
     return live.agg(
         F.count("*").alias("n_live"),

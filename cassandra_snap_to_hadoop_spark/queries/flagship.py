@@ -90,10 +90,14 @@ def _merged_lineitem(li: DataFrame) -> DataFrame:
 def flagship_snapshot_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top revenue region per order-year over LWW-merged snapshot generations.
 
-    Plan shape at scale: the dims (region/nation/customer at TPC-H ratios)
-    broadcast; lineitem⋈orders is the one big sort-merge join; the LWW
-    window shares its hash partitioning with nothing downstream but runs at
-    ingest before the join fan-out (SURVEY §4 merge-pushdown convention).
+    Plan shape at scale: only the fixed-cardinality dims (region=5,
+    nation=25) carry explicit broadcast hints; customer scales linearly
+    with SF, so its build side is left to AQE / autoBroadcastJoinThreshold
+    — broadcast at bench scale (runtime stats say so), shuffle-hash or SMJ
+    at 100 TB where an 8 GB+ broadcast would fail the job.  lineitem⋈orders
+    is the one big sort-merge join; the LWW window shares its hash
+    partitioning with nothing downstream but runs at ingest before the
+    join fan-out (SURVEY §4 merge-pushdown convention).
     """
     t = Tables(spark, sf_dir)
     merged = _merged_lineitem(t.lineitem)
@@ -106,7 +110,7 @@ def flagship_snapshot_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = merged.groupBy("l_orderkey").agg(F.sum(int_rev).alias("irev"))
     rev = (
         per_order.join(t.orders, per_order.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", yr(F.col("o_orderdate")).alias("order_year"))

@@ -331,7 +331,7 @@ def i9_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i7_variant_funcs",
     oracle="""
     SELECT user_id,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
     GROUP BY user_id

@@ -31,8 +31,13 @@ from cassandra_snap_to_hadoop_spark.registry import register
     survey="D1",
 )
 def d1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast hash join: part (20k rows at sf0.1, ~MBs at any real SF for
-    a dim) ships to every executor; lineitem is never shuffled for the join."""
+    """Broadcast hash join — the explicitly-hinted demo of the strategy
+    (the §2-D1 row).  The hinted side is part AFTER a selective filter, and
+    part scales with SF, so this exact hint is a bench-scale demo: the
+    production pattern for SF-scaling dims is elsewhere (flagship/tpch),
+    where AQE picks the build side from runtime stats and only the
+    fixed-cardinality region/nation keep hard hints.  lineitem is never
+    shuffled for a broadcast join."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.join(F.broadcast(t.part.filter(F.col("p_size") <= 20)), F.col("l_partkey") == F.col("p_partkey"))

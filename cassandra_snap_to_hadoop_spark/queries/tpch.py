@@ -73,7 +73,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: six-way star join with a same-nation correlation between
-    customer and supplier; dims broadcast, facts sort-merge."""
+    customer and supplier.  Only fixed-cardinality region/nation carry
+    broadcast hints; supplier/customer scale with SF, so their build sides
+    are AQE's call (broadcast at bench scale, partitioned at 100 TB)."""
     t = Tables(spark, sf_dir)
     return (
         t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -83,7 +85,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -136,15 +138,16 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="D1,E11,I4",
 )
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: conditional-share metric over a broadcast dim join; the
-    ratio of two quantized sums stays engine-exact (both sums are integers
-    until the final division)."""
+    """Q14 shape: conditional-share metric over a part-dim join (build side
+    AQE-chosen: part scales with SF, so no hard broadcast hint); the ratio
+    of two quantized sums stays engine-exact (both sums are integers until
+    the final division)."""
     t = Tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     std_rev = F.when(F.col("p_type").like("STANDARD%"), rev).otherwise(0.0)
     qsum_int = lambda c: F.sum(F.round(c * 10000).cast("long"))
     return (
-        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(yr(F.col("l_shipdate")).alias("ship_year"))
         .agg((100.0 * qsum_int(std_rev) / qsum_int(rev)).alias("standard_pct"))
     )
@@ -252,10 +255,12 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: national market share — a 7-table star join (nation joined
-    TWICE under different roles) feeding a conditional-share aggregate.  All
-    five dims broadcast; the only shuffles are the two fact joins and the
-    final group-by.  The share is a ratio of two integer-quantized sums, so
-    the double division is engine-exact."""
+    TWICE under different roles) feeding a conditional-share aggregate.
+    Broadcast hints only on the fixed-cardinality sides (nation x2, region);
+    part/supplier/customer scale with SF so AQE picks their build side —
+    broadcast at bench scale, partitioned joins at 100 TB where an 8 GB+
+    broadcast would fail.  The share is a ratio of two integer-quantized
+    sums, so the double division is engine-exact."""
     t = Tables(spark, sf_dir)
     n_cust = t.nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
@@ -267,10 +272,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     qsum_int = lambda c: F.sum(F.round(c * 10000).cast("long"))
     volume = (
-        t.lineitem.join(F.broadcast(t.part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.part.filter(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(europe), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
@@ -345,7 +350,7 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",

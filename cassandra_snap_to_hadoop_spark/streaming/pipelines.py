@@ -267,12 +267,17 @@ def incremental_snapshot_pipeline(
     seq_col: str,
 ) -> None:
     """K7: the reference's cron loop, Sparkified — incremental snapshot
-    shards stream into an append-only bronze parquet table; each trigger
-    recomputes the silver LWW view from bronze via ``foreachBatch``.
+    shards stream into a bronze parquet table; each trigger recomputes the
+    silver LWW view from bronze via ``foreachBatch``.
 
-    Exactly-once story: the file source + checkpoint give exactly-once
-    bronze appends; silver is a deterministic function of bronze so replays
-    are idempotent (LWW merge is idempotent — tested property).
+    Exactly-once story: ``foreachBatch`` itself is at-least-once (a crash
+    between the sink write and the checkpoint commit replays the batch), so
+    bronze is made IDEMPOTENT rather than trusted to be exactly-once: each
+    micro-batch overwrites its own ``batch_id=N`` subdirectory — a replay
+    of batch N rewrites the same files instead of double-appending, and the
+    batch_id partition column is dropped on read.  Silver is a
+    deterministic function of bronze (LWW merge — idempotence is a tested
+    property), so end-to-end the pipeline is effectively exactly-once.
     """
     from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
 
@@ -283,8 +288,8 @@ def incremental_snapshot_pipeline(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(bronze_dir)
-        bronze = batch_df.sparkSession.read.parquet(bronze_dir)
+        batch_df.write.mode("overwrite").parquet(f"{bronze_dir}/batch_id={batch_id}")
+        bronze = batch_df.sparkSession.read.parquet(bronze_dir).drop("batch_id")
         silver = lww_merge(bronze, key_cols, writetime_col, seq_col)
         silver.write.mode("overwrite").parquet(silver_dir)
 

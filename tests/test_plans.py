@@ -61,9 +61,46 @@ def test_d1_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_flagship_all_dims_broadcast(spark, sf_dir):
+    """At bench scale the engine broadcasts all three dims — customer via
+    the size threshold (no hint: it scales with SF), nation/region via
+    their fixed-cardinality hints."""
     df = REGISTRY["flagship_snapshot_star"].fn(spark, sf_dir)
-    assert broadcast_join_count(df) >= 3  # customer, nation, region
+    assert broadcast_join_count(df) >= 3  # customer (threshold), nation, region (hints)
     assert not uses_cartesian_product(df)
+
+
+def test_flagship_customer_broadcast_is_engine_chosen(spark, sf_dir):
+    """Scale-honesty of the build side: with the auto-broadcast threshold
+    disabled, ONLY the hinted fixed-cardinality dims (nation=25, region=5)
+    may still broadcast.  A hard hint on customer (which scales linearly
+    with SF) would force a broadcast even here — at 100 TB that plan fails
+    the job — so exactly 2 broadcasts proves customer's build side is
+    chosen by the engine from stats, not forced."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["flagship_snapshot_star"].fn(spark, sf_dir)
+        assert broadcast_join_count(df) == 2, plan_string(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_tpch_sf_scaling_tables_not_hint_broadcast(spark, sf_dir):
+    """Same check across the TPC-H composites that previously hinted
+    part/supplier/customer: disabling the threshold must leave only the
+    fixed-cardinality nation/region broadcasts (q5: nation+region = 2;
+    q8: nation x2 + region = 3; q14: none; q18: none)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key, allowed in (
+            ("tpch_q5_local_supplier_volume", 2),
+            ("tpch_q8_market_share", 3),
+            ("tpch_q14_promo_effect", 0),
+            ("tpch_q18_large_volume_customers", 0),
+        ):
+            df = REGISTRY[key].fn(spark, sf_dir)
+            assert broadcast_join_count(df) == allowed, (key, plan_string(df, "simple"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_d2_fact_join_partitioned(spark, sf_dir):

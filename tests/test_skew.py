@@ -31,6 +31,29 @@ def test_salted_agg_matches_plain_agg(spark):
     assert salted == plain
 
 
+def test_salted_agg_min_max_merge_fns(spark):
+    """Non-summable partials must merge with their own combiner — a
+    (expr, merge_fn) tuple — and match the unsalted aggregate exactly."""
+    df = _skewed_events(spark)
+    plain = {
+        (r.k): (r.lo, r.hi, r.total)
+        for r in df.groupBy("k")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.lo, r.hi, r.total)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"lo": (F.min("v"), F.min), "hi": (F.max("v"), F.max), "total": F.sum("v")},
+            salt_id_cols=["rid"],
+            n_salts=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = _skewed_events(spark, 2000)
     dim = spark.range(100).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label"))
