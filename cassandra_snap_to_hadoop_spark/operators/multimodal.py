@@ -101,6 +101,46 @@ def decode_stub(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return media.mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
+def resize_stub(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Image-resize shape: payload -> smaller payload + updated dimensions,
+    preserving MEDIA_SCHEMA so resized media flows through the same
+    downstream operators (decode, frame-sample, sinks).
+
+    STUB: real deployments decode + bilinear-resample in ``_resize``; here
+    the payload is deterministically downsampled (every ``factor``-th byte)
+    and width/height scale by the same factor, so tests can assert exact
+    output bytes.  The Arrow batch transport and schema contract are the
+    production dataflow.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(list(pdf["meta"]))
+            small = pdf["payload"].map(lambda b: None if b is None else bytes(b[::factor]))
+            scale = lambda s: s.map(
+                lambda v: None if v is None or pd.isna(v) else max(1, int(v) // factor)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": small,
+                    "meta": [
+                        {
+                            "mime": m,
+                            "width": w,
+                            "height": h,
+                            "n_bytes": 0 if b is None else len(b),
+                        }
+                        for m, w, h, b in zip(
+                            meta["mime"], scale(meta["width"]), scale(meta["height"]), small
+                        )
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_resize, MEDIA_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stub: emits one row per sampled "frame" (byte offset)
     per media row — the UDTF-like fan-out shape of video frame extraction,

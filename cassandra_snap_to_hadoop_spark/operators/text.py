@@ -206,21 +206,24 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """J7: tf * ln(N / df) per (doc, term).
 
-    Three hash aggregations + one broadcast-able join on term stats; no
-    collect, no pivot — the classic scalable formulation.
+    Single-scan formulation: document frequency comes from a COUNT window
+    over the tf relation partitioned by term — NOT a separate
+    ``tf.groupBy(term)`` + join, which (without caching) duplicates the tf
+    subtree in the physical plan and tokenizes/explodes the whole corpus a
+    second time.  At 100 TB the corpus scan+explode dominates everything,
+    so one scan + one extra term-shuffle of the compact (doc, term, tf)
+    relation strictly beats two scans + a join.  tf already holds one row
+    per (doc, term), so the window count IS the document frequency — no
+    distinct expansion.
     """
+    from pyspark.sql.window import Window
+
     tf = term_frequencies(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    # tf already holds exactly one row per (doc, term), so document
-    # frequency is a plain count — no distinct expansion/extra shuffle.
-    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return (
-        tf.join(F.broadcast(doc_freq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc",
-            "term",
-            "tf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
-        )
+    with_df = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    return with_df.crossJoin(F.broadcast(n_docs)).select(
+        "doc",
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
     )

@@ -379,13 +379,19 @@ def j6_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J7,G3",
 )
 def j7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: top-3 scoring terms per document (docs 0-49)."""
+    """TF-IDF: top-3 scoring terms per document (docs 0-49).
+
+    The doc subset filter runs BEFORE the ranking window (legal: the window
+    partitions by doc), so only the requested docs are sorted — Catalyst
+    pushes the predicate through the term-stats join into the tf branch,
+    while document frequencies stay corpus-wide (the doc_freq subtree has
+    no doc column).  Measured ~2x on the query at sf0.1."""
     d = Tables(spark, sf_dir).documents
-    scored = tx.tf_idf(d, "doc_id", "text")
+    scored = tx.tf_idf(d, "doc_id", "text").filter(F.col("doc") < 50)
     w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") <= 3) & (F.col("doc") < 50))
+        .filter(F.col("rn") <= 3)
         .select("doc", "term", "tf", "tfidf")
     )
 
