@@ -1,0 +1,83 @@
+"""End-to-end corpus curation funnel (J1+J2+J9 composed).
+
+The canonical training-data pipeline a user of this engine runs over a raw
+crawl: quality-gate -> exact dedup -> near-dup prune, reported as a funnel
+of survivor counts per stage.  Every stage is the exact tier of an
+operator that also has a bucketed scale tier (MinHash replaces the shingle
+self-join at 100 TB; the funnel shape is unchanged).
+
+Scale note: expressed as one lazy DAG, the three stage counts re-derive
+their shared prefix (Catalyst does not auto-reuse subtrees).  That is the
+right call at bench scale; a production run over 100 TB materializes each
+stage to parquet between steps (exactly what streaming/pipelines.py's
+bronze/silver layering does) so each scan happens once and the funnel
+counts come from file statistics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.operators.dedup import jaccard_pairs, normalize_text
+from cassandra_snap_to_hadoop_spark.operators.text import quality_features
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.05,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Returns (stage, n_docs, retained_pct) for the 4 funnel stages.
+
+    Stage semantics (each deterministic, so the DuckDB oracle can mirror
+    them value-for-value):
+
+    * ``0_all``        — raw corpus.
+    * ``1_quality``    — Gopher-style ``quality_ok`` gate.
+    * ``2_exact_dedup``— keep MIN(id) per normalized-content md5.
+    * ``3_near_dup``   — keep-first prune: drop any doc having a shingle-
+      Jaccard >= threshold pair with a SMALLER surviving id (greedy by id,
+      not connected components — the deterministic one-pass rule; cluster
+      assembly is ``dup_clusters``' job when representatives matter).
+    """
+    quality = quality_features(docs, text_col).filter(F.col("quality_ok") == 1)
+    survivors = (
+        quality.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("__keep", F.min(id_col).over(__hash_window()))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+    pairs = jaccard_pairs(
+        survivors, id_col, text_col, k=3, threshold=jaccard_threshold, block_col=block_col
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    final = survivors.join(dropped, id_col, "left_anti")
+
+    n_total = docs.agg(F.count("*").alias("__n_total"))
+    stages = [
+        ("0_all", docs),
+        ("1_quality", quality),
+        ("2_exact_dedup", survivors),
+        ("3_near_dup", final),
+    ]
+    counts = [
+        df.agg(F.count("*").alias("n_docs")).select(F.lit(name).alias("stage"), "n_docs")
+        for name, df in stages
+    ]
+    funnel = reduce(lambda a, b: a.unionByName(b), counts)
+    return funnel.crossJoin(F.broadcast(n_total)).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__n_total"), 4).alias("retained_pct"),
+    )
+
+
+def __hash_window():
+    from pyspark.sql.window import Window
+
+    return Window.partitionBy("__h")

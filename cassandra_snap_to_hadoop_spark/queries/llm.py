@@ -557,3 +557,56 @@ def j9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; collision/determinism properties unit-tested)."""
     d = Tables(spark, sf_dir).documents
     return d.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "llm_curation_funnel",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split({_NORM}, ' ') AS words,
+               length(text) AS nc
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang, text, words FROM t
+        WHERE len(words) BETWEEN 10 AND 1000
+          AND list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) BETWEEN 2 AND 12
+          AND len(list_distinct(words)) * 1.0 / len(words) >= 0.2
+    ), s2 AS (
+        SELECT doc_id, lang, text, words FROM q
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM}))
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang, unnest({_SHINGLES}) AS sh FROM s2
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT id_b FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.05
+    ), s3 AS (
+        SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    ), funnel AS (
+        SELECT '0_all' AS stage, COUNT(*) AS n FROM documents
+        UNION ALL SELECT '1_quality', COUNT(*) FROM q
+        UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM s2
+        UNION ALL SELECT '3_near_dup', COUNT(*) FROM s3
+    )
+    SELECT stage, CAST(n AS BIGINT) AS n_docs,
+           ROUND(n * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS retained_pct
+    FROM funnel
+    """,
+    survey="J1,J2,J9,H1",
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as one query:
+    quality gate -> exact dedup -> near-dup keep-first prune, reported as
+    per-stage survivor counts (operators/curation.py)."""
+    from cassandra_snap_to_hadoop_spark.operators.curation import curation_funnel
+
+    d = Tables(spark, sf_dir).documents
+    return curation_funnel(d, "doc_id", "text", jaccard_threshold=0.05, block_col="lang")

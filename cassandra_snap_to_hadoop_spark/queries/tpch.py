@@ -360,3 +360,102 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
             "total_qty",
         )
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {_QREV} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+       OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    survey="D2,D5,E2,I4",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume — nation joined twice under
+    different roles with a DISJUNCTIVE cross-pair predicate.  The
+    disjunction cannot become a join key, so it lands as a post-join
+    filter; what keeps the plan scale-safe is that each nation join is
+    still an equi-join on nationkey (fixed-cardinality, hinted broadcast)
+    and the disjunction filters the tiny joined dim columns — the facts
+    never see a non-equi condition."""
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t.nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9"))
+        | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        t.supplier.join(t.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", yr(F.col("l_shipdate")).alias("ship_year"))
+        .agg(qsum(F.expr(_REV), 10000).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22_dormant_accounts",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) * 1.0 / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN avg_bal
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+    survey="D4,E1,E2",
+)
+def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no recent orders —
+    an uncorrelated scalar subquery (global average gate) plus a NOT
+    EXISTS that decorrelates to a LEFT ANTI join.  Declared as SQL so
+    Catalyst performs both rewrites; the anti-join build side is the
+    date-filtered orders projection, which the predicate pushes into the
+    scan.  The average is a ratio of an exact integer-cent sum and a
+    count, and the gate compares integer cents against it, so threshold
+    membership is bit-identical across engines (the repo's float rule)."""
+    _views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+            SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) * 1.0 / COUNT(*) AS ab
+            FROM cs2h_customer WHERE c_acctbal > 0
+        )
+        SELECT n_name AS nation, COUNT(*) AS numcust,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS totacctbal
+        FROM cs2h_customer
+        JOIN cs2h_nation ON c_nationkey = n_nationkey
+        CROSS JOIN avg_bal
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > ab
+          AND NOT EXISTS (
+              SELECT 1 FROM cs2h_orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+          )
+        GROUP BY n_name
+        """
+    )

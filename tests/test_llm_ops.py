@@ -172,3 +172,23 @@ def test_language_id_learned_recovers_frequency_signal(spark):
     out = language_id_learned(df).collect()
     assert len(out) == 36  # 4 train docs held out
     assert all(r.pred_lang == r.true_lang for r in out)
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Funnel invariants: stage counts never increase, stage 0 is the raw
+    corpus, every retained_pct is n/n0."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.curation import curation_funnel
+
+    d = Tables(spark, sf_dir).documents
+    rows = {r.stage: r for r in curation_funnel(d).collect()}
+    assert list(sorted(rows)) == ["0_all", "1_quality", "2_exact_dedup", "3_near_dup"]
+    n0 = rows["0_all"].n_docs
+    assert n0 == d.count()
+    last = n0
+    for stage in ("1_quality", "2_exact_dedup", "3_near_dup"):
+        assert rows[stage].n_docs <= last
+        last = rows[stage].n_docs
+    assert last > 0
+    for r in rows.values():
+        assert abs(r.retained_pct - round(r.n_docs / n0, 4)) < 1e-9

@@ -237,6 +237,23 @@ def test_q17_scalar_subquery_decorrelates_to_agg_join(spark, sf_dir):
     assert "Subquery" not in s, s
 
 
+def test_q22_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """The NOT EXISTS in tpch_q22 must compile to ONE anti join on the
+    correlation key; the uncorrelated scalar average shows up as a
+    (broadcast-able) subquery input, not per-row re-execution."""
+    df = REGISTRY["tpch_q22_dormant_accounts"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "LeftAnti" in s, s
+
+
+def test_q7_disjunctive_pair_no_cartesian(spark, sf_dir):
+    """Q7's disjunctive nation-pair predicate must stay a post-join filter
+    over equi-joins — never a cartesian/NLJ between fact tables."""
+    df = REGISTRY["tpch_q7_volume_shipping"].fn(spark, sf_dir)
+    assert not uses_cartesian_product(df)
+    assert broadcast_join_count(df) >= 2  # both nation roles
+
+
 def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     """SURVEY §4 'partition pruning / DPP': once A4 writes a partitioned
     layout, a join against a data-dependent dim must inject a dynamic
