@@ -35,6 +35,7 @@ HEADLINE = [
     "j2_minhash_lsh_pairs",
     "j3_knn_bruteforce",
     "j7_tfidf",
+    "llm_curation_funnel",
 ]
 
 N_RUNS = 3

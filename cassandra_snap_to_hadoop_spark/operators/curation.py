@@ -6,12 +6,13 @@ of survivor counts per stage.  Every stage is the exact tier of an
 operator that also has a bucketed scale tier (MinHash replaces the shingle
 self-join at 100 TB; the funnel shape is unchanged).
 
-Scale note: expressed as one lazy DAG, the three stage counts re-derive
-their shared prefix (Catalyst does not auto-reuse subtrees).  That is the
-right call at bench scale; a production run over 100 TB materializes each
-stage to parquet between steps (exactly what streaming/pipelines.py's
-bronze/silver layering does) so each scan happens once and the funnel
-counts come from file statistics.
+Scale note: Catalyst does not auto-reuse subtrees, so a fully lazy DAG
+would re-derive the quality and dedup stages once per downstream consumer
+(measured 4.3 s vs 3.4 s at sf0.1).  The funnel therefore
+``localCheckpoint``s each stage boundary — the in-engine equivalent of
+what a production 100 TB run does by materializing stages to parquet
+(streaming/pipelines.py's bronze/silver layering), so every corpus scan
+happens once.  Same precedent as ``dup_clusters``' lineage cut.
 """
 
 from __future__ import annotations
@@ -45,12 +46,13 @@ def curation_funnel(
       not connected components — the deterministic one-pass rule; cluster
       assembly is ``dup_clusters``' job when representatives matter).
     """
-    quality = quality_features(docs, text_col).filter(F.col("quality_ok") == 1)
+    quality = quality_features(docs, text_col).filter(F.col("quality_ok") == 1).localCheckpoint()
     survivors = (
         quality.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
         .withColumn("__keep", F.min(id_col).over(__hash_window()))
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__h", "__keep")
+        .localCheckpoint()
     )
     pairs = jaccard_pairs(
         survivors, id_col, text_col, k=3, threshold=jaccard_threshold, block_col=block_col
