@@ -246,3 +246,38 @@ def similarity_join_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """J3 variant: ALL corpus neighbors within a cosine-similarity radius
+    of each query (range/radius search), not a fixed top-k.
+
+    Same scale posture as ``knn_bruteforce``: queries broadcast, corpus
+    scanned once, both sides row-pre-normalized so the |Q|·n inner term is
+    one fused dot; the threshold filter runs inside the same projection so
+    nothing wider than (query_id, neighbor_id, cos) survives the scan
+    stage.  No window needed — output size is data-dependent, which is the
+    operator's point; at 100 TB the same bucketed-LSH ladder as knn bounds
+    the candidate set first.
+    """
+    q = queries.select(F.col(query_id_col), l2_normalize(F.col(vec_col)).alias("__qnorm"))
+    c = fan_out(corpus).select(F.col(id_col), l2_normalize(F.col(vec_col)).alias("__cnorm"))
+    joined = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+    scored = joined.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.when(
+            F.col("__qnorm").isNotNull() & F.col("__cnorm").isNotNull(),
+            dot(F.col("__qnorm"), F.col("__cnorm")),
+        ).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold).select(
+        query_id_col, "neighbor_id", F.round(F.col("cos"), 4).alias("cos")
+    )

@@ -23,7 +23,8 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     sources_io,  # 6 -> 38-43                     (A2-A6)
     udf,  # 5 -> 44-48                            (L1-L5)
     multimodal,  # 4 -> 49-52                     (J10/J11; SQL rows first)
-    sql_api,  # 1 -> 53
+    extended,  # round-2 additions (F8, B8, J3-range, J11-quantize)
+    sql_api,
     tpch,  # 9 -> 54-62
     cassandra_sem,  # driver-green round 1 from here down
     flagship,

@@ -1,0 +1,153 @@
+"""Round-2 coverage extensions: distribution windows (F), compaction with
+GC grace (B depth), similarity range search (J3), embedding quantization
+(J11 depth).
+
+Registered AFTER the front-loaded families on purpose: the driver's
+bounded insertion-ordered sweep must first certify the round-1-unreached
+rows (queries/__init__.py ordering note); these rotate into the window
+next round and are value-checked by the local oracle mirror meanwhile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators import similarity as sim
+from cassandra_snap_to_hadoop_spark.queries._util import round4
+from cassandra_snap_to_hadoop_spark.registry import register
+
+
+@register(
+    "f8_distribution_windows",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 4) AS pct_rank,
+           ROUND(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey="F1",
+)
+def f8_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist per
+    priority class.  Full ORDER BY tiebreak (orderkey) pins frame
+    positions, so rank-derived ratios are engine-exact (int/int divisions
+    over identical orderings)."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        round4(F.percent_rank().over(w)).alias("pct_rank"),
+        round4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "b8_compaction_gc",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN event_type = 'error' THEN 'tombstoned' ELSE 'live' END AS state,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+      AND NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-10 00:00:00')
+    """,
+    survey="B3,B6",
+)
+def b8_compaction_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction with gc_grace semantics: LWW-merge all generations, then
+    (1) tombstone winners OLDER than the GC cutoff are purged outright —
+    the key vanishes from the compacted SSTable, exactly what Cassandra's
+    compaction does after gc_grace_seconds — while (2) tombstones still
+    inside the grace window survive as markers (state='tombstoned') so
+    late-arriving older writes stay suppressed on replica sync.  Merge
+    first, THEN purge: the order is the semantics (same rule as B3)."""
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import lww_merge
+
+    e = Tables(spark, sf_dir).events.withColumn("_tomb", F.col("event_type") == "error")
+    merged = lww_merge(e, ["user_id"], writetime_col="ts", seq_col="event_id")
+    gc_cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    compacted = merged.filter(~(F.col("_tomb") & (F.col("ts") < gc_cutoff)))
+    return compacted.select(
+        "user_id",
+        F.when(F.col("_tomb"), "tombstoned").otherwise("live").alias("state"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+    )
+
+
+@register(
+    "j3_range_search",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    )
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    WHERE list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) >= 0.25
+    """,
+    survey="J3,D9",
+)
+def j3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every corpus vector within cosine >= 0.25 of each of
+    8 query vectors — the data-dependent-cardinality sibling of top-k
+    (operators/similarity.py range_search)."""
+    e = Tables(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.range_search(e, queries, threshold=0.25)
+
+
+@register(
+    "j11_embedding_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ), err AS (
+        SELECT e.vec_id, e.label, q.scale,
+               list_avg(list_transform(e.embedding::DOUBLE[],
+                        x -> pow(x - CAST(ROUND(x / q.scale) AS BIGINT) * q.scale, 2))) AS mse
+        FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(sqrt(mse)), 6) AS avg_rmse,
+           ROUND(MAX(scale), 6) AS max_scale
+    FROM err GROUP BY label
+    """,
+    survey="J11",
+)
+def j11_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (scale = max|x|/127 per
+    vector) with reconstruction-error stats per label — the storage-
+    compression step a 100 TB embedding store runs before ANN indexing.
+    Quantize/dequantize/error are all JVM higher-order functions over the
+    array column; nothing leaves codegen.  ROUND(x/scale) is exact-integer
+    on both engines, so the reconstruction error is bit-comparable (6dp
+    rounding absorbs summation-order drift in the per-label AVG)."""
+    e = Tables(spark, sf_dir).embeddings
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda v: F.abs(v))) / 127.0
+    with_scale = e.select("vec_id", "label", xd.alias("x"), scale.alias("scale"))
+    sq_err = F.transform(
+        F.col("x"),
+        lambda v: F.pow(v - F.round(v / F.col("scale")).cast("long") * F.col("scale"), 2),
+    )
+    mse = F.aggregate(sq_err, F.lit(0.0), lambda a, v: a + v) / F.size(F.col("x"))
+    per_vec = with_scale.select("vec_id", "label", "scale", mse.alias("mse"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(F.sqrt(F.col("mse"))), 6).alias("avg_rmse"),
+        F.round(F.max("scale"), 6).alias("max_scale"),
+    )
