@@ -151,3 +151,108 @@ def j11_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.sqrt(F.col("mse"))), 6).alias("avg_rmse"),
         F.round(F.max("scale"), 6).alias("max_scale"),
     )
+
+
+@register(
+    "j12_train_val_split",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN hx < '0d' THEN 'val' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM t GROUP BY 1, 2
+    """,
+    survey="J9,C2",
+)
+def j12_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic held-out split by content-stable hash: a doc lands in
+    val iff the first md5 hex byte of its id is < 0x0d (~5%).  md5 hex
+    strings are engine-identical, so split membership is reproducible
+    across engines, reruns, and cluster sizes — the property a training
+    pipeline needs so val never leaks into train when data is re-ingested.
+    Pure map + hash agg; no shuffle beyond the count."""
+    d = Tables(spark, sf_dir).documents
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.select("doc_id", "lang", F.when(hx < "0d", "val").otherwise("train").alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").cast("long").alias("min_doc_id"))
+    )
+
+
+@register(
+    "j13_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens - 2048 * FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    survey="F3,J6",
+)
+def j13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: docs stream in id
+    order per language and fill 2048-token context bins; each doc gets the
+    bin it STARTS in plus its token offset there.  One running-sum window
+    per language — packing as a prefix-sum, not a driver loop, so it
+    scales like any windowed aggregate (partition by shard at 100 TB and
+    bins stay shard-local).  Integer token counts make bin assignment
+    engine-exact."""
+    from cassandra_snap_to_hadoop_spark.operators.text import token_count_ws
+
+    d = Tables(spark, sf_dir).documents
+    t = d.select("doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("start") / 2048).alias("bin_id"),
+        (F.col("start") - 2048 * F.floor(F.col("start") / 2048)).cast("long").alias("bin_offset"),
+    )
+
+
+@register(
+    "i10_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+           CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+           CAST(xor(o_orderkey, 1365) AS BIGINT) AS b_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders
+    """,
+    survey="I3,I8",
+)
+def i10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (and/or/xor/shifts/popcount) — the
+    primitives under bitmap indexes and SimHash-style signatures, checked
+    value-for-value on int64 keys."""
+    o = Tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
