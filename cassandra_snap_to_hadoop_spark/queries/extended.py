@@ -256,3 +256,25 @@ def i10_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register("e12_hll_sketch_merge", oracle=None, survey="E4")
+def e12_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern (Apache DataSketches HLL, built into Spark
+    3.5+): build one HLL sketch per partition-like group, then UNION the
+    binary sketches into a global estimate — the two-level shape that
+    replaces exact global count-distinct at 100 TB (per-shard sketches
+    merge in a tiny final reduce; no re-shuffle of raw keys).  Rows-only:
+    sketch binaries/estimates are engine-specific; e3 is the exact twin.
+    Output compares the merged estimate against the per-group sum so the
+    dedup effect of the union is visible in the result."""
+    li = Tables(spark, sf_dir).lineitem
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("exact_group"),
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).cast("long").alias("merged_estimate"),
+        F.sum("exact_group").alias("sum_of_group_exacts"),
+        F.count("*").alias("n_groups"),
+    )

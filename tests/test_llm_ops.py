@@ -192,3 +192,39 @@ def test_curation_funnel_monotone(spark, sf_dir):
     assert last > 0
     for r in rows.values():
         assert abs(r.retained_pct - round(r.n_docs / n0, 4)) < 1e-9
+
+
+def test_hll_sketch_merge_estimates(spark, sf_dir):
+    """Merged per-group sketches must estimate the GLOBAL distinct count
+    (not the sum of group counts — groups share orderkeys) within HLL
+    error bounds."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+    from pyspark.sql import functions as F
+
+    row = load_all()["e12_hll_sketch_merge"].fn(spark, sf_dir).first()
+    exact = (
+        Tables(spark, sf_dir).lineitem.select(F.countDistinct("l_orderkey").alias("n")).first().n
+    )
+    assert abs(row.merged_estimate - exact) / exact < 0.05
+    assert row.merged_estimate < row.sum_of_group_exacts  # union dedups across groups
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing is a prefix sum: per language, starts are cumulative, every
+    offset is inside the bin budget, and bins are contiguous from 0."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    rows = load_all()["j13_sequence_packing"].fn(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in docs:
+            assert 0 <= r.bin_offset < 2048
+            assert r.bin_id == start // 2048
+            assert r.bin_offset == start % 2048
+            start += r.n_tokens
+        assert docs[0].bin_id == 0
