@@ -32,6 +32,7 @@ def curation_funnel(
     text_col: str = "text",
     jaccard_threshold: float = 0.05,
     block_col: str | None = "lang",
+    pairs_fn=None,
 ) -> DataFrame:
     """Returns (stage, n_docs, retained_pct) for the 4 funnel stages.
 
@@ -45,6 +46,11 @@ def curation_funnel(
       Jaccard >= threshold pair with a SMALLER surviving id (greedy by id,
       not connected components — the deterministic one-pass rule; cluster
       assembly is ``dup_clusters``' job when representatives matter).
+
+    ``pairs_fn`` swaps the near-dup pair stage: default is the exact
+    shingle-Jaccard join (value-checkable against SQL); pass
+    ``lambda df: minhash_lsh_pairs(df, id_col, text_col)`` for the
+    100 TB tier — identical funnel shape, bucket-bounded candidate cost.
     """
     quality = quality_features(docs, text_col).filter(F.col("quality_ok") == 1).localCheckpoint()
     survivors = (
@@ -54,9 +60,12 @@ def curation_funnel(
         .drop("__h", "__keep")
         .localCheckpoint()
     )
-    pairs = jaccard_pairs(
-        survivors, id_col, text_col, k=3, threshold=jaccard_threshold, block_col=block_col
-    )
+    if pairs_fn is None:
+        pairs = jaccard_pairs(
+            survivors, id_col, text_col, k=3, threshold=jaccard_threshold, block_col=block_col
+        )
+    else:
+        pairs = pairs_fn(survivors)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     final = survivors.join(dropped, id_col, "left_anti")
 

@@ -278,3 +278,22 @@ def e12_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_group").alias("sum_of_group_exacts"),
         F.count("*").alias("n_groups"),
     )
+
+
+@register("llm_curation_funnel_lsh", oracle=None, survey="J1,J2,J9")
+def llm_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's 100 TB tier: identical quality -> exact-dedup
+    -> keep-first stages, but the near-dup pair stage is banded MinHash
+    LSH instead of the exact shingle self-join — candidate cost bounded by
+    band buckets, never quadratic.  Rows-only (bucketing hashes are
+    engine-specific); llm_curation_funnel is the value-checked exact twin,
+    and test_llm_ops.py pins the two funnels' survivor counts within
+    recall tolerance of each other."""
+    from cassandra_snap_to_hadoop_spark.operators.curation import curation_funnel
+    from cassandra_snap_to_hadoop_spark.operators.dedup import minhash_lsh_pairs
+
+    d = Tables(spark, sf_dir).documents
+    return curation_funnel(
+        d, "doc_id", "text",
+        pairs_fn=lambda s: minhash_lsh_pairs(s, "doc_id", "text", k=3, n_hashes=32, bands=8),
+    )

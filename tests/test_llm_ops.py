@@ -228,3 +228,19 @@ def test_sequence_packing_invariants(spark, sf_dir):
             assert r.bin_offset == start % 2048
             start += r.n_tokens
         assert docs[0].bin_id == 0
+
+
+def test_curation_funnel_lsh_close_to_exact(spark, sf_dir):
+    """The LSH funnel must agree with the exact funnel on the deterministic
+    stages (0-2) exactly, and on the near-dup stage within LSH recall
+    slack (banding can only MISS pairs or add band-collision candidates,
+    so survivor counts stay within a small band of the exact count)."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    q = load_all()
+    exact = {r.stage: r.n_docs for r in q["llm_curation_funnel"].fn(spark, sf_dir).collect()}
+    lsh = {r.stage: r.n_docs for r in q["llm_curation_funnel_lsh"].fn(spark, sf_dir).collect()}
+    for stage in ("0_all", "1_quality", "2_exact_dedup"):
+        assert exact[stage] == lsh[stage]
+    n2 = exact["2_exact_dedup"]
+    assert abs(lsh["3_near_dup"] - exact["3_near_dup"]) <= max(3, 0.05 * n2)
