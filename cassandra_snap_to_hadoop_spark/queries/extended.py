@@ -297,3 +297,42 @@ def llm_curation_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         pairs_fn=lambda s: minhash_lsh_pairs(s, "doc_id", "text", k=3, n_hashes=32, bands=8),
     )
+
+
+@register(
+    "j14_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey="J2,D9,I1",
+)
+def j14_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (record-linkage dedup): customer-name
+    pairs within Levenshtein distance 1, blocked on (nation, segment) so
+    the pair space is per-block, never corpus-quadratic.  Levenshtein is
+    exact-integer on both engines, so this is fully value-checked — the
+    only fuzzy-string primitive whose oracle needs no float rule.  At
+    100 TB the block key grows (add a q-gram or length bucket) exactly
+    like J4's pairwise blocking; the operator shape is unchanged."""
+    c = Tables(spark, sf_dir).customer
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+    )
+    return (
+        a.join(b, ["nk", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
