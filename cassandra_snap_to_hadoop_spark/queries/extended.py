@@ -336,3 +336,88 @@ def j14_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+@register(
+    "f9_running_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
+    FROM events
+    """,
+    survey="F3,E3",
+)
+def f9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per group — Spark has no DISTINCT window
+    aggregate, so the idiom is ``size(collect_set(...))`` over the same
+    frame; ordered by the unique event_id (never by the nanos timestamp —
+    Spark floors parquet ns to µs while DuckDB keeps ns, so ts ordering is
+    the one cross-engine tie hazard this query avoids by construction).
+    At scale the frame state is the per-group distinct set; swap to a
+    windowed HLL via e12's sketch pattern when sets outgrow memory."""
+    e = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias("distinct_users"),
+    )
+
+
+@register(
+    "l6_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+    FROM lineitem
+    """,
+    survey="L4",
+)
+def l6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas: the transform
+    sees raw pyarrow RecordBatches (no pandas materialization), which is
+    the lowest-overhead Python hook for columnar codecs and native libs
+    that speak Arrow.  Integer-cent revenue is computed with pyarrow
+    compute kernels and value-checked against SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    def rev_batches(batches):
+        for batch in batches:
+            price = batch.column(batch.schema.get_field_index("l_extendedprice"))
+            disc = batch.column(batch.schema.get_field_index("l_discount"))
+            rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            # round_mode matters: pyarrow defaults to half-to-even while
+            # DuckDB/Spark ROUND go half-away-from-zero ("half_towards_
+            # infinity" on non-negative revenue) — 404/60k rows sat exactly
+            # on a half-cent at sf0.01
+            cents = pc.cast(
+                pc.round(pc.multiply(rev, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("l_orderkey")),
+                    batch.column(batch.schema.get_field_index("l_linenumber")),
+                    cents,
+                ],
+                ["l_orderkey", "l_linenumber", "rev_cents"],
+            )
+
+    li = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("rev_cents", T.LongType()),
+        ]
+    )
+    return li.mapInArrow(rev_batches, schema)
