@@ -300,3 +300,69 @@ def incremental_snapshot_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+DOCUMENTS_DDL = "doc_id long, lang string, source string, text string"
+
+
+def incremental_curation_pipeline(
+    spark: SparkSession,
+    shard_dir: str,
+    curated_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming corpus curation (K7 x J1/J9): document shards stream in;
+    each micro-batch is quality-gated, deduplicated WITHIN the batch
+    (min doc_id per normalized-content md5), then anti-joined against the
+    hashes already curated so re-crawled content never lands twice.
+    Survivors append to the curated parquet store per batch (batch_id
+    subdirectory — same idempotent-replay scheme as the bronze layer).
+
+    Equivalence contract (asserted in tests): when shards arrive in
+    ascending doc_id ranges — the crawl-frontier order a real ingest has —
+    the final curated set equals batch quality-filter + exact-dedup over
+    the union of all shards, because first-seen-across-batches plus
+    min-id-within-batch composes to global min-id per hash.
+
+    Scale notes: the anti-join probe reads only the curated store's hash
+    column (columnar prune); state lives in the store itself, not in
+    streaming state, so the pipeline restarts stateless and the watermark
+    problem never arises.  At 100 TB the curated store is partitioned and
+    the probe becomes a bucketed join on content_hash.
+    """
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.text import quality_features
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(shard_dir)
+    )
+
+    def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        passed = quality_features(batch_df, "text").filter(F.col("quality_ok") == 1)
+        hashed = passed.withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("content_hash")
+        in_batch = hashed.withColumn("__keep", F.min("doc_id").over(w)).filter(
+            F.col("doc_id") == F.col("__keep")
+        )
+        try:
+            seen = ss.read.parquet(f"{curated_dir}/batch_id=*").select("content_hash").distinct()
+            fresh = in_batch.join(seen, "content_hash", "left_anti")
+        except Exception:  # first batch: no curated store yet
+            fresh = in_batch
+        fresh.select("doc_id", "lang", "source", "content_hash").write.mode("overwrite").parquet(
+            f"{curated_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(curate_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -230,3 +230,42 @@ def test_k7_incremental_snapshot_pipeline(spark, sf_dir, event_shards, tmp_path)
     batch = lww_merge(load(spark, sf_dir, "events"), ["user_id"], "ts", "event_id")
     key = lambda df: sorted((r.user_id, r.event_id) for r in df.collect())
     assert key(silver) == key(batch)
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed quality-gate + cross-batch content dedup must converge to
+    the batch quality+exact-dedup survivor set when shards arrive in
+    ascending doc_id ranges (the stated equivalence contract)."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.text import quality_features
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
+        incremental_curation_pipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # three ascending-id shards, one file each
+    shard_dir = str(tmp_path / "doc_shards")
+    bounds = [0, 150, 300, 1 << 60]
+    for i in range(3):
+        (
+            docs.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(shard_dir)
+        )
+    curated_dir = str(tmp_path / "curated")
+    incremental_curation_pipeline(
+        spark, shard_dir, curated_dir, checkpoint=str(tmp_path / "ckc")
+    )
+
+    got = {
+        r.doc_id for r in spark.read.parquet(f"{curated_dir}/batch_id=*").select("doc_id").collect()
+    }
+    q = quality_features(docs, "text").filter(F.col("quality_ok") == 1)
+    hashed = q.withColumn("h", F.md5(normalize_text(F.col("text"))))
+    want = {
+        r.doc_id
+        for r in hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
