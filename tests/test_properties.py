@@ -186,3 +186,39 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
     )
     wide = load_all()["e9_pivot"].fn(spark, sf_dir)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, wide.collect()))
+
+
+def test_partition_count_invariance(spark, sf_dir):
+    """Results must not depend on the shuffle-partition count — the
+    failure mode of every duplicate-key/tiebreak bug this repo has hit
+    (nondeterministic survivor picks surface as different rows under
+    different partitionings).  Run the most partitioning-sensitive
+    queries (LWW merges, window picks, funnel counts, fuzzy pairs) at 32
+    and at 7 shuffle partitions and require identical sorted results."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    registry = load_all()
+    names = [
+        "flagship_snapshot_star",
+        "b2_lww_latest_state",
+        "b8_compaction_gc",
+        "g3_topk_per_group",
+        "llm_curation_funnel",
+        "j14_fuzzy_match",
+        "j13_sequence_packing",
+    ]
+    def run_all():
+        return {
+            n: sorted(tuple(r) for r in registry[n].fn(spark, sf_dir).collect())
+            for n in names
+        }
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    at_32 = run_all()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        at_7 = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    for n in names:
+        assert at_32[n] == at_7[n], f"{n} differs across partition counts"
