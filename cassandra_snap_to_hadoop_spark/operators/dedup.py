@@ -125,6 +125,30 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_h
     return ex.groupBy("id").agg(*hashes)
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH bucket keys per doc: (id, band, bkey) — one row per band,
+    bkey = xxhash64 of that band's signature rows.  Docs sharing (band,
+    bkey) are near-dup candidates.  Exposed separately from the pair join
+    so incremental pipelines can PERSIST band keys and probe new docs
+    against the accumulated corpus without recomputing old signatures."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, n_hashes)
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -140,15 +164,7 @@ def minhash_lsh_pairs(
     Candidates within a bucket share a full band of minhashes, so bucket
     sizes stay tiny and the join never goes quadratic in n.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, k, n_hashes)
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
-    bucketed = sig.select("id", F.posexplode(band_keys).alias("band", "bkey"))
+    bucketed = minhash_band_keys(df, id_col, text_col, k, n_hashes, bands)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (

@@ -311,27 +311,43 @@ def incremental_curation_pipeline(
     curated_dir: str,
     checkpoint: str,
     max_files_per_trigger: int = 1,
+    near_dup: bool = False,
 ) -> None:
-    """Streaming corpus curation (K7 x J1/J9): document shards stream in;
-    each micro-batch is quality-gated, deduplicated WITHIN the batch
+    """Streaming corpus curation (K7 x J1/J2/J9): document shards stream
+    in; each micro-batch is quality-gated, deduplicated WITHIN the batch
     (min doc_id per normalized-content md5), then anti-joined against the
     hashes already curated so re-crawled content never lands twice.
     Survivors append to the curated parquet store per batch (batch_id
     subdirectory — same idempotent-replay scheme as the bronze layer).
 
+    With ``near_dup=True`` a banded-MinHash stage follows exact dedup:
+    each batch's band keys probe a persisted ``bands`` store, and a doc
+    drops when it shares a full band with ANY earlier stage-2 doc (kept
+    or near-dup-dropped — the band store covers both, which is what makes
+    the incremental rule match the batch keep-first rule) or with a
+    smaller-id doc in its own batch.  Band keys for the whole batch are
+    then appended, so the probe corpus grows with ingestion.  This is the
+    production shape of "near-dedup new crawl against existing corpus":
+    the probe is an equi-join on (band, bkey) — never all-pairs — and the
+    band store is the only state, so restarts stay stateless.
+
     Equivalence contract (asserted in tests): when shards arrive in
     ascending doc_id ranges — the crawl-frontier order a real ingest has —
-    the final curated set equals batch quality-filter + exact-dedup over
-    the union of all shards, because first-seen-across-batches plus
-    min-id-within-batch composes to global min-id per hash.
+    the final curated set equals the batch funnel over the union of all
+    shards (quality + exact dedup, plus LSH keep-first when near_dup),
+    because first-seen-across-batches plus min-id-within-batch composes
+    to global min-id per hash / per band bucket.
 
     Scale notes: the anti-join probe reads only the curated store's hash
     column (columnar prune); state lives in the store itself, not in
     streaming state, so the pipeline restarts stateless and the watermark
     problem never arises.  At 100 TB the curated store is partitioned and
-    the probe becomes a bucketed join on content_hash.
+    the probe becomes a bucketed join on content_hash / (band, bkey).
     """
-    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        minhash_band_keys,
+        normalize_text,
+    )
     from cassandra_snap_to_hadoop_spark.operators.text import quality_features
 
     stream = (
@@ -339,6 +355,7 @@ def incremental_curation_pipeline(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(shard_dir)
     )
+    bands_dir = f"{curated_dir}_bands"
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
@@ -355,6 +372,39 @@ def incremental_curation_pipeline(
             fresh = in_batch.join(seen, "content_hash", "left_anti")
         except Exception:  # first batch: no curated store yet
             fresh = in_batch
+        if near_dup:
+            batch_bands = minhash_band_keys(fresh, "doc_id", "text").localCheckpoint()
+            try:
+                corpus_bands = ss.read.parquet(f"{bands_dir}/batch_id=*").select("band", "bkey")
+                hit_old = (
+                    batch_bands.join(corpus_bands.distinct(), ["band", "bkey"], "left_semi")
+                    .select(F.col("id").alias("doc_id"))
+                    .distinct()
+                )
+            except Exception:
+                hit_old = None
+            bb = batch_bands.alias("a")
+            cc = batch_bands.alias("b")
+            hit_new = (
+                bb.join(
+                    cc,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.id") > F.col("b.id")),
+                    "left_semi",
+                )
+                .select(F.col("a.id").alias("doc_id"))
+                .distinct()
+            )
+            dropped = hit_new if hit_old is None else hit_new.unionByName(hit_old).distinct()
+            fresh = fresh.join(dropped, "doc_id", "left_anti")
+            # persist bands for EVERY stage-2 doc of this batch (kept or
+            # dropped): future docs must also collide with dropped ones,
+            # exactly as the batch keep-first rule pairs against all
+            # exact-dedup survivors
+            batch_bands.select(F.col("id").alias("doc_id"), "band", "bkey").write.mode(
+                "overwrite"
+            ).parquet(f"{bands_dir}/batch_id={batch_id}")
         fresh.select("doc_id", "lang", "source", "content_hash").write.mode("overwrite").parquet(
             f"{curated_dir}/batch_id={batch_id}"
         )

@@ -269,3 +269,49 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
+    """With near_dup=True the streamed curated set must equal the batch
+    rule: quality + exact dedup, then drop any doc sharing a full MinHash
+    band with a smaller-id stage-2 doc (the keep-first LSH prune) — the
+    incremental band-store probe implements exactly that when shards
+    arrive in ascending id ranges."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        normalize_text,
+    )
+    from cassandra_snap_to_hadoop_spark.operators.text import quality_features
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
+        incremental_curation_pipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    shard_dir = str(tmp_path / "doc_shards_nd")
+    bounds = [0, 150, 300, 1 << 60]
+    for i in range(3):
+        (
+            docs.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(shard_dir)
+        )
+    curated_dir = str(tmp_path / "curated_nd")
+    incremental_curation_pipeline(
+        spark, shard_dir, curated_dir, checkpoint=str(tmp_path / "cknd"), near_dup=True
+    )
+    got = {
+        r.doc_id for r in spark.read.parquet(f"{curated_dir}/batch_id=*").select("doc_id").collect()
+    }
+
+    q = quality_features(docs, "text").filter(F.col("quality_ok") == 1)
+    hashed = q.withColumn("h", F.md5(normalize_text(F.col("text"))))
+    stage2_ids = {
+        r.doc_id for r in hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    stage2 = docs.filter(F.col("doc_id").isin([int(i) for i in stage2_ids]))
+    pairs = minhash_lsh_pairs(stage2, "doc_id", "text")
+    dropped = {r.id_b for r in pairs.collect()}
+    want = stage2_ids - dropped
+    assert got == want
+    assert 0 < len(got) <= len(stage2_ids)
