@@ -421,3 +421,100 @@ def l6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return li.mapInArrow(rev_batches, schema)
+
+
+@register(
+    "e13_listagg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2
+    ), top AS (
+        SELECT c_nationkey, c_mktsegment AS top_segment
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment
+            ) AS rn FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT g.c_nationkey, g.segments, g.n, t.top_segment
+    FROM (
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1
+    ) g JOIN top t USING (c_nationkey)
+    """,
+    survey="E7,E10",
+)
+def e13_listagg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / mode with DETERMINISTIC tiebreaks.  ``listagg`` is made
+    engine-exact by a full WITHIN GROUP (ORDER BY) over the distinct
+    values (Spark 4's native surface; DuckDB mirrors with string_agg ...
+    ORDER BY).  ``mode`` is the trap: both engines' native mode() picks an
+    ARBITRARY value on frequency ties, so the checked formulation is the
+    explicit decomposition — count per (group, value), then row_number
+    ordered (cnt DESC, value ASC) — which pins ties to the smallest value
+    identically on both engines.  At scale this is two hash aggs + a tiny
+    window over |groups x segments| rows, no collect."""
+    c = Tables(spark, sf_dir).customer
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("top_segment"))
+    )
+    agg = c.groupBy("c_nationkey").agg(
+        F.expr("listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)").alias(
+            "segments"
+        ),
+        F.count("*").alias("n"),
+    )
+    return agg.join(top, "c_nationkey")
+
+
+@register(
+    "a7_text_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(c_nationkey) AS BIGINT) AS nk_sum
+    FROM customer GROUP BY 1
+    """,
+    survey="A3,A4",
+)
+def a7_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink roundtrip: customer serialized as one
+    pipe-delimited line per row (``write.text``), re-read with the line
+    source (``read.text``), re-parsed with split/cast, aggregated — must
+    equal SQL over the original table.  Exercises the log-file ingestion
+    path (one string column in, schema projected out); integer-only
+    aggregates keep the parse/format cycle lossless by construction."""
+    from pathlib import Path
+
+    from cassandra_snap_to_hadoop_spark.queries.sources_io import _stage_dir
+
+    path = _stage_dir(sf_dir) / "customer_text"
+    if not Path(path / "_SUCCESS").exists():
+        (
+            Tables(spark, sf_dir)
+            .customer.select(
+                F.concat_ws("|", "c_custkey", "c_nationkey", "c_mktsegment").alias("value")
+            )
+            .write.mode("overwrite")
+            .text(str(path))
+        )
+    back = spark.read.text(str(path))
+    parts = F.split(F.col("value"), r"\|")
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("c_custkey"),
+        parts.getItem(1).cast("int").alias("c_nationkey"),
+        parts.getItem(2).alias("c_mktsegment"),
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum("c_nationkey").cast("long").alias("nk_sum"),
+    )
