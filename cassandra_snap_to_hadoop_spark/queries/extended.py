@@ -518,3 +518,69 @@ def a7_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").alias("key_sum"),
         F.sum("c_nationkey").cast("long").alias("nk_sum"),
     )
+
+
+@register(
+    "b9_scd2_history",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+        FROM events
+    ), islands AS (
+        SELECT user_id, state,
+               CAST(epoch_ms(MIN(ts)) AS BIGINT) AS valid_from_ms,
+               CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, state, grp
+    )
+    SELECT user_id, state, valid_from_ms, n_events,
+           lead(valid_from_ms, 1, -1) OVER (
+               PARTITION BY user_id ORDER BY valid_from_ms, first_event_id
+           ) AS valid_to_ms,
+           CASE WHEN lead(valid_from_ms, 1, -1) OVER (
+               PARTITION BY user_id ORDER BY valid_from_ms, first_event_id
+           ) = -1 THEN 1 ELSE 0 END AS is_current
+    FROM islands
+    """,
+    survey="B7,F2",
+)
+def b9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (slowly-changing-dimension type 2): collapse each
+    user's event stream into state-validity intervals — consecutive events
+    with the same type form one island (gaps-and-islands via the
+    row_number difference trick), each island becomes a row with
+    [valid_from, valid_to) in epoch-ms and an is_current flag on the open
+    interval.  This is the snapshot->history table a lakehouse keeps next
+    to the LWW-merged current view (B2/B7): the merge answers "state now",
+    SCD2 answers "state at any t".  Determinism: (ts, event_id) is a
+    unique order key; island successors tiebreak on first_event_id.
+    Scale: every step clusters on user_id or a superset, so the whole
+    plan — both numbering windows, the island aggregate, and the interval
+    window — reuses ONE hash exchange on user_id."""
+    e = Tables(spark, sf_dir).events
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("grp"),
+    )
+    islands = numbered.groupBy("user_id", "state", "grp").agg(
+        F.unix_millis(F.min("ts")).alias("valid_from_ms"),
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n_events"),
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from_ms", "first_event_id")
+    to_ms = F.lead("valid_from_ms", 1, -1).over(w_iv)
+    return islands.select(
+        "user_id",
+        "state",
+        "valid_from_ms",
+        "n_events",
+        to_ms.alias("valid_to_ms"),
+        F.when(to_ms == -1, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+    )
