@@ -584,3 +584,62 @@ def b9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_ms.alias("valid_to_ms"),
         F.when(to_ms == -1, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
     )
+
+
+@register(
+    "j15_contamination",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, hx,
+               unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+                                     for i in range(1, greatest(len(words) - 3, 1))])) AS shingle
+        FROM t
+    )
+    SELECT tr.doc_id AS train_doc_id,
+           CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+           CAST(MIN(ev.doc_id) AS BIGINT) AS first_eval_doc
+    FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+    WHERE tr.hx >= '0d' AND ev.hx < '0d'
+    GROUP BY 1
+    """,
+    survey="J2,J5",
+)
+def j15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: a train document is contaminated if
+    it shares any word 5-gram with a held-out document (the same
+    deterministic md5 split rule as j12, so membership is reproducible).
+    The check is an equi-join on the shingle value — shingle-distinct per
+    doc, never doc-pairwise — reporting per train doc how many distinct
+    5-grams leak and to how many eval docs.  At scale the eval side is a
+    small fraction of the corpus (AQE picks it as the build side; no
+    explicit hint — it still grows with SF) and production would cap
+    hot shingles by global document frequency before the join to bound
+    join fan-out; the synthetic corpus has no such degenerate n-grams."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
+
+    d = Tables(spark, sf_dir).documents
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    sh = d.select(
+        F.col("doc_id"),
+        hx.alias("hx"),
+        F.explode(shingles(F.col("text"), 5)).alias("shingle"),
+    )
+    train = sh.filter(F.col("hx") >= "0d").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    ev = sh.filter(F.col("hx") < "0d").select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    return (
+        train.join(ev, "shingle")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.min("eval_doc_id").cast("long").alias("first_eval_doc"),
+        )
+    )
