@@ -643,3 +643,44 @@ def j15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("eval_doc_id").cast("long").alias("first_eval_doc"),
         )
     )
+
+
+@register(
+    "j16_source_balancing",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS n_distinct_tokens
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(n_distinct_tokens AS INTEGER) AS n_distinct_tokens,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n_distinct_tokens DESC, doc_id
+        ) AS rk FROM t
+    ) WHERE rk <= 10
+    """,
+    survey="G3,J9",
+)
+def j16_source_balancing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota balancing — the curation step that stops one crawl
+    domain from dominating the training mix: rank each source's documents
+    by lexical richness and keep the top 10.  The rank key is the
+    INTEGER distinct-token count with a doc_id tiebreak, deliberately not
+    a float quality score: float-ordered ranking is the cross-engine tie
+    landmine the float rule exists for (integer keys order identically
+    everywhere).  One window over |corpus| rows clustered by source; at
+    scale the quota would be a per-source rate, same plan shape."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    ndt = F.size(F.array_distinct(tokens(F.col("text")))).alias("n_distinct_tokens")
+    w = Window.partitionBy("source").orderBy(F.desc("n_distinct_tokens"), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", ndt)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_distinct_tokens", F.col("rk").cast("int").alias("rk"))
+    )
