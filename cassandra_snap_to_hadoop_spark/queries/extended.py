@@ -684,3 +684,28 @@ def j16_source_balancing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("source", "doc_id", "n_distinct_tokens", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "d10_nullsafe_join",
+    oracle="""
+    SELECT a.n_name AS a_name, b.n_name AS b_name
+    FROM (SELECT n_name, NULLIF(n_regionkey, 2) AS k FROM nation) a
+    JOIN (SELECT n_name, NULLIF(n_regionkey, 2) AS k FROM nation) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    survey="D5,C4",
+)
+def d10_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing, the semantics LWW merge keys and
+    dedup blocking need when a blocking key is legitimately absent.
+    Spark plans eqNullSafe as a HASH join (the comparator stays an
+    equality), so the scale story is identical to D1/D2 — but the
+    null-key bucket is a self-cross-product, so production bounds or
+    salts the NULL block (here it's one region's nations, 25 pairs)."""
+    n = Tables(spark, sf_dir).nation
+    k = F.nullif(F.col("n_regionkey"), F.lit(2))
+    a = n.select(F.col("n_name").alias("a_name"), k.alias("k_a"))
+    b = n.select(F.col("n_name").alias("b_name"), k.alias("k_b"))
+    return a.join(b, F.col("k_a").eqNullSafe(F.col("k_b"))).select("a_name", "b_name")
