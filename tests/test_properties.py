@@ -206,6 +206,9 @@ def test_partition_count_invariance(spark, sf_dir):
         "llm_curation_funnel",
         "j14_fuzzy_match",
         "j13_sequence_packing",
+        "b9_scd2_history",
+        "j16_source_balancing",
+        "e13_listagg_mode",
     ]
     def run_all():
         return {
