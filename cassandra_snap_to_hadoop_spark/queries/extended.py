@@ -709,3 +709,51 @@ def d10_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.select(F.col("n_name").alias("a_name"), k.alias("k_a"))
     b = n.select(F.col("n_name").alias("b_name"), k.alias("k_b"))
     return a.join(b, F.col("k_a").eqNullSafe(F.col("k_b"))).select("a_name", "b_name")
+
+
+@register(
+    "h4_union_schema_evolution",
+    oracle="""
+    WITH u AS (
+        (SELECT event_id, user_id, value, 'v1' AS ver
+         FROM events WHERE event_id % 2 = 0)
+        UNION ALL BY NAME
+        (SELECT event_id, user_id, value,
+                json_extract_string(props, '$.k') AS k, 'v2' AS ver
+         FROM events WHERE event_id % 2 = 1)
+    )
+    SELECT ver, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+           CAST(COALESCE(SUM(CAST(k AS BIGINT)), -1) AS BIGINT) AS k_sum
+    FROM u GROUP BY 1
+    """,
+    survey="H1,C4",
+)
+def h4_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v2 ingest adds a column the v1 shards
+    never had; ``unionByName(allowMissingColumns=True)`` aligns by NAME
+    and null-fills the gap (positional unionAll would silently misalign —
+    the classic snapshot-generation drift bug).  DuckDB mirrors with
+    UNION ALL BY NAME.  The aggregate proves both the fill (v1 rows count
+    as missing) and that the evolved column still computes (k_sum over v2
+    only).  k_sum is CAST back to BIGINT on the oracle side — SUM(BIGINT)
+    widens to HUGEINT in DuckDB, the repo's known hash landmine — and
+    COALESCEd to -1 because all-NULL groups sum to NULL, which the
+    compare harness can't sort against integers."""
+    e = Tables(spark, sf_dir).events
+    v1 = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value", F.lit("v1").alias("ver")
+    )
+    v2 = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.get_json_object("props", "$.k").alias("k"),
+        F.lit("v2").alias("ver"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("ver").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing_k"),
+        F.coalesce(F.sum(F.col("k").cast("long")), F.lit(-1)).alias("k_sum"),
+    )
