@@ -340,3 +340,30 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
         assert stats_row and "rows" in stats_row[0].data_type, stats_row
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_b9_scd2_is_single_exchange(spark, sf_dir):
+    """The SCD2 history build clusters every step on user_id or a
+    superset, so both gaps-and-islands windows, the island aggregate, and
+    the interval lead-window must share ONE hash exchange of the events
+    scan — the at-scale floor for per-key ordered computation."""
+    df = REGISTRY["b9_scd2_history"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, plan_string(df, "simple")
+
+
+def test_j15_contamination_is_hash_join_on_shingle(spark, sf_dir):
+    """Train x eval overlap must join on the shingle VALUE (hash join),
+    never doc-pairwise."""
+    df = REGISTRY["j15_contamination"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert not uses_cartesian_product(df)
+    assert ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s) or ("BroadcastHashJoin" in s)
+
+
+def test_d10_nullsafe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe keeps an equality comparator — the plan must be a hash
+    join (knownfloatingpointnormalized null-safe key), not a nested
+    loop."""
+    df = REGISTRY["d10_nullsafe_join"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s), s
