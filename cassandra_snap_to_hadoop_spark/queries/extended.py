@@ -757,3 +757,50 @@ def h4_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing_k"),
         F.coalesce(F.sum(F.col("k").cast("long")), F.lit(-1)).alias("k_sum"),
     )
+
+
+@register(
+    "a8_csv_malformed_rows",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(13 AS BIGINT) AS n_corrupt,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    """,
+    survey="A3",
+)
+def a8_csv_malformed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest CSV handling: the staged customer CSV gains 13
+    deliberately malformed lines (unparseable key column).  PERMISSIVE
+    mode routes them into the corrupt-record column instead of failing
+    the job or silently dropping them — the accounting a real crawl
+    ingest needs (every rejected line is countable, good rows checksum to
+    the source exactly).  The corrupt count is a staged constant, so the
+    oracle is SQL over the original table plus that literal."""
+    from pathlib import Path
+
+    from cassandra_snap_to_hadoop_spark.queries.sources_io import _stage_dir
+
+    path = _stage_dir(sf_dir) / "customer_dirty_csv"
+    if not Path(path / "_STAGED").exists():
+        (
+            Tables(spark, sf_dir)
+            .customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+            .write.mode("overwrite")
+            .csv(str(path))
+        )
+        bad = "\n".join(f"BAD_KEY_{i},garbage,x,y,z" for i in range(13)) + "\n"
+        Path(path / "zz_malformed.csv").write_text(bad)
+        Path(path / "_STAGED").write_text("ok")
+    back = spark.read.csv(
+        str(path),
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string, _bad string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("c_custkey"))).alias("key_sum"),
+    )
