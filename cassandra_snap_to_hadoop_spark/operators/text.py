@@ -227,3 +227,40 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "tf",
         F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """J9 repetition profile (Gopher-style boilerplate rules): per document,
+    the exact-integer counts behind duplicate-2-gram fraction, vocabulary
+    size, and hottest-token mass.  Ratios are left to the consumer so the
+    outputs stay engine-exact integers.
+
+    Non-distinct 2-grams are built positionally (``sequence`` + ``slice``);
+    texts under 2 tokens yield an empty gram array (same downward-counting
+    ``sequence(1, 0)`` guard as dedup.shingles).  The hottest-token count is
+    O(tokens x vocab) per row via nested HOFs — fine for document-length
+    rows, and the whole profile stays a no-shuffle codegen map stage.
+    """
+    w = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = df.select(F.col(id_col), w.alias("__w"), grams.alias("__grams"))
+    max_tok = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__w")),
+            lambda tk: F.size(F.filter(F.col("__w"), lambda x: x == tk)),
+        )
+    )
+    return t.select(
+        id_col,
+        F.size("__w").cast("int").alias("n_tokens"),
+        F.size("__grams").cast("int").alias("n_2grams"),
+        F.size(F.array_distinct("__grams")).cast("int").alias("n_distinct_2grams"),
+        F.size(F.array_distinct("__w")).cast("int").alias("n_distinct_tokens"),
+        max_tok.cast("int").alias("max_token_count"),
+    )

@@ -24,6 +24,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     udf,  # 5 -> 44-48                            (L1-L5)
     multimodal,  # 4 -> 49-52                     (J10/J11; SQL rows first)
     extended,  # round-2 additions (F8, B8, J3-range, J11-quantize)
+    training,  # round-2 late: repetition/mixture/percentile-cut, skew + bucket certification
     sql_api,
     tpch,  # 9 -> 54-62
     cassandra_sem,  # driver-green round 1 from here down

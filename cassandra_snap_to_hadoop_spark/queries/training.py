@@ -1,0 +1,318 @@
+"""Training-data curation depth (round-2 late additions): within-document
+repetition signals, mixture/temperature source weighting, percentile-gated
+quality cuts, compression-ratio scoring — plus driver certification of the
+skew-mitigation operators (salted agg / salted join) and the bucketed-table
+shuffle-free join path.
+
+Registered after ``extended`` on purpose: the driver's bounded sweep window
+this round certifies the front-loaded families; these are value-checked by
+the local oracle mirror (and rotate into the window next round).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.text import tokens
+from cassandra_snap_to_hadoop_spark.queries._util import round4, sql_qsum
+from cassandra_snap_to_hadoop_spark.registry import register
+
+
+@register(
+    "j17_repetition_signals",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 2
+                    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(grams) AS INTEGER) AS n_2grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_tokens,
+           CAST(list_max(list_transform(list_distinct(w),
+                t -> len(list_filter(w, x -> x = t)))) AS INTEGER) AS max_token_count
+    FROM g
+    """,
+    survey="J9,J5",
+)
+def j17_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules, per
+    Rae et al. 2021 §A1.1): duplicate-2-gram mass (n_2grams vs distinct),
+    vocabulary size, and the hottest token's count — the filters that drop
+    boilerplate/spam documents before training.  Every output is an exact
+    INTEGER (counts, never ratios), so the check needs no float rule; the
+    consumer derives ratios downstream.  All per-row higher-order
+    expressions — a pure codegen map stage, no shuffle, no UDF: the ideal
+    100 TB shape (score while you scan).  Implementation:
+    operators/text.py repetition_signals."""
+    from cassandra_snap_to_hadoop_spark.operators.text import repetition_signals
+
+    d = Tables(spark, sf_dir).documents
+    return repetition_signals(d, "doc_id", "text")
+
+
+@register(
+    "j18_mixture_weights",
+    oracle=r"""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(1000000 * sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER ()) AS BIGINT)
+               AS share_ppm,
+           CAST(ROUND(100000 * sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER ()) AS BIGINT)
+               AS quota_docs
+    FROM s
+    """,
+    survey="J9,E2",
+)
+def j18_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting (alpha = 0.5, the multilingual
+    up-sampling rule from the XLM-R/mT5 line of work): each source's
+    sampling share is n_tokens^alpha normalized over all sources, so
+    small sources are up-weighted without letting any source dominate.
+    sqrt is IEEE-exact per row; the only cross-engine hazard is the
+    association order of the tiny over-all-sources window SUM (|sources|
+    doubles), absorbed by integer ppm rounding.  Plan: one hash agg over
+    the corpus + a window over |sources| rows — the second stage is
+    O(sources), trivially driver-safe at any scale."""
+    d = Tables(spark, sf_dir).documents
+    from cassandra_snap_to_hadoop_spark.operators.text import token_count_ws
+
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    total = F.sum(F.sqrt("n_tokens")).over(Window.partitionBy())
+    share = F.sqrt("n_tokens") / total
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share * 1000000).cast("long").alias("share_ppm"),
+        F.round(share * 100000).cast("long").alias("quota_docs"),
+    )
+
+
+@register(
+    "j19_quality_percentile_cut",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                   AS rich
+        FROM documents
+    ), m AS (
+        SELECT lang, quantile_cont(rich, 0.5) AS med FROM t GROUP BY 1
+    )
+    SELECT t.lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rich >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(med), 4) AS median_rich
+    FROM t JOIN m ON t.lang = m.lang
+    GROUP BY t.lang
+    """,
+    survey="J9,E6",
+)
+def j19_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated quality cut: keep documents at or above their
+    language's median lexical richness — the relative-threshold filter a
+    curation pipeline uses so one language's verbosity doesn't set another
+    language's bar.  The quality key is an INTEGER (distinct-token count);
+    the interpolated median of integers is exactly x.0 or x.5 in IEEE
+    doubles, so the >= comparison is engine-exact (no float-boundary
+    hazard).  Shape: corpus map -> per-lang percentile agg (tiny result,
+    AQE broadcasts it back) -> one re-agg; swap percentile for
+    percentile_approx at 100 TB exactly as e6 documents."""
+    d = Tables(spark, sf_dir).documents
+    t = d.select("lang", F.size(F.array_distinct(tokens(F.col("text")))).alias("rich"))
+    m = t.groupBy("lang").agg(F.percentile("rich", 0.5).alias("med"))
+    return (
+        t.join(m, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rich") >= F.col("med"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            round4(F.min("med")).alias("median_rich"),
+        )
+    )
+
+
+@register(
+    "d11_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {qsum} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """.format(qsum=sql_qsum("o_totalprice")),
+    survey="D2,E2",
+)
+def d11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join, value-checked against the plain join: the
+    salted plan (dim replicated n_salts times, fact salted on row
+    identity, equi-join on (key, salt)) must produce byte-identical
+    aggregates — salting redistributes work, never rows.  This certifies
+    operators/skew.py's join path in the driver gate, not just in unit
+    tests.  At scale this is the manual fallback when one hot key
+    overwhelms even AQE's skew-join splitting (op docstring)."""
+    from cassandra_snap_to_hadoop_spark.operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    fact = t.orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    dim = t.customer.select("c_custkey", "c_mktsegment")
+    joined = salted_join(fact, dim, "c_custkey", n_salts=8, fact_id_cols=["o_orderkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_price"),
+    )
+
+
+@register(
+    "e15_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {qsum} AS qty_sum,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem GROUP BY 1
+    """.format(qsum=sql_qsum("l_quantity")),
+    survey="E2,E10",
+)
+def e15_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation, value-checked against the plain
+    GROUP BY — exercises BOTH salted_agg merge forms: sum-mergeable
+    partials (count, quantized sum) and the (expr, merge_fn) tuple form
+    for min/max, whose partials must NOT be summed (the exact silent-wrong
+    case the tuple API exists to prevent).  Identical output to one-phase
+    aggregation is the operator's correctness contract."""
+    from cassandra_snap_to_hadoop_spark.operators.skew import salted_agg
+
+    li = Tables(spark, sf_dir).lineitem
+    merged = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count("*"),
+            "qty_cents": F.sum(F.round(F.col("l_quantity") * 100).cast("long")),
+            "lo": (F.min("l_extendedprice"), F.min),
+            "hi": (F.max("l_extendedprice"), F.max),
+        },
+        salt_id_cols=["l_orderkey", "l_linenumber"],
+        n_salts=16,
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        (F.col("qty_cents") / 100.0).alias("qty_sum"),
+        "lo",
+        "hi",
+    )
+
+
+@register(
+    "a9_bucketed_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {qsum} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """.format(qsum=sql_qsum("o_totalprice")),
+    survey="A4,D2",
+)
+def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written once with
+    ``bucketBy(8, join_key).sortBy(join_key)``, then joined WITHOUT a
+    shuffle — Spark trusts the persisted bucketing, so the sort-merge join
+    reads matching buckets directly (test_training_queries.py asserts the
+    bucket scan + no Exchange under the join).  This is THE pattern for a
+    100 TB fact table joined repeatedly on the same key: pay the
+    partitioning once at write time, amortize it over every later join.
+    Values are checked against the plain (shuffling) join's SQL."""
+    import shutil
+    from urllib.parse import urlparse
+
+    t = Tables(spark, sf_dir)
+    suffix = Path(sf_dir).name.replace(".", "_")
+    orders_tbl, cust_tbl = f"bkt_orders_{suffix}", f"bkt_customer_{suffix}"
+    # The in-memory catalog forgets tables across sessions while the
+    # warehouse directory persists; clear any orphaned location so the
+    # rewrite can't hit LOCATION_ALREADY_EXISTS.
+    warehouse = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    for tbl in (orders_tbl, cust_tbl):
+        loc = warehouse / tbl
+        if not spark.catalog.tableExists(tbl) and loc.exists():
+            shutil.rmtree(loc)
+    if not spark.catalog.tableExists(orders_tbl):
+        (
+            t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(orders_tbl)
+        )
+    if not spark.catalog.tableExists(cust_tbl):
+        (
+            t.customer.select("c_custkey", "c_nationkey")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(cust_tbl)
+        )
+    o = spark.table(orders_tbl)
+    c = spark.table(cust_tbl)
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total_price"),
+    )
+
+
+@register("j20_compression_ratio", oracle=None, survey="J9,L4")
+def j20_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (zlib level 6): highly repetitive
+    or templated documents compress far below natural text — a cheap,
+    model-free quality filter used alongside J17's n-gram rules.  zlib
+    lives in Python, so this is the canonical Arrow-batched mapInPandas
+    shape: score in parallel map tasks, aggregate into 5-point ratio
+    buckets.  Rows-only: no SQL engine exposes deflate, and the byte
+    ratio is zlib-build-specific (deterministic within this container;
+    bucket histogram is pinned by a unit test)."""
+    import pandas as pd
+
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").map(lambda s: s.encode("utf-8"))
+            ratio = raw.map(lambda b: len(zlib.compress(b, 6)) * 100 // max(len(b), 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ratio_pct": ratio.astype("int64")})
+
+    scored = d.mapInPandas(score, "doc_id long, ratio_pct long")
+    bucket = (F.col("ratio_pct") - F.col("ratio_pct") % 5).alias("ratio_bucket_pct")
+    return scored.groupBy(bucket).agg(F.count("*").alias("n_docs"))

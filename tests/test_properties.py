@@ -209,6 +209,10 @@ def test_partition_count_invariance(spark, sf_dir):
         "b9_scd2_history",
         "j16_source_balancing",
         "e13_listagg_mode",
+        "e15_salted_agg",
+        "d11_salted_skew_join",
+        "j18_mixture_weights",
+        "j19_quality_percentile_cut",
     ]
     def run_all():
         return {
