@@ -459,3 +459,206 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "tpch_q12_shipping_delay",
+    oracle="""
+    SELECT CAST(GREATEST(LEAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 60.0), 4), 0) AS BIGINT)
+               AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    survey="D2,E11",
+)
+def tpch_q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode -> ship-delay buckets, the schema has no
+    l_shipmode): classify each line by capped 60-day shipping-delay bucket
+    (clamped to [0, 4]; the synthetic dates allow ship-before-order)
+    and pivot order priority into conditional counts — the CASE-sum
+    pattern over a fact⋈fact join.  datediff is exact-integer on both
+    engines, so bucket membership needs no float rule."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    bucket = F.greatest(
+        F.least(F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 60.0), F.lit(4)),
+        F.lit(0),
+    ).cast("long")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    survey="D3,E2",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customer order-count distribution.  The left join keeps
+    zero-order customers (COUNT of a null-extended column is 0, exactly
+    the semantics positional inner join would lose); the filtered join
+    condition ('not special requests' stood in by excluding 1-URGENT)
+    lives in the ON clause, not WHERE — moving it to WHERE would silently
+    drop the zero-order rows.  Two-level aggregation: per-customer count,
+    then histogram over counts."""
+    t = Tables(spark, sf_dir)
+    c_orders = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_QREV} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    survey="D1,E2,G2",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: top supplier by quarterly revenue via a scalar subquery over a
+    derived view.  Revenue is QUANTIZED (integer-cent sums), so the
+    max-equality join is engine-exact — the one formulation where a float
+    `=` across engines is safe.  Spark shape: the revenue aggregate is
+    computed once, its 1-row MAX is broadcast back (scalar-subquery
+    decorrelation by hand), supplier join is a broadcast of the tiny
+    winners set at any scale."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(qsum(F.expr(_REV), 10000).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    winners = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop("__mx")
+    return t.supplier.join(
+        winners, F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT COALESCE({_QREV}, 0.0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="D2,C3",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (container terms replaced by size bands): revenue under an
+    OR of brand/size/quantity conjunctions spanning both join sides.  The
+    optimizer must split the disjunction: per-side implied predicates
+    (brand IN (...), size <= 35, quantity <= 30) push into each scan, and
+    the residual OR evaluates post-join — the classic test that
+    disjunctions don't force a full cartesian read.  COALESCE guards the
+    empty-match case (single-row global agg)."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.coalesce(qsum(F.expr(_REV), 10000), F.lit(0.0)).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    """,
+    survey="D4,D8,E3",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (receipt-vs-commit lateness stood in by ship > order +
+    90 days): suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order.  The two correlated subqueries
+    decorrelate to a semi join (another supplier exists) and an anti join
+    (no OTHER late supplier) on the same self-joined relation — the
+    hardest decorrelation pattern in the suite.  All three legs cluster
+    on l_orderkey, so AQE reuses one fact exchange; the supplier join is
+    a dim lookup."""
+    t = Tables(spark, sf_dir)
+    l = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+        )
+    )
+    l1 = l.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("late")).select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    sole_late = cand.join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return (
+        sole_late.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )

@@ -367,3 +367,32 @@ def test_d10_nullsafe_join_is_hash_join(spark, sf_dir):
     df = REGISTRY["d10_nullsafe_join"].fn(spark, sf_dir)
     s = plan_string(df, "simple")
     assert ("BroadcastHashJoin" in s) or ("SortMergeJoin" in s) or ("ShuffledHashJoin" in s), s
+
+
+def test_q21_sole_late_semi_and_anti(spark, sf_dir):
+    """Q21's two correlated subqueries must decorrelate to one semi join
+    (another supplier exists) plus one anti join (no other LATE supplier)
+    — never per-row re-execution."""
+    df = REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "LeftSemi" in s, s
+    assert "LeftAnti" in s, s
+    assert not uses_cartesian_product(df)
+
+
+def test_q19_disjunction_pushes_implied_predicates(spark, sf_dir):
+    """Q19's OR-of-conjunctions must not force a full scan of either side:
+    the implied brand disjunction pushes into the part scan and the
+    quantity bound into the lineitem scan."""
+    df = REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, sf_dir)
+    s = plan_string(df, "formatted")
+    assert "p_brand" in pushed_filters(df) or "p_brand" in s, s
+    assert not uses_cartesian_product(df)
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    """The ON-clause filter placement is the q13 semantics: zero-order
+    customers must appear in the c_count=0 bucket."""
+    out = {r["c_count"]: r["custdist"] for r in
+           REGISTRY["tpch_q13_customer_distribution"].fn(spark, sf_dir).collect()}
+    assert sum(out.values()) == load(spark, sf_dir, "customer").count()
