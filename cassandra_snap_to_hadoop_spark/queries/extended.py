@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.operators import similarity as sim
-from cassandra_snap_to_hadoop_spark.queries._util import round4
+from cassandra_snap_to_hadoop_spark.queries._util import qsum, round4
 from cassandra_snap_to_hadoop_spark.registry import register
 
 
@@ -803,4 +803,33 @@ def a8_csv_malformed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
         F.count(F.col("_bad")).alias("n_corrupt"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("c_custkey"))).alias("key_sum"),
+    )
+
+
+@register(
+    "k9_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e
+    JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    survey="K8,D1",
+)
+def k9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch-declared: events joined to the
+    fixed-cardinality nation dim (25 rows — broadcast is scale-honest
+    here, unlike SF-scaling tables) then aggregated.  The streaming twin
+    (streaming/pipelines.py k9_stream) runs the identical shape under
+    readStream: the static dim re-resolves per micro-batch with ZERO join
+    state; only the downstream aggregation is stateful, bounded by the
+    watermark.  Parity-tested in test_streaming_parity.py."""
+    t = Tables(spark, sf_dir)
+    enriched = t.events.withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    ).join(F.broadcast(t.nation), "n_nationkey")
+    return enriched.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
+        F.count("*").alias("n"), qsum(F.col("value")).alias("total_value")
     )

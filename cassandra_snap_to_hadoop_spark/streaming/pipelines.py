@@ -416,3 +416,15 @@ def incremental_curation_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def k9_stream(events: DataFrame, nation: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """K9 streaming twin: stream-static broadcast enrichment + aggregate.
+    The static dim is joined micro-batch-side (stateless); only the
+    post-join aggregation keeps state, bounded by the watermark."""
+    enriched = events.withWatermark("ts", watermark).withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    ).join(F.broadcast(nation), "n_nationkey")
+    return enriched.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
+        F.count("*").alias("n"), qsum(F.col("value")).alias("total_value")
+    )

@@ -315,3 +315,19 @@ def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
     want = stage2_ids - dropped
     assert got == want
     assert 0 < len(got) <= len(stage2_ids)
+
+
+def test_k9_stream_static_enrich_parity(spark, sf_dir, event_shards, tmp_path):
+    """Stream-static join: the static side resolves per micro-batch with no
+    join state; complete-mode output must equal the batch declaration."""
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import k9_stream
+
+    batch = REGISTRY["k9_stream_static_enrich"].fn(spark, sf_dir).collect()
+    stream = run_to_completion(
+        k9_stream(
+            read_event_stream(spark, event_shards, max_files_per_trigger=7),
+            load(spark, sf_dir, "nation"),
+        ),
+        str(tmp_path / "ck9"),
+    )
+    assert _rows(batch) == _rows(stream)
