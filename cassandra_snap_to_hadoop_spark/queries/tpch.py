@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.queries._util import qsum, yr
@@ -661,4 +662,248 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+_PROFIT = "l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity"
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        FROM lineitem GROUP BY 1, 2
+    ), euro AS (
+        SELECT pk, sk, cost_c, s_name, s_acctbal, n_name
+        FROM supply JOIN supplier ON s_suppkey = sk
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+           cost_c / 100.0 AS supply_cost
+    FROM part JOIN euro ON pk = p_partkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+      AND cost_c = (SELECT MIN(e2.cost_c) FROM euro e2 WHERE e2.pk = p_partkey)
+    """,
+    survey="D1,D2,E2",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (no partsupp table — the supply relation is DERIVED from
+    lineitem as min observed price in exact cents per (part, supplier)):
+    for each small STANDARD part, every EUROPE supplier achieving the
+    regional minimum cost.  The correlated scalar MIN decorrelates by hand
+    into a per-part WINDOW minimum over the euro relation — one pass,
+    one shuffle on pk, no duplicated subtree (an aggregate-and-join-back
+    would evaluate the supply join twice since Spark does not auto-reuse
+    the common subplan here).  Integer-exact cents, so ties keep ALL
+    minimal suppliers on both engines (the float-equality trap q15 also
+    avoids).  nation/region are the only hinted broadcasts
+    (fixed-cardinality); supply/supplier/part joins stay shuffle joins
+    that AQE may upgrade at bench scale."""
+    t = Tables(spark, sf_dir)
+    supply = t.lineitem.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c"))
+    euro = (
+        supply.join(t.supplier, F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("pk", "sk", "cost_c", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t.part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    best = F.min("cost_c").over(Window.partitionBy("pk"))
+    return (
+        euro.withColumn("best_c", best)
+        .filter(F.col("cost_c") == F.col("best_c"))
+        .join(parts, F.col("p_partkey") == F.col("pk"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c") / 100.0).alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS yr,
+           SUM(CAST(ROUND(({_PROFIT}) * 10000) AS BIGINT)) / 10000.0 AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    survey="D2,E2,I2",
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (ps_supplycost stood in by 10% of retail price — the only
+    cost column the schema carries): profit by supplier nation and order
+    year over a five-way join.  The p_name filter prunes part BEFORE its
+    join (predicate pushdown shrinks the build side ~linearly); the two
+    fact-fact joins (lineitem-orders) cluster on orderkey so AQE can reuse
+    the exchange.  Profit is quantized per-row THEN summed — exact under
+    any partial-aggregation order at any parallelism."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.part.filter(F.col("p_name").like("%gear%")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), yr(F.col("o_orderdate")).alias("yr"))
+        .agg(qsum(F.expr(_PROFIT), 10000).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS v_c
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+        GROUP BY 1
+    )
+    SELECT pk AS p_partkey, v_c / 100.0 AS part_value
+    FROM val
+    WHERE v_c > (SELECT SUM(v_c) FROM val) * 0.0005
+    """,
+    survey="E1,E2,D1",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (stock value stood in by shipped value): parts whose
+    traded value from three nations' suppliers exceeds a fraction of the
+    total.  The scalar-subquery gate is decorrelated by hand: the 1-row
+    global total re-joins via broadcast nested-loop (sanctioned small
+    side).  val is localCheckpoint-ed first because Spark re-executes a
+    twice-referenced subplan (verified: no ReusedExchange even under
+    AQE) — materializing |part| narrow rows once beats re-running the
+    lineitem-supplier join at any scale (same pattern as
+    operators/dedup.py dup_clusters).  The int-vs-double threshold
+    compare is exact below 2^53 cents."""
+    t = Tables(spark, sf_dir)
+    nat = t.nation.filter(F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
+    val = (
+        t.lineitem.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("v_c"))
+    ).localCheckpoint()
+    total = val.agg(F.sum("v_c").alias("t_c"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v_c") > F.col("t_c") * 0.0005)
+        .select(F.col("pk").alias("p_partkey"), (F.col("v_c") / 100.0).alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS supplier_cnt
+    FROM sp JOIN part ON p_partkey = pk
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    survey="C6,D4,E3",
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (the supplier-complaint exclusion stood in by negative
+    account balance): distinct supplier counts per (brand, type, size)
+    excluding flagged suppliers.  NOT IN over a provably non-null key is
+    declared as a left anti join directly — the decorrelation Catalyst
+    would produce, minus the null-semantics trap.  The DISTINCT pair
+    projection collapses lineitem 60k->52k BEFORE any join (cheapest
+    place to dedup: 2 longs wide)."""
+    t = Tables(spark, sf_dir)
+    sp = t.lineitem.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    flagged = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        sp.join(flagged, F.col("sk") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("p_partkey") == F.col("pk"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS qty_1996
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_name, n_name AS nation
+    FROM shipped
+    JOIN part     ON p_partkey = pk
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'small%' AND total_qty >= 60 AND 2 * qty_1996 > total_qty
+    """,
+    survey="D4,E11",
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (availqty stood in by lifetime shipped quantity):
+    suppliers who moved over half their lifetime volume of a 'small%'
+    part during 1996 (restricted to repeat-supply pairs, total >= 60,
+    so the majority test discriminates instead of saturating on the
+    single-shipment pairs that dominate this grain).  The nested EXISTS
+    chain is declared as an
+    aggregate -> filter -> LEFT SEMI join onto supplier, so each supplier
+    emits once regardless of how many parts qualify — the semi join IS
+    the decorrelation.  All quantity math is exact integer (quantities
+    are integral by construction, checked in FIXTURES.md)."""
+    t = Tables(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    shipped = t.lineitem.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(qty).alias("total_qty"),
+        F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("qty_1996"),
+    )
+    qualifying = (
+        shipped.join(
+            t.part.filter(F.col("p_name").like("small%")),
+            F.col("p_partkey") == F.col("pk"),
+        )
+        .filter((F.col("total_qty") >= 60) & (2 * F.col("qty_1996") > F.col("total_qty")))
+        .select("sk")
+    )
+    return (
+        t.supplier.join(qualifying, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
     )

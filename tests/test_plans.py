@@ -96,6 +96,11 @@ def test_tpch_sf_scaling_tables_not_hint_broadcast(spark, sf_dir):
             ("tpch_q8_market_share", 3),
             ("tpch_q14_promo_effect", 0),
             ("tpch_q18_large_volume_customers", 0),
+            ("tpch_q2_min_cost_supplier", 2),  # nation + region only
+            ("tpch_q9_product_type_profit", 1),  # nation only
+            ("tpch_q11_important_parts", 1),  # 1-row total BNLJ; val pre-materialized
+            ("tpch_q16_part_supplier_counts", 0),
+            ("tpch_q20_promotion_suppliers", 1),  # nation only
         ):
             df = REGISTRY[key].fn(spark, sf_dir)
             assert broadcast_join_count(df) == allowed, (key, plan_string(df, "simple"))
