@@ -316,3 +316,69 @@ def j20_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.mapInPandas(score, "doc_id long, ratio_pct long")
     bucket = (F.col("ratio_pct") - F.col("ratio_pct") % 5).alias("ratio_bucket_pct")
     return scored.groupBy(bucket).agg(F.count("*").alias("n_docs"))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "j21_pii_redaction",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com or call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS len_clean
+    FROM injected
+    """,
+    survey="J9,I1",
+)
+def j21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect + redact emails and phone
+    numbers, emitting per-doc redaction counts and the scrubbed text's md5
+    (the strongest cross-engine check: byte-identical redacted output).
+
+    The synthetic corpus carries no PII by construction, so the fixture
+    INJECTS deterministic PII into 2/3 of docs first (same
+    prove-on-injected-signal pattern as j9_language_id_learned) — zero-hit
+    docs stay in the output, covering the no-op path.  Patterns avoid
+    Java-vs-RE2 dialect divergence: character classes and bounded repeats
+    only, no lookaround (RE2 has none), no shorthand escapes.  Pure
+    column expressions — one scan, no shuffle, no UDF: at 100 TB this is
+    the cheapest operator class there is (codegen'd regex per partition)."""
+    d = Tables(spark, sf_dir).documents
+    injected = d.withColumn(
+        "txt",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count(F.col("txt"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("txt"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("redacted_md5"),
+        F.length(clean).cast("long").alias("len_clean"),
+    )
