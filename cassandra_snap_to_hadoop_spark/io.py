@@ -138,6 +138,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Defensive twin of inferTimestampNTZ=false (session.py): if the scan
+    # ran on a foreign session where that conf couldn't be applied, naive
+    # parquet timestamps arrive as TIMESTAMP_NTZ — reinterpret as TIMESTAMP
+    # (identical instant under the UTC session timezone).  No-op when the
+    # reader conf took effect, so pushdown is unaffected on our sessions.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,118 @@
+"""Physical-layout operators: Z-order (Morton) clustering keys and
+small-file compaction sizing.
+
+Both address the same 100 TB reality: at scale the dominant cost of a scan
+is how the data is *laid out*, not how the query is written.
+
+* **Z-order**: multi-dimensional min/max data skipping.  A table range-
+  partitioned and sorted by a Morton interleave of two (or more) quantized
+  dimensions gives every parquet file a tight bounding box in BOTH
+  dimensions, so footer min/max stats prune files for predicates on either
+  column — the trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.  The
+  Morton code itself is pure integer bit arithmetic (shift/or/and magic-
+  mask spreading), expressed in portable SQL so the Spark plan stays
+  whole-stage-codegen and the DuckDB oracle can mirror it bit-for-bit.
+
+* **Compaction**: long-running ingest (streaming micro-batches, per-hour
+  partitions) accretes thousands of tiny files; each file costs a task,
+  an open, a footer parse.  ``target_file_count`` sizes a repartition so
+  output files land near a target byte size (the 128 MB HDFS-block-shaped
+  sweet spot on a real cluster).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Magic-mask bit spreading: 16 significant bits -> 32 bits with zeros
+# interleaved (Morton/Z-curve).  Plain SQL so the identical string runs on
+# Spark (via F.expr) and DuckDB (oracle mirror).
+_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread16_sql(expr: str) -> str:
+    """SQL expression spreading the low 16 bits of ``expr`` so bit i lands
+    at position 2*i (BIGINT arithmetic; identical on Spark and DuckDB)."""
+    e = f"(CAST({expr} AS BIGINT) & 65535)"
+    for shift, mask in _MASKS:
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e
+
+
+def morton32_sql(x_expr: str, y_expr: str) -> str:
+    """32-bit Morton interleave of two 16-bit dimensions as portable SQL.
+
+    Even bits carry ``x``, odd bits carry ``y``: locality in Z-order
+    implies locality in both inputs, which is exactly what per-file
+    min/max pruning needs.
+    """
+    return f"({spread16_sql(x_expr)} | ({spread16_sql(y_expr)} << 1))"
+
+
+def morton32(x_expr: str, y_expr: str) -> Column:
+    """Column form of :func:`morton32_sql` for DataFrame pipelines.
+    Inputs are SQL expression strings (kept as SQL so the same text feeds
+    the DuckDB oracle — no Column-to-SQL reflection, Connect-safe)."""
+    return F.expr(morton32_sql(x_expr, y_expr))
+
+
+def morton32_py(x: int, y: int) -> int:
+    """Pure-python reference for tests (independent of both engines)."""
+
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        for shift, mask in _MASKS:
+            v = (v | (v << shift)) & mask
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def zorder_layout(df: DataFrame, x: str, y: str, num_files: int) -> DataFrame:
+    """Cluster ``df`` for 2-D data skipping: range-partition then sort by
+    the Morton code.  ``repartitionByRange`` samples the key distribution,
+    so files get balanced row counts even when the key space is sparse;
+    the within-partition sort tightens each file's bounding box further.
+    Write the result with any parquet sink — footer stats do the rest.
+    """
+    keyed = df.withColumn("__z", morton32(x, y))
+    return keyed.repartitionByRange(num_files, "__z").sortWithinPartitions("__z").drop("__z")
+
+
+def target_file_count(total_bytes: int, target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Number of output files that lands each near ``target_bytes``."""
+    return max(1, math.ceil(total_bytes / target_bytes))
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes of data files under a local directory (skips _SUCCESS /
+    hidden).  Local-FS stand-in for the FileSystem.getContentSummary a
+    cluster deployment would use."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def compact(spark_read_df: DataFrame, total_bytes: int, target_bytes: int) -> DataFrame:
+    """Repartition a small-files table down to ~``target_bytes`` files.
+
+    Round-robin repartition (no key) — compaction must not skew file sizes
+    when the data is skewed, and a shuffle-free ``coalesce`` would cap
+    parallelism of any computation fused upstream; at 100 TB compaction
+    runs as its own job where the full shuffle is the point (it is the
+    mechanism that makes output sizes uniform).
+    """
+    return spark_read_df.repartition(target_file_count(total_bytes, target_bytes))

@@ -37,6 +37,14 @@ ENGINE_CONFS: dict[str, str] = {
     # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts) outright; read the
     # raw int64 nanos and convert at the ingest boundary (io.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are naive micros (isAdjustedToUTC=false).  Read
+    # them as TIMESTAMP (LTZ) rather than TIMESTAMP_NTZ: with the UTC
+    # session timezone the instant is identical, chrono functions
+    # (unix_millis, window, watermarks) stay applicable, and doing it in
+    # the reader (not a cast) keeps timestamp predicate pushdown intact.
+    # DuckDB reads the same files as naive timestamps, so oracle
+    # comparisons agree wall-clock-for-wall-clock.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Write timestamps as INT64 micros (INT96 is deprecated and breaks
     # Arrow-based readers, including the Python DataSource API).
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
