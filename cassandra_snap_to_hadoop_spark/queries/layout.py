@@ -1,0 +1,113 @@
+"""Physical-layout queries (A-family depth): small-file compaction and
+Z-order clustering for multi-dimensional data skipping.
+
+Registered after the round-2 certification window (see queries/__init__)
+— value-checked by the local oracle mirror this round, rotated into the
+driver window next round.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.layout import (
+    compact,
+    dir_bytes,
+    morton32,
+    morton32_sql,
+)
+from cassandra_snap_to_hadoop_spark.registry import register
+
+_SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+# The two quantized 16-bit dimensions for the events Z-order demo: the
+# entity key and the metric bucket — the pair a time-series store would
+# cluster on so both "this user" and "this value band" predicates prune.
+_ZX = "user_id % 65536"
+_ZY = "CAST(FLOOR(value * 100) AS BIGINT) % 65536"
+
+
+@register(
+    "a10_small_file_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    """,
+    survey="A4,A5",
+)
+def a10_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: stage the corpus as an over-split table (64
+    files — what hourly streaming micro-batches leave behind), compact to
+    a byte-targeted file count, and prove content integrity by checking
+    the compacted table's summary against the source-of-truth oracle.
+
+    The compaction itself is one round-robin shuffle sized by
+    ``target_file_count(bytes)`` (operators/layout.py) — the same job
+    shape at 100 TB, where the target is the 128 MB block size and the
+    full shuffle is what makes output file sizes uniform under skew.
+    File-count assertions (64 -> small N) live in tests/test_layout.py;
+    this query checks the invariant that actually matters: compaction
+    must be a byte-for-byte content no-op.
+    """
+    small_dir = _SCRATCH / "a10_small"
+    compact_dir = _SCRATCH / "a10_compact"
+    for d in (small_dir, compact_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = Tables(spark, sf_dir).documents
+    docs.repartition(64).write.mode("overwrite").parquet(str(small_dir))
+
+    staged = spark.read.parquet(str(small_dir))
+    # Local corpus is tiny; 1 MB target still exercises the sizing math.
+    compact(staged, dir_bytes(str(small_dir)), target_bytes=1024 * 1024).write.mode(
+        "overwrite"
+    ).parquet(str(compact_dir))
+
+    return spark.read.parquet(str(compact_dir)).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+    )
+
+
+@register(
+    "a11_zorder_key",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({morton32_sql(_ZX, _ZY)}) AS BIGINT) AS sum_z,
+           CAST(MIN({morton32_sql(_ZX, _ZY)}) AS BIGINT) AS min_z,
+           CAST(MAX({morton32_sql(_ZX, _ZY)}) AS BIGINT) AS max_z
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="A4,I10",
+)
+def a11_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, value bucket) —
+    the layout key behind multi-dimensional min/max file skipping
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``).  The interleave is pure
+    integer shift/or/and magic-mask SQL (operators/layout.py), identical
+    text on both engines, so the check is exact to the last bit; the
+    exact-integer SUM/MIN/MAX per event_type certifies every row's code.
+    Pure codegen map + one hash agg: score-while-you-scan shape, no UDF.
+    The layout *effect* (range-partition by the key -> per-file bounding
+    boxes shrink in BOTH dimensions) is asserted in tests/test_layout.py.
+    """
+    e = Tables(spark, sf_dir).events
+    z = morton32(_ZX, _ZY)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(z).alias("sum_z"),
+        F.min(z).alias("min_z"),
+        F.max(z).alias("max_z"),
+    )

