@@ -111,3 +111,40 @@ def a11_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(z).alias("min_z"),
         F.max(z).alias("max_z"),
     )
+
+
+@register(
+    "a12_partitioned_discovery",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    survey="A1,A4,C2",
+)
+def a12_partitioned_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: write events ``partitionBy(event_type)``,
+    read the directory tree back via partition discovery, and answer a
+    single-partition predicate.  The filter becomes a PartitionFilter —
+    Spark never opens the other partitions' files (asserted on the plan in
+    tests/test_plans.py).  This is THE table layout for 100 TB fact data:
+    partition by the coarse query dimension (date, tenant, type) so
+    predicate pruning bounds every scan; the value-sum check proves the
+    roundtrip loses nothing.  The partition column comes back from the
+    directory name as a discovered column — same values, engine-checked."""
+    # Scratch keyed by sf so a smoke run can never leak staging into the
+    # t2 gate; the _SUCCESS marker makes re-runs at one sf reuse the write.
+    part_dir = _SCRATCH / f"a12_partitioned_{Path(sf_dir.rstrip('/')).name}"
+    if not (part_dir / "_SUCCESS").exists():
+        shutil.rmtree(part_dir, ignore_errors=True)
+        Tables(spark, sf_dir).events.write.partitionBy("event_type").mode("overwrite").parquet(
+            str(part_dir)
+        )
+    clicks = spark.read.parquet(str(part_dir)).filter(F.col("event_type") == "click")
+    return clicks.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("value_sum"),
+    )

@@ -532,3 +532,64 @@ def j24_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", "p2", "p1").alias("context"),
         F.col("event_type").alias("target"),
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "j25_upsample_epochs",
+    oracle="""
+    WITH planned AS (
+        SELECT source,
+               CAST(substr(source, 4) AS INTEGER) % 3 AS grp,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+        FROM documents
+    ), expanded AS (
+        SELECT source, grp,
+               unnest(generate_series(
+                   1,
+                   CASE grp WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+                   + CASE WHEN grp = 0 AND hk < '80000000' THEN 1
+                          WHEN grp = 1 AND hk < '40000000' THEN 1
+                          ELSE 0 END)) AS epoch
+        FROM planned
+    )
+    SELECT source,
+           CAST(CASE grp WHEN 0 THEN 1.5 WHEN 1 THEN 2.25 ELSE 3.0 END
+                AS DOUBLE) AS target_epochs,
+           CAST((SELECT COUNT(*) FROM documents d WHERE d.source = expanded.source)
+                AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_out
+    FROM expanded
+    GROUP BY source, grp
+    """,
+    survey="J9,I5",
+)
+def j25_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture upsampling — the other half of corpus
+    assembly (j22 downsamples, this repeats): 'books x2.25' means every
+    doc appears twice and a deterministic 25% of docs get a third copy.
+    Whole epochs come from ``explode(sequence(...))`` (a JVM-side
+    generator, no UDF); the fractional tail reuses j22's md5-hex-threshold
+    rule, so WHICH docs get the extra copy is reproducible and consistent
+    across pipeline re-runs — rand() here would silently change the
+    mixture every retry.  Shape at 100 TB: a pure map-side row generator
+    (output rows = input x epochs, no shuffle) followed by one hash agg
+    for the audit counts; the real pipeline writes the exploded rows."""
+    d = Tables(spark, sf_dir).documents
+    grp = F.substring("source", 4, 10).cast("int") % 3
+    full = F.when(grp == 0, 1).when(grp == 1, 2).otherwise(3)
+    frac_thresh = F.when(grp == 0, "80000000").when(grp == 1, "40000000").otherwise("00000000")
+    target = F.when(grp == 0, 1.5).when(grp == 1, 2.25).otherwise(3.0)
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    copies = full + (hk < frac_thresh).cast("int")
+    expanded = d.select(
+        "source",
+        target.alias("target_epochs"),
+        F.explode(F.sequence(F.lit(1), copies)).alias("epoch"),
+    )
+    n_docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        expanded.groupBy("source", "target_epochs")
+        .agg(F.count("*").alias("n_rows_out"))
+        .join(F.broadcast(n_docs), "source")
+        .select("source", "target_epochs", "n_docs", "n_rows_out")
+    )

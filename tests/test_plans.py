@@ -401,3 +401,24 @@ def test_q13_left_join_keeps_zero_order_customers(spark, sf_dir):
     out = {r["c_count"]: r["custdist"] for r in
            REGISTRY["tpch_q13_customer_distribution"].fn(spark, sf_dir).collect()}
     assert sum(out.values()) == load(spark, sf_dir, "customer").count()
+
+
+def test_a12_static_partition_pruning(spark, sf_dir):
+    """a12's single-partition predicate must become a PartitionFilter on
+    the discovered layout (static pruning — the files of other partitions
+    are never opened), not a post-scan data filter."""
+    from cassandra_snap_to_hadoop_spark.queries.layout import a12_partitioned_discovery
+
+    df = a12_partitioned_discovery(spark, sf_dir)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s and "event_type" in s.split("PartitionFilters", 1)[1][:200], s
+
+
+def test_a11_zorder_key_is_codegen_map_plus_agg(spark, sf_dir):
+    """The Morton computation must stay whole-stage-codegen'd column math:
+    exactly one shuffle (the final agg), no Python, no cartesian."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    df = load_all()["a11_zorder_key"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert not uses_rowwise_python(df)

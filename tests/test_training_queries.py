@@ -170,3 +170,18 @@ def test_j24_transitions_reconcile(spark, sf_dir):
     )
     expect = sum(max(0, r["count"] - 2) for r in per_user)
     assert sum(r["n"] for r in rows) == expect
+
+
+def test_j25_upsample_reconciles(spark, sf_dir):
+    """Output rows = whole epochs * n_docs + fractional extras; extras
+    track the fractional rate; runs are exactly reproducible."""
+    rows = REGISTRY["j25_upsample_epochs"].fn(spark, sf_dir).collect()
+    assert rows == REGISTRY["j25_upsample_epochs"].fn(spark, sf_dir).collect()
+    for r in rows:
+        full = int(r["target_epochs"])
+        extras = r["n_rows_out"] - full * r["n_docs"]
+        frac = r["target_epochs"] - full
+        if frac == 0:
+            assert extras == 0, r
+        else:
+            assert 0 <= extras <= r["n_docs"], r
