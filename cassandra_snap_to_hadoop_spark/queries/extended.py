@@ -833,3 +833,66 @@ def k9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
         F.count("*").alias("n"), qsum(F.col("value")).alias("total_value")
     )
+
+
+@register(
+    "e14_conversion_funnel",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY 1
+    ), fc AS (
+        SELECT e.user_id, MIN(e.ts) AS fc
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.fv
+        GROUP BY 1
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS fp
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.fc
+        GROUP BY 1
+    )
+    SELECT '1_viewed' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fv
+    UNION ALL
+    SELECT '2_clicked_after_view', CAST(COUNT(*) AS BIGINT) FROM fc
+    UNION ALL
+    SELECT '3_purchased_after_click', CAST(COUNT(*) AS BIGINT) FROM fp
+    """,
+    survey="E11,D4,H1",
+)
+def e14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked AFTER their first view, then purchased AFTER that first
+    click — the sequential-dependency analytics shape (a plain GROUP BY
+    per type would ignore event ORDER, the whole point of a funnel).
+    Three conditional-min aggregations, each clustered on user_id, so all
+    three exchanges hash the same key — on a real cluster the fact shuffle
+    output is reused across stages, and each stage's result is |users| or
+    smaller (the join side is always the shrunken funnel, AQE broadcasts
+    it).  Timestamps compare exactly (micros on both engines)."""
+    e = Tables(spark, sf_dir).events
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fc = (
+        e.join(fv, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        e.join(fc, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    stages = [("1_viewed", fv), ("2_clicked_after_view", fc), ("3_purchased_after_click", fp)]
+    counts = [
+        df.agg(F.count("*").alias("n_users")).select(F.lit(name).alias("stage"), "n_users")
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -148,3 +148,48 @@ def a12_partitioned_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("value_sum"),
     )
+
+
+@register(
+    "a13_schema_drift_merge",
+    oracle="""
+    WITH v2 AS (SELECT doc_id, n_chars / 100.0 AS quality FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.doc_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_missing_quality,
+           SUM(CAST(ROUND(COALESCE(v2.quality, 0) * 100) AS BIGINT)) / 100.0 AS quality_sum
+    FROM documents d LEFT JOIN v2 ON d.doc_id = v2.doc_id
+    """,
+    survey="A3,A5,H4",
+)
+def a13_schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time schema evolution: two ingest batches land with different
+    schemas (v2 adds a ``quality`` column), and ``mergeSchema=true``
+    reconciles them at scan — v1 rows surface NULL quality, no rewrite of
+    old files.  This is the read-side complement of h4's unionByName
+    (write-side) evolution: at 100 TB you cannot rewrite history when a
+    producer adds a column, so the reader must widen.  Footer-schema
+    merging is a driver-side metadata operation over file footers only —
+    at scale, enable it per-read exactly like this rather than globally
+    (every-scan footer merges are the documented cost).  The check counts
+    NULL-filled rows and value-sums the new column."""
+    drift_dir = _SCRATCH / f"a13_drift_{Path(sf_dir.rstrip('/')).name}"
+    if not (drift_dir / "v2" / "_SUCCESS").exists():
+        shutil.rmtree(drift_dir, ignore_errors=True)
+        docs = Tables(spark, sf_dir).documents
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+        v2 = (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", "lang", (F.col("n_chars") / 100.0).alias("quality"))
+        )
+        v1.write.parquet(str(drift_dir / "v1"))
+        v2.write.parquet(str(drift_dir / "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(drift_dir / "v1"), str(drift_dir / "v2")
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("quality").isNull().cast("long")).alias("n_missing_quality"),
+        (F.sum(F.round(F.coalesce(F.col("quality"), F.lit(0.0)) * 100).cast("long")) / 100.0).alias(
+            "quality_sum"
+        ),
+    )
