@@ -26,6 +26,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     extended,  # round-2 additions (F8, B8, J3-range, J11-quantize)
     training,  # round-2 late: repetition/mixture/percentile-cut, skew + bucket certification
     layout,  # physical layout: small-file compaction, Z-order clustering key
+    governance,  # corpus governance: source overlap, dup audit, domain stats
     sql_api,
     tpch,  # 9 -> 54-62
     cassandra_sem,  # driver-green round 1 from here down

@@ -1,0 +1,313 @@
+"""Corpus-governance queries: the audit/forensics layer of a training-data
+pipeline — which sources overlap, how duplication is distributed, which
+domains dominate, and what boilerplate repeats across documents.
+
+The synthetic corpus is unique-by-construction (no natural dups, no URLs),
+so ops needing such structure INJECT it deterministically first — the
+prove-on-injected-signal pattern established by j9_language_id_learned and
+j21_pii_redaction: the injection is identical SQL on both engines, so the
+check still certifies the operator, not the fixture.
+
+Registered after the round-2 certification window (queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.text import tokens
+from cassandra_snap_to_hadoop_spark.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "j26_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS s
+        FROM (SELECT source, {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b,
+           COUNT(*) * 1.0 / (sa.sz + sb.sz - COUNT(*)) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.sz, sb.sz
+    """,
+    survey="J2,D9,J5",
+)
+def j26_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level contamination matrix: 3-gram shingle Jaccard between
+    every source pair — the governance view that tells you two crawls
+    ingested the same site before you pay to dedup them document-by-
+    document.  Same join discipline as j15: the self-join is on the
+    SHINGLE VALUE with distinct (source, shingle) pairs, so candidate
+    cost is bounded by shingle document-frequency, never |docs|² — and
+    the output is |sources|² at most, driver-trivial at any corpus size.
+    The Jaccard division runs on identical exact integers in both engines,
+    so the raw double is bit-identical (no rounding needed — rounding
+    would itself be the only cross-engine hazard here)."""
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    sh = (
+        d.filter(F.size(w) >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes).withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(F.broadcast(sizes).withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("sz", "sz_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "sz_a",
+            "sz_b",
+            (F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register(
+    "j27_dup_size_histogram",
+    oracle=f"""
+    WITH injected AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 10 <= 2 THEN base.text ELSE d.text END AS text
+        FROM documents d
+        JOIN documents base ON base.doc_id = (d.doc_id // 10) * 10
+    ), groups AS (
+        SELECT md5({_NORM}) AS h, COUNT(*) AS group_size
+        FROM injected GROUP BY 1
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(group_size - 1) AS BIGINT) AS n_removable
+    FROM groups GROUP BY 1
+    """,
+    survey="J1,E2",
+)
+def j27_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: the duplicate-cluster size histogram (how many
+    singletons / pairs / triples...), plus the removable-row count per
+    size — the numbers that size a dedup job's output before running it
+    and catch pathological mass-duplication (a crawler stuck on one page)
+    at a glance.  The corpus is unique-by-construction, so docs with
+    id%10<=2 are first overwritten with their decade-base doc's text
+    (deterministic self-join, identical on both engines), planting known
+    clusters of size 3 among singletons.  Shape: fact self-join on a
+    derived integer key (broadcastable — it's the corpus itself, but the
+    join key is unique so AQE picks SMJ at scale), then two hash aggs,
+    the second over |distinct hashes| ≤ |docs|."""
+    d = Tables(spark, sf_dir).documents
+    base = d.select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+    )
+    injected = (
+        d.join(base, (F.col("doc_id") - F.col("doc_id") % 10) == F.col("base_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 <= 2, F.col("base_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    groups = injected.groupBy(F.md5(norm).alias("h")).agg(F.count("*").alias("group_size"))
+    return groups.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.sum(F.col("group_size") - 1).alias("n_removable"),
+    )
+
+
+@register(
+    "j28_domain_stats",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id, n_chars,
+               'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+        FROM injected
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CASE WHEN CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS INTEGER) % 7 = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS blocklisted
+    FROM parsed
+    GROUP BY domain
+    """,
+    survey="J9,I1",
+)
+def j28_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: extract the registered domain from each
+    document's URL, aggregate per-domain volume, and mark blocklist hits —
+    the crawl-governance stage that runs BEFORE content-level quality
+    (dropping a spam domain at the URL level costs nothing; scoring its
+    text costs a full scan).  The corpus carries no URLs, so deterministic
+    ones are injected (doc_id-derived, identical SQL both engines); the
+    blocklist is simulated as domains whose site number ≡ 0 (mod 7) — in
+    production this is a broadcast join against the real list.  Pure
+    column regexp (portable subset: no lookaround, no shorthand classes)
+    + one hash agg keyed by domain: the classic domain-cardinality
+    aggregation, trivially skew-prone in real crawls — the salting path
+    (e15/operators/skew.py) is the documented escape hatch for a
+    mega-domain."""
+    d = Tables(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    domain = F.regexp_extract(url, r"https?://([^/]+)/", 1)
+    site_num = F.regexp_extract(domain, r"site([0-9]+)", 1).cast("int")
+    return (
+        d.select(F.col("n_chars"), domain.alias("domain"), site_num.alias("sn"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max(F.when(F.col("sn") % 7 == 0, 1).otherwise(0)).cast("int").alias("blocklisted"),
+        )
+    )
+
+
+_BANNER = "cookie banner accept terms privacy policy subscribe newsletter follow share"
+
+
+@register(
+    "j29_line_dedup",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 <> 0 THEN '{_BANNER} ' || text ELSE text END AS text
+        FROM documents
+    ), t AS (
+        SELECT doc_id, {_WORDS} AS w FROM injected
+    ), l AS (
+        SELECT doc_id,
+               unnest(lines) AS line,
+               generate_subscripts(lines, 1) AS pos
+        FROM (SELECT doc_id,
+                     [array_to_string(w[(i-1)*10+1:i*10], ' ')
+                      for i in range(1, (len(w)+9)//10 + 1)] AS lines
+              FROM t)
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS ndf FROM l GROUP BY 1
+        ) WHERE ndf > (SELECT COUNT(*) * 0.05 FROM documents)
+    ), kept AS (
+        SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY 1
+    ), k AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(line, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY 1
+    )
+    SELECT tot.doc_id, n_lines,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot LEFT JOIN k USING (doc_id)
+    """,
+    survey="J1,J9,I1",
+)
+def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: chunk each document into
+    fixed-width 10-token lines, drop every line whose document frequency
+    exceeds 5% of the corpus (cookie banners, nav bars — content that
+    repeats VERBATIM across unrelated pages), and emit the cleaned
+    document's md5 — the strongest cross-engine check, since reassembly
+    must preserve line ORDER exactly.  The corpus has no natural
+    boilerplate, so a banner line is prefix-injected into 2/3 of docs
+    (prefix, not suffix: fixed-width chunking only aligns repeats at a
+    stable offset — real CCNet splits on newlines, which this corpus
+    lacks; the FREQUENCY mechanism under test is identical).
+
+    Scale shape: explode to lines -> df hash-agg keyed by line content ->
+    anti-join of lines against the tiny boilerplate set (broadcast — by
+    construction it's the few lines above 5% df) -> per-doc re-agg with an
+    in-group sort for reassembly.  Line df is the same economics as the
+    TF-IDF document-frequency pass; nothing is ever O(docs²)."""
+    d = Tables(spark, sf_dir).documents
+    n_total = d.count()  # tiny scalar; at scale use a computed threshold literal
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0, F.concat(F.lit(_BANNER + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = tokens(F.col("text"))
+    n_lines = F.expr("(size(__w) + 9) div 10")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.col("__nl")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(F.col("__w"), (i - 1) * 10 + 1, 10), " ").alias("line"),
+        ),
+    )
+    exploded = (
+        injected.withColumn("__w", w)
+        .withColumn("__nl", n_lines)
+        .select("doc_id", F.explode(lines).alias("pl"))
+        .select("doc_id", F.col("pl.pos").alias("pos"), F.col("pl.line").alias("line"))
+    )
+    boiler = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("ndf"))
+        .filter(F.col("ndf") > n_total * 0.05)
+        .select("line")
+    )
+    kept = exploded.join(F.broadcast(boiler), "line", "left_anti")
+    tot = exploded.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    reassembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda x: x["line"]
+        ),
+        " ",
+    )
+    k = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"), F.md5(reassembled).alias("cleaned_md5")
+    )
+    return tot.join(k, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
