@@ -42,6 +42,7 @@ def lww_merge(
     writetime_col: str = "_writetime",
     seq_col: str | None = None,
     tiebreak_cols: Sequence[str] = (),
+    priority: Column | None = None,
 ) -> DataFrame:
     """B2: last-write-wins merge across overlapping snapshot generations.
 
@@ -53,17 +54,38 @@ def lww_merge(
     ``tiebreak_cols`` (descending value order) to pin a deterministic
     survivor; otherwise the pick is engine/partitioning-dependent.
 
-    Plan shape: ``max_by(struct(row), struct(ordering))`` — a plain hash
-    aggregate, NOT a window.  Partial (map-side) combine collapses duplicate
-    keys before the shuffle, there is no sort at all, and the shuffle moves
-    one surviving candidate per key per map task — at 100 TB with heavy
-    overwrite ratios this is the difference between shuffling the dataset
-    and shuffling the merged result.  (Measured 2.2x faster than the
-    equivalent window even at sf0.1 with a low duplicate ratio; results are
-    bit-identical given a total ordering.)
+    Plan shape — two tiers, both aggregates (never a window), both with
+    map-side partial combine so the shuffle moves one surviving candidate
+    per key per map task; at 100 TB with heavy overwrite ratios that is
+    the difference between shuffling the dataset and shuffling the merged
+    result:
+
+    * default: ``max_by(struct(row), struct(ordering))``.  The struct
+      aggregation buffer is not HashAggregate-mutable, so Spark plans a
+      SortAggregate — still partial-combined, but each task sorts its
+      input by the grouping key first.
+    * ``priority`` (a single non-null NUMERIC column encoding the whole
+      ordering, greatest wins): one ``max_by(col, priority)`` per payload
+      column.  Every aggregation buffer is then primitive-typed, which
+      keeps the merge on whole-stage-codegen **HashAggregate** — no sort
+      anywhere.  Callers whose ordering fits a packed long (writetime
+      epochs bounded, small seq, quantizable tiebreaks) should build one:
+      the flagship measures the difference and PLANS.md shows both shapes.
+      REQUIREMENT: ``priority`` must totally order rows within a key, OR
+      tied rows must be identical on every payload column — otherwise the
+      per-column picks can mix columns from different tied rows (the
+      struct tier always returns one physical row).  A packed priority
+      whose bits include every tiebreak value satisfies this by
+      construction: equal priority then implies equal tiebreak columns.
 
     Ordering columns must be non-null (Cassandra writetimes always are).
     """
+    if priority is not None:
+        payload_cols = [c for c in df.columns if c not in set(key_cols)]
+        merged = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+            *[F.max_by(F.col(c), priority).alias(c) for c in payload_cols]
+        )
+        return merged.select(*df.columns)
     order_cols: list[Column] = [F.col(writetime_col)]
     if seq_col is not None:
         order_cols.append(F.col(seq_col))

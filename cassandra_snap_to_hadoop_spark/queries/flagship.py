@@ -92,12 +92,24 @@ def _merged_lineitem(li: DataFrame) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "g.l_discount", "g._writetime", "g._seq")
         .repartition(F.col("l_orderkey"))
     )
+    # Packed single-long priority = lexicographic (writetime, seq,
+    # extendedprice, discount) DESC ordering as bit-concatenated exact
+    # integers: generation (wt*2+seq, 3 bits) << 31 | price cents
+    # (< 2^24) << 7 | discount millis (<= 100, 7 bits).  One numeric
+    # priority keeps every max_by buffer primitive, so the whole merge
+    # stays on codegen HashAggregate — no per-task sort (operators/
+    # cassandra.py lww_merge priority tier; the struct tier plans a
+    # SortAggregate).  Equal priority implies equal price AND discount,
+    # so per-column picks cannot mix observable values.
+    priority = (
+        (F.col("_writetime") * 2 + F.col("_seq")) * F.lit(2**31)
+        + F.round(F.col("l_extendedprice") * 100).cast("long") * F.lit(128)
+        + F.round(F.col("l_discount") * 1000).cast("long")
+    )
     return lww_merge(
         unioned,
         ["l_orderkey", "l_linenumber"],
-        "_writetime",
-        "_seq",
-        tiebreak_cols=["l_extendedprice", "l_discount"],
+        priority=priority,
     ).drop("_writetime", "_seq")
 
 
