@@ -193,3 +193,45 @@ def a13_schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_sum"
         ),
     )
+
+
+@register(
+    "a14_corrupt_file_tolerance",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+    survey="A1,A6",
+)
+def a14_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance: a table directory contains one garbage file
+    (torn write, bad disk, truncated upload — at 100 TB / millions of
+    files, a statistical certainty) and the scan must survive it.
+    ``ignoreCorruptFiles`` is set PER-READ here, not globally: silently
+    skipping data is an explicit operational decision for a recovery
+    read, never a default (a global setting would mask real data loss —
+    that's why session.py does not set it).  The valid rows (even
+    doc_ids, planted by the fixture) are value-checked; the corrupt
+    file's bytes never reach a row.  Manifest/checksum verification (a6)
+    is the complementary control that DETECTS the loss this read chooses
+    to tolerate."""
+    tol_dir = _SCRATCH / f"a14_corrupt_{Path(sf_dir.rstrip('/')).name}"
+    if not (tol_dir / "_SUCCESS").exists():
+        shutil.rmtree(tol_dir, ignore_errors=True)
+        docs = Tables(spark, sf_dir).documents
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(tol_dir))
+        # A parquet-suffixed file of non-parquet bytes: footer parse fails.
+        (tol_dir / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(str(tol_dir))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

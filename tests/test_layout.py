@@ -126,3 +126,44 @@ def test_a10_scratch_cleanup(spark):
     first = a10_small_file_compaction(spark, SF).collect()
     second = a10_small_file_compaction(spark, SF).collect()
     assert first == second
+
+
+def test_morton_inverse_roundtrip():
+    """The interleave is a bijection: de-interleaving the code recovers
+    (x, y) exactly for every corner and a lattice of interior points."""
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        def compact(v: int) -> int:
+            v &= 0x55555555
+            v = (v | (v >> 1)) & 0x33333333
+            v = (v | (v >> 2)) & 0x0F0F0F0F
+            v = (v | (v >> 4)) & 0x00FF00FF
+            v = (v | (v >> 8)) & 0x0000FFFF
+            return v
+
+        return compact(z), compact(z >> 1)
+
+    pts = [0, 1, 2, 3, 255, 256, 32767, 32768, 65535]
+    for x in pts:
+        for y in pts:
+            assert deinterleave(morton32_py(x, y)) == (x, y), (x, y)
+
+
+def test_a14_reads_through_corruption(spark):
+    """The corrupt file is really there and really skipped; without the
+    per-read option the scan must FAIL (loss is loud by default)."""
+    from pathlib import Path as _P
+
+    from cassandra_snap_to_hadoop_spark.queries.layout import (
+        _SCRATCH,
+        a14_corrupt_file_tolerance,
+    )
+
+    row = a14_corrupt_file_tolerance(spark, SF).collect()[0]
+    assert row["n_rows"] > 0
+    tol_dir = _P(_SCRATCH) / "a14_corrupt_sf0.001"
+    assert (tol_dir / "part-corrupt.parquet").exists()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(str(tol_dir)).count()
