@@ -896,3 +896,73 @@ def e14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "e16_higher_moments",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag, CAST(ROUND(l_quantity * 10) AS BIGINT) AS x
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(x) AS s1,
+               SUM(x * x) AS s2,
+               SUM(x * x * x) AS s3,
+               SUM(x * x * x * x) AS s4
+        FROM q GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(s1 AS BIGINT) AS s1,
+           CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3,
+           CAST(s4 AS BIGINT) AS s4,
+           s1 / (n * 10.0) AS mean_qty,
+           (s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) / 100.0 AS var_pop
+    FROM s
+    """,
+    survey="E5,E2",
+)
+def e16_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments from exact integer power sums (s1..s4);
+    skewness/kurtosis derive from these downstream by pure arithmetic.
+    Spark's and DuckDB's built-in skewness/kurtosis use DIFFERENT
+    estimator formulas (population vs bias-corrected sample), so the only
+    cross-engine-exact formulation is raw power sums of quantized values —
+    order-independent BIGINT aggregates, one hash agg, map-side combined.
+
+    Quantization scale is an OVERFLOW budget, chosen deliberately:
+    l_quantity is 1-decimal (audited), so deci-units are lossless with
+    |x| <= 500 -> s4 <= 500^4 * |rows| ~ 3.7e16 at sf0.1 — 250x inside
+    int64 even at sf100.  Cent-units would overflow s4 at 6e5 rows
+    (5000^4 * 6e5 = 3.7e20): precision beyond the data's actual decimals
+    buys nothing and silently wraps.  DuckDB widens SUM(BIGINT) to
+    HUGEINT, so every sum is cast back (the round-1 i7 lesson; the
+    oracle mirror rejects HUGEINT outright)."""
+    li = Tables(spark, sf_dir).lineitem
+    x = F.round(F.col("l_quantity") * 10).cast("long")
+    xx = F.col("x")
+    s = (
+        li.select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(xx * xx).alias("s2"),
+            F.sum(xx * xx * xx).alias("s3"),
+            F.sum(xx * xx * xx * xx).alias("s4"),
+        )
+    )
+    mean_raw = F.col("s1") * 1.0 / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        (F.col("s1") / (F.col("n") * 10.0)).alias("mean_qty"),
+        ((F.col("s2") * 1.0 / F.col("n") - mean_raw * mean_raw) / 100.0).alias("var_pop"),
+    )
