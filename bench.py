@@ -36,6 +36,7 @@ HEADLINE = [
     "j3_knn_bruteforce",
     "j7_tfidf",
     "llm_curation_funnel",
+    "j29_line_dedup",
 ]
 
 N_RUNS = 3

@@ -593,3 +593,131 @@ def j25_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_docs), "source")
         .select("source", "target_epochs", "n_docs", "n_rows_out")
     )
+
+
+@register(
+    "e17_weighted_stats",
+    oracle="""
+    WITH w AS (
+        SELECT lang, n_chars,
+               CASE substr(source, 4) WHEN '0' THEN 4 ELSE
+                    CAST(substr(source, 4) AS INTEGER) % 4 + 1 END AS wt
+        FROM documents
+    ), ranked AS (
+        SELECT lang, n_chars, wt,
+               SUM(wt) OVER (PARTITION BY lang ORDER BY n_chars, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               SUM(wt) OVER (PARTITION BY lang) AS tot_wt
+        FROM w
+    )
+    SELECT lang,
+           CAST(SUM(wt) AS BIGINT) AS total_weight,
+           CAST(SUM(wt * n_chars) AS BIGINT) AS weighted_char_sum,
+           SUM(wt * n_chars) * 1.0 / SUM(wt) AS weighted_mean_chars,
+           CAST(MIN(CASE WHEN cum_wt * 2 >= tot_wt THEN n_chars END) AS BIGINT)
+               AS weighted_median_chars
+    FROM ranked
+    GROUP BY lang
+    """,
+    survey="E5,E6,F3",
+)
+def e17_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted statistics — mixture training assigns every
+    source a weight (epochs, loss scale), so corpus stats must be
+    weight-aware or they describe the wrong distribution.  Weighted mean
+    via exact integer products (weights and chars are ints — no float
+    rule needed at all); weighted median as the smallest value whose
+    running cumulative weight reaches half the total — one window
+    clustered by lang ordered by (value, weight) so the crossing row is
+    engine-unique.  Shape: one window shuffle + one hash agg, the same
+    economics as any per-group ordered statistic; at 100 TB swap the
+    exact median for the weighted GK sketch exactly as e6 documents."""
+    d = Tables(spark, sf_dir).documents
+    src_num = F.substring("source", 4, 10).cast("int")
+    wt = F.when(src_num == 0, 4).otherwise(src_num % 4 + 1)
+    w = d.select("lang", "n_chars", wt.alias("wt"))
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = w.select(
+        "lang",
+        "n_chars",
+        "wt",
+        F.sum("wt").over(win).alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("lang")).alias("tot_wt"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.sum("wt").alias("total_weight"),
+        F.sum(F.col("wt") * F.col("n_chars")).alias("weighted_char_sum"),
+        (F.sum(F.col("wt") * F.col("n_chars")) * 1.0 / F.sum("wt")).alias("weighted_mean_chars"),
+        F.min(F.when(F.col("cum_wt") * 2 >= F.col("tot_wt"), F.col("n_chars"))).alias(
+            "weighted_median_chars"
+        ),
+    )
+
+
+@register(
+    "j31_context_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(w[(i-1)*32+1:(i-1)*32+64], ' '))
+                       for i in range(1, greatest((len(w) - 64 + 31) // 32 + 1, 1) + 1)])
+                   AS chunk_md5,
+               generate_subscripts([0 for i in range(1, greatest((len(w) - 64 + 31) // 32 + 1, 1) + 1)], 1)
+                   AS chunk_idx,
+               len(w) AS n_tokens
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           md5(string_agg(chunk_md5, '' ORDER BY chunk_idx)) AS chunks_digest
+    FROM chunks
+    GROUP BY doc_id
+    """,
+    survey="J5,J9,I5",
+)
+def j31_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining context-window chunking: split each document into
+    64-token windows with stride 32 (50% overlap — the standard recipe so
+    no span is ever seen only at a window edge).  Chunk count =
+    ceil(max(n_tokens - window, 0) / stride) + 1; every chunk's md5 and
+    the order-sensitive digest of all chunk hashes are value-checked, so
+    BOTH the chunk boundaries AND their sequence are engine-identical —
+    the property that makes a re-run resume mid-corpus without
+    re-chunking drift.  Pure per-row array arithmetic (comprehension on
+    DuckDB, transform+sequence on Spark), then one hash agg: zero
+    shuffle before the per-doc re-agg, the score-while-you-scan shape."""
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    n_chunks = F.greatest(
+        F.floor((F.size(w) - 64 + 31) / 32).cast("long") + 1, F.lit(1).cast("long")
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.md5(F.array_join(F.slice(w, (i - 1) * 32 + 1, 64), " ")).alias("h"),
+        ),
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        chunk_structs.alias("cs"),
+    )
+    digest = F.md5(
+        F.array_join(F.transform(F.array_sort(F.col("cs")), lambda x: x["h"]), "")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.size("cs").cast("long").alias("n_chunks"),
+        digest.alias("chunks_digest"),
+    )
