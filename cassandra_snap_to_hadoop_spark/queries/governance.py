@@ -311,3 +311,61 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
     )
+
+
+@register(
+    "j32_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS s
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ), df AS (
+        SELECT s, COUNT(*) AS ndf FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.ndf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(df.ndf) AS BIGINT) AS df_mass
+    FROM sh JOIN df ON sh.s = df.s
+    GROUP BY sh.doc_id
+    """,
+    survey="J5,J9,J7",
+)
+def j32_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring for data selection: per document, how many
+    of its distinct 3-gram shingles appear NOWHERE else in the corpus
+    (n_novel) and the total document-frequency mass of its grams
+    (df_mass) — the two ends of the diversity dial.  High-novelty docs
+    add new content; low-novelty/high-mass docs are near-boilerplate even
+    when no single pair crosses a dedup threshold, which is exactly the
+    redundancy signal document-level dedup cannot see.  Counts stay
+    integers (ratios derive downstream; no float rule needed).  Same
+    economics as TF-IDF's df pass: explode distinct (doc, gram) -> gram
+    hash-agg -> join back by gram value -> per-doc re-agg.  At 100 TB the
+    gram-df table is the scale knob: cap it with a HAVING on df (hot
+    grams carry no novelty signal) before the join-back, turning the
+    probe into a pruned broadcast exactly as j15 documents."""
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    sh = (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count("*").alias("ndf"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndf") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
+            F.sum("ndf").alias("df_mass"),
+        )
+    )
