@@ -202,3 +202,80 @@ def b6_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum(F.col("value")).alias("delta_total"),
         F.count("*").alias("n_deltas"),
     )
+
+
+@register(
+    "b10_replica_divergence",
+    oracle="""
+    WITH a AS (
+        SELECT user_id % 64 AS bucket,
+               COUNT(*) AS n,
+               SUM(event_id * 31 + CAST(ROUND(value * 100) AS BIGINT)) AS cksum
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT user_id % 64 AS bucket,
+               COUNT(*) AS n,
+               SUM(event_id * 31 + CAST(ROUND(
+                   (CASE WHEN event_id % 89 = 0 THEN value + 1 ELSE value END) * 100)
+                   AS BIGINT)) AS cksum
+        FROM events WHERE event_id % 97 <> 0
+        GROUP BY 1
+    )
+    SELECT a.bucket AS bucket,
+           CAST(a.n AS BIGINT) AS n_a,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_b,
+           CAST(a.cksum AS BIGINT) AS cksum_a,
+           CAST(COALESCE(b.cksum, 0) AS BIGINT) AS cksum_b,
+           CAST(CASE WHEN b.bucket IS NULL OR a.n <> b.n OR a.cksum <> b.cksum
+                     THEN 1 ELSE 0 END AS INTEGER) AS divergent
+    FROM a LEFT JOIN b ON a.bucket = b.bucket
+    """,
+    survey="B1,A6,H3",
+)
+def b10_replica_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair semantics (Cassandra `nodetool repair`'s
+    comparison phase): split the keyspace into token ranges, compute a
+    commutative per-range checksum on each replica, and report exactly
+    which ranges diverge — the distributed-systems primitive that lets
+    two 100 TB replicas reconcile by exchanging KB-scale range digests
+    instead of data.  Replica B is simulated from the same events with
+    deterministic drift (1/97 of rows missing, 1/89 modified — both
+    mod-classes injected identically in the oracle).  The checksum is a
+    modular integer sum (id * 31 + quantized value): commutative and
+    associative, so it is partition-order-free on BOTH engines — the same
+    discipline as a6's manifest checksums, and the reason no
+    cryptographic hash is needed for the cross-engine check.  Shape: two
+    hash aggs over the fact + a 64-row broadcast join; each replica scan
+    is embarrassingly parallel and the comparison is driver-trivial."""
+    e = Tables(spark, sf_dir).events
+    bucket = (F.col("user_id") % 64).alias("bucket")
+    row_ck = F.col("event_id") * 31 + F.round(F.col("value") * 100).cast("long")
+    a = e.groupBy(bucket).agg(
+        F.count("*").alias("n_a"), F.sum(row_ck).alias("cksum_a")
+    )
+    drifted_val = F.when(F.col("event_id") % 89 == 0, F.col("value") + 1).otherwise(
+        F.col("value")
+    )
+    row_ck_b = F.col("event_id") * 31 + F.round(drifted_val * 100).cast("long")
+    b = (
+        e.filter(F.col("event_id") % 97 != 0)
+        .groupBy((F.col("user_id") % 64).alias("bucket"))
+        .agg(F.count("*").alias("n_b"), F.sum(row_ck_b).alias("cksum_b"))
+    )
+    joined = a.join(b, "bucket", "left")
+    return joined.select(
+        "bucket",
+        "n_a",
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        "cksum_a",
+        F.coalesce("cksum_b", F.lit(0)).alias("cksum_b"),
+        F.when(
+            F.col("n_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("cksum_a") != F.col("cksum_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("divergent"),
+    )
