@@ -324,3 +324,53 @@ def d6_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_range_join(facts, iv, "ts", "lo", "hi", bucket_width_s=1800).select(
         "event_id", "iv_id"
     )
+
+
+@register(
+    "d14_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+                THEN CAST(epoch_ms(v.ts) AS BIGINT) END AS last_view_ms,
+           CAST(CASE WHEN v.ts IS NOT NULL
+                      AND epoch_ms(p.ts) - epoch_ms(v.ts) > 3600000
+                     THEN 1 ELSE 0 END AS INTEGER) AS stale_dropped
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    survey="D7,C2",
+)
+def d14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest view at or before
+    each purchase counts only if it is at most 1 hour old — the bounded-
+    staleness variant every feature store / attribution pipeline actually
+    runs (an unbounded as-of happily joins a price from last month).  The
+    tolerance is applied AFTER the as-of pick, not as a join predicate:
+    'latest within the window' and 'latest, if within the window' differ
+    whenever a fresher-but-out-of-window match exists, and the
+    industry-standard semantics (pandas merge_asof tolerance) is the
+    latter — match NULLed, staleness flagged, row kept.  Engine shape is
+    d7's unchanged: one union + one window pass per user, the tolerance
+    is a pure column expression on top — zero additional shuffle."""
+    asof = d7_asof_join(spark, sf_dir)
+    e = Tables(spark, sf_dir).events
+    p_ms = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_millis("ts").alias("p_ms")
+    )
+    tol = 3600000
+    joined = asof.join(p_ms, "event_id")
+    fresh = F.col("p_ms") - F.col("last_view_ms") <= tol
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("last_view_ms")).alias("last_view_ms"),
+        F.when(F.col("last_view_ms").isNotNull() & ~fresh, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stale_dropped"),
+    )

@@ -235,3 +235,70 @@ def a14_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+
+@register(
+    "a15_snapshot_diff",
+    oracle="""
+    WITH gen0 AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), gen1 AS (
+        SELECT event_id,
+               CAST(ROUND((CASE WHEN event_id % 89 = 0 THEN value + 1 ELSE value END) * 100)
+                    AS BIGINT) AS v
+        FROM events WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_id + 1000000000 AS event_id, CAST(event_id % 500 AS BIGINT) AS v
+        FROM events WHERE event_id % 101 = 0
+    )
+    SELECT CASE WHEN g1.event_id IS NULL THEN 'removed'
+                WHEN g0.event_id IS NULL THEN 'added'
+                WHEN g0.v <> g1.v THEN 'modified'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(g1.v, g0.v)) AS BIGINT) AS value_mass
+    FROM gen0 g0 FULL OUTER JOIN gen1 g1 ON g0.event_id = g1.event_id
+    GROUP BY 1
+    """,
+    survey="A2,A5,D3,B7",
+)
+def a15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-tag diff: classify every primary key across two snapshot
+    generations as added / removed / modified / unchanged — the audit
+    between any two ``nodetool snapshot`` tags, and the input to an
+    incremental backfill decision (ship the delta, not the snapshot).
+    Generation 1 is derived deterministically (1/97 deleted, 1/89
+    modified, 1/101 spawning a new high-range key — same mod-class
+    injection discipline as b10).  One full-outer join on the primary key
+    + one hash agg: at 100 TB both sides hash-partition on pk and AQE
+    handles the size asymmetry; the output is four rows however big the
+    snapshots are.  Complements a5 (incremental ingest applies deltas
+    forward) and b7 (as-of reads a past state): diff EXPLAINS what
+    changed between them."""
+    e = Tables(spark, sf_dir).events
+    g0 = e.select("event_id", F.round(F.col("value") * 100).cast("long").alias("v"))
+    mod_v = F.when(F.col("event_id") % 89 == 0, F.col("value") + 1).otherwise(F.col("value"))
+    g1 = (
+        e.filter(F.col("event_id") % 97 != 0)
+        .select("event_id", F.round(mod_v * 100).cast("long").alias("v"))
+        .unionByName(
+            e.filter(F.col("event_id") % 101 == 0).select(
+                (F.col("event_id") + 1000000000).alias("event_id"),
+                (F.col("event_id") % 500).cast("long").alias("v"),
+            )
+        )
+    )
+    j = g0.alias("g0").join(
+        g1.alias("g1"), F.col("g0.event_id") == F.col("g1.event_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("g1.event_id").isNull(), "removed")
+        .when(F.col("g0.event_id").isNull(), "added")
+        .when(F.col("g0.v") != F.col("g1.v"), "modified")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.coalesce(F.col("g1.v"), F.col("g0.v"))).alias("value_mass"),
+    )
