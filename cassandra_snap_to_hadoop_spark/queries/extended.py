@@ -966,3 +966,109 @@ def e16_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1") / (F.col("n") * 10.0)).alias("mean_qty"),
         ((F.col("s2") * 1.0 / F.col("n") - mean_raw * mean_raw) / 100.0).alias("var_pop"),
     )
+
+
+@register(
+    "f10_monotone_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, ts, event_id,
+               CASE WHEN lag(value) OVER w IS NULL OR value <= lag(value) OVER w
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq
+    ), rl AS (
+        SELECT user_id, run_id, COUNT(*) AS run_len FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(SUM(run_len) AS BIGINT) AS n_events
+    FROM rl GROUP BY 1
+    """,
+    survey="F2,F3,E2",
+)
+def f10_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal strictly-increasing runs of the metric
+    per user in event order — the windowing idiom behind streak analytics
+    and change-point segmentation (b9's SCD2 intervals are the same
+    pattern over equality instead of monotonicity).  Break flags from one
+    lag, run ids from the cumulative sum of breaks IN THE SAME window
+    ordering, lengths from a hash agg: everything clusters on user_id, so
+    the whole chain is ONE exchange of the fact (the b9 single-exchange
+    argument, test-pinned there).  Tie-break on event_id keeps per-user
+    order total, so run boundaries are engine-identical."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("value").over(w).isNull() | (F.col("value") <= F.lag("value").over(w)), 1
+        )
+        .otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = e.select("user_id", brk.alias("brk"), "ts", "event_id").withColumn(
+        "run_id", F.sum("brk").over(cum)
+    )
+    rl = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("run_len"))
+    return rl.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("n_events"),
+    )
+
+
+@register(
+    "h5_multiset_setops",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ), b AS (
+        SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F' AND l_quantity < 25
+    ), ea AS (
+        SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    ), ia AS (
+        SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    )
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(SUM(k) AS BIGINT) AS key_mass
+    FROM ea
+    UNION ALL
+    SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT k) AS BIGINT), CAST(SUM(k) AS BIGINT)
+    FROM ia
+    """,
+    survey="H2,H3",
+)
+def h5_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    per-key multiplicities (min for intersect, difference for except),
+    which is what reconciliation arithmetic needs: h2/h3's DISTINCT
+    variants answer 'which keys', these answer 'how many rows', and the
+    two differ exactly on duplicated keys.  Spark plans both as a single
+    aggregate computing per-key counts on each side then replicating
+    min(c_a, c_b) / greatest(c_a - c_b, 0) — one shuffle per side, no
+    join blowup; the summary projection (count/distinct/mass) keeps the
+    oracle comparison compact while still covering every multiplicity."""
+    li = Tables(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = li.filter((F.col("l_linestatus") == "F") & (F.col("l_quantity") < 25)).select(
+        F.col("l_partkey").alias("k")
+    )
+    def summarize(df, op):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+            F.sum("k").alias("key_mass"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys", "key_mass")
+    return summarize(a.exceptAll(b), "except_all").unionByName(
+        summarize(a.intersectAll(b), "intersect_all")
+    )
