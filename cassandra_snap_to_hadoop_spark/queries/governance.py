@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators import similarity as sim
 from cassandra_snap_to_hadoop_spark.operators.text import tokens
 from cassandra_snap_to_hadoop_spark.registry import register
 
@@ -367,5 +368,71 @@ def j32_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_grams"),
             F.sum(F.when(F.col("ndf") == 1, 1).otherwise(0)).cast("long").alias("n_novel"),
             F.sum("ndf").alias("df_mass"),
+        )
+    )
+
+
+@register(
+    "j33_semdedup_prune",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS e,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.2
+    )
+    SELECT v.vec_id,
+           CAST(v.bucket AS INTEGER) AS bucket,
+           CAST(CASE WHEN dropped.id_b IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS dropped
+    FROM v LEFT JOIN dropped ON v.vec_id = dropped.id_b
+    """,
+    survey="J2,J3,D9",
+)
+def j33_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning (Abbas et al. 2023): bucket the
+    embedding space, compute pairwise cosine only WITHIN buckets, drop
+    every vector with a higher-similarity smaller-id neighbor — keep-first
+    semantics identical to the funnel's near-dup stage, but in embedding
+    space where paraphrases that share no n-grams still collide.  The
+    bucketing here is the deterministic sign-quadrant code of the first 4
+    dimensions (16 cells) so the DuckDB oracle can mirror it exactly; the
+    production path swaps in k-means cells (j3_knn_ivf machinery) or SRP
+    bands (j3_similarity_join_lsh) — identical prune semantics, tuned
+    recall.  Quadratic cost is bounded per bucket, never global: the
+    at-scale knob is bucket bit-width, exactly like LSH band width.
+    Threshold boundary floats are the accepted measure-zero class
+    (j2_embedding_neardup precedent)."""
+    e = Tables(spark, sf_dir).embeddings
+    emb = F.col("embedding")
+    bucket = (
+        (F.element_at(emb, 1) >= 0).cast("int")
+        + (F.element_at(emb, 2) >= 0).cast("int") * 2
+        + (F.element_at(emb, 3) >= 0).cast("int") * 4
+        + (F.element_at(emb, 4) >= 0).cast("int") * 8
+    )
+    v = e.select(
+        "vec_id", bucket.alias("bucket"), sim.l2_normalize(emb).alias("nv")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim.dot(F.col("a.nv"), F.col("b.nv")) >= 0.2)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        v.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("dropped", F.lit(0)).cast("int").alias("dropped"),
         )
     )
