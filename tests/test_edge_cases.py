@@ -83,3 +83,67 @@ def test_all_null_group_key(spark):
     )
     out = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert out[None] == 3.0 and out[1] == 3.0  # nulls form one group (SQL semantics)
+
+def test_chunking_short_and_empty_docs(spark):
+    """j31's chunk-count formula on the corners: a doc shorter than one
+    window still yields exactly one chunk; an empty string tokenizes to
+    [''] (one token) and must not error."""
+    from cassandra_snap_to_hadoop_spark.queries.training import j31_context_chunking
+
+    # Build a registry-shaped call by staging a miniature documents table.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "one two three", "en", "src0", 13),
+                (2, "", "en", "src1", 0),
+                (3, " ".join(f"w{i}" for i in range(64)), "en", "src2", 100),
+                (4, " ".join(f"w{i}" for i in range(65)), "en", "src3", 100),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in j31_context_chunking(spark, d).collect()}
+    assert out[1]["n_chunks"] == 1
+    assert out[2]["n_chunks"] == 1 and out[2]["n_tokens"] == 1
+    assert out[3]["n_chunks"] == 1  # exactly one full window
+    assert out[4]["n_chunks"] == 2  # one token over -> second (overlapping) chunk
+
+
+def test_line_dedup_doc_shorter_than_line(spark):
+    """j29 on a 3-token doc: one (short) line, nothing dropped when its
+    content is unique."""
+    from cassandra_snap_to_hadoop_spark.queries.governance import j29_line_dedup
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, f"unique{i} alpha beta", "en", "src0", 10) for i in range(30)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = j29_line_dedup(spark, d).collect()
+    # banner is injected into doc_id%3!=0 docs -> their banner line IS
+    # boilerplate (20/30 docs > 5%), the unique tail line survives.
+    for r in rows:
+        if r["doc_id"] % 3 != 0:
+            assert r["n_lines"] == 2 and r["n_kept"] == 1
+        else:
+            assert r["n_lines"] == 1 and r["n_kept"] == 1
+
+
+def test_semdedup_identical_vectors_prune_to_one(spark):
+    """j33 keep-first: N identical vectors leave exactly the smallest id."""
+    from cassandra_snap_to_hadoop_spark.queries.governance import j33_semdedup_prune
+    import tempfile
+
+    vec = [0.5] * 8
+    other = [-1.0] + [0.1] * 7
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, vec, 0) for i in range(5)] + [(99, other, 0)],
+            "vec_id long, embedding array<float>, label int",
+        ).write.parquet(f"{d}/embeddings.parquet")
+        rows = {r["vec_id"]: r for r in j33_semdedup_prune(spark, d).collect()}
+    assert rows[0]["dropped"] == 0
+    assert all(rows[i]["dropped"] == 1 for i in range(1, 5))
+    assert rows[99]["dropped"] == 0  # different quadrant, untouched
