@@ -499,3 +499,96 @@ def j34_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fp).cast("long").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(fp), "")).alias("fp_digest"),
     )
+
+
+@register(
+    "j35_prefix_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_NORM} AS norm FROM documents
+    ), injected AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 7 = 3
+                    THEN array_to_string(string_split(b.norm, ' ')[1:20], ' ')
+                    ELSE d.norm END AS norm
+        FROM base d JOIN base b ON b.doc_id = (d.doc_id // 10) * 10
+    ), keyed AS (
+        SELECT doc_id, norm,
+               array_to_string(string_split(norm, ' ')[1:10], ' ') AS block,
+               length(norm) AS L
+        FROM injected
+    ), dropped AS (
+        SELECT DISTINCT s.doc_id
+        FROM keyed s JOIN keyed l
+          ON s.block = l.block
+         AND (s.L < l.L OR (s.L = l.L AND s.doc_id > l.doc_id))
+         AND starts_with(l.norm, s.norm)
+    )
+    SELECT k.doc_id,
+           CAST(k.L AS BIGINT) AS n_chars_norm,
+           CAST(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_prefix_dup
+    FROM keyed k LEFT JOIN dropped ON k.doc_id = dropped.doc_id
+    """,
+    survey="J1,J2,I1",
+)
+def j35_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate removal: a document is dropped when its normalized
+    text is a prefix of a longer surviving document's — the truncated-
+    crawl artifact (same page fetched with and without a byte cap) that
+    exact-hash dedup misses because the texts differ and near-dup misses
+    below its Jaccard threshold.  Equal-text pairs keep the smaller id,
+    matching j1's survivor rule.  The candidate join is BLOCKED on the
+    first-10-token line, so prefix checks run only within groups sharing
+    an opening — document openings are high-entropy, making block sizes
+    tiny (the same economics as j4's pairwise blocking); the
+    `starts_with` predicate then runs on co-located pairs only.  The
+    corpus has no natural truncations, so docs with id%7==3 are rewritten
+    to their decade-base doc's first 20 tokens (injection discipline of
+    j27)."""
+    d = Tables(spark, sf_dir).documents
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    base = d.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    b = base.select(F.col("doc_id").alias("base_id"), F.col("norm").alias("base_norm"))
+    injected = (
+        base.join(b, (F.col("doc_id") - F.col("doc_id") % 10) == F.col("base_id"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.array_join(F.slice(F.split(F.col("base_norm"), " "), 1, 20), " "),
+            )
+            .otherwise(F.col("norm"))
+            .alias("norm"),
+        )
+    )
+    keyed = injected.select(
+        "doc_id",
+        "norm",
+        F.array_join(F.slice(F.split(F.col("norm"), " "), 1, 10), " ").alias("block"),
+        F.length("norm").alias("L"),
+    )
+    s, l = keyed.alias("s"), keyed.alias("l")
+    dropped = (
+        s.join(
+            l,
+            (F.col("s.block") == F.col("l.block"))
+            & (
+                (F.col("s.L") < F.col("l.L"))
+                | ((F.col("s.L") == F.col("l.L")) & (F.col("s.doc_id") > F.col("l.doc_id")))
+            )
+            & F.col("l.norm").startswith(F.col("s.norm")),
+        )
+        .select(F.col("s.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_prefix_dup", F.lit(1))
+    )
+    return (
+        keyed.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("L").cast("long").alias("n_chars_norm"),
+            F.coalesce("is_prefix_dup", F.lit(0)).cast("int").alias("is_prefix_dup"),
+        )
+    )
