@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scale-up probe: run representative operator shapes at 1x and Nx the
+sf0.1 data (Nx built by exploding each row with a replica index so keys
+stay realistically distributed) and report wall-clock scaling.
+
+    python tools/scale_probe.py [multiplier]
+
+The question this answers is the 100 TB question in miniature: does each
+plan's cost grow ~linearly with data (scan/agg/join/window shapes should),
+and does anything blow up super-linearly (a pair join without blocking
+would).  Results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.session import get_spark
+
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    t = Tables(spark, sf_dir)
+
+    def amplify(df, key_cols):
+        """Explode each row into `mult` replicas, remapping integer keys so
+        cardinalities scale too (replica r shifts keys by r * 10^9)."""
+        rep = df.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        ).withColumn("__r", F.col("__r").cast("long"))
+        for k in key_cols:
+            rep = rep.withColumn(
+                k, F.col(k).cast("long") + F.col("__r") * F.lit(1_000_000_000).cast("long")
+            )
+        return rep.drop("__r")
+
+    li1 = t.lineitem
+    liN = amplify(t.lineitem, ["l_orderkey"])
+    o1 = t.orders
+    oN = amplify(t.orders, ["o_orderkey"])
+    e1 = t.events
+    eN = amplify(t.events, ["event_id", "user_id"])
+
+    def agg_shape(li):
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("qty"),
+            )
+        )
+
+    def join_shape(li, o):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def window_shape(e):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    shapes = [
+        ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
+        ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
+    ]
+
+    print(f"# scale probe @ {sf_dir}, multiplier={mult}")
+    for name, f1, fN in shapes:
+        f1().count()  # warm
+        t0 = time.perf_counter()
+        f1().count()
+        base = time.perf_counter() - t0
+        fN().count()  # warm
+        t0 = time.perf_counter()
+        fN().count()
+        big = time.perf_counter() - t0
+        ratio = big / base if base else float("inf")
+        print(
+            f"{name}: 1x={base:.2f}s {mult}x={big:.2f}s ratio={ratio:.1f} "
+            f"({'~linear' if ratio <= mult * 1.5 else 'SUPER-LINEAR'})"
+        )
+
+
+if __name__ == "__main__":
+    main()
