@@ -302,3 +302,80 @@ def a15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.coalesce(F.col("g1.v"), F.col("g0.v"))).alias("value_mass"),
     )
+
+
+@register(
+    "a16_cdc_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT event_id, 'U' AS op,
+               CAST(ROUND((value + 10) * 100) AS BIGINT) AS new_v
+        FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, 'D', NULL FROM events
+        WHERE event_id % 3 <> 0 AND event_id % 7 = 0
+        UNION ALL
+        SELECT event_id + 2000000000, 'I', CAST(event_id % 1000 AS BIGINT)
+        FROM events WHERE event_id % 11 = 0
+    ), base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    ), applied AS (
+        SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+               CASE WHEN c.op = 'U' THEN c.new_v
+                    WHEN c.op = 'I' THEN c.new_v
+                    ELSE b.v END AS v,
+               COALESCE(c.op, 'K') AS op
+        FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
+        WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS value_mass
+    FROM applied GROUP BY op
+    """,
+    survey="A5,D3,B2",
+)
+def a16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — MERGE INTO semantics as a declarative transform: a
+    change feed of explicit Insert/Update/Delete operations applied to a
+    base table in one pass (update wins over base, delete removes, insert
+    adds, untouched rows keep 'K').  This is the copy-on-write half of
+    what Delta/Iceberg MERGE does under the hood: full-outer join base
+    with changes on the key, resolve per-row, rewrite — no transaction
+    log needed for the SEMANTICS, which is what the oracle certifies.
+    Differs from lww_merge (B2): LWW resolves by timestamp among
+    symmetric versions; CDC ops are asymmetric commands (a delete beats
+    any timestamp).  The change feed is derived deterministically from
+    the base (mod-class injection).  One pk full-outer join + one hash
+    agg; at 100 TB partition the base by key range and this becomes the
+    per-partition rewrite job every lakehouse runs."""
+    e = Tables(spark, sf_dir).events
+    base = e.select("event_id", F.round(F.col("value") * 100).cast("long").alias("v"))
+    upd = e.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.lit("U").alias("op"),
+        F.round((F.col("value") + 10) * 100).cast("long").alias("new_v"),
+    )
+    dele = (
+        e.filter((F.col("event_id") % 3 != 0) & (F.col("event_id") % 7 == 0))
+        .select("event_id", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_v"))
+    )
+    ins = e.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 2000000000).alias("event_id"),
+        F.lit("I").alias("op"),
+        (F.col("event_id") % 1000).cast("long").alias("new_v"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    j = base.alias("b").join(
+        changes.alias("c"), F.col("b.event_id") == F.col("c.event_id"), "full_outer"
+    )
+    applied = j.filter(F.col("c.op").isNull() | (F.col("c.op") != "D")).select(
+        F.coalesce(F.col("c.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.new_v"))
+        .otherwise(F.col("b.v"))
+        .alias("v"),
+        F.coalesce(F.col("c.op"), F.lit("K")).alias("op"),
+    )
+    return applied.groupBy("op").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("value_mass")
+    )
