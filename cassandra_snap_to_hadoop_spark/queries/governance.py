@@ -592,3 +592,52 @@ def j35_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_prefix_dup", F.lit(0)).cast("int").alias("is_prefix_dup"),
         )
     )
+
+
+@register(
+    "j36_token_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+    ), n AS (
+        SELECT doc_id, SUM(c) AS n FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(MIN(n.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(FLOOR(-ln(c * 1.0 / n.n) * c * 1000000 / n.n) AS BIGINT))
+                AS BIGINT) AS entropy_micronats
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    """,
+    survey="J9,J6",
+)
+def j36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the gibberish /
+    keyword-stuffing detector: natural text sits in a mid-entropy band,
+    repeated-token spam collapses toward zero, and random-token noise
+    pushes toward log(n).  Per-term contributions -p*ln(p) are quantized
+    to integer micro-nats and summed EXACTLY (the j23 discipline), so the
+    check is association-order-free; the only hazard is a 1-ulp libm ln
+    at a floor boundary — the accepted measure-zero class.  Shape: one
+    explode + (doc, term) hash agg + per-doc re-agg, all map-side
+    combined; the entropy of a 100 TB corpus costs two aggregations of
+    its term postings, nothing more."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    q = F.floor(
+        -F.ln(F.col("c") * 1.0 / F.col("n")) * F.col("c") * 1000000 / F.col("n")
+    ).cast("long")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(q).alias("entropy_micronats"),
+        )
+    )
