@@ -1072,3 +1072,54 @@ def h5_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(a.exceptAll(b), "except_all").unionByName(
         summarize(a.intersectAll(b), "intersect_all")
     )
+
+
+@register(
+    "l7_udtf_table_partition",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_sum
+    FROM events GROUP BY event_type
+    """,
+    survey="L5,E2",
+)
+def l7_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-argument UDTF with PARTITION BY (Spark 4): the engine feeds
+    the UDTF one partition of rows per key and calls terminate() at each
+    partition boundary — the SQL-native custom-aggregation surface for
+    logic beyond pandas grouped-agg (multi-row emission, stateful
+    scans).  The demo reimplements a per-type count+sum so the oracle can
+    certify partition routing end-to-end: every row reaching exactly one
+    partition instance is precisely what COUNT/SUM parity proves.  Data
+    volume per partition instance is the per-key share — at 100 TB this
+    surface demands the same key-cardinality hygiene as applyInPandas
+    (l3); built-in aggs remain the hot path (this is the escape hatch)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import Row
+
+    @udtf(returnType="event_type string, n bigint, v_sum bigint")
+    class PartitionSummary:
+        def __init__(self) -> None:
+            self.n = 0
+            self.v = 0
+            self.key = None
+
+        def eval(self, row: Row):  # noqa: ANN001
+            self.key = row["event_type"]
+            self.n += 1
+            self.v += int(round(row["value"] * 100))
+
+        def terminate(self):
+            if self.key is not None:
+                yield self.key, self.n, self.v
+
+    spark.udtf.register("l7_partition_summary", PartitionSummary)
+    Tables(spark, sf_dir).events.createOrReplaceTempView("l7_events")
+    return spark.sql(
+        """
+        SELECT * FROM l7_partition_summary(
+            TABLE(SELECT event_type, value FROM l7_events)
+            PARTITION BY event_type)
+        """
+    )
