@@ -1123,3 +1123,50 @@ def l7_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY event_type)
         """
     )
+
+
+@register(
+    "i12_variant_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key,
+               props
+        FROM events
+    )
+    SELECT prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS value_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS value_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+                AS BIGINT) AS value_max
+    FROM kv
+    GROUP BY prop_key
+    """,
+    survey="I7,I5",
+)
+def i12_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral VARIANT explosion (Spark 4 `variant_explode` TVF vs
+    DuckDB's `json_each`): semi-structured payloads unnested into
+    (key, value) rows WITHOUT a schema declared up front — the shape
+    that processes heterogeneous event properties at ingest, before
+    anyone knows the full key set.  Complements i7's path-extraction
+    (known keys) with discovery (whatever keys exist).  VARIANT's
+    binary encoding makes repeated traversal O(parse-once) vs
+    re-parsing JSON text per access — the Spark 4 reason to prefer it
+    in hot paths.  Per-key aggregation of the exploded values is
+    value-checked exactly (integer payloads)."""
+    e = Tables(spark, sf_dir).events
+    e.createOrReplaceTempView("i12_events")
+    return spark.sql(
+        """
+        SELECT v.key AS prop_key,
+               COUNT(*) AS n,
+               SUM(CAST(v.value AS BIGINT)) AS value_sum,
+               MIN(CAST(v.value AS BIGINT)) AS value_min,
+               MAX(CAST(v.value AS BIGINT)) AS value_max
+        FROM i12_events, LATERAL variant_explode(parse_json(props)) AS v
+        GROUP BY v.key
+        """
+    )
