@@ -99,6 +99,16 @@ def check_query(spark: SparkSession, name: str, sf_dir: str, con=None) -> Parity
             res.issues.append(
                 f"oracle col={cname} is DuckDB {ctype} (int128) — wrap in CAST(... AS BIGINT)"
             )
+        # Same class of silent widening: DECIMAL literals/arithmetic (e.g.
+        # CASE WHEN ... THEN 0.25) yield DECIMAL, which fetches as
+        # decimal.Decimal and serializes differently from Spark's double
+        # in the driver's value hash (j22 near-miss).  Registry contract
+        # allows long/double/string/date only — reject at the type level.
+        if "DECIMAL" in ctype:
+            res.ok = False
+            res.issues.append(
+                f"oracle col={cname} is DuckDB {ctype} — wrap in CAST(... AS DOUBLE)"
+            )
     if not res.ok:
         return res
     if sorted(s_names) != sorted(o_names):

@@ -1170,3 +1170,57 @@ def i12_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY v.key
         """
     )
+
+
+@register(
+    "k10_disorder_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS max_seen
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN max_seen IS NOT NULL AND ts < max_seen
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN max_seen IS NOT NULL AND ts < max_seen
+                          THEN epoch_ms(max_seen) - epoch_ms(ts) END), 0)
+                AS BIGINT) AS max_lateness_ms
+    FROM arr GROUP BY user_id
+    """,
+    survey="K4,F3,E11",
+)
+def k10_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: per key, how many events arrive with a
+    timestamp older than the maximum already seen, and by how much — THE
+    measurement that sizes a watermark (k4 chooses a delay; this query
+    says what delay the stream actually needs: watermark >= observed
+    max lateness keeps the late-drop rate at the measured n_late tail).
+    Arrival order is the generation sequence (event_id), the same
+    simulation convention as the streaming twins.  One running-max
+    window clustered by key + one hash agg — the profile of a 100 TB
+    stream history costs one shuffle, and in production runs
+    incrementally over each day's arrivals."""
+    e = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("max_seen"),
+    )
+    late = F.col("max_seen").isNotNull() & (F.col("ts") < F.col("max_seen"))
+    lateness_ms = F.unix_millis("max_seen") - F.unix_millis("ts")
+    return arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.coalesce(F.max(F.when(late, lateness_ms)), F.lit(0)).cast("long").alias(
+            "max_lateness_ms"
+        ),
+    )
