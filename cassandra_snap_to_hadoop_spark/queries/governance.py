@@ -641,3 +641,65 @@ def j36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(q).alias("entropy_micronats"),
         )
     )
+
+
+@register(
+    "j37_source_kl_drift",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest({_WORDS}) AS tok FROM documents
+    ), per_src AS (
+        SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+    ), src_tot AS (
+        SELECT source, SUM(c) AS n FROM per_src GROUP BY 1
+    ), corpus AS (
+        SELECT tok, SUM(c) AS cc FROM per_src GROUP BY 1
+    ), corpus_tot AS (
+        SELECT SUM(cc) AS nn FROM corpus
+    )
+    SELECT s.source,
+           CAST(MIN(st.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(
+               (s.c * 1.0 / st.n)
+               * ln((s.c * 1.0 / st.n) / (c.cc * 1.0 / ct.nn))
+               * 1000000) AS BIGINT)) AS BIGINT) AS kl_micronats
+    FROM per_src s
+    JOIN src_tot st ON s.source = st.source
+    JOIN corpus c ON s.tok = c.tok
+    CROSS JOIN corpus_tot ct
+    GROUP BY s.source
+    """,
+    survey="J9,J7,E2",
+)
+def j37_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional drift per source: KL divergence of each source's
+    token distribution from the corpus distribution — the mixture-
+    monitoring metric that flags a crawl batch whose language shifted
+    (spam infiltration, template change, encoding breakage) before any
+    per-document filter fires.  Every source token exists in the corpus
+    distribution by construction (corpus = union of sources), so no
+    smoothing term is needed and KL is finite.  Per-term contributions
+    p*ln(p/q) are floor-quantized to micro-nats and summed exactly — the
+    j23/j36 discipline, association-order-free.  Shape: term hash-agg
+    per source, term hash-agg for the corpus, one join on term value +
+    per-source re-agg; term-space economics throughout (TF-IDF class),
+    nothing scales with docs^2."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("cc") * 1.0 / F.col("nn")
+    contrib = F.floor(p * F.ln(p / q) * 1000000).cast("long")
+    return (
+        per_src.join(src_tot, "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.min("n").alias("n_tokens"),
+            F.sum(contrib).alias("kl_micronats"),
+        )
+    )
