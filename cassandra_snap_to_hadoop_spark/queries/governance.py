@@ -703,3 +703,75 @@ def j37_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).alias("kl_micronats"),
         )
     )
+
+
+@register(
+    "j38_dataset_card",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               len({_WORDS}) AS n_toks, length(text) AS n_chars
+        FROM documents
+    )
+    SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM t
+    UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM t
+    UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM t
+    UNION ALL SELECT 'total_tokens', CAST(SUM(n_toks) AS BIGINT) FROM t
+    UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM t
+    UNION ALL SELECT 'min_doc_tokens', CAST(MIN(n_toks) AS BIGINT) FROM t
+    UNION ALL SELECT 'max_doc_tokens', CAST(MAX(n_toks) AS BIGINT) FROM t
+    UNION ALL SELECT 'median_doc_tokens',
+        CAST(quantile_cont(n_toks, 0.5) * 2 AS BIGINT) FROM t
+    UNION ALL SELECT 'docs_under_50_tokens',
+        CAST(SUM(CASE WHEN n_toks < 50 THEN 1 ELSE 0 END) AS BIGINT) FROM t
+    UNION ALL SELECT 'largest_source_docs',
+        CAST(MAX(c) AS BIGINT) FROM (SELECT COUNT(*) AS c FROM t GROUP BY source)
+    """,
+    survey="E1,E3,E6,H1,J8",
+)
+def j38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: the summary block every published
+    corpus ships (doc/lang/source counts, token and char totals, length
+    extremes and median, short-doc tail, dominant-source size) — the
+    numbers a consumer checks before training on it.  The median of
+    integer token counts is interpolated to x.0/x.5 halves, so doubling
+    it yields an exact integer on both engines (no float rule needed
+    anywhere in the card).  Each stat is a metadata-scale aggregate; the
+    whole card is one corpus scan + a handful of tiny re-aggs — the
+    'print the report' query that runs after every pipeline stage."""
+    d = Tables(spark, sf_dir).documents
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+
+    def stat(name, col):
+        return t.agg(col.cast("long").alias("value")).select(
+            F.lit(name).alias("stat"), "value"
+        )
+
+    largest_src = (
+        t.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("long").alias("value"))
+        .select(F.lit("largest_source_docs").alias("stat"), "value")
+    )
+    parts = [
+        stat("n_docs", F.count("*")),
+        stat("n_langs", F.countDistinct("lang")),
+        stat("n_sources", F.countDistinct("source")),
+        stat("total_tokens", F.sum("n_toks")),
+        stat("total_chars", F.sum("n_chars")),
+        stat("min_doc_tokens", F.min("n_toks")),
+        stat("max_doc_tokens", F.max("n_toks")),
+        stat("median_doc_tokens", F.percentile("n_toks", 0.5) * 2),
+        stat("docs_under_50_tokens", F.sum(F.when(F.col("n_toks") < 50, 1).otherwise(0))),
+        largest_src,
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

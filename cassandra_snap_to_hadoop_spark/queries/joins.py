@@ -374,3 +374,59 @@ def d14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("stale_dropped"),
     )
+
+
+@register(
+    "d15_null_skew_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS ck,
+               o_totalprice
+        FROM orders
+    )
+    SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM o LEFT JOIN customer c ON o.ck = c.c_custkey
+    GROUP BY 1
+    """,
+    survey="D3,C4,E2",
+)
+def d15_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key skew isolation: in a left join, every null-key row hashes
+    to ONE reducer (nulls never match, but they still shuffle together) —
+    with 1/3 of keys null, one task carries a third of the fact while the
+    rest idle.  The standard fix, applied here: split the fact on key
+    nullability, hash-join only the non-null side, pass null rows
+    straight to the result with join columns nulled — the null partition
+    never enters the shuffle at all.  Value-checked against the oracle's
+    plain LEFT JOIN (identical semantics: null keys match nothing), so
+    the rewrite is proven safe, and the null fraction is injected
+    deterministically (orderkey % 3)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("ck"),
+        "o_totalprice",
+    )
+    c = t.customer
+    nn = o.filter(F.col("ck").isNotNull()).join(
+        c, F.col("ck") == F.col("c_custkey"), "left"
+    )
+    nulls = o.filter(F.col("ck").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    unioned = nn.select("o_totalprice", "c_mktsegment").unionByName(
+        nulls.select("o_totalprice", "c_mktsegment")
+    )
+    return unioned.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNMATCHED")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "total_price"
+        ),
+    )
