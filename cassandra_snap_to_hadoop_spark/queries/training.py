@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators.text import tokens
 from cassandra_snap_to_hadoop_spark.queries._util import round4, sql_qsum
 from cassandra_snap_to_hadoop_spark.registry import register
@@ -476,7 +476,7 @@ def j23_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     economics as TF-IDF), then a vocab join back — AQE broadcasts it when
     small, shuffles when not — and a per-doc re-agg.  Three shuffles
     total on corpus-sized data, no UDF, no collect."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("n_total"))
@@ -695,7 +695,7 @@ def j31_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-chunking drift.  Pure per-row array arithmetic (comprehension on
     DuckDB, transform+sequence on Spark), then one hash agg: zero
     shuffle before the per-doc re-agg, the score-while-you-scan shape."""
-    d = Tables(spark, sf_dir).documents
+    d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     n_chunks = F.greatest(
         F.floor((F.size(w) - 64 + 31) / 32).cast("long") + 1, F.lit(1).cast("long")
