@@ -213,6 +213,17 @@ def test_partition_count_invariance(spark, sf_dir):
         "d11_salted_skew_join",
         "j18_mixture_weights",
         "j19_quality_percentile_cut",
+        # continuation-session additions with survivor picks, window
+        # orderings, or keep-first prunes — the same sensitivity class
+        "j24_event_transitions",
+        "j29_line_dedup",
+        "j33_semdedup_prune",
+        "j35_prefix_dedup",
+        "e17_weighted_stats",
+        "f10_monotone_runs",
+        "k10_disorder_profile",
+        "a16_cdc_apply",
+        "j31_context_chunking",
     ]
     def run_all():
         return {
