@@ -116,3 +116,48 @@ def compact(spark_read_df: DataFrame, total_bytes: int, target_bytes: int) -> Da
     mechanism that makes output sizes uniform).
     """
     return spark_read_df.repartition(target_file_count(total_bytes, target_bytes))
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    num_partitions: int = 32,
+    out_col: str = "global_rank",
+) -> DataFrame:
+    """Scalable global ranking: total order WITHOUT the single-reducer
+    trap.  ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY pulls
+    the entire dataset through ONE task — the canonical scale killer for
+    global ordering.  The two-pass alternative: range-partition on the
+    order key (boundaries from a sample), rank locally within each sorted
+    partition, then add per-partition offsets (cumulative counts of the
+    preceding partitions — a |partitions|-sized driver list, KB-scale at
+    any data size).  Rank = offset + local rank, bit-identical to the
+    naive window given a total order.
+
+    The one collect() here is |partitions| integers — the documented
+    exception class (driver-side metadata, like AQE's own stats), not a
+    data collect.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in keyed.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__pid") == p, F.lit(o)) for p, o in offsets.items()]
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        keyed.withColumn("__local", F.row_number().over(w))
+        .withColumn(out_col, (offset_col + F.col("__local")).cast("long"))
+        .drop("__pid", "__local")
+    )

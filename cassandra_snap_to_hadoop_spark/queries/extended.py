@@ -1257,3 +1257,33 @@ def k10_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lateness_ms"
         ),
     )
+
+
+@register(
+    "g4_global_rank_scalable",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT)
+               AS global_rank
+    FROM events
+    """,
+    survey="G1,F1",
+)
+def g4_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order ranking at scale: a no-PARTITION-BY window pulls
+    the whole dataset through one reducer (the canonical global-sort
+    trap); operators/layout.py global_rank instead range-partitions on
+    the order key, ranks locally per sorted partition, and adds
+    per-partition offsets (a KB-scale driver list — the documented
+    metadata-collect exception).  The oracle is the naive global window,
+    so the certification is exactly 'the two-pass trick equals the
+    single-reducer semantics' on every row.  (value, event_id) is a
+    total order, so ranks are engine-unique."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
+
+    e = Tables(spark, sf_dir).events
+    ranked = global_rank(
+        e.select("event_id", "value"),
+        [F.col("value").desc(), F.col("event_id")],
+    )
+    return ranked.select("event_id", "global_rank")
