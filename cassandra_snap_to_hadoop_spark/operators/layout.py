@@ -140,8 +140,16 @@ def global_rank(
     """
     from pyspark.sql.window import Window
 
-    keyed = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint is CORRECTNESS here, not an optimization:
+    # repartitionByRange samples its boundaries per execution, and the
+    # counts job and the ranking job are separate executions — without
+    # pinning the materialized partitioning they can disagree on where
+    # ranges split, corrupting the offsets (caught by the sf0.01 oracle
+    # gate; sf0.001's single-digit partitions masked it).
+    keyed = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = {
         r["__pid"]: r["n"]
