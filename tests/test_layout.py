@@ -167,3 +167,20 @@ def test_a14_reads_through_corruption(spark):
 
     with _pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
         spark.read.option("ignoreCorruptFiles", "false").parquet(str(tol_dir)).count()
+
+
+def test_global_rank_invariant_to_partition_count(spark):
+    """global_rank must produce identical ranks at any partition count
+    (offsets absorb the layout), and ranks must be a permutation of
+    1..N."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
+
+    e = load(spark, SF, "events").select("event_id", "value")
+    n = e.count()
+    by_part = {}
+    for parts in (4, 32):
+        ranked = global_rank(e, [F.col("value").desc(), F.col("event_id")], num_partitions=parts)
+        rows = {r["event_id"]: r["global_rank"] for r in ranked.collect()}
+        assert sorted(rows.values()) == list(range(1, n + 1))
+        by_part[parts] = rows
+    assert by_part[4] == by_part[32]
