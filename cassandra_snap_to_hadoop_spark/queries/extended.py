@@ -1287,3 +1287,44 @@ def g4_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("value").desc(), F.col("event_id")],
     )
     return ranked.select("event_id", "global_rank")
+
+
+@register(
+    "f12_decay_weighted_sum",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, MAX(ts) AS t_ref FROM events GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(
+               e.value * exp(-0.0000080225 *
+                   ((epoch_ms(m.t_ref) - epoch_ms(e.ts)) / 1000.0))
+               * 1000000) AS BIGINT)) AS BIGINT) AS decayed_value_micro
+    FROM events e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id
+    """,
+    survey="F3,E11,I2",
+)
+def f12_decay_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregation — the feature-store staple
+    (recency-weighted activity score): each event contributes
+    value * exp(-lambda * age), lambda = ln(2)/86400s (1-day half-life,
+    the constant 8.0225e-6 below), aged against the user's LATEST event
+    so the feature is reproducible from history alone (wall-clock 'now'
+    would change every run).  Per-row contributions are floor-quantized
+    to micro-units and summed exactly (the j23/j36/j37 discipline) —
+    association-order-free, with only the accepted 1-ulp libm exp()
+    boundary class.  Shape: per-key max agg + self-join back + one hash
+    agg, all clustered on the key; incremental maintenance at scale is
+    one multiply per batch (decay is multiplicative), which is why this
+    beats windowed averages in streaming feature pipelines."""
+    e = Tables(spark, sf_dir).events
+    m = e.groupBy("user_id").agg(F.max("ts").alias("t_ref"))
+    j = e.join(m, "user_id")
+    age_s = (F.unix_millis("t_ref") - F.unix_millis("ts")) / 1000.0
+    contrib = F.floor(F.col("value") * F.exp(-0.0000080225 * age_s) * 1000000).cast("long")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(contrib).alias("decayed_value_micro"),
+    )
