@@ -1328,3 +1328,83 @@ def f12_decay_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(contrib).alias("decayed_value_micro"),
     )
+
+
+@register(
+    "k11_session_patterns",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ), journeys AS (
+        SELECT user_id, session_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS pattern
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM journeys
+    GROUP BY pattern
+    HAVING COUNT(*) >= 3
+    """,
+    survey="K3,F2,E7",
+)
+def k11_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session journey pattern mining: k3's gap sessionization, each
+    session collapsed to its ordered event-initial string ('vcp' = view,
+    click, purchase), patterns counted across the corpus with a min
+    support of 3 — the sequence-mining shape behind funnel discovery
+    (e14 checks ONE known funnel; this surfaces which journeys exist).
+    Order inside the journey string is pinned by (ts, event_id), so the
+    pattern strings are engine-identical; the support cut keeps the
+    output in frequent-pattern territory at any corpus size.  Shape: one
+    window shuffle on user_id reused by the lag, the cumulative sum, and
+    (after the per-session agg) the pattern count — per-session strings
+    are bounded by session length, never corpus length."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    seq = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    journeys = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("pattern")
+    )
+    return (
+        journeys.groupBy("pattern")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n_sessions") >= 3)
+    )
