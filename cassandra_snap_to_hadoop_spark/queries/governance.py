@@ -800,3 +800,57 @@ def j38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "j39_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_distinct({_WORDS})) AS rich,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS jit
+        FROM documents
+    ), banded AS (
+        SELECT doc_id, rich, jit,
+               ntile(10) OVER (ORDER BY rich, doc_id) AS band
+        FROM scored
+    )
+    SELECT doc_id,
+           CAST(band AS INTEGER) AS band,
+           CAST(row_number() OVER (ORDER BY band, jit, doc_id) AS BIGINT)
+               AS train_order
+    FROM banded
+    """,
+    survey="J9,G1,F1",
+)
+def j39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents banded into quality deciles
+    (lexical richness, low to high — easy-to-hard curricula train on
+    simple text first), SHUFFLED deterministically within each band by an
+    md5 jitter key (SGD needs within-level randomness, but rand() would
+    change the curriculum every run — the j22 reproducibility argument),
+    and assigned a global training order.  The global order uses
+    operators/layout.py global_rank (range partitions + offsets), NOT a
+    single-reducer window — this query is exactly why that operator
+    exists: assigning a total order to a 100 TB corpus is the one
+    unavoidable global sort in a training pipeline.  The oracle is the
+    naive global window, certifying two-pass-equals-naive over the whole
+    curriculum."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
+    from pyspark.sql.window import Window
+
+    d = fan_out(Tables(spark, sf_dir).documents)
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("rich"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("jit"),
+    )
+    banded = scored.withColumn(
+        "band", F.ntile(10).over(Window.orderBy("rich", "doc_id"))
+    )
+    ranked = global_rank(
+        banded,
+        [F.col("band"), F.col("jit"), F.col("doc_id")],
+        out_col="train_order",
+    )
+    return ranked.select("doc_id", F.col("band").cast("int").alias("band"), "train_order")
