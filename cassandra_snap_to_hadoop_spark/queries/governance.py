@@ -835,7 +835,15 @@ def j39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists: assigning a total order to a 100 TB corpus is the one
     unavoidable global sort in a training pipeline.  The oracle is the
     naive global window, certifying two-pass-equals-naive over the whole
-    curriculum."""
+    curriculum.
+
+    Honest scale note: the decile BAND assignment still uses a global
+    ntile window (it moves only (doc_id, rich, jit) triples, but it is a
+    single-reducer sort).  At 100 TB swap it for approx_percentile
+    thresholds + comparison banding — curricula tolerate approximate
+    decile boundaries (the bands are a pedagogical ordering, not an
+    exact statistic), while the TRAIN ORDER itself stays exact via
+    global_rank."""
     from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
     from pyspark.sql.window import Window
 
