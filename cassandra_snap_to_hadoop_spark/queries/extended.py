@@ -1408,3 +1408,38 @@ def k11_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sessions") >= 3)
     )
+
+
+@register(
+    "i13_binary_encode_funcs",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 48))) AS b64,
+           lower(hex(encode(substr(text, 1, 16)))) AS hex16,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(base64(encode(substr(text, 1, 48)))) AS b64_md5
+    FROM documents
+    """,
+    survey="I8,I1,J10",
+)
+def i13_binary_encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode surface (I8 adjacency, J10's transport layer):
+    base64 and hex of text-derived bytes plus exact byte lengths — the
+    primitives that move opaque payloads through JSON/CSV channels and
+    address blob stores.  base64 alphabets and hex casing are pinned by
+    RFC 4648, so the encodings are byte-identical across engines (hex is
+    lowercased explicitly — Spark emits lowercase, DuckDB uppercase: the
+    one dialect divergence, normalized rather than trusted).  The md5 of
+    the base64 doubles as a transport-integrity check.  Pure column
+    expressions; UTF-8 text here is ASCII by construction so byte
+    lengths equal char lengths — the n_bytes column would catch any
+    engine disagreeing on encoding."""
+    d = Tables(spark, sf_dir).documents
+    head48 = F.substring("text", 1, 48).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(head48).alias("b64"),
+        F.lower(F.hex(F.substring("text", 1, 16).cast("binary"))).alias("hex16"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.base64(head48)).alias("b64_md5"),
+    )
