@@ -81,6 +81,12 @@ def lww_merge(
     Ordering columns must be non-null (Cassandra writetimes always are).
     """
     if priority is not None:
+        if seq_col is not None or tiebreak_cols:
+            raise ValueError(
+                "lww_merge: priority replaces the whole ordering — it cannot "
+                "be combined with seq_col/tiebreak_cols (pack them into the "
+                "priority encoding instead, so ties imply identical payloads)"
+            )
         payload_cols = [c for c in df.columns if c not in set(key_cols)]
         merged = df.groupBy(*[F.col(c) for c in key_cols]).agg(
             *[F.max_by(F.col(c), priority).alias(c) for c in payload_cols]

@@ -33,6 +33,7 @@ def curation_funnel(
     jaccard_threshold: float = 0.05,
     block_col: str | None = "lang",
     pairs_fn=None,
+    materialize=None,
 ) -> DataFrame:
     """Returns (stage, n_docs, retained_pct) for the 4 funnel stages.
 
@@ -51,14 +52,22 @@ def curation_funnel(
     shingle-Jaccard join (value-checkable against SQL); pass
     ``lambda df: minhash_lsh_pairs(df, id_col, text_col)`` for the
     100 TB tier — identical funnel shape, bucket-bounded candidate cost.
+
+    ``materialize`` swaps the stage-boundary cut: default is
+    ``localCheckpoint`` (in-engine); pass a ``(df, stage_name) -> df``
+    that writes-and-rereads parquet for the production analogue
+    (tools/scale_probe.py measures both variants side by side).
     """
-    quality = quality_features(docs, text_col).filter(F.col("quality_ok") == 1).localCheckpoint()
-    survivors = (
+    mat = materialize if materialize is not None else (lambda df, _name: df.localCheckpoint())
+    quality = mat(
+        quality_features(docs, text_col).filter(F.col("quality_ok") == 1), "1_quality"
+    )
+    survivors = mat(
         quality.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
         .withColumn("__keep", F.min(id_col).over(__hash_window()))
         .filter(F.col(id_col) == F.col("__keep"))
-        .drop("__h", "__keep")
-        .localCheckpoint()
+        .drop("__h", "__keep"),
+        "2_exact_dedup",
     )
     if pairs_fn is None:
         pairs = jaccard_pairs(

@@ -4,31 +4,43 @@ Each module covers a SURVEY.md §2 section; every registered query carries a
 matching DuckDB oracle unless genuinely non-SQL-expressible (then the driver
 records a rows-only check).
 
-IMPORT ORDER IS LOAD-BEARING.  The driver's correctness sweep walks the
+REGISTRY ORDER IS LOAD-BEARING.  The driver's correctness sweep walks the
 registry in insertion order with a bounded entry budget (~50 observed in
-round 1), so modules whose rows lack driver-green evidence register FIRST.
-Round 1 certified cassandra_sem/flagship/funcs/joins/llm (the first 50
-entries then); round 2 front-loads the families the sweep never reached:
-relational (C/E/G/H), windows (F), streaming_sem (K), sources_io (A),
-udf (L), then multimodal's two SQL rows (J10/J11) at positions 49-50.
-Already-driver-green families re-verify every round via the local oracle
-mirror (python -m cassandra_snap_to_hadoop_spark.oracle), so moving them
-behind the budget loses no coverage.
+rounds 1-2), so rows that lack driver-green evidence must occupy the first
+~50 positions.  Round 1 certified cassandra_sem/flagship/funcs/joins/llm;
+round 2 certified relational/windows/streaming_sem/sources_io/udf plus
+multimodal's two SQL rows.  Round 3 front-loads, via the explicit
+``_ROUND3_PRIORITY`` reorder below (module import order alone can't put a
+single query first):
+
+  1.     i7_variant_funcs      — the only driver-red row ever recorded
+                                 (round-1 HUGEINT hash fail, fixed in
+                                 funcs.py + oracle.py, mirror-green since);
+  2-22.  tpch (21)             — full TPC-H derivative suite;
+  23-29. layout (7)            — physical-layout tier A10-A16;
+  30-41. governance (12)       — corpus-governance tier J26-J39;
+  42-50. extended head (9)     — oracle-backed round-2 additions.
+
+Everything else keeps its original insertion order after the priority
+block; already-driver-green families re-verify every round via the local
+oracle mirror (python -m cassandra_snap_to_hadoop_spark.oracle), so being
+behind the budget loses no coverage.  Round 4 rotates in the remaining
+extended/training/multimodal/sql_api rows.
 """
 
 from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
-    relational,  # 23 entries -> positions 1-23   (C1-C6, E1-E11, G1-G3, H1-H3)
-    windows,  # 7 -> 24-30                        (F1-F7)
-    streaming_sem,  # 7 -> 31-37                  (K1-K8)
-    sources_io,  # 6 -> 38-43                     (A2-A6)
-    udf,  # 5 -> 44-48                            (L1-L5)
-    multimodal,  # 4 -> 49-52                     (J10/J11; SQL rows first)
-    extended,  # round-2 additions (F8, B8, J3-range, J11-quantize)
-    training,  # round-2 late: repetition/mixture/percentile-cut, skew + bucket certification
-    layout,  # physical layout: small-file compaction, Z-order clustering key
-    governance,  # corpus governance: source overlap, dup audit, domain stats
+    relational,  # C1-C6, E1-E11, G1-G3, H1-H3 — driver-green r2
+    windows,  # F1-F7 — driver-green r2
+    streaming_sem,  # K1-K8 — driver-green r2
+    sources_io,  # A2-A6 — driver-green r2
+    udf,  # L1-L5 — driver-green r2
+    multimodal,  # J10/J11 SQL rows driver-green r2; frame/decode pending
+    extended,  # round-2 additions — head certifies this round
+    training,  # round-2 late tier — rotates in round 4
+    layout,  # physical layout A10-A16 — certifies this round
+    governance,  # corpus governance J26-J39 — certifies this round
     sql_api,
-    tpch,  # 9 -> 54-62
+    tpch,  # TPC-H derivative suite — certifies this round
     cassandra_sem,  # driver-green round 1 from here down
     flagship,
     funcs,
@@ -36,3 +48,78 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     llm,
     approx_sketch,  # rows-only twins of e3/e6 — last by design
 )
+from cassandra_snap_to_hadoop_spark.registry import REGISTRY
+
+# Round-3 driver window (~50 insertion-ordered entries).  Names listed here
+# move to the front of the registry, in this order; all other entries keep
+# their relative order behind them.
+_ROUND3_PRIORITY: tuple[str, ...] = (
+    "i7_variant_funcs",
+    # TPC-H derivative suite (21) — mirror-green only until now.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipping_delay",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_accounts",
+    # Physical-layout tier (7).
+    "a10_small_file_compaction",
+    "a11_zorder_key",
+    "a12_partitioned_discovery",
+    "a13_schema_drift_merge",
+    "a14_corrupt_file_tolerance",
+    "a15_snapshot_diff",
+    "a16_cdc_apply",
+    # Governance tier (12).
+    "j26_source_overlap",
+    "j27_dup_size_histogram",
+    "j28_domain_stats",
+    "j29_line_dedup",
+    "j32_ngram_novelty",
+    "j33_semdedup_prune",
+    "j34_winnowing_fingerprints",
+    "j35_prefix_dedup",
+    "j36_token_entropy",
+    "j37_source_kl_drift",
+    "j38_dataset_card",
+    "j39_curriculum_order",
+    # Extended head — oracle-backed round-2 additions (9).
+    "f8_distribution_windows",
+    "b8_compaction_gc",
+    "j3_range_search",
+    "j11_embedding_quantize",
+    "j12_train_val_split",
+    "j13_sequence_packing",
+    "i10_bitwise_funcs",
+    "e12_hll_sketch_merge",
+    "e13_listagg_mode",
+)
+
+
+def _reorder(priority: tuple[str, ...]) -> None:
+    missing = [n for n in priority if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"priority names not in registry: {missing}")
+    tail = {n: q for n, q in REGISTRY.items() if n not in set(priority)}
+    head = {n: REGISTRY[n] for n in priority}
+    REGISTRY.clear()
+    REGISTRY.update(head)
+    REGISTRY.update(tail)
+
+
+_reorder(_ROUND3_PRIORITY)

@@ -36,7 +36,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
         WHERE len(w) >= 3
     ), df AS (
         SELECT s FROM (SELECT s, COUNT(*) AS nsrc FROM sh0 GROUP BY 1)
-        WHERE nsrc <= 10
+        WHERE nsrc <= (SELECT COUNT(DISTINCT source) / 2.0 FROM documents)
     ), sh AS (
         SELECT sh0.source, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
     ), sizes AS (
@@ -87,9 +87,16 @@ def j26_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width.  (Measured at sf0.1: 6.2s single-core-explode original ->
     # 2.1s with fan_out + cap + the checkpoint below; the dominant fix
     # was fan_out — the one-file corpus scan serialized the gram
-    # explosion on one core.)
+    # explosion on one core.)  The cap is "half the sources", derived
+    # in-plan from the corpus (broadcast scalar) rather than hard-coded,
+    # so it tracks any fixture change.
+    half = d.agg((F.count_distinct("source") / 2.0).alias("__half_src"))
     keep = (
-        sh0.groupBy("s").agg(F.count("*").alias("nsrc")).filter(F.col("nsrc") <= 10).select("s")
+        sh0.groupBy("s")
+        .agg(F.count("*").alias("nsrc"))
+        .crossJoin(F.broadcast(half))
+        .filter(F.col("nsrc") <= F.col("__half_src"))
+        .select("s")
     )
     # localCheckpoint: sizes, and BOTH sides of the self-join consume the
     # capped set — without the lineage cut Catalyst re-derives the
@@ -292,7 +299,9 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-group sort for reassembly.  Line df is the same economics as the
     TF-IDF document-frequency pass; nothing is ever O(docs²)."""
     d = fan_out(Tables(spark, sf_dir).documents)
-    n_total = d.count()  # tiny scalar; at scale use a computed threshold literal
+    # 5% document-frequency threshold derived IN-PLAN (broadcast scalar join
+    # below) — no eager count() job during query construction.
+    thr = d.agg((F.count("*") * F.lit(0.05)).alias("__df_thr"))
     injected = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 != 0, F.concat(F.lit(_BANNER + " "), F.col("text")))
@@ -317,7 +326,8 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         exploded.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("ndf"))
-        .filter(F.col("ndf") > n_total * 0.05)
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("ndf") > F.col("__df_thr"))
         .select("line")
     )
     kept = exploded.join(F.broadcast(boiler), "line", "left_anti")

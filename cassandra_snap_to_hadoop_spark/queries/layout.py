@@ -8,6 +8,7 @@ driver window next round.
 
 from __future__ import annotations
 
+import hashlib
 import shutil
 from pathlib import Path
 
@@ -24,6 +25,26 @@ from cassandra_snap_to_hadoop_spark.operators.layout import (
 from cassandra_snap_to_hadoop_spark.registry import register
 
 _SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+def _staged(prefix: str, sf_dir: str, table: str) -> Path:
+    """Staging dir keyed by sf name + a fingerprint (size/mtime) of the
+    source parquet.  If the driver regenerates testdata at the same path,
+    the fingerprint changes and staging rebuilds — a name-only key would
+    silently reuse stale data while the oracle reads the new file (this
+    actually happened in round 2 when all testdata was regenerated).
+    Stale siblings from older fingerprints are removed eagerly."""
+    src = Path(sf_dir) / f"{table}.parquet"
+    files = sorted(p for p in src.rglob("*") if p.is_file()) if src.is_dir() else [src]
+    h = hashlib.md5()
+    for p in files:
+        st = p.stat()
+        h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    base = f"{prefix}_{Path(sf_dir.rstrip('/')).name}"
+    for stale in _SCRATCH.glob(f"{base}_*"):
+        if stale.name != f"{base}_{h.hexdigest()[:12]}":
+            shutil.rmtree(stale, ignore_errors=True)
+    return _SCRATCH / f"{base}_{h.hexdigest()[:12]}"
 
 # The two quantized 16-bit dimensions for the events Z-order demo: the
 # entity key and the metric bucket — the pair a time-series store would
@@ -136,7 +157,7 @@ def a12_partitioned_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory name as a discovered column — same values, engine-checked."""
     # Scratch keyed by sf so a smoke run can never leak staging into the
     # t2 gate; the _SUCCESS marker makes re-runs at one sf reuse the write.
-    part_dir = _SCRATCH / f"a12_partitioned_{Path(sf_dir.rstrip('/')).name}"
+    part_dir = _staged("a12_partitioned", sf_dir, "events")
     if not (part_dir / "_SUCCESS").exists():
         shutil.rmtree(part_dir, ignore_errors=True)
         Tables(spark, sf_dir).events.write.partitionBy("event_type").mode("overwrite").parquet(
@@ -172,7 +193,7 @@ def a13_schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale, enable it per-read exactly like this rather than globally
     (every-scan footer merges are the documented cost).  The check counts
     NULL-filled rows and value-sums the new column."""
-    drift_dir = _SCRATCH / f"a13_drift_{Path(sf_dir.rstrip('/')).name}"
+    drift_dir = _staged("a13_drift", sf_dir, "documents")
     if not (drift_dir / "v2" / "_SUCCESS").exists():
         shutil.rmtree(drift_dir, ignore_errors=True)
         docs = Tables(spark, sf_dir).documents
@@ -218,7 +239,7 @@ def a14_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     file's bytes never reach a row.  Manifest/checksum verification (a6)
     is the complementary control that DETECTS the loss this read chooses
     to tolerate."""
-    tol_dir = _SCRATCH / f"a14_corrupt_{Path(sf_dir.rstrip('/')).name}"
+    tol_dir = _staged("a14_corrupt", sf_dir, "documents")
     if not (tol_dir / "_SUCCESS").exists():
         shutil.rmtree(tol_dir, ignore_errors=True)
         docs = Tables(spark, sf_dir).documents

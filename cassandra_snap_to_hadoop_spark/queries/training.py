@@ -390,14 +390,17 @@ _SPLIT_W = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' 
 # 0.25/0.50/0.75/1.00.  Rates are exact quarters so their 32-bit hex keep
 # thresholds are single digits ('4','8','c') and the keep test reduces to a
 # lexicographic compare of lowercase-hex md5 prefixes — identical on both
-# engines with zero numeric conversion.
-_J22_THRESH = [(0, "40000000"), (1, "80000000"), (2, "c0000000"), (3, "g0000000")]
+# engines with zero numeric conversion.  BOTH the Spark when-chains and the
+# oracle CASE arms are generated from these dicts, so the constants cannot
+# drift from the live query ('g0000000' sorts above every hex digest,
+# encoding rate=1.0 with no special case).
+_J22_THRESH = {0: "40000000", 1: "80000000", 2: "c0000000", 3: "g0000000"}
 _J22_RATE = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}
 
 
 @register(
     "j22_stratified_sample",
-    oracle="""
+    oracle=f"""
     WITH keyed AS (
         SELECT source,
                CAST(substr(source, 4) AS INTEGER) % 4 AS grp,
@@ -405,13 +408,13 @@ _J22_RATE = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}
         FROM documents
     )
     SELECT source,
-           CAST(CASE grp WHEN 0 THEN 0.25 WHEN 1 THEN 0.5
-                         WHEN 2 THEN 0.75 ELSE 1.0 END AS DOUBLE) AS target_rate,
+           CAST(CASE grp WHEN 0 THEN {_J22_RATE[0]} WHEN 1 THEN {_J22_RATE[1]}
+                         WHEN 2 THEN {_J22_RATE[2]} ELSE {_J22_RATE[3]} END AS DOUBLE) AS target_rate,
            CAST(COUNT(*) AS BIGINT) AS n_in,
-           CAST(SUM(CASE WHEN hk < (CASE grp WHEN 0 THEN '40000000'
-                                             WHEN 1 THEN '80000000'
-                                             WHEN 2 THEN 'c0000000'
-                                             ELSE 'g0000000' END)
+           CAST(SUM(CASE WHEN hk < (CASE grp WHEN 0 THEN '{_J22_THRESH[0]}'
+                                             WHEN 1 THEN '{_J22_THRESH[1]}'
+                                             WHEN 2 THEN '{_J22_THRESH[2]}'
+                                             ELSE '{_J22_THRESH[3]}' END)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM keyed
     GROUP BY source, grp
@@ -431,10 +434,13 @@ def j22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     above every hex digest, encoding rate=1.0 with no special case."""
     d = Tables(spark, sf_dir).documents
     grp = F.substring("source", 4, 10).cast("int") % 4
-    thresh = F.when(grp == 0, "40000000").when(grp == 1, "80000000")
-    thresh = thresh.when(grp == 2, "c0000000").otherwise("g0000000")
+    thresh = F.when(grp == 0, _J22_THRESH[0]).when(grp == 1, _J22_THRESH[1])
+    thresh = thresh.when(grp == 2, _J22_THRESH[2]).otherwise(_J22_THRESH[3])
     rate = (
-        F.when(grp == 0, 0.25).when(grp == 1, 0.5).when(grp == 2, 0.75).otherwise(1.0)
+        F.when(grp == 0, _J22_RATE[0])
+        .when(grp == 1, _J22_RATE[1])
+        .when(grp == 2, _J22_RATE[2])
+        .otherwise(_J22_RATE[3])
     )
     hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return d.groupBy("source", rate.alias("target_rate")).agg(

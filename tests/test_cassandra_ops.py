@@ -53,6 +53,23 @@ def test_lww_merge_picks_latest_with_seq_tiebreak(snapshot_cells):
     assert len(got) == 5
 
 
+def test_lww_merge_priority_excludes_other_orderings(snapshot_cells):
+    """priority replaces the whole ordering; combining it with seq_col or
+    tiebreak_cols would be silently ignored — must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    prio = F.col("_writetime") * 1000 + F.col("_seq")
+    with pytest.raises(ValueError, match="priority"):
+        lww_merge(snapshot_cells, ["pk", "ck"], seq_col="_seq", priority=prio)
+    with pytest.raises(ValueError, match="priority"):
+        lww_merge(snapshot_cells, ["pk", "ck"], tiebreak_cols=["v1"], priority=prio)
+    # priority alone still works and agrees with the struct tier
+    a = lww_merge(snapshot_cells, ["pk", "ck"], "_writetime", "_seq")
+    b = lww_merge(snapshot_cells, ["pk", "ck"], priority=prio)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_lww_merge_idempotent(snapshot_cells):
     m1 = lww_merge(snapshot_cells, ["pk", "ck"], "_writetime", "_seq")
     m2 = lww_merge(m1, ["pk", "ck"], "_writetime", "_seq")

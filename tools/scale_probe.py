@@ -76,10 +76,51 @@ def main() -> None:
             .agg(F.count("*").alias("n"))
         )
 
+    # Curation funnel (quality -> exact dedup -> near-dup) at 1x and Nx,
+    # in BOTH stage-materialization variants: localCheckpoint (in-engine
+    # default) vs write-and-reread parquet (what a production 100 TB run
+    # does between bronze/silver stages).  Documents amplify as EXACT
+    # replicas (doc_id shifted, text unchanged) — the realistic dedup
+    # workload for duplicated data: quality and the exact-dedup hash agg
+    # process Nx rows, the collapse returns survivors to 1x, and the
+    # near-dup pair stage runs on the deduped set (its own scaling is
+    # probed by the j2 shapes; mutating text per replica would fabricate
+    # Jaccard~1 pairs and measure an artificial quadratic instead).
+    import shutil
+    import tempfile
+
+    from cassandra_snap_to_hadoop_spark.operators.curation import curation_funnel
+
+    def amplify_docs(df):
+        rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        return rep.withColumn(
+            "doc_id",
+            F.col("doc_id").cast("long") + F.col("__r").cast("long") * F.lit(1_000_000_000),
+        ).drop("__r")
+
+    d1 = t.documents
+    dN = amplify_docs(t.documents)
+    probe_dir = tempfile.mkdtemp(prefix="probe_funnel_")
+
+    def parquet_mat(df, stage):
+        out = f"{probe_dir}/{stage}_{time.monotonic_ns()}"
+        df.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
+        (
+            "funnel/localCheckpoint",
+            lambda: curation_funnel(d1),
+            lambda: curation_funnel(dN),
+        ),
+        (
+            "funnel/parquet-stages",
+            lambda: curation_funnel(d1, materialize=parquet_mat),
+            lambda: curation_funnel(dN, materialize=parquet_mat),
+        ),
     ]
 
     print(f"# scale probe @ {sf_dir}, multiplier={mult}")
@@ -97,6 +138,7 @@ def main() -> None:
             f"{name}: 1x={base:.2f}s {mult}x={big:.2f}s ratio={ratio:.1f} "
             f"({'~linear' if ratio <= mult * 1.5 else 'SUPER-LINEAR'})"
         )
+    shutil.rmtree(probe_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
