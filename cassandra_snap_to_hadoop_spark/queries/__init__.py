@@ -47,6 +47,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     joins,
     llm,
     approx_sketch,  # rows-only twins of e3/e6 — last by design
+    round3,  # round-3 additions (A17, J40, D16, I14) — rotate in round 4
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
