@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+from cassandra_snap_to_hadoop_spark.operators.text import tokens
 from cassandra_snap_to_hadoop_spark.queries.layout import _staged
 from cassandra_snap_to_hadoop_spark.registry import register
 
@@ -229,4 +230,244 @@ def i14_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.url_encode(raw).alias("enc"),
         (F.url_decode(F.url_encode(raw)) == raw).cast("long").alias("roundtrip_ok"),
+    )
+
+
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "a18_json_malformed_rows",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(17 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+    survey="A3",
+)
+def a18_json_malformed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest JSON handling — the JSON-lines twin of a8's CSV case,
+    with different mechanics under test: the JSON reader captures the
+    ENTIRE unparseable line in the corrupt-record column (CSV captures a
+    token-level parse failure), and a half-written trailing record from a
+    torn append is the classic producer failure this absorbs.  PERMISSIVE
+    mode + columnNameOfCorruptRecord keeps every rejected line countable
+    while good rows checksum to the source exactly; the corrupt count is
+    a staged constant so the oracle is SQL over the original table."""
+    from pathlib import Path
+
+    from cassandra_snap_to_hadoop_spark.queries.sources_io import _stage_dir
+
+    path = _stage_dir(sf_dir) / "documents_dirty_json"
+    if not Path(path / "_STAGED").exists():
+        (
+            Tables(spark, sf_dir)
+            .documents.select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .json(str(path))
+        )
+        bad = "\n".join('{"doc_id": <torn record %d' % i for i in range(17)) + "\n"
+        Path(path / "zz_malformed.json").write_text(bad)
+        Path(path / "_STAGED").write_text("ok")
+    back = spark.read.json(
+        str(path),
+        schema="doc_id long, lang string, n_chars long, _bad string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias("sum_chars"),
+    )
+
+
+@register(
+    "j41_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS} AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+    ), toks AS (
+        SELECT unnest(w) AS tok FROM t
+    ), u AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM toks
+    ), bc AS (
+        SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(ln(0.7 * bc.cnt / u1.cnt + 0.3 * u2.cnt / tot.n)
+                               * 1000000) AS BIGINT)) AS BIGINT) AS sum_q_logprob
+    FROM b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN u u1 ON b.w1 = u1.tok
+    JOIN u u2 ON b.w2 = u2.tok
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    survey="J7,J9",
+)
+def j41_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM LM scoring — one modeling step
+    past j23's unigram and the shape CCNet-style perplexity filters
+    actually use (KenLM n-gram with backoff): p(w2|w1) = 0.7·c(w1,w2)/
+    c(w1) + 0.3·c(w2)/N, summed as floor-quantized micro-nats so the
+    cross-engine check is exact-integer despite ln().  The interpolation
+    term makes unseen continuations scoreable (pure MLE bigram would
+    ln(0) on any novel pair at inference; here training==scoring corpus
+    so every pair is seen, but the formulation is the deployable one).
+
+    Scale shape: bigram explode is the corpus's token stream (same volume
+    as TF-IDF's explode, ~2x tokens); the three count relations are hash
+    aggs over vocab/bigram cardinality; scoring joins are all equi joins
+    on token keys, broadcast-eligible when vocab is small and plain
+    shuffle joins when it isn't — never a pair blow-up.  Division
+    association matches the oracle term-for-term (0.7·cb/cu1 computed as
+    (0.7·cb)/cu1 on both engines), so the doubles agree bit-for-bit
+    before the floor."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"), F.element_at(w, (i + 1).cast("int")).alias("w2")
+        ),
+    )
+    b = (
+        d.filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    toks = d.select(F.explode(w).alias("tok"))
+    u = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("n"))
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    scored = (
+        b.join(bc, ["w1", "w2"])
+        .join(u.select(F.col("tok").alias("w1"), F.col("cnt").alias("cu1")), "w1")
+        .join(u.select(F.col("tok").alias("w2"), F.col("cnt").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    logp = F.ln(
+        F.lit(0.7) * F.col("bcnt") / F.col("cu1") + F.lit(0.3) * F.col("cu2") / F.col("n")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.floor(logp * 1000000).cast("long")).alias("sum_q_logprob"),
+    )
+
+
+@register(
+    "f13_ratio_windows",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS irev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, month,
+           irev / 100.0 AS revenue,
+           irev * 1.0 / SUM(irev) OVER (PARTITION BY month) AS month_share,
+           COALESCE(irev * 1.0 / lag(irev) OVER (PARTITION BY o_orderpriority ORDER BY month)
+                    - 1.0, 0.0) AS mom_change
+    FROM m
+    """,
+    survey="F3,F2,E2",
+)
+def f13_ratio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report + period-over-period windows — the two reporting
+    idioms every BI layer builds on aggregates: each priority class's
+    share of its month's revenue (ratio to partition total) and its
+    month-over-month growth (lag ratio).  Both ratios divide the SAME
+    exact quantized-integer sums on both engines, so the doubles are
+    bit-identical with no rounding; the lag window's full ORDER BY
+    (month per priority — unique) pins frames deterministically.  Scale:
+    one hash agg to |priorities × months| rows, then windows over that
+    tiny aggregate — the window never touches fact-table volume."""
+    o = Tables(spark, sf_dir).orders
+    from pyspark.sql.window import Window
+
+    m = o.groupBy(
+        "o_orderpriority", F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("irev"))
+    share_w = Window.partitionBy("month")
+    lag_w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return m.select(
+        "o_orderpriority",
+        "month",
+        (F.col("irev") / 100.0).alias("revenue"),
+        (F.col("irev") * 1.0 / F.sum("irev").over(share_w)).alias("month_share"),
+        # first month has no predecessor: 0.0, not NULL (checked outputs
+        # keep NULLs out of double columns — registry contract, SURVEY §5.1)
+        F.coalesce(
+            F.col("irev") * 1.0 / F.lag("irev").over(lag_w) - 1.0, F.lit(0.0)
+        ).alias("mom_change"),
+    )
+
+
+@register(
+    "j42_url_canonical_dedup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               'www' || CAST((doc_id - doc_id % 4) % 50 AS VARCHAR) || '.example.org/p/'
+                     || CAST(doc_id - doc_id % 4 AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 3 THEN '?page=2' ELSE '' END AS canonical
+        FROM documents
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_id
+    FROM canon GROUP BY 1
+    """,
+    survey="J1,I1",
+)
+def j42_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup by CANONICAL URL — the metadata-level dedup a pipeline
+    runs before ever reading page bytes: case-fold the host, strip
+    fragments, drop tracking parameters, keep meaningful ones.  Each doc
+    synthesizes one of four variants of its group's base URL (plain /
+    SHOUTING host / utm-only query / real query + utm + fragment); Spark
+    must PARSE the dirty URL (parse_url HOST/PATH/QUERY), scrub utm_*
+    params with a regexp, and re-assemble — the oracle states the
+    expected canonical directly from doc_id arithmetic, so any parsing or
+    scrubbing slip breaks the hash.  Variants 0/1/2 collapse into one
+    group (tracking query scrubs to nothing); variant 3 keeps ?page=2 and
+    stands alone.  Pure codegen string map + one hash agg — the 100 TB
+    cost is the scan."""
+    d = Tables(spark, sf_dir).documents
+    base = F.col("doc_id") - F.col("doc_id") % 4
+    host_base = F.concat(F.lit("www"), (base % 50).cast("string"), F.lit(".example.org"))
+    path = F.concat(F.lit("/p/"), base.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host_base, path))
+        .when(v == 1, F.concat(F.lit("https://"), F.upper(host_base), path))
+        .when(
+            v == 2,
+            F.concat(F.lit("https://"), host_base, path, F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), host_base, path, F.lit("?page=2&utm_medium=z#section"))
+        )
+    )
+    q = F.parse_url(url, F.lit("QUERY"))
+    cleaned = F.regexp_replace(F.coalesce(q, F.lit("")), r"(^|&)utm_[^&]*", "")
+    cleaned = F.regexp_replace(cleaned, r"^&", "")
+    canonical = F.concat(
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.parse_url(url, F.lit("PATH")),
+        F.when(cleaned != "", F.concat(F.lit("?"), cleaned)).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("rep_id"))
     )
