@@ -471,3 +471,147 @@ def j42_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical")
         .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("rep_id"))
     )
+
+
+@register(
+    "j43_fixed_k_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN rn <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+    survey="J9,F1,E11",
+)
+def j43_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIXED-K sample per stratum — the eval-set builder's
+    primitive (exactly 25 docs per source, not a rate): rank each stratum
+    by the md5 of the document id and keep the k smallest.  Hash-ranking
+    (not rand()) makes the sample a pure function of document identity —
+    stable under re-runs, retries, and corpus growth-at-the-tail (a doc
+    already in the sample only leaves if a smaller-hash doc arrives,
+    never because row order changed).  The full ORDER BY tiebreak
+    (hash, then id) pins ranks even under md5 collisions.
+
+    Scale shape: one shuffle by stratum + a rank window; Spark plans
+    WindowGroupLimit (running top-k, no full stratum sort materialized),
+    and stratum skew is bounded by source cardinality.  The check sums
+    kept ids per source, so any rank drift anywhere flips the hash."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        F.sum((F.col("rn") <= 25).cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 25, F.col("doc_id")).otherwise(F.lit(0))).alias("kept_id_sum"),
+    )
+
+
+@register(
+    "j44_oov_rate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+            FROM t GROUP BY tok
+        ) WHERE rk <= 1000
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS oov_rate
+    FROM t LEFT JOIN vocab ON t.tok = vocab.tok
+    GROUP BY t.doc_id
+    """,
+    survey="J6,J9,G1",
+)
+def j44_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 vocabulary — the tokenizer-fit / domain-shift signal (a doc
+    whose tokens mostly fall outside the head vocabulary is boilerplate,
+    another language, or code masquerading as prose).  Vocabulary
+    membership is deterministic: rank by (count DESC, token ASC) — the
+    full tiebreak matters because the 1000-boundary usually lands inside
+    a tie run of equal-count tokens.
+
+    Scale shape: vocab build is ONE hash agg over the token stream plus a
+    top-k (tiny result); scoring is the exploded token stream left-joined
+    against the BROADCAST vocab — no shuffle of the corpus beyond the
+    per-doc re-agg.  oov_rate divides the same exact integers on both
+    engines, so the double is bit-identical."""
+    from pyspark.sql.window import Window
+
+    d = fan_out(Tables(spark, sf_dir).documents)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+    vocab = counts.select("tok", rk.alias("rk")).filter(F.col("rk") <= 1000).select(
+        "tok", F.lit(1).alias("in_vocab")
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        (
+            F.sum(F.col("in_vocab").isNull().cast("long")) * 1.0 / F.count("*")
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "j46_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_WORDS})) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) * 1.0
+               / SUM(len({_WORDS})) AS fertility
+    FROM documents GROUP BY lang
+    """,
+    survey="J5,J9",
+)
+def j46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword count over
+    whitespace word count — the budget-planning number (how many model
+    tokens a corpus actually costs) and a language-coverage signal
+    (languages the tokenizer fragments hardest have the highest
+    fertility).  Uses the engine's BPE-ish regex tokenizer
+    (operators/text.py BPE_ISH_PATTERN: letter runs / digit runs /
+    single symbols — the public GPT-2-style pre-tokenization shape),
+    value-checked here against DuckDB running the IDENTICAL regex, so
+    the pattern's cross-engine semantics are pinned, not assumed.
+    Pure codegen map + one hash agg; the ratio divides exact integer
+    sums — bit-identical doubles, no rounding."""
+    from cassandra_snap_to_hadoop_spark.operators.text import (
+        token_count_bpe_ish,
+        token_count_ws,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    per = d.select(
+        "lang",
+        token_count_ws(F.col("text")).cast("long").alias("ws"),
+        token_count_bpe_ish(F.col("text")).cast("long").alias("bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("sum_ws_tokens"),
+        F.sum("bpe").alias("sum_bpe_tokens"),
+        (F.sum("bpe") * 1.0 / F.sum("ws")).alias("fertility"),
+    )
