@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
@@ -614,4 +615,195 @@ def j46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws").alias("sum_ws_tokens"),
         F.sum("bpe").alias("sum_bpe_tokens"),
         (F.sum("bpe") * 1.0 / F.sum("ws")).alias("fertility"),
+    )
+
+
+@register(
+    "i15_collation_funcs",
+    oracle="""
+    SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) AS src,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                                    ELSE source END) AS BIGINT) AS n_case_variants
+    FROM documents GROUP BY 1
+    """,
+    survey="I1,C6",
+)
+def i15_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collations.  Half the
+    rows get their source tag upper-cased (a realistic multi-provenance
+    corpus mixes 'WEB', 'Web', 'web'); grouping on
+    ``collate(src, 'UTF8_LCASE')`` folds the variants into one group at
+    the COMPARISON level — no lower() rewrite of the data, and the
+    collation travels with the column so every downstream join/sort/agg
+    on it stays case-insensitive.  The oracle states the same semantics
+    as an explicit lower() GROUP BY.  ``n_case_variants`` counts the
+    surviving binary-distinct spellings inside each collated group (2
+    wherever both parities occur), proving the group really folded
+    distinct binaries rather than identical strings.  Scale: collation
+    comparison is a JVM-side codegen primitive — one hash agg, same
+    shuffle shape as any group-by; no second pass over the data."""
+    d = Tables(spark, sf_dir).documents
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source"))
+    withm = d.select(mixed.alias("src_raw"))
+    ci = F.collate(F.col("src_raw"), "UTF8_LCASE")
+    return (
+        withm.groupBy(ci.alias("src_ci"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("src_raw").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("src_ci")).cast("string").alias("src"),
+            "n",
+            "n_case_variants",
+        )
+    )
+
+
+@register(
+    "e18_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 4096.0) AS BIGINT) + 1 AS bucket,
+           CAST(CAST(FLOOR(l_extendedprice / 4096.0) AS BIGINT) * 4096 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+    survey="E2,I3",
+)
+def e18_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of line revenue via ``width_bucket`` — the
+    profiling primitive behind data-quality dashboards and join-skew
+    pre-checks.  Bounds [0, 131072) with 32 buckets are chosen so the
+    step (4096) is a power of two: bucket arithmetic is then EXACT in
+    binary floating point on both engines, and the oracle can state the
+    same bucketing as floor division without cross-engine boundary
+    drift (a step like 0.1 would round differently at bucket edges).
+    One scan + one hash agg on a derived integer key; at 100 TB this is
+    a pure map-side-combine shape — 32 groups, negligible shuffle."""
+    li = Tables(spark, sf_dir).lineitem
+    from cassandra_snap_to_hadoop_spark.queries._util import qsum
+
+    b = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(131072.0), F.lit(32)
+    ).alias("bucket")
+    return (
+        li.groupBy(b)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            qsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .select(
+            "bucket",
+            ((F.col("bucket") - 1) * 4096.0).alias("bucket_lo"),
+            "n",
+            "sum_qty",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "a19_csv_multiline",
+    oracle="""
+    WITH nl AS (
+        SELECT lang,
+               '"' || replace(text, ' ', chr(10)) || '"' AS text_nl
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT md5(text_nl)) AS BIGINT) AS n_distinct_md5,
+           MIN(md5(text_nl)) AS min_md5,
+           MAX(md5(text_nl)) AS max_md5,
+           CAST(SUM(length(text_nl)) AS BIGINT) AS sum_len
+    FROM nl GROUP BY lang
+    """,
+    survey="A3",
+)
+def a19_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with embedded newlines AND embedded quotes — the ingest case
+    that silently corrupts naive splitters.  Every space in the text is
+    turned into a real newline and the value is wrapped in literal
+    double-quote characters, so the written CSV exercises quoting,
+    quote-escaping, and multi-line records at once; the read side uses
+    ``multiLine=true`` with an explicit schema (a multiline CSV cannot
+    be split within a file, so schema inference would cost a full
+    serial pass).  Correctness is checked content-exact: per-language
+    count / distinct-md5 / min- and max-md5 / total length over the
+    round-tripped text must equal the same digests computed directly on
+    the source of truth.  Scale note: multiLine CSV files are
+    non-splittable — the compaction story is many medium files, which
+    this write produces naturally (one per input partition)."""
+    path = _staged("a19_csv", sf_dir, "documents")
+    d = Tables(spark, sf_dir).documents
+    text_nl = F.concat(F.lit('"'), F.regexp_replace("text", " ", "\n"), F.lit('"'))
+    if not (path / "_SUCCESS").exists():
+        d.select("doc_id", "lang", text_nl.alias("text_nl")).write.mode("overwrite").option(
+            "header", True
+        ).option("escape", '"').csv(str(path))
+    back = (
+        spark.read.schema("doc_id long, lang string, text_nl string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(str(path))
+    )
+    h = F.md5(F.col("text_nl"))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(h).alias("n_distinct_md5"),
+        F.min(h).alias("min_md5"),
+        F.max(h).alias("max_md5"),
+        F.sum(F.length("text_nl")).alias("sum_len"),
+    )
+
+
+@register(
+    "k12_stream_topk",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('day', ts) AS ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT ws, event_type, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, event_type)
+                    AS BIGINT) AS rnk
+        FROM c
+    )
+    SELECT strftime(ws, '%Y-%m-%d') AS window_start, event_type, n, rnk
+    FROM r WHERE rnk <= 3
+    """,
+    survey="K1,G3",
+)
+def k12_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 3 most frequent event types per tumbling day —
+    the trending-items shape.  Built from the streaming ``window()``
+    primitive plus a rank over the (tiny) per-window aggregate, with a
+    deterministic tie-break (count desc, then type).  In a live pipeline
+    the windowed count runs incrementally and the rank is applied to the
+    per-window aggregate downstream (see the foreachBatch twin in
+    tests/test_streaming_parity.py); batch and incremental declarations
+    agree because the count is the only stateful part.  Scale: the rank
+    window partitions by window-start over an aggregate that is already
+    tiny (windows x event types), so the second shuffle moves KBs."""
+    e = Tables(spark, sf_dir).events
+    counts = e.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.select("w", "event_type", "n", rnk.cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
     )

@@ -53,6 +53,25 @@ def k1_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def k12_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """K12 streaming twin: the STATEFUL half of windowed top-k — per-day
+    windowed counts.  The rank is applied downstream on each emitted
+    (tiny) per-window aggregate, because a rank over a complete-mode
+    aggregate is deterministic per emission while a rank inside the
+    streaming plan is not an incrementalizable operator; see
+    tests/test_streaming_parity.py::test_k12_stream_topk_parity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def k2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """K2 streaming twin: watermarked sliding-window (1h / 15m) aggregate."""
     return (

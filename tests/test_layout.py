@@ -155,13 +155,15 @@ def test_a14_reads_through_corruption(spark):
     from pathlib import Path as _P
 
     from cassandra_snap_to_hadoop_spark.queries.layout import (
-        _SCRATCH,
+        _staged,
         a14_corrupt_file_tolerance,
     )
 
     row = a14_corrupt_file_tolerance(spark, SF).collect()[0]
     assert row["n_rows"] > 0
-    tol_dir = _P(_SCRATCH) / "a14_corrupt_sf0.001"
+    # Resolve the staging dir exactly as the query does — it is keyed by a
+    # fingerprint of the source parquet since the round-3 hardening.
+    tol_dir = _P(_staged("a14_corrupt", SF, "documents"))
     assert (tol_dir / "part-corrupt.parquet").exists()
     import pytest as _pytest
 

@@ -19,6 +19,7 @@ from cassandra_snap_to_hadoop_spark.streaming.pipelines import (
     k6_stream,
     k6_stream_tws,
     k8_stream,
+    k12_stream,
     read_event_stream,
     run_to_completion,
 )
@@ -46,6 +47,29 @@ def test_k1_tumbling_parity(spark, sf_dir, event_shards, tmp_path):
         str(tmp_path / "ck1"),
     )
     assert _rows(batch) == _rows(stream)
+
+
+def test_k12_stream_topk_parity(spark, sf_dir, event_shards, tmp_path):
+    """The windowed count runs incrementally; the rank runs on the emitted
+    per-window aggregate (the only non-incrementalizable piece) — together
+    they must reproduce the batch top-k declaration exactly."""
+    from pyspark.sql.window import Window
+
+    batch = REGISTRY["k12_stream_topk"].fn(spark, sf_dir).collect()
+    counts = run_to_completion(
+        k12_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5), watermark="30 days"),
+        str(tmp_path / "ck12"),
+    )
+    cdf = spark.createDataFrame(counts)
+    rnk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    ranked = (
+        cdf.select("window_start", "event_type", F.col("n").cast("long").alias("n"),
+                   rnk.cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+    assert _rows(batch) == _rows(ranked.collect())
 
 
 def test_k2_sliding_parity(spark, sf_dir, event_shards, tmp_path):
