@@ -807,3 +807,107 @@ def k12_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "f14_rolling_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value,
+               AVG(value) OVER win AS mu,
+               STDDEV_SAMP(value) OVER win AS sd,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           ROUND(MAX((value - mu) / sd), 4) AS max_z,
+           ROUND(MIN((value - mu) / sd), 4) AS min_z
+    FROM w WHERE rn >= 100 GROUP BY 1
+    """,
+    survey="F4,E5",
+)
+def f14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing-100 window of its own type (mean and SAMPLE stddev over a
+    row frame), anomalous when |z| > 2 — the standard streaming-metrics
+    outlier shape.  The first 99 rows per type are excluded so every
+    score uses a full window (partial-window scores are warm-up noise).
+    Total order inside a type is (ts, event_id), so frames are identical
+    across engines.  Scale: one shuffle on event_type; the sliding
+    mean/variance are incremental window aggregates (O(1) per row), and
+    the final per-type rollup reuses the same partitioning — no second
+    exchange.  Boundary note: a z exactly at 2.0 could flip on
+    last-ulp float drift — measure-zero on continuous data (the same
+    accepted risk class as j19's percentile gate)."""
+    from cassandra_snap_to_hadoop_spark.queries._util import round4
+
+    e = Tables(spark, sf_dir).events
+    order = [F.col("ts"), F.col("event_id")]
+    win = Window.partitionBy("event_type").orderBy(*order).rowsBetween(-99, 0)
+    seq = Window.partitionBy("event_type").orderBy(*order)
+    scored = e.select(
+        "event_type",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.row_number().over(seq).alias("rn"),
+    ).filter(F.col("rn") >= 100)
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.abs(z) > 2).cast("long")).alias("n_anomalies"),
+        round4(F.max(z)).alias("max_z"),
+        round4(F.min(z)).alias("min_z"),
+    )
+
+
+@register(
+    "sql_api_priority_share",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT order_month, o_orderpriority, n_orders,
+           CAST(RANK() OVER (PARTITION BY order_month
+                             ORDER BY n_orders DESC, o_orderpriority)
+                AS BIGINT) AS rnk,
+           n_orders * 1.0 / SUM(n_orders) OVER (PARTITION BY order_month) AS share
+    FROM monthly
+    """,
+    survey="E2,F1,I2",
+)
+def sql_api_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API depth (SURVEY §3.3): a CTE + aggregate + two window
+    functions submitted as ONE SQL text over temp views — proving the
+    front door handles composed analytical SQL, not just star joins.
+    Share-of-month divides exact integer counts (bit-identical doubles);
+    rank tie-breaks on the priority label for determinism.  Catalyst
+    plans both windows over the same partitioning (one exchange on
+    order_month after the pre-aggregate)."""
+    from cassandra_snap_to_hadoop_spark.io import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cs2h_orders")
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS order_month,
+                   o_orderpriority,
+                   COUNT(*) AS n_orders
+            FROM cs2h_orders GROUP BY 1, 2
+        )
+        SELECT order_month, o_orderpriority, n_orders,
+               CAST(RANK() OVER (PARTITION BY order_month
+                                 ORDER BY n_orders DESC, o_orderpriority)
+                    AS BIGINT) AS rnk,
+               n_orders * CAST(1.0 AS DOUBLE) / SUM(n_orders) OVER (PARTITION BY order_month) AS share
+        FROM monthly
+        """
+    )
