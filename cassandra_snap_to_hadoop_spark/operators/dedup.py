@@ -106,6 +106,54 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """J2 variant: doc pairs by shingle CONTAINMENT — inter / min(|A|, |B|).
+
+    Jaccard under-scores subset duplication (a paragraph quoted inside a
+    10x longer page has tiny Jaccard but containment ~1), so corpus
+    pipelines run BOTH: Jaccard for same-size near-dups, containment for
+    wrapper/boilerplate-absorbed copies.  Same blocked shingle self-join
+    shape as ``jaccard_pairs`` (equi join on shingle [+ block], never
+    all-pairs); the score divides the same integers on any engine, so the
+    threshold cannot drift cross-engine.  Output: (id_a < id_b,
+    containment) rounded to 4dp.
+    """
+    ex = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    join_keys = ["sh"] + (["blk"] if block_col else [])
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for kcol in join_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32) -> DataFrame:
     """MinHash signatures without MLlib: each shingle is string-hashed ONCE
     (``xxhash64(sh)``), then the i-th "permutation" re-hashes that fixed-

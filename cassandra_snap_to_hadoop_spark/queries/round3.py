@@ -911,3 +911,43 @@ def sql_api_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
         """
     )
+
+
+@register(
+    "j47_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                      for i in range(1, greatest(len(words) - 1, 1))])) AS sh
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / least(sa.sz, sb.sz), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / least(sa.sz, sb.sz) >= 0.2
+    """,
+    survey="J2,D9",
+)
+def j47_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs — inter / min(|A|, |B|), the
+    asymmetric complement to j2's Jaccard: a paragraph absorbed into a
+    10x longer page scores ~1 here but near 0 on Jaccard, so corpus
+    dedup runs both.  Same lang-blocked shingle equi-join shape as j2
+    (never all-pairs); the score divides the SAME integers on both
+    engines, so the 0.2 threshold cannot flip cross-engine (IEEE
+    division of identical operands is bit-identical)."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import containment_pairs
+
+    d = Tables(spark, sf_dir).documents
+    return containment_pairs(d, "doc_id", "text", k=3, threshold=0.2, block_col="lang")

@@ -44,6 +44,40 @@ def test_jaccard_pairs_identical_docs_score_1(spark):
     assert pairs == {(1, 2): 1.0}
 
 
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """For every pair, containment = inter/min(|A|,|B|) >= jaccard =
+    inter/union — the subset-duplicate detector can only be more
+    sensitive.  Also: a doc fully embedded in a longer one must score
+    containment 1.0 while its Jaccard is well below the threshold."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont)  # same candidate pairs (inter >= 1)
+    for p, j in jac.items():
+        assert cont[p] >= j - 1e-9, (p, cont[p], j)
+
+    # synthetic subset: short doc quoted verbatim inside a much longer one
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "intro words here alpha beta gamma delta epsilon zeta "
+            + " ".join(f"filler{i} pad{i} more{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = {(r.id_a, r.id_b): r.containment
+         for r in containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()}
+    assert c[(1, 2)] == 1.0
+    j2 = jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert not j2  # Jaccard misses the absorbed copy at the same threshold
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     near = base.replace("delta", "delta2", 1)  # one shingle changed
