@@ -21,11 +21,13 @@ single query first):
   30-41. governance (12)       — corpus-governance tier J26-J39;
   42-50. extended head (9)     — oracle-backed round-2 additions.
 
-Everything else keeps its original insertion order after the priority
-block; already-driver-green families re-verify every round via the local
-oracle mirror (python -m cassandra_snap_to_hadoop_spark.oracle), so being
-behind the budget loses no coverage.  Round 4 rotates in the remaining
-extended/training/multimodal/sql_api rows.
+Positions 51-114 (``_ROUND3_TAIL``) are insurance: every query that has
+never had a driver-green row, SQL-oracled first, so a longer-than-expected
+driver budget certifies new rows instead of re-certifying green families.
+Already-driver-green families follow in original insertion order and
+re-verify every round via the local oracle mirror (python -m
+cassandra_snap_to_hadoop_spark.oracle), so being behind the budget loses
+no coverage.  Round 4 rotates the tail block into the front window.
 """
 
 from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
@@ -111,6 +113,80 @@ _ROUND3_PRIORITY: tuple[str, ...] = (
     "e13_listagg_mode",
 )
 
+# Positions 51+ are INSURANCE: the driver budget has been ~50 in rounds 1-2,
+# but if it ever runs longer, every extra slot should certify a query that
+# has never had a driver-green row — not re-certify an already-green family.
+# Ordered: SQL-oracled first (hard value evidence), rows-only last; within
+# each block, original registration order.  Families certified in rounds 1-2
+# fall behind this block and re-verify via the local mirror every round.
+_ROUND3_TAIL: tuple[str, ...] = (
+    "j10_frame_sampling",
+    "j14_fuzzy_match",
+    "f9_running_distinct",
+    "l6_map_in_arrow",
+    "a7_text_roundtrip",
+    "b9_scd2_history",
+    "j15_contamination",
+    "j16_source_balancing",
+    "d10_nullsafe_join",
+    "h4_union_schema_evolution",
+    "a8_csv_malformed_rows",
+    "k9_stream_static_enrich",
+    "e14_conversion_funnel",
+    "e16_higher_moments",
+    "f10_monotone_runs",
+    "h5_multiset_setops",
+    "l7_udtf_table_partition",
+    "i12_variant_explode",
+    "k10_disorder_profile",
+    "g4_global_rank_scalable",
+    "f12_decay_weighted_sum",
+    "k11_session_patterns",
+    "i13_binary_encode_funcs",
+    "j17_repetition_signals",
+    "j18_mixture_weights",
+    "j19_quality_percentile_cut",
+    "d11_salted_skew_join",
+    "e15_salted_agg",
+    "a9_bucketed_join",
+    "j21_pii_redaction",
+    "j22_stratified_sample",
+    "j23_unigram_lm_score",
+    "j24_event_transitions",
+    "j25_upsample_epochs",
+    "e17_weighted_stats",
+    "j31_context_chunking",
+    "sql_api_revenue_by_nation",
+    "b10_replica_divergence",
+    "d14_asof_tolerance",
+    "d15_null_skew_join",
+    "llm_curation_funnel",
+    "a17_xml_roundtrip",
+    "j40_dedup_best_rep",
+    "d16_interval_overlap_join",
+    "i14_url_funcs",
+    "a18_json_malformed_rows",
+    "j41_bigram_lm_score",
+    "f13_ratio_windows",
+    "j42_url_canonical_dedup",
+    "j43_fixed_k_sample",
+    "j44_oov_rate",
+    "j46_tokenizer_fertility",
+    "i15_collation_funcs",
+    "e18_width_bucket_histogram",
+    "a19_csv_multiline",
+    "k12_stream_topk",
+    "f14_rolling_zscore",
+    "sql_api_priority_share",
+    "j47_containment_pairs",
+    # rows-only (weaker driver evidence by design)
+    "j10_multimodal_decode",
+    "llm_curation_funnel_lsh",
+    "j20_compression_ratio",
+    "e4_approx_count_distinct",
+    "e6_percentile_approx",
+)
+
 
 def _reorder(priority: tuple[str, ...]) -> None:
     missing = [n for n in priority if n not in REGISTRY]
@@ -123,4 +199,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND3_PRIORITY)
+_reorder(_ROUND3_PRIORITY + _ROUND3_TAIL)
