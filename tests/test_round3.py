@@ -117,3 +117,91 @@ def test_a18_corrupt_lines_all_captured(spark):
     assert row.n_corrupt == 17
     assert row.n_good == src.count()
     assert row.sum_chars == src.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_e18_width_bucket_matches_floor_formula(spark):
+    """width_bucket with a power-of-two step must agree with the floor-
+    division restatement on every row INCLUDING exact bucket edges and
+    out-of-range values (the oracle's formulation is only valid if the
+    two are value-identical in Spark itself)."""
+    vals = [0.0, 1.0, 4095.999, 4096.0, 4096.0001, 65536.0, 131071.99,
+            914.44, 104998.18]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(
+        F.width_bucket(F.col("x"), F.lit(0.0), F.lit(131072.0), F.lit(32)).alias("wb"),
+        (F.floor(F.col("x") / 4096.0).cast("long") + 1).alias("manual"),
+    ).collect()
+    for r in got:
+        assert r.wb == r.manual, r
+    # out-of-range semantics: below -> 0, at/above hi -> n+1
+    edge = spark.createDataFrame([(-1.0,), (131072.0,), (200000.0,)], "x double").select(
+        F.width_bucket("x", F.lit(0.0), F.lit(131072.0), F.lit(32)).alias("wb")
+    ).collect()
+    assert [r.wb for r in edge] == [0, 33, 33]
+
+
+def test_i15_collation_folds_case_variants(spark):
+    """UTF8_LCASE grouping folds binary-distinct spellings into one group
+    and countDistinct on the raw column still sees them all."""
+    df = spark.createDataFrame(
+        [("Web",), ("WEB",), ("web",), ("mail",)], "src_raw string"
+    )
+    out = (
+        df.groupBy(F.collate(F.col("src_raw"), "UTF8_LCASE").alias("k"))
+        .agg(F.count("*").alias("n"), F.countDistinct("src_raw").alias("v"))
+        .select(F.lower(F.col("k")).cast("string").alias("k"), "n", "v")
+        .collect()
+    )
+    got = {r.k: (r.n, r.v) for r in out}
+    assert got == {"web": (3, 3), "mail": (1, 1)}
+
+
+def test_a19_csv_quotes_commas_newlines_roundtrip(spark, tmp_path):
+    """The exact writer/reader option set used by a19 must round-trip text
+    containing quotes, commas, and newlines byte-exact."""
+    rows = [
+        (1, 'he said "hi", twice'),
+        (2, "line one\nline two\n\nline four"),
+        (3, 'mix: "a,b"\n"c,d"'),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    p = str(tmp_path / "csv")
+    df.write.option("header", True).option("escape", '"').csv(p)
+    back = (
+        spark.read.schema("id long, t string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(p)
+    )
+    got = {r.id: r.t for r in back.collect()}
+    want = dict(rows)
+    want[4] = None  # empty string reads back as null under default CSV options
+    assert got == want
+
+
+def test_f14_full_window_row_accounting(spark):
+    """Every event past the 99-row warm-up is scored: per-type n_windows
+    must equal the type's total count minus 99."""
+    R = load_all()
+    totals = {
+        r.event_type: r.n
+        for r in Tables(spark, SF).events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    out = {r.event_type: r.n_windows for r in R["f14_rolling_zscore"].fn(spark, SF).collect()}
+    assert out == {t: n - 99 for t, n in totals.items() if n >= 100}
+
+
+def test_k12_topk_shape_and_monotone(spark):
+    """Each day emits exactly ranks 1..3 and counts are non-increasing in
+    rank (the deterministic tie-break can never invert counts)."""
+    R = load_all()
+    rows = R["k12_stream_topk"].fn(spark, SF).collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.window_start, []).append((r.rnk, r.n))
+    for day, pairs in by_day.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3], (day, pairs)
+        assert pairs[0][1] >= pairs[1][1] >= pairs[2][1], (day, pairs)
