@@ -37,6 +37,9 @@ HEADLINE = [
     "j7_tfidf",
     "llm_curation_funnel",
     "j29_line_dedup",
+    # round-3 representatives: profiling agg + rolling-window analytics
+    "e18_width_bucket_histogram",
+    "f14_rolling_zscore",
 ]
 
 N_RUNS = 3

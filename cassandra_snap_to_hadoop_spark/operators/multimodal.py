@@ -156,3 +156,46 @@ def frame_sample_stub(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "media_id",
         F.posexplode(offsets).alias("frame_no", "byte_offset"),
     )
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embed_stub(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Binary payload -> embedding vector via ``mapInPandas`` — the encoder
+    stage of a multimodal retrieval pipeline (image/audio encoder at
+    production; the output feeds the SAME similarity operators as text
+    embeddings, see operators/similarity.py).
+
+    STUB: a real deployment swaps the byte-bucket histogram for a model
+    encoder (CLIP/wav2vec); the Arrow batch transport, array<double> output
+    schema, partition-parallel execution, and L2 pre-normalization contract
+    are exactly the production dataflow.  The fake embedding is a
+    DETERMINISTIC L2-normalized histogram of byte values in ``dim``
+    equal-width buckets, so tests can assert exact vectors against a numpy
+    reference and identical payloads land at cosine 1.0.  Empty/NULL
+    payloads produce a NULL embedding (mirrors the zero-norm rule in
+    operators/similarity.cosine)."""
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        width = 256 // dim
+        for pdf in batches:
+            embs = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    embs.append(None)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=dim).astype("float64")
+                n = float(np.linalg.norm(hist))
+                embs.append((hist / n).tolist() if n > 0 else None)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return media.mapInPandas(_embed, EMBED_SCHEMA)

@@ -951,3 +951,33 @@ def j47_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     return containment_pairs(d, "doc_id", "text", k=3, threshold=0.2, block_col="lang")
+
+
+@register("j48_media_embedding_knn", oracle=None, survey="J3,J10,L4")
+def j48_media_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal retrieval: opaque binary payload →
+    ``mapInPandas`` feature extraction (operators/multimodal.embed_stub)
+    → exact top-5 cosine KNN (queries broadcast, corpus scanned once,
+    fused pre-normalized dot) — the full media-dedup / media-search
+    pipeline shape with every stage on the production dataflow (Arrow
+    batch transport in, JVM higher-order-function scoring out).
+
+    Rows-only by design: the byte-histogram embedding is not
+    SQL-expressible over utf-8 payloads in the oracle engine; the
+    embedding itself is value-checked against a numpy reference and
+    identical payloads are asserted to retrieve each other at cosine
+    1.0 in tests/test_multimodal_binary.py.  Scale: encoder is
+    partition-parallel (no shuffle); KNN broadcasts only the 8-row
+    query side — the corpus never shuffles."""
+    from cassandra_snap_to_hadoop_spark.operators import similarity as sim
+    from cassandra_snap_to_hadoop_spark.operators.multimodal import (
+        documents_as_media,
+        embed_stub,
+    )
+
+    media = documents_as_media(fan_out(Tables(spark, sf_dir).documents))
+    emb = embed_stub(media).filter(F.col("embedding").isNotNull())
+    queries = emb.filter(F.col("media_id") < 8).select(
+        F.col("media_id").alias("query_id"), "embedding"
+    )
+    return sim.knn_bruteforce(emb, queries, k=5, id_col="media_id")

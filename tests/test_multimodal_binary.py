@@ -101,3 +101,45 @@ def test_frame_sampling_on_real_binary(spark, binary_media_path):
         n_bytes = len(_payload(i))
         assert got[i] == (n_bytes - 1) // 64 + 1
     assert got[4] == 1  # zero-byte file still yields the offset-0 frame
+
+
+def test_embed_stub_matches_numpy_reference(spark, binary_media_path):
+    """The stub embedding must equal the numpy-reference histogram exactly
+    (same buckets, same L2 normalization), and NULL/empty payloads must
+    produce NULL embeddings."""
+    import numpy as np
+
+    from cassandra_snap_to_hadoop_spark.operators.multimodal import embed_stub
+
+    media = spark.read.schema(MEDIA_SCHEMA).parquet(binary_media_path)
+    got = {r.media_id: r.embedding for r in embed_stub(media, dim=16).collect()}
+    for i in range(8):
+        b = _payload(i)
+        if not b:
+            assert got[i] is None, i
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8)
+        hist = np.bincount(arr // 16, minlength=16).astype("float64")
+        want = hist / np.linalg.norm(hist)
+        assert np.allclose(got[i], want, rtol=0, atol=0), i  # exact
+
+
+def test_media_knn_identical_payloads_retrieve_each_other(spark):
+    """End-to-end: two media rows with IDENTICAL bytes must be mutual
+    nearest neighbors at cosine exactly 1.0."""
+    from cassandra_snap_to_hadoop_spark.operators import similarity as sim
+    from cassandra_snap_to_hadoop_spark.operators.multimodal import embed_stub
+
+    rows = [
+        (0, b"the same exact bytes", ("image/png", 1, 1, 20)),
+        (1, b"the same exact bytes", ("image/png", 1, 1, 20)),
+        (2, b"\x00\x01\x02completely different high bytes \xf0\xf1\xf2", ("image/png", 1, 1, 40)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    emb = embed_stub(media).filter(F.col("embedding").isNotNull())
+    queries = emb.select(F.col("media_id").alias("query_id"), "embedding")
+    knn = sim.knn_bruteforce(emb, queries, k=1, id_col="media_id").collect()
+    top = {r.query_id: (r.neighbor_id, r.cos) for r in knn}
+    assert top[0] == (1, 1.0)
+    assert top[1] == (0, 1.0)
+    assert top[2][1] < 1.0
