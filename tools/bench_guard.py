@@ -37,6 +37,8 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j7_tfidf": 0.96,
     "llm_curation_funnel": 3.88,
     "j29_line_dedup": 1.06,
+    "e18_width_bucket_histogram": 0.56,
+    "f14_rolling_zscore": 0.47,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
