@@ -21,7 +21,7 @@ single query first):
   30-41. governance (12)       — corpus-governance tier J26-J39;
   42-50. extended head (9)     — oracle-backed round-2 additions.
 
-Positions 51-114 (``_ROUND3_TAIL``) are insurance: every query that has
+Positions 51+ (``_ROUND3_TAIL``) are insurance: every query that has
 never had a driver-green row, SQL-oracled first, so a longer-than-expected
 driver budget certifies new rows instead of re-certifying green families.
 Already-driver-green families follow in original insertion order and
@@ -179,6 +179,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "f14_rolling_zscore",
     "sql_api_priority_share",
     "j47_containment_pairs",
+    "a20_binaryfile_ingest",
     # rows-only (weaker driver evidence by design)
     "j48_media_embedding_knn",
     "j10_multimodal_decode",

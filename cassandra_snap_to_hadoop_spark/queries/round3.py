@@ -981,3 +981,54 @@ def j48_media_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("query_id"), "embedding"
     )
     return sim.knn_bruteforce(emb, queries, k=5, id_col="media_id")
+
+
+@register(
+    "a20_binaryfile_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+    FROM documents WHERE doc_id < 50 GROUP BY lang
+    """,
+    survey="A3,J10",
+)
+def a20_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file media ingest via Spark's ``binaryFile`` source — how
+    image/audio corpora actually enter a lake (one opaque file per
+    asset; no row format at all).  50 assets are staged as ``.bin``
+    files (utf-8 bytes of the doc text — the harness stand-in for
+    image bytes), read back whole-file as (path, length, content)
+    rows, identity recovered from the path, and content checked
+    md5-exact per language against the parquet source of truth (md5 of
+    a DuckDB VARCHAR hashes its utf-8 bytes — verified — so the byte
+    and string worlds agree).  Scale notes: binaryFile caps at
+    ``spark.sql.files.maxPartitionBytes`` per task and never splits a
+    file — right for many small-to-medium assets; the dim join to
+    recover metadata broadcasts (50 rows).  Real deployments feed this
+    straight into operators/multimodal.embed_stub (j48)."""
+    d = Tables(spark, sf_dir).documents
+    head = d.filter(F.col("doc_id") < 50).select("doc_id", "lang", "text")
+    bin_dir = _staged("a20_bin", sf_dir, "documents")
+    if not (bin_dir / "_SUCCESS").exists():
+        bin_dir.mkdir(parents=True, exist_ok=True)
+        # KB-scale fixture staging (50 small files) — same class as the
+        # layout tier's staged inputs, not a hot-path collect.
+        for r in head.select("doc_id", "text").collect():
+            (bin_dir / f"{r['doc_id']}.bin").write_bytes(r["text"].encode("utf-8"))
+        (bin_dir / "_SUCCESS").touch()
+    files = spark.read.format("binaryFile").load(str(bin_dir) + "/*.bin")
+    parsed = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("h"),
+    )
+    joined = parsed.join(F.broadcast(head.select("doc_id", "lang")), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("length").alias("sum_bytes"),
+        F.min("h").alias("min_md5"),
+        F.max("h").alias("max_md5"),
+    )
