@@ -240,3 +240,45 @@ def test_partition_count_invariance(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", base)
     for n in names:
         assert at_32[n] == at_7[n], f"{n} differs across partition counts"
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=8
+    )
+)
+def test_containment_pairs_match_python_reference(sparkm, texts):
+    """containment_pairs must equal a brute-force Python reference on
+    arbitrary short texts: same pair set, same score (exact integer
+    division both sides)."""
+    import re
+
+    from cassandra_snap_to_hadoop_spark.operators.dedup import containment_pairs
+
+    def ref_shingles(t: str) -> set:
+        words = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+    docs = list(enumerate(texts))
+    want = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = ref_shingles(ta), ref_shingles(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            score = round(inter / min(len(sa), len(sb)), 4)
+            if score >= 0.5:
+                want[(i, j)] = score
+
+    df = sparkm.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert got == want
