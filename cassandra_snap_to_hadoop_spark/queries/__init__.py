@@ -180,6 +180,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "sql_api_priority_share",
     "j47_containment_pairs",
     "a20_binaryfile_ingest",
+    "k13_stream_stream_left_join",
     # rows-only (weaker driver evidence by design)
     "j48_media_embedding_knn",
     "j10_multimodal_decode",

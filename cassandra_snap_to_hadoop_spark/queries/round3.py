@@ -1032,3 +1032,56 @@ def a20_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_md5"),
         F.max("h").alias("max_md5"),
     )
+
+
+@register(
+    "k13_stream_stream_left_join",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id AS pu, event_id AS purchase_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS lag_us
+    FROM c LEFT JOIN p ON c.user_id = pu
+                      AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+    """,
+    survey="K8,D3,D6",
+)
+def k13_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join, batch-declared: every click row
+    survives — purchases within the following 30 minutes attach inline,
+    clicks with none emit a null purchase (the attribution table's
+    "unconverted" rows, which k8's inner join silently drops).  The
+    OUTER side is the semantically hard part under streaming: a null
+    result is only knowable once no further purchase can arrive, so
+    emission is gated on watermark progress past the click's join
+    window — the twin (streaming/pipelines.py k13_stream) demonstrates
+    this with a sentinel-advanced watermark in the parity test.  Equi
+    key keeps pair generation a hash join; the two-sided time bound is
+    what lets streaming state expire.  Same exact-integer lag_us rule
+    as k8."""
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))).alias("lag_us"),
+    )

@@ -252,6 +252,46 @@ def k8_stream(clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
     )
 
 
+def k13_stream(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """K13 streaming twin: LEFT-OUTER stream-stream join — every click
+    emits, matched purchases inline, UNMATCHED clicks as a null-purchase
+    row once the watermark passes the end of their join window (cts +
+    30 min).  The semantic difference from k8: the null result for a
+    click is only knowable when no further purchase can arrive, so outer
+    emission is gated on watermark progress — a bounded replay must push
+    the watermark past the last window with a sentinel event or trailing
+    unmatched rows stay buffered forever (demonstrated in
+    tests/test_streaming_parity.py::test_k13_left_outer_stream_join_parity)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"))
+        .withWatermark("pts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))).alias("lag_us"),
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> list:
     """Test helper: run a streaming aggregation over a bounded file source
     until exhausted (availableNow), collecting emitted rows via foreachBatch

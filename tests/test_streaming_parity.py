@@ -355,3 +355,44 @@ def test_k9_stream_static_enrich_parity(spark, sf_dir, event_shards, tmp_path):
         str(tmp_path / "ck9"),
     )
     assert _rows(batch) == _rows(stream)
+
+
+def test_k13_left_outer_stream_join_parity(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join parity.  The outer side's null
+    results are gated on watermark progress, so a bounded replay needs a
+    far-future sentinel on BOTH input streams (global watermark = min of
+    the two sides) to close every join window; without it the trailing
+    unmatched clicks would stay buffered forever.  Sentinel rows
+    (user_id = -1) are excluded from the comparison."""
+    from pyspark.sql import Row
+
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import k13_stream
+
+    batch = REGISTRY["k13_stream_stream_left_join"].fn(spark, sf_dir).collect()
+
+    root = str(tmp_path / "events13")
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(root)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    far = max_ts + datetime.timedelta(days=3)
+    sent = spark.createDataFrame(
+        [
+            Row(event_id=10**12, ts=far, user_id=-1, event_type="click", value=0.0, props="{}"),
+            Row(event_id=10**12 + 1, ts=far, user_id=-1, event_type="purchase", value=0.0, props="{}"),
+        ]
+    )
+    sent.write.mode("overwrite").parquet(root + "/day=31")  # newest mtime -> arrives last
+
+    src = read_event_stream(spark, root + "/*", max_files_per_trigger=5)
+    stream = [
+        r
+        for r in run_to_completion(
+            k13_stream(src, src, watermark="1 hour"),
+            str(tmp_path / "ck13"),
+            mode="append",
+        )
+        if r.user_id != -1
+    ]
+    assert _rows(batch) == _rows(stream)
