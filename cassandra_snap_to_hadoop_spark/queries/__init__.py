@@ -181,6 +181,8 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j47_containment_pairs",
     "a20_binaryfile_ingest",
     "k13_stream_stream_left_join",
+    "e19_bitmap_distinct",
+    "e20_pareto_cut",
     # rows-only (weaker driver evidence by design)
     "j48_media_embedding_knn",
     "j10_multimodal_decode",

@@ -1085,3 +1085,97 @@ def k13_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))).alias("lag_us"),
     )
+
+
+@register(
+    "e19_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events
+    """,
+    survey="E3,E4,I10",
+)
+def e19_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates — the
+    middle ground between E3 (exact, not mergeable across segments
+    without re-scan) and E4 (mergeable HLL, approximate).  Each key
+    domain slice becomes a (bucket, bit-position) pair; per-group
+    bitmaps OR-merge associatively, so per-segment partial states roll
+    up to any coarser grain WITHOUT rescanning the fact — here the
+    per-event-type bucket bitmaps are reused, OR-merged, to produce the
+    global distinct count, and both levels are value-checked against
+    plain COUNT(DISTINCT).  This is the ClickHouse/Druid bitmap-sketch
+    pattern on stock Spark (3.5+ bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count).  At 100 TB: a materialized per-(segment, bucket)
+    bitmap table answers exact-distinct rollups at any grain from
+    KB-scale state per group — the wire carries 4 KB bitmaps, never
+    user-id sets."""
+    e = Tables(spark, sf_dir).events
+    base = e.select(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("b"),
+        F.bitmap_bit_position(F.col("user_id")).alias("p"),
+    )
+    per_bucket = base.groupBy("event_type", "b").agg(
+        F.bitmap_construct_agg("p").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_users")
+    )
+    global_row = (
+        per_bucket.groupBy("b")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+        .select(F.lit("__all__").alias("event_type"), "n_distinct_users")
+    )
+    return per_type.unionByName(global_row)
+
+
+@register(
+    "e20_pareto_cut",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1
+    ), t AS (SELECT CAST(SUM(bytes) AS BIGINT) AS tot FROM s)
+    SELECT source, bytes,
+           bytes * 1.0 / tot AS share,
+           SUM(bytes) OVER (ORDER BY bytes DESC, source) * 1.0 / tot AS cum_share,
+           CAST(CASE WHEN (SUM(bytes) OVER (ORDER BY bytes DESC, source) - bytes) * 1.0 / tot < 0.8
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_head
+    FROM s, t
+    """,
+    survey="E2,F3,G1",
+)
+def e20_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage cut: which sources make up 80% of corpus bytes —
+    the governance question behind crawl-budget and licensing reviews.
+    Sources ranked by size (deterministic tiebreak on name), cumulative
+    share computed over exact integer byte sums, and ``in_head`` marks
+    every source needed to reach 80% INCLUSIVE of the one crossing the
+    line (the prior cumulative, not its own, is compared to the
+    threshold — the clean closed-form for 'inclusive of crossing').
+    All divisions put the same exact integers over the same total on
+    both engines — bit-identical doubles, no threshold drift.  Scale:
+    the window runs over the per-source aggregate (source cardinality,
+    not corpus cardinality); the corpus-sized work is one hash agg."""
+    d = Tables(spark, sf_dir).documents
+    s = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("bytes"))
+    tot = s.agg(F.sum("bytes").cast("long").alias("tot"))
+    w = Window.orderBy(F.col("bytes").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("bytes").over(w)
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "bytes",
+            (F.col("bytes") * 1.0 / F.col("tot")).alias("share"),
+            (cum * 1.0 / F.col("tot")).alias("cum_share"),
+            ((cum - F.col("bytes")) * 1.0 / F.col("tot") < 0.8).cast("long").alias("in_head"),
+        )
+    )
