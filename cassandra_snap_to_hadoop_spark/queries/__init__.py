@@ -183,6 +183,8 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "k13_stream_stream_left_join",
     "e19_bitmap_distinct",
     "e20_pareto_cut",
+    "i16_map_hof_funcs",
+    "a21_dynamic_partition_overwrite",
     # rows-only (weaker driver evidence by design)
     "j48_media_embedding_knn",
     "j10_multimodal_decode",

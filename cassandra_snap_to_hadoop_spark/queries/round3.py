@@ -1179,3 +1179,86 @@ def e20_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((cum - F.col("bytes")) * 1.0 / F.col("tot") < 0.8).cast("long").alias("in_head"),
         )
     )
+
+
+@register(
+    "i16_map_hof_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST((CASE WHEN value + 1 > 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN 2 * value + 1 > 1 THEN 1 ELSE 0 END) AS INTEGER) AS mf_size,
+           ((value + 1) + (2 * value + 1)) + 1 AS sum_mt,
+           CAST(1.0 AS DOUBLE) AS zip_diff_v
+    FROM events
+    """,
+    survey="I6,I5",
+)
+def i16_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HIGHER-ORDER functions — transform_values, map_filter,
+    map_zip_with (i6 covers construction/access; these are the lambda
+    tier).  The checked output re-derives every scalar from the source
+    column in the oracle (the i14 ground-truth pattern), with all
+    arithmetic exact in binary fp (+1, ×2) and the aggregate summation
+    written in the same association both sides.  All three HOFs run as
+    codegen lambdas — no Python, no shuffle beyond the scan."""
+    e = Tables(spark, sf_dir).events
+    m = F.create_map(
+        F.lit("v"), F.col("value"),
+        F.lit("v2"), F.col("value") * 2,
+        F.lit("z"), F.lit(0.0),
+    )
+    mt = F.transform_values(m, lambda k, v: v + 1)
+    mf = F.map_filter(mt, lambda k, v: v > 1.0)
+    mz = F.map_zip_with(m, mt, lambda k, v1, v2: v2 - v1)
+    return e.select(
+        "event_id",
+        F.size(mf).cast("int").alias("mf_size"),
+        F.aggregate(F.map_values(mt), F.lit(0.0), lambda acc, v: acc + v).alias("sum_mt"),
+        F.element_at(mz, "v").alias("zip_diff_v"),
+    )
+
+
+@register(
+    "a21_dynamic_partition_overwrite",
+    oracle="""
+    WITH rev AS (
+        SELECT day(ts) AS d,
+               CASE WHEN day(ts) = 15 THEN value * 2 ELSE value END AS v
+        FROM events
+    )
+    SELECT CAST(d AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(v * 100) AS BIGINT)) / 100.0 AS total_v
+    FROM rev GROUP BY 1
+    """,
+    survey="A4,A5",
+)
+def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the lake-maintenance primitive for
+    re-exporting ONE snapshot day without touching the rest: the full
+    events table lands partitioned by day, then a revised day-15 batch
+    (values doubled) is written with ``mode=overwrite`` +
+    ``partitionOverwriteMode=dynamic``, which replaces ONLY the
+    partitions present in the incoming frame.  The per-day counts and
+    quantized sums of the re-read table value-check both halves at
+    once: day 15 must show revised values, and every other day must be
+    intact (static overwrite semantics would have wiped them to zero
+    rows — the classic production incident this mode exists to
+    prevent).  Scale: the rewrite cost is ONE partition's bytes, not
+    the table's; partition pruning on the read side is unchanged."""
+    from cassandra_snap_to_hadoop_spark.queries._util import qsum
+
+    part_dir = _staged("a21_dynover", sf_dir, "events")
+    e = Tables(spark, sf_dir).events.select(
+        F.dayofmonth("ts").cast("int").alias("day"), "value"
+    )
+    if not (part_dir / "_SUCCESS").exists():
+        e.write.mode("overwrite").partitionBy("day").parquet(str(part_dir))
+        revised = e.filter(F.col("day") == 15).withColumn("value", F.col("value") * 2)
+        revised.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day").parquet(str(part_dir))
+    back = spark.read.parquet(str(part_dir))
+    return back.groupBy(F.col("day").cast("int").alias("day")).agg(
+        F.count("*").alias("n"), qsum(F.col("value")).alias("total_v")
+    )
