@@ -186,6 +186,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "i16_map_hof_funcs",
     "a21_dynamic_partition_overwrite",
     # rows-only (weaker driver evidence by design)
+    "f15_cusum_drift",
     "j48_media_embedding_knn",
     "j10_multimodal_decode",
     "llm_curation_funnel_lsh",

@@ -1262,3 +1262,47 @@ def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     return back.groupBy(F.col("day").cast("int").alias("day")).agg(
         F.count("*").alias("n"), qsum(F.col("value")).alias("total_v")
     )
+
+
+@register("f15_cusum_drift", oracle=None, survey="L3,F3,E5")
+def f15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type — the classic sequential
+    change-point statistic: ``s_i = max(0, s_{i-1} + (x_i - mean - k))``
+    over the type's events in (ts, event_id) order, alarming when the
+    running sum exceeds ``h`` sigma.  The recursion makes this
+    genuinely NOT window-expressible (each value depends on a clamped
+    prior), so it is the canonical ``applyInPandas`` case: one shuffle
+    on the grouping key, the sequential fold runs vectorized per group
+    in Arrow-backed pandas, state never leaves the group.  Rows-only by
+    design (no SQL oracle can state the recursion); the fold is
+    value-checked against a pure-Python reference in
+    tests/test_round3.py.  At 100 TB the per-group sequential scan is
+    the irreducible cost of the statistic itself; groups parallelize
+    freely and nothing is collected."""
+    import pandas as pd
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy()
+        mu, sd = x.mean(), x.std(ddof=1)
+        k, h = 0.5 * sd, 4.0 * sd
+        s = 0.0
+        n_alarms, smax = 0, 0.0
+        for v in x:
+            s = max(0.0, s + (v - mu - k))
+            smax = max(smax, s)
+            if s > h:
+                n_alarms += 1
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(x)],
+                "n_alarms": [n_alarms],
+                "max_cusum_sigma": [round(smax / sd, 4) if sd > 0 else 0.0],
+            }
+        )
+
+    e = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
+    return e.groupBy("event_type").applyInPandas(
+        cusum, "event_type string, n_events long, n_alarms long, max_cusum_sigma double"
+    )

@@ -205,3 +205,39 @@ def test_k12_topk_shape_and_monotone(spark):
         pairs.sort()
         assert [p[0] for p in pairs] == [1, 2, 3], (day, pairs)
         assert pairs[0][1] >= pairs[1][1] >= pairs[2][1], (day, pairs)
+
+
+def test_f15_cusum_matches_python_reference(spark):
+    """The applyInPandas CUSUM fold must equal a pure-Python reference
+    computed from the same ordered values."""
+    rows = Tables(spark, SF).events.select("event_type", "ts", "event_id", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for t, evs in by_type.items():
+        evs.sort()
+        xs = [v for _, _, v in evs]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((v - mu) ** 2 for v in xs) / (n - 1)
+        sd = var ** 0.5
+        k, h = 0.5 * sd, 4.0 * sd
+        s = smax = 0.0
+        alarms = 0
+        for v in xs:
+            s = max(0.0, s + (v - mu - k))
+            smax = max(smax, s)
+            if s > h:
+                alarms += 1
+        want[t] = (n, alarms, round(smax / sd, 4))
+    R = load_all()
+    got = {
+        r.event_type: (r.n_events, r.n_alarms, r.max_cusum_sigma)
+        for r in R["f15_cusum_drift"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0]
+        assert got[t][1] == want[t][1]
+        assert abs(got[t][2] - want[t][2]) < 1e-6, (t, got[t], want[t])
