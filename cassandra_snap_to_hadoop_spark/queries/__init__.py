@@ -185,6 +185,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e20_pareto_cut",
     "i16_map_hof_funcs",
     "a21_dynamic_partition_overwrite",
+    "sql_api_parameterized",
     # rows-only (weaker driver evidence by design)
     "f15_cusum_drift",
     "j48_media_embedding_knn",

@@ -1306,3 +1306,41 @@ def f15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         cusum, "event_type string, n_events long, n_alarms long, max_cusum_sigma double"
     )
+
+
+@register(
+    "sql_api_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+    survey="C2,E2",
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (§3.3 API depth): the query text carries named
+    placeholders (:threshold, :status) and values bind at submission —
+    the injection-safe front door for templated analytics (Spark 3.4+
+    named-parameter ``spark.sql``).  Binding happens before analysis,
+    so Catalyst constant-folds the parameters exactly like literals:
+    same pushed filters, same plan as the inlined query.  The oracle
+    states the same query with the values inlined."""
+    from cassandra_snap_to_hadoop_spark.io import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cs2h_orders")
+    # divisor CAST: a bare 100.0 literal is DECIMAL in Spark SQL text
+    # (the sql_api_revenue gotcha), which would change the output type.
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
+        FROM cs2h_orders
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY 1
+        """,
+        args={"threshold": 150000.0, "status": "F"},
+    )
