@@ -1,9 +1,21 @@
-"""Round-3 coverage extensions: XML source roundtrip (A-family), dedup
-with best-quality representative selection (J-family), bucketed
-interval-overlap join (D-family), URL parsing functions (I-family).
+"""Round-3 coverage extensions, batched as they landed:
+
+  1. a17 XML roundtrip, j40 best-representative dedup, d16 interval-
+     overlap join, i14 URL functions;
+  2. a18 malformed-JSON, j41 bigram LM, f13 ratio windows, j42
+     canonical-URL dedup;
+  3. j43 fixed-k stratified sample, j44 OOV rate, j46 tokenizer
+     fertility;
+  4. i15 collation grouping, e18 width-bucket histogram, a19 multiline
+     CSV, k12 windowed top-k, f14 rolling z-score, sql_api_priority_share,
+     j47 containment pairs, j48 media embedding KNN (rows), a20
+     binaryFile ingest, k13 left-outer stream-stream join, e19 bitmap
+     exact-distinct, e20 Pareto cut, i16 map HOFs, a21 dynamic partition
+     overwrite, f15 CUSUM drift (rows), sql_api_parameterized.
 
 Registered AFTER the round-3 certification window on purpose (see
-queries/__init__.py): value-checked by the local oracle mirror this round,
+queries/__init__.py — they sit in the ``_ROUND3_TAIL`` insurance block):
+value-checked by the local oracle mirror at sf0.001/0.01/0.1 this round,
 rotated into the driver window in round 4.
 """
 
