@@ -186,6 +186,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "i16_map_hof_funcs",
     "a21_dynamic_partition_overwrite",
     "sql_api_parameterized",
+    "j49_unicode_nfc_normalize",
     # rows-only (weaker driver evidence by design)
     "f15_cusum_drift",
     "j48_media_embedding_knn",
