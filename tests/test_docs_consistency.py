@@ -1,0 +1,70 @@
+"""Docs-to-registry consistency: every query name the docs claim exists
+must actually be registered (stale doc references are how coverage maps
+rot), and the driver-facing ordering lists must stay duplicate-free."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from cassandra_snap_to_hadoop_spark.queries import _ROUND3_PRIORITY, _ROUND3_TAIL
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REPO = Path(__file__).resolve().parents[1]
+REGISTRY = load_all()
+
+# Names like a12_partitioned_discovery / j2_minhash_lsh_pairs / tpch_q8_...
+_NAME_RE = re.compile(r"\b((?:[a-l]|sql_api|tpch|llm|flagship)[0-9]*_[a-z0-9_]{3,})\b")
+
+# Doc tokens that look like query names but are prose/file references.
+_ALLOW = {
+    "a_la", "b_tree",  # prose fragments (none currently, reserved)
+    "flagship_snapshot_star",  # registered — listed for clarity
+}
+
+
+def _doc_names(path: Path) -> set[str]:
+    text = path.read_text()
+    names = set()
+    for m in _NAME_RE.finditer(text):
+        n = m.group(1)
+        # Keep only plausible registered-query shapes: a known prefix and
+        # at least one underscore-separated word after the family code.
+        if n in REGISTRY or re.match(r"^(?:[a-l]\d+|sql_api|tpch_q\d+|llm|flagship)_", n):
+            names.add(n)
+    return names
+
+
+def test_status_md_references_only_registered_queries():
+    stale = {
+        n
+        for n in _doc_names(REPO / "STATUS.md")
+        if n not in REGISTRY and n not in _ALLOW
+        # file/module references like queries/llm.py show up without .py here
+        and not n.endswith((".py", "_py"))
+    }
+    assert not stale, f"STATUS.md references unregistered query names: {sorted(stale)}"
+
+
+def test_next_md_references_only_registered_queries():
+    stale = {
+        n for n in _doc_names(REPO / "NEXT.md") if n not in REGISTRY and n not in _ALLOW
+    }
+    assert not stale, f"NEXT.md references unregistered query names: {sorted(stale)}"
+
+
+def test_ordering_lists_are_duplicate_free_and_registered():
+    combined = list(_ROUND3_PRIORITY) + list(_ROUND3_TAIL)
+    assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
+    missing = [n for n in combined if n not in REGISTRY]
+    assert not missing, missing
+
+
+def test_every_registered_query_is_documented_somewhere():
+    docs = _doc_names(REPO / "STATUS.md") | _doc_names(REPO / "SURVEY.md")
+    # Families documented as ranges (tpch_q2..q22) get prose mentions; any
+    # name absent from BOTH docs entirely is an undocumented operator.
+    undocumented = [
+        n for n in REGISTRY if n not in docs and not n.startswith("tpch_q")
+    ]
+    assert not undocumented, f"registered but undocumented: {undocumented}"

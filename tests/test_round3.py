@@ -241,3 +241,20 @@ def test_f15_cusum_matches_python_reference(spark):
         assert got[t][0] == want[t][0]
         assert got[t][1] == want[t][1]
         assert abs(got[t][2] - want[t][2]) < 1e-6, (t, got[t], want[t])
+
+
+def test_staged_queries_are_rerun_stable(spark):
+    """Every round-3 query that stages scratch inputs (a17 XML, a19 CSV,
+    a20 binary files, a21 dynamic overwrite) must return identical
+    results on a second invocation — the staging guard must neither
+    rebuild differently nor double-apply the overwrite."""
+    R = load_all()
+    for name in (
+        "a17_xml_roundtrip",
+        "a19_csv_multiline",
+        "a20_binaryfile_ingest",
+        "a21_dynamic_partition_overwrite",
+    ):
+        first = sorted(map(tuple, R[name].fn(spark, SF).collect()))
+        second = sorted(map(tuple, R[name].fn(spark, SF).collect()))
+        assert first == second, name
