@@ -188,6 +188,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "sql_api_parameterized",
     "j49_unicode_nfc_normalize",
     # rows-only (weaker driver evidence by design)
+    "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
     "j48_media_embedding_knn",
     "j10_multimodal_decode",

@@ -1410,3 +1410,30 @@ def j49_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("dec")).alias("len_before"),
         F.sum(F.length("norm")).alias("len_after"),
     )
+
+
+@register("j3_knn_bruteforce_arrow", oracle=None, survey="J3,L4")
+def j3_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3_knn_bruteforce's Arrow/BLAS twin: identical exact-KNN semantics
+    (same 8 queries, k=5, cosine, same tie-break) executed as a blocked
+    ``mapInArrow`` matrix multiply — one BLAS call per record batch
+    instead of a JVM lambda per element (operators/similarity.py
+    knn_bruteforce_arrow).  Rows-only: last-ulp summation drift vs the
+    sequential HOF fold makes the 4dp-rounded scores hash-identical in
+    practice but not by construction; exact-parity with the HOF tier is
+    asserted in tests/test_llm_ops.py.  The measured tier comparison
+    lives in SCALE.md."""
+    from cassandra_snap_to_hadoop_spark.operators.similarity import knn_bruteforce_arrow
+
+    e = Tables(spark, sf_dir).embeddings
+    # Query side: tiny by contract (8 vectors) — same bound that lets the
+    # HOF tier broadcast it; here it rides the task closure as a matrix.
+    import numpy as np
+
+    qrows = e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    return knn_bruteforce_arrow(
+        e, q_mat, [r["vec_id"] for r in qrows], k=5, id_col="vec_id"
+    )

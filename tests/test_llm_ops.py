@@ -278,3 +278,14 @@ def test_curation_funnel_lsh_close_to_exact(spark, sf_dir):
         assert exact[stage] == lsh[stage]
     n2 = exact["2_exact_dedup"]
     assert abs(lsh["3_near_dup"] - exact["3_near_dup"]) <= max(3, 0.05 * n2)
+
+
+def test_knn_arrow_tier_matches_hof_tier(spark, sf_dir):
+    """The Arrow/BLAS blocked-matmul tier must produce the HOF fold tier's
+    exact output (same neighbors, same 4dp scores, same ranks)."""
+    from cassandra_snap_to_hadoop_spark.registry import load_all
+
+    R = load_all()
+    hof = sorted(map(tuple, R["j3_knn_bruteforce"].fn(spark, sf_dir).collect()))
+    arrow = sorted(map(tuple, R["j3_knn_bruteforce_arrow"].fn(spark, sf_dir).collect()))
+    assert hof == arrow
