@@ -422,3 +422,55 @@ def test_a11_zorder_key_is_codegen_map_plus_agg(spark, sf_dir):
     df = load_all()["a11_zorder_key"].fn(spark, sf_dir)
     assert count_shuffles(df) == 1
     assert not uses_rowwise_python(df)
+
+
+def test_e18_histogram_is_single_exchange_partial_agg(spark, sf_dir):
+    """Equi-width histogram must be scan -> partial agg -> ONE exchange ->
+    final agg (32-group map-side combine shape)."""
+    df = REGISTRY["e18_width_bucket_histogram"].fn(spark, sf_dir)
+    p = plan_string(df)
+    assert count_shuffles(df) == 1, p
+    assert "partial" in p.lower(), p
+
+
+def test_f14_zscore_shares_one_exchange(spark, sf_dir):
+    """The trailing-100 window aggs and the final per-type rollup must
+    reuse ONE exchange on event_type."""
+    df = REGISTRY["f14_rolling_zscore"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, plan_string(df)
+
+
+def test_e19_bitmap_levels_reuse_bucket_aggregate(spark, sf_dir):
+    """Bitmap distinct: the per-type branch and the OR-merged global branch
+    both derive from the per-(type, bucket) bitmaps — no COUNT DISTINCT
+    expansion anywhere in the plan."""
+    df = REGISTRY["e19_bitmap_distinct"].fn(spark, sf_dir)
+    p = plan_string(df)
+    assert "bitmap_construct_agg" in p or "bitmap_count" in p, p
+    assert "distinct" not in p.lower().replace("n_distinct_users", ""), p
+
+
+def test_d16_overlap_join_is_equi_not_nlj(spark, sf_dir):
+    """The bucketed interval-overlap decomposition must plan an equi join
+    (hash/broadcast) — the naive two-sided theta would be an NLJ."""
+    df = REGISTRY["d16_interval_overlap_join"].fn(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_a20_binaryfile_scan_prunes_content_for_metadata_query(spark, sf_dir):
+    """binaryFile supports column pruning: a length-only aggregate must not
+    read the content column."""
+    from pyspark.sql import functions as F
+    from cassandra_snap_to_hadoop_spark.queries.layout import _staged
+
+    # stage via the registered query first (idempotent)
+    REGISTRY["a20_binaryfile_ingest"].fn(spark, sf_dir).collect()
+    bin_dir = _staged("a20_bin", sf_dir, "documents")
+    meta_only = (
+        spark.read.format("binaryFile")
+        .load(str(bin_dir) + "/*.bin")
+        .agg(F.sum("length").alias("total"))
+    )
+    cols = scan_columns(meta_only)
+    assert not any("content" in c for c in cols), cols
