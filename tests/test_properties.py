@@ -282,3 +282,25 @@ def test_containment_pairs_match_python_reference(sparkm, texts):
         for r in containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
     }
     assert got == want
+
+
+@SLOW
+@given(rows=cells)
+def test_lww_priority_tier_equals_struct_tier(sparkm, rows):
+    """The packed-priority HashAggregate tier must pick exactly the rows
+    the generic struct-ordering tier picks, for arbitrary cell sets —
+    the flagship's perf trick may never change semantics.  Seq is
+    unique-ified so both orderings are total."""
+    rows = [
+        (pk, ck, wt, i, payload)
+        for i, (pk, ck, wt, _s, payload) in enumerate(rows)
+    ]
+    df = sparkm.createDataFrame(
+        rows, "pk long, ck long, _writetime long, _seq long, v string"
+    )
+    struct_tier = lww_merge(df, ["pk", "ck"], seq_col="_seq")
+    prio = F.col("_writetime") * 100000 + F.col("_seq")
+    packed_tier = lww_merge(df, ["pk", "ck"], priority=prio)
+    assert sorted(map(tuple, struct_tier.collect())) == sorted(
+        map(tuple, packed_tier.collect())
+    )
