@@ -304,3 +304,28 @@ def test_lww_priority_tier_equals_struct_tier(sparkm, rows):
     assert sorted(map(tuple, struct_tier.collect())) == sorted(
         map(tuple, packed_tier.collect())
     )
+
+
+@SLOW
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**50), max_value=2**50), min_size=1, max_size=40
+    )
+)
+def test_bitmap_distinct_law(sparkm, ids):
+    """The bucket/bit-position bitmap pipeline must equal exact
+    COUNT(DISTINCT) for arbitrary longs — negatives and wide magnitudes
+    included (e19's correctness does not depend on the fixture's
+    positive-id domain)."""
+    df = sparkm.createDataFrame([(i,) for i in ids], "v long")
+    got = (
+        df.select(
+            F.bitmap_bucket_number("v").alias("b"),
+            F.bitmap_bit_position("v").alias("p"),
+        )
+        .groupBy("b")
+        .agg(F.bitmap_construct_agg("p").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")))
+        .collect()[0][0]
+    )
+    assert got == len(set(ids))
