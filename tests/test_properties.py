@@ -329,3 +329,24 @@ def test_bitmap_distinct_law(sparkm, ids):
         .collect()[0][0]
     )
     assert got == len(set(ids))
+
+
+@SLOW
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.0, max_value=131071.999, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_width_bucket_floor_law(sparkm, xs):
+    """For a power-of-two step, width_bucket must equal the floor-division
+    restatement on EVERY in-range double — the exactness property e18's
+    oracle depends on."""
+    df = sparkm.createDataFrame([(x,) for x in xs], "x double")
+    rows = df.select(
+        F.width_bucket("x", F.lit(0.0), F.lit(131072.0), F.lit(32)).alias("wb"),
+        (F.floor(F.col("x") / 4096.0).cast("long") + 1).alias("manual"),
+    ).collect()
+    for r in rows:
+        assert r.wb == r.manual
