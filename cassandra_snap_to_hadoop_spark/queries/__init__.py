@@ -187,6 +187,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "a21_dynamic_partition_overwrite",
     "sql_api_parameterized",
     "j49_unicode_nfc_normalize",
+    "a22_snapshot_retention",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

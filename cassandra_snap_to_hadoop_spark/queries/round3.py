@@ -1437,3 +1437,70 @@ def j3_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce_arrow(
         e, q_mat, [r["vec_id"] for r in qrows], k=5, id_col="vec_id"
     )
+
+
+@register(
+    "a22_snapshot_retention",
+    oracle="""
+    WITH files AS (
+        SELECT o_orderkey AS file_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS bytes
+        FROM orders
+    ), tags AS (
+        SELECT 'tag1' AS tag, file_id, bytes FROM files WHERE file_id % 10 < 6
+        UNION ALL
+        SELECT 'tag2', file_id, bytes FROM files WHERE file_id % 10 BETWEEN 2 AND 8
+        UNION ALL
+        SELECT 'tag3', file_id, bytes FROM files WHERE file_id % 10 >= 5
+    ), kept AS (
+        SELECT DISTINCT file_id FROM tags WHERE tag IN ('tag2', 'tag3')
+    )
+    SELECT tag,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS tag_bytes,
+           CAST(SUM(CASE WHEN kept.file_id IS NULL THEN bytes ELSE 0 END)
+                AS BIGINT) AS reclaimable_bytes
+    FROM tags LEFT JOIN kept USING (file_id)
+    GROUP BY tag
+    """,
+    survey="A6,D4,H1",
+)
+def a22_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION accounting — the lifecycle question every
+    snapshot-export deployment eventually asks: if we keep only the
+    latest N tags, how many bytes actually free?  Cassandra snapshots
+    hard-link SSTables, so consecutive tags share most files and naive
+    per-tag sizes wildly overstate reclaimable space; a file frees only
+    when NO retained tag references it.  Three overlapping tag manifests
+    are derived from the orders catalog (modular key ranges simulate
+    compaction churn between tags), retention keeps tag2+tag3, and each
+    tag reports its total bytes vs the bytes ONLY it pins
+    (left-anti semantics against the retained file set).  Manifests are
+    KB-per-million-files relations: the joins run on (file_id) hash
+    partitioning and the retained set broadcasts at any realistic
+    snapshot count.  Complements a6 (verify) and a15 (row diff): this is
+    the storage-ops view."""
+    files = Tables(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bytes"),
+    )
+    m = F.col("file_id") % 10
+    tags = (
+        files.filter(m < 6).select(F.lit("tag1").alias("tag"), "file_id", "bytes")
+        .unionByName(files.filter((m >= 2) & (m <= 8)).select(F.lit("tag2").alias("tag"), "file_id", "bytes"))
+        .unionByName(files.filter(m >= 5).select(F.lit("tag3").alias("tag"), "file_id", "bytes"))
+    )
+    kept = (
+        tags.filter(F.col("tag").isin("tag2", "tag3"))
+        .select("file_id")
+        .distinct()
+        .withColumn("retained", F.lit(1))
+    )
+    joined = tags.join(kept, "file_id", "left")
+    return joined.groupBy("tag").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("tag_bytes"),
+        F.sum(F.when(F.col("retained").isNull(), F.col("bytes")).otherwise(F.lit(0))).alias(
+            "reclaimable_bytes"
+        ),
+    )
