@@ -188,6 +188,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "sql_api_parameterized",
     "j49_unicode_nfc_normalize",
     "a22_snapshot_retention",
+    "a23_nested_schema_pruning",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -1504,3 +1504,42 @@ def a22_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reclaimable_bytes"
         ),
     )
+
+
+@register(
+    "a23_nested_schema_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders GROUP BY 1
+    """,
+    survey="A1,C1,I9",
+)
+def a23_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: orders land as a struct-typed parquet
+    (``info: {priority, status, price}``) and the query touches only two
+    leaves — the scan must read exactly ``info.priority`` and
+    ``info.price``, not the whole struct (Catalyst's
+    nestedSchemaPruning, plan-asserted in tests/test_plans.py).  At
+    100 TB nested payloads (request blobs, feature bundles) dominate row
+    width; without leaf-level pruning every struct query pays full-width
+    I/O.  The aggregate value-checks against the flat source of truth,
+    proving the nested roundtrip is lossless."""
+    from cassandra_snap_to_hadoop_spark.queries._util import qsum
+
+    nest_dir = _staged("a23_nested", sf_dir, "orders")
+    if not (nest_dir / "_SUCCESS").exists():
+        o = Tables(spark, sf_dir).orders
+        o.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("info"),
+        ).write.mode("overwrite").parquet(str(nest_dir))
+    back = spark.read.parquet(str(nest_dir))
+    return back.groupBy(F.col("info.priority").alias("priority")).agg(
+        F.count("*").alias("n"), qsum(F.col("info.price")).alias("total_price")
+    )

@@ -474,3 +474,15 @@ def test_a20_binaryfile_scan_prunes_content_for_metadata_query(spark, sf_dir):
     )
     cols = scan_columns(meta_only)
     assert not any("content" in c for c in cols), cols
+
+
+def test_a23_scan_reads_only_touched_struct_leaves(spark, sf_dir):
+    """Nested-schema pruning: the a23 scan's ReadSchema must contain the
+    touched leaves (priority, price) and NOT the untouched one (status)."""
+    df = REGISTRY["a23_nested_schema_pruning"].fn(spark, sf_dir)
+    p = plan_string(df)
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read, p
+    schema_line = read[0]
+    assert "priority" in schema_line and "price" in schema_line, schema_line
+    assert "status" not in schema_line, schema_line
