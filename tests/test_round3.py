@@ -254,6 +254,7 @@ def test_staged_queries_are_rerun_stable(spark):
         "a19_csv_multiline",
         "a20_binaryfile_ingest",
         "a21_dynamic_partition_overwrite",
+        "a23_nested_schema_pruning",
     ):
         first = sorted(map(tuple, R[name].fn(spark, SF).collect()))
         second = sorted(map(tuple, R[name].fn(spark, SF).collect()))
