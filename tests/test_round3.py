@@ -259,3 +259,20 @@ def test_staged_queries_are_rerun_stable(spark):
         first = sorted(map(tuple, R[name].fn(spark, SF).collect()))
         second = sorted(map(tuple, R[name].fn(spark, SF).collect()))
         assert first == second, name
+
+
+def test_e20_pareto_head_is_a_prefix(spark):
+    """The 80%-coverage head must be downward-closed: sorted by
+    (bytes desc, source), in_head is a contiguous prefix, cum_share is
+    non-decreasing, and the head's last cum_share crosses 0.8."""
+    R = load_all()
+    rows = R["e20_pareto_cut"].fn(spark, SF).collect()
+    rows.sort(key=lambda r: (-r.bytes, r.source))
+    flags = [r.in_head for r in rows]
+    assert flags == sorted(flags, reverse=True), flags  # prefix of 1s
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+    head = [r for r in rows if r.in_head]
+    assert head and head[-1].cum_share >= 0.8
+    if len(head) < len(rows):
+        assert head[-1].cum_share - head[-1].share < 0.8
