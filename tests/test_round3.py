@@ -276,3 +276,55 @@ def test_e20_pareto_head_is_a_prefix(spark):
     assert head and head[-1].cum_share >= 0.8
     if len(head) < len(rows):
         assert head[-1].cum_share - head[-1].share < 0.8
+
+
+def test_k13_left_outer_edge_semantics(spark):
+    """One row per (click, matching purchase); a no-purchase click emits
+    EXACTLY one null row; purchases outside the 30-minute window do not
+    match; a purchase at exactly +30:00 does (inclusive bound)."""
+    from pyspark.sql import functions as F
+
+    ddl = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "purchase", 0.0, "{}"),   # match
+        (3, "2024-01-01 10:30:00", 1, "purchase", 0.0, "{}"),   # match at bound
+        (4, "2024-01-01 10:30:01", 1, "purchase", 0.0, "{}"),   # outside
+        (5, "2024-01-01 09:59:59", 1, "purchase", 0.0, "{}"),   # before click
+        (6, "2024-01-01 12:00:00", 2, "click", 0.0, "{}"),      # unconverted
+    ]
+    df = spark.createDataFrame(rows, ddl).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.createOrReplaceTempView("__k13_edge")
+
+    from cassandra_snap_to_hadoop_spark.queries.round3 import k13_stream_stream_left_join
+    import cassandra_snap_to_hadoop_spark.queries.round3 as r3
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    orig = Tables.__dict__.get("events")
+    try:
+        Tables.events = property(lambda self: spark.table("__k13_edge"))
+        out = {(r.click_id, r.purchase_id) for r in k13_stream_stream_left_join(spark, "unused").collect()}
+    finally:
+        Tables.events = orig
+    assert out == {(1, 2), (1, 3), (6, None)}
+
+
+def test_j49_nfc_is_idempotent_on_corpus(spark):
+    """NFC is a projection: normalizing twice must equal normalizing once
+    on the real (injected-decomposition) corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    d = Tables(spark, SF).documents
+    dec = F.when(F.col("doc_id") % 5 == 0, F.regexp_replace("text", "e", "é")).otherwise(
+        F.col("text")
+    )
+    t = d.select(dec.alias("dec")).withColumn("one", nfc(F.col("dec")))
+    n_diff = t.withColumn("two", nfc(F.col("one"))).filter(F.col("one") != F.col("two")).count()
+    assert n_diff == 0
