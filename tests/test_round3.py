@@ -6,6 +6,8 @@ optimality.  Oracle value-parity itself is covered by the registry gate.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from cassandra_snap_to_hadoop_spark.io import Tables
@@ -312,7 +314,6 @@ def test_k13_left_outer_edge_semantics(spark):
 def test_j49_nfc_is_idempotent_on_corpus(spark):
     """NFC is a projection: normalizing twice must equal normalizing once
     on the real (injected-decomposition) corpus."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("string")
