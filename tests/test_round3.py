@@ -329,3 +329,58 @@ def test_j49_nfc_is_idempotent_on_corpus(spark):
     t = d.select(dec.alias("dec")).withColumn("one", nfc(F.col("dec")))
     n_diff = t.withColumn("two", nfc(F.col("one"))).filter(F.col("one") != F.col("two")).count()
     assert n_diff == 0
+
+
+def test_e19_bitmaps_merge_across_segments(spark):
+    """The mergeability claim, demonstrated: per-DAY bucket bitmaps
+    OR-merge to the month-level exact distinct without rescanning rows."""
+    from pyspark.sql import functions as F
+
+    e = Tables(spark, SF).events
+    per_day = (
+        e.select(
+            F.dayofmonth("ts").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("b"),
+            F.bitmap_bit_position("user_id").alias("p"),
+        )
+        .groupBy("day", "b")
+        .agg(F.bitmap_construct_agg("p").alias("bm"))
+    )
+    merged = (
+        per_day.groupBy("b")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = e.select(F.countDistinct("user_id")).collect()[0][0]
+    assert merged == exact
+
+
+def test_a22_retention_semantics_mini_frame(spark):
+    """Retention accounting on a hand-checkable manifest: a file frees
+    only when no retained tag references it, and retained tags always
+    report zero reclaimable."""
+    from pyspark.sql import functions as F
+
+    # files: 1 (only tag1), 2 (tag1+tag2), 3 (all), 4 (only tag3)
+    rows = [
+        ("tag1", 1, 100), ("tag1", 2, 10), ("tag1", 3, 1),
+        ("tag2", 2, 10), ("tag2", 3, 1),
+        ("tag3", 3, 1), ("tag3", 4, 1000),
+    ]
+    tags = spark.createDataFrame(rows, "tag string, file_id long, bytes long")
+    kept = (
+        tags.filter(F.col("tag").isin("tag2", "tag3"))
+        .select("file_id").distinct().withColumn("retained", F.lit(1))
+    )
+    out = (
+        tags.join(kept, "file_id", "left")
+        .groupBy("tag")
+        .agg(
+            F.sum("bytes").alias("tag_bytes"),
+            F.sum(F.when(F.col("retained").isNull(), F.col("bytes")).otherwise(F.lit(0))).alias("reclaim"),
+        )
+    )
+    got = {r.tag: (r.tag_bytes, r.reclaim) for r in out.collect()}
+    # only file 1 (100 bytes) frees; every retained tag reclaims 0
+    assert got == {"tag1": (111, 100), "tag2": (11, 0), "tag3": (1001, 0)}
