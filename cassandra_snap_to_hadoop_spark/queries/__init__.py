@@ -50,6 +50,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     llm,
     approx_sketch,  # rows-only twins of e3/e6 — last by design
     round3,  # round-3 additions (A17, J40, D16, I14) — rotate in round 4
+    round3b,  # round-3 continuation (J50/J51 IR tier, E21/E22) — rotate in round 4
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -189,6 +190,9 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j49_unicode_nfc_normalize",
     "a22_snapshot_retention",
     "a23_nested_schema_pruning",
+    "j50_inverted_index",
+    "j51_bm25_scores",
+    "e22_cohort_retention",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -198,6 +202,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j20_compression_ratio",
     "e4_approx_count_distinct",
     "e6_percentile_approx",
+    "e21_cms_heavy_hitters",
 )
 
 

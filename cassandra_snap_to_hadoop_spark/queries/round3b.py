@@ -1,0 +1,313 @@
+"""Round-3 continuation batch: IR / analytics depth over the corpus and
+event tables —
+
+  * j50 inverted index construction (term -> posting-list digest),
+  * j51 BM25 relevance scoring (corpus-statistic ranking, micro-nat exact),
+  * e22 daily cohort retention (exact-integer day arithmetic),
+  * e21 count-min-sketch heavy hitters (rows: mergeable sketch + reader).
+
+Registered behind the round-3 certification window (``_ROUND3_TAIL`` in
+queries/__init__.py): value-checked by the local oracle mirror this round,
+rotated into the driver window in round 4.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
+from cassandra_snap_to_hadoop_spark.operators.sketch import CountMinSketch
+from cassandra_snap_to_hadoop_spark.operators.text import tokens
+from cassandra_snap_to_hadoop_spark.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Same stopword list as j6_word_counts — corpus-stat queries share it so
+# "top informative terms" means the same thing across the IR tier.
+_STOP = ("the", "a", "an", "of", "and", "to", "in", "is", "")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOP)
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, term, tf) — the shared base relation of the IR tier: one
+    corpus scan, tokenize in codegen, one hash aggregate."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    tok = d.select(
+        F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    return tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+
+
+@register(
+    "j50_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ), tfc AS (
+        SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           md5(string_agg(doc || ':' || tf, ',' ORDER BY doc)) AS postings_md5
+    FROM tfc GROUP BY term HAVING COUNT(*) >= 10
+    """,
+    survey="J50,J5,J6",
+)
+def j50_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the IR backbone behind contamination
+    search, quotation mining, and corpus exploration: every term above a
+    document-frequency floor maps to its full posting list (doc:tf pairs,
+    doc-ordered).  The list itself is value-checked via an md5 digest of
+    the canonical serialization so the driver compares scalar columns
+    while the test still pins every posting byte.
+
+    Scale shape: tokenize is a pure codegen map; the index build is TWO
+    hash aggregates — (doc, term) -> tf, then term -> postings — both with
+    map-side partial combine, no joins, no windows.  Posting lists are
+    per-term (bounded by df), never corpus-sized in one buffer; at 100 TB
+    the df floor is exactly the guard that keeps head-term lists the only
+    large buffers, and those are the terms a real index would block-
+    compress or elide as stopwords anyway."""
+    postings = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("doc").alias("doc"),
+                F.concat_ws(":", F.col("doc"), F.col("tf")).alias("p"),
+            )
+        )
+    )
+    return (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_total"),
+            F.md5(F.array_join(F.transform(postings, lambda x: x["p"]), ",")).alias(
+                "postings_md5"
+            ),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+@register(
+    "j51_bm25_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ), tfc AS (
+        SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS n_tokens
+        FROM dl
+    ), topterms AS (
+        SELECT term FROM tfc
+        WHERE term NOT IN ({_STOP_SQL})
+        GROUP BY term ORDER BY SUM(tf) DESC, term LIMIT 3
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tfc JOIN topterms USING (term) GROUP BY 1
+    ), scored AS (
+        SELECT tfc.doc, tfc.term,
+               CAST(FLOOR(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * ((tf * 2.2)
+                      / (tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs))))
+                   * 1000000) AS BIGINT) AS unats
+        FROM tfc
+        JOIN dfq ON tfc.term = dfq.term
+        JOIN dl ON tfc.doc = dl.doc
+        CROSS JOIN stats
+        WHERE tfc.doc < 100
+    )
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+           CAST(SUM(unats) AS BIGINT) AS bm25_unats
+    FROM scored GROUP BY doc
+    """,
+    survey="J51,J7",
+)
+def j51_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson–Spärck Jones, k1=1.2 b=0.75) —
+    the quality-retrieval primitive data-curation pipelines use to pull
+    "looks like the target domain" documents out of a crawl.  The query
+    is self-contained: its terms are the corpus's 3 highest-total-tf
+    non-stopword terms (exact-integer selection, deterministic tiebreak),
+    so both engines derive the identical query before scoring.
+
+    Float discipline: per-(doc, term) contributions are floor-quantized
+    to integer micro-nats and only the INTEGERS are summed — addition
+    order can't perturb the result (the j23/j41 rule).  Both engines
+    evaluate the same literal expression tree left-to-right over the same
+    exact integers (tf, df, dl, N, total); only a 1-ulp libm ln()
+    straddling a floor boundary could flip a digit.
+
+    Scale shape: one corpus scan feeds the shared (doc, term, tf) hash
+    agg; doc length and corpus stats are two more hash aggs over it; the
+    query-term relation is 3 rows broadcast into the tf stream, so the
+    scoring join touches only matching postings.  The output doc filter
+    prunes the per-doc join inputs but corpus statistics (df, avgdl, N)
+    stay corpus-wide — restricting stats to the output subset is the
+    classic BM25 implementation bug."""
+    tfc = _tf(spark, sf_dir)
+    dl = tfc.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+    )
+    topterms = (
+        tfc.filter(~F.col("term").isin(list(_STOP)))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("qtf"))
+        .orderBy(F.col("qtf").desc(), "term")
+        .limit(3)
+        .select("term")
+    )
+    tfq = tfc.join(F.broadcast(topterms), "term")
+    dfq = tfq.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    unats = F.floor(
+        F.ln((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * (
+            (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        tfq.filter(F.col("doc") < 100)
+        .join(F.broadcast(dfq), "term")
+        .join(dl.filter(F.col("doc") < 100), "doc")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", unats.alias("unats"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_query_terms"),
+            F.sum("unats").cast("long").alias("bm25_unats"),
+        )
+    )
+
+
+@register(
+    "e22_cohort_retention",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day_idx
+        FROM events
+    ), firstd AS (
+        SELECT user_id, MIN(day_idx) AS cohort_day FROM ev GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT e.user_id, f.cohort_day, e.day_idx - f.cohort_day AS day_offset
+        FROM ev e JOIN firstd f USING (user_id)
+    ), cohort_sz AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firstd GROUP BY 1
+    )
+    SELECT a.cohort_day, a.day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           cs.cohort_size
+    FROM active a JOIN cohort_sz cs USING (cohort_day)
+    GROUP BY a.cohort_day, a.day_offset, cs.cohort_size
+    """,
+    survey="E22,E2,F1",
+)
+def e22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix — the canonical product-analytics
+    rollup: users grouped by first-seen day, then for each (cohort,
+    days-since-first) cell the count of distinct users still active.
+    Every derived value is exact integer arithmetic: day indexes are
+    floor day-diffs from a fixed anchor date (no engine-specific week
+    semantics), offsets are integer subtraction, and the cell values are
+    distinct counts — nothing floats, nothing can drift.
+
+    Scale shape: first-seen is one hash agg on user_id; activity cells
+    need one fact⋈dim join on user_id (the dimension is the per-user
+    aggregate — AQE picks broadcast vs shuffle by its measured size, no
+    hint since user cardinality scales with data) followed by a distinct
+    on (user, cohort, offset) that partial-aggregates map-side.  The
+    cohort-size dimension is bounded by calendar days — genuinely fixed
+    cardinality, so it IS broadcast-hinted.  The invariant n_active(c, 0)
+    == cohort_size(c) (everyone is active on their own first day) is
+    asserted in tests."""
+    anchor = datetime.date(2024, 1, 1)
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(anchor)).cast("long").alias("day_idx"),
+    )
+    firstd = ev.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    active = (
+        ev.join(firstd, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day_idx") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    cohort_sz = firstd.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(cohort_sz), "cohort_day")
+        .select("cohort_day", "day_offset", "n_active", "cohort_size")
+    )
+
+
+@register("e21_cms_heavy_hitters", survey="E21,E4")
+def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the
+    sketch is seed-hash-dependent, no SQL oracle) — the streaming/
+    segment-rollup answer to "top users by event volume" when exact
+    per-key counts can't be kept: each partition folds into a fixed
+    (depth × width) counter table, partials merge by element-wise
+    addition, and ANY coarser grain (per-type -> global, per-day ->
+    per-month) is the same sum — the e12-HLL / e19-bitmap economics with
+    frequencies instead of cardinalities.
+
+    Spark ships the aggregate (``F.count_min_sketch``) but no reader;
+    operators/sketch.py parses the public serialization and replicates
+    the long-item hash, verified against exact counts in tests.  The
+    returned frame pairs the exact top-10 users with their sketch
+    estimates: ``cms_est >= exact_n`` always (one-sided error), and
+    ``cms_est - exact_n <= eps·total`` at the configured confidence.
+
+    Scale shape: ONE pass, one 112 KB buffer per partition (depth 7 ×
+    width 2000 longs at eps=1e-3, conf=0.99); the exact top-10 companion
+    is a hash agg + TakeOrderedAndProject.  The driver-side parse reads a
+    single collected row — the sketch, not the data."""
+    ev = fan_out(Tables(spark, sf_dir).events)
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    row = ev.agg(
+        F.count_min_sketch("user_id", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "cms"
+        )
+    ).collect()[0]
+    sk = CountMinSketch.parse(bytes(row.cms))
+    out = [
+        (r.user_id, r.exact_n, sk.estimate_long(r.user_id), sk.total_count)
+        for r in exact_top
+    ]
+    return spark.createDataFrame(
+        out, "user_id long, exact_n long, cms_est long, total_events long"
+    )

