@@ -40,6 +40,9 @@ HEADLINE = [
     # round-3 representatives: profiling agg + rolling-window analytics
     "e18_width_bucket_histogram",
     "f14_rolling_zscore",
+    # round-3 continuation: IR tier + event-analytics join/distinct shape
+    "j50_inverted_index",
+    "e22_cohort_retention",
 ]
 
 N_RUNS = 3

@@ -4,7 +4,8 @@ event tables —
   * j50 inverted index construction (term -> posting-list digest),
   * j51 BM25 relevance scoring (corpus-statistic ranking, micro-nat exact),
   * e22 daily cohort retention (exact-integer day arithmetic),
-  * e21 count-min-sketch heavy hitters (rows: mergeable sketch + reader).
+  * e21 count-min-sketch heavy hitters (rows: mergeable sketch + reader),
+  * f16 interval union length (sweep-line as shared-exchange windows).
 
 Registered behind the round-3 certification window (``_ROUND3_TAIL`` in
 queries/__init__.py): value-checked by the local oracle mirror this round,
@@ -17,6 +18,7 @@ import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators.sketch import CountMinSketch
@@ -266,6 +268,96 @@ def e22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cohort_sz), "cohort_day")
         .select("cohort_day", "day_offset", "n_active", "cohort_size")
     )
+
+
+@register(
+    "f16_interval_union",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS cust, o_orderkey AS k,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS lo,
+               CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                    + 1 + o_orderkey % 20 AS BIGINT) AS hi
+        FROM orders
+    ), flagged AS (
+        SELECT cust, k, lo, hi,
+               CASE WHEN max(hi) OVER (
+                        PARTITION BY cust ORDER BY lo, hi, k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR lo > max(hi) OVER (
+                        PARTITION BY cust ORDER BY lo, hi, k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM iv
+    ), grouped AS (
+        SELECT cust, lo, hi,
+               SUM(new_grp) OVER (
+                   PARTITION BY cust ORDER BY lo, hi, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged
+    ), blocks AS (
+        SELECT cust, grp, MIN(lo) AS blo, MAX(hi) AS bhi,
+               CAST(COUNT(*) AS BIGINT) AS n_iv
+        FROM grouped GROUP BY 1, 2
+    )
+    SELECT cust AS o_custkey,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(bhi - blo + 1) AS BIGINT) AS covered_days
+    FROM blocks GROUP BY 1
+    """,
+    survey="F16,F5,D16",
+)
+def f16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length (sweep-line as windows) — merge each
+    customer's overlapping activity intervals into maximal blocks and
+    total the covered days.  The classic stack-based sweep becomes two
+    window passes: running max(end) over earlier intervals detects gaps
+    (a new block starts exactly when ``lo`` clears every previous end),
+    and a running sum of the gap flags numbers the blocks.  The d16
+    sibling JOINS intervals; this one COALESCES them — calendar
+    coverage, SLA uptime, and dedup-by-time-range all reduce to it.
+    Closed-interval convention: touching ranges ([1,5],[5,9]) merge;
+    interval spans are synthesized from order keys (1 + k % 20 days) so
+    both engines derive identical integer endpoints.
+
+    Scale shape: ONE exchange on o_custkey serves everything — both
+    window functions share the (cust | lo, hi, k) sort, and the two
+    downstream aggregations group by (cust, grp) then (cust), each a
+    superset-clustered key over the existing hash(cust) partitioning, so
+    EnsureRequirements inserts no further shuffle (the f14 shared-
+    exchange rule).  Per-partition state is one running max — no
+    interval list ever materializes, which is what kills the stack
+    formulation at 100 TB."""
+    anchor = datetime.date(1992, 1, 1)
+    o = Tables(spark, sf_dir).orders
+    lo = F.datediff(F.to_date("o_orderdate"), F.lit(anchor)).cast("long")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        lo.alias("lo"),
+        (lo + 1 + F.col("o_orderkey") % 20).cast("long").alias("hi"),
+    )
+    w = Window.partitionBy("cust").orderBy("lo", "hi", "k")
+    prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_grp",
+        F.when(prev_max.isNull() | (F.col("lo") > prev_max), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("new_grp").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    blocks = grouped.groupBy("cust", "grp").agg(
+        F.min("lo").alias("blo"),
+        F.max("hi").alias("bhi"),
+        F.count("*").cast("long").alias("n_iv"),
+    )
+    return blocks.groupBy("cust").agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("bhi") - F.col("blo") + 1).cast("long").alias("covered_days"),
+    ).withColumnRenamed("cust", "o_custkey")
 
 
 @register("e21_cms_heavy_hitters", survey="E21,E4")

@@ -121,6 +121,50 @@ def test_inverted_index_postings_digest_matches_python(spark, sf_dir):
     assert sum(r.tf for r in tf) == first.tf_total
 
 
+def test_interval_union_matches_python_sweep(spark, sf_dir):
+    """f16's window formulation equals a plain-Python stack sweep on the
+    same synthesized intervals, customer by customer."""
+    import datetime
+
+    out = {
+        r.o_custkey: (r.n_intervals, r.n_blocks, r.covered_days)
+        for r in REGISTRY["f16_interval_union"].fn(spark, sf_dir).collect()
+    }
+    anchor = datetime.date(1992, 1, 1)
+    rows = (
+        Tables(spark, sf_dir)
+        .orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    )
+    by_cust: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        od = r.o_orderdate
+        if isinstance(od, datetime.datetime):
+            od = od.date()
+        lo = (od - anchor).days
+        by_cust.setdefault(r.o_custkey, []).append((lo, lo + 1 + r.o_orderkey % 20))
+    assert set(out) == set(by_cust)
+    for cust, ivs in by_cust.items():
+        ivs.sort()
+        blocks = []
+        for lo, hi in ivs:
+            if blocks and lo <= blocks[-1][1]:
+                blocks[-1][1] = max(blocks[-1][1], hi)
+            else:
+                blocks.append([lo, hi])
+        covered = sum(hi - lo + 1 for lo, hi in blocks)
+        assert out[cust] == (len(ivs), len(blocks), covered), cust
+
+
+def test_interval_union_single_exchange(spark, sf_dir):
+    """The whole sweep — both windows and both aggregations — reuses ONE
+    hash(cust) exchange (the shared-exchange rule the docstring claims)."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import count_shuffles
+
+    df = REGISTRY["f16_interval_union"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the

@@ -39,6 +39,8 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j29_line_dedup": 1.06,
     "e18_width_bucket_histogram": 0.56,
     "f14_rolling_zscore": 0.47,
+    "j50_inverted_index": 1.07,
+    "e22_cohort_retention": 0.57,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
