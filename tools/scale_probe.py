@@ -107,8 +107,88 @@ def main() -> None:
         df.write.mode("overwrite").parquet(out)
         return spark.read.parquet(out)
 
+    # Round-3 continuation shapes: inverted index (two hash aggs with
+    # per-term posting buffers that legitimately grow with df), interval
+    # union (one-exchange window sweep), cohort retention (agg + join +
+    # distinct).  Amplified replicas keep term/user/customer distributions
+    # realistic: j50's posting lists grow ~Nx (honest — df floors scale
+    # with corpus size), f16/e22 grow in key cardinality.
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens as _tokens
+
+    def inverted_index_shape(d):
+        tok = d.select(
+            F.col("doc_id").alias("doc"), F.explode(_tokens(F.col("text"))).alias("term")
+        ).filter(F.col("term") != "")
+        tfc = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+        postings = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("doc").alias("doc"),
+                    F.concat_ws(":", F.col("doc"), F.col("tf")).alias("p"),
+                )
+            )
+        )
+        return (
+            tfc.groupBy("term")
+            .agg(
+                F.count("*").alias("df"),
+                F.md5(F.array_join(F.transform(postings, lambda x: x["p"]), ",")).alias("pm"),
+            )
+            .filter(F.col("df") >= 10)
+        )
+
+    def interval_union_shape(o):
+        from pyspark.sql.window import Window
+
+        lo = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).cast("long")
+        iv = o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("k"),
+            lo.alias("lo"),
+            (lo + 1 + F.col("o_orderkey") % 20).cast("long").alias("hi"),
+        )
+        w = Window.partitionBy("cust").orderBy("lo", "hi", "k")
+        prev_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        grouped = iv.withColumn(
+            "grp",
+            F.sum(
+                F.when(prev_max.isNull() | (F.col("lo") > prev_max), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return (
+            grouped.groupBy("cust", "grp")
+            .agg(F.min("lo").alias("blo"), F.max("hi").alias("bhi"), F.count("*").alias("n"))
+            .groupBy("cust")
+            .agg(F.sum(F.col("bhi") - F.col("blo") + 1).alias("covered"))
+        )
+
+    def cohort_shape(e):
+        ev = e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
+        )
+        firstd = ev.groupBy("user_id").agg(F.min("d").alias("c"))
+        return (
+            ev.join(firstd, "user_id")
+            .select("user_id", "c", (F.col("d") - F.col("c")).alias("off"))
+            .distinct()
+            .groupBy("c", "off")
+            .agg(F.count("*").alias("n"))
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        (
+            "inverted-index",
+            lambda: inverted_index_shape(d1),
+            lambda: inverted_index_shape(dN),
+        ),
+        (
+            "interval-union",
+            lambda: interval_union_shape(o1),
+            lambda: interval_union_shape(oN),
+        ),
+        ("cohort-retention", lambda: cohort_shape(e1), lambda: cohort_shape(eN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
         (
