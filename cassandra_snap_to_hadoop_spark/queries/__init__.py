@@ -194,6 +194,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j51_bm25_scores",
     "e22_cohort_retention",
     "f16_interval_union",
+    "j52_pmi_collocations",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -360,6 +360,90 @@ def f16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("cust", "o_custkey")
 
 
+@register(
+    "j52_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest(string_split({_NORM}, ' ')) AS term
+        FROM documents
+    ), dt AS (
+        SELECT DISTINCT doc, term FROM toks
+        WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    ), dfc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+    ), vocab AS (
+        SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 100
+    ), dv AS (
+        SELECT dt.doc, dt.term FROM dt JOIN vocab USING (term)
+    ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    ), pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(COUNT(*) AS BIGINT) AS df_ab
+        FROM dv a JOIN dv b ON a.doc = b.doc AND a.term < b.term
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, df_ab,
+           CAST(FLOOR(ln(n_docs * df_ab / (1.0 * va.df * vb.df)) * 1000000)
+                AS BIGINT) AS pmi_unats
+    FROM pairs
+    JOIN vocab va ON term_a = va.term
+    JOIN vocab vb ON term_b = vb.term
+    CROSS JOIN nd
+    WHERE df_ab >= 5
+    """,
+    survey="J52,J6,D8",
+)
+def j52_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — pointwise mutual information over
+    document-level co-occurrence, the phrase/topic-discovery primitive
+    behind vocabulary curation and domain labeling: ``pmi(a,b) =
+    ln(N·df_ab / (df_a·df_b))``, floor-quantized to integer micro-nats
+    over exact integer counts (the j23/j41/j51 float rule).
+
+    Scale shape: the naive all-pairs co-occurrence is quadratic in
+    per-doc vocabulary — banned.  Blocked instead by a fixed top-100
+    vocabulary (exact-integer df ranking, deterministic tiebreak,
+    broadcast): the pair join is EQUI on doc with both sides pre-filtered
+    to vocab terms, so candidate volume is bounded by |docs| × C(100,2)
+    worst-case and in practice by per-doc vocab hits — linear in corpus
+    size with a constant pair budget, the same economics as j4's
+    label-blocked cosine.  df floors (pair >= 5) keep the output head
+    terms only.  A 100 TB run raises the vocab cap, not the shape."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    tok = d.select(
+        F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(list(_STOP)))
+    dt = tok.distinct()
+    dfc = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vocab = dfc.orderBy(F.col("df").desc(), "term").limit(100)
+    dv = dt.join(F.broadcast(vocab.select("term")), "term").select("doc", "term")
+    nd = Tables(spark, sf_dir).documents.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    a = dv.select(F.col("doc"), F.col("term").alias("term_a"))
+    b = dv.select(F.col("doc"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("df_ab"))
+        .filter(F.col("df_ab") >= 5)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = F.floor(
+        F.ln(F.col("n_docs") * F.col("df_ab") / (1.0 * F.col("df_a") * F.col("df_b")))
+        * 1000000
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select("term_a", "term_b", "df_ab", pmi.alias("pmi_unats"))
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

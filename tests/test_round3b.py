@@ -165,6 +165,27 @@ def test_interval_union_single_exchange(spark, sf_dir):
     assert count_shuffles(df) == 1, df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_pmi_pairs_respect_cooccurrence_bounds(spark, sf_dir):
+    """Integer invariants of PMI mining: canonical pair order, the df_ab
+    floor, and df_ab <= min(df_a, df_b) (a pair can't co-occur more often
+    than either member occurs) — recomputed from the raw corpus."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    out = REGISTRY["j52_pmi_collocations"].fn(spark, sf_dir).collect()
+    assert out, "no collocations found"
+    d = Tables(spark, sf_dir).documents
+    dt = (
+        d.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    df_map = {r.t: r.n for r in dt.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    for r in out:
+        assert r.term_a < r.term_b
+        assert r.df_ab >= 5
+        assert r.df_ab <= min(df_map[r.term_a], df_map[r.term_b])
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
