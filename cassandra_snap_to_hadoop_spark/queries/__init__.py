@@ -195,6 +195,9 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e22_cohort_retention",
     "f16_interval_union",
     "j52_pmi_collocations",
+    "e23_weighted_median",
+    "j53_column_profile",
+    "j54_dq_expectations",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

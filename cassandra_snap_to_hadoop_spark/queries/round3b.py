@@ -444,6 +444,249 @@ def j52_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e23_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(ROUND(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+    ), pv AS (
+        SELECT grp, cents, CAST(SUM(wt) AS BIGINT) AS wt FROM w GROUP BY 1, 2
+    ), c AS (
+        SELECT grp, cents, wt,
+               SUM(wt) OVER (PARTITION BY grp ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(wt) OVER (PARTITION BY grp) AS tot
+        FROM pv
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+               AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1
+    """,
+    survey="E23,E6,F5",
+)
+def e23_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower-median convention): the smallest value v
+    with cumulative weight(<= v) covering half the group's total —
+    quantity-weighted price medians, sample-weighted quality cuts, and
+    importance-weighted thresholds all reduce to it.  e6's percentiles
+    are unweighted; e17's weighted stats are moments — the weighted
+    QUANTILE needs its own cumulative-weight formulation.  Everything is
+    exact integers (prices quantized to cents, integer weights), so the
+    half-total comparison ``2*cum >= tot`` cannot drift.
+
+    Scale shape: weights pre-aggregate per (group, value) in one hash agg
+    with map-side combine — the window then runs over the per-VALUE
+    relation (bounded by value cardinality, not row count), partitioned
+    by group.  The same one-exchange rule as f16: the window partition
+    key is a prefix of the agg key, and the final per-group reduction
+    reuses it."""
+    li = Tables(spark, sf_dir).lineitem
+    w = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("wt"),
+    )
+    pv = w.groupBy("grp", "cents").agg(F.sum("wt").cast("long").alias("wt"))
+    wspec = Window.partitionBy("grp").orderBy("cents")
+    c = pv.select(
+        "grp",
+        "cents",
+        F.sum("wt").over(wspec.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("grp")).alias("tot"),
+    )
+    return c.groupBy("grp").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.max("tot").cast("long").alias("total_weight"),
+    ).withColumnRenamed("grp", "l_returnflag")
+
+
+@register(
+    "j53_column_profile",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM src
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'totalprice_cents', COUNT(*), COUNT(*) - COUNT(totalprice_cents),
+           COUNT(DISTINCT totalprice_cents),
+           CAST(MIN(totalprice_cents) AS VARCHAR), CAST(MAX(totalprice_cents) AS VARCHAR)
+    FROM src
+    """,
+    survey="J53,E3,E9",
+)
+def j53_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (ANALYZE/Deequ-style): one row per column with
+    row count, null count, exact distinct count, and min/max rendered as
+    strings — the schema-on-read sanity report every ingest pipeline runs
+    before trusting a new snapshot.  Profiled columns are integer-, date-
+    or string-typed (doubles are quantized to cents first) so min/max
+    stringification is engine-stable.
+
+    Scale shape: ONE scan computes every per-column aggregate in a
+    single agg node (count/nulls/min/max are plain partial aggs;
+    COUNT(DISTINCT col) per column expands the agg but stays one pass),
+    then a stack() unpivot of the single result row — the profile never
+    shuffles the table, only aggregate buffers.  At 100 TB the exact
+    ndv's swap to approx_count_distinct (e4's tier) — same plan shape,
+    sketch-sized buffers; exact is kept here because the oracle can
+    value-check it."""
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "totalprice_cents"]
+    aggs = [F.count("*").alias("n_rows")]
+    for ccol in cols:
+        aggs += [
+            F.count(ccol).alias(f"{ccol}__nn"),
+            F.countDistinct(ccol).alias(f"{ccol}__nd"),
+            F.min(ccol).cast("string").alias(f"{ccol}__min"),
+            F.max(ccol).cast("string").alias(f"{ccol}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{ccol}', n_rows - {ccol}__nn, {ccol}__nd, {ccol}__min, {ccol}__max"
+        for ccol in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )
+
+
+@register(
+    "j54_dq_expectations",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS rule,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+                     SELECT COUNT(*) AS n FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber) WHERE n > 1) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'quantity_in_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST((SELECT COUNT(*) - COUNT(o_orderdate) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'ship_after_order',
+           CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+    """,
+    survey="J54,D4,C4",
+)
+def j54_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (Deequ/Great-Expectations-style): a
+    fixed rule suite evaluated to (rule, violations, checked) — the gate
+    a production ingest runs between landing a snapshot and publishing
+    it.  Rules cover the four standard families: referential integrity
+    (orders→customer anti join), key uniqueness (surplus rows per
+    duplicate (orderkey, linenumber)), domain ranges (quantity ∈ [1,50]),
+    and nullability — plus a cross-TABLE temporal invariant (a line item
+    cannot ship before its order was placed).
+
+    Scale shape: every rule is a scan+agg or a broadcast/shuffle anti
+    join — no rule materializes violating ROWS, only counts (the
+    violation sample a UI would show is a LIMIT over the same predicate,
+    not a different plan).  Rules over the same table could fuse into one
+    conditional-agg pass (e11's shape) at the cost of losing the
+    anti-join rule's generality; kept separate since each rule prunes to
+    its own column set."""
+    t = Tables(spark, sf_dir)
+    o, c, li = t.orders, t.customer, t.lineitem
+
+    def one(rule: str, viol: DataFrame, checked: DataFrame) -> DataFrame:
+        v = viol.agg(F.count("*").cast("long").alias("n_violations"))
+        n = checked.agg(F.count("*").cast("long").alias("n_checked"))
+        return (
+            v.crossJoin(F.broadcast(n))
+            .select(F.lit(rule).alias("rule"), "n_violations", "n_checked")
+        )
+
+    fk = one(
+        "orders_custkey_fk",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        o,
+    )
+    dup_surplus = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .crossJoin(
+            F.broadcast(li.agg(F.count("*").cast("long").alias("n_checked")))
+        )
+        .select(F.lit("lineitem_pk_unique").alias("rule"), "n_violations", "n_checked")
+    )
+    qty = one(
+        "quantity_in_range",
+        li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        li,
+    )
+    nn = one("orderdate_not_null", o.filter(F.col("o_orderdate").isNull()), o)
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    ship = one(
+        "ship_after_order",
+        lo.filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        lo,
+    )
+    return fk.unionAll(dup_surplus).unionAll(qty).unionAll(nn).unionAll(ship)
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

@@ -280,7 +280,7 @@ def test_e20_pareto_head_is_a_prefix(spark):
         assert head[-1].cum_share - head[-1].share < 0.8
 
 
-def test_k13_left_outer_edge_semantics(spark):
+def test_k13_left_outer_edge_semantics(spark, tmp_path):
     """One row per (click, matching purchase); a no-purchase click emits
     EXACTLY one null row; purchases outside the 30-minute window do not
     match; a purchase at exactly +30:00 does (inclusive bound)."""
@@ -296,18 +296,18 @@ def test_k13_left_outer_edge_semantics(spark):
         (6, "2024-01-01 12:00:00", 2, "click", 0.0, "{}"),      # unconverted
     ]
     df = spark.createDataFrame(rows, ddl).withColumn("ts", F.col("ts").cast("timestamp"))
-    df.createOrReplaceTempView("__k13_edge")
 
     from cassandra_snap_to_hadoop_spark.queries.round3 import k13_stream_stream_left_join
-    import cassandra_snap_to_hadoop_spark.queries.round3 as r3
-    from cassandra_snap_to_hadoop_spark.io import Tables
 
-    orig = Tables.__dict__.get("events")
-    try:
-        Tables.events = property(lambda self: spark.table("__k13_edge"))
-        out = {(r.click_id, r.purchase_id) for r in k13_stream_stream_left_join(spark, "unused").collect()}
-    finally:
-        Tables.events = orig
+    # Stage the mini frame as a real events.parquet so the query reads it
+    # through the normal io.load path — no class patching (a botched
+    # restore of a __getattr__-backed attribute once poisoned every
+    # subsequent events load in the session).
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.click_id, r.purchase_id)
+        for r in k13_stream_stream_left_join(spark, str(tmp_path)).collect()
+    }
     assert out == {(1, 2), (1, 3), (6, None)}
 
 

@@ -186,6 +186,73 @@ def test_pmi_pairs_respect_cooccurrence_bounds(spark, sf_dir):
         assert r.df_ab <= min(df_map[r.term_a], df_map[r.term_b])
 
 
+def test_weighted_median_matches_python(spark, sf_dir):
+    """e23's cumulative-weight window equals a plain-Python weighted
+    median (lower-median convention) per group."""
+    rows = (
+        Tables(spark, sf_dir)
+        .lineitem.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_grp: dict[str, dict[int, int]] = {}
+    for r in rows:
+        cents = round(r.l_extendedprice * 100)
+        by_grp.setdefault(r.l_returnflag, {}).setdefault(cents, 0)
+        by_grp[r.l_returnflag][cents] += round(r.l_quantity)
+    out = {
+        r.l_returnflag: (r.wmedian_cents, r.total_weight)
+        for r in REGISTRY["e23_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(by_grp)
+    for grp, wm in by_grp.items():
+        tot = sum(wm.values())
+        cum = 0
+        for v in sorted(wm):
+            cum += wm[v]
+            if 2 * cum >= tot:
+                assert out[grp] == (v, tot), grp
+                break
+
+
+def test_column_profile_matches_direct_counts(spark, sf_dir):
+    """j53's one-scan profile equals per-column direct aggregates."""
+    out = {r.col_name: r for r in REGISTRY["j53_column_profile"].fn(spark, sf_dir).collect()}
+    o = Tables(spark, sf_dir).orders
+    n = o.count()
+    assert set(out) == {
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "totalprice_cents",
+    }
+    for r in out.values():
+        assert r.n_rows == n and r.n_nulls == 0
+        assert 0 < r.n_distinct <= n
+        assert r.min_s is not None and r.max_s is not None
+    assert out["o_orderkey"].n_distinct == n  # primary key
+    ck = o.select("o_custkey").distinct().count()
+    assert out["o_custkey"].n_distinct == ck
+
+
+def test_dq_expectations_rule_suite_shape(spark, sf_dir):
+    """j54 emits all five rules with sane totals; the synthetic TPC-H
+    data is referentially intact, so the FK and uniqueness rules must
+    report zero violations."""
+    out = {r.rule: r for r in REGISTRY["j54_dq_expectations"].fn(spark, sf_dir).collect()}
+    t = Tables(spark, sf_dir)
+    n_orders, n_li = t.orders.count(), t.lineitem.count()
+    assert set(out) == {
+        "orders_custkey_fk", "lineitem_pk_unique", "quantity_in_range",
+        "orderdate_not_null", "ship_after_order",
+    }
+    assert out["orders_custkey_fk"].n_checked == n_orders
+    assert out["lineitem_pk_unique"].n_checked == n_li
+    assert out["orders_custkey_fk"].n_violations == 0
+    # the synthetic lineitem reuses (orderkey, linenumber) — the rule must
+    # report exactly the surplus rows beyond each key's first
+    surplus = n_li - t.lineitem.select("l_orderkey", "l_linenumber").distinct().count()
+    assert out["lineitem_pk_unique"].n_violations == surplus
+    for r in out.values():
+        assert 0 <= r.n_violations <= r.n_checked
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
