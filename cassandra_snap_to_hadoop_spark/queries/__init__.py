@@ -198,6 +198,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e23_weighted_median",
     "j53_column_profile",
     "j54_dq_expectations",
+    "f17_twap",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -687,6 +687,61 @@ def j54_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk.unionAll(dup_surplus).unionAll(qty).unionAll(nn).unionAll(ship)
 
 
+@register(
+    "f17_twap",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), seg AS (
+        SELECT user_id, cents,
+               lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   - t_us AS dur
+        FROM base
+    )
+    SELECT user_id,
+           CAST(SUM(cents * dur) AS BIGINT) AS twap_num,
+           CAST(SUM(dur) AS BIGINT) AS dur_us,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dur IS NOT NULL GROUP BY 1
+    """,
+    survey="F17,F2,I2",
+)
+def f17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average segments (TWAP) — each observation holds its
+    value until the key's next observation, so the mean must weight by
+    HOLD DURATION, not by row: the sensor-reading / price-feed
+    aggregation where event cadence is irregular and row-weighted
+    averages are simply wrong.  Emitted as exact integers (numerator
+    Σ value_cents·dur_µs, denominator Σ dur_µs) rather than the divided
+    double — callers divide at presentation, the engine result stays
+    drift-free.  Overflow budget: max cents (~1e5) × max per-key total
+    duration (a 30-day window ≈ 2.6e12 µs) ≈ 2.6e17 ≪ 2^63.
+
+    Scale shape: the f16 rule again — one hash(user_id) exchange feeds
+    the lead() window (segment construction) and the per-user aggregate
+    that follows it reuses the same clustering; the whole operator is one
+    shuffle.  Segments never materialize beyond the window's running
+    row."""
+    e = Tables(spark, sf_dir).events
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = base.withColumn("dur", F.lead("t_us").over(w) - F.col("t_us")).filter(
+        F.col("dur").isNotNull()
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur")).cast("long").alias("twap_num"),
+        F.sum("dur").cast("long").alias("dur_us"),
+        F.count("*").cast("long").alias("n_segments"),
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

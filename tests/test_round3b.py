@@ -253,6 +253,40 @@ def test_dq_expectations_rule_suite_shape(spark, sf_dir):
         assert 0 <= r.n_violations <= r.n_checked
 
 
+def test_twap_matches_python_segments(spark, sf_dir):
+    """f17's lead-segment formulation equals a plain-Python per-user
+    sweep over (epoch_us, event_id)-sorted events — integer exact."""
+    out = {
+        r.user_id: (r.twap_num, r.dur_us, r.n_segments)
+        for r in REGISTRY["f17_twap"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            # reuse the engine's own cents quantization — the test pins the
+            # segment/window logic, not double rounding conventions
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.t, r.event_id, r.c))
+    for uid, evs in by_user.items():
+        evs.sort()
+        num = den = 0
+        for (t0, _, c0), (t1, _, _) in zip(evs, evs[1:]):
+            num += c0 * (t1 - t0)
+            den += t1 - t0
+        if len(evs) >= 2:
+            assert out[uid] == (num, den, len(evs) - 1), uid
+        else:
+            assert uid not in out
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
