@@ -287,6 +287,29 @@ def test_twap_matches_python_segments(spark, sf_dir):
             assert uid not in out
 
 
+def test_weighted_median_and_twap_single_exchange(spark, sf_dir):
+    """Shuffle-count claims, pinned: f17's lead window and per-user agg
+    share one hash(user) exchange.  e23 pays exactly two — hash(grp,
+    cents) for the per-value weight agg, then hash(grp) for the window
+    (a SUPERSET key does not satisfy the window's grp-only clustering);
+    the final per-group reduction reuses the window's exchange."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import count_shuffles
+
+    assert count_shuffles(REGISTRY["f17_twap"].fn(spark, sf_dir)) == 1
+    assert count_shuffles(REGISTRY["e23_weighted_median"].fn(spark, sf_dir)) <= 2
+
+
+def test_column_profile_scans_table_once(spark, sf_dir):
+    """j53: one scan, one global aggregate — the only exchanges are the
+    aggregate's partial->final single-partition hops (count-distinct
+    expands add one), never a re-shuffle of the table."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import plan_string
+
+    df = REGISTRY["j53_column_profile"].fn(spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
