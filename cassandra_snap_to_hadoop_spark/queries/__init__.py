@@ -209,6 +209,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e4_approx_count_distinct",
     "e6_percentile_approx",
     "e21_cms_heavy_hitters",
+    "e24_hll_overlap",
 )
 
 

@@ -742,6 +742,52 @@ def f17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e24_hll_overlap", survey="E24,E4,J26")
+def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap estimation by HLL inclusion-exclusion (rows-only:
+    sketch estimates are engine-specific; j26 is the exact twin) — the
+    100 TB answer to "which crawls ingested the same site": |A∩B| ≈
+    est(A) + est(B) − est(A∪B), where A∪B is a cheap binary
+    ``hll_union`` of the two sources' sketches.  j26's exact tier must
+    self-join on shingle VALUES and needs a discriminative-gram cap to
+    bound the fan-out; the sketch tier has NO join on data at all — one
+    pass builds a fixed-size sketch per source, and the |S|² pair
+    estimates are arithmetic over kilobyte binaries.  The trade is
+    variance: inclusion-exclusion compounds three ±1.6% estimates, so
+    small intersections drown in noise — use it to TRIAGE which pairs
+    deserve the exact tier, not to replace it (tests pin the estimate
+    within tolerance of the exact intersection).
+
+    Scale shape: tokenize/shingle map → one hash agg per source building
+    sketches (partials merge, nothing re-shuffles) → a pair enumeration
+    over the per-source aggregate (source cardinality, broadcast
+    nested-loop over kilobytes)."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    sh = d.filter(F.size(w) >= 3).select("source", F.explode(shingles).alias("s"))
+    per_src = sh.groupBy("source").agg(F.hll_sketch_agg("s").alias("sk"))
+    a = per_src.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
+    b = per_src.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            est_a.cast("long").alias("est_a"),
+            est_b.cast("long").alias("est_b"),
+            est_u.cast("long").alias("est_union"),
+            F.greatest(est_a + est_b - est_u, F.lit(0)).cast("long").alias("est_inter"),
+        )
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

@@ -310,6 +310,45 @@ def test_column_profile_scans_table_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_hll_overlap_estimate_near_exact_intersection(spark, sf_dir):
+    """e24's inclusion-exclusion estimate lands within HLL tolerance of
+    the exact shingle intersection for every source pair (default lgK
+    sketches carry ~1.6% standard error each; three compound in the
+    subtraction, so the bound is a few percent of the union)."""
+    from itertools import combinations
+
+    out = {
+        (r.src_a, r.src_b): r
+        for r in REGISTRY["e24_hll_overlap"].fn(spark, sf_dir).collect()
+    }
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    rows = (
+        d.filter(F.size(w) >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        sets.setdefault(r.source, set()).add(r.s)
+    assert set(out) == {
+        (x, y) for x, y in combinations(sorted(sets), 2)
+    }
+    for (sa, sb), r in out.items():
+        exact_inter = len(sets[sa] & sets[sb])
+        exact_union = len(sets[sa] | sets[sb])
+        tol = 0.06 * exact_union + 50
+        assert abs(r.est_inter - exact_inter) <= tol, (sa, sb, r, exact_inter)
+        assert abs(r.est_union - exact_union) <= 0.05 * exact_union + 20
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
