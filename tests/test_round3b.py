@@ -75,6 +75,46 @@ def test_cms_merge_rejects_incompatible(spark):
         a.merge(b)
 
 
+def test_cms_streaming_microbatch_merge_equals_batch(spark, sf_dir, tmp_path):
+    """The CMS tier is streamable by construction: build one sketch per
+    micro-batch via foreachBatch and merge them with the reader — the
+    result must equal the batch-global sketch EXACTLY (same seed => same
+    hashA => merge is element-wise addition, no approximation added by
+    incrementality)."""
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import read_event_stream
+
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    shard_root = str(tmp_path / "events")
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(shard_root)
+
+    merged: list[CountMinSketch] = []
+
+    def fold(batch_df, batch_id):
+        row = batch_df.agg(
+            F.count_min_sketch("user_id", F.lit(EPS), F.lit(CONF), F.lit(SEED)).alias("s")
+        ).collect()[0]
+        if row.s is None:  # empty micro-batch
+            return
+        sk = CountMinSketch.parse(bytes(row.s))
+        merged.append(merged.pop().merge(sk) if merged else sk)
+
+    q = (
+        read_event_stream(spark, shard_root + "/*", max_files_per_trigger=4)
+        .writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_sk = _cms(load(spark, sf_dir, "events"), "user_id")
+    assert len(merged) == 1
+    assert merged[0].total_count == batch_sk.total_count
+    assert merged[0].table == batch_sk.table
+
+
 def test_e21_query_columns_honor_guarantee(spark, sf_dir):
     rows = REGISTRY["e21_cms_heavy_hitters"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
