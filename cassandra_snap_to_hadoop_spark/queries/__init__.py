@@ -199,6 +199,8 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j53_column_profile",
     "j54_dq_expectations",
     "f17_twap",
+    "e25_skyline",
+    "j55_vocab_coverage",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -788,6 +788,147 @@ def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e25_skyline",
+    oracle=f"""
+    WITH pts AS (
+        SELECT doc_id,
+               CAST(length(list_distinct(string_split({_NORM}, ' '))) AS BIGINT)
+                   AS richness,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ), cand AS (
+        SELECT richness, MIN(n_chars) AS n_chars
+        FROM pts GROUP BY richness
+    ), sky AS (
+        SELECT c.richness, c.n_chars FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cand o
+            WHERE o.richness > c.richness AND o.n_chars <= c.n_chars
+        )
+    )
+    SELECT s.richness, s.n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sky s JOIN pts p
+      ON p.richness = s.richness AND p.n_chars = s.n_chars
+    GROUP BY 1, 2
+    """,
+    survey="E25,F3,G3",
+)
+def e25_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier preference query (Börzsönyi et al. 2001):
+    documents not dominated on (vocabulary richness ↑, length ↓) — no
+    other doc is simultaneously richer AND at most as long, strictly
+    better in one.  The operator class behind "best tradeoff" curation
+    cuts (quality vs cost, coverage vs tokens) that top-k can't express
+    because no single score exists.
+
+    The naive skyline is an all-pairs dominance filter — quadratic,
+    banned.  For 2D it collapses to ONE window pass: reduce to the best
+    (min length) candidate per richness value, sort candidates by
+    richness descending, and keep those whose length beats the running
+    minimum of every strictly-richer candidate.  The oracle runs the
+    textbook NOT-EXISTS dominance filter over the same per-richness
+    candidates — an independent quadratic restatement that proves the
+    linear sweep drops no point.
+
+    Scale shape: per-doc richness is a codegen map; candidates are one
+    hash agg keyed by richness (bounded by the richness domain, not doc
+    count); the window runs over candidates only; the final join back to
+    points recovers per-point doc counts broadcast-side.  Higher
+    dimensions need block-nested partitioning — out of scope, the 2D
+    window tier is the common analytics case."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    pts = d.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("richness"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    cand = pts.groupBy("richness").agg(F.min("n_chars").alias("n_chars"))
+    w = Window.orderBy(F.col("richness").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_min = F.min("n_chars").over(w)
+    sky = cand.withColumn("pm", prev_min).filter(
+        F.col("pm").isNull() | (F.col("n_chars") < F.col("pm"))
+    )
+    return (
+        pts.join(F.broadcast(sky.select("richness", "n_chars")), ["richness", "n_chars"])
+        .groupBy("richness", "n_chars")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "j55_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ), tc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+        WHERE term <> '' GROUP BY 1
+    ), c AS (
+        SELECT term, n,
+               SUM(n) OVER (ORDER BY n DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(n) OVER () AS tot,
+               row_number() OVER (ORDER BY n DESC, term) AS rnk
+        FROM tc
+    ), thr AS (SELECT * FROM (VALUES (50), (80), (90), (95)) t(pct))
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(MIN(rnk) AS BIGINT) AS vocab_size,
+           CAST(MIN(cum) AS BIGINT) AS covered_tokens,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens
+    FROM c JOIN thr ON 100 * cum >= pct * tot
+    GROUP BY pct
+    """,
+    survey="J55,F3,E20",
+)
+def j55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for each coverage target (50/80/90/95%
+    of token occurrences), the number of head terms needed to reach it
+    and the exact token mass covered at the crossing: the sizing question
+    every tokenizer/vocab decision starts from (Zipf head mass).  The
+    crossing is found with pure integer arithmetic (``100·cum ≥ pct·tot``)
+    — no ratio ever floats.
+
+    Scale shape: one corpus scan → term hash agg; both windows and the
+    rank run over the TERM relation (vocabulary cardinality, not corpus
+    cardinality).  The threshold relation is 4 literal rows joined on the
+    crossing predicate and reduced with MIN — the window side is computed
+    once, not once per threshold.  At 100 TB the only corpus-sized work
+    is the tokenize+agg map."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    tc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wo = Window.orderBy(F.col("n").desc(), "term")
+    c = tc.select(
+        "n",
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+        F.row_number().over(wo).alias("rnk"),
+    )
+    thr = spark.range(1).selectExpr("explode(array(50, 80, 90, 95)) AS pct")
+    return (
+        c.join(F.broadcast(thr), 100 * F.col("cum") >= F.col("pct") * F.col("tot"))
+        .groupBy("pct")
+        .agg(
+            F.min("rnk").cast("long").alias("vocab_size"),
+            F.min("cum").cast("long").alias("covered_tokens"),
+            F.max("tot").cast("long").alias("total_tokens"),
+        )
+        .select(F.col("pct").cast("long").alias("pct"), "vocab_size", "covered_tokens", "total_tokens")
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

@@ -389,6 +389,65 @@ def test_hll_overlap_estimate_near_exact_intersection(spark, sf_dir):
         assert abs(r.est_union - exact_union) <= 0.05 * exact_union + 20
 
 
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """e25's window sweep equals the brute-force non-dominated filter
+    over all (richness, n_chars) points, computed in Python."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    pts_rows = d.select(
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("r"),
+        F.col("n_chars").cast("long").alias("c"),
+    ).collect()
+    from collections import Counter
+
+    counts = Counter((p.r, p.c) for p in pts_rows)
+    uniq = list(counts)
+    sky = {
+        (r, c)
+        for r, c in uniq
+        if not any(
+            (r2 >= r and c2 <= c and (r2 > r or c2 < c)) for r2, c2 in uniq
+        )
+    }
+    got = {
+        (row.richness, row.n_chars): row.n_docs
+        for row in REGISTRY["e25_skyline"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == sky
+    for p, n in got.items():
+        assert n == counts[p]
+
+
+def test_vocab_coverage_monotone_and_crossing_tight(spark, sf_dir):
+    """Higher coverage targets need at least as many terms; each crossing
+    is tight (removing the last term drops below the target)."""
+    rows = {r.pct: r for r in REGISTRY["j55_vocab_coverage"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == [50, 80, 90, 95]
+    last = 0
+    for pct in (50, 80, 90, 95):
+        r = rows[pct]
+        assert r.vocab_size >= last
+        last = r.vocab_size
+        assert 100 * r.covered_tokens >= pct * r.total_tokens
+    # tightness at the 95 crossing: coverage minus its own rank-95 term's
+    # mass must be below target — verified via the term counts directly
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    tc = (
+        Tables(spark, sf_dir)
+        .documents.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .collect()
+    )
+    r95 = rows[95]
+    crossing_term_mass = tc[r95.vocab_size - 1].n
+    assert 100 * (r95.covered_tokens - crossing_term_mass) < 95 * r95.total_tokens
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
