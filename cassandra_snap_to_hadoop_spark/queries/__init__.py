@@ -212,6 +212,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e6_percentile_approx",
     "e21_cms_heavy_hitters",
     "e24_hll_overlap",
+    "j56_cdc_chunking",
 )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -927,6 +928,66 @@ def j55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("pct").cast("long").alias("pct"), "vocab_size", "covered_tokens", "total_tokens")
     )
+
+
+@register("j56_cdc_chunking", survey="J56,J1,L1")
+def j56_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (gear-hash CDC, operators/chunking.py) —
+    chunk boundaries fall where the rolling hash of recent bytes hits a
+    mask, so near-identical documents share most chunk hashes even after
+    insertions shift every byte offset: the storage-dedup primitive
+    (rsync/LBFS/restic) that fixed-size chunking (j31) fundamentally
+    cannot provide.  Rows-only: a rolling dependency chain has no SQL
+    restatement; tests pin exact reconstruction (chunks concatenate to
+    the original bytes) and the boundary-stability property (prepending
+    a line leaves the chunk-hash multiset almost entirely intact).
+
+    Output: per-document chunk accounting for docs < 200 plus the
+    corpus-level chunk-dedup ratio inputs (distinct vs total chunk
+    hashes — what a dedup store would actually save).
+
+    Scale shape: embarrassingly parallel map — one Arrow-batched pandas
+    UDF pass per document, no shuffle until the chunk-hash agg; the UDF
+    is scalar-per-doc by necessity (sequential rolling hash) but
+    documents are independent, so 1000 executors chunk 1000 ways."""
+    from cassandra_snap_to_hadoop_spark.operators.chunking import cdc_chunks
+
+    @F.pandas_udf("array<string>")
+    def chunks_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: []
+            if t is None
+            else [f"{s}:{e}:{h}" for s, e, h in cdc_chunks(t)]
+        )
+
+    d = fan_out(Tables(spark, sf_dir).documents).select(
+        "doc_id", chunks_udf(F.col("text")).alias("chunks")
+    )
+    per_chunk = d.select(
+        "doc_id", F.explode("chunks").alias("c")
+    ).select(
+        "doc_id",
+        F.split("c", ":").getItem(2).alias("h"),
+        (
+            F.split("c", ":").getItem(1).cast("long")
+            - F.split("c", ":").getItem(0).cast("long")
+        ).alias("clen"),
+    )
+    per_doc = (
+        per_chunk.filter(F.col("doc_id") < 200)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("clen").cast("long").alias("total_bytes"),
+            F.min("clen").cast("long").alias("min_chunk"),
+            F.max("clen").cast("long").alias("max_chunk"),
+        )
+    )
+    corpus = per_chunk.agg(
+        F.count("*").cast("long").alias("c_total"),
+        F.countDistinct("h").cast("long").alias("c_distinct"),
+    )
+    return per_doc.crossJoin(F.broadcast(corpus))
 
 
 @register("e21_cms_heavy_hitters", survey="E21,E4")

@@ -448,6 +448,62 @@ def test_vocab_coverage_monotone_and_crossing_tight(spark, sf_dir):
     assert 100 * (r95.covered_tokens - crossing_term_mass) < 95 * r95.total_tokens
 
 
+def test_cdc_chunks_reconstruct_exactly():
+    """Concatenating chunk ranges reproduces the input bytes, and every
+    chunk honors the min/max size bounds (except the final tail)."""
+    from cassandra_snap_to_hadoop_spark.operators.chunking import cdc_chunks
+
+    text = "the quick brown fox jumps over the lazy dog. " * 200
+    chunks = cdc_chunks(text)
+    data = text.encode("utf-8")
+    assert b"".join(data[s:e] for s, e, _ in chunks) == data
+    assert [s for s, _, _ in chunks] == [0] + [e for _, e, _ in chunks[:-1]]
+    for s, e, h in chunks[:-1]:
+        assert 64 <= e - s <= 1024
+        import hashlib
+
+        assert hashlib.md5(data[s:e]).hexdigest() == h
+
+
+def test_cdc_boundary_stability_under_prepend():
+    """THE content-defined property: prepending a line shifts every byte
+    offset, yet almost all chunk hashes survive — fixed-size chunking
+    keeps none (beyond collisions)."""
+    import random
+
+    from cassandra_snap_to_hadoop_spark.operators.chunking import cdc_chunks
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh \n") for _ in range(20000))
+    edited = "INSERTED HEADER LINE\n" + base
+    h1 = [h for _, _, h in cdc_chunks(base)]
+    h2 = [h for _, _, h in cdc_chunks(edited)]
+    shared = len(set(h1) & set(h2))
+    assert shared >= len(h1) - 3, (len(h1), len(h2), shared)
+    # fixed-size chunking under the same shift shares ~nothing
+    fixed1 = {base[i : i + 256] for i in range(0, len(base), 256)}
+    fixed2 = {edited[i : i + 256] for i in range(0, len(edited), 256)}
+    assert len(fixed1 & fixed2) <= 2
+
+
+def test_cdc_query_accounting(spark, sf_dir):
+    """The registered query's per-doc byte totals equal the documents'
+    UTF-8 lengths, and the corpus dedup columns are coherent."""
+    out = REGISTRY["j56_cdc_chunking"].fn(spark, sf_dir).collect()
+    assert out
+    d = {
+        r.doc_id: r.n
+        for r in Tables(spark, sf_dir)
+        .documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.octet_length("text").alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r.total_bytes == d[r.doc_id], r.doc_id
+        assert r.min_chunk >= 1 and r.max_chunk <= 1024
+        assert 0 < r.c_distinct <= r.c_total
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
