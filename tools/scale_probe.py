@@ -176,8 +176,31 @@ def main() -> None:
             .agg(F.count("*").alias("n"))
         )
 
+    _STOP = ("the", "a", "an", "of", "and", "to", "in", "is", "")
+
+    def pmi_shape(d):
+        tok = d.select(
+            F.col("doc_id").alias("doc"), F.explode(_tokens(F.col("text"))).alias("term")
+        ).filter((F.col("term") != "") & ~F.col("term").isin(list(_STOP)))
+        dt = tok.distinct()
+        vocab = (
+            dt.groupBy("term").agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), "term").limit(100).select("term")
+        )
+        dv = dt.join(F.broadcast(vocab), "term").select("doc", "term")
+        a = dv.select("doc", F.col("term").alias("ta"))
+        b = dv.select("doc", F.col("term").alias("tb"))
+        return (
+            a.join(b, "doc")
+            .filter(F.col("ta") < F.col("tb"))
+            .groupBy("ta", "tb")
+            .agg(F.count("*").alias("df_ab"))
+            .filter(F.col("df_ab") >= 5)
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("pmi-pairs", lambda: pmi_shape(d1), lambda: pmi_shape(dN)),
         (
             "inverted-index",
             lambda: inverted_index_shape(d1),
