@@ -201,6 +201,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "f17_twap",
     "e25_skyline",
     "j55_vocab_coverage",
+    "d17_asof_nearest",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

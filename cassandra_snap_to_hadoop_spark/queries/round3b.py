@@ -990,6 +990,92 @@ def j56_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(corpus))
 
 
+@register(
+    "d17_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS t, 0 AS is_p,
+               CAST(NULL AS BIGINT) AS event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS t, 1 AS is_p, event_id
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT user_id, t, is_p, event_id,
+               last_value(CASE WHEN is_p = 0 THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+               first_value(CASE WHEN is_p = 0 THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_p, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           CAST(CASE
+               WHEN prev_v IS NOT NULL
+                    AND (next_v IS NULL OR t - prev_v <= next_v - t) THEN prev_v
+               ELSE next_v END AS BIGINT) AS nearest_view_us,
+           CAST(CASE
+               WHEN prev_v IS NOT NULL
+                    AND (next_v IS NULL OR t - prev_v <= next_v - t) THEN t - prev_v
+               ELSE next_v - t END AS BIGINT) AS dist_us
+    FROM w WHERE is_p = 1
+    """,
+    survey="D17,D7,F2",
+)
+def d17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase matches its closest view in
+    EITHER time direction, ties broken backward — d7 is backward-only,
+    d14 backward-with-tolerance; nearest completes the family (sensor
+    alignment, quote-to-trade matching).
+
+    Implemented with ZERO joins: both sides union into one tagged stream,
+    and per user a single sort yields the previous view (ignore-nulls
+    last_value over the preceding frame) and the next view (first_value
+    over the following frame) for every purchase row — the classic
+    merge-streams formulation.  At equal timestamps the view sorts before
+    the purchase (tag ordering), so a view at exactly the purchase time
+    is a 0-distance backward match, deterministically.
+
+    Scale shape: one hash(user) exchange + one sort covers both
+    directions for every row at once; a join-based nearest would pay two
+    range joins and a dedup.  Same-key windows, no skew surprise beyond
+    what the user-activity distribution already carries."""
+    e = Tables(spark, sf_dir).events
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t"), F.lit(1).alias("is_p"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "is_p", "event_id")
+    view_t = F.when(F.col("is_p") == 0, F.col("t"))
+    prev_v = F.last(view_t, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_v = F.first(view_t, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    tagged = v.unionByName(p).select("user_id", "t", "is_p", "event_id", prev_v.alias("prev_v"), next_v.alias("next_v"))
+    back = F.col("prev_v").isNotNull() & (
+        F.col("next_v").isNull()
+        | (F.col("t") - F.col("prev_v") <= F.col("next_v") - F.col("t"))
+    )
+    return tagged.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(back, F.col("prev_v")).otherwise(F.col("next_v")).cast("long").alias("nearest_view_us"),
+        F.when(back, F.col("t") - F.col("prev_v"))
+        .otherwise(F.col("next_v") - F.col("t"))
+        .cast("long")
+        .alias("dist_us"),
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

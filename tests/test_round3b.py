@@ -504,6 +504,55 @@ def test_cdc_query_accounting(spark, sf_dir):
         assert 0 < r.c_distinct <= r.c_total
 
 
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """d17 against brute force: for every purchase, no view of the same
+    user is strictly closer than the chosen one, and ties resolve to the
+    backward (earlier) view."""
+    out = {
+        r.event_id: (r.nearest_view_us, r.dist_us)
+        for r in REGISTRY["d17_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    views: dict[int, list[int]] = {}
+    purchases = []
+    for r in ev:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append(r.t)
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    assert purchases
+    for p in purchases:
+        vs = views.get(p.user_id)
+        got_t, got_d = out[p.event_id]
+        if not vs:
+            assert got_t is None and got_d is None
+            continue
+        best = min(abs(t - p.t) for t in vs)
+        assert got_d == best, p.event_id
+        # tie rule: backward preferred
+        if any(p.t - t == best for t in vs):
+            assert got_t == p.t - best
+        else:
+            assert got_t == p.t + best
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """The merge-streams formulation pays one hash(user) exchange, no
+    joins at all."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import (
+        count_shuffles,
+        plan_string,
+    )
+
+    df = REGISTRY["d17_asof_nearest"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert "Join" not in plan_string(df, "simple")
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
