@@ -486,6 +486,32 @@ def test_cdc_boundary_stability_under_prepend():
     assert len(fixed1 & fixed2) <= 2
 
 
+def test_cdc_reconstruction_law_hypothesis():
+    """∀ text: chunks partition the UTF-8 bytes exactly, honor the size
+    bounds (final tail exempt from the minimum), and chunking is a pure
+    function (same input ⇒ same chunks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_snap_to_hadoop_spark.operators.chunking import cdc_chunks
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=5000))
+    def law(text):
+        chunks = cdc_chunks(text)
+        data = text.encode("utf-8")
+        assert b"".join(data[s:e] for s, e, _ in chunks) == data
+        if data:
+            assert chunks[0][0] == 0 and chunks[-1][1] == len(data)
+        for (s1, e1, _), (s2, _e2, _) in zip(chunks, chunks[1:]):
+            assert e1 == s2
+        for s, e, _ in chunks[:-1]:
+            assert 64 <= e - s <= 1024
+        assert chunks == cdc_chunks(text)
+
+    law()
+
+
 def test_cdc_query_accounting(spark, sf_dir):
     """The registered query's per-doc byte totals equal the documents'
     UTF-8 lengths, and the corpus dedup columns are coherent."""
