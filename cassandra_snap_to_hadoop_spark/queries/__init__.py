@@ -202,6 +202,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e25_skyline",
     "j55_vocab_coverage",
     "d17_asof_nearest",
+    "f18_ohlc_bars",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -1076,6 +1076,65 @@ def d17_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f18_ohlc_bars",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day_idx,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, day_idx,
+           CAST(arg_min(cents, ord_key) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(arg_max(cents, ord_key) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM base GROUP BY 1, 2
+    """,
+    survey="F18,E10,K1",
+)
+def f18_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars — open/high/low/close per (series, day), the
+    canonical time-series downsampling for dashboards and feature
+    extraction: open/close are VALUE-AT-ARGMIN/ARGMAX-TIME (e10's
+    argmin/argmax family applied to a time key), high/low plain extremes,
+    volume the bar count.  The within-bar ordering key is a fixed-width
+    zero-padded "epoch_us-event_id" string, so both engines break
+    timestamp ties identically with plain lexicographic comparison — no
+    struct-ordering support needed in the oracle, no packed-integer
+    overflow risk.
+
+    Scale shape: single scan → ONE hash aggregate keyed by (series,
+    day) with five primitive-buffer aggregates, map-side partial combine
+    throughout — the most scale-friendly shape there is; at finer bar
+    widths only the group count grows, never the buffer size."""
+    anchor = datetime.date(2024, 1, 1)
+    e = Tables(spark, sf_dir).events
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    base = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(anchor)).cast("long").alias("day_idx"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ord_key.alias("ord_key"),
+    )
+    return base.groupBy("event_type", "day_idx").agg(
+        F.min_by("cents", "ord_key").cast("long").alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max_by("cents", "ord_key").cast("long").alias("close_cents"),
+        F.count("*").cast("long").alias("volume"),
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

@@ -579,6 +579,42 @@ def test_asof_nearest_single_exchange(spark, sf_dir):
     assert "Join" not in plan_string(df, "simple")
 
 
+def test_ohlc_invariants_and_edges(spark, sf_dir):
+    """Bar invariants: low <= open/close <= high, volume sums to the
+    table count, and open/close equal the first/last event's value per
+    bar recomputed in Python."""
+    out = REGISTRY["f18_ohlc_bars"].fn(spark, sf_dir).collect()
+    assert out
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    bars: dict[tuple, list] = {}
+    for r in ev:
+        bars.setdefault((r.event_type, (r.d - anchor).days), []).append(
+            (r.t, r.event_id, r.c)
+        )
+    assert sum(r.volume for r in out) == len(ev)
+    for r in out:
+        evs = sorted(bars[(r.event_type, r.day_idx)])
+        assert r.volume == len(evs)
+        assert r.open_cents == evs[0][2] and r.close_cents == evs[-1][2]
+        assert r.low_cents <= min(r.open_cents, r.close_cents)
+        assert r.high_cents >= max(r.open_cents, r.close_cents)
+        assert r.low_cents == min(c for _, _, c in evs)
+        assert r.high_cents == max(c for _, _, c in evs)
+
+
 def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     """Sanity on the scoring direction: among docs of (near) equal
     length, more query-term occurrences => higher BM25.  Checked via the
