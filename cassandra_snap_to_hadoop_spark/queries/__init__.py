@@ -203,6 +203,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j55_vocab_coverage",
     "d17_asof_nearest",
     "f18_ohlc_bars",
+    "i17_try_funcs",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -1135,6 +1135,56 @@ def f18_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "i17_try_funcs",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0
+                    ELSE CAST(FLOOR(o_totalprice / (o_custkey % 7) * 100) AS BIGINT)
+                    END) AS BIGINT) AS sum_div_cents,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+           CAST(SUM(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER), 0))
+               AS BIGINT) AS sum_prio_digit
+    FROM orders
+    """,
+    survey="I17,I4,C5",
+)
+def i17_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression tier (``try_divide`` / ``try_cast``) — under
+    ANSI SQL mode (the Spark 4 default) a single division by zero or a
+    malformed cast kills the whole job; the try_ variants return NULL
+    instead, which is what a production pipeline over dirty data must
+    use.  i1-i16 cover the happy-path function surface; this row pins
+    the failure-path semantics: every '1-URGENT'-style priority fails
+    the full-string cast (counted), its leading digit cast succeeds and
+    sums, and every 7th customer key manufactures a zero divisor that
+    try_divide nulls rather than throws.
+
+    The oracle restates try-semantics explicitly (guard CASEs and
+    DuckDB's TRY_CAST) — the point of the cross-check is that NULL
+    propagation and the FLOOR-quantized division agree exactly.  Scale
+    shape: pure codegen map into one global aggregate; nothing here can
+    shuffle."""
+    o = Tables(spark, sf_dir).orders
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7)
+    prio_full = F.col("o_orderpriority").try_cast("int")
+    prio_digit = F.substring("o_orderpriority", 1, 1).try_cast("int")
+    return o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(div.isNull(), 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.sum(F.when(div.isNull(), 0).otherwise(F.floor(div * 100)))
+        .cast("long")
+        .alias("sum_div_cents"),
+        F.sum(F.when(prio_full.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cast_null"),
+        F.sum(F.coalesce(prio_digit, F.lit(0))).cast("long").alias("sum_prio_digit"),
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the
