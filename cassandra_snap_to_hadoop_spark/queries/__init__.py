@@ -204,6 +204,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "d17_asof_nearest",
     "f18_ohlc_bars",
     "i17_try_funcs",
+    "k14_dynamic_session_gap",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

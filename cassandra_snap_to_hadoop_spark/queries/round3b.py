@@ -1185,6 +1185,75 @@ def i17_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k14_dynamic_session_gap",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS t_us,
+               epoch_us(ts) + CASE event_type
+                   WHEN 'purchase' THEN 3600000000
+                   WHEN 'view' THEN 900000000
+                   ELSE 1800000000 END AS end_us
+        FROM events
+    ), seq AS (
+        SELECT user_id, event_id, ts, t_us,  end_us,
+               max(end_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM base
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_end IS NULL OR t_us >= prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS span_ms
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey="K14,K3,F16",
+)
+def k14_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — the session timeout is a per-event
+    EXPRESSION (purchases hold a session open for an hour, views for 15
+    minutes, everything else 30) rather than k3's single constant: the
+    real-world rule when different actions imply different engagement.
+    The Spark side is the native ``session_window(ts, gap_expr)`` —
+    batch-executable and identical in streaming (k3's twin pattern);
+    each event extends its session to ``ts + gap(event)`` and sessions
+    are the union of overlapping extents, which is f16's interval-union
+    semantics, NOT the fixed-gap lag rule.  The oracle therefore
+    restates it as the running-max sweep (an independent formulation:
+    max of prior event-extents per user; a new session starts when an
+    event's time clears all of them).
+
+    Scale shape: one hash(user) exchange for the session assignment, agg
+    buffers are per-session primitives; the gap CASE is codegen.  The
+    output span uses min/max event times inside each session (the
+    session_window's own end includes gap padding — reported spans stay
+    data-defined)."""
+    e = Tables(spark, sf_dir).events
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("1 hour"))
+        .when(F.col("event_type") == "view", F.lit("15 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+            .cast("long")
+            .alias("span_ms"),
+        )
+        .select("user_id", "session_start", "n_events", "span_ms")
+    )
+
+
 @register("e21_cms_heavy_hitters", survey="E21,E4")
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the

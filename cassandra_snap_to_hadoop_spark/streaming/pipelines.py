@@ -105,6 +105,28 @@ def k3_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 d
     )
 
 
+def k14_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """K14 streaming twin: session_window with a DYNAMIC per-event gap
+    expression (purchase 1h, view 15m, else 30m) — the engine merges
+    overlapping per-event extents into sessions in streaming state
+    exactly as in batch; parity on (user, start, n_events, span)."""
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("1 hour"))
+        .when(F.col("event_type") == "view", F.lit("15 minutes"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).cast("long").alias("span_ms"),
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "span_ms")
+    )
+
+
 def k5_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
     """K5 streaming twin: dedup by event_id within the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

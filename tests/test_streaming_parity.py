@@ -97,6 +97,19 @@ def test_k3_session_parity(spark, sf_dir, event_shards, tmp_path):
     assert _rows(batch) == _rows(stream)
 
 
+def test_k14_dynamic_gap_session_parity(spark, sf_dir, event_shards, tmp_path):
+    """Dynamic-gap session_window: streaming state merge must equal the
+    batch execution of the same gap expression on the session natural key."""
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import k14_stream
+
+    batch = REGISTRY["k14_dynamic_session_gap"].fn(spark, sf_dir).collect()
+    stream = run_to_completion(
+        k14_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5)),
+        str(tmp_path / "ck14"),
+    )
+    assert _rows(batch) == _rows(stream)
+
+
 def test_k5_dedup_parity(spark, sf_dir, event_shards, tmp_path):
     stream_rows = run_to_completion(
         k5_stream(read_event_stream(spark, event_shards, max_files_per_trigger=5))
