@@ -205,6 +205,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "f18_ohlc_bars",
     "i17_try_funcs",
     "k14_dynamic_session_gap",
+    "b11_static_columns",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

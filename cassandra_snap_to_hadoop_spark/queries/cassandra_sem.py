@@ -279,3 +279,75 @@ def b10_replica_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("divergent"),
     )
+
+
+@register(
+    "b11_static_columns",
+    oracle="""
+    WITH statics AS (
+        SELECT o_orderkey AS pk, o_orderpriority AS sval,
+               epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS wt
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'REVISED', epoch_us(CAST(o_orderdate AS TIMESTAMP)) + 1
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), latest AS (
+        SELECT pk, sval FROM (
+            SELECT pk, sval,
+                   row_number() OVER (PARTITION BY pk ORDER BY wt DESC, sval DESC) AS rn
+            FROM statics
+        ) WHERE rn = 1
+    )
+    SELECT latest.sval AS static_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_partitions
+    FROM lineitem l JOIN latest ON l.l_orderkey = latest.pk
+    GROUP BY 1
+    """,
+    survey="B11,B2,D1",
+)
+def b11_static_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra STATIC column semantics: a static cell belongs to the
+    PARTITION, not a clustering row — one LWW merge per partition key,
+    then every clustering row of that partition reads the same (latest)
+    value.  Cell-level LWW (b2) resolves per (pk, ck); the static tier
+    resolves per pk alone and fans the winner back out across the wide
+    row — get either scope wrong and a snapshot export silently attaches
+    stale attributes to fresh rows.
+
+    Simulation on the TPC-H surface: orders carry a base static write per
+    key (priority @ order-date writetime); every 5th key gets a later
+    'REVISED' overwrite.  The wide row is lineitem (pk = l_orderkey,
+    ck = l_linenumber); output aggregates rows and partitions per final
+    static value — exactly 1/5 of partitions must land on REVISED.
+
+    Scale shape: the static merge is one hash agg on pk via the packed
+    ``max_by`` tier economics (operators/cassandra.py lww docstring);
+    the fan-out join is fact⋈per-key-aggregate on the fact's own key —
+    AQE sizes it, and at snapshot scale it is the same single exchange
+    the LWW merge itself needs."""
+    o = Tables(spark, sf_dir).orders
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderpriority").alias("sval"),
+        F.unix_micros(F.to_timestamp("o_orderdate")).alias("wt"),
+    )
+    revised = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            F.lit("REVISED").alias("sval"),
+            (F.unix_micros(F.to_timestamp("o_orderdate")) + 1).alias("wt"),
+        )
+    )
+    statics = base.unionByName(revised)
+    latest = lww_merge(statics, ["pk"], "wt", tiebreak_cols=["sval"]).select("pk", "sval")
+    li = Tables(spark, sf_dir).lineitem.select("l_orderkey")
+    return (
+        li.join(latest, li.l_orderkey == latest.pk)
+        .groupBy(F.col("sval").alias("static_value"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_partitions"),
+        )
+    )
