@@ -206,6 +206,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "i17_try_funcs",
     "k14_dynamic_session_gap",
     "b11_static_columns",
+    "b12_range_tombstones",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -351,3 +351,86 @@ def b11_static_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("long").alias("n_partitions"),
         )
     )
+
+
+@register(
+    "b12_range_tombstones",
+    oracle="""
+    WITH data AS (
+        SELECT l_orderkey AS pk, l_linenumber AS ck,
+               CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS wt
+        FROM lineitem
+    ), live AS (
+        SELECT * FROM data d
+        WHERE NOT (
+            d.pk % 7 = 0
+            AND d.ck BETWEEN 2 AND 4
+            AND d.wt < epoch_us(TIMESTAMP '1995-01-01 00:00:00')
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST((SELECT COUNT(*) FROM data) - COUNT(*) AS BIGINT) AS n_purged,
+           CAST(SUM(qty) AS BIGINT) AS qty_live,
+           CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_partitions_live
+    FROM live
+    """,
+    survey="B12,B3,D4",
+)
+def b12_range_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range tombstones — Cassandra's ``DELETE ... WHERE pk=? AND ck >= ?
+    AND ck <= ?`` writes ONE marker that suppresses every covered
+    clustering row OLDER than the delete; newer writes inside the range
+    survive (the writetime comparison is the semantics, not just the
+    range).  b3 is point/row tombstones; the range tier is where naive
+    exports go quadratic or silently resurrect data.
+
+    Simulation: lineitem is the wide row (pk=l_orderkey,
+    ck=l_linenumber, writetime=shipdate); every 7th partition carries a
+    range delete over ck ∈ [2,4] stamped 1995-01-01 — rows shipped
+    later than the marker survive inside the covered range.
+
+    Scale shape: ``operators.cassandra.apply_range_tombstones`` is a
+    broadcast LEFT ANTI join on the equi pk with the range+writetime
+    predicate as join residual — hash join, never a nested loop, and
+    the delete side (markers, not rows) is the broadcast-small side by
+    construction at any data scale."""
+    li = Tables(spark, sf_dir).lineitem
+    data = li.select(
+        F.col("l_orderkey").alias("pk"),
+        F.col("l_linenumber").alias("ck"),
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.unix_micros(F.to_timestamp("l_shipdate")).alias("_writetime"),
+    )
+    del_wt = F.unix_micros(F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+    deletes = (
+        data.select("pk")
+        .distinct()
+        .filter(F.col("pk") % 7 == 0)
+        .select(
+            "pk",
+            F.lit(2).alias("ck_lo"),
+            F.lit(4).alias("ck_hi"),
+            del_wt.alias("del_writetime"),
+        )
+    )
+    from cassandra_snap_to_hadoop_spark.operators.cassandra import (
+        apply_range_tombstones,
+    )
+
+    live = apply_range_tombstones(data, deletes, "pk", "ck")
+    total = data.agg(F.count("*").alias("n_total"))
+    return (
+        live.agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.sum("qty").cast("long").alias("qty_live"),
+            F.countDistinct("pk").cast("long").alias("n_partitions_live"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_live",
+            (F.col("n_total") - F.col("n_live")).cast("long").alias("n_purged"),
+            "qty_live",
+            "n_partitions_live",
+        )
+    )
