@@ -293,3 +293,77 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("id", fp.alias("simhash"))
+
+
+def exact_substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """J57: ExactSubstr dedup (Lee et al. 2022) — remove EVERY occurrence
+    of any k-token span that appears >= 2 times anywhere in the corpus,
+    then reassemble each document's surviving tokens in order.
+
+    Returns (doc, n_tokens, n_removed, cleaned_md5).  The paper builds a
+    single-node suffix array; the distributed restatement is: k-gram
+    generation as a codegen HOF over the token array, "span occurs twice"
+    as ONE hash aggregate on md5(gram) (32-byte shuffle key regardless of
+    k; a collision could only over-remove, at 2^-64 odds), occurrence ->
+    covered-position fan-out as a bounded explode (exactly k rows per
+    duplicated occurrence), kept tokens via a left-anti hash join on
+    (doc, pos), and order-preserving reassembly as the j29 sort-collect
+    pattern.  Map-side partial aggregation applies to the gram count, so
+    the one all-corpus structure combines before it shuffles."""
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda t: t != F.lit("")
+        ).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+
+    grams = base.select(
+        "doc",
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "gram"),
+    ).select("doc", "start", F.md5("gram").alias("gh"))
+
+    dup = grams.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("gh")
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    tk = base.select("doc", F.posexplode("toks").alias("pos", "tok"))
+    kept = tk.join(covered, ["doc", "pos"], "left_anti")
+    agg = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        base.select("doc", "n_tokens")
+        .join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )

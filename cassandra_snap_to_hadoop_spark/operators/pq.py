@@ -1,0 +1,241 @@
+"""Product-quantization ANN (SURVEY §2 J3, scale tier 4).
+
+Completes the ANN ladder: exact brute force -> IVF probe -> SRP-LSH
+buckets -> **PQ codes**.  Product quantization (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS `PQx`
+index family) compresses each D-dim vector into M small codes (one per
+D/M-dim subspace, each the id of the nearest of K learned sub-centroids),
+then answers queries with *asymmetric distance computation* (ADC): the
+query precomputes an M×K lookup table of exact subspace distances and a
+corpus vector's approximate distance is just M table lookups summed.
+
+Spark-first shape, and why it survives 100 TB:
+
+  * **Training is sample-based** (exactly as FAISS practice): a bounded,
+    deterministically-chosen sample (md5-ordered ids, so re-ingestion
+    stable) trains M independent k-means codebooks on the driver with
+    numpy.  The collect is O(sample_n * D) floats — KB-to-MB scale,
+    independent of corpus size; codebooks (M*K*D/M doubles) ship to
+    executors as plan literals.
+  * **Encoding is one corpus scan, fully JVM-side**: nearest-sub-centroid
+    per subspace is a higher-order-function fold over the literal
+    codebook (slice -> zip_with -> aggregate), whole-stage-codegen
+    resident — no Python in the per-row path, no shuffle.  The encoded
+    corpus is M bytes/vector (vs 8*D for raw doubles): a 100 TB float
+    corpus becomes ~1.6 TB of codes, which is what makes exhaustive ADC
+    scans feasible at all.
+  * **ADC scoring joins corpus codes against broadcast queries** (each
+    query carrying its precomputed LUT as a literal-built column), so the
+    big side is never shuffled; per-pair cost is M array lookups.  Top-k
+    per query via the usual row_number window over (query, -dist).
+
+Determinism: fixed seed + fixed iteration count + deterministic sample
+order + deterministic empty-cluster reseeding => identical codebooks for
+identical input, so the registered query is reproducible (rows-only in
+the driver gate: the learned codebooks are engine-specific by nature,
+like the KMeans-IVF and LSH tiers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[np.ndarray]:
+    """Learn M per-subspace codebooks, each (ksub, D/M) float64.
+
+    Lloyd's algorithm on a driver-side sample.  The sample is the first
+    ``sample_n`` rows by md5(id) — a deterministic pseudo-random order that
+    is stable across re-ingestion (same policy as the j12/j22 split
+    queries).  Empty clusters are reseeded to the point farthest from its
+    assigned centroid (deterministic, no RNG in the loop)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"sample ({n}) smaller than ksub ({ksub})")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books: list[np.ndarray] = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # (n, ksub) squared distances via the expanded form
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+                else:  # deterministic reseed: farthest point from its centroid
+                    far = d2[np.arange(n), assign].argmax()
+                    cents[c] = sub[far]
+                    assign[far] = c
+        books.append(cents)
+    return books
+
+
+def _lit_matrix(mat: np.ndarray) -> Column:
+    """(k, d) numpy -> array<array<double>> literal column."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in mat]
+    )
+
+
+def _sub_d2(subvec: Column, cent: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays, as a
+    codegen fold (no Python)."""
+    return F.aggregate(
+        F.zip_with(subvec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def encode_expr(vec_col: Column, codebooks: list[np.ndarray]) -> Column:
+    """array<int> of M nearest-sub-centroid codes for ``vec_col``.
+
+    Entirely JVM-side: per subspace, slice out the subvector, fold squared
+    distances against the literal codebook, take argmin (first index on
+    ties — matches numpy argmin, which the parity test relies on)."""
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec_col, j * dsub + 1, dsub).cast("array<double>")
+        dists = F.transform(_lit_matrix(codebooks[j]), lambda c: _sub_d2(sub, c))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def encode(
+    corpus: DataFrame, codebooks: list[np.ndarray], vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus with a ``codes`` column (array<int>, length M) appended."""
+    return corpus.withColumn("codes", encode_expr(F.col(vec_col), codebooks))
+
+
+def adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[np.ndarray],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: smallest approximate squared L2 first.
+
+    The query side precomputes its M×K lookup table in-plan (exact subspace
+    distances to every sub-centroid); the corpus side then pays M
+    ``element_at`` lookups per pair.  Queries (with LUTs) broadcast; the
+    encoded corpus is never shuffled until the final per-query top-k
+    window, which sees only corpus rows — at scale, insert a per-partition
+    partial top-k (as knn_bruteforce_arrow does) before the window."""
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    luts = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub).cast("array<double>")
+        luts.append(F.transform(_lit_matrix(codebooks[j]), lambda c: _sub_d2(sub, c)))
+    q = queries.select(query_id_col, F.array(*luts).alias("__lut"))
+    scored = corpus_codes.join(
+        F.broadcast(q), F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("__lut"), lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("adist", 4).alias("adist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def adc_topk_rerank(
+    corpus_codes: DataFrame,
+    corpus_vecs: DataFrame,
+    queries: DataFrame,
+    codebooks: list[np.ndarray],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ ANN with exact re-ranking (the FAISS ``IndexPQ`` + refine
+    pattern): ADC over the compressed corpus shortlists ``shortlist``
+    candidates per query, then exact cosine re-scores ONLY the shortlist
+    and keeps top-k.
+
+    This is the production PQ shape: the full corpus is touched only as
+    M-byte codes (the cheap exhaustive pass); original vectors are fetched
+    for q*shortlist rows via an equi join with the BROADCAST shortlist —
+    at 100 TB the wide-vector table is never shuffled and never fully
+    read beyond the candidate rows surviving parquet row-group pruning.
+    Quantization error then only costs recall where a true neighbor falls
+    outside the shortlist, which widening ``shortlist`` repairs at M-byte
+    scan cost, not vector-scan cost."""
+    cand = adc_topk(
+        corpus_codes, queries, codebooks, k=shortlist,
+        id_col=id_col, query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id")
+    vecs = corpus_vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec"))
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    from cassandra_snap_to_hadoop_spark.operators.similarity import cosine
+
+    scored = (
+        vecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__nvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

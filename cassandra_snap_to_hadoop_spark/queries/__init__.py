@@ -51,6 +51,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     approx_sketch,  # rows-only twins of e3/e6 — last by design
     round3,  # round-3 additions (A17, J40, D16, I14) — rotate in round 4
     round3b,  # round-3 continuation (J50/J51 IR tier, E21/E22) — rotate in round 4
+    round3c,  # round-3 late depth batch (J57 ExactSubstr, PQ-ANN) — rotate in round 4
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -207,6 +208,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "k14_dynamic_session_gap",
     "b11_static_columns",
     "b12_range_tombstones",
+    "j57_exact_substring_dedup",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -219,6 +221,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e21_cms_heavy_hitters",
     "e24_hll_overlap",
     "j56_cdc_chunking",
+    "j3_knn_pq",
 )
 
 

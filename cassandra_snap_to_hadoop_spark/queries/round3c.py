@@ -1,0 +1,140 @@
+"""Round-3 late batch: the two remaining depth candidates from the
+round-2 verdict's "diminishing" list, built instead of deferred —
+
+  * j57 exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr pass): remove
+    every occurrence of any >= K-token span that appears more than once
+    anywhere in the corpus, and reassemble the surviving tokens in
+    order.  SQL-oracled end-to-end (cleaned-text md5 per document).
+  * j3_knn_pq product-quantization ANN (Jégou et al. 2011 / FAISS PQx):
+    sample-trained subspace codebooks, JVM-side encoding, asymmetric-
+    distance top-k.  Rows-only (learned codebooks are engine-specific);
+    encode parity and recall are pinned in tests/test_pq.py.
+
+Registered at the very end of the registry (behind the round-3 driver
+window and its insurance tail): both are mirror/test-verified this round
+and rotate toward the driver window with the round-4 re-ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.operators import pq
+from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+from cassandra_snap_to_hadoop_spark.operators.similarity import l2_normalize
+from cassandra_snap_to_hadoop_spark.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# Span length for the ExactSubstr pass.  The paper uses 50 BPE tokens on
+# web-scale corpora; the synthetic documents are short (tens of words), so
+# K=5 keeps the operator non-trivial here (sf0.01 has ~1.1k duplicated
+# 5-grams across ~2.3k occurrences) while the algorithm is length-generic.
+_K = 5
+
+
+@register(
+    "j57_exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split({_NORM}, ' ')) AS tok,
+               CAST(generate_subscripts(string_split({_NORM}, ' '), 1) - 1 AS BIGINT) AS pos
+        FROM documents
+    ), tk AS (
+        SELECT * FROM toks WHERE tok <> ''
+    ), grams AS (
+        SELECT doc, pos,
+               string_agg(tok, ' ') OVER (PARTITION BY doc ORDER BY pos
+                                          ROWS BETWEEN CURRENT ROW AND {_K - 1} FOLLOWING) AS gram,
+               COUNT(*) OVER (PARTITION BY doc) AS n
+        FROM tk
+    ), g AS (
+        SELECT doc, pos, gram FROM grams WHERE pos <= n - {_K}
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), occ AS (
+        SELECT doc, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+    ), covered AS (
+        SELECT DISTINCT o.doc, o.pos + s.off AS pos
+        FROM occ o, generate_series(0, {_K - 1}) AS s(off)
+    ), kept AS (
+        SELECT t.doc, t.pos, t.tok
+        FROM tk t LEFT JOIN covered c ON t.doc = c.doc AND t.pos = c.pos
+        WHERE c.doc IS NULL
+    ), agg AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc
+    ), tot AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY doc
+    )
+    SELECT d.doc_id AS doc,
+           COALESCE(t.n_tokens, 0) AS n_tokens,
+           COALESCE(t.n_tokens, 0) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM documents d
+    LEFT JOIN tot t ON t.doc = d.doc_id
+    LEFT JOIN agg a ON a.doc = d.doc_id
+    """,
+    survey="J57,J2",
+)
+def j57_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup: any K-token span occurring >= 2 times anywhere in
+    the corpus is removed from EVERY document that contains it; survivors
+    reassemble in original token order (value-checked via md5 of the
+    cleaned text, plus exact kept/removed token counts).
+
+    Spark-first shape vs the paper's single-node suffix array:
+
+      * K-gram generation is a codegen HOF over the token array (slice +
+        array_join inside transform) — one corpus scan, no Python;
+      * "span occurs twice" becomes ONE hash aggregate on md5(gram) — the
+        distributed stand-in for the suffix-array duplicate scan (the md5
+        keeps the shuffle key at 32 bytes regardless of K; collisions are
+        2^-64-improbable and would only over-remove);
+      * occurrence -> covered-token fan-out is a bounded explode (exactly
+        K rows per duplicated occurrence), then a left-anti hash join on
+        (doc, pos) filters the kept tokens — all equi-joins, no cartesian;
+      * reassembly is a per-doc sort-collect, the same order-preserving
+        pattern as j29's CCNet line dedup.
+
+    At 100 TB: raise K to the paper's 50, swap md5 for xxhash64 pairs if
+    32 B/gram is still too wide, and the shape is unchanged — the only
+    all-corpus structure is the gram-hash aggregate, which partial-agg
+    combines map-side.  Core in operators/dedup.py (exact_substring_dedup),
+    semantics pinned on synthetic frames in tests/test_llm_ops.py."""
+    d = Tables(spark, sf_dir).documents
+    return exact_substring_dedup(d, "doc_id", "text", k=_K)
+
+
+@register("j3_knn_pq", oracle=None, survey="J3")
+def j3_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (FAISS IndexPQ +
+    refine): 16 subspaces x 32 sub-centroids trained on a deterministic
+    md5-ordered sample, corpus encoded to 16 codes/vector JVM-side, each
+    of 8 query vectors shortlists 50 candidates by asymmetric distance
+    over the codes, then exact cosine re-scores only the shortlist for
+    top-5.  Rows-only by design (codebooks are learned); encode parity
+    with the numpy reference, ADC distance correctness, and recall vs
+    j3_knn_bruteforce are pinned in tests/test_pq.py.
+
+    Vectors are L2-normalized first (in-plan, codegen): on the unit sphere
+    squared L2 is 2-2*cos, so ADC ranking approximates the same cosine
+    order the exact j3 tiers use — without it, L2-vs-cosine disagreement
+    (not quantization error) dominates the ranking.  At 100 TB the
+    exhaustive pass touches only M bytes/vector of codes (~32x smaller
+    than raw doubles here) and the wide vectors are read back for just
+    q*shortlist rows via a broadcast equi join."""
+    e = Tables(spark, sf_dir).embeddings.withColumn(
+        "embedding", l2_normalize(F.col("embedding"))
+    )
+    books = pq.train_codebooks(e, m=16, ksub=32, sample_n=400, iters=8, seed=7)
+    coded = pq.encode(e, books).select("vec_id", "codes")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.adc_topk_rerank(coded, e, queries, books, k=5, shortlist=50)

@@ -289,3 +289,48 @@ def test_knn_arrow_tier_matches_hof_tier(spark, sf_dir):
     hof = sorted(map(tuple, R["j3_knn_bruteforce"].fn(spark, sf_dir).collect()))
     arrow = sorted(map(tuple, R["j3_knn_bruteforce_arrow"].fn(spark, sf_dir).collect()))
     assert hof == arrow
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Hand-computable ExactSubstr case, k=3:
+
+      doc 1: "a b c d e"       — shares span "b c d" (and "a b c", "c d e"
+      doc 2: "a b c d e"         by extension — identical doc) with doc 2;
+      doc 3: "x b c d y"       — contains "b c d", duplicated via 1/2;
+      doc 4: "p q r s t"       — unique, untouched;
+      doc 5: "u v"             — shorter than k, untouched.
+
+    Docs 1/2 lose everything (every position covered by a duplicated
+    3-gram); doc 3 loses b,c,d keeping "x y"; 4 and 5 keep all."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "A  b C d e"),  # normalizes identically to doc 1
+            (3, "x b c d y"),
+            (4, "p q r s t"),
+            (5, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc: r for r in exact_substring_dedup(df, "doc_id", "text", k=3).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[1].n_tokens, got[1].n_removed, got[1].cleaned_md5) == (5, 5, md5(""))
+    assert (got[2].n_tokens, got[2].n_removed, got[2].cleaned_md5) == (5, 5, md5(""))
+    assert (got[3].n_tokens, got[3].n_removed, got[3].cleaned_md5) == (5, 3, md5("x y"))
+    assert (got[4].n_tokens, got[4].n_removed, got[4].cleaned_md5) == (5, 0, md5("p q r s t"))
+    assert (got[5].n_tokens, got[5].n_removed, got[5].cleaned_md5) == (2, 0, md5("u v"))
+
+
+def test_exact_substring_dedup_no_duplicates_is_identity(spark):
+    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = exact_substring_dedup(df, "doc_id", "text", k=5).collect()
+    assert all(r.n_removed == 0 and r.n_tokens == 10 for r in out)
