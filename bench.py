@@ -43,6 +43,8 @@ HEADLINE = [
     # round-3 continuation: IR tier + event-analytics join/distinct shape
     "j50_inverted_index",
     "e22_cohort_retention",
+    # round-3 late depth batch: corpus-wide span dedup (gram agg + anti join)
+    "j57_exact_substring_dedup",
 ]
 
 N_RUNS = 3

@@ -486,3 +486,17 @@ def test_a23_scan_reads_only_touched_struct_leaves(spark, sf_dir):
     schema_line = read[0]
     assert "priority" in schema_line and "price" in schema_line, schema_line
     assert "status" not in schema_line, schema_line
+
+
+def test_j57_exact_substring_equi_joins_only(spark, sf_dir):
+    """ExactSubstr must stay hash-partitioned end to end: the dup-gram
+    filter is a SEMI join on the gram hash, kept tokens come from an ANTI
+    join on (doc, pos) — both equi joins (broadcast or shuffled-hash/SMJ,
+    never nested-loop), and the whole pipeline fits in a bounded shuffle
+    budget (gram agg, coverage distinct, reassembly agg + the fan_out
+    repartitions of the re-derived base)."""
+    df = REGISTRY["j57_exact_substring_dedup"].fn(spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert count_shuffles(df) <= 8, p

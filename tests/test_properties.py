@@ -350,3 +350,61 @@ def test_width_bucket_floor_law(sparkm, xs):
     ).collect()
     for r in rows:
         assert r.wb == r.manual
+
+
+def _ref_exact_substring_dedup(texts: list[str], k: int):
+    """Pure-Python reference for operators.dedup.exact_substring_dedup:
+    same normalize -> k-gram -> global-dup -> cover -> reassemble law."""
+    import hashlib
+    import re as _re
+
+    toks = [
+        [t for t in _re.sub(r"\s+", " ", s.lower()).strip().split(" ") if t]
+        for s in texts
+    ]
+    from collections import Counter
+
+    grams = Counter()
+    for tk in toks:
+        for i in range(len(tk) - k + 1):
+            grams[" ".join(tk[i : i + k])] += 1
+    out = []
+    for doc, tk in enumerate(toks):
+        covered = set()
+        for i in range(len(tk) - k + 1):
+            if grams[" ".join(tk[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        out.append(
+            (
+                doc,
+                len(tk),
+                len(tk) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    return sorted(out)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    k=st.integers(2, 4),
+)
+def test_exact_substring_dedup_matches_python_reference(sparkm, texts, k):
+    """The distributed ExactSubstr (gram-hash agg + coverage anti-join)
+    must agree with a direct quadratic Python restatement on arbitrary
+    short corpora — including all-duplicate, all-unique, empty-text and
+    shorter-than-k documents."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+
+    df = sparkm.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc, r.n_tokens, r.n_removed, r.cleaned_md5)
+        for r in exact_substring_dedup(df, "doc_id", "text", k=k).collect()
+    )
+    assert got == _ref_exact_substring_dedup(texts, k)

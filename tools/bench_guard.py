@@ -41,6 +41,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "f14_rolling_zscore": 0.47,
     "j50_inverted_index": 1.07,
     "e22_cohort_retention": 0.57,
+    "j57_exact_substring_dedup": 0.57,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan

@@ -198,8 +198,17 @@ def main() -> None:
             .filter(F.col("df_ab") >= 5)
         )
 
+    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        # Exact replicas are j57's WORST case: every gram becomes duplicated,
+        # so the coverage explode + distinct + anti join touch every token.
+        (
+            "exact-substring-dedup",
+            lambda: exact_substring_dedup(d1, "doc_id", "text", 5),
+            lambda: exact_substring_dedup(dN, "doc_id", "text", 5),
+        ),
         ("pmi-pairs", lambda: pmi_shape(d1), lambda: pmi_shape(dN)),
         (
             "inverted-index",
