@@ -10,7 +10,7 @@ sees it.
     python tools/plain_sweep.py [sf_dir] [name1,name2,...]
 
 Prints one line per query (rows or the exception head) and exits nonzero
-on any failure.  Wall-clock note: the full registry at sf0.01 is ~10 min
+on any failure.  Wall-clock note: the full registry at sf0.01 is ~2.5 min
 on this box; pass a name list for a targeted re-check.
 """
 
