@@ -209,6 +209,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "b11_static_columns",
     "b12_range_tombstones",
     "j57_exact_substring_dedup",
+    "d19_pit_scd2_join",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -11,8 +11,12 @@ round-2 verdict's "diminishing" list, built instead of deferred —
     distance top-k.  Rows-only (learned codebooks are engine-specific);
     encode parity and recall are pinned in tests/test_pq.py.
 
+  * d19 point-in-time (PIT) join: facts enriched with the dimension
+    state valid AT their timestamp — the feature-store leakage rule —
+    as a join-free merged-stream window.  SQL-oracled.
+
 Registered at the very end of the registry (behind the round-3 driver
-window and its insurance tail): both are mirror/test-verified this round
+window and its insurance tail): all are mirror/test-verified this round
 and rotate toward the driver window with the round-4 re-ordering.
 """
 
@@ -20,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.operators import pq
@@ -138,3 +143,85 @@ def j3_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq.adc_topk_rerank(coded, e, queries, books, k=5, shortlist=50)
+
+
+@register(
+    "d19_pit_scd2_join",
+    oracle="""
+    WITH st AS (
+        SELECT user_id, ts, event_id, event_type AS state,
+               CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        FROM events WHERE event_type <> 'purchase'
+    ), p AS (
+        SELECT user_id, event_id, ts, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT p.user_id, p.event_id AS purchase_event_id,
+               s.state, s.ts_ms AS s_ms,
+               row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                  ORDER BY s.ts DESC, s.event_id DESC) AS rn
+        FROM p JOIN st s ON s.user_id = p.user_id
+         AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id < p.event_id))
+    )
+    SELECT p.user_id, p.event_id AS purchase_event_id, p.ts_ms AS purchase_ts_ms,
+           COALESCE(r.state, 'unknown') AS state_at_purchase,
+           COALESCE(r.s_ms, -1) AS state_since_ms
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.user_id = p.user_id AND r.purchase_event_id = p.event_id
+    """,
+    survey="D19,D7,B9",
+)
+def d19_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store correctness pattern:
+    each fact (purchase) is enriched with the dimension state that was
+    valid AT its timestamp, never a later one (the leakage rule).  Dim
+    updates are the user's non-purchase events; "valid at t" means the
+    last update strictly before the fact in (ts, event_id) order; facts
+    before any update report 'unknown'.
+
+    Spark-first shape: ZERO joins.  Dim updates and facts merge into one
+    stream (the d17/b9 family trick), ONE hash(user_id) exchange sorts it,
+    and last_value(ignore nulls) over the running frame carries the state
+    onto each fact row.  The oracle restates it independently as the
+    quadratic interval join + per-fact rank.  At 100 TB, when dim and
+    facts are separate tables, the same plan applies after a unionByName —
+    both inputs shuffle once on the entity key, which is the floor for
+    any temporally-correct enrichment; no row ever compares against more
+    than its own entity's history."""
+    e = Tables(spark, sf_dir).events
+    states = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("fact_id"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("fact_id"),
+    )
+    merged = states.unionByName(facts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur_state = F.last("state", ignorenulls=True).over(w)
+    cur_since = F.last(
+        F.when(F.col("state").isNotNull(), F.unix_millis("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("st", cur_state)
+        .withColumn("since", cur_since)
+        .filter(F.col("fact_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("fact_id").alias("purchase_event_id"),
+            F.unix_millis("ts").alias("purchase_ts_ms"),
+            F.coalesce("st", F.lit("unknown")).alias("state_at_purchase"),
+            F.coalesce("since", F.lit(-1)).alias("state_since_ms"),
+        )
+    )

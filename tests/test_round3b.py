@@ -625,3 +625,58 @@ def test_bm25_more_occurrences_scores_higher_same_length(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_query_terms <= 3
         assert r.bm25_unats > 0
+
+
+def test_d19_pit_join_is_join_free_single_exchange(spark, sf_dir):
+    """The PIT enrichment must be the merged-stream formulation: zero join
+    operators, one hash(user_id) exchange feeding the running window."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import count_shuffles, plan_string
+
+    df = REGISTRY["d19_pit_scd2_join"].fn(spark, sf_dir)
+    p = plan_string(df, "simple")
+    assert "Join" not in p, p
+    assert count_shuffles(df) == 1, p
+
+
+def test_d19_pit_join_no_leakage_and_tie_rule(spark, tmp_path):
+    """Hand-checkable PIT semantics on a staged mini events table:
+      u1: state A @10, purchase @20 (-> A), state B @30, purchase @40 (-> B)
+      u2: purchase @5 before any state -> 'unknown'
+      u3: state C @10(id=1), purchase @10(id=2) -> C (same-ts, smaller id
+          applies); state D @10(id=3) must NOT leak into the purchase.
+    """
+    import datetime as dt
+
+    from cassandra_snap_to_hadoop_spark.io import load
+    from cassandra_snap_to_hadoop_spark.queries import round3c
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, ts(10), 100, "view", 0.0, None),
+        (2, ts(20), 100, "purchase", 1.0, None),
+        (3, ts(30), 100, "error", 0.0, None),
+        (4, ts(40), 100, "purchase", 1.0, None),
+        (5, ts(5), 200, "purchase", 1.0, None),
+        (1001, ts(10), 300, "click", 0.0, None),
+        (1002, ts(10), 300, "purchase", 1.0, None),
+        (1003, ts(10), 300, "signup", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "events_pit")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r.purchase_event_id: r
+        for r in round3c.d19_pit_scd2_join(spark, d).collect()
+    }
+    assert out[2].state_at_purchase == "view"
+    assert out[4].state_at_purchase == "error"
+    assert out[5].state_at_purchase == "unknown" and out[5].state_since_ms == -1
+    assert out[1002].state_at_purchase == "click"  # id 1003's signup must not leak
