@@ -210,6 +210,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "b12_range_tombstones",
     "j57_exact_substring_dedup",
     "d19_pit_scd2_join",
+    "e26_multitouch_attribution",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -225,3 +225,95 @@ def d19_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("since", F.lit(-1)).alias("state_since_ms"),
         )
     )
+
+
+@register(
+    "e26_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS pid, ts AS pts,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS vmicro
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, event_id AS sid, ts AS sts, event_type AS channel
+        FROM events WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+        SELECT p.pid, p.vmicro, s.channel, s.sts, s.sid
+        FROM p JOIN s ON s.user_id = p.user_id
+         AND s.sts < p.pts AND s.sts >= p.pts - INTERVAL 24 HOUR
+    ), att AS (
+        SELECT channel,
+               vmicro // COUNT(*) OVER (PARTITION BY pid)
+               + CASE WHEN row_number() OVER (PARTITION BY pid ORDER BY sts, sid) = 1
+                      THEN vmicro % COUNT(*) OVER (PARTITION BY pid) ELSE 0 END AS micro
+        FROM pairs
+    ), direct AS (
+        SELECT 'direct' AS channel, vmicro AS micro
+        FROM p WHERE pid NOT IN (SELECT pid FROM pairs)
+    ), u AS (
+        SELECT * FROM att UNION ALL SELECT * FROM direct
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_assignments,
+           CAST(SUM(micro) AS BIGINT) AS attributed_micro
+    FROM u GROUP BY channel
+    """,
+    survey="E26,D6,F1",
+)
+def e26_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across its view/click touchpoints in the 24 h strictly before
+    it (same user); purchases with no touchpoint credit a 'direct'
+    channel.  Completes the event-attribution family — k6 answers "which
+    touch was FIRST", e14 "did the funnel convert", this answers "how
+    much revenue does each channel get credit for".
+
+    Exactness: value quantizes to micro-cents ONCE (both engines round
+    the same double product), shares are integer division, and the
+    remainder goes to the earliest touch — so per-channel totals are
+    exact integers and the conservation law sum(attributed) ==
+    sum(purchase micro-value) holds bit-for-bit (test-pinned).
+
+    Scale shape: the touch window is an equi join on user_id with a range
+    predicate — per-user candidates only, never cross-user; the per-
+    purchase count/rank windows cluster on purchase id (a subset of the
+    join output's partitioning); 'direct' is a broadcast-able anti join.
+    A hot user with millions of events salts on time buckets exactly like
+    d11/d16 — the 24 h bound makes (user, day) a natural co-key."""
+    e = Tables(spark, sf_dir).events
+    vmicro = F.round(F.col("value") * 1_000_000).cast("long")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        vmicro.alias("vmicro"),
+    )
+    s = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("sid"),
+        F.col("ts").alias("sts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = p.join(s, "user_id").filter(
+        (F.col("sts") < F.col("pts"))
+        & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    w_n = Window.partitionBy("pid")
+    w_rn = Window.partitionBy("pid").orderBy("sts", "sid")
+    att = pairs.withColumn("n", F.count("*").over(w_n)).withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    micro = F.expr("vmicro DIV n") + F.when(
+        F.col("rn") == 1, F.col("vmicro") % F.col("n")
+    ).otherwise(F.lit(0))
+    touched = att.select("channel", micro.alias("micro"))
+    direct = p.join(pairs.select("pid").distinct(), "pid", "left_anti").select(
+        F.lit("direct").alias("channel"), F.col("vmicro").alias("micro")
+    )
+    return (
+        touched.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_assignments"),
+            F.sum("micro").alias("attributed_micro"),
+        )
+    )

@@ -680,3 +680,20 @@ def test_d19_pit_join_no_leakage_and_tie_rule(spark, tmp_path):
     assert out[4].state_at_purchase == "error"
     assert out[5].state_at_purchase == "unknown" and out[5].state_since_ms == -1
     assert out[1002].state_at_purchase == "click"  # id 1003's signup must not leak
+
+
+def test_e26_attribution_conserves_value_exactly(spark, sf_dir):
+    """Conservation law: every micro-cent of every purchase lands in
+    exactly one channel bucket — integer shares + remainder-to-earliest
+    means the totals match bit-for-bit, not approximately."""
+    out = REGISTRY["e26_multitouch_attribution"].fn(spark, sf_dir).collect()
+    assert {r.channel for r in out} <= {"view", "click", "direct"}
+    attributed = sum(r.attributed_micro for r in out)
+    total = (
+        Tables(spark, sf_dir)
+        .events.filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert attributed == total, (attributed, total)
