@@ -224,6 +224,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
+    "e27_hll_distinct_to_date",
 )
 
 

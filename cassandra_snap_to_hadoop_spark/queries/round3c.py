@@ -317,3 +317,39 @@ def e26_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").alias("attributed_micro"),
         )
     )
+
+
+@register("e27_hll_distinct_to_date", oracle=None, survey="E27,E4,E12")
+def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day ("users to date") by MERGING
+    per-day HLL sketches — the pattern that makes running-distinct cheap
+    at 100 TB: each day persists one KB-sized sketch next to its
+    partition, and any as-of-day distinct count is a union over <=365
+    sketches of pre-aggregated state, never a rescan of raw events.
+    (f9_running_distinct is the small-cardinality exact twin; this is the
+    sketch tier for cardinalities where exact per-key state can't fit.)
+
+    Shape: ONE hash agg builds the 30 daily sketches (map-side partial
+    merge — sketch buffers combine before the shuffle); the cumulative
+    union is a triangular join OVER THE 30-ROW AGGREGATE (b.day <=
+    a.day), bounded by days^2, nowhere near the fact table.  Rows-only by
+    design (estimates are engine-specific); monotonicity and a 5%
+    error bound vs the exact cumulative distinct are test-pinned."""
+    e = Tables(spark, sf_dir).events
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    )
+    a = daily.select(F.col("day").alias("day"))
+    b = daily.select(F.col("day").alias("bday"), "sk")
+    return (
+        a.join(b, F.col("bday") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("est_users_to_date")
+        )
+        .select(F.col("day").cast("string").alias("day"), "est_users_to_date")
+    )

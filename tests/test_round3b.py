@@ -697,3 +697,30 @@ def test_e26_attribution_conserves_value_exactly(spark, sf_dir):
         .t
     )
     assert attributed == total, (attributed, total)
+
+
+def test_e27_distinct_to_date_monotone_and_accurate(spark, sf_dir):
+    """Cumulative HLL estimates must be monotone non-decreasing (union
+    registers only grow) and the final day's estimate must sit within 5%
+    of the exact all-time distinct-user count."""
+    rows = sorted(
+        REGISTRY["e27_hll_distinct_to_date"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ests = [r.est_users_to_date for r in rows]
+    assert all(b >= a for a, b in zip(ests, ests[1:])), ests
+    exact = (
+        Tables(spark, sf_dir)
+        .events.select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(ests[-1] - exact) <= 0.05 * exact, (ests[-1], exact)
+    # exact cumulative check on the first day too: day-1 cumulative == day-1 daily
+    e = Tables(spark, sf_dir).events
+    day1 = rows[0].day
+    exact_d1 = (
+        e.filter(F.to_date("ts").cast("string") <= day1)
+        .select("user_id").distinct().count()
+    )
+    assert abs(ests[0] - exact_d1) <= max(2, 0.05 * exact_d1), (ests[0], exact_d1)
