@@ -211,6 +211,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j57_exact_substring_dedup",
     "d19_pit_scd2_join",
     "e26_multitouch_attribution",
+    "j58_weighted_sample",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

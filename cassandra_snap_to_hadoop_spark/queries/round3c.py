@@ -353,3 +353,55 @@ def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("string").alias("day"), "est_users_to_date")
     )
+
+
+@register(
+    "j58_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, GREATEST(n_chars, 1) AS w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS v
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, CAST(w AS BIGINT) AS weight,
+               -ln((v + 1) / 281474976710656.0) / w AS key
+        FROM keyed
+    ), top AS (
+        SELECT doc_id, weight, key FROM scored ORDER BY key, doc_id LIMIT 100
+    )
+    SELECT doc_id, weight, ROUND(key, 12) AS sample_key,
+           CAST(row_number() OVER (ORDER BY key, doc_id) AS INTEGER) AS rn
+    FROM top
+    """,
+    survey="J58,J22,G1",
+)
+def j58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each document draws key = -ln(u)/w (u uniform, w = byte length) and
+    the k smallest keys form an exact weighted sample — the principled
+    version of "sample proportionally to document size/quality" that
+    Bernoulli tiers (j22/j43) can't provide, because inclusion
+    probabilities track weights WITHOUT replacement.
+
+    Determinism is the whole point of the formulation here: u comes from
+    the md5 of the document id (first 48 bits, parsed identically by both
+    engines — verified digit-for-digit), so re-runs, retries, and
+    incremental ingests select the identical sample; rand() would not
+    survive any of those.  Scale shape: key is a codegen map over one
+    scan, selection is orderBy+limit => TakeOrderedAndProject (per-
+    partition top-k, no global sort, no single-partition window); the
+    dense rank is a window over the 100 SELECTED rows only.  The only
+    cross-engine float risk is two keys within ~1e-15 flipping rank —
+    the accepted measure-zero class (NEXT.md)."""
+    d = Tables(spark, sf_dir).documents
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    key = -F.log((v + F.lit(1)) / F.lit(281474976710656.0)) / w
+    scored = d.select(F.col("doc_id"), w.alias("weight"), key.alias("key"))
+    top = scored.orderBy("key", "doc_id").limit(100)
+    rn = F.row_number().over(Window.orderBy("key", "doc_id")).cast("int")
+    return top.select(
+        "doc_id", "weight", F.round("key", 12).alias("sample_key"), rn.alias("rn")
+    )

@@ -724,3 +724,24 @@ def test_e27_distinct_to_date_monotone_and_accurate(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert abs(ests[0] - exact_d1) <= max(2, 0.05 * exact_d1), (ests[0], exact_d1)
+
+
+def test_j58_weighted_sample_biases_toward_weight_and_scales(spark, sf_dir):
+    """A-ES selection must (a) overrepresent heavy documents — the mean
+    weight of the sample exceeds the corpus mean — and (b) plan as
+    TakeOrderedAndProject (per-partition top-k), not a global sort or a
+    single-partition window over the full corpus."""
+    from cassandra_snap_to_hadoop_spark.plans.explain import plan_string
+
+    df = REGISTRY["j58_weighted_sample"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+    rows = df.collect()
+    assert len(rows) == 100 and sorted(r.rn for r in rows) == list(range(1, 101))
+    sel_mean = sum(r.weight for r in rows) / len(rows)
+    corpus_mean = (
+        Tables(spark, sf_dir)
+        .documents.agg(F.avg(F.greatest(F.col("n_chars").cast("long"), F.lit(1))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
