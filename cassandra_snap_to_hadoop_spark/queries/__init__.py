@@ -212,6 +212,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "d19_pit_scd2_join",
     "e26_multitouch_attribution",
     "j58_weighted_sample",
+    "e28_robust_mean",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

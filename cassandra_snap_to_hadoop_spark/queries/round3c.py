@@ -405,3 +405,76 @@ def j58_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "weight", F.round("key", 12).alias("sample_key"), rn.alias("rn")
     )
+
+
+@register(
+    "e28_robust_mean",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS vmicro, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(value * 1000000), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), k AS (
+        SELECT *, CAST((n * 5) // 100 AS BIGINT) AS kk FROM v
+    ), bounds AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = kk + 1 THEN vmicro END) AS lo,
+               MAX(CASE WHEN rn = n - kk THEN vmicro END) AS hi
+        FROM k GROUP BY event_type
+    )
+    SELECT k.event_type,
+           CAST(MAX(k.n) AS BIGINT) AS n,
+           CAST(MAX(k.kk) AS BIGINT) AS n_trimmed_each_side,
+           CAST(SUM(CASE WHEN k.rn > k.kk AND k.rn <= k.n - k.kk
+                         THEN k.vmicro ELSE 0 END) AS BIGINT) AS trimmed_sum_micro,
+           CAST(SUM(LEAST(GREATEST(k.vmicro, b.lo), b.hi)) AS BIGINT) AS winsor_sum_micro
+    FROM k JOIN bounds b ON b.event_type = k.event_type
+    GROUP BY k.event_type
+    """,
+    survey="E28,E5,E6",
+)
+def e28_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation tier: 5% trimmed and winsorized sums per event
+    type — the outlier-resistant means metric pipelines use where plain
+    AVG is one fat-finger away from garbage (e5 gives the classical
+    moments, e6 the percentiles; this is the robust-ESTIMATOR family).
+    Trimming DROPS the k = floor(5% of n) smallest/largest observations;
+    winsorizing CLAMPS them to the surviving boundary values.
+
+    Exactness: observations quantize to micro-cents once, trim membership
+    is integer rank arithmetic on the unique (value, event_id) order, and
+    the outputs are INTEGER SUMS (divide at presentation) — so two
+    engines cannot drift on boundary membership or accumulation order.
+    Scale: one hash(event_type) exchange feeds the rank window; the
+    trim/clamp bounds are a 5-row aggregate broadcast back; everything
+    else is map-side.  Skewed group sizes salt like e15."""
+    e = Tables(spark, sf_dir).events
+    vmicro = F.round(F.col("value") * 1_000_000).cast("long")
+    w_rank = Window.partitionBy("event_type").orderBy(vmicro, "event_id")
+    w_all = Window.partitionBy("event_type")
+    v = e.select(
+        "event_type",
+        vmicro.alias("vmicro"),
+        "event_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    ).withColumn("kk", F.expr("(n * 5) DIV 100"))
+    bounds = v.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("kk") + 1, F.col("vmicro"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("kk"), F.col("vmicro"))).alias("hi"),
+    )
+    joined = v.join(F.broadcast(bounds), "event_type")
+    keep = (F.col("rn") > F.col("kk")) & (F.col("rn") <= F.col("n") - F.col("kk"))
+    return joined.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("kk").cast("long").alias("n_trimmed_each_side"),
+        F.sum(F.when(keep, F.col("vmicro")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("trimmed_sum_micro"),
+        F.sum(F.least(F.greatest(F.col("vmicro"), F.col("lo")), F.col("hi")))
+        .cast("long")
+        .alias("winsor_sum_micro"),
+    )

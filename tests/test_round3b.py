@@ -745,3 +745,30 @@ def test_j58_weighted_sample_biases_toward_weight_and_scales(spark, sf_dir):
         .m
     )
     assert sel_mean > corpus_mean, (sel_mean, corpus_mean)
+
+
+def test_e28_robust_mean_matches_python_recompute(spark, sf_dir):
+    """Exact recompute of the trim/winsorize arithmetic in plain Python
+    for every group — boundary membership (the DuckDB round-on-cast trap
+    this query's oracle originally hit) has no room to drift."""
+    out = {r.event_type: r for r in REGISTRY["e28_robust_mean"].fn(spark, sf_dir).collect()}
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", F.round(F.col("value") * 1_000_000).cast("long").alias("v"), "event_id")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((r.v, r.event_id))
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = (n * 5) // 100
+        mid = [v for v, _ in vals[k : n - k]]
+        lo, hi = vals[k][0], vals[n - k - 1][0]
+        wins = sum(min(max(v, lo), hi) for v, _ in vals)
+        got = out[et]
+        assert (got.n, got.n_trimmed_each_side) == (n, k), (et, got)
+        assert got.trimmed_sum_micro == sum(mid), et
+        assert got.winsor_sum_micro == wins, et
+        assert got.winsor_sum_micro >= got.trimmed_sum_micro  # positive values
