@@ -213,6 +213,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e26_multitouch_attribution",
     "j58_weighted_sample",
     "e28_robust_mean",
+    "e29_gini_concentration",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

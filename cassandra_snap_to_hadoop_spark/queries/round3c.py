@@ -478,3 +478,60 @@ def e28_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("winsor_sum_micro"),
     )
+
+
+@register(
+    "e29_gini_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents
+    ), s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS total_chars,
+               CAST(SUM(i * x) AS BIGINT) AS rank_weighted_sum
+        FROM r GROUP BY source
+    )
+    SELECT source, n, total_chars, rank_weighted_sum,
+           ROUND(2.0 * rank_weighted_sum / (n * total_chars)
+                 - (n + 1.0) / n, 9) AS gini
+    FROM s
+    """,
+    survey="E29,E20",
+)
+def e29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document sizes per source — the corpus-
+    balance audit scalar: 0 = every doc the same size, ->1 = a few giants
+    hold all the bytes (e20's Pareto cut asks "who covers 80%", this
+    scores HOW concentrated the whole distribution is; j27/j37 are the
+    dup-size and drift analogues).
+
+    Exactness: the estimator G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n needs
+    only two INTEGER accumulators over the size-sorted sequence; ties
+    contribute the same total under any tie order (equal x across a fixed
+    rank set), so the unique (n_chars, doc_id) sort is deterministic and
+    the integers are engine-exact — the final double division happens
+    once, from identical integers.  Scale: one hash(source) exchange
+    feeds the rank window and the per-source aggregate (superset-
+    clustered, the f16 rule); nothing else moves."""
+    d = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    s = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("total_chars"),
+        F.sum(F.col("i") * F.col("x")).alias("rank_weighted_sum"),
+    )
+    gini = F.round(
+        2.0 * F.col("rank_weighted_sum") / (F.col("n") * F.col("total_chars"))
+        - (F.col("n") + 1.0) / F.col("n"),
+        9,
+    )
+    return s.select("source", "n", "total_chars", "rank_weighted_sum", gini.alias("gini"))

@@ -772,3 +772,24 @@ def test_e28_robust_mean_matches_python_recompute(spark, sf_dir):
         assert got.trimmed_sum_micro == sum(mid), et
         assert got.winsor_sum_micro == wins, et
         assert got.winsor_sum_micro >= got.trimmed_sum_micro  # positive values
+
+
+def test_e29_gini_matches_python_and_bounds(spark, sf_dir):
+    out = {r.source: r for r in REGISTRY["e29_gini_concentration"].fn(spark, sf_dir).collect()}
+    rows = (
+        Tables(spark, sf_dir)
+        .documents.select("source", F.col("n_chars").cast("long").alias("x"), "doc_id")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.source, []).append((r.x, r.doc_id))
+    for src, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        tot = sum(x for x, _ in vals)
+        rws = sum((i + 1) * x for i, (x, _) in enumerate(vals))
+        got = out[src]
+        assert (got.n, got.total_chars, got.rank_weighted_sum) == (n, tot, rws), src
+        assert 0.0 <= got.gini < 1.0, (src, got.gini)
+        assert abs(got.gini - (2.0 * rws / (n * tot) - (n + 1.0) / n)) < 1e-9
