@@ -1,23 +1,25 @@
-"""Round-3 late batch: the two remaining depth candidates from the
-round-2 verdict's "diminishing" list, built instead of deferred —
+"""Round-3 late batch — the two remaining depth candidates from the
+round-2 verdict plus a second wave of distinct analytics operators:
 
-  * j57 exact-substring dedup (Lee et al. 2022, "Deduplicating Training
-    Data Makes Language Models Better" — the ExactSubstr pass): remove
-    every occurrence of any >= K-token span that appears more than once
-    anywhere in the corpus, and reassemble the surviving tokens in
-    order.  SQL-oracled end-to-end (cleaned-text md5 per document).
-  * j3_knn_pq product-quantization ANN (Jégou et al. 2011 / FAISS PQx):
-    sample-trained subspace codebooks, JVM-side encoding, asymmetric-
-    distance top-k.  Rows-only (learned codebooks are engine-specific);
-    encode parity and recall are pinned in tests/test_pq.py.
-
-  * d19 point-in-time (PIT) join: facts enriched with the dimension
-    state valid AT their timestamp — the feature-store leakage rule —
-    as a join-free merged-stream window.  SQL-oracled.
+  * j57 exact-substring dedup (Lee et al. 2022 ExactSubstr): corpus-wide
+    duplicated-span removal with order-preserving reassembly.  SQL.
+  * j3_knn_pq product-quantization ANN (Jégou 2011 / FAISS IndexPQ +
+    refine): sample-trained codebooks, codegen encoding, ADC shortlist,
+    exact cosine re-rank.  Rows-only; parity/recall in tests/test_pq.py.
+  * d19 point-in-time (PIT) join: dimension state valid AT each fact's
+    timestamp (feature-store leakage rule) as a join-free merged-stream
+    window.  SQL.
+  * e26 multi-touch attribution: linear revenue split over the 24 h
+    touch window, micro-cent integer shares, conservation-law-pinned.
+  * e27 distinct-to-date via per-day HLL sketch merge.  Rows-only.
+  * j58 weighted sampling w/o replacement (Efraimidis-Spirakis A-ES)
+    with deterministic md5-derived keys.  SQL.
+  * e28 robust means: 5%% trimmed + winsorized integer sums.  SQL.
+  * e29 Gini concentration of per-source document sizes.  SQL.
 
 Registered at the very end of the registry (behind the round-3 driver
 window and its insurance tail): all are mirror/test-verified this round
-and rotate toward the driver window with the round-4 re-ordering.
+at sf0.001/0.01/0.1 and rotate toward the driver window in round 4.
 """
 
 from __future__ import annotations

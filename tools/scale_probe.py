@@ -200,6 +200,46 @@ def main() -> None:
 
     from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
 
+    def attribution_shape(e):
+        from pyspark.sql.window import Window as W
+
+        vmicro = F.round(F.col("value") * 1_000_000).cast("long")
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"), vmicro.alias("vm")
+        )
+        t = e.filter(F.col("event_type").isin("view", "click")).select(
+            "user_id", F.col("event_id").alias("sid"), F.col("ts").alias("sts"),
+            F.col("event_type").alias("channel")
+        )
+        pairs = p.join(t, "user_id").filter(
+            (F.col("sts") < F.col("pts"))
+            & (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        att = pairs.withColumn("n", F.count("*").over(W.partitionBy("pid"))).withColumn(
+            "rn", F.row_number().over(W.partitionBy("pid").orderBy("sts", "sid"))
+        )
+        micro = F.expr("vm DIV n") + F.when(F.col("rn") == 1, F.col("vm") % F.col("n")).otherwise(0)
+        return att.select("channel", micro.alias("m")).groupBy("channel").agg(F.sum("m").alias("s"))
+
+    def pit_shape(e):
+        from pyspark.sql.window import Window as W
+
+        st = e.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("fid")
+        )
+        fc = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", F.lit(None).cast("string").alias("state"),
+            F.col("event_id").alias("fid")
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        return (
+            st.unionByName(fc)
+            .withColumn("s", F.last("state", ignorenulls=True).over(w))
+            .filter(F.col("fid").isNotNull())
+            .groupBy("s").agg(F.count("*").alias("n"))
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         # Exact replicas are j57's WORST case: every gram becomes duplicated,
@@ -221,6 +261,11 @@ def main() -> None:
             lambda: interval_union_shape(oN),
         ),
         ("cohort-retention", lambda: cohort_shape(e1), lambda: cohort_shape(eN)),
+        # NOTE: amplified replicas multiply PER-USER event counts (user ids
+        # are remapped per replica, so per-user density stays 1x and the
+        # touch-window candidate volume stays linear — the claim at stake).
+        ("attribution-window-join", lambda: attribution_shape(e1), lambda: attribution_shape(eN)),
+        ("pit-merged-stream", lambda: pit_shape(e1), lambda: pit_shape(eN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
         (
