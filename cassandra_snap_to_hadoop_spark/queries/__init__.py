@@ -214,6 +214,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j58_weighted_sample",
     "e28_robust_mean",
     "e29_gini_concentration",
+    "j59_reciprocal_nn",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

