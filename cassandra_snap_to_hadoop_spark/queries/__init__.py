@@ -215,6 +215,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e28_robust_mean",
     "e29_gini_concentration",
     "j59_reciprocal_nn",
+    "e30_equidepth_histogram",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

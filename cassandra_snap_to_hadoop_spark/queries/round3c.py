@@ -593,3 +593,47 @@ def j59_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qa") < F.col("qb"))
         .select(F.col("qa").alias("id_a"), F.col("qb").alias("id_b"), F.round("cos", 4).alias("cos"))
     )
+
+
+@register(
+    "e30_equidepth_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               ntile(16) OVER (ORDER BY ROUND(l_extendedprice * 100),
+                               l_orderkey, l_linenumber) AS bucket
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM v GROUP BY bucket
+    """,
+    survey="E30,E18,E6",
+)
+def e30_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of lineitem prices: 16 buckets of (near-)equal
+    row count with their value boundaries — the optimizer-statistics /
+    data-profiling counterpart of e18's equi-WIDTH histogram (equal-range
+    buckets say nothing useful about skewed columns; equal-count buckets
+    ARE the quantile structure).  ntile membership is integer arithmetic
+    over a UNIQUE total order (cents, orderkey, linenumber), and both
+    engines implement the SQL-standard first-(n mod k)-buckets-get-one-
+    extra rule, so bucket assignment is engine-exact — no float
+    percentile interpolation anywhere (e6 is the interpolating tier).
+
+    Scale note: a global ntile is a single total order — fine for
+    profiling runs, but the 100 TB path computes approximate quantile
+    boundaries first (e6's approx twin) and assigns buckets with a
+    broadcast range lookup, one scan, no global sort; this exact tier is
+    the oracle for that path's calibration."""
+    li = Tables(spark, sf_dir).lineitem
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = Window.orderBy(cents, "l_orderkey", "l_linenumber")
+    v = li.select(cents.alias("cents"), F.ntile(16).over(w).alias("bucket"))
+    return v.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    ).select(F.col("bucket").cast("int").alias("bucket"), "n", "lo_cents", "hi_cents")

@@ -809,3 +809,21 @@ def test_j59_reciprocal_nn_is_a_matching(spark, sf_dir):
         seen.add(r.id_a)
         seen.add(r.id_b)
     assert rows, "fixture should produce at least one mutual pair"
+
+
+def test_e30_equidepth_invariants(spark, sf_dir):
+    """Bucket law: counts differ by at most 1 (first buckets absorb the
+    remainder), boundaries are non-overlapping and ordered, and the
+    counts sum to the table size."""
+    rows = sorted(
+        REGISTRY["e30_equidepth_histogram"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, 17))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sorted(counts, reverse=True) == counts  # remainder goes to the front
+    total = Tables(spark, sf_dir).lineitem.count()
+    assert sum(counts) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo_cents <= a.hi_cents <= b.lo_cents
