@@ -216,6 +216,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e29_gini_concentration",
     "j59_reciprocal_nn",
     "e30_equidepth_histogram",
+    "f20_mad_outliers",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -637,3 +637,83 @@ def e30_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     ).select(F.col("bucket").cast("int").alias("bucket"), "n", "lo_cents", "hi_cents")
+
+
+@register(
+    "f20_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(value * 100), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), med AS (
+        SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+        FROM v GROUP BY event_type
+    ), dev AS (
+        SELECT v.event_type, v.cents, ABS(v.cents - m.med) AS d, v.event_id, m.med,
+               row_number() OVER (PARTITION BY v.event_type
+                                  ORDER BY ABS(v.cents - m.med), v.event_id) AS drn,
+               COUNT(*) OVER (PARTITION BY v.event_type) AS n
+        FROM v JOIN med m ON m.event_type = v.event_type
+    ), mad AS (
+        SELECT event_type, MAX(med) AS med,
+               MAX(CASE WHEN drn = (n + 1) // 2 THEN d END) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(MAX(m.med) AS BIGINT) AS median_cents,
+           CAST(MAX(m.mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    survey="F20,F14,E23",
+)
+def f20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type — the
+    ROBUST anomaly gate (f14's z-score uses mean/stddev, which the
+    outliers being hunted contaminate; median/MAD have a 50% breakdown
+    point).  Flags observations with |x - median| > 3*MAD.
+
+    Everything is integer arithmetic: cents quantization, lower-median
+    selection at rank (n+1) DIV 2 over the unique (value, id) order for
+    BOTH the median and the MAD, and an integer threshold compare — no
+    float percentile, no variance accumulation, nothing to drift.
+    Scale: both rank windows and both aggregates cluster on event_type
+    (ONE exchange reused down the chain); the 5-row median/MAD relations
+    broadcast back for the deviation and threshold passes."""
+    e = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    w_rank = Window.partitionBy("event_type").orderBy(cents, "event_id")
+    w_all = Window.partitionBy("event_type")
+    v = e.select(
+        "event_type", cents.alias("cents"), "event_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))).alias("med")
+    )
+    dv = v.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med"))
+    )
+    w_drank = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dev = dv.withColumn("drn", F.row_number().over(w_drank))
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) DIV 2"), F.col("d"))).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -827,3 +827,26 @@ def test_e30_equidepth_invariants(spark, sf_dir):
     assert sum(counts) == total
     for a, b in zip(rows, rows[1:]):
         assert a.lo_cents <= a.hi_cents <= b.lo_cents
+
+
+def test_f20_mad_matches_python_recompute(spark, sf_dir):
+    import statistics
+
+    out = {r.event_type: r for r in REGISTRY["f20_mad_outliers"].fn(spark, sf_dir).collect()}
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"), "event_id")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append((r.c, r.event_id))
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1][0]  # lower median, 1-indexed rank
+        devs = sorted(abs(c - med) for c, _ in vals)
+        mad = devs[(n + 1) // 2 - 1]
+        n_out = sum(1 for d in devs if d > 3 * mad)
+        got = out[et]
+        assert (got.median_cents, got.mad_cents, got.n_outliers, got.n) == (med, mad, n_out, n), et
