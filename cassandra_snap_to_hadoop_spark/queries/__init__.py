@@ -217,6 +217,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j59_reciprocal_nn",
     "e30_equidepth_histogram",
     "f20_mad_outliers",
+    "e31_wilson_ci",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -717,3 +717,62 @@ def f20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "e31_wilson_ci",
+    oracle="""
+    WITH u AS (
+        SELECT user_id % 10 AS bucket,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS k
+        FROM u GROUP BY bucket
+    )
+    SELECT bucket, n, k,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n + 0.9604 / (n * n * 1.0)))
+                 / (1 + 3.8416 / n), 9) AS ci_lo,
+           ROUND((k * 1.0 / n + 1.9208 / n
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n + 0.9604 / (n * n * 1.0)))
+                 / (1 + 3.8416 / n), 9) AS ci_hi
+    FROM agg
+    """,
+    survey="E31,E11",
+)
+def e31_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval on per-cohort conversion
+    rates — the experiment-analytics primitive that makes small-sample
+    rates honest (the naive Wald interval collapses to width zero at
+    k=0 or k=n; Wilson stays calibrated).  Cohorts are user-id buckets;
+    a user converts if they ever purchased.
+
+    Cross-engine exactness without an accepted-risk entry: the only
+    inputs are INTEGERS (k converters, n users) — both engines then
+    evaluate the identical closed-form expression (z=1.96 constants
+    folded to literals) in IEEE doubles, where +,*,/ and sqrt are all
+    correctly-rounded operations, so the doubles agree bit-for-bit, not
+    just to tolerance.  Scale: two hash aggregates (user → cohort), the
+    first with map-side combine over the conversion flag; nothing else."""
+    e = Tables(spark, sf_dir).events
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted")
+    ).select((F.col("user_id") % 10).alias("bucket"), "converted")
+    agg = u.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    nn = F.col("n") * 1.0
+    center = p + 1.9208 / nn
+    half = 1.96 * F.sqrt(p * (1 - p) / nn + 0.9604 / (nn * nn))
+    denom = 1 + 3.8416 / nn
+    return agg.select(
+        "bucket",
+        "n",
+        "k",
+        F.round((center - half) / denom, 9).alias("ci_lo"),
+        F.round((center + half) / denom, 9).alias("ci_hi"),
+    )

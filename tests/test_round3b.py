@@ -850,3 +850,18 @@ def test_f20_mad_matches_python_recompute(spark, sf_dir):
         n_out = sum(1 for d in devs if d > 3 * mad)
         got = out[et]
         assert (got.median_cents, got.mad_cents, got.n_outliers, got.n) == (med, mad, n_out, n), et
+
+
+def test_e31_wilson_ci_brackets_rate_and_matches_python(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["e31_wilson_ci"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        p = r.k / r.n
+        assert 0.0 <= r.ci_lo <= p <= r.ci_hi <= 1.0, r
+        center = p + 1.9208 / r.n
+        half = 1.96 * math.sqrt(p * (1 - p) / r.n + 0.9604 / (r.n * r.n))
+        denom = 1 + 3.8416 / r.n
+        assert abs(r.ci_lo - round((center - half) / denom, 9)) < 1e-9, r
+        assert abs(r.ci_hi - round((center + half) / denom, 9)) < 1e-9, r
