@@ -218,6 +218,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "e30_equidepth_histogram",
     "f20_mad_outliers",
     "e31_wilson_ci",
+    "f22_peak_concurrency",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

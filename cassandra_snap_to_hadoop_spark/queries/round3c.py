@@ -776,3 +776,57 @@ def e31_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 9).alias("ci_lo"),
         F.round((center + half) / denom, 9).alias("ci_hi"),
     )
+
+
+@register(
+    "f22_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000 AS BIGINT) AS lo,
+               CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000 AS BIGINT)
+                 + 1 + o_orderkey % 20 AS hi
+        FROM orders
+    ), deltas AS (
+        SELECT lo AS day, CAST(COUNT(*) AS BIGINT) AS delta FROM iv GROUP BY lo
+        UNION ALL
+        SELECT hi AS day, -CAST(COUNT(*) AS BIGINT) AS delta FROM iv GROUP BY hi
+    ), merged AS (
+        SELECT day, SUM(delta) AS delta FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_open
+    FROM merged
+    """,
+    survey="F22,F16,D16",
+)
+def f22_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stabbing / peak concurrency: how many orders are OPEN on
+    each boundary day — the capacity-analytics sweep (peak concurrent
+    sessions, max in-flight jobs, hotel-occupancy) that f16 (total
+    covered length) and d16 (which intervals overlap) don't answer.
+    Intervals are [order day, order day + 1 + orderkey%20), the f16/d16
+    convention; each start contributes +1, each (exclusive) end -1, and
+    the running sum of day-merged deltas IS the open count.
+
+    Exactness: day arithmetic and deltas are integers; the sweep is a
+    prefix sum over a unique day order — nothing floats.  Scale: the
+    sweep window runs over the DAY-LEVEL aggregate (a few thousand rows
+    after one hash agg with map-side combine), not the fact table — the
+    classic trick that makes a 'global ordered scan' shape scale: reduce
+    first, sweep the reduction.  (A per-key variant partitions the same
+    sweep by the key, as f16 does.)"""
+    o = Tables(spark, sf_dir).orders
+    lo = (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000).cast("long")
+    hi = lo + 1 + F.col("o_orderkey") % 20
+    iv = o.select(lo.alias("lo"), hi.alias("hi"))
+    starts = iv.groupBy(F.col("lo").alias("day")).agg(F.count("*").alias("delta"))
+    ends = iv.groupBy(F.col("hi").alias("day")).agg((-F.count("*")).alias("delta"))
+    merged = (
+        starts.unionByName(ends).groupBy("day").agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "day", F.sum("delta").over(w).cast("long").alias("n_open")
+    )

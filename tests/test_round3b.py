@@ -865,3 +865,21 @@ def test_e31_wilson_ci_brackets_rate_and_matches_python(spark, sf_dir):
         denom = 1 + 3.8416 / r.n
         assert abs(r.ci_lo - round((center - half) / denom, 9)) < 1e-9, r
         assert abs(r.ci_hi - round((center + half) / denom, 9)) < 1e-9, r
+
+
+def test_f22_peak_concurrency_sweep_laws(spark, sf_dir):
+    """Sweep laws: the running count is never negative, ends at zero
+    (every interval that opens also closes), and the peak equals a
+    brute-force stab count at the argmax day."""
+    rows = sorted(
+        REGISTRY["f22_peak_concurrency"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
+    peak = max(rows, key=lambda r: (r.n_open, -r.day))
+    o = Tables(spark, sf_dir).orders
+    lo = (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000).cast("long")
+    hi = lo + 1 + F.col("o_orderkey") % 20
+    stab = o.filter((lo <= F.lit(peak.day)) & (F.lit(peak.day) < hi)).count()
+    assert stab == peak.n_open, (peak, stab)
