@@ -233,6 +233,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j56_cdc_chunking",
     "j3_knn_pq",
     "e27_hll_distinct_to_date",
+    "f21_lttb_downsample",
 )
 
 

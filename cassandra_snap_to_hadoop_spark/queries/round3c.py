@@ -830,3 +830,71 @@ def f22_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "day", F.sum("delta").over(w).cast("long").alias("n_open")
     )
+
+
+def _lttb(ts, xs, n_out):
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013) on parallel
+    numpy arrays sorted by time; returns selected indices.  Sequential by
+    construction: each bucket's pick anchors the next bucket's triangle."""
+    import numpy as np
+
+    n = len(ts)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    picked = [0]
+    # n_out-2 interior buckets over points 1..n-2, boundaries fixed
+    edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
+        ax, ay = ts[picked[-1]], xs[picked[-1]]
+        cx = float(np.mean(ts[nlo:nhi])) if nhi > nlo else float(ts[n - 1])
+        cy = float(np.mean(xs[nlo:nhi])) if nhi > nlo else float(xs[n - 1])
+        seg_t, seg_x = ts[lo:hi], xs[lo:hi]
+        areas = np.abs((ax - cx) * (seg_x - ay) - (ax - seg_t) * (cy - ay))
+        picked.append(lo + int(areas.argmax()))  # argmax: first index on ties
+    picked.append(n - 1)
+    return picked
+
+
+@register("f21_lttb_downsample", oracle=None, survey="F21,L3,F4")
+def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB time-series downsampling (Largest-Triangle-Three-Buckets,
+    Steinarsson 2013) — the standard shape-preserving reduction behind
+    every monitoring dashboard: per event type, keep the 64 points that
+    preserve the series' visual extremes (per-bucket max-triangle-area
+    picks), where uniform/mean downsampling (f4's family) flattens
+    exactly the spikes an operator needs to see.
+
+    Each bucket's selected point anchors the next bucket's triangle, so
+    like f15's CUSUM this is a genuine sequential recursion — NOT
+    window-expressible — and runs as ``applyInPandas`` per series: one
+    shuffle on the series key, the fold vectorized per bucket in numpy,
+    state never leaves the group.  Rows-only by design; the fold is
+    pinned against endpoints/monotone-time/subset laws AND brute-force
+    triangle recomputation in tests/test_round3b.py.  At 100 TB series
+    parallelize freely; a series too long for one group pre-reduces with
+    a coarse per-partition LTTB pass (same picks on the survivors)."""
+    import pandas as pd
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = pdf["ts"].astype("int64").to_numpy() // 1000  # µs
+        x = pdf["value"].to_numpy()
+        idx = _lttb(t, x, 64)
+        out = pdf.iloc[idx]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"].to_numpy(),
+                "event_id": out["event_id"].to_numpy(),
+                "ts_us": t[idx],
+                "value": out["value"].to_numpy(),
+                "pos": list(range(len(idx))),
+            }
+        )
+
+    e = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
+    return e.groupBy("event_type").applyInPandas(
+        downsample,
+        "event_type string, event_id long, ts_us long, value double, pos int",
+    )

@@ -883,3 +883,42 @@ def test_f22_peak_concurrency_sweep_laws(spark, sf_dir):
     hi = lo + 1 + F.col("o_orderkey") % 20
     stab = o.filter((lo <= F.lit(peak.day)) & (F.lit(peak.day) < hi)).count()
     assert stab == peak.n_open, (peak, stab)
+
+
+def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
+    """LTTB laws: endpoints kept, output time-ordered, 64 points per
+    series, picks are a subset of the series — and the GREEDY OPTIMALITY
+    property: every interior pick maximizes the triangle area formed
+    with the previous pick and the next bucket's mean (recomputed here
+    by brute force from the raw series)."""
+    import numpy as np
+
+    out: dict[str, list] = {}
+    for r in REGISTRY["f21_lttb_downsample"].fn(spark, sf_dir).collect():
+        out.setdefault(r.event_type, []).append(r)
+    raw: dict[str, list] = {}
+    for r in (
+        Tables(spark, sf_dir)
+        .events.select("event_type", "ts", "event_id", "value")
+        .collect()
+    ):
+        raw.setdefault(r.event_type, []).append(r)
+    for et, sel in out.items():
+        sel.sort(key=lambda r: r.pos)
+        series = sorted(raw[et], key=lambda r: (r.ts, r.event_id))
+        t = np.array([int(r.ts.timestamp() * 1_000_000) for r in series], dtype=np.int64)
+        x = np.array([r.value for r in series])
+        ids = [r.event_id for r in series]
+        n = len(series)
+        assert len(sel) == 64
+        assert sel[0].event_id == ids[0] and sel[-1].event_id == ids[n - 1]
+        assert [r.ts_us for r in sel] == sorted(r.ts_us for r in sel)
+        pick_idx = [ids.index(r.event_id) for r in sel]
+        edges = [1 + (i * (n - 2)) // 62 for i in range(63)]
+        for b in range(62):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
+            ax, ay = t[pick_idx[b]], x[pick_idx[b]]
+            cx, cy = float(np.mean(t[nlo:nhi])), float(np.mean(x[nlo:nhi]))
+            areas = np.abs((ax - cx) * (x[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay))
+            assert pick_idx[b + 1] == lo + int(areas.argmax()), (et, b)
