@@ -219,6 +219,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "f20_mad_outliers",
     "e31_wilson_ci",
     "f22_peak_concurrency",
+    "j60_sparse_cosine_pairs",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -28,9 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators import pq
-from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+from cassandra_snap_to_hadoop_spark.operators.dedup import (
+    exact_substring_dedup,
+    shingles,
+)
 from cassandra_snap_to_hadoop_spark.operators.similarity import cosine, l2_normalize
 from cassandra_snap_to_hadoop_spark.registry import register
 
@@ -897,4 +900,100 @@ def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         downsample,
         "event_type string, event_id long, ts_us long, value double, pos int",
+    )
+
+
+_NORM_W = r"string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@register(
+    "j60_sparse_cosine_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id AS doc, {_NORM_W} AS w FROM documents
+    ), sh AS (
+        SELECT doc, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                          for i in range(1, greatest(len(w) - 1, 1))])) AS s
+        FROM t
+    ), stats AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+    ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs FROM sh
+    ), w AS (
+        SELECT sh.doc, sh.s, stats.df,
+               CAST(FLOOR(ln(nd.n_docs * 1.0 / stats.df) * 1000000) AS BIGINT) AS wt
+        FROM sh JOIN stats USING (s) CROSS JOIN nd
+    ), norms AS (
+        SELECT doc, SUM(wt * wt) AS nrm2 FROM w GROUP BY doc
+    ), dots AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.wt * b.wt) AS dot
+        FROM w a JOIN w b ON a.s = b.s AND a.doc < b.doc
+        WHERE a.df <= 50 AND b.df <= 50
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (sqrt(na.nrm2 * 1.0) * sqrt(nb.nrm2 * 1.0)), 4) AS cos
+    FROM dots d
+    JOIN norms na ON na.doc = d.doc_a
+    JOIN norms nb ON nb.doc = d.doc_b
+    WHERE d.dot / (sqrt(na.nrm2 * 1.0) * sqrt(nb.nrm2 * 1.0)) >= 0.3
+    """,
+    survey="J60,J7,D9",
+)
+def j60_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse idf-weighted cosine document pairs over 3-word shingles —
+    the inverted-index similarity join classic IR dedup runs when no
+    embeddings exist: docs pair ONLY through shared RARE shingles
+    (df <= 50), because frequent features carry negligible idf weight
+    AND quadratic candidates — dropping them from pair GENERATION (not
+    from the norms) is the standard candidate-pruning move.  Shingles,
+    not unigrams, are the unit: this fixture's word vocabulary saturates
+    (~31 terms at sf0.1, min df 250) while the shingle space keeps a
+    rare tail at every scale — exactly why real systems block on n-grams.
+
+    Cross-engine exactness: idf quantizes to integer micro-nats (the
+    j23/j51 convention), so dot products and squared norms are exact
+    INTEGERS; the one final cosine divide and its >= 0.3 gate evaluate
+    identical doubles from identical integers (sqrt/divide correctly
+    rounded) — no float accumulation, no accepted-risk entry.  Shape:
+    one corpus scan -> distinct (doc, shingle) -> df stats joined back;
+    pair generation is a SHINGLE-equi join bounded by df <= 50 per key
+    (never corpus-quadratic); norms broadcast onto the pair aggregate."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles(F.col("text"), 3)).alias("s"),
+    )
+    stats = sh.groupBy("s").agg(F.count("*").alias("df"))
+    nd = sh.select("doc").distinct().agg(F.count("*").alias("n_docs"))
+    w = (
+        sh.join(stats, "s")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc",
+            "s",
+            "df",
+            F.floor(F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1_000_000)
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm2"))
+    rare = w.filter(F.col("df") <= 50).select("doc", "s", "wt")
+    a = rare.select(F.col("doc").alias("doc_a"), "s", F.col("wt").alias("wa"))
+    b = rare.select(F.col("doc").alias("doc_b"), "s", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt(F.col("na2") * 1.0) * F.sqrt(F.col("nb2") * 1.0))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.3)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cos"))
     )

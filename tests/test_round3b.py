@@ -922,3 +922,36 @@ def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
             cx, cy = float(np.mean(t[nlo:nhi])), float(np.mean(x[nlo:nhi]))
             areas = np.abs((ax - cx) * (x[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay))
             assert pick_idx[b + 1] == lo + int(areas.argmax()), (et, b)
+
+
+def test_j60_sparse_cosine_matches_python_recompute(spark, sf_dir):
+    """Every returned pair's cosine recomputed exactly in Python from the
+    raw corpus (same micro-nat idf integers, full norms, rare-shingle
+    dots) — and the df<=50 generation rule respected (each pair shares
+    at least one rare shingle)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    out = REGISTRY["j60_sparse_cosine_pairs"].fn(spark, sf_dir).collect()
+    assert out, "fixture should produce pairs"
+    docs = {
+        r.doc_id: _re.sub(r"\s+", " ", r.text.lower()).strip()
+        for r in Tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+    sh: dict[int, set] = {}
+    for did, txt in docs.items():
+        w = txt.split(" ")
+        sh[did] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+    df = Counter(s for ss in sh.values() for s in ss)
+    n_docs = sum(1 for ss in sh.values() if ss)
+    wt = {s: math.floor(math.log(n_docs / c) * 1_000_000) for s, c in df.items()}
+    norm2 = {d: sum(wt[s] ** 2 for s in ss) for d, ss in sh.items()}
+    for r in out:
+        shared_rare = {
+            s for s in sh[r.doc_a] & sh[r.doc_b] if df[s] <= 50
+        }
+        assert shared_rare, (r.doc_a, r.doc_b)
+        dot = sum(wt[s] ** 2 for s in shared_rare)
+        want = dot / (math.sqrt(norm2[r.doc_a]) * math.sqrt(norm2[r.doc_b]))
+        assert want >= 0.3 and abs(round(want, 4) - r.cos) <= 1e-9, (r, want)
