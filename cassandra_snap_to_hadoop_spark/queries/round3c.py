@@ -32,6 +32,7 @@ from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators import pq
 from cassandra_snap_to_hadoop_spark.operators.dedup import (
     exact_substring_dedup,
+    normalize_text,
     shingles,
 )
 from cassandra_snap_to_hadoop_spark.operators.similarity import cosine, l2_normalize
@@ -996,4 +997,81 @@ def j60_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .filter(cos >= 0.3)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cos"))
+    )
+
+
+@register(
+    "j61_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({{_NORM_W}}) AS term FROM documents
+    ), freq AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, term) AS rnk
+        FROM freq
+    ), pts AS (
+        SELECT lang,
+               CAST(FLOOR(ln(rnk * 1.0) * 1000) AS BIGINT) AS x,
+               CAST(FLOOR(ln(cnt * 1.0) * 1000) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, n, sx, sy, sxy, sxx,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """.replace("{_NORM_W}", _NORM_W),
+    survey="J61,J8,E5",
+)
+def j61_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope of log(frequency)
+    against log(rank) over the term frequency table — the corpus-law
+    diagnostic (natural text sits near slope -1; a synthetic or
+    templated corpus shows up immediately as a flat or kinked line).
+    More generally this is DISTRIBUTED REGRESSION AS AGGREGATION: the
+    slope needs only the sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+    which are one map-side-combinable hash aggregate — the pattern that
+    fits any linear model at 100 TB without an ML runtime.
+
+    Cross-engine exactness: ln(rank)/ln(count) quantize to integer
+    MILLI-nats before any accumulation, so all five sums are exact
+    integers (milli not micro: Σxy stays ~1e14 even at a 10^6-term
+    vocabulary — far from int64 overflow, the documented tradeoff is
+    3-decimal ln precision, irrelevant to a slope estimate); the single
+    final divide evaluates identical doubles from identical integers.
+    Rank ties break on term, and tie order cannot change the fit: tied
+    counts share the same y whatever their relative rank order... but
+    NOT the same x — so the (cnt DESC, term) order is pinned identically
+    in both engines instead."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    tok = d.select(
+        "lang", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    pts = freq.select(
+        "lang",
+        F.floor(F.log(F.row_number().over(w) * 1.0) * 1000).cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt") * 1.0) * 1000).cast("long").alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / denom, 6
+    )
+    return s.filter(denom != 0).select(
+        "lang", "n", "sx", "sy", "sxy", "sxx", slope.alias("zipf_slope")
     )

@@ -955,3 +955,30 @@ def test_j60_sparse_cosine_matches_python_recompute(spark, sf_dir):
         dot = sum(wt[s] ** 2 for s in shared_rare)
         want = dot / (math.sqrt(norm2[r.doc_a]) * math.sqrt(norm2[r.doc_b]))
         assert want >= 0.3 and abs(round(want, 4) - r.cos) <= 1e-9, (r, want)
+
+
+def test_j61_zipf_fit_matches_python_and_is_decreasing(spark, sf_dir):
+    import math
+    import re as _re
+    from collections import Counter
+
+    out = {r.lang: r for r in REGISTRY["j61_zipf_fit"].fn(spark, sf_dir).collect()}
+    docs = Tables(spark, sf_dir).documents.select("lang", "text").collect()
+    by_lang: dict[str, Counter] = {}
+    for r in docs:
+        toks = [t for t in _re.sub(r"\s+", " ", r.text.lower()).strip().split(" ") if t]
+        by_lang.setdefault(r.lang, Counter()).update(toks)
+    for lang, cnts in by_lang.items():
+        ranked = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            (math.floor(math.log(i + 1) * 1000), math.floor(math.log(c) * 1000))
+            for i, (_, c) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        got = out[lang]
+        assert (got.n, got.sx, got.sy, got.sxy, got.sxx) == (n, sx, sy, sxy, sxx), lang
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(got.zipf_slope - round(slope, 6)) < 1e-9
+        assert got.zipf_slope < 0, (lang, got.zipf_slope)  # frequency falls with rank
