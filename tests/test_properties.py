@@ -408,3 +408,66 @@ def test_exact_substring_dedup_matches_python_reference(sparkm, texts, k):
         for r in exact_substring_dedup(df, "doc_id", "text", k=k).collect()
     )
     assert got == _ref_exact_substring_dedup(texts, k)
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 50),     # ts seconds offset
+            st.booleans(),          # is fact (purchase) vs dim update
+            st.sampled_from(["a", "b", "c"]),  # state payload for updates
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_d19_pit_semantics_match_python_reference(sparkm, events):
+    """The join-free merged-stream PIT formulation must agree with a
+    direct Python restatement ('last dim update strictly before the fact
+    in (ts, id) order, else unknown') on arbitrary event soups —
+    including same-timestamp fact/update collisions, all-facts users and
+    all-update users."""
+    import datetime as dt
+
+    from cassandra_snap_to_hadoop_spark.queries import round3c
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (user, sec, is_fact, state) in enumerate(events):
+        rows.append(
+            (
+                i + 1,
+                t0 + dt.timedelta(seconds=sec),
+                user,
+                "purchase" if is_fact else state,
+                1.0,
+                None,
+            )
+        )
+    df = sparkm.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.purchase_event_id: (r.state_at_purchase, r.state_since_ms)
+            for r in round3c.d19_pit_scd2_join(sparkm, d).collect()
+        }
+    # Python reference
+    want = {}
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    for idx, (eid, ts, user, etype, _v, _p) in enumerate(ordered):
+        if etype != "purchase":
+            continue
+        state, since = "unknown", -1
+        for peid, pts, puser, petype, _pv, _pp in ordered[:idx]:
+            if puser == user and petype != "purchase":
+                state, since = petype, int(pts.timestamp() * 1000)
+        want[eid] = (state, since)
+    assert got == want

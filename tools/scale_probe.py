@@ -198,7 +198,18 @@ def main() -> None:
             .filter(F.col("df_ab") >= 5)
         )
 
-    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup
+    from cassandra_snap_to_hadoop_spark.operators.dedup import exact_substring_dedup, shingles
+
+    def sparse_cos_shape(d):
+        sh = d.select(F.col("doc_id").alias("doc"), F.explode(shingles(F.col("text"), 3)).alias("s"))
+        stats = sh.groupBy("s").agg(F.count("*").alias("df"))
+        rare = sh.join(stats.filter(F.col("df") <= 50), "s")
+        a = rare.select(F.col("doc").alias("da"), "s")
+        b = rare.select(F.col("doc").alias("db"), "s")
+        return (
+            a.join(b, "s").filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db").agg(F.count("*").alias("shared"))
+        )
 
     def attribution_shape(e):
         from pyspark.sql.window import Window as W
@@ -265,6 +276,9 @@ def main() -> None:
         # are remapped per replica, so per-user density stays 1x and the
         # touch-window candidate volume stays linear — the claim at stake).
         ("attribution-window-join", lambda: attribution_shape(e1), lambda: attribution_shape(eN)),
+        # df cap fixed at 50 while replica df scales Nx: the blocked set
+        # SHRINKS as the corpus grows, the per-key pair bound is the claim.
+        ("sparse-cosine-pairs", lambda: sparse_cos_shape(d1), lambda: sparse_cos_shape(dN)),
         ("pit-merged-stream", lambda: pit_shape(e1), lambda: pit_shape(eN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
