@@ -87,14 +87,19 @@ def train_codebooks(
                 + (cents * cents).sum(axis=1)
             )
             assign = d2.argmin(axis=1)
+            # distance of each point to ITS centroid; reseeded points are
+            # knocked out so two clusters emptied in the same iteration
+            # cannot both grab the same farthest point (duplicate centroids)
+            own_d2 = d2[np.arange(n), assign].copy()
             for c in range(ksub):
                 mask = assign == c
                 if mask.any():
                     cents[c] = sub[mask].mean(axis=0)
-                else:  # deterministic reseed: farthest point from its centroid
-                    far = d2[np.arange(n), assign].argmax()
+                else:  # deterministic reseed: farthest unclaimed point
+                    far = int(own_d2.argmax())
                     cents[c] = sub[far]
                     assign[far] = c
+                    own_d2[far] = -np.inf
         books.append(cents)
     return books
 

@@ -16,6 +16,14 @@ round-2 verdict plus a second wave of distinct analytics operators:
     with deterministic md5-derived keys.  SQL.
   * e28 robust means: 5%% trimmed + winsorized integer sums.  SQL.
   * e29 Gini concentration of per-source document sizes.  SQL.
+  * j59 reciprocal nearest neighbors (mutual-best-match pairing).  SQL.
+  * e30 equi-depth histogram via engine-exact ntile buckets.  SQL.
+  * f20 MAD outlier detection, pure integer rank selection.  SQL.
+  * e31 Wilson-score confidence intervals on conversion rates.  SQL.
+  * f22 peak concurrency — interval-stabbing delta sweep.  SQL.
+  * f21 LTTB shape-preserving series downsampling.  Rows-only.
+  * j60 sparse idf-cosine pairs blocked on rare shingles.  SQL.
+  * j61 Zipf's-law slope as regression-over-sufficient-statistics.  SQL.
 
 Registered at the very end of the registry (behind the round-3 driver
 window and its insurance tail): all are mirror/test-verified this round
@@ -342,8 +350,12 @@ def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (estimates are engine-specific); monotonicity and a 5%
     error bound vs the exact cumulative distinct are test-pinned."""
     e = Tables(spark, sf_dir).events
+    # Epoch-day from unix_micros: pure instant arithmetic, identical under
+    # any driver session timezone (F.to_date on a TIMESTAMP interprets the
+    # instant in the session zone and can shift every bucket boundary).
+    day = (F.unix_micros(F.col("ts")) / 86_400_000_000).cast("long")
     daily = (
-        e.select(F.to_date("ts").alias("day"), "user_id")
+        e.select(day.alias("day"), "user_id")
         .groupBy("day")
         .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     )
@@ -357,7 +369,7 @@ def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("est_users_to_date")
         )
-        .select(F.col("day").cast("string").alias("day"), "est_users_to_date")
+        .select(F.col("day").alias("day"), "est_users_to_date")
     )
 
 
@@ -786,8 +798,8 @@ def e31_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f22_peak_concurrency",
     oracle="""
     WITH iv AS (
-        SELECT CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000 AS BIGINT) AS lo,
-               CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000 AS BIGINT)
+        SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS lo,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
                  + 1 + o_orderkey % 20 AS hi
         FROM orders
     ), deltas AS (
@@ -822,7 +834,11 @@ def f22_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, sweep the reduction.  (A per-key variant partitions the same
     sweep by the key, as f16 does.)"""
     o = Tables(spark, sf_dir).orders
-    lo = (F.unix_millis(F.col("o_orderdate").cast("timestamp")) / 86400000).cast("long")
+    # datediff on the DATE column directly: date-only integer arithmetic is
+    # session-timezone-free on both engines, unlike a date->timestamp cast
+    # (which interprets midnight in the session zone and shifts the epoch
+    # day under a non-UTC driver session — the plain_sweep contract class).
+    lo = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
     hi = lo + 1 + F.col("o_orderkey") % 20
     iv = o.select(lo.alias("lo"), hi.alias("hi"))
     starts = iv.groupBy(F.col("lo").alias("day")).agg(F.count("*").alias("delta"))
@@ -904,7 +920,9 @@ def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_W = r"string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+# Derived from _NORM (NOT a raw string: a raw r"...\\s+..." would hand DuckDB
+# a literal backslash-backslash-s and silently no-op the whitespace collapse)
+_NORM_W = f"string_split({_NORM}, ' ')"
 
 
 @register(

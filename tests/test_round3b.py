@@ -718,9 +718,10 @@ def test_e27_distinct_to_date_monotone_and_accurate(spark, sf_dir):
     assert abs(ests[-1] - exact) <= 0.05 * exact, (ests[-1], exact)
     # exact cumulative check on the first day too: day-1 cumulative == day-1 daily
     e = Tables(spark, sf_dir).events
-    day1 = rows[0].day
+    day1 = rows[0].day  # epoch-day long
+    day_expr = (F.unix_micros(F.col("ts")) / 86_400_000_000).cast("long")
     exact_d1 = (
-        e.filter(F.to_date("ts").cast("string") <= day1)
+        e.filter(day_expr <= F.lit(day1))
         .select("user_id").distinct().count()
     )
     assert abs(ests[0] - exact_d1) <= max(2, 0.05 * exact_d1), (ests[0], exact_d1)
