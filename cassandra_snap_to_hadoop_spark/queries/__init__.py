@@ -221,6 +221,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "f22_peak_concurrency",
     "j60_sparse_cosine_pairs",
     "j61_zipf_fit",
+    "e33_benford_digits",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -24,6 +24,7 @@ round-2 verdict plus a second wave of distinct analytics operators:
   * f21 LTTB shape-preserving series downsampling.  Rows-only.
   * j60 sparse idf-cosine pairs blocked on rare shingles.  SQL.
   * j61 Zipf's-law slope as regression-over-sufficient-statistics.  SQL.
+  * e33 Benford first-digit distributional audit.  SQL.
 
 Registered at the very end of the registry (behind the round-3 driver
 window and its insurance tail): all are mirror/test-verified this round
@@ -1092,4 +1093,64 @@ def j61_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.filter(denom != 0).select(
         "lang", "n", "sx", "sy", "sxy", "sxx", slope.alias("zipf_slope")
+    )
+
+
+@register(
+    "e33_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs
+    )
+    SELECT obs.digit, obs.n,
+           ROUND(obs.n * 1.0 / tot.total, 6) AS observed_p,
+           ROUND(ln(1.0 + 1.0 / obs.digit) / ln(10.0), 6) AS benford_p,
+           ROUND(obs.n * 1.0 / tot.total
+                 - ln(1.0 + 1.0 / obs.digit) / ln(10.0), 6) AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+    survey="E33,J53",
+)
+def e33_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fabricated-data / fraud screen (organically-grown magnitudes put
+    ~30.1% of leading digits at 1; fabricated or uniformly-synthesized
+    values flatten the curve, which this synthetic fixture duly shows in
+    its deviation column).  Completes the data-quality family: j53
+    profiles shapes, j54 checks rules, f20 flags outliers, this tests a
+    DISTRIBUTIONAL law.
+
+    Exactness: the leading digit comes from STRING arithmetic on the
+    integer cent value (no log10/pow on doubles — a float leading-digit
+    extraction can misclassify values like 999.999... at the boundary);
+    counts are integers, and the three reported ratios are single
+    divisions both engines evaluate from identical integers (ln is
+    correctly-rounded on both).  Shape: one scan -> 9-group hash agg ->
+    broadcast scalar total (the j29 in-plan pattern — no eager count)."""
+    o = Tables(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(F.col("n") * 1.0 / F.col("total") - benford, 6).alias("deviation"),
+        )
     )

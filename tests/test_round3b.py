@@ -983,3 +983,21 @@ def test_j61_zipf_fit_matches_python_and_is_decreasing(spark, sf_dir):
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert abs(got.zipf_slope - round(slope, 6)) < 1e-9
         assert got.zipf_slope < 0, (lang, got.zipf_slope)  # frequency falls with rank
+
+
+def test_e33_benford_laws(spark, sf_dir):
+    """Digit census laws: digits 1-9 only, counts sum to the qualifying
+    row count, observed probabilities sum to 1 (within rounding), and
+    benford_p matches log10(1+1/d) exactly."""
+    import math
+
+    rows = {r.digit: r for r in REGISTRY["e33_benford_digits"].fn(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total_rows = (
+        Tables(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0).count()
+    )
+    assert sum(r.n for r in rows.values()) == total_rows
+    assert abs(sum(r.observed_p for r in rows.values()) - 1.0) < 1e-4
+    for d, r in rows.items():
+        assert abs(r.benford_p - round(math.log10(1 + 1 / d), 6)) < 1e-9
+        assert abs(r.deviation - round(r.n / total_rows - math.log10(1 + 1 / d), 6)) < 2e-6
