@@ -409,3 +409,46 @@ def test_k13_left_outer_stream_join_parity(spark, sf_dir, tmp_path):
         if r.user_id != -1
     ]
     assert _rows(batch) == _rows(stream)
+
+
+def test_hll_sketch_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path):
+    """Mergeable-sketch streaming (the e27 distinct-to-date story run
+    incrementally): each micro-batch emits ONE HLL sketch binary, the
+    driver folds them with hll_union_agg, and the merged estimate must
+    equal the one-shot batch sketch's estimate EXACTLY — register-wise
+    max-merge is associative, so sharding cannot change the union — and
+    sit within 5% of the true distinct count."""
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import read_event_stream
+
+    batch_sketches: list = []
+
+    def grab(batch_df, batch_id):
+        rows = batch_df.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk")).collect()
+        if rows and rows[0].sk is not None:
+            batch_sketches.append(rows[0].sk)
+
+    q = (
+        read_event_stream(spark, event_shards, max_files_per_trigger=5)
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckhll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_sketches) > 1, "expected multiple micro-batches"
+
+    merged = (
+        spark.createDataFrame([(s,) for s in batch_sketches], "sk binary")
+        .agg(F.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS LONG)").alias("est"))
+        .collect()[0]
+        .est
+    )
+    e = load(spark, sf_dir, "events")
+    oneshot = (
+        e.agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 14)) AS LONG)").alias("est"))
+        .collect()[0]
+        .est
+    )
+    exact = e.select("user_id").distinct().count()
+    assert merged == oneshot, (merged, oneshot)
+    assert abs(merged - exact) <= 0.05 * exact, (merged, exact)
