@@ -471,3 +471,104 @@ def test_d19_pit_semantics_match_python_reference(sparkm, events):
                 state, since = petype, int(pts.timestamp() * 1000)
         want[eid] = (state, since)
     assert got == want
+
+
+@SLOW
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 60),           # minutes offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(1, 500),          # cents value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_e26_attribution_conservation_on_arbitrary_events(sparkm, events):
+    """Conservation generalized off the fixture: for ANY event soup, the
+    channel totals must sum exactly to the purchases' total micro-value,
+    and per-purchase shares must match a direct Python restatement
+    (equal split over 24 h-window touches, remainder to earliest)."""
+    import datetime as dt
+    import tempfile
+
+    from cassandra_snap_to_hadoop_spark.queries import round3c
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=m), u, et, c / 100.0, None)
+        for i, (u, m, et, c) in enumerate(events)
+    ]
+    df = sparkm.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.channel: (r.n_assignments, r.attributed_micro)
+            for r in round3c.e26_multitouch_attribution(sparkm, d).collect()
+        }
+    # Python reference
+    want: dict[str, list] = {}
+    purchases = [(eid, ts, u, round(v * 1_000_000)) for eid, ts, u, et, v, _ in rows if et == "purchase"]
+    touches = [(eid, ts, u, et) for eid, ts, u, et, _v, _p in rows if et in ("view", "click")]
+    for pid, pts, pu, vm in purchases:
+        window = sorted(
+            (t for t in touches if t[2] == pu and t[1] < pts and t[1] >= pts - dt.timedelta(hours=24)),
+            key=lambda t: (t[1], t[0]),
+        )
+        if not window:
+            want.setdefault("direct", []).append(vm)
+            continue
+        n = len(window)
+        for i, (teid, tts, tu, tch) in enumerate(window):
+            share = vm // n + (vm % n if i == 0 else 0)
+            want.setdefault(tch, []).append(share)
+    want_agg = {ch: (len(v), sum(v)) for ch, v in want.items()}
+    assert got == want_agg
+    assert sum(m for _, m in got.values()) == sum(vm for *_, vm in purchases)
+
+
+@SLOW
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)),  # (lo day, length)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_f22_sweep_equals_bruteforce_stab_everywhere(sparkm, intervals):
+    """The delta-sweep open-count at EVERY boundary day must equal the
+    brute-force stab count (# intervals with lo <= day < hi) — not just
+    at the peak.  Uses the operator's own interval convention by staging
+    synthetic orders whose (o_orderdate, o_orderkey) reproduce the
+    requested [lo, lo+len) intervals."""
+    import datetime as dt
+    import tempfile
+
+    from cassandra_snap_to_hadoop_spark.queries import round3c
+
+    # o_orderkey % 20 == len - 1  =>  interval [lo, lo + 1 + (len-1))
+    rows = []
+    for i, (lo, length) in enumerate(intervals):
+        okey = i * 20 + (length - 1)
+        rows.append(
+            (okey, 0, "F", 1.0, dt.datetime(1970, 1, 1) + dt.timedelta(days=lo), "1-URGENT")
+        )
+    df = sparkm.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {r.day: r.n_open for r in round3c.f22_peak_concurrency(sparkm, d).collect()}
+    ivs = [(lo, lo + length) for lo, length in intervals]
+    for day in got:
+        stab = sum(1 for lo, hi in ivs if lo <= day < hi)
+        assert got[day] == stab, (day, got[day], stab)
+    assert sorted(got) and got[max(got)] == 0
