@@ -222,6 +222,7 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j60_sparse_cosine_pairs",
     "j61_zipf_fit",
     "e33_benford_digits",
+    "f23_moving_median",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

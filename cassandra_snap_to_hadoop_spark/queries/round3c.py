@@ -25,6 +25,7 @@ round-2 verdict plus a second wave of distinct analytics operators:
   * j60 sparse idf-cosine pairs blocked on rare shingles.  SQL.
   * j61 Zipf's-law slope as regression-over-sufficient-statistics.  SQL.
   * e33 Benford first-digit distributional audit.  SQL.
+  * f23 moving median — robust sliding smoother.  SQL.
 
 Registered at the very end of the registry (behind the round-3 driver
 window and its insurance tail): all are mirror/test-verified this round
@@ -1153,4 +1154,57 @@ def e33_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(benford, 6).alias("benford_p"),
             F.round(F.col("n") * 1.0 / F.col("total") - benford, 6).alias("deviation"),
         )
+    )
+
+
+@register(
+    "f23_moving_median",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), framed AS (
+        SELECT user_id, event_id,
+               list_sort(list(cents) OVER (PARTITION BY user_id
+                                           ORDER BY event_id
+                                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+        FROM v
+    )
+    SELECT user_id, event_id,
+           CAST(fr[CAST((len(fr) + 1) // 2 AS INTEGER)] AS BIGINT) AS mov_med_cents
+    FROM framed
+    """,
+    survey="F23,F4,F20",
+)
+def f23_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over each user's trailing 5 events — the robust twin
+    of f4's moving average: one spike shifts a 5-row mean by a fifth of
+    its magnitude but cannot move the median at all, which is why
+    monitoring pipelines smooth with medians before thresholding.
+
+    Exact by construction: the frame's cent values are collected, sorted,
+    and the LOWER median selected by integer rank ((n+1) DIV 2) — the
+    same convention as e23/f20, with none of the interpolation an
+    engine's built-in median window would sneak in (DuckDB's median() is
+    quantile_cont and interpolates on even frames; both sides therefore
+    restate the explicit sort-and-pick).  Frames are ordered by the
+    unique event_id so frame CONTENTS are deterministic.  Scale: one
+    hash(user) exchange; the per-row sort cost is k log k on a
+    constant-width frame — the honest cost of an exact sliding median
+    (a rolling two-heap beats it single-node but has no distributed
+    declarative form)."""
+    e = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, 0)
+    )
+    fr = F.array_sort(F.collect_list(cents).over(w))
+    med = F.element_at(fr, ((F.size(fr) + 1) / 2).cast("int"))
+    return e.select(
+        "user_id",
+        "event_id",
+        med.alias("mov_med_cents"),
     )

@@ -1001,3 +1001,32 @@ def test_e33_benford_laws(spark, sf_dir):
     for d, r in rows.items():
         assert abs(r.benford_p - round(math.log10(1 + 1 / d), 6)) < 1e-9
         assert abs(r.deviation - round(r.n / total_rows - math.log10(1 + 1 / d), 6)) < 2e-6
+
+
+def test_f23_moving_median_matches_python_and_resists_spikes(spark, sf_dir):
+    out = {
+        (r.user_id, r.event_id): r.mov_med_cents
+        for r in REGISTRY["f23_moving_median"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select("user_id", "event_id", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.event_id):
+        series.setdefault(r.user_id, []).append((r.event_id, r.c))
+    checked = 0
+    for u, evs in series.items():
+        for i, (eid, _c) in enumerate(evs):
+            frame = sorted(c for _, c in evs[max(0, i - 4) : i + 1])
+            want = frame[(len(frame) + 1) // 2 - 1]
+            assert out[(u, eid)] == want, (u, eid)
+            checked += 1
+    assert checked == len(out)
+    # robustness: replacing the max of any full frame with 100x cannot
+    # change the lower median (it's already the frame max's side)
+    full = next(f for f in (sorted(c for _, c in evs[i-4:i+1])
+                for evs in series.values() for i in range(4, len(evs))) if len(f) == 5)
+    spiked = sorted(full[:-1] + [full[-1] * 100])
+    assert spiked[2] == full[2]
