@@ -367,3 +367,157 @@ def exact_substring_dedup(
             F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """J62: exact set-similarity join via PREFIX FILTERING (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Vernica et al. SIGMOD'10),
+    the classic EXACT alternative to MinHash-LSH: no metadata blocking,
+    no approximation, yet never an all-pairs join.
+
+    Theorem: order every document's shingle set by ascending global
+    document frequency (rarest first; ties broken by the shingle string
+    so the order is total).  If ``J(x, y) >= t`` then the first
+    ``|x| - ceil(t * |x|) + 1`` shingles of x and the corresponding
+    prefix of y share at least one element — so joining on PREFIX
+    shingles only loses no true pair, while the frequent shingles (the
+    quadratic blowup in a naive shingle join) never enter the join.
+    A second provable prune: ``J >= t  =>  min(|x|,|y|) >= t * max``.
+
+    Candidates then verify EXACTLY: join each candidate pair back to the
+    full shingle sets, count the real intersection, keep ``J >= t``.
+
+    Distributed shape: df(shingle) is one hash aggregate; the prefix rank
+    is a window partitioned BY DOCUMENT (never global); the candidate
+    join is equi on the prefix shingle with the size prune applied inside
+    the join; verification touches candidate pairs only.  With t = 0.5
+    every arithmetic prune is exact in binary floating point.
+    """
+    ex = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    # Global document frequency per shingle — the canonical prefix order.
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        ex.join(dfreq, "sh")
+        .join(sizes, "id")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "sh", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification: real intersection counts for candidate pairs only.
+    fa = ex.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = ex.select(F.col("id").alias("_vb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, (F.col("id_b") == F.col("_vb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("inter") >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """J64: near-duplicate pairs at Hamming distance <= ``max_hamming``
+    over the 64-bit simhash, found with the PIGEONHOLE band index (Manku,
+    Jain & Das Sarma, WWW'07 — Google's web near-dup detector).
+
+    Pigeonhole principle: split 64 bits into ``n_bands`` contiguous
+    blocks; any two fingerprints within Hamming distance ``n_bands - 1``
+    agree EXACTLY on at least one whole block.  So candidates are pairs
+    colliding on (band index, band value) — an equi join on a 16-bit
+    bucket — and each candidate verifies with one ``bit_count(xor)``.
+    For the guarantee to be lossless ``max_hamming <= n_bands - 1``.
+
+    Returns (id_a < id_b, hamming).  Rows-only at the driver (simhash is
+    xxhash64-seeded, engine-specific); completeness vs the brute-force
+    all-pairs scan is test-pinned.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("pigeonhole guarantee needs max_hamming <= n_bands - 1")
+    fp = simhash(df, id_col, text_col)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -52,6 +52,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round3,  # round-3 additions (A17, J40, D16, I14) — rotate in round 4
     round3b,  # round-3 continuation (J50/J51 IR tier, E21/E22) — rotate in round 4
     round3c,  # round-3 late depth batch (J57 ExactSubstr, PQ-ANN) — rotate in round 4
+    round3d,  # round-3 third continuation (PPJoin, SNM, incremental MV, KS) — rotate in round 4/5
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 

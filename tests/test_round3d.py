@@ -1,0 +1,241 @@
+"""Round-3 third-continuation batch: algorithmic-guarantee tests.
+
+Each new operator family ships with the law that makes it trustworthy:
+PPJoin's prefix filter is LOSSLESS (equals the naive quadratic join),
+pigeonhole banding is COMPLETE for Hamming <= bands-1 (equals brute
+force), incremental MV folds are ASSOCIATIVE (any batch split equals the
+full recompute), and the sequential folds (Holt) match an independent
+pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables, load
+from cassandra_snap_to_hadoop_spark.operators.dedup import (
+    jaccard_pairs,
+    ppjoin_pairs,
+    simhash,
+    simhash_hamming_pairs,
+)
+from cassandra_snap_to_hadoop_spark.operators.incremental import (
+    merge_order_partials,
+    order_partials,
+    present,
+)
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- j62 PPJoin
+
+
+def test_ppjoin_equals_naive_quadratic(spark, sf_dir):
+    """Prefix-filtering completeness theorem: the PPJoin result is exactly
+    the naive all-shingle self-join result at the same threshold — no
+    blocking column, no approximation."""
+    d = Tables(spark, sf_dir).documents
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ppjoin_pairs(d, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(
+            d, "doc_id", "text", k=3, threshold=0.5, block_col=None
+        ).collect()
+    }
+    # jaccard_pairs filters on the ROUNDED ratio >= t while ppjoin filters on
+    # the exact integer inequality; at t=0.5 both are exact (inter*2 >= union
+    # iff ratio >= .5, and rounding at 4dp cannot cross 0.5 from below by
+    # more than 5e-5 — assert set equality on ids and near-equality overall).
+    assert {(a, b) for a, b, _ in fast} == {(a, b) for a, b, _ in naive}
+    assert fast == naive
+
+
+def test_ppjoin_all_pairs_meet_threshold(spark, sf_dir):
+    rows = REGISTRY["j62_ppjoin_pairs"].fn(spark, sf_dir).collect()
+    assert rows and all(r.jaccard >= 0.5 for r in rows)
+
+
+# ------------------------------------------------- j63 sorted neighborhood
+
+
+def test_snm_matches_python_reference(spark, sf_dir):
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    expect = set()
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r.n_chars, r.doc_id))
+        for i, a in enumerate(rows):
+            for j in range(i + 1, min(i + 4, len(rows))):
+                b = rows[j]
+                delta = abs(a.n_chars - b.n_chars)
+                score = 2 * (a.source == b.source) + (delta <= 30)
+                expect.add((lang, a.doc_id, b.doc_id, delta, score))
+    got = {
+        (r.lang, r.id_a, r.id_b, r.delta_chars, r.score)
+        for r in REGISTRY["j63_sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------- a24 incremental MV fold
+
+
+def _mv_key(rows):
+    return {
+        (r.o_orderpriority, r.yr): (r.n_orders, r.total_price, r.max_price, r.min_price)
+        for r in rows
+    }
+
+
+@_slow
+@given(n_batches=st.integers(2, 5), salt=st.integers(0, 10**6))
+def test_incremental_mv_fold_equals_recompute_any_split(spark, sf_dir, n_batches, salt):
+    """Associativity law: partition orders into ANY n batches (by a salted
+    deterministic hash), aggregate each batch independently, fold the
+    partials — the presented MV equals the single-pass recompute."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(salt)), F.lit(n_batches))
+    parts = [
+        order_partials(o.filter(bucket == i)) for i in range(n_batches)
+    ]
+    folded = _mv_key(present(merge_order_partials(parts)).collect())
+    full = _mv_key(present(order_partials(o)).collect())
+    assert folded == full
+
+
+def test_incremental_mv_query_green_rows(spark, sf_dir):
+    rows = REGISTRY["a24_incremental_mv_maintenance"].fn(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+
+
+# ------------------------------------------------------- i18 date spine
+
+
+def test_date_spine_is_dense_and_conserves_counts(spark, sf_dir):
+    rows = REGISTRY["i18_date_spine_coverage"].fn(spark, sf_dir).collect()
+    days = sorted(r.day for r in rows)
+    assert len(days) == (days[-1] - days[0]).days + 1  # dense calendar
+    assert len(set(days)) == len(days)
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+    assert all((r.n_orders == 0) == (r.is_gap == 1) for r in rows)
+    assert any(r.is_gap == 1 for r in rows)  # the synthetic data has gaps
+
+
+# ------------------------------------------------------------ e36 KS test
+
+
+def test_ks_matches_python_reference(spark, sf_dir):
+    docs = Tables(spark, sf_dir).documents.select("source", "n_chars").collect()
+    allv = sorted({r.n_chars for r in docs})
+    per = Counter()
+    for r in docs:
+        per[(r.source, r.n_chars)] += 1
+    sources = sorted({r.source for r in docs})
+    N = len(docs)
+    expect = {}
+    for s in sources:
+        n_s = sum(c for (src, _), c in per.items() if src == s)
+        cum_s = cum_g = 0
+        d_num = 0
+        for v in allv:
+            cum_s += per.get((s, v), 0)
+            cum_g += sum(c for (src, vv), c in per.items() if vv == v)
+            d_num = max(d_num, abs(cum_s * (N - n_s) - (cum_g - cum_s) * n_s))
+        expect[s] = (n_s, N - n_s, d_num, d_num / (n_s * (N - n_s)))
+    got = {
+        r.source: (r.n_source, r.n_rest, r.d_num, r.d_stat)
+        for r in REGISTRY["e36_ks_drift"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for s in expect:
+        assert got[s][:3] == expect[s][:3], s
+        assert got[s][3] == pytest.approx(expect[s][3], abs=0, rel=0)  # same ints -> same double
+
+
+# --------------------------------------------------------- f24 Holt fold
+
+
+def _holt_ref(xs: list[float], alpha=0.5, beta=0.3):
+    level = xs[0]
+    trend = (xs[1] - xs[0]) if len(xs) > 1 else 0.0
+    for v in xs[1:]:
+        prev = level
+        level = alpha * v + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+    return round(level, 4), round(trend, 4), round(level + 7 * trend, 4)
+
+
+def test_holt_matches_python_reference(spark, sf_dir):
+    ev = Tables(spark, sf_dir).events.select("user_id", F.to_date("ts").alias("day")).collect()
+    per: dict[int, Counter] = {}
+    for r in ev:
+        per.setdefault(r.user_id, Counter())[r.day] += 1
+    expect = {}
+    for uid, counts in per.items():
+        lo, hi = min(counts), max(counts)
+        xs = [float(counts.get(lo + dt.timedelta(days=i), 0)) for i in range((hi - lo).days + 1)]
+        level, trend, fc = _holt_ref(xs)
+        expect[uid] = (len(xs), level, trend, fc)
+    got = {
+        r.user_id: (r.n_days, r.level, r.trend, r.forecast_7d)
+        for r in REGISTRY["f24_holt_forecast"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+@_slow
+@given(xs=st.lists(st.floats(0, 50, allow_nan=False), min_size=1, max_size=40))
+def test_holt_reference_is_finite_and_linear_forecast(xs):
+    level, trend, fc = _holt_ref(xs)
+    assert fc == pytest.approx(level + 7 * trend, abs=1e-3)
+
+
+# ------------------------------------------------ j64 pigeonhole Hamming
+
+
+def test_pigeonhole_equals_bruteforce(spark, sf_dir):
+    """Completeness: 4-band pigeonhole at Hamming <= 3 finds EXACTLY the
+    pairs the all-pairs popcount scan finds."""
+    d = Tables(spark, sf_dir).documents
+    fps = {r.id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(d, "doc_id", "text", 3, 4).collect()
+    }
+    assert got == brute
+    assert brute  # fixture has exact dups -> hamming-0 pairs exist
+
+
+def test_pigeonhole_rejects_unsound_parameters():
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(None, "id", "text", max_hamming=4, n_bands=4)
