@@ -394,3 +394,257 @@ def j64_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rather than probabilistic."""
     d = Tables(spark, sf_dir).documents
     return simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
+
+
+@register(
+    "e37_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ), rws AS (
+        SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), cls AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS N FROM cells
+    ), terms AS (
+        SELECT CAST(ROUND(
+                   ((CAST(o AS DOUBLE) * N - CAST(r AS DOUBLE) * c)
+                    * (CAST(o AS DOUBLE) * N - CAST(r AS DOUBLE) * c))
+                   / (CAST(N AS DOUBLE) * r * c) * 1000000) AS BIGINT) AS cell_micro,
+               lang, source
+        FROM cells JOIN rws USING (lang) JOIN cls USING (source) CROSS JOIN n
+    )
+    SELECT CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro,
+           SUM(cell_micro) / 1000000.0 AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS INT) AS dof
+    FROM terms
+    """,
+    survey="E5,E37,J8",
+)
+def e37_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit over the lang x source
+    contingency table — the standard 'is my corpus mix balanced across
+    sources' governance check.  Each cell's (O*N - R*C)^2 / (N*R*C) term
+    is computed in double from EXACT integer marginals with an identical
+    operation order in both engines, quantized to micro-units per cell,
+    and summed as integers — so the statistic is association-order-free
+    and hash-stable.  Marginals are two tiny re-aggregations of the cell
+    table (never a second corpus scan) and N rides in as a broadcast
+    scalar.  Exactness budget: O*N stays in IEEE-exact integer range for
+    N < ~9e7 docs per product term at full precision; beyond that the
+    double rounds at 1 ulp (the statistic, not the decision, shifts).
+    At 100 TB the contingency table is |langs| x |sources| — the corpus
+    scan is the only big stage."""
+    d = Tables(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rws = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cls = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    ntot = cells.agg(F.sum("o").alias("N"))
+    t = (
+        cells.join(rws, "lang")
+        .join(cls, "source")
+        .crossJoin(F.broadcast(ntot))
+    )
+    dev = F.col("o").cast("double") * F.col("N") - F.col("r").cast("double") * F.col("c")
+    term = dev * dev / (F.col("N").cast("double") * F.col("r") * F.col("c"))
+    terms = t.select(
+        "lang", "source", F.round(term * 1000000).cast("long").alias("cell_micro")
+    )
+    return terms.agg(
+        F.sum("cell_micro").alias("chi2_micro"),
+        (F.sum("cell_micro") / F.lit(1000000.0)).alias("chi2"),
+        F.count("*").alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("int").alias("dof"),
+    )
+
+
+@register(
+    "e38_bootstrap_ci",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), bs AS (
+        SELECT unnest(generate_series(1, 100)) AS b
+    ), sub AS (
+        SELECT b, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o CROSS JOIN bs
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1) < '8'
+        GROUP BY 1
+    ), m AS (
+        SELECT b, s / (c * 100.0) AS mean_b FROM sub
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM m
+    ), res AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+               MAX(CASE WHEN rn = 5 THEN mean_b END) AS ci_lo,
+               MAX(CASE WHEN rn = 95 THEN mean_b END) AS ci_hi
+        FROM r
+    ), f AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS ts, CAST(COUNT(*) AS BIGINT) AS tc FROM o
+    )
+    SELECT n_resamples, ts / (tc * 100.0) AS mean_full, ci_lo, ci_hi
+    FROM res CROSS JOIN f
+    """,
+    survey="E5,E38,L0",
+)
+def e38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed resampling confidence interval for the mean order
+    price — the hash-gated, fully deterministic restatement of the
+    bootstrap (the half-sampling 'm out of n' variant; the Poisson
+    bootstrap is the same shape with a weight instead of a gate).  Each
+    of B=100 resamples includes a row iff the first hex digit of
+    md5(orderkey ':' b) < '8' — a reproducible 1/2-probability coin both
+    engines flip IDENTICALLY, the same trick j22/j58 use for sampling.
+    Resample means are exact cent-sums over exact counts; the 5th/95th
+    ranked means (deterministic (mean, b) order) bound the 90% CI.  No
+    RNG state, no collect: the B-way fan-out is a bounded explode that
+    partial-aggregates immediately, so the shuffle carries B rows per
+    partition, and re-running on re-ingested data gives bit-identical
+    intervals.  At 100 TB B rides the scan (B*n map rows) — the classic
+    single-pass distributed bootstrap."""
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    B = 100
+    ex = o.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
+    )
+    gate = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    sub = ex.filter(gate).groupBy("b").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("c")
+    )
+    m = sub.select("b", (F.col("s") / (F.col("c") * F.lit(100.0))).alias("mean_b"))
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    r = m.withColumn("rn", rn)
+    res = r.agg(
+        F.count("*").alias("n_resamples"),
+        F.max(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 95, F.col("mean_b"))).alias("ci_hi"),
+    )
+    full = o.agg(F.sum("cents").alias("ts"), F.count("*").alias("tc"))
+    return res.crossJoin(F.broadcast(full)).select(
+        "n_resamples",
+        (F.col("ts") / (F.col("tc") * F.lit(100.0))).alias("mean_full"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+@register(
+    "e39_kaplan_meier",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events GROUP BY 1
+    ), wend AS (
+        SELECT MAX(d1) AS w FROM pu
+    ), lt AS (
+        SELECT CAST(date_diff('day', d0, d1) AS INT) AS t_days,
+               CASE WHEN date_diff('day', d1, w) >= 3 THEN 1 ELSE 0 END AS observed
+        FROM pu CROSS JOIN wend
+    ), agg AS (
+        SELECT t_days,
+               CAST(SUM(observed) AS BIGINT) AS events,
+               CAST(COUNT(*) - SUM(observed) AS BIGINT) AS censored,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lt GROUP BY 1
+    ), u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pu
+    ), risk AS (
+        SELECT t_days, events, censored,
+               total - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS at_risk
+        FROM agg CROSS JOIN u
+    ), curve AS (
+        SELECT t_days, at_risk, events, censored,
+               CAST(SUM(CASE WHEN events < at_risk AND events > 0
+                        THEN CAST(ROUND(ln((at_risk - events) * 1.0 / at_risk) * 1000000) AS BIGINT)
+                        ELSE 0 END)
+                   OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS s_micro,
+               MAX(CASE WHEN events >= at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS dead
+        FROM risk
+    )
+    SELECT t_days, at_risk, events, censored, s_micro,
+           CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(s_micro / 1000000.0), 4) END AS km_r4
+    FROM curve
+    """,
+    survey="E5,E39,F3",
+)
+def e39_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user activity lifetimes —
+    the standard churn/retention curve with RIGHT CENSORING done right:
+    a user whose last event is within 3 days of the observation-window
+    end hasn't provably churned, so they leave the risk set without
+    counting as an event (e22's cohort retention has no censoring
+    concept).  Lifetime = days between first and last event; risk sets
+    come from one cumulative window over the per-lifetime aggregate
+    (|distinct T| rows, bounded by the window span); the product
+    S(t) = prod(1 - d_i/n_i) becomes the repo-standard integer micro-nat
+    log-sum (j23/j41's trick), with a sticky 'dead' flag forcing S = 0
+    past any t where the whole risk set fails.  All inputs to ln() are
+    identical int-ratio doubles in both engines.  At 100 TB the per-user
+    reduction is the only corpus-scale stage."""
+    e = Tables(spark, sf_dir).events
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    wend = pu.agg(F.max("d1").alias("w"))
+    lt = pu.crossJoin(F.broadcast(wend)).select(
+        F.datediff("d1", "d0").cast("int").alias("t_days"),
+        F.when(F.datediff("w", "d1") >= 3, 1).otherwise(0).alias("observed"),
+    )
+    agg = lt.groupBy("t_days").agg(
+        F.sum("observed").alias("events"),
+        (F.count("*") - F.sum("observed")).alias("censored"),
+        F.count("*").alias("cnt"),
+    )
+    u = lt.agg(F.count("*").alias("total"))
+    wprev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = agg.crossJoin(F.broadcast(u)).withColumn(
+        "at_risk", F.col("total") - F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+    )
+    term = F.when(
+        (F.col("events") < F.col("at_risk")) & (F.col("events") > 0),
+        F.round(
+            F.log((F.col("at_risk") - F.col("events")) * F.lit(1.0) / F.col("at_risk"))
+            * 1000000
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    curve = risk.withColumn("s_micro", F.sum(term).over(wcum)).withColumn(
+        "dead",
+        F.max(F.when(F.col("events") >= F.col("at_risk"), 1).otherwise(0)).over(wcum),
+    )
+    return curve.select(
+        "t_days",
+        "at_risk",
+        "events",
+        "censored",
+        F.col("s_micro").cast("long").alias("s_micro"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("s_micro") / F.lit(1000000.0)), 4))
+        .alias("km_r4"),
+    )

@@ -239,3 +239,95 @@ def test_pigeonhole_equals_bruteforce(spark, sf_dir):
 def test_pigeonhole_rejects_unsound_parameters():
     with pytest.raises(ValueError):
         simhash_hamming_pairs(None, "id", "text", max_hamming=4, n_bands=4)
+
+
+# ------------------------------------------- e37 chi-square independence
+
+
+def test_chi2_matches_python_reference(spark, sf_dir):
+    docs = Tables(spark, sf_dir).documents.select("lang", "source").collect()
+    cells = Counter((r.lang, r.source) for r in docs)
+    R = Counter(r.lang for r in docs)
+    C = Counter(r.source for r in docs)
+    N = len(docs)
+    chi2_micro = 0
+    for (lang, src), o in cells.items():
+        dev = float(o) * N - float(R[lang]) * C[src]
+        chi2_micro += round(dev * dev / (float(N) * R[lang] * C[src]) * 1e6)
+    row = REGISTRY["e37_chi2_independence"].fn(spark, sf_dir).collect()[0]
+    assert row.chi2_micro == chi2_micro
+    assert row.n_cells == len(cells)
+    assert row.dof == (len(R) - 1) * (len(C) - 1)
+
+
+# ------------------------------------------------- e38 bootstrap CI
+
+
+def test_bootstrap_ci_matches_python_reference(spark, sf_dir):
+    """Exact replication of the hash-gated resampling with hashlib — a
+    THIRD independent md5 implementation agreeing with Spark and DuckDB."""
+    import hashlib
+
+    orders = Tables(spark, sf_dir).orders.select("o_orderkey", "o_totalprice").collect()
+    cents = {r.o_orderkey: round(r.o_totalprice * 100) for r in orders}
+    means = []
+    for b in range(1, 101):
+        s = c = 0
+        for k, v in cents.items():
+            h = hashlib.md5(f"{k}:{b}".encode()).hexdigest()
+            if h[0] < "8":
+                s += v
+                c += 1
+        means.append((s / (c * 100.0), b))
+    means.sort()
+    row = REGISTRY["e38_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row.n_resamples == 100
+    assert row.ci_lo == means[4][0]
+    assert row.ci_hi == means[94][0]
+    assert row.mean_full == sum(cents.values()) / (len(cents) * 100.0)
+    assert row.ci_lo <= row.mean_full <= row.ci_hi
+
+
+# ------------------------------------------------- e39 Kaplan-Meier
+
+
+def test_kaplan_meier_matches_python_reference(spark, sf_dir):
+    import math
+
+    ev = Tables(spark, sf_dir).events.select("user_id", F.to_date("ts").alias("day")).collect()
+    per: dict[int, list] = {}
+    for r in ev:
+        per.setdefault(r.user_id, []).append(r.day)
+    w = max(max(v) for v in per.values())
+    lifetimes = []
+    for days in per.values():
+        d0, d1 = min(days), max(days)
+        lifetimes.append(((d1 - d0).days, 1 if (w - d1).days >= 3 else 0))
+    total = len(lifetimes)
+    agg: dict[int, list] = {}
+    for t, obs in lifetimes:
+        a = agg.setdefault(t, [0, 0])
+        a[0] += obs
+        a[1] += 1
+    expect = {}
+    consumed = 0
+    s_micro = 0
+    dead = 0
+    for t in sorted(agg):
+        d, cnt = agg[t]
+        at_risk = total - consumed
+        consumed += cnt
+        if 0 < d < at_risk:
+            s_micro += round(math.log((at_risk - d) / at_risk) * 1e6)
+        if d >= at_risk:
+            dead = 1
+        km = 0.0 if dead else round(math.exp(s_micro / 1e6), 4)
+        expect[t] = (at_risk, d, cnt - d, s_micro, km)
+    got = {
+        r.t_days: (r.at_risk, r.events, r.censored, r.s_micro, r.km_r4)
+        for r in REGISTRY["e39_kaplan_meier"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # survival is monotone nonincreasing in t
+    kms = [got[t][4] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(kms, kms[1:]))
