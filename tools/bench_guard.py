@@ -42,6 +42,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j50_inverted_index": 1.07,
     "e22_cohort_retention": 0.57,
     "j57_exact_substring_dedup": 0.57,
+    "j62_ppjoin_pairs": 2.64,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
