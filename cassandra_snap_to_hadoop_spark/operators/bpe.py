@@ -1,0 +1,101 @@
+"""Byte-pair-encoding merge induction (SURVEY §2-J5/J6 family — the
+tokenizer-TRAINING side of j46's tokenizer-fertility audit).
+
+Classic BPE (Sennrich et al. 2016) learned the Spark-first way: the corpus
+collapses to the WORD-TYPE frequency table first (one hash aggregate — the
+same reduction the original algorithm does in preprocessing), and each
+merge step is a small distributed job over word types:
+
+  1. explode adjacent symbol pairs per word type, weighted by word freq;
+  2. ONE hash aggregate -> the pair with the highest corpus weight
+     (deterministic tie-break on the pair string);
+  3. apply the merge to every word type with a codegen string replace.
+
+The per-step argmax is a single-row collect — control-plane scalars, the
+same legitimate driver loop as dup_clusters' iteration (a merge DECISION
+is inherently sequential; the corpus-scale work per step stays
+distributed).  At 100 TB the word-type table is bounded by vocabulary
+size, not corpus size, so the loop body touches |vocab| rows regardless
+of input scale.
+
+Fidelity note: the merge application is one left-to-right non-overlapping
+replace per step — Spark's ``replace`` and Python's ``str.replace`` share
+these semantics EXACTLY (verified), which is what the parity test pins.
+For a run of alternating repeats inside one word ("a b a b") the second
+occurrence merges on a later step rather than within the same pass; merge
+ORDER is unaffected for non-pathological vocabularies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> word-type frequency table (the BPE working set)."""
+    return (
+        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_merges(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merges; returns one row per learned
+    merge: (step, pair, merged, weight).  Deterministic: ties break on the
+    pair string, weights are exact integer sums."""
+    cur = (
+        word_freqs(df, text_col)
+        .select(F.concat_ws(" ", F.split(F.col("w"), "")).alias("sp"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        toks = F.split(F.col("sp"), " ")
+        pairs = (
+            cur.filter(F.size(toks) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                    )
+                ).alias("pair"),
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].weight < min_weight:
+            break
+        pair, weight = best[0].pair, int(best[0].weight)
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, weight))
+        cur = cur.withColumn(
+            "sp",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sp"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, weight long"
+    )

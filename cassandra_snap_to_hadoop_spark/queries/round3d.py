@@ -653,3 +653,120 @@ def e39_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("s_micro") / F.lit(1000000.0)), 4))
         .alias("km_r4"),
     )
+
+
+@register("j66_bpe_merges", oracle=None, survey="J5,J6,J66")
+def j66_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's top-10 BPE merges (Sennrich 2016) — the
+    tokenizer-TRAINING sibling of j46's fertility audit.  The corpus
+    collapses to the word-type frequency table (one hash agg; bounded by
+    vocabulary, not corpus size), then each merge step is a distributed
+    pair-count aggregate plus a codegen string replace; only the one-row
+    merge DECISION ever reaches the driver (the same control-plane loop
+    precedent as j2_dup_clusters).  Rows-only by design — the merge
+    sequence is pinned step-by-step against an independent pure-Python
+    implementation in tests/test_round3d.py."""
+    from cassandra_snap_to_hadoop_spark.operators.bpe import bpe_merges
+
+    d = Tables(spark, sf_dir).documents
+    return bpe_merges(spark, d, "text", n_merges=10)
+
+
+@register(
+    "j67_ngram_overlap_metrics",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM r a JOIN r b ON a.lang = b.lang AND b.rnk - a.rnk BETWEEN 1 AND 3
+        WHERE a.source = b.source
+    ), toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+1], ' ')
+                       for i in range(1, greatest(len(words), 1))]) AS g
+        FROM toks WHERE len(words) >= 2
+    ), gc AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+    ), totals AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total FROM gc GROUP BY 1
+    ), clipped AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(LEAST(ga.c, gb.c)) AS BIGINT) AS clip2
+        FROM pairs p
+        JOIN gc ga ON ga.doc_id = p.id_a
+        JOIN gc gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           COALESCE(c.clip2, 0) AS clip2,
+           t.total AS total2,
+           COALESCE(c.clip2, 0) / CAST(t.total AS DOUBLE) AS p2
+    FROM pairs p
+    JOIN totals t ON t.doc_id = p.id_b
+    LEFT JOIN clipped c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    """,
+    survey="J7,J67,J2",
+)
+def j67_ngram_overlap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped bigram precision (the BLEU-2 modified-precision core, exact
+    integers) for every same-source sorted-neighborhood candidate pair —
+    distributed evaluation metrics over candidate duplicates: how much of
+    document B is covered by document A's bigrams, with per-gram counts
+    CLIPPED at the reference count (the clipping is what makes BLEU robust
+    to token stuffing).  Candidates come from j63's blocking (bounded
+    O(n*w), never all pairs); gram counts are one hash agg per corpus;
+    the clipped intersection is an equi join on (gram) keyed through the
+    bounded pair set.  clip2/total2 are exact integers, so p2 is the same
+    binary double in both engines — no rounding."""
+    d = Tables(spark, sf_dir).documents
+    pairs = (
+        j63_sorted_neighborhood_pairs(spark, sf_dir)
+        .filter(F.col("score") >= 2)
+        .select("id_a", "id_b")
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    grams = (
+        d.select(F.col("doc_id"), toks.alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, 2)),
+                )
+            ).alias("g"),
+        )
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    totals = gc.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    ga = gc.select(F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca"))
+    gb = gc.select(F.col("doc_id").alias("_gb"), F.col("g").alias("g_b"), F.col("c").alias("cb"))
+    clipped = (
+        pairs.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("_gb")) & (F.col("g") == F.col("g_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("clip2"))
+    )
+    tb = totals.select(F.col("doc_id").alias("id_b"), F.col("total").alias("total2"))
+    return (
+        pairs.join(tb, "id_b")
+        .join(clipped, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("clip2"), F.lit(0)).cast("long").alias("clip2"),
+            F.col("total2"),
+            (
+                F.coalesce(F.col("clip2"), F.lit(0)) / F.col("total2").cast("double")
+            ).alias("p2"),
+        )
+    )

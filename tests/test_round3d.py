@@ -374,3 +374,93 @@ def test_incremental_mv_stream_fold_parity(spark, sf_dir, tmp_path):
     folded = _mv_key(present(merge_order_partials(parts)).collect())
     full = _mv_key(present(order_partials(o)).collect())
     assert folded == full
+
+
+# ------------------------------------------------------ j66 BPE merges
+
+
+def _bpe_ref(freqs: dict[str, int], n_merges=10, min_weight=2):
+    cur = {" ".join(w): f for w, f in freqs.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for sp, f in cur.items():
+            toks = sp.split(" ")
+            for i in range(len(toks) - 1):
+                counts[toks[i] + " " + toks[i + 1]] += f
+        if not counts:
+            break
+        # argmax with (weight desc, pair asc) tie-break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        w = counts[pair]
+        if w < min_weight:
+            break
+        merged = pair.replace(" ", "")
+        out.append((step, pair, merged, w))
+        nxt: dict[str, int] = {}
+        for sp, f in cur.items():
+            ns = (" " + sp + " ").replace(" " + pair + " ", " " + merged + " ").strip()
+            nxt[ns] = nxt.get(ns, 0) + f
+        cur = nxt
+    return out
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The full merge SEQUENCE (pairs, order, weights) equals an
+    independent pure-Python BPE over the same word-frequency table."""
+    import re
+
+    docs = Tables(spark, sf_dir).documents.select("text").collect()
+    freqs = Counter()
+    for r in docs:
+        for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" "):
+            if w:
+                freqs[w] += 1
+    expect = _bpe_ref(dict(freqs), 10)
+    got = [
+        (r.step, r.pair, r.merged, r.weight)
+        for r in sorted(
+            REGISTRY["j66_bpe_merges"].fn(spark, sf_dir).collect(), key=lambda r: r.step
+        )
+    ]
+    assert got == expect
+    assert len(got) == 10
+    # merge weights are monotone nonincreasing only within same-symbol
+    # regimes, but every weight must be >= 2 and every merged token must be
+    # the concatenation of its pair
+    assert all(w >= 2 and m == p.replace(" ", "") for _, p, m, w in got)
+
+
+# ------------------------------------------- j67 clipped bigram precision
+
+
+def test_ngram_overlap_matches_python_reference(spark, sf_dir):
+    import re
+
+    docs = Tables(spark, sf_dir).documents.collect()
+    by_lang: dict[str, list] = {}
+    grams: dict[int, Counter] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+        toks = [w for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")]
+        grams[r.doc_id] = Counter(
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        )
+    expect = {}
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: (r.n_chars, r.doc_id))
+        for i, a in enumerate(rows):
+            for j in range(i + 1, min(i + 4, len(rows))):
+                b = rows[j]
+                if a.source != b.source:
+                    continue
+                ga, gb = grams[a.doc_id], grams[b.doc_id]
+                clip = sum(min(ca, gb[g]) for g, ca in ga.items() if g in gb)
+                total = sum(gb.values())
+                expect[(a.doc_id, b.doc_id)] = (clip, total, clip / total)
+    got = {
+        (r.id_a, r.id_b): (r.clip2, r.total2, r.p2)
+        for r in REGISTRY["j67_ngram_overlap_metrics"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[0] > 0 for v in got.values())  # dup clusters give overlap

@@ -3,7 +3,7 @@
 sf0.1 data (Nx built by exploding each row with a replica index so keys
 stay realistically distributed) and report wall-clock scaling.
 
-    python tools/scale_probe.py [multiplier]
+    python tools/scale_probe.py [multiplier] [shape1,shape2]
 
 The question this answers is the 100 TB question in miniature: does each
 plan's cost grow ~linearly with data (scan/agg/join/window shapes should),
@@ -251,6 +251,29 @@ def main() -> None:
             .groupBy("s").agg(F.count("*").alias("n"))
         )
 
+    from cassandra_snap_to_hadoop_spark.operators.dedup import ppjoin_pairs
+
+    def mark_docs(df):
+        """Weave the replica tag between every word so replicas are
+        dissimilar to each other but keep their in-replica dup structure."""
+        rep = df.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        return rep.select(
+            (F.col("doc_id").cast("long") + F.col("__r").cast("long") * F.lit(1_000_000_000)).alias("doc_id"),
+            F.replace(
+                F.col("text"),
+                F.lit(" "),
+                F.concat(F.lit(" zq"), F.col("__r").cast("string"), F.lit(" ")),
+            ).alias("text"),
+        )
+
+    d1_marked = t.documents.select("doc_id", "text").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" "), F.lit(" zq0 "))
+    )
+    dN_marked = mark_docs(t.documents)
+
+    def ppjoin_shape(d):
+        return ppjoin_pairs(d, "doc_id", "text", k=3, threshold=0.75)
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         # Exact replicas are j57's WORST case: every gram becomes duplicated,
@@ -279,6 +302,14 @@ def main() -> None:
         # df cap fixed at 50 while replica df scales Nx: the blocked set
         # SHRINKS as the corpus grows, the per-key pair bound is the claim.
         ("sparse-cosine-pairs", lambda: sparse_cos_shape(d1), lambda: sparse_cos_shape(dN)),
+        # PPJoin amplification weaves a per-replica marker token between
+        # every word: shingles differ ACROSS replicas (no fabricated
+        # cross-replica J~1 pairs) while each replica keeps the original
+        # in-replica dup structure — corpus xN at a CONSTANT duplication
+        # rate, so candidate volume and output should both scale ~linearly
+        # (exact replicas would instead measure the output-quadratic
+        # all-duplicates worst case, which j57's row already covers).
+        ("ppjoin-prefix-filter", lambda: ppjoin_shape(d1_marked), lambda: ppjoin_shape(dN_marked)),
         ("pit-merged-stream", lambda: pit_shape(e1), lambda: pit_shape(eN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
@@ -293,6 +324,10 @@ def main() -> None:
             lambda: curation_funnel(dN, materialize=parquet_mat),
         ),
     ]
+
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        shapes = [s for s in shapes if s[0] in only]
 
     print(f"# scale probe @ {sf_dir}, multiplier={mult}")
     for name, f1, fN in shapes:
