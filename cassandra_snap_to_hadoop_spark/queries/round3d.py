@@ -770,3 +770,139 @@ def j67_ngram_overlap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p2"),
         )
     )
+
+
+@register(
+    "e40_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    )
+    SELECT n AS n_users,
+           (n * sxx - sx * sx) AS cov_xx,
+           (n * syy - sy * sy) AS cov_yy,
+           (n * sxy - sx * sy) AS cov_xy,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS theta,
+           1.0 - (CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy))
+               / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)) AS var_reduction
+    FROM s
+    """,
+    survey="E5,E40,F3",
+)
+def e40_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM 2013) — the experimentation-platform
+    variance-reduction estimator: regress each user's post-period metric
+    on their PRE-period metric and report theta = cov(pre,post)/var(pre)
+    plus the achievable variance reduction 1 - rho^2.  Every moment is an
+    exact integer: per-user cent sums, then n*Sxy - Sx*Sy style central
+    moments (e16's power-sum discipline), so theta and the reduction are
+    identical binary doubles in both engines with no rounding.  Overflow
+    budget: cent-quantized sums keep n*sum(x*x) under 2^63 up to ~1e9
+    users at these magnitudes; beyond that the moments switch to double.
+    One corpus-scale stage (the per-user reduction); the moment fold is a
+    single partial-aggregated scalar row."""
+    e = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.sum(F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), cents).otherwise(0))
+    post = F.sum(F.when(F.to_date("ts") > F.lit("2024-01-15").cast("date"), cents).otherwise(0))
+    pu = e.groupBy("user_id").agg(pre.alias("x"), post.alias("y"))
+    s = pu.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_xx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov_yy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_xy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_users"),
+        cov_xx.alias("cov_xx"),
+        cov_yy.alias("cov_yy"),
+        cov_xy.alias("cov_xy"),
+        (cov_xy.cast("double") / cov_xx).alias("theta"),
+        (
+            F.lit(1.0)
+            - (cov_xy.cast("double") * cov_xy) / (cov_xx.cast("double") * cov_yy)
+        ).alias("var_reduction"),
+    )
+
+
+@register(
+    "i19_edit_distance_pairs",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INT) AS lev40,
+           CAST(CASE WHEN levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 5
+                THEN 1 ELSE 0 END AS INT) AS is_close
+    FROM r a JOIN r b
+      ON a.lang = b.lang AND b.rnk - a.rnk BETWEEN 1 AND 3
+     AND a.source = b.source AND ABS(a.n_chars - b.n_chars) <= 30
+    """,
+    survey="I1,I19,J14",
+)
+def i19_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein scoring over the tightest sorted-neighborhood
+    candidates (same source AND close length — j63's score-3 tier): the
+    classic ER verification step, run only on the blocked O(n*w) pair
+    set so the quadratic-cost edit distance never touches the full
+    corpus.  Both engines implement unit-cost Levenshtein identically on
+    the 40-char prefixes; the <= 5 'is_close' gate is an exact integer
+    compare.  (j14's FastSS tier answers the OPPOSITE question — find
+    candidates BY edit distance via deletion neighborhoods; this one
+    scores an existing candidate set.)"""
+    d = Tables(spark, sf_dir).documents.select("doc_id", "lang", "source", "n_chars", "text")
+    w = 4
+    r = d.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    )
+    a = r.select(
+        "lang",
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("ch_a"),
+        F.col("source").alias("src_a"),
+        F.substring("text", 1, 40).alias("ta"),
+        F.col("rnk"),
+        F.explode(F.sequence(F.lit(1), F.lit(w - 1))).alias("off"),
+    ).select(
+        "lang", "id_a", "ch_a", "src_a", "ta", (F.col("rnk") + F.col("off")).alias("rnk_b")
+    )
+    b = r.select(
+        "lang",
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("ch_b"),
+        F.col("source").alias("src_b"),
+        F.substring("text", 1, 40).alias("tb"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    pairs = a.join(b, ["lang", "rnk_b"]).filter(
+        (F.col("src_a") == F.col("src_b"))
+        & (F.abs(F.col("ch_a") - F.col("ch_b")) <= 30)
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        lev.cast("int").alias("lev40"),
+        F.when(lev <= 5, 1).otherwise(0).cast("int").alias("is_close"),
+    )

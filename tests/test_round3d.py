@@ -464,3 +464,66 @@ def test_ngram_overlap_matches_python_reference(spark, sf_dir):
     }
     assert got == expect
     assert any(v[0] > 0 for v in got.values())  # dup clusters give overlap
+
+
+# -------------------------------------------------------------- e40 CUPED
+
+
+def test_cuped_matches_python_reference(spark, sf_dir):
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).collect()
+    cut = dt.date(2024, 1, 15)
+    per: dict[int, list[int]] = {}
+    for r in ev:
+        xy = per.setdefault(r.user_id, [0, 0])
+        xy[0 if r.day <= cut else 1] += round(r.value * 100)
+    n = len(per)
+    sx = sum(v[0] for v in per.values())
+    sy = sum(v[1] for v in per.values())
+    sxx = sum(v[0] * v[0] for v in per.values())
+    syy = sum(v[1] * v[1] for v in per.values())
+    sxy = sum(v[0] * v[1] for v in per.values())
+    cxx, cyy, cxy = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    row = REGISTRY["e40_cuped_adjustment"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.cov_xx, row.cov_yy, row.cov_xy) == (n, cxx, cyy, cxy)
+    assert row.theta == cxy / cxx
+    assert row.var_reduction == 1.0 - (float(cxy) * cxy) / (float(cxx) * cyy)
+    assert 0.0 <= row.var_reduction <= 1.0  # Cauchy-Schwarz
+
+
+# ------------------------------------------------- i19 edit distance
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_matches_python_reference(spark, sf_dir):
+    docs = Tables(spark, sf_dir).documents.collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    expect = {}
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: (r.n_chars, r.doc_id))
+        for i, a in enumerate(rows):
+            for j in range(i + 1, min(i + 4, len(rows))):
+                b = rows[j]
+                if a.source != b.source or abs(a.n_chars - b.n_chars) > 30:
+                    continue
+                d = _lev(a.text[:40], b.text[:40])
+                expect[(a.doc_id, b.doc_id)] = (d, int(d <= 5))
+    got = {
+        (r.id_a, r.id_b): (r.lev40, r.is_close)
+        for r in REGISTRY["i19_edit_distance_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # the blocked pair set is nonempty at every SF
+    assert all(v[0] >= 0 and v[1] == int(v[0] <= 5) for v in got.values())
