@@ -906,3 +906,94 @@ def i19_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lev.cast("int").alias("lev40"),
         F.when(lev <= 5, 1).otherwise(0).cast("int").alias("is_close"),
     )
+
+
+@register(
+    "e41_ols_normal_equations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s11,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS s12,
+               CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT) * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS s22,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS s1y,
+               CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS s2y,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT) * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem
+    ), c AS (
+        SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+               (CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1) AS c11,
+               (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2) AS c12,
+               (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2) AS c22,
+               (CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy) AS c1y,
+               (CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy) AS c2y,
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) AS cyy
+        FROM m
+    )
+    SELECT n AS n_rows, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+           (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS beta_qty,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS beta_disc,
+           ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * c1y
+            + (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * c2y) / cyy AS r2
+    FROM c
+    """,
+    survey="E5,E41,E16",
+)
+def e41_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares as ONE aggregate — 'learning via
+    sufficient statistics', the pattern every scale-out ML system reduces
+    to when the model is linear: regress extendedprice (whole dollars) on
+    (quantity in hundredths, discount in basis points) by accumulating
+    the 9 raw moments in a single partial-aggregated pass as EXACT int64
+    sums (every one hash-checked; quantizations chosen so the largest
+    per-row product y*y ~ 1e10 keeps the sums in int64 to ~5e8 rows —
+    beyond that the moments switch to double at 1-ulp), then solve the
+    2x2 CENTERED normal equations with Cramer's rule.  The centered
+    combination n*Sij - Si*Sj happens in double with an IDENTICAL
+    operation order in both engines, so betas and R^2 match bit-for-bit
+    with no rounding.  One corpus-scale stage; the solve is O(1).  j61
+    (Zipf slope) is this pattern's 1-feature sibling; e40 (CUPED) its
+    covariance-only sibling."""
+    li = Tables(spark, sf_dir).lineitem
+    x1 = F.round(F.col("l_quantity") * 100).cast("long")
+    x2 = F.round(F.col("l_discount") * 10000).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    c11 = F.col("n").cast("double") * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    c12 = F.col("n").cast("double") * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    c22 = F.col("n").cast("double") * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    c1y = F.col("n").cast("double") * F.col("s1y") - F.col("s1").cast("double") * F.col("sy")
+    c2y = F.col("n").cast("double") * F.col("s2y") - F.col("s2").cast("double") * F.col("sy")
+    cyy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    return m.select(
+        F.col("n").alias("n_rows"),
+        "s1",
+        "s2",
+        "sy",
+        "s11",
+        "s12",
+        "s22",
+        "s1y",
+        "s2y",
+        "syy",
+        b1.alias("beta_qty"),
+        b2.alias("beta_disc"),
+        ((b1 * c1y + b2 * c2y) / cyy).alias("r2"),
+    )

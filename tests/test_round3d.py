@@ -527,3 +527,43 @@ def test_edit_distance_matches_python_reference(spark, sf_dir):
     assert got == expect
     assert got  # the blocked pair set is nonempty at every SF
     assert all(v[0] >= 0 and v[1] == int(v[0] <= 5) for v in got.values())
+
+
+# ------------------------------------------------------------- e41 OLS
+
+
+def test_ols_matches_python_reference(spark, sf_dir):
+    """Moments equal an exact-integer Python accumulation; betas equal
+    numpy's least-squares solution to ~1e-9 relative (different solver,
+    same normal equations)."""
+    rows = Tables(spark, sf_dir).lineitem.select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    n = len(rows)
+    s1 = s2 = sy = s11 = s12 = s22 = s1y = s2y = syy = 0
+    xs = []
+    import math
+
+    # HALF_UP like Spark/DuckDB ROUND — Python's round() is half-EVEN and
+    # disagrees on exact half-dollar prices.
+    r_up = lambda v: math.floor(v + 0.5)
+    for r in rows:
+        x1, x2 = r_up(r.l_quantity * 100), r_up(r.l_discount * 10000)
+        y = r_up(r.l_extendedprice)
+        xs.append((x1, x2, y))
+        s1 += x1; s2 += x2; sy += y
+        s11 += x1 * x1; s12 += x1 * x2; s22 += x2 * x2
+        s1y += x1 * y; s2y += x2 * y; syy += y * y
+    got = REGISTRY["e41_ols_normal_equations"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_rows, got.s1, got.s2, got.sy) == (n, s1, s2, sy)
+    assert (got.s11, got.s12, got.s22, got.s1y, got.s2y, got.syy) == (
+        s11, s12, s22, s1y, s2y, syy,
+    )
+    import numpy as np
+
+    A = np.array([[x1, x2, 1.0] for x1, x2, _ in xs])
+    b = np.array([float(y) for _, _, y in xs])
+    beta, *_ = np.linalg.lstsq(A, b, rcond=None)
+    assert got.beta_qty == pytest.approx(beta[0], rel=1e-9)
+    assert got.beta_disc == pytest.approx(beta[1], rel=1e-9)
+    assert 0.0 <= got.r2 <= 1.0
