@@ -99,3 +99,36 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weight long"
     )
+
+
+def bpe_encode_stats(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int = 10
+) -> DataFrame:
+    """Train-then-apply: learn ``n_merges`` merges, apply them IN ORDER to
+    the word-type table (ten chained codegen replaces — no loop once the
+    merge list is known), and report corpus segmentation stats: token
+    instances, BPE units after merging, and fertility (units per word).
+
+    The apply side is how a learned tokenizer runs at 100 TB: the merge
+    list is a broadcast-sized artifact; application is a pure map over
+    word types followed by one weighted aggregate."""
+    merges = [(r.pair, r.merged) for r in bpe_merges(spark, df, text_col, n_merges).collect()]
+    wf = word_freqs(df, text_col)
+    sp = F.concat_ws(" ", F.split(F.col("w"), ""))
+    for pair, merged in merges:
+        sp = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), sp, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    enc = wf.select("freq", F.size(F.split(sp, " ")).alias("units"))
+    return enc.agg(
+        F.count("*").alias("n_word_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum(F.col("freq") * F.col("units")).alias("n_bpe_units"),
+        F.round(
+            F.sum(F.col("freq") * F.col("units")) / F.sum("freq").cast("double"), 4
+        ).alias("fertility_r4"),
+    )

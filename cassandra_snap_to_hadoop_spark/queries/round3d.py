@@ -997,3 +997,20 @@ def e41_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2.alias("beta_disc"),
         ((b1 * c1y + b2 * c2y) / cyy).alias("r2"),
     )
+
+
+@register("j68_bpe_encode_stats", oracle=None, survey="J5,J46,J68")
+def j68_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of j66's BPE training: learn the top-10 merges,
+    apply them in order to the word-type table as ten chained codegen
+    replaces (the merge list is a broadcast-sized artifact — exactly how
+    a learned tokenizer deploys at 100 TB), and report the corpus
+    segmentation profile: word types, token instances, BPE units, and
+    fertility (units per token — the learned-tokenizer counterpart of
+    j46's regex-based fertility audit; more merges => lower fertility).
+    Rows-only by design; pinned end-to-end against a pure-Python
+    train+apply in tests/test_round3d.py."""
+    from cassandra_snap_to_hadoop_spark.operators.bpe import bpe_encode_stats
+
+    d = Tables(spark, sf_dir).documents
+    return bpe_encode_stats(spark, d, "text", n_merges=10)

@@ -567,3 +567,30 @@ def test_ols_matches_python_reference(spark, sf_dir):
     assert got.beta_qty == pytest.approx(beta[0], rel=1e-9)
     assert got.beta_disc == pytest.approx(beta[1], rel=1e-9)
     assert 0.0 <= got.r2 <= 1.0
+
+
+def test_bpe_encode_stats_match_python_reference(spark, sf_dir):
+    import re
+
+    docs = Tables(spark, sf_dir).documents.select("text").collect()
+    freqs = Counter()
+    for r in docs:
+        for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" "):
+            if w:
+                freqs[w] += 1
+    merges = _bpe_ref(dict(freqs), 10)
+    total_units = 0
+    for w, f in freqs.items():
+        sp = " ".join(w)
+        for _, pair, merged, _w in merges:
+            sp = (" " + sp + " ").replace(" " + pair + " ", " " + merged + " ").strip()
+        total_units += f * len(sp.split(" "))
+    n_tokens = sum(freqs.values())
+    row = REGISTRY["j68_bpe_encode_stats"].fn(spark, sf_dir).collect()[0]
+    assert row.n_word_types == len(freqs)
+    assert row.n_tokens == n_tokens
+    assert row.n_bpe_units == total_units
+    assert row.fertility_r4 == round(total_units / n_tokens, 4)
+    # merging strictly reduces units vs raw character segmentation and
+    # can never go below one unit per token
+    assert n_tokens <= row.n_bpe_units < sum(f * len(w) for w, f in freqs.items())
