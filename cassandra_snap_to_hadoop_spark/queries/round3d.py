@@ -1014,3 +1014,166 @@ def j68_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     return bpe_encode_stats(spark, d, "text", n_merges=10)
+
+
+@register(
+    "e43_permutation_test",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  - SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users, ABS(CAST(SUM(d) AS BIGINT)) AS t_obs
+        FROM pu
+    ), perms AS (
+        SELECT b, ABS(CAST(SUM(CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1) < '8'
+                         THEN d ELSE -d END) AS BIGINT)) AS t_b
+        FROM pu CROSS JOIN (SELECT unnest(generate_series(1, 199)) AS b) bs
+        GROUP BY 1
+    ), cnt AS (
+        SELECT CAST(SUM(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        FROM perms CROSS JOIN obs
+    )
+    SELECT n_users, t_obs, n_ge,
+           (n_ge + 1) / 200.0 AS p_value
+    FROM obs CROSS JOIN cnt
+    """,
+    survey="E5,E43,E31",
+)
+def e43_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired permutation (sign-flip) test on per-user post-minus-pre
+    spend — the assumption-free sibling of e31's Wilson interval and
+    e38's bootstrap: under H0 (no period effect) each user's delta is
+    symmetric around zero, so the null distribution comes from flipping
+    signs.  The 199 sign patterns are md5-hash-derived exactly like
+    e38's resamples (engine-identical, no RNG state), every statistic is
+    an exact integer cent sum, and the p-value is the standard
+    add-one-smoothed (n_ge+1)/(B+1) — an exact integer ratio, identical
+    double in both engines.  Shape: one per-user reduction, then a
+    B-way bounded explode that partial-aggregates immediately — B rides
+    the map side at any corpus scale."""
+    e = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = F.sum(
+        F.when(F.to_date("ts") > F.lit("2024-01-15").cast("date"), cents).otherwise(0)
+    ) - F.sum(
+        F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), cents).otherwise(0)
+    )
+    pu = e.groupBy("user_id").agg(delta.alias("d"))
+    obs = pu.agg(
+        F.count("*").alias("n_users"), F.abs(F.sum("d")).alias("t_obs")
+    )
+    B = 199
+    ex = pu.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
+    )
+    flip = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    perms = ex.groupBy("b").agg(
+        F.abs(F.sum(F.when(flip, F.col("d")).otherwise(-F.col("d")))).alias("t_b")
+    )
+    cnt = perms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(F.when(F.col("t_b") >= F.col("t_obs"), 1).otherwise(0)).alias("n_ge")
+    )
+    return obs.crossJoin(F.broadcast(cnt)).select(
+        "n_users",
+        "t_obs",
+        "n_ge",
+        ((F.col("n_ge") + 1) / F.lit(200.0)).alias("p_value"),
+    )
+
+
+@register(
+    "f25_linear_interpolation",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx
+        FROM orders
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
+    ), daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), grid AS (
+        SELECT s.day, d.cents FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ), ctx AS (
+        SELECT day, cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER w_prev AS pv,
+               LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+               FIRST_VALUE(cents IGNORE NULLS) OVER w_next AS nv,
+               FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+        FROM grid
+        WINDOW w_prev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT day,
+           CAST(cents IS NULL AS INT) AS is_interpolated,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                       / date_diff('day', pd, nd)) END / 100.0 AS filled_total
+    FROM ctx
+    """,
+    survey="F6,F25,I2",
+)
+def f25_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense date spine — the time-series
+    RESAMPLE operation f6's carry-forward gap fill cannot express: a
+    silent day's total is reconstructed from the straight line between
+    its known neighbors, `prev + (next-prev) * gap_position`.  Neighbor
+    values/dates come from two ignore-nulls windows over the i18 spine
+    (one ordered exchange, both frames share it); the interpolation
+    arithmetic is exact-integer cents and day counts combined in an
+    identical operation order, so the filled doubles match DuckDB
+    bit-for-bit.  The spine bounds at observed min/max guarantee every
+    gap has both neighbors (no edge extrapolation case)."""
+    o = Tables(spark, sf_dir).orders.select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    daily = o.groupBy("day").agg(F.sum("c").alias("cents"))
+    spine = (
+        o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    grid = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    ctx = (
+        grid.withColumn("pv", F.last("cents", ignorenulls=True).over(w_prev))
+        .withColumn("pd", F.last(known_day, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(w_next))
+        .withColumn("nd", F.first(known_day, ignorenulls=True).over(w_next))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    return ctx.select(
+        "day",
+        F.col("cents").isNull().cast("int").alias("is_interpolated"),
+        (
+            F.when(F.col("cents").isNotNull(), F.col("cents").cast("double")).otherwise(
+                interp
+            )
+            / F.lit(100.0)
+        ).alias("filled_total"),
+    )

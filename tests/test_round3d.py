@@ -594,3 +594,95 @@ def test_bpe_encode_stats_match_python_reference(spark, sf_dir):
     # merging strictly reduces units vs raw character segmentation and
     # can never go below one unit per token
     assert n_tokens <= row.n_bpe_units < sum(f * len(w) for w, f in freqs.items())
+
+
+# ------------------------------------------------ e43 permutation test
+
+
+def test_permutation_test_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).collect()
+    cut = dt.date(2024, 1, 15)
+    per: dict[int, int] = {}
+    for r in ev:
+        per[r.user_id] = per.get(r.user_id, 0) + (
+            round(r.value * 100) if r.day > cut else -round(r.value * 100)
+        )
+    t_obs = abs(sum(per.values()))
+    n_ge = 0
+    for b in range(1, 200):
+        t = 0
+        for u, d in per.items():
+            h = hashlib.md5(f"{u}:{b}".encode()).hexdigest()
+            t += d if h[0] < "8" else -d
+        if abs(t) >= t_obs:
+            n_ge += 1
+    row = REGISTRY["e43_permutation_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_users, row.t_obs, row.n_ge) == (len(per), t_obs, n_ge)
+    assert row.p_value == (n_ge + 1) / 200.0
+    assert 1 / 200.0 <= row.p_value <= 1.0
+
+
+# --------------------------------------------- f25 linear interpolation
+
+
+def test_linear_interpolation_matches_python_reference(spark, sf_dir):
+    orders = Tables(spark, sf_dir).orders.select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    ).collect()
+    daily: dict = {}
+    for r in orders:
+        daily[r.day] = daily.get(r.day, 0) + round(r.o_totalprice * 100)
+    lo, hi = min(daily), max(daily)
+    days = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    known = sorted(daily)
+    expect = {}
+    import bisect
+
+    for day in days:
+        if day in daily:
+            expect[day] = (0, daily[day] / 100.0)
+        else:
+            i = bisect.bisect_left(known, day)
+            pd_, nd = known[i - 1], known[i]
+            pv, nv = daily[pd_], daily[nd]
+            v = pv + (nv - pv) * (float((day - pd_).days) / (nd - pd_).days)
+            expect[day] = (1, v / 100.0)
+    got = {
+        r.day: (r.is_interpolated, r.filled_total)
+        for r in REGISTRY["f25_linear_interpolation"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[0] == 1 for v in got.values())  # gaps exist and are filled
+
+
+# ---------------------------- PPJoin losslessness on GENERATED corpora
+
+
+@_slow
+@given(
+    texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=2, max_size=10),
+    t=st.sampled_from([0.5, 0.75]),
+)
+def test_ppjoin_lossless_on_generated_corpora(spark, texts, t):
+    """The prefix-filter completeness theorem must hold for ARBITRARY
+    corpora (degenerate texts, empty shingle sets, all-identical docs),
+    not just the fixture."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(df, "doc_id", "text", k=3, threshold=t).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=t).collect()
+    }
+    # naive filters on the 4dp-rounded ratio, ppjoin on the exact integer
+    # inequality — equivalent here because with <= ~36 shingles per union
+    # no ratio i/u can land within 5e-5 below t (min gap is 1/u >> 1e-2).
+    assert fast == naive
