@@ -44,16 +44,16 @@ def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bpe_merges(
+def _bpe_train(
     spark: SparkSession,
     df: DataFrame,
     text_col: str,
-    n_merges: int = 10,
-    min_weight: int = 2,
-) -> DataFrame:
-    """Learn the top ``n_merges`` BPE merges; returns one row per learned
-    merge: (step, pair, merged, weight).  Deterministic: ties break on the
-    pair string, weights are exact integer sums."""
+    n_merges: int,
+    min_weight: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop: returns (merge list, the word-type table with
+    ALL merges applied) so callers never re-scan the corpus or re-apply
+    merges a second time."""
     cur = (
         word_freqs(df, text_col)
         .select(F.concat_ws(" ", F.split(F.col("w"), "")).alias("sp"), "freq")
@@ -96,6 +96,20 @@ def bpe_merges(
                 )
             ),
         ).localCheckpoint(eager=False)
+    return merges, cur
+
+
+def bpe_merges(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merges; returns one row per learned
+    merge: (step, pair, merged, weight).  Deterministic: ties break on the
+    pair string, weights are exact integer sums."""
+    merges, _ = _bpe_train(spark, df, text_col, n_merges, min_weight)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weight long"
     )
@@ -104,26 +118,18 @@ def bpe_merges(
 def bpe_encode_stats(
     spark: SparkSession, df: DataFrame, text_col: str, n_merges: int = 10
 ) -> DataFrame:
-    """Train-then-apply: learn ``n_merges`` merges, apply them IN ORDER to
-    the word-type table (ten chained codegen replaces — no loop once the
-    merge list is known), and report corpus segmentation stats: token
+    """Train-then-apply: learn ``n_merges`` merges and report the corpus
+    segmentation profile of the FINAL merged word-type table: token
     instances, BPE units after merging, and fertility (units per word).
 
-    The apply side is how a learned tokenizer runs at 100 TB: the merge
-    list is a broadcast-sized artifact; application is a pure map over
-    word types followed by one weighted aggregate."""
-    merges = [(r.pair, r.merged) for r in bpe_merges(spark, df, text_col, n_merges).collect()]
-    wf = word_freqs(df, text_col)
-    sp = F.concat_ws(" ", F.split(F.col("w"), ""))
-    for pair, merged in merges:
-        sp = F.trim(
-            F.replace(
-                F.concat(F.lit(" "), sp, F.lit(" ")),
-                F.lit(f" {pair} "),
-                F.lit(f" {merged} "),
-            )
-        )
-    enc = wf.select("freq", F.size(F.split(sp, " ")).alias("units"))
+    Training already materializes every merge application (the checkpointed
+    word-type table IS the encoded corpus — the chars never change, only
+    their grouping), so the apply side is free: one weighted aggregate over
+    the table the training loop ends with.  At 100 TB the merge list is a
+    broadcast-sized artifact and application to NEW text is a chain of
+    codegen replaces — the same expressions the training loop used."""
+    _, cur = _bpe_train(spark, df, text_col, n_merges, min_weight=2)
+    enc = cur.select("freq", F.size(F.split(F.col("sp"), " ")).alias("units"))
     return enc.agg(
         F.count("*").alias("n_word_types"),
         F.sum("freq").alias("n_tokens"),

@@ -48,6 +48,12 @@ def merge_order_partials(parts: list[DataFrame]) -> DataFrame:
     """Fold partial states (union -> one re-aggregation).  Associative and
     commutative by construction; at scale this is a shuffle over the STATE
     cardinality (|groups|), not over the underlying fact rows."""
+    if not parts:
+        raise ValueError(
+            "merge_order_partials: empty batch list — a refresh cycle needs "
+            "at least one partial state (fold an empty DataFrame explicitly "
+            "if zero-ingest cycles are expected)"
+        )
     unioned = reduce(DataFrame.unionByName, parts)
     return unioned.groupBy(*KEYS).agg(
         F.sum("n").alias("n"),

@@ -70,3 +70,17 @@ def sql_qsum(expr: str, scale: int = 100) -> str:
 
 def sql_qavg(expr: str, scale: int = 100) -> str:
     return f"SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) / (COUNT(*) * {scale}.0)"
+
+
+def md5_coin(key: Column, b: Column) -> Column:
+    """Deterministic fair coin that Spark, DuckDB, and hashlib flip
+    IDENTICALLY (used by e38's bootstrap, e43's permutation signs, and the
+    scale probe's resample shape): first hex digit of md5("key:b") < '8'.
+    DuckDB mirror: substring(md5(CAST(k AS VARCHAR) || ':' ||
+    CAST(b AS VARCHAR)), 1, 1) < '8'."""
+    return (
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(":"), b.cast("string"))), 1, 1
+        )
+        < "8"
+    )

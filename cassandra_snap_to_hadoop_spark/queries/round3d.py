@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables
 from cassandra_snap_to_hadoop_spark.operators.dedup import (
+    normalize_text,
     ppjoin_pairs,
     simhash_hamming_pairs,
 )
@@ -41,6 +42,7 @@ from cassandra_snap_to_hadoop_spark.operators.incremental import (
     order_partials,
     present,
 )
+from cassandra_snap_to_hadoop_spark.queries._util import md5_coin
 from cassandra_snap_to_hadoop_spark.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -94,6 +96,45 @@ def j62_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_pairs(d, "doc_id", "text", k=3, threshold=0.75)
 
 
+def _snm_candidate_pairs(d: DataFrame, carry: list[str], w: int = 4) -> DataFrame:
+    """Sorted-neighborhood scaffolding shared by j63 and i19 (j67 reuses
+    j63's output): per-lang rank by the (n_chars, doc_id) sort key, then
+    neighbors at rank distance 1..w-1 as a bounded-explode EQUI join.
+    ``carry`` columns surface on both sides as <col>_a / <col>_b.  One
+    blocking scheme, one definition — the candidate set every consumer
+    scores is the same by construction."""
+    r = d.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    )
+    a = r.select(
+        "lang",
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+        F.col("rnk"),
+        F.explode(F.sequence(F.lit(1), F.lit(w - 1))).alias("off"),
+    ).select(
+        "lang", "id_a", *[f"{c}_a" for c in carry],
+        (F.col("rnk") + F.col("off")).alias("rnk_b"),
+    )
+    b = r.select(
+        "lang",
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        F.col("rnk").alias("rnk_b"),
+    )
+    return a.join(b, ["lang", "rnk_b"]).drop("rnk_b")
+
+
+def _order_day_spine(days: DataFrame) -> DataFrame:
+    """Dense calendar between the observed min/max ``day`` — the in-plan
+    sequence() spine shared by i18 (coverage) and f25 (interpolation)."""
+    return (
+        days.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+
+
+
 @register(
     "j63_sorted_neighborhood_pairs",
     oracle="""
@@ -127,30 +168,9 @@ def j63_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB per-block ranks come from the same range-partitioned two-pass
     scheme g4 certifies; the neighbor join stays equi regardless."""
     d = Tables(spark, sf_dir).documents.select("doc_id", "lang", "source", "n_chars")
-    w = 4
-    r = d.withColumn(
-        "rnk", F.row_number().over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
-    )
-    a = r.select(
-        "lang",
-        F.col("doc_id").alias("id_a"),
-        F.col("n_chars").alias("ch_a"),
-        F.col("source").alias("src_a"),
-        F.col("rnk"),
-        F.explode(F.sequence(F.lit(1), F.lit(w - 1))).alias("off"),
-    ).select(
-        "lang", "id_a", "ch_a", "src_a", (F.col("rnk") + F.col("off")).alias("rnk_b")
-    )
-    b = r.select(
-        "lang",
-        F.col("doc_id").alias("id_b"),
-        F.col("n_chars").alias("ch_b"),
-        F.col("source").alias("src_b"),
-        F.col("rnk").alias("rnk_b"),
-    )
-    pairs = a.join(b, ["lang", "rnk_b"])
-    delta = F.abs(F.col("ch_a") - F.col("ch_b"))
-    same_src = F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0)
+    pairs = _snm_candidate_pairs(d, carry=["n_chars", "source"], w=4)
+    delta = F.abs(F.col("n_chars_a") - F.col("n_chars_b"))
+    same_src = F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0)
     close_len = F.when(delta <= 30, 1).otherwise(0)
     return pairs.select(
         "lang",
@@ -225,10 +245,7 @@ def i18_date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is tz-free (to_date under the UTC-pinned session)."""
     o = Tables(spark, sf_dir).orders.select(F.to_date("o_orderdate").alias("day"))
     daily = o.groupBy("day").agg(F.count("*").alias("n"))
-    spine = (
-        o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
+    spine = _order_day_spine(o)
     return spine.join(daily, "day", "left").select(
         "day",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
@@ -520,18 +537,7 @@ def e38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = o.select(
         "o_orderkey", "cents", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
     )
-    gate = (
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            1,
-        )
-        < "8"
-    )
+    gate = md5_coin(F.col("o_orderkey"), F.col("b"))
     sub = ex.filter(gate).groupBy("b").agg(
         F.sum("cents").alias("s"), F.count("*").alias("c")
     )
@@ -730,9 +736,7 @@ def j67_ngram_overlap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 2)
         .select("id_a", "id_b")
     )
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
+    toks = F.split(normalize_text(F.col("text")), " ")
     grams = (
         d.select(F.col("doc_id"), toks.alias("words"))
         .filter(F.size("words") >= 2)
@@ -871,35 +875,17 @@ def i19_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare.  (j14's FastSS tier answers the OPPOSITE question — find
     candidates BY edit distance via deletion neighborhoods; this one
     scores an existing candidate set.)"""
-    d = Tables(spark, sf_dir).documents.select("doc_id", "lang", "source", "n_chars", "text")
-    w = 4
-    r = d.withColumn(
-        "rnk", F.row_number().over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    d = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", "lang", "source", "n_chars", "text")
+        .withColumn("t40", F.substring("text", 1, 40))
+        .drop("text")
     )
-    a = r.select(
-        "lang",
-        F.col("doc_id").alias("id_a"),
-        F.col("n_chars").alias("ch_a"),
-        F.col("source").alias("src_a"),
-        F.substring("text", 1, 40).alias("ta"),
-        F.col("rnk"),
-        F.explode(F.sequence(F.lit(1), F.lit(w - 1))).alias("off"),
-    ).select(
-        "lang", "id_a", "ch_a", "src_a", "ta", (F.col("rnk") + F.col("off")).alias("rnk_b")
+    pairs = _snm_candidate_pairs(d, carry=["n_chars", "source", "t40"], w=4).filter(
+        (F.col("source_a") == F.col("source_b"))
+        & (F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 30)
     )
-    b = r.select(
-        "lang",
-        F.col("doc_id").alias("id_b"),
-        F.col("n_chars").alias("ch_b"),
-        F.col("source").alias("src_b"),
-        F.substring("text", 1, 40).alias("tb"),
-        F.col("rnk").alias("rnk_b"),
-    )
-    pairs = a.join(b, ["lang", "rnk_b"]).filter(
-        (F.col("src_a") == F.col("src_b"))
-        & (F.abs(F.col("ch_a") - F.col("ch_b")) <= 30)
-    )
-    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    lev = F.levenshtein(F.col("t40_a"), F.col("t40_b"))
     return pairs.select(
         "id_a",
         "id_b",
@@ -1071,18 +1057,7 @@ def e43_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = pu.select(
         "user_id", "d", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
     )
-    flip = (
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("user_id").cast("string"), F.lit(":"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            1,
-        )
-        < "8"
-    )
+    flip = md5_coin(F.col("user_id"), F.col("b"))
     perms = ex.groupBy("b").agg(
         F.abs(F.sum(F.when(flip, F.col("d")).otherwise(-F.col("d")))).alias("t_b")
     )
@@ -1149,10 +1124,7 @@ def f25_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
     daily = o.groupBy("day").agg(F.sum("c").alias("cents"))
-    spine = (
-        o.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
+    spine = _order_day_spine(o.select("day"))
     grid = spine.join(daily, "day", "left")
     w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)

@@ -686,3 +686,8 @@ def test_ppjoin_lossless_on_generated_corpora(spark, texts, t):
     # inequality — equivalent here because with <= ~36 shingles per union
     # no ratio i/u can land within 5e-5 below t (min gap is 1/u >> 1e-2).
     assert fast == naive
+
+
+def test_merge_partials_rejects_empty_batch_list():
+    with pytest.raises(ValueError, match="empty batch list"):
+        merge_order_partials([])

@@ -274,6 +274,17 @@ def main() -> None:
     def ppjoin_shape(d):
         return ppjoin_pairs(d, "doc_id", "text", k=3, threshold=0.75)
 
+    def bootstrap_shape(o):
+        from cassandra_snap_to_hadoop_spark.queries._util import md5_coin
+
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        ex = o.select(
+            "o_orderkey", cents.alias("c"),
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("b"),
+        )
+        gate = md5_coin(F.col("o_orderkey"), F.col("b"))
+        return ex.filter(gate).groupBy("b").agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         # Exact replicas are j57's WORST case: every gram becomes duplicated,
@@ -310,6 +321,11 @@ def main() -> None:
         # (exact replicas would instead measure the output-quadratic
         # all-duplicates worst case, which j57's row already covers).
         ("ppjoin-prefix-filter", lambda: ppjoin_shape(d1_marked), lambda: ppjoin_shape(dN_marked)),
+        # Hash-gated resampling (e38/e43 shape): the B=100 bounded explode
+        # partial-aggregates immediately, so the shuffle carries B rows per
+        # partition regardless of input volume — cost should be ~linear in
+        # rows with a constant B factor.
+        ("bootstrap-resample-fanout", lambda: bootstrap_shape(o1), lambda: bootstrap_shape(oN)),
         ("pit-merged-stream", lambda: pit_shape(e1), lambda: pit_shape(eN)),
         ("fact join", lambda: join_shape(li1, o1), lambda: join_shape(liN, oN)),
         ("window", lambda: window_shape(e1), lambda: window_shape(eN)),
