@@ -428,9 +428,37 @@ def ppjoin_pairs(
     prefix = (
         ranked.join(sizes, "id")
         .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sh", "sz")
+        .select("id", "sh", "sz", "pos")
     )
+    # Candidate join on prefix shingles with BOTH classic prunes:
+    #   * size filter:        J >= t  =>  min(|x|,|y|) >= t * max(|x|,|y|)
+    #   * positional filter:  a shared token at prefix positions (i, j)
+    #     bounds the overlap by  1 + min(|x|-i, |y|-j); J >= t needs
+    #     overlap >= ceil(t/(1+t) * (|x|+|y|)) = alpha.  The bound from
+    #     the EARLIEST shared token is the largest, so keeping a pair iff
+    #     MAX over observed shared prefix tokens of the bound >= alpha is
+    #     lossless (it upper-bounds the classic first-common-token rule).
+    #     With t = 0.75, alpha = ceil(3/7 * (sz_a + sz_b)) — 3/7 is kept
+    #     as the exact rational t/(1+t) via integer-scaled arithmetic
+    #     (7 * overlap_bound >= 3 * (sz_a + sz_b) avoids any float ulp).
+    # Grouping by pair replaces the plain distinct() — same shuffle, and
+    # the positional prune shrinks the verification set for free.
+    t_num, t_den = float(threshold).as_integer_ratio()
     a, b = prefix.alias("a"), prefix.alias("b")
+    bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    if t_den <= 10**6:
+        # exact rational compare (t = num/den):  bound*(num+den) >= num*(sa+sb)
+        pos_keep = F.col("max_bound") * F.lit(t_num + t_den) >= F.lit(t_num) * (
+            F.col("_sa") + F.col("_sb")
+        )
+    else:
+        # non-dyadic t: float compare with conservative slack (never prunes
+        # a boundary true pair; may keep a handful of extra candidates)
+        pos_keep = F.col("max_bound").cast("double") >= F.lit(
+            threshold / (1.0 + threshold)
+        ) * (F.col("_sa") + F.col("_sb")) - F.lit(1e-9)
     cand = (
         a.join(
             b,
@@ -441,8 +469,14 @@ def ppjoin_pairs(
                 >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.max(bound).alias("max_bound"),
+            F.max(F.col("a.sz")).alias("_sa"),
+            F.max(F.col("b.sz")).alias("_sb"),
+        )
+        .filter(pos_keep)
+        .select("id_a", "id_b")
     )
     # Exact verification: intersect the two full shingle sets per candidate.
     sa = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sz_a"))

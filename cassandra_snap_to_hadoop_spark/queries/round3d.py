@@ -90,8 +90,11 @@ def j62_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overshoot in ceil(t*sz) would silently shrink the prefix and lose
     pairs) keeps every prune exact, and sits in the high-threshold regime
     prefix filtering is designed for: on this corpus the prefix join emits
-    ~70k candidates at t=0.75 vs ~310k at t=0.5 for the same 256 matching
-    pairs."""
+    ~70k candidates at t=0.75 vs ~310k at t=0.5, and the POSITIONAL
+    filter (the prune that makes it PPJoin rather than AllPairs — the
+    earliest shared prefix token's positions bound the achievable
+    overlap) cuts those to ~22k before verification, all for the same
+    256 matching pairs."""
     d = Tables(spark, sf_dir).documents
     return ppjoin_pairs(d, "doc_id", "text", k=3, threshold=0.75)
 
