@@ -1152,3 +1152,108 @@ def f25_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("filled_total"),
     )
+
+
+@register(
+    "a26_fixed_width_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders GROUP BY 1
+    """,
+    survey="A3,A26",
+)
+def a26_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe-style) text ingestion: orders
+    serialized as 40-char records with column OFFSETS as the schema —
+    orderkey[1:12] custkey[13:24] status[25] cents[26:39] — no
+    delimiters, no quoting; re-read with the line source and parsed by
+    ``substring`` + cast, then aggregated against SQL over the original
+    table.  Completes the source-format matrix (delimited a7/a8/a19,
+    JSON a3/a18, XML a17, ORC a3, binary a20) with the one legacy layout
+    every enterprise migration eventually meets.  Cents serialize as a
+    14-digit zero-padded integer so the format/parse cycle is lossless
+    by construction."""
+    from pathlib import Path
+
+    from cassandra_snap_to_hadoop_spark.queries.sources_io import _stage_dir
+
+    path = _stage_dir(sf_dir) / "orders_fixed_width"
+    if not Path(path / "_SUCCESS").exists():
+        line = F.concat(
+            F.format_string("%012d", F.col("o_orderkey")),
+            F.format_string("%012d", F.col("o_custkey")),
+            F.col("o_orderstatus"),
+            F.format_string("%014d", F.round(F.col("o_totalprice") * 100).cast("long")),
+        )
+        (
+            Tables(spark, sf_dir)
+            .orders.select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(str(path))
+        )
+    back = spark.read.text(str(path))
+    parsed = back.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.substring("value", 26, 14).cast("long").alias("cents"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        (F.sum("cents") / F.lit(100.0)).alias("total_price"),
+    )
+
+
+@register(
+    "a27_codec_roundtrip",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT codec, l_returnflag, n, qty_cents
+    FROM agg CROSS JOIN (SELECT unnest(['parquet_zstd', 'csv_gzip']) AS codec) c
+    """,
+    survey="A3,A4,A27",
+)
+def a27_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip: the SAME lineitem projection written
+    as zstd parquet AND gzip CSV, both read back and aggregated — each
+    codec path must reproduce the table's numbers exactly (the oracle is
+    the direct aggregate fanned out per codec label).  zstd is the
+    modern lakehouse default (better ratio than snappy at similar
+    speed); gzip CSV is the interchange format data vendors actually
+    ship.  NOTE the scale asymmetry this query makes visible: parquet
+    splits into row groups so zstd parquet stays parallel, while a
+    single gzip CSV member is NOT splittable — one task per file at any
+    size, which is why the gzip stage writes per-partition files."""
+    from pathlib import Path
+
+    from cassandra_snap_to_hadoop_spark.queries.sources_io import _stage_dir
+
+    li = Tables(spark, sf_dir).lineitem.select("l_returnflag", "l_quantity")
+    pq_path = _stage_dir(sf_dir) / "lineitem_zstd_parquet"
+    csv_path = _stage_dir(sf_dir) / "lineitem_gzip_csv"
+    if not Path(pq_path / "_SUCCESS").exists():
+        li.write.mode("overwrite").option("compression", "zstd").parquet(str(pq_path))
+    if not Path(csv_path / "_SUCCESS").exists():
+        li.write.mode("overwrite").option("compression", "gzip").option(
+            "header", "true"
+        ).csv(str(csv_path))
+    back_pq = spark.read.parquet(str(pq_path)).withColumn("codec", F.lit("parquet_zstd"))
+    back_csv = (
+        spark.read.option("header", "true")
+        .schema("l_returnflag string, l_quantity double")
+        .csv(str(csv_path))
+        .withColumn("codec", F.lit("csv_gzip"))
+    )
+    both = back_pq.unionByName(back_csv)
+    return both.groupBy("codec", "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    )
