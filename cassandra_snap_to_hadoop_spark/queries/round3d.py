@@ -310,8 +310,13 @@ def e36_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     double at 1-ulp cost.  At 100 TB the grid is |lengths| x |sources| —
     domain-bounded, independent of corpus row count."""
     d = Tables(spark, sf_dir).documents
-    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").alias("c")
+    # The per-(source, value) count table feeds FOUR consumers (per-source
+    # totals, global value list, the grid join, and N); materialize the
+    # KB-scale aggregate once or each branch re-scans the corpus.
+    counts = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
     gl = counts.groupBy("v").agg(F.sum("c").alias("gc"))

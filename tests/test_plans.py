@@ -500,3 +500,53 @@ def test_j57_exact_substring_equi_joins_only(spark, sf_dir):
     assert "LeftSemi" in p and "LeftAnti" in p, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert count_shuffles(df) <= 8, p
+
+
+def test_e41_ols_is_single_pass_single_exchange(spark, sf_dir):
+    """Learning-via-sufficient-statistics claim: ONE corpus scan, partial
+    aggregation around ONE exchange, zero joins — the 9 moments ride the
+    same HashAggregate."""
+    df = REGISTRY["e41_ols_normal_equations"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert s.count("HashAggregate") >= 2
+    assert count_shuffles(df) == 1
+    assert broadcast_join_count(df) == 0
+    assert s.count("Scan parquet") == 1
+
+
+def test_e38_bootstrap_fanout_partial_aggregates(spark, sf_dir):
+    """The B=100 explode must partial-aggregate BEFORE its shuffle (the
+    linear-scaling claim in SCALE.md): per-b partial sums on the map
+    side, so the exchange carries B rows per partition."""
+    df = REGISTRY["e38_bootstrap_ci"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "Generate explode" in s
+    assert s.count("HashAggregate") >= 2
+
+
+def test_e36_ks_grid_has_no_corpus_self_join(spark, sf_dir):
+    """The (sources x lengths) grid rides in as a broadcast scalar array
+    (BroadcastNestedLoopJoin over a 1-row aggregate) — the corpus itself
+    is never self-joined."""
+    df = REGISTRY["e36_ks_drift"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert not uses_cartesian_product(df)
+    # counts is checkpointed: ONE corpus scan feeds all four consumers
+    assert s.count("Scan parquet") <= 1
+
+
+def test_j62_ppjoin_verification_joins_are_hash_joins(spark, sf_dir):
+    """Prefix-candidate join and both verification joins must be equi hash
+    or sort-merge joins — never nested-loop over the corpus."""
+    df = REGISTRY["j62_ppjoin_pairs"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert not uses_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_i18_spine_generates_in_plan(spark, sf_dir):
+    """The calendar spine comes from explode(sequence) over the 1-row
+    bounds aggregate — no driver-side date literals, no collect."""
+    df = REGISTRY["i18_date_spine_coverage"].fn(spark, sf_dir)
+    s = plan_string(df, "simple")
+    assert "Generate explode(sequence" in s
