@@ -691,3 +691,43 @@ def test_ppjoin_lossless_on_generated_corpora(spark, texts, t):
 def test_merge_partials_rejects_empty_batch_list():
     with pytest.raises(ValueError, match="empty batch list"):
         merge_order_partials([])
+
+
+@_slow
+@given(order=st.permutations(list(range(4))))
+def test_incremental_mv_fold_is_order_invariant(spark, sf_dir, order):
+    """Commutativity: folding the same partial states in ANY order gives
+    the identical presented MV (the quantized cent-sums make this exact,
+    not approximate)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.pmod(F.xxhash64("o_orderkey"), F.lit(4))
+    parts = [order_partials(o.filter(bucket == i)) for i in range(4)]
+    folded = _mv_key(present(merge_order_partials([parts[i] for i in order])).collect())
+    full = _mv_key(present(order_partials(o)).collect())
+    assert folded == full
+
+
+@_slow
+@given(
+    texts=st.lists(st.text(alphabet="abc d", min_size=0, max_size=25), min_size=2, max_size=8)
+)
+def test_pigeonhole_equals_bruteforce_on_generated_corpora(spark, texts):
+    """Band-index completeness must hold for arbitrary corpora, including
+    empty texts (no tokens -> no fingerprint) and identical texts
+    (hamming 0 through every band)."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(df, "doc_id", "text", 3, 4).collect()
+    }
+    assert got == brute
