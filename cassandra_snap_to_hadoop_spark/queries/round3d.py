@@ -1262,3 +1262,68 @@ def a27_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
     )
+
+
+@register(
+    "j69_embedding_decontamination",
+    oracle="""
+    WITH train AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), eval AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 1
+    ), hits AS (
+        SELECT e.vec_id AS eval_id,
+               MAX(list_cosine_similarity(e.embedding::DOUBLE[], t.embedding::DOUBLE[])) AS best_cos
+        FROM eval e JOIN train t ON e.label = t.label
+        GROUP BY 1
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN h.best_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           ROUND(MAX(COALESCE(h.best_cos, -1.0)), 4) AS worst_cos
+    FROM eval e LEFT JOIN hits h ON h.eval_id = e.vec_id
+    GROUP BY 1
+    """,
+    survey="J2,J15,J69",
+)
+def j69_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination — the SEMANTIC sibling of
+    j15's 5-gram lexical contamination check (paraphrased leakage slips
+    past n-grams; this is the Llama-3-style embedding screen): every
+    eval vector (odd vec_id) whose best TRAIN-side (even vec_id) cosine
+    within its label block reaches 0.35 counts as contaminated; reported
+    per label with the block's worst offender.  The cross-split join is
+    label-blocked exactly like j2_embedding_neardup (equi join, never
+    all-pairs) and the train side is the only corpus-scale relation —
+    at 100 TB the eval set is broadcast-sized, making this the j3
+    broadcast-KNN shape with a threshold instead of top-k.  Cosines are
+    computed by the shared codegen HOF (pre-normalized dot), rounded 4dp
+    only at presentation."""
+    from cassandra_snap_to_hadoop_spark.operators.similarity import cosine
+
+    emb = Tables(spark, sf_dir).embeddings
+    train = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("lbl"), F.col("embedding").alias("te")
+    )
+    ev = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("eval_id"), F.col("label").alias("lbl"), F.col("embedding").alias("ee")
+    )
+    hits = (
+        ev.join(train, "lbl")
+        .select("eval_id", "lbl", cosine(F.col("ee"), F.col("te")).alias("cos"))
+        .groupBy("eval_id")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    return (
+        ev.join(hits, "eval_id", "left")
+        .groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.when(F.col("best_cos") >= 0.35, 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.round(F.max(F.coalesce(F.col("best_cos"), F.lit(-1.0))), 4).alias(
+                "worst_cos"
+            ),
+        )
+    )

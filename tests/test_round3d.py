@@ -731,3 +731,40 @@ def test_pigeonhole_equals_bruteforce_on_generated_corpora(spark, texts):
         for r in simhash_hamming_pairs(df, "doc_id", "text", 3, 4).collect()
     }
     assert got == brute
+
+
+def test_embedding_decontamination_matches_python_reference(spark, sf_dir):
+    import math
+
+    rows = Tables(spark, sf_dir).embeddings.collect()
+    train = [(r.vec_id, r.label, r.embedding) for r in rows if r.vec_id % 2 == 0]
+    ev = [(r.vec_id, r.label, r.embedding) for r in rows if r.vec_id % 2 == 1]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    expect = {}
+    for _, lbl, _ in ev:
+        expect.setdefault(lbl, [0, 0, -1.0])
+    for vid, lbl, e in ev:
+        best = max(
+            (cos(e, t) for tid, tl, t in train if tl == lbl), default=None
+        )
+        agg = expect[lbl]
+        agg[0] += 1
+        if best is not None and best >= 0.35:
+            agg[1] += 1
+        agg[2] = max(agg[2], best if best is not None else -1.0)
+    got = {
+        r.label: (r.n_eval, r.n_contaminated, r.worst_cos)
+        for r in REGISTRY["j69_embedding_decontamination"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for lbl, (n, c, w) in expect.items():
+        gn, gc, gw = got[lbl]
+        assert (gn, gc) == (n, c), lbl
+        assert gw == pytest.approx(round(w, 4), abs=2e-4), lbl
+    assert any(v[1] > 0 for v in got.values())  # fixture has near-dups
