@@ -377,6 +377,8 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     then touches |users| * |days| rows only."""
     import pandas as pd
 
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_fold
+
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day")
         days = pd.date_range(pdf["day"].min(), pdf["day"].max(), freq="D").date
@@ -386,20 +388,14 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .astype(float)
             .to_numpy()
         )
-        alpha, beta = 0.5, 0.3
-        level = x[0]
-        trend = (x[1] - x[0]) if len(x) > 1 else 0.0
-        for v in x[1:]:
-            prev = level
-            level = alpha * v + (1 - alpha) * (level + trend)
-            trend = beta * (level - prev) + (1 - beta) * trend
+        level, trend, fc = holt_fold(x)
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_days": [len(x)],
-                "level": [round(level, 4)],
-                "trend": [round(trend, 4)],
-                "forecast_7d": [round(level + 7 * trend, 4)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_7d": [fc],
             }
         )
 

@@ -509,3 +509,63 @@ def k9_stream(events: DataFrame, nation: DataFrame, watermark: str = "10 minutes
     return enriched.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
         F.count("*").alias("n"), qsum(F.col("value")).alias("total_value")
     )
+
+
+def f24_stream(events: DataFrame) -> DataFrame:
+    """F24 streaming twin: Holt level/trend forecasting as ARBITRARY
+    STATEFUL processing (``applyInPandasWithState``), the k6 pattern
+    applied to a numeric model.
+
+    Per-user state = the day->count map accumulated so far (two parallel
+    arrays — bounded by the user's active-day span, not by event volume,
+    which the per-batch local pre-count guarantees).  Every micro-batch
+    merges the batch's day counts into state and emits the user's CURRENT
+    Holt fit over the zero-filled span, so the last emission per user
+    equals the batch declaration (queries/round3d.f24_holt_forecast) —
+    asserted by the parity test.  Accumulating COUNTS rather than model
+    state keeps the emission arrival-order-free: the fold reruns over the
+    completed series, which is exactly what makes the parity exact."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_fold
+
+    output_schema = (
+        "user_id long, n_days long, level double, trend double, forecast_7d double"
+    )
+    state_schema = "days array<int>, counts array<long>"
+
+    def fit(key, pdfs, state: GroupState):
+        acc: dict[int, int] = {}
+        if state.exists:
+            days, counts = state.get
+            acc = dict(zip(days, counts))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            epoch_days = (
+                pd.to_datetime(pdf["ts"]).dt.normalize().astype("int64") // 86_400_000_000_000
+            )
+            for d, c in epoch_days.value_counts().items():
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+        if not acc:
+            return
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds]))
+        span = range(ds[0], ds[-1] + 1)
+        xs = [float(acc.get(d, 0)) for d in span]
+        level, trend, fc = holt_fold(xs)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_days": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_7d": [fc],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

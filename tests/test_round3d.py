@@ -768,3 +768,51 @@ def test_embedding_decontamination_matches_python_reference(spark, sf_dir):
         assert (gn, gc) == (n, c), lbl
         assert gw == pytest.approx(round(w, 4), abs=2e-4), lbl
     assert any(v[1] > 0 for v in got.values())  # fixture has near-dups
+
+
+def test_holt_streaming_state_parity(spark, sf_dir, tmp_path):
+    """F24's stateful-streaming twin: per-user day counts accumulate in
+    applyInPandasWithState state across micro-batches; the LAST emission
+    per user equals the batch Holt fit — regardless of shard arrival
+    order, because state holds the completed day->count map, not model
+    coefficients."""
+    from cassandra_snap_to_hadoop_spark.io import SCHEMAS
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import f24_stream
+
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    root = str(tmp_path / "events")
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(root)
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 7)
+        .parquet(root + "/*")
+    )
+    q = (
+        f24_stream(stream)
+        .writeStream.format("memory")
+        .queryName("f24_stream_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM f24_stream_sink").collect()
+    assert emitted
+    final = {}
+    for r in emitted:  # last emission = max day-span (monotone under accumulation)
+        cur = final.get(r.user_id)
+        if cur is None or r.n_days >= cur.n_days:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r for r in REGISTRY["f24_holt_forecast"].fn(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert (s.n_days, s.level, s.trend, s.forecast_7d) == (
+            b.n_days,
+            b.level,
+            b.trend,
+            b.forecast_7d,
+        ), uid
