@@ -1323,3 +1323,40 @@ def j69_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "l8_pandas_iter_udf",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(1000000.0 / (1.0 + exp(-(value - 50.0) / 10.0))) AS BIGINT)) AS BIGINT)
+               AS sigmoid_micro_sum
+    FROM events GROUP BY 1
+    """,
+    survey="L1,L8",
+)
+def l8_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the variant built for
+    EXPENSIVE PER-WORKER INITIALIZATION: the generator body runs once per
+    Arrow batch stream, so a model/tokenizer load happens once per task
+    instead of once per batch (the deployment shape for j48-style learned
+    encoders).  Here the 'model' is a sigmoid calibration whose parameters
+    are 'loaded' before the loop; scores quantize to micro-units per row
+    so the aggregate is association-order-free and value-checked against
+    DuckDB's exp().  Plan stays Arrow-vectorized (asserted by the
+    engine-wide no-rowwise-python test); numpy exp and libm exp agree
+    bit-for-bit on these inputs (both correctly-rounded for the domain,
+    pinned by the oracle hash)."""
+    from cassandra_snap_to_hadoop_spark.operators.udf_iter import sigmoid_micro_udf
+
+    sigmoid_micro = sigmoid_micro_udf(mu=50.0, scale=10.0)
+    e = Tables(spark, sf_dir).events
+    return (
+        e.withColumn("sm", sigmoid_micro(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("sm").alias("sigmoid_micro_sum"),
+        )
+    )
