@@ -1,0 +1,81 @@
+"""Record-linkage string similarity: Jaro-Winkler.
+
+Spark has no built-in Jaro-Winkler, so the engine ships the textbook
+implementation (Winkler '90: Jaro similarity + prefix boost p=0.1 applied
+only when jaro > 0.7, prefix capped at 4) as an Arrow-batched pandas UDF —
+the j49 Unicode-NFC precedent: the oracle side (DuckDB's independent C++
+``jaro_winkler_similarity``) and this pure-Python side are two unrelated
+implementations of the published definition, so value agreement is real
+evidence.  Differentially fuzzed against DuckDB over random-string pairs in
+tests/test_round3e.py (the one definitional divergence found: DuckDB scores
+two EMPTY strings 0.0, not 1.0 — matched here by the empty-input guard).
+
+Per-row Python inside an Arrow batch is the sanctioned shape for genuinely
+scalar-iterative string algorithms (j49 unicodedata, f15 CUSUM): transport
+is vectorized, and the O(len²) window scan has no vectorized equivalent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0  # DuckDB convention: '' vs '' scores 0, not 1
+    if s1 == s2:
+        return 1.0
+    md = max(max(l1, l2) // 2 - 1, 0)
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(i + md + 1, l2)):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+    j = jaro(s1, s2)
+    if j > boost_threshold:
+        ell = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            ell += 1
+        j = j + ell * p * (1 - j)
+    return j
+
+
+@F.pandas_udf("double")
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            jaro_winkler(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+def jaro_winkler_col(a: Column, b: Column) -> Column:
+    """Arrow-batched Jaro-Winkler similarity column."""
+    return _jw_udf(a, b)
