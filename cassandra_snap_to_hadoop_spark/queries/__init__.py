@@ -9,25 +9,20 @@ registry in insertion order with a bounded entry budget (~50 observed in
 rounds 1-2), so rows that lack driver-green evidence must occupy the first
 ~50 positions.  Round 1 certified cassandra_sem/flagship/funcs/joins/llm;
 round 2 certified relational/windows/streaming_sem/sources_io/udf plus
-multimodal's two SQL rows.  Round 3 front-loads, via the explicit
-``_ROUND3_PRIORITY`` reorder below (module import order alone can't put a
-single query first):
+multimodal's two SQL rows; round 3 certified i7 + tpch(21) + layout(7) +
+governance(12) + the extended head (49 hash-green + e12 rows-only by
+contract).  Round 4 front-loads, via the explicit ``_ROUND4_PRIORITY``
+reorder below, the 50 SQL-oracled heads of the round-3 continuation
+batches (round3d 18, round3b 17, round3c 15) — the block VERDICT.md
+round-3 item 1 names.
 
-  1.     i7_variant_funcs      — the only driver-red row ever recorded
-                                 (round-1 HUGEINT hash fail, fixed in
-                                 funcs.py + oracle.py, mirror-green since);
-  2-22.  tpch (21)             — full TPC-H derivative suite;
-  23-29. layout (7)            — physical-layout tier A10-A16;
-  30-41. governance (12)       — corpus-governance tier J26-J39;
-  42-50. extended head (9)     — oracle-backed round-2 additions.
-
-Positions 51+ (``_ROUND3_TAIL``) are insurance: every query that has
-never had a driver-green row, SQL-oracled first, so a longer-than-expected
-driver budget certifies new rows instead of re-certifying green families.
-Already-driver-green families follow in original insertion order and
-re-verify every round via the local oracle mirror (python -m
+Positions 51+ (``_ROUND4_TAIL``) are insurance: every remaining query that
+has never had a driver-green row, SQL-oracled first, so a longer-than-
+expected driver budget certifies new rows instead of re-certifying green
+families.  Already-driver-green families follow in original insertion
+order and re-verify every round via the local oracle mirror (python -m
 cassandra_snap_to_hadoop_spark.oracle), so being behind the budget loses
-no coverage.  Round 4 rotates the tail block into the front window.
+no coverage.  Round 5 rotates the tail block into the front window.
 """
 
 from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
@@ -56,73 +51,73 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
-# Round-3 driver window (~50 insertion-ordered entries).  Names listed here
-# move to the front of the registry, in this order; all other entries keep
-# their relative order behind them.
-_ROUND3_PRIORITY: tuple[str, ...] = (
-    "i7_variant_funcs",
-    # TPC-H derivative suite (21) — mirror-green only until now.
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_shipping_delay",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_accounts",
-    # Physical-layout tier (7).
-    "a10_small_file_compaction",
-    "a11_zorder_key",
-    "a12_partitioned_discovery",
-    "a13_schema_drift_merge",
-    "a14_corrupt_file_tolerance",
-    "a15_snapshot_diff",
-    "a16_cdc_apply",
-    # Governance tier (12).
-    "j26_source_overlap",
-    "j27_dup_size_histogram",
-    "j28_domain_stats",
-    "j29_line_dedup",
-    "j32_ngram_novelty",
-    "j33_semdedup_prune",
-    "j34_winnowing_fingerprints",
-    "j35_prefix_dedup",
-    "j36_token_entropy",
-    "j37_source_kl_drift",
-    "j38_dataset_card",
-    "j39_curriculum_order",
-    # Extended head — oracle-backed round-2 additions (9).
-    "f8_distribution_windows",
-    "b8_compaction_gc",
-    "j3_range_search",
-    "j11_embedding_quantize",
-    "j12_train_val_split",
-    "j13_sequence_packing",
-    "i10_bitwise_funcs",
-    "e12_hll_sketch_merge",
-    "e13_listagg_mode",
+# Round-4 driver window (50 insertion-ordered entries): the SQL-oracled
+# heads of the round-3 continuation batches (round3d, round3b, round3c) —
+# every one mirror-green at sf0.001/0.01/0.1 AND reference-pinned in tests,
+# never yet in a driver CORRECTNESS window.  VERDICT.md round-3 item 1.
+_ROUND4_PRIORITY: tuple[str, ...] = (
+    # round3d third-continuation batch (18): exact-similarity/ER +
+    # incremental + statistics + tokenizer tiers.
+    "j62_ppjoin_pairs",
+    "j63_sorted_neighborhood_pairs",
+    "a24_incremental_mv_maintenance",
+    "i18_date_spine_coverage",
+    "e36_ks_drift",
+    "e37_chi2_independence",
+    "e38_bootstrap_ci",
+    "e39_kaplan_meier",
+    "e40_cuped_adjustment",
+    "e41_ols_normal_equations",
+    "e43_permutation_test",
+    "i19_edit_distance_pairs",
+    "j67_ngram_overlap_metrics",
+    "f25_linear_interpolation",
+    "a26_fixed_width_ingest",
+    "a27_codec_roundtrip",
+    "j69_embedding_decontamination",
+    "l8_pandas_iter_udf",
+    # round3b IR/analytics batch (17).
+    "j50_inverted_index",
+    "j51_bm25_scores",
+    "e22_cohort_retention",
+    "e23_weighted_median",
+    "e25_skyline",
+    "f16_interval_union",
+    "f17_twap",
+    "f18_ohlc_bars",
+    "j52_pmi_collocations",
+    "j53_column_profile",
+    "j54_dq_expectations",
+    "j55_vocab_coverage",
+    "d17_asof_nearest",
+    "i17_try_funcs",
+    "k14_dynamic_session_gap",
+    "b11_static_columns",
+    "b12_range_tombstones",
+    # round3c late depth batch (15).
+    "j57_exact_substring_dedup",
+    "d19_pit_scd2_join",
+    "e26_multitouch_attribution",
+    "j58_weighted_sample",
+    "e28_robust_mean",
+    "e29_gini_concentration",
+    "j59_reciprocal_nn",
+    "e30_equidepth_histogram",
+    "f20_mad_outliers",
+    "e31_wilson_ci",
+    "f22_peak_concurrency",
+    "j60_sparse_cosine_pairs",
+    "j61_zipf_fit",
+    "e33_benford_digits",
+    "f23_moving_median",
 )
 
-# Positions 51+ are INSURANCE: the driver budget has been ~50 in rounds 1-2,
-# but if it ever runs longer, every extra slot should certify a query that
-# has never had a driver-green row — not re-certify an already-green family.
-# Ordered: SQL-oracled first (hard value evidence), rows-only last; within
-# each block, original registration order.  Families certified in rounds 1-2
-# fall behind this block and re-verify via the local mirror every round.
-_ROUND3_TAIL: tuple[str, ...] = (
+# Positions 51+ are INSURANCE: if the driver budget runs past 50, every
+# extra slot certifies a query that has never had a driver-green row.
+# SQL-oracled first (hard value evidence), rows-only last; within each
+# block, prior registry order.  Families certified in rounds 1-3 fall
+# behind this block and re-verify via the local oracle mirror every round.
+_ROUND4_TAIL: tuple[str, ...] = (
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",
@@ -192,38 +187,6 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j49_unicode_nfc_normalize",
     "a22_snapshot_retention",
     "a23_nested_schema_pruning",
-    "j50_inverted_index",
-    "j51_bm25_scores",
-    "e22_cohort_retention",
-    "f16_interval_union",
-    "j52_pmi_collocations",
-    "e23_weighted_median",
-    "j53_column_profile",
-    "j54_dq_expectations",
-    "f17_twap",
-    "e25_skyline",
-    "j55_vocab_coverage",
-    "d17_asof_nearest",
-    "f18_ohlc_bars",
-    "i17_try_funcs",
-    "k14_dynamic_session_gap",
-    "b11_static_columns",
-    "b12_range_tombstones",
-    "j57_exact_substring_dedup",
-    "d19_pit_scd2_join",
-    "e26_multitouch_attribution",
-    "j58_weighted_sample",
-    "e28_robust_mean",
-    "e29_gini_concentration",
-    "j59_reciprocal_nn",
-    "e30_equidepth_histogram",
-    "f20_mad_outliers",
-    "e31_wilson_ci",
-    "f22_peak_concurrency",
-    "j60_sparse_cosine_pairs",
-    "j61_zipf_fit",
-    "e33_benford_digits",
-    "f23_moving_median",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -239,6 +202,10 @@ _ROUND3_TAIL: tuple[str, ...] = (
     "j3_knn_pq",
     "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
+    "f24_holt_forecast",
+    "j64_simhash_hamming_pairs",
+    "j66_bpe_merges",
+    "j68_bpe_encode_stats",
 )
 
 
@@ -253,4 +220,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND3_PRIORITY + _ROUND3_TAIL)
+_reorder(_ROUND4_PRIORITY + _ROUND4_TAIL)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND3_PRIORITY, _ROUND3_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND4_PRIORITY, _ROUND4_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,10 +54,26 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND3_PRIORITY) + list(_ROUND3_TAIL)
+    combined = list(_ROUND4_PRIORITY) + list(_ROUND4_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_round4_window_certifies_only_new_sql_oracled_rows():
+    """The 50-slot driver window must spend every slot on a query that has
+    never appeared in a driver CORRECTNESS window and carries a SQL oracle
+    (hash-level evidence) — re-certifying a green family wastes the slot."""
+    import json
+
+    certified: set[str] = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        certified |= set(json.loads(p.read_text()))
+    assert len(_ROUND4_PRIORITY) == 50
+    already = [n for n in _ROUND4_PRIORITY if n in certified]
+    assert not already, f"window wastes slots on already-certified: {already}"
+    no_oracle = [n for n in _ROUND4_PRIORITY if not REGISTRY[n].oracle]
+    assert not no_oracle, f"window entries without SQL oracle: {no_oracle}"
 
 
 def test_every_registered_query_is_documented_somewhere():
