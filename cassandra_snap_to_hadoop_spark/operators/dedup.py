@@ -272,14 +272,27 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, max_iterations: int = 20) -
     return labels
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """J2 (simhash tier): 64-bit fingerprint = bitwise majority vote of
-    token hashes.  Expressed as one aggregate per bit over exploded tokens —
-    64 conditional sums fuse into a single hash-aggregate pass."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash: F.Column | None = None,
+) -> DataFrame:
+    """J2 (simhash tier): ``bits``-bit fingerprint = bitwise majority vote
+    of token hashes.  Expressed as one aggregate per bit over exploded
+    tokens — the conditional sums fuse into a single hash-aggregate pass.
+
+    ``token_hash`` overrides the per-token hash expression (over column
+    ``w``): the default xxhash64 is fastest but engine-specific
+    (rows-only checks); j64's md5 twin passes a 60-bit md5-derived hash
+    that DuckDB reproduces digit-for-digit, making the WHOLE simhash
+    pipeline SQL-oracle-checkable."""
+    h = F.xxhash64("w") if token_hash is None else token_hash
     ex = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
-    ).select("id", F.xxhash64("w").alias("h"))
+    ).select("id", h.alias("h"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -396,8 +409,21 @@ def ppjoin_pairs(
     Distributed shape: df(shingle) is one hash aggregate; the prefix rank
     is a window partitioned BY DOCUMENT (never global); the candidate
     join is equi on the prefix shingle with the size prune applied inside
-    the join; verification touches candidate pairs only.  With t = 0.5
-    every arithmetic prune is exact in binary floating point.
+    the join; verification touches candidate pairs only.
+
+    Arithmetic exactness (completeness is the operator's contract, so the
+    prunes must never overshoot): when ``t`` is a small exact rational
+    (decimal-string rational: ``Fraction(str(t))``, so 0.8 is exactly
+    4/5 — denominator ≤ 10⁶ covers every humanly-written threshold), the
+    prefix length, size prune, positional prune, and final verification
+    all run in pure integer arithmetic (``ceil(t·sz)`` as
+    ``(num·sz + den − 1) div den``; ``min ≥ t·max`` as
+    ``den·min ≥ num·max``).  For a pathological computed float whose
+    shortest repr has a huge denominator, the prunes compare against
+    ``t·sz − 1e-9`` — conservative slack that can only ADMIT extra
+    candidates (verified exactly later), never drop a boundary true pair
+    — and verification uses the plain compare (no slack — it must not
+    admit J < t).
     """
     ex = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -425,9 +451,36 @@ def ppjoin_pairs(
         "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
     )
     sizes = sets.select("id", "sz")
+    # Prefix length in exact integer arithmetic where t permits (ADVICE
+    # r3: float ceil(t*sz) can overshoot by 1 ulp and silently shrink the
+    # prefix — over-pruning true pairs).  The rational comes from the
+    # threshold's DECIMAL string (0.8 -> 4/5), not as_integer_ratio
+    # (0.8 -> a 2^52 denominator that would overflow int64 products and
+    # misstate the user's intent by 1 ulp).  ceil(num*sz/den) for
+    # non-negative ints is (num*sz + den - 1) div den.
+    from fractions import Fraction
+
+    frac = Fraction(str(float(threshold)))
+    t_num, t_den = frac.numerator, frac.denominator
+    if t_den <= 10**6:
+        ceil_t_sz = F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
+        size_keep_expr = lambda lo, hi: F.lit(t_den) * lo >= F.lit(t_num) * hi  # noqa: E731
+        # Final verification shares the exact integer compare.
+        verify_keep_expr = size_keep_expr
+    else:
+        # conservative float slack: may lengthen the prefix / keep an
+        # extra candidate (harmless — verification is exact), never prunes
+        # a boundary true pair.
+        ceil_t_sz = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        size_keep_expr = lambda lo, hi: lo >= F.lit(threshold) * hi - F.lit(1e-9)  # noqa: E731
+        # Verification must NOT carry the slack (it would admit J < t
+        # pairs); J == t exactly is unreachable for a non-dyadic float t
+        # (J is a small-denominator rational), so the plain compare is
+        # exact here.
+        verify_keep_expr = lambda lo, hi: lo >= F.lit(threshold) * hi  # noqa: E731
     prefix = (
         ranked.join(sizes, "id")
-        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1)
         .select("id", "sh", "sz", "pos")
     )
     # Candidate join on prefix shingles with BOTH classic prunes:
@@ -443,7 +496,6 @@ def ppjoin_pairs(
     #     (7 * overlap_bound >= 3 * (sz_a + sz_b) avoids any float ulp).
     # Grouping by pair replaces the plain distinct() — same shuffle, and
     # the positional prune shrinks the verification set for free.
-    t_num, t_den = float(threshold).as_integer_ratio()
     a, b = prefix.alias("a"), prefix.alias("b")
     bound = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
@@ -464,9 +516,9 @@ def ppjoin_pairs(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            & size_keep_expr(
+                F.least(F.col("a.sz"), F.col("b.sz")),
+                F.greatest(F.col("a.sz"), F.col("b.sz")),
             ),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -486,7 +538,11 @@ def ppjoin_pairs(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("inter", inter.cast("long"))
-        .filter(F.col("inter") >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(
+            verify_keep_expr(
+                F.col("inter"), F.col("sz_a") + F.col("sz_b") - F.col("inter")
+            )
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
@@ -501,6 +557,8 @@ def simhash_hamming_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 64,
+    token_hash: F.Column | None = None,
 ) -> DataFrame:
     """J64: near-duplicate pairs at Hamming distance <= ``max_hamming``
     over the 64-bit simhash, found with the PIGEONHOLE band index (Manku,
@@ -519,8 +577,10 @@ def simhash_hamming_pairs(
     """
     if max_hamming > n_bands - 1:
         raise ValueError("pigeonhole guarantee needs max_hamming <= n_bands - 1")
-    fp = simhash(df, id_col, text_col)
-    width = 64 // n_bands
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands blocks")
+    fp = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
+    width = bits // n_bands
     mask = (1 << width) - 1
     bands = fp.select(
         "id",

@@ -65,17 +65,21 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
     return j
 
 
-@F.pandas_udf("double")
-def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            jaro_winkler(x, y) if x is not None and y is not None else None
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
-
-
 def jaro_winkler_col(a: Column, b: Column) -> Column:
-    """Arrow-batched Jaro-Winkler similarity column."""
+    """Arrow-batched Jaro-Winkler similarity column.
+
+    The pandas UDF is built lazily — ``@F.pandas_udf`` at module level
+    needs an active SparkSession just to parse its return type, which
+    would make this module unimportable from oracle-only contexts."""
+
+    @F.pandas_udf("double")
+    def _jw_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler(x, y) if x is not None and y is not None else None
+                for x, y in zip(s1, s2)
+            ],
+            dtype="float64",
+        )
+
     return _jw_udf(a, b)

@@ -23,7 +23,11 @@ def sigmoid_micro_udf(mu: float = 50.0, scale: float = 10.0):
         import numpy as np
 
         for s in it:
-            z = 1.0 / (1.0 + np.exp(-(s.to_numpy() - mu) / scale))
-            yield pd.Series(np.floor(z * 1_000_000.0 + 0.5).astype("int64"))
+            # Single-rounding order matching the oracle's
+            # 1000000.0/(1.0+exp(...)) exactly — computing 1/(1+e) first
+            # and multiplying adds a second rounding that can flip the
+            # half-up micro digit on boundary values (ADVICE r3).
+            z = 1_000_000.0 / (1.0 + np.exp(-(s.to_numpy() - mu) / scale))
+            yield pd.Series(np.floor(z + 0.5).astype("int64"))
 
     return sigmoid_micro

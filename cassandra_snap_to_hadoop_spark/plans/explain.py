@@ -89,3 +89,28 @@ def plan_digest(df: DataFrame) -> dict[str, object]:
         "cartesian": uses_cartesian_product(df),
         "rowwise_python": uses_rowwise_python(df),
     }
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of window operators with an EMPTY partition spec — each one
+    moves its entire input through a single task (Spark logs "No Partition
+    Defined for Window operation"), the canonical scale killer that
+    operators/layout.py global_rank / global_cumsum / ntile_expr exist to
+    avoid.  Counted by walking the JVM physical plan tree (robust against
+    plan-string formatting), including inside AQE wrappers."""
+
+    def walk(node) -> int:
+        cnt = 0
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                cnt += 1
+        children = node.children()
+        for i in range(children.size()):
+            cnt += walk(children.apply(i))
+        # AdaptiveSparkPlanExec hides its input plan outside children().
+        if cls == "AdaptiveSparkPlanExec":
+            cnt += walk(node.initialPlan())
+        return cnt
+
+    return walk(df._jdf.queryExecution().executedPlan())

@@ -48,6 +48,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round3b,  # round-3 continuation (J50/J51 IR tier, E21/E22) — rotate in round 4
     round3c,  # round-3 late depth batch (J57 ExactSubstr, PQ-ANN) — rotate in round 4
     round3d,  # round-3 third continuation (PPJoin, SNM, incremental MV, KS) — rotate in round 4/5
+    round4,  # round-4 scale twins + additions — rotate in round 5
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -118,6 +119,11 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
 # block, prior registry order.  Families certified in rounds 1-3 fall
 # behind this block and re-verify via the local oracle mirror every round.
 _ROUND4_TAIL: tuple[str, ...] = (
+    # round-4 additions (never-certified by construction, SQL-oracled).
+    "e30_equidepth_scalable",
+    "j70_jaro_winkler_pairs",
+    "j71_pagerank",
+    "j64_simhash_pairs_md5",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

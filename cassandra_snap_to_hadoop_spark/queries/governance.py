@@ -847,15 +847,16 @@ def j39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive global window, certifying two-pass-equals-naive over the whole
     curriculum.
 
-    Honest scale note: the decile BAND assignment still uses a global
-    ntile window (it moves only (doc_id, rich, jit) triples, but it is a
-    single-reducer sort).  At 100 TB swap it for approx_percentile
-    thresholds + comparison banding — curricula tolerate approximate
-    decile boundaries (the bands are a pedagogical ordering, not an
-    exact statistic), while the TRAIN ORDER itself stays exact via
-    global_rank."""
-    from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
-    from pyspark.sql.window import Window
+    The decile BAND assignment is ALSO single-reducer-free since round 4:
+    a second global_rank over (rich, doc_id) plus the closed-form
+    SQL-standard ntile rule (operators/layout.py ntile_expr — first
+    ``n mod k`` buckets get one extra row) reproduces the oracle's
+    ``ntile(10)`` bucket-for-bucket from pure integer arithmetic, so the
+    exact-window oracle certifies the scalable path directly."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import (
+        global_rank,
+        ntile_expr,
+    )
 
     d = fan_out(Tables(spark, sf_dir).documents)
     scored = d.select(
@@ -863,9 +864,10 @@ def j39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(tokens(F.col("text")))).alias("rich"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("jit"),
     )
-    banded = scored.withColumn(
-        "band", F.ntile(10).over(Window.orderBy("rich", "doc_id"))
+    pre, n_total = global_rank(
+        scored, [F.col("rich"), F.col("doc_id")], out_col="__qr", return_total=True
     )
+    banded = pre.withColumn("band", ntile_expr("__qr", n_total, 10)).drop("__qr")
     ranked = global_rank(
         banded,
         [F.col("band"), F.col("jit"), F.col("doc_id")],

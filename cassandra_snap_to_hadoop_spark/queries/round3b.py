@@ -893,12 +893,19 @@ def j55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing is found with pure integer arithmetic (``100·cum ≥ pct·tot``)
     — no ratio ever floats.
 
-    Scale shape: one corpus scan → term hash agg; both windows and the
-    rank run over the TERM relation (vocabulary cardinality, not corpus
-    cardinality).  The threshold relation is 4 literal rows joined on the
-    crossing predicate and reduced with MIN — the window side is computed
-    once, not once per threshold.  At 100 TB the only corpus-sized work
-    is the tokenize+agg map."""
+    Scale shape: one corpus scan → term hash agg; the rank and running
+    sum run over the TERM relation via operators/layout.py global_cumsum
+    (range partitions + per-partition (count, sum) offsets) — NO
+    unpartitioned window anywhere (VERDICT r3 "What's wrong" item 3: the
+    term relation is corpus-sublinear but still 10⁸+ at web scale, so
+    the single-reducer cumulative window had to go).  The grand total is
+    a 1-row aggregate broadcast onto the term relation.  The threshold
+    relation is 4 literal rows joined on the crossing predicate and
+    reduced with MIN — the cumulative side is computed once, not once
+    per threshold.  At 100 TB the only corpus-sized work is the
+    tokenize+agg map."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
     d = fan_out(Tables(spark, sf_dir).documents)
     tc = (
         d.select(F.explode(tokens(F.col("text"))).alias("term"))
@@ -906,17 +913,10 @@ def j55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    wo = Window.orderBy(F.col("n").desc(), "term")
-    c = tc.select(
-        "n",
-        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("n").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("tot"),
-        F.row_number().over(wo).alias("rnk"),
-    )
+    tot = tc.agg(F.sum("n").cast("long").alias("tot"))
+    c = global_cumsum(
+        tc, [F.col("n").desc(), F.col("term")], "n", rank_col="rnk", cum_col="cum"
+    ).crossJoin(F.broadcast(tot))
     thr = spark.range(1).selectExpr("explode(array(50, 80, 90, 95)) AS pct")
     return (
         c.join(F.broadcast(thr), 100 * F.col("cum") >= F.col("pct") * F.col("tot"))

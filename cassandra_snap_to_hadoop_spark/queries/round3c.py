@@ -642,10 +642,10 @@ def e30_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile interpolation anywhere (e6 is the interpolating tier).
 
     Scale note: a global ntile is a single total order — fine for
-    profiling runs, but the 100 TB path computes approximate quantile
-    boundaries first (e6's approx twin) and assigns buckets with a
-    broadcast range lookup, one scan, no global sort; this exact tier is
-    the oracle for that path's calibration."""
+    profiling runs, NOT for 100 TB.  The registered scale twin is
+    e30_equidepth_scalable (queries/round4.py): two-pass global_rank +
+    closed-form ntile, same oracle, no unpartitioned WindowExec.  This
+    exact tier stays registered as that path's calibration oracle."""
     li = Tables(spark, sf_dir).lineitem
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     w = Window.orderBy(cents, "l_orderkey", "l_linenumber")

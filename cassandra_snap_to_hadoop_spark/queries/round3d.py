@@ -553,6 +553,21 @@ def e38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 5, F.col("mean_b"))).alias("ci_lo"),
         F.max(F.when(F.col("rn") == 95, F.col("mean_b"))).alias("ci_hi"),
     )
+    # An md5 gate can (in principle) select zero rows for a resample, which
+    # would drop it from the groupBy and silently shift which ranked means
+    # become ci_lo/ci_hi.  Fail loudly instead of skewing the interval
+    # (ADVICE r3): ranks 5/95 are only meaningful over exactly B resamples.
+    res = res.withColumn(
+        "n_resamples",
+        F.when(F.col("n_resamples") == B, F.col("n_resamples")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("e38_bootstrap_ci: expected 100 non-empty resamples, got "),
+                    F.col("n_resamples").cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
     full = o.agg(F.sum("cents").alias("ts"), F.count("*").alias("tc"))
     return res.crossJoin(F.broadcast(full)).select(
         "n_resamples",

@@ -60,6 +60,27 @@ def test_ordering_lists_are_duplicate_free_and_registered():
     assert not missing, missing
 
 
+def test_status_totals_match_registry():
+    """The current-round totals line in STATUS.md must be GENERATED from
+    the registry, not hand-maintained (VERDICT r3 doc-drift item): the
+    first '**Totals' line must state exactly len(REGISTRY) registered,
+    |oracled| value-checked and |rows-only| counts."""
+    text = (REPO / "STATUS.md").read_text()
+    m = re.search(
+        r"\*\*Totals \(round \d+\):\*\* (\d+) registered queries, (\d+) DuckDB"
+        r" value-checked \+\s*(\d+) rows-only",
+        text,
+    )
+    assert m, "STATUS.md totals line missing or malformed"
+    n_reg, n_sql, n_rows = (int(g) for g in m.groups())
+    want_sql = sum(1 for q in REGISTRY.values() if q.oracle)
+    assert (n_reg, n_sql, n_rows) == (
+        len(REGISTRY),
+        want_sql,
+        len(REGISTRY) - want_sql,
+    ), "STATUS.md totals drifted from the registry — regenerate the line"
+
+
 def test_round4_window_certifies_only_new_sql_oracled_rows():
     """The 50-slot driver window must spend every slot on a query that has
     never appeared in a driver CORRECTNESS window and carries a SQL oracle

@@ -665,12 +665,14 @@ def test_linear_interpolation_matches_python_reference(spark, sf_dir):
 @_slow
 @given(
     texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=2, max_size=10),
-    t=st.sampled_from([0.5, 0.75]),
+    t=st.sampled_from([0.5, 0.75, 0.8]),
 )
 def test_ppjoin_lossless_on_generated_corpora(spark, texts, t):
     """The prefix-filter completeness theorem must hold for ARBITRARY
     corpora (degenerate texts, empty shingle sets, all-identical docs),
-    not just the fixture."""
+    not just the fixture.  t=0.8 exercises the decimal-rational path
+    (ADVICE r3: the old float ceil over-pruned boundary pairs for
+    non-dyadic thresholds — J exactly 4/5 must survive t=0.8)."""
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
     )

@@ -1,0 +1,169 @@
+"""Round-4 operator-law tests for the linkage/qsketch/graph modules —
+the tests their docstrings promise (ADVICE r3: claims must be backed by
+runs, not prose).
+
+* Jaro-Winkler: differential fuzz of the pure-Python implementation
+  against DuckDB's independent C++ ``jaro_winkler_similarity`` — two
+  unrelated implementations of the published definition must agree
+  bit-for-bit, including the empty-string convention.
+* GK-lite quantile summaries: the merge's rank-error law — every
+  estimated decile's TRUE rank within 2·n/k of the target.
+* Integer PageRank: bit-identical to an independent pure-Python
+  dict-based power iteration on the same lattice, and rank-mass
+  conservation within integer-truncation loss.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from cassandra_snap_to_hadoop_spark.operators.linkage import jaro, jaro_winkler
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_jaro_winkler_matches_duckdb_bit_for_bit():
+    """5000 random pairs (fixed seed): the pure-Python Winkler '90
+    implementation and DuckDB's C++ one must emit IDENTICAL doubles —
+    the evidence behind j70's hash-checked oracle."""
+    rng = random.Random(7)
+    con = duckdb.connect()
+    for _ in range(5000):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 12)))
+        d = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert d == jaro_winkler(a, b), (a, b)
+
+
+def test_jaro_winkler_empty_string_convention():
+    """DuckDB scores '' vs anything (including '') as 0.0, not the
+    textbook 1.0 for two empties — the one definitional divergence the
+    fuzz found, matched by the empty-input guard."""
+    con = duckdb.connect()
+    for a, b in [("", ""), ("", "a"), ("abc", "")]:
+        d = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert d == 0.0 == jaro_winkler(a, b)
+
+
+def test_jaro_known_values():
+    """Textbook anchor points (Winkler's own MARTHA/MARHTA example)."""
+    assert jaro("martha", "marhta") == pytest.approx(0.9444444444444444)
+    # prefix boost: 3 matching leading chars, p=0.1
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+
+
+def test_j70_registry_pairs_meet_threshold(spark, sf_dir):
+    rows = REGISTRY["j70_jaro_winkler_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "expected at least one high-similarity pair in the fixture"
+    assert all(r.jw_micro >= 850000 and r.id_a != r.id_b for r in rows)
+
+
+# ---------------------------------------------------------------- qsketch
+
+
+def test_mergeable_quantiles_rank_error_law(spark, sf_dir):
+    """The whole point of the summary: after bucketing + merge, each
+    estimated quantile's TRUE rank must sit within 2·n/k of p·n (n/k
+    summary resolution + n/k for the boundary pick)."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    k = 128
+    est = {
+        r.p: r.est
+        for r in REGISTRY["e44_mergeable_quantiles"].fn(spark, sf_dir).collect()
+    }
+    assert len(est) == 9
+    vals = sorted(
+        r.v
+        for r in Tables(spark, sf_dir)
+        .orders.selectExpr("cast(o_totalprice as double) as v")
+        .collect()
+    )
+    n = len(vals)
+    import bisect
+
+    for p, e in est.items():
+        # true rank range of the estimate value within the sorted data
+        lo = bisect.bisect_left(vals, e)
+        hi = bisect.bisect_right(vals, e)
+        target = p * n
+        slack = 2 * n / k
+        assert lo - slack <= target <= hi + slack, (p, e, lo, hi, target, slack)
+
+
+def test_mergeable_quantiles_weights_conserve(spark, sf_dir):
+    """Per-bucket summary weights must sum exactly to the input count —
+    the summary is a lossless-cardinality reduction."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.qsketch import _summarize
+
+    o = Tables(spark, sf_dir).orders
+    n = o.where(F.col("o_totalprice").isNotNull()).count()
+    import pandas as pd
+
+    pdf = o.select(F.col("o_totalprice").cast("double").alias("v")).toPandas()
+    s = _summarize(pdf, 128)
+    assert int(s["weight"].sum()) == n
+
+
+# ------------------------------------------------------------------ graph
+
+
+def _pagerank_py(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Independent dict-based reference on the same integer lattice."""
+    SCALE, BASE = 1_000_000_000_000, 150_000_000_000
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {s: SCALE for s in outdeg}
+    for _ in range(iters):
+        acc: dict[int, int] = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {d: BASE + (85 * c) // 100 for d, c in acc.items()}
+    return ranks
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    from cassandra_snap_to_hadoop_spark.operators.graph import pagerank_int
+
+    rng = random.Random(13)
+    raw = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)]
+    edges = raw + [(d, s) for s, d in raw]  # symmetric
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.r for r in pagerank_int(df, iters=3).collect()}
+    assert got == _pagerank_py(edges, 3)
+
+
+def test_pagerank_mass_conservation(spark):
+    """Total rank mass stays within truncation loss of the closed form:
+    each node loses < outdeg ulps to integer division and < 1 to the
+    85/100 step, so  0 <= expected_mass - actual < |edges| + |nodes|."""
+    from cassandra_snap_to_hadoop_spark.operators.graph import (
+        BASE,
+        SCALE,
+        pagerank_int,
+    )
+
+    rng = random.Random(29)
+    raw = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(200)]
+    edges = raw + [(d, s) for s, d in raw]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_nodes = len({s for s, _ in edges})
+    mass0 = n_nodes * SCALE
+    got = pagerank_int(df, iters=1).collect()
+    actual = sum(r.r for r in got)
+    expected = n_nodes * BASE + (85 * mass0) // 100
+    loss_bound = len(edges) + n_nodes
+    assert 0 <= expected - actual < loss_bound
