@@ -47,6 +47,12 @@ HEADLINE = [
     "j57_exact_substring_dedup",
     # round-3 third continuation: exact prefix-filtered similarity join
     "j62_ppjoin_pairs",
+    # round-4: two-pass global total order (range partitions + offsets) and
+    # the SQL-certified md5 simhash band index; j70 adds the pandas-UDF
+    # linkage-scoring family to the headline
+    "e30_equidepth_scalable",
+    "j64_simhash_pairs_md5",
+    "j70_jaro_winkler_pairs",
 ]
 
 N_RUNS = 3

@@ -124,6 +124,10 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "j70_jaro_winkler_pairs",
     "j71_pagerank",
     "j64_simhash_pairs_md5",
+    "e45_mann_whitney",
+    "e46_spearman_corr",
+    "f26_autocorrelation",
+    "j76_label_centroids",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -21,6 +21,7 @@ are never-certified by construction and rotate forward in round 5.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,4 +292,360 @@ def j64_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_hash = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     return simhash_hamming_pairs(
         d, "doc_id", "text", max_hamming=3, n_bands=4, bits=60, token_hash=token_hash
+    )
+
+
+@register(
+    "e45_mann_whitney",
+    oracle="""
+    WITH vals AS (
+        SELECT source, n_chars AS v FROM documents
+    ), vc AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1
+    ), cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS cum_prev
+        FROM vc
+    ), r2 AS (
+        SELECT v, 2 * cum_prev + c + 1 AS rank2 FROM cum
+    ), per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(rank2) AS BIGINT) AS r2_sum
+        FROM vals JOIN r2 ON vals.v = r2.v
+        GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM vals)
+    SELECT source, n_s, (N - n_s) AS n_rest,
+           CAST(r2_sum - n_s * (n_s + 1) AS BIGINT) AS u2_stat,
+           (r2_sum - n_s * (n_s + 1)) / (2.0 * n_s * (N - n_s)) AS auc
+    FROM per_src CROSS JOIN n
+    """,
+    survey="E5,E36,E45",
+)
+def e45_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U drift audit: for every source, the rank-sum
+    statistic of its n_chars distribution against the rest of the corpus
+    — the nonparametric mean-shift sibling of e36's KS (KS detects any
+    distributional difference; U answers 'does this source run longer or
+    shorter', and U/(n1·n2) IS the AUC of source-vs-rest).
+
+    Exactness: tie-averaged ranks are half-integers, so everything is
+    DOUBLED onto the integer lattice — a row with value v takes
+    rank2 = 2·(#smaller) + (#equal) + 1, per-source rank2 sums and
+    u2 = 2U = Σrank2 − n_s(n_s+1) are exact BIGINTs on both engines, and
+    the AUC divides those integers once.  One global ranking serves every
+    source simultaneously (each test is s vs rest on the SAME combined
+    order).
+
+    Scale shape: ranks live on the DISTINCT-VALUE relation (domain-
+    bounded, like e36's grid) via operators/layout.py global_cumsum — no
+    unpartitioned window even over that; scoring is one hash join of the
+    corpus onto the value→rank2 map plus a per-source agg."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
+    d = Tables(spark, sf_dir).documents
+    vals = d.select("source", F.col("n_chars").alias("v"))
+    vc = vals.groupBy("v").agg(F.count("*").alias("c"))
+    cum = global_cumsum(vc, [F.col("v")], "c", rank_col="__rk", cum_col="cumv")
+    r2 = cum.select(
+        "v", (2 * (F.col("cumv") - F.col("c")) + F.col("c") + 1).alias("rank2")
+    )
+    per_src = (
+        vals.join(r2, "v")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_s"), F.sum("rank2").alias("r2_sum"))
+    )
+    n = vals.agg(F.count("*").alias("N"))
+    u2 = F.col("r2_sum") - F.col("n_s") * (F.col("n_s") + 1)
+    return per_src.crossJoin(F.broadcast(n)).select(
+        "source",
+        "n_s",
+        (F.col("N") - F.col("n_s")).alias("n_rest"),
+        u2.cast("long").alias("u2_stat"),
+        (u2 / (2.0 * F.col("n_s") * (F.col("N") - F.col("n_s")))).alias("auc"),
+    )
+
+
+@register(
+    "e46_spearman_corr",
+    oracle="""
+    WITH base AS (
+        SELECT n_chars AS x, CAST(len(string_split(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS y
+        FROM documents
+    ), xc AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), xr AS (
+        SELECT x, 2 * (SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - c) + c + 1 AS rx
+        FROM xc
+    ), yc AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ), yr AS (
+        SELECT y, 2 * (SUM(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) - c) + c + 1 AS ry
+        FROM yc
+    ), rk AS (
+        SELECT rx, ry FROM base JOIN xr USING (x) JOIN yr USING (y)
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy
+        FROM rk
+    )
+    SELECT n, sx, sy, sxx, syy, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+    FROM s
+    """,
+    survey="E5,E41,E46",
+)
+def e46_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document byte length and token
+    count — the monotone-association audit (Pearson on RANKS, robust to
+    the heavy right tail that makes raw Pearson useless on length
+    distributions).  Tie-averaged ranks are doubled onto the integer
+    lattice (the e45 trick) for BOTH variables, so every sufficient
+    statistic (n, Σrx, Σry, Σrx², Σry², Σrxry) is an exact BIGINT and
+    the hash check certifies them all; rho then divides doubles computed
+    from those integers with an identical operation order on both
+    engines (the e41 OLS pattern — exact until the final expression).
+
+    Scale shape: two DISTINCT-VALUE rankings via global_cumsum (domain-
+    bounded relations, no unpartitioned windows), two hash joins mapping
+    each doc to (rx, ry), one global agg.  Integer budget: rank2 ≤ 2n,
+    Σrx·ry ≤ 4n³ — exact to n ≈ 1.3e6 docs; past that the sums need the
+    e41 escalation (per-partition partials in DECIMAL or doubles at 1-ulp
+    cost), documented rather than silently wrong."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
+    d = Tables(spark, sf_dir).documents
+    base = d.select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("y"),
+    )
+
+    def rank2_map(col: str, out: str):
+        vc = base.groupBy(col).agg(F.count("*").alias("c"))
+        cum = global_cumsum(vc, [F.col(col)], "c", rank_col="__rk", cum_col="cumv")
+        return cum.select(
+            col, (2 * (F.col("cumv") - F.col("c")) + F.col("c") + 1).alias(out)
+        )
+
+    rk = base.join(rank2_map("x", "rx"), "x").join(rank2_map("y", "ry"), "y")
+    s = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("n", "sx", "sy", "sxx", "syy", "sxy", rho.alias("rho"))
+
+
+@register(
+    "f26_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // (100 * COUNT(*)) AS BIGINT) AS aov
+        FROM orders GROUP BY 1
+    ), lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag
+    ), pairs AS (
+        SELECT l.lag, a.aov AS x, b.aov AS y
+        FROM daily a JOIN lags l ON TRUE
+        JOIN daily b ON b.day = a.day + l.lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           (CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+              - CAST(SUM(x) AS DOUBLE) * SUM(y))
+           / sqrt((CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                   - CAST(SUM(x) AS DOUBLE) * SUM(x))
+                  * (CAST(COUNT(*) AS DOUBLE) * SUM(y * y)
+                     - CAST(SUM(y) AS DOUBLE) * SUM(y))) AS acf
+    FROM pairs GROUP BY lag
+    """,
+    survey="F2,E41,F26",
+)
+def f26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of DAILY AVERAGE ORDER VALUE — the
+    seasonality detector (a weekly cycle shows as an acf peak at lag 7).
+    Pearson correlation per lag over (day, day+lag) pairs, computed from
+    exact integer sums (the e41 sufficient-statistics pattern): the
+    checked columns are BIGINTs, acf divides doubles derived from them
+    with identical operation order.
+
+    The series is the truncated whole-dollar daily mean (Σcents div
+    (100·n)) rather than the daily total ON PURPOSE: the mean is bounded
+    by the PRICE DOMAIN, not by volume, so Σx·y ≤ days·max_price² fits
+    int64 at ANY scale factor — the daily-total variant overflowed at
+    sf0.01 (caught by the mirror's ANSI overflow error, kept as the
+    design note).
+
+    Scale shape: daily pre-aggregation collapses the fact table to the
+    calendar relation FIRST (map-side combinable hash agg); the lag
+    pairing is then an EQUI self-join on day+lag over |days|·7 rows —
+    no window at all, no unpartitioned anything; joins and aggs on a
+    calendar-bounded relation.  Days are tz-FREE integer epoch days
+    (unix_micros div 86400e6 — the f22/e27 defense: no session-zone
+    dependence anywhere)."""
+    o = Tables(spark, sf_dir).orders
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    daily = o.groupBy(day.alias("day")).agg(
+        F.expr(
+            "sum(cast(round(o_totalprice * 100) as long)) div (100 * count(*))"
+        ).alias("aov")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, 8)])).alias("lag")
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("aov").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("aov").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day_a") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    g = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    acf = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return g.select(
+        F.col("lag").cast("int").alias("lag"), "n_pairs", "sx", "sy", acf.alias("acf")
+    )
+
+
+@register("j72_rouge_l", survey="J67,I19,L3")
+def j72_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L F-measure over same-language sorted-neighborhood candidate
+    pairs — the LCS-based eval metric completing the distributed
+    eval-metric tier (j67 BLEU-2 = clipped n-gram precision, i19 =
+    Levenshtein, this = longest-common-subsequence recall/precision).
+
+    Rows-only: LCS is an inherently sequential DP with no SQL
+    restatement (a recursive-CTE encoding would be O(n·m) rows per pair
+    per step); the Arrow-batched pandas UDF runs the textbook O(n·m)
+    table on 30-TOKEN prefixes (bounded per-pair cost), and the
+    implementation is pinned against an independent pure-Python
+    itertools-free reference in tests/test_round3e.py.  F = 2pr/(p+r)
+    quantized to micro-units from exact LCS/len integers.
+
+    Scale shape: candidates are j63's per-lang rank-band equi join
+    (O(n·w), never global); scoring is one vectorized UDF pass over
+    candidate pairs only."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+    from cassandra_snap_to_hadoop_spark.queries.round3d import _snm_candidate_pairs
+
+    d = Tables(spark, sf_dir).documents.withColumn(
+        "toks30", F.slice(tokens(F.col("text")), 1, 30)
+    )
+    pairs = _snm_candidate_pairs(d, carry=["toks30"], w=4)
+
+    @F.pandas_udf("long")
+    def rouge_l_micro(a: pd.Series, b: pd.Series) -> pd.Series:
+        def lcs(x, y):
+            if not x or not y:
+                return 0
+            prev = [0] * (len(y) + 1)
+            for xi in x:
+                cur = [0]
+                for j, yj in enumerate(y, 1):
+                    cur.append(prev[j - 1] + 1 if xi == yj else max(prev[j], cur[-1]))
+                prev = cur
+            return prev[-1]
+
+        out = []
+        for x, y in zip(a, b):
+            x = list(x) if x is not None else []
+            y = list(y) if y is not None else []
+            m = lcs(x, y)
+            if m == 0:
+                out.append(0)
+                continue
+            p, r = m / len(x), m / len(y)
+            out.append(int((2 * p * r / (p + r)) * 1_000_000 + 0.5))
+        return pd.Series(out, dtype="int64")
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        rouge_l_micro(F.col("toks30_a"), F.col("toks30_b")).alias("rouge_l_micro"),
+    ).filter(F.col("rouge_l_micro") > 0)
+
+
+@register(
+    "j76_label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           CAST(SUM(micro) // COUNT(*) AS BIGINT) AS centroid_micro
+    FROM ex GROUP BY 1, 2
+    """,
+    survey="J3,J11,E2",
+)
+def j76_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype operator (the
+    K-means E-step, SemDeDup's cluster center, the nearest-centroid
+    classifier's training pass) for the multimodal/embedding tier.
+
+    Float discipline: a naive AVG over floats is association-order-
+    dependent (unfixable across engines); instead each float32 element
+    widens EXACTLY to double, quantizes once to integer micro-units, and
+    the centroid is an integer sum + truncating divide — bit-identical
+    on both engines at any parallelism.  Per-dimension rows (label ×
+    128 dims) rather than an array column so the oracle hash covers
+    every coordinate.
+
+    Scale shape: posexplode → one map-side-combinable hash agg on
+    (label, dim); at 100 TB this is the canonical 'training-data
+    statistics' shape — no collect, no windows, centroid count =
+    |labels|·dims."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("micro").alias("sum_micro"),
+        F.expr("sum(micro) div count(*)").alias("centroid_micro"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+        "n_vecs",
+        "sum_micro",
+        "centroid_micro",
     )

@@ -167,3 +167,46 @@ def test_pagerank_mass_conservation(spark):
     expected = n_nodes * BASE + (85 * mass0) // 100
     loss_bound = len(edges) + n_nodes
     assert 0 <= expected - actual < loss_bound
+
+
+# ---------------------------------------------------------------- ROUGE-L
+
+
+def _lcs_ref(x: list[str], y: list[str]) -> int:
+    """Independent full-table DP (the UDF uses a rolling two-row table)."""
+    m, n = len(x), len(y)
+    t = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            t[i][j] = (
+                t[i - 1][j - 1] + 1
+                if x[i - 1] == y[j - 1]
+                else max(t[i - 1][j], t[i][j - 1])
+            )
+    return t[m][n]
+
+
+def test_rouge_l_matches_reference_dp(spark, sf_dir):
+    """Every emitted score must equal the micro-quantized F computed from
+    an independent full-table LCS over the same 30-token prefixes."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens as _tokens
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.id_a, r.id_b): r.rouge_l_micro
+        for r in REGISTRY["j72_rouge_l"].fn(spark, sf_dir).collect()
+    }
+    assert got, "expected candidate pairs with LCS > 0"
+    toks = {
+        r.doc_id: list(r.t)
+        for r in Tables(spark, sf_dir)
+        .documents.select("doc_id", F.slice(_tokens(F.col("text")), 1, 30).alias("t"))
+        .collect()
+    }
+    for (ia, ib), micro in list(got.items())[:300]:
+        x, y = toks[ia], toks[ib]
+        m = _lcs_ref(x, y)
+        p, r = m / len(x), m / len(y)
+        want = int((2 * p * r / (p + r)) * 1_000_000 + 0.5) if m else 0
+        assert micro == want, (ia, ib, micro, want)

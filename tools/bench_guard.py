@@ -43,6 +43,9 @@ BASELINE_MEDIANS: dict[str, float] = {
     "e22_cohort_retention": 0.57,
     "j57_exact_substring_dedup": 0.57,
     "j62_ppjoin_pairs": 2.64,
+    "e30_equidepth_scalable": 2.22,
+    "j64_simhash_pairs_md5": 2.24,
+    "j70_jaro_winkler_pairs": 1.23,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan

@@ -285,8 +285,61 @@ def main() -> None:
         gate = md5_coin(F.col("o_orderkey"), F.col("b"))
         return ex.filter(gate).groupBy("b").agg(F.sum("c").alias("s"), F.count("*").alias("n"))
 
+    from cassandra_snap_to_hadoop_spark.operators.layout import (
+        global_cumsum,
+        global_rank,
+        ntile_expr,
+    )
+
+    def equidepth_shape(li):
+        """e30_equidepth_scalable: two-pass global rank + closed-form
+        ntile over the full fact table — the single-reducer-free global
+        total order (the whole point is that THIS must scale)."""
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        v = li.select(cents.alias("cents"), "l_orderkey", "l_linenumber")
+        ranked, n = global_rank(
+            v,
+            [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+            out_col="__gr",
+            return_total=True,
+        )
+        return ranked.withColumn("bucket", ntile_expr("__gr", n, 16)).groupBy(
+            "bucket"
+        ).agg(F.count("*").alias("n"))
+
+    def vocab_cumsum_shape(d):
+        """j55: term hash agg -> two-pass global rank+cumsum over the term
+        relation (replicated docs keep term cardinality ~1x but counts Nx —
+        the term-relation window input is corpus-sublinear, the claim)."""
+        tc = (
+            d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        return global_cumsum(tc, [F.col("n").desc(), F.col("term")], "n")
+
+    def vocab_topk_shape(d):
+        """j44: token agg -> TakeOrderedAndProject top-1000 -> broadcast
+        membership join -> per-doc re-agg (no global rank window)."""
+        toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        vocab = (
+            counts.orderBy(F.col("cnt").desc(), F.col("tok"))
+            .limit(1000)
+            .select("tok", F.lit(1).alias("in_vocab"))
+        )
+        return (
+            toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"))
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("equidepth-twopass", lambda: equidepth_shape(li1), lambda: equidepth_shape(liN)),
+        ("vocab-cumsum-twopass", lambda: vocab_cumsum_shape(d1), lambda: vocab_cumsum_shape(dN)),
+        ("vocab-topk", lambda: vocab_topk_shape(d1), lambda: vocab_topk_shape(dN)),
         # Exact replicas are j57's WORST case: every gram becomes duplicated,
         # so the coverage explode + distinct + anti join touch every token.
         (
