@@ -128,6 +128,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e46_spearman_corr",
     "f26_autocorrelation",
     "j76_label_centroids",
+    "j77_perplexity_buckets",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

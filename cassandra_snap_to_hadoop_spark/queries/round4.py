@@ -649,3 +649,138 @@ def j76_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_micro",
         "centroid_micro",
     )
+
+
+@register("f27_holt_winters", survey="F24,F26,L3")
+def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, weekly
+    season) per event type over the zero-filled daily count series — the
+    SEASONAL member of the forecasting family (f24 Holt handles level+
+    trend; a weekly cycle breaks it, and f26's acf-at-lag-7 is the
+    detector that says you need this).  Level/trend/seasonal recursion
+    with classic additive init (l0 = first-week mean, b0 = averaged
+    week-over-week slope, s_i = first-week offsets), one-day-ahead
+    forecast.
+
+    Rows-only by design: the clamped three-state recursion is not
+    window-expressible (the f15/f24 argument); the fold lives in
+    operators/forecast.py, shared verbatim with the pure-Python twin the
+    tests pin against.  Scale shape: per-(event_type, day) pre-agg does
+    the reduction; the applyInPandas fold touches |types|·|days| rows,
+    one shuffle, series parallelize across groups."""
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        days = pd.date_range(pdf["day"].min(), pdf["day"].max(), freq="D").date
+        x = (
+            pdf.set_index("day")["n"].reindex(days, fill_value=0).astype(float).to_numpy()
+        )
+        level, trend, seas, fc = holt_winters_fold(x, season=7)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(x)],
+                "level": [level],
+                "trend": [trend],
+                "seasonal_amplitude": [round(max(seas) - min(seas), 4)],
+                "forecast_next": [fc],
+            }
+        )
+
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, n_days long, level double, trend double,"
+        " seasonal_amplitude double, forecast_next double",
+    )
+
+
+_WORDS4 = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@register(
+    "j77_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {_WORDS4} AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+    ), toks AS (
+        SELECT unnest(w) AS tok FROM t
+    ), u AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM toks
+    ), bc AS (
+        SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(ln(0.7 * bc.cnt / u1.cnt + 0.3 * u2.cnt / tot.n)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+        FROM b
+        JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN u u1 ON b.w1 = u1.tok
+        JOIN u u2 ON b.w2 = u2.tok
+        CROSS JOIN tot
+        GROUP BY b.doc_id
+    ), banded AS (
+        SELECT s.doc_id, t.source, s.n_bigrams, s.sum_q,
+               ntile(3) OVER (ORDER BY CAST(s.sum_q AS DOUBLE) / s.n_bigrams,
+                              s.doc_id) AS bucket
+        FROM scored s JOIN t ON t.doc_id = s.doc_id
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sum_q) AS BIGINT) AS sum_q_logprob,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+    FROM banded GROUP BY 1, 2
+    """,
+    survey="J9,J41,E30",
+)
+def j77_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document scored by the
+    corpus-trained interpolated bigram LM (j41's scorer, reused
+    verbatim), split into head/middle/tail TERCILES of average
+    per-bigram log-probability, and profiled per (bucket, source) — the
+    curation step CCNet (Wenzek et al. 2020) runs before choosing which
+    band to train on, and the composition j41's docstring promises.
+
+    The tercile assignment is EXACT and single-reducer-free: the same
+    global_rank + closed-form ntile machinery as e30_equidepth_scalable
+    (the avg ranks by a double DIVIDED FROM EXACT INTEGERS — identical
+    on both engines — with doc_id tiebreak); the oracle states the naive
+    ntile(3) window, certifying two-pass-equals-naive a second time on a
+    float-keyed ordering.  Checked outputs are the exact integer micro-
+    nat sums per cell, not floats.
+
+    Scale shape: j41's scoring joins (hash equi on token keys) → per-doc
+    agg → two-pass rank over |docs| scored rows → one (bucket, source)
+    hash agg.  No corpus-sized window anywhere."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import (
+        global_rank,
+        ntile_expr,
+    )
+    from cassandra_snap_to_hadoop_spark.queries.round3 import j41_bigram_lm_score
+
+    scored = j41_bigram_lm_score(spark, sf_dir).withColumnRenamed(
+        "sum_q_logprob", "sum_q"
+    )
+    src = Tables(spark, sf_dir).documents.select("doc_id", "source")
+    s = scored.join(src, "doc_id").withColumn(
+        "avg_q", F.col("sum_q").cast("double") / F.col("n_bigrams")
+    )
+    ranked, n_total = global_rank(
+        s, [F.col("avg_q"), F.col("doc_id")], out_col="__gr", return_total=True
+    )
+    banded = ranked.withColumn("bucket", ntile_expr("__gr", n_total, 3))
+    return banded.groupBy("bucket", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sum_q").alias("sum_q_logprob"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+    )

@@ -210,3 +210,53 @@ def test_rouge_l_matches_reference_dp(spark, sf_dir):
         p, r = m / len(x), m / len(y)
         want = int((2 * p * r / (p + r)) * 1_000_000 + 0.5) if m else 0
         assert micro == want, (ia, ib, micro, want)
+
+
+# ------------------------------------------------------------ Holt-Winters
+
+
+def test_holt_winters_periodic_series_is_learned_exactly():
+    """A perfectly periodic series must converge to trend 0, seasonal
+    offsets equal to the cycle, and a forecast equal to the next true
+    value — the additive-decomposition sanity anchor."""
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    level, trend, seas, fc = holt_winters_fold([1, 2, 3, 4, 5, 6, 7] * 4, season=7)
+    assert trend == 0.0
+    assert seas == [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0]
+    assert fc == 1.0  # next value of the cycle
+    assert level == 4.0  # the cycle mean
+
+
+def test_f27_matches_pure_python_twin(spark, sf_dir):
+    """The registry query's per-type outputs must equal the shared fold
+    applied to an independently assembled zero-filled daily series."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.seasonal_amplitude, r.forecast_next)
+        for r in REGISTRY["f27_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    daily = (
+        Tables(spark, sf_dir)
+        .events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    import datetime as dt
+
+    series: dict[str, dict] = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.day] = r.n
+    for et, bydate in series.items():
+        lo, hi = min(bydate), max(bydate)
+        xs = [
+            float(bydate.get(lo + dt.timedelta(days=i), 0))
+            for i in range((hi - lo).days + 1)
+        ]
+        level, trend, seas, fc = holt_winters_fold(xs, season=7)
+        amp = round(max(seas) - min(seas), 4)
+        assert got[et] == (len(xs), level, trend, amp, fc), et
