@@ -665,7 +665,10 @@ def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by design: the clamped three-state recursion is not
     window-expressible (the f15/f24 argument); the fold lives in
     operators/forecast.py, shared verbatim with the pure-Python twin the
-    tests pin against.  Scale shape: per-(event_type, day) pre-agg does
+    tests pin against AND the stateful-streaming twin
+    (streaming/pipelines.f27_stream, applyInPandasWithState — last
+    emission equals this batch fit, parity-tested).  Scale shape:
+    per-(event_type, day) pre-agg does
     the reduction; the applyInPandas fold touches |types|·|days| rows,
     one shuffle, series parallelize across groups."""
     from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold

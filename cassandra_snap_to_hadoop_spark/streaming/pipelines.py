@@ -569,3 +569,60 @@ def f24_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def f27_stream(events: DataFrame) -> DataFrame:
+    """F27 streaming twin: additive Holt-Winters (weekly season) as
+    arbitrary stateful processing — the f24_stream pattern with the
+    three-state seasonal fold.  Per-TYPE state is the day->count map (not
+    model state), so every micro-batch re-runs the shared fold over the
+    completed zero-filled span and the last emission equals the batch
+    declaration (queries/round4.f27_holt_winters) regardless of arrival
+    order — asserted by the parity test."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    output_schema = (
+        "event_type string, n_days long, level double, trend double,"
+        " seasonal_amplitude double, forecast_next double"
+    )
+    state_schema = "days array<int>, counts array<long>"
+
+    def fit(key, pdfs, state: GroupState):
+        acc: dict[int, int] = {}
+        if state.exists:
+            days, counts = state.get
+            acc = dict(zip(days, counts))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            epoch_days = (
+                pd.to_datetime(pdf["ts"]).dt.normalize().astype("int64")
+                // 86_400_000_000_000
+            )
+            for d, c in epoch_days.value_counts().items():
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+        if not acc:
+            return
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds]))
+        span = range(ds[0], ds[-1] + 1)
+        xs = [float(acc.get(d, 0)) for d in span]
+        level, trend, seas, fc = holt_winters_fold(xs, season=7)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "seasonal_amplitude": [round(max(seas) - min(seas), 4)],
+                "forecast_next": [fc],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

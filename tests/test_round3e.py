@@ -260,3 +260,54 @@ def test_f27_matches_pure_python_twin(spark, sf_dir):
         level, trend, seas, fc = holt_winters_fold(xs, season=7)
         amp = round(max(seas) - min(seas), 4)
         assert got[et] == (len(xs), level, trend, amp, fc), et
+
+
+def test_holt_winters_streaming_state_parity(spark, sf_dir, tmp_path):
+    """F27's stateful-streaming twin: per-type day counts accumulate in
+    applyInPandasWithState state across micro-batches; the LAST emission
+    per type equals the batch Holt-Winters fit — regardless of shard
+    arrival order, because state holds the completed day->count map, not
+    the three model states."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import SCHEMAS, load
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import f27_stream
+
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    root = str(tmp_path / "events")
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(root)
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 7)
+        .parquet(root + "/*")
+    )
+    q = (
+        f27_stream(stream)
+        .writeStream.format("memory")
+        .queryName("f27_stream_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck27"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM f27_stream_sink").collect()
+    assert emitted
+    final = {}
+    for r in emitted:  # last emission = max day-span (monotone under accumulation)
+        cur = final.get(r.event_type)
+        if cur is None or r.n_days >= cur.n_days:
+            final[r.event_type] = r
+    batch = {
+        r.event_type: r for r in REGISTRY["f27_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert (
+            s.n_days,
+            s.level,
+            s.trend,
+            s.seasonal_amplitude,
+            s.forecast_next,
+        ) == (b.n_days, b.level, b.trend, b.seasonal_amplitude, b.forecast_next), et
