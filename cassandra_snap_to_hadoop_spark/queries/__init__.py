@@ -129,6 +129,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "f26_autocorrelation",
     "j76_label_centroids",
     "j77_perplexity_buckets",
+    "e47_mann_kendall",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -787,3 +787,94 @@ def j77_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_q").alias("sum_q_logprob"),
         F.sum("n_bigrams").alias("sum_bigrams"),
     )
+
+
+@register(
+    "e47_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    // (100 * COUNT(*)) AS BIGINT) AS aov
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(sign(b.aov - a.aov) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON b.day > a.day
+    ), agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS s_stat FROM pairs
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+    ), ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY aov)
+        WHERE t > 1
+    )
+    SELECT s_stat, n,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+           CASE WHEN s_stat > 0 THEN (s_stat - 1.0)
+                     / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                WHEN s_stat < 0 THEN (s_stat + 1.0)
+                     / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                ELSE 0.0 END AS z
+    FROM agg CROSS JOIN nn CROSS JOIN ties
+    """,
+    survey="E5,F26,E47",
+)
+def e47_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily average-order-value series —
+    the nonparametric monotone-trend detector (is revenue drifting up,
+    independent of distribution?), completing the time-series inference
+    tier (f26 finds periodicity, f14/f15 find local anomalies, this
+    finds the global trend).  S = Σ_{i<j} sign(x_j − x_i) and the
+    tie-corrected variance numerator 18·Var(S) are exact BIGINTs; the
+    continuity-corrected z divides doubles derived from them with
+    identical operation order.
+
+    Scale shape: the pair join runs over the CALENDAR-bounded daily
+    relation (|days|² sign comparisons — ~3M at 7 years, constant in
+    corpus volume; the fact table reduces in one map-side-combinable
+    agg first).  The small side broadcasts, so the quadratic term is a
+    broadcast nested-loop over KB — sanctioned because the relation
+    cannot grow with data volume."""
+    o = Tables(spark, sf_dir).orders
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    daily = o.groupBy(day.alias("day")).agg(
+        F.expr(
+            "sum(cast(round(o_totalprice * 100) as long)) div (100 * count(*))"
+        ).alias("aov")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("aov").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("aov").alias("xb"))
+    s_stat = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(F.signum(F.col("xb") - F.col("xa")).cast("long").alias("s"))
+        .agg(F.sum("s").alias("s_stat"))
+    )
+    nn = daily.agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("aov")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1.0) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1.0) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select("s_stat", "n", var18.alias("var18"), z.alias("z"))
+    )
