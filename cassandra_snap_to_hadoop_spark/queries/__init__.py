@@ -130,6 +130,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "j76_label_centroids",
     "j77_perplexity_buckets",
     "e47_mann_kendall",
+    "e48_market_basket",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

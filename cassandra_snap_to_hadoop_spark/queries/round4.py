@@ -878,3 +878,72 @@ def e47_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ties))
         .select("s_stat", "n", var18.alias("var18"), z.alias("z"))
     )
+
+
+@register(
+    "e48_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+    ), isup AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY 1
+    ), pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b, n.n_orders,
+           (CAST(n_pair AS DOUBLE) * n.n_orders) / (ia.n_item * CAST(ib.n_item AS DOUBLE))
+               AS lift
+    FROM pairs
+    JOIN isup ia ON ia.part = pairs.part_a
+    JOIN isup ib ON ib.part = pairs.part_b
+    CROSS JOIN n
+    WHERE n_pair >= 3
+    """,
+    survey="E2,D8,E48",
+)
+def e48_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-purchased within
+    an order, with support counts and LIFT — the classic retail
+    co-occurrence workload (the A-priori 2-itemset pass; j52's PMI is
+    the text-corpus sibling of the same statistic).  Lift divides
+    doubles built from exact integer supports in identical operation
+    order; the checked gate (pair support ≥ 3) is an integer compare.
+
+    Scale shape: pair generation is the BASKET-bounded self-equi-join on
+    the order key — fan-out per order is C(items, 2) with items ≤ 7 in
+    this schema, so candidate volume is LINEAR in orders (the same
+    per-key-bounded argument as j60's capped blocks); supports are two
+    hash aggs; n_orders rides in as a broadcast scalar.  No all-pairs
+    anywhere: two parts never meet unless a real basket contains both."""
+    li = Tables(spark, sf_dir).lineitem
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    isup = items.groupBy("part").agg(F.count("*").alias("n_item"))
+    a = items.select("ok", F.col("part").alias("part_a"))
+    b = items.select("ok", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = isup.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = isup.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = (F.col("n_pair").cast("double") * F.col("n_orders")) / (
+        F.col("n_a") * F.col("n_b").cast("double")
+    )
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_pair", "n_a", "n_b", "n_orders", lift.alias("lift"))
+    )
