@@ -131,6 +131,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "j77_perplexity_buckets",
     "e47_mann_kendall",
     "e48_market_basket",
+    "j78_nearest_centroid_eval",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -947,3 +947,85 @@ def e48_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("part_a", "part_b", "n_pair", "n_a", "n_b", "n_orders", lift.alias("lift"))
     )
+
+
+@register(
+    "j78_nearest_centroid_eval",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(micro) // COUNT(*) AS BIGINT) AS cmicro
+        FROM ex GROUP BY 1, 2
+    ), d2 AS (
+        SELECT e.vec_id, e.label AS true_label, c.clabel,
+               CAST(SUM((e.micro - c.cmicro) * (e.micro - c.cmicro))
+                    AS BIGINT) AS dist2
+        FROM ex e JOIN cent c ON c.dim = e.dim
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT vec_id, true_label,
+               min(struct_pack(d := dist2, l := clabel)).l AS pred_label
+        FROM d2 GROUP BY 1, 2
+    )
+    SELECT CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    survey="J3,J76,E2",
+)
+def j78_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation: every embedding assigned
+    to its closest label centroid (j76's class prototypes) by squared
+    euclidean distance, reported as the (true, predicted) confusion
+    matrix — the label-quality / cluster-separability audit that says
+    whether a taxonomy is learnable from the embedding space at all
+    (Rocchio / nearest-prototype classification; SemDeDup's assignment
+    step is the same computation against k-means centers).
+
+    Training-set evaluation by design (each vector contributes ~1/n of
+    its own centroid — the audit measures SEPARABILITY, not
+    generalization); documented rather than silently optimistic.
+
+    Exactness: micro-quantized int64 coordinates make every distance an
+    exact BIGINT (|diff| ≤ 2e6, squared ×64 dims ≈ 2.6e14 — far inside
+    int64), and argmin breaks ties lexicographically via min(struct) —
+    both engines compare structs field-by-field, so assignment is
+    deterministic even on exact distance ties.
+
+    Scale shape: centroid relation is |labels|·dims (KB — broadcast);
+    the distance join fans each vector out |labels|× (linear, bounded by
+    the label domain); two hash aggs.  No pairwise vector join."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("sum(micro) div count(*)").alias("cmicro")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(
+            F.sum(
+                (F.col("micro") - F.col("cmicro")) * (F.col("micro") - F.col("cmicro"))
+            ).alias("dist2")
+        )
+    )
+    pred = d2.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct("dist2", "clabel")).getField("clabel").alias("pred_label")
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+    ).agg(F.count("*").alias("n"))
