@@ -132,6 +132,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e47_mann_kendall",
     "e48_market_basket",
     "j78_nearest_centroid_eval",
+    "j79_triangle_count",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

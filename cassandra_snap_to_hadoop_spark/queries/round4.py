@@ -1029,3 +1029,86 @@ def j78_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("int").alias("true_label"),
         F.col("pred_label").cast("int").alias("pred_label"),
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "j79_triangle_count",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT l_orderkey % 512 AS a, l_partkey % 512 AS b
+        FROM lineitem WHERE l_orderkey % 512 <> l_partkey % 512
+    ), und AS (
+        SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+    ), deg AS (
+        SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), keyed AS (
+        SELECT u.a AS ua, u.b AS ub,
+               da.d * 100000 + u.a AS ka, db.d * 100000 + u.b AS kb
+        FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+    ), orient AS (
+        SELECT ua AS u, ub AS w, kb AS kw FROM keyed WHERE ka < kb
+    ), wedges AS (
+        SELECT e1.w AS v1, e2.w AS v2
+        FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.kw < e2.kw
+    ), closed AS (
+        SELECT COUNT(*) AS nt
+        FROM wedges JOIN orient o ON o.u = wedges.v1 AND o.w = wedges.v2
+    )
+    SELECT CAST(closed.nt AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM orient) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes
+    FROM closed
+    """,
+    survey="J71,D8,E3",
+)
+def j79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the order↔part co-occurrence graph —
+    the clustering-coefficient primitive and the second canonical graph
+    workload after j71's PageRank.
+
+    Degree-ORIENTED formulation (Cohen's MapReduce algorithm / GraphX's
+    implementation): orient every undirected edge from lower to higher
+    (degree, id) key, enumerate wedges only at each edge's LOWER-keyed
+    endpoint, and close them with one more oriented-edge join.  Each
+    triangle is counted exactly once, and wedge fan-out is bounded by
+    ORIENTED out-degree ≤ O(√|E|) even on power-law graphs — the whole
+    point of the orientation (a naive wedge join explodes on hub
+    nodes).  Everything is exact integer counting — the oracle states
+    the identical algorithm in SQL and hash-matches.
+
+    Scale shape: dedup + degree agg + three hash equi joins; the
+    orientation key (deg·100000 + id) is a total order, so ties are
+    impossible by construction."""
+    li = Tables(spark, sf_dir).lineitem
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % 512).alias("a"),
+            (F.col("l_partkey") % 512).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    keyed = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.col("a").alias("ua"),
+            F.col("b").alias("ub"),
+            (F.col("da") * 100000 + F.col("a")).alias("ka"),
+            (F.col("db") * 100000 + F.col("b")).alias("kb"),
+        )
+    )
+    orient = keyed.filter(F.col("ka") < F.col("kb")).select(
+        F.col("ua").alias("u"), F.col("ub").alias("w"), F.col("kb").alias("kw")
+    )
+    e1 = orient.select(F.col("u"), F.col("w").alias("v1"), F.col("kw").alias("k1"))
+    e2 = orient.select(F.col("u"), F.col("w").alias("v2"), F.col("kw").alias("k2"))
+    wedges = e1.join(e2, "u").filter(F.col("k1") < F.col("k2")).select("v1", "v2")
+    closed = wedges.join(
+        orient.select(F.col("u").alias("v1"), F.col("w").alias("v2")), ["v1", "v2"]
+    ).agg(F.count("*").alias("n_triangles"))
+    n_edges = orient.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return closed.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_nodes))
