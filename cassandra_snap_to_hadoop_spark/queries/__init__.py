@@ -49,6 +49,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round3c,  # round-3 late depth batch (J57 ExactSubstr, PQ-ANN) — rotate in round 4
     round3d,  # round-3 third continuation (PPJoin, SNM, incremental MV, KS) — rotate in round 4/5
     round4,  # round-4 scale twins + additions — rotate in round 5
+    round4b,  # round-4 continuation (recursive CTE, LATERAL, ANOVA) — rotate in round 5
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -133,6 +134,11 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e48_market_basket",
     "j78_nearest_centroid_eval",
     "j79_triangle_count",
+    "sql_api_recursive_cte",
+    "d21_lateral_topk",
+    "e49_anova_f",
+    "e50_quantile_normalize",
+    "e51_theil_sen_slope",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -1,0 +1,181 @@
+"""Round-4 continuation batch: recursive CTE, LATERAL top-k, ANOVA,
+quantile normalization, Theil-Sen — each pinned to an independent pure-
+Python reference computing the same integer arithmetic, plus plan-shape
+assertions for the decorrelation / no-single-reducer claims."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cassandra_snap_to_hadoop_spark.plans.explain import plan_string
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_recursive_cte_matches_python_fold(spark):
+    """The UnionLoop recursion must equal a plain Python fold of the same
+    per-customer order chain (third implementation, no SQL anywhere)."""
+    rows = _duck(
+        """
+        SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )
+    chains: dict[int, list[int]] = {}
+    for ck, cents in rows:
+        chains.setdefault(ck, []).append(cents)
+    expect = {}
+    for ck, amts in chains.items():
+        bal = 0
+        chain = amts[:12]
+        for i, a in enumerate(chain):
+            bal = a if i == 0 else (bal * 105) // 100 + a
+        expect[ck] = (len(chain), bal)
+
+    got = {
+        r["custkey"]: (r["n_orders"], r["final_bal_cents"])
+        for r in REGISTRY["sql_api_recursive_cte"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_recursive_cte_depth_is_capped(spark):
+    """Bounded-recursion discipline: no chain exceeds the 12-order cap, so
+    the iteration count of the plan is a constant independent of volume."""
+    df = REGISTRY["sql_api_recursive_cte"].fn(spark, SF)
+    assert df.agg({"n_orders": "max"}).collect()[0][0] <= 12
+
+
+def test_lateral_topk_decorrelates_to_partitioned_window(spark):
+    """Catalyst must rewrite the correlated LATERAL LIMIT into a window/
+    filter over ONE shuffle of orders — never a per-customer nested loop."""
+    df = REGISTRY["d21_lateral_topk"].fn(spark, SF)
+    p = plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_lateral_topk_equals_window_formulation(spark):
+    """The lateral derived table is semantically g3's top-k-per-group:
+    re-derive with an explicit row_number window and compare exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    t = Tables(spark, SF)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey")
+    )
+    expect = {
+        tuple(r)
+        for r in t.orders.select(
+            "o_custkey", "o_orderkey", cents.alias("price_cents")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 2")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "price_cents")
+        .collect()
+    }
+    got = {tuple(r) for r in REGISTRY["d21_lateral_topk"].fn(spark, SF).collect()}
+    assert got == expect
+
+
+def test_anova_f_matches_python_reference(spark):
+    """Integer sufficient-statistics ANOVA recomputed in pure Python with
+    the identical truncating-division order."""
+    rows = _duck(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) FROM lineitem"
+    )
+    groups: dict[str, list[int]] = {}
+    for g, q in rows:
+        groups.setdefault(g, []).append(q)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    s = sum(sum(v) for v in groups.values())
+    q2 = sum(x * x for v in groups.values() for x in v)
+    between_raw = sum((sum(v) * sum(v)) // len(v) for v in groups.values())
+    ssb = between_raw - (s * s) // n
+    ssw = q2 - between_raw
+    f_micro = (ssb // (k - 1)) * 1_000_000 // (ssw // (n - k))
+
+    row = REGISTRY["e49_anova_f"].fn(spark, SF).collect()[0]
+    assert (row["n"], row["k"], row["ssb"], row["ssw"], row["f_micro"]) == (
+        n,
+        k,
+        ssb,
+        ssw,
+        f_micro,
+    )
+    # quantity variation is mostly within-group on this data: F far from 0
+    # would flag a generator change worth noticing.
+    assert row["ssw"] > 0
+
+
+def test_quantile_normalize_per_source_becomes_pooled_quantiles(spark):
+    """After normalization every source's value multiset is drawn from the
+    pooled distribution at its mapped ranks: (a) norm values ⊆ pooled
+    values, (b) within a source the map is monotone in the original rank,
+    (c) the overall min/max map to the pooled extremes."""
+    df = REGISTRY["e50_quantile_normalize"].fn(spark, SF)
+    rows = df.collect()
+    pooled = sorted(r[0] for r in _duck("SELECT n_chars FROM documents"))
+    pooled_set = set(pooled)
+    assert all(r["norm_chars"] in pooled_set for r in rows)
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["n_chars"], r["doc_id"]))
+        norms = [r["norm_chars"] for r in rs]
+        assert norms == sorted(norms), f"non-monotone map in {src}"
+        # rank 1 maps to global rank 1 exactly (formula: (1-1)*n//n_s+1)
+        assert norms[0] == pooled[0]
+
+
+def test_theil_sen_matches_python_reference(spark):
+    """Median-of-pairwise-slopes recomputed in pure Python (sign-split
+    truncating division, lower median under the (slope, m1, m2) order)."""
+    rows = _duck(
+        """
+        SELECT l_suppkey, CAST(year(l_shipdate)*12 + month(l_shipdate) AS BIGINT),
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2
+        """
+    )
+    series: dict[int, list[tuple[int, int]]] = {}
+    for sk, m, rev in rows:
+        series.setdefault(sk, []).append((m, rev))
+    expect = {}
+    for sk, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (m1, r1), (m2, r2) = pts[i], pts[j]
+                dv, dm = r2 - r1, m2 - m1
+                s = (dv * 1_000_000) // dm if dv >= 0 else -((-dv * 1_000_000) // dm)
+                slopes.append((s, m1, m2))
+        if not slopes:
+            continue
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        expect[sk] = (len(slopes), med)
+
+    got = {
+        r["suppkey"]: (r["n_pairs"], r["ts_slope_micro"])
+        for r in REGISTRY["e51_theil_sen_slope"].fn(spark, SF).collect()
+    }
+    assert got == expect
