@@ -139,6 +139,9 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e49_anova_f",
     "e50_quantile_normalize",
     "e51_theil_sen_slope",
+    "e52_welch_t",
+    "e53_cohen_kappa",
+    "f28_seasonal_decompose",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

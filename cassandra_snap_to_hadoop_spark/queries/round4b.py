@@ -389,3 +389,323 @@ def e51_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.expr("r = (n_pairs + 1) DIV 2")).select(
         "suppkey", "n_pairs", F.col("slope_micro").alias("ts_slope_micro")
     )
+
+
+@register(
+    "e52_welch_t",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), stats AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s1,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS s2,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+        FROM x
+    ), d AS (
+        SELECT n1, n2,
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+               (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2,
+               CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS dm
+        FROM stats
+    )
+    SELECT n1, n2,
+           CAST(ROUND((dm / sqrt(v1 / n1 + v2 / n2)) * 1000000) AS BIGINT) AS t_micro,
+           CAST(ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                   + (v2 / n2) * (v2 / n2) / (n2 - 1))) * 1000000) AS BIGINT) AS df_micro
+    FROM d
+    """,
+    survey="E52,E5,E11",
+)
+def e52_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (purchase vs click order
+    values) — the parametric two-sample member completing the inference
+    tier (e45 Mann-Whitney is its rank twin, e43 the permutation twin):
+    ONE conditional-aggregation scan yields both samples' integer
+    sufficient statistics (n, Σc, Σc² in cents), then t and the
+    Welch–Satterthwaite df are evaluated in doubles with the IDENTICAL
+    operation order in both engines and micro-quantized half-up.
+
+    The known-accepted boundary class applies (a .5-exact micro product
+    could round apart only if the double pipelines diverged by 1 ulp —
+    measure-zero on this data, same acceptance as e47's z).  Scale: one
+    map-side-combinable aggregate, single row out; the s² term needs
+    |Σcents| ≲ 3e9 before the DOUBLE product loses integer exactness —
+    far above this data, documented like e49's budget."""
+    ev = Tables(spark, sf_dir).events
+    x = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    p = F.col("event_type") == "purchase"
+    c = F.col("event_type") == "click"
+    stats = x.agg(
+        F.sum(F.when(p, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(p, F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(p, F.col("cents") * F.col("cents")).otherwise(0)).alias("q1"),
+        F.sum(F.when(c, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(c, F.col("cents")).otherwise(0)).alias("s2"),
+        F.sum(F.when(c, F.col("cents") * F.col("cents")).otherwise(0)).alias("q2"),
+    )
+    d = stats.select(
+        "n1",
+        "n2",
+        F.expr(
+            "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)"
+        ).alias("v1"),
+        F.expr(
+            "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)"
+        ).alias("v2"),
+        F.expr("CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2").alias("dm"),
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(ROUND((dm / sqrt(v1 / n1 + v2 / n2)) * 1000000) AS BIGINT)"
+        ).alias("t_micro"),
+        F.expr(
+            "CAST(ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)"
+            " / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+            "    + (v2 / n2) * (v2 / n2) / (n2 - 1))) * 1000000) AS BIGINT)"
+        ).alias("df_micro"),
+    )
+
+
+@register(
+    "e53_cohen_kappa",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(micro) // COUNT(*) AS BIGINT) AS cmicro
+        FROM ex GROUP BY 1, 2
+    ), d2 AS (
+        SELECT e.vec_id, e.label AS true_label, c.clabel,
+               CAST(SUM((e.micro - c.cmicro) * (e.micro - c.cmicro))
+                    AS BIGINT) AS dist2
+        FROM ex e JOIN cent c ON c.dim = e.dim
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT vec_id, true_label,
+               min(struct_pack(d := dist2, l := clabel)).l AS pred_label
+        FROM d2 GROUP BY 1, 2
+    ), cm AS (
+        SELECT true_label AS t, pred_label AS p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ), rows_ AS (SELECT t, CAST(SUM(n) AS BIGINT) AS r FROM cm GROUP BY t),
+    cols_ AS (SELECT p, CAST(SUM(n) AS BIGINT) AS c FROM cm GROUP BY p),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS diag
+        FROM cm
+    ), pe AS (
+        SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS BIGINT) AS pe_num
+        FROM rows_ FULL JOIN cols_ ON rows_.t = cols_.p
+    )
+    SELECT n_items, diag, pe_num,
+           CASE WHEN n_items * diag - pe_num >= 0
+                THEN ((n_items * diag - pe_num) * 1000000)
+                     // (n_items * n_items - pe_num)
+                ELSE -(((pe_num - n_items * diag) * 1000000)
+                       // (n_items * n_items - pe_num))
+           END AS kappa_micro
+    FROM tot, pe
+    """,
+    survey="E53,J78,E2",
+)
+def e53_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa over the nearest-centroid confusion matrix —
+    chance-corrected agreement between true labels and j78's predicted
+    labels, the standard inter-annotator / classifier-agreement summary
+    a labeling pipeline reports alongside raw accuracy (accuracy alone
+    flatters majority-class label sets; kappa discounts the agreement a
+    label-marginal-preserving random rater would reach).
+
+    Everything stays on the integer lattice: kappa = (N·diag − Σr_k·c_k)
+    / (N² − Σr_k·c_k) is evaluated as a sign-split truncating division of
+    exact BIGINTs, so the output hash-matches bit-for-bit (no double
+    anywhere — stricter than the usual micro-quantized-double tier).
+    Composition: the Spark side literally calls j78's registered pipeline
+    and aggregates its output; the oracle extends j78's SQL with three
+    CTE folds.  Scale: inherits j78's broadcast-centroid shape; the
+    kappa fold itself is over the |labels|² confusion relation."""
+    from cassandra_snap_to_hadoop_spark.queries.round4 import (
+        j78_nearest_centroid_eval,
+    )
+
+    cm = j78_nearest_centroid_eval(spark, sf_dir).select(
+        F.col("true_label").alias("t"), F.col("pred_label").alias("p"), "n"
+    )
+    rows_ = cm.groupBy("t").agg(F.sum("n").alias("r"))
+    cols_ = cm.groupBy("p").agg(F.sum("n").alias("c"))
+    tot = cm.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    pe = (
+        rows_.join(cols_, rows_["t"] == cols_["p"], "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("r"), F.lit(0)) * F.coalesce(F.col("c"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    return tot.crossJoin(pe).select(
+        "n_items",
+        "diag",
+        "pe_num",
+        F.expr(
+            "CASE WHEN n_items * diag - pe_num >= 0"
+            " THEN ((n_items * diag - pe_num) * 1000000)"
+            "      DIV (n_items * n_items - pe_num)"
+            " ELSE -(((pe_num - n_items * diag) * 1000000)"
+            "        DIV (n_items * n_items - pe_num))"
+            " END"
+        ).alias("kappa_micro"),
+    )
+
+
+@register(
+    "f28_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(day_idx) AS mn, MAX(day_idx) AS mx FROM daily
+    ), spine AS (
+        SELECT t.event_type, s.day_idx
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS day_idx
+                    FROM bounds) s
+    ), filled AS (
+        SELECT s.event_type, s.day_idx, COALESCE(d.cnt, 0) AS cnt
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day_idx = s.day_idx
+    ), ma AS (
+        SELECT event_type, day_idx, cnt,
+               SUM(cnt) OVER w AS sum7,
+               COUNT(*) OVER w AS cnt7
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT event_type, day_idx, cnt,
+               (sum7 * 1000000) // 7 AS trend_micro,
+               cnt * 1000000 - (sum7 * 1000000) // 7 AS det_micro
+        FROM ma WHERE cnt7 = 7
+    ), seas AS (
+        SELECT event_type, day_idx, cnt, trend_micro, det_micro,
+               CASE WHEN SUM(det_micro) OVER ws >= 0
+                    THEN SUM(det_micro) OVER ws // COUNT(*) OVER ws
+                    ELSE -((-SUM(det_micro) OVER ws) // COUNT(*) OVER ws)
+               END AS seasonal_micro
+        FROM det
+        WINDOW ws AS (PARTITION BY event_type, day_idx % 7)
+    )
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, cnt,
+           CAST(trend_micro AS BIGINT) AS trend_micro,
+           CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+           CAST(det_micro - seasonal_micro AS BIGINT) AS resid_micro
+    FROM seas
+    """,
+    survey="F28,F4,F27",
+)
+def f28_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + weekly seasonal
+    + residual) of per-type daily event counts — the descriptive sibling
+    of f27's Holt-Winters forecaster: trend = centered 7-day moving
+    average over the zero-filled calendar, seasonal = per-(type, day%7)
+    mean of the detrended series, residual = the rest.  The residual is
+    what f14/f20's anomaly gates SHOULD be fed when traffic has a weekly
+    cycle (a Monday spike is seasonality, not an anomaly).
+
+    Exactness: counts are integers; trend/seasonal/residual live on a
+    micro lattice via truncating division (sign-split for the seasonal
+    mean, whose detrended sum can be negative).  Day index is tz-FREE
+    epoch-microseconds DIV 86400e6 (the f22/e27 defense — no session-zone
+    dependence), so day%7 is a stable 7-periodic phase, not a named
+    weekday.  Only days with a full 7-day window are emitted (cnt7 = 7),
+    making every output row fully defined.
+
+    Scale: the spine is |types| × calendar days (broadcast-small); all
+    windows are PARTITIONED by event_type (+phase); one shuffle family."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(F.count("*").alias("cnt"))
+    bounds = daily.agg(F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(F.sequence("mn", "mx")).alias("day_idx")
+                )
+            )
+        )
+    )
+    filled = (
+        spine.join(daily, ["event_type", "day_idx"], "left")
+        .select("event_type", "day_idx", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    ma = filled.select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum7"),
+        F.count("*").over(w).alias("cnt7"),
+    )
+    det = ma.where("cnt7 = 7").select(
+        "event_type",
+        "day_idx",
+        "cnt",
+        F.expr("(sum7 * 1000000) DIV 7").alias("trend_micro"),
+        F.expr("cnt * 1000000 - (sum7 * 1000000) DIV 7").alias("det_micro"),
+    )
+    # The sign-split over a repeated window reads clearest as one SQL
+    # expression whose window text matches the oracle symbol-for-symbol.
+    seas = det.withColumn(
+        "seasonal_micro",
+        F.expr(
+            "CASE WHEN sum(det_micro) OVER"
+            " (PARTITION BY event_type, day_idx % 7) >= 0"
+            " THEN sum(det_micro) OVER (PARTITION BY event_type, day_idx % 7)"
+            "      DIV count(*) OVER (PARTITION BY event_type, day_idx % 7)"
+            " ELSE -((-sum(det_micro) OVER"
+            "         (PARTITION BY event_type, day_idx % 7))"
+            "        DIV count(*) OVER (PARTITION BY event_type, day_idx % 7))"
+            " END"
+        ),
+    )
+    return seas.select(
+        "event_type",
+        F.col("day_idx").cast("long").alias("day_idx"),
+        "cnt",
+        F.col("trend_micro").cast("long").alias("trend_micro"),
+        F.col("seasonal_micro").cast("long").alias("seasonal_micro"),
+        F.expr("CAST(det_micro - seasonal_micro AS BIGINT)").alias("resid_micro"),
+    )

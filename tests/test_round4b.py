@@ -179,3 +179,123 @@ def test_theil_sen_matches_python_reference(spark):
         for r in REGISTRY["e51_theil_sen_slope"].fn(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_welch_t_matches_python_reference(spark):
+    """Welch t and df recomputed in pure Python with math.sqrt and the
+    identical operation order."""
+    import math
+
+    rows = _duck2(
+        """
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT)
+        FROM events WHERE event_type IN ('purchase', 'click')
+        """
+    )
+    a = [c for t, c in rows if t == "purchase"]
+    b = [c for t, c in rows if t == "click"]
+    n1, s1, q1 = len(a), sum(a), sum(x * x for x in a)
+    n2, s2, q2 = len(b), sum(b), sum(x * x for x in b)
+    v1 = (float(q1) - float(s1) * s1 / n1) / (n1 - 1)
+    v2 = (float(q2) - float(s2) * s2 / n2) / (n2 - 1)
+    dm = float(s1) / n1 - float(s2) / n2
+    t = dm / math.sqrt(v1 / n1 + v2 / n2)
+    se = v1 / n1 + v2 / n2
+    df = se * se / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    t_micro = math.floor(t * 1_000_000 + 0.5) if t >= 0 else -math.floor(-t * 1_000_000 + 0.5)
+    df_micro = math.floor(df * 1_000_000 + 0.5)
+
+    row = REGISTRY["e52_welch_t"].fn(spark, SF).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert abs(row["t_micro"] - t_micro) <= 1  # 1-ulp quantization slack
+    assert abs(row["df_micro"] - df_micro) <= 1
+
+
+def _duck2(sql: str):
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_cohen_kappa_matches_python_reference(spark):
+    """Kappa recomputed in exact integer arithmetic from j78's confusion
+    matrix (collected once, |labels|² rows)."""
+    cm = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in REGISTRY["j78_nearest_centroid_eval"].fn(spark, SF).collect()
+    }
+    n = sum(cm.values())
+    diag = sum(v for (t, p), v in cm.items() if t == p)
+    row_t = {}
+    col_p = {}
+    for (t, p), v in cm.items():
+        row_t[t] = row_t.get(t, 0) + v
+        col_p[p] = col_p.get(p, 0) + v
+    pe_num = sum(r * col_p.get(t, 0) for t, r in row_t.items())
+    num = n * diag - pe_num
+    den = n * n - pe_num
+    kappa_micro = (num * 1_000_000) // den if num >= 0 else -((-num) * 1_000_000 // den)
+
+    row = REGISTRY["e53_cohen_kappa"].fn(spark, SF).collect()[0]
+    assert (row["n_items"], row["diag"], row["pe_num"], row["kappa_micro"]) == (
+        n,
+        diag,
+        pe_num,
+        kappa_micro,
+    )
+    # nearest-centroid on separable labels should beat chance decisively
+    assert row["kappa_micro"] > 0
+
+
+def test_seasonal_decompose_additivity_and_reference(spark):
+    """(a) exact additivity: trend + seasonal + resid == cnt·1e6 on every
+    row; (b) full decomposition recomputed in pure Python from raw daily
+    counts (zero-filled spine, centered MA, phase means)."""
+    rows = REGISTRY["f28_seasonal_decompose"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["trend_micro"] + r["seasonal_micro"] + r["resid_micro"]
+            == r["cnt"] * 1_000_000
+        ), r
+
+    raw = _duck2(
+        """
+        SELECT event_type, epoch_us(ts) // 86400000000, COUNT(*)
+        FROM events GROUP BY 1, 2
+        """
+    )
+    days = [d for _, d, _ in raw]
+    mn, mx = min(days), max(days)
+    types = {t for t, _, _ in raw}
+    counts = {(t, d): c for t, d, c in raw}
+    expect = {}
+    for t in types:
+        series = [(d, counts.get((t, d), 0)) for d in range(mn, mx + 1)]
+        for i in range(3, len(series) - 3):
+            d, cnt = series[i]
+            s7 = sum(c for _, c in series[i - 3 : i + 4])
+            trend = (s7 * 1_000_000) // 7
+            expect[(t, d)] = [cnt, trend, cnt * 1_000_000 - trend]
+    # phase means over detrended values
+    phase_sum: dict[tuple, int] = {}
+    phase_n: dict[tuple, int] = {}
+    for (t, d), (_, _, det) in expect.items():
+        k = (t, d % 7)
+        phase_sum[k] = phase_sum.get(k, 0) + det
+        phase_n[k] = phase_n.get(k, 0) + 1
+    got = {(r["event_type"], r["day_idx"]): r for r in rows}
+    assert set(got) == set(expect)
+    for (t, d), (cnt, trend, det) in expect.items():
+        s, c = phase_sum[(t, d % 7)], phase_n[(t, d % 7)]
+        seas = s // c if s >= 0 else -((-s) // c)
+        r = got[(t, d)]
+        assert (r["cnt"], r["trend_micro"], r["seasonal_micro"], r["resid_micro"]) == (
+            cnt,
+            trend,
+            seas,
+            det - seas,
+        ), (t, d)
