@@ -142,6 +142,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e52_welch_t",
     "e53_cohen_kappa",
     "f28_seasonal_decompose",
+    "j82_bloom_prefilter_dedup",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -709,3 +709,76 @@ def f28_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seasonal_micro").cast("long").alias("seasonal_micro"),
         F.expr("CAST(det_micro - seasonal_micro AS BIGINT)").alias("resid_micro"),
     )
+
+
+@register(
+    "j82_bloom_prefilter_dedup",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+        FROM documents
+    )
+    SELECT n.doc_id, n.lang, n.k AS content_hash
+    FROM keyed n
+    WHERE EXISTS (SELECT 1 FROM keyed h
+                  WHERE h.doc_id % 2 = 0 AND h.k = n.k)
+    """,
+    survey="J82,J1,A5",
+)
+def j82_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with a Bloom-filter prefilter — the
+    at-least-once re-delivery scenario: the whole batch is re-offered and
+    the already-ingested portion (history = even doc_ids; the redelivered
+    batch = every document, so even docs self-match and odd docs match
+    only on genuine content duplication) must be detected WITHOUT joining
+    every incoming key against the full historical key set.  History is
+    first compressed into a Bloom structure (k=3 xxhash64 seeds over
+    m=8192 positions per seed — a blocked Bloom: one position set per
+    seed).  An incoming key is a CANDIDATE only if all 3 of its positions
+    are present; candidates alone proceed to the exact md5-key semi join
+    that removes Bloom false positives.
+
+    Why this is the 100 TB shape: the position sets are ≤ k·m rows
+    (constant, KB — broadcast) no matter how large history grows, so the
+    expensive exact join runs over the candidate subset only (true dups
+    + FP rate ≈ (1−e^{-kn/m})^k of the batch), while a naive semi join
+    shuffles the whole batch against the whole history.  False negatives
+    are impossible (every inserted key set all its positions) — the law
+    the whole design rests on, property-tested against the plain semi
+    join; the final output is therefore EXACTLY the true-duplicate set,
+    which is why an engine-specific sketch still carries a plain SQL
+    oracle (the j64 pattern: lossy prefilter + exact verify = exact).
+    The oracle states the naive EXISTS formulation."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    m = 8192
+    docs = Tables(spark, sf_dir).documents.select(
+        "doc_id", "lang", F.md5(normalize_text(F.col("text"))).alias("k")
+    )
+    hist = docs.where("doc_id % 2 = 0")
+    incoming = docs  # at-least-once upstream: the full batch re-delivered
+
+    seeds = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("seed")
+    hist_pos = (
+        hist.select(seeds, "k")
+        .select("seed", F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"))
+        .distinct()
+    )
+    probe = incoming.select("doc_id", "lang", "k", seeds).select(
+        "doc_id",
+        "lang",
+        "k",
+        "seed",
+        F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"),
+    )
+    candidates = (
+        probe.join(F.broadcast(hist_pos), ["seed", "pos"])
+        .groupBy("doc_id", "lang", "k")
+        .agg(F.count("*").alias("hits"))
+        .where("hits = 3")
+        .drop("hits")
+    )
+    return candidates.join(
+        hist.select("k").distinct(), "k", "left_semi"
+    ).select("doc_id", "lang", F.col("k").alias("content_hash"))

@@ -299,3 +299,70 @@ def test_seasonal_decompose_additivity_and_reference(spark):
             seas,
             det - seas,
         ), (t, d)
+
+
+def test_bloom_prefilter_equals_naive_semi_join(spark):
+    """Lossy-prefilter + exact-verify == exact: the Bloom path's output
+    must equal the naive semi join against history, key for key."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    docs = Tables(spark, SF).documents.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("k")
+    )
+    hist = docs.where("doc_id % 2 = 0")
+    expect = {
+        r["doc_id"]
+        for r in docs.join(hist.select("k").distinct(), "k", "left_semi").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in REGISTRY["j82_bloom_prefilter_dedup"].fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert got  # the re-delivery scenario guarantees nonempty matches
+
+
+def test_bloom_candidates_are_superset_no_false_negatives(spark):
+    """The law the design rests on: every true duplicate key survives the
+    Bloom prefilter (all its positions were inserted by history), so the
+    candidate set is a superset of the exact-match set; and the history
+    position structure stays broadcast-small in the plan."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    m = 8192
+    docs = Tables(spark, SF).documents.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("k")
+    )
+    hist = docs.where("doc_id % 2 = 0")
+    seeds = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("seed")
+    hist_pos = (
+        hist.select(seeds, "k")
+        .select("seed", F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"))
+        .distinct()
+    )
+    probe = docs.select("doc_id", "k", seeds).select(
+        "doc_id", "k", "seed",
+        F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"),
+    )
+    candidates = {
+        r["doc_id"]
+        for r in probe.join(F.broadcast(hist_pos), ["seed", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .where("hits = 3")
+        .collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in docs.join(hist.select("k").distinct(), "k", "left_semi").collect()
+    }
+    assert exact <= candidates, "Bloom produced a false negative"
+
+    p = plan_string(REGISTRY["j82_bloom_prefilter_dedup"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p, p
