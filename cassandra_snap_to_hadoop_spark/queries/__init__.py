@@ -143,6 +143,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e53_cohen_kappa",
     "f28_seasonal_decompose",
     "j82_bloom_prefilter_dedup",
+    "e54_silhouette",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

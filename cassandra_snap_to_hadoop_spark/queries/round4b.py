@@ -782,3 +782,114 @@ def j82_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(
         hist.select("k").distinct(), "k", "left_semi"
     ).select("doc_id", "lang", F.col("k").alias("content_hash"))
+
+
+@register(
+    "e54_silhouette",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, dim,
+               CAST(SUM(micro) // COUNT(*) AS BIGINT) AS cmicro
+        FROM ex GROUP BY 1, 2
+    ), d2 AS (
+        SELECT e.vec_id, e.label AS true_label, c.clabel,
+               CAST(SUM((e.micro - c.cmicro) * (e.micro - c.cmicro))
+                    AS BIGINT) AS dist2
+        FROM ex e JOIN cent c ON c.dim = e.dim
+        GROUP BY 1, 2, 3
+    ), ab AS (
+        SELECT vec_id, true_label,
+               CAST(MIN(CASE WHEN clabel = true_label THEN dist2 END)
+                    AS BIGINT) AS a2,
+               CAST(MIN(CASE WHEN clabel <> true_label THEN dist2 END)
+                    AS BIGINT) AS b2
+        FROM d2 GROUP BY 1, 2
+    ), s AS (
+        SELECT vec_id, true_label,
+               CAST(ROUND(((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                    / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))))
+                    * 1000000) AS BIGINT) AS s_micro
+        FROM ab
+    )
+    SELECT CAST(true_label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro,
+           CAST(CASE WHEN SUM(s_micro) >= 0
+                     THEN SUM(s_micro) // COUNT(*)
+                     ELSE -((-SUM(s_micro)) // COUNT(*))
+                END AS BIGINT) AS mean_s_micro
+    FROM s GROUP BY 1
+    """,
+    survey="E54,J76,J78",
+)
+def e54_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the third leg of
+    the clustering-eval tier (j78 confusion matrix: assignment quality;
+    e53 kappa: chance-corrected agreement; this: geometric separation):
+    s_i = (b−a)/max(a,b) with a = distance to the OWN label centroid and
+    b = distance to the NEAREST other centroid.  The simplified variant
+    (Hruschka's centroid distances instead of all-pairs means) is the one
+    that scales — full silhouette is an O(n²) pairwise-distance sum.
+
+    Float discipline: squared distances are exact BIGINTs on the micro
+    lattice (j76/j78's arithmetic); each s_i takes exactly one sqrt/sub/
+    div chain per ROW in identical operation order, is quantized to a
+    micro integer, and only INTEGERS are summed across rows — so the
+    group totals are association-order-free and hash-certifiable (the
+    double never enters an accumulator; the e47/e52 rowwise-identical
+    discipline).  Sign-split DIV for the (possibly negative) mean.
+
+    Scale: identical shape to j78 — broadcast |labels|·dims centroids,
+    linear |labels|× fan-out per vector, two hash aggs; never a
+    vector-pair join."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("sum(micro) div count(*)").alias("cmicro")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(
+            F.sum(
+                (F.col("micro") - F.col("cmicro")) * (F.col("micro") - F.col("cmicro"))
+            ).alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "true_label").agg(
+        F.min(F.when(F.col("clabel") == F.col("true_label"), F.col("dist2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("true_label"), F.col("dist2"))).alias(
+            "b2"
+        ),
+    )
+    s = ab.select(
+        "vec_id",
+        "true_label",
+        F.expr(
+            "CAST(ROUND(((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+            " / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))))"
+            " * 1000000) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    return s.groupBy(F.col("true_label").cast("int").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("s_micro").alias("sum_s_micro"),
+        F.expr(
+            "CASE WHEN sum(s_micro) >= 0 THEN sum(s_micro) DIV count(*)"
+            " ELSE -((-sum(s_micro)) DIV count(*)) END"
+        ).alias("mean_s_micro"),
+    )

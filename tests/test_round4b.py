@@ -366,3 +366,61 @@ def test_bloom_candidates_are_superset_no_false_negatives(spark):
 
     p = plan_string(REGISTRY["j82_bloom_prefilter_dedup"].fn(spark, SF), "simple")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_silhouette_matches_python_reference(spark):
+    """Simplified silhouette recomputed in pure Python/numpy-free integer
+    arithmetic: micro-lattice centroids, exact int squared distances,
+    rowwise sqrt chain, integer group sums."""
+    import math
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round_half_up(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = _duck2("SELECT vec_id, label, embedding FROM embeddings")
+    vecs = {
+        r[0]: (r[1], [_round_half_up(float(x) * 1_000_000) for x in r[2]])
+        for r in rows
+    }
+    # centroids: TOWARD-ZERO integer mean per (label, dim) — engines'
+    # DIV / // truncate toward zero; Python // floors (differs on
+    # negative sums, the bug this reference initially had).
+    by_label: dict[int, list] = {}
+    for _, (lab, m) in vecs.items():
+        by_label.setdefault(lab, []).append(m)
+    dims = len(next(iter(vecs.values()))[1])
+    cent = {
+        lab: [int_div(sum(v[d] for v in ms), len(ms)) for d in range(dims)]
+        for lab, ms in by_label.items()
+    }
+    sums: dict[int, list[int]] = {}
+    for _, (lab, m) in vecs.items():
+        d2 = {
+            cl: sum((a - b) * (a - b) for a, b in zip(m, c))
+            for cl, c in cent.items()
+        }
+        a2 = d2[lab]
+        b2 = min(v for cl, v in d2.items() if cl != lab)
+        s = (math.sqrt(float(b2)) - math.sqrt(float(a2))) / max(
+            math.sqrt(float(a2)), math.sqrt(float(b2))
+        )
+        # Spark/DuckDB ROUND(double) = HALF_UP on the EXACT binary value
+        # (BigDecimal semantics) — floor(x+0.5) drifts 1 ulp near .5.
+        s_micro = _round_half_up(s * 1_000_000)
+        acc = sums.setdefault(lab, [0, 0])
+        acc[0] += 1
+        acc[1] += s_micro
+
+    got = {
+        r["label"]: (r["n_vecs"], r["sum_s_micro"], r["mean_s_micro"])
+        for r in REGISTRY["e54_silhouette"].fn(spark, SF).collect()
+    }
+    expect = {lab: (n, s, int_div(s, n)) for lab, (n, s) in sums.items()}
+    assert got == expect
+
+
+def int_div(a: int, b: int) -> int:
+    """Toward-zero integer division (Spark DIV == DuckDB // semantics)."""
+    return a // b if a >= 0 else -((-a) // b)
