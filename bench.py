@@ -53,6 +53,10 @@ HEADLINE = [
     "e30_equidepth_scalable",
     "j64_simhash_pairs_md5",
     "j70_jaro_winkler_pairs",
+    # round-4 continuation: iterative workload (12-step UnionLoop) and the
+    # broadcast-constant Bloom prefilter ingest-dedup shape
+    "sql_api_recursive_cte",
+    "j82_bloom_prefilter_dedup",
 ]
 
 N_RUNS = 3

@@ -46,6 +46,8 @@ BASELINE_MEDIANS: dict[str, float] = {
     "e30_equidepth_scalable": 2.22,
     "j64_simhash_pairs_md5": 2.24,
     "j70_jaro_winkler_pairs": 1.23,
+    "sql_api_recursive_cte": 5.65,
+    "j82_bloom_prefilter_dedup": 0.75,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan

@@ -335,8 +335,93 @@ def main() -> None:
             .agg(F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"))
         )
 
+    def recursive_fold_shape(o):
+        """sql_api_recursive_cte's shape: constant-depth (12) UnionLoop —
+        each iteration one distributed frontier⋈base join, so cost should
+        be ~linear in |orders| with a fixed iteration factor."""
+        o.createOrReplaceTempView("probe_orders")
+        return spark.sql(
+            """
+            WITH RECURSIVE base AS (
+                SELECT o_custkey AS ck,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS rn,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n_all
+                FROM probe_orders
+            ), capped AS (
+                SELECT ck, rn, amt, LEAST(n_all, 12) AS nc
+                FROM base WHERE rn <= 12
+            ), chain AS (
+                SELECT ck, rn, nc, amt AS bal FROM capped WHERE rn = 1
+                UNION ALL
+                SELECT b.ck, b.rn, b.nc, (c.bal * 105) DIV 100 + b.amt
+                FROM chain c JOIN capped b ON b.ck = c.ck AND b.rn = c.rn + 1
+            )
+            SELECT ck, bal FROM chain WHERE rn = nc
+            """
+        )
+
+    def bloom_prefilter_shape(d):
+        """j82's shape: history compressed to a ≤ k·m-row broadcast
+        position set (CONSTANT in corpus size), candidates exact-verified.
+        Cost should be ~linear: one scan to build positions, one scan to
+        probe, candidate-subset semi join."""
+        m = 8192
+        docs = d.select(
+            "doc_id",
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            ).alias("k"),
+        )
+        hist = docs.where("doc_id % 2 = 0")
+        seeds = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("seed")
+        hist_pos = (
+            hist.select(seeds, "k")
+            .select("seed", F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"))
+            .distinct()
+        )
+        probe = docs.select("doc_id", "k", seeds).select(
+            "doc_id", "k", "seed",
+            F.pmod(F.xxhash64("k", "seed"), F.lit(m)).alias("pos"),
+        )
+        cand = (
+            probe.join(F.broadcast(hist_pos), ["seed", "pos"])
+            .groupBy("doc_id", "k")
+            .agg(F.count("*").alias("hits"))
+            .where("hits = 3")
+        )
+        return cand.join(hist.select("k").distinct(), "k", "left_semi")
+
+    def theil_sen_shape(li):
+        """e51's shape: the pairwise slope join runs over the MONTHLY
+        pre-agg (calendar-bounded), so N× more fact rows must not grow
+        the pair count — cost ~linear, dominated by the pre-agg scan."""
+        monthly = li.groupBy(
+            F.col("l_suppkey").alias("sk"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long").alias("m"),
+        ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"))
+        a, b = monthly.alias("a"), monthly.alias("b")
+        pairs = a.join(
+            b, (F.col("a.sk") == F.col("b.sk")) & (F.col("b.m") > F.col("a.m"))
+        ).select(
+            F.col("a.sk").alias("sk"),
+            F.expr(
+                "CASE WHEN b.rev >= a.rev"
+                " THEN ((b.rev - a.rev) * 1000000) DIV (b.m - a.m)"
+                " ELSE -(((a.rev - b.rev) * 1000000) DIV (b.m - a.m)) END"
+            ).alias("slope"),
+        )
+        return pairs.groupBy("sk").agg(F.count("*").alias("n"))
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("recursive-cte-fold", lambda: recursive_fold_shape(o1), lambda: recursive_fold_shape(oN)),
+        ("bloom-prefilter", lambda: bloom_prefilter_shape(d1), lambda: bloom_prefilter_shape(dN)),
+        # lineitem amplification keeps l_suppkey unmapped: N x more fact
+        # rows per supplier, SAME monthly pair count — the bounded-pair
+        # claim is exactly what the ratio measures.
+        ("theil-sen-monthly-pairs", lambda: theil_sen_shape(li1), lambda: theil_sen_shape(liN)),
         ("equidepth-twopass", lambda: equidepth_shape(li1), lambda: equidepth_shape(liN)),
         ("vocab-cumsum-twopass", lambda: vocab_cumsum_shape(d1), lambda: vocab_cumsum_shape(dN)),
         ("vocab-topk", lambda: vocab_topk_shape(d1), lambda: vocab_topk_shape(dN)),
