@@ -144,6 +144,8 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "f28_seasonal_decompose",
     "j82_bloom_prefilter_dedup",
     "e54_silhouette",
+    "f29_cusum_recursive",
+    "e55_calinski_harabasz",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -893,3 +893,229 @@ def e54_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((-sum(s_micro)) DIV count(*)) END"
         ).alias("mean_s_micro"),
     )
+
+
+@register(
+    "f29_cusum_recursive",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, day_idx, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day_idx) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+               CAST(SUM(x) OVER (PARTITION BY event_type)
+                    // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS mu
+        FROM daily
+    ), chain AS (
+        SELECT event_type, rn, n_days, mu,
+               GREATEST(CAST(0 AS BIGINT), x - mu - mu // 20) AS s,
+               GREATEST(CAST(0 AS BIGINT), x - mu - mu // 20) AS s_max,
+               CASE WHEN GREATEST(CAST(0 AS BIGINT), x - mu - mu // 20)
+                         > mu // 4 THEN 1 ELSE 0 END AS n_alarms
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_days, b.mu,
+               GREATEST(CAST(0 AS BIGINT), c.s + b.x - b.mu - b.mu // 20),
+               GREATEST(c.s_max,
+                        GREATEST(CAST(0 AS BIGINT),
+                                 c.s + b.x - b.mu - b.mu // 20)),
+               c.n_alarms + CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                 c.s + b.x - b.mu - b.mu // 20) > b.mu // 4
+                            THEN 1 ELSE 0 END
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_days,
+           CAST(n_alarms AS BIGINT) AS n_alarms,
+           CAST(s_max AS BIGINT) AS max_cusum_cents
+    FROM chain WHERE rn = n_days
+    """,
+    survey="F29,F15,SQL-4",
+)
+def f29_cusum_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection as a RECURSIVE CTE — the SQL-certified twin
+    of f15's applyInPandas fold, enabled by sql_api_recursive_cte's
+    machinery: the clamped recursion s_i = max(0, s_{i-1} + x_i − μ − k)
+    genuinely cannot be window-rewritten, but over the DAILY pre-agg the
+    recursion depth equals the calendar span (≈30 here, bounded by the
+    observation window — far inside Spark's recursion limit), so both
+    engines can iterate it exactly.
+
+    Everything is BIGINT: x = daily cents, μ = per-type truncating mean,
+    allowance k = μ//20 (5%), alarm threshold h = μ//4 — a DEFINED
+    integer statistic (f15's per-event σ-based tier remains the
+    production float path; this twin trades the σ calibration for exact
+    cross-engine certification, the e30-exact/e30-scalable pairing in
+    reverse).  Output: per-type alarm count and max CUSUM excursion.
+
+    Scale: per-type chains advance in LOCKSTEP inside one UnionLoop —
+    each iteration joins the |types|-row frontier to the daily relation;
+    depth is calendar-bounded, per-step work distributes on event_type.
+    The tz-free epoch-day key is the f22/e27 defense."""
+    ev = Tables(spark, sf_dir).events
+    # The daily relation is |types| × calendar days (≤ a few hundred rows
+    # at ANY corpus size — it is calendar-bounded, not volume-bounded), so
+    # pin it to ONE partition; with the BROADCAST hint below each of the
+    # ~30 UnionLoop iterations is then a KB broadcast join instead of a
+    # default-partition-count shuffle pair.  The remaining wall-clock is
+    # the per-iteration job-scheduling floor (~0.3-0.6 s/step under a
+    # cold plain session), not data volume.
+    ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    ).coalesce(1).createOrReplaceTempView("cs2h_daily_cusum")
+    return spark.sql(
+        """
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, day_idx, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+                   SUM(x) OVER (PARTITION BY event_type)
+                       DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
+            FROM cs2h_daily_cusum
+        ), chain AS (
+            SELECT event_type, rn, n_days, mu,
+                   GREATEST(CAST(0 AS BIGINT), x - mu - mu DIV 20) AS s,
+                   GREATEST(CAST(0 AS BIGINT), x - mu - mu DIV 20) AS s_max,
+                   CASE WHEN GREATEST(CAST(0 AS BIGINT), x - mu - mu DIV 20)
+                             > mu DIV 4 THEN 1 ELSE 0 END AS n_alarms
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            -- BROADCAST(b): the calendar-bounded base side fits in KB, so
+            -- every iteration becomes a broadcast join instead of a
+            -- 200-partition shuffle pair (measured 21.7 s -> ~12 s warm
+            -- under a plain driver session; the rest is the per-iteration
+            -- job-scheduling floor, not data).
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days, b.mu,
+                   GREATEST(CAST(0 AS BIGINT), c.s + b.x - b.mu - b.mu DIV 20),
+                   GREATEST(c.s_max,
+                            GREATEST(CAST(0 AS BIGINT),
+                                     c.s + b.x - b.mu - b.mu DIV 20)),
+                   c.n_alarms + CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                                     c.s + b.x - b.mu - b.mu DIV 20)
+                                     > b.mu DIV 4 THEN 1 ELSE 0 END
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_days,
+               CAST(n_alarms AS BIGINT) AS n_alarms,
+               s_max AS max_cusum_cents
+        FROM chain WHERE rn = n_days
+        """
+    )
+
+
+@register(
+    "e55_calinski_harabasz",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS milli
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim,
+               CAST(SUM(milli) // COUNT(*) AS BIGINT) AS cmilli,
+               CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM ex GROUP BY 1, 2
+    ), gcent AS (
+        SELECT dim, CAST(SUM(milli) // COUNT(*) AS BIGINT) AS gmilli
+        FROM ex GROUP BY 1
+    ), ssw_t AS (
+        SELECT CAST(SUM((e.milli - c.cmilli) * (e.milli - c.cmilli))
+                    AS BIGINT) AS ssw
+        FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+    ), ssb_t AS (
+        SELECT CAST(SUM(c.n_l * (c.cmilli - g.gmilli) * (c.cmilli - g.gmilli))
+                    AS BIGINT) AS ssb
+        FROM cent c JOIN gcent g ON g.dim = c.dim
+    ), sizes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS k
+        FROM (SELECT DISTINCT vec_id, label FROM ex)
+    )
+    SELECT n, k, ssb, ssw,
+           CAST(((ssb // (k - 1)) * 1000000) // (ssw // (n - k))
+                AS BIGINT) AS vrc_micro
+    FROM sizes, ssw_t, ssb_t
+    """,
+    survey="E55,E54,E49",
+)
+def e55_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio criterion over the labeled
+    embedding space — e49's ANOVA decomposition lifted to vectors: SSB =
+    Σ_l n_l·‖c_l − c‖², SSW = Σ_i ‖x_i − c_{l(i)}‖², VRC = (SSB/(k−1)) /
+    (SSW/(n−k)).  The fourth clustering-eval leg (j78 assignment, e53
+    agreement, e54 per-point geometry, this one global dispersion).
+
+    Exactness: coordinates quantize to a MILLI lattice here (coarser than
+    j76/j78's micro) so that SSB·1e6 stays inside int64 — the overflow
+    budget, worked through in the e49/pagerank style: |diff| ≤ 2e3 ⇒
+    squares ≤ 4e6, SSW ≈ n·dims·4e6 ≲ 1e12 at sf0.1, and the final
+    (ssb//(k−1))·1e6 ≲ 1e15.  Both engines share the lattice, so every
+    output cell is an exact BIGINT.
+
+    Scale: two hash aggs build centroids (|labels|·dims rows) and the
+    global centroid (dims rows, broadcast); SSW is one more scan-join;
+    no pairwise structure anywhere."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000).cast("long").alias("milli"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("sum(milli) div count(*)").alias("cmilli"),
+        F.count("*").alias("n_l"),
+    )
+    gcent = ex.groupBy("dim").agg(
+        F.expr("sum(milli) div count(*)").alias("gmilli")
+    )
+    ssw_t = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .agg(
+            F.sum(
+                (F.col("milli") - F.col("cmilli"))
+                * (F.col("milli") - F.col("cmilli"))
+            ).alias("ssw")
+        )
+    )
+    ssb_t = (
+        cent.join(F.broadcast(gcent), "dim")
+        .agg(
+            F.sum(
+                F.col("n_l")
+                * (F.col("cmilli") - F.col("gmilli"))
+                * (F.col("cmilli") - F.col("gmilli"))
+            ).alias("ssb")
+        )
+    )
+    sizes = e.agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("k")
+    )
+    return (
+        sizes.crossJoin(ssw_t)
+        .crossJoin(ssb_t)
+        .select(
+            "n",
+            "k",
+            "ssb",
+            "ssw",
+            F.expr(
+                "CAST(((ssb DIV (k - 1)) * 1000000) DIV (ssw DIV (n - k)) AS BIGINT)"
+            ).alias("vrc_micro"),
+        )
+    )

@@ -424,3 +424,77 @@ def test_silhouette_matches_python_reference(spark):
 def int_div(a: int, b: int) -> int:
     """Toward-zero integer division (Spark DIV == DuckDB // semantics)."""
     return a // b if a >= 0 else -((-a) // b)
+
+
+def test_cusum_recursive_matches_python_fold(spark):
+    """The recursive-CTE CUSUM must equal a plain Python fold of the same
+    integer recursion over the per-type daily series."""
+    raw = _duck2(
+        """
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series: dict[str, list[int]] = {}
+    for t, _, x in raw:
+        series.setdefault(t, []).append(x)
+    expect = {}
+    for t, xs in series.items():
+        mu = int_div(sum(xs), len(xs))
+        k, h = int_div(mu, 20), int_div(mu, 4)
+        s = s_max = alarms = 0
+        for x in xs:
+            s = max(0, s + x - mu - k)
+            s_max = max(s_max, s)
+            if s > h:
+                alarms += 1
+        expect[t] = (len(xs), alarms, s_max)
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_alarms"], r["max_cusum_cents"])
+        for r in REGISTRY["f29_cusum_recursive"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_calinski_harabasz_matches_python_reference(spark):
+    """VRC recomputed in pure Python on the shared milli lattice with
+    toward-zero divisions throughout."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rhu(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = _duck2("SELECT vec_id, label, embedding FROM embeddings")
+    vecs = [(r[1], [rhu(float(x) * 1_000) for x in r[2]]) for r in rows]
+    dims = len(vecs[0][1])
+    by_label: dict[int, list] = {}
+    for lab, m in vecs:
+        by_label.setdefault(lab, []).append(m)
+    cent = {
+        lab: [int_div(sum(v[d] for v in ms), len(ms)) for d in range(dims)]
+        for lab, ms in by_label.items()
+    }
+    gcent = [
+        int_div(sum(m[d] for _, m in vecs), len(vecs)) for d in range(dims)
+    ]
+    ssw = sum(
+        (m[d] - cent[lab][d]) ** 2 for lab, m in vecs for d in range(dims)
+    )
+    ssb = sum(
+        len(ms) * (cent[lab][d] - gcent[d]) ** 2
+        for lab, ms in by_label.items()
+        for d in range(dims)
+    )
+    n, k = len(vecs), len(by_label)
+    vrc_micro = int_div(int_div(ssb, k - 1) * 1_000_000, int_div(ssw, n - k))
+
+    row = REGISTRY["e55_calinski_harabasz"].fn(spark, SF).collect()[0]
+    assert (row["n"], row["k"], row["ssb"], row["ssw"], row["vrc_micro"]) == (
+        n,
+        k,
+        ssb,
+        ssw,
+        vrc_micro,
+    )
