@@ -146,6 +146,8 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e54_silhouette",
     "f29_cusum_recursive",
     "e55_calinski_harabasz",
+    "e56_mase_forecast_eval",
+    "j83_feature_hashing",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -1119,3 +1119,157 @@ def e55_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vrc_micro"),
         )
     )
+
+
+@register(
+    "e56_mase_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(day_idx) AS mn, MAX(day_idx) AS mx FROM daily
+    ), spine AS (
+        SELECT t.event_type, s.day_idx
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS day_idx
+                    FROM bounds) s
+    ), filled AS (
+        SELECT s.event_type, s.day_idx, COALESCE(d.x, 0) AS x
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day_idx = s.day_idx
+    ), lagged AS (
+        SELECT event_type, day_idx, x,
+               LAG(x, 7) OVER w AS x7,
+               LAG(x, 1) OVER w AS x1
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+           CAST(SUM(ABS(x - x7)) AS BIGINT) AS mae7_cents,
+           CAST(SUM(ABS(x - x1)) AS BIGINT) AS mae1_cents,
+           CAST((SUM(ABS(x - x7)) * 1000000) // SUM(ABS(x - x1))
+                AS BIGINT) AS mase_micro
+    FROM lagged WHERE x7 IS NOT NULL
+    GROUP BY 1
+    """,
+    survey="E56,F27,F2",
+)
+def e56_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast evaluation (Hyndman-Koehler's scale-free
+    accuracy measure): the seasonal-naive forecast x̂_t = x_{t−7} scored
+    against the one-step-naive benchmark x̂_t = x_{t−1} over per-type
+    daily revenue — MASE < 1 means weekly seasonality carries real
+    signal, the go/no-go check BEFORE trusting f27's Holt-Winters fit
+    (if seasonal-naive can't beat naive, a seasonal model is noise).
+
+    Both "models" are lag windows, so the whole evaluation is exact
+    integer arithmetic: absolute cent errors summed per type, ratio
+    micro-quantized with truncating division.  Evaluation restricted to
+    days where the seasonal lag exists (x7 IS NOT NULL) — BOTH sums use
+    that same row set, the subtlety that makes the ratio well-defined.
+
+    Scale: zero-filled calendar spine (broadcast), one PARTITIONED lag
+    window, one hash agg."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    bounds = daily.agg(F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(F.explode(F.sequence("mn", "mx")).alias("day_idx"))
+            )
+        )
+    )
+    filled = spine.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = filled.select(
+        "event_type",
+        "day_idx",
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    return (
+        lagged.where(F.col("x7").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_evaluated"),
+            F.sum(F.abs(F.col("x") - F.col("x7"))).alias("mae7_cents"),
+            F.sum(F.abs(F.col("x") - F.col("x1"))).alias("mae1_cents"),
+            F.expr(
+                "CAST((SUM(ABS(x - x7)) * 1000000) DIV SUM(ABS(x - x1)) AS BIGINT)"
+            ).alias("mase_micro"),
+        )
+    )
+
+
+@register(
+    "j83_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 256
+                    AS BIGINT) AS dim,
+               CASE WHEN substr(md5(term), 9, 1) < '8' THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE term <> ''
+    )
+    SELECT doc_id, dim,
+           CAST(SUM(sgn) AS BIGINT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM hashed GROUP BY 1, 2
+    """,
+    survey="J83,J5,I8",
+)
+def j83_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger '09): fixed-dimension sparse feature
+    vectors with NO vocabulary pass — each term maps to dimension
+    md5(term) mod 256 with a ±1 sign bit from the next hash nibble (the
+    signed variant that makes collisions cancel in expectation instead of
+    biasing upward).  Output is the sparse (doc, dim, weight) triple
+    relation an ML trainer consumes; the engine's HashingTF equivalent,
+    but SQL-certified because md5 exists verbatim in both engines (the
+    j64/e38 md5-lattice pattern — xxhash64 would be faster but is
+    Spark-only, the documented production swap).
+
+    One-pass, vocabulary-free is the 100 TB point: no vocab build, no
+    broadcast, no OOV — the dimension is a pure function of the term
+    bytes.  Scale: tokenize/explode → one map-side-combinable hash agg;
+    output bounded by |docs|·256."""
+    d = Tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 256)
+        .cast("long")
+        .alias("dim"),
+        F.when(F.substring(F.md5("term"), 9, 1) < "8", 1).otherwise(-1).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id", "dim").agg(
+        F.sum("sgn").alias("weight"),
+        F.count("*").alias("n_terms"),
+    )

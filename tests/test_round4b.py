@@ -498,3 +498,65 @@ def test_calinski_harabasz_matches_python_reference(spark):
         ssw,
         vrc_micro,
     )
+
+
+def test_mase_matches_python_reference(spark):
+    """Seasonal-naive vs naive-1 MASE recomputed in pure Python over the
+    zero-filled daily series."""
+    raw = _duck2(
+        """
+        SELECT event_type, epoch_us(ts) // 86400000000,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2
+        """
+    )
+    days = [d for _, d, _ in raw]
+    mn, mx = min(days), max(days)
+    counts = {(t, d): x for t, d, x in raw}
+    types = {t for t, _, _ in raw}
+    expect = {}
+    for t in types:
+        xs = [counts.get((t, d), 0) for d in range(mn, mx + 1)]
+        idx = range(7, len(xs))
+        mae7 = sum(abs(xs[i] - xs[i - 7]) for i in idx)
+        mae1 = sum(abs(xs[i] - xs[i - 1]) for i in idx)
+        expect[t] = (len(xs) - 7, mae7, mae1, (mae7 * 1_000_000) // mae1)
+
+    got = {
+        r["event_type"]: (
+            r["n_evaluated"],
+            r["mae7_cents"],
+            r["mae1_cents"],
+            r["mase_micro"],
+        )
+        for r in REGISTRY["e56_mase_forecast_eval"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_feature_hashing_matches_hashlib(spark):
+    """Feature hashing recomputed with Python hashlib (a third md5
+    implementation): same dims, same signs, same weights."""
+    import hashlib
+    import re
+
+    docs = _duck("SELECT doc_id, text FROM documents")
+    expect: dict[tuple, list[int]] = {}
+    for doc_id, text in docs:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        for term in norm.split(" "):
+            if not term:
+                continue
+            h = hashlib.md5(term.encode()).hexdigest()
+            dim = int(h[:8], 16) % 256
+            sgn = 1 if h[8] < "8" else -1
+            acc = expect.setdefault((doc_id, dim), [0, 0])
+            acc[0] += sgn
+            acc[1] += 1
+
+    got = {
+        (r["doc_id"], r["dim"]): [r["weight"], r["n_terms"]]
+        for r in REGISTRY["j83_feature_hashing"].fn(spark, SF).collect()
+    }
+    assert got == expect
+    assert all(0 <= d < 256 for _, d in got)
