@@ -452,3 +452,69 @@ def test_hll_sketch_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path
     exact = e.select("user_id").distinct().count()
     assert merged == oneshot, (merged, oneshot)
     assert abs(merged - exact) <= 0.05 * exact, (merged, exact)
+
+
+def test_e44_quantile_summary_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path):
+    """The mergeable-quantile summary is STREAMABLE: each micro-batch is
+    summarized independently (the 'sketch per increment' pattern), the
+    per-batch (value, weight) rows are unioned, and ONE weighted fold
+    answers quantiles for the whole stream — with the same total
+    rank-error law as the batch path, because errors add as Σ n_s/k =
+    n/k across every summary regardless of which batch produced it
+    (+ the boundary-pick slack).  This is the e12-HLL fold test for the
+    quantile tier."""
+    import bisect
+
+    from cassandra_snap_to_hadoop_spark.operators.qsketch import (
+        _summarize,
+        _weighted_quantiles,
+    )
+
+    k = 128
+    batch_summaries: list = []
+
+    def grab(df, _epoch):
+        import pandas as pd
+
+        vals = df.selectExpr("cast(value as double) as v").where(
+            "v is not null"
+        ).toPandas()
+        if len(vals):
+            s = _summarize(pd.DataFrame({"v": vals["v"]}), k)
+            batch_summaries.extend(
+                (float(v), int(w)) for v, w in zip(s["value"], s["weight"])
+            )
+
+    stream = read_event_stream(spark, event_shards)
+    q = (
+        stream.writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_summaries) > k, "expected summaries from multiple batches"
+
+    import pandas as pd
+
+    probs = [round(0.1 * i, 1) for i in range(1, 10)]
+    merged = _weighted_quantiles(
+        pd.DataFrame(batch_summaries, columns=["value", "weight"]), probs
+    )
+    est = dict(zip(merged["p"], merged["est"]))
+
+    vals = sorted(
+        r.v
+        for r in load(spark, sf_dir, "events")
+        .selectExpr("cast(value as double) as v")
+        .where("v is not null")
+        .collect()
+    )
+    n = len(vals)
+    assert sum(w for _, w in batch_summaries) == n, "weight conservation across batches"
+    for p, e in est.items():
+        lo = bisect.bisect_left(vals, e)
+        hi = bisect.bisect_right(vals, e)
+        target = p * n
+        slack = 3 * n / k  # Σ n_s/k = n/k summary error + pick slack margin
+        assert lo - slack <= target <= hi + slack, (p, e, lo, hi, target, slack)
