@@ -148,6 +148,8 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e55_calinski_harabasz",
     "e56_mase_forecast_eval",
     "j83_feature_hashing",
+    "e58_psi_drift",
+    "j84_k_anonymity",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

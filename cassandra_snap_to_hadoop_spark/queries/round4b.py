@@ -1273,3 +1273,138 @@ def j83_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").alias("weight"),
         F.count("*").alias("n_terms"),
     )
+
+
+@register(
+    "e58_psi_drift",
+    oracle="""
+    WITH x AS (
+        SELECT CASE WHEN year(o_orderdate) <= 1996 THEN 'ref' ELSE 'cur' END
+                   AS period,
+               LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 9)
+                   AS bin
+        FROM orders
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ref,
+               CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cur
+        FROM x GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM counts
+    ), terms AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(ROUND(((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)
+                    - (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref))
+                    * ln((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)
+                         / (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref))
+                    * 1000000) AS BIGINT) AS term_micro
+        FROM counts, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+    FROM terms
+    """,
+    survey="E58,E36,J37",
+)
+def e58_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring drift metric
+    (PSI = Σ (p_cur−p_ref)·ln(p_cur/p_ref) over fixed price bins, with
+    the standard min-count-1 floor so empty bins don't produce ±∞):
+    reference period ≤1996 vs current >1996.  Completes the drift tier
+    with the INDUSTRY-STANDARD summary (e36 KS = max ECDF gap, j37 KL =
+    directional divergence, e37 χ² = independence; PSI is the symmetrized
+    per-bin decomposition credit-risk/ML-ops teams actually alert on,
+    with its conventional 0.1/0.25 thresholds).
+
+    Float discipline: each bin's term is ONE fixed-order double chain
+    (two divides, one ln, one multiply) quantized to a micro integer per
+    BIN — only integers are summed (the e54 rowwise discipline), so the
+    total is association-order-free.  Bin edges are integer cents //
+    5e6, capped at bin 9 (fixed 10-bin layout, the PSI convention).
+
+    Scale: one conditional-agg scan over a 10-row bin relation, then
+    scalar arithmetic — map-side combinable end to end."""
+    o = Tables(spark, sf_dir).orders
+    x = o.select(
+        F.when(F.year("o_orderdate") <= 1996, "ref").otherwise("cur").alias(
+            "period"
+        ),
+        F.least(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 5000000"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    counts = x.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(ROUND(((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)"
+            " - (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref))"
+            " * ln((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)"
+            "      / (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref))"
+            " * 1000000) AS BIGINT)"
+        ).alias("term_micro")
+    )
+    return terms.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("term_micro").alias("psi_micro"),
+    )
+
+
+@register(
+    "j84_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k5,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST((SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                 * 1000000) // SUM(class_size) AS BIGINT) AS at_risk_ppm
+    FROM qi
+    """,
+    survey="J84,J21,J38",
+)
+def j84_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (market segment,
+    nation): the dataset's k = the SMALLEST equivalence-class size — the
+    Sweeney re-identification measure that says how many records share
+    every released quasi-identifier combination — plus the row mass in
+    classes below the conventional k=5 release threshold (parts-per-
+    million).  The governance complement to j21 (PII redaction removes
+    direct identifiers; THIS quantifies indirect re-identification risk
+    before a dataset card (j38) can claim the release is safe).
+
+    Pure integer counting: one hash agg over the quasi-identifier key,
+    then a 1-row fold — map-side combinable, |classes| bounded by the
+    QI domain, never by row count."""
+    c = Tables(spark, sf_dir).customer
+    qi = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("class_size")
+    )
+    return qi.agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+        ).alias("rows_below_k5"),
+        F.sum("class_size").alias("n_rows"),
+        F.expr(
+            "CAST((SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)"
+            " * 1000000) DIV SUM(class_size) AS BIGINT)"
+        ).alias("at_risk_ppm"),
+    )

@@ -560,3 +560,68 @@ def test_feature_hashing_matches_hashlib(spark):
     }
     assert got == expect
     assert all(0 <= d < 256 for _, d in got)
+
+
+def test_psi_matches_python_reference(spark):
+    """PSI recomputed in pure Python with the identical per-bin double
+    chain and micro quantization (Decimal half-up)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = _duck(
+        """
+        SELECT CASE WHEN year(o_orderdate) <= 1996 THEN 'ref' ELSE 'cur' END,
+               LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 9)
+        FROM orders
+        """
+    )
+    n_ref: dict[int, int] = {}
+    n_cur: dict[int, int] = {}
+    for period, b in rows:
+        (n_ref if period == "ref" else n_cur).setdefault(b, 0)
+        (n_ref if period == "ref" else n_cur)[b] += 1
+    bins = sorted(set(n_ref) | set(n_cur))
+    t_ref = sum(n_ref.values())
+    t_cur = sum(n_cur.values())
+    psi = 0
+    for b in bins:
+        pr = float(max(n_ref.get(b, 0), 1)) / t_ref
+        pc = float(max(n_cur.get(b, 0), 1)) / t_cur
+        term = (pc - pr) * math.log(pc / pr) * 1_000_000
+        psi += int(Decimal(term).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    row = REGISTRY["e58_psi_drift"].fn(spark, SF).collect()[0]
+    assert (row["n_bins"], row["psi_micro"]) == (len(bins), psi)
+
+
+def test_k_anonymity_matches_python_reference(spark):
+    """k-anonymity stats recomputed from the raw quasi-identifier counts."""
+    rows = _duck2_customer("SELECT c_mktsegment, c_nationkey FROM customer")
+    classes: dict[tuple, int] = {}
+    for seg, nk in rows:
+        classes[(seg, nk)] = classes.get((seg, nk), 0) + 1
+    n_rows = sum(classes.values())
+    below = sum(v for v in classes.values() if v < 5)
+
+    row = REGISTRY["j84_k_anonymity"].fn(spark, SF).collect()[0]
+    assert (
+        row["n_classes"],
+        row["k_anonymity"],
+        row["rows_below_k5"],
+        row["n_rows"],
+        row["at_risk_ppm"],
+    ) == (
+        len(classes),
+        min(classes.values()),
+        below,
+        n_rows,
+        below * 1_000_000 // n_rows,
+    )
+
+
+def _duck2_customer(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+    )
+    return con.execute(sql).fetchall()
