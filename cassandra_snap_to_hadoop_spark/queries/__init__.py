@@ -150,6 +150,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "j83_feature_hashing",
     "e58_psi_drift",
     "j84_k_anonymity",
+    "i21_builtin_levenshtein",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -1408,3 +1408,63 @@ def j84_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) DIV SUM(class_size) AS BIGINT)"
         ).alias("at_risk_ppm"),
     )
+
+
+@register(
+    "i21_builtin_levenshtein",
+    oracle="""
+    WITH pre AS (
+        SELECT doc_id, lang, substr(text, 1, 30) AS s
+        FROM documents
+    ), t AS (
+        SELECT doc_id, lang, s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY s, doc_id)
+                    AS BIGINT) AS rn
+        FROM pre
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 3
+    WHERE levenshtein(a.s, b.s) <= 10
+    """,
+    survey="I21,I19,J63",
+)
+def i21_builtin_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in edit distance over sorted-neighborhood candidates — the
+    engine-function tier of the fuzzy-match family: i19 proves the
+    blocked DP implementation against a Python reference, THIS row
+    proves Spark's native ``levenshtein`` against DuckDB's native
+    ``levenshtein`` — two independent C++/Java implementations of the
+    published DP agreeing exactly on every candidate pair (the j49
+    NFC / j70 Jaro-Winkler evidence pattern applied to edit distance).
+
+    Exact integers end to end (distance IS an integer).  Candidates:
+    per-lang sorted-neighborhood window of width 3 (~3·n pairs, never
+    n²) on 30-char prefixes (bounded per-pair DP cost — Spark's builtin
+    also takes a threshold arg for early exit at cluster scale)."""
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    pre = d.select("doc_id", "lang", F.substring("text", 1, 30).alias("s"))
+    t = pre.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("lang").orderBy("s", "doc_id")),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + 3),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= 10)
+    )

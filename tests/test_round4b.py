@@ -625,3 +625,26 @@ def _duck2_customer(sql: str):
         f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
     )
     return con.execute(sql).fetchall()
+
+
+def test_builtin_levenshtein_matches_python_dp(spark):
+    """Spark's native levenshtein pinned against a pure-Python DP (third
+    implementation beside DuckDB's C++) on every emitted pair."""
+
+    def lev(s1: str, s2: str) -> int:
+        prev = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            cur = [i]
+            for j, c2 in enumerate(s2, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2))
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = dict(_duck("SELECT doc_id, substr(text, 1, 30) FROM documents"))
+    rows = REGISTRY["i21_builtin_levenshtein"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["edit_dist"] == lev(texts[r["id_a"]], texts[r["id_b"]]), r
+        assert r["edit_dist"] <= 10
