@@ -151,6 +151,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e58_psi_drift",
     "j84_k_anonymity",
     "i21_builtin_levenshtein",
+    "a25_tar_shard_ingest",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

@@ -1468,3 +1468,87 @@ def i21_builtin_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 10)
     )
+
+
+@register(
+    "a25_tar_shard_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+    FROM documents WHERE doc_id < 50 GROUP BY lang
+    """,
+    survey="A25,A20,L4",
+)
+def a25_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingest: training corpora ship as tar
+    archives of samples (shard-NNN.tar, one member file per sample) —
+    the de-facto petabyte loader format because a tar is sequential-read
+    friendly and keeps sample parts adjacent.  Five shards of 10 members
+    are staged with stdlib ``tarfile``; the engine reads the shards
+    whole-file via ``binaryFile`` and parses them in ``mapInPandas``
+    with the SAME stdlib tarfile over an in-memory buffer — REAL archive
+    parsing (no stub), one Arrow batch per shard, emitting (doc_id,
+    content) rows whose md5 the JVM computes afterward (hashing stays
+    OUT of Python).  Content is then certified md5-exact per language
+    against the parquet source of truth — the a20 evidence pattern
+    lifted from loose files to the archive container.
+
+    Scale: shards are the parallelism unit (a task per tar, the
+    WebDataset model); member extraction is a streaming pass over the
+    archive bytes; nothing splits a shard.  The oracle is fully
+    independent of the staging (it reads the original documents
+    relation, never the tar)."""
+    import io
+    import tarfile
+
+    from cassandra_snap_to_hadoop_spark.queries.layout import _staged
+
+    d = Tables(spark, sf_dir).documents
+    head = d.filter(F.col("doc_id") < 50).select("doc_id", "lang", "text")
+    tar_dir = _staged("a25_tar", sf_dir, "documents")
+    if not (tar_dir / "_SUCCESS").exists():
+        tar_dir.mkdir(parents=True, exist_ok=True)
+        rows = sorted(
+            ((r["doc_id"], r["text"]) for r in head.select("doc_id", "text").collect())
+        )
+        for shard in range(5):
+            with tarfile.open(tar_dir / f"shard-{shard:03d}.tar", "w") as tf:
+                for doc_id, text in rows[shard * 10 : (shard + 1) * 10]:
+                    data = text.encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{doc_id}.txt")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        (tar_dir / "_SUCCESS").touch()
+
+    shards = spark.read.format("binaryFile").load(str(tar_dir) + "/*.tar")
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": []}
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        out["doc_id"].append(int(m.name.removesuffix(".txt")))
+                        out["content"].append(tf.extractfile(m).read())
+            yield pd.DataFrame(out)
+
+    members = shards.select("content").mapInPandas(
+        extract, "doc_id long, content binary"
+    )
+    parsed = members.select(
+        "doc_id",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("h"),
+    )
+    joined = parsed.join(F.broadcast(head.select("doc_id", "lang")), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.min("h").alias("min_md5"),
+        F.max("h").alias("max_md5"),
+    )
