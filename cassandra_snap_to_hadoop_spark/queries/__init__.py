@@ -152,6 +152,7 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "j84_k_anonymity",
     "i21_builtin_levenshtein",
     "a25_tar_shard_ingest",
+    "l9_polymorphic_udtf",
     "j10_frame_sampling",
     "j14_fuzzy_match",
     "f9_running_distinct",

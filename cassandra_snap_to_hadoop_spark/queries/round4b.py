@@ -1552,3 +1552,64 @@ def a25_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_md5"),
         F.max("h").alias("max_md5"),
     )
+
+
+@register(
+    "l9_polymorphic_udtf",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(CAST(o_orderkey IS NULL AS INTEGER)
+                + CAST(o_orderstatus IS NULL AS INTEGER)
+                + CAST(o_totalprice IS NULL AS INTEGER) AS INTEGER) AS n_nulls
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    survey="L9,L5,L7",
+)
+def l9_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyze-time POLYMORPHIC Python UDTF (Spark 4): the function's
+    output schema is not declared statically — its ``analyze`` hook
+    receives the TABLE argument's schema at planning time and builds the
+    result type from it (here: every input column passed through, plus a
+    per-row null count).  One registration therefore works against ANY
+    relation — the remaining member of the UDTF tier (l5: static schema,
+    l7: table argument with PARTITION BY, this: schema-computed-at-
+    analyze).
+
+    The oracle restates the fixed projection this instance resolves to
+    (the polymorphism is a planning-time property; for any GIVEN input
+    the semantics are a deterministic row map, which is exactly what
+    makes it value-checkable).  The row map itself is trivial on purpose
+    — the feature under test is the analyze hook, not the arithmetic.
+
+    Scale: a UDTF over a table argument executes as a distributed
+    Arrow-batched map over the partitions of the input — no shuffle is
+    introduced by the call itself."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class WithNullCount:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for f in t.dataType.fields:
+                schema.add(f.name, f.dataType)
+            schema.add("n_nulls", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row):
+            yield (*row, sum(v is None for v in row))
+
+    spark.udtf.register("cs2h_with_null_count", udtf(WithNullCount))
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cs2h_orders")
+    return spark.sql(
+        """
+        SELECT * FROM cs2h_with_null_count(TABLE(
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM cs2h_orders WHERE o_orderkey <= 1000
+        ))
+        """
+    )

@@ -689,3 +689,20 @@ def test_tar_shard_roundtrip_member_exact(spark):
             hashlib.md5(blob).hexdigest()
             == hashlib.md5(texts[doc_id].encode()).hexdigest()
         )
+
+
+def test_polymorphic_udtf_schema_follows_input(spark):
+    """The analyze hook must derive the output schema from the table
+    argument: same columns + n_nulls, for two DIFFERENT input shapes
+    from one registration."""
+    df = REGISTRY["l9_polymorphic_udtf"].fn(spark, SF)
+    assert df.columns == ["o_orderkey", "o_orderstatus", "price_cents", "n_nulls"]
+
+    # same registered UDTF, different table shape -> different schema
+    spark.range(3).selectExpr("id", "id * 2 AS d", "id * 3 AS t").createOrReplaceTempView(
+        "cs2h_l9_other"
+    )
+    other = spark.sql("SELECT * FROM cs2h_with_null_count(TABLE(cs2h_l9_other))")
+    assert other.columns == ["id", "d", "t", "n_nulls"]
+    assert other.count() == 3
+    assert all(r["n_nulls"] == 0 for r in other.collect())
