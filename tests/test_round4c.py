@@ -1,0 +1,175 @@
+"""Round-4 second continuation batch: md5-certified MinHash-LSH twin,
+recursive-CTE Holt fold, Savitzky-Golay convolution — each pinned to an
+independent pure-Python third implementation (hashlib md5, sign-split
+toward-zero integer folds), plus plan-shape assertions for the
+no-window-convolution claim."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+
+from cassandra_snap_to_hadoop_spark.plans.explain import plan_string
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _tzdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division — Spark DIV / DuckDB //
+    semantics.  Python's // FLOORS, which differs on negative operands."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# ---------------------------------------------------------------- MinHash md5
+
+
+def _py_shingles(text: str) -> set[str]:
+    words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(words) < 3:
+        return set()
+    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+
+def _py_mh(sh: set[str], i: int) -> int:
+    return min(int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) for s in sh)
+
+
+def test_minhash_md5_equals_python_pipeline(spark):
+    """End-to-end third implementation: the WHOLE banded pipeline
+    (shingle -> 16 hashlib-md5 signature mins -> 4 band keys -> bucket
+    pairs -> exact jaccard) recomputed in pure Python must produce the
+    identical pair set and jaccard values."""
+    docs = _duck("SELECT doc_id, text FROM documents")
+    sh = {d: _py_shingles(t) for d, t in docs}
+    sigs = {d: [_py_mh(s, i) for i in range(16)] for d, s in sh.items() if s}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(4):
+            key = "|".join(str(v) for v in sig[b * 4 : b * 4 + 4])
+            buckets.setdefault((b, key), []).append(d)
+    expect: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                inter = len(sh[a] & sh[b])
+                expect[(a, b)] = inter / (len(sh[a]) + len(sh[b]) - inter)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in REGISTRY["j2_minhash_lsh_md5"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) <= 5e-5, pair
+
+
+def test_minhash_md5_candidates_are_banded_not_allpairs(spark):
+    """Candidate generation is per band bucket — the pair count must be
+    far below the all-pairs count of documents with shingles."""
+    n_docs = _duck("SELECT COUNT(*) FROM documents")[0][0]
+    n_pairs = REGISTRY["j2_minhash_lsh_md5"].fn(spark, SF).count()
+    assert n_pairs < n_docs * (n_docs - 1) // 20
+
+
+# ---------------------------------------------------------------- Holt twin
+
+
+def test_holt_recursive_matches_python_fold(spark):
+    """The UnionLoop Holt recursion must equal a plain Python fold of the
+    same per-type daily series (sign-split toward-zero division — the
+    Python-//-floors trap documented in NEXT.md)."""
+    rows = _duck(
+        """
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series: dict[str, list[int]] = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    expect = {}
+    for et, xs in series.items():
+        lvl, trend = xs[0], 0
+        for x in xs[1:]:
+            new_lvl = _tzdiv(x + 4 * (lvl + trend), 5)
+            trend = _tzdiv((new_lvl - lvl) + 9 * trend, 10)
+            lvl = new_lvl
+        expect[et] = (len(xs), lvl, trend, lvl + 3 * trend)
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["level_cents"],
+            r["trend_cents"],
+            r["forecast3_cents"],
+        )
+        for r in REGISTRY["f31_holt_recursive"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------------------ Savitzky-Golay
+
+
+def test_savgol_matches_python_convolution(spark):
+    """Integer SG convolution recomputed in pure Python over the
+    zero-filled daily series."""
+    rows = dict(
+        _duck(
+            """
+            SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM orders GROUP BY 1
+            """
+        )
+    )
+    lo, hi = min(rows), max(rows)
+    y = {d: rows.get(d, 0) for d in range(lo, hi + 1)}
+    coefs = {-2: -3, -1: 12, 0: 17, 1: 12, 2: -3}
+    expect = {}
+    for d in range(lo + 2, hi - 1):
+        num = sum(y[d + o] * c for o, c in coefs.items())
+        expect[d] = (y[d], num, _tzdiv(num, 35))
+
+    got = {
+        r["day_idx"]: (r["y_cents"], r["sg_num_cents"], r["sg_cents"])
+        for r in REGISTRY["f30_savgol_smooth"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_savgol_plan_has_no_window(spark):
+    """The convolution is a group-by over exploded (target, term)
+    contributions — the plan must contain NO window operator (the
+    ordered-frame formulation would single-thread the series)."""
+    plan = plan_string(REGISTRY["f30_savgol_smooth"].fn(spark, SF))
+    assert "Window" not in plan
+
+
+def test_savgol_peak_preservation():
+    """The documented SG property that motivates it over a moving average:
+    a quadratic peak's height is preserved exactly (degree-2 filter), while
+    the 5-point moving average flattens it."""
+    y = {o: 300 - 25 * o * o for o in range(-2, 3)}  # quadratic peak, apex 300
+    coefs = [(-2, -3), (-1, 12), (0, 17), (1, 12), (2, -3)]
+    sg = sum(y[o] * c for o, c in coefs) / 35
+    ma = sum(y[o] for o in range(-2, 3)) / 5
+    assert sg == 300.0
+    assert ma == 250.0
