@@ -355,3 +355,266 @@ def f30_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sg_num_cents",
         F.expr(f"sg_num_cents DIV {_SG_DEN}").alias("sg_cents"),
     )
+
+
+# Fellegi-Sunter priors: P(field agrees | same entity).  Given constants
+# (the classical setup estimates these via EM; here they are declared
+# priors so the score is a DEFINED statistic), while the u-probabilities
+# P(field agrees | random pair) are estimated EXACTLY from the data as
+# sum n_v*(n_v-1) / N*(N-1) over the field's value counts.
+_FS_M = {"nation": 0.95, "seg": 0.9, "act": 0.8}
+_FS_THRESHOLD_MICRO = 2_000_000  # link if score > 2.0 nats
+
+
+@register(
+    "j85_fellegi_sunter",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey AS id, c_nationkey AS nation, c_mktsegment AS seg,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) // 25000 AS blk
+        FROM customer
+    ), act AS (
+        SELECT o_custkey AS id, CAST(COUNT(*) AS BIGINT) // 2 AS act
+        FROM orders GROUP BY 1
+    ), rec AS (
+        SELECT c.id, c.nation, c.seg, c.blk, COALESCE(a.act, 0) AS act
+        FROM cust c LEFT JOIN act a ON a.id = c.id
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rec),
+    u_nation AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY nation)
+    ), u_seg AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY seg)
+    ), u_act AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec GROUP BY act)
+    ), stats AS (
+        SELECT n.n, u_nation.num AS nn, u_seg.num AS ns, u_act.num AS na
+        FROM n, u_nation, u_seg, u_act
+    ), pairs AS (
+        SELECT CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END AS agree_nation,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg,
+               CASE WHEN a.act = b.act THEN 1 ELSE 0 END AS agree_act
+        FROM rec a JOIN rec b ON a.blk = b.blk AND a.id < b.id
+    ), classes AS (
+        SELECT agree_nation, agree_seg, agree_act,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT CAST(agree_nation AS INTEGER) AS agree_nation,
+           CAST(agree_seg AS INTEGER) AS agree_seg,
+           CAST(agree_act AS INTEGER) AS agree_act,
+           n_pairs,
+           CAST(
+             (CASE WHEN agree_nation = 1
+               THEN CAST(ROUND(ln({_FS_M['nation']} / (nn / (n * (n - 1.0)))) * 1000000) AS BIGINT)
+               ELSE CAST(ROUND(ln({1 - _FS_M['nation']} / (1.0 - nn / (n * (n - 1.0)))) * 1000000) AS BIGINT) END)
+           + (CASE WHEN agree_seg = 1
+               THEN CAST(ROUND(ln({_FS_M['seg']} / (ns / (n * (n - 1.0)))) * 1000000) AS BIGINT)
+               ELSE CAST(ROUND(ln({1 - _FS_M['seg']} / (1.0 - ns / (n * (n - 1.0)))) * 1000000) AS BIGINT) END)
+           + (CASE WHEN agree_act = 1
+               THEN CAST(ROUND(ln({_FS_M['act']} / (na / (n * (n - 1.0)))) * 1000000) AS BIGINT)
+               ELSE CAST(ROUND(ln({1 - _FS_M['act']} / (1.0 - na / (n * (n - 1.0)))) * 1000000) AS BIGINT) END)
+           AS BIGINT) AS score_micronat
+    FROM classes CROSS JOIN stats
+    """,
+    survey="J63,J70,J85",
+)
+def j85_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969): candidate
+    pairs (blocked on an acctbal band so generation is never all-pairs)
+    are scored by per-field agreement weights log(m/u) / log((1-m)/(1-u)),
+    where the u-probabilities — P(agree | random pair) — are estimated
+    EXACTLY from the field's value-count relation as Σ n_v(n_v−1)/N(N−1)
+    (exact BIGINT numerator and denominator, divided once), and the
+    m-priors are declared constants.  Fields: nationkey, mktsegment, and
+    an order-activity band derived from the orders fact (a behavioral
+    field, the realistic linkage setup).
+
+    Because the three fields are binary agreements, the score is constant
+    within each of the 8 agreement patterns — the output is the pattern-
+    class relation (pattern, n_pairs, score), which is bounded and makes
+    the monotonicity law (more agreements ⇒ higher score, per field)
+    directly assertable in tests.
+
+    Exactness: weights are micro-nat-quantized doubles with identical
+    operation order in both engines (the j41/j51 micro-nat pattern);
+    everything else is exact integers.
+
+    Scale: u-stats are value-count aggregates (one scan each); candidate
+    pairs are generated per balance-band bucket; the pattern aggregation
+    is map-side combinable to 8 rows."""
+    c = Tables(spark, sf_dir).customer
+    o = Tables(spark, sf_dir).orders
+    cust = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) DIV 25000").alias("blk"),
+    )
+    act = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) DIV 2").alias("act")
+    )
+    rec = cust.join(act, "id", "left").select(
+        "id", "nation", "seg", "blk", F.coalesce(F.col("act"), F.lit(0)).alias("act")
+    )
+    n = rec.agg(F.count("*").cast("long").alias("n"))
+
+    def u_num(field: str) -> DataFrame:
+        return (
+            rec.groupBy(field)
+            .agg(F.count("*").cast("long").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias(f"u_{field}"))
+        )
+
+    stats = (
+        n.crossJoin(F.broadcast(u_num("nation")))
+        .crossJoin(F.broadcast(u_num("seg")))
+        .crossJoin(F.broadcast(u_num("act")))
+    )
+    a, b = rec.alias("a"), rec.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.when(F.col("a.nation") == F.col("b.nation"), 1).otherwise(0).alias("agree_nation"),
+        F.when(F.col("a.seg") == F.col("b.seg"), 1).otherwise(0).alias("agree_seg"),
+        F.when(F.col("a.act") == F.col("b.act"), 1).otherwise(0).alias("agree_act"),
+    )
+    classes = pairs.groupBy("agree_nation", "agree_seg", "agree_act").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+    def w(field: str, m: float, unum: str) -> F.Column:
+        u = F.col(unum) / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        agree = F.round(F.log(F.lit(m) / u) * 1000000).cast("long")
+        disagree = F.round(F.log(F.lit(1 - m) / (F.lit(1.0) - u)) * 1000000).cast("long")
+        return F.when(F.col(f"agree_{field}") == 1, agree).otherwise(disagree)
+
+    return classes.crossJoin(F.broadcast(stats)).select(
+        F.col("agree_nation").cast("int").alias("agree_nation"),
+        F.col("agree_seg").cast("int").alias("agree_seg"),
+        F.col("agree_act").cast("int").alias("agree_act"),
+        "n_pairs",
+        (
+            w("nation", _FS_M["nation"], "u_nation")
+            + w("seg", _FS_M["seg"], "u_seg")
+            + w("act", _FS_M["act"], "u_act")
+        ).alias("score_micronat"),
+    )
+
+
+_KM_K = 4  # Lloyd seeds: the K lowest vec_ids (deterministic init)
+_KM_ITERS = 2  # assign+update iterations before the reported assignment
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain (the j71 unrolled-
+    CTE oracle pattern): cent0 = seed vectors; repeat (distance join →
+    QUALIFY argmin assignment → truncating-mean centroid update); report
+    the final assignment's cluster sizes and exact integer inertia."""
+    parts = [
+        f"""
+    WITH pts AS (
+        SELECT vec_id, dim, CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS pv
+        FROM (SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+    ), seeds AS (
+        SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ), cent0 AS (
+        SELECT s.cid, p.dim, p.pv AS cv
+        FROM pts p JOIN seeds s ON p.vec_id = s.cid
+    )"""
+    ]
+    for i in range(1, _KM_ITERS + 2):
+        parts.append(
+            f""", d{i} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(SUM((p.pv - c.cv) * (p.pv - c.cv)) AS BIGINT) AS d
+        FROM pts p JOIN cent{i - 1} c ON p.dim = c.dim
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cid, d FROM d{i}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    )"""
+        )
+        if i <= _KM_ITERS:
+            parts.append(
+                f""", cent{i} AS (
+        SELECT a.cid, p.dim, CAST(SUM(p.pv) // COUNT(*) AS BIGINT) AS cv
+        FROM pts p JOIN a{i} a ON p.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(d) AS BIGINT) AS inertia
+    FROM a{_KM_ITERS + 1} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register("j86_kmeans_lloyd", oracle=_km_oracle(), survey="J3,J76,J86")
+def j86_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means over the embedding space — the iterative
+    completion of j76's single E-step: deterministic seeds (the K lowest
+    vec_ids), then ``_KM_ITERS`` rounds of (assignment via exact integer
+    squared distance, centroid update via truncating integer mean), then
+    the reported assignment.  The identical unrolled iteration chain is
+    stated as a DuckDB CTE pipeline (the j71_pagerank oracle pattern), so
+    BOTH engines walk the same trajectory through centroid space and the
+    final cluster sizes + exact inertia hash-match.
+
+    Exactness: vectors live on the 1e6 micro lattice (ROUND of the
+    float→double widening is identical); distances are exact BIGINTs
+    (worked budget: diff ≤ ~2·10⁶ squared = 4·10¹² × 64 dims ≈ 2.6·10¹⁴,
+    × corpus ≪ 2⁶³); centroid update SUM(pv) DIV count truncates toward
+    zero identically (components go negative).  Assignment ties break on
+    the lowest cluster id (argmin over (d, cid) — Spark min(struct) ==
+    DuckDB QUALIFY row_number over (d, cid)).
+
+    Scale: centroids are K×dims rows — always broadcast-side KB; each
+    iteration is one broadcast join + two map-side-combinable hash aggs
+    over the exploded point relation (the canonical distributed-KMeans
+    shape); iteration count is a compile-time constant."""
+    emb = Tables(spark, sf_dir).embeddings
+    pts = (
+        fan_out(emb)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "vec_id", "dim",
+            F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("pv"),
+        )
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid")
+    )
+    cent = (
+        pts.join(F.broadcast(seeds), pts.vec_id == seeds.cid)
+        .select("cid", "dim", F.col("pv").alias("cv"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("pv") - F.col("cv")
+        dist = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        return dist.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+
+    for _ in range(_KM_ITERS):
+        a = assign(cent).select("vec_id", "cid")
+        cent = (
+            pts.join(a, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("CAST(SUM(pv) DIV COUNT(*) AS BIGINT)").alias("cv"))
+        )
+    final = assign(cent)
+    return final.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").alias("n_points"), F.sum("d").alias("inertia")
+    )

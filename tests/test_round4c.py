@@ -173,3 +173,155 @@ def test_savgol_peak_preservation():
     ma = sum(y[o] for o in range(-2, 3)) / 5
     assert sg == 300.0
     assert ma == 250.0
+
+
+# ------------------------------------------------------------ Fellegi-Sunter
+
+
+def test_fellegi_sunter_matches_python_reference(spark):
+    """Third implementation: u-probabilities, log-weights, and per-pattern
+    scores recomputed in pure Python (math.log, identical op order)."""
+    import math
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    recs = con.execute(
+        """
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) // 25000,
+               COALESCE(a.act, 0)
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) // 2 AS act
+            FROM orders GROUP BY 1) a ON a.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    n = len(recs)
+
+    def u_num(idx: int) -> int:
+        counts: dict = {}
+        for r in recs:
+            counts[r[idx]] = counts.get(r[idx], 0) + 1
+        return sum(c * (c - 1) for c in counts.values())
+
+    m = {"nation": 0.95, "seg": 0.9, "act": 0.8}
+    nums = {"nation": u_num(1), "seg": u_num(2), "act": u_num(4)}
+
+    def w(field: str, agree: int) -> int:
+        u = nums[field] / (n * (n - 1.0))
+        if agree:
+            return round(math.log(m[field] / u) * 1000000)
+        return round(math.log((1 - m[field]) / (1.0 - u)) * 1000000)
+
+    by_block: dict = {}
+    for r in recs:
+        by_block.setdefault(r[3], []).append(r)
+    expect: dict = {}
+    for block in by_block.values():
+        block.sort()
+        for i in range(len(block)):
+            for j in range(i + 1, len(block)):
+                a, b = block[i], block[j]
+                pat = (int(a[1] == b[1]), int(a[2] == b[2]), int(a[4] == b[4]))
+                expect[pat] = expect.get(pat, 0) + 1
+
+    got = {
+        (r["agree_nation"], r["agree_seg"], r["agree_act"]): (
+            r["n_pairs"],
+            r["score_micronat"],
+        )
+        for r in REGISTRY["j85_fellegi_sunter"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for pat, n_pairs in expect.items():
+        score = w("nation", pat[0]) + w("seg", pat[1]) + w("act", pat[2])
+        assert got[pat] == (n_pairs, score), pat
+
+
+def test_fellegi_sunter_score_monotone_in_agreements(spark):
+    """More field agreements must never lower the score (each agreement
+    weight exceeds its disagreement weight by construction m > u)."""
+    rows = {
+        (r["agree_nation"], r["agree_seg"], r["agree_act"]): r["score_micronat"]
+        for r in REGISTRY["j85_fellegi_sunter"].fn(spark, SF).collect()
+    }
+    for (pn, ps, pa), s in rows.items():
+        for flip in range(3):
+            pat = list((pn, ps, pa))
+            if pat[flip] == 0:
+                pat[flip] = 1
+                if tuple(pat) in rows:
+                    assert rows[tuple(pat)] > s
+
+
+# ----------------------------------------------------------------- KMeans
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    """Third implementation: the full Lloyd trajectory (seed, assign,
+    truncating-mean update x2, final assign) in pure Python ints."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pts = {
+        vid: [int(Decimal(float(v) * 1000000.0).quantize(0, ROUND_HALF_UP)) for v in emb]
+        for vid, emb in rows
+    }
+    seeds = sorted(pts)[:4]
+    cent = {cid: list(pts[cid]) for cid in seeds}
+
+    def assign(cent):
+        out = {}
+        for vid, p in pts.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(p, cv)), cid)
+                for cid, cv in cent.items()
+            )
+            out[vid] = best  # (dist, cid)
+        return out
+
+    for _ in range(2):
+        a = assign(cent)
+        new_cent = {}
+        for cid in {c for _, c in a.values()}:
+            members = [pts[v] for v, (_, c) in a.items() if c == cid]
+            new_cent[cid] = [
+                _tzdiv(sum(col), len(members)) for col in zip(*members)
+            ]
+        cent = new_cent
+    final = assign(cent)
+    expect = {}
+    for _, (d, cid) in final.items():
+        n, tot = expect.get(cid, (0, 0))
+        expect[cid] = (n + 1, tot + d)
+
+    got = {
+        r["cluster"]: (r["n_points"], r["inertia"])
+        for r in REGISTRY["j86_kmeans_lloyd"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_kmeans_lloyd_partitions_all_points(spark):
+    df = REGISTRY["j86_kmeans_lloyd"].fn(spark, SF)
+    total = df.agg({"n_points": "sum"}).collect()[0][0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert total == n
+
+
+def test_kmeans_centroids_are_broadcast(spark):
+    """The per-iteration distance join must broadcast the KB-sized
+    centroid side, never shuffle the point relation for it."""
+    plan = plan_string(REGISTRY["j86_kmeans_lloyd"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
