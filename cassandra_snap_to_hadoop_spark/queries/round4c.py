@@ -618,3 +618,346 @@ def j86_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy(F.col("cid").alias("cluster")).agg(
         F.count("*").alias("n_points"), F.sum("d").alias("inertia")
     )
+
+
+# DBSCAN parameters over the (epoch-day, price-band) plane for one fixed
+# calendar month of orders: eps = 3 grid units, minPts = 5 (self included,
+# the Ester et al. KDD'96 convention).
+_DB_EPS = 3
+_DB_MINPTS = 5
+_DB_LO, _DB_HI = "'1997-01-01'", "'1997-02-01'"
+
+
+@register(
+    "j87_dbscan_core",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderkey AS id,
+               epoch_us(o_orderdate) // 86400000000 AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000 AS y
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP {_DB_LO}
+          AND o_orderdate < TIMESTAMP {_DB_HI}
+    ), nbr AS (
+        SELECT a.id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_DB_EPS * _DB_EPS}
+        GROUP BY 1
+    ), flagged AS (
+        SELECT p.id, p.x, p.y, n.n_neighbors,
+               CASE WHEN n.n_neighbors >= {_DB_MINPTS} THEN 1 ELSE 0 END AS is_core
+        FROM pts p JOIN nbr n ON n.id = p.id
+    ), border AS (
+        SELECT DISTINCT a.id
+        FROM flagged a JOIN flagged b
+          ON b.is_core = 1 AND a.is_core = 0
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_DB_EPS * _DB_EPS}
+    )
+    SELECT f.id AS order_id, CAST(f.x AS BIGINT) AS x, CAST(f.y AS BIGINT) AS y,
+           f.n_neighbors,
+           CASE WHEN f.is_core = 1 THEN 'core'
+                WHEN br.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM flagged f LEFT JOIN border br ON br.id = f.id
+    """,
+    survey="J86,J87,D6",
+)
+def j87_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (Ester et al. KDD'96) of one month of
+    orders in the (epoch-day, $10k-price-band) plane: core (≥ minPts points
+    within eps, self included), border (non-core with a core point within
+    eps), noise.  Exact integer squared distances — no floats anywhere.
+
+    The CERTIFICATION IS THE DECOMPOSITION LAW: the Spark side generates
+    neighbor candidates from a grid of eps-sized cells (each point probes
+    its 3×3 cell neighborhood — candidates bounded per cell, never
+    all-pairs), while the DuckDB oracle runs the NAIVE quadratic
+    definition; the hash match proves the grid decomposition lossless
+    (every true eps-neighbor pair lands in some probed cell because
+    |Δx|,|Δy| ≤ eps ⇒ cell distance ≤ 1).
+
+    Scale: candidate volume is Σ_cell |cell|·|3×3 load| — linear for
+    bounded density; the month filter is a pushed-down scan predicate
+    (volume still scales with SF inside the month).  Full-corpus DBSCAN
+    would partition by coarse grid tiles the same way."""
+    o = Tables(spark, sf_dir).orders
+    pts = o.filter(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP {_DB_LO}"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP {_DB_HI}"))
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("x"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 1000000").alias("y"),
+    )
+    e = _DB_EPS
+    # Home cell of each point, and the 3x3 probe explosion of the left side.
+    cell = lambda c: F.floor(c / e)  # noqa: E731 — coords are nonnegative here
+    home = pts.select(
+        "id", "x", "y", cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = home.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("pcx"),
+        (F.col("cy") + F.col("o.dy")).alias("pcy"),
+    )
+    dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    nbr_pairs = probes.join(
+        home.select("id", "x", "y", "cx", "cy"),
+        (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+    ).filter(dist2 <= e * e)
+    nbr = nbr_pairs.groupBy(F.col("a_id").alias("id")).agg(
+        F.count("*").alias("n_neighbors")
+    )
+    flagged = pts.join(nbr, "id").withColumn(
+        "is_core", F.when(F.col("n_neighbors") >= _DB_MINPTS, 1).otherwise(0)
+    )
+    core_ids = flagged.filter(F.col("is_core") == 1).select(
+        F.col("id").alias("core_id")
+    )
+    border = (
+        nbr_pairs.join(
+            core_ids, nbr_pairs["id"] == core_ids["core_id"]
+        )  # neighbor b is core
+        .select(F.col("a_id").alias("id"))
+        .distinct()
+        .join(flagged.filter(F.col("is_core") == 0).select("id"), "id", "left_semi")
+        .withColumn("is_border", F.lit(1))
+    )
+    return flagged.join(border, "id", "left").select(
+        F.col("id").alias("order_id"),
+        "x",
+        "y",
+        "n_neighbors",
+        F.when(F.col("is_core") == 1, "core")
+        .when(F.col("is_border") == 1, "border")
+        .otherwise("noise")
+        .alias("role"),
+    )
+
+
+# RAKE stopword list (fixed, tiny — function words present in the corpus).
+_RAKE_STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_RAKE_TOPK = 20
+
+
+@register(
+    "j88_rake_keywords",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w, pos,
+               CASE WHEN w IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id,
+                     unnest(string_split({_NORM}, ' ')) AS w,
+                     generate_subscripts(string_split({_NORM}, ' '), 1) AS pos
+              FROM documents)
+    ), grouped AS (
+        SELECT doc_id, w, pos,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM words
+    ), members AS (
+        SELECT doc_id, grp, w, pos FROM grouped WHERE w NOT IN {_RAKE_STOPS}
+    ), phrases AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM members GROUP BY 1, 2
+    ), wstats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.n_words) AS BIGINT) AS deg
+        FROM members m JOIN phrases p
+          ON p.doc_id = m.doc_id AND p.grp = m.grp
+        GROUP BY 1
+    ), wscore AS (
+        SELECT w, deg * 1000000 // freq AS score_micro FROM wstats
+    ), pscore AS (
+        SELECT p.phrase, p.n_words,
+               CAST(SUM(s.score_micro) AS BIGINT) AS phrase_score_micro
+        FROM phrases p
+        JOIN members m ON m.doc_id = p.doc_id AND m.grp = p.grp
+        JOIN wscore s ON s.w = m.w
+        GROUP BY p.doc_id, p.grp, p.phrase, p.n_words
+    )
+    SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MIN(phrase_score_micro) AS BIGINT) AS score_micro
+    FROM pscore GROUP BY 1, 2
+    ORDER BY score_micro DESC, phrase ASC LIMIT {_RAKE_TOPK}
+    """,
+    survey="J5,J7,J88",
+)
+def j88_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs; word score = degree/frequency where
+    degree sums the lengths of phrases containing each occurrence; phrase
+    score sums its members' word scores; report the global top-k phrases.
+
+    Exactness: freq and degree are exact integers; the degree/freq ratio
+    is micro-quantized with truncating division (both operands positive),
+    so phrase scores are exact BIGINT sums — identical phrase TEXT always
+    gets the identical score (MIN == MAX over occurrences, asserted in
+    tests).  Top-k ties break on the phrase string.
+
+    Scale: phrase segmentation is a PER-DOCUMENT window (partitioned by
+    doc_id — never a global window); word stats and phrase scores are
+    hash joins + map-side-combinable aggs on word/phrase keys; the global
+    top-k compiles to TakeOrderedAndProject (per-partition top-k, no full
+    sort)."""
+    d = Tables(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    words = (
+        fan_out(d)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "pos", "w"
+            ),
+        )
+        .withColumn("stop", F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = words.withColumn("grp", F.sum("stop").over(w_doc))
+    members = grouped.filter(F.col("stop") == 0).select("doc_id", "grp", "w", "pos")
+    phrases = members.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    wstats = (
+        members.join(phrases.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("n_words").alias("deg"))
+    )
+    wscore = wstats.select(
+        "w", F.expr("deg * 1000000 DIV freq").alias("score_micro")
+    )
+    pscore = (
+        members.join(wscore, "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score_micro").alias("phrase_score_micro"))
+        .join(phrases, ["doc_id", "grp"])
+    )
+    return (
+        pscore.groupBy("phrase", "n_words")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min("phrase_score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOPK)
+    )
+
+
+# Zone-map geometry: 32-day zones over l_shipdate; the probe predicate is
+# a quarter-ish range that PARTIALLY overlaps its boundary zones (the
+# interesting pruning case: edge zones are kept but only partially match).
+_ZM_WIDTH = 32
+_ZM_LO, _ZM_HI = "'1996-03-15'", "'1996-06-15'"
+
+
+@register(
+    "a28_zonemap_skipping",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT epoch_us(TIMESTAMP {_ZM_LO}) // 86400000000 AS lo,
+               epoch_us(TIMESTAMP {_ZM_HI}) // 86400000000 AS hi
+    ), rows_ AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), zones AS (
+        SELECT d // {_ZM_WIDTH} AS zone,
+               CAST(MIN(d) AS BIGINT) AS min_day,
+               CAST(MAX(d) AS BIGINT) AS max_day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN d >= (SELECT lo FROM bounds)
+                              AND d < (SELECT hi FROM bounds)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+               CAST(SUM(CASE WHEN d >= (SELECT lo FROM bounds)
+                              AND d < (SELECT hi FROM bounds)
+                             THEN cents ELSE 0 END) AS BIGINT)
+                   AS match_revenue_cents
+        FROM rows_ GROUP BY 1
+    )
+    SELECT CAST(zone AS BIGINT) AS zone, min_day, max_day, n_rows,
+           CASE WHEN max_day < (SELECT lo FROM bounds)
+                 OR min_day >= (SELECT hi FROM bounds)
+                THEN 0 ELSE 1 END AS kept,
+           n_matching, match_revenue_cents
+    FROM zones
+    """,
+    survey="A12,A28,C2",
+)
+def a28_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit — the
+    Iceberg/parquet-row-group pruning semantics stated as a relation: rows
+    are grouped into 32-day zones (the clustering a write path like a11's
+    Z-order produces), each zone carries min/max statistics, and a range
+    predicate keeps a zone iff [min,max] intersects [lo,hi).
+
+    The pruning CORRECTNESS LAW is visible in the output and hash-checked:
+    every skipped zone (kept = 0) has n_matching = 0 and zero matching
+    revenue — min/max pruning never loses a qualifying row — while
+    boundary zones are kept with PARTIAL matches (the case a naive
+    bucket-equality prune gets wrong).  Tests additionally assert the
+    skip RATIO (most zones pruned) and that kept-zone matches sum to the
+    direct filter count.
+
+    Scale: one scan, one map-side-combinable agg on the zone key; the
+    zone relation (calendar-bounded) is what a table format's manifest
+    stores, so the same plan prunes real files at 100 TB."""
+    li = Tables(spark, sf_dir).lineitem
+    lo = F.expr(f"unix_micros(TIMESTAMP {_ZM_LO}) DIV 86400000000")
+    hi = F.expr(f"unix_micros(TIMESTAMP {_ZM_HI}) DIV 86400000000")
+    rows = li.select(
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("d"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    in_range = (F.col("d") >= lo) & (F.col("d") < hi)
+    zones = rows.groupBy(F.expr(f"d DIV {_ZM_WIDTH}").alias("zone")).agg(
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(in_range, 1).otherwise(0)).alias("n_matching"),
+        F.sum(F.when(in_range, F.col("cents")).otherwise(0)).alias(
+            "match_revenue_cents"
+        ),
+    )
+    return zones.select(
+        "zone",
+        "min_day",
+        "max_day",
+        "n_rows",
+        F.when((F.col("max_day") < lo) | (F.col("min_day") >= hi), 0)
+        .otherwise(1)
+        .alias("kept"),
+        "n_matching",
+        "match_revenue_cents",
+    )

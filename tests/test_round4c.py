@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 def _duck(sql: str):
     con = duckdb.connect()
-    for t in ("orders", "events", "documents"):
+    for t in ("orders", "events", "documents", "lineitem", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -325,3 +325,174 @@ def test_kmeans_centroids_are_broadcast(spark):
     centroid side, never shuffle the point relation for it."""
     plan = plan_string(REGISTRY["j86_kmeans_lloyd"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------------------- DBSCAN
+
+
+def _dbscan_py(sf_dir: str = SF):
+    """Naive-quadratic DBSCAN reference in pure Python (the textbook
+    definition, no grid)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    pts = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-02-01'
+            """
+        ).fetchall()
+    }
+    nbrs = {
+        i: [
+            j
+            for j, q in pts.items()
+            if (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 <= 9
+        ]
+        for i, p in pts.items()
+    }
+    core = {i for i, ns in nbrs.items() if len(ns) >= 5}
+    out = {}
+    for i, ns in nbrs.items():
+        if i in core:
+            role = "core"
+        elif any(j in core for j in ns if j != i):
+            role = "border"
+        else:
+            role = "noise"
+        out[i] = (len(ns), role)
+    return out
+
+
+def test_dbscan_matches_python_reference(spark):
+    expect = _dbscan_py()
+    got = {
+        r["order_id"]: (r["n_neighbors"], r["role"])
+        for r in REGISTRY["j87_dbscan_core"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_dbscan_all_three_roles_reachable():
+    """The parameterization is only a meaningful test if the reference
+    classification exercises core/border/noise at some scale; at sf0.001
+    at least two roles must appear and every count be >= minPts-consistent."""
+    roles = {role for _, role in _dbscan_py("/root/testdata/sf0.01").values()}
+    assert roles == {"core", "border", "noise"}
+
+
+# ------------------------------------------------------------------- RAKE
+
+
+def test_rake_matches_python_reference(spark):
+    """Full RAKE reference: stopword segmentation, degree/frequency word
+    scores (truncating micro division), phrase score sums, global top-20."""
+    stops = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
+    docs = _duck("SELECT doc_id, text FROM documents")
+    phrases = []  # (doc, grp, tuple(words))
+    for doc_id, text in docs:
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        run: list[str] = []
+        for w in words:
+            if w in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    wscore = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    agg: dict[tuple[str, int], list[int]] = {}
+    for ph in phrases:
+        key = (" ".join(ph), len(ph))
+        agg.setdefault(key, []).append(sum(wscore[w] for w in ph))
+    rows = [
+        (phrase, n_words, len(scores), min(scores))
+        for (phrase, n_words), scores in agg.items()
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    expect = rows[:20]
+
+    got = [
+        (r["phrase"], r["n_words"], r["n_occ"], r["score_micro"])
+        for r in REGISTRY["j88_rake_keywords"].fn(spark, SF).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_rake_identical_phrases_score_identically(spark):
+    """score is a function of the phrase TEXT (via corpus word stats) —
+    MIN over occurrences must equal MAX (the aggregate in the query uses
+    MIN; this pins that the choice is vacuous)."""
+    stops = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
+    docs = _duck("SELECT doc_id, text FROM documents")
+    seen: dict[str, set[int]] = {}
+    phrases = []
+    for _, text in docs:
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        run: list[str] = []
+        for w in words:
+            if w in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    wscore = {w: deg[w] * 1000000 // freq[w] for w in freq}
+    for ph in phrases:
+        seen.setdefault(" ".join(ph), set()).add(sum(wscore[w] for w in ph))
+    assert all(len(v) == 1 for v in seen.values())
+
+
+# --------------------------------------------------------------- Zone maps
+
+
+def test_zonemap_skipped_zones_have_no_matches(spark):
+    rows = REGISTRY["a28_zonemap_skipping"].fn(spark, SF).collect()
+    for r in rows:
+        if r["kept"] == 0:
+            assert r["n_matching"] == 0 and r["match_revenue_cents"] == 0
+    # pruning must actually prune: the range covers ~3 of ~80 zones
+    n_kept = sum(r["kept"] for r in rows)
+    assert n_kept <= len(rows) // 4
+
+
+def test_zonemap_kept_matches_equal_direct_filter(spark):
+    rows = REGISTRY["a28_zonemap_skipping"].fn(spark, SF).collect()
+    total = sum(r["n_matching"] for r in rows)
+    direct = _duck(
+        """
+        SELECT COUNT(*) FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-03-15'
+          AND l_shipdate < TIMESTAMP '1996-06-15'
+        """
+    )[0][0]
+    assert total == direct
+
+
+def test_zonemap_boundary_zones_partially_match(spark):
+    """The interesting pruning case: at least one kept zone matches only
+    PARTIALLY (bucket-equality pruning would mishandle it)."""
+    rows = REGISTRY["a28_zonemap_skipping"].fn(spark, SF).collect()
+    assert any(0 < r["n_matching"] < r["n_rows"] for r in rows if r["kept"])
