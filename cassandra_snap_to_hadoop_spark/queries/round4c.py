@@ -961,3 +961,177 @@ def a28_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matching",
         "match_revenue_cents",
     )
+
+
+# American Soundex letter codes (Russell/Odell; the H/W-TRANSPARENT
+# variant Spark implements: consonants with equal codes separated only by
+# h/w collapse, while vowels break the run).  '7' marks h/w, '0' vowels;
+# a LEADING h/w maps to '0' directly (it resets, never merges).
+_SX_MAP = """
+                   list_transform(
+                       string_split(w, ''),
+                       (c, i) -> CASE
+                         WHEN i = 1 AND c IN ('h', 'w') THEN '0'
+                         WHEN c IN ('b','f','p','v') THEN '1'
+                         WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2'
+                         WHEN c IN ('d','t') THEN '3'
+                         WHEN c = 'l' THEN '4'
+                         WHEN c IN ('m','n') THEN '5'
+                         WHEN c = 'r' THEN '6'
+                         WHEN c IN ('h','w') THEN '7'
+                         ELSE '0' END
+                   )
+"""
+
+
+@register(
+    "i22_soundex_phonetic",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ), alpha AS (
+        SELECT w FROM vocab WHERE regexp_full_match(w, '[a-z]+')
+    ), coded AS (
+        SELECT w, {_SX_MAP} AS codes FROM alpha
+    ), nohw AS (
+        SELECT w, list_filter(codes, c -> c != '7') AS codes FROM coded
+    ), collapsed AS (
+        SELECT w, list_filter(codes, (c, i) -> i = 1 OR c != codes[i - 1]) AS codes
+        FROM nohw
+    ), digits AS (
+        SELECT w, list_filter(codes[2:], c -> c != '0') AS ds FROM collapsed
+    )
+    SELECT w AS word,
+           upper(w[1]) || rpad(COALESCE(array_to_string(ds[1:3], ''), ''), 3, '0')
+               AS sx
+    FROM digits
+    """,
+    survey="I1,I21,I22",
+)
+def i22_soundex_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding tier of the fuzzy-match family: Spark's NATIVE
+    ``soundex`` over the corpus vocabulary, hash-matched against a
+    from-scratch DuckDB restatement of the published algorithm (letter
+    codes, h/w-transparent run collapsing, vowel resets, 4-char padding)
+    built purely from list/lambda SQL — two independent implementations
+    of American Soundex agreeing letter-for-letter (the i21 engine-vs-
+    engine pattern, but here the second engine has NO native soundex, so
+    the oracle is a genuine independent restatement).
+
+    The h/w-transparency rule (codes equal across an intervening h/w
+    collapse: 'ashcraft' → A261 not A226) was probed against Spark's
+    implementation and is encoded in the oracle via: prepend head code →
+    drop '7' (h/w) entries → collapse adjacent equal codes → drop the
+    head slot → drop '0' (vowel) entries → take 3, right-pad.
+
+    Soundex is the classical BLOCKING key for entity resolution — this
+    op is the phonetic sibling of j63's sorted-neighborhood and j85's
+    scoring stage.
+
+    Scale: vocabulary-relation sized (corpus-sublinear); one distinct +
+    one projection, embarrassingly parallel."""
+    d = Tables(spark, sf_dir).documents
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+    vocab = (
+        fan_out(d)
+        .select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"))
+        .distinct()
+        .filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    return vocab.select(F.col("w").alias("word"), F.soundex("w").alias("sx"))
+
+
+# 1-D Kalman filter constants (integer lattice): process noise q, initial
+# variance p0, measurement noise r — all in squared-cents units.
+_KF_P0 = 10000
+_KF_Q = 100
+_KF_R = 2500
+
+
+@register(
+    "f32_kalman_recursive",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS z
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, day_idx, z,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day_idx) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        FROM daily
+    ), chain AS (
+        SELECT event_type, rn, n_days,
+               z AS x, CAST({_KF_P0} AS BIGINT) AS p
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_days,
+               c.x + ((c.p + {_KF_Q}) * (b.z - c.x)) // (c.p + {_KF_Q} + {_KF_R}),
+               (c.p + {_KF_Q})
+                 - ((c.p + {_KF_Q}) * (c.p + {_KF_Q})) // (c.p + {_KF_Q} + {_KF_R})
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_days,
+           CAST(x AS BIGINT) AS state_cents,
+           CAST(p AS BIGINT) AS var_final
+    FROM chain WHERE rn = n_days
+    """,
+    survey="F24,F31,F32,SQL-4",
+)
+def f32_kalman_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (Kalman 1960) as a RECURSIVE CTE — the OPTIMAL-
+    filtering member of the smoothing family: unlike Holt's fixed gains
+    (f31), the Kalman gain k_t = p⁻/(p⁻+r) adapts each step as the state
+    variance p evolves (predict p⁻ = p+q; update x' = x + k(z−x),
+    p' = (1−k)p⁻).  Both the gain application and the variance update are
+    stated with truncating integer division on the cents lattice, so both
+    engines iterate bit-identical (x, p) state — the variance recursion
+    converges to the steady-state Riccati fixpoint, asserted in tests.
+
+    Daily granularity over events per type: recursion depth is
+    calendar-bounded (≈30), each UnionLoop iteration a broadcast join of
+    the |types|-row frontier (the f29/f31 shape).
+
+    Integer budget: p ≤ p0+q ≈ 10⁴, |z−x| ≤ daily-cents range ≈ 10⁹ ⇒
+    products ≤ 10¹³ ≪ 2⁶³."""
+    ev = Tables(spark, sf_dir).events
+    ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("z")
+    ).coalesce(1).createOrReplaceTempView("cs2h_daily_kalman")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, day_idx, z,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
+            FROM cs2h_daily_kalman
+        ), chain AS (
+            SELECT event_type, rn, n_days,
+                   z AS x, CAST({_KF_P0} AS BIGINT) AS p
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT b.event_type, b.rn, b.n_days,
+                   c.x + ((c.p + {_KF_Q}) * (b.z - c.x))
+                         DIV (c.p + {_KF_Q} + {_KF_R}),
+                   (c.p + {_KF_Q})
+                     - ((c.p + {_KF_Q}) * (c.p + {_KF_Q}))
+                       DIV (c.p + {_KF_Q} + {_KF_R})
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_days,
+               x AS state_cents,
+               p AS var_final
+        FROM chain WHERE rn = n_days
+        """
+    )

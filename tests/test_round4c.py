@@ -496,3 +496,122 @@ def test_zonemap_boundary_zones_partially_match(spark):
     PARTIALLY (bucket-equality pruning would mishandle it)."""
     rows = REGISTRY["a28_zonemap_skipping"].fn(spark, SF).collect()
     assert any(0 < r["n_matching"] < r["n_rows"] for r in rows if r["kept"])
+
+
+# ---------------------------------------------------------------- Soundex
+
+
+def _py_soundex(w: str) -> str:
+    """Independent pure-Python American Soundex with the h/w-transparent
+    rule (third implementation beside Spark's native and the DuckDB
+    list-op restatement)."""
+    table = {}
+    for letters, d in (
+        ("bfpv", "1"),
+        ("cgjkqsxz", "2"),
+        ("dt", "3"),
+        ("l", "4"),
+        ("mn", "5"),
+        ("r", "6"),
+    ):
+        for ch in letters:
+            table[ch] = d
+    out = []
+    last = table.get(w[0], "0") if w[0] not in "hw" else "0"
+    for ch in w[1:]:
+        if ch in "hw":
+            continue  # transparent: does not reset `last`
+        code = table.get(ch, "0")
+        if code == "0":
+            last = "0"  # vowel resets the run
+            continue
+        if code != last:
+            out.append(code)
+        last = code
+    return w[0].upper() + "".join(out[:3]).ljust(3, "0")
+
+
+def test_soundex_spark_matches_python_on_corpus(spark):
+    got = {
+        r["word"]: r["sx"]
+        for r in REGISTRY["i22_soundex_phonetic"].fn(spark, SF).collect()
+    }
+    assert got
+    for w, sx in got.items():
+        assert sx == _py_soundex(w), w
+
+
+def test_soundex_hw_transparency_edge_cases(spark):
+    """The corpus vocabulary has no h/w-run-collapse case, so pin the
+    tricky edges (census examples) directly against Spark's native fn AND
+    the Python reference: 'ashcraft' MUST be A261 (h-transparent), not
+    A226."""
+    words = [
+        "ashcraft",
+        "tymczak",
+        "pfister",
+        "honeyman",
+        "wow",
+        "hash",
+        "robert",
+        "rupert",
+        "ashcroft",
+        "qq",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    from pyspark.sql import functions as F
+
+    got = {r["w"]: r["sx"] for r in df.select("w", F.soundex("w").alias("sx")).collect()}
+    assert got["ashcraft"] == "A261"
+    assert got["tymczak"] == "T522"
+    assert got["pfister"] == "P236"
+    for w in words:
+        assert got[w] == _py_soundex(w), w
+
+
+# ----------------------------------------------------------------- Kalman
+
+
+def _kalman_py():
+    rows = _duck(
+        """
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS z
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    series: dict[str, list[int]] = {}
+    for et, _, z in rows:
+        series.setdefault(et, []).append(z)
+    out = {}
+    for et, zs in series.items():
+        x, p = zs[0], 10000
+        for z in zs[1:]:
+            pp = p + 100
+            x = x + _tzdiv(pp * (z - x), pp + 2500)
+            p = pp - _tzdiv(pp * pp, pp + 2500)
+        out[et] = (len(zs), x, p)
+    return out
+
+
+def test_kalman_recursive_matches_python_fold(spark):
+    expect = _kalman_py()
+    got = {
+        r["event_type"]: (r["n_days"], r["state_cents"], r["var_final"])
+        for r in REGISTRY["f32_kalman_recursive"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_kalman_variance_reaches_riccati_fixpoint(spark):
+    """The variance recursion p' = (p+q) - (p+q)^2/(p+q+r) converges to
+    the steady-state Riccati fixpoint independent of p0 — after ~30 days
+    every series must sit AT the integer fixpoint."""
+    p = 10000
+    for _ in range(200):
+        pp = p + 100
+        p = pp - _tzdiv(pp * pp, pp + 2500)
+    fix = p
+    for r in REGISTRY["f32_kalman_recursive"].fn(spark, SF).collect():
+        if r["n_days"] >= 20:
+            assert abs(r["var_final"] - fix) <= 1

@@ -414,8 +414,167 @@ def main() -> None:
         )
         return pairs.groupBy("sk").agg(F.count("*").alias("n"))
 
+    def minhash_md5_shape(d):
+        """j2_minhash_lsh_md5's shape: 16 md5 signature mins + banded
+        self-join.  Marked replicas (dissimilar across replicas, original
+        in-replica dup structure) keep candidate volume ~linear — the
+        banding claim."""
+        from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
+
+        ex = d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+        )
+        mh = ex.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"mh_{i}")
+                for i in range(16)
+            ]
+        )
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * 4 + r}") for r in range(4)]
+                )
+                for b in range(4)
+            ]
+        )
+        bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "bkey"))
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+        )
+
+    emb1 = t.embeddings
+    embN = amplify(t.embeddings, ["vec_id"])
+
+    def kmeans_shape(emb):
+        """j86's per-iteration shape: broadcast-centroid distance join +
+        argmin + truncating-mean update.  Centroids stay K x dims rows at
+        any corpus size — per-iteration cost must be ~linear in points."""
+        pts = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "v")
+        ).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("pv"),
+        )
+        seeds = (
+            emb.select("vec_id").orderBy("vec_id").limit(4)
+            .select(F.col("vec_id").alias("cid"))
+        )
+        cent = pts.join(F.broadcast(seeds), pts.vec_id == seeds.cid).select(
+            "cid", "dim", F.col("pv").alias("cv")
+        )
+        diff = F.col("pv") - F.col("cv")
+        dist = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        a = dist.groupBy("vec_id").agg(F.min(F.struct("d", "cid")).alias("m"))
+        return a.groupBy(F.col("m.cid")).agg(F.count("*").alias("n"))
+
+    def dbscan_shape(o):
+        """j87's grid probe at CONSTANT density: replicas are shifted to
+        disjoint y bands (60 > the 50-unit plane height), so per-cell load
+        stays 1x and candidate volume scales ~linearly.  (N x density in a
+        FIXED plane is inherently pair-quadratic — that regime needs a
+        smaller eps, not a better join.)"""
+        pts = o.select(
+            F.col("o_orderkey").alias("id"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("x"),
+            (
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 1000000")
+                + F.expr("o_orderkey DIV 1000000000") * 60  # replica index -> disjoint band
+            ).alias("y"),
+        ).filter(
+            (F.col("x") >= F.expr("unix_micros(TIMESTAMP '1997-01-01') DIV 86400000000"))
+            & (F.col("x") < F.expr("unix_micros(TIMESTAMP '1997-02-01') DIV 86400000000"))
+        )
+        e = 3
+        home = pts.select(
+            "id", "x", "y",
+            F.floor(F.col("x") / e).alias("cx"),
+            F.floor(F.col("y") / e).alias("cy"),
+        )
+        offsets = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        probes = home.select(
+            F.col("id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.explode(offsets).alias("o"),
+            "cx",
+            "cy",
+        ).select(
+            "a_id", "ax", "ay",
+            (F.col("cx") + F.col("o.dx")).alias("pcx"),
+            (F.col("cy") + F.col("o.dy")).alias("pcy"),
+        )
+        dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+            F.col("ay") - F.col("y")
+        ) * (F.col("ay") - F.col("y"))
+        return (
+            probes.join(
+                home.select("id", "x", "y", "cx", "cy"),
+                (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+            )
+            .filter(dist2 <= e * e)
+            .groupBy("a_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def rake_shape(d):
+        """j88's shape: per-doc segmentation window + word/phrase hash
+        aggs.  Exact replicas are the heavy case (same phrase keys, Nx
+        mass per key) — must stay ~linear because every agg is
+        map-side-combinable."""
+        from pyspark.sql import Window as W
+
+        from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+
+        stops = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+        words = d.select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "w"),
+        ).withColumn("stop", F.when(F.col("w").isin(*stops), 1).otherwise(0))
+        grouped = words.withColumn(
+            "grp", F.sum("stop").over(W.partitionBy("doc_id").orderBy("pos"))
+        )
+        members = grouped.filter(F.col("stop") == 0)
+        phrases = members.groupBy("doc_id", "grp").agg(F.count("*").alias("n_words"))
+        return (
+            members.join(phrases, ["doc_id", "grp"])
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"), F.sum("n_words").alias("deg"))
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("minhash-md5-bands", lambda: minhash_md5_shape(d1_marked), lambda: minhash_md5_shape(dN_marked)),
+        ("kmeans-lloyd-iter", lambda: kmeans_shape(emb1), lambda: kmeans_shape(embN)),
+        ("dbscan-grid-probe", lambda: dbscan_shape(o1), lambda: dbscan_shape(oN)),
+        ("rake-phrase-aggs", lambda: rake_shape(d1), lambda: rake_shape(dN)),
         ("recursive-cte-fold", lambda: recursive_fold_shape(o1), lambda: recursive_fold_shape(oN)),
         ("bloom-prefilter", lambda: bloom_prefilter_shape(d1), lambda: bloom_prefilter_shape(dN)),
         # lineitem amplification keeps l_suppkey unmapped: N x more fact
