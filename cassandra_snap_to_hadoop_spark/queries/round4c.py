@@ -1135,3 +1135,145 @@ def f32_kalman_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain WHERE rn = n_days
         """
     )
+
+
+# Label propagation: seeds keep their label (vec_id % 5 == 0); the
+# similarity graph has an edge between nodes sharing EITHER 8-dim sign
+# pattern (two bands — the banded-LSH graph construction), so labels
+# percolate across bands over rounds.
+_LP_SEED_MOD = 5
+_LP_ROUNDS = 2
+
+
+def _lp_oracle() -> str:
+    base = f"""
+    WITH pts AS (
+        SELECT vec_id, label, dim - 1 AS dim0,
+               CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS pv
+        FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        WHERE dim <= 16
+    ), cells AS (
+        SELECT vec_id, label, dim0 // 8 AS band,
+               CAST(SUM(CASE WHEN pv >= 0
+                             THEN (CAST(1 AS BIGINT) << (dim0 % 8))
+                             ELSE 0 END) AS BIGINT) AS cell
+        FROM pts GROUP BY 1, 2, 3
+    ), nodes AS (
+        SELECT DISTINCT vec_id, label FROM cells
+    ), edges AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM cells a JOIN cells b
+          ON a.band = b.band AND a.cell = b.cell AND a.vec_id != b.vec_id
+    ), lab0 AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS lab, 0 AS rnd
+        FROM nodes WHERE vec_id % {_LP_SEED_MOD} = 0
+    )"""
+    prev = "lab0"
+    for r in range(1, _LP_ROUNDS + 1):
+        base += f""", votes{r} AS (
+        SELECT e.src AS vec_id, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+        FROM edges e
+        JOIN {prev} l ON l.vec_id = e.dst
+        WHERE e.src NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY 1, 2
+    ), asg{r} AS (
+        SELECT vec_id, lab, {r} AS rnd FROM votes{r}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c DESC, lab ASC) = 1
+    ), lab{r} AS (
+        SELECT vec_id, lab, rnd FROM {prev}
+        UNION ALL SELECT vec_id, lab, rnd FROM asg{r}
+    )"""
+        prev = f"lab{r}"
+    base += f"""
+    SELECT CAST(COALESCE(l.rnd, -1) AS BIGINT) AS round_assigned,
+           CAST(COALESCE(l.lab, -1) AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN {prev} l ON l.vec_id = n.vec_id
+    GROUP BY 1, 2"""
+    return base
+
+
+@register("j89_label_propagation", oracle=_lp_oracle(), survey="J2,J78,J89")
+def j89_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    frozen-seed layered variant) over a banded similarity graph: 20% of
+    embeddings keep their label (seeds); edges connect nodes sharing
+    either 8-dim SIGN PATTERN of the micro-quantized vector (two bands —
+    the same banded construction LSH uses, so blocks are similarity-
+    correlated and labels can percolate ACROSS bands round by round);
+    each round, every still-unlabeled node adopts the majority label of
+    its labeled neighbors (ties → smallest label), then freezes.
+
+    The identical 2-round trajectory is unrolled as DuckDB CTEs (the
+    j71/j86 pattern) — votes, argmax assignment, and the per-(round,
+    label) census hash-match exactly; sign patterns are exact integer
+    facts of the shared micro lattice, so graph construction cannot
+    drift between engines.
+
+    Scale: edges are generated per (band, cell) bucket (256 cells/band —
+    never all-pairs); each round is one bucket-equi join + one
+    map-side-combinable vote agg + one per-node argmax; round count is a
+    compile-time constant.  Output is the bounded (round, label) census."""
+    emb = Tables(spark, sf_dir).embeddings
+    pts = (
+        fan_out(emb)
+        .select("vec_id", "label", F.posexplode("embedding").alias("dim0", "v"))
+        .filter(F.col("dim0") < 16)
+        .select(
+            "vec_id",
+            "label",
+            "dim0",
+            F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("pv"),
+        )
+    )
+    cells = pts.groupBy(
+        "vec_id", "label", F.expr("dim0 DIV 8").alias("band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("pv") >= 0, F.expr("CAST(1 AS BIGINT) << (dim0 % 8)")
+            ).otherwise(0)
+        ).alias("cell")
+    )
+    nodes = cells.select("vec_id", "label").distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    lab = nodes.filter(F.col("vec_id") % _LP_SEED_MOD == 0).select(
+        "vec_id", F.col("label").cast("long").alias("lab"), F.lit(0).alias("rnd")
+    )
+    for r in range(1, _LP_ROUNDS + 1):
+        labeled_ids = lab.select("vec_id")
+        votes = (
+            edges.join(labeled_ids, edges.src == labeled_ids.vec_id, "left_anti")
+            .join(
+                lab.select(F.col("vec_id").alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias("vec_id"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        asg = (
+            votes.groupBy("vec_id")
+            .agg(F.min(F.struct(F.negate(F.col("c")).alias("nc"), "lab")).alias("m"))
+            .select("vec_id", F.col("m.lab").alias("lab"), F.lit(r).alias("rnd"))
+        )
+        lab = lab.unionByName(asg)
+    return (
+        nodes.join(lab, "vec_id", "left")
+        .groupBy(
+            F.coalesce(F.col("rnd"), F.lit(-1)).cast("long").alias("round_assigned"),
+            F.coalesce(F.col("lab"), F.lit(-1)).cast("long").alias("label"),
+        )
+        .agg(F.count("*").alias("n_nodes"))
+    )

@@ -615,3 +615,75 @@ def test_kalman_variance_reaches_riccati_fixpoint(spark):
     for r in REGISTRY["f32_kalman_recursive"].fn(spark, SF).collect():
         if r["n_days"] >= 20:
             assert abs(r["var_final"] - fix) <= 1
+
+
+# ------------------------------------------------------- Label propagation
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Third implementation: sign-pattern bands, bucket edges, 2 frozen
+    rounds of majority votes in pure Python."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    rows = con.execute("SELECT vec_id, label, embedding FROM embeddings").fetchall()
+    cells: dict[tuple[int, int], list[int]] = {}
+    labels = {}
+    for vid, lab, emb in rows:
+        labels[vid] = lab
+        pv = [
+            int(Decimal(float(v) * 1000000.0).quantize(0, ROUND_HALF_UP))
+            for v in emb[:16]
+        ]
+        for band in (0, 1):
+            cell = sum(
+                (1 << d) for d in range(8) if pv[band * 8 + d] >= 0
+            )
+            cells.setdefault((band, cell), []).append(vid)
+    edges: dict[int, set[int]] = {v: set() for v in labels}
+    for members in cells.values():
+        for x in members:
+            for y in members:
+                if x != y:
+                    edges[x].add(y)
+    assigned = {v: (0, labels[v]) for v in labels if v % 5 == 0}
+    for rnd in (1, 2):
+        new = {}
+        for v in labels:
+            if v in assigned:
+                continue
+            votes: dict[int, int] = {}
+            for nb in edges[v]:
+                if nb in assigned:
+                    votes[assigned[nb][1]] = votes.get(assigned[nb][1], 0) + 1
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                new[v] = (rnd, best)
+        assigned.update(new)
+    expect: dict[tuple[int, int], int] = {}
+    for v in labels:
+        rnd, lab = assigned.get(v, (-1, -1))
+        expect[(rnd, lab)] = expect.get((rnd, lab), 0) + 1
+
+    got = {
+        (r["round_assigned"], r["label"]): r["n_nodes"]
+        for r in REGISTRY["j89_label_propagation"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_label_propagation_census_is_complete(spark):
+    df = REGISTRY["j89_label_propagation"].fn(spark, SF)
+    total = df.agg({"n_nodes": "sum"}).collect()[0][0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert total == n
+    rows = df.collect()
+    # seeds exist and rounds actually propagate at this SF
+    assert any(r["round_assigned"] == 0 for r in rows)
+    assert any(r["round_assigned"] == 1 for r in rows)
