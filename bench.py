@@ -57,6 +57,10 @@ HEADLINE = [
     # broadcast-constant Bloom prefilter ingest-dedup shape
     "sql_api_recursive_cte",
     "j82_bloom_prefilter_dedup",
+    # round-4 second continuation: iterative ML (broadcast-centroid Lloyd)
+    # and grid-blocked density classification
+    "j86_kmeans_lloyd",
+    "j87_dbscan_core",
 ]
 
 N_RUNS = 3

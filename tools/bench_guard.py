@@ -48,6 +48,8 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j70_jaro_winkler_pairs": 1.23,
     "sql_api_recursive_cte": 5.65,
     "j82_bloom_prefilter_dedup": 0.75,
+    "j86_kmeans_lloyd": 2.37,
+    "j87_dbscan_core": 0.71,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
