@@ -45,8 +45,11 @@ def holt_winters_fold(
     n = len(xs)
     if n < m:
         # Degenerate short series: fall back to Holt with no seasonality.
-        level, trend, fc = holt_fold(xs, alpha, beta)
-        return level, trend, [0.0] * m, fc
+        # holt_fold's third value is the 7-STEP-ahead forecast; callers of
+        # this function report forecast_next as ONE period ahead, so derive
+        # it from the fallback's level+trend instead (ADVICE r4).
+        level, trend, _fc7 = holt_fold(xs, alpha, beta)
+        return level, trend, [0.0] * m, round(level + trend, 4)
     level = sum(float(v) for v in xs[:m]) / m
     if n >= 2 * m:
         trend = sum((float(xs[m + i]) - float(xs[i])) / m for i in range(m)) / m

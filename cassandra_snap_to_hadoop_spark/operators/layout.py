@@ -259,9 +259,14 @@ def ntile_expr(rank_col: str, n: int, k: int) -> Column:
     """
     q, r = divmod(n, k)
     rank = F.col(rank_col)
-    first = (F.floor((rank - 1) / (q + 1)) + 1).cast("int")
+    # Integer `div`, not floor(double /): Column `/` is DOUBLE division and
+    # floor of a correctly-rounded double can drift one bucket once rank
+    # approaches 2^53/k — exactly the extreme-scale regime this closed form
+    # is for (ADVICE r4).  Both operands are non-negative in every branch
+    # that is actually selected, so `div` (truncate toward zero) == floor.
+    first = (F.expr(f"({rank_col} - 1) div {q + 1}") + 1).cast("int")
     if q == 0:
         return first
     cut = r * (q + 1)
-    rest = (F.lit(r) + F.floor((rank - 1 - cut) / q) + 1).cast("int")
+    rest = (F.lit(r) + F.expr(f"({rank_col} - 1 - {cut}) div {q}") + 1).cast("int")
     return F.when(rank <= F.lit(cut), first).otherwise(rest)

@@ -629,9 +629,20 @@ def j59_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v GROUP BY bucket
     """,
     survey="E30,E18,E6",
+    tags=("profiling-only",),
 )
 def e30_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of lineitem prices: 16 buckets of (near-)equal
+    """PROFILING-ONLY TIER — do not reach for this at scale.  This is the
+    registry's ONE deliberate full-relation single-reducer window: it is
+    the calibration oracle for the registered scale twin
+    ``e30_equidepth_scalable`` (two-pass global_rank + closed-form
+    ntile_expr, same oracle SQL), kept so the scalable path has an exact
+    in-registry reference to diff against.  At 100 TB use the twin.
+    (`tags=("profiling-only",)`; tests/test_plans.py asserts this is the
+    only registered query whose unpartitioned window runs over an
+    unbounded fact relation.)
+
+    Equi-DEPTH histogram of lineitem prices: 16 buckets of (near-)equal
     row count with their value boundaries — the optimizer-statistics /
     data-profiling counterpart of e18's equi-WIDTH histogram (equal-range
     buckets say nothing useful about skewed columns; equal-count buckets

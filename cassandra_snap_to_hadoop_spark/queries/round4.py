@@ -675,7 +675,7 @@ def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hw(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day")
-        days = pd.date_range(pdf["day"].min(), pdf["day"].max(), freq="D").date
+        days = range(int(pdf["day"].min()), int(pdf["day"].max()) + 1)
         x = (
             pdf.set_index("day")["n"].reindex(days, fill_value=0).astype(float).to_numpy()
         )
@@ -692,9 +692,13 @@ def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = Tables(spark, sf_dir).events
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n")
-    )
+    # tz-free epoch-day bucketing (unix_micros DIV 86400e6), matching the
+    # sibling series queries (f22/f26/f28/f29/e27) — F.to_date depends on
+    # spark.sql.session.timeZone and would shift the series (and the
+    # stream/batch parity baseline) under a non-UTC session (ADVICE r4).
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").alias("n"))
     return daily.groupBy("event_type").applyInPandas(
         hw,
         "event_type string, n_days long, level double, trend double,"

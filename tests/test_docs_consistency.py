@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND4_PRIORITY, _ROUND4_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND5_PRIORITY, _ROUND5_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,7 +54,7 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND4_PRIORITY) + list(_ROUND4_TAIL)
+    combined = list(_ROUND5_PRIORITY) + list(_ROUND5_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
@@ -81,19 +81,51 @@ def test_status_totals_match_registry():
     ), "STATUS.md totals drifted from the registry — regenerate the line"
 
 
-def test_round4_window_certifies_only_new_sql_oracled_rows():
+def test_next_totals_match_registry():
+    """NEXT.md's current registry line must be generated, not
+    hand-maintained (VERDICT r4 item 4): the FIRST
+    'Registry: **N queries, S SQL-oracled + R rows-only**' line must
+    state exactly the load_all() totals.  (Historical lines in older
+    round sections use the 'value-checked' wording and are exempt.)"""
+    text = (REPO / "NEXT.md").read_text()
+    m = re.search(
+        r"Registry: \*\*(\d+) queries, (\d+) SQL-oracled \+ (\d+) rows-only",
+        text,
+    )
+    assert m, "NEXT.md current registry totals line missing or malformed"
+    n_reg, n_sql, n_rows = (int(g) for g in m.groups())
+    want_sql = sum(1 for q in REGISTRY.values() if q.oracle)
+    assert (n_reg, n_sql, n_rows) == (
+        len(REGISTRY),
+        want_sql,
+        len(REGISTRY) - want_sql,
+    ), "NEXT.md registry totals drifted — regenerate the line"
+
+
+_CURRENT_ROUND = 5
+
+
+def test_round5_window_certifies_only_new_sql_oracled_rows():
     """The 50-slot driver window must spend every slot on a query that has
     never appeared in a driver CORRECTNESS window and carries a SQL oracle
-    (hash-level evidence) — re-certifying a green family wastes the slot."""
+    (hash-level evidence) — re-certifying a green family wastes the slot.
+
+    Assert against PRIOR rounds only: the current round's own results file
+    (written mid-round by the driver) certifies exactly these names, which
+    is success, not waste — the round-4 tripwire globbed everything and
+    went red the moment the round succeeded (VERDICT r4 item 1)."""
     import json
 
     certified: set[str] = set()
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m and int(m.group(1)) >= _CURRENT_ROUND:
+            continue
         certified |= set(json.loads(p.read_text()))
-    assert len(_ROUND4_PRIORITY) == 50
-    already = [n for n in _ROUND4_PRIORITY if n in certified]
+    assert len(_ROUND5_PRIORITY) == 50
+    already = [n for n in _ROUND5_PRIORITY if n in certified]
     assert not already, f"window wastes slots on already-certified: {already}"
-    no_oracle = [n for n in _ROUND4_PRIORITY if not REGISTRY[n].oracle]
+    no_oracle = [n for n in _ROUND5_PRIORITY if not REGISTRY[n].oracle]
     assert not no_oracle, f"window entries without SQL oracle: {no_oracle}"
 
 

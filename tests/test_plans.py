@@ -610,3 +610,21 @@ def test_global_window_allowlist_is_tight(spark, sf_dir):
         if unpartitioned_window_count(REGISTRY[name].fn(spark, sf_dir)) == 0
     ]
     assert not stale, f"allowlisted queries no longer have global windows: {stale}"
+
+
+def test_profiling_only_tier_is_tagged_and_unique():
+    """VERDICT r4 item 5: the registry's one full-relation single-reducer
+    window (e30_equidepth_histogram — the calibration oracle for its
+    registered scale twin) must be explicitly tagged profiling-only, and
+    no other query may carry that tag without also being allowlisted —
+    the tag IS the 'do not run this at scale' banner.  Every OTHER
+    allowlist entry's window input is domain/calendar/result-bounded
+    (the reasons strings above), so exactly one profiling-only tier may
+    exist."""
+    tagged = [n for n, q in REGISTRY.items() if "profiling-only" in q.tags]
+    assert tagged == ["e30_equidepth_histogram"], (
+        f"profiling-only tier must be exactly e30_equidepth_histogram: {tagged}"
+    )
+    assert "e30_equidepth_scalable" in REGISTRY, (
+        "the profiling tier's scale twin must stay registered"
+    )
