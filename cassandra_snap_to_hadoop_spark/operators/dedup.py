@@ -227,6 +227,54 @@ def minhash_lsh_pairs(
     )
 
 
+def md5_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """SQL-certifiable banded MinHash bucket keys: (id, band, bkey).
+
+    The hash family is h_i(s) = first 60 bits of md5(i || ':' || s) — 15
+    hex chars, so every value fits SIGNED int64 and DuckDB reproduces it
+    digit-for-digit (the j64-md5 pattern).  Band key is the '|'-joined
+    decimal rendering of the band's signature rows: string equality, no
+    further hashing to diverge between engines.  The production tier
+    (minhash_band_keys) keeps xxhash64 for speed; THIS family exists so
+    banded-LSH pipelines can be hash-certified end-to-end
+    (j2_minhash_lsh_md5, j90 connected components).
+
+    Scale: shingle explode → one hash agg for the signature → posexplode
+    of |bands| keys per doc.  Nothing leaves the JVM; candidates built on
+    top of this are always per-(band, bkey) bucket, never all-pairs.
+    """
+    n_bands = n_hashes // rows_per_band
+    ex = fan_out(df).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10
+        ).cast("long")
+
+    mh = ex.groupBy(id_col).agg(
+        *[F.min(h(i)).alias(f"mh_{i}") for i in range(n_hashes)]
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(id_col, F.posexplode(band_arr).alias("band", "bkey"))
+
+
 def dup_clusters(nodes: DataFrame, pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """J2 cluster assembly: connected components of the near-dup pair graph
     by smallest-id label propagation.

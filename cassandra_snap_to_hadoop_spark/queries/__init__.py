@@ -51,6 +51,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round4,  # round-4 scale twins + additions — rotate in round 5
     round4b,  # round-4 continuation (recursive CTE, LATERAL, ANOVA) — rotate in round 5
     round4c,  # round-4 second continuation (md5-MinHash twin, Lloyd, DBSCAN) — rotate in round 5
+    round5,  # round-5 additions (CC dedup graph, ROC/AUC, calibration, winnowing) — rotate in round 6
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 

@@ -109,30 +109,18 @@ def j2_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated per (band, bkey) bucket (never all-pairs), verification
     joins only the candidate set back to the shingle relation."""
     d = Tables(spark, sf_dir).documents
-    from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        md5_minhash_bands,
+        shingles,
+    )
 
     ex = (
         fan_out(d)
         .select(F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("sh"))
     )
-
-    def h(i: int) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10
-        ).cast("long")
-
-    mh = ex.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"mh_{i}") for i in range(_MH_N)]
+    bands = md5_minhash_bands(
+        d, n_hashes=_MH_N, rows_per_band=_MH_ROWS
     )
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-            )
-            for b in range(_MH_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.posexplode(band_arr).alias("band", "bkey"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,282 @@
+"""Round-5 batch: connected components over the banded-LSH dup graph,
+exact ROC/AUC, Brier calibration, winnowing fingerprints — each pinned to
+an independent pure-Python third implementation (hashlib md5 hashes,
+union-find, trapezoid fold), so the DuckDB oracle is never the only
+cross-check."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import duckdb
+
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+
+
+def _vecs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+
+
+def _norm_words(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ------------------------------------------------------------------- j90 CC
+
+
+def _py_band_buckets(docs, n_hashes=16, rows_per_band=4):
+    """Pure-python twin of operators/dedup.md5_minhash_bands."""
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in docs:
+        words = _norm_words(text)
+        sh = {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))}
+        mins = [min(_h60(f"{i}:{s}") for s in sh) for i in range(n_hashes)]
+        for b in range(n_hashes // rows_per_band):
+            key = "|".join(
+                str(mins[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            buckets.setdefault((b, key), []).append(doc_id)
+    return buckets
+
+
+def _py_components(docs) -> dict[int, list[int]]:
+    """Exact CC by union-find over the same star edges."""
+    parent: dict[int, int] = {d: d for d, _ in docs}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for members in _py_band_buckets(docs).values():
+        if len(members) >= 2:
+            hub = min(members)
+            for m in members:
+                union(hub, m)
+    comps: dict[int, list[int]] = {}
+    for d, _ in docs:
+        comps.setdefault(find(d), []).append(d)
+    return comps
+
+
+def test_j90_matches_union_find(spark):
+    """Spark's 10-round min-label propagation over the md5 band star
+    edges must equal EXACT union-find connected components — this both
+    value-pins the whole pipeline against a third implementation and
+    proves the fixed iteration budget reached the fixpoint at this SF."""
+    comps = _py_components(_docs())
+    want = {
+        (cid, len(m), max(m))
+        for cid, m in comps.items()
+        if len(m) >= 2
+    }
+    got = {
+        (r.component_id, r.n_docs, r.max_doc)
+        for r in REGISTRY["j90_connected_components"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_j90_components_partition_the_dup_docs():
+    """Law: components are disjoint and every component id is its own
+    minimum member (the hash-min invariant)."""
+    comps = _py_components(_docs())
+    seen: set[int] = set()
+    for cid, members in comps.items():
+        assert cid == min(members)
+        assert not (seen & set(members))
+        seen |= set(members)
+
+
+# ------------------------------------------------------------ e62 / e63 eval
+
+
+def _py_scores(vecs):
+    out = []
+    for vec_id, label, emb in vecs:
+        s = 0
+        for d, x in enumerate(emb):
+            sign = 1 if hashlib.md5(f"dim:{d}".encode()).hexdigest()[0] < "8" else -1
+            # Decimal-free half-up on the micro lattice: embedding values
+            # are floats; round-half-up matches both engines' ROUND(double)
+            # for these magnitudes (|x| < 1, micro < 2^31 — exact doubles).
+            micro = math.floor(float(x) * 1_000_000 + 0.5)
+            s += sign * micro
+        out.append((vec_id, label, s))
+    return out
+
+
+def test_e62_matches_python_trapezoid(spark):
+    scores = _py_scores(_vecs())
+    lo = min(s for _, _, s in scores)
+    hi = max(s for _, _, s in scores)
+    bins: dict[int, list[int]] = {}
+    for _, label, s in scores:
+        b = (s - lo) * 20 // (hi - lo + 1)
+        bins.setdefault(b, [0, 0])
+        bins[b][0 if label < 5 else 1] += 1
+    p_tot = sum(v[0] for v in bins.values())
+    n_tot = sum(v[1] for v in bins.values())
+    want = {}
+    for b, (np_, nn) in bins.items():
+        cum_tp = sum(v[0] for bb, v in bins.items() if bb >= b)
+        cum_fp = sum(v[1] for bb, v in bins.items() if bb >= b)
+        want[b] = (
+            np_,
+            nn,
+            cum_tp,
+            cum_fp,
+            cum_tp * 1_000_000 // p_tot,
+            cum_fp * 1_000_000 // n_tot,
+            (2 * cum_tp - np_) * nn,
+        )
+    rows = REGISTRY["e62_roc_auc"].fn(spark, SF).collect()
+    got = {
+        r.bin: (
+            r.n_pos,
+            r.n_neg,
+            r.cum_tp,
+            r.cum_fp,
+            r.tpr_ppm,
+            r.fpr_ppm,
+            r.area2_num,
+        )
+        for r in rows
+    }
+    assert got == want
+    # AUC law: the doubled trapezoid numerators integrate to a valid AUC.
+    auc = sum(r.area2_num for r in rows) / (2 * p_tot * n_tot)
+    assert 0.0 <= auc <= 1.0
+
+
+def test_e62_curve_is_monotone(spark):
+    rows = sorted(
+        REGISTRY["e62_roc_auc"].fn(spark, SF).collect(), key=lambda r: -r.bin
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_tp >= prev.cum_tp and cur.cum_fp >= prev.cum_fp
+    assert rows[-1].tpr_ppm == rows[-1].fpr_ppm == 1_000_000  # bin 0 = all
+
+
+def test_e63_matches_python_sigmoid(spark):
+    """Third-libm pin for the calibration table.  exp() may differ in the
+    last ulp across libms, so the per-row p_micro tolerance is ±1 and the
+    per-bin aggregate tolerance is ±n (every row off by at most one
+    micro); bin membership flips need a value within 1 micro of a
+    100000-boundary — checked absent here, making counts exact."""
+    scores = _py_scores(_vecs())
+    rows = {r.bin: r for r in REGISTRY["e63_brier_calibration"].fn(spark, SF).collect()}
+    bins: dict[int, list[int]] = {}
+    for _, label, s in scores:
+        y = 1 if label < 5 else 0
+        p = math.floor(1_000_000.0 / (1.0 + math.exp(-(s / 1_000_000.0))) + 0.5)
+        assert abs(p % 100_000) > 1 and abs(p % 100_000 - 100_000) > 1, (
+            "pin invalid: p_micro within 1 of a bin boundary"
+        )
+        b = min(p // 100_000, 9)
+        acc = bins.setdefault(b, [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += y
+        acc[2] += p
+        acc[3] += (p - y * 1_000_000) ** 2 // 1_000_000
+    assert set(rows) == set(bins)
+    for b, (n, n_pos, sum_p, brier) in bins.items():
+        r = rows[b]
+        assert (r.n, r.n_pos) == (n, n_pos)
+        assert abs(r.sum_p_micro - sum_p) <= n
+        assert abs(r.brier_micro_sum - brier) <= 3 * n
+        assert r.gap_micro == abs(r.sum_p_micro - r.n_pos * 1_000_000)
+
+
+# ------------------------------------------------------------- j91 winnowing
+
+
+def _py_winnow_pairs(docs, k=4, w=4, df_cap=50):
+    fps: dict[int, set[int]] = {}
+    for doc_id, text in docs:
+        words = _norm_words(text)
+        if len(words) < k:
+            continue
+        hs = [_h60(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)]
+        sel = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        for fp in sel:
+            fps.setdefault(fp, set()).add(doc_id)
+    pairs: dict[tuple[int, int], int] = {}
+    for fp, ds in fps.items():
+        if len(ds) > df_cap:
+            continue
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return {p: c for p, c in pairs.items() if c >= 2}
+
+
+def test_j91_matches_python_winnowing(spark):
+    want = _py_winnow_pairs(_docs())
+    got = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in REGISTRY["j91_winnowing_fingerprints"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce at least one fingerprint pair"
+
+
+def _py_selected(words: list[str], k=4, w=4) -> set[int]:
+    hs = [_h60(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_j91_density_law():
+    """Winnowing lower bound: one selected gram hash can be the minimum
+    of at most w consecutive windows, so |selected| ≥ ceil(n_windows/w);
+    trivially |selected| ≤ n_windows.  Holds for every corpus document
+    long enough to fingerprint (the same algorithm Spark was pinned
+    equal to above)."""
+    checked = 0
+    for _, text in _docs():
+        words = _norm_words(text)
+        n_windows = len(words) - 4 + 1 - 4 + 1  # n_grams - w + 1
+        if n_windows < 1:
+            continue
+        sel = _py_selected(words)
+        assert math.ceil(n_windows / 4) <= len(sel) <= n_windows
+        checked += 1
+    assert checked > 0
+
+
+def test_j91_coverage_guarantee_synthetic():
+    """The MOSS guarantee: any shared span of ≥ k+w-1 words produces at
+    least one shared selected fingerprint — exercised on synthetic
+    documents sharing exactly a k+w-1-word span inside unrelated text
+    (the corpus has no exact dups at this SF, so the guarantee needs a
+    constructed witness)."""
+    span = "alpha beta gamma delta epsilon zeta eta".split(" ")  # k+w-1 = 7
+    doc_a = "one two three four five".split(" ") + span + ["tail", "words"]
+    doc_b = ["other", "prefix"] + span + "xx yy zz ww".split(" ")
+    assert _py_selected(doc_a) & _py_selected(doc_b)
