@@ -490,3 +490,469 @@ def j91_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# ------------------------------------------------------------------ batch 2
+
+# 6 sign bits → 64 buckets: sized to the fixture corpus (500-5000
+# vectors → ~8-80 per bucket) so queries actually FIND candidates; a
+# 100 TB index raises the bit count with corpus size (buckets ≈ n/64
+# keeps candidate generation constant per query) — the bit count is the
+# recall/cost dial, the certified arithmetic is identical at any width.
+_SRP_PLANES = 6
+# md5-derived integer hyperplane weight for (plane p, dimension d):
+# uniform in [-1e6, +1e6].  Only the SIGN of the projection matters for
+# SRP, so integer weights on the micro lattice make the bucket bits
+# exact BIGINT arithmetic on both engines — the whole LSH index becomes
+# hash-certifiable (VERDICT r4 item 8: the ANN ladder's SQL rung).
+_SRP_W_SQL = (
+    "CAST(CAST(('0x' || substr(md5('srp:' || p || ':' || dim), 1, 15))"
+    " AS UBIGINT) AS BIGINT) % 2000001 - 1000000"
+)
+
+
+@register(
+    "j3_knn_srp_md5",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), weights AS (
+        SELECT t.range AS p, d.dim, {_SRP_W_SQL} AS w
+        FROM range({_SRP_PLANES}) t CROSS JOIN (SELECT DISTINCT dim FROM ex) d
+    ), dots AS (
+        SELECT e.vec_id, w.p, SUM(e.micro * w.w) AS dot
+        FROM ex e JOIN weights w ON w.dim = e.dim
+        GROUP BY 1, 2
+    ), buckets AS (
+        SELECT vec_id,
+               SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1
+    ), cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id
+        FROM buckets q JOIN buckets c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8
+    ), scored AS (
+        SELECT c.q_id, c.n_id, SUM(a.micro * b.micro) AS ip_mm
+        FROM cand c
+        JOIN ex a ON a.vec_id = c.q_id
+        JOIN ex b ON b.vec_id = c.n_id AND b.dim = a.dim
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT q_id, n_id, ip_mm,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY ip_mm DESC, n_id) AS rnk
+        FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rnk AS INTEGER) AS rnk,
+           CAST(n_id AS BIGINT) AS n_id, CAST(ip_mm AS BIGINT) AS ip_mm
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey="J92,J3,J48",
+)
+def j3_knn_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-CERTIFIED rung of the ANN ladder (j3 brute → IVF → SRP →
+    PQ): sign-random-projection LSH with md5-derived INTEGER hyperplanes,
+    so the bucket index — 16 projection sign bits packed into one BIGINT
+    — is exact arithmetic DuckDB reproduces digit-for-digit, unlike the
+    float-hyperplane production tier (j3_knn_srp, rows-only).  Per query
+    vector (vec_id < 8, the established query set): top-3 same-bucket
+    neighbors by exact inner product on the micro lattice (embeddings
+    are unit-norm, so the integer IP ranks identically to cosine) with
+    deterministic n_id tiebreak.
+
+    Scale shape: the weight relation is |planes|·|dims| ≈ KB (broadcast);
+    bucket bits are one hash agg over the posexploded corpus (map-side
+    combinable); candidates are generated per bucket (never all-pairs —
+    16 bits ≈ corpus/65k per bucket in expectation); verification joins
+    only the candidate set.  The top-3 window is PARTITIONED by query.
+    Recall-vs-bruteforce is test-pinned; queries whose bucket holds no
+    other vector simply emit nothing (honest SRP behavior — multi-probe
+    is the documented recall upgrade at scale)."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = fan_out(e).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    dims = ex.select("dim").distinct()
+    planes = spark.range(_SRP_PLANES).select(F.col("id").cast("int").alias("p"))
+    weights = dims.crossJoin(F.broadcast(planes)).select(
+        "p",
+        "dim",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit("srp:"),
+                            F.col("p").cast("string"),
+                            F.lit(":"),
+                            F.col("dim").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2000001
+            - 1000000
+        ).alias("w"),
+    )
+    dots = (
+        ex.join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    q = buckets.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cand = q.join(
+        buckets.select(F.col("vec_id").alias("n_id"), F.col("bucket").alias("b2")),
+        (F.col("bucket") == F.col("b2")) & (F.col("q_id") != F.col("n_id")),
+    ).select("q_id", "n_id")
+    ea = ex.select(F.col("vec_id").alias("q_id"), "dim", F.col("micro").alias("ma"))
+    eb = ex.select(
+        F.col("vec_id").alias("eb_id"),
+        F.col("dim").alias("dim_b"),
+        F.col("micro").alias("mb"),
+    )
+    scored = (
+        cand.join(ea, "q_id")
+        .join(eb, (F.col("n_id") == F.col("eb_id")) & (F.col("dim") == F.col("dim_b")))
+        .groupBy("q_id", "n_id")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("ip_mm"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("ip_mm").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("n_id").cast("long").alias("n_id"),
+            F.col("ip_mm").cast("long").alias("ip_mm"),
+        )
+    )
+
+
+@register(
+    "e67_kendall_tau",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS nation,
+               epoch_us(o.o_orderdate) // 86400000000 // 30 AS m,
+               COUNT(*) AS x,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.nation,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS tie_y
+        FROM o a JOIN o b ON a.nation = b.nation AND a.m < b.m
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS nc,
+           CAST(SUM(disc) AS BIGINT) AS nd,
+           CAST(SUM(tie_x) AS BIGINT) AS tx,
+           CAST(SUM(tie_y) AS BIGINT) AS ty,
+           CASE WHEN SUM(conc) + SUM(disc) + SUM(tie_x) > 0
+                 AND SUM(conc) + SUM(disc) + SUM(tie_y) > 0
+                THEN CAST(FLOOR((SUM(conc) - SUM(disc)) * 1000.0
+                     / sqrt((SUM(conc) + SUM(disc) + SUM(tie_x)) * 1.0
+                            * (SUM(conc) + SUM(disc) + SUM(tie_y)))) AS BIGINT)
+                ELSE NULL END AS tau_milli
+    FROM pairs GROUP BY 1
+    """,
+    survey="E67,E46,E51",
+)
+def e67_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b per customer nation between monthly order count
+    and monthly revenue — the RANK-correlation companion of e46 Spearman
+    (tau's pairwise-inversion form is more robust to a few wild months
+    and is what tie-heavy business series need, hence the tau-B tie
+    correction).  Months are tz-free 30-day epoch buckets (the f22/e27
+    defense).
+
+    Exactness: concordant/discordant/tie counts are pure BIGINT
+    comparisons over the pairwise month lattice; tau-b's denominator
+    sqrt runs ONCE per nation on exact integer products in identical op
+    order, milli-quantized with FLOOR (the e47 continuity-z discipline);
+    pinned against scipy-free pure-Python pair counting in tests.
+
+    Scale shape: the quadratic term is |months|² per nation — months
+    are CALENDAR-bounded, so the pairwise lattice is constant in corpus
+    volume (the e51 Theil-Sen argument); the only volume-scaled work is
+    the orders⋈customer pre-agg (one shuffle, AQE-sized)."""
+    t = Tables(spark, sf_dir)
+    o = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000 DIV 30").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m"))
+    ).select(
+        F.col("a.nation").alias("nation"),
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias("prod"),
+        (F.col("a.x") == F.col("b.x")).alias("ex"),
+        (F.col("a.y") == F.col("b.y")).alias("ey"),
+    )
+    agg = pairs.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("ex") & ~F.col("ey"), 1).otherwise(0))
+        .cast("long")
+        .alias("tx"),
+        F.sum(F.when(F.col("ey") & ~F.col("ex"), 1).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    denom_ok = ((F.col("nc") + F.col("nd") + F.col("tx")) > 0) & (
+        (F.col("nc") + F.col("nd") + F.col("ty")) > 0
+    )
+    tau = F.floor(
+        (F.col("nc") - F.col("nd"))
+        * 1000.0
+        / F.sqrt(
+            (F.col("nc") + F.col("nd") + F.col("tx")).cast("double")
+            * (F.col("nc") + F.col("nd") + F.col("ty"))
+        )
+    ).cast("long")
+    return agg.select(
+        F.col("nation").cast("long").alias("nation"),
+        "n_pairs",
+        "nc",
+        "nd",
+        "tx",
+        "ty",
+        F.when(denom_ok, tau).otherwise(F.lit(None)).alias("tau_milli"),
+    )
+
+
+@register(
+    "f33_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT b.event_type, b.d0 + s.range AS day
+        FROM bounds b CROSS JOIN range(0, 100000) s
+        WHERE b.d0 + s.range <= b.d1
+    ), filled AS (
+        SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day
+    ), cum AS (
+        SELECT event_type, day, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s1,
+               SUM(n) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS nn
+        FROM filled
+    ), gains AS (
+        SELECT event_type, day, i, nn, s1, s,
+               s1 * s1 * 1000000 // i
+               + (s - s1) * (s - s1) * 1000000 // (nn - i)
+               - s * s * 1000000 // nn AS reduction_micro
+        FROM cum WHERE i < nn
+    ), best AS (
+        SELECT event_type, day, i, nn, s1, s, reduction_micro,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY reduction_micro DESC, day) AS r
+        FROM gains
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS split_day,
+           CAST(i AS BIGINT) AS n_days_left,
+           CAST(nn - i AS BIGINT) AS n_days_right,
+           CAST(s1 AS BIGINT) AS sum_left,
+           CAST(s - s1 AS BIGINT) AS sum_right,
+           CAST(reduction_micro AS BIGINT) AS reduction_micro
+    FROM best WHERE r = 1
+    """,
+    survey="F33,F15,E40",
+)
+def f33_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single binary-segmentation changepoint per event type: the split
+    day maximizing the SSE reduction of a two-segment piecewise-constant
+    fit over the zero-filled daily count series — the offline mean-shift
+    localizer that complements f15's online CUSUM alarm (CUSUM says
+    "something drifted", binseg says WHERE; recursing on the halves is
+    the standard multi-changepoint extension, one extra pass per split).
+
+    Exactness: the variance decomposition needs only integer prefix
+    sums — reduction = S1²·1e6/n1 + S2²·1e6/n2 − S²·1e6/n with per-term
+    truncating DIV mirrored verbatim (overflow budget: S ≤ |events|
+    ≈ 1e6 at sf0.1 ⇒ S²·1e6 ≤ 1e18 < 2⁶³); argmax resolved by a
+    deterministic (reduction DESC, day) rank.  Pinned against a pure-
+    Python O(n) fold in tests.
+
+    Scale shape: daily pre-agg (map-side combinable) → per-type
+    PARTITIONED windows over the CALENDAR-bounded spine → 1-row-per-type
+    rank.  Nothing after the pre-agg scales with event volume."""
+    from pyspark.sql import Window
+
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    cum = filled.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("i"),
+        F.sum("n").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("s1"),
+        F.sum("n").over(wa).alias("s"),
+        F.count("*").over(wa).alias("nn"),
+    )
+    gains = cum.filter(F.col("i") < F.col("nn")).withColumn(
+        "reduction_micro",
+        F.expr(
+            "s1 * s1 * 1000000 DIV i"
+            " + (s - s1) * (s - s1) * 1000000 DIV (nn - i)"
+            " - s * s * 1000000 DIV nn"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("reduction_micro").desc(), F.col("day")
+    )
+    return (
+        gains.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("split_day"),
+            F.col("i").cast("long").alias("n_days_left"),
+            (F.col("nn") - F.col("i")).cast("long").alias("n_days_right"),
+            F.col("s1").cast("long").alias("sum_left"),
+            (F.col("s") - F.col("s1")).cast("long").alias("sum_right"),
+            F.col("reduction_micro").cast("long").alias("reduction_micro"),
+        )
+    )
+
+
+_NOVELTY_BATCH = 50  # docs per simulated ingest batch (doc_id DIV 50)
+
+
+@register(
+    "j92_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id // {_NOVELTY_BATCH} AS batch,
+               string_split({_NORM}, ' ') AS words
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT batch, unnest({_SHINGLES}) AS g FROM toks
+    ), first_seen AS (
+        SELECT g, MIN(batch) AS first_batch FROM grams GROUP BY 1
+    )
+    SELECT CAST(g.batch AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+           CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_grams,
+           CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM grams g JOIN first_seen f ON f.g = g.g
+    GROUP BY 1
+    """,
+    survey="J93,J57,E27",
+)
+def j92_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per ingest batch: of each batch's distinct word
+    3-grams, how many had NEVER appeared in an earlier batch — the
+    content-freshness curve a crawl pipeline watches to decide when a
+    source is exhausted (novelty_ppm decays toward boilerplate-only as
+    batches repeat; e27's HLL distinct-to-date tracks the same frontier
+    approximately, THIS is the exact per-batch attribution).  Batches
+    simulate ingest order as doc_id DIV {_NOVELTY_BATCH}.
+
+    Exactness: pure counting — first-occurrence attribution is a MIN
+    over the (gram, batch) relation, joined back in one pass; novelty
+    rate on the ppm lattice with truncating DIV.
+
+    Scale shape: shingle explode → two hash aggs (distinct + min) + one
+    equi join keyed on the gram — the j57 gram-agg shape; nothing is
+    ever ordered globally and the join key is the gram hash domain
+    (uniform, no skew)."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
+
+    d = Tables(spark, sf_dir).documents
+    grams = (
+        fan_out(d)
+        .select(
+            F.expr(f"doc_id DIV {_NOVELTY_BATCH}").alias("batch"),
+            F.explode(shingles(F.col("text"), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("batch").alias("first_batch"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("distinct_grams"),
+            F.sum(F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_grams"),
+        )
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            "distinct_grams",
+            "new_grams",
+            F.expr("new_grams * 1000000 DIV distinct_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
