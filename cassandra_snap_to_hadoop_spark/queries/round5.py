@@ -956,3 +956,537 @@ def j92_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------ batch 3
+
+# Shared double-precision fragments for e64: BOTH engines evaluate these
+# verbatim (Spark F.expr and the DuckDB oracle are built from the SAME
+# Python strings), so the op order — hence the IEEE result — is
+# identical; the only cross-engine risk is last-ulp libm drift in
+# exp/sqrt, absorbed by the micro floor (the e52/e47 discipline).
+#
+# Welch z from exact integer sufficient statistics (n, Σc, Σc²) of the
+# two calendar halves:
+_WELCH_Z = (
+    "((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)"
+    " / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1) / (n1-1)) / n1"
+    "      + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2) / (n2-1)) / n2))"
+)
+# Two-sided normal p-value via Abramowitz-Stegun 7.1.26 (|err| < 7.5e-8,
+# far above the micro floor), Horner form, az = |z|:
+_AS_P_TWO = (
+    "(2.0 * (exp(-az*az/2.0) / 2.5066282746310002)"
+    " * (((((1.330274429 * (1.0/(1.0+0.2316419*az)) - 1.821255978)"
+    "       * (1.0/(1.0+0.2316419*az)) + 1.781477937)"
+    "       * (1.0/(1.0+0.2316419*az)) - 0.356563782)"
+    "       * (1.0/(1.0+0.2316419*az)) + 0.319381530)"
+    "       * (1.0/(1.0+0.2316419*az))))"
+)
+
+
+@register(
+    "e64_benjamini_hochberg",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ), mid AS (
+        SELECT (MIN(day) + MAX(day) + 1) // 2 AS m_day FROM ev
+    ), halves AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN day <  m_day THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN day <  m_day THEN c ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN day <  m_day THEN c*c ELSE 0 END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN day >= m_day THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN day >= m_day THEN c ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN day >= m_day THEN c*c ELSE 0 END) AS BIGINT) AS q2
+        FROM ev CROSS JOIN mid GROUP BY 1
+    ), zed AS (
+        SELECT event_type, n1, n2, {_WELCH_Z} AS z FROM halves
+    ), pv AS (
+        SELECT event_type, n1, n2,
+               CAST(FLOOR(z * 1000) AS BIGINT) AS z_milli,
+               CAST(FLOOR({_AS_P_TWO} * 1000000) AS BIGINT) AS p_micro
+        FROM (SELECT *, abs(z) AS az FROM zed)
+    ), ranked AS (
+        SELECT a.event_type, MIN(a.n1) AS n1, MIN(a.n2) AS n2,
+               MIN(a.z_milli) AS z_milli, MIN(a.p_micro) AS p_micro,
+               CAST(1 + SUM(CASE WHEN b.p_micro < a.p_micro
+                                   OR (b.p_micro = a.p_micro
+                                       AND b.event_type < a.event_type)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS rnk,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM pv a JOIN pv b ON TRUE
+        GROUP BY a.event_type
+    ), cutoff AS (
+        SELECT COALESCE(MAX(CASE WHEN p_micro * m <= rnk * 50000
+                                 THEN rnk END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.event_type, r.n1, r.n2, r.z_milli, r.p_micro,
+           CAST(r.rnk AS BIGINT) AS rnk,
+           CAST(r.rnk * 50000 // r.m AS BIGINT) AS bh_threshold_micro,
+           r.rnk <= c.k AS rejected
+    FROM ranked r CROSS JOIN cutoff c
+    """,
+    survey="E64,E52,E58",
+)
+def e64_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-event-type drift
+    tests: Welch z between the first and second calendar halves of
+    `value`, two-sided normal p via the Abramowitz-Stegun 7.1.26 tail
+    (|err| < 7.5e-8 ≪ the micro floor), then the step-up rule — reject
+    every p ranked ≤ K where K is the largest i with p_(i) ≤ (i/m)·α,
+    α = 0.05.  Multiple testing is what turns the statistics tier (e52
+    Welch, e45 U, e47 trend) into a fleet-wide MONITOR: without FDR
+    control, running m drift tests nightly at α guarantees false alarms.
+
+    Exactness: sufficient statistics are exact BIGINTs; the z → p chain
+    is built from the SAME Python format strings on both engines
+    (identical op order); the BH comparison p_(i)·m ≤ i·α·1e6 is pure
+    integer arithmetic on the micro lattice; ranks are deterministic
+    (p, event_type).  Pinned against scipy-free pure-Python A-S in
+    tests.
+
+    Scale shape: one conditional-agg scan to |types| rows, then a
+    broadcast self-join of that domain-bounded relation for ranks (the
+    e62 pattern — no unpartitioned window); the corpus is touched
+    once."""
+    e = Tables(spark, sf_dir).events
+    ev = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mid = ev.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m_day")
+    )
+    h = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("day") < F.col("m_day"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("s1"),
+            F.sum(
+                F.when(F.col("day") < F.col("m_day"), F.col("c") * F.col("c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("q1"),
+            F.sum(F.when(F.col("day") >= F.col("m_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(F.when(F.col("day") >= F.col("m_day"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("s2"),
+            F.sum(
+                F.when(F.col("day") >= F.col("m_day"), F.col("c") * F.col("c"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("q2"),
+        )
+    )
+    pv = (
+        h.withColumn("z", F.expr(_WELCH_Z))
+        .withColumn("az", F.abs(F.col("z")))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.floor(F.col("z") * 1000).cast("long").alias("z_milli"),
+            F.floor(F.expr(_AS_P_TWO) * 1000000).cast("long").alias("p_micro"),
+        )
+    )
+    a, b = pv.alias("a"), F.broadcast(pv.alias("b"))
+    ranked = (
+        a.join(b, F.lit(True))
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.min("a.n1").alias("n1"),
+            F.min("a.n2").alias("n2"),
+            F.min("a.z_milli").alias("z_milli"),
+            F.min("a.p_micro").alias("p_micro"),
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("b.p_micro") < F.col("a.p_micro"))
+                        | (
+                            (F.col("b.p_micro") == F.col("a.p_micro"))
+                            & (F.col("b.event_type") < F.col("a.event_type"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("rnk"),
+            F.count("*").cast("long").alias("m"),
+        )
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") * F.col("m") <= F.col("rnk") * 50000,
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "z_milli",
+        "p_micro",
+        "rnk",
+        F.expr("rnk * 50000 DIV m").cast("long").alias("bh_threshold_micro"),
+        (F.col("rnk") <= F.col("k")).alias("rejected"),
+    )
+
+
+_PERIODS = (3, 5, 7, 14, 30)
+
+
+@register(
+    "f34_periodogram",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT b.event_type, b.d0 + s.range AS day, s.range AS t
+        FROM bounds b CROSS JOIN range(0, 100000) s
+        WHERE b.d0 + s.range <= b.d1
+    ), filled AS (
+        SELECT s.event_type, s.t, COALESCE(d.n, 0) AS n
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day
+    ), terms AS (
+        SELECT f.event_type, p.period,
+               CAST(FLOOR(f.n * cos(2 * pi() * f.t / p.period) * 1000000)
+                    AS BIGINT) AS ct,
+               CAST(FLOOR(f.n * sin(2 * pi() * f.t / p.period) * 1000000)
+                    AS BIGINT) AS st
+        FROM filled f CROSS JOIN (
+            SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period
+        ) p
+    ), sums AS (
+        SELECT event_type, period,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ct) // 1000 AS BIGINT) AS c_milli,
+               CAST(SUM(st) // 1000 AS BIGINT) AS s_milli
+        FROM terms GROUP BY 1, 2
+    ), pw AS (
+        SELECT event_type, period, n_days, c_milli, s_milli,
+               c_milli * c_milli + s_milli * s_milli AS power,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c_milli * c_milli
+                                         + s_milli * s_milli DESC,
+                                         period) AS prank
+        FROM sums
+    )
+    SELECT event_type, CAST(period AS INTEGER) AS period, n_days,
+           c_milli, s_milli, CAST(power AS BIGINT) AS power,
+           CAST(prank AS INTEGER) AS prank
+    FROM pw
+    """,
+    survey="F34,F26,F28",
+)
+def f34_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the zero-filled daily count series per
+    event type at candidate periods {_PERIODS}: spectral power
+    |Σ n_t·e^(−2πi·t/P)|² — the frequency-domain periodicity detector
+    that complements f26's lag-domain autocorrelation (acf needs the
+    right lag guessed; the periodogram ranks candidate periods in one
+    pass, feeding f27's season choice).
+
+    Exactness: each Fourier term is micro-quantized IMMEDIATELY
+    (FLOOR(n·cos(2πt/P)·1e6) — libm cos drifts ≤1 ulp ≈ 1e-10 of the
+    term, far below the floor), so sums are exact BIGINTs; the
+    milli-rescale before squaring keeps power ≤ (7e8)² < 2⁶³ (overflow
+    budget in-code); prank is a PARTITIONED deterministic rank.  Pinned
+    against a pure-Python DFT in tests.
+
+    Scale shape: daily pre-agg → calendar-bounded spine × |periods|
+    constant fan-out → one hash agg → per-type rank window.  Corpus is
+    touched once; everything after is calendar-bounded."""
+    from pyspark.sql import Window
+
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias("t"),
+        F.col("d0"),
+    ).select("event_type", "t", (F.col("d0") + F.col("t")).alias("day"))
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    periods = F.array(*[F.lit(p) for p in _PERIODS])
+    terms = filled.select(
+        "event_type",
+        "t",
+        "n",
+        F.explode(periods).alias("period"),
+    ).select(
+        "event_type",
+        "period",
+        F.floor(F.col("n") * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000)
+        .cast("long")
+        .alias("ct"),
+        F.floor(F.col("n") * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000)
+        .cast("long")
+        .alias("st"),
+    )
+    sums = terms.groupBy("event_type", "period").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("SUM(ct) DIV 1000").cast("long").alias("c_milli"),
+        F.expr("SUM(st) DIV 1000").cast("long").alias("s_milli"),
+    )
+    power = (F.col("c_milli") * F.col("c_milli") + F.col("s_milli") * F.col("s_milli"))
+    w = Window.partitionBy("event_type").orderBy(power.desc(), F.col("period"))
+    return sums.select(
+        "event_type",
+        F.col("period").cast("int").alias("period"),
+        "n_days",
+        "c_milli",
+        "s_milli",
+        power.cast("long").alias("power"),
+        F.row_number().over(w).cast("int").alias("prank"),
+    )
+
+
+@register(
+    "j93_cluster_purity_nmi",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), weights AS (
+        SELECT t.range AS p, d.dim, {_SRP_W_SQL} AS w
+        FROM range({_SRP_PLANES}) t CROSS JOIN (SELECT DISTINCT dim FROM ex) d
+    ), dots AS (
+        SELECT e.vec_id, MIN(e.label) AS label, w.p, SUM(e.micro * w.w) AS dot
+        FROM ex e JOIN weights w ON w.dim = e.dim
+        GROUP BY e.vec_id, w.p
+    ), assign AS (
+        SELECT vec_id, MIN(label) AS label,
+               SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS cluster
+        FROM dots GROUP BY 1
+    ), cells AS (
+        SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+        FROM assign GROUP BY 1, 2
+    ), margins_c AS (
+        SELECT cluster, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY 1
+    ), margins_l AS (
+        SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM cells
+    ), mi AS (
+        SELECT CAST(SUM(c.n_cl * CAST(FLOOR(ln(CAST(c.n_cl AS DOUBLE) * t.n
+                       / (CAST(mc.n_c AS DOUBLE) * ml.n_l)) * 1000)
+                       AS BIGINT)) AS BIGINT) AS i_milli
+        FROM cells c
+        JOIN margins_c mc ON mc.cluster = c.cluster
+        JOIN margins_l ml ON ml.label = c.label
+        CROSS JOIN tot t
+    ), hc AS (
+        SELECT CAST(SUM(n_c * CAST(FLOOR(ln(CAST(t.n AS DOUBLE) / n_c) * 1000)
+                       AS BIGINT)) AS BIGINT) AS h_c
+        FROM margins_c CROSS JOIN tot t
+    ), hl AS (
+        SELECT CAST(SUM(n_l * CAST(FLOOR(ln(CAST(t.n AS DOUBLE) / n_l) * 1000)
+                       AS BIGINT)) AS BIGINT) AS h_l
+        FROM margins_l CROSS JOIN tot t
+    ), maj AS (
+        SELECT c.cluster, MIN(mc.n_c) AS n,
+               MAX(c.n_cl) AS majority_n
+        FROM cells c JOIN margins_c mc ON mc.cluster = c.cluster
+        GROUP BY 1
+    ), majl AS (
+        SELECT m.cluster, m.n, m.majority_n,
+               MIN(c.label) AS majority_label
+        FROM maj m JOIN cells c
+          ON c.cluster = m.cluster AND c.n_cl = m.majority_n
+        GROUP BY 1, 2, 3
+    ), pure AS (
+        SELECT CAST(SUM(majority_n) AS BIGINT) AS pure_n FROM majl
+    )
+    SELECT CAST(m.cluster AS BIGINT) AS cluster,
+           CAST(m.n AS BIGINT) AS n,
+           CAST(m.majority_label AS INTEGER) AS majority_label,
+           CAST(m.majority_n AS BIGINT) AS majority_n,
+           CAST(p.pure_n * 1000000 // t.n AS BIGINT) AS purity_ppm,
+           CASE WHEN hc.h_c + hl.h_l > 0
+                THEN CAST(2 * mi.i_milli * 1000000 // (hc.h_c + hl.h_l)
+                          AS BIGINT)
+                ELSE NULL END AS nmi_ppm
+    FROM majl m
+    CROSS JOIN pure p CROSS JOIN tot t CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """,
+    survey="J94,E53,J78",
+)
+def j93_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL clustering evaluation — purity and normalized mutual
+    information of the SRP bucket assignment (j3_knn_srp_md5's 6-bit
+    index reused as an unsupervised clustering) against the true labels.
+    Completes the clustering-eval tier with the information-theoretic
+    leg: e53 kappa measures pairwise agreement, e54/e55 measure
+    geometry, purity/NMI measure LABEL RECOVERY — the standard triple
+    reported for unsupervised text clustering.
+
+    Exactness: the contingency table is exact BIGINT counting on the
+    certified SRP buckets; every entropy/MI term is ln of an exact
+    integer ratio evaluated in identical op order and FLOOR-quantized
+    to milli-nats BEFORE the weighted integer sum (the j77/e58 per-term
+    discipline); purity and NMI are single integer divisions at the
+    end.  Pinned against a pure-Python contingency fold in tests.
+
+    Scale shape: the j3-SRP bucket agg (one posexplode hash agg with a
+    KB weight broadcast) → a |clusters|·|labels| ≤ 640-cell contingency
+    relation → KB joins.  One corpus scan."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = fan_out(e).select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    dims = ex.select("dim").distinct()
+    planes = spark.range(_SRP_PLANES).select(F.col("id").cast("int").alias("p"))
+    weights = dims.crossJoin(F.broadcast(planes)).select(
+        "p",
+        "dim",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit("srp:"),
+                            F.col("p").cast("string"),
+                            F.lit(":"),
+                            F.col("dim").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2000001
+            - 1000000
+        ).alias("w"),
+    )
+    dots = (
+        ex.join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "p")
+        .agg(F.min("label").alias("label"), F.sum(F.col("micro") * F.col("w")).alias("dot"))
+    )
+    assign = dots.groupBy("vec_id").agg(
+        F.min("label").alias("label"),
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(F.lit(0))
+        ).alias("cluster"),
+    )
+    cells = assign.groupBy("cluster", "label").agg(
+        F.count("*").cast("long").alias("n_cl")
+    )
+    mc = cells.groupBy("cluster").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    ml = cells.groupBy("label").agg(F.sum("n_cl").cast("long").alias("n_l"))
+    tot = cells.agg(F.sum("n_cl").cast("long").alias("n"))
+    mi = (
+        cells.join(mc, "cluster")
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_cl")
+                * F.floor(
+                    F.log(
+                        F.col("n_cl").cast("double")
+                        * F.col("n")
+                        / (F.col("n_c").cast("double") * F.col("n_l"))
+                    )
+                    * 1000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("i_milli")
+        )
+    )
+    hc = mc.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n_c")
+            * F.floor(F.log(F.col("n").cast("double") / F.col("n_c")) * 1000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("h_c")
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n_l")
+            * F.floor(F.log(F.col("n").cast("double") / F.col("n_l")) * 1000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("h_l")
+    )
+    maj = cells.join(mc, "cluster").groupBy("cluster").agg(
+        F.min("n_c").alias("n"), F.max("n_cl").alias("majority_n")
+    )
+    majl = (
+        maj.join(cells, "cluster")
+        .filter(F.col("n_cl") == F.col("majority_n"))
+        .groupBy("cluster", "n", "majority_n")
+        .agg(F.min("label").alias("majority_label"))
+    )
+    pure = majl.agg(F.sum("majority_n").cast("long").alias("pure_n"))
+    nmi = F.when(
+        F.col("h_c") + F.col("h_l") > 0,
+        F.expr("2 * i_milli * 1000000 DIV (h_c + h_l)").cast("long"),
+    ).otherwise(F.lit(None))
+    return (
+        majl.crossJoin(F.broadcast(pure))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_total"))))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n").cast("long").alias("n"),
+            F.col("majority_label").cast("int").alias("majority_label"),
+            F.col("majority_n").cast("long").alias("majority_n"),
+            F.expr("pure_n * 1000000 DIV n_total").cast("long").alias("purity_ppm"),
+            nmi.alias("nmi_ppm"),
+        )
+    )

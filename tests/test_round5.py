@@ -487,3 +487,183 @@ def test_j92_matches_python_and_laws(spark):
     assert got[min(got)][2] == 1_000_000
     for _, (dg, ng, ppm) in got.items():
         assert 0 <= ng <= dg and ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------- batch 3
+
+
+def _events():
+    con = duckdb.connect()
+    return con.execute(
+        f"""SELECT event_type, epoch_us(ts) // 86400000000,
+                   CAST(ROUND(value * 100) AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchall()
+
+
+def test_e64_matches_python_as_approximation(spark):
+    """scipy-free pure-Python Abramowitz-Stegun pin for the full
+    Welch-z → p → BH step-up chain."""
+    evs = _events()
+    days = [d for _, d, _ in evs]
+    m_day = (min(days) + max(days) + 1) // 2
+    stats: dict[str, list[int]] = {}
+    for et, d, c in evs:
+        acc = stats.setdefault(et, [0, 0, 0, 0, 0, 0])
+        if d < m_day:
+            acc[0] += 1
+            acc[1] += c
+            acc[2] += c * c
+        else:
+            acc[3] += 1
+            acc[4] += c
+            acc[5] += c * c
+    pv = {}
+    for et, (n1, s1, q1, n2, s2, q2) in stats.items():
+        z = (s1 / n1 - s2 / n2) / math.sqrt(
+            ((q1 - s1 / n1 * s1) / (n1 - 1)) / n1
+            + ((q2 - s2 / n2 * s2) / (n2 - 1)) / n2
+        )
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        tail = (math.exp(-az * az / 2.0) / 2.5066282746310002) * (
+            ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+              - 0.356563782) * t + 0.319381530) * t
+        )
+        pv[et] = (n1, n2, math.floor(z * 1000), math.floor(2.0 * tail * 1_000_000))
+    m = len(pv)
+    ordered = sorted(pv.items(), key=lambda kv: (kv[1][3], kv[0]))
+    ranks = {et: i + 1 for i, (et, _) in enumerate(ordered)}
+    k = max(
+        (ranks[et] for et, v in pv.items() if v[3] * m <= ranks[et] * 50000),
+        default=0,
+    )
+    want = {
+        et: (v[0], v[1], v[2], v[3], ranks[et], ranks[et] * 50000 // m,
+             ranks[et] <= k)
+        for et, v in pv.items()
+    }
+    got = {
+        r.event_type: (r.n1, r.n2, r.z_milli, r.p_micro, r.rnk,
+                       r.bh_threshold_micro, r.rejected)
+        for r in REGISTRY["e64_benjamini_hochberg"].fn(spark, SF).collect()
+    }
+    # z/p cross 3 libms (JVM, DuckDB, CPython): allow the last milli/micro
+    # digit to differ; everything integer-derived must be exact.
+    assert set(got) == set(want)
+    for et in want:
+        wn1, wn2, wz, wp, wr, wb, wrej = want[et]
+        gn1, gn2, gz, gp, gr, gb, grej = got[et]
+        assert (gn1, gn2, gr, gb, grej) == (wn1, wn2, wr, wb, wrej)
+        assert abs(gz - wz) <= 1 and abs(gp - wp) <= 1
+
+
+def test_e64_bh_is_step_up(spark):
+    """BH law: the rejection set is a prefix of the p-ordered list."""
+    rows = sorted(
+        REGISTRY["e64_benjamini_hochberg"].fn(spark, SF).collect(),
+        key=lambda r: r.rnk,
+    )
+    seen_accept = False
+    for r in rows:
+        if not r.rejected:
+            seen_accept = True
+        else:
+            assert not seen_accept, "rejected row after an accepted one"
+
+
+def test_f34_matches_python_dft(spark):
+    evs = _events()
+    series: dict[str, dict[int, int]] = {}
+    for et, d, _ in evs:
+        series.setdefault(et, {})[d] = series.setdefault(et, {}).get(d, 0) + 1
+    want = {}
+    for et, by_day in series.items():
+        d0, d1 = min(by_day), max(by_day)
+        xs = [by_day.get(d, 0) for d in range(d0, d1 + 1)]
+        pw = {}
+        for p in (3, 5, 7, 14, 30):
+            ct = sum(math.floor(n * math.cos(2 * math.pi * t / p) * 1_000_000)
+                     for t, n in enumerate(xs))
+            st = sum(math.floor(n * math.sin(2 * math.pi * t / p) * 1_000_000)
+                     for t, n in enumerate(xs))
+            cm, sm = _tzdiv(ct, 1000), _tzdiv(st, 1000)
+            pw[p] = (len(xs), cm, sm, cm * cm + sm * sm)
+        ranked = sorted(pw.items(), key=lambda kv: (-kv[1][3], kv[0]))
+        for rnk, (p, v) in enumerate(ranked, 1):
+            want[(et, p)] = (*v, rnk)
+    got = {
+        (r.event_type, r.period): (r.n_days, r.c_milli, r.s_milli, r.power, r.prank)
+        for r in REGISTRY["f34_periodogram"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_j93_matches_python_contingency(spark):
+    vecs = _vecs()
+    micro = {
+        vid: ([math.floor(float(x) * 1_000_000 + 0.5) for x in emb], label)
+        for vid, label, emb in vecs
+    }
+
+    def w(p: int, d: int) -> int:
+        return _h60(f"srp:{p}:{d}") % 2000001 - 1000000
+
+    cells: dict[tuple[int, int], int] = {}
+    for vid, (m, label) in micro.items():
+        b = 0
+        for p in range(6):
+            if sum(mm * w(p, d) for d, mm in enumerate(m)) >= 0:
+                b |= 1 << p
+        cells[(b, label)] = cells.get((b, label), 0) + 1
+    n_c: dict[int, int] = {}
+    n_l: dict[int, int] = {}
+    for (c, l), n in cells.items():
+        n_c[c] = n_c.get(c, 0) + n
+        n_l[l] = n_l.get(l, 0) + n
+    n_tot = sum(cells.values())
+    i_milli = sum(
+        n * math.floor(math.log(n * n_tot / (n_c[c] * n_l[l])) * 1000)
+        for (c, l), n in cells.items()
+    )
+    h_c = sum(v * math.floor(math.log(n_tot / v) * 1000) for v in n_c.values())
+    h_l = sum(v * math.floor(math.log(n_tot / v) * 1000) for v in n_l.values())
+    pure_n = sum(
+        max(n for (c2, _), n in cells.items() if c2 == c) for c in n_c
+    )
+    want = {}
+    for c in n_c:
+        mx = max(n for (c2, _), n in cells.items() if c2 == c)
+        lab = min(l for (c2, l), n in cells.items() if c2 == c and n == mx)
+        want[c] = (
+            n_c[c],
+            lab,
+            mx,
+            pure_n * 1_000_000 // n_tot,
+            _tzdiv(2 * i_milli * 1_000_000, h_c + h_l),
+        )
+    got = {
+        r.cluster: (r.n, r.majority_label, r.majority_n, r.purity_ppm, r.nmi_ppm)
+        for r in REGISTRY["j93_cluster_purity_nmi"].fn(spark, SF).collect()
+    }
+    # ln crosses 3 libms: per-term milli floors can flip by one; allow the
+    # aggregate NMI ppm a tolerance scaled to the cell count while pinning
+    # every pure-integer column exactly.
+    assert set(got) == set(want)
+    n_cells = len(cells)
+    for c in want:
+        wn, wl, wm, wp, wnmi = want[c]
+        gn, gl, gm, gp, gnmi = got[c]
+        assert (gn, gl, gm, gp) == (wn, wl, wm, wp)
+        assert abs(gnmi - wnmi) <= max(
+            5, 2 * 1_000_000 * n_cells // max(h_c + h_l, 1)
+        )
+
+
+def test_j93_purity_and_nmi_bounds(spark):
+    rows = REGISTRY["j93_cluster_purity_nmi"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.majority_n <= r.n
+        assert 0 < r.purity_ppm <= 1_000_000
+        assert r.nmi_ppm is None or -5 <= r.nmi_ppm <= 1_000_100
