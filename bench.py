@@ -61,6 +61,11 @@ HEADLINE = [
     # and grid-blocked density classification
     "j86_kmeans_lloyd",
     "j87_dbscan_core",
+    # round-5: iterative graph clustering over the banded dup graph
+    # (multi-round join/agg workload class) and positional winnowing
+    # fingerprints (partitioned sliding-min window + bucket pair join)
+    "j90_connected_components",
+    "j91_winnowing_fingerprints",
 ]
 
 N_RUNS = 3

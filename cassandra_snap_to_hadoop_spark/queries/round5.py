@@ -1490,3 +1490,194 @@ def j93_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             nmi.alias("nmi_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------ batch 4
+
+_JSD_V = 500  # head-vocabulary size; all other tokens lump into one OOV cell
+_WORDS5 = f"string_split({_NORM}, ' ')"
+# The JSD term from pre-computed p/q columns — one shared fragment so both
+# engines execute the identical IEEE op order (the e64 discipline).
+_JSD_TERM = (
+    "CAST(FLOOR((p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q)))"
+    " / 2.0 * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "e65_js_divergence",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, unnest({_WORDS5}) AS tok FROM documents
+    ), g AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM g
+        ) WHERE rk <= {_JSD_V}
+    ), tv AS (
+        SELECT t.source,
+               CASE WHEN v.tok IS NULL THEN chr(0) ELSE t.tok END AS tok
+        FROM t LEFT JOIN vocab v ON v.tok = t.tok
+    ), sc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tv GROUP BY 1, 2
+    ), gv AS (
+        SELECT tok, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM sc GROUP BY 1
+    ), ns AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM sc GROUP BY 1
+    ), ntot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sc
+    ), vsz AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM gv
+    ), grid AS (
+        SELECT s.source, s.n_s, v.tok, v.gcnt
+        FROM ns s CROSS JOIN gv v
+    ), pre AS (
+        SELECT g.source, g.n_s,
+               (COALESCE(sc.cnt, 0) + 1.0) / (g.n_s + vsz.vv) AS p,
+               (g.gcnt - COALESCE(sc.cnt, 0) + 1.0)
+                   / (ntot.n - g.n_s + vsz.vv) AS q
+        FROM grid g
+        LEFT JOIN sc ON sc.source = g.source AND sc.tok = g.tok
+        CROSS JOIN ntot CROSS JOIN vsz
+    )
+    SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM({_JSD_TERM}) AS BIGINT) AS jsd_micro
+    FROM pre GROUP BY 1
+    """,
+    survey="E65,E58,E36",
+)
+def e65_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the REST of the corpus over the top-{_JSD_V} head vocabulary (+ one
+    lumped OOV cell), Laplace-smoothed — the symmetric, bounded (≤ ln 2)
+    member completing the text-drift triple: j37 KL (asymmetric,
+    unbounded), e58 PSI (numeric-binned), THIS (symmetric, vocabulary-
+    domain).  The mixture-split training question "does source s read
+    like the rest of the mix" is exactly JSD.
+
+    Exactness: p and q are computed ONCE as columns from exact integer
+    counts (Laplace +1 over the grid of source × head-vocab cells —
+    including zero-count cells, which is where smoothing matters), the
+    per-cell term is a shared-fragment double chain FLOOR-quantized to
+    a micro int BEFORE the sum (the e37/e58 per-term discipline).
+
+    Scale shape: one token-stream hash agg + TakeOrderedAndProject head
+    vocab (the j44 pattern — no global sort), one broadcast vocab join,
+    then everything lives on the |sources|·{_JSD_V + 1}-cell bounded
+    grid.  OOV lumping is what keeps the grid bounded at any corpus
+    size."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = fan_out(Tables(spark, sf_dir).documents)
+    t = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    g = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    vocab = (
+        g.orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_JSD_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    tv = t.join(F.broadcast(vocab), "tok", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNull(), F.lit("\x00")).otherwise(F.col("tok")).alias("tok"),
+    )
+    sc = tv.groupBy("source", "tok").agg(F.count("*").cast("long").alias("cnt"))
+    gv = sc.groupBy("tok").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    ns = sc.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    ntot = sc.agg(F.sum("cnt").cast("long").alias("n"))
+    vsz = gv.agg(F.count("*").cast("double").alias("vv"))
+    grid = ns.crossJoin(F.broadcast(gv))
+    pre = (
+        grid.join(sc, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "source",
+            "n_s",
+            ((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("n_s") + F.col("vv"))).alias("p"),
+            (
+                (F.col("gcnt") - F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                / (F.col("n") - F.col("n_s") + F.col("vv"))
+            ).alias("q"),
+        )
+    )
+    return pre.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        F.sum(F.expr(_JSD_TERM)).cast("long").alias("jsd_micro"),
+    )
+
+
+_COMPACT_TARGET = 20_000  # rows per compaction output group
+
+
+@register(
+    "a29_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 // 30 AS part,
+               epoch_us(l_shipdate) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    ), packed AS (
+        SELECT part, day, n_rows,
+               CAST((SUM(n_rows) OVER (PARTITION BY part ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    // {_COMPACT_TARGET} AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT CAST(part AS BIGINT) AS part, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(MIN(day) AS BIGINT) AS first_day,
+           CAST(MAX(day) AS BIGINT) AS last_day,
+           CAST(SUM(n_rows) * 1000000 // {_COMPACT_TARGET} AS BIGINT)
+               AS fill_ppm
+    FROM packed GROUP BY 1, 2
+    """,
+    survey="A29,A22,A28",
+)
+def a29_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning over per-file statistics: within
+    each partition (30-day ship bucket), greedily pack the per-day
+    "files" (row-count stats standing in for file sizes — the same
+    metadata a lakehouse manifest carries) into output groups of
+    ~{_COMPACT_TARGET} rows by cumulative-sum binning — bin =
+    (running_total − 1) DIV target, the sequential first-fit plan a
+    compaction service executes.  Completes the physical-layout tier:
+    a22 plans RETENTION, a28 proves SKIPPING, this plans REWRITE.
+
+    Exactness: pure integer arithmetic on exact counts; day order makes
+    the greedy assignment deterministic.  fill_ppm > 1e6 flags a single
+    input larger than the target (it becomes its own group — correct
+    first-fit behavior, not an error).
+
+    Scale shape: the plan is computed ENTIRELY on the per-file stats
+    relation (|partitions|·|files-per-partition| rows — metadata scale,
+    like a22/a28), never on the data; the only data-touching step is
+    the per-(partition, day) pre-agg, one map-side-combinable hash agg.
+    Windows are PARTITIONED by the partition key."""
+    from pyspark.sql import Window
+
+    li = Tables(spark, sf_dir).lineitem
+    files = li.groupBy(
+        F.expr("unix_micros(l_shipdate) DIV 86400000000 DIV 30").alias("part"),
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        files.withColumn("cum", F.sum("n_rows").over(w))
+        .withColumn("bin", F.expr(f"(cum - 1) DIV {_COMPACT_TARGET}").cast("long"))
+    )
+    return packed.groupBy("part", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.min("day").cast("long").alias("first_day"),
+        F.max("day").cast("long").alias("last_day"),
+        F.expr(f"SUM(n_rows) * 1000000 DIV {_COMPACT_TARGET}")
+        .cast("long")
+        .alias("fill_ppm"),
+    )

@@ -667,3 +667,109 @@ def test_j93_purity_and_nmi_bounds(spark):
         assert r.majority_n <= r.n
         assert 0 < r.purity_ppm <= 1_000_000
         assert r.nmi_ppm is None or -5 <= r.nmi_ppm <= 1_000_100
+
+
+# ---------------------------------------------------------------- batch 4
+
+
+def test_e65_matches_python_jsd(spark):
+    docs = duckdb.connect().execute(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    g: Counter = Counter()
+    per_src: dict[str, Counter] = {}
+    for src, text in docs:
+        toks = _norm_words(text)
+        g.update(toks)
+        per_src.setdefault(src, Counter()).update(toks)
+    vocab = set(
+        t for t, _ in sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    )
+
+    def lump(cnt: Counter) -> Counter:
+        out: Counter = Counter()
+        for t, c in cnt.items():
+            out[t if t in vocab else "\x00"] += c
+        return out
+
+    gl = lump(g)
+    vv = float(len(gl))
+    n = sum(gl.values())
+    want = {}
+    for src, cnt in per_src.items():
+        sl = lump(cnt)
+        n_s = sum(sl.values())
+        jsd = 0
+        for tok, gcnt in gl.items():
+            c_s = sl.get(tok, 0)
+            p = (c_s + 1.0) / (n_s + vv)
+            q = (gcnt - c_s + 1.0) / (n - n_s + vv)
+            jsd += math.floor(
+                (p * math.log(2.0 * p / (p + q)) + q * math.log(2.0 * q / (p + q)))
+                / 2.0
+                * 1_000_000
+            )
+        want[src] = (n_s, jsd)
+    got = {
+        r.source: (r.n_tokens, r.jsd_micro)
+        for r in REGISTRY["e65_js_divergence"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    n_cells = len(gl)
+    for src in want:
+        wn, wj = want[src]
+        gn, gj = got[src]
+        assert gn == wn
+        # ln crosses libms: each of the ~|vocab| per-cell floors can flip
+        # by one micro-unit.
+        assert abs(gj - wj) <= n_cells
+    # JSD laws: non-negative (up to per-cell floor slack), bounded by ln 2.
+    for _, (gn, gj) in got.items():
+        assert -n_cells <= gj <= math.ceil(math.log(2) * 1_000_000) + n_cells
+
+
+def test_a29_matches_python_first_fit(spark):
+    rows = duckdb.connect().execute(
+        f"""SELECT epoch_us(l_shipdate) // 86400000000 // 30,
+                   epoch_us(l_shipdate) // 86400000000, COUNT(*)
+            FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    parts: dict[int, list[tuple[int, int]]] = {}
+    for part, day, nr in rows:
+        parts.setdefault(part, []).append((day, nr))
+    want = {}
+    for part, files in parts.items():
+        files.sort()
+        cum = 0
+        for day, nr in files:
+            cum += nr
+            b = (cum - 1) // 20_000
+            key = (part, b)
+            acc = want.setdefault(key, [0, 0, day, day])
+            acc[0] += 1
+            acc[1] += nr
+            acc[3] = day
+    got = {
+        (r.part, r.bin): (r.n_files, r.rows_total, r.first_day, r.last_day,
+                          r.fill_ppm)
+        for r in REGISTRY["a29_compaction_planner"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (nf, rt, fd, ld) in want.items():
+        assert got[k] == (nf, rt, fd, ld, rt * 1_000_000 // 20_000)
+
+
+def test_a29_bins_are_contiguous_and_ordered(spark):
+    """First-fit law: within a partition, bins are 0..K dense and their
+    day ranges never interleave."""
+    rows = REGISTRY["a29_compaction_planner"].fn(spark, SF).collect()
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rs] == list(range(len(rs)))
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_day <= b.first_day

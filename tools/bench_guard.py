@@ -50,6 +50,8 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j82_bloom_prefilter_dedup": 0.75,
     "j86_kmeans_lloyd": 2.37,
     "j87_dbscan_core": 0.71,
+    "j90_connected_components": 3.77,
+    "j91_winnowing_fingerprints": 1.72,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan

@@ -569,8 +569,141 @@ def main() -> None:
             .agg(F.count("*").alias("freq"), F.sum("n_words").alias("deg"))
         )
 
+    # Round-5 shapes: CC propagation over the banded dup graph (marked
+    # replicas keep in-replica dup structure, so edges and components
+    # scale ~Nx while round count stays constant), winnowing fingerprint
+    # pair generation (marked replicas — exact replicas would measure the
+    # output-quadratic all-duplicates case j57 covers), and SRP bucketed
+    # KNN (exact replicas multiply bucket occupancy Nx — per-query
+    # candidate volume linear in occupancy is the claim).
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        dup_clusters,
+        md5_minhash_bands,
+    )
+
+    def cc_shape(d):
+        bands = md5_minhash_bands(d, n_hashes=16, rows_per_band=4)
+        hubs = (
+            bands.groupBy("band", "bkey")
+            .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .drop("n")
+        )
+        pairs = (
+            bands.join(hubs, ["band", "bkey"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = d.select(F.col("doc_id").alias("id"))
+        return (
+            dup_clusters(nodes, pairs, max_iterations=10)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+        )
+
+    def winnow_shape(d):
+        from pyspark.sql.window import Window as W
+
+        words = F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+        toks = d.select("doc_id", words.alias("words")).filter(F.size("words") >= 4)
+        grams = toks.select(
+            "doc_id",
+            (F.size("words") - 3).alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 3),"
+                    " i -> concat_ws(' ', slice(words, i, 4)))"
+                )
+            ).alias("pos0", "g"),
+        ).select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+        fps = (
+            grams.withColumn("fp", F.min("h").over(w))
+            .filter(F.col("pos") <= F.col("n_grams") - 3)
+            .select("doc_id", "fp")
+            .distinct()
+        )
+        freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+        kept = fps.join(freq.filter(F.col("df") <= 50), "fp")
+        a = kept.select("fp", F.col("doc_id").alias("id_a"))
+        b = kept.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b"))
+        return (
+            a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= 2)
+        )
+
+    def srp_knn_shape(emb):
+        ex = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+        )
+        dims = ex.select("dim").distinct()
+        planes = spark.range(6).select(F.col("id").cast("int").alias("p"))
+        weights = dims.crossJoin(F.broadcast(planes)).select(
+            "p",
+            "dim",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                F.lit("srp:"),
+                                F.col("p").cast("string"),
+                                F.lit(":"),
+                                F.col("dim").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2000001
+                - 1000000
+            ).alias("w"),
+        )
+        dots = (
+            ex.join(F.broadcast(weights), "dim")
+            .groupBy("vec_id", "p")
+            .agg(F.sum(F.col("micro") * F.col("w")).alias("dot"))
+        )
+        buckets = dots.groupBy("vec_id").agg(
+            F.sum(
+                F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                .otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+        q = buckets.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "bucket"
+        )
+        cand = q.join(
+            buckets.select(F.col("vec_id").alias("n_id"), F.col("bucket").alias("b2")),
+            (F.col("bucket") == F.col("b2")) & (F.col("q_id") != F.col("n_id")),
+        ).select("q_id", "n_id")
+        return cand.groupBy("q_id").agg(F.count("*").alias("n_cand"))
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("cc-propagation", lambda: cc_shape(d1_marked), lambda: cc_shape(dN_marked)),
+        ("winnowing-pairs", lambda: winnow_shape(d1_marked), lambda: winnow_shape(dN_marked)),
+        ("srp-bucket-knn", lambda: srp_knn_shape(emb1), lambda: srp_knn_shape(embN)),
         ("minhash-md5-bands", lambda: minhash_md5_shape(d1_marked), lambda: minhash_md5_shape(dN_marked)),
         ("kmeans-lloyd-iter", lambda: kmeans_shape(emb1), lambda: kmeans_shape(embN)),
         ("dbscan-grid-probe", lambda: dbscan_shape(o1), lambda: dbscan_shape(oN)),
