@@ -1681,3 +1681,369 @@ def a29_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_ppm"),
     )
+
+
+# ------------------------------------------------------------------ batch 5
+
+# One-sided z critical value at alpha=0.05, a shared literal (no erf
+# needed: TOST compares z against the constant, not p against alpha).
+_Z_CRIT_MILLI = 1644  # FLOOR(1.6448536269514722 * 1000)
+
+
+@register(
+    "e66_tost_equivalence",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ), mid AS (
+        SELECT (MIN(day) + MAX(day) + 1) // 2 AS m_day FROM ev
+    ), halves AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN day <  m_day THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN day <  m_day THEN c ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN day <  m_day THEN c*c ELSE 0 END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN day >= m_day THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN day >= m_day THEN c ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN day >= m_day THEN c*c ELSE 0 END) AS BIGINT) AS q2
+        FROM ev CROSS JOIN mid GROUP BY 1
+    ), margin AS (
+        SELECT event_type, n1, s1, q1, n2, s2, q2,
+               (s1 + s2) * 5 // ((n1 + n2) * 100) AS delta_c,
+               (s1 * n2 - s2 * n1) * 1000 // (n1 * n2) AS diff_milli_c
+        FROM halves
+    ), zs AS (
+        SELECT event_type, n1, n2, delta_c, diff_milli_c,
+               CAST(FLOOR(((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)
+                            + delta_c)
+                   / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)
+                           / (n1-1)) / n1
+                        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)
+                           / (n2-1)) / n2) * 1000) AS BIGINT) AS z_low_milli,
+               CAST(FLOOR(((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)
+                            - delta_c)
+                   / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)
+                           / (n1-1)) / n1
+                        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)
+                           / (n2-1)) / n2) * 1000) AS BIGINT) AS z_up_milli
+        FROM margin
+    )
+    SELECT event_type, n1, n2,
+           CAST(delta_c AS BIGINT) AS delta_cents,
+           CAST(diff_milli_c AS BIGINT) AS diff_milli_cents,
+           z_low_milli, z_up_milli,
+           (z_low_milli >= {_Z_CRIT_MILLI}
+            AND z_up_milli <= -{_Z_CRIT_MILLI}) AS equivalent
+    FROM zs
+    """,
+    survey="E66,E52,E64",
+)
+def e66_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence certification (two one-sided tests) per event
+    type between the calendar halves of `value` — the INVERSE question
+    of the drift tier: e52/e64 can only fail to find drift, TOST
+    positively CERTIFIES "means are within ±δ" (Schuirmann 1987, the
+    regulatory bioequivalence standard), which is what a data-contract
+    "this source did not move" guarantee actually needs.  δ = 5% of the
+    pooled mean, on the integer cent lattice.
+
+    Exactness: δ and the mean difference are EXACT integers
+    ((s1·n2−s2·n1)·1000 DIV (n1·n2) — no float subtraction of means);
+    the two z statistics reuse e64's Welch machinery with the margin
+    added/subtracted before the shared-fragment divide, milli-floored;
+    the decision compares integers against the constant z₀.₀₅·1000 —
+    no erf anywhere.  Pinned against pure-Python in tests.
+
+    Scale shape: identical to e64 — one conditional-agg scan to |types|
+    rows, then row-local arithmetic.  No joins, no windows."""
+    e = Tables(spark, sf_dir).events
+    ev = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mid = ev.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m_day"))
+    h = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m_day"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(F.col("day") < F.col("m_day"), F.col("c")).otherwise(0)).cast("long").alias("s1"),
+            F.sum(F.when(F.col("day") < F.col("m_day"), F.col("c") * F.col("c")).otherwise(0)).cast("long").alias("q1"),
+            F.sum(F.when(F.col("day") >= F.col("m_day"), 1).otherwise(0)).cast("long").alias("n2"),
+            F.sum(F.when(F.col("day") >= F.col("m_day"), F.col("c")).otherwise(0)).cast("long").alias("s2"),
+            F.sum(F.when(F.col("day") >= F.col("m_day"), F.col("c") * F.col("c")).otherwise(0)).cast("long").alias("q2"),
+        )
+    )
+    margin = h.select(
+        "*",
+        F.expr("(s1 + s2) * 5 DIV ((n1 + n2) * 100)").alias("delta_c"),
+        F.expr("(s1 * n2 - s2 * n1) * 1000 DIV (n1 * n2)").alias("diff_milli_c"),
+    )
+    se = (
+        "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1) / (n1-1)) / n1"
+        " + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2) / (n2-1)) / n2)"
+    )
+    d = "(CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)"
+    zs = margin.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.col("delta_c").cast("long").alias("delta_cents"),
+        F.col("diff_milli_c").cast("long").alias("diff_milli_cents"),
+        F.expr(f"CAST(FLOOR(({d} + delta_c) / {se} * 1000) AS BIGINT)").alias("z_low_milli"),
+        F.expr(f"CAST(FLOOR(({d} - delta_c) / {se} * 1000) AS BIGINT)").alias("z_up_milli"),
+    )
+    return zs.withColumn(
+        "equivalent",
+        (F.col("z_low_milli") >= _Z_CRIT_MILLI)
+        & (F.col("z_up_milli") <= -_Z_CRIT_MILLI),
+    )
+
+
+@register(
+    "j94_golden_record",
+    oracle=f"""
+    WITH {_cc_sql_edges()}, {_cc_sql_iters(_CC_ITERS)}, comp AS (
+        SELECT node AS doc_id, lbl AS component_id FROM l{_CC_ITERS}
+    ), sized AS (
+        SELECT component_id FROM comp GROUP BY 1 HAVING COUNT(*) >= 2
+    ), members AS (
+        SELECT c.component_id, d.doc_id, d.lang, d.source, d.n_chars
+        FROM comp c
+        JOIN sized s ON s.component_id = c.component_id
+        JOIN documents d ON d.doc_id = c.doc_id
+    ), rep AS (
+        SELECT component_id, MAX(n_chars) AS rep_n_chars
+        FROM members GROUP BY 1
+    ), repdoc AS (
+        SELECT m.component_id, MIN(m.doc_id) AS rep_doc
+        FROM members m JOIN rep r
+          ON r.component_id = m.component_id AND m.n_chars = r.rep_n_chars
+        GROUP BY 1
+    ), langc AS (
+        SELECT component_id, lang, COUNT(*) AS cnt FROM members GROUP BY 1, 2
+    ), langmax AS (
+        SELECT component_id, MAX(cnt) AS mx FROM langc GROUP BY 1
+    ), canon AS (
+        SELECT lc.component_id, MIN(lc.lang) AS canonical_lang
+        FROM langc lc JOIN langmax lm
+          ON lm.component_id = lc.component_id AND lc.cnt = lm.mx
+        GROUP BY 1
+    )
+    SELECT m.component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(rd.rep_doc) AS BIGINT) AS rep_doc,
+           CAST(MIN(r.rep_n_chars) AS BIGINT) AS rep_n_chars,
+           CAST(COUNT(DISTINCT m.lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT m.source) AS BIGINT) AS n_sources,
+           MIN(c.canonical_lang) AS canonical_lang
+    FROM members m
+    JOIN rep r ON r.component_id = m.component_id
+    JOIN repdoc rd ON rd.component_id = m.component_id
+    JOIN canon c ON c.component_id = m.component_id
+    GROUP BY 1
+    """,
+    survey="J95,J90,J40",
+)
+def j94_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP (golden record): for every
+    near-dup component (j90's certified clusters), elect the canonical
+    record by deterministic field-level rules — representative = the
+    longest member (smallest doc_id among ties), canonical language =
+    the majority lang (lexicographic tiebreak), plus the lang/source
+    spread that tells curation how heterogeneous the cluster is.  This
+    is the MERGE step standard MDM/ER pipelines run after matching
+    (j2/j62) and clustering (j90); j40 elects by quality score, THIS
+    demonstrates multi-field survivorship rules over the full cluster
+    membership.
+
+    Exactness: pure counting/min/max over exact integers and strings —
+    every rule resolves ties deterministically, so both engines elect
+    identical records.
+
+    Scale shape: the j90 propagation (star edges, hash-min rounds) plus
+    per-component hash aggs and one broadcast-scale join of the
+    ≥2-member component list; membership never leaves its component's
+    hash bucket."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        dup_clusters,
+        md5_minhash_bands,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    hubs = (
+        bands.groupBy("band", "bkey")
+        .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    pairs = (
+        bands.join(hubs, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = dup_clusters(nodes, pairs, max_iterations=_CC_ITERS).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").alias("component_id")
+    )
+    sized = (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .drop("sz")
+    )
+    members = comp.join(F.broadcast(sized), "component_id").join(
+        d.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    rep = members.groupBy("component_id").agg(
+        F.max("n_chars").alias("rep_n_chars")
+    )
+    repdoc = (
+        members.join(rep, "component_id")
+        .filter(F.col("n_chars") == F.col("rep_n_chars"))
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("rep_doc"))
+    )
+    langc = members.groupBy("component_id", "lang").agg(F.count("*").alias("cnt"))
+    langmax = langc.groupBy("component_id").agg(F.max("cnt").alias("mx"))
+    canon = (
+        langc.join(langmax, "component_id")
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("component_id")
+        .agg(F.min("lang").alias("canonical_lang"))
+    )
+    return (
+        members.join(rep, "component_id")
+        .join(repdoc, "component_id")
+        .join(canon, "component_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("rep_doc").cast("long").alias("rep_doc"),
+            F.min("rep_n_chars").cast("long").alias("rep_n_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("canonical_lang").alias("canonical_lang"),
+        )
+    )
+
+
+# Morton (Z-order) interleave of two 16-bit keys, generated as ONE shared
+# SQL fragment (16 unrolled shift/mask terms per dimension) both engines
+# parse identically.
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for b in range(16):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZBUCKETS_SHIFT = 22  # 32-bit morton DIV 2^22 -> 1024 buckets
+
+
+@register(
+    "a30_zorder_layout",
+    oracle=f"""
+    WITH raw AS (
+        SELECT o_custkey AS rx,
+               epoch_us(o_orderdate) // 86400000000 AS ry
+        FROM orders
+    ), bounds AS (
+        SELECT MIN(rx) AS x0, MAX(rx) AS x1, MIN(ry) AS y0, MAX(ry) AS y1
+        FROM raw
+    ), pts AS (
+        SELECT (rx - x0) * 65536 // (x1 - x0 + 1) AS x,
+               (ry - y0) * 65536 // (y1 - y0 + 1) AS y
+        FROM raw CROSS JOIN bounds
+    ), keyed AS (
+        SELECT x, y,
+               {_morton_sql("x", "y")} // {2 ** _ZBUCKETS_SHIFT} AS zbucket,
+               x // 64 AS xbucket
+        FROM pts
+    ), z AS (
+        SELECT 'zorder' AS layout, zbucket AS bucket,
+               MAX(x) - MIN(x) + 1 AS wx, MAX(y) - MIN(y) + 1 AS wy
+        FROM keyed GROUP BY 2
+    ), s AS (
+        SELECT 'custkey' AS layout, xbucket AS bucket,
+               MAX(x) - MIN(x) + 1 AS wx, MAX(y) - MIN(y) + 1 AS wy
+        FROM keyed GROUP BY 2
+    ), u AS (
+        SELECT * FROM z UNION ALL SELECT * FROM s
+    )
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(wx) AS BIGINT) AS sum_x_width,
+           CAST(SUM(wy) AS BIGINT) AS sum_y_width,
+           CAST(SUM(wx) * 1000 // COUNT(*) AS BIGINT) AS avg_x_width_milli,
+           CAST(SUM(wy) * 1000 // COUNT(*) AS BIGINT) AS avg_y_width_milli
+    FROM u GROUP BY 1
+    """,
+    survey="A30,A28,A9",
+)
+def a30_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: range-normalize two query
+    dimensions (customer key, order epoch-day) to 16 bits each — the
+    rank/range normalization every real Z-order write performs so both
+    dimensions fill the key — interleave the bits into one Morton sort
+    key, bucket rows by Morton prefix, and compare per-bucket zone
+    widths (max−min+1 per dimension, in the normalized domain) against
+    the single-column layout — the quantified answer to "should this
+    table be Z-ordered": Morton buckets shrink BOTH dimensions' zone
+    maps (each ~√|bucket-space|), single-column sorting shrinks only
+    its own (a28 proves zone maps skip; THIS plans which clustering to
+    write).  The audit is the planning step a lakehouse OPTIMIZE
+    ZORDER BY executes.
+
+    Exactness: normalization is integer (v−min)·65536 DIV (range+1)
+    from broadcast exact bounds; the 32-bit Morton key is 32 unrolled
+    shift/mask terms generated from ONE shared fragment; widths and
+    averages are pure integer arithmetic.
+
+    Scale shape: one scan → two hash aggs over the bucket domains (1024
+    each) → a 2-row summary.  The Morton key is codegen'd JVM bit math —
+    exactly what a real Z-order write would evaluate per row."""
+    o = Tables(spark, sf_dir).orders
+    raw = o.select(
+        F.col("o_custkey").alias("rx"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("ry"),
+    )
+    bounds = raw.agg(
+        F.min("rx").alias("x0"),
+        F.max("rx").alias("x1"),
+        F.min("ry").alias("y0"),
+        F.max("ry").alias("y1"),
+    )
+    pts = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(rx - x0) * 65536 DIV (x1 - x0 + 1)").alias("x"),
+        F.expr("(ry - y0) * 65536 DIV (y1 - y0 + 1)").alias("y"),
+    )
+    keyed = pts.select(
+        "x",
+        "y",
+        F.expr(f'{_morton_sql("x", "y")} DIV {2 ** _ZBUCKETS_SHIFT}').alias("zbucket"),
+        F.expr("x DIV 64").alias("xbucket"),
+    )
+    def widths(bucket_col: str, layout: str) -> DataFrame:
+        return (
+            keyed.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(
+                (F.max("x") - F.min("x") + 1).alias("wx"),
+                (F.max("y") - F.min("y") + 1).alias("wy"),
+            )
+            .select(F.lit(layout).alias("layout"), "bucket", "wx", "wy")
+        )
+
+    u = widths("zbucket", "zorder").unionByName(widths("xbucket", "custkey"))
+    return u.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("wx").cast("long").alias("sum_x_width"),
+        F.sum("wy").cast("long").alias("sum_y_width"),
+        F.expr("SUM(wx) * 1000 DIV COUNT(*)").cast("long").alias("avg_x_width_milli"),
+        F.expr("SUM(wy) * 1000 DIV COUNT(*)").cast("long").alias("avg_y_width_milli"),
+    )

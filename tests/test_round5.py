@@ -773,3 +773,93 @@ def test_a29_bins_are_contiguous_and_ordered(spark):
         assert [r.bin for r in rs] == list(range(len(rs)))
         for a, b in zip(rs, rs[1:]):
             assert a.last_day <= b.first_day
+
+
+# ---------------------------------------------------------------- batch 5
+
+
+def test_e66_matches_python_tost(spark):
+    evs = _events()
+    days = [d for _, d, _ in evs]
+    m_day = (min(days) + max(days) + 1) // 2
+    stats: dict[str, list[int]] = {}
+    for et, d, c in evs:
+        acc = stats.setdefault(et, [0, 0, 0, 0, 0, 0])
+        i = 0 if d < m_day else 3
+        acc[i] += 1
+        acc[i + 1] += c
+        acc[i + 2] += c * c
+    want = {}
+    for et, (n1, s1, q1, n2, s2, q2) in stats.items():
+        delta = _tzdiv((s1 + s2) * 5, (n1 + n2) * 100)
+        diff_milli = _tzdiv((s1 * n2 - s2 * n1) * 1000, n1 * n2)
+        se = math.sqrt(
+            ((q1 - s1 / n1 * s1) / (n1 - 1)) / n1
+            + ((q2 - s2 / n2 * s2) / (n2 - 1)) / n2
+        )
+        dd = s1 / n1 - s2 / n2
+        zl = math.floor((dd + delta) / se * 1000)
+        zu = math.floor((dd - delta) / se * 1000)
+        want[et] = (n1, n2, delta, diff_milli, zl, zu, zl >= 1644 and zu <= -1644)
+    got = {
+        r.event_type: (r.n1, r.n2, r.delta_cents, r.diff_milli_cents,
+                       r.z_low_milli, r.z_up_milli, r.equivalent)
+        for r in REGISTRY["e66_tost_equivalence"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for et in want:
+        wn1, wn2, wd, wdm, wzl, wzu, weq = want[et]
+        gn1, gn2, gd, gdm, gzl, gzu, geq = got[et]
+        assert (gn1, gn2, gd, gdm) == (wn1, wn2, wd, wdm)
+        assert abs(gzl - wzl) <= 1 and abs(gzu - wzu) <= 1
+        # the decision can only differ if a z sits exactly on the
+        # critical boundary — assert it doesn't here.
+        assert abs(gzl - 1644) > 1 and abs(gzu + 1644) > 1
+        assert geq == weq
+
+
+def test_j94_golden_record_rules(spark):
+    """Survivorship laws against the python union-find components: the
+    representative is a member with the maximal n_chars (smallest id on
+    ties), and the canonical language is a modal language."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    comps = _py_components([(d, t) for d, t, _, _, _ in docs])
+    meta = {d: (lang, source, n_chars) for d, _, lang, source, n_chars in docs}
+    rows = {
+        r.component_id: r
+        for r in REGISTRY["j94_golden_record"].fn(spark, SF).collect()
+    }
+    want_ids = {cid for cid, m in comps.items() if len(m) >= 2}
+    assert set(rows) == want_ids
+    for cid in want_ids:
+        members = comps[cid]
+        r = rows[cid]
+        assert r.n_docs == len(members)
+        mx = max(meta[d][2] for d in members)
+        assert r.rep_n_chars == mx
+        assert r.rep_doc == min(d for d in members if meta[d][2] == mx)
+        from collections import Counter
+
+        langs = Counter(meta[d][0] for d in members)
+        top = max(langs.values())
+        assert r.canonical_lang == min(l for l, c in langs.items() if c == top)
+        assert r.n_langs == len(langs)
+        assert r.n_sources == len({meta[d][1] for d in members})
+
+
+def test_a30_zorder_shrinks_both_dimensions(spark):
+    """The point of Z-ordering: the single-column layout has near-total
+    y-width per bucket (it never clusters y), while Morton buckets bound
+    BOTH dimensions — per-bucket average widths must be materially
+    smaller on both axes than the naive layout's y width."""
+    rows = {r.layout: r for r in REGISTRY["a30_zorder_layout"].fn(spark, SF).collect()}
+    assert set(rows) == {"zorder", "custkey"}
+    z, s = rows["zorder"], rows["custkey"]
+    # custkey layout: x is tightly clustered, y is unclustered.
+    assert s.avg_x_width_milli < z.avg_x_width_milli
+    # zorder layout: y zones shrink by orders of magnitude vs custkey's.
+    assert z.avg_y_width_milli * 4 < s.avg_y_width_milli
+    # and zorder's x zones are still bounded (not the full 65536 domain).
+    assert z.avg_x_width_milli < 65536 * 1000 // 2
