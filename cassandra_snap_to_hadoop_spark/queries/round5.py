@@ -2047,3 +2047,254 @@ def a30_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(wx) * 1000 DIV COUNT(*)").cast("long").alias("avg_x_width_milli"),
         F.expr("SUM(wy) * 1000 DIV COUNT(*)").cast("long").alias("avg_y_width_milli"),
     )
+
+
+# ------------------------------------------------------------------ batch 6
+
+
+@register(
+    "e68_pr_auc",
+    oracle=f"""
+    WITH {_SCORE_SQL}, bounds AS (
+        SELECT MIN(s) AS lo, MAX(s) AS hi FROM sc
+    ), binned AS (
+        SELECT CAST((s - lo) * {_ROC_BINS} // (hi - lo + 1) AS INTEGER) AS bin,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM sc CROSS JOIN bounds
+    ), bins AS (
+        SELECT bin, CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        FROM binned GROUP BY 1
+    ), cum AS (
+        SELECT a.bin, MIN(a.n_pos) AS n_pos, MIN(a.n_neg) AS n_neg,
+               SUM(b.n_pos) AS cum_tp, SUM(b.n_neg) AS cum_fp
+        FROM bins a JOIN bins b ON b.bin >= a.bin
+        GROUP BY a.bin
+    ), tot AS (
+        SELECT SUM(n_pos) AS p FROM bins
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_pos, n_neg,
+           CAST(cum_tp AS BIGINT) AS cum_tp,
+           CAST(cum_fp AS BIGINT) AS cum_fp,
+           CAST(cum_tp * 1000000 // (cum_tp + cum_fp) AS BIGINT)
+               AS precision_ppm,
+           CAST(cum_tp * 1000000 // p AS BIGINT) AS recall_ppm,
+           CAST(n_pos * (cum_tp * 1000000 // (cum_tp + cum_fp)) AS BIGINT)
+               AS ap_num
+    FROM cum CROSS JOIN tot
+    """,
+    survey="E68,E62,E45",
+)
+def e68_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + average precision of the frozen scorer —
+    the IMBALANCE-robust companion of e62's ROC (with 1:1000 positives a
+    ROC curve looks great while precision is garbage; retrieval and
+    dedup-verifier evaluation reads PR, not ROC).  Step-wise AP =
+    Σ_b ΔR_b · P_b restated on integers: per-bin ap_num = n_pos_b ·
+    precision_ppm_b, so AP_ppm = Σ ap_num / P is one final division —
+    the python pin reproduces it exactly.
+
+    Exactness: same exact-BIGINT score bins as e62 (shared _SCORE_SQL);
+    precision/recall on the ppm lattice with truncating DIV; the
+    descending-threshold cums come from the same b.bin >= a.bin
+    broadcast self-join (no unpartitioned window).
+
+    Scale shape: identical to e62 — score hash agg, broadcast bounds,
+    {_ROC_BINS}-row KB joins."""
+    sc = _score_df(spark, sf_dir)
+    bounds = sc.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = sc.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"CAST((s - lo) * {_ROC_BINS} DIV (hi - lo + 1) AS INT)").alias("bin"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    a, b = bins.alias("a"), F.broadcast(bins.alias("b"))
+    cum = (
+        a.join(b, F.col("b.bin") >= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(
+            F.min(F.col("a.n_pos")).alias("n_pos"),
+            F.min(F.col("a.n_neg")).alias("n_neg"),
+            F.sum(F.col("b.n_pos")).alias("cum_tp"),
+            F.sum(F.col("b.n_neg")).alias("cum_fp"),
+        )
+    )
+    tot = bins.agg(F.sum("n_pos").alias("p"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_pos",
+        "n_neg",
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.col("cum_fp").cast("long").alias("cum_fp"),
+        F.expr("cum_tp * 1000000 DIV (cum_tp + cum_fp)").cast("long").alias("precision_ppm"),
+        F.expr("cum_tp * 1000000 DIV p").cast("long").alias("recall_ppm"),
+        F.expr("n_pos * (cum_tp * 1000000 DIV (cum_tp + cum_fp))").cast("long").alias("ap_num"),
+    )
+
+
+# MCC denominator: one shared double chain (products stay < 2^53 for any
+# corpus this engine certifies at — n ≤ ~1e7 per quadrant at sf ≤ 1).
+_MCC_MILLI = (
+    "CAST(FLOOR((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) * 1000"
+    " / sqrt((CAST(tp AS DOUBLE) + fp) * (tp + fn) * (tn + fp) * (tn + fn)))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "e69_mcc_operating_points",
+    oracle=f"""
+    WITH {_SCORE_SQL}, bounds AS (
+        SELECT MIN(s) AS lo, MAX(s) AS hi FROM sc
+    ), binned AS (
+        SELECT CAST((s - lo) * {_ROC_BINS} // (hi - lo + 1) AS INTEGER) AS bin,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM sc CROSS JOIN bounds
+    ), pts AS (
+        SELECT t.thr,
+               CAST(SUM(CASE WHEN bin >= t.thr AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN bin >= t.thr AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN bin < t.thr AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN bin < t.thr AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM binned CROSS JOIN (SELECT unnest([5, 10, 15]) AS thr) t
+        GROUP BY 1
+    )
+    SELECT CAST(thr AS INTEGER) AS thr, tp, fp, fn, tn,
+           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+               AS accuracy_ppm,
+           CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+                THEN {_MCC_MILLI} ELSE NULL END AS mcc_milli
+    FROM pts
+    """,
+    survey="E69,E53,E62",
+)
+def e69_mcc_operating_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix summary metrics at three fixed operating points
+    (score-bin thresholds 5/10/15): accuracy, F1, and Matthews
+    correlation — MCC is the single-number confusion summary that stays
+    honest under class imbalance (Chicco & Jurman 2020), completing the
+    eval tier: e62 ranks thresholds, e68 integrates precision, THIS
+    scores the deployed cut.
+
+    Exactness: the four quadrants are exact BIGINT conditional counts
+    (one scan, |thresholds| fan-out); accuracy/F1 are ppm integers; MCC
+    is ONE shared-fragment double chain milli-floored (products < 2⁵³
+    at any certified scale — budget in the fragment comment); python
+    pin in tests.
+
+    Scale shape: one conditional-agg scan to 3 rows.  No joins beyond
+    broadcast scalars, no windows."""
+    sc = _score_df(spark, sf_dir)
+    bounds = sc.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = sc.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"CAST((s - lo) * {_ROC_BINS} DIV (hi - lo + 1) AS INT)").alias("bin"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    thr = spark.range(3).select((F.col("id") * 5 + 5).cast("int").alias("thr"))
+    pts = (
+        binned.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("bin") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("bin") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("bin") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when((F.col("bin") < F.col("thr")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return pts.select(
+        F.col("thr").cast("int").alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("(tp + tn) * 1000000 DIV (tp + fp + fn + tn)").cast("long").alias("accuracy_ppm"),
+        F.expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)").cast("long").alias("f1_ppm"),
+        F.when(
+            F.expr("(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)") > 0,
+            F.expr(_MCC_MILLI),
+        )
+        .otherwise(F.lit(None))
+        .alias("mcc_milli"),
+    )
+
+
+_BURST_V = 200  # head vocabulary for the burstiness profile
+
+
+@register(
+    "j96_term_burstiness",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_WORDS5}) AS tok FROM documents
+    ), tf AS (
+        SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM t GROUP BY 1, 2
+    ), g AS (
+        SELECT tok, CAST(SUM(x) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(x * x) AS BIGINT) AS sum_x2
+        FROM tf GROUP BY 1
+    ), vocab AS (
+        SELECT * FROM (
+            SELECT g.*, row_number() OVER (ORDER BY cf DESC, tok) AS rk FROM g
+        ) WHERE rk <= {_BURST_V}
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT tok, cf, df, sum_x2,
+           CAST((nd.n * sum_x2 - cf * cf) * 1000 // (nd.n * cf) AS BIGINT)
+               AS vmr_milli,
+           CAST(cf * 1000 // df AS BIGINT) AS mean_tf_in_doc_milli
+    FROM vocab CROSS JOIN nd
+    """,
+    survey="J96,J61,J17",
+)
+def j96_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness profile (Church & Gale 1995): for the top-{_BURST_V}
+    head terms, the variance-to-mean ratio of per-document occurrence
+    counts (zeros included) — function words arrive ~Poisson (VMR ≈ 1),
+    topical words are BURSTY (VMR ≫ 1: absent from most docs, repeated
+    where present).  The lexical-statistics diagnostic that separates
+    stopword-like from content-bearing vocabulary WITHOUT a stopword
+    list — feeding j50/j51 stopping decisions and j17's repetition
+    signals.
+
+    Exactness: VMR over all N docs including zeros needs only the
+    sufficient statistics (cf, Σx², N): VMR = (N·Σx² − cf²)/(N·cf),
+    kept as one exact-integer milli division (Σx² and cf² ≪ 2⁶³ at any
+    certified SF); mean within-doc tf = cf/df likewise.
+
+    Scale shape: one (term, doc) hash agg → one term hash agg →
+    TakeOrderedAndProject head (the j44 pattern — no global sort) → a
+    broadcast 1-row N join.  Zeros never materialize — the sufficient
+    statistics absorb them algebraically."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = fan_out(Tables(spark, sf_dir).documents)
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = t.groupBy("tok", "doc_id").agg(F.count("*").cast("long").alias("x"))
+    g = tf.groupBy("tok").agg(
+        F.sum("x").cast("long").alias("cf"),
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+    vocab = g.orderBy(F.col("cf").desc(), F.col("tok")).limit(_BURST_V)
+    nd = Tables(spark, sf_dir).documents.agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return vocab.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "cf",
+        "df",
+        "sum_x2",
+        F.expr("(n * sum_x2 - cf * cf) * 1000 DIV (n * cf)").cast("long").alias("vmr_milli"),
+        F.expr("cf * 1000 DIV df").cast("long").alias("mean_tf_in_doc_milli"),
+    )

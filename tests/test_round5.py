@@ -863,3 +863,103 @@ def test_a30_zorder_shrinks_both_dimensions(spark):
     assert z.avg_y_width_milli * 4 < s.avg_y_width_milli
     # and zorder's x zones are still bounded (not the full 65536 domain).
     assert z.avg_x_width_milli < 65536 * 1000 // 2
+
+
+# ---------------------------------------------------------------- batch 6
+
+
+def _score_bins():
+    scores = _py_scores(_vecs())
+    lo = min(s for _, _, s in scores)
+    hi = max(s for _, _, s in scores)
+    out = []
+    for _, label, s in scores:
+        out.append(((s - lo) * 20 // (hi - lo + 1), 1 if label < 5 else 0))
+    return out
+
+
+def test_e68_matches_python_ap(spark):
+    binned = _score_bins()
+    bins: dict[int, list[int]] = {}
+    for b, y in binned:
+        acc = bins.setdefault(b, [0, 0])
+        acc[0] += y
+        acc[1] += 1 - y
+    p_tot = sum(v[0] for v in bins.values())
+    want = {}
+    for b, (np_, nn) in bins.items():
+        cum_tp = sum(v[0] for bb, v in bins.items() if bb >= b)
+        cum_fp = sum(v[1] for bb, v in bins.items() if bb >= b)
+        prec = cum_tp * 1_000_000 // (cum_tp + cum_fp)
+        want[b] = (np_, nn, cum_tp, cum_fp, prec,
+                   cum_tp * 1_000_000 // p_tot, np_ * prec)
+    got = {
+        r.bin: (r.n_pos, r.n_neg, r.cum_tp, r.cum_fp, r.precision_ppm,
+                r.recall_ppm, r.ap_num)
+        for r in REGISTRY["e68_pr_auc"].fn(spark, SF).collect()
+    }
+    assert got == want
+    ap = sum(v[6] for v in want.values()) / (p_tot * 1_000_000)
+    assert 0.0 <= ap <= 1.0
+
+
+def test_e69_matches_python_mcc(spark):
+    binned = _score_bins()
+    want = {}
+    for thr in (5, 10, 15):
+        tp = sum(1 for b, y in binned if b >= thr and y == 1)
+        fp = sum(1 for b, y in binned if b >= thr and y == 0)
+        fn = sum(1 for b, y in binned if b < thr and y == 1)
+        tn = sum(1 for b, y in binned if b < thr and y == 0)
+        n = tp + fp + fn + tn
+        mcc = None
+        if (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0:
+            mcc = math.floor(
+                (tp * tn - fp * fn) * 1000
+                / math.sqrt(float((tp + fp)) * (tp + fn) * (tn + fp) * (tn + fn))
+            )
+        want[thr] = (tp, fp, fn, tn, (tp + tn) * 1_000_000 // n,
+                     2 * tp * 1_000_000 // (2 * tp + fp + fn), mcc)
+    got = {
+        r.thr: (r.tp, r.fp, r.fn, r.tn, r.accuracy_ppm, r.f1_ppm, r.mcc_milli)
+        for r in REGISTRY["e69_mcc_operating_points"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for thr in want:
+        assert got[thr][:6] == want[thr][:6]
+        wm, gm = want[thr][6], got[thr][6]
+        assert (wm is None) == (gm is None)
+        if wm is not None:
+            assert abs(gm - wm) <= 1  # one sqrt across libms
+            assert -1000 <= gm <= 1000
+
+
+def test_j96_matches_python_vmr(spark):
+    from collections import Counter
+
+    docs = _docs()
+    n_docs = len(docs)
+    per_term: dict[str, list[int]] = {}
+    for _, text in docs:
+        for tok, x in Counter(_norm_words(text)).items():
+            per_term.setdefault(tok, []).append(x)
+    stats = {
+        tok: (sum(xs), len(xs), sum(x * x for x in xs))
+        for tok, xs in per_term.items()
+    }
+    head = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:200]
+    want = {
+        tok: (cf, df, sx2,
+              (n_docs * sx2 - cf * cf) * 1000 // (n_docs * cf),
+              cf * 1000 // df)
+        for tok, (cf, df, sx2) in head
+    }
+    got = {
+        r.tok: (r.cf, r.df, r.sum_x2, r.vmr_milli, r.mean_tf_in_doc_milli)
+        for r in REGISTRY["j96_term_burstiness"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # Laws: df <= cf; VMR non-negative; a term present once per doc it
+    # touches (cf == df) has VMR = 1 - cf/N < 1 (under-dispersed).
+    for tok, (cf, df, sx2, vmr, _) in got.items():
+        assert df <= cf and vmr >= 0
