@@ -2298,3 +2298,146 @@ def j96_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * sum_x2 - cf * cf) * 1000 DIV (n * cf)").cast("long").alias("vmr_milli"),
         F.expr("cf * 1000 DIV df").cast("long").alias("mean_tf_in_doc_milli"),
     )
+
+
+# ------------------------------------------------------------------ batch 7
+
+# LSH S-curve theory at the band midpoints, precomputed ONCE in Python
+# (p = 1 − (1 − m^r)^b at r=4 rows, b=4 bands) and injected as literals
+# into BOTH engines — no cross-engine float arithmetic at all.
+_SCURVE = (
+    (0, 0.3, 0.5, 98534),
+    (1, 0.5, 0.75, 484321),
+    (2, 0.75, 0.9, 947797),
+    (3, 0.9, 1.01, 998816),
+)
+_SCURVE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN jaccard >= {lo} AND jaccard < {hi} THEN {band}"
+        for band, lo, hi, _ in _SCURVE
+    )
+    + " END"
+)
+_SCURVE_THEORY = (
+    "CASE "
+    + " ".join(f"WHEN band = {band} THEN {ppm}" for band, _, _, ppm in _SCURVE)
+    + " END"
+)
+
+
+@register(
+    "j97_lsh_s_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS sh FROM toks
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT i.id_a, i.id_b,
+               ROUND(i.i / (sa.sz + sb.sz - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE ROUND(i.i / (sa.sz + sb.sz - i.i), 4) >= 0.3
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN({_mh_sql_hash(i)}) AS mh_{i}" for i in range(_MH_N))}
+        FROM sh GROUP BY 1
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', "
+            + ", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+            + ") AS bkey FROM mh"
+            for b in range(_MH_BANDS)
+        )}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT {_SCURVE_CASE} AS band,
+               CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS captured
+        FROM truth t LEFT JOIN cand c
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(captured) AS BIGINT) AS n_captured,
+           CAST(SUM(captured) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm,
+           CAST({_SCURVE_THEORY} AS BIGINT) AS theory_ppm
+    FROM scored GROUP BY band
+    """,
+    survey="J97,J2,E62",
+)
+def j97_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical LSH S-curve — the dedup pipeline's
+    SELF-EVALUATION: exact shingle-Jaccard pairs (J ≥ 0.3, the truth
+    set) bucketed into similarity bands, each band scored by how many
+    of its pairs the banded MinHash-md5 index (j2's 4×4 geometry)
+    actually captured, next to the closed-form capture probability
+    1−(1−s^r)^b at the band midpoint.  This answers the question every
+    LSH deployment must answer before trusting its recall — "what does
+    this banding geometry MISS at each similarity level" — with
+    measured numbers, and the theory column makes miscalibration
+    (e.g. shingle-correlation violating the independence assumption)
+    visible as measured−theory gaps.
+
+    Exactness: truth pairs via the share-a-shingle equi join (exact,
+    blocked by shingle identity — never all-pairs); capture via the
+    certified md5 band buckets; bands on the ROUND(j,4) lattice; the
+    theory constants are Python-precomputed literals injected into BOTH
+    engines, so no cross-engine float arithmetic exists anywhere.
+
+    Scale shape: the truth join is the j2-exact tier's shape (per-
+    shingle buckets); the LSH side is the certified banding; the final
+    comparison is one broadcast-scale left join of two pair relations +
+    a 4-row agg."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        jaccard_pairs,
+        md5_minhash_bands,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    truth = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("c_a"), F.col("b.doc_id").alias("c_b")
+        )
+        .distinct()
+    )
+    scored = truth.join(
+        cand,
+        (F.col("id_a") == F.col("c_a")) & (F.col("id_b") == F.col("c_b")),
+        "left",
+    ).select(
+        F.expr(_SCURVE_CASE).alias("band"),
+        F.when(F.col("c_a").isNull(), 0).otherwise(1).alias("captured"),
+    )
+    return scored.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("captured").cast("long").alias("n_captured"),
+        F.expr("SUM(captured) * 1000000 DIV COUNT(*)").cast("long").alias("recall_ppm"),
+        F.expr(_SCURVE_THEORY).cast("long").alias("theory_ppm"),
+    ).select(
+        F.col("band").cast("int").alias("band"),
+        "n_true",
+        "n_captured",
+        "recall_ppm",
+        "theory_ppm",
+    )

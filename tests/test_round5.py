@@ -963,3 +963,65 @@ def test_j96_matches_python_vmr(spark):
     # touches (cf == df) has VMR = 1 - cf/N < 1 (under-dispersed).
     for tok, (cf, df, sx2, vmr, _) in got.items():
         assert df <= cf and vmr >= 0
+
+
+# ---------------------------------------------------------------- batch 7
+
+
+def test_j97_matches_python_s_curve(spark):
+    """Full-pipeline pin: exact Jaccard truth set, md5 band capture, band
+    bucketing, and the injected theory constants — all reproduced in
+    pure Python."""
+    docs = _docs()
+    sh = {}
+    for doc_id, text in docs:
+        words = _norm_words(text)
+        sh[doc_id] = {
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
+        }
+    ids = sorted(sh)
+    # truth via share-a-shingle inverted index (the blocked shape).
+    by_sh: dict[str, list[int]] = {}
+    for d, ss in sh.items():
+        for s in ss:
+            by_sh.setdefault(s, []).append(d)
+    cand_pairs = set()
+    for ds in by_sh.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand_pairs.add((a, b))
+    truth = {}
+    for a, b in cand_pairs:
+        inter = len(sh[a] & sh[b])
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+        if j >= 0.3:
+            truth[(a, b)] = j
+    captured = set()
+    buckets = _py_band_buckets(docs)
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                captured.add((a, b))
+    bands = [(0, 0.3, 0.5, 98534), (1, 0.5, 0.75, 484321),
+             (2, 0.75, 0.9, 947797), (3, 0.9, 1.01, 998816)]
+    want = {}
+    for (a, b), j in truth.items():
+        for band, lo, hi, ppm in bands:
+            if lo <= j < hi:
+                acc = want.setdefault(band, [0, 0, ppm])
+                acc[0] += 1
+                acc[1] += 1 if (a, b) in captured else 0
+    wrows = {
+        band: (n, c, c * 1_000_000 // n, ppm)
+        for band, (n, c, ppm) in want.items()
+    }
+    got = {
+        r.band: (r.n_true, r.n_captured, r.recall_ppm, r.theory_ppm)
+        for r in REGISTRY["j97_lsh_s_curve"].fn(spark, SF).collect()
+    }
+    assert got == wrows
+    assert got, "fixture must contain at least one truth pair"
+    for band, (n, c, rec, theory) in got.items():
+        assert 0 <= rec <= 1_000_000
