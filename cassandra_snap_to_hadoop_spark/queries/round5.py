@@ -41,9 +41,11 @@ from cassandra_snap_to_hadoop_spark.queries.round4c import (
 _CC_ITERS = 10
 
 
-def _cc_sql_edges() -> str:
-    """DuckDB CTE prefix producing the star-edge relation of the banded
-    MinHash-md5 dup graph — the same buckets as j2_minhash_lsh_md5."""
+def _mh_bands_sql() -> str:
+    """DuckDB CTE prefix (toks → sh → mh → bands) producing the banded
+    MinHash-md5 bucket relation — the SQL twin of
+    operators/dedup.md5_minhash_bands, shared by the j90/j94/j97 oracles
+    so the band geometry lives in exactly one generated fragment."""
     mins = ", ".join(f"MIN({_mh_sql_hash(i)}) AS mh_{i}" for i in range(_MH_N))
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('|', "
@@ -60,7 +62,13 @@ def _cc_sql_edges() -> str:
         SELECT doc_id, {mins} FROM sh GROUP BY 1
     ), bands AS (
         {bands}
-    ), hubs AS (
+    )"""
+
+
+def _cc_sql_edges() -> str:
+    """DuckDB CTE prefix producing the star-edge relation of the banded
+    MinHash-md5 dup graph — the same buckets as j2_minhash_lsh_md5."""
+    return f"""{_mh_bands_sql()}, hubs AS (
         SELECT band, bkey, MIN(doc_id) AS hub
         FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ), star AS (
@@ -2308,7 +2316,7 @@ def j96_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCURVE = (
     (0, 0.3, 0.5, 98534),
     (1, 0.5, 0.75, 484321),
-    (2, 0.75, 0.9, 947797),
+    (2, 0.75, 0.9, 916998),
     (3, 0.9, 1.01, 998816),
 )
 _SCURVE_CASE = (
@@ -2329,11 +2337,7 @@ _SCURVE_THEORY = (
 @register(
     "j97_lsh_s_curve",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS sh FROM toks
-    ), sizes AS (
+    WITH {_mh_bands_sql()}, sizes AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
     ), inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2347,17 +2351,6 @@ _SCURVE_THEORY = (
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE ROUND(i.i / (sa.sz + sb.sz - i.i), 4) >= 0.3
-    ), mh AS (
-        SELECT doc_id,
-               {", ".join(f"MIN({_mh_sql_hash(i)}) AS mh_{i}" for i in range(_MH_N))}
-        FROM sh GROUP BY 1
-    ), bands AS (
-        {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, concat_ws('|', "
-            + ", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
-            + ") AS bkey FROM mh"
-            for b in range(_MH_BANDS)
-        )}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b

@@ -1005,7 +1005,7 @@ def test_j97_matches_python_s_curve(spark):
             for b in ms[i + 1 :]:
                 captured.add((a, b))
     bands = [(0, 0.3, 0.5, 98534), (1, 0.5, 0.75, 484321),
-             (2, 0.75, 0.9, 947797), (3, 0.9, 1.01, 998816)]
+             (2, 0.75, 0.9, 916998), (3, 0.9, 1.01, 998816)]
     want = {}
     for (a, b), j in truth.items():
         for band, lo, hi, ppm in bands:
