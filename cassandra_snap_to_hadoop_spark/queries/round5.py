@@ -2434,3 +2434,185 @@ def j97_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_ppm",
         "theory_ppm",
     )
+
+
+# ------------------------------------------------------------------ batch 8
+
+# R/S window sizes with their FLOOR(ln(n)*1000) milli-logs precomputed in
+# Python and injected as literals (the j97 discipline — zero cross-engine
+# float arithmetic for the regression x-axis).
+_HURST_NS = ((8, 2079), (16, 2772), (32, 3465))
+_HURST_N_SQL = ", ".join(f"({n}, {lx})" for n, lx in _HURST_NS)
+
+
+@register(
+    "e70_hurst_exponent",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    ), spine AS (
+        SELECT s.range AS t, b.d0 + s.range AS day
+        FROM bounds b CROSS JOIN range(0, 100000) s
+        WHERE b.d0 + s.range <= b.d1
+    ), filled AS (
+        SELECT s.t, COALESCE(d.x, 0) AS x
+        FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ), fan AS (
+        SELECT w.n, w.lx, f.t // w.n AS b, f.t % w.n + 1 AS k, f.x
+        FROM filled f
+        CROSS JOIN (SELECT * FROM (VALUES {_HURST_N_SQL}) v(n, lx)) w
+        WHERE f.t // w.n < (SELECT (MAX(t) + 1) FROM filled) // w.n
+    ), pre AS (
+        SELECT n, lx, b, k, x,
+               SUM(x) OVER (PARTITION BY n, b ORDER BY k
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS p,
+               SUM(x) OVER (PARTITION BY n, b) AS s,
+               SUM(x * x) OVER (PARTITION BY n, b) AS ss
+        FROM fan
+    ), dev AS (
+        SELECT n, lx, b, s, ss,
+               n * p - k * s AS d
+        FROM pre
+    ), blocks AS (
+        SELECT n, lx, b,
+               CAST(MAX(d) - MIN(d) AS BIGINT) AS r_scaled,
+               CAST(MIN(n * ss - s * s) AS BIGINT) AS s2_scaled
+        FROM dev GROUP BY 1, 2, 3
+    ), rs AS (
+        SELECT n, lx,
+               CAST(FLOOR(r_scaled * 1000.0
+                    / sqrt(CAST(s2_scaled AS DOUBLE))) AS BIGINT) AS rs_milli
+        FROM blocks WHERE s2_scaled > 0
+    ), per_n AS (
+        SELECT n, lx, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(rs_milli) // COUNT(*) AS BIGINT) AS avg_rs_milli
+        FROM rs GROUP BY 1, 2
+    ), pts AS (
+        SELECT n, lx AS x_milli, n_blocks, avg_rs_milli,
+               CAST(FLOOR(ln(CAST(avg_rs_milli AS DOUBLE) / 1000.0) * 1000)
+                    AS BIGINT) AS y_milli
+        FROM per_n
+    ), fit AS (
+        SELECT CAST((COUNT(*) * SUM(x_milli * y_milli)
+                     - SUM(x_milli) * SUM(y_milli)) * 1000
+                    // (COUNT(*) * SUM(x_milli * x_milli)
+                        - SUM(x_milli) * SUM(x_milli)) AS BIGINT) AS hurst_milli
+        FROM pts
+    )
+    SELECT CAST(p.n AS INTEGER) AS n, p.n_blocks, p.avg_rs_milli,
+           p.y_milli, f.hurst_milli
+    FROM pts p CROSS JOIN fit f
+    """,
+    survey="E70,F26,J61",
+)
+def e70_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    event-count series — the long-range-dependence diagnostic (H≈0.5
+    memoryless, H>0.5 persistent/trending, H<0.5 mean-reverting) that
+    tells capacity planning whether bursts CLUSTER; completes the
+    time-series analysis tier with the fractal leg (f26 periodicity,
+    f34 spectrum, e47 trend, f33 level shifts).
+
+    Exactness: per block of size n, the cumulative deviations are kept
+    SCALED by n (D_k = n·prefix_k − k·S — exact BIGINTs, no rational
+    mean), the variance as s2 = n·Σx² − S², and R/S = R_scaled/√s2 in
+    one milli-floored double chain per block; per-n averages are
+    integer; the log-log slope (Hurst) is exact-integer least squares
+    over points whose x = ln(n)·1000 are Python-injected literals (the
+    j97 discipline) and y is one milli-floored ln per n.  Zero-variance
+    blocks are excluded on both engines.  Pinned against a pure-Python
+    R/S fold in tests.
+
+    Scale shape: daily pre-agg → calendar-bounded spine × 3 window
+    sizes → PARTITIONED (n, block) windows → |blocks| hash agg → a
+    3-row fit.  Nothing after the pre-agg scales with event volume."""
+    from pyspark.sql import Window
+
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").alias("x"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias("t"),
+        F.col("d0"),
+    ).select("t", (F.col("d0") + F.col("t")).alias("day"))
+    filled = spine.join(daily, "day", "left").select(
+        "t", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    t_max = filled.agg(F.max("t").alias("tm"))
+    ws = spark.createDataFrame(list(_HURST_NS), "n int, lx long")
+    fan = (
+        filled.crossJoin(F.broadcast(ws))
+        .crossJoin(F.broadcast(t_max))
+        .filter(F.expr("t DIV n") < F.expr("(tm + 1) DIV n"))
+        .select(
+            "n",
+            "lx",
+            F.expr("t DIV n").alias("b"),
+            F.expr("t % n + 1").alias("k"),
+            "x",
+        )
+    )
+    wo = Window.partitionBy("n", "b").orderBy("k")
+    wa = Window.partitionBy("n", "b")
+    dev = fan.select(
+        "n",
+        "lx",
+        "b",
+        (
+            F.col("n") * F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("k") * F.sum("x").over(wa)
+        ).alias("d"),
+        F.sum("x").over(wa).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wa).alias("ss"),
+    )
+    blocks = dev.groupBy("n", "lx", "b").agg(
+        (F.max("d") - F.min("d")).cast("long").alias("r_scaled"),
+        F.min(F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("s2_scaled"),
+    )
+    rs = blocks.filter(F.col("s2_scaled") > 0).select(
+        "n",
+        "lx",
+        F.floor(
+            F.col("r_scaled") * 1000.0 / F.sqrt(F.col("s2_scaled").cast("double"))
+        )
+        .cast("long")
+        .alias("rs_milli"),
+    )
+    per_n = rs.groupBy("n", "lx").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.expr("SUM(rs_milli) DIV COUNT(*)").cast("long").alias("avg_rs_milli"),
+    )
+    pts = per_n.select(
+        "n",
+        F.col("lx").alias("x_milli"),
+        "n_blocks",
+        "avg_rs_milli",
+        F.floor(F.log(F.col("avg_rs_milli").cast("double") / 1000.0) * 1000)
+        .cast("long")
+        .alias("y_milli"),
+    )
+    fit = pts.agg(
+        F.expr(
+            "(COUNT(*) * SUM(x_milli * y_milli) - SUM(x_milli) * SUM(y_milli))"
+            " * 1000 DIV (COUNT(*) * SUM(x_milli * x_milli)"
+            " - SUM(x_milli) * SUM(x_milli))"
+        )
+        .cast("long")
+        .alias("hurst_milli")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("n").cast("int").alias("n"),
+        "n_blocks",
+        "avg_rs_milli",
+        "y_milli",
+        "hurst_milli",
+    )

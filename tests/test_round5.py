@@ -1025,3 +1025,53 @@ def test_j97_matches_python_s_curve(spark):
     assert got, "fixture must contain at least one truth pair"
     for band, (n, c, rec, theory) in got.items():
         assert 0 <= rec <= 1_000_000
+
+
+# ---------------------------------------------------------------- batch 8
+
+
+def test_e70_matches_python_rs_fold(spark):
+    daily: dict[int, int] = {}
+    for _, d, _ in _events():
+        daily[d] = daily.get(d, 0) + 1
+    d0, d1 = min(daily), max(daily)
+    xs = [daily.get(d, 0) for d in range(d0, d1 + 1)]
+    t_len = len(xs)
+    pts = {}
+    for n, lx in ((8, 2079), (16, 2772), (32, 3465)):
+        rs_vals = []
+        for b in range(t_len // n):
+            blk = xs[b * n : (b + 1) * n]
+            s = sum(blk)
+            ss = sum(v * v for v in blk)
+            s2 = n * ss - s * s
+            if s2 <= 0:
+                continue
+            devs, p = [], 0
+            for k, v in enumerate(blk, 1):
+                p += v
+                devs.append(n * p - k * s)
+            r = max(devs) - min(devs)
+            rs_vals.append(math.floor(r * 1000.0 / math.sqrt(s2)))
+        if rs_vals:
+            avg = sum(rs_vals) // len(rs_vals)
+            y = math.floor(math.log(avg / 1000.0) * 1000)
+            pts[n] = (lx, len(rs_vals), avg, y)
+    k = len(pts)
+    sx = sum(v[0] for v in pts.values())
+    sy = sum(v[3] for v in pts.values())
+    sxy = sum(v[0] * v[3] for v in pts.values())
+    sxx = sum(v[0] * v[0] for v in pts.values())
+    hurst = _tzdiv((k * sxy - sx * sy) * 1000, k * sxx - sx * sx)
+    got = {
+        r.n: (r.n_blocks, r.avg_rs_milli, r.y_milli, r.hurst_milli)
+        for r in REGISTRY["e70_hurst_exponent"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(pts)
+    for n, (lx, nb, avg, y) in pts.items():
+        gnb, gavg, gy, gh = got[n]
+        assert (gnb, gavg) == (nb, avg)
+        assert abs(gy - y) <= 1  # one ln across libms
+        assert abs(gh - hurst) <= 2
+        # H of a real series lies in (0, 1); milli-lattice with slack.
+        assert -50 <= gh <= 1050
