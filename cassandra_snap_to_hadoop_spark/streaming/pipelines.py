@@ -626,3 +626,66 @@ def f27_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def f33_stream(events: DataFrame) -> DataFrame:
+    """F33 streaming twin: single binary-segmentation changepoint as
+    arbitrary stateful processing — the f27_stream pattern with the
+    integer binseg fold.  Per-TYPE state is the day->count map (bounded
+    by the active-day span, not event volume); every micro-batch merges
+    the batch's day counts and emits the CURRENT changepoint over the
+    zero-filled span, so the last emission equals the batch declaration
+    (queries/round5.f33_changepoint_binseg) regardless of arrival order
+    — asserted by the parity test.  The fold lives in
+    operators/changepoint.py, shared verbatim with the batch query's
+    pure-Python pin."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cassandra_snap_to_hadoop_spark.operators.changepoint import binseg_fold
+
+    output_schema = (
+        "event_type string, split_day long, n_days_left long,"
+        " n_days_right long, sum_left long, sum_right long,"
+        " reduction_micro long"
+    )
+    state_schema = "days array<int>, counts array<long>"
+
+    def fit(key, pdfs, state: GroupState):
+        acc: dict[int, int] = {}
+        if state.exists:
+            days, counts = state.get
+            acc = dict(zip(days, counts))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            epoch_days = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 86_400_000_000_000
+            )
+            for d, c in epoch_days.value_counts().items():
+                acc[int(d)] = acc.get(int(d), 0) + int(c)
+        if not acc or len(acc) < 2:
+            if acc:
+                ds = sorted(acc)
+                state.update((ds, [acc[d] for d in ds]))
+            return
+        ds = sorted(acc)
+        state.update((ds, [acc[d] for d in ds]))
+        xs = [int(acc.get(d, 0)) for d in range(ds[0], ds[-1] + 1)]
+        day, nl, nr, sl, sr, red = binseg_fold(xs, ds[0])
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "split_day": [day],
+                "n_days_left": [nl],
+                "n_days_right": [nr],
+                "sum_left": [sl],
+                "sum_right": [sr],
+                "reduction_micro": [red],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -419,6 +419,8 @@ def test_f33_matches_python_fold(spark):
         FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
         """
     ).fetchall()
+    from cassandra_snap_to_hadoop_spark.operators.changepoint import binseg_fold
+
     series: dict[str, dict[int, int]] = {}
     for et, d, n in daily:
         series.setdefault(et, {})[d] = n
@@ -426,21 +428,7 @@ def test_f33_matches_python_fold(spark):
     for et, by_day in series.items():
         d0, d1 = min(by_day), max(by_day)
         xs = [by_day.get(d, 0) for d in range(d0, d1 + 1)]
-        nn, s = len(xs), sum(xs)
-        best = None
-        s1 = 0
-        for i in range(1, nn):  # split after position i (1-based)
-            s1 += xs[i - 1]
-            red = (
-                _tzdiv(s1 * s1 * 1_000_000, i)
-                + _tzdiv((s - s1) * (s - s1) * 1_000_000, nn - i)
-                - _tzdiv(s * s * 1_000_000, nn)
-            )
-            day = d0 + i - 1
-            if best is None or red > best[0] or (red == best[0] and day < best[1]):
-                best = (red, day, i, s1)
-        red, day, i, s1 = best
-        want[et] = (day, i, nn - i, s1, s - s1, red)
+        want[et] = binseg_fold(xs, d0)
     got = {
         r.event_type: (
             r.split_day,
@@ -1075,3 +1063,63 @@ def test_e70_matches_python_rs_fold(spark):
         assert abs(gh - hurst) <= 2
         # H of a real series lies in (0, 1); milli-lattice with slack.
         assert -50 <= gh <= 1050
+
+
+def test_f33_stream_parity(spark, sf_dir, tmp_path):
+    """The stateful streaming twin's LAST emission per type must equal
+    the batch binseg declaration — same integer fold (shared in
+    operators/changepoint.py), day->count state merged across
+    micro-batches in arrival order."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import SCHEMAS, load
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import f33_stream
+
+    e = load(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    root = str(tmp_path / "events33")
+    e.repartition("day").write.partitionBy("day").mode("overwrite").parquet(root)
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 7)
+        .parquet(root + "/*")
+    )
+    q = (
+        f33_stream(stream)
+        .writeStream.format("memory")
+        .queryName("f33_stream_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck33"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM f33_stream_sink").collect()
+    assert emitted
+    final = {}
+    for r in emitted:  # last emission = max span (monotone under accumulation)
+        span = r.n_days_left + r.n_days_right
+        cur = final.get(r.event_type)
+        if cur is None or span >= cur.n_days_left + cur.n_days_right:
+            final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in REGISTRY["f33_changepoint_binseg"].fn(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        s = final[et]
+        assert (
+            s.split_day,
+            s.n_days_left,
+            s.n_days_right,
+            s.sum_left,
+            s.sum_right,
+            s.reduction_micro,
+        ) == (
+            b.split_day,
+            b.n_days_left,
+            b.n_days_right,
+            b.sum_left,
+            b.sum_right,
+            b.reduction_micro,
+        )
