@@ -102,6 +102,18 @@ def test_next_totals_match_registry():
     ), "NEXT.md registry totals drifted — regenerate the line"
 
 
+def test_readme_totals_match_registry():
+    """README's tests/ summary line must track the registry too."""
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"oracle parity \((\d+) queries, (\d+) DuckDB value-checked\)", text)
+    assert m, "README.md oracle-parity totals line missing or malformed"
+    n_reg, n_sql = (int(g) for g in m.groups())
+    want_sql = sum(1 for q in REGISTRY.values() if q.oracle)
+    assert (n_reg, n_sql) == (len(REGISTRY), want_sql), (
+        "README totals drifted — regenerate the line"
+    )
+
+
 _CURRENT_ROUND = 5
 
 
