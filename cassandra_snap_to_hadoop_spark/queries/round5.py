@@ -2616,3 +2616,97 @@ def e70_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_milli",
         "hurst_milli",
     )
+
+
+# ------------------------------------------------------------------ batch 9
+
+_RING_BUCKETS = 64
+# md5-derived 60-bit token of the partition key — the SQL-certifiable
+# stand-in for murmur3 (b1's production tier is Spark `hash`, rows-only
+# by contract; THIS twin makes ring-placement arithmetic hash-certified).
+_TOKEN_SQL = (
+    "CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) AS BIGINT)"
+)
+
+
+@register(
+    "b13_token_ring_balance",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {_TOKEN_SQL} % {_RING_BUCKETS} AS bucket, user_id
+        FROM events
+    ), loads AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM keyed GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+               CAST(SUM(n_rows) // {_RING_BUCKETS} AS BIGINT) AS target,
+               CAST((SUM(n_rows) + {_RING_BUCKETS - 1}) // {_RING_BUCKETS}
+                    AS BIGINT) AS ceil_target
+        FROM loads
+    )
+    SELECT CAST(l.bucket AS BIGINT) AS bucket, l.n_rows, l.n_keys,
+           CAST(l.n_rows - t.target AS BIGINT) AS surplus_rows,
+           CAST((l.n_rows * {_RING_BUCKETS} - t.total) * 1000000 // t.total
+                AS BIGINT) AS imbalance_ppm,
+           CAST(GREATEST(l.n_rows - t.ceil_target, 0) AS BIGINT)
+               AS rows_to_move
+    FROM loads l CROSS JOIN tot t
+    """,
+    survey="B13,B1,A29",
+)
+def b13_token_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ring balance audit + rebalance plan: partition keys placed
+    on a {_RING_BUCKETS}-vnode ring by an md5-derived token (the
+    hash-CERTIFIED twin of b1's murmur3 placement, which stays rows-only
+    by contract), then per-vnode load, imbalance vs the uniform target,
+    and the rows each overloaded vnode must shed to reach ceil(total/
+    {_RING_BUCKETS}) — the `nodetool status`-style ownership audit plus
+    the minimal-move rebalance plan an operator executes, completing
+    the Cassandra-semantics tier with its OPERATIONAL leg (b1 places,
+    THIS audits and plans).
+
+    Exactness: md5 tokens are engine-identical; loads, targets (floor
+    and ceil), surplus, ppm imbalance and move counts are pure integer
+    arithmetic.  Law tests pin conservation (Σ surplus = total −
+    {_RING_BUCKETS}·target) and that Σ rows_to_move is the minimal
+    rebalance volume (= Σ positive deviations from ceil target).
+
+    Scale shape: one hash agg to {_RING_BUCKETS} rows + a broadcast
+    1-row total join.  Placement hashing is codegen'd JVM md5 — the
+    same work a real ring write performs per row."""
+    e = Tables(spark, sf_dir).events
+    keyed = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % _RING_BUCKETS
+        ).alias("bucket"),
+        "user_id",
+    )
+    loads = keyed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_keys"),
+    )
+    tot = loads.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.expr(f"SUM(n_rows) DIV {_RING_BUCKETS}").cast("long").alias("target"),
+        F.expr(f"(SUM(n_rows) + {_RING_BUCKETS - 1}) DIV {_RING_BUCKETS}")
+        .cast("long")
+        .alias("ceil_target"),
+    )
+    return loads.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        "n_keys",
+        (F.col("n_rows") - F.col("target")).cast("long").alias("surplus_rows"),
+        F.expr(f"(n_rows * {_RING_BUCKETS} - total) * 1000000 DIV total")
+        .cast("long")
+        .alias("imbalance_ppm"),
+        F.greatest(F.col("n_rows") - F.col("ceil_target"), F.lit(0))
+        .cast("long")
+        .alias("rows_to_move"),
+    )

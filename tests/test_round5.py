@@ -1123,3 +1123,39 @@ def test_f33_stream_parity(spark, sf_dir, tmp_path):
             b.sum_right,
             b.reduction_micro,
         )
+
+
+# ---------------------------------------------------------------- batch 9
+
+
+def test_b13_matches_python_and_conservation(spark):
+    evs = duckdb.connect().execute(
+        f"SELECT user_id FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    loads: dict[int, list[int]] = {}
+    keys: dict[int, set[int]] = {}
+    for (uid,) in evs:
+        b = _h60(str(uid)) % 64
+        loads[b] = loads.get(b, 0) + 1
+        keys.setdefault(b, set()).add(uid)
+    total = sum(loads.values())
+    target = total // 64
+    ceil_t = (total + 63) // 64
+    want = {
+        b: (n, len(keys[b]), n - target,
+            (n * 64 - total) * 1_000_000 // total, max(n - ceil_t, 0))
+        for b, n in loads.items()
+    }
+    got = {
+        r.bucket: (r.n_rows, r.n_keys, r.surplus_rows, r.imbalance_ppm,
+                   r.rows_to_move)
+        for r in REGISTRY["b13_token_ring_balance"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # Conservation law over OCCUPIED buckets: surpluses sum to
+    # total − |occupied|·target; the move plan is the positive part of
+    # the ceil-target deviations (the minimal rebalance volume).
+    assert sum(v[2] for v in got.values()) == total - len(got) * target
+    assert sum(v[4] for v in got.values()) == sum(
+        max(n - ceil_t, 0) for n in loads.values()
+    )
