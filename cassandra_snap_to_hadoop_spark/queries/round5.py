@@ -2710,3 +2710,161 @@ def b13_token_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_to_move"),
     )
+
+
+# ----------------------------------------------------------------- batch 10
+
+
+@register(
+    "e71_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ), margins AS (
+        SELECT l.lang, s.source, l.nl, s.ns, t.n,
+               COALESCE(c.o, 0) AS o
+        FROM (SELECT lang, CAST(SUM(o) AS BIGINT) AS nl FROM cells GROUP BY 1) l
+        CROSS JOIN (SELECT source, CAST(SUM(o) AS BIGINT) AS ns
+                    FROM cells GROUP BY 1) s
+        CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) t
+        LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+    ), terms AS (
+        SELECT n,
+               CAST(FLOOR((CAST(o AS DOUBLE) - CAST(nl AS DOUBLE) * ns / n)
+                          * (CAST(o AS DOUBLE) - CAST(nl AS DOUBLE) * ns / n)
+                          / (CAST(nl AS DOUBLE) * ns / n) * 1000000)
+                    AS BIGINT) AS t_micro,
+               nl, ns
+        FROM margins
+    ), agg AS (
+        SELECT MIN(n) AS n, CAST(SUM(t_micro) AS BIGINT) AS chi2_micro,
+               CAST(COUNT(DISTINCT nl) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT ns) AS BIGINT) AS c
+        FROM terms
+    ), dims AS (
+        SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+        FROM cells
+    )
+    SELECT a.n, d.r, d.c, a.chi2_micro,
+           CAST(FLOOR(sqrt(CAST(a.chi2_micro AS DOUBLE) / 1000000.0
+                / (a.n * (LEAST(d.r, d.c) - 1))) * 1000) AS BIGINT) AS v_milli
+    FROM agg a CROSS JOIN dims d
+    """,
+    survey="E71,E37,E53",
+)
+def e71_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT SIZE of e37's chi-square independence
+    test on the lang × source contingency: χ² says "is there ANY
+    association" (and grows with n even for trivial effects), V =
+    √(χ²/(n·(min(r,c)−1))) ∈ [0,1] says "how MUCH" — the number a
+    mixture report actually cites.  Completes the inference discipline:
+    every test statistic in the registry now has its effect-size
+    companion (e52→e40 CUPED lift, e49 ANOVA→e55 VRC, e37→this).
+
+    Exactness: the full r×c grid including zero cells (the e65 Laplace-
+    grid shape, unsmoothed — expected counts never vanish because
+    margins are positive); each χ² term is ONE identical-op-order
+    double chain micro-floored before the integer sum (the e37
+    discipline); V is one final milli-floored sqrt of exact integers.
+
+    Scale shape: one hash agg to the |langs|·|sources| bounded grid →
+    KB joins → a 1-row summary."""
+    d = Tables(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    nl = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("nl"))
+    ns = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ns"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        nl.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "nl",
+            "ns",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    exp = "CAST(nl AS DOUBLE) * ns / n"
+    terms = grid.select(
+        "n",
+        F.expr(
+            f"CAST(FLOOR((CAST(o AS DOUBLE) - {exp}) * (CAST(o AS DOUBLE) - {exp})"
+            f" / ({exp}) * 1000000) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    agg = terms.agg(
+        F.min("n").alias("n"), F.sum("t_micro").cast("long").alias("chi2_micro")
+    )
+    dims = cells.agg(
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "r",
+        "c",
+        "chi2_micro",
+        F.floor(
+            F.sqrt(
+                F.col("chi2_micro").cast("double")
+                / 1000000.0
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            )
+            * 1000
+        )
+        .cast("long")
+        .alias("v_milli"),
+    )
+
+
+@register(
+    "i23_masking_funcs",
+    oracle="""
+    WITH masked AS (
+        SELECT regexp_replace(regexp_replace(regexp_replace(c_name,
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS pattern,
+               sha256(c_name) AS digest,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT pattern, c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_digests,
+           MIN(digest) AS min_digest
+    FROM masked GROUP BY 1, 2
+    """,
+    survey="I23,J21,I13",
+)
+def i23_masking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking function certification — the governance tier's
+    FUNCTION surface (j21 redacts with regex rules; THIS certifies the
+    engine built-ins a masking policy would actually call): Spark's
+    native `mask()` (upper→X, lower→x, digit→n) against an explicit
+    regexp-chain restatement in DuckDB — two independent implementations
+    of format-preserving masking agreeing byte-for-byte — plus
+    `sha2(·, 256)` against DuckDB's `sha256` (two independent SHA-256
+    implementations, the j49/i21 two-engine evidence pattern).  Output:
+    masked-PATTERN profile per market segment with digest-cardinality —
+    the shape audit a PII reviewer reads (all names sharing one pattern
+    = a generator artifact; digest cardinality = pseudonymization
+    fan-out).
+
+    Scale shape: one scan → hash agg on the (pattern, segment) bounded
+    domain; both functions are codegen'd JVM expressions."""
+    c = Tables(spark, sf_dir).customer
+    masked = c.select(
+        F.mask(F.col("c_name")).alias("pattern"),
+        F.sha2(F.col("c_name"), 256).alias("digest"),
+        "c_mktsegment",
+    )
+    return masked.groupBy("pattern", F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
+        F.min("digest").alias("min_digest"),
+    )

@@ -1159,3 +1159,63 @@ def test_b13_matches_python_and_conservation(spark):
     assert sum(v[4] for v in got.values()) == sum(
         max(n - ceil_t, 0) for n in loads.values()
     )
+
+
+# --------------------------------------------------------------- batch 10
+
+
+def test_e71_matches_python_chi2_v(spark):
+    docs = duckdb.connect().execute(
+        f"SELECT lang, source FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    cells = Counter(docs)
+    nl = Counter(l for l, _ in docs)
+    ns = Counter(s for _, s in docs)
+    n = len(docs)
+    chi2 = 0
+    for l in nl:
+        for s in ns:
+            o = cells.get((l, s), 0)
+            e = nl[l] * ns[s] / n
+            chi2 += math.floor((o - e) * (o - e) / e * 1_000_000)
+    r, c = len(nl), len(ns)
+    v = math.floor(math.sqrt(chi2 / 1_000_000.0 / (n * (min(r, c) - 1))) * 1000)
+    rows = REGISTRY["e71_cramers_v"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert (g.n, g.r, g.c) == (n, r, c)
+    assert abs(g.chi2_micro - chi2) <= r * c  # per-cell libm floors
+    assert abs(g.v_milli - v) <= 1
+    assert 0 <= g.v_milli <= 1000
+
+
+def test_i23_mask_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"SELECT c_name, c_mktsegment FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    from collections import Counter
+
+    def pymask(s: str) -> str:
+        return "".join(
+            "X" if ch.isupper() else "x" if ch.islower() else
+            "n" if ch.isdigit() else ch
+            for ch in s
+        )
+
+    want_n = Counter((pymask(nm), seg) for nm, seg in rows)
+    want_digests = {}
+    for nm, seg in rows:
+        k = (pymask(nm), seg)
+        want_digests.setdefault(k, set()).add(hashlib.sha256(nm.encode()).hexdigest())
+    got = {
+        (r.pattern, r.segment): (r.n_customers, r.n_distinct_digests, r.min_digest)
+        for r in REGISTRY["i23_masking_funcs"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want_n)
+    for k, n in want_n.items():
+        gn, gd, gm = got[k]
+        assert gn == n
+        assert gd == len(want_digests[k])
+        assert gm == min(want_digests[k])  # three SHA-256 impls agree
