@@ -1219,3 +1219,105 @@ def test_i23_mask_matches_python(spark):
         assert gn == n
         assert gd == len(want_digests[k])
         assert gm == min(want_digests[k])  # three SHA-256 impls agree
+
+
+# ------------------------------------------------- property tests (batch 11)
+
+
+def test_binseg_fold_is_argmax_property():
+    """Hypothesis: for ANY non-trivial integer series, the fold's chosen
+    split attains the maximum reduction over all splits (earliest day on
+    ties) — the argmax contract the SQL rank(1) encodes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_snap_to_hadoop_spark.operators.changepoint import (
+        binseg_fold,
+        tz_div,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=40))
+    def run(xs):
+        day, nl, nr, sl, sr, red = binseg_fold(xs, 100)
+        nn, s = len(xs), sum(xs)
+        assert nl + nr == nn and sl + sr == s
+        s1 = 0
+        for i in range(1, nn):
+            s1 += xs[i - 1]
+            other = (
+                tz_div(s1 * s1 * 1_000_000, i)
+                + tz_div((s - s1) * (s - s1) * 1_000_000, nn - i)
+                - tz_div(s * s * 1_000_000, nn)
+            )
+            assert other <= red
+            if other == red:
+                assert day <= 100 + i - 1  # earliest-day tiebreak
+        assert red >= -2  # Cauchy-Schwarz up to 3 truncations
+
+    run()
+
+
+def test_winnowing_density_and_coverage_properties():
+    """Hypothesis: for ANY word list, the selected fingerprint set obeys
+    ceil(n_win/w) <= |sel| <= n_win, and any two sequences sharing a
+    k+w-1-word span share a fingerprint (the MOSS guarantee)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(word, min_size=7, max_size=40), st.lists(word, min_size=0, max_size=10), st.lists(word, min_size=0, max_size=10))
+    def run(words, prefix, suffix):
+        n_win = len(words) - 4 + 1 - 4 + 1
+        sel = _py_selected(words)
+        assert math.ceil(n_win / 4) <= len(sel) <= n_win
+        # embed the first 7 words of `words` into two different hosts:
+        span = words[:7]
+        a = prefix + span + suffix
+        b = suffix + span + prefix
+        if len(a) >= 7 and len(b) >= 7:
+            assert _py_selected(a) & _py_selected(b)
+
+    run()
+
+
+def test_dup_clusters_equals_union_find_on_random_graphs(spark):
+    """The registered hash-min propagation must equal exact union-find on
+    arbitrary random edge sets (not just the corpus's LSH graph) —
+    deterministic md5-seeded graphs, 3 shapes."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import dup_clusters
+
+    for seed, n, m in ((1, 40, 30), (2, 60, 80), (3, 25, 5)):
+        edges = set()
+        i = 0
+        while len(edges) < m:
+            a = _h60(f"{seed}:a:{i}") % n
+            b = _h60(f"{seed}:b:{i}") % n
+            i += 1
+            if a == b:
+                continue
+            edges.add((min(a, b), max(a, b)))
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+        nodes = spark.createDataFrame([(v,) for v in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in dup_clusters(nodes, pairs, max_iterations=20).collect()
+        }
+        assert got == want, f"seed={seed}"
