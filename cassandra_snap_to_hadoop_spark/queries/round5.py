@@ -2868,3 +2868,139 @@ def i23_masking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("digest").cast("long").alias("n_distinct_digests"),
         F.min("digest").alias("min_digest"),
     )
+
+
+# ----------------------------------------------------------------- batch 11
+
+
+@register(
+    "j99_dedup_savings",
+    oracle=f"""
+    WITH {_cc_sql_edges()}, {_cc_sql_iters(_CC_ITERS)}, corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+    ), exact_groups AS (
+        SELECT md5({_NORM}) AS h, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(MIN(doc_id) AS BIGINT) AS survivor
+        FROM documents GROUP BY 1
+    ), exact_surv AS (
+        SELECT e.h, e.n, e.chars, d.n_chars AS surv_chars
+        FROM exact_groups e JOIN documents d ON d.doc_id = e.survivor
+    ), exact_tier AS (
+        SELECT 'exact' AS tier,
+               CAST(SUM(n - 1) AS BIGINT) AS docs_removed,
+               CAST(SUM(chars - surv_chars) AS BIGINT) AS chars_removed
+        FROM exact_surv
+    ), comp AS (
+        SELECT node AS doc_id, lbl AS component_id FROM l{_CC_ITERS}
+    ), members AS (
+        SELECT c.component_id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ), comps AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(MAX(n_chars) AS BIGINT) AS rep_chars
+        FROM members GROUP BY 1 HAVING COUNT(*) >= 2
+    ), nd_tier AS (
+        SELECT 'near_dup' AS tier,
+               CAST(SUM(n - 1) AS BIGINT) AS docs_removed,
+               CAST(SUM(chars - rep_chars) AS BIGINT) AS chars_removed
+        FROM comps
+    ), u AS (
+        SELECT * FROM exact_tier UNION ALL SELECT * FROM nd_tier
+    )
+    SELECT u.tier, u.docs_removed, u.chars_removed,
+           CAST(u.docs_removed * 1000000 // c.n_docs AS BIGINT)
+               AS docs_removed_ppm,
+           CAST(u.chars_removed * 1000000 // c.n_chars AS BIGINT)
+               AS chars_removed_ppm
+    FROM u CROSS JOIN corpus c
+    """,
+    survey="J99,J1,J90",
+)
+def j99_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SAVINGS accounting — the corpus-impact report a data lead
+    reads before approving a curation config: for each dedup tier, how
+    many documents and characters the tier's survivor election removes,
+    absolute and as ppm of the corpus.  Tiers are INDEPENDENT
+    measurements (near-dup components subsume exact groups — the
+    near_dup row is the total a combined run saves, the exact row is
+    the cheap tier's share), with deterministic survivor rules matching
+    the registered operators: exact keeps the min doc_id per md5 group
+    (j1), near-dup keeps the longest member per j90 component (j94's
+    representative).
+
+    Exactness: pure counting over exact integers on top of two certified
+    pipelines (md5 groups, the CC chain).
+
+    Scale shape: the j1 hash agg + the j90 propagation, then KB
+    summaries — nothing new beyond the certified components it audits."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        dup_clusters,
+        md5_minhash_bands,
+        normalize_text,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    corpus = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    groups = d.groupBy(F.md5(normalize_text(F.col("text"))).alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("survivor"),
+    )
+    surv = groups.join(
+        d.select(F.col("doc_id").alias("survivor"), F.col("n_chars").alias("surv_chars")),
+        "survivor",
+    )
+    exact_tier = surv.agg(
+        F.lit("exact").alias("tier"),
+        F.sum(F.col("n") - 1).cast("long").alias("docs_removed"),
+        F.sum(F.col("chars") - F.col("surv_chars")).cast("long").alias("chars_removed"),
+    ).select("tier", "docs_removed", "chars_removed")
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    hubs = (
+        bands.groupBy("band", "bkey")
+        .agg(F.min("doc_id").alias("hub"), F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .drop("nb")
+    )
+    pairs = (
+        bands.join(hubs, ["band", "bkey"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = dup_clusters(
+        d.select(F.col("doc_id").alias("id")), pairs, max_iterations=_CC_ITERS
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    comps = (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.max("n_chars").alias("rep_chars"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd_tier = comps.agg(
+        F.lit("near_dup").alias("tier"),
+        F.sum(F.col("n") - 1).cast("long").alias("docs_removed"),
+        F.sum(F.col("chars") - F.col("rep_chars")).cast("long").alias("chars_removed"),
+    ).select("tier", "docs_removed", "chars_removed")
+    u = exact_tier.unionByName(nd_tier)
+    return u.crossJoin(F.broadcast(corpus)).select(
+        "tier",
+        "docs_removed",
+        "chars_removed",
+        F.expr("docs_removed * 1000000 DIV n_docs").cast("long").alias("docs_removed_ppm"),
+        F.expr("chars_removed * 1000000 DIV n_chars_total")
+        .cast("long")
+        .alias("chars_removed_ppm"),
+    )

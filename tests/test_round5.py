@@ -1321,3 +1321,44 @@ def test_dup_clusters_equals_union_find_on_random_graphs(spark):
             for r in dup_clusters(nodes, pairs, max_iterations=20).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_j99_matches_python_savings(spark):
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text, n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    n_docs = len(docs)
+    n_chars_total = sum(c for _, _, c in docs)
+    # exact tier
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, text, n_chars in docs:
+        h = hashlib.md5(" ".join(_norm_words(text)).encode()).hexdigest()
+        groups.setdefault(h, []).append((doc_id, n_chars))
+    ex_docs = sum(len(g) - 1 for g in groups.values())
+    ex_chars = sum(
+        sum(c for _, c in g) - next(c for d, c in g if d == min(d for d, _ in g))
+        for g in groups.values()
+    )
+    # near-dup tier via union-find components
+    comps = _py_components([(d, t) for d, t, _ in docs])
+    chars = {d: c for d, _, c in docs}
+    nd_docs = sum(len(m) - 1 for m in comps.values() if len(m) >= 2)
+    nd_chars = sum(
+        sum(chars[d] for d in m) - max(chars[d] for d in m)
+        for m in comps.values()
+        if len(m) >= 2
+    )
+    want = {
+        "exact": (ex_docs, ex_chars, ex_docs * 1_000_000 // n_docs,
+                  ex_chars * 1_000_000 // n_chars_total),
+        "near_dup": (nd_docs, nd_chars, nd_docs * 1_000_000 // n_docs,
+                     nd_chars * 1_000_000 // n_chars_total),
+    }
+    got = {
+        r.tier: (r.docs_removed, r.chars_removed, r.docs_removed_ppm,
+                 r.chars_removed_ppm)
+        for r in REGISTRY["j99_dedup_savings"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # Subsumption law: near-dup components contain every exact group.
+    assert got["near_dup"][0] >= got["exact"][0]
