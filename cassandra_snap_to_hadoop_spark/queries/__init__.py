@@ -55,13 +55,150 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
-# Round-5 driver window (50 insertion-ordered entries), recomputed
-# programmatically at round-5 start from REGISTRY − ∪ CORRECTNESS_r{1..4}
-# (VERDICT.md round-4 items 2 and 9): the bench-headline round-4 additions
-# first (e30_equidepth_scalable, j64_simhash_pairs_md5, sql_api_recursive_cte,
-# j82 …), then the round-4 statistics/clustering tiers (e45–e58, f26–f29,
-# j76–j84), then the oldest never-certified extended/training names.  All 50
-# carry SQL oracles and are mirror-green at sf0.001/0.01/0.1.
+# Round-6 driver window (50 insertion-ordered entries), recomputed
+# programmatically at round-6 start from REGISTRY − ∪ CORRECTNESS_r{1..5}
+# (VERDICT.md round-5 item 1): the seven never-certified bench-headline
+# members first (j90/j91 lead, then llm_curation_funnel, e18, f14, j86,
+# j87), then the remaining 23 round-5 additions in registration order
+# (e62–e71, f33/f34, a29/a30, b13, i23, j92–j99, j3_knn_srp_md5), then
+# the `_ROUND5_TAIL` SQL head (k10 … b10).  All 50 carry SQL oracles and
+# are mirror-green at sf0.001/0.01 (heads also at sf0.1).
+_ROUND6_PRIORITY: tuple[str, ...] = (
+    "j90_connected_components",
+    "j91_winnowing_fingerprints",
+    "llm_curation_funnel",
+    "e18_width_bucket_histogram",
+    "f14_rolling_zscore",
+    "j86_kmeans_lloyd",
+    "j87_dbscan_core",
+    "e62_roc_auc",
+    "e63_brier_calibration",
+    "j3_knn_srp_md5",
+    "e67_kendall_tau",
+    "f33_changepoint_binseg",
+    "j92_ngram_novelty",
+    "e64_benjamini_hochberg",
+    "f34_periodogram",
+    "j93_cluster_purity_nmi",
+    "e65_js_divergence",
+    "a29_compaction_planner",
+    "e66_tost_equivalence",
+    "j94_golden_record",
+    "a30_zorder_layout",
+    "e68_pr_auc",
+    "e69_mcc_operating_points",
+    "j96_term_burstiness",
+    "j97_lsh_s_curve",
+    "e70_hurst_exponent",
+    "b13_token_ring_balance",
+    "e71_cramers_v",
+    "i23_masking_funcs",
+    "j99_dedup_savings",
+    "k10_disorder_profile",
+    "g4_global_rank_scalable",
+    "f12_decay_weighted_sum",
+    "k11_session_patterns",
+    "i13_binary_encode_funcs",
+    "j17_repetition_signals",
+    "j18_mixture_weights",
+    "j19_quality_percentile_cut",
+    "d11_salted_skew_join",
+    "e15_salted_agg",
+    "a9_bucketed_join",
+    "j21_pii_redaction",
+    "j22_stratified_sample",
+    "j23_unigram_lm_score",
+    "j24_event_transitions",
+    "j25_upsample_epochs",
+    "e17_weighted_stats",
+    "j31_context_chunking",
+    "sql_api_revenue_by_nation",
+    "b10_replica_divergence",
+)
+
+# Positions 51+ are INSURANCE: if the driver budget runs past 50, every
+# extra slot certifies a query that has never had a driver-green row.
+# SQL-oracled first (hard value evidence — these 37 plus the window
+# above finish the SQL backlog in round 7), rows-only last; within each
+# block, the round-5 tail order then registry insertion order.  The ten
+# final rows-only names carry `err:"no_oracle"` rows from round 1's
+# window (they predate the rows-only-last rule) — those r1 lines are
+# attempted-not-failed, not red.
+_ROUND6_TAIL: tuple[str, ...] = (
+    "d14_asof_tolerance",
+    "d15_null_skew_join",
+    "a17_xml_roundtrip",
+    "j40_dedup_best_rep",
+    "d16_interval_overlap_join",
+    "i14_url_funcs",
+    "a18_json_malformed_rows",
+    "j41_bigram_lm_score",
+    "f13_ratio_windows",
+    "j42_url_canonical_dedup",
+    "j43_fixed_k_sample",
+    "j44_oov_rate",
+    "j46_tokenizer_fertility",
+    "i15_collation_funcs",
+    "a19_csv_multiline",
+    "k12_stream_topk",
+    "sql_api_priority_share",
+    "j47_containment_pairs",
+    "a20_binaryfile_ingest",
+    "k13_stream_stream_left_join",
+    "e19_bitmap_distinct",
+    "e20_pareto_cut",
+    "i16_map_hof_funcs",
+    "a21_dynamic_partition_overwrite",
+    "sql_api_parameterized",
+    "j49_unicode_nfc_normalize",
+    "a22_snapshot_retention",
+    "a23_nested_schema_pruning",
+    "j2_minhash_lsh_md5",
+    "f31_holt_recursive",
+    "f30_savgol_smooth",
+    "j85_fellegi_sunter",
+    "j88_rake_keywords",
+    "a28_zonemap_skipping",
+    "i22_soundex_phonetic",
+    "f32_kalman_recursive",
+    "j89_label_propagation",
+    # rows-only (weaker driver evidence by design)
+    "j3_knn_bruteforce_arrow",
+    "f15_cusum_drift",
+    "j48_media_embedding_knn",
+    "j10_multimodal_decode",
+    "llm_curation_funnel_lsh",
+    "j20_compression_ratio",
+    "e4_approx_count_distinct",
+    "e6_percentile_approx",
+    "e21_cms_heavy_hitters",
+    "e24_hll_overlap",
+    "j56_cdc_chunking",
+    "j3_knn_pq",
+    "e27_hll_distinct_to_date",
+    "f21_lttb_downsample",
+    "f24_holt_forecast",
+    "j64_simhash_hamming_pairs",
+    "j66_bpe_merges",
+    "j68_bpe_encode_stats",
+    "e44_mergeable_quantiles",
+    "j72_rouge_l",
+    "f27_holt_winters",
+    # rows-only with round-1 `err:"no_oracle"` attempt lines (see note)
+    "e12_hll_sketch_merge",
+    "b1_murmur3_placement",
+    "j2_minhash_lsh_pairs",
+    "j2_minhash_lsh_ml",
+    "j3_knn_brp_lsh_ml",
+    "j2_simhash",
+    "j3_knn_ivf",
+    "j3_knn_ivf_kmeans",
+    "j3_similarity_join_lsh",
+    "j9_fingerprint",
+)
+
+# Round-5 window kept for the record (the docs-consistency test asserts it
+# against rounds 1–4 evidence only; it was certified 50/50 in round 5).
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "e30_equidepth_scalable",
     "j70_jaro_winkler_pairs",
@@ -406,4 +543,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND5_PRIORITY + _ROUND5_TAIL)
+_reorder(_ROUND6_PRIORITY + _ROUND6_TAIL)
