@@ -31,7 +31,7 @@ from cassandra_snap_to_hadoop_spark.registry import register
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
-    survey="F1",
+    survey="F1,F8",
 )
 def f8_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile / percent_rank / cume_dist per
@@ -62,7 +62,7 @@ def f8_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
       AND NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-10 00:00:00')
     """,
-    survey="B3,B6",
+    survey="B3,B6,B8",
 )
 def b8_compaction_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction with gc_grace semantics: LWW-merge all generations, then
@@ -96,7 +96,7 @@ def b8_compaction_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     WHERE list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]) >= 0.25
     """,
-    survey="J3,D9",
+    survey="J3,D9,J3-r",
 )
 def j3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius search: every corpus vector within cosine >= 0.25 of each of
@@ -126,7 +126,7 @@ def j3_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(scale), 6) AS max_scale
     FROM err GROUP BY label
     """,
-    survey="J11",
+    survey="J11,J11-q",
 )
 def j11_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (scale = max|x|/127 per
@@ -167,7 +167,7 @@ def j11_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM t GROUP BY 1, 2
     """,
-    survey="J9,C2",
+    survey="J9,C2,J12",
 )
 def j12_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic held-out split by content-stable hash: a doc lands in
@@ -202,7 +202,7 @@ def j12_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum - n_tokens - 2048 * FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_offset
     FROM c
     """,
-    survey="F3,J6",
+    survey="F3,J6,J13",
 )
 def j13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for training batches: docs stream in id

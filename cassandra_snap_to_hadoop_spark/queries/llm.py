@@ -600,7 +600,7 @@ def j9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(n * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS retained_pct
     FROM funnel
     """,
-    survey="J1,J2,J9,H1",
+    survey="J1,J2,J9,H1,J-curation",
 )
 def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation pipeline as one query:

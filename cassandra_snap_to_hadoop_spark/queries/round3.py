@@ -44,7 +44,7 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
     FROM documents
     """,
-    survey="A3",
+    survey="A3,A17",
 )
 def a17_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML source roundtrip — Spark 4's built-in XML data source (the
@@ -210,7 +210,7 @@ def d16_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS BIGINT) AS roundtrip_ok
     FROM documents
     """,
-    survey="I1",
+    survey="I1,I14",
 )
 def i14_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing/encoding functions (I-family depth) — the provenance
@@ -258,7 +258,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     """,
-    survey="A3",
+    survey="A3,A18",
 )
 def a18_json_malformed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty-ingest JSON handling — the JSON-lines twin of a8's CSV case,
@@ -393,7 +393,7 @@ def j41_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - 1.0, 0.0) AS mom_change
     FROM m
     """,
-    survey="F3,F2,E2",
+    survey="F3,F2,E2,F13",
 )
 def f13_ratio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report + period-over-period windows — the two reporting
@@ -441,7 +441,7 @@ def f13_ratio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(doc_id) AS BIGINT) AS rep_id
     FROM canon GROUP BY 1
     """,
-    survey="J1,I1",
+    survey="J1,I1,J42",
 )
 def j42_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl dedup by CANONICAL URL — the metadata-level dedup a pipeline
@@ -503,7 +503,7 @@ def j42_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN rn <= 25 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
     FROM ranked GROUP BY source
     """,
-    survey="J9,F1,E11",
+    survey="J9,F1,E11,J43",
 )
 def j43_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic FIXED-K sample per stratum — the eval-set builder's
@@ -551,7 +551,7 @@ def j43_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t LEFT JOIN vocab ON t.tok = vocab.tok
     GROUP BY t.doc_id
     """,
-    survey="J6,J9,G1",
+    survey="J6,J9,G1,J44",
 )
 def j44_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus's own
@@ -602,7 +602,7 @@ def j44_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                / SUM(len({_WORDS})) AS fertility
     FROM documents GROUP BY lang
     """,
-    survey="J5,J9",
+    survey="J5,J9,J46",
 )
 def j46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: BPE-ish subword count over
@@ -644,7 +644,7 @@ def j46_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ELSE source END) AS BIGINT) AS n_case_variants
     FROM documents GROUP BY 1
     """,
-    survey="I1,C6",
+    survey="I1,C6,I15",
 )
 def i15_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive grouping via Spark 4 string collations.  Half the
@@ -739,7 +739,7 @@ def e18_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(length(text_nl)) AS BIGINT) AS sum_len
     FROM nl GROUP BY lang
     """,
-    survey="A3",
+    survey="A3,A19",
 )
 def a19_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV with embedded newlines AND embedded quotes — the ingest case
@@ -794,7 +794,7 @@ def a19_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ws, '%Y-%m-%d') AS window_start, event_type, n, rnk
     FROM r WHERE rnk <= 3
     """,
-    survey="K1,G3",
+    survey="K1,G3,K12",
 )
 def k12_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed top-k: the 3 most frequent event types per tumbling day —
@@ -899,7 +899,7 @@ def f14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_orders * 1.0 / SUM(n_orders) OVER (PARTITION BY order_month) AS share
     FROM monthly
     """,
-    survey="E2,F1,I2",
+    survey="E2,F1,I2,SQL-2",
 )
 def sql_api_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API depth (SURVEY §3.3): a CTE + aggregate + two window
@@ -1066,7 +1066,7 @@ def a20_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c LEFT JOIN p ON c.user_id = pu
                       AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
     """,
-    survey="K8,D3,D6",
+    survey="K8,D3,D6,K13",
 )
 def k13_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream join, batch-declared: every click row
@@ -1113,7 +1113,7 @@ def k13_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT '__all__' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
     FROM events
     """,
-    survey="E3,E4,I10",
+    survey="E3,E4,I10,E19",
 )
 def e19_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct counting via bitmap aggregates — the
@@ -1208,7 +1208,7 @@ def e20_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1.0 AS DOUBLE) AS zip_diff_v
     FROM events
     """,
-    survey="I6,I5",
+    survey="I6,I5,I16",
 )
 def i16_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map HIGHER-ORDER functions — transform_values, map_filter,
@@ -1248,7 +1248,7 @@ def i16_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(ROUND(v * 100) AS BIGINT)) / 100.0 AS total_v
     FROM rev GROUP BY 1
     """,
-    survey="A4,A5",
+    survey="A4,A5,A21",
 )
 def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC partition overwrite — the lake-maintenance primitive for
@@ -1335,7 +1335,7 @@ def f15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
     GROUP BY 1
     """,
-    survey="C2,E2",
+    survey="C2,E2,SQL-3",
 )
 def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARAMETERIZED SQL (§3.3 API depth): the query text carries named
@@ -1380,7 +1380,7 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(length(nfc_normalize(dec))) AS BIGINT) AS len_after
     FROM t GROUP BY 1
     """,
-    survey="J9,L1,I1",
+    survey="J9,L1,I1,J49",
 )
 def j49_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization — the first text-preprocessing step of
@@ -1416,7 +1416,7 @@ def j49_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j3_knn_bruteforce_arrow", oracle=None, survey="J3,L4")
+@register("j3_knn_bruteforce_arrow", oracle=None, survey="J3,L4,J3-a")
 def j3_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """j3_knn_bruteforce's Arrow/BLAS twin: identical exact-KNN semantics
     (same 8 queries, k=5, cosine, same tie-break) executed as a blocked
@@ -1518,7 +1518,7 @@ def a22_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM orders GROUP BY 1
     """,
-    survey="A1,C1,I9",
+    survey="A1,C1,I9,A23",
 )
 def a23_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-schema pruning: orders land as a struct-typed parquet

@@ -132,7 +132,7 @@ def j57_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, "doc_id", "text", k=_K)
 
 
-@register("j3_knn_pq", oracle=None, survey="J3")
+@register("j3_knn_pq", oracle=None, survey="J3,J3-pq")
 def j3_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (FAISS IndexPQ +
     refine): 16 subspaces x 32 sub-centroids trained on a deterministic

@@ -44,7 +44,7 @@ from cassandra_snap_to_hadoop_spark.registry import register
            CAST(MAX(cents) AS BIGINT) AS hi_cents
     FROM v GROUP BY bucket
     """,
-    survey="E30,E6,G1",
+    survey="E30,E6,G1,E30b",
 )
 def e30_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram WITHOUT the single-reducer global sort — the
@@ -217,7 +217,7 @@ def j71_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e44_mergeable_quantiles", survey="E6,E12,L3")
+@register("e44_mergeable_quantiles", survey="E6,E12,L3,E44")
 def e44_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile summary (GK-lite, operators/qsketch.py): each
     md5-value-bucket reduces to a fixed-size (value, weight) summary and
@@ -269,7 +269,7 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(fa, fb)) <= 3
     """,
-    survey="J2,J64",
+    survey="J2,J64,J64b",
 )
 def j64_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-certifiable twin of j64_simhash_hamming_pairs (VERDICT r3
@@ -537,7 +537,7 @@ def f26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j72_rouge_l", survey="J67,I19,L3")
+@register("j72_rouge_l", survey="J67,I19,L3,J72")
 def j72_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L F-measure over same-language sorted-neighborhood candidate
     pairs — the LCS-based eval metric completing the distributed
@@ -748,7 +748,7 @@ _WORDS4 = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
            CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
     FROM banded GROUP BY 1, 2
     """,
-    survey="J9,J41,E30",
+    survey="J9,J41,E30,J77",
 )
 def j77_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing: every document scored by the
@@ -1063,7 +1063,7 @@ def j78_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes
     FROM closed
     """,
-    survey="J71,D8,E3",
+    survey="J71,D8,E3,J79",
 )
 def j79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counting over the order↔part co-occurrence graph —

@@ -153,6 +153,28 @@ def test_round6_tail_orders_sql_before_rows_only():
     )
 
 
+def test_survey_rows_cover_every_section2_row():
+    """Every SURVEY.md §2 row id must be resolvable from `load_all()`
+    survey tags ALONE — no name-prefix fallback (VERDICT r5 item 3).
+    The machine-readable mapping (registry survey_rows) is the source of
+    truth the judge's coverage table is built from; STATUS.md's prose
+    table must never be the only place a row resolves."""
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(r"^## 2\. Operator inventory(.*?)^## ", text, re.S | re.M)
+    assert m, "SURVEY.md §2 heading not found"
+    row_ids = []
+    for line in m.group(1).splitlines():
+        mm = re.match(r"^\|\s*([A-Z][A-Za-z0-9-]*(?:-[a-z0-9]+)?)\s*\|", line)
+        if mm:
+            row_ids.append(mm.group(1))
+    assert len(row_ids) >= 245, f"§2 parser found only {len(row_ids)} rows"
+    tagged: set[str] = set()
+    for q in REGISTRY.values():
+        tagged |= set(q.survey_rows)
+    missing = [r for r in row_ids if r not in tagged]
+    assert not missing, f"§2 rows with no survey_rows tag on any query: {missing}"
+
+
 def test_every_registered_query_is_documented_somewhere():
     docs = _doc_names(REPO / "STATUS.md") | _doc_names(REPO / "SURVEY.md")
     # Families documented as ranges (tpch_q2..q22) get prose mentions; any
