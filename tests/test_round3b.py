@@ -116,11 +116,20 @@ def test_cms_streaming_microbatch_merge_equals_batch(spark, sf_dir, tmp_path):
 
 
 def test_e21_query_columns_honor_guarantee(spark, sf_dir):
+    """Since round 6 the registered e21 is the md5-relational CMS
+    (depth 5 × width 512): one-sided error always; the depth-5 min keeps
+    the excess within eps·total for eps = e/width (the classic CMS bound,
+    comfortably met empirically at every SF)."""
+    import math
+
+    from cassandra_snap_to_hadoop_spark.queries.round3b import _CMS_WIDTH
+
+    eps = math.e / _CMS_WIDTH
     rows = REGISTRY["e21_cms_heavy_hitters"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
     for r in rows:
         assert r.cms_est >= r.exact_n
-        assert r.cms_est - r.exact_n <= EPS * r.total_events
+        assert r.cms_est - r.exact_n <= eps * r.total_events
 
 
 def test_cohort_day_zero_equals_cohort_size(spark, sf_dir):

@@ -73,12 +73,15 @@ def test_j70_registry_pairs_meet_threshold(spark, sf_dir):
 def test_mergeable_quantiles_rank_error_law(spark, sf_dir):
     """The whole point of the summary: after bucketing + merge, each
     estimated quantile's TRUE rank must sit within 2·n/k of p·n (n/k
-    summary resolution + n/k for the boundary pick)."""
+    summary resolution + n/k for the boundary pick).  Since round 6 the
+    registered query is the SQL-certified md5-keyed tier
+    (qsketch.mergeable_quantiles_certified, k=32) — the law is asserted
+    on it; the pandas production tier keeps its own law test below."""
     from cassandra_snap_to_hadoop_spark.io import Tables
 
-    k = 128
+    k = 32
     est = {
-        r.p: r.est
+        r.decile / 10.0: r.est
         for r in REGISTRY["e44_mergeable_quantiles"].fn(spark, sf_dir).collect()
     }
     assert len(est) == 9
@@ -98,6 +101,63 @@ def test_mergeable_quantiles_rank_error_law(spark, sf_dir):
         target = p * n
         slack = 2 * n / k
         assert lo - slack <= target <= hi + slack, (p, e, lo, hi, target, slack)
+
+
+def test_mergeable_quantiles_pandas_tier_rank_error_law(spark, sf_dir):
+    """The xxhash64-bucketed applyInPandas production tier keeps its own
+    rank-error law now that the registered query is the certified twin."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.qsketch import mergeable_quantiles
+
+    k = 128
+    o = Tables(spark, sf_dir).orders
+    est = {r.p: r.est for r in mergeable_quantiles(o, "o_totalprice", k=k).collect()}
+    assert len(est) == 9
+    vals = sorted(
+        r.v
+        for r in Tables(spark, sf_dir)
+        .orders.selectExpr("cast(o_totalprice as double) as v")
+        .collect()
+    )
+    n = len(vals)
+    import bisect
+
+    for p, e in est.items():
+        lo = bisect.bisect_left(vals, e)
+        hi = bisect.bisect_right(vals, e)
+        target = p * n
+        slack = 2 * n / k
+        assert lo - slack <= target <= hi + slack, (p, e, lo, hi, target, slack)
+
+
+def test_mergeable_quantiles_certified_matches_pandas_fold_law(spark, sf_dir):
+    """Both tiers answer from the same summary algebra: their decile
+    estimates must agree within the COMBINED rank-error budget (2·n/k per
+    tier) — a cross-tier consistency pin, not exact equality (different
+    bucketing hashes pick different boundary values)."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.qsketch import mergeable_quantiles
+
+    o = Tables(spark, sf_dir).orders
+    cert = {
+        r.decile: r.est
+        for r in REGISTRY["e44_mergeable_quantiles"].fn(spark, sf_dir).collect()
+    }
+    prod = {
+        int(round(r.p * 10)): r.est
+        for r in mergeable_quantiles(o, "o_totalprice", k=128).collect()
+    }
+    vals = sorted(
+        r.v for r in o.selectExpr("cast(o_totalprice as double) as v").collect()
+    )
+    import bisect
+
+    n = len(vals)
+    budget = 2 * n / 32 + 2 * n / 128
+    for d in range(1, 10):
+        ra = bisect.bisect_left(vals, cert[d])
+        rb = bisect.bisect_left(vals, prod[d])
+        assert abs(ra - rb) <= budget, (d, cert[d], prod[d], ra, rb, budget)
 
 
 def test_mergeable_quantiles_weights_conserve(spark, sf_dir):
