@@ -275,7 +275,113 @@ def md5_minhash_bands(
     return mh.select(id_col, F.posexplode(band_arr).alias("band", "bkey"))
 
 
-def dup_clusters(nodes: DataFrame, pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def dup_clusters_two_phase(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """J2/J90 cluster assembly, large-star/small-star variant (Kiveris et
+    al., SoCC'14, "Connected Components in MapReduce and Beyond") — the
+    1000-executor upgrade :func:`dup_clusters`'s docstring promises: round
+    count scales with log(component size) instead of component DIAMETER,
+    so chain-shaped components (pathological crawl/link graphs) converge
+    in a handful of rounds where hash-min pays one round per hop.  Same
+    contract: (id, cluster_id = smallest id in the component).
+
+    Each round is two edge REWRITES, both plain hash joins + aggregates
+    over the canonical (a < b) edge relation:
+
+    * LARGE-STAR: per node u over its symmetric neighborhood N(u), hang
+      every LARGER neighbor off m = min(N(u) ∪ {u}) — long chains fold
+      toward local minima in parallel;
+    * SMALL-STAR: orient every edge toward its smaller endpoint; per node
+      u, hang u and ALL its smaller neighbors off m = min(N⁻(u) ∪ {u}) —
+      local minima collapse into one.
+
+    The alternation's fixpoint is exactly the set of stars rooted at each
+    component's minimum (paper, Thm 1-2); convergence is detected with a
+    KB checksum (edge count + hash sum) of consecutive round outputs —
+    the same bounded driver-side signal dup_clusters uses.  Equivalence
+    with hash-min propagation and exact union-find is pinned on random
+    AND path graphs in tests/test_round6.py; the round-count win on
+    chains is probed in SCALE.md."""
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    prev: tuple | None = None
+    for _ in range(max_iterations):
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least(F.col("mn"), F.col("a")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(
+                F.least(F.col("b"), F.col("m")).alias("a"),
+                F.greatest(F.col("b"), F.col("m")).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        mins2 = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = (
+            large.join(mins2, "b")
+            .select(F.col("a").alias("x"), F.col("m").alias("y"))
+            .unionByName(mins2.select(F.col("b").alias("x"), F.col("m").alias("y")))
+            .where(F.col("x") != F.col("y"))
+            .select(
+                F.least(F.col("x"), F.col("y")).alias("a"),
+                F.greatest(F.col("x"), F.col("y")).alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # checksum terms bounded to 2^31 so the ANSI-mode sum cannot
+        # overflow int64 below ~2^33 edges
+        row = small.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64(F.concat_ws(",", "a", "b")), F.lit(2**31))
+            ).alias("h"),
+        ).collect()[0]
+        edges = small
+        cur = (row.n, row.h)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixpoint every component is a star (a = root = min id); the
+    # defensive min-agg covers a max_iterations exhaustion mid-collapse.
+    leaves = edges.groupBy(F.col("b").alias("id")).agg(
+        F.min("a").alias("cluster_id")
+    )
+    return (
+        nodes.select("id")
+        .join(leaves, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+        )
+    )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
     """J2 cluster assembly: connected components of the near-dup pair graph
     by smallest-id label propagation.
 
@@ -315,6 +421,8 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, max_iterations: int = 20) -
             .count()
         )
         labels = new_labels.localCheckpoint(eager=True)  # cut the iterative lineage
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
             break
     return labels

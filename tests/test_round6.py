@@ -126,3 +126,91 @@ def test_e21_certified_matches_native_sketch_law(spark, sf_dir):
         assert native >= r.exact_n
         assert r.cms_est - r.exact_n <= math.e / _CMS_WIDTH * r.total_events
         assert native - r.exact_n <= 0.001 * sk.total_count
+
+
+# ------------------------------------------------- large-star/small-star CC
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _union_find_min(n: int, edges: set) -> dict:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n)}
+
+
+def test_two_phase_cc_equals_union_find_on_random_graphs(spark):
+    """dup_clusters_two_phase (large-star/small-star) must equal exact
+    union-find on the same deterministic random graphs the hash-min tier
+    is pinned on — the two strategies are interchangeable."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import dup_clusters_two_phase
+
+    for seed, n, m in ((1, 40, 30), (2, 60, 80), (3, 25, 5)):
+        edges = set()
+        i = 0
+        while len(edges) < m:
+            a = _h60(f"{seed}:a:{i}") % n
+            b = _h60(f"{seed}:b:{i}") % n
+            i += 1
+            if a == b:
+                continue
+            edges.add((min(a, b), max(a, b)))
+        want = _union_find_min(n, edges)
+        nodes = spark.createDataFrame([(v,) for v in range(n)], "id long")
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in dup_clusters_two_phase(nodes, pairs, max_iterations=20).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_two_phase_cc_beats_hashmin_rounds_on_paths(spark):
+    """The round-count win the dup_clusters docstring promises: on a path
+    graph (worst-case diameter), hash-min pays ~one round per hop while
+    large-star/small-star collapses in O(log n) rounds — both reaching
+    the identical min-rooted labeling."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_two_phase,
+    )
+
+    n = 24  # path 0-1-2-...-23: diameter 23
+    edges = {(v, v + 1) for v in range(n - 1)}
+    nodes = spark.createDataFrame([(v,) for v in range(n)], "id long")
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    s_hm: dict = {}
+    hm = {
+        r.id: r.cluster_id
+        for r in dup_clusters(nodes, pairs, max_iterations=40, stats=s_hm).collect()
+    }
+    s_tp: dict = {}
+    tp = {
+        r.id: r.cluster_id
+        for r in dup_clusters_two_phase(
+            nodes, pairs, max_iterations=40, stats=s_tp
+        ).collect()
+    }
+    want = {v: 0 for v in range(n)}
+    assert hm == want and tp == want
+    # hash-min needs ~diameter rounds (+1 to observe convergence);
+    # two-phase needs O(log n) (+1 to observe the fixpoint).
+    assert s_hm["rounds"] >= n - 2, s_hm
+    assert s_tp["rounds"] <= 8, s_tp
+    assert s_tp["rounds"] < s_hm["rounds"] // 2, (s_tp, s_hm)

@@ -30,6 +30,54 @@ def main() -> None:
     spark = get_spark("scale_probe")
     t = Tables(spark, sf_dir)
 
+    # Dedicated chain probe (VERDICT r5 item 7): synthetic PATH graphs are
+    # the diameter worst case hash-min propagation cannot amortize — round
+    # count = path length — while large-star/small-star collapses the same
+    # chain in O(log n) rounds.  Invoked standalone:
+    #   python tools/scale_probe.py 30 cc-chains
+    if len(sys.argv) > 2 and sys.argv[2] == "cc-chains":
+        import time as _time
+
+        from cassandra_snap_to_hadoop_spark.operators.dedup import (
+            dup_clusters,
+            dup_clusters_two_phase,
+        )
+
+        base_len = 200
+        print(f"# cc-chains probe @ base path length {base_len}, multiplier={mult}")
+        for scale, length in (("1x", base_len), (f"{mult}x", base_len * mult)):
+            nodes = spark.range(length).select(F.col("id"))
+            pairs = spark.range(length - 1).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+            s_tp: dict = {}
+            t0 = _time.perf_counter()
+            out = dup_clusters_two_phase(
+                nodes, pairs, max_iterations=40, stats=s_tp
+            )
+            n_bad = out.filter(F.col("cluster_id") != 0).count()
+            wall = _time.perf_counter() - t0
+            print(
+                f"two-phase {scale} (len={length}): rounds={s_tp['rounds']} "
+                f"wall={wall:.1f}s converged={'YES' if n_bad == 0 else 'NO'}"
+            )
+        # hash-min at base length only: one round per hop makes longer
+        # chains prohibitive — which is precisely the point.
+        nodes = spark.range(base_len).select(F.col("id"))
+        pairs = spark.range(base_len - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        s_hm: dict = {}
+        t0 = _time.perf_counter()
+        out = dup_clusters(nodes, pairs, max_iterations=base_len + 5, stats=s_hm)
+        n_bad = out.filter(F.col("cluster_id") != 0).count()
+        wall = _time.perf_counter() - t0
+        print(
+            f"hash-min 1x (len={base_len}): rounds={s_hm['rounds']} "
+            f"wall={wall:.1f}s converged={'YES' if n_bad == 0 else 'NO'}"
+        )
+        return
+
     def amplify(df, key_cols):
         """Explode each row into `mult` replicas, remapping integer keys so
         cardinalities scale too (replica r shifts keys by r * 10^9)."""
