@@ -170,6 +170,12 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "e21_cms_heavy_hitters",
     # round-6 additions (never-certified by construction, SQL-oracled)
     "e24_overlap_incl_excl",
+    "j100_kcore_decomposition",
+    "e72_log_loss_binned",
+    "e73_join_cardinality_audit",
+    "j101_dsir_importance",
+    "sql_api_unpivot",
+    "j102_l_diversity",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

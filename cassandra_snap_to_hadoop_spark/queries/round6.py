@@ -58,7 +58,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
     FROM pairs p, hist h
     GROUP BY 1, 2
     """,
-    survey="E24,J26,E4",
+    survey="E24x,E24,J26,E4",
 )
 def e24_overlap_incl_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT inclusion-exclusion source overlap (VERDICT r5 item 4b): the
@@ -125,4 +125,548 @@ def e24_overlap_incl_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_union",
             (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_inter"),
         )
+    )
+
+
+# ------------------------------------------------------------------ j100
+# k-core decomposition: unrolled peeling rounds; both engines execute the
+# same fixed budget (fixpoint argument: once no node falls below k, every
+# further round is the identity, so early convergence never diverges).
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+_KCORE_EDGES_SQL = """
+    e AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS a, l_partkey + 1000000000 AS b
+        FROM lineitem WHERE l_quantity >= 25
+    ), a0 AS MATERIALIZED (
+        SELECT a AS node FROM e UNION SELECT b FROM e
+    )
+"""
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    p = r - 1
+    return f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT e.a AS node FROM e
+            JOIN a{p} x ON e.a = x.node JOIN a{p} y ON e.b = y.node
+            UNION ALL
+            SELECT e.b FROM e
+            JOIN a{p} x ON e.a = x.node JOIN a{p} y ON e.b = y.node
+        ) GROUP BY 1
+    ), a{r} AS MATERIALIZED (
+        SELECT node FROM d{r} WHERE deg >= {k}
+    )"""
+
+
+_KCORE_SQL = (
+    "WITH "
+    + _KCORE_EDGES_SQL
+    + ","
+    + ",".join(_kcore_round_sql(r, _KCORE_K) for r in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+    SELECT node, CAST(deg AS BIGINT) AS core_degree
+    FROM d{_KCORE_ROUNDS} WHERE deg >= {_KCORE_K}
+    """
+)
+
+
+@register("j100_kcore_decomposition", oracle=_KCORE_SQL, survey="J100,J71,J90")
+def j100_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the bipartite order↔part incidence
+    graph — the graph-tier density audit that complements j90 (which
+    components exist) and j79 (how clique-ish they are): the k-core is
+    what survives repeatedly peeling nodes of degree < k, the standard
+    "dense nucleus" extraction for dup-graph triage, influence analysis
+    and graph-cleaning before expensive pairwise work.
+
+    Raw ids keep the degree distribution SCALE-INVARIANT (orders keep
+    ~4 parts and parts ~30 orders at every SF — a modulus-folded node
+    space would densify with data and make the core trivial), so the
+    peeling depth stays shallow (≤3 rounds observed at sf0.001–0.1)
+    while the unrolled budget is 8; both engines run the identical 8
+    rounds, and early convergence is a fixpoint so the budget can never
+    diverge (the j86/f29 unrolled-iteration argument).  The oracle
+    unrolls the same peeling as MATERIALIZED CTEs; a pure-Python
+    iterative peel pins the true fixpoint in tests/test_round6.py.
+
+    Scale shape: the edge relation localCheckpoints once; each round is
+    two hash semi-joins onto the active set plus one hash agg — |E| + 2|V|
+    shuffle per round with a fixed round budget.  Output = core nodes
+    with their in-core degree (at the fixpoint d_T == degree within the
+    final core)."""
+    li = Tables(spark, sf_dir).lineitem
+    edges = (
+        li.where(F.col("l_quantity") >= 25)
+        .select(
+            F.col("l_orderkey").alias("a"),
+            (F.col("l_partkey") + F.lit(1000000000).cast("long")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        both = edges.join(
+            active.select(F.col("node").alias("a")), "a"
+        ).join(active.select(F.col("node").alias("b")), "b")
+        deg = (
+            both.select(F.col("a").alias("node"))
+            .unionAll(both.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        active = (
+            deg.where(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return deg.where(F.col("deg") >= _KCORE_K).select(
+        "node", F.col("deg").cast("long").alias("core_degree")
+    )
+
+
+# ------------------------------------------------------------------- e72
+# Binned negative log-likelihood: ln appears ONLY through the 20 injected
+# constants below (ln of the 10 fixed bin midpoints and their complements,
+# floor-quantized to micro-nats in Python) — zero cross-engine float
+# arithmetic, the j97/e70 theory-constant pattern.
+import math as _math
+
+_E72_LNP = {b: int(_math.floor(_math.log((b + 0.5) / 10.0) * 1_000_000)) for b in range(10)}
+_E72_LN1MP = {
+    b: int(_math.floor(_math.log(1.0 - (b + 0.5) / 10.0) * 1_000_000)) for b in range(10)
+}
+_E72_LNP_CASE = (
+    "CASE bin " + " ".join(f"WHEN {b} THEN {v}" for b, v in _E72_LNP.items()) + " END"
+)
+_E72_LN1MP_CASE = (
+    "CASE bin " + " ".join(f"WHEN {b} THEN {v}" for b, v in _E72_LN1MP.items()) + " END"
+)
+
+
+def _register_e72() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _SCORE_SQL
+
+    oracle = f"""
+    WITH {_SCORE_SQL}, probs AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0)))
+                          + 0.5) AS BIGINT) AS p_micro
+        FROM sc
+    ), binned AS (
+        SELECT y, LEAST(p_micro // 100000, 9) AS bin FROM probs
+    ), bins AS (
+        SELECT CAST(bin AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM binned GROUP BY 1
+    )
+    SELECT bin, n, n_pos,
+           CAST(-(n_pos * ({_E72_LNP_CASE})
+                  + (n - n_pos) * ({_E72_LN1MP_CASE})) AS BIGINT) AS nll_micro
+    FROM bins
+    """
+
+    @register(
+        "e72_log_loss_binned", oracle=oracle, survey="E72,E62,E63"
+    )
+    def e72_log_loss_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binned negative log-likelihood (cross-entropy / log loss) of the
+        frozen sigmoid-calibrated scorer — the PROPER scoring rule that
+        punishes confident mistakes exponentially, completing the eval
+        tier (e62 ROC ranks, e68 PR under imbalance, e69 thresholds, e63
+        Brier quadratic calibration; THIS is the loss LLM evals and
+        perplexity reports actually quote).
+
+        Exactness: each row's p_micro comes from the e63-proven
+        single-rounding sigmoid order, then everything downstream is
+        BIGINT: rows land in 10 fixed probability bins and the bin's NLL
+        contribution is n_pos·(−ln m_b) + n_neg·(−ln(1−m_b)) with the 20
+        ln constants floor-quantized to micro-nats IN PYTHON and injected
+        verbatim into both engines (the j97 theory-constant pattern) — ln
+        never runs cross-engine.  Binned NLL is the deployable form at
+        100 TB: the 10-row histogram is mergeable across shards/days
+        while per-row −ln(p) is not storable.
+
+        Scale shape: one scan → score agg (e62's) → 10-group hash agg →
+        constant arithmetic; no joins, no windows."""
+        from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+        sc = _score_df(spark, sf_dir)
+        probs = sc.select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            F.floor(
+                1000000.0 / (1.0 + F.exp(-(F.col("s").cast("double") / 1000000.0)))
+                + 0.5
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+        bins = (
+            probs.groupBy(
+                F.least(F.expr("p_micro DIV 100000"), F.lit(9))
+                .cast("int")
+                .alias("bin")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_pos"),
+            )
+        )
+        return bins.select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr(
+                f"CAST(-(n_pos * ({_E72_LNP_CASE})"
+                f" + (n - n_pos) * ({_E72_LN1MP_CASE})) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+
+
+_register_e72()
+
+
+@register(
+    "e73_join_cardinality_audit",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey AS k FROM lineitem WHERE l_quantity >= 45
+    ), b AS (
+        SELECT p_partkey AS k FROM part WHERE p_size >= 40
+    ), ga AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_a FROM a
+    ), gb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_b FROM b
+    ), sa AS (
+        SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv
+        FROM a GROUP BY 1
+    ), sb AS (
+        SELECT k % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv
+        FROM b GROUP BY 1
+    ), bk AS (
+        SELECT CAST(SUM((sa.n * sb.n) // GREATEST(sa.ndv, sb.ndv)) AS BIGINT)
+                   AS est_bucketed
+        FROM sa JOIN sb ON sa.bucket = sb.bucket
+    ), act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual FROM a JOIN b ON a.k = b.k
+    )
+    SELECT ga.n_a, gb.n_b, ga.ndv_a, gb.ndv_b,
+           CAST((ga.n_a * gb.n_b) // GREATEST(ga.ndv_a, gb.ndv_b) AS BIGINT)
+               AS est_uniform,
+           bk.est_bucketed, act.actual,
+           CAST(ABS((ga.n_a * gb.n_b) // GREATEST(ga.ndv_a, gb.ndv_b)
+                    - act.actual) AS BIGINT) AS err_uniform,
+           CAST(ABS(bk.est_bucketed - act.actual) AS BIGINT) AS err_bucketed
+    FROM ga, gb, bk, act
+    """,
+    survey="E73,J53,A28",
+)
+def e73_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the optimizer-statistics
+    self-check in the a30/j97 family: compute the classic CBO uniform
+    estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B), the 16-bucket
+    histogram-refined version (the same formula per hash bucket, summed),
+    and the EXACT actual join cardinality, side by side with both
+    absolute errors.  This is the check a table-stats pipeline (ANALYZE
+    TABLE / j53 column profiles) runs to decide whether its histograms
+    are fine-grained enough for join planning — and a direct measurement
+    of why bucketed stats beat single-number NDV on skewed keys.
+
+    Pure integer arithmetic end-to-end (counts, exact NDVs, truncating
+    DIV), so the audit itself is hash-certifiable.
+
+    Scale shape: two filtered scans → per-bucket hash aggs (16 rows
+    each) + global aggs (1 row each) + the actual-count equi join;
+    the estimate relations are KB and combine via broadcast — the only
+    volume term is the join being audited."""
+    t = Tables(spark, sf_dir)
+    a = t.lineitem.where(F.col("l_quantity") >= 45).select(
+        F.col("l_partkey").alias("k")
+    )
+    b = t.part.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("k"))
+    ga = a.agg(
+        F.count("*").cast("long").alias("n_a"),
+        F.countDistinct("k").cast("long").alias("ndv_a"),
+    )
+    gb = b.agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.countDistinct("k").cast("long").alias("ndv_b"),
+    )
+    sa = a.groupBy(F.expr("k % 16").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_sa"),
+        F.countDistinct("k").cast("long").alias("ndv_sa"),
+    )
+    sb = b.groupBy(F.expr("k % 16").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_sb"),
+        F.countDistinct("k").cast("long").alias("ndv_sb"),
+    )
+    bk = (
+        sa.join(sb, "bucket")
+        .select(
+            F.expr("(n_sa * n_sb) div greatest(ndv_sa, ndv_sb)").alias("est_b")
+        )
+        .agg(F.sum("est_b").cast("long").alias("est_bucketed"))
+    )
+    act = a.join(b, "k").agg(F.count("*").cast("long").alias("actual"))
+    return (
+        ga.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(bk))
+        .crossJoin(F.broadcast(act))
+        .select(
+            "n_a",
+            "n_b",
+            "ndv_a",
+            "ndv_b",
+            F.expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").alias("est_uniform"),
+            "est_bucketed",
+            "actual",
+            F.expr(
+                "abs((n_a * n_b) div greatest(ndv_a, ndv_b) - actual)"
+            ).alias("err_uniform"),
+            F.expr("abs(est_bucketed - actual)").alias("err_bucketed"),
+        )
+    )
+
+
+_DSIR_B = 4096  # hashed feature space (Laplace smoothing adds B to totals)
+_DSIR_F_SQL = (
+    "CAST(CAST(('0x' || substr(md5(bg), 1, 15)) AS UBIGINT) "
+    f"% {_DSIR_B} AS BIGINT)"
+)
+
+
+@register(
+    "j101_dsir_importance",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_WORDS} AS w FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, {_DSIR_F_SQL} AS f
+        FROM (
+            SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+            FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+                  FROM t WHERE len(w) >= 2)
+        )
+    ), ct AS (
+        SELECT f, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY 1
+    ), cs AS (
+        SELECT f, COUNT(*) AS c FROM bg GROUP BY 1
+    ), tt AS (
+        SELECT COUNT(*) AS n FROM bg WHERE lang = 'en'
+    ), ts AS (
+        SELECT COUNT(*) AS n FROM bg
+    ), feat AS (
+        SELECT cs.f,
+               CAST(FLOOR(ln(((COALESCE(ct.c, 0) + 1) * (ts.n + {_DSIR_B})) * 1.0
+                             / ((cs.c + 1) * (tt.n + {_DSIR_B})))
+                          * 1000000) AS BIGINT) AS r
+        FROM cs LEFT JOIN ct ON cs.f = ct.f
+        CROSS JOIN tt CROSS JOIN ts
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(feat.r) AS BIGINT) AS w_micro
+    FROM bg JOIN feat ON bg.f = feat.f
+    GROUP BY 1
+    """,
+    survey="J101,J41,J9",
+)
+def j101_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    score every document by how much more likely its HASHED-BIGRAM bag is
+    under the target distribution (here: the English slice) than under
+    the full-corpus source distribution — the standard pretraining-data
+    selection signal one step past j77's perplexity buckets (which need a
+    trained LM; DSIR needs only two count vectors).
+
+    log w(doc) = Σ_features ln(p_target(f) / p_source(f)) with Laplace
+    smoothing over the {_DSIR_B}-dim hashed feature space.  Exactness is
+    the j41 discipline: each per-FEATURE log-ratio is computed as ln of
+    ONE division of exact integer products — ((ct+1)·(tot_s+B)) /
+    ((cs+1)·(tot_t+B)) — floor-quantized to micro-nats immediately, so
+    per-doc sums are BIGINT and association-free; md5 features hash
+    identically in both engines.
+
+    Scale shape: the bigram stream is one corpus-scan explode (TF-IDF
+    volume); both count relations hash-agg to ≤ B rows; the scoring join
+    broadcasts the B-row feature table onto the stream — no shuffle
+    beyond the per-doc agg.  Selection (top-k by weight) composes with
+    j58/j43's certified samplers."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.array_join(F.slice(w, i, 2), " "),
+    )
+    bg = (
+        d.filter(F.size(w) >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast("long"),
+                F.lit(_DSIR_B),
+            ).alias("f"),
+        )
+    )
+    ct = bg.where(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("c_t"))
+    cs = bg.groupBy("f").agg(F.count("*").alias("c_s"))
+    tt = bg.where(F.col("lang") == "en").agg(F.count("*").alias("n_t"))
+    ts = bg.agg(F.count("*").alias("n_s"))
+    feat = (
+        cs.join(ct, "f", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "f",
+            F.expr(
+                f"CAST(FLOOR(ln(((COALESCE(c_t, 0) + 1) * (n_s + {_DSIR_B})) * 1.0"
+                f" / ((c_s + 1) * (n_t + {_DSIR_B}))) * 1000000) AS BIGINT)"
+            ).alias("r"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(feat), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("r").cast("long").alias("w_micro"),
+        )
+    )
+
+
+@register(
+    "sql_api_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT n.n_name,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, measure, value
+    FROM (UNPIVOT wide ON sum_qty, sum_cents, n_items
+          INTO NAME measure VALUE value)
+    """,
+    survey="SQL-5,E9,H1",
+)
+def sql_api_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API UNPIVOT surface (SURVEY §3.3 depth, e9's inverse): melt a
+    wide per-nation aggregate (three BIGINT measures) into tidy
+    (nation, measure, value) rows with ONE SQL text — the relational
+    reshape feature-store exports and metric catalogs use, submitted
+    through the front door rather than the DataFrame melt.  Spark 4 and
+    DuckDB both ship native UNPIVOT; the measure NAMES become data, which
+    is exactly what makes the reshape hash-checkable cross-engine.  All
+    three measures are exact integers (quantity units, price cents,
+    counts) so the long format hashes bit-identically.
+
+    Scale shape: the star join + 25-group agg does all the volume work;
+    UNPIVOT itself is a 3-way generate over the 25-row aggregate —
+    constant cost at any SF."""
+    from cassandra_snap_to_hadoop_spark.io import load
+
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"cs2h_{t}")
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT n.n_name,
+                   CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM cs2h_lineitem l
+            JOIN cs2h_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN cs2h_customer c ON o.o_custkey = c.c_custkey
+            JOIN cs2h_nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        )
+        SELECT n_name, measure, value
+        FROM wide
+        UNPIVOT (value FOR measure IN (sum_qty, sum_cents, n_items))
+        """
+    )
+
+
+@register(
+    "j102_l_diversity",
+    oracle="""
+    WITH cls AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT) // 200000) AS BIGINT) AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l3,
+           CAST(SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_below_l3,
+           CAST((SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)
+                 * 1000000) // SUM(class_size) AS BIGINT) AS at_risk_ppm
+    FROM cls
+    """,
+    survey="J102,J84,J21",
+)
+def j102_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007 — the published
+    successor to k-anonymity): j84 guarantees each quasi-identifier class
+    is LARGE, but a large class whose SENSITIVE attribute is uniform
+    still leaks it (the "homogeneity attack"); l-diversity requires every
+    class to contain >= l distinct sensitive values.  Audited here over
+    j84's quasi-identifier tuple (market segment, nation) with the
+    account-balance band (2000-unit buckets over exact cents —
+    ROUND(bal*100) then truncating integer division, the engine-identical
+    form; a raw float CAST would round in one engine and truncate in the
+    other) as the sensitive attribute: the
+    dataset's l = the minimum per-class distinct count, plus how many
+    classes (and what row mass, ppm) sit below the conventional l=3
+    release bar.
+
+    Pure integer counting: one hash agg over the QI key with a distinct
+    count inside, then a 1-row fold — the j84 shape with one extra
+    distinct, still map-side combinable and bounded by the QI domain."""
+    c = Tables(spark, sf_dir).customer
+    cls = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct(F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 200000"))
+        .cast("long")
+        .alias("l_div"),
+    )
+    return cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_l3"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_l3"),
+        F.expr(
+            "CAST((SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END)"
+            " * 1000000) DIV SUM(class_size) AS BIGINT)"
+        ).alias("at_risk_ppm"),
     )

@@ -214,3 +214,226 @@ def test_two_phase_cc_beats_hashmin_rounds_on_paths(spark):
     assert s_hm["rounds"] >= n - 2, s_hm
     assert s_tp["rounds"] <= 8, s_tp
     assert s_tp["rounds"] < s_hm["rounds"] // 2, (s_tp, s_hm)
+
+
+# ---------------------------------------------------- round-6 new batch
+
+
+def test_j100_kcore_matches_python_peel(spark, sf_dir):
+    """The unrolled 8-round peel must equal the true k-core fixpoint
+    (iterative peel in plain Python) — and the data must actually
+    converge within the budget for the equality to mean anything."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import _KCORE_K
+
+    edges = (
+        duckdb.connect()
+        .execute(
+            "SELECT DISTINCT l_orderkey, l_partkey + 1000000000 FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet') WHERE l_quantity >= 25"
+        )
+        .fetchall()
+    )
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    active = set(adj)
+    rounds = 0
+    while True:
+        drop = {
+            u for u in active if sum(1 for v in adj[u] if v in active) < _KCORE_K
+        }
+        if not drop:
+            break
+        active -= drop
+        rounds += 1
+    assert rounds <= 8, f"python peel needed {rounds} rounds — raise the unroll"
+    want = {
+        u: sum(1 for v in adj[u] if v in active) for u in active
+    }
+    got = {
+        r.node: r.core_degree
+        for r in REGISTRY["j100_kcore_decomposition"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_e72_log_loss_constants_and_law(spark, sf_dir):
+    """The injected ln constants must be the true micro-floored bin-
+    midpoint logs, and the binned NLL must reproduce from (n, n_pos) in
+    plain Python; NLL is non-negative (every constant is a negative
+    micro-nat and counts are non-negative)."""
+    import math
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import _E72_LN1MP, _E72_LNP
+
+    for b in range(10):
+        m = (b + 0.5) / 10.0
+        assert _E72_LNP[b] == math.floor(math.log(m) * 1_000_000)
+        assert _E72_LN1MP[b] == math.floor(math.log(1 - m) * 1_000_000)
+    rows = REGISTRY["e72_log_loss_binned"].fn(spark, sf_dir).collect()
+    assert rows and sum(r.n for r in rows) > 0
+    for r in rows:
+        want = -(r.n_pos * _E72_LNP[r.bin] + (r.n - r.n_pos) * _E72_LN1MP[r.bin])
+        assert r.nll_micro == want
+        assert r.nll_micro >= 0
+        assert 0 <= r.n_pos <= r.n
+
+
+def test_e73_estimates_match_python(spark, sf_dir):
+    """Both CBO estimates and the actual join count must reproduce from a
+    plain-Python recomputation over the raw keys — and the audit's point:
+    the bucketed estimate is at least as close as the uniform one here."""
+    import duckdb
+
+    con = duckdb.connect()
+    a = [
+        r[0]
+        for r in con.execute(
+            f"SELECT l_partkey FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            " WHERE l_quantity >= 45"
+        ).fetchall()
+    ]
+    b = [
+        r[0]
+        for r in con.execute(
+            f"SELECT p_partkey FROM read_parquet('{sf_dir}/part.parquet')"
+            " WHERE p_size >= 40"
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    actual = sum(n * cb.get(k, 0) for k, n in ca.items())
+    est_uniform = (len(a) * len(b)) // max(len(ca), len(cb))
+    est_bucketed = 0
+    for bk in range(16):
+        na = sum(1 for k in a if k % 16 == bk)
+        nb = sum(1 for k in b if k % 16 == bk)
+        nda = len({k for k in ca if k % 16 == bk})
+        ndb = len({k for k in cb if k % 16 == bk})
+        if nda and ndb:
+            est_bucketed += (na * nb) // max(nda, ndb)
+    row = REGISTRY["e73_join_cardinality_audit"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.ndv_a, row.ndv_b) == (
+        len(a),
+        len(b),
+        len(ca),
+        len(cb),
+    )
+    assert row.actual == actual
+    assert row.est_uniform == est_uniform
+    assert row.est_bucketed == est_bucketed
+    assert row.err_bucketed <= row.err_uniform
+
+
+def test_j101_dsir_matches_python(spark, sf_dir):
+    """Full-pipeline DSIR pin: hashed-bigram counts (hashlib md5), Laplace
+    log-ratios and per-doc micro-nat sums recomputed in plain Python.
+    Floor boundaries tolerate ±1 micro-nat per FEATURE occurrence (the
+    established ln-drift budget), exact n_bigrams."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import _DSIR_B
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, lang, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+
+    def feats(text):
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        out = []
+        for i in range(len(w) - 1):
+            bg = w[i] + " " + w[i + 1]
+            out.append(int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % _DSIR_B)
+        return out
+
+    ct: Counter = Counter()
+    cs: Counter = Counter()
+    per_doc = {}
+    for doc_id, lang, text in docs:
+        fs = feats(text)
+        if not fs:
+            continue
+        per_doc[doc_id] = fs
+        cs.update(fs)
+        if lang == "en":
+            ct.update(fs)
+    tot_t, tot_s = sum(ct.values()), sum(cs.values())
+    r = {
+        f: math.floor(
+            math.log(
+                ((ct.get(f, 0) + 1) * (tot_s + _DSIR_B))
+                / ((cs[f] + 1) * (tot_t + _DSIR_B))
+            )
+            * 1_000_000
+        )
+        for f in cs
+    }
+    got = {
+        row.doc_id: row
+        for row in REGISTRY["j101_dsir_importance"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, fs in per_doc.items():
+        assert got[doc_id].n_bigrams == len(fs)
+        want = sum(r[f] for f in fs)
+        assert abs(got[doc_id].w_micro - want) <= len(fs), doc_id
+
+
+def test_sql_api_unpivot_reconstructs_wide(spark, sf_dir):
+    """UNPIVOT output must carry exactly 3 rows per nation whose values
+    reassemble the wide aggregate."""
+    rows = REGISTRY["sql_api_unpivot"].fn(spark, sf_dir).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, {})[r.measure] = r.value
+    assert by_nation
+    for nation, m in by_nation.items():
+        assert set(m) == {"sum_qty", "sum_cents", "n_items"}, nation
+        assert m["n_items"] > 0 and m["sum_qty"] > 0 and m["sum_cents"] > 0
+
+
+def test_j102_l_diversity_matches_python(spark, sf_dir):
+    """l-diversity audit pinned against plain-Python set counting over
+    the raw customer rows (exact cents banding)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT c_mktsegment, c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/customer.parquet')"
+        )
+        .fetchall()
+    )
+    classes: dict = defaultdict(list)
+    for seg, nat, cents in rows:
+        band = int(cents) // 200000 if cents >= 0 else -((-int(cents)) // 200000)
+        classes[(seg, nat)].append(band)
+    l_divs = {k: len(set(v)) for k, v in classes.items()}
+    sizes = {k: len(v) for k, v in classes.items()}
+    low = [k for k, l in l_divs.items() if l < 3]
+    row = REGISTRY["j102_l_diversity"].fn(spark, sf_dir).collect()[0]
+    assert row.n_classes == len(classes)
+    assert row.l_diversity == min(l_divs.values())
+    assert row.classes_below_l3 == len(low)
+    assert row.rows_below_l3 == sum(sizes[k] for k in low)
+    assert row.at_risk_ppm == (sum(sizes[k] for k in low) * 1000000) // sum(
+        sizes.values()
+    )
