@@ -176,6 +176,10 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j101_dsir_importance",
     "sql_api_unpivot",
     "j102_l_diversity",
+    "e74_sprt_sequential",
+    "e75_isotonic_calibration",
+    "a31_stcs_tier_audit",
+    "d23_allen_interval_histogram",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -670,3 +670,433 @@ def j102_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) DIV SUM(class_size) AS BIGINT)"
         ).alias("at_risk_ppm"),
     )
+
+
+# ------------------------------------------------------------------- e74
+# SPRT constants, floor-quantized to micro-nats in Python and injected
+# into both engines (the e72/j97 pattern): H0 p=0.18 vs H1 p=0.22,
+# alpha = beta = 0.05.
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+_SPRT_C1 = int(_math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * 1_000_000))
+_SPRT_C0 = int(
+    _math.floor(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1_000_000)
+)
+_SPRT_UP = int(_math.floor(_math.log(0.95 / 0.05) * 1_000_000))
+_SPRT_LO = int(_math.floor(_math.log(0.05 / 0.95) * 1_000_000))
+
+
+@register(
+    "e74_sprt_sequential",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % 2 AS arm,
+               epoch_us(ts) // 86400000000 AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+        FROM events
+    ), daily AS (
+        SELECT arm, day, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s
+        FROM ev GROUP BY 1, 2
+    ), cum AS (
+        SELECT a.arm, a.day,
+               CAST(SUM(b.n) AS BIGINT) AS cum_n,
+               CAST(SUM(b.s) AS BIGINT) AS cum_s
+        FROM daily a JOIN daily b ON b.arm = a.arm AND b.day <= a.day
+        GROUP BY 1, 2
+    )
+    SELECT CAST(arm AS INTEGER) AS arm, day, cum_n, cum_s,
+           CAST(cum_s * ({_SPRT_C1}) + (cum_n - cum_s) * ({_SPRT_C0})
+                AS BIGINT) AS llr_micro,
+           CASE WHEN cum_s * ({_SPRT_C1}) + (cum_n - cum_s) * ({_SPRT_C0})
+                     >= {_SPRT_UP} THEN 'accept_h1'
+                WHEN cum_s * ({_SPRT_C1}) + (cum_n - cum_s) * ({_SPRT_C0})
+                     <= {_SPRT_LO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+    survey="E74,E31,E52",
+)
+def e74_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT (sequential probability ratio test) over the daily
+    purchase-conversion stream, per experiment arm (user_id % 2) — the
+    SEQUENTIAL leg of the A/B tier (e52 Welch / e31 Wilson / e40 CUPED
+    are fixed-horizon; e66 TOST certifies equivalence): monitor the
+    cumulative log-likelihood ratio for H1: p=0.22 vs H0: p=0.18 and
+    stop the moment it crosses ln((1−β)/α) or ln(β/(1−α)) — the
+    always-valid early-stopping discipline a metrics platform runs daily
+    instead of peeking at a fixed-horizon p-value.
+
+    Exactness: LLR_t = s_t·ln(p1/p0) + (n_t−s_t)·ln(q1/q0) — both ln
+    factors and both thresholds are Python-injected micro-nat literals
+    (the e72 pattern), so every per-day statistic and the decision
+    string are pure BIGINT arithmetic.  Day boundaries are tz-free epoch
+    days (unix_micros DIV 86400e6, the established idiom).
+
+    Scale shape: one scan → (arm, day) hash agg (KB at any volume) →
+    broadcast non-equi self-join for the cumulative (the e62 pattern —
+    no unpartitioned window) → constant arithmetic."""
+    ev = Tables(spark, sf_dir).events.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s"),
+    )
+    daily = ev.groupBy("arm", "day").agg(
+        F.count("*").cast("long").alias("n"), F.sum("s").cast("long").alias("s")
+    )
+    cum = (
+        daily.alias("a")
+        .join(
+            F.broadcast(daily.alias("b")),
+            (F.col("b.arm") == F.col("a.arm")) & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.arm").alias("arm"), F.col("a.day").alias("day"))
+        .agg(
+            F.sum("b.n").cast("long").alias("cum_n"),
+            F.sum("b.s").cast("long").alias("cum_s"),
+        )
+    )
+    llr = f"cum_s * ({_SPRT_C1}) + (cum_n - cum_s) * ({_SPRT_C0})"
+    return cum.select(
+        "arm",
+        "day",
+        "cum_n",
+        "cum_s",
+        F.expr(f"CAST({llr} AS BIGINT)").alias("llr_micro"),
+        F.expr(
+            f"CASE WHEN {llr} >= {_SPRT_UP} THEN 'accept_h1'"
+            f" WHEN {llr} <= {_SPRT_LO} THEN 'accept_h0'"
+            f" ELSE 'continue' END"
+        ).alias("decision"),
+    )
+
+
+# ------------------------------------------------------------------- e75
+_PAV_ROUNDS = 9  # 10 bins -> at most 9 merges; >=1 merge fires per round
+
+
+def _pav_round_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+    p{r} AS MATERIALIZED (
+        SELECT p, SUM(n) AS agg_n, SUM(pos) AS agg_pos FROM b{p} GROUP BY 1
+    ), s{r} AS MATERIALIZED (
+        SELECT x.p AS pi, MIN(y.p) AS pj FROM p{r} x JOIN p{r} y ON y.p > x.p
+        GROUP BY 1
+    ), v{r} AS MATERIALIZED (
+        SELECT s.pi, s.pj FROM s{r} s
+        JOIN p{r} i ON i.p = s.pi JOIN p{r} j ON j.p = s.pj
+        WHERE i.agg_pos * j.agg_n > j.agg_pos * i.agg_n
+    ), m{r} AS MATERIALIZED (
+        SELECT v.pj AS from_p, v.pi AS to_p FROM v{r} v
+        WHERE v.pi NOT IN (SELECT pj FROM v{r})
+    ), b{r} AS MATERIALIZED (
+        SELECT b.bin, b.n, b.pos, COALESCE(m.to_p, b.p) AS p
+        FROM b{p} b LEFT JOIN m{r} m ON b.p = m.from_p
+    )"""
+
+
+def _register_e75() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _SCORE_SQL
+
+    oracle = (
+        f"""
+    WITH {_SCORE_SQL}, probs AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0)))
+                          + 0.5) AS BIGINT) AS p_micro
+        FROM sc
+    ), b0 AS MATERIALIZED (
+        SELECT CAST(LEAST(p_micro // 100000, 9) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(LEAST(p_micro // 100000, 9) AS BIGINT) AS p
+        FROM probs GROUP BY 1
+    ),"""
+        + ",".join(_pav_round_sql(r) for r in range(1, _PAV_ROUNDS + 1))
+        + f"""
+    SELECT CAST(b.bin AS INTEGER) AS bin, CAST(b.p AS INTEGER) AS pool,
+           pf.agg_n AS pool_n, pf.agg_pos AS pool_pos,
+           CAST((pf.agg_pos * 1000000) // pf.agg_n AS BIGINT) AS iso_ppm
+    FROM b{_PAV_ROUNDS} b
+    JOIN (SELECT p, CAST(SUM(n) AS BIGINT) AS agg_n,
+                 CAST(SUM(pos) AS BIGINT) AS agg_pos
+          FROM b{_PAV_ROUNDS} GROUP BY 1) pf ON pf.p = b.p
+    """
+    )
+
+    @register("e75_isotonic_calibration", oracle=oracle, survey="E75,E63,E72")
+    def e75_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Isotonic recalibration of the frozen sigmoid scorer via
+        pool-adjacent-violators (PAV) over the 10 reliability bins — the
+        standard non-parametric calibration MAP (Zadrozny & Elkan 2002)
+        that e63's diagnosis feeds: wherever observed positive rate
+        DECREASES as predicted probability increases, PAV merges the
+        offending bins until rates are monotone, and the pooled rates ARE
+        the recalibrated probabilities.
+
+        Relational PAV: pools are represented by their minimum bin id;
+        each unrolled round (9 suffice for 10 bins — at least one merge
+        fires per round while any violation exists, and 10 pools admit at
+        most 9 merges) finds adjacent pool pairs with rate_i > rate_j by
+        exact INTEGER cross-multiplication (P_i·N_j > P_j·N_i — no
+        rational rates), merges every chain-head violator (a pair merges
+        only if its left pool is not itself the right side of another
+        violation — deterministic, conflict-free), and relabels.  PAV's
+        solution is unique regardless of merge order, so the fixed unroll
+        is exact; a plain-Python stack PAV pins it, and monotonicity of
+        the pooled rates is asserted as a law.
+
+        Scale shape: one corpus scan → 10-row bin agg; all nine rounds
+        operate on ≤10-row relations (broadcast joins, KB checkpoints) —
+        the volume term is the scan, the PAV is free."""
+        from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+        sc = _score_df(spark, sf_dir)
+        probs = sc.select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            F.floor(
+                1000000.0
+                / (1.0 + F.exp(-(F.col("s").cast("double") / 1000000.0)))
+                + 0.5
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+        bins = (
+            probs.groupBy(
+                F.least(F.expr("p_micro DIV 100000"), F.lit(9))
+                .cast("long")
+                .alias("bin")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("y").cast("long").alias("pos"),
+            )
+            .withColumn("p", F.col("bin"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(_PAV_ROUNDS):
+            # NOTE: Spark resolves column names case-insensitively, so the
+            # pool aggregates must not be named N/P next to the key p.
+            pools = bins.groupBy("p").agg(
+                F.sum("n").alias("agg_n"), F.sum("pos").alias("agg_pos")
+            )
+            px = pools.select(F.col("p").alias("xp"))
+            py = pools.select(F.col("p").alias("yp"))
+            succ = (
+                px.join(F.broadcast(py), F.col("yp") > F.col("xp"))
+                .groupBy(F.col("xp").alias("pi"))
+                .agg(F.min("yp").alias("pj"))
+            )
+            pairs = succ.join(
+                pools.select(
+                    F.col("p").alias("pi"),
+                    F.col("agg_pos").alias("li_pos"),
+                    F.col("agg_n").alias("li_n"),
+                ),
+                "pi",
+            ).join(
+                pools.select(
+                    F.col("p").alias("pj"),
+                    F.col("agg_pos").alias("rj_pos"),
+                    F.col("agg_n").alias("rj_n"),
+                ),
+                "pj",
+            )
+            viol = pairs.where(
+                F.col("li_pos") * F.col("rj_n") > F.col("rj_pos") * F.col("li_n")
+            ).select("pi", "pj")
+            viol_right = viol.select(F.col("pj").alias("wpj"))
+            merge = (
+                viol.join(
+                    F.broadcast(viol_right),
+                    F.col("pi") == F.col("wpj"),
+                    "left_anti",
+                )
+                .select(F.col("pj").alias("from_p"), F.col("pi").alias("to_p"))
+            )
+            bins = (
+                bins.withColumnRenamed("p", "bp")
+                .join(F.broadcast(merge), F.col("bp") == F.col("from_p"), "left")
+                .select(
+                    "bin",
+                    "n",
+                    "pos",
+                    F.coalesce(F.col("to_p"), F.col("bp")).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        pf = bins.groupBy(F.col("p").alias("pool_key")).agg(
+            F.sum("n").cast("long").alias("pool_n"),
+            F.sum("pos").cast("long").alias("pool_pos"),
+        )
+        return bins.join(
+            F.broadcast(pf), F.col("p") == F.col("pool_key")
+        ).select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("p").cast("int").alias("pool"),
+            "pool_n",
+            "pool_pos",
+            F.expr("CAST((pool_pos * 1000000) DIV pool_n AS BIGINT)").alias(
+                "iso_ppm"
+            ),
+        )
+
+
+_register_e75()
+
+
+@register(
+    "a31_stcs_tier_audit",
+    oracle="""
+    WITH files AS (
+        SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ), tiers AS (
+        SELECT CAST(length(CAST(n_rows AS VARCHAR)) AS INTEGER) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_sstables,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+               CAST(MAX(n_rows) AS BIGINT) AS max_rows
+        FROM files GROUP BY 1
+    )
+    SELECT tier, n_sstables, rows_total, min_rows, max_rows,
+           CAST(CASE WHEN n_sstables >= 4 THEN 1 ELSE 0 END AS INTEGER)
+               AS compaction_due,
+           CAST(CASE WHEN n_sstables >= 4
+                     THEN length(CAST(rows_total AS VARCHAR))
+                     ELSE tier END AS INTEGER) AS merged_tier,
+           CAST(CASE WHEN n_sstables >= 4 THEN rows_total ELSE 0 END
+                AS BIGINT) AS rewrite_rows
+    FROM tiers
+    """,
+    survey="A31,A29,B8",
+)
+def a31_stcs_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered compaction (STCS) audit — Cassandra's DEFAULT
+    compaction strategy, the operational model the reference's snapshots
+    are born under: sstables (per-day row-count stats standing in for
+    file sizes, the a29 convention) group into ORDER-OF-MAGNITUDE tiers;
+    any tier holding >= 4 sstables is due for compaction (the
+    min_threshold default), and the audit reports the post-merge
+    destination tier and the rows that rewrite — the write-amplification
+    line item a capacity plan reads.  Completes the layout tier's
+    strategy coverage: a29 plans target-size binning (leveled-ish
+    rewrite), THIS audits size-tiered triggers.
+
+    Exactness: the tier key is the decimal digit COUNT of the exact
+    integer size (length of the canonical integer string — both engines
+    render integers identically), so tiering, triggers and destinations
+    are all integer/string arithmetic with zero float.
+
+    Scale shape: one map-side-combinable hash agg to per-day stats
+    (metadata scale), then a ≤10-row tier agg — the audit never touches
+    data volume beyond the first agg."""
+    li = Tables(spark, sf_dir).lineitem
+    files = li.groupBy(
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    tiers = files.groupBy(
+        F.length(F.col("n_rows").cast("string")).cast("int").alias("tier")
+    ).agg(
+        F.count("*").cast("long").alias("n_sstables"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.min("n_rows").cast("long").alias("min_rows"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+    )
+    return tiers.select(
+        "tier",
+        "n_sstables",
+        "rows_total",
+        "min_rows",
+        "max_rows",
+        F.when(F.col("n_sstables") >= 4, 1).otherwise(0).cast("int").alias(
+            "compaction_due"
+        ),
+        F.when(
+            F.col("n_sstables") >= 4,
+            F.length(F.col("rows_total").cast("string")),
+        )
+        .otherwise(F.col("tier"))
+        .cast("int")
+        .alias("merged_tier"),
+        F.when(F.col("n_sstables") >= 4, F.col("rows_total"))
+        .otherwise(0)
+        .cast("long")
+        .alias("rewrite_rows"),
+    )
+
+
+_ALLEN_CASE = """
+    CASE WHEN a_hi < b_lo THEN 'precedes'
+         WHEN a_hi = b_lo THEN 'meets'
+         WHEN a_lo < b_lo AND b_lo < a_hi AND a_hi < b_hi THEN 'overlaps'
+         WHEN a_lo < b_lo AND a_hi = b_hi THEN 'finished_by'
+         WHEN a_lo < b_lo AND a_hi > b_hi THEN 'contains'
+         WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+         WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+         WHEN a_lo = b_lo AND a_hi > b_hi THEN 'started_by'
+         WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+         WHEN a_lo > b_lo AND a_hi = b_hi THEN 'finishes'
+         WHEN b_lo < a_lo AND a_lo < b_hi AND b_hi < a_hi THEN 'overlapped_by'
+         WHEN a_lo = b_hi THEN 'met_by'
+         ELSE 'preceded_by' END
+"""
+
+
+@register(
+    "d23_allen_interval_histogram",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_custkey AS cust, o_orderkey AS k,
+               epoch_us(o_orderdate) // 86400000000 AS lo,
+               epoch_us(o_orderdate) // 86400000000 + 7 AS hi
+        FROM orders
+    ), pairs AS (
+        SELECT a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi
+        FROM iv a JOIN iv b ON a.cust = b.cust AND a.k < b.k
+    )
+    SELECT {_ALLEN_CASE} AS relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    survey="D23,D16,D6",
+)
+def d23_allen_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen 1983) — classify every
+    same-customer order-window pair (7-day fulfillment intervals) into
+    the THIRTEEN mutually-exclusive interval relations and report the
+    histogram.  d6/d16 answer "which intervals overlap"; temporal
+    reasoning needs the full relation: 'meets' vs 'overlaps' vs 'during'
+    drive different sessionization, SLA-chaining and entity-timeline
+    decisions, and the 13-way CASE over exact integer day endpoints is
+    the complete, deterministic decision tree (every pair lands in
+    exactly one bucket — partition law tested).
+
+    Scale shape: pairs are blocked on the CUSTOMER equi key (per-customer
+    order density is scale-invariant, so candidate volume stays linear
+    in orders — the d8/e26 argument); classification is one codegen CASE
+    per pair; output is a ≤13-row histogram."""
+    o = Tables(spark, sf_dir).orders
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("lo"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000 + 7").alias("hi"),
+    )
+    a = iv.select(
+        F.col("cust"),
+        F.col("k").alias("ka"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = iv.select(
+        F.col("cust"),
+        F.col("k").alias("kb"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    pairs = a.join(b, "cust").where(F.col("ka") < F.col("kb"))
+    return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
