@@ -180,6 +180,7 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "e75_isotonic_calibration",
     "a31_stcs_tier_audit",
     "d23_allen_interval_histogram",
+    "j103_kneser_ney_bigram",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

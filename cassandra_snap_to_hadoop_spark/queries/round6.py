@@ -1100,3 +1100,103 @@ def d23_allen_interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+@register(
+    "j103_kneser_ney_bigram",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS} AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t
+              WHERE len(w) >= 2)
+    ), bc AS (
+        SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), u1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1
+    ), nf AS (
+        SELECT w1, COUNT(DISTINCT w2) AS nf FROM b GROUP BY 1
+    ), np AS (
+        SELECT w2, COUNT(DISTINCT w1) AS np FROM b GROUP BY 1
+    ), tot AS (
+        SELECT COUNT(*) AS nt FROM bc
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(ln(
+                 (GREATEST(4 * bc.c - 3, 0) * tot.nt + 3 * nf.nf * np.np) * 1.0
+                 / (4 * u1.c1 * tot.nt)) * 1000000) AS BIGINT)) AS BIGINT)
+               AS kn_micro
+    FROM b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN u1 ON b.w1 = u1.w1
+    JOIN nf ON b.w1 = nf.w1
+    JOIN np ON b.w2 = np.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    survey="J103,J41,J7",
+)
+def j103_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — the smoothing KenLM and every serious n-gram
+    quality filter actually use): absolute discounting D=0.75 with the
+    CONTINUATION-count backoff p_cont(w2) = N1+(·w2)/N_types, the piece
+    j41's simple interpolation lacks — "san francisco" makes "francisco"
+    frequent but NOT diverse, and KN correctly scores it near-zero after
+    unseen contexts.
+
+    Exactness: D = 3/4 lets the whole probability clear denominators on
+    an integer lattice — p = [max(4c−3,0)·Nt + 3·N1+(w1·)·N1+(·w2)] /
+    (4·c(w1)·Nt) — so each scored bigram is ln of ONE division of exact
+    BIGINT products, floor-quantized to micro-nats (the j41/j101
+    discipline; overflow budget: every product ≤ ~5·10^11 at sf0.1,
+    documented headroom 10^7 of int64).  Training == scoring corpus ⇒
+    every c ≥ 1 ⇒ the numerator ≥ Nt > 0, no ln(0) path.
+
+    Scale shape: one bigram explode (TF-IDF volume); FOUR count
+    relations, all vocab/bigram-bounded hash aggs; scoring joins are
+    equi joins on token keys + one broadcast scalar — the j41 shape with
+    continuation counts riding the same explode."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    b = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("pos", "bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    u1 = b.groupBy("w1").agg(F.count("*").alias("c1"))
+    nf = b.groupBy("w1").agg(F.countDistinct("w2").alias("nf"))
+    np_ = b.groupBy("w2").agg(F.countDistinct("w1").alias("np"))
+    tot = bc.agg(F.count("*").alias("nt"))
+    scored = (
+        b.join(bc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(nf, "w1")
+        .join(np_, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR(ln((GREATEST(4 * c - 3, 0) * nt + 3 * nf * np) * 1.0"
+                " / (4 * c1 * nt)) * 1000000) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("kn_micro"),
+    )

