@@ -181,6 +181,8 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "a31_stcs_tier_audit",
     "d23_allen_interval_histogram",
     "j103_kneser_ney_bigram",
+    "j104_ipf_raking",
+    "k15_lateness_histogram",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

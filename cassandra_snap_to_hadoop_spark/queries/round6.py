@@ -1200,3 +1200,193 @@ def j103_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("q").cast("long").alias("kn_micro"),
     )
+
+
+# ------------------------------------------------------------------ j104
+_IPF_ITERS = 3  # row+column scaling pairs; margin errors audited in tests
+
+
+def _ipf_round_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+    rs{r} AS MATERIALIZED (
+        SELECT seg, SUM(w) AS cur FROM w{p} GROUP BY 1
+    ), wr{r} AS MATERIALIZED (
+        SELECT w.seg, w.nat,
+               CAST(FLOOR(w.w * (rt.t * 1.0 / rs.cur)) AS BIGINT) AS w
+        FROM w{p} w JOIN rs{r} rs ON rs.seg = w.seg
+        JOIN rowt rt ON rt.seg = w.seg
+    ), cs{r} AS MATERIALIZED (
+        SELECT nat, SUM(w) AS cur FROM wr{r} GROUP BY 1
+    ), w{r} AS MATERIALIZED (
+        SELECT w.seg, w.nat,
+               CAST(FLOOR(w.w * (ct.t * 1.0 / cs.cur)) AS BIGINT) AS w
+        FROM wr{r} w JOIN cs{r} cs ON cs.nat = w.nat
+        JOIN colt ct ON ct.nat = w.nat
+    )"""
+
+
+_IPF_SQL = (
+    """
+    WITH cells AS MATERIALIZED (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ), sub AS MATERIALIZED (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0 GROUP BY 1, 2
+    ), rowt AS MATERIALIZED (
+        SELECT seg, CAST(SUM(n) * 1000000 AS BIGINT) AS t FROM sub GROUP BY 1
+    ), colt AS MATERIALIZED (
+        SELECT nat, CAST(SUM(n) * 1000000 AS BIGINT) AS t FROM sub GROUP BY 1
+    ), w0 AS MATERIALIZED (
+        SELECT seg, nat, CAST(n * 1000000 AS BIGINT) AS w FROM cells
+    ),"""
+    + ",".join(_ipf_round_sql(r) for r in range(1, _IPF_ITERS + 1))
+    + f"""
+    SELECT seg, CAST(nat AS BIGINT) AS nat, w AS w_micro
+    FROM w{_IPF_ITERS}
+    """
+)
+
+
+@register("j104_ipf_raking", oracle=_IPF_SQL, survey="J104,J16,J25")
+def j104_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture calibration by iterative proportional fitting
+    (IPF / raking, Deming & Stephan 1940 — the survey-weighting method
+    and exactly what a training-data pipeline runs to reweight a corpus
+    grid to target marginals): scale the (segment × nation) customer
+    count grid until its row and column sums match the margins of the
+    engaged subpopulation (acctbal > 0) — j16 balances one dimension by
+    resampling; raking calibrates TWO dimensions with one weight field
+    and no resampling.
+
+    Exactness: weights live in micro-units; each scaling step is
+    ``FLOOR(w · (target·1.0/current))`` with the multiply-by-double-ratio
+    association mirrored verbatim in both engines (every operand chain
+    is the same IEEE sequence, so the floors agree bit-for-bit); margins
+    re-aggregate to exact BIGINTs between steps.  {_IPF_ITERS} unrolled
+    row+column scaling pairs (the j86/f29 fixed-budget discipline);
+    margin convergence (≤1 ppm per cell after the final column pass,
+    row margins within the IPF residual) is audited in tests, python
+    float pin is exact equality.
+
+    Scale shape: the grid is |segments|·|nations| cells — metadata scale
+    after one map-side-combinable hash agg per tier; every IPF step is a
+    KB broadcast join."""
+    c = Tables(spark, sf_dir).customer
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    ).agg(F.count("*").cast("long").alias("n"))
+    sub = (
+        c.where(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rowt = sub.groupBy("seg").agg((F.sum("n") * 1000000).cast("long").alias("rt"))
+    colt = sub.groupBy("nat").agg((F.sum("n") * 1000000).cast("long").alias("ct"))
+    w = cells.select(
+        "seg", "nat", (F.col("n") * 1000000).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("seg").agg(F.sum("w").alias("cur"))
+        w = (
+            w.join(F.broadcast(rs), "seg")
+            .join(F.broadcast(rowt), "seg")
+            .select(
+                "seg",
+                "nat",
+                F.expr("CAST(FLOOR(w * (rt * 1.0 / cur)) AS BIGINT)").alias("w"),
+            )
+        )
+        cs = w.groupBy("nat").agg(F.sum("w").alias("cur"))
+        w = (
+            w.join(F.broadcast(cs), "nat")
+            .join(F.broadcast(colt), "nat")
+            .select(
+                "seg",
+                "nat",
+                F.expr("CAST(FLOOR(w * (ct * 1.0 / cur)) AS BIGINT)").alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select("seg", F.col("nat").cast("long").alias("nat"), F.col("w").alias("w_micro"))
+
+
+@register(
+    "k15_lateness_histogram",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id, epoch_us(ts) AS tus
+        FROM events
+    ), lat AS (
+        SELECT event_type,
+               MAX(tus) OVER (PARTITION BY event_type ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - tus AS late_us
+        FROM ev
+    ), b AS (
+        SELECT event_type,
+               CASE WHEN late_us IS NULL THEN 'first'
+                    WHEN late_us <= 0 THEN 'in_order'
+                    WHEN late_us <= 60000000 THEN 'le_1m'
+                    WHEN late_us <= 300000000 THEN 'le_5m'
+                    WHEN late_us <= 3600000000 THEN 'le_1h'
+                    ELSE 'gt_1h' END AS bucket,
+               GREATEST(COALESCE(late_us, 0), 0) AS late_clamped
+        FROM lat
+    )
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(late_clamped) AS BIGINT) AS max_late_us
+    FROM b GROUP BY 1, 2
+    """,
+    survey="K15,K4,K5",
+)
+def k15_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit — THE measurement behind every watermark
+    choice (K4 drops late rows at a given bound; THIS tells you what the
+    bound should be): per event type, compare each event's timestamp to
+    the maximum event time already ARRIVED (arrival order = event_id),
+    bucket the lateness (in-order / ≤1m / ≤5m / ≤1h / >1h / first), and
+    report counts + the worst straggler.  A streaming platform reads
+    this to set `withWatermark` so K4's drop rate is a decision, not an
+    accident.
+
+    Exactness: pure integer epoch-micros arithmetic (tz-free); the
+    running max is a PARTITIONED window (per event type) over the
+    arrival key with an exclusive frame — first arrival yields NULL and
+    its own bucket.
+
+    Scale shape: one exchange on event_type, per-type running-max
+    frames parallelize; output is a ≤|types|·6 histogram."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", "event_id", F.expr("unix_micros(ts)").alias("tus")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        "event_type", (F.max("tus").over(w) - F.col("tus")).alias("late_us")
+    )
+    b = lat.select(
+        "event_type",
+        F.when(F.col("late_us").isNull(), "first")
+        .when(F.col("late_us") <= 0, "in_order")
+        .when(F.col("late_us") <= 60000000, "le_1m")
+        .when(F.col("late_us") <= 300000000, "le_5m")
+        .when(F.col("late_us") <= 3600000000, "le_1h")
+        .otherwise("gt_1h")
+        .alias("bucket"),
+        F.greatest(F.coalesce(F.col("late_us"), F.lit(0)), F.lit(0)).alias(
+            "late_clamped"
+        ),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("late_clamped").cast("long").alias("max_late_us"),
+    )

@@ -705,3 +705,112 @@ def test_j103_kneser_ney_matches_python(spark, sf_dir):
         # (training == scoring corpus), so the seen-set sum stays below 1
         # by the unseen-continuation mass routed through p_cont.
         assert total <= 1.0 + 1e-9, (w1, total)
+
+
+def test_j104_ipf_matches_python_and_calibrates(spark, sf_dir):
+    """IPF raking pinned against a plain-Python float fold (identical
+    IEEE op order → EXACT equality), plus the calibration law: after the
+    final column pass, column margins equal their targets to within the
+    floor residual (≤ 1 unit per contributing cell), and row margins sit
+    within the IPF iteration residual."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import _IPF_ITERS
+
+    con = duckdb.connect()
+    cells = dict()
+    for seg, nat, n in con.execute(
+        "SELECT c_mktsegment, c_nationkey, COUNT(*) FROM"
+        f" read_parquet('{sf_dir}/customer.parquet') GROUP BY 1, 2"
+    ).fetchall():
+        cells[(seg, nat)] = int(n)
+    sub: dict = defaultdict(int)
+    for seg, nat, n in con.execute(
+        "SELECT c_mktsegment, c_nationkey, COUNT(*) FROM"
+        f" read_parquet('{sf_dir}/customer.parquet')"
+        " WHERE c_acctbal > 0 GROUP BY 1, 2"
+    ).fetchall():
+        sub[(seg, nat)] = int(n)
+    rowt: dict = defaultdict(int)
+    colt: dict = defaultdict(int)
+    for (seg, nat), n in sub.items():
+        rowt[seg] += n * 1_000_000
+        colt[nat] += n * 1_000_000
+    import math
+
+    w = {k: v * 1_000_000 for k, v in cells.items()}
+    for _ in range(_IPF_ITERS):
+        cur: dict = defaultdict(int)
+        for (seg, nat), v in w.items():
+            cur[seg] += v
+        w = {
+            (seg, nat): math.floor(v * (rowt[seg] * 1.0 / cur[seg]))
+            for (seg, nat), v in w.items()
+        }
+        cur = defaultdict(int)
+        for (seg, nat), v in w.items():
+            cur[nat] += v
+        w = {
+            (seg, nat): math.floor(v * (colt[nat] * 1.0 / cur[nat]))
+            for (seg, nat), v in w.items()
+        }
+    got = {
+        (r.seg, r.nat): r.w_micro
+        for r in REGISTRY["j104_ipf_raking"].fn(spark, sf_dir).collect()
+    }
+    assert got == w
+    # calibration law: column margins hit targets within the floor residual
+    colm: dict = defaultdict(int)
+    cells_per_col: dict = defaultdict(int)
+    for (seg, nat), v in got.items():
+        colm[nat] += v
+        cells_per_col[nat] += 1
+    for nat, target in colt.items():
+        assert 0 <= target - colm[nat] <= cells_per_col[nat], nat
+
+
+def test_k15_lateness_matches_python(spark, sf_dir):
+    """Lateness buckets recomputed in plain Python from the raw arrival
+    stream (event_id order per type)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_type, event_id, epoch_us(ts) FROM"
+            f" read_parquet('{sf_dir}/events.parquet') ORDER BY event_id"
+        )
+        .fetchall()
+    )
+    seen_max: dict = {}
+    agg: dict = defaultdict(lambda: [0, 0])
+
+    def bucket(late):
+        if late is None:
+            return "first"
+        if late <= 0:
+            return "in_order"
+        if late <= 60_000_000:
+            return "le_1m"
+        if late <= 300_000_000:
+            return "le_5m"
+        if late <= 3_600_000_000:
+            return "le_1h"
+        return "gt_1h"
+
+    for typ, _eid, tus in rows:
+        late = seen_max[typ] - tus if typ in seen_max else None
+        b = bucket(late)
+        a = agg[(typ, b)]
+        a[0] += 1
+        a[1] = max(a[1], max(late or 0, 0))
+        seen_max[typ] = max(seen_max.get(typ, tus), tus)
+    got = {
+        (r.event_type, r.bucket): (r.n, r.max_late_us)
+        for r in REGISTRY["k15_lateness_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}

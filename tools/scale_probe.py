@@ -747,8 +747,138 @@ def main() -> None:
         ).select("q_id", "n_id")
         return cand.groupBy("q_id").agg(F.count("*").alias("n_cand"))
 
+    def dsir_shape(d):
+        """j101: bigram explode -> two <=B-row feature aggs -> broadcast
+        scoring join -> per-doc agg (round 6)."""
+        from cassandra_snap_to_hadoop_spark.registry import load_all
+
+        load_all()
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+        w = toks(F.col("text"))
+        bigrams = F.expr(
+            "transform(sequence(1, size(words) - 1),"
+            " i -> concat_ws(' ', slice(words, i, 2)))"
+        )
+        bg = (
+            d.select("doc_id", "lang", w.alias("words"))
+            .filter(F.size("words") >= 2)
+            .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+            .select(
+                "doc_id",
+                "lang",
+                F.pmod(
+                    F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(4096),
+                ).alias("f"),
+            )
+        )
+        ct = bg.where(F.col("lang") == "en").groupBy("f").agg(
+            F.count("*").alias("c_t")
+        )
+        cs = bg.groupBy("f").agg(F.count("*").alias("c_s"))
+        tt = bg.where(F.col("lang") == "en").agg(F.count("*").alias("n_t"))
+        ts_ = bg.agg(F.count("*").alias("n_s"))
+        feat = (
+            cs.join(ct, "f", "left")
+            .crossJoin(F.broadcast(tt))
+            .crossJoin(F.broadcast(ts_))
+            .select(
+                "f",
+                F.expr(
+                    "CAST(FLOOR(ln(((COALESCE(c_t, 0) + 1) * (n_s + 4096)) * 1.0"
+                    " / ((c_s + 1) * (n_t + 4096))) * 1000000) AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+        return (
+            bg.join(F.broadcast(feat), "f")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.sum("r").alias("w_micro"))
+        )
+
+    def kcore_shape(li):
+        """j100: fixed-round peel over the bipartite incidence graph
+        (round 6) — edges localCheckpoint once, 8 bounded rounds."""
+        edges = (
+            li.where(F.col("l_quantity") >= 25)
+            .select(
+                F.col("l_orderkey").alias("a"),
+                (F.col("l_partkey") + F.lit(10**9).cast("long")).alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        active = (
+            edges.select(F.col("a").alias("node"))
+            .union(edges.select(F.col("b").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deg = None
+        for _ in range(8):
+            both = edges.join(
+                active.select(F.col("node").alias("a")), "a"
+            ).join(active.select(F.col("node").alias("b")), "b")
+            deg = (
+                both.select(F.col("a").alias("node"))
+                .unionAll(both.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            active = (
+                deg.where(F.col("deg") >= 3)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+        return deg.where(F.col("deg") >= 3)
+
+    def mask_overlap_shape(d):
+        """e24-exact twin: per-shingle source-set masks -> mask histogram
+        -> pair sums over the KB relation (round 6) — NO join on values."""
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+        w = toks(F.col("text"))
+        shingles = F.expr(
+            "transform(sequence(1, size(words) - 2),"
+            " i -> concat_ws(' ', slice(words, i, 3)))"
+        )
+        sh0 = (
+            d.select("source", w.alias("words"))
+            .filter(F.size("words") >= 3)
+            .select("source", F.explode(shingles).alias("s"))
+            .distinct()
+        )
+        mask = sh0.groupBy("s").agg(
+            F.sort_array(F.collect_set("source")).alias("m")
+        )
+        hist = mask.groupBy("m").agg(F.count("*").alias("cnt"))
+        srcs = d.select("source").distinct()
+        pairs = (
+            srcs.select(F.col("source").alias("src_a"))
+            .join(
+                srcs.select(F.col("source").alias("src_b")),
+                F.col("src_a") < F.col("src_b"),
+            )
+        )
+        return (
+            hist.crossJoin(F.broadcast(pairs))
+            .groupBy("src_a", "src_b")
+            .agg(
+                F.sum(
+                    F.when(F.array_contains("m", F.col("src_a")), F.col("cnt"))
+                    .otherwise(0)
+                ).alias("n_a")
+            )
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
+        ("dsir-importance", lambda: dsir_shape(d1), lambda: dsir_shape(dN)),
+        ("kcore-peel", lambda: kcore_shape(li1), lambda: kcore_shape(liN)),
+        ("mask-overlap", lambda: mask_overlap_shape(d1), lambda: mask_overlap_shape(dN)),
         ("cc-propagation", lambda: cc_shape(d1_marked), lambda: cc_shape(dN_marked)),
         ("winnowing-pairs", lambda: winnow_shape(d1_marked), lambda: winnow_shape(dN_marked)),
         ("srp-bucket-knn", lambda: srp_knn_shape(emb1), lambda: srp_knn_shape(embN)),
