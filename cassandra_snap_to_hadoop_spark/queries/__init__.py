@@ -183,6 +183,8 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j103_kneser_ney_bigram",
     "j104_ipf_raking",
     "k15_lateness_histogram",
+    "e76_poisson_surprise",
+    "a32_partition_skew_audit",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -1390,3 +1390,134 @@ def k15_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.max("late_clamped").cast("long").alias("max_late_us"),
     )
+
+
+# ------------------------------------------------------------------- e76
+# chi-square(1) 95% critical value, micro-floored in Python (injected).
+_G_CRIT_MICRO = int(_math.floor(3.841458820694124 * 1_000_000))
+
+
+@register(
+    "e76_poisson_surprise",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+    ), cells AS (
+        SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ev GROUP BY 1, 2
+    ), per_type AS (
+        SELECT event_type, CAST(SUM(k) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, c.day, c.k,
+           CAST(FLOOR(2 * c.k * ln((c.k * p.d) * 1.0 / p.t) * 1000000)
+                    AS BIGINT)
+               - (2 * (c.k * p.d - p.t) * 1000000) // p.d AS g_micro,
+           CAST(CASE WHEN
+                CAST(FLOOR(2 * c.k * ln((c.k * p.d) * 1.0 / p.t) * 1000000)
+                     AS BIGINT)
+                - (2 * (c.k * p.d - p.t) * 1000000) // p.d > {_G_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS INTEGER) AS burst_flag
+    FROM cells c JOIN per_type p ON p.event_type = c.event_type
+    """,
+    survey="E76,F14,E37",
+)
+def e76_poisson_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson burst detection by the G-test (likelihood-ratio "surprise",
+    the count-data anomaly test f14's Gaussian z-score mis-models at low
+    counts): per (event type, day) cell, G = 2k·ln(k/λ) − 2(k−λ) against
+    the type's homogeneous daily rate λ = total/days, flagged at the
+    χ²(1) 95% critical value (Python-injected micro constant).
+
+    Exactness: λ = T/D stays RATIONAL — the ln argument is the single
+    integer-product division (k·D)/T (j41/j103 discipline, micro-floored
+    once), and the linear term 2(k·D−T)·10⁶ DIV D is pure BIGINT; the
+    flag compares two integers.  Zero-count cells are absent by
+    construction (only observed cells are scored; an absent day scores
+    the linear term only and is recoverable from the per-type totals —
+    documented, not silently included).
+
+    Scale shape: one scan → (type, day) hash agg (KB) → per-type 1-row
+    agg → broadcast join + constant arithmetic."""
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    cells = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("t"), F.count("*").cast("long").alias("d")
+    )
+    g = (
+        "CAST(FLOOR(2 * k * ln((k * d) * 1.0 / t) * 1000000) AS BIGINT)"
+        " - (2 * (k * d - t) * 1000000) DIV d"
+    )
+    return (
+        cells.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "k",
+            F.expr(g).alias("g_micro"),
+            F.expr(
+                f"CAST(CASE WHEN {g} > {_G_CRIT_MICRO} THEN 1 ELSE 0 END"
+                " AS INT)"
+            ).alias("burst_flag"),
+        )
+    )
+
+
+@register(
+    "a32_partition_skew_audit",
+    oracle="""
+    WITH parts AS (
+        SELECT date_trunc('month', l_shipdate) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST((MAX(n) * COUNT(*) * 1000000) // SUM(n) AS BIGINT)
+               AS skew_ppm,
+           CAST((MAX(n) * COUNT(*) + SUM(n) - 1) // SUM(n) AS BIGINT)
+               AS recommended_salt
+    FROM parts
+    """,
+    survey="A32,B1,D11",
+)
+def a32_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit over the ship-month layout key — the
+    measurement that decides WHETHER to salt before d11's salted join /
+    e15's salted agg pay their fan-out cost: per-partition row counts
+    fold to max/min/total, the skew factor max/mean in ppm, and the
+    recommended salt fan-out ceil(max/mean) (the smallest split that
+    levels the hottest partition to the average).
+
+    Exactness: skew and salt are integer formulas over exact counts —
+    max·n_parts·10⁶ DIV total and the ceiling-division form
+    (max·n_parts + total − 1) DIV total; no rational mean ever
+    materializes.  (date_trunc is calendar bucketing of a DATE — no
+    session-timezone dependence for date-typed columns; both engines
+    truncate the same civil date.)
+
+    Scale shape: one map-side-combinable hash agg to |months| rows, one
+    1-row fold — the audit is metadata-priced at any volume."""
+    li = Tables(spark, sf_dir).lineitem
+    parts = li.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("m")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return parts.agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.expr("CAST((MAX(n) * COUNT(*) * 1000000) DIV SUM(n) AS BIGINT)").alias(
+            "skew_ppm"
+        ),
+        F.expr(
+            "CAST((MAX(n) * COUNT(*) + SUM(n) - 1) DIV SUM(n) AS BIGINT)"
+        ).alias("recommended_salt"),
+    )

@@ -814,3 +814,77 @@ def test_k15_lateness_matches_python(spark, sf_dir):
         for r in REGISTRY["k15_lateness_histogram"].fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_e76_poisson_surprise_matches_python(spark, sf_dir):
+    """G statistic and flags recomputed in plain Python (±1 micro-nat on
+    the ln term per cell); the critical constant must be the true
+    chi-square(1) 0.95 quantile micro-floored."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from cassandra_snap_to_hadoop_spark.queries.round6 import _G_CRIT_MICRO
+
+    assert _G_CRIT_MICRO == 3841458
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_type, epoch_us(ts) // 86400000000 FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        )
+        .fetchall()
+    )
+    cells: Counter = Counter(rows)
+    per_type: dict = defaultdict(lambda: [0, 0])
+    for (typ, _day), k in cells.items():
+        per_type[typ][0] += k
+        per_type[typ][1] += 1
+    got = {
+        (r.event_type, r.day): r
+        for r in REGISTRY["e76_poisson_surprise"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    n_flagged = 0
+    for (typ, day), k in cells.items():
+        t, d = per_type[typ]
+        want = math.floor(2 * k * math.log(k * d / t) * 1_000_000) - (
+            2 * (k * d - t) * 1_000_000
+        ) // d
+        r = got[(typ, day)]
+        assert r.k == k
+        assert abs(r.g_micro - want) <= 1, (typ, day)
+        if r.g_micro > _G_CRIT_MICRO:
+            n_flagged += 1
+        assert r.burst_flag == int(r.g_micro > _G_CRIT_MICRO)
+        # G is non-negative up to the micro floor residual
+        assert r.g_micro >= -2
+
+
+def test_a32_skew_audit_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    import duckdb
+
+    months = Counter(
+        m
+        for (m,) in duckdb.connect()
+        .execute(
+            "SELECT date_trunc('month', l_shipdate) FROM"
+            f" read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        .fetchall()
+    )
+    sizes = list(months.values())
+    n, total, mx, mn = len(sizes), sum(sizes), max(sizes), min(sizes)
+    r = REGISTRY["a32_partition_skew_audit"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_partitions, r.total_rows, r.max_rows, r.min_rows) == (
+        n,
+        total,
+        mx,
+        mn,
+    )
+    assert r.skew_ppm == (mx * n * 1_000_000) // total
+    assert r.recommended_salt == (mx * n + total - 1) // total
+    assert r.recommended_salt >= 1
