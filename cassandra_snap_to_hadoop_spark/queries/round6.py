@@ -1521,3 +1521,174 @@ def a32_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((MAX(n) * COUNT(*) + SUM(n) - 1) DIV SUM(n) AS BIGINT)"
         ).alias("recommended_salt"),
     )
+
+
+def _register_j105() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round4c import _MH_N, _MH_ROWS
+    from cassandra_snap_to_hadoop_spark.queries.round5 import (
+        _CC_ITERS,
+        _cc_sql_edges,
+        _cc_sql_iters,
+    )
+
+    oracle = f"""
+    WITH {_cc_sql_edges()}, {_cc_sql_iters(_CC_ITERS)},
+    members AS (
+        SELECT node AS doc_id, lbl FROM l{_CC_ITERS}
+        WHERE lbl IN (SELECT lbl FROM l{_CC_ITERS} GROUP BY 1
+                      HAVING COUNT(*) >= 2)
+    ), cpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lbl
+        FROM members a JOIN members b
+          ON a.lbl = b.lbl AND a.doc_id < b.doc_id
+    ), direct AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cpairs p
+        JOIN sh x ON x.doc_id = p.id_a
+        JOIN sh y ON y.doc_id = p.id_b AND y.sh = x.sh
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    )
+    SELECT p.id_a, p.id_b, CAST(p.lbl AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_direct,
+           CAST(COALESCE(i.i, 0) * 1000000
+                // (sa.sz + sb.sz - COALESCE(i.i, 0)) AS BIGINT) AS j_ppm
+    FROM cpairs p
+    LEFT JOIN direct d ON d.id_a = p.id_a AND d.id_b = p.id_b
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """
+
+    @register(
+        "j105_cluster_contamination", oracle=oracle, survey="J105,J90,J2,J97"
+    )
+    def j105_cluster_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dup-cluster contamination audit — the honesty check every
+        transitive dedup pipeline owes its users: connected components
+        merge by CHAINS (A~B, B~C ⇒ {{A,B,C}}), so a component can contain
+        pairs that never shared a bucket and whose true Jaccard sits far
+        below the dedup threshold.  For every intra-component pair this
+        reports whether it was a DIRECT banded-LSH candidate (shared ≥1
+        band bucket) or a transitive-only merge, with its EXACT shingle
+        Jaccard in ppm — j97 audits the index's recall; THIS audits the
+        cluster step's precision, and together they bound both error
+        directions of the whole dedup pipeline.
+
+        Exactness: components are the certified j90 propagation; Jaccard
+        is integer intersection·10⁶ DIV union over the same distinct
+        shingle relation the bands are built from.
+
+        Scale shape: intra-component pair volume is Σ|C|² — bounded by
+        band-bucket occupancy (components are star-joined buckets), the
+        same bound the candidate join already pays; the Jaccard join
+        touches only member docs' shingles (inner-join pushdown), never
+        the corpus; `direct` reuses the existing bucket equi-join."""
+        from cassandra_snap_to_hadoop_spark.operators.dedup import (
+            dup_clusters,
+            md5_minhash_bands,
+            shingles,
+        )
+
+        d = Tables(spark, sf_dir).documents
+        bands = md5_minhash_bands(
+            d, n_hashes=_MH_N, rows_per_band=_MH_ROWS
+        ).localCheckpoint(eager=True)
+        hubs = (
+            bands.groupBy("band", "bkey")
+            .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .drop("n")
+        )
+        pairs = (
+            bands.join(hubs, ["band", "bkey"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = d.select(F.col("doc_id").alias("id"))
+        labels = dup_clusters(nodes, pairs, max_iterations=_CC_ITERS)
+        comp = (
+            labels.groupBy("cluster_id")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .select("cluster_id")
+        )
+        members = labels.join(comp, "cluster_id").select(
+            F.col("id").alias("doc_id"), F.col("cluster_id").alias("lbl")
+        )
+        ma = members.select(
+            F.col("doc_id").alias("id_a"), F.col("lbl").alias("lbl_a")
+        )
+        mb = members.select(
+            F.col("doc_id").alias("id_b"), F.col("lbl").alias("lbl_b")
+        )
+        cpairs = (
+            ma.join(mb, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", F.col("lbl_a").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        ba = bands.select(
+            F.col("doc_id").alias("id_a"), "band", "bkey"
+        )
+        bb = bands.select(
+            F.col("doc_id").alias("id_b"), F.col("band").alias("band2"), F.col("bkey").alias("bkey2")
+        )
+        direct = (
+            ba.join(
+                bb,
+                (F.col("band") == F.col("band2"))
+                & (F.col("bkey") == F.col("bkey2"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .distinct()
+            .withColumn("is_direct_f", F.lit(1))
+        )
+        sh = (
+            fan_out(d)
+            .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh"))
+            .distinct()
+        )
+        sx = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sy = sh.select(F.col("doc_id").alias("yid"), F.col("sh").alias("sh_b"))
+        inter = (
+            cpairs.join(sx, "id_a")
+            .join(
+                sy,
+                (F.col("id_b") == F.col("yid")) & (F.col("sh_b") == F.col("sh_a")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("i"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            cpairs.join(direct, ["id_a", "id_b"], "left")
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("lbl").cast("long").alias("cluster_id"),
+                F.coalesce(F.col("is_direct_f"), F.lit(0)).cast("int").alias(
+                    "is_direct"
+                ),
+                F.expr(
+                    "CAST(COALESCE(i, 0) * 1000000"
+                    " DIV (sz_a + sz_b - COALESCE(i, 0)) AS BIGINT)"
+                ).alias("j_ppm"),
+            )
+        )
+
+
+_register_j105()

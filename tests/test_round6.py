@@ -888,3 +888,95 @@ def test_a32_skew_audit_matches_python(spark, sf_dir):
     assert r.skew_ppm == (mx * n * 1_000_000) // total
     assert r.recommended_salt == (mx * n + total - 1) // total
     assert r.recommended_salt >= 1
+
+
+def test_j105_contamination_matches_python(spark, sf_dir):
+    """Full-pipeline python pin for the cluster-precision audit: bands,
+    star edges, union-find components, direct-pair set, and exact
+    Jaccard recomputed with hashlib/sets; plus the structural laws —
+    every DIRECT pair is intra-component, and every component of size s
+    contributes exactly C(s,2) audited pairs."""
+    import hashlib
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from cassandra_snap_to_hadoop_spark.queries.round4c import _MH_N, _MH_ROWS
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sh_sets = {}
+    bands_by_bucket: dict = defaultdict(set)
+    for doc_id, text in docs:
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        sh = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1)) if len(w[i : i + 3]) == 3}
+        if not sh:
+            continue
+        sh_sets[doc_id] = sh
+        mins = [min(h60(f"{i}:{s}") for s in sh) for i in range(_MH_N)]
+        n_bands = _MH_N // _MH_ROWS
+        for b in range(n_bands):
+            key = "|".join(
+                str(mins[b * _MH_ROWS + r]) for r in range(_MH_ROWS)
+            )
+            bands_by_bucket[(b, key)].add(doc_id)
+    direct = set()
+    edges = set()
+    for bucket, members_ in bands_by_bucket.items():
+        if len(members_) < 2:
+            continue
+        hub = min(members_)
+        for m in members_:
+            if m != hub:
+                edges.add((hub, m))
+        for x, y in combinations(sorted(members_), 2):
+            direct.add((x, y))
+    # union-find over star edges
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = defaultdict(set)
+    for v in parent:
+        comps[find(v)].add(v)
+    want = {}
+    for root, members_ in comps.items():
+        if len(members_) < 2:
+            continue
+        for x, y in combinations(sorted(members_), 2):
+            i = len(sh_sets[x] & sh_sets[y])
+            u = len(sh_sets[x]) + len(sh_sets[y]) - i
+            want[(x, y)] = (root, int((x, y) in direct), i * 1_000_000 // u)
+    got = {
+        (r.id_a, r.id_b): (r.cluster_id, r.is_direct, r.j_ppm)
+        for r in REGISTRY["j105_cluster_contamination"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # structural law: per component of size s, exactly C(s,2) pairs
+    sizes: dict = defaultdict(int)
+    for (x, y), (root, _d, _j) in want.items():
+        sizes[root] += 1
+    for root, members_ in comps.items():
+        if len(members_) >= 2:
+            s = len(members_)
+            assert sizes[root] == s * (s - 1) // 2
