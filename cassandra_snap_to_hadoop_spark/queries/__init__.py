@@ -186,6 +186,7 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "e76_poisson_surprise",
     "a32_partition_skew_audit",
     "j105_cluster_contamination",
+    "e77_conformal_intervals",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

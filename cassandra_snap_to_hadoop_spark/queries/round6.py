@@ -1692,3 +1692,141 @@ def _register_j105() -> None:
 
 
 _register_j105()
+
+
+@register(
+    "e77_conformal_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS k, c.c_nationkey AS nat,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS is_cal
+        FROM orders JOIN customer c ON o_custkey = c.c_custkey
+    ), cal AS (
+        SELECT nat, CAST(SUM(cents) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM o WHERE is_cal = 1 GROUP BY 1
+    ), resid AS (
+        SELECT o.nat, ABS(o.cents * cal.n_cal - cal.t) AS r, o.k
+        FROM o JOIN cal ON cal.nat = o.nat WHERE o.is_cal = 1
+    ), ranked AS (
+        SELECT nat, r,
+               ROW_NUMBER() OVER (PARTITION BY nat ORDER BY r, k) AS rn
+        FROM resid
+    ), q AS (
+        SELECT ranked.nat, CAST(ranked.r AS BIGINT) AS q_scaled
+        FROM ranked JOIN cal ON cal.nat = ranked.nat
+        WHERE ranked.rn = (9 * (cal.n_cal + 1) + 9) // 10
+    ), test AS (
+        SELECT o.nat,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(o.cents * cal.n_cal - cal.t)
+                                  <= q.q_scaled THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM o
+        JOIN cal ON cal.nat = o.nat
+        JOIN q ON q.nat = o.nat
+        WHERE o.is_cal = 0
+        GROUP BY 1
+    )
+    SELECT CAST(t.nat AS BIGINT) AS nat, cal.n_cal, t.n_test, q.q_scaled,
+           t.n_covered,
+           CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+    FROM test t JOIN cal ON cal.nat = t.nat JOIN q ON q.nat = t.nat
+    """,
+    survey="E77,E38,J12",
+)
+def e77_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018 — the
+    distribution-free uncertainty method modern ML eval stacks quote):
+    per nation, a deterministic md5 split (the j12 identity-stable
+    discipline) carves calibration and test halves; the 90% conformal
+    radius is the ⌈0.9·(n+1)⌉-th smallest calibration |residual| around
+    the calibration mean, and the TEST half's empirical coverage audits
+    the finite-sample guarantee (≥ 90% in expectation, distribution-free
+    — asserted with the exact binomial tolerance in tests).
+
+    Exactness: the rational mean never materializes — residuals are
+    scaled by n_cal (|cents·n_cal − T|, exact BIGINT), the quantile is an
+    exact order statistic (partitioned rank window, ⌈·⌉ via the
+    ceiling-division form), and coverage is integer counting.
+
+    Scale shape: one star join, per-nation hash aggs, ONE partitioned
+    rank window over the calibration residuals, broadcast of the ≤|nat|
+    quantile relation — no global order, no float."""
+    o = (
+        Tables(spark, sf_dir)
+        .orders.join(
+            Tables(spark, sf_dir).customer,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("c_nationkey").alias("nat"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.when(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("is_cal"),
+        )
+    )
+    cal = (
+        o.where(F.col("is_cal") == 1)
+        .groupBy("nat")
+        .agg(
+            F.sum("cents").cast("long").alias("t"),
+            F.count("*").cast("long").alias("n_cal"),
+        )
+    )
+    from pyspark.sql import Window
+
+    resid = (
+        o.where(F.col("is_cal") == 1)
+        .join(F.broadcast(cal), "nat")
+        .select(
+            "nat", "k", F.abs(F.col("cents") * F.col("n_cal") - F.col("t")).alias("r")
+        )
+    )
+    w = Window.partitionBy("nat").orderBy("r", "k")
+    ranked = resid.withColumn("rn", F.row_number().over(w))
+    q = (
+        ranked.join(F.broadcast(cal), "nat")
+        .where(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select("nat", F.col("r").cast("long").alias("q_scaled"))
+    )
+    test = (
+        o.where(F.col("is_cal") == 0)
+        .join(F.broadcast(cal), "nat")
+        .join(F.broadcast(q), "nat")
+        .groupBy("nat")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") * F.col("n_cal") - F.col("t"))
+                    <= F.col("q_scaled"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(cal), "nat")
+        .join(F.broadcast(q), "nat")
+        .select(
+            F.col("nat").cast("long").alias("nat"),
+            "n_cal",
+            "n_test",
+            "q_scaled",
+            "n_covered",
+            F.expr("CAST(n_covered * 1000000 DIV n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

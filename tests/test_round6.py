@@ -980,3 +980,55 @@ def test_j105_contamination_matches_python(spark, sf_dir):
         if len(members_) >= 2:
             s = len(members_)
             assert sizes[root] == s * (s - 1) // 2
+
+
+def test_e77_conformal_matches_python_and_covers(spark, sf_dir):
+    """Split-conformal pipeline pinned against plain-Python sets (md5
+    split, scaled residuals, exact order-statistic radius, coverage
+    counting), plus the conformal guarantee: pooled coverage within the
+    exact binomial noise band around 90%."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT o_orderkey, c.c_nationkey,"
+            " CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/orders.parquet')"
+            f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+            " ON o_custkey = c.c_custkey"
+        )
+        .fetchall()
+    )
+    cal: dict = defaultdict(list)
+    test: dict = defaultdict(list)
+    for k, nat, cents in rows:
+        side = cal if hashlib.md5(str(k).encode()).hexdigest()[0] < "8" else test
+        side[nat].append((int(cents), k))
+    want = {}
+    for nat, pts in cal.items():
+        t = sum(c for c, _ in pts)
+        n = len(pts)
+        resid = sorted((abs(c * n - t), k) for c, k in pts)
+        kth = (9 * (n + 1) + 9) // 10
+        if kth > len(resid) or nat not in test:
+            continue
+        q = resid[kth - 1][0]
+        tp = test[nat]
+        cov = sum(1 for c, _ in tp if abs(c * n - t) <= q)
+        want[nat] = (n, len(tp), q, cov, cov * 1_000_000 // len(tp))
+    got = {
+        r.nat: (r.n_cal, r.n_test, r.q_scaled, r.n_covered, r.coverage_ppm)
+        for r in REGISTRY["e77_conformal_intervals"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    n_total = sum(v[1] for v in want.values())
+    n_cov = sum(v[3] for v in want.values())
+    # distribution-free guarantee: pooled coverage ≈ 0.9 within ~4 binomial
+    # standard deviations of the pooled test size.
+    sd = math.sqrt(0.9 * 0.1 / n_total)
+    assert abs(n_cov / n_total - 0.9) <= 4 * sd + 25 / n_total, (n_cov, n_total)
