@@ -66,6 +66,10 @@ HEADLINE = [
     # fingerprints (partitioned sliding-min window + bucket pair join)
     "j90_connected_components",
     "j91_winnowing_fingerprints",
+    # round-6 representatives: corpus-scan importance scoring (bigram
+    # explode + broadcast feature join) and bounded-round graph peeling
+    "j101_dsir_importance",
+    "j100_kcore_decomposition",
 ]
 
 N_RUNS = 3
