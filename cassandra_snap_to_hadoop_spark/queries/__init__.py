@@ -187,6 +187,7 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "a32_partition_skew_audit",
     "j105_cluster_contamination",
     "e77_conformal_intervals",
+    "e78_mcnemar_paired",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

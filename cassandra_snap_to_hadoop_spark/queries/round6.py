@@ -1830,3 +1830,107 @@ def e77_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _register_e78() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _SCORE_SQL
+
+    oracle = f"""
+    WITH {_SCORE_SQL}, probs AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0)))
+                          + 0.5) AS BIGINT) AS p_micro
+        FROM sc
+    ), cls AS (
+        SELECT y,
+               CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS a,
+               CASE WHEN p_micro >= 600000 THEN 1 ELSE 0 END AS b
+        FROM probs
+    ), ct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dis_b,
+               CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dis_c
+        FROM cls
+    )
+    SELECT n, dis_b, dis_c,
+           CAST(CASE WHEN dis_b + dis_c = 0 THEN 0
+                ELSE ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)
+                      * 1000000) // (dis_b + dis_c) END AS BIGINT)
+               AS mcnemar_micro,
+           CAST(CASE WHEN dis_b + dis_c > 0
+                      AND ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)
+                           * 1000000) // (dis_b + dis_c) > {_G_CRIT_MICRO}
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM ct
+    """
+
+    @register("e78_mcnemar_paired", oracle=oracle, survey="E78,E69,E53")
+    def e78_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """McNemar's test for PAIRED classifier comparison (the correct
+        test when two models score the SAME examples — an unpaired e52
+        t-test wastes the pairing and both classifiers share variance):
+        model A = the calibrated scorer at the 0.5 cut, model B = the
+        conservative 0.6 cut; only the DISAGREEMENT cells matter, and the
+        continuity-corrected statistic (|b−c|−1)²/(b+c) against χ²(1)
+        (the shared injected critical constant) says whether the
+        threshold move changes accuracy beyond noise.  Completes the eval
+        tier's comparison leg: e69 evaluates ONE operating point, e53
+        agreement, THIS decides between two.
+
+        Exactness: b, c are exact counts; the statistic is one integer
+        expression with truncating DIV; the zero-disagreement edge is an
+        explicit CASE (statistic 0, not a division error).
+
+        Scale shape: one scan → score agg → 1-row fold; no joins."""
+        from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+        sc = _score_df(spark, sf_dir)
+        cls = sc.select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            F.floor(
+                1000000.0
+                / (1.0 + F.exp(-(F.col("s").cast("double") / 1000000.0)))
+                + 0.5
+            )
+            .cast("long")
+            .alias("p_micro"),
+        ).select(
+            "y",
+            F.when(F.col("p_micro") >= 500000, 1).otherwise(0).alias("a"),
+            F.when(F.col("p_micro") >= 600000, 1).otherwise(0).alias("b"),
+        )
+        ct = cls.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("dis_b"),
+            F.sum(
+                F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("dis_c"),
+        )
+        stat = (
+            "CASE WHEN dis_b + dis_c = 0 THEN 0"
+            " ELSE ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)"
+            " * 1000000) DIV (dis_b + dis_c) END"
+        )
+        return ct.select(
+            "n",
+            "dis_b",
+            "dis_c",
+            F.expr(f"CAST({stat} AS BIGINT)").alias("mcnemar_micro"),
+            F.expr(
+                f"CAST(CASE WHEN dis_b + dis_c > 0 AND {stat} >"
+                f" {_G_CRIT_MICRO} THEN 1 ELSE 0 END AS INT)"
+            ).alias("significant"),
+        )
+
+
+_register_e78()

@@ -1032,3 +1032,33 @@ def test_e77_conformal_matches_python_and_covers(spark, sf_dir):
     # standard deviations of the pooled test size.
     sd = math.sqrt(0.9 * 0.1 / n_total)
     assert abs(n_cov / n_total - 0.9) <= 4 * sd + 25 / n_total, (n_cov, n_total)
+
+
+def test_e78_mcnemar_matches_python(spark, sf_dir):
+    """Disagreement cells + continuity-corrected statistic recomputed in
+    plain Python from the e72-certified binning inputs (the score agg is
+    shared); the statistic's zero-disagreement edge returns 0."""
+    rows = REGISTRY["e78_mcnemar_paired"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # recompute from per-row scores via the shared _score_df
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+    import math
+
+    sc = _score_df(spark, sf_dir).collect()
+    b = c = n = 0
+    for row in sc:
+        y = 1 if row.label < 5 else 0
+        p = math.floor(1000000.0 / (1.0 + math.exp(-(row.s / 1000000.0))) + 0.5)
+        a_cls = 1 if p >= 500000 else 0
+        b_cls = 1 if p >= 600000 else 0
+        n += 1
+        if a_cls == y and b_cls != y:
+            b += 1
+        if a_cls != y and b_cls == y:
+            c += 1
+    assert (r.n, r.dis_b, r.dis_c) == (n, b, c)
+    want = 0 if b + c == 0 else ((abs(b - c) - 1) ** 2 * 1_000_000) // (b + c)
+    assert r.mcnemar_micro == want
+    assert r.significant == int(b + c > 0 and want > 3841458)
