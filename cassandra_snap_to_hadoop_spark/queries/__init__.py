@@ -188,6 +188,8 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j105_cluster_contamination",
     "e77_conformal_intervals",
     "e78_mcnemar_paired",
+    "j106_token_entropy",
+    "f36_ma_crossover",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -1934,3 +1934,167 @@ def _register_e78() -> None:
 
 
 _register_e78()
+
+
+@register(
+    "j106_token_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+    ), tc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2
+    ), nn AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM tc GROUP BY 1
+    ), terms AS (
+        SELECT tc.doc_id,
+               CAST(FLOOR(tc.c * ln(tc.c * 1.0 / nn.n) * 1000000) AS BIGINT)
+                   AS q
+        FROM tc JOIN nn ON nn.doc_id = tc.doc_id
+    )
+    SELECT nn.doc_id, nn.n, nn.n_types,
+           CAST((-SUM(terms.q)) // nn.n AS BIGINT) AS entropy_micro
+    FROM terms JOIN nn ON nn.doc_id = terms.doc_id
+    GROUP BY 1, 2, 3
+    """,
+    survey="J106,J9,J17",
+)
+def j106_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy — the information-theoretic
+    quality signal the j9 heuristics approximate with ratios: gibberish
+    and keyword-stuffed documents sit at the entropy extremes
+    (near-uniform noise maximizes H; single-token repetition minimizes
+    it), and H is the standard low-cost screen before perplexity (j77)
+    pays for an LM pass.  H = −Σ (c/n)·ln(c/n) = −(1/n)·Σ c·ln(c/n).
+
+    Exactness: each type's term c·ln(c/n) is ln of ONE rational with
+    integer operands (the j41 discipline), micro-floored before the sum;
+    the final −S DIV n runs on non-negative integers.  The inner window
+    SUM(c) OVER (doc) is PARTITIONED by doc on both engines.
+
+    Scale shape: tokenize explode (corpus-scan volume) → (doc, word)
+    hash agg → per-doc agg with a doc-partitioned total; no joins."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    tc = (
+        d.select("doc_id", F.explode(w).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nn = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    terms = tc.join(nn, "doc_id").select(
+        "doc_id",
+        F.expr("CAST(FLOOR(c * ln(c * 1.0 / n) * 1000000) AS BIGINT)").alias("q"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("q").alias("s"))
+        .join(nn, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            "n_types",
+            F.expr("CAST((-s) DIV n AS BIGINT)").alias("entropy_micro"),
+        )
+    )
+
+
+@register(
+    "f36_ma_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ma AS (
+        SELECT event_type, day, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS c3,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7,
+               CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS c7
+        FROM daily
+    ), sig AS (
+        SELECT event_type, day, n,
+               CASE WHEN s3 * c7 > s7 * c3 THEN 1
+                    WHEN s3 * c7 < s7 * c3 THEN -1 ELSE 0 END AS side
+        FROM ma WHERE c7 = 7
+    )
+    SELECT event_type, day, n, side,
+           CAST(CASE WHEN LAG(side) OVER (PARTITION BY event_type ORDER BY day)
+                          IS NOT NULL
+                      AND side <> LAG(side) OVER (PARTITION BY event_type
+                                                  ORDER BY day)
+                     THEN 1 ELSE 0 END AS INTEGER) AS crossover
+    FROM sig
+    """,
+    survey="F36,F4,F2",
+)
+def f36_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection (the trading "golden cross",
+    equally the ops signal for regime changes in event volume): per type,
+    compare the trailing-3-day and trailing-7-day means of daily counts
+    and flag every day the fast average crosses the slow one — f4
+    computes the averages; THIS extracts the decision events.
+
+    Exactness: the means never materialize — the comparison is the
+    integer cross-multiplication s3·c7 vs s7·c3 (exact sign), so side
+    and crossover are pure BIGINT logic; warm-up rows (fewer than 7
+    prior days) are excluded identically by the c7 = 7 gate.
+
+    Scale shape: (type, day) hash agg (KB), then PARTITIONED frames and
+    one lag on the per-type daily relation — one exchange total."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w3 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w3).cast("long").alias("s3"),
+        F.count("*").over(w3).cast("long").alias("c3"),
+        F.sum("n").over(w7).cast("long").alias("s7"),
+        F.count("*").over(w7).cast("long").alias("c7"),
+    )
+    sig = ma.where(F.col("c7") == 7).select(
+        "event_type",
+        "day",
+        "n",
+        F.when(F.col("s3") * F.col("c7") > F.col("s7") * F.col("c3"), 1)
+        .when(F.col("s3") * F.col("c7") < F.col("s7") * F.col("c3"), -1)
+        .otherwise(0)
+        .alias("side"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    return sig.select(
+        "event_type",
+        "day",
+        "n",
+        "side",
+        F.when(
+            F.lag("side").over(wl).isNotNull()
+            & (F.col("side") != F.lag("side").over(wl)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("crossover"),
+    )

@@ -1062,3 +1062,79 @@ def test_e78_mcnemar_matches_python(spark, sf_dir):
     want = 0 if b + c == 0 else ((abs(b - c) - 1) ** 2 * 1_000_000) // (b + c)
     assert r.mcnemar_micro == want
     assert r.significant == int(b + c > 0 and want > 3841458)
+
+
+def test_j106_entropy_matches_python(spark, sf_dir):
+    """Entropy recomputed in plain Python (±1 micro per type term before
+    the DIV); laws: H = 0 iff one type; H ≤ ln(n_types) (uniform bound)."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["j106_token_entropy"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs:
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        tc = Counter(w)
+        n = sum(tc.values())
+        s = sum(
+            math.floor(c * math.log(c / n) * 1_000_000) for c in tc.values()
+        )
+        r = got[doc_id]
+        assert r.n == n and r.n_types == len(tc)
+        want = (-s) // n
+        assert abs(r.entropy_micro - want) <= (len(tc) + n) // max(n, 1) + 1, doc_id
+        assert r.entropy_micro >= 0
+        assert r.entropy_micro <= math.log(len(tc)) * 1_000_000 + len(tc) + 1
+
+
+def test_f36_crossover_matches_python(spark, sf_dir):
+    """Side (integer cross-multiplied MA comparison) and crossover events
+    recomputed in plain Python over the daily counts."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_type, epoch_us(ts) // 86400000000 FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        )
+        .fetchall()
+    )
+    daily: Counter = Counter(rows)
+    by_type: dict = defaultdict(list)
+    for (typ, day), n in sorted(daily.items()):
+        by_type[typ].append((day, n))
+    want = {}
+    for typ, seq in by_type.items():
+        prev_side = None
+        for i, (day, n) in enumerate(seq):
+            lo3, lo7 = max(0, i - 2), max(0, i - 6)
+            s3 = sum(x for _, x in seq[lo3 : i + 1])
+            c3 = i + 1 - lo3
+            s7 = sum(x for _, x in seq[lo7 : i + 1])
+            c7 = i + 1 - lo7
+            if c7 != 7:
+                continue
+            side = 1 if s3 * c7 > s7 * c3 else (-1 if s3 * c7 < s7 * c3 else 0)
+            cross = int(prev_side is not None and side != prev_side)
+            want[(typ, day)] = (n, side, cross)
+            prev_side = side
+    got = {
+        (r.event_type, r.day): (r.n, r.side, r.crossover)
+        for r in REGISTRY["f36_ma_crossover"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
