@@ -213,6 +213,7 @@ def j100_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = None
+    prev_n = -1
     for _ in range(_KCORE_ROUNDS):
         both = edges.join(
             active.select(F.col("node").alias("a")), "a"
@@ -228,6 +229,15 @@ def j100_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint(eager=True)
         )
+        # Early exit on the fixpoint: peeling only ever SHRINKS the active
+        # set, so an unchanged count means no node fell below k and every
+        # remaining round is the identity — the output equals the full
+        # 8-round unroll the oracle executes (the j90 fixpoint argument),
+        # we just stop paying for no-op rounds.  One KB count per round.
+        cur_n = active.count()
+        if cur_n == prev_n:
+            break
+        prev_n = cur_n
     return deg.where(F.col("deg") >= _KCORE_K).select(
         "node", F.col("deg").cast("long").alias("core_degree")
     )

@@ -53,7 +53,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j90_connected_components": 3.77,
     "j91_winnowing_fingerprints": 1.72,
     "j101_dsir_importance": 1.88,
-    "j100_kcore_decomposition": 4.86,
+    "j100_kcore_decomposition": 3.34,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
