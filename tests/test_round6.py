@@ -1138,3 +1138,19 @@ def test_f36_crossover_matches_python(spark, sf_dir):
         for r in REGISTRY["f36_ma_crossover"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_e75_isotonic_is_perfectly_calibrated_on_train(spark, sf_dir):
+    """The defining property of isotonic recalibration: using each pool's
+    rate as the predicted probability makes the TRAINING data perfectly
+    calibrated — per pool, predicted mass equals observed positives
+    exactly (iso_ppm · pool_n vs pool_pos · 1e6 differ only by the
+    integer-division remainder, < pool_n)."""
+    rows = REGISTRY["e75_isotonic_calibration"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        if r.pool in seen:
+            continue
+        seen.add(r.pool)
+        diff = r.pool_pos * 1_000_000 - r.iso_ppm * r.pool_n
+        assert 0 <= diff < r.pool_n, r

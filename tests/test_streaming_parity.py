@@ -580,3 +580,88 @@ def test_e74_sprt_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path):
         for r in REGISTRY["e74_sprt_sequential"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_k15_lateness_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_path):
+    """Lateness is computable as a STREAM fold: carry the per-type max
+    arrived event time across micro-batches (processing rows in
+    event_id order within each batch), and the reconstructed histogram
+    equals the batch query — the state is exactly the watermark state a
+    real stream would keep.
+
+    Lateness is ARRIVAL-ORDER-sensitive, so cross-batch carry is only
+    well-defined when batches deliver in arrival order: the Spark leg
+    runs availableNow as one batch (plumbing parity), and the
+    chunked-fold leg below slices the arrival stream into 1000-row
+    micro-batches explicitly, proving the state carry itself."""
+    from collections import defaultdict
+
+    seen_max: dict = {}
+    agg: dict = defaultdict(lambda: [0, 0])
+
+    def bucket(late):
+        if late is None:
+            return "first"
+        if late <= 0:
+            return "in_order"
+        if late <= 60_000_000:
+            return "le_1m"
+        if late <= 300_000_000:
+            return "le_5m"
+        if late <= 3_600_000_000:
+            return "le_1h"
+        return "gt_1h"
+
+    def grab(df, _epoch):
+        rows = df.selectExpr(
+            "event_type", "event_id", "unix_micros(ts) AS tus"
+        ).collect()
+        for r in sorted(rows, key=lambda x: x.event_id):
+            late = (
+                seen_max[r.event_type] - r.tus
+                if r.event_type in seen_max
+                else None
+            )
+            a = agg[(r.event_type, bucket(late))]
+            a[0] += 1
+            a[1] = max(a[1], max(late or 0, 0))
+            seen_max[r.event_type] = max(
+                seen_max.get(r.event_type, r.tus), r.tus
+            )
+
+    stream = read_event_stream(spark, event_shards, max_files_per_trigger=10**6)
+    q = (
+        stream.writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "cklate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.bucket): (r.n, r.max_late_us)
+        for r in REGISTRY["k15_lateness_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+    # chunked-fold leg: 1000-row arrival-order micro-batches with carried
+    # per-type state must reconstruct the same histogram.
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_type, event_id, epoch_us(ts) FROM"
+            f" read_parquet('{sf_dir}/events.parquet') ORDER BY event_id"
+        )
+        .fetchall()
+    )
+    seen2: dict = {}
+    agg2: dict = defaultdict(lambda: [0, 0])
+    for start in range(0, len(rows), 1000):
+        for typ, _eid, tus in rows[start : start + 1000]:
+            late = seen2[typ] - tus if typ in seen2 else None
+            a = agg2[(typ, bucket(late))]
+            a[0] += 1
+            a[1] = max(a[1], max(late or 0, 0))
+            seen2[typ] = max(seen2.get(typ, tus), tus)
+    assert got == {k: tuple(v) for k, v in agg2.items()}
