@@ -190,6 +190,7 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "e78_mcnemar_paired",
     "j106_token_entropy",
     "f36_ma_crossover",
+    "e79_ratio_metric_delta",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

@@ -2108,3 +2108,121 @@ def f36_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("crossover"),
     )
+
+
+# ------------------------------------------------------------------- e79
+# The ENTIRE float chain below is one shared expression template rendered
+# identically for both engines (the j104 identical-IEEE-sequence
+# discipline): every operand is an exact BIGINT stat, so both engines
+# execute the same double ops in the same order and the final milli/ppm
+# floors agree bit-for-bit.
+_E79_VAR = (
+    "((({sxx} - {sx} * 1.0 * {sx} / {n}) / ({n} - 1)"
+    " - 2.0 * ({sx} * 1.0 / {sy}) * (({sxy} - {sx} * 1.0 * {sy} / {n}) / ({n} - 1))"
+    " + ({sx} * 1.0 / {sy}) * ({sx} * 1.0 / {sy})"
+    " * (({syy} - {sy} * 1.0 * {sy} / {n}) / ({n} - 1)))"
+    " / ({n} * ({sy} * 1.0 / {n}) * ({sy} * 1.0 / {n})))"
+)
+_E79_Z = (
+    "FLOOR((sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0)"
+    " / sqrt("
+    + _E79_VAR.format(n="n1", sx="sx1", sy="sy1", sxx="sxx1", syy="syy1", sxy="sxy1")
+    + " + "
+    + _E79_VAR.format(n="n0", sx="sx0", sy="sy0", sxx="sxx0", syy="syy0", sxy="sxy0")
+    + ") * 1000)"
+)
+
+
+@register(
+    "e79_ratio_metric_delta",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id % 2 AS arm,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u GROUP BY 1
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+            MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+            MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+            MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+            MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+            MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+            MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1,
+            MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+            MAX(CASE WHEN arm = 1 THEN syy END) AS syy1,
+            MAX(CASE WHEN arm = 0 THEN sxy END) AS sxy0,
+            MAX(CASE WHEN arm = 1 THEN sxy END) AS sxy1
+        FROM s
+    )
+    SELECT n0, n1, sx0, sx1, sy0, sy1,
+           CAST(FLOOR(sx0 * 1.0 / sy0 * 1000000) AS BIGINT) AS r0_ppm,
+           CAST(FLOOR(sx1 * 1.0 / sy1 * 1000000) AS BIGINT) AS r1_ppm,
+           CAST({_E79_Z} AS BIGINT) AS z_milli,
+           CAST(CASE WHEN ABS({_E79_Z}) > 1959 THEN 1 ELSE 0 END AS INTEGER)
+               AS significant
+    FROM wide
+    """,
+    survey="E79,E52,E40",
+)
+def e79_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test for a RATIO metric (revenue per event) with
+    USER-level randomization — the A/B case e52's Welch t silently gets
+    wrong: when the analysis unit (event) differs from the randomization
+    unit (user), naive per-event variance ignores within-user clustering;
+    the delta method computes var(Σx/Σy) from user-level sufficient
+    statistics (Deng et al., KDD'18 practice — public method).
+
+    Exactness: the six per-arm statistics are exact BIGINTs (cents via
+    the ROUND(·*100) idiom); the variance/z chain is ONE shared
+    expression template rendered for both engines, so the IEEE double
+    sequence is identical and the final milli/ppm floors agree
+    bit-for-bit (the j104 discipline); significance compares |z| to the
+    two-sided 5% critical value as integers (1959 = floor(1.95996·1000)).
+
+    Scale shape: per-user hash agg (map-side combined) → 2-row per-arm
+    agg → 1-row pivot; no joins, no windows."""
+    ev = Tables(spark, sf_dir).events
+    u = ev.groupBy(F.col("user_id")).agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    s = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    wide = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+            for a in (0, 1)
+        ]
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        "sx0",
+        "sx1",
+        "sy0",
+        "sy1",
+        F.expr("CAST(FLOOR(sx0 * 1.0 / sy0 * 1000000) AS BIGINT)").alias("r0_ppm"),
+        F.expr("CAST(FLOOR(sx1 * 1.0 / sy1 * 1000000) AS BIGINT)").alias("r1_ppm"),
+        F.expr(f"CAST({_E79_Z} AS BIGINT)").alias("z_milli"),
+        F.expr(
+            f"CAST(CASE WHEN ABS({_E79_Z}) > 1959 THEN 1 ELSE 0 END AS INT)"
+        ).alias("significant"),
+    )

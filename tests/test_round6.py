@@ -1154,3 +1154,67 @@ def test_e75_isotonic_is_perfectly_calibrated_on_train(spark, sf_dir):
         seen.add(r.pool)
         diff = r.pool_pos * 1_000_000 - r.iso_ppm * r.pool_n
         assert 0 <= diff < r.pool_n, r
+
+
+def test_e79_delta_method_matches_python(spark, sf_dir):
+    """The whole delta-method chain recomputed in plain Python with the
+    IDENTICAL operation order — exact equality expected (shared IEEE
+    sequence), not a tolerance check."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        )
+        .fetchall()
+    )
+    per_user: dict = defaultdict(lambda: [0, 0])
+    for uid, cents in rows:
+        d = per_user[uid]
+        d[0] += int(cents)
+        d[1] += 1
+    stats: dict = {a: [0, 0, 0, 0, 0, 0] for a in (0, 1)}  # n sx sy sxx syy sxy
+    for uid, (x, y) in per_user.items():
+        s = stats[uid % 2]
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * x
+        s[4] += y * y
+        s[5] += x * y
+
+    def var(n, sx, sy, sxx, syy, sxy):
+        return (
+            (sxx - sx * 1.0 * sx / n) / (n - 1)
+            - 2.0 * (sx * 1.0 / sy) * ((sxy - sx * 1.0 * sy / n) / (n - 1))
+            + (sx * 1.0 / sy) * (sx * 1.0 / sy) * ((syy - sy * 1.0 * sy / n) / (n - 1))
+        ) / (n * (sy * 1.0 / n) * (sy * 1.0 / n))
+
+    n0, sx0, sy0, sxx0, syy0, sxy0 = stats[0]
+    n1, sx1, sy1, sxx1, syy1, sxy1 = stats[1]
+    z = math.floor(
+        (sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0)
+        / math.sqrt(
+            var(n1, sx1, sy1, sxx1, syy1, sxy1)
+            + var(n0, sx0, sy0, sxx0, syy0, sxy0)
+        )
+        * 1000
+    )
+    r = REGISTRY["e79_ratio_metric_delta"].fn(spark, sf_dir).collect()[0]
+    assert (r.n0, r.n1, r.sx0, r.sx1, r.sy0, r.sy1) == (
+        n0,
+        n1,
+        sx0,
+        sx1,
+        sy0,
+        sy1,
+    )
+    assert r.r0_ppm == math.floor(sx0 * 1.0 / sy0 * 1_000_000)
+    assert r.r1_ppm == math.floor(sx1 * 1.0 / sy1 * 1_000_000)
+    assert r.z_milli == z
+    assert r.significant == int(abs(z) > 1959)
