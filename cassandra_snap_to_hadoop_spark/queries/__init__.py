@@ -191,6 +191,7 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j106_token_entropy",
     "f36_ma_crossover",
     "e79_ratio_metric_delta",
+    "e80_quantile_treatment_effect",
     # rows-only (weaker driver evidence by design)
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",

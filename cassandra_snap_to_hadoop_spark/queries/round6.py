@@ -2226,3 +2226,89 @@ def e79_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN ABS({_E79_Z}) > 1959 THEN 1 ELSE 0 END AS INT)"
         ).alias("significant"),
     )
+
+
+@register(
+    "e80_quantile_treatment_effect",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id % 2 AS arm, event_id AS k,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT arm, cents,
+               ROW_NUMBER() OVER (PARTITION BY arm ORDER BY cents, k) AS rn,
+               COUNT(*) OVER (PARTITION BY arm) AS n
+        FROM ev
+    ), q AS (
+        SELECT CAST(d.d AS INTEGER) AS decile, r.arm, r.cents
+        FROM ranked r JOIN (SELECT unnest(range(1, 10)) AS d) d
+          ON r.rn = (d.d * r.n + 9) // 10
+    )
+    SELECT a.decile,
+           CAST(a.cents AS BIGINT) AS q0_cents,
+           CAST(b.cents AS BIGINT) AS q1_cents,
+           CAST(b.cents - a.cents AS BIGINT) AS qte_cents
+    FROM q a JOIN q b ON a.decile = b.decile AND a.arm = 0 AND b.arm = 1
+    """,
+    survey="E80,E6,E52",
+)
+def e80_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL view of an A/B
+    test that mean-based reads (e52 Welch, e79 delta-method) cannot see:
+    per decile d, the difference between the arms' exact order
+    statistics q₁(d) − q₀(d), which localizes WHERE the treatment moves
+    the distribution (tails vs median) — the standard heterogeneity
+    readout before a team ships a change that helps the p90 while
+    hurting the p10.
+
+    Exactness: the quantile is the exact ⌈d·n/10⌉-th order statistic per
+    arm (ceiling via the integer form (d·n+9) DIV 10, deterministic
+    (cents, event_id) tiebreak), values are exact cents; the 9-row
+    decile join is arithmetic over integers — no interpolation, no
+    float.
+
+    Scale shape: a 2-arm PARTITION BY window would be a half-global sort
+    per arm (two tasks own everything — the e30 single-reducer trap with
+    the constant 2 instead of 1), so the ranking uses the two-pass
+    global_rank machinery over (arm, cents, k): range partitions sort in
+    parallel, offsets are KB driver metadata, and per-arm ranks fall out
+    as global_rank − the arm's minimum rank + 1 (a 2-row broadcast)."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
+
+    ev = Tables(spark, sf_dir).events.where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("event_id").alias("k"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    granked = global_rank(ev, ["arm", "cents", "k"], out_col="gr")
+    arm_stats = granked.groupBy("arm").agg(
+        F.min("gr").alias("arm_lo"), F.count("*").cast("long").alias("n")
+    )
+    ranked = granked.join(F.broadcast(arm_stats), "arm").select(
+        "arm",
+        "cents",
+        (F.col("gr") - F.col("arm_lo") + 1).alias("rn"),
+        "n",
+    )
+    ds = ranked.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    q = ranked.join(
+        F.broadcast(ds), F.col("rn") == F.expr("(decile * n + 9) div 10")
+    ).select("decile", "arm", "cents")
+    q0 = q.where(F.col("arm") == 0).select(
+        "decile", F.col("cents").alias("q0_cents")
+    )
+    q1 = q.where(F.col("arm") == 1).select(
+        "decile", F.col("cents").alias("q1_cents")
+    )
+    return (
+        q0.join(q1, "decile")
+        .select(
+            "decile",
+            "q0_cents",
+            "q1_cents",
+            (F.col("q1_cents") - F.col("q0_cents")).alias("qte_cents"),
+        )
+    )

@@ -1218,3 +1218,39 @@ def test_e79_delta_method_matches_python(spark, sf_dir):
     assert r.r1_ppm == math.floor(sx1 * 1.0 / sy1 * 1_000_000)
     assert r.z_milli == z
     assert r.significant == int(abs(z) > 1959)
+
+
+def test_e80_qte_matches_python(spark, sf_dir):
+    """Per-decile order statistics and treatment effects recomputed in
+    plain Python with the identical ceiling-rank rule; the QTE identity
+    qte = q1 - q0 holds per row."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT user_id % 2, event_id, CAST(ROUND(value * 100) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet')"
+            " WHERE value IS NOT NULL"
+        )
+        .fetchall()
+    )
+    arms: dict = defaultdict(list)
+    for arm, k, cents in rows:
+        arms[arm].append((int(cents), k))
+    qs: dict = {}
+    for arm, pts in arms.items():
+        pts.sort()
+        n = len(pts)
+        for d in range(1, 10):
+            qs[(d, arm)] = pts[(d * n + 9) // 10 - 1][0]
+    got = {
+        r.decile: (r.q0_cents, r.q1_cents, r.qte_cents)
+        for r in REGISTRY["e80_quantile_treatment_effect"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        q0, q1 = qs[(d, 0)], qs[(d, 1)]
+        assert got[d] == (q0, q1, q1 - q0), d
