@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND6_PRIORITY, _ROUND6_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND7_PRIORITY, _ROUND7_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,7 +54,7 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND6_PRIORITY) + list(_ROUND6_TAIL)
+    combined = list(_ROUND7_PRIORITY) + list(_ROUND7_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
@@ -114,10 +114,10 @@ def test_readme_totals_match_registry():
     )
 
 
-_CURRENT_ROUND = 6
+_CURRENT_ROUND = 7
 
 
-def test_round6_window_certifies_only_new_sql_oracled_rows():
+def test_round7_window_certifies_only_new_sql_oracled_rows():
     """The 50-slot driver window must spend every slot on a query that has
     never appeared in a driver CORRECTNESS window and carries a SQL oracle
     (hash-level evidence) — re-certifying a green family wastes the slot.
@@ -134,22 +134,22 @@ def test_round6_window_certifies_only_new_sql_oracled_rows():
         if m and int(m.group(1)) >= _CURRENT_ROUND:
             continue
         certified |= set(json.loads(p.read_text()))
-    assert len(_ROUND6_PRIORITY) == 50
-    already = [n for n in _ROUND6_PRIORITY if n in certified]
+    assert len(_ROUND7_PRIORITY) == 50
+    already = [n for n in _ROUND7_PRIORITY if n in certified]
     assert not already, f"window wastes slots on already-certified: {already}"
-    no_oracle = [n for n in _ROUND6_PRIORITY if not REGISTRY[n].oracle]
+    no_oracle = [n for n in _ROUND7_PRIORITY if not REGISTRY[n].oracle]
     assert not no_oracle, f"window entries without SQL oracle: {no_oracle}"
 
 
-def test_round6_tail_orders_sql_before_rows_only():
-    """VERDICT r5 item 2: the insurance tail must certify SQL-oracled
+def test_round7_tail_orders_sql_before_rows_only():
+    """VERDICT r6 item 2: the insurance tail must certify SQL-oracled
     keys (hash evidence) before rows-only keys, so a generous driver
-    budget that runs past 50 finishes the SQL backlog first and round 7
+    budget that runs past 50 finishes the SQL backlog first and round 8
     needs no re-ordering."""
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND6_TAIL]
+    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND7_TAIL]
     first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
     assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND6_TAIL"
+        "SQL-oracled key(s) ordered after rows-only keys in _ROUND7_TAIL"
     )
 
 
