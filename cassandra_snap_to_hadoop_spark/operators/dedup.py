@@ -300,9 +300,14 @@ def dup_clusters_two_phase(
       local minima collapse into one.
 
     The alternation's fixpoint is exactly the set of stars rooted at each
-    component's minimum (paper, Thm 1-2); convergence is detected with a
-    KB checksum (edge count + hash sum) of consecutive round outputs —
-    the same bounded driver-side signal dup_clusters uses.  Equivalence
+    component's minimum (paper, Thm 1-2); convergence is detected with an
+    EXACT set-equality check on consecutive round outputs (count equal
+    AND ``exceptAll`` empty — both KB-bounded driver-side scalars, the
+    same contract as dup_clusters' exact changed==0 signal; a lossy
+    checksum could declare a false fixpoint on hash collision).  If
+    ``max_iterations`` is exhausted before the fixpoint,
+    ``stats["converged"]`` records False so callers can detect a
+    possibly-incomplete labeling (ADVICE r6 item 1).  Equivalence
     with hash-min propagation and exact union-find is pinned on random
     AND path graphs in tests/test_round6.py; the round-count win on
     chains is probed in SCALE.md."""
@@ -313,7 +318,7 @@ def dup_clusters_two_phase(
         .localCheckpoint(eager=True)
     )
     rounds = 0
-    prev: tuple | None = None
+    converged = False
     for _ in range(max_iterations):
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -347,21 +352,19 @@ def dup_clusters_two_phase(
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        # checksum terms bounded to 2^31 so the ANSI-mode sum cannot
-        # overflow int64 below ~2^33 edges
-        row = small.agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.pmod(F.xxhash64(F.concat_ws(",", "a", "b")), F.lit(2**31))
-            ).alias("h"),
-        ).collect()[0]
+        # exact fixpoint signal: both relations are distinct (a < b) edge
+        # sets, so equality ⟺ equal counts AND empty difference — two
+        # KB-bounded driver scalars, no lossy checksum (ADVICE r6 item 1).
+        prev_edges = edges
         edges = small
-        cur = (row.n, row.h)
-        if cur == prev:
+        if small.count() == prev_edges.count() and (
+            small.exceptAll(prev_edges).limit(1).count() == 0
+        ):
+            converged = True
             break
-        prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     # at the fixpoint every component is a star (a = root = min id); the
     # defensive min-agg covers a max_iterations exhaustion mid-collapse.
     leaves = edges.groupBy(F.col("b").alias("id")).agg(

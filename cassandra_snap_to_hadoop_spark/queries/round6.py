@@ -1866,11 +1866,13 @@ def _register_e78() -> None:
     )
     SELECT n, dis_b, dis_c,
            CAST(CASE WHEN dis_b + dis_c = 0 THEN 0
-                ELSE ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)
+                ELSE (GREATEST(ABS(dis_b - dis_c) - 1, 0)
+                      * GREATEST(ABS(dis_b - dis_c) - 1, 0)
                       * 1000000) // (dis_b + dis_c) END AS BIGINT)
                AS mcnemar_micro,
            CAST(CASE WHEN dis_b + dis_c > 0
-                      AND ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)
+                      AND (GREATEST(ABS(dis_b - dis_c) - 1, 0)
+                           * GREATEST(ABS(dis_b - dis_c) - 1, 0)
                            * 1000000) // (dis_b + dis_c) > {_G_CRIT_MICRO}
                      THEN 1 ELSE 0 END AS INTEGER) AS significant
     FROM ct
@@ -1891,7 +1893,10 @@ def _register_e78() -> None:
 
         Exactness: b, c are exact counts; the statistic is one integer
         expression with truncating DIV; the zero-disagreement edge is an
-        explicit CASE (statistic 0, not a division error).
+        explicit CASE (statistic 0, not a division error), and the
+        continuity correction is clamped at zero — standard form
+        max(|b−c|−1, 0)², so b == c yields statistic 0, not 1/(b+c)
+        (ADVICE r6 item 2).
 
         Scale shape: one scan → score agg → 1-row fold; no joins."""
         from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
@@ -1928,7 +1933,8 @@ def _register_e78() -> None:
         )
         stat = (
             "CASE WHEN dis_b + dis_c = 0 THEN 0"
-            " ELSE ((ABS(dis_b - dis_c) - 1) * (ABS(dis_b - dis_c) - 1)"
+            " ELSE (GREATEST(ABS(dis_b - dis_c) - 1, 0)"
+            " * GREATEST(ABS(dis_b - dis_c) - 1, 0)"
             " * 1000000) DIV (dis_b + dis_c) END"
         )
         return ct.select(
@@ -2123,14 +2129,21 @@ _E79_VAR = (
     " * (({syy} - {sy} * 1.0 * {sy} / {n}) / ({n} - 1)))"
     " / ({n} * ({sy} * 1.0 / {n}) * ({sy} * 1.0 / {n})))"
 )
-_E79_Z = (
-    "FLOOR((sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0)"
+_E79_RAW = (
+    "((sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0)"
     " / sqrt("
     + _E79_VAR.format(n="n1", sx="sx1", sy="sy1", sxx="sxx1", syy="syy1", sxy="sxy1")
     + " + "
     + _E79_VAR.format(n="n0", sx="sx0", sy="sy0", sxx="sxx0", syy="syy0", sxy="sxy0")
-    + ") * 1000)"
+    + "))"
 )
+_E79_Z = f"FLOOR({_E79_RAW} * 1000)"
+# Significance quantizes the MAGNITUDE (FLOOR(|z|·1000)) so the two-sided
+# cut is symmetric around zero — flooring the signed z made a negative z
+# in (−1.9600, −1.9591] significant while its mirror was not (ADVICE r6
+# item 3).  ABS is an exact IEEE sign-bit operation, identical in both
+# engines.
+_E79_ABSZ = f"FLOOR(ABS({_E79_RAW}) * 1000)"
 
 
 @register(
@@ -2168,7 +2181,7 @@ _E79_Z = (
            CAST(FLOOR(sx0 * 1.0 / sy0 * 1000000) AS BIGINT) AS r0_ppm,
            CAST(FLOOR(sx1 * 1.0 / sy1 * 1000000) AS BIGINT) AS r1_ppm,
            CAST({_E79_Z} AS BIGINT) AS z_milli,
-           CAST(CASE WHEN ABS({_E79_Z}) > 1959 THEN 1 ELSE 0 END AS INTEGER)
+           CAST(CASE WHEN {_E79_ABSZ} > 1959 THEN 1 ELSE 0 END AS INTEGER)
                AS significant
     FROM wide
     """,
@@ -2186,8 +2199,10 @@ def e79_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUND(·*100) idiom); the variance/z chain is ONE shared
     expression template rendered for both engines, so the IEEE double
     sequence is identical and the final milli/ppm floors agree
-    bit-for-bit (the j104 discipline); significance compares |z| to the
-    two-sided 5% critical value as integers (1959 = floor(1.95996·1000)).
+    bit-for-bit (the j104 discipline); significance compares the
+    magnitude-quantized FLOOR(|z|·1000) to the two-sided 5% critical
+    value 1959 = floor(1.95996·1000), symmetric around zero by
+    construction (ADVICE r6 item 3).
 
     Scale shape: per-user hash agg (map-side combined) → 2-row per-arm
     agg → 1-row pivot; no joins, no windows."""
@@ -2223,7 +2238,7 @@ def e79_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(FLOOR(sx1 * 1.0 / sy1 * 1000000) AS BIGINT)").alias("r1_ppm"),
         F.expr(f"CAST({_E79_Z} AS BIGINT)").alias("z_milli"),
         F.expr(
-            f"CAST(CASE WHEN ABS({_E79_Z}) > 1959 THEN 1 ELSE 0 END AS INT)"
+            f"CAST(CASE WHEN {_E79_ABSZ} > 1959 THEN 1 ELSE 0 END AS INT)"
         ).alias("significant"),
     )
 

@@ -1059,7 +1059,7 @@ def test_e78_mcnemar_matches_python(spark, sf_dir):
         if a_cls != y and b_cls == y:
             c += 1
     assert (r.n, r.dis_b, r.dis_c) == (n, b, c)
-    want = 0 if b + c == 0 else ((abs(b - c) - 1) ** 2 * 1_000_000) // (b + c)
+    want = 0 if b + c == 0 else (max(abs(b - c) - 1, 0) ** 2 * 1_000_000) // (b + c)
     assert r.mcnemar_micro == want
     assert r.significant == int(b + c > 0 and want > 3841458)
 
@@ -1197,14 +1197,11 @@ def test_e79_delta_method_matches_python(spark, sf_dir):
 
     n0, sx0, sy0, sxx0, syy0, sxy0 = stats[0]
     n1, sx1, sy1, sxx1, syy1, sxy1 = stats[1]
-    z = math.floor(
-        (sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0)
-        / math.sqrt(
-            var(n1, sx1, sy1, sxx1, syy1, sxy1)
-            + var(n0, sx0, sy0, sxx0, syy0, sxy0)
-        )
-        * 1000
+    raw = (sx1 * 1.0 / sy1 - sx0 * 1.0 / sy0) / math.sqrt(
+        var(n1, sx1, sy1, sxx1, syy1, sxy1)
+        + var(n0, sx0, sy0, sxx0, syy0, sxy0)
     )
+    z = math.floor(raw * 1000)
     r = REGISTRY["e79_ratio_metric_delta"].fn(spark, sf_dir).collect()[0]
     assert (r.n0, r.n1, r.sx0, r.sx1, r.sy0, r.sy1) == (
         n0,
@@ -1217,7 +1214,7 @@ def test_e79_delta_method_matches_python(spark, sf_dir):
     assert r.r0_ppm == math.floor(sx0 * 1.0 / sy0 * 1_000_000)
     assert r.r1_ppm == math.floor(sx1 * 1.0 / sy1 * 1_000_000)
     assert r.z_milli == z
-    assert r.significant == int(abs(z) > 1959)
+    assert r.significant == int(math.floor(abs(raw) * 1000) > 1959)
 
 
 def test_e80_qte_matches_python(spark, sf_dir):
