@@ -137,6 +137,13 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "i22_soundex_phonetic",
     "f32_kalman_recursive",
     "j89_label_propagation",
+    # converted from rows-only to SQL-certified in round 7 (VERDICT r6
+    # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
+    # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole
+    # operating point (distance <= 5, 6 x 10-bit bands).
+    "e4_approx_count_distinct",
+    "e6_percentile_approx",
+    "j64_simhash_hamming_pairs",
     # rows-only (weaker driver evidence by design) — never attempted
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -144,15 +151,12 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "j10_multimodal_decode",
     "llm_curation_funnel_lsh",
     "j20_compression_ratio",
-    "e4_approx_count_distinct",
-    "e6_percentile_approx",
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
     "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
     "f24_holt_forecast",
-    "j64_simhash_hamming_pairs",
     "j66_bpe_merges",
     "j68_bpe_encode_stats",
     "j72_rouge_l",

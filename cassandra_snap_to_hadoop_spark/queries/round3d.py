@@ -408,18 +408,66 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j64_simhash_hamming_pairs", oracle=None, survey="J2,J64")
+_J64_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_J64_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_J64_NORM}, ' ')) AS w FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        FROM toks
+    ), bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+        GROUP BY 1, 2
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS f
+        FROM bits GROUP BY 1
+    ), bands AS (
+        SELECT doc_id, f, bi, (f >> (bi * 10)) & 1023 AS bv
+        FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS bi) bb
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.f AS fa, b.f AS fb
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 5
+    """
+
+
+@register("j64_simhash_hamming_pairs", oracle=_J64_ORACLE, survey="J2,J64")
 def j64_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs at simhash Hamming distance <= 3 via the
-    pigeonhole band index (Manku WWW'07): 4 x 16-bit blocks, candidates
+    """Near-duplicate pairs at simhash Hamming distance <= 5 via the
+    pigeonhole band index (Manku WWW'07): 6 x 10-bit blocks, candidates
     collide on at least one whole block (provably complete for distance
-    <= 3), verified with one bit_count(xor).  Rows-only (fingerprints are
-    xxhash64-seeded); completeness vs the brute-force all-pairs scan is
-    pinned in tests/test_round3d.py.  This is the Hamming-space sibling
-    of j2's MinHash bands: same bucket-join shape, but the guarantee is
-    exact rather than probabilistic."""
+    <= n_bands - 1 = 5), verified with one bit_count(xor).  This is the
+    Hamming-space sibling of j2's MinHash bands: same bucket-join shape,
+    but the guarantee is exact rather than probabilistic.
+
+    SQL-certified IN PLACE since round 7 (VERDICT r6 item 3, the e44/e21
+    pattern): token hashes are the first 60 bits of md5 — which DuckDB
+    reproduces digit-for-digit — so tokenize → majority vote →
+    fingerprint → pigeonhole bands → candidate join → xor verify is
+    hash-checked end-to-end at a SECOND operating point (distance <= 5,
+    6 x 10-bit bands) complementing j64_simhash_pairs_md5's distance <= 3
+    / 4 x 15-bit configuration.  The xxhash64 tier remains the registered
+    production default of operators/dedup.simhash_hamming_pairs and keeps
+    its brute-force completeness pin in tests/test_round3d.py.
+
+    Scale shape: one corpus scan → per-doc 60-way conditional-sum agg →
+    6 bucket rows per doc → equi join on (band, value) buckets — linear
+    in bucket occupancy, never all-pairs."""
     d = Tables(spark, sf_dir).documents
-    return simhash_hamming_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
+    token_hash = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    return simhash_hamming_pairs(
+        d, "doc_id", "text", max_hamming=5, n_bands=6, bits=60, token_hash=token_hash
+    )
 
 
 @register(

@@ -1,0 +1,141 @@
+"""Round-7 additions: law pins for the three rows-only → SQL-certified
+in-place conversions (VERDICT r6 item 3 — the e44/e21 pattern).
+
+e4/e6 emit oracle-asserted error-contract flags computed from the LIVE
+sketch estimates; these tests pin the underlying estimates themselves
+(the values deliberately kept out of the hash-checked output) against
+exact recomputations, so a sketch regression is caught here even before
+the flag would flip.  j64's new md5 operating point is pinned for
+pigeonhole completeness against a brute-force all-pairs scan over the
+same md5 fingerprints (an INDEPENDENT pairing path — no band index).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_e4_flag_green_and_estimate_tracks_exact(spark, sf_dir):
+    """The registered output's in-band flag must be 1 for every group, and
+    the raw HLL++ estimate (recomputed here) must sit inside the 10% band
+    the flag asserts — both against the exact distinct count."""
+    rows = REGISTRY["e4_approx_count_distinct"].fn(spark, sf_dir).collect()
+    assert rows and all(r.approx_within_10pct == 1 for r in rows)
+    li = Tables(spark, sf_dir).lineitem
+    est = {
+        r.l_returnflag: (r.a, r.e)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("a"),
+            F.countDistinct("l_orderkey").alias("e"),
+        )
+        .collect()
+    }
+    for r in rows:
+        a, e = est[r.l_returnflag]
+        assert r.exact_orders == e
+        assert abs(a - e) * 10 <= e, (r.l_returnflag, a, e)
+
+
+def test_e6_flags_green_and_sketch_rank_error_bounded(spark, sf_dir):
+    """Both in-band flags must be 1 per group, and the Greenwald-Khanna
+    value (recomputed) must satisfy its rank contract directly: its rank
+    among the group's sorted values within n/10000 + 1 of the target."""
+    rows = REGISTRY["e6_percentile_approx"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_median_in_band == 1 and r.approx_p95_in_band == 1
+    o = Tables(spark, sf_dir).orders
+    vals: dict[str, list[float]] = {}
+    for row in o.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(row.o_orderpriority, []).append(row.o_totalprice)
+    approx = {
+        r.o_orderpriority: (r.m, r.p)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("m"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p"),
+        )
+        .collect()
+    }
+    for pri, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        slack = n / 10000 + 1
+        for q, got in zip((0.5, 0.95), approx[pri]):
+            # rank of the returned value (any index holding it qualifies)
+            lo = next(i for i, v in enumerate(vs) if v >= got)
+            hi = n - 1 - next(i for i, v in enumerate(reversed(vs)) if v <= got)
+            target = q * (n - 1)
+            assert lo - slack <= target <= hi + slack, (pri, q, got, lo, hi, n)
+
+
+def _md5_hash60(w: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+
+def test_j64_md5_operating_point_complete_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness at the NEW operating point: the banded
+    result must equal the brute-force all-pairs scan over the same md5
+    fingerprints at Hamming distance <= 5 (guarantee: 6 bands cover any
+    distance <= 5).  Fingerprints recomputed in pure Python (hashlib md5
+    — a third implementation independent of Spark AND DuckDB)."""
+    import re
+
+    d = Tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    fps = {}
+    for row in d:
+        toks = re.sub(r"\s+", " ", row.text.lower()).strip().split(" ")
+        votes = [0] * 60
+        for w in toks:
+            h = _md5_hash60(w)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fps[row.doc_id] = sum(1 << b for b in range(60) if votes[b] > 0)
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 5:
+                want.add((a, b, ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in REGISTRY["j64_simhash_hamming_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_j64_xxhash_production_tier_unchanged(spark, sf_dir):
+    """The xxhash64 default of the operator (the production tier the
+    conversion must NOT regress) still satisfies completeness at its
+    original distance <= 3 / 4-band point vs brute force over its own
+    fingerprints."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    fps = {r.id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                want.add((a, b, ham))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(d, "doc_id", "text", 3, 4).collect()
+    }
+    assert got == want
