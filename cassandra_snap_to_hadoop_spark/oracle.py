@@ -53,9 +53,27 @@ def _norm_cell(v):
     return v
 
 
+def _cell_sort_key(v):
+    """Total order over normalized cells: None first, then grouped by a
+    type tag so None-vs-float (or str-vs-num) comparisons can never raise
+    — rows whose first sorted column is NULLable used to TypeError here."""
+    if v is None:
+        return (0, "", 0, "")
+    if isinstance(v, bool):
+        return (1, "num", int(v), "")
+    if isinstance(v, (int, float)):
+        return (1, "num", v, "")
+    if isinstance(v, str):
+        return (1, "str", 0, v)
+    if isinstance(v, tuple):
+        return (1, "tup", 0, tuple(_cell_sort_key(x) for x in v))
+    return (1, type(v).__name__, 0, str(v))
+
+
 def _norm_rows(rows: list[tuple], names: list[str]) -> list[tuple]:
     order = sorted(range(len(names)), key=lambda i: names[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda r: tuple(_cell_sort_key(c) for c in r))
 
 
 @dataclass

@@ -53,6 +53,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round4c,  # round-4 second continuation (md5-MinHash twin, Lloyd, DBSCAN) — rotate in round 5
     round5,  # round-5 additions (CC dedup graph, ROC/AUC, calibration, winnowing) — rotate in round 6
     round6,  # round-6 additions (exact mask-histogram overlap, certified-twin depth) — rotate in round 7
+    round7,  # round-7 additions (SSTable binary roundtrip a33/a34) — rotate in round 8
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -137,6 +138,9 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "i22_soundex_phonetic",
     "f32_kalman_recursive",
     "j89_label_propagation",
+    # round-7 additions (never-certified by construction, SQL-oracled)
+    "a33_sstable_binary_roundtrip",
+    "a34_sstable_clustering_scan",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole
