@@ -70,6 +70,10 @@ HEADLINE = [
     # explode + broadcast feature join) and bounded-round graph peeling
     "j101_dsir_importance",
     "j100_kcore_decomposition",
+    # round-6 second representative (VERDICT r6 item 5): iterative-
+    # relational PAV calibration — unrolled KB-relation merge rounds with
+    # the j100-style fixpoint early-exit
+    "e75_isotonic_calibration",
 ]
 
 N_RUNS = 3

@@ -924,7 +924,16 @@ def _register_e75() -> None:
                     "left_anti",
                 )
                 .select(F.col("pj").alias("from_p"), F.col("pi").alias("to_p"))
+                .localCheckpoint(eager=True)
             )
+            # KB fixpoint early-exit (the j100 pattern, sanctioned by the
+            # round-6 cadence note): zero merges means the pooled rates
+            # are already monotone, so every further round is the
+            # identity and the early exit returns EXACTLY the full
+            # unroll's output.  On calibrated-ish data this cuts 9
+            # sequential rounds to the 1-3 that actually fire.
+            if merge.count() == 0:
+                break
             bins = (
                 bins.withColumnRenamed("p", "bp")
                 .join(F.broadcast(merge), F.col("bp") == F.col("from_p"), "left")
