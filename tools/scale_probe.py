@@ -874,11 +874,126 @@ def main() -> None:
             )
         )
 
+    def pav_shape(d):
+        """e75's shape (round 7): one corpus scan -> 10-row bin agg, then
+        THREE unrolled PAV merge rounds over the KB pooled relation
+        (broadcast joins + localCheckpoints).  The claim: the volume term
+        is the scan; the merge rounds are constant-cost at any corpus
+        size (every post-agg relation is <= 10 rows)."""
+        score = d.select(
+            (F.length("text") % 10).cast("long").alias("bin"),
+            (F.col("doc_id") % 2).cast("long").alias("y"),
+        )
+        bins = score.groupBy("bin").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        ).withColumn("p", F.col("bin")).localCheckpoint(eager=True)
+        for _ in range(3):
+            pools = bins.groupBy("p").agg(
+                F.sum("n").alias("agg_n"), F.sum("pos").alias("agg_pos")
+            )
+            px = pools.select(F.col("p").alias("xp"))
+            py = pools.select(F.col("p").alias("yp"))
+            succ = (
+                px.join(F.broadcast(py), F.col("yp") > F.col("xp"))
+                .groupBy(F.col("xp").alias("pi"))
+                .agg(F.min("yp").alias("pj"))
+            )
+            viol = (
+                succ.join(pools.select(F.col("p").alias("pi"),
+                                       F.col("agg_pos").alias("li_pos"),
+                                       F.col("agg_n").alias("li_n")), "pi")
+                .join(pools.select(F.col("p").alias("pj"),
+                                   F.col("agg_pos").alias("rj_pos"),
+                                   F.col("agg_n").alias("rj_n")), "pj")
+                .where(F.col("li_pos") * F.col("rj_n")
+                       > F.col("rj_pos") * F.col("li_n"))
+                .select(F.col("pj").alias("from_p"), F.col("pi").alias("to_p"))
+            )
+            bins = (
+                bins.withColumnRenamed("p", "bp")
+                .join(F.broadcast(viol), F.col("bp") == F.col("from_p"), "left")
+                .select("bin", "n", "pos",
+                        F.coalesce(F.col("to_p"), F.col("bp")).alias("p"))
+                .localCheckpoint(eager=True)
+            )
+        return bins.groupBy("p").agg(F.sum("n").alias("pool_n"))
+
+    # d23's probe input: BOTH keys remapped so per-customer order density
+    # stays 1x — the linear-candidate-volume claim is exactly what the
+    # ratio measures (the d8/e26 argument).
+    oN_cust = amplify(t.orders, ["o_orderkey", "o_custkey"])
+
+    def allen_shape(o):
+        """d23's shape (round 7): same-customer interval pairs via the
+        customer equi join, one codegen CASE per pair, <=13-row output."""
+        iv = o.select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("k"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("lo"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000 + 7").alias("hi"),
+        )
+        a = iv.select("cust", F.col("k").alias("ka"),
+                      F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"))
+        b = iv.select("cust", F.col("k").alias("kb"),
+                      F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"))
+        pairs = a.join(b, "cust").where(F.col("ka") < F.col("kb"))
+        rel = (
+            F.when(F.col("a_hi") < F.col("b_lo"), "before")
+            .when(F.col("a_hi") == F.col("b_lo"), "meets")
+            .when((F.col("a_lo") < F.col("b_lo")) & (F.col("a_hi") < F.col("b_hi")), "overlaps")
+            .when((F.col("a_lo") == F.col("b_lo")) & (F.col("a_hi") == F.col("b_hi")), "equal")
+            .otherwise("other")
+        )
+        return pairs.groupBy(rel.alias("relation")).agg(F.count("*").alias("n"))
+
+    def mask_sources_shape(d, n_sources):
+        """e24's mask histogram at HIGHER source counts (VERDICT r6 item
+        6): synthetic source labels doc_id % n_sources drive the mask
+        cardinality toward its 2^s worst case.  The BOUND (documented in
+        SCALE.md): the histogram holds one row per OBSERVED mask, so
+        |hist| <= min(2^s, distinct shingles) — growth in s is capped by
+        shingle cardinality, and the pair relation is s(s-1)/2 rows; the
+        crossJoin cost is |hist| * s^2 rows, all KB until s ~ 20, which
+        is where the e24 HLL tier takes over."""
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+        w = toks(F.col("text"))
+        shingles = F.expr(
+            "transform(sequence(1, size(words) - 2),"
+            " i -> concat_ws(' ', slice(words, i, 3)))"
+        )
+        dd = d.select((F.col("doc_id") % n_sources).cast("long").alias("src"),
+                      w.alias("words"))
+        sh0 = (
+            dd.filter(F.size("words") >= 3)
+            .select("src", F.explode(shingles).alias("s"))
+            .distinct()
+        )
+        mask = sh0.groupBy("s").agg(F.sort_array(F.collect_set("src")).alias("m"))
+        hist = mask.groupBy("m").agg(F.count("*").alias("cnt"))
+        srcs = dd.select("src").distinct()
+        pairs = srcs.select(F.col("src").alias("src_a")).join(
+            srcs.select(F.col("src").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+        return (
+            hist.crossJoin(F.broadcast(pairs))
+            .groupBy("src_a", "src_b")
+            .agg(F.sum(F.when(F.array_contains("m", F.col("src_a")),
+                              F.col("cnt")).otherwise(0)).alias("n_a"))
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         ("dsir-importance", lambda: dsir_shape(d1), lambda: dsir_shape(dN)),
         ("kcore-peel", lambda: kcore_shape(li1), lambda: kcore_shape(liN)),
         ("mask-overlap", lambda: mask_overlap_shape(d1), lambda: mask_overlap_shape(dN)),
+        ("pav-merge-rounds", lambda: pav_shape(d1), lambda: pav_shape(dN)),
+        ("allen-interval-pairs", lambda: allen_shape(o1), lambda: allen_shape(oN_cust)),
+        # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
+        # axis (not volume); the SCALE.md row documents the |hist| bound.
+        ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
         ("cc-propagation", lambda: cc_shape(d1_marked), lambda: cc_shape(dN_marked)),
         ("winnowing-pairs", lambda: winnow_shape(d1_marked), lambda: winnow_shape(dN_marked)),
         ("srp-bucket-knn", lambda: srp_knn_shape(emb1), lambda: srp_knn_shape(embN)),
