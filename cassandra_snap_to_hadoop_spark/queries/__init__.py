@@ -141,6 +141,9 @@ _ROUND7_TAIL: tuple[str, ...] = (
     # round-7 additions (never-certified by construction, SQL-oracled)
     "a33_sstable_binary_roundtrip",
     "a34_sstable_clustering_scan",
+    "e81_cvm_two_sample",
+    "f38_acf_lags",
+    "e83_lift_gain_deciles",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole

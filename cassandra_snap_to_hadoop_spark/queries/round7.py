@@ -305,3 +305,311 @@ def a34_sstable_clustering_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
         F.col("_writetime").alias("writetime_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: statistics / time-series / eval depth operators.  Same
+# acceptance bar as rounds 3-6: exact-integer or shared-IEEE-chain
+# discipline, DuckDB oracle, pure-Python third-implementation pin.
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from cassandra_snap_to_hadoop_spark.io import Tables  # noqa: E402
+
+
+@register(
+    "e81_cvm_two_sample",
+    oracle="""
+    WITH counts AS (
+        SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n, CAST(SUM(cb) AS BIGINT) AS m
+        FROM counts
+    ), cum AS (
+        SELECT v, ca, cb,
+               SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb
+        FROM counts
+    ), terms AS (
+        SELECT CAST(ROUND(
+                   (ca + cb) * ((cuma * m - cumb * n) * 1.0 / (n * m))
+                            * ((cuma * m - cumb * n) * 1.0 / (n * m))
+                   * 1000000) AS BIGINT) AS t_micro
+        FROM cum CROSS JOIN tot
+    )
+    SELECT n, m,
+           CAST(SUM(t_micro) AS BIGINT) AS omega_sum_micro,
+           CAST((n * m * SUM(t_micro)) // ((n + m) * (n + m)) AS BIGINT)
+               AS cvm_t_micro
+    FROM terms CROSS JOIN tot
+    GROUP BY n, m
+    """,
+    survey="E81,E36,J8",
+)
+def e81_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift statistic between the English
+    corpus slice and the rest (n_chars distributions) — the INTEGRATED
+    squared-ECDF-gap companion of e36's KS sup-gap: KS sees the worst
+    point, CvM weighs the whole distribution, so slow body-wide drift
+    that never produces one big gap still registers.
+
+    Exactness: the ECDF gap at each distinct value is the exact BIGINT
+    cross-product cuma·m − cumb·n (never a rational F value); each pooled
+    term (ca+cb)·gap² is computed in double with an IDENTICAL operation
+    order in both engines, micro-rounded per value, and summed as
+    integers (the e37 per-cell discipline).  The final T·1e6 =
+    n·m·Σ DIV (n+m)² is a pure-integer closed form (a float chain here
+    drifted 1 ulp at a floor boundary — caught by the sf0.001 mirror).
+    Gap products stay in int64 for n·m < 2^63; the n·m·Σ product bounds
+    the exact tier at ~1e5 docs per side per micro-unit of Σ — beyond
+    that, drop the 1e6 scaling a decade at a time.
+
+    Scale shape: one corpus scan → per-distinct-value count agg; the
+    cumulative window runs over the DISTINCT n_chars grid
+    (domain-bounded, independent of corpus rows — the e36 exemption
+    class); everything after is KB."""
+    d = Tables(spark, sf_dir).documents
+    counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n"), F.sum("cb").cast("long").alias("m")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("ca") + F.col("cb"))
+            * ((F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n")) * 1.0
+               / (F.col("n") * F.col("m")))
+            * ((F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n")) * 1.0
+               / (F.col("n") * F.col("m")))
+            * 1000000
+        )
+        .cast("long")
+        .alias("t_micro"),
+        "n",
+        "m",
+    )
+    return terms.groupBy("n", "m").agg(
+        F.sum("t_micro").cast("long").alias("omega_sum_micro"),
+        F.expr(
+            "CAST((n * m * SUM(t_micro)) DIV ((n + m) * (n + m)) AS BIGINT)"
+        ).alias("cvm_t_micro"),
+    )
+
+
+_ACF_LAGS = 7
+
+
+@register(
+    "f38_acf_lags",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ), den AS (
+        SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS d
+        FROM daily CROSS JOIN stats
+    ), lags AS (
+        SELECT unnest(range(1, {_ACF_LAGS + 1})) AS k
+    ), nums AS (
+        SELECT k,
+               CAST(SUM((n * a.x - s) * (n * b.x - s)) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily a
+        JOIN lags ON TRUE
+        JOIN daily b ON b.day = a.day + k
+        CROSS JOIN stats
+        GROUP BY k
+    )
+    SELECT CAST(k AS INTEGER) AS lag, n_pairs, num AS num_scaled, d AS den_scaled,
+           CAST(num * 1000000 // d AS BIGINT) AS acf_ppm
+    FROM nums CROSS JOIN den
+    ORDER BY k
+    """,
+    survey="F38,F34,F26",
+)
+def f38_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..{_ACF_LAGS} — the TIME-domain dependence diagnostic completing the
+    series tier: f34 reads the spectrum, e47 the monotone trend, f33
+    level shifts, e70 long-range scaling; ACF is what an analyst checks
+    FIRST (seasonality shows as lag-7 peaks, drift as slow decay).
+
+    Exactness: with x the integer daily counts, every centered product is
+    kept scaled by n — (n·x_t − S)(n·x_{{t+k}} − S) is exact BIGINT (no
+    rational mean), numerator and denominator are integer sums, and
+    acf_ppm = num·1e6 DIV den with both engines truncating toward zero
+    identically (negative autocorrelations hit the documented Python-//
+    trap — the pin truncates, not floors).  Lag adjacency is an explicit
+    day-arithmetic join, so calendar gaps produce missing pairs rather
+    than silently misaligned ones.
+
+    Scale shape: one scan → calendar-bounded daily agg; the lag join and
+    everything after run on the |days| relation (KB at any volume)."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    den = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(((F.col("n") * F.col("x") - F.col("s"))
+                 * (F.col("n") * F.col("x") - F.col("s"))).alias("sq"))
+        .agg(F.sum("sq").cast("long").alias("d"))
+    )
+    lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        nums.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            "n_pairs",
+            F.col("num").alias("num_scaled"),
+            F.col("d").alias("den_scaled"),
+            F.expr("CAST(num * 1000000 DIV d AS BIGINT)").alias("acf_ppm"),
+        )
+    )
+
+
+def _register_e83() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _SCORE_SQL
+
+    oracle = f"""
+    WITH {_SCORE_SQL}, ranked AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS r
+        FROM sc
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(y) AS BIGINT) AS pos_all
+        FROM ranked
+    ), dec AS (
+        SELECT CAST((10 * (r - 1)) // n_all + 1 AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM ranked CROSS JOIN tot
+        GROUP BY 1
+    ), cum AS (
+        SELECT decile, n_rows, n_pos,
+               SUM(n_rows) OVER (ORDER BY decile) AS cum_n,
+               SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+        FROM dec
+    )
+    SELECT decile, n_rows, n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos * 1000000 // pos_all AS BIGINT) AS gain_ppm,
+           CAST((cum_pos * n_all * 1000000) // (cum_n * pos_all) AS BIGINT)
+               AS lift_ppm
+    FROM cum CROSS JOIN tot
+    ORDER BY decile
+    """
+
+    @register("e83_lift_gain_deciles", oracle=oracle, survey="E83,E62,G1")
+    def e83_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cumulative gains / lift table over the shared frozen scorer —
+        the CAMPAIGN-targeting readout the threshold metrics don't give:
+        e62/e68 integrate over all operating points, e69 evaluates one;
+        the lift table answers "if I can only act on the top d deciles,
+        what fraction of positives do I capture (gain) and at what
+        multiple of random (lift)?".
+
+        Exactness: deciles come from the exact global rank with a
+        deterministic (s DESC, vec_id) tiebreak, assigned by the integer
+        closed form 10·(r−1) DIV n + 1 (no ntile float); gains and lifts
+        are pure-integer ppm divisions.
+
+        Scale shape: global order WITHOUT the single-reducer window — the
+        two-pass global_rank machinery (range partitions + KB offsets,
+        the e80/g4 path); everything after the rank is a ≤10-row
+        relation."""
+        from cassandra_snap_to_hadoop_spark.operators.layout import global_rank
+        from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+        sc = _score_df(spark, sf_dir).select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            (-F.col("s")).alias("neg_s"),
+            "vec_id",
+        )
+        ranked = global_rank(sc, ["neg_s", "vec_id"], out_col="r")
+        tot = ranked.agg(
+            F.count("*").cast("long").alias("n_all"),
+            F.sum("y").cast("long").alias("pos_all"),
+        )
+        dec = (
+            ranked.crossJoin(F.broadcast(tot))
+            .groupBy(
+                F.expr("CAST((10 * (r - 1)) DIV n_all + 1 AS INT)").alias("decile")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("y").cast("long").alias("n_pos"),
+            )
+        )
+        wd = Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = dec.select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            F.sum("n_rows").over(wd).alias("cum_n"),
+            F.sum("n_pos").over(wd).alias("cum_pos"),
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .select(
+                "decile",
+                "n_rows",
+                "n_pos",
+                F.col("cum_pos").cast("long").alias("cum_pos"),
+                F.expr("CAST(cum_pos * 1000000 DIV pos_all AS BIGINT)").alias(
+                    "gain_ppm"
+                ),
+                F.expr(
+                    "CAST((cum_pos * n_all * 1000000) DIV (cum_n * pos_all)"
+                    " AS BIGINT)"
+                ).alias("lift_ppm"),
+            )
+        )
+
+
+_register_e83()

@@ -574,6 +574,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     "j18_mixture_weights": "grand-total window over the per-source relation"
     " (|sources| rows)",
     "e20_pareto_cut": "window over the per-source byte totals (|sources| rows)",
+    "e81_cvm_two_sample": "window over the DISTINCT n_chars value grid —"
+    " domain-bounded, independent of corpus row count (the e36 class)",
+    "e83_lift_gain_deciles": "cumulative window over the ≤10-row decile"
+    " relation (the rank itself is the two-pass global_rank path)",
 }
 
 

@@ -139,3 +139,100 @@ def test_j64_xxhash_production_tier_unchanged(spark, sf_dir):
         for r in simhash_hamming_pairs(d, "doc_id", "text", 3, 4).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- batch 2
+
+
+def test_e81_cvm_matches_python(spark, sf_dir):
+    """CvM recomputed in plain Python from raw documents with the
+    identical quantization (per-value micro rounding HALF_UP, integer
+    final division truncating toward zero)."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("lang", "n_chars").collect()
+    counts: dict[int, list[int]] = {}
+    for r in docs:
+        c = counts.setdefault(r.n_chars, [0, 0])
+        c[0 if r.lang == "en" else 1] += 1
+    n = sum(c[0] for c in counts.values())
+    m = sum(c[1] for c in counts.values())
+    cuma = cumb = 0
+    total = 0
+    for v in sorted(counts):
+        ca, cb = counts[v]
+        cuma += ca
+        cumb += cb
+        gap = (cuma * m - cumb * n) * 1.0 / (n * m)
+        total += math.floor((ca + cb) * gap * gap * 1000000 + 0.5)
+    want_t = (n * m * total) // ((n + m) * (n + m))  # operands positive: // == trunc
+    r = REGISTRY["e81_cvm_two_sample"].fn(spark, sf_dir).collect()[0]
+    assert (r.n, r.m, r.omega_sum_micro, r.cvm_t_micro) == (n, m, total, want_t)
+
+
+def test_f38_acf_matches_python_and_laws(spark, sf_dir):
+    """ACF recomputed in plain Python (trunc-toward-zero ppm division);
+    laws: |acf| <= 1e6 + 1 ppm, lag-k pair count == #days with a day+k
+    partner."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.select("ts").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        d = (r.ts.replace(tzinfo=None) - __import__("datetime").datetime(1970, 1, 1))
+        day = int(d.total_seconds() * 1_000_000) // 86400000000
+        daily[day] = daily.get(day, 0) + 1
+    n = len(daily)
+    s = sum(daily.values())
+    den = sum((n * x - s) ** 2 for x in daily.values())
+    rows = REGISTRY["f38_acf_lags"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        k = r.lag
+        pairs = [
+            (daily[d], daily[d + k]) for d in daily if d + k in daily
+        ]
+        num = sum((n * a - s) * (n * b - s) for a, b in pairs)
+        assert r.n_pairs == len(pairs)
+        assert r.num_scaled == num and r.den_scaled == den
+        want_ppm = int(num * 1000000 / den) if den else 0  # trunc toward zero
+        # int() truncation matches Spark DIV / DuckDB // on negatives
+        assert r.acf_ppm == want_ppm
+        assert abs(r.acf_ppm) <= 1_000_001
+
+
+def test_e83_lift_gain_matches_python(spark, sf_dir):
+    """Gains/lift recomputed from the shared scorer with the identical
+    (s DESC, vec_id) tiebreak; laws: gain is monotone nondecreasing to
+    exactly 1e6 at decile 10, decile sizes differ by <= 1."""
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+    sc = [(r.vec_id, r.label, r.s) for r in _score_df(spark, sf_dir).collect()]
+    order = sorted(sc, key=lambda t: (-t[2], t[0]))
+    n_all = len(order)
+    pos_all = sum(1 for _, lab, _ in order if lab < 5)
+    want: dict[int, list[int]] = {}
+    for i, (_, lab, _) in enumerate(order):
+        d = (10 * i) // n_all + 1
+        cell = want.setdefault(d, [0, 0])
+        cell[0] += 1
+        cell[1] += 1 if lab < 5 else 0
+    rows = sorted(
+        REGISTRY["e83_lift_gain_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    cum_n = cum_pos = 0
+    prev_gain = -1
+    sizes = []
+    for r in rows:
+        wn, wp = want[r.decile]
+        cum_n += wn
+        cum_pos += wp
+        sizes.append(wn)
+        assert (r.n_rows, r.n_pos, r.cum_pos) == (wn, wp, cum_pos)
+        assert r.gain_ppm == cum_pos * 1000000 // pos_all
+        assert r.lift_ppm == (cum_pos * n_all * 1000000) // (cum_n * pos_all)
+        assert r.gain_ppm >= prev_gain
+        prev_gain = r.gain_ppm
+    assert rows[-1].gain_ppm == 1_000_000
+    assert max(sizes) - min(sizes) <= 1
