@@ -613,3 +613,478 @@ def _register_e83() -> None:
 
 
 _register_e83()
+
+
+@register(
+    "e82_logrank_test",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               MIN(epoch_us(ts) // 86400000000) AS d0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) // 86400000000 END) AS dp
+        FROM events GROUP BY 1
+    ), lt AS (
+        SELECT arm,
+               CAST(CASE WHEN dp IS NOT NULL AND dp - d0 <= 14
+                         THEN dp - d0 ELSE 14 END AS BIGINT) AS t,
+               CASE WHEN dp IS NOT NULL AND dp - d0 <= 14
+                    THEN 1 ELSE 0 END AS observed
+        FROM pu
+    ), agg AS (
+        SELECT t, arm,
+               CAST(SUM(observed) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lt GROUP BY 1, 2
+    ), wide AS (
+        SELECT t,
+               COALESCE(MAX(CASE WHEN arm = 1 THEN d END), 0) AS d1t,
+               COALESCE(MAX(CASE WHEN arm = 0 THEN d END), 0) AS d0t,
+               COALESCE(MAX(CASE WHEN arm = 1 THEN c END), 0) AS c1t,
+               COALESCE(MAX(CASE WHEN arm = 0 THEN c END), 0) AS c0t
+        FROM agg GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c1t) AS BIGINT) AS tot1,
+               CAST(SUM(c0t) AS BIGINT) AS tot0
+        FROM wide
+    ), risk AS (
+        SELECT t, d1t, d0t,
+               tot1 - COALESCE(SUM(c1t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1t,
+               tot0 - COALESCE(SUM(c0t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0t
+        FROM wide CROSS JOIN tot
+    ), terms AS (
+        SELECT d1t,
+               CAST(ROUND((d1t + d0t) * n1t * 1000.0 / (n1t + n0t))
+                    AS BIGINT) AS e1_milli,
+               CASE WHEN n1t + n0t > 1 THEN
+                   CAST(ROUND((d1t + d0t) * 1.0 * n1t * n0t
+                              * (n1t + n0t - d1t - d0t) * 1000.0
+                              / ((n1t + n0t) * 1.0 * (n1t + n0t)
+                                 * (n1t + n0t - 1))) AS BIGINT)
+               ELSE 0 END AS v_milli
+        FROM risk WHERE d1t + d0t > 0
+    )
+    SELECT CAST(SUM(d1t) AS BIGINT) AS o1,
+           CAST(SUM(e1_milli) AS BIGINT) AS e1_milli,
+           CAST(SUM(v_milli) AS BIGINT) AS v_milli,
+           CAST(((SUM(d1t) * 1000 - SUM(e1_milli))
+                 * (SUM(d1t) * 1000 - SUM(e1_milli)))
+                // (SUM(v_milli) * 1000) AS BIGINT) AS chi2_milli
+    FROM terms
+    """,
+    survey="E82,E39,E52",
+)
+def e82_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the two randomization arms'
+    survival curves — the INFERENCE leg e39's Kaplan-Meier estimator
+    lacks: KM draws the two churn curves, the log-rank test says whether
+    they differ beyond noise, weighting every event time by its risk
+    sets (a Welch t on lifetimes would ignore censoring entirely).
+
+    Framing: time from a user's FIRST event to their first purchase,
+    administratively right-censored at 14 days of follow-up (this
+    synthetic corpus has no natural churn — every user stays active to
+    the window end and every user eventually purchases, so the e39
+    window-end censor yields zero events; the fixed follow-up horizon is
+    the standard conversion-study design and is fully deterministic).
+    Tz-free epoch-day arithmetic, arms = user_id % 2.  At each event time
+    the observed
+    arm-1 events d1t are exact integers; the expected count
+    (d·n1/n) and hypergeometric variance (d·n1·n0·(n−d))/(n²·(n−1)) are
+    milli-quantized per time with an identical double op order (the e37
+    discipline) and summed as integers; the final
+    chi2_milli = (O1·1000 − ΣE1_milli)² DIV (ΣV_milli·1000) is a pure
+    integer closed form.  Overflow budget: (O1·1000 − E)² < 2^63 holds to
+    ~3e6 observed events per arm.
+
+    Scale shape: per-user reduction is the only corpus-scale stage; risk
+    sets come from cumulative windows over DISTINCT lifetimes
+    (calendar-bounded — the e39 exemption class); the fold is one row."""
+    ev = Tables(spark, sf_dir).events
+    pu = ev.groupBy("user_id").agg(
+        F.expr("MIN(unix_micros(ts) DIV 86400000000)").alias("d0"),
+        F.expr(
+            "MIN(CASE WHEN event_type = 'purchase'"
+            " THEN unix_micros(ts) DIV 86400000000 END)"
+        ).alias("dp"),
+    ).select((F.col("user_id") % 2).cast("long").alias("arm"), "d0", "dp")
+    ev_ok = (F.col("dp").isNotNull()) & (F.col("dp") - F.col("d0") <= 14)
+    lt = pu.select(
+        "arm",
+        F.when(ev_ok, F.col("dp") - F.col("d0")).otherwise(14).cast("long").alias("t"),
+        F.when(ev_ok, 1).otherwise(0).alias("observed"),
+    )
+    agg = lt.groupBy("t", "arm").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count("*").cast("long").alias("c"),
+    )
+    wide = agg.groupBy("t").agg(
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("d"))), F.lit(0)).alias("d1t"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("d"))), F.lit(0)).alias("d0t"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("c"))), F.lit(0)).alias("c1t"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("c"))), F.lit(0)).alias("c0t"),
+    )
+    tot = wide.agg(
+        F.sum("c1t").cast("long").alias("tot1"),
+        F.sum("c0t").cast("long").alias("tot0"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d1t",
+            "d0t",
+            (F.col("tot1") - F.coalesce(F.sum("c1t").over(wprev), F.lit(0))).alias("n1t"),
+            (F.col("tot0") - F.coalesce(F.sum("c0t").over(wprev), F.lit(0))).alias("n0t"),
+        )
+        .where(F.col("d1t") + F.col("d0t") > 0)
+    )
+    terms = risk.select(
+        "d1t",
+        F.expr(
+            "CAST(ROUND((d1t + d0t) * n1t * 1000.0 / (n1t + n0t)) AS BIGINT)"
+        ).alias("e1_milli"),
+        F.expr(
+            "CASE WHEN n1t + n0t > 1 THEN"
+            " CAST(ROUND((d1t + d0t) * 1.0 * n1t * n0t"
+            " * (n1t + n0t - d1t - d0t) * 1000.0"
+            " / ((n1t + n0t) * 1.0 * (n1t + n0t) * (n1t + n0t - 1)))"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("v_milli"),
+    )
+    return terms.agg(
+        F.sum("d1t").cast("long").alias("o1"),
+        F.sum("e1_milli").cast("long").alias("e1_milli"),
+        F.sum("v_milli").cast("long").alias("v_milli"),
+        F.expr(
+            "CAST(((SUM(d1t) * 1000 - SUM(e1_milli))"
+            " * (SUM(d1t) * 1000 - SUM(e1_milli)))"
+            " DIV (SUM(v_milli) * 1000) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+def _register_e84() -> None:
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _SIGN_SQL
+
+    nbins = 20
+    # ONE shared z template for both engines (the e79/j104 discipline) —
+    # with explicit CAST(... AS DOUBLE): a bare `x * 1.0` is DOUBLE in
+    # DuckDB but DECIMAL in Spark SQL, which silently switches the whole
+    # chain to decimal arithmetic and drifts the floor (mirror-caught).
+    z_tpl = (
+        "FLOOR((CAST(sa1 AS DOUBLE) / (2.0 * n0 * n1)"
+        " - CAST(sb1 AS DOUBLE) / (2.0 * n0 * n1))"
+        " / sqrt("
+        "((CAST(saa AS DOUBLE) * n1 - CAST(sa1 AS DOUBLE) * sa1)"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1))"
+        " + (CAST(sbb AS DOUBLE) * n1 - CAST(sb1 AS DOUBLE) * sb1)"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1))"
+        " - 2.0 * (CAST(sab AS DOUBLE) * n1 - CAST(sa1 AS DOUBLE) * sb1)"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1)))"
+        " / (CAST(n1 AS DOUBLE) * 4.0 * n0 * n0)"
+        " + ((CAST(taa AS DOUBLE) * n0 - CAST(ta1 AS DOUBLE) * ta1)"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1))"
+        " + (CAST(tbb AS DOUBLE) * n0 - CAST(tb1 AS DOUBLE) * tb1)"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1))"
+        " - 2.0 * (CAST(tab AS DOUBLE) * n0 - CAST(ta1 AS DOUBLE) * tb1)"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1)))"
+        " / (CAST(n0 AS DOUBLE) * 4.0 * n1 * n1)"
+        ") * 1000)"
+    )
+    # Two frozen scorers on the SAME vectors: A = the shared full-dim
+    # sigmoid-input score, B = the even-dims-only ablation of the same
+    # hash-signed sum (a deterministic second model, no training).
+    score2_sql = f"""
+    ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), sc2 AS (
+        SELECT vec_id, MIN(label) AS label,
+               SUM(micro * ({_SIGN_SQL})) AS sa,
+               SUM(CASE WHEN dim % 2 = 0
+                        THEN micro * ({_SIGN_SQL}) ELSE 0 END) AS sb
+        FROM ex GROUP BY 1
+    )"""
+    oracle = f"""
+    WITH {score2_sql}, bounds AS (
+        SELECT MIN(sa) AS loa, MAX(sa) AS hia,
+               MIN(sb) AS lob, MAX(sb) AS hib
+        FROM sc2
+    ), binned AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+               CAST((sa - loa) * {nbins} // (hia - loa + 1) AS BIGINT) AS ba,
+               CAST((sb - lob) * {nbins} // (hib - lob + 1) AS BIGINT) AS bb
+        FROM sc2 CROSS JOIN bounds
+    ), tot AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+        FROM binned
+    ), nega AS (
+        SELECT ba AS b, CAST(COUNT(*) AS BIGINT) AS ne
+        FROM binned WHERE y = 0 GROUP BY 1
+    ), pa AS (
+        SELECT b, 2 * COALESCE(SUM(ne) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ne AS p2x
+        FROM nega
+    ), placea AS (
+        SELECT g.b,
+               COALESCE(p.p2x,
+                        2 * (SELECT COALESCE(SUM(ne), 0) FROM nega
+                             WHERE b < g.b)) AS p2x
+        FROM (SELECT DISTINCT ba AS b FROM binned) g
+        LEFT JOIN pa p ON p.b = g.b
+    ), negb AS (
+        SELECT bb AS b, CAST(COUNT(*) AS BIGINT) AS ne
+        FROM binned WHERE y = 0 GROUP BY 1
+    ), pb AS (
+        SELECT b, 2 * COALESCE(SUM(ne) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + ne AS p2x
+        FROM negb
+    ), placeb AS (
+        SELECT g.b,
+               COALESCE(p.p2x,
+                        2 * (SELECT COALESCE(SUM(ne), 0) FROM negb
+                             WHERE b < g.b)) AS p2x
+        FROM (SELECT DISTINCT bb AS b FROM binned) g
+        LEFT JOIN pb p ON p.b = g.b
+    ), posa AS (
+        SELECT ba AS b, CAST(COUNT(*) AS BIGINT) AS np
+        FROM binned WHERE y = 1 GROUP BY 1
+    ), qa AS (
+        SELECT b, 2 * COALESCE(SUM(np) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + np AS q2x
+        FROM posa
+    ), qplacea AS (
+        SELECT g.b,
+               COALESCE(q.q2x,
+                        2 * (SELECT COALESCE(SUM(np), 0) FROM posa
+                             WHERE b < g.b)) AS q2x
+        FROM (SELECT DISTINCT ba AS b FROM binned) g
+        LEFT JOIN qa q ON q.b = g.b
+    ), posb AS (
+        SELECT bb AS b, CAST(COUNT(*) AS BIGINT) AS np
+        FROM binned WHERE y = 1 GROUP BY 1
+    ), qb AS (
+        SELECT b, 2 * COALESCE(SUM(np) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + np AS q2x
+        FROM posb
+    ), qplaceb AS (
+        SELECT g.b,
+               COALESCE(q.q2x,
+                        2 * (SELECT COALESCE(SUM(np), 0) FROM posb
+                             WHERE b < g.b)) AS q2x
+        FROM (SELECT DISTINCT bb AS b FROM binned) g
+        LEFT JOIN qb q ON q.b = g.b
+    ), pcells AS (
+        SELECT ba, bb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned WHERE y = 1 GROUP BY 1, 2
+    ), pstats AS (
+        SELECT CAST(SUM(cnt * a.p2x) AS BIGINT) AS sa1,
+               CAST(SUM(cnt * b.p2x) AS BIGINT) AS sb1,
+               CAST(SUM(cnt * a.p2x * a.p2x) AS BIGINT) AS saa,
+               CAST(SUM(cnt * b.p2x * b.p2x) AS BIGINT) AS sbb,
+               CAST(SUM(cnt * a.p2x * b.p2x) AS BIGINT) AS sab
+        FROM pcells JOIN placea a ON a.b = pcells.ba
+                    JOIN placeb b ON b.b = pcells.bb
+    ), ncells AS (
+        SELECT ba, bb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned WHERE y = 0 GROUP BY 1, 2
+    ), nstats AS (
+        SELECT CAST(SUM(cnt * (2 * n1 - a.q2x)) AS BIGINT) AS ta1,
+               CAST(SUM(cnt * (2 * n1 - b.q2x)) AS BIGINT) AS tb1,
+               CAST(SUM(cnt * (2 * n1 - a.q2x) * (2 * n1 - a.q2x)) AS BIGINT) AS taa,
+               CAST(SUM(cnt * (2 * n1 - b.q2x) * (2 * n1 - b.q2x)) AS BIGINT) AS tbb,
+               CAST(SUM(cnt * (2 * n1 - a.q2x) * (2 * n1 - b.q2x)) AS BIGINT) AS tab
+        FROM ncells JOIN qplacea a ON a.b = ncells.ba
+                    JOIN qplaceb b ON b.b = ncells.bb
+                    CROSS JOIN tot
+    )
+    SELECT n1, n0,
+           CAST(sa1 * 1000000 // (2 * n0 * n1) AS BIGINT) AS auc_a_ppm,
+           CAST(sb1 * 1000000 // (2 * n0 * n1) AS BIGINT) AS auc_b_ppm,
+           CAST({z_tpl} AS BIGINT) AS z_milli
+    FROM pstats CROSS JOIN nstats CROSS JOIN tot
+    """
+
+    @register("e84_delong_auc_compare", oracle=oracle, survey="E84,E62,E78")
+    def e84_delong_auc_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DeLong paired AUC comparison between two frozen scorers on the
+        SAME examples (full-dim score A vs even-dims ablation B) — the
+        AUC-level sibling of e78's McNemar: e62 measures ONE model's AUC,
+        THIS says whether A's ranking advantage over B exceeds noise,
+        using the exact placement-covariance structure (DeLong, DeLong &
+        Clarke-Pearson 1988) that a naive independent-AUC z-test ignores
+        (the scores are correlated — they share the examples AND half the
+        dimensions).
+
+        Exactness: scores land in 20 fixed bins (the e62 compromise that
+        keeps every relation domain-bounded); per-bin placements are kept
+        scaled by 2 (2·negBelow + negEq — exact integers), per-positive
+        JOINT placements come from the ≤400-cell (binA × binB) grid, and
+        all five moment sums per class are exact BIGINTs.  The final
+        variance/z chain is ONE shared expression rendered identically in
+        both engines (the e79/j104 IEEE discipline).  Overflow budget:
+        cnt·p2x² < 2^63 holds to ~5e8 examples.
+
+        Scale shape: one embeddings scan → per-vector score agg → 20-row
+        bin tables + ≤400-cell joint grids; everything after the scan is
+        KB."""
+        from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+        sc = _score_df(spark, sf_dir)
+        # second scorer: even dims only, same hash-sign machinery
+        e = Tables(spark, sf_dir).embeddings
+        from cassandra_snap_to_hadoop_spark.io import fan_out
+
+        ex = fan_out(e).select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        )
+        sign = F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("dim:"), F.col("dim").cast("string"))), 1, 1
+            )
+            < "8",
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        micro = F.round(F.col("x").cast("double") * 1000000).cast("long")
+        sb = ex.groupBy("vec_id").agg(
+            F.sum(F.when(F.col("dim") % 2 == 0, micro * sign).otherwise(0)).alias(
+                "sb"
+            )
+        )
+        both = sc.join(sb, "vec_id").select(
+            F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+            F.col("s").alias("sa"),
+            "sb",
+        )
+        bounds = both.agg(
+            F.min("sa").alias("loa"),
+            F.max("sa").alias("hia"),
+            F.min("sb").alias("lob"),
+            F.max("sb").alias("hib"),
+        )
+        binned = both.crossJoin(F.broadcast(bounds)).select(
+            "y",
+            F.expr(f"CAST((sa - loa) * {nbins} DIV (hia - loa + 1) AS BIGINT)").alias(
+                "ba"
+            ),
+            F.expr(f"CAST((sb - lob) * {nbins} DIV (hib - lob + 1) AS BIGINT)").alias(
+                "bb"
+            ),
+        ).localCheckpoint(eager=True)
+        tot = binned.agg(
+            F.sum("y").cast("long").alias("n1"),
+            (F.count("*") - F.sum("y")).cast("long").alias("n0"),
+        )
+
+        def place_table(col: str, y_val: int, out: str):
+            """2x-scaled placement of each distinct bin of `col` among the
+            class-y_val rows: 2*below + eq (0 for bins with no class rows
+            below or at — the correlated-subquery COALESCE in the oracle)."""
+            cls = (
+                binned.where(F.col("y") == y_val)
+                .groupBy(F.col(col).alias("b"))
+                .agg(F.count("*").cast("long").alias("ne"))
+            )
+            allb = binned.select(F.col(col).alias("b")).distinct()
+            # every bin joined to the class counts at-or-below it: the
+            # <=20-row broadcast triangle join is the windowless form of
+            # "2*below + eq" (bins absent from the class get eq = 0)
+            cls2 = cls.select(F.col("b").alias("cb"), "ne")
+            joined = (
+                allb.join(F.broadcast(cls2), F.col("cb") <= F.col("b"), "left")
+                .groupBy("b")
+                .agg(
+                    (
+                        2 * F.coalesce(F.sum(F.when(F.col("cb") < F.col("b"), F.col("ne"))), F.lit(0))
+                        + F.coalesce(F.sum(F.when(F.col("cb") == F.col("b"), F.col("ne"))), F.lit(0))
+                    ).alias(out)
+                )
+            )
+            return joined
+
+        pa = place_table("ba", 0, "p2x")
+        pb = place_table("bb", 0, "p2x_b")
+        qa = place_table("ba", 1, "q2x")
+        qb = place_table("bb", 1, "q2x_b")
+        pcells = (
+            binned.where(F.col("y") == 1)
+            .groupBy("ba", "bb")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        pstats = (
+            pcells.join(F.broadcast(pa.withColumnRenamed("b", "ba")), "ba")
+            .join(F.broadcast(pb.withColumnRenamed("b", "bb")), "bb")
+            .agg(
+                F.sum(F.col("cnt") * F.col("p2x")).cast("long").alias("sa1"),
+                F.sum(F.col("cnt") * F.col("p2x_b")).cast("long").alias("sb1"),
+                F.sum(F.col("cnt") * F.col("p2x") * F.col("p2x"))
+                .cast("long")
+                .alias("saa"),
+                F.sum(F.col("cnt") * F.col("p2x_b") * F.col("p2x_b"))
+                .cast("long")
+                .alias("sbb"),
+                F.sum(F.col("cnt") * F.col("p2x") * F.col("p2x_b"))
+                .cast("long")
+                .alias("sab"),
+            )
+        )
+        ncells = (
+            binned.where(F.col("y") == 0)
+            .groupBy("ba", "bb")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        nstats = (
+            ncells.join(F.broadcast(qa.withColumnRenamed("b", "ba")), "ba")
+            .join(F.broadcast(qb.withColumnRenamed("b", "bb")), "bb")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "cnt",
+                (2 * F.col("n1") - F.col("q2x")).alias("ra"),
+                (2 * F.col("n1") - F.col("q2x_b")).alias("rb"),
+            )
+            .agg(
+                F.sum(F.col("cnt") * F.col("ra")).cast("long").alias("ta1"),
+                F.sum(F.col("cnt") * F.col("rb")).cast("long").alias("tb1"),
+                F.sum(F.col("cnt") * F.col("ra") * F.col("ra"))
+                .cast("long")
+                .alias("taa"),
+                F.sum(F.col("cnt") * F.col("rb") * F.col("rb"))
+                .cast("long")
+                .alias("tbb"),
+                F.sum(F.col("cnt") * F.col("ra") * F.col("rb"))
+                .cast("long")
+                .alias("tab"),
+            )
+        )
+        z_expr = z_tpl
+        return (
+            pstats.crossJoin(F.broadcast(nstats))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n1",
+                "n0",
+                F.expr("CAST(sa1 * 1000000 DIV (2 * n0 * n1) AS BIGINT)").alias(
+                    "auc_a_ppm"
+                ),
+                F.expr("CAST(sb1 * 1000000 DIV (2 * n0 * n1) AS BIGINT)").alias(
+                    "auc_b_ppm"
+                ),
+                F.expr(f"CAST({z_expr} AS BIGINT)").alias("z_milli"),
+            )
+        )
+
+
+_register_e84()

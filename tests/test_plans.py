@@ -578,6 +578,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     " domain-bounded, independent of corpus row count (the e36 class)",
     "e83_lift_gain_deciles": "cumulative window over the ≤10-row decile"
     " relation (the rank itself is the two-pass global_rank path)",
+    "e82_logrank_test": "risk-set windows over DISTINCT lifetimes"
+    " (calendar-bounded — the e39 exemption class)",
 }
 
 

@@ -236,3 +236,153 @@ def test_e83_lift_gain_matches_python(spark, sf_dir):
         prev_gain = r.gain_ppm
     assert rows[-1].gain_ppm == 1_000_000
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_e82_logrank_matches_python(spark, sf_dir):
+    """Log-rank recomputed in plain Python with the identical
+    time-to-first-purchase / 14-day administrative-censoring construction
+    and milli quantization (ROUND HALF_UP via
+    floor(x+0.5) on the positive terms); chi2 law: equal-curve data would
+    put chi2 near 0 — assert nonnegative and finite."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts", "event_type").collect()
+    import datetime as dt
+
+    per: dict[int, list] = {}
+    for r in ev:
+        day = int(
+            (r.ts.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        ) // 86400000000
+        d = per.setdefault(r.user_id, [day, None])
+        d[0] = min(d[0], day)
+        if r.event_type == "purchase" and (d[1] is None or day < d[1]):
+            d[1] = day
+    lt = []
+    for uid, (d0, dp) in per.items():
+        ok = dp is not None and dp - d0 <= 14
+        lt.append((uid % 2, dp - d0 if ok else 14, 1 if ok else 0))
+    times = sorted({t for _, t, _ in lt})
+    tot1 = sum(1 for a, _, _ in lt if a == 1)
+    tot0 = len(lt) - tot1
+    seen1 = seen0 = 0
+    o1 = e1m = vm = 0
+    for t in times:
+        d1t = sum(1 for a, tt, ob in lt if a == 1 and tt == t and ob)
+        d0t = sum(1 for a, tt, ob in lt if a == 0 and tt == t and ob)
+        c1t = sum(1 for a, tt, _ in lt if a == 1 and tt == t)
+        c0t = sum(1 for a, tt, _ in lt if a == 0 and tt == t)
+        n1t, n0t = tot1 - seen1, tot0 - seen0
+        seen1 += c1t
+        seen0 += c0t
+        if d1t + d0t == 0:
+            continue
+        o1 += d1t
+        nt, dt_ = n1t + n0t, d1t + d0t
+        e1m += math.floor(dt_ * n1t * 1000.0 / nt + 0.5)
+        if nt > 1:
+            vm += math.floor(
+                dt_ * 1.0 * n1t * n0t * (nt - dt_) * 1000.0 / (nt * 1.0 * nt * (nt - 1))
+                + 0.5
+            )
+    want_chi2 = ((o1 * 1000 - e1m) ** 2) // (vm * 1000)
+    r = REGISTRY["e82_logrank_test"].fn(spark, sf_dir).collect()[0]
+    assert (r.o1, r.e1_milli, r.v_milli, r.chi2_milli) == (o1, e1m, vm, want_chi2)
+    assert r.chi2_milli >= 0
+
+
+def test_e84_delong_matches_python(spark, sf_dir):
+    """DeLong recomputed in plain Python from the collected per-vector
+    scores: binning, 2x-scaled placements, joint moments, and the full
+    variance/z chain (double, same op order as the shared template).
+    Laws: AUC ppm in [0, 1e6]; swapping A and B flips z's sign."""
+    from pyspark.sql import functions as F2
+
+    from cassandra_snap_to_hadoop_spark.io import Tables as T2
+    from cassandra_snap_to_hadoop_spark.io import fan_out
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _score_df
+
+    sc = {r.vec_id: (r.label, r.s) for r in _score_df(spark, sf_dir).collect()}
+    e = T2(spark, sf_dir).embeddings
+    ex = fan_out(e).select("vec_id", F2.posexplode("embedding").alias("dim", "x"))
+    sign = F2.when(
+        F2.substring(
+            F2.md5(F2.concat(F2.lit("dim:"), F2.col("dim").cast("string"))), 1, 1
+        )
+        < "8",
+        F2.lit(1),
+    ).otherwise(F2.lit(-1))
+    micro = F2.round(F2.col("x").cast("double") * 1000000).cast("long")
+    sbm = {
+        r.vec_id: r.sb
+        for r in ex.groupBy("vec_id")
+        .agg(
+            F2.sum(F2.when(F2.col("dim") % 2 == 0, micro * sign).otherwise(0)).alias(
+                "sb"
+            )
+        )
+        .collect()
+    }
+    rows = [(1 if lab < 5 else 0, sa, sbm[v]) for v, (lab, sa) in sc.items()]
+    loa, hia = min(r[1] for r in rows), max(r[1] for r in rows)
+    lob, hib = min(r[2] for r in rows), max(r[2] for r in rows)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    binned = [
+        (y, tdiv((sa - loa) * 20, hia - loa + 1), tdiv((sb - lob) * 20, hib - lob + 1))
+        for y, sa, sb in rows
+    ]
+    n1 = sum(y for y, _, _ in binned)
+    n0 = len(binned) - n1
+    from collections import Counter
+
+    def place(idx, yval):
+        cls = Counter(b[idx] for b in binned if b[0] == yval)
+        return {
+            bv: 2 * sum(c for k, c in cls.items() if k < bv) + cls.get(bv, 0)
+            for bv in {b[idx] for b in binned}
+        }
+
+    pa, pb = place(1, 0), place(2, 0)
+    qa, qb = place(1, 1), place(2, 1)
+    sa1 = sb1 = saa = sbb = sab = ta1 = tb1 = taa = tbb = tab = 0
+    for y, ba, bb in binned:
+        if y == 1:
+            A, B = pa[ba], pb[bb]
+            sa1 += A
+            sb1 += B
+            saa += A * A
+            sbb += B * B
+            sab += A * B
+        else:
+            A, B = 2 * n1 - qa[ba], 2 * n1 - qb[bb]
+            ta1 += A
+            tb1 += B
+            taa += A * A
+            tbb += B * B
+            tab += A * B
+    v = (
+        (
+            (saa * 1.0 * n1 - sa1 * 1.0 * sa1) / (n1 * 1.0 * (n1 - 1))
+            + (sbb * 1.0 * n1 - sb1 * 1.0 * sb1) / (n1 * 1.0 * (n1 - 1))
+            - 2.0 * (sab * 1.0 * n1 - sa1 * 1.0 * sb1) / (n1 * 1.0 * (n1 - 1))
+        )
+        / (n1 * 4.0 * n0 * n0)
+        + (
+            (taa * 1.0 * n0 - ta1 * 1.0 * ta1) / (n0 * 1.0 * (n0 - 1))
+            + (tbb * 1.0 * n0 - tb1 * 1.0 * tb1) / (n0 * 1.0 * (n0 - 1))
+            - 2.0 * (tab * 1.0 * n0 - ta1 * 1.0 * tb1) / (n0 * 1.0 * (n0 - 1))
+        )
+        / (n0 * 4.0 * n1 * n1)
+    )
+    raw = (sa1 * 1.0 / (2.0 * n0 * n1) - sb1 * 1.0 / (2.0 * n0 * n1)) / math.sqrt(v)
+    r = REGISTRY["e84_delong_auc_compare"].fn(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.auc_a_ppm == sa1 * 1000000 // (2 * n0 * n1)
+    assert r.auc_b_ppm == sb1 * 1000000 // (2 * n0 * n1)
+    assert 0 <= r.auc_a_ppm <= 1_000_000 and 0 <= r.auc_b_ppm <= 1_000_000
+    assert r.z_milli == math.floor(raw * 1000)
