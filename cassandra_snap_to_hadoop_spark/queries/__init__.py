@@ -146,6 +146,8 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e83_lift_gain_deciles",
     "e82_logrank_test",
     "e84_delong_auc_compare",
+    "j107_ktruss_peel",
+    "e86_gini_split_stump",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole

@@ -1088,3 +1088,234 @@ def _register_e84() -> None:
 
 
 _register_e84()
+
+
+_TRUSS_K = 4  # edges must sit in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 6
+
+
+def _truss_sql() -> str:
+    """Unrolled k-truss peel as a MATERIALIZED CTE chain: each round
+    keeps edges with >= K-2 common neighbors in the CURRENT edge set."""
+    steps = []
+    prev = "e0"
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        steps.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT u, v FROM {prev}
+        UNION ALL SELECT v AS u, u AS v FROM {prev}
+    ), sup{r} AS (
+        SELECT e.u, e.v, COUNT(*) AS sup
+        FROM {prev} e
+        JOIN s{r} a ON a.u = e.u
+        JOIN s{r} b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+    ), e{r} AS MATERIALIZED (
+        SELECT u, v FROM sup{r} WHERE sup >= {_TRUSS_K - 2}
+    )""")
+        prev = f"e{r}"
+    rounds_union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS round, CAST(COUNT(*) AS BIGINT) AS n_edges FROM e{r}"
+        for r in range(0, _TRUSS_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT DISTINCT
+               LEAST(l_orderkey % 2048, l_partkey % 2048) AS u,
+               GREATEST(l_orderkey % 2048, l_partkey % 2048) AS v
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), e0 AS MATERIALIZED (
+        SELECT u, v FROM base WHERE u <> v
+    ),{",".join(steps)}
+    SELECT CAST(round AS INTEGER) AS round, n_edges FROM (
+        {rounds_union}
+    ) ORDER BY round
+    """
+
+
+@register("j107_ktruss_peel", oracle=_truss_sql(), survey="J107,J100,J79")
+def j107_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k=4) of the order↔part co-occurrence graph
+    — the EDGE-cohesion sibling of j100's k-core (node degrees) built on
+    j79's triangle machinery: a k-truss keeps only edges participating
+    in ≥ k−2 triangles, the standard community-core extractor that is
+    strictly stronger than k-core (every k-truss is inside a (k−1)-core)
+    and the third canonical iterative graph workload after components
+    and cores.
+
+    Parity argument (the j100/e75 fixpoint discipline): both engines
+    apply the identical peel E_{{t+1}} = {{e : support_{{E_t}}(e) ≥ k−2}}
+    for {_TRUSS_ROUNDS} unrolled rounds; peeling only REMOVES edges, so
+    an unchanged edge COUNT is an unchanged edge SET (set equality from
+    one KB scalar) and every further round is the identity — Spark exits
+    early and back-fills the remaining trajectory rows with the fixed
+    count, matching the oracle's full unroll exactly.  The output is the
+    whole round-by-round |E_t| trajectory, hash-certifying each
+    intermediate peel, not just the fixpoint.
+
+    Scale shape: per round one symmetrize + two hash equi joins + a
+    count agg (wedge fan-out bounded by the sparse subset's degree); the
+    graph relation lives KB-scale after the first distinct.  At 100 TB
+    the peel runs on the banded co-occurrence edges exactly like j100's
+    core peel; round budget, not volume, is the cost floor."""
+    li = Tables(spark, sf_dir).lineitem
+    e = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            F.least(F.col("l_orderkey") % 2048, F.col("l_partkey") % 2048).alias("u"),
+            F.greatest(
+                F.col("l_orderkey") % 2048, F.col("l_partkey") % 2048
+            ).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = [e.count()]
+    for _ in range(_TRUSS_ROUNDS):
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        a = sym.select(F.col("u").alias("au"), F.col("v").alias("x"))
+        b = sym.select(F.col("u").alias("bu"), F.col("v").alias("bx"))
+        sup = (
+            e.join(a, F.col("au") == F.col("u"))
+            .join(b, (F.col("bu") == F.col("v")) & (F.col("bx") == F.col("x")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+        )
+        nxt = (
+            sup.where(F.col("sup") >= _TRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        e = nxt
+        counts.append(n)
+        if n == counts[-2]:
+            break
+    # fixpoint back-fill: remaining rounds are the identity by the
+    # monotone-peel argument, so the trajectory is exact, not padded.
+    while len(counts) < _TRUSS_ROUNDS + 1:
+        counts.append(counts[-1])
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(counts)], "round int, n_edges long"
+    )
+
+
+@register(
+    "e86_gini_split_stump",
+    oracle="""
+    WITH pts AS (
+        SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(c) AS BIGINT) AS tc
+        FROM pts
+    ), cum AS (
+        SELECT v, SUM(p) OVER (ORDER BY v) AS cp, SUM(c) OVER (ORDER BY v) AS cc
+        FROM pts
+    ), cand AS (
+        SELECT v, cp, cc, tp, tc,
+               CAST(ROUND((
+                   (CAST(cc AS DOUBLE)
+                    - (CAST(cp AS DOUBLE) * cp
+                       + CAST(cc - cp AS DOUBLE) * (cc - cp)) / cc)
+                   + (CAST(tc - cc AS DOUBLE)
+                      - (CAST(tp - cp AS DOUBLE) * (tp - cp)
+                         + CAST(tc - cc - tp + cp AS DOUBLE)
+                           * (tc - cc - tp + cp)) / (tc - cc))
+               ) / tc * 1000000) AS BIGINT) AS w_gini_micro
+        FROM cum CROSS JOIN tot
+        WHERE cc < tc
+    ), parent AS (
+        SELECT CAST(ROUND((1.0
+                   - (CAST(tp AS DOUBLE) * tp
+                      + CAST(tc - tp AS DOUBLE) * (tc - tp))
+                     / (CAST(tc AS DOUBLE) * tc)) * 1000000) AS BIGINT)
+               AS parent_gini_micro
+        FROM tot
+    ), best AS (
+        SELECT v, cp, cc, w_gini_micro
+        FROM cand ORDER BY w_gini_micro, v LIMIT 1
+    )
+    SELECT CAST(b.v AS BIGINT) AS threshold,
+           CAST(b.cc AS BIGINT) AS n_left, CAST(b.cp AS BIGINT) AS pos_left,
+           CAST(t.tc - b.cc AS BIGINT) AS n_right,
+           CAST(t.tp - b.cp AS BIGINT) AS pos_right,
+           p.parent_gini_micro,
+           b.w_gini_micro AS split_gini_micro,
+           CAST(p.parent_gini_micro - b.w_gini_micro AS BIGINT) AS gain_micro
+    FROM best b CROSS JOIN tot t CROSS JOIN parent p
+    """,
+    survey="E86,E37,J9",
+)
+def e86_gini_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 1-D decision stump: the threshold on n_chars that best
+    separates English from non-English documents by Gini impurity — the
+    CART split-finding primitive (feature-importance scoring, shallow-
+    tree labeling heuristics, and quality-gate threshold tuning all
+    reduce to exactly this scan).
+
+    Exactness: per-threshold weighted Gini is ONE double chain from
+    exact cumulative BIGINTs, written with explicit CAST(.. AS DOUBLE)
+    (the e84 decimal-literal rule) and micro-rounded; the argmin runs on
+    the micro integers with a deterministic (gini, threshold) tiebreak.
+    Weighted-gini identity used: n_side·gini_side = n_side −
+    (pos² + neg²)/n_side, summed over both sides then divided by N.
+
+    Scale shape: one corpus scan → per-distinct-value (pos, count) agg;
+    the cumulative window runs over the DISTINCT n_chars grid
+    (domain-bounded — the e36/e81 exemption class); candidate ranking is
+    a KB sort."""
+    d = Tables(spark, sf_dir).documents
+    pts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("p"),
+        F.count("*").cast("long").alias("c"),
+    )
+    tot = pts.agg(
+        F.sum("p").cast("long").alias("tp"), F.sum("c").cast("long").alias("tc")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        "v",
+        F.sum("p").over(wv).alias("cp"),
+        F.sum("c").over(wv).alias("cc"),
+    )
+    gexpr = (
+        "CAST(ROUND(("
+        "(CAST(cc AS DOUBLE)"
+        " - (CAST(cp AS DOUBLE) * cp"
+        " + CAST(cc - cp AS DOUBLE) * (cc - cp)) / cc)"
+        " + (CAST(tc - cc AS DOUBLE)"
+        " - (CAST(tp - cp AS DOUBLE) * (tp - cp)"
+        " + CAST(tc - cc - tp + cp AS DOUBLE)"
+        " * (tc - cc - tp + cp)) / (tc - cc))"
+        ") / tc * 1000000) AS BIGINT)"
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cc") < F.col("tc"))
+        .select("v", "cp", "cc", "tp", "tc", F.expr(gexpr).alias("w_gini_micro"))
+    )
+    parent = tot.select(
+        F.expr(
+            "CAST(ROUND((1.0 - (CAST(tp AS DOUBLE) * tp"
+            " + CAST(tc - tp AS DOUBLE) * (tc - tp))"
+            " / (CAST(tc AS DOUBLE) * tc)) * 1000000) AS BIGINT)"
+        ).alias("parent_gini_micro")
+    )
+    best = cand.orderBy("w_gini_micro", "v").limit(1)
+    return (
+        best.crossJoin(F.broadcast(parent))
+        .select(
+            F.col("v").cast("long").alias("threshold"),
+            F.col("cc").alias("n_left"),
+            F.col("cp").alias("pos_left"),
+            (F.col("tc") - F.col("cc")).alias("n_right"),
+            (F.col("tp") - F.col("cp")).alias("pos_right"),
+            "parent_gini_micro",
+            F.col("w_gini_micro").alias("split_gini_micro"),
+            (F.col("parent_gini_micro") - F.col("w_gini_micro")).alias("gain_micro"),
+        )
+    )

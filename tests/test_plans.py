@@ -580,6 +580,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     " relation (the rank itself is the two-pass global_rank path)",
     "e82_logrank_test": "risk-set windows over DISTINCT lifetimes"
     " (calendar-bounded — the e39 exemption class)",
+    "e86_gini_split_stump": "cumulative window over the DISTINCT n_chars"
+    " value grid (the e36/e81 exemption class)",
 }
 
 

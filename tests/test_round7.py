@@ -386,3 +386,85 @@ def test_e84_delong_matches_python(spark, sf_dir):
     assert r.auc_b_ppm == sb1 * 1000000 // (2 * n0 * n1)
     assert 0 <= r.auc_a_ppm <= 1_000_000 and 0 <= r.auc_b_ppm <= 1_000_000
     assert r.z_milli == math.floor(raw * 1000)
+
+
+def test_j107_ktruss_matches_python_peel(spark, sf_dir):
+    """The round-by-round trajectory recomputed with a plain-Python peel
+    over the same projected edge set; monotone law: counts never
+    increase."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    li = Tables(spark, sf_dir).lineitem
+    from pyspark.sql import functions as F2
+
+    rows = (
+        li.where(F2.col("l_orderkey") % 10 == 0)
+        .select(
+            (F2.col("l_orderkey") % 2048).alias("a"),
+            (F2.col("l_partkey") % 2048).alias("b"),
+        )
+        .collect()
+    )
+    edges = {(min(r.a, r.b), max(r.a, r.b)) for r in rows if r.a != r.b}
+    counts = [len(edges)]
+    for _ in range(6):
+        adj: dict[int, set] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        nxt = {
+            (u, v)
+            for u, v in edges
+            if len(adj[u] & adj[v]) >= 2  # k - 2 with k = 4
+        }
+        edges = nxt
+        counts.append(len(edges))
+    got = sorted(
+        (r.round, r.n_edges)
+        for r in REGISTRY["j107_ktruss_peel"].fn(spark, sf_dir).collect()
+    )
+    assert got == list(enumerate(counts))
+    assert all(b <= a for a, b in zip(counts, counts[1:]))
+
+
+def test_e86_gini_stump_matches_python(spark, sf_dir):
+    """Split search recomputed in plain Python with the identical micro
+    rounding and (gini, threshold) tiebreak; laws: gain >= 0, threshold
+    splits both sides non-empty."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("lang", "n_chars").collect()
+    pts: dict[int, list[int]] = {}
+    for r in docs:
+        c = pts.setdefault(r.n_chars, [0, 0])
+        c[0] += 1 if r.lang == "en" else 0
+        c[1] += 1
+    tp = sum(p for p, _ in pts.values())
+    tc = sum(c for _, c in pts.values())
+    cp = cc = 0
+    best = None
+    for v in sorted(pts):
+        p, c = pts[v]
+        cp += p
+        cc += c
+        if cc >= tc:
+            continue
+        left = cc - (cp * 1.0 * cp + (cc - cp) * 1.0 * (cc - cp)) / cc
+        rp, rn = tp - cp, (tc - cc) - (tp - cp)
+        right = (tc - cc) - (rp * 1.0 * rp + rn * 1.0 * rn) / (tc - cc)
+        g = math.floor((left + right) / tc * 1000000 + 0.5)
+        if best is None or (g, v) < best:
+            best = (g, v, cc, cp)
+    parent = math.floor(
+        (1.0 - (tp * 1.0 * tp + (tc - tp) * 1.0 * (tc - tp)) / (tc * 1.0 * tc))
+        * 1000000
+        + 0.5
+    )
+    r = REGISTRY["e86_gini_split_stump"].fn(spark, sf_dir).collect()[0]
+    g, v, cc_b, cp_b = best
+    assert (r.threshold, r.n_left, r.pos_left) == (v, cc_b, cp_b)
+    assert (r.n_right, r.pos_right) == (tc - cc_b, tp - cp_b)
+    assert (r.parent_gini_micro, r.split_gini_micro) == (parent, g)
+    assert r.gain_micro == parent - g
+    assert r.gain_micro >= 0
+    assert 0 < r.n_left < tc
