@@ -155,6 +155,7 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e4_approx_count_distinct",
     "e6_percentile_approx",
     "j64_simhash_hamming_pairs",
+    "e27_hll_distinct_to_date",
     # rows-only (weaker driver evidence by design) — never attempted
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -165,7 +166,6 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
-    "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
     "f24_holt_forecast",
     "j66_bpe_merges",
@@ -333,7 +333,6 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
-    "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
     "f24_holt_forecast",
     "j64_simhash_hamming_pairs",
@@ -489,7 +488,6 @@ _ROUND5_TAIL: tuple[str, ...] = (
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
-    "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
     "f24_holt_forecast",
     "j64_simhash_hamming_pairs",
@@ -680,7 +678,6 @@ _ROUND4_TAIL: tuple[str, ...] = (
     "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
-    "e27_hll_distinct_to_date",
     "f21_lttb_downsample",
     "f24_holt_forecast",
     "j64_simhash_hamming_pairs",

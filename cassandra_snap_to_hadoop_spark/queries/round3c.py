@@ -335,7 +335,23 @@ def e26_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e27_hll_distinct_to_date", oracle=None, survey="E27,E4,E12")
+@register(
+    "e27_hll_distinct_to_date",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS fday
+        FROM events GROUP BY 1
+    ), per_day AS (
+        SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS nf
+        FROM first GROUP BY 1
+    )
+    SELECT day,
+           CAST(SUM(nf) OVER (ORDER BY day) AS BIGINT) AS users_to_date,
+           CAST(1 AS INTEGER) AS hll_within_5pct
+    FROM per_day
+    """,
+    survey="E27,E4,E12",
+)
 def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day ("users to date") by MERGING
     per-day HLL sketches — the pattern that makes running-distinct cheap
@@ -345,12 +361,21 @@ def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     (f9_running_distinct is the small-cardinality exact twin; this is the
     sketch tier for cardinalities where exact per-key state can't fit.)
 
+    SQL-certified IN PLACE since round 7 (the e4/e6 error-contract-flag
+    pattern, VERDICT r6 item 3 continued): the output carries the EXACT
+    users-to-date (a user counts from their FIRST event day — per-user
+    min-day agg, per-day counts, cumulative window over the ≤366-day
+    calendar grid; hash-checked against DuckDB) next to
+    ``hll_within_5pct``, computed from the LIVE sketch-union estimate
+    while the oracle asserts the contractual constant 1 — if the merged
+    HLL ever drifts past 5% of truth, the hash check goes red.  The
+    estimate itself stays out of the output (engine-specific by design);
+    its monotonicity law remains test-pinned.
+
     Shape: ONE hash agg builds the 30 daily sketches (map-side partial
-    merge — sketch buffers combine before the shuffle); the cumulative
+    merge) + one per-user min-day agg for the exact side; the cumulative
     union is a triangular join OVER THE 30-ROW AGGREGATE (b.day <=
-    a.day), bounded by days^2, nowhere near the fact table.  Rows-only by
-    design (estimates are engine-specific); monotonicity and a 5%
-    error bound vs the exact cumulative distinct are test-pinned."""
+    a.day), bounded by days^2, nowhere near the fact table."""
     e = Tables(spark, sf_dir).events
     # Epoch-day from unix_micros: pure instant arithmetic, identical under
     # any driver session timezone (F.to_date on a TIMESTAMP interprets the
@@ -363,15 +388,36 @@ def e27_hll_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = daily.select(F.col("day").alias("day"))
     b = daily.select(F.col("day").alias("bday"), "sk")
-    return (
+    est = (
         a.join(b, F.col("bday") <= F.col("day"))
         .groupBy("day")
         .agg(
             F.expr("hll_sketch_estimate(hll_union_agg(sk))")
             .cast("long")
-            .alias("est_users_to_date")
+            .alias("est")
         )
-        .select(F.col("day").alias("day"), "est_users_to_date")
+    )
+    first = e.groupBy("user_id").agg(F.min(day).alias("fday"))
+    per_day = first.groupBy(F.col("fday").alias("day")).agg(
+        F.count("*").cast("long").alias("nf")
+    )
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact = per_day.select(
+        "day", F.sum("nf").over(wday).cast("long").alias("users_to_date")
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "users_to_date",
+        F.when(
+            F.abs(F.col("est") - F.col("users_to_date")) * 20
+            <= F.col("users_to_date"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("hll_within_5pct"),
     )
 
 

@@ -582,6 +582,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     " (calendar-bounded — the e39 exemption class)",
     "e86_gini_split_stump": "cumulative window over the DISTINCT n_chars"
     " value grid (the e36/e81 exemption class)",
+    "e27_hll_distinct_to_date": "cumulative window over the first-event"
+    " day grid (calendar-bounded — the e39 exemption class)",
 }
 
 

@@ -708,32 +708,47 @@ def test_e26_attribution_conserves_value_exactly(spark, sf_dir):
     assert attributed == total, (attributed, total)
 
 
-def test_e27_distinct_to_date_monotone_and_accurate(spark, sf_dir):
-    """Cumulative HLL estimates must be monotone non-decreasing (union
-    registers only grow) and the final day's estimate must sit within 5%
-    of the exact all-time distinct-user count."""
+def test_e27_distinct_to_date_exact_and_sketch_in_band(spark, sf_dir):
+    """Since the round-7 in-place certification: users_to_date must EQUAL
+    the exact cumulative distinct (recomputed here per day), every
+    hll_within_5pct flag must be 1, and the LIVE sketch-union estimates
+    (recomputed) must be monotone non-decreasing."""
     rows = sorted(
         REGISTRY["e27_hll_distinct_to_date"].fn(spark, sf_dir).collect(),
         key=lambda r: r.day,
     )
-    ests = [r.est_users_to_date for r in rows]
-    assert all(b >= a for a, b in zip(ests, ests[1:])), ests
-    exact = (
-        Tables(spark, sf_dir)
-        .events.select("user_id")
-        .distinct()
-        .count()
-    )
-    assert abs(ests[-1] - exact) <= 0.05 * exact, (ests[-1], exact)
-    # exact cumulative check on the first day too: day-1 cumulative == day-1 daily
+    assert rows and all(r.hll_within_5pct == 1 for r in rows)
+    vals = [r.users_to_date for r in rows]
+    assert all(b > a for a, b in zip(vals, vals[1:])), vals
     e = Tables(spark, sf_dir).events
-    day1 = rows[0].day  # epoch-day long
     day_expr = (F.unix_micros(F.col("ts")) / 86_400_000_000).cast("long")
-    exact_d1 = (
-        e.filter(day_expr <= F.lit(day1))
-        .select("user_id").distinct().count()
+    for r in (rows[0], rows[-1]):
+        exact = (
+            e.filter(day_expr <= F.lit(r.day)).select("user_id").distinct().count()
+        )
+        assert r.users_to_date == exact, (r.day, r.users_to_date, exact)
+    daily = (
+        e.select(day_expr.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
     )
-    assert abs(ests[0] - exact_d1) <= max(2, 0.05 * exact_d1), (ests[0], exact_d1)
+    a = daily.select(F.col("day").alias("day"))
+    b = daily.select(F.col("day").alias("bday"), "sk")
+    ests = [
+        r.est
+        for r in sorted(
+            a.join(b, F.col("bday") <= F.col("day"))
+            .groupBy("day")
+            .agg(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                .cast("long")
+                .alias("est")
+            )
+            .collect(),
+            key=lambda r: r.day,
+        )
+    ]
+    assert all(y >= x for x, y in zip(ests, ests[1:])), ests
 
 
 def test_j58_weighted_sample_biases_toward_weight_and_scales(spark, sf_dir):
