@@ -1319,3 +1319,237 @@ def e86_gini_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("parent_gini_micro") - F.col("w_gini_micro")).alias("gain_micro"),
         )
     )
+
+
+# ONE shared partial-correlation template (exact BIGINT sums in, explicit
+# CAST AS DOUBLE everywhere — the e84 decimal-literal rule).
+_E88_R = (
+    "((CAST(n AS DOUBLE) * s{a}{b} - CAST(s{a} AS DOUBLE) * s{b})"
+    " / sqrt((CAST(n AS DOUBLE) * s{a}{a} - CAST(s{a} AS DOUBLE) * s{a})"
+    " * (CAST(n AS DOUBLE) * s{b}{b} - CAST(s{b} AS DOUBLE) * s{b})))"
+)
+_E88_PARTIAL = (
+    f"(({_E88_R.format(a='x', b='y')}"
+    f" - {_E88_R.format(a='x', b='z')} * {_E88_R.format(a='y', b='z')})"
+    f" / sqrt((1.0 - {_E88_R.format(a='x', b='z')} * {_E88_R.format(a='x', b='z')})"
+    f" * (1.0 - {_E88_R.format(a='y', b='z')} * {_E88_R.format(a='y', b='z')})))"
+)
+
+
+@register(
+    "e88_partial_correlation",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice / 100) AS BIGINT) AS y,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * z) AS BIGINT) AS sxz,
+               CAST(SUM(y * z) AS BIGINT) AS syz
+        FROM m
+    )
+    SELECT n,
+           CAST(FLOOR({_E88_R.format(a="x", b="y")} * 1000000) AS BIGINT)
+               AS r_xy_ppm,
+           CAST(FLOOR({_E88_R.format(a="x", b="z")} * 1000000) AS BIGINT)
+               AS r_xz_ppm,
+           CAST(FLOOR({_E88_R.format(a="y", b="z")} * 1000000) AS BIGINT)
+               AS r_yz_ppm,
+           CAST(FLOOR({_E88_PARTIAL} * 1000000) AS BIGINT) AS r_xy_given_z_ppm
+    FROM s
+    """,
+    survey="E88,E41,E46",
+)
+def e88_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial Pearson correlation r(quantity, price | discount) — the
+    confounder-controlled association the raw pairwise correlations
+    (e46's rank tier, e41's OLS) cannot give directly: price and quantity
+    both co-move with discount, and the partial coefficient
+    (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is the textbook closed form
+    from exactly the three pairwise correlations.
+
+    Exactness: the nine sufficient statistics are exact BIGINTs
+    (quantity integer, price in whole dollars, discount in percent —
+    quantized so every sum and product stays well inside int64 at 100 TB
+    row counts); every correlation and the partial chain render from ONE
+    shared CAST-AS-DOUBLE template in both engines (the e84 rule), ppm-
+    floored.  numpy pin at 1e-9 relative.
+
+    Scale shape: one scan → one 10-stat hash agg (map-side combinable) →
+    1-row arithmetic.  Nothing else moves."""
+    li = Tables(spark, sf_dir).lineitem
+    m = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") / 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            f'CAST(FLOOR({_E88_R.format(a="x", b="y")} * 1000000) AS BIGINT)'
+        ).alias("r_xy_ppm"),
+        F.expr(
+            f'CAST(FLOOR({_E88_R.format(a="x", b="z")} * 1000000) AS BIGINT)'
+        ).alias("r_xz_ppm"),
+        F.expr(
+            f'CAST(FLOOR({_E88_R.format(a="y", b="z")} * 1000000) AS BIGINT)'
+        ).alias("r_yz_ppm"),
+        F.expr(f"CAST(FLOOR({_E88_PARTIAL} * 1000000) AS BIGINT)").alias(
+            "r_xy_given_z_ppm"
+        ),
+    )
+
+
+_BLOOM_BITS = 256
+_BLOOM_K = 3
+
+
+@register(
+    "a35_bloom_file_skip_audit",
+    oracle=f"""
+    WITH rows_tagged AS (
+        SELECT epoch_us(l_shipdate) // 2592000000000 AS file_id, l_partkey
+        FROM lineitem
+    ), bits AS (
+        SELECT DISTINCT file_id, k,
+               CAST(('0x' || substr(md5(k || ':' || l_partkey), 1, 15))
+                    AS UBIGINT) % {_BLOOM_BITS} AS bit
+        FROM rows_tagged CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS k) kk
+    ), probes AS (
+        SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_partkey % 100 = 0
+    ), probe_bits AS (
+        SELECT pk, k,
+               CAST(('0x' || substr(md5(k || ':' || pk), 1, 15))
+                    AS UBIGINT) % {_BLOOM_BITS} AS bit
+        FROM probes CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS k) kk
+    ), files AS (
+        SELECT DISTINCT file_id FROM rows_tagged
+    ), cand AS (
+        SELECT pb.pk, f.file_id
+        FROM probe_bits pb CROSS JOIN files f
+        JOIN bits b ON b.file_id = f.file_id AND b.k = pb.k AND b.bit = pb.bit
+        GROUP BY pb.pk, f.file_id
+        HAVING COUNT(*) = {_BLOOM_K}
+    ), truth AS (
+        SELECT DISTINCT l_partkey AS pk, epoch_us(l_shipdate) // 2592000000000
+               AS file_id
+        FROM lineitem
+    )
+    SELECT c.pk AS probe_key,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN t.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN t.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positive
+    FROM cand c
+    LEFT JOIN truth t ON t.pk = c.pk AND t.file_id = c.file_id
+    GROUP BY c.pk
+    """,
+    survey="A35,A28,J82",
+)
+def a35_bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level Bloom-filter skipping audit — the INDEX structure next
+    to a28's zonemaps: each monthly "file" of the fact table carries a
+    {_BLOOM_BITS}-bit Bloom filter over l_partkey ({_BLOOM_K} md5 hash
+    functions), and a point probe reads only files whose filter holds
+    ALL probe bits.  The audit reports, per probed key, the candidate
+    file count, the true file count, and the false-positive overhead —
+    the no-false-NEGATIVES law (every true file is a candidate) is
+    exactly the Bloom soundness guarantee and is what the hash match
+    certifies end-to-end (tested as a law too).
+
+    Exactness: bit positions are md5 mod {_BLOOM_BITS} — reproduced
+    digit-for-digit in DuckDB (the j58/j64 idiom); everything else is
+    exact set algebra.
+
+    Scale shape: filters build in ONE scan as (file, bit) DISTINCT rows
+    (≤ files×{_BLOOM_BITS} rows — the real format packs them to
+    {_BLOOM_BITS // 8} bytes/file); probes join the KB filter relation,
+    never the fact table.  At 100 TB this is parquet column-index /
+    Iceberg bloom skipping restated relationally."""
+    li = Tables(spark, sf_dir).lineitem
+    ks = spark.range(_BLOOM_K).select(F.col("id").alias("k"))
+    tagged = li.select(
+        F.expr("unix_micros(l_shipdate) DIV 2592000000000").alias("file_id"),
+        "l_partkey",
+    )
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("k"), F.col("l_partkey"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % _BLOOM_BITS
+    )
+    bits = (
+        tagged.crossJoin(F.broadcast(ks))
+        .select("file_id", "k", bit.alias("bit"))
+        .distinct()
+    )
+    probes = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    pbit = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("k"), F.col("pk"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        % _BLOOM_BITS
+    )
+    probe_bits = probes.crossJoin(F.broadcast(ks)).select("pk", "k", pbit.alias("bit"))
+    files = tagged.select("file_id").distinct()
+    cand = (
+        probe_bits.crossJoin(F.broadcast(files))
+        .join(bits, ["file_id", "k", "bit"])
+        .groupBy("pk", "file_id")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == _BLOOM_K)
+        .select("pk", "file_id")
+    )
+    truth = tagged.select(
+        F.col("l_partkey").alias("tpk"), F.col("file_id").alias("tfid")
+    ).distinct()
+    return (
+        cand.join(
+            truth,
+            (F.col("tpk") == F.col("pk")) & (F.col("tfid") == F.col("file_id")),
+            "left",
+        )
+        .groupBy(F.col("pk").alias("probe_key"))
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("tpk").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(F.when(F.col("tpk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_positive"),
+        )
+    )

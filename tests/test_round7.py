@@ -468,3 +468,81 @@ def test_e86_gini_stump_matches_python(spark, sf_dir):
     assert r.gain_micro == parent - g
     assert r.gain_micro >= 0
     assert 0 < r.n_left < tc
+
+
+def test_e88_partial_correlation_matches_numpy(spark, sf_dir):
+    """Pairwise and partial correlations recomputed with numpy from the
+    raw columns at 1e-9 relative; law: |r| <= 1."""
+    import numpy as np
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    x = np.array([round(r.l_quantity) for r in li], dtype=np.int64)
+    y = np.array([round(r.l_extendedprice / 100) for r in li], dtype=np.int64)
+    z = np.array([round(r.l_discount * 100) for r in li], dtype=np.int64)
+
+    def corr(a, b):
+        n = len(a)
+        return (n * (a * b).sum() - a.sum() * b.sum()) / math.sqrt(
+            float(n * (a * a).sum() - a.sum() ** 2)
+            * float(n * (b * b).sum() - b.sum() ** 2)
+        )
+
+    rxy, rxz, ryz = corr(x, y), corr(x, z), corr(y, z)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    r = REGISTRY["e88_partial_correlation"].fn(spark, sf_dir).collect()[0]
+    assert r.n == len(x)
+    for got_ppm, want in (
+        (r.r_xy_ppm, rxy),
+        (r.r_xz_ppm, rxz),
+        (r.r_yz_ppm, ryz),
+        (r.r_xy_given_z_ppm, part),
+    ):
+        assert abs(got_ppm / 1e6 - want) < 2e-6, (got_ppm, want)
+        assert abs(got_ppm) <= 1_000_000
+
+
+def test_a35_bloom_audit_no_false_negatives_and_matches_python(spark, sf_dir):
+    """Bloom soundness law recomputed in pure Python (hashlib md5 — the
+    third implementation): per probe, the candidate file set must be a
+    SUPERSET of the true file set, and the reported counts must match."""
+    import hashlib
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    li = Tables(spark, sf_dir).lineitem.select("l_shipdate", "l_partkey").collect()
+    import datetime as dt
+
+    def fid(ts):
+        us = int(
+            (ts.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        )
+        return us // 2592000000000
+
+    def h(k, key):
+        return int(hashlib.md5(f"{k}:{key}".encode()).hexdigest()[:15], 16) % 256
+
+    file_bits: dict[int, set] = {}
+    truth: dict[int, set] = {}
+    for r in li:
+        f = fid(r.l_shipdate)
+        for k in range(3):
+            file_bits.setdefault(f, set()).add((k, h(k, r.l_partkey)))
+        truth.setdefault(r.l_partkey, set()).add(f)
+    probes = sorted({r.l_partkey for r in li if r.l_partkey % 100 == 0})
+    want = {}
+    for pk in probes:
+        pbits = [(k, h(k, pk)) for k in range(3)]
+        cands = {f for f, bits in file_bits.items() if all(pb in bits for pb in pbits)}
+        tru = truth.get(pk, set())
+        assert tru <= cands, (pk, tru - cands)  # Bloom soundness
+        want[pk] = (len(cands), len(tru), len(cands - tru))
+    got = {
+        r.probe_key: (r.n_candidates, r.n_true, r.n_false_positive)
+        for r in REGISTRY["a35_bloom_file_skip_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
