@@ -150,6 +150,9 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e86_gini_split_stump",
     "e88_partial_correlation",
     "a35_bloom_file_skip_audit",
+    "e89_cochran_armitage_trend",
+    "e91_capture_recapture",
+    "f39_overdispersion_index",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole

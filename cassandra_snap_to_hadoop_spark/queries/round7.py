@@ -1553,3 +1553,229 @@ def a35_bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_positive"),
         )
     )
+
+
+_E89_Z2 = (
+    "((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * swp - CAST(p AS DOUBLE) * swn)"
+    " * (CAST(n AS DOUBLE) * swp - CAST(p AS DOUBLE) * swn))"
+    " / (CAST(p AS DOUBLE) * (n - p)"
+    " * (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn)))"
+)
+
+
+@register(
+    "e89_cochran_armitage_trend",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST(n_chars // 200, 9) AS w,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(w * y) AS BIGINT) AS swp,
+               CAST(SUM(w) AS BIGINT) AS swn,
+               CAST(SUM(w * w) AS BIGINT) AS swwn
+        FROM b
+    )
+    SELECT n, p, swp, swn, swwn,
+           CAST(FLOOR({_E89_Z2} * 1000) AS BIGINT) AS z2_milli,
+           CAST(CASE WHEN FLOOR({_E89_Z2} * 1000) > 3841 THEN 1 ELSE 0 END
+                AS INTEGER) AS significant
+    FROM s
+    """,
+    survey="E89,E37,J8",
+)
+def e89_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the English rate MONOTONE in the
+    document-length bucket? — the ORDERED alternative e37's chi-square
+    cannot see (chi2 treats buckets as nominal and dilutes a clean trend
+    across dof; CA weights each bucket by its ordinal score and
+    concentrates the signal into one degree of freedom).
+
+    Exactness: the five sufficient statistics are exact BIGINTs; the z²
+    statistic N·(N·Σwy − P·Σw)²/(P(N−P)(N·Σw² − (Σw)²)) renders from ONE
+    shared CAST-AS-DOUBLE template (the e84 rule), milli-floored, and the
+    5% decision compares to the injected χ²(1) critical value 3841 milli
+    (the e78 constant).  Python pin.
+
+    Scale shape: one scan → 5-stat map-side-combinable hash agg → 1-row
+    arithmetic."""
+    d = Tables(spark, sf_dir).documents
+    b = d.select(
+        F.least(F.expr("n_chars DIV 200"), F.lit(9)).cast("long").alias("w"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    s = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("swp"),
+        F.sum("w").cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("swwn"),
+    )
+    return s.select(
+        "n",
+        "p",
+        "swp",
+        "swn",
+        "swwn",
+        F.expr(f"CAST(FLOOR({_E89_Z2} * 1000) AS BIGINT)").alias("z2_milli"),
+        F.expr(
+            f"CAST(CASE WHEN FLOOR({_E89_Z2} * 1000) > 3841 THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("significant"),
+    )
+
+
+@register(
+    "e91_capture_recapture",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS d1 FROM days
+    ), c1 AS (
+        SELECT DISTINCT user_id FROM days CROSS JOIN bounds WHERE day = d1
+    ), c2 AS (
+        SELECT DISTINCT user_id FROM days CROSS JOIN bounds WHERE day = d1 + 1
+    ), m AS (
+        SELECT CAST((SELECT COUNT(*) FROM c1) AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM c2) AS BIGINT) AS n2,
+               CAST((SELECT COUNT(*) FROM c1 JOIN c2 USING (user_id))
+                    AS BIGINT) AS n_both,
+               CAST((SELECT COUNT(DISTINCT user_id) FROM days) AS BIGINT)
+                   AS n_true
+    )
+    SELECT n1, n2, n_both, n_true,
+           CAST(CASE WHEN n_both > 0 THEN (n1 * n2) // n_both ELSE 0 END
+                AS BIGINT) AS lincoln_petersen,
+           CAST(((n1 + 1) * (n2 + 1)) // (n_both + 1) - 1 AS BIGINT) AS chapman,
+           CAST((((n1 + 1) * (n2 + 1)) // (n_both + 1) - 1 - n_true) * 1000000
+                // n_true AS BIGINT) AS chapman_err_ppm
+    FROM m
+    """,
+    survey="E91,E24,E4",
+)
+def e91_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture population estimate —
+    the mark-recapture way to size a population you can only SAMPLE
+    (total user base from two observation days), audited against the
+    exact distinct count the estimator cannot see in the field: two
+    capture occasions (the corpus's first two days), overlap m, and
+    N̂ = n1·n2/m (Chapman's (n1+1)(n2+1)/(m+1) − 1 bias correction), all
+    pure-integer closed forms; the reported error ppm is the estimator's
+    real bias on this data.  Completes the estimation family: e4/e27
+    sketch hardware, e24 set overlap, THIS statistical inference from
+    overlap.
+
+    Scale shape: one scan → two day-sliced distinct sets + one semi
+    join; every relation after the scan is |users-per-day|."""
+    ev = Tables(spark, sf_dir).events
+    days = ev.select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    )
+    d1 = days.agg(F.min("day").alias("d1"))
+    c1 = (
+        days.crossJoin(F.broadcast(d1))
+        .where(F.col("day") == F.col("d1"))
+        .select("user_id")
+        .distinct()
+    )
+    c2 = (
+        days.crossJoin(F.broadcast(d1))
+        .where(F.col("day") == F.col("d1") + 1)
+        .select("user_id")
+        .distinct()
+    )
+    m = (
+        c1.agg(F.count("*").cast("long").alias("n1"))
+        .crossJoin(c2.agg(F.count("*").cast("long").alias("n2")))
+        .crossJoin(
+            c1.join(c2, "user_id").agg(F.count("*").cast("long").alias("n_both"))
+        )
+        .crossJoin(
+            days.select("user_id")
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_true"))
+        )
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "n_both",
+        "n_true",
+        F.expr(
+            "CAST(CASE WHEN n_both > 0 THEN (n1 * n2) DIV n_both ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("lincoln_petersen"),
+        F.expr("CAST(((n1 + 1) * (n2 + 1)) DIV (n_both + 1) - 1 AS BIGINT)").alias(
+            "chapman"
+        ),
+        F.expr(
+            "CAST((((n1 + 1) * (n2 + 1)) DIV (n_both + 1) - 1 - n_true) * 1000000"
+            " DIV n_true AS BIGINT)"
+        ).alias("chapman_err_ppm"),
+    )
+
+
+@register(
+    "f39_overdispersion_index",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily
+    )
+    SELECT n, sx,
+           CAST((n * sxx - sx * sx) * 1000 // ((n - 1) * sx) AS BIGINT)
+               AS dispersion_milli,
+           CAST((n * sxx - sx * sx) * 1000 // sx AS BIGINT) AS chi2_milli,
+           CAST(CASE WHEN (n * sxx - sx * sx) * 1000 // sx > 42557
+                     THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+    FROM s
+    """,
+    survey="F39,E76,F34",
+)
+def f39_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion index of the daily event-count series — the
+    Poisson-adequacy gate e76's per-bucket G-test needs answered first:
+    D = s²/x̄ ≈ 1 under Poisson arrivals; D ≫ 1 (overdispersion) says
+    bursts cluster and a negative-binomial model (or e76's per-bucket
+    burst hunt) is the right next step.
+
+    Exactness: with integer daily counts, (n·Σx² − S²) and (n−1)·S are
+    exact BIGINTs, so the index and the chi-square statistic
+    (n−1)·D = (n·Σx² − S²)/S are pure-integer milli divisions — no float
+    anywhere; the 5% decision compares to the Python-injected χ²(29)
+    critical value 42557 milli (this corpus spans 30 days; the constant
+    is data-shape-locked and documented).  Python pin.
+
+    Scale shape: scan → calendar-bounded daily agg → 3-stat fold."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    s = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 DIV ((n - 1) * sx) AS BIGINT)"
+        ).alias("dispersion_milli"),
+        F.expr("CAST((n * sxx - sx * sx) * 1000 DIV sx AS BIGINT)").alias(
+            "chi2_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) * 1000 DIV sx > 42557"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("overdispersed"),
+    )

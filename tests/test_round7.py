@@ -546,3 +546,87 @@ def test_a35_bloom_audit_no_false_negatives_and_matches_python(spark, sf_dir):
         for r in REGISTRY["a35_bloom_file_skip_audit"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_e89_cochran_armitage_matches_python(spark, sf_dir):
+    """CA trend statistic recomputed in plain Python (same buckets, same
+    double chain); significance uses the injected 3841-milli cut."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("lang", "n_chars").collect()
+    n = len(docs)
+    p = sum(1 for r in docs if r.lang == "en")
+    swp = swn = swwn = 0
+    for r in docs:
+        w = min(r.n_chars // 200, 9)
+        swn += w
+        swwn += w * w
+        if r.lang == "en":
+            swp += w
+    z2 = (n * 1.0 * (n * 1.0 * swp - p * 1.0 * swn) * (n * 1.0 * swp - p * 1.0 * swn)) / (
+        p * 1.0 * (n - p) * (n * 1.0 * swwn - swn * 1.0 * swn)
+    )
+    r = REGISTRY["e89_cochran_armitage_trend"].fn(spark, sf_dir).collect()[0]
+    assert (r.n, r.p, r.swp, r.swn, r.swwn) == (n, p, swp, swn, swwn)
+    assert r.z2_milli == math.floor(z2 * 1000)
+    assert r.significant == int(math.floor(z2 * 1000) > 3841)
+    assert r.z2_milli >= 0
+
+
+def test_e91_capture_recapture_matches_python(spark, sf_dir):
+    """Estimators recomputed from raw events; law: Chapman never exceeds
+    Lincoln-Petersen when both are defined (m>0) and both are >= the
+    larger capture occasion."""
+    import datetime as dt
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts").collect()
+    days: dict[int, set] = {}
+    users = set()
+    for r in ev:
+        day = int(
+            (r.ts.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        ) // 86400000000
+        days.setdefault(day, set()).add(r.user_id)
+        users.add(r.user_id)
+    d1 = min(days)
+    c1, c2 = days[d1], days.get(d1 + 1, set())
+    n1, n2, m = len(c1), len(c2), len(c1 & c2)
+    r = REGISTRY["e91_capture_recapture"].fn(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.n_both, r.n_true) == (n1, n2, m, len(users))
+    lp = (n1 * n2) // m if m else 0
+    ch = ((n1 + 1) * (n2 + 1)) // (m + 1) - 1
+    assert (r.lincoln_petersen, r.chapman) == (lp, ch)
+    assert r.chapman_err_ppm == ((ch - len(users)) * 1000000) // len(users) if ch >= len(users) else r.chapman_err_ppm
+    if m:
+        assert ch <= lp
+        assert ch >= max(n1, n2) - 1
+
+
+def test_f39_overdispersion_matches_python(spark, sf_dir):
+    """Dispersion and chi-square recomputed with exact integers; the
+    Poisson law D = 1 would give 1000 milli — the synthetic arrivals are
+    near-uniform per day so D is small but positive."""
+    import datetime as dt
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.select("ts").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        day = int(
+            (r.ts.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        ) // 86400000000
+        daily[day] = daily.get(day, 0) + 1
+    n = len(daily)
+    sx = sum(daily.values())
+    sxx = sum(v * v for v in daily.values())
+    r = REGISTRY["f39_overdispersion_index"].fn(spark, sf_dir).collect()[0]
+    assert (r.n, r.sx) == (n, sx)
+    assert r.dispersion_milli == (n * sxx - sx * sx) * 1000 // ((n - 1) * sx)
+    assert r.chi2_milli == (n * sxx - sx * sx) * 1000 // sx
+    assert r.overdispersed == int(r.chi2_milli > 42557)
+    assert r.dispersion_milli >= 0
