@@ -1779,3 +1779,109 @@ def f39_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("overdispersed"),
     )
+
+
+_MAXCOV_STEPS = 5
+
+
+def _maxcov_sql() -> str:
+    steps = []
+    prev_cov = "c0"
+    outs = []
+    for r in range(1, _MAXCOV_STEPS + 1):
+        steps.append(f"""
+    g{r} AS (
+        SELECT ds.doc_id, COUNT(*) AS gain
+        FROM ds LEFT JOIN {prev_cov} c ON c.sh = ds.sh
+        WHERE c.sh IS NULL
+        GROUP BY ds.doc_id
+    ), w{r} AS MATERIALIZED (
+        SELECT doc_id, gain FROM g{r}
+        ORDER BY gain DESC, doc_id LIMIT 1
+    ), c{r} AS MATERIALIZED (
+        SELECT sh FROM {prev_cov}
+        UNION
+        SELECT ds.sh FROM ds JOIN w{r} w ON w.doc_id = ds.doc_id
+    )""")
+        outs.append(
+            f"SELECT {r} AS step, w.doc_id, CAST(w.gain AS BIGINT) AS gain,"
+            f" CAST((SELECT COUNT(*) FROM c{r}) AS BIGINT) AS total_covered"
+            f" FROM w{r} w"
+        )
+        prev_cov = f"c{r}"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS words
+        FROM documents WHERE doc_id % 20 = 0
+    ), ds AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+                                     for i in range(1, greatest(len(words) - 1, 1))]))
+                   AS sh
+        FROM toks WHERE len(words) >= 3
+    ), c0 AS (SELECT CAST(NULL AS VARCHAR) AS sh WHERE FALSE),{",".join(steps)}
+    SELECT CAST(step AS INTEGER) AS step, CAST(doc_id AS BIGINT) AS doc_id,
+           gain, total_covered
+    FROM ({" UNION ALL ".join(outs)})
+    ORDER BY step
+    """
+
+
+@register("j109_greedy_maxcover", oracle=_maxcov_sql(), survey="J109,J33,J39")
+def j109_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection — the submodular coreset
+    primitive behind diverse-subset training-data selection (facility
+    location / MAXCOVER greedy, Nemhauser's (1−1/e) guarantee): pick
+    {_MAXCOV_STEPS} documents, each maximizing the number of NOT-YET-
+    COVERED trigram shingles, with a deterministic (gain DESC, doc_id)
+    tiebreak.  j33 prunes near-duplicates; THIS answers the positive
+    selection question ("which k docs cover the most distinct content"),
+    and j39's curriculum ordering consumes exactly such scores.
+
+    Parity argument: both engines run the identical greedy recursion
+    (the j86 trajectory discipline) — gains, winner, and the covered-set
+    cardinality are hash-certified PER STEP, so the whole greedy
+    trajectory is value-checked, not just the final pick.
+
+    Scale shape: per step one anti join vs the covered set + one per-doc
+    count agg + a 1-row TakeOrdered argmax (the j40/e25 pattern);
+    covered grows by ≤ one doc's shingles per step and localCheckpoints
+    as a KB relation.  At 100 TB the doc-shingle relation shards and the
+    per-step argmax is a map-side-combined top-1."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+    d = Tables(spark, sf_dir).documents.where(F.col("doc_id") % 20 == 0)
+    words = toks(F.col("text"))
+    shingles = F.expr(
+        "transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', slice(words, i, 3)))"
+    )
+    ds = (
+        d.select("doc_id", words.alias("words"))
+        .where(F.size("words") >= 3)
+        .select("doc_id", F.explode(shingles).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = ds.select("sh").where(F.lit(False)).localCheckpoint(eager=True)
+    rows = []
+    for step in range(1, _MAXCOV_STEPS + 1):
+        gains = (
+            ds.join(covered, "sh", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+        )
+        w = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()[0]
+        covered = (
+            covered.unionByName(
+                ds.where(F.col("doc_id") == w.doc_id).select("sh")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rows.append((step, int(w.doc_id), int(w.gain), covered.count()))
+    return spark.createDataFrame(
+        rows, "step int, doc_id long, gain long, total_covered long"
+    )

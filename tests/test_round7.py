@@ -630,3 +630,44 @@ def test_f39_overdispersion_matches_python(spark, sf_dir):
     assert r.chi2_milli == (n * sxx - sx * sx) * 1000 // sx
     assert r.overdispersed == int(r.chi2_milli > 42557)
     assert r.dispersion_milli >= 0
+
+
+def test_j109_greedy_maxcover_matches_python(spark, sf_dir):
+    """The greedy trajectory recomputed in plain Python (same shingles,
+    same (gain DESC, doc_id) tiebreak); laws: gains are non-increasing
+    (submodularity of coverage) and total_covered is the exact union."""
+    import re
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    sets = {}
+    for r in docs:
+        words = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        if len(words) < 3:
+            continue
+        sets[r.doc_id] = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+    covered: set = set()
+    want = []
+    for step in range(1, 6):
+        best = None
+        for did in sorted(sets):
+            gain = len(sets[did] - covered)
+            if best is None or gain > best[1]:
+                best = (did, gain)
+        covered |= sets[best[0]]
+        want.append((step, best[0], best[1], len(covered)))
+    got = sorted(
+        (r.step, r.doc_id, r.gain, r.total_covered)
+        for r in REGISTRY["j109_greedy_maxcover"].fn(spark, sf_dir).collect()
+    )
+    assert got == want
+    gains = [g for _, _, g, _ in want]
+    assert all(b <= a for a, b in zip(gains, gains[1:]))
