@@ -154,6 +154,8 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e91_capture_recapture",
     "f39_overdispersion_index",
     "j109_greedy_maxcover",
+    "b14_merkle_repair_ranges",
+    "f41_markov_stationary",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole

@@ -1885,3 +1885,267 @@ def j109_greedy_maxcover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, doc_id long, gain long, total_covered long"
     )
+
+
+@register(
+    "b14_merkle_repair_ranges",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey AS k, l_linenumber AS ck,
+               CAST(ROUND(l_quantity) AS BIGINT) AS q
+        FROM lineitem
+    ), b AS (
+        SELECT k, ck,
+               CASE WHEN k % 499 = 0 THEN q + 1 ELSE q END AS q
+        FROM a WHERE k % 997 <> 0
+    ), ha AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(k || ':' || ck), 1, 1)) AS UBIGINT)
+                   AS rng,
+               md5(k || ':' || ck || ':' || q) AS rh
+        FROM a
+    ), hb AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(k || ':' || ck), 1, 1)) AS UBIGINT)
+                   AS rng,
+               md5(k || ':' || ck || ':' || q) AS rh
+        FROM b
+    ), ma AS (
+        SELECT rng, md5(string_agg(rh, '' ORDER BY rh)) AS mh,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ha GROUP BY 1
+    ), mb AS (
+        SELECT rng, md5(string_agg(rh, '' ORDER BY rh)) AS mh,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM hb GROUP BY 1
+    ), cmp AS (
+        SELECT ma.rng, ma.n AS n_a, COALESCE(mb.n, 0) AS n_b,
+               CASE WHEN mb.mh IS NOT NULL AND ma.mh = mb.mh
+                    THEN 1 ELSE 0 END AS in_sync
+        FROM ma LEFT JOIN mb ON mb.rng = ma.rng
+    ), diffs AS (
+        SELECT cmp.rng,
+               CAST(COUNT(*) AS BIGINT) AS n_repair
+        FROM cmp
+        JOIN (
+            SELECT rng, rh FROM ha
+            EXCEPT
+            SELECT rng, rh FROM hb
+        ) d ON d.rng = cmp.rng
+        WHERE cmp.in_sync = 0
+        GROUP BY 1
+    )
+    SELECT CAST(cmp.rng AS INTEGER) AS token_range, n_a, n_b,
+           CAST(in_sync AS INTEGER) AS in_sync,
+           CAST(COALESCE(d.n_repair, 0) AS BIGINT) AS n_repair_rows
+    FROM cmp LEFT JOIN diffs d ON d.rng = cmp.rng
+    """,
+    survey="B14,B1,A6",
+)
+def b14_merkle_repair_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree anti-entropy — the EXACT mechanism `nodetool repair`
+    uses to reconcile replicas without shipping data: per token range
+    (md5 of the primary key, 16 ranges here), each replica reduces its
+    rows to one range digest (md5 over the SORTED row hashes); ranges
+    whose digests MATCH are skipped entirely, and only mismatched ranges
+    stream their row-hash sets for the fine diff.  Replica B diverges
+    deterministically (rows dropped at orderkey%997, a counter bumped at
+    %499 — the b10 divergence pattern), and the audit reports per range:
+    row counts, sync flag, and how many rows the repair would stream.
+
+    This is the reference's operational heart restated relationally:
+    b10 finds row-level divergence by brute force; THIS is the
+    logarithmic-bandwidth protocol Cassandra actually runs, with the
+    skip-synced-ranges property hash-certified (in-sync ranges MUST
+    report 0 repair rows — law-tested too).
+
+    Exactness: every digest is md5 (engine-identical); range digests are
+    md5 over '' -joined SORTED row hashes (DuckDB ORDER BY inside
+    string_agg == Spark sort_array(collect_list)); set diffs are exact.
+
+    Scale shape: one scan per replica → per-range hash agg (the sorted
+    digest is the only per-range reduction; ranges bound memory) → KB
+    range compare; the fine diff touches ONLY mismatched ranges — at
+    100 TB that is the entire point of the protocol."""
+    li = Tables(spark, sf_dir).lineitem
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ck"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    b = a.where(F.col("k") % 997 != 0).select(
+        "k",
+        "ck",
+        F.when(F.col("k") % 499 == 0, F.col("q") + 1).otherwise(F.col("q")).alias("q"),
+    )
+
+    def hashed(df):
+        rng = F.conv(
+            F.substring(F.md5(F.concat_ws(":", "k", "ck")), 1, 1), 16, 10
+        ).cast("long")
+        # DISTINCT: the testdata's (orderkey, linenumber) is NOT unique,
+        # and Merkle anti-entropy reconciles row-version SETS anyway —
+        # without it a set EXCEPT vs a bag anti-join disagree (sf0.1
+        # mirror caught exactly that).
+        return df.select(
+            rng.alias("rng"), F.md5(F.concat_ws(":", "k", "ck", "q")).alias("rh")
+        ).distinct()
+
+    ha, hb = hashed(a), hashed(b)
+
+    def merkle(df):
+        return df.groupBy("rng").agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("mh"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    ma, mb = merkle(ha), merkle(hb)
+    cmp_ = (
+        ma.select("rng", F.col("mh").alias("mha"), F.col("n").alias("n_a"))
+        .join(
+            mb.select(F.col("rng").alias("rngb"), F.col("mh").alias("mhb"),
+                      F.col("n").alias("nb")),
+            F.col("rngb") == F.col("rng"),
+            "left",
+        )
+        .select(
+            "rng",
+            "n_a",
+            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_b"),
+            F.when(
+                F.col("mhb").isNotNull() & (F.col("mha") == F.col("mhb")), 1
+            )
+            .otherwise(0)
+            .alias("in_sync"),
+        )
+    )
+    out_of_sync = cmp_.where(F.col("in_sync") == 0).select(F.col("rng").alias("orng"))
+    diff = (
+        ha.join(hb, ["rng", "rh"], "left_anti")
+        .join(F.broadcast(out_of_sync), F.col("orng") == F.col("rng"))
+        .groupBy("rng")
+        .agg(F.count("*").cast("long").alias("n_repair"))
+    )
+    return (
+        cmp_.join(diff.withColumnRenamed("rng", "drng"),
+                  F.col("drng") == F.col("rng"), "left")
+        .select(
+            F.col("rng").cast("int").alias("token_range"),
+            "n_a",
+            "n_b",
+            F.col("in_sync").cast("int").alias("in_sync"),
+            F.coalesce(F.col("n_repair"), F.lit(0)).cast("long").alias(
+                "n_repair_rows"
+            ),
+        )
+    )
+
+
+_MARKOV_STEPS = 8
+
+
+def _markov_sql() -> str:
+    steps = []
+    prev = "v0"
+    for r in range(1, _MARKOV_STEPS + 1):
+        steps.append(f"""
+    v{r} AS MATERIALIZED (
+        SELECT p.dst AS et, CAST(SUM(v.m * p.p_micro) // 1000000 AS BIGINT) AS m
+        FROM {prev} v JOIN p ON p.src = v.et
+        GROUP BY 1
+    )""")
+        prev = f"v{r}"
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), c AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), rt AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1
+    ), p AS MATERIALIZED (
+        SELECT c.src, c.dst, CAST(c.n * 1000000 // rt.tot AS BIGINT) AS p_micro
+        FROM c JOIN rt ON rt.src = c.src
+    ), types AS (
+        SELECT DISTINCT event_type AS et FROM events
+    ), k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM types
+    ), v0 AS MATERIALIZED (
+        SELECT et, CAST(1000000 // nk AS BIGINT) AS m FROM types CROSS JOIN k
+    ),{",".join(steps)}
+    SELECT a.et AS event_type, a.m AS stationary_micro,
+           CAST(ABS(a.m - b.m) AS BIGINT) AS step_delta_micro
+    FROM v{_MARKOV_STEPS} a JOIN v{_MARKOV_STEPS - 1} b ON b.et = a.et
+    """
+
+
+@register("f41_markov_stationary", oracle=_markov_sql(), survey="F41,K4,J24")
+def f41_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user event-type Markov chain by
+    power iteration — the steady-state j24's transition counts imply:
+    where does a long session SPEND its time, the number behind cache
+    sizing, prefetch ordering, and funnel-leak triage.
+
+    Exactness (the j104 IPF discipline, integer-lattice edition): the
+    transition matrix lives on the micro lattice (n·1e6 DIV row-total),
+    and every power step is v′[j] = Σ v[i]·P_micro[i][j] DIV 1e6 — pure
+    BIGINT arithmetic, so all {_MARKOV_STEPS} unrolled steps are exact in
+    both engines (no float anywhere).  step_delta_micro (the |v8 − v7|
+    per-component residual) certifies convergence INSIDE the output.
+    Flooring leaks ≤ K micro of mass per step by design — deterministic,
+    identical in both engines, and the python pin replays it exactly.
+
+    Scale shape: one scan → per-user LAG window (the k4/j24 exchange) →
+    the 25-cell matrix; the iteration is {_MARKOV_STEPS} KB joins —
+    volume lives only in the first two stages."""
+    ev = Tables(spark, sf_dir).events
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rt = c.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+    p = (
+        c.join(rt, "src")
+        .select("src", "dst", F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_micro"))
+        .localCheckpoint(eager=True)
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    k = types.agg(F.count("*").cast("long").alias("nk"))
+    v = (
+        types.crossJoin(F.broadcast(k))
+        .select("et", F.expr("CAST(1000000 DIV nk AS BIGINT)").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    prev = v
+    for _ in range(_MARKOV_STEPS):
+        prev = v
+        v = (
+            v.join(p, F.col("src") == F.col("et"))
+            .groupBy(F.col("dst").alias("net"))
+            .agg(F.expr("CAST(SUM(m * p_micro) DIV 1000000 AS BIGINT)").alias("nm"))
+            .select(F.col("net").alias("et"), F.col("nm").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(
+            prev.select(F.col("et").alias("pet"), F.col("m").alias("pm")),
+            F.col("pet") == F.col("et"),
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("m").alias("stationary_micro"),
+            F.abs(F.col("m") - F.col("pm")).cast("long").alias("step_delta_micro"),
+        )
+    )

@@ -671,3 +671,88 @@ def test_j109_greedy_maxcover_matches_python(spark, sf_dir):
     assert got == want
     gains = [g for _, _, g, _ in want]
     assert all(b <= a for a, b in zip(gains, gains[1:]))
+
+
+def test_b14_merkle_ranges_matches_python_and_laws(spark, sf_dir):
+    """Merkle range digests and repair counts recomputed with hashlib;
+    laws: in-sync ranges report 0 repair rows; the union of repair rows
+    over mismatched ranges equals the exact replica set difference."""
+    import hashlib
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).collect()
+    a_rows = {(r.l_orderkey, r.l_linenumber, round(r.l_quantity)) for r in li}
+    b_rows = {
+        (k, ck, q + 1 if k % 499 == 0 else q)
+        for k, ck, q in a_rows
+        if k % 997 != 0
+    }
+
+    def sets(rows):
+        out: dict[int, set] = {}
+        for k, ck, q in rows:
+            rng = int(hashlib.md5(f"{k}:{ck}".encode()).hexdigest()[0], 16)
+            out.setdefault(rng, set()).add(
+                hashlib.md5(f"{k}:{ck}:{q}".encode()).hexdigest()
+            )
+        return out
+
+    sa, sb = sets(a_rows), sets(b_rows)
+    got = {
+        r.token_range: (r.n_a, r.n_b, r.in_sync, r.n_repair_rows)
+        for r in REGISTRY["b14_merkle_repair_ranges"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(sa)
+    for rng, hashes in sa.items():
+        hb = sb.get(rng, set())
+        sync = 1 if hashes == hb else 0
+        repair = 0 if sync else len(hashes - hb)
+        assert got[rng] == (len(hashes), len(hb), sync, repair), rng
+        if sync:
+            assert got[rng][3] == 0
+
+
+def test_f41_markov_stationary_matches_python(spark, sf_dir):
+    """The integer-lattice power iteration replayed exactly in Python
+    (floor division everywhere — all operands nonnegative so // == DIV);
+    laws: mass never exceeds 1e6 and the residual shrinks vs step 1."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    counts: dict[tuple, int] = {}
+    types = set()
+    for evs in per_user.values():
+        evs.sort()
+        types.update(t for _, _, t in evs)
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    p = {(a, b): n * 1000000 // row_tot[a] for (a, b), n in counts.items()}
+    k = len(types)
+    v = {t: 1000000 // k for t in sorted(types)}
+    prev = v
+    for _ in range(8):
+        prev = v
+        nxt: dict[str, int] = {}
+        for (a, b), pm in p.items():
+            if a in v:
+                nxt[b] = nxt.get(b, 0) + v[a] * pm
+        v = {b: m // 1000000 for b, m in nxt.items()}
+    got = {
+        r.event_type: (r.stationary_micro, r.step_delta_micro)
+        for r in REGISTRY["f41_markov_stationary"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(v)
+    for t in v:
+        assert got[t] == (v[t], abs(v[t] - prev[t])), t
+    assert sum(m for m, _ in got.values()) <= 1_000_000
