@@ -156,6 +156,8 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "j109_greedy_maxcover",
     "b14_merkle_repair_ranges",
     "f41_markov_stationary",
+    "e93_srm_check",
+    "j110_embedding_centroid_drift",
     # converted from rows-only to SQL-certified in round 7 (VERDICT r6
     # item 3): e4/e6 via exact aggregates + oracle-asserted error-contract
     # flags, j64 via the md5 60-bit fingerprint at a second pigeonhole

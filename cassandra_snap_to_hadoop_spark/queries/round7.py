@@ -315,7 +315,7 @@ def a34_sstable_clustering_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from pyspark.sql import Window  # noqa: E402
 
-from cassandra_snap_to_hadoop_spark.io import Tables  # noqa: E402
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out  # noqa: E402
 
 
 @register(
@@ -2148,4 +2148,143 @@ def f41_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").alias("stationary_micro"),
             F.abs(F.col("m") - F.col("pm")).cast("long").alias("step_delta_micro"),
         )
+    )
+
+
+@register(
+    "e93_srm_check",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        FROM u
+    )
+    SELECT n1, n0,
+           CAST((n1 - n0) * (n1 - n0) * 1000 // (n1 + n0) AS BIGINT)
+               AS chi2_milli,
+           CAST(CASE WHEN (n1 - n0) * (n1 - n0) * 1000 // (n1 + n0) > 3841
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_detected
+    FROM s
+    """,
+    survey="E93,E79,E37",
+)
+def e93_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the FIRST gate every A/B readout
+    must pass before e79/e40/e52 mean anything: under a 50/50 split the
+    arm sizes are binomial, and chi² = (n1−n0)²/(n1+n0) against χ²(1)
+    flags assignment bugs (lost logging, bot filters biased by arm,
+    redirect asymmetry).  An experiment that fails SRM is invalid no
+    matter what its metrics say — this is the industry-standard triage
+    (Kohavi's trustworthy-experiments checklist).
+
+    Exactness: the simplified equal-split form is a pure-integer milli
+    division from exact distinct-user counts; the 5% decision uses the
+    injected 3841-milli χ²(1) constant (the e78/e89 cut).
+
+    Scale shape: one scan → distinct users → 2-cell agg → 1-row
+    arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    u = ev.select("user_id").distinct().select((F.col("user_id") % 2).alias("arm"))
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    return s.select(
+        "n1",
+        "n0",
+        F.expr(
+            "CAST((n1 - n0) * (n1 - n0) * 1000 DIV (n1 + n0) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(CASE WHEN (n1 - n0) * (n1 - n0) * 1000 DIV (n1 + n0) > 3841"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("srm_detected"),
+    )
+
+
+# shared cosine template from exact integer micro sums (e84 CAST rule);
+# centroids are compared UNNORMALIZED-sum vs sum — scale cancels in cosine.
+_J110_COS = (
+    "(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))"
+)
+
+
+@register(
+    "j110_embedding_centroid_drift",
+    oracle=f"""
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), lc AS (
+        SELECT label, dim, CAST(SUM(micro) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ), gc AS (
+        SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM lc GROUP BY 1
+    ), terms AS (
+        SELECT label,
+               CAST(SUM(s * g) AS BIGINT) AS dot,
+               CAST(SUM(s * s) AS BIGINT) AS na,
+               CAST(SUM(g * g) AS BIGINT) AS nb,
+               CAST(MAX(n) AS BIGINT) AS n_vecs
+        FROM lc JOIN gc USING (dim) GROUP BY 1
+    )
+    SELECT CAST(label AS INTEGER) AS label, n_vecs,
+           CAST(FLOOR({_J110_COS} * 1000000) AS BIGINT) AS cos_to_global_ppm
+    FROM terms
+    """,
+    survey="J110,J11,E65",
+)
+def j110_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift in embedding space: the cosine between
+    each label's centroid and the GLOBAL centroid — the embedding-space
+    drift audit a multimodal pipeline runs per ingest batch (a cluster
+    whose centroid swings away from the corpus centroid signals a
+    distribution break long before downstream eval moves; the
+    distributional siblings are e65/e58 over scalar features, THIS is
+    the vector-space leg).
+
+    Exactness: per-(label, dim) sums of micro-quantized components are
+    exact BIGINTs; centroid cosine uses SUMS directly (the 1/n scale
+    cancels in cosine), so dot and norms are exact integers and the
+    final cosine is one shared CAST-AS-DOUBLE chain, ppm-floored.
+    Overflow budget: s·g < 2^63 holds to ~3e9 micro-mass per (label,
+    dim) pair — beyond that drop to milli.
+
+    Scale shape: one embeddings scan (posexplode — the j11 exchange) →
+    (label × 64)-row agg → 64-row global agg → KB join.  numpy pin."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = fan_out(e).select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+    )
+    lc = ex.groupBy("label", "dim").agg(
+        F.sum("micro").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    gc = lc.groupBy("dim").agg(F.sum("s").cast("long").alias("g"))
+    terms = (
+        lc.join(gc, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).cast("long").alias("dot"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("na"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("nb"),
+            F.max("n").cast("long").alias("n_vecs"),
+        )
+    )
+    return terms.select(
+        F.col("label").cast("int").alias("label"),
+        "n_vecs",
+        F.expr(f"CAST(FLOOR({_J110_COS} * 1000000) AS BIGINT)").alias(
+            "cos_to_global_ppm"
+        ),
     )

@@ -756,3 +756,52 @@ def test_f41_markov_stationary_matches_python(spark, sf_dir):
     for t in v:
         assert got[t] == (v[t], abs(v[t] - prev[t])), t
     assert sum(m for m, _ in got.values()) <= 1_000_000
+
+
+def test_e93_srm_matches_python(spark, sf_dir):
+    """Arm sizes and the chi-square recomputed from raw user ids."""
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    users = {
+        r.user_id
+        for r in Tables(spark, sf_dir).events.select("user_id").distinct().collect()
+    }
+    n1 = sum(1 for u in users if u % 2 == 1)
+    n0 = len(users) - n1
+    r = REGISTRY["e93_srm_check"].fn(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.chi2_milli == (n1 - n0) ** 2 * 1000 // (n1 + n0)
+    assert r.srm_detected == int(r.chi2_milli > 3841)
+
+
+def test_j110_centroid_drift_matches_numpy(spark, sf_dir):
+    """Centroid cosines recomputed with numpy over the micro lattice;
+    laws: |cos| <= 1 and the GLOBAL centroid's self-cosine would be 1
+    (each label's cosine is high but below 1 on mixed data)."""
+    import numpy as np
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    rows = Tables(spark, sf_dir).embeddings.select("label", "embedding").collect()
+    by_label: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        v = np.round(np.array(r.embedding, dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        by_label[r.label] = by_label.get(r.label, np.zeros(len(v), dtype=np.int64)) + v
+        counts[r.label] = counts.get(r.label, 0) + 1
+    g = sum(by_label.values())
+    got = {
+        r.label: (r.n_vecs, r.cos_to_global_ppm)
+        for r in REGISTRY["j110_embedding_centroid_drift"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_label)
+    for lab, s in by_label.items():
+        dot = int((s * g).sum())
+        na = int((s * s).sum())
+        nb = int((g * g).sum())
+        cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        assert got[lab][0] == counts[lab]
+        assert got[lab][1] == math.floor(cos * 1_000_000), lab
+        assert abs(got[lab][1]) <= 1_000_000
