@@ -166,6 +166,7 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "e6_percentile_approx",
     "j64_simhash_hamming_pairs",
     "e27_hll_distinct_to_date",
+    "e24_hll_overlap",
     # rows-only (weaker driver evidence by design) — never attempted
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -173,7 +174,6 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "j10_multimodal_decode",
     "llm_curation_funnel_lsh",
     "j20_compression_ratio",
-    "e24_hll_overlap",
     "j56_cdc_chunking",
     "j3_knn_pq",
     "f21_lttb_downsample",

@@ -742,26 +742,57 @@ def f17_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e24_hll_overlap", survey="E24,E4,J26")
+@register(
+    "e24_hll_overlap",
+    oracle="""
+    WITH sh0 AS (
+        SELECT DISTINCT source,
+               unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        FROM (SELECT source,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ), mask AS (
+        SELECT s, list_sort(list(source)) AS m FROM sh0 GROUP BY s
+    ), hist AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM mask GROUP BY m
+    ), srcs AS (
+        SELECT DISTINCT source FROM documents
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    )
+    SELECT src_a, src_b,
+           CAST(SUM(CASE WHEN list_contains(m, src_a)
+                          AND list_contains(m, src_b)
+                         THEN cnt ELSE 0 END) AS BIGINT) AS n_inter,
+           CAST(1 AS INTEGER) AS hll_inter_in_band
+    FROM hist CROSS JOIN pairs
+    GROUP BY src_a, src_b
+    """,
+    survey="E24,E4,J26",
+)
 def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-overlap estimation by HLL inclusion-exclusion (rows-only:
-    sketch estimates are engine-specific; j26 is the exact twin) — the
-    100 TB answer to "which crawls ingested the same site": |A∩B| ≈
-    est(A) + est(B) − est(A∪B), where A∪B is a cheap binary
-    ``hll_union`` of the two sources' sketches.  j26's exact tier must
-    self-join on shingle VALUES and needs a discriminative-gram cap to
-    bound the fan-out; the sketch tier has NO join on data at all — one
-    pass builds a fixed-size sketch per source, and the |S|² pair
-    estimates are arithmetic over kilobyte binaries.  The trade is
-    variance: inclusion-exclusion compounds three ±1.6% estimates, so
-    small intersections drown in noise — use it to TRIAGE which pairs
-    deserve the exact tier, not to replace it (tests pin the estimate
-    within tolerance of the exact intersection).
+    """Source-overlap estimation by HLL inclusion-exclusion — the 100 TB
+    TRIAGE for "which crawls ingested the same site": |A∩B| ≈
+    est(A) + est(B) − est(A∪B) over one fixed-size sketch per source,
+    with NO join on shingle values at all.
 
-    Scale shape: tokenize/shingle map → one hash agg per source building
-    sketches (partials merge, nothing re-shuffles) → a pair enumeration
-    over the per-source aggregate (source cardinality, broadcast
-    nested-loop over kilobytes)."""
+    SQL-certified IN PLACE since round 7 (the e4/e27 error-contract-flag
+    pattern): the output carries the EXACT per-pair |A∩B| (from the e24x
+    mask-histogram identity — also join-free — hash-checked against
+    DuckDB) next to ``hll_inter_in_band``, computed from the LIVE
+    sketch-triple estimate while the oracle asserts the contractual
+    constant 1: the inclusion-exclusion estimate must sit within 10% of
+    the UNION size (compounding three ±1.6% sketches; measured worst
+    2.9% of union at all three SFs — 3.5× margin, deterministic because
+    HLL is hash-deterministic).  The raw estimates stay out of the
+    hash-checked output (engine-specific by design); their values remain
+    pinned against the exact twin in tests/test_round6.py.
+
+    Scale shape: tokenize/shingle map → one sketch hash agg per source +
+    the mask-histogram aggs (both map-side combined, neither joins on
+    values) → |S|² pair arithmetic over KB relations."""
     d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     shingles = F.transform(
@@ -775,15 +806,68 @@ def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_a = F.hll_sketch_estimate("sk_a")
     est_b = F.hll_sketch_estimate("sk_b")
     est_u = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
-    return (
+    est = (
         a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
         .select(
             "src_a",
             "src_b",
-            est_a.cast("long").alias("est_a"),
-            est_b.cast("long").alias("est_b"),
+            F.greatest(est_a + est_b - est_u, F.lit(0))
+            .cast("long")
+            .alias("est_inter"),
             est_u.cast("long").alias("est_union"),
-            F.greatest(est_a + est_b - est_u, F.lit(0)).cast("long").alias("est_inter"),
+        )
+    )
+    # exact side: the e24x mask-histogram identity (NO join on values)
+    sh0 = sh.distinct()
+    mask = sh0.groupBy("s").agg(F.sort_array(F.collect_set("source")).alias("m"))
+    hist = mask.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.alias("pa")
+        .join(srcs.alias("pb"), F.col("pa.source") < F.col("pb.source"))
+        .select(F.col("pa.source").alias("psa"), F.col("pb.source").alias("psb"))
+    )
+    exact = (
+        hist.crossJoin(F.broadcast(pairs))
+        .groupBy("psa", "psb")
+        .agg(
+            F.sum(
+                F.when(
+                    F.array_contains(F.col("m"), F.col("psa"))
+                    & F.array_contains(F.col("m"), F.col("psb")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_inter"),
+            F.sum(
+                F.when(
+                    F.array_contains(F.col("m"), F.col("psa"))
+                    | F.array_contains(F.col("m"), F.col("psb")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return (
+        exact.join(
+            est,
+            (F.col("src_a") == F.col("psa")) & (F.col("src_b") == F.col("psb")),
+        )
+        .select(
+            F.col("psa").alias("src_a"),
+            F.col("psb").alias("src_b"),
+            "n_inter",
+            F.when(
+                F.abs(F.col("est_inter") - F.col("n_inter")) * 10
+                <= F.col("n_union"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("hll_inter_in_band"),
         )
     )
 

@@ -54,23 +54,61 @@ def test_e24_incl_excl_exact_against_python_sets(spark, sf_dir):
 
 
 def test_e24_sketch_tier_pinned_to_exact_twin(spark, sf_dir):
-    """The HLL tier's inclusion-exclusion estimates must land within
-    sketch tolerance of the EXACT twin's values — the triage contract:
-    the sketch points at the pairs the exact tier then settles."""
+    """Since the round-7 in-place certification the registered output
+    carries the EXACT intersection plus the in-band flag; this pin
+    recomputes the LIVE sketch triple directly (the machinery the flag
+    wraps) and asserts it lands within sketch tolerance of the exact
+    twin — the triage contract: the sketch points at the pairs the
+    exact tier then settles."""
+    from pyspark.sql import functions as F2
+
+    from cassandra_snap_to_hadoop_spark.io import Tables as T2
+    from cassandra_snap_to_hadoop_spark.io import fan_out as fo
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
     exact = {
         (r.src_a, r.src_b): r
         for r in REGISTRY["e24_overlap_incl_excl"].fn(spark, sf_dir).collect()
     }
-    est = {
+    reg = {
         (r.src_a, r.src_b): r
         for r in REGISTRY["e24_hll_overlap"].fn(spark, sf_dir).collect()
     }
-    assert set(exact) == set(est)
+    assert set(exact) == set(reg)
     for key, e in exact.items():
-        s = est[key]
-        tol_union = 0.05 * e.n_union + 20
-        assert abs(s.est_union - e.n_union) <= tol_union, (key, s, e)
-        assert abs(s.est_inter - e.n_inter) <= 0.06 * e.n_union + 50, (key, s, e)
+        assert reg[key].n_inter == e.n_inter, key
+        assert reg[key].hll_inter_in_band == 1, key
+    d = fo(T2(spark, sf_dir).documents)
+    w = toks(F2.col("text"))
+    shingles = F2.transform(
+        F2.sequence(F2.lit(1), F2.size(w) - 2),
+        lambda i: F2.array_join(F2.slice(w, i, 3), " "),
+    )
+    sh = d.filter(F2.size(w) >= 3).select("source", F2.explode(shingles).alias("s"))
+    per_src = sh.groupBy("source").agg(F2.expr("hll_sketch_agg(s)").alias("sk"))
+    a = per_src.select(F2.col("source").alias("src_a"), F2.col("sk").alias("sk_a"))
+    b = per_src.select(F2.col("source").alias("src_b"), F2.col("sk").alias("sk_b"))
+    est_u = F2.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    est_i = (
+        F2.expr("hll_sketch_estimate(sk_a)")
+        + F2.expr("hll_sketch_estimate(sk_b)")
+        - est_u
+    )
+    est = {
+        (r.src_a, r.src_b): (r.ei, r.eu)
+        for r in a.join(F2.broadcast(b), F2.col("src_a") < F2.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F2.greatest(est_i, F2.lit(0)).cast("long").alias("ei"),
+            est_u.cast("long").alias("eu"),
+        )
+        .collect()
+    }
+    for key, e in exact.items():
+        ei, eu = est[key]
+        assert abs(eu - e.n_union) <= 0.05 * e.n_union + 20, (key, ei, eu, e)
+        assert abs(ei - e.n_inter) <= 0.06 * e.n_union + 50, (key, ei, eu, e)
 
 
 def test_e24_mask_histogram_mass_conserves(spark, sf_dir):
