@@ -167,6 +167,7 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "j64_simhash_hamming_pairs",
     "e27_hll_distinct_to_date",
     "e24_hll_overlap",
+    "f27_holt_winters",
     # rows-only (weaker driver evidence by design) — never attempted
     "j3_knn_bruteforce_arrow",
     "f15_cusum_drift",
@@ -181,7 +182,6 @@ _ROUND7_TAIL: tuple[str, ...] = (
     "j66_bpe_merges",
     "j68_bpe_encode_stats",
     "j72_rouge_l",
-    "f27_holt_winters",
     # rows-only with prior `err:"no_oracle"` attempt lines (see note)
     "e12_hll_sketch_merge",
     "b1_murmur3_placement",
@@ -349,7 +349,6 @@ _ROUND6_TAIL: tuple[str, ...] = (
     "j66_bpe_merges",
     "j68_bpe_encode_stats",
     "j72_rouge_l",
-    "f27_holt_winters",
     # rows-only with round-1 `err:"no_oracle"` attempt lines (see note)
     "e12_hll_sketch_merge",
     "b1_murmur3_placement",
@@ -505,7 +504,6 @@ _ROUND5_TAIL: tuple[str, ...] = (
     "j68_bpe_encode_stats",
     "e44_mergeable_quantiles",
     "j72_rouge_l",
-    "f27_holt_winters",
 )
 
 # Round-4 window kept for the record (the docs-consistency test asserts it

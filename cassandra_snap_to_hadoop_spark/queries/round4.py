@@ -702,58 +702,147 @@ def j76_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("f27_holt_winters", survey="F24,F26,L3")
+@register(
+    "f27_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+        FROM daily
+    ), fw AS (
+        SELECT event_type, CAST(SUM(x) // 7 AS BIGINT) AS l7
+        FROM numbered WHERE rn <= 7 GROUP BY 1
+    ), base AS (
+        SELECT n.event_type, CAST(7 AS BIGINT) AS rn, MAX(n.n_days) AS n_days,
+               MAX(fw.l7) AS lvl, CAST(0 AS BIGINT) AS trend,
+               MAX(CASE WHEN rn = 1 THEN x - fw.l7 END) AS s1,
+               MAX(CASE WHEN rn = 2 THEN x - fw.l7 END) AS s2,
+               MAX(CASE WHEN rn = 3 THEN x - fw.l7 END) AS s3,
+               MAX(CASE WHEN rn = 4 THEN x - fw.l7 END) AS s4,
+               MAX(CASE WHEN rn = 5 THEN x - fw.l7 END) AS s5,
+               MAX(CASE WHEN rn = 6 THEN x - fw.l7 END) AS s6,
+               MAX(CASE WHEN rn = 7 THEN x - fw.l7 END) AS s7
+        FROM numbered n JOIN fw ON fw.event_type = n.event_type
+        WHERE n.rn <= 7 AND n.n_days >= 7
+        GROUP BY 1
+    ), chain AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_days,
+               (b.x - c.s1 + 4 * (c.lvl + c.trend)) // 5,
+               (((b.x - c.s1 + 4 * (c.lvl + c.trend)) // 5 - c.lvl)
+                + 9 * c.trend) // 10,
+               c.s2, c.s3, c.s4, c.s5, c.s6, c.s7,
+               ((b.x - (b.x - c.s1 + 4 * (c.lvl + c.trend)) // 5)
+                + 3 * c.s1) // 4
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_days,
+           CAST(lvl AS BIGINT) AS level_cnt,
+           CAST(trend AS BIGINT) AS trend_cnt,
+           CAST(GREATEST(s1, s2, s3, s4, s5, s6, s7)
+                - LEAST(s1, s2, s3, s4, s5, s6, s7) AS BIGINT)
+               AS seasonal_amplitude_cnt,
+           CAST(lvl + trend + s1 AS BIGINT) AS forecast_next_cnt
+    FROM chain WHERE rn = n_days
+    """,
+    survey="F24,F26,L3,SQL-4",
+)
 def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing, weekly
-    season) per event type over the zero-filled daily count series — the
-    SEASONAL member of the forecasting family (f24 Holt handles level+
-    trend; a weekly cycle breaks it, and f26's acf-at-lag-7 is the
-    detector that says you need this).  Level/trend/seasonal recursion
-    with classic additive init (l0 = first-week mean, b0 = averaged
-    week-over-week slope, s_i = first-week offsets), one-day-ahead
-    forecast.
+    season) per event type over the daily count series — the SEASONAL
+    member of the forecasting family (f24/f31 handle level+trend; a
+    weekly cycle breaks them, and f26/f38's lag-7 signals say you need
+    this).
 
-    Rows-only by design: the clamped three-state recursion is not
-    window-expressible (the f15/f24 argument); the fold lives in
-    operators/forecast.py, shared verbatim with the pure-Python twin the
-    tests pin against AND the stateful-streaming twin
-    (streaming/pipelines.f27_stream, applyInPandasWithState — last
-    emission equals this batch fit, parity-tested).  Scale shape:
-    per-(event_type, day) pre-agg does
-    the reduction; the applyInPandas fold touches |types|·|days| rows,
-    one shuffle, series parallelize across groups."""
-    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+    SQL-certified IN PLACE since round 7 (the f29/f31/f32 recursion
+    conversion applied to the THREE-state seasonal fold): on the integer
+    count lattice with α=1/5, β=1/10, γ=1/4 as truncating divisions,
 
-    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day")
-        days = range(int(pdf["day"].min()), int(pdf["day"].max()) + 1)
-        x = (
-            pdf.set_index("day")["n"].reindex(days, fill_value=0).astype(float).to_numpy()
-        )
-        level, trend, seas, fc = holt_winters_fold(x, season=7)
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "n_days": [len(x)],
-                "level": [level],
-                "trend": [trend],
-                "seasonal_amplitude": [round(max(seas) - min(seas), 4)],
-                "forecast_next": [fc],
-            }
-        )
+        l_t = (x_t − s_{t−7} + 4·(l_{t−1} + b_{t−1})) DIV 5
+        b_t = ((l_t − l_{t−1}) + 9·b_{t−1}) DIV 10
+        s_t = ((x_t − l_t) + 3·s_{t−7}) DIV 4
 
-    e = Tables(spark, sf_dir).events
-    # tz-free epoch-day bucketing (unix_micros DIV 86400e6), matching the
-    # sibling series queries (f22/f26/f28/f29/e27) — F.to_date depends on
-    # spark.sql.session.timeZone and would shift the series (and the
-    # stream/batch parity baseline) under a non-UTC session (ADVICE r4).
-    daily = e.groupBy(
+    with the classic additive init after the first week (l₇ = first-week
+    mean, b₇ = 0, sᵢ = xᵢ − l₇) and the 7-slot seasonal window carried as
+    rotating columns — BOTH engines iterate bit-identical BIGINT state
+    through a WITH RECURSIVE UnionLoop (Spark DIV == DuckDB // truncate
+    toward zero on the negative seasonals).  Output: final level/trend,
+    seasonal amplitude, and the one-step-ahead forecast l + b + s_{t−6}.
+
+    The float applyInPandas tier (operators/forecast.holt_winters_fold)
+    stays the production path for calendar-zero-filled fractional series
+    and keeps its own law tests + the applyInPandasWithState streaming
+    twin parity (tests/test_round3e.py — now pinned against the fold
+    directly).
+
+    Scale: the daily relation is calendar-bounded (|types| × days, KB at
+    ANY corpus size), pinned to one partition; each of the ≈23 UnionLoop
+    iterations is a broadcast join of the |types|-row frontier — the
+    f31 shape with seven more state columns."""
+    ev = Tables(spark, sf_dir).events
+    ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").alias("n"))
-    return daily.groupBy("event_type").applyInPandas(
-        hw,
-        "event_type string, n_days long, level double, trend double,"
-        " seasonal_amplitude double, forecast_next double",
+    ).agg(F.count("*").cast("long").alias("x")).coalesce(1).createOrReplaceTempView(
+        "cs2h_daily_hw"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, x,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_days
+            FROM cs2h_daily_hw
+        ), fw AS (
+            SELECT event_type, CAST(SUM(x) DIV 7 AS BIGINT) AS l7
+            FROM numbered WHERE rn <= 7 GROUP BY 1
+        ), base AS (
+            SELECT n.event_type, CAST(7 AS BIGINT) AS rn,
+                   MAX(n.n_days) AS n_days,
+                   MAX(fw.l7) AS lvl, CAST(0 AS BIGINT) AS trend,
+                   MAX(CASE WHEN rn = 1 THEN x - fw.l7 END) AS s1,
+                   MAX(CASE WHEN rn = 2 THEN x - fw.l7 END) AS s2,
+                   MAX(CASE WHEN rn = 3 THEN x - fw.l7 END) AS s3,
+                   MAX(CASE WHEN rn = 4 THEN x - fw.l7 END) AS s4,
+                   MAX(CASE WHEN rn = 5 THEN x - fw.l7 END) AS s5,
+                   MAX(CASE WHEN rn = 6 THEN x - fw.l7 END) AS s6,
+                   MAX(CASE WHEN rn = 7 THEN x - fw.l7 END) AS s7
+            FROM numbered n JOIN fw ON fw.event_type = n.event_type
+            WHERE n.rn <= 7 AND n.n_days >= 7
+            GROUP BY n.event_type
+        ), chain AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT b.event_type, b.rn, b.n_days,
+                   (b.x - c.s1 + 4 * (c.lvl + c.trend)) DIV 5,
+                   (((b.x - c.s1 + 4 * (c.lvl + c.trend)) DIV 5 - c.lvl)
+                    + 9 * c.trend) DIV 10,
+                   c.s2, c.s3, c.s4, c.s5, c.s6, c.s7,
+                   ((b.x - (b.x - c.s1 + 4 * (c.lvl + c.trend)) DIV 5)
+                    + 3 * c.s1) DIV 4
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_days,
+               lvl AS level_cnt,
+               trend AS trend_cnt,
+               GREATEST(s1, s2, s3, s4, s5, s6, s7)
+                   - LEAST(s1, s2, s3, s4, s5, s6, s7)
+                   AS seasonal_amplitude_cnt,
+               lvl + trend + s1 AS forecast_next_cnt
+        FROM chain WHERE rn = n_days
+        """
     )
 
 

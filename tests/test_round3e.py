@@ -289,37 +289,55 @@ def test_holt_winters_periodic_series_is_learned_exactly():
 
 
 def test_f27_matches_pure_python_twin(spark, sf_dir):
-    """The registry query's per-type outputs must equal the shared fold
-    applied to an independently assembled zero-filled daily series."""
+    """Since the round-7 in-place certification the registered query is
+    the INTEGER-lattice recursion; this pin replays it in plain Python
+    with truncating (toward-zero) division over the rn-indexed observed
+    daily counts."""
+    import datetime as dt
+
     from pyspark.sql import functions as F
 
     from cassandra_snap_to_hadoop_spark.io import Tables
-    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
 
     got = {
-        r.event_type: (r.n_days, r.level, r.trend, r.seasonal_amplitude, r.forecast_next)
+        r.event_type: (
+            r.n_days,
+            r.level_cnt,
+            r.trend_cnt,
+            r.seasonal_amplitude_cnt,
+            r.forecast_next_cnt,
+        )
         for r in REGISTRY["f27_holt_winters"].fn(spark, sf_dir).collect()
     }
-    daily = (
-        Tables(spark, sf_dir)
-        .events.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    import datetime as dt
-
+    rows = Tables(spark, sf_dir).events.select("event_type", "ts").collect()
     series: dict[str, dict] = {}
-    for r in daily:
-        series.setdefault(r.event_type, {})[r.day] = r.n
-    for et, bydate in series.items():
-        lo, hi = min(bydate), max(bydate)
-        xs = [
-            float(bydate.get(lo + dt.timedelta(days=i), 0))
-            for i in range((hi - lo).days + 1)
-        ]
-        level, trend, seas, fc = holt_winters_fold(xs, season=7)
-        amp = round(max(seas) - min(seas), 4)
-        assert got[et] == (len(xs), level, trend, amp, fc), et
+    for r in rows:
+        day = int(
+            (r.ts.replace(tzinfo=None) - dt.datetime(1970, 1, 1)).total_seconds()
+            * 1_000_000
+        ) // 86400000000
+        series.setdefault(r.event_type, {}).setdefault(day, 0)
+        series[r.event_type][day] += 1
+    for et, byday in series.items():
+        xs = [byday[d] for d in sorted(byday)]
+        if len(xs) < 7:
+            assert et not in got
+            continue
+        l = sum(xs[:7]) // 7
+        b = 0
+        seas = [x - l for x in xs[:7]]
+        for x in xs[7:]:
+            s_old = seas.pop(0)
+            l_new = tdiv(x - s_old + 4 * (l + b), 5)
+            b = tdiv((l_new - l) + 9 * b, 10)
+            seas.append(tdiv((x - l_new) + 3 * s_old, 4))
+            l = l_new
+        amp = max(seas) - min(seas)
+        assert got[et] == (len(xs), l, b, amp, l + b + seas[0]), et
 
 
 def test_holt_winters_streaming_state_parity(spark, sf_dir, tmp_path):
@@ -358,9 +376,31 @@ def test_holt_winters_streaming_state_parity(spark, sf_dir, tmp_path):
         cur = final.get(r.event_type)
         if cur is None or r.n_days >= cur.n_days:
             final[r.event_type] = r
-    batch = {
-        r.event_type: r for r in REGISTRY["f27_holt_winters"].fn(spark, sf_dir).collect()
-    }
+    # batch reference: the float fold directly (the registered query is
+    # the integer-lattice certified twin since round 7)
+    import datetime as dt
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_winters_fold
+
+    daily = (
+        Tables(spark, sf_dir)
+        .events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.day] = r.n
+    batch = {}
+    for et, bydate in series.items():
+        lo, hi = min(bydate), max(bydate)
+        xs = [
+            float(bydate.get(lo + dt.timedelta(days=i), 0))
+            for i in range((hi - lo).days + 1)
+        ]
+        level, trend, seas, fc = holt_winters_fold(xs, season=7)
+        batch[et] = (len(xs), level, trend, round(max(seas) - min(seas), 4), fc)
     assert set(final) == set(batch)
     for et, b in batch.items():
         s = final[et]
@@ -370,4 +410,4 @@ def test_holt_winters_streaming_state_parity(spark, sf_dir, tmp_path):
             s.trend,
             s.seasonal_amplitude,
             s.forecast_next,
-        ) == (b.n_days, b.level, b.trend, b.seasonal_amplitude, b.forecast_next), et
+        ) == b, et
