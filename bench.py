@@ -74,6 +74,9 @@ HEADLINE = [
     # relational PAV calibration — unrolled KB-relation merge rounds with
     # the j100-style fixpoint early-exit
     "e75_isotonic_calibration",
+    # round-7 representative (VERDICT r7 item 5): iterative graph
+    # wedge-join truss peeling — shape distinct from j100's semi-join peel
+    "j107_ktruss_peel",
 ]
 
 N_RUNS = 3

@@ -57,8 +57,91 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
-# Round-7 driver window (50 insertion-ordered entries), recomputed
-# programmatically at round-7 start from REGISTRY − ∪ CORRECTNESS_r{1..6}
+# Round-8 driver window (50 insertion-ordered entries), recomputed
+# programmatically at round-8 start from REGISTRY − ∪ CORRECTNESS_r{1..7}
+# (VERDICT.md round-7 item 3): all 37 remaining never-driver-certified
+# SQL-oracled keys first — the `_ROUND7_TAIL` SQL head (j49 …
+# j89_label_propagation), the nineteen round-7 additions (a33 … j110) and
+# the six round-7 rows-only→SQL conversions (e4/e6/j64/e27/e24/f27) —
+# then the thirteen never-attempted rows-only keys so each finally gets
+# its driver `spark_rows>0` line.  All 37 SQL keys are judge-mirror-green
+# (399/399) and mirror-green locally at sf0.001/0.01/0.1.
+_ROUND8_PRIORITY: tuple[str, ...] = (
+    # ── 37 SQL-oracled, never inside a driver window ──
+    "j49_unicode_nfc_normalize",
+    "a22_snapshot_retention",
+    "a23_nested_schema_pruning",
+    "j2_minhash_lsh_md5",
+    "f31_holt_recursive",
+    "f30_savgol_smooth",
+    "j85_fellegi_sunter",
+    "j88_rake_keywords",
+    "a28_zonemap_skipping",
+    "i22_soundex_phonetic",
+    "f32_kalman_recursive",
+    "j89_label_propagation",
+    "a33_sstable_binary_roundtrip",
+    "a34_sstable_clustering_scan",
+    "e81_cvm_two_sample",
+    "f38_acf_lags",
+    "e83_lift_gain_deciles",
+    "e82_logrank_test",
+    "e84_delong_auc_compare",
+    "j107_ktruss_peel",
+    "e86_gini_split_stump",
+    "e88_partial_correlation",
+    "a35_bloom_file_skip_audit",
+    "e89_cochran_armitage_trend",
+    "e91_capture_recapture",
+    "f39_overdispersion_index",
+    "j109_greedy_maxcover",
+    "b14_merkle_repair_ranges",
+    "f41_markov_stationary",
+    "e93_srm_check",
+    "j110_embedding_centroid_drift",
+    "e4_approx_count_distinct",
+    "e6_percentile_approx",
+    "j64_simhash_hamming_pairs",
+    "e27_hll_distinct_to_date",
+    "e24_hll_overlap",
+    "f27_holt_winters",
+    # ── 13 rows-only, never attempted (driver records rows>0) ──
+    "j3_knn_bruteforce_arrow",
+    "f15_cusum_drift",
+    "j48_media_embedding_knn",
+    "j10_multimodal_decode",
+    "llm_curation_funnel_lsh",
+    "j20_compression_ratio",
+    "j56_cdc_chunking",
+    "j3_knn_pq",
+    "f21_lttb_downsample",
+    "f24_holt_forecast",
+    "j66_bpe_merges",
+    "j68_bpe_encode_stats",
+    "j72_rouge_l",
+)
+
+# Positions 51+: the only keys left without a clean driver line are the
+# ten rows-only names whose sole driver record is a round-1/3
+# `err:"no_oracle"` artifact (attempted-not-failed; they predate the
+# rows-only-last rule).  A generous driver budget gives each its
+# `spark_rows>0` line; round 9 covers any remainder and the backlog is
+# then empty.
+_ROUND8_TAIL: tuple[str, ...] = (
+    "e12_hll_sketch_merge",
+    "b1_murmur3_placement",
+    "j2_minhash_lsh_pairs",
+    "j2_minhash_lsh_ml",
+    "j3_knn_brp_lsh_ml",
+    "j2_simhash",
+    "j3_knn_ivf",
+    "j3_knn_ivf_kmeans",
+    "j3_similarity_join_lsh",
+    "j9_fingerprint",
+)
+
+# Round-7 driver window kept for the record (certified 50/50 in round 7);
+# originally recomputed at round-7 start from REGISTRY − ∪ CORRECTNESS_r{1..6}
 # (VERDICT.md round-6 item 1): the two never-certified bench-headline
 # members lead (j101/j100), then the remaining 21 round-6 additions in
 # registration order (e24_overlap … e80), then the two round-6 rows-only→
@@ -705,4 +788,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND7_PRIORITY + _ROUND7_TAIL)
+_reorder(_ROUND8_PRIORITY + _ROUND8_TAIL)

@@ -55,6 +55,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j101_dsir_importance": 1.88,
     "j100_kcore_decomposition": 3.34,
     "e75_isotonic_calibration": 2.46,
+    "j107_ktruss_peel": 6.54,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
