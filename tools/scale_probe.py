@@ -919,6 +919,182 @@ def main() -> None:
             )
         return bins.groupBy("p").agg(F.sum("n").alias("pool_n"))
 
+    # Round-7 iterative shapes (VERDICT r7 item 7) -----------------------
+
+    def ktruss_shape(li, n_blocks):
+        """j107's wedge-join peel: sparse co-occurrence edges on a vertex
+        domain of n_blocks disjoint 2048-vertex blocks (amplified rows
+        land in per-replica blocks via the shifted orderkey, so degree —
+        and with it wedge fan-out per edge — stays 1x while |E| grows
+        Nx).  THREE peel rounds of symmetrize + two hash equi joins +
+        support agg; the claim is per-round cost linear in surviving
+        wedges, never quadratic in |E|."""
+        blk = (F.col("l_orderkey").cast("long") / F.lit(1_000_000_000)).cast(
+            "long"
+        ) % n_blocks
+        base_u = F.least(F.col("l_orderkey") % 2048, F.col("l_partkey") % 2048)
+        base_v = F.greatest(F.col("l_orderkey") % 2048, F.col("l_partkey") % 2048)
+        e = (
+            li.where(F.col("l_orderkey") % 10 == 0)
+            .select(
+                (base_u + blk * 2048).alias("u"),
+                (base_v + blk * 2048).alias("v"),
+            )
+            .where(F.col("u") % 2048 != F.col("v") % 2048)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(3):
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            a = sym.select(F.col("u").alias("au"), F.col("v").alias("x"))
+            b = sym.select(F.col("u").alias("bu"), F.col("v").alias("bx"))
+            sup = (
+                e.join(a, F.col("au") == F.col("u"))
+                .join(b, (F.col("bu") == F.col("v")) & (F.col("bx") == F.col("x")))
+                .groupBy("u", "v")
+                .agg(F.count("*").alias("sup"))
+            )
+            e = (
+                sup.where(F.col("sup") >= 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        return e.groupBy().agg(F.count("*").alias("n_edges"))
+
+    def maxcover_step_shape(d):
+        """j109's per-step cost: doc->shingle postings anti-joined against
+        the covered set, per-doc gain agg, 1-row argmax.  Amplified docs
+        are exact replicas, so postings grow Nx while the covered set
+        (one winner's shingles) stays 1x — the claim is each greedy step
+        is one linear scan of the postings, and the driver sees ONE row
+        per step."""
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+        w = toks(F.col("text"))
+        shingles = F.expr(
+            "transform(sequence(1, size(words) - 2),"
+            " i -> concat_ws(' ', slice(words, i, 3)))"
+        )
+        ds = (
+            d.select("doc_id", w.alias("words"))
+            .where(F.size("words") >= 3)
+            .select("doc_id", F.explode(shingles).alias("sh"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        w0 = (
+            ds.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+        )
+        covered = (
+            ds.join(
+                F.broadcast(w0.select("doc_id")), "doc_id"
+            ).select("sh").distinct().localCheckpoint(eager=True)
+        )
+        return (
+            ds.join(covered, "sh", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+        )
+
+    def merkle_shape(li):
+        """b14's anti-entropy shape: per-row md5 version hashes reduced to
+        16 per-range Merkle digests BEFORE any comparison; the replica
+        diff joins only rows in out-of-sync ranges.  The claim: the
+        volume term is two row-hash scans + one 16-row digest agg each;
+        the repair anti-join is bounded by the out-of-sync subset."""
+        a = li.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("ck"),
+            F.round("l_quantity").cast("long").alias("q"),
+        )
+        b = a.where(F.col("k") % 997 != 0).select(
+            "k",
+            "ck",
+            F.when(F.col("k") % 499 == 0, F.col("q") + 1)
+            .otherwise(F.col("q"))
+            .alias("q"),
+        )
+
+        def hashed(df):
+            rng = F.conv(
+                F.substring(F.md5(F.concat_ws(":", "k", "ck")), 1, 1), 16, 10
+            ).cast("long")
+            return df.select(
+                rng.alias("rng"),
+                F.md5(F.concat_ws(":", "k", "ck", "q")).alias("rh"),
+            ).distinct()
+
+        ha, hb = hashed(a), hashed(b)
+        ma = ha.groupBy("rng").agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("mha")
+        )
+        mb = hb.groupBy("rng").agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("mhb")
+        )
+        bad = (
+            ma.join(mb, "rng", "left")
+            .where(F.col("mhb").isNull() | (F.col("mha") != F.col("mhb")))
+            .select("rng")
+        )
+        return (
+            ha.join(hb, ["rng", "rh"], "left_anti")
+            .join(F.broadcast(bad), "rng")
+            .groupBy("rng")
+            .agg(F.count("*").alias("n_repair"))
+        )
+
+    def markov_shape(e):
+        """f41's shape: one lag window + transition-count agg is the
+        volume term; the 8-step power iteration runs on the KB
+        (src,dst,p) relation and is constant-cost at any corpus size.
+        Amplified events remap user ids per replica, so per-user density
+        (the window's sort unit) stays 1x."""
+        from pyspark.sql.window import Window
+
+        seq = e.select(
+            "event_type",
+            F.lag("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_type"),
+        )
+        c = (
+            seq.where(F.col("prev_type").isNotNull())
+            .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        rt = c.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+        p = (
+            c.join(rt, "src")
+            .select(
+                "src", "dst",
+                F.expr("CAST(n * 1000000 DIV tot AS BIGINT)").alias("p_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        types = e.select(F.col("event_type").alias("et")).distinct()
+        k = types.agg(F.count("*").cast("long").alias("nk"))
+        v = (
+            types.crossJoin(F.broadcast(k))
+            .select("et", F.expr("CAST(1000000 DIV nk AS BIGINT)").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(8):
+            v = (
+                v.join(p, F.col("src") == F.col("et"))
+                .groupBy(F.col("dst").alias("net"))
+                .agg(F.expr("CAST(SUM(m * p_micro) DIV 1000000 AS BIGINT)").alias("nm"))
+                .select(F.col("net").alias("et"), F.col("nm").alias("m"))
+                .localCheckpoint(eager=True)
+            )
+        return v
+
     # d23's probe input: BOTH keys remapped so per-customer order density
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
@@ -991,6 +1167,14 @@ def main() -> None:
         ("mask-overlap", lambda: mask_overlap_shape(d1), lambda: mask_overlap_shape(dN)),
         ("pav-merge-rounds", lambda: pav_shape(d1), lambda: pav_shape(dN)),
         ("allen-interval-pairs", lambda: allen_shape(o1), lambda: allen_shape(oN_cust)),
+        # round-7 iterative shapes (VERDICT r7 item 7): vertices land in
+        # per-replica blocks (ktruss), postings exact replicas (maxcover),
+        # row hashes Nx with 16 fixed ranges (merkle), per-user density 1x
+        # with a KB power iteration (markov).
+        ("ktruss-wedge-rounds", lambda: ktruss_shape(li1, 1), lambda: ktruss_shape(liN, mult)),
+        ("maxcover-step", lambda: maxcover_step_shape(d1), lambda: maxcover_step_shape(dN)),
+        ("merkle-range-digest", lambda: merkle_shape(li1), lambda: merkle_shape(liN)),
+        ("markov-kb-joins", lambda: markov_shape(e1), lambda: markov_shape(eN)),
         # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
