@@ -54,6 +54,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round5,  # round-5 additions (CC dedup graph, ROC/AUC, calibration, winnowing) — rotate in round 6
     round6,  # round-6 additions (exact mask-histogram overlap, certified-twin depth) — rotate in round 7
     round7,  # round-7 additions (SSTable binary roundtrip a33/a34) — rotate in round 8
+    round8,  # round-8 additions (ma-format SSTable roundtrips a36/a37) — rotate in round 9
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 

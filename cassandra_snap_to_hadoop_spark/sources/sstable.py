@@ -46,6 +46,12 @@ partition (the generator never materializes the file's rows).  SSTables
 are bounded by compaction policy (the a29/a31 audits); a pathological
 multi-GB single file would be split by Cassandra itself before ever
 reaching a snapshot.
+
+Format boundary (VERDICT r7 item 8): THIS module is the Cassandra 2.x
+``ka``/``la`` decoder; the 3.x row-oriented ``ma`` format lives in
+``sources/sstable_ma.py`` (same DataSource seam, filename-dispatched);
+4.x+ formats (``na``/``nb``/``oa``) are out of scope offline — see the
+sstable_ma docstring for the full boundary statement.
 """
 
 from __future__ import annotations
