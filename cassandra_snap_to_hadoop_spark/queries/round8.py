@@ -274,3 +274,510 @@ def a37_sstable_ma_clustering_scan(spark: SparkSession, sf_dir: str) -> DataFram
         (F.unix_micros(F.col("o_orderdate"))).alias("orderdate_us"),
         F.col("_writetime").alias("writetime_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: Cassandra-protocol, privacy, graph and agreement depth operators.
+# Same acceptance bar as rounds 3-7: exact-integer or shared-IEEE-chain
+# discipline, DuckDB oracle, pure-Python third-implementation pin.
+# --------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out  # noqa: E402
+
+
+@register(
+    "b15_quorum_read_repair",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(o_orderkey * 100 AS BIGINT) AS ts
+        FROM orders
+    ), ra AS (
+        SELECT k,
+               CASE WHEN k % 499 = 0 THEN v - 7 ELSE v END AS v,
+               CASE WHEN k % 499 = 0 THEN ts - 5 ELSE ts END AS ts
+        FROM base
+    ), rb AS (
+        SELECT k,
+               CASE WHEN k % 503 = 0 THEN v - 3 ELSE v END AS v,
+               CASE WHEN k % 503 = 0 THEN ts - 3 ELSE ts END AS ts
+        FROM base WHERE k % 991 <> 0
+    ), rc AS (
+        SELECT k, v, ts FROM base WHERE k % 997 <> 0
+    ), merged AS (
+        SELECT k, MAX(ts) AS ts
+        FROM (SELECT k, ts FROM ra UNION ALL SELECT k, ts FROM rb
+              UNION ALL SELECT k, ts FROM rc)
+        GROUP BY k
+    ), reconciled AS (
+        SELECT m.k, m.ts,
+               (SELECT MAX(v) FROM (
+                   SELECT v FROM ra WHERE ra.k = m.k AND ra.ts = m.ts
+                   UNION ALL
+                   SELECT v FROM rb WHERE rb.k = m.k AND rb.ts = m.ts
+                   UNION ALL
+                   SELECT v FROM rc WHERE rc.k = m.k AND rc.ts = m.ts)) AS v
+        FROM merged m
+    ), tot AS (
+        SELECT CAST(SUM(v) AS BIGINT) AS total_value,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM reconciled
+    ), audit AS (
+        SELECT 'A' AS replica,
+               CAST(COUNT(r.k) AS BIGINT) AS n_present,
+               CAST(SUM(CASE WHEN r.k IS NOT NULL AND r.ts < m.ts
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+               CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing
+        FROM reconciled m LEFT JOIN ra r ON r.k = m.k
+        UNION ALL
+        SELECT 'B',
+               CAST(COUNT(r.k) AS BIGINT),
+               CAST(SUM(CASE WHEN r.k IS NOT NULL AND r.ts < m.ts
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM reconciled m LEFT JOIN rb r ON r.k = m.k
+        UNION ALL
+        SELECT 'C',
+               CAST(COUNT(r.k) AS BIGINT),
+               CAST(SUM(CASE WHEN r.k IS NOT NULL AND r.ts < m.ts
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM reconciled m LEFT JOIN rc r ON r.k = m.k
+    )
+    SELECT a.replica, a.n_present, a.n_stale, a.n_missing,
+           CAST(a.n_stale + a.n_missing AS BIGINT) AS n_repair,
+           t.n_keys, t.total_value
+    FROM audit a CROSS JOIN tot t
+    """,
+    survey="B15,B2,B6,B10",
+)
+def b15_quorum_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum read with read-repair accounting — the COORDINATOR half of
+    Cassandra's consistency machinery (b14's Merkle repair is the
+    anti-entropy background process; THIS is what every CL=QUORUM read
+    does online): collect each key's versions from all live replicas,
+    reconcile by LWW timestamp, and ship repair mutations to every
+    replica that returned a stale or missing version.
+
+    Fixture: three replica relations derived deterministically from
+    orders — replica A has a stale value (ts−5) for keys %499, B misses
+    keys %991 and is stale (ts−3) for %503, C misses keys %997 — so
+    every divergence class (stale-value, missing-row, clean) appears and
+    some keys are divergent on two replicas at once (lcm pairs exist at
+    sf0.1).  Output: per replica the present/stale/missing/repair
+    counts, plus the reconciled key count and value checksum the repair
+    must converge every replica TO (the b2 LWW truth).
+
+    Exactness: versions are (BIGINT value, BIGINT ts); reconciliation is
+    MAX(ts) then MAX(value) among max-ts versions (single-version by
+    construction, the tie-break is belt-and-braces determinism).
+
+    Scale shape: one shuffle per replica on the key (the union's hash
+    agg), then three broadcast-free equi joins reconciled⋈replica that
+    AQE plans as SMJ over the same key partitioning; per-key work is
+    O(replication factor), the 100 TB cost is 3 scans + 1 agg + 3 joins
+    — exactly the coordinator's per-read cost amortized batch-side."""
+    o = fan_out(Tables(spark, sf_dir).orders)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (F.col("o_orderkey") * 100).cast("long").alias("ts"),
+    )
+    ra = base.select(
+        "k",
+        F.when(F.col("k") % 499 == 0, F.col("v") - 7).otherwise(F.col("v")).alias("v"),
+        F.when(F.col("k") % 499 == 0, F.col("ts") - 5).otherwise(F.col("ts")).alias("ts"),
+    )
+    rb = base.where(F.col("k") % 991 != 0).select(
+        "k",
+        F.when(F.col("k") % 503 == 0, F.col("v") - 3).otherwise(F.col("v")).alias("v"),
+        F.when(F.col("k") % 503 == 0, F.col("ts") - 3).otherwise(F.col("ts")).alias("ts"),
+    )
+    rc = base.where(F.col("k") % 997 != 0)
+    allv = ra.unionByName(rb).unionByName(rc)
+    reconciled = allv.groupBy("k").agg(
+        F.max("ts").alias("ts"),
+        F.expr("max_by(v, struct(ts, v))").cast("long").alias("v"),
+    )
+    tot = reconciled.agg(
+        F.sum("v").cast("long").alias("total_value"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+
+    def audit(rep: DataFrame, name: str) -> DataFrame:
+        j = reconciled.select("k", F.col("ts").alias("mts")).join(
+            rep.select("k", F.col("ts").alias("rts")), "k", "left"
+        )
+        return j.agg(
+            F.lit(name).alias("replica"),
+            F.count("rts").cast("long").alias("n_present"),
+            F.sum(
+                F.when(F.col("rts").isNotNull() & (F.col("rts") < F.col("mts")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_stale"),
+            F.sum(F.when(F.col("rts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+
+    out = audit(ra, "A").unionByName(audit(rb, "B")).unionByName(audit(rc, "C"))
+    return (
+        out.withColumn(
+            "n_repair", (F.col("n_stale") + F.col("n_missing")).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "replica", "n_present", "n_stale", "n_missing", "n_repair",
+            "n_keys", "total_value",
+        )
+    )
+
+
+@register(
+    "j111_t_closeness",
+    oracle="""
+    WITH sens AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) // 200000 AS b
+        FROM customer
+    ), bins AS (
+        SELECT DISTINCT b FROM sens
+    ), nbins AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bins
+    ), gdist AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cg FROM sens GROUP BY 1
+    ), ntot AS (
+        SELECT CAST(SUM(cg) AS BIGINT) AS n FROM gdist
+    ), cls AS (
+        SELECT seg, nat, CAST(COUNT(*) AS BIGINT) AS ng FROM sens GROUP BY 1, 2
+    ), grid AS (
+        SELECT c.seg, c.nat, c.ng, g.b, g.cg,
+               CAST(COALESCE(s.c, 0) AS BIGINT) AS cgb
+        FROM cls c
+        CROSS JOIN gdist g
+        LEFT JOIN (
+            SELECT seg, nat, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sens GROUP BY 1, 2, 3
+        ) s ON s.seg = c.seg AND s.nat = c.nat AND s.b = g.b
+    ), cums AS (
+        SELECT seg, nat, ng, b,
+               SUM(cgb) OVER (PARTITION BY seg, nat ORDER BY b) AS cum_c,
+               SUM(cg)  OVER (PARTITION BY seg, nat ORDER BY b) AS cum_g
+        FROM grid
+    )
+    SELECT c.seg AS c_mktsegment, CAST(c.nat AS INTEGER) AS c_nationkey,
+           MAX(c.ng) AS class_size,
+           CAST(SUM(ABS(c.cum_c * t.n - c.cum_g * c.ng)) * 1000
+                // (c.ng * t.n * (nb.m - 1)) AS BIGINT) AS emd_milli
+    FROM cums c CROSS JOIN ntot t CROSS JOIN nbins nb
+    GROUP BY c.seg, c.nat, c.ng, t.n, nb.m
+    """,
+    survey="J111,J84,J102",
+)
+def j111_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the release-privacy ladder this engine already walks: j84's
+    k-anonymity bounds CLASS SIZE, j102's l-diversity bounds sensitive
+    DISTINCTNESS, but a class can be large and diverse yet still leak by
+    SKEW (90% of one nation's customers in the top balance bucket tells
+    an attacker plenty).  t-closeness bounds the DISTANCE between each
+    quasi-identifier class's sensitive distribution and the global one;
+    for an ORDERED sensitive attribute the distance is the Earth Mover's
+    Distance = mean absolute gap between cumulative distributions.
+
+    Same quasi-identifiers (mktsegment, nation) and the same sensitive
+    bucketing (2000-currency acctbal bins) as j84/j102, so the three
+    audits read as one report.
+
+    Exactness: per (class, bin) the CDF gap |cum_c/ng − cum_g/N| is kept
+    as the exact integer |cum_c·N − cum_g·ng| over the common
+    denominator ng·N; the EMD is one integer division at the end —
+    emd_milli = Σ|…|·1000 DIV (ng·N·(m−1)) — no float anywhere; python
+    pin replays the fractions with Fraction-free integer arithmetic.
+
+    Scale shape: one scan → (class, bin) hash agg; the grid is
+    |classes|×|bins| (QI-domain-bounded, KB), the cumulative window is
+    PARTITIONED per class over ≤|bins| rows — never a corpus-volume
+    window."""
+    c = fan_out(Tables(spark, sf_dir).customer)
+    sens = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 200000"
+        ).alias("b"),
+    )
+    glob = sens.groupBy("b").agg(F.count("*").cast("long").alias("cg"))
+    ntot = glob.agg(F.sum("cg").cast("long").alias("n"))
+    nbins = glob.agg(F.count("*").cast("long").alias("m"))
+    cls = sens.groupBy("seg", "nat").agg(F.count("*").cast("long").alias("ng"))
+    cell = sens.groupBy("seg", "nat", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cell, ["seg", "nat", "b"], "left")
+        .select(
+            "seg", "nat", "ng", "b", "cg",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("cgb"),
+        )
+    )
+    w = Window.partitionBy("seg", "nat").orderBy("b")
+    cums = grid.select(
+        "seg", "nat", "ng",
+        F.sum("cgb").over(w).alias("cum_c"),
+        F.sum("cg").over(w).alias("cum_g"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(nbins))
+        .groupBy(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("nat").cast("int").alias("c_nationkey"),
+            "ng", "n", "m",
+        )
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("ng"))
+            ).alias("s")
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("ng").alias("class_size"),
+            F.expr("CAST(s * 1000 div (ng * n * (m - 1)) AS BIGINT)").alias(
+                "emd_milli"
+            ),
+        )
+    )
+
+
+@register(
+    "j112_hits_scores",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_orderkey % 512 AS u, l_partkey % 512 AS v
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ), h0 AS (
+        SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS s FROM e
+    ), a1r AS MATERIALIZED (
+        SELECT e.v, CAST(SUM(h0.s) AS BIGINT) AS r
+        FROM e JOIN h0 ON h0.u = e.u GROUP BY e.v
+    ), a1 AS MATERIALIZED (
+        SELECT v, CAST(r * 1000000 // (SELECT SUM(r) FROM a1r) AS BIGINT) AS s
+        FROM a1r
+    ), h1r AS MATERIALIZED (
+        SELECT e.u, CAST(SUM(a1.s) AS BIGINT) AS r
+        FROM e JOIN a1 ON a1.v = e.v GROUP BY e.u
+    ), h1 AS MATERIALIZED (
+        SELECT u, CAST(r * 1000000 // (SELECT SUM(r) FROM h1r) AS BIGINT) AS s
+        FROM h1r
+    ), a2r AS MATERIALIZED (
+        SELECT e.v, CAST(SUM(h1.s) AS BIGINT) AS r
+        FROM e JOIN h1 ON h1.u = e.u GROUP BY e.v
+    ), a2 AS MATERIALIZED (
+        SELECT v, CAST(r * 1000000 // (SELECT SUM(r) FROM a2r) AS BIGINT) AS s
+        FROM a2r
+    ), h2r AS MATERIALIZED (
+        SELECT e.u, CAST(SUM(a2.s) AS BIGINT) AS r
+        FROM e JOIN a2 ON a2.v = e.v GROUP BY e.u
+    ), h2 AS MATERIALIZED (
+        SELECT u, CAST(r * 1000000 // (SELECT SUM(r) FROM h2r) AS BIGINT) AS s
+        FROM h2r
+    ), a3r AS MATERIALIZED (
+        SELECT e.v, CAST(SUM(h2.s) AS BIGINT) AS r
+        FROM e JOIN h2 ON h2.u = e.u GROUP BY e.v
+    ), a3 AS MATERIALIZED (
+        SELECT v, CAST(r * 1000000 // (SELECT SUM(r) FROM a3r) AS BIGINT) AS s
+        FROM a3r
+    ), h3r AS MATERIALIZED (
+        SELECT e.u, CAST(SUM(a3.s) AS BIGINT) AS r
+        FROM e JOIN a3 ON a3.v = e.v GROUP BY e.u
+    ), h3 AS MATERIALIZED (
+        SELECT u, CAST(r * 1000000 // (SELECT SUM(r) FROM h3r) AS BIGINT) AS s
+        FROM h3r
+    )
+    SELECT 'hub' AS side, CAST(u AS BIGINT) AS node, s AS score_micro FROM h3
+    UNION ALL
+    SELECT 'auth', CAST(v AS BIGINT), s FROM a3
+    """,
+    survey="J112,J71,J40",
+)
+def j112_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the order↔part
+    bipartite graph — the fourth canonical iterative graph workload
+    after components (j90), cores (j100) and PageRank (j71), and the one
+    whose update rule ALTERNATES sides: authority = Σ linking hubs, hub
+    = Σ linked authorities, L1-renormalized each half-step.  PageRank's
+    single stochastic matrix cannot express this mutual recursion.
+
+    Exactness (the j71/j104 integer-lattice discipline): scores live on
+    the micro lattice, every half-step is s′ = raw·1e6 DIV Σraw — pure
+    BIGINT, no float anywhere, mirrored verbatim by the unrolled
+    MATERIALIZED CTE oracle and replayed by the python pin; 3 full
+    iterations certified (both final vectors hashed, hub AND auth).
+
+    Scale shape: edges distinct once (localCheckpoint), each half-step
+    is one |E| hash join + one hash agg + a 1-row total broadcast; the
+    node domain is 512+512 (KB relations), so at 100 TB the only
+    volume-scaled work is the initial distinct."""
+    li = fan_out(Tables(spark, sf_dir).lineitem)
+    e = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            (F.col("l_orderkey") % 512).alias("u"),
+            (F.col("l_partkey") % 512).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("u").distinct().select("u", F.lit(1000000).cast("long").alias("s"))
+
+    def half_step(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            e.join(scores.withColumnRenamed(from_col, "__k"),
+                   F.col("__k") == F.col(from_col))
+            .groupBy(to_col)
+            .agg(F.sum("s").cast("long").alias("r"))
+        )
+        tot = raw.agg(F.sum("r").cast("long").alias("t"))
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                to_col,
+                F.expr("CAST(r * 1000000 div t AS BIGINT)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(3):
+        a = half_step(h, "u", "v")
+        h = half_step(a, "v", "u")
+    return h.select(
+        F.lit("hub").alias("side"),
+        F.col("u").cast("long").alias("node"),
+        F.col("s").alias("score_micro"),
+    ).unionByName(
+        a.select(
+            F.lit("auth").alias("side"),
+            F.col("v").cast("long").alias("node"),
+            F.col("s").alias("score_micro"),
+        )
+    )
+
+
+@register(
+    "e96_fleiss_kappa",
+    oracle="""
+    WITH ratings AS (
+        SELECT doc_id, n_chars % 3 AS cat FROM documents
+        UNION ALL
+        SELECT doc_id, (n_chars // 7) % 3 FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 31) % 3 FROM documents
+    ), cell AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM ratings GROUP BY 1, 2
+    ), per_item AS (
+        SELECT doc_id, CAST(SUM(nij * nij) - 3 AS BIGINT) AS agree2
+        FROM cell GROUP BY 1
+    ), cat_tot AS (
+        SELECT cat, CAST(SUM(nij) AS BIGINT) AS cj FROM cell GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM per_item
+    ), pbar AS (
+        SELECT CAST(SUM(p.agree2) * 1000000 // (n.n_items * 3 * 2) AS BIGINT)
+               AS p_bar_micro
+        FROM per_item p CROSS JOIN n GROUP BY n.n_items
+    ), pe AS (
+        SELECT CAST(SUM(c.cj * c.cj) * 1000000
+                    // ((n.n_items * 3) * (n.n_items * 3)) AS BIGINT)
+               AS p_e_micro
+        FROM cat_tot c CROSS JOIN n GROUP BY n.n_items
+    )
+    SELECT n.n_items,
+           (SELECT cj FROM cat_tot WHERE cat = 0) AS c0,
+           (SELECT cj FROM cat_tot WHERE cat = 1) AS c1,
+           (SELECT cj FROM cat_tot WHERE cat = 2) AS c2,
+           pbar.p_bar_micro, pe.p_e_micro,
+           CAST((pbar.p_bar_micro - pe.p_e_micro) * 1000
+                // (1000000 - pe.p_e_micro) AS BIGINT) AS kappa_milli
+    FROM n CROSS JOIN pbar CROSS JOIN pe
+    """,
+    survey="E96,E53,J31",
+)
+def e96_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for MANY raters (the
+    m>2 generalization e53's Cohen kappa cannot express: Cohen is
+    pairwise by construction; multi-annotator labeling campaigns report
+    Fleiss).  Three deterministic weak annotators label every document
+    into 3 categories (length-parity heuristics — the OPERATOR under
+    certification is the kappa computation, the annotators are the
+    fixture): per item P_i = (Σ_j n_ij² − m)/(m(m−1)), chance agreement
+    P̄e = Σ_j p_j².
+
+    Exactness: both P̄ and P̄e are quantized to the micro lattice FIRST
+    (exact integer divisions: Σagree·1e6 DIV Nm(m−1) and Σc_j²·1e6 DIV
+    (Nm)²), then κ_milli = (P̄−P̄e)·1000 DIV (1e6−P̄e) — pure integer
+    end-to-end, identical in both engines (quantize-before-ratio is the
+    e96 contract, documented; the pin replays it and also checks the
+    unquantized float κ agrees to 1e-3).
+
+    Scale shape: one scan unioned 3× (rater functions are expressions,
+    not joins) → (item, cat) hash agg → per-item agg + a 3-row category
+    agg; everything after the first agg is KB."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    r1 = d.select("doc_id", (F.col("n_chars") % 3).alias("cat"))
+    r2 = d.select("doc_id", F.expr("(n_chars div 7) % 3").alias("cat"))
+    r3 = d.select("doc_id", ((F.col("doc_id") * 31) % 3).alias("cat"))
+    cell = (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .groupBy("doc_id", "cat")
+        .agg(F.count("*").cast("long").alias("nij"))
+    )
+    per_item = cell.groupBy("doc_id").agg(
+        (F.sum(F.col("nij") * F.col("nij")) - 3).cast("long").alias("agree2")
+    )
+    cat_tot = cell.groupBy("cat").agg(F.sum("nij").cast("long").alias("cj"))
+    n = per_item.agg(F.count("*").cast("long").alias("n_items"))
+    pbar = (
+        per_item.agg(F.sum("agree2").cast("long").alias("sa"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_items",
+            F.expr("CAST(sa * 1000000 div (n_items * 3 * 2) AS BIGINT)").alias(
+                "p_bar_micro"
+            ),
+        )
+    )
+    pe = (
+        cat_tot.agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sc"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "CAST(sc * 1000000 div ((n_items * 3) * (n_items * 3)) AS BIGINT)"
+            ).alias("p_e_micro")
+        )
+    )
+    cj = cat_tot.groupBy().pivot("cat", [0, 1, 2]).sum("cj")
+    return (
+        pbar.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(cj))
+        .select(
+            "n_items",
+            F.col("0").cast("long").alias("c0"),
+            F.col("1").cast("long").alias("c1"),
+            F.col("2").cast("long").alias("c2"),
+            "p_bar_micro",
+            "p_e_micro",
+            F.expr(
+                "CAST((p_bar_micro - p_e_micro) * 1000"
+                " div (1000000 - p_e_micro) AS BIGINT)"
+            ).alias("kappa_milli"),
+        )
+    )
