@@ -781,3 +781,496 @@ def e96_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: time-series control/randomness tests and stratified inference.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "f42_ewma_control",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, day_idx, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day_idx) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+               CAST(SUM(x) OVER (PARTITION BY event_type)
+                    // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS mu
+        FROM daily
+    ), chain AS (
+        SELECT event_type, rn, n_days, mu,
+               CAST((x + 7 * mu) // 8 AS BIGINT) AS z,
+               ABS(CAST((x + 7 * mu) // 8 AS BIGINT) - mu) AS max_dev,
+               CASE WHEN ABS(CAST((x + 7 * mu) // 8 AS BIGINT) - mu)
+                         > mu // 10 THEN 1 ELSE 0 END AS n_alarms
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_days, b.mu,
+               CAST((b.x + 7 * c.z) // 8 AS BIGINT),
+               GREATEST(c.max_dev, ABS(CAST((b.x + 7 * c.z) // 8 AS BIGINT)
+                                       - b.mu)),
+               c.n_alarms + CASE WHEN ABS(CAST((b.x + 7 * c.z) // 8
+                                              AS BIGINT) - b.mu) > b.mu // 10
+                                 THEN 1 ELSE 0 END
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_days,
+           CAST(n_alarms AS BIGINT) AS n_alarms,
+           CAST(max_dev AS BIGINT) AS max_dev_cents,
+           CAST(z AS BIGINT) AS z_final_cents
+    FROM chain WHERE rn = n_days
+    """,
+    survey="F42,F29,F15",
+)
+def f42_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) — the GEOMETRIC-memory change
+    detector next to f29's CUSUM (cumulative-memory) and f20's MAD
+    (memoryless): z_i = λ·x_i + (1−λ)·z_{i−1} responds to small
+    persistent shifts faster than a Shewhart rule and forgets old
+    regimes, which CUSUM by construction cannot.  λ = 1/8 on the integer
+    cent lattice: z_i = (x_i + 7·z_{i−1}) DIV 8, z_0 seeded at the
+    per-type truncating mean; alarm band = μ DIV 10 (a DEFINED integer
+    statistic, the f29 h = μ DIV 4 discipline).
+
+    Exactness: pure BIGINT recursion mirrored verbatim by the oracle's
+    WITH RECURSIVE chain; truncation toward zero is identical in both
+    engines (x, z ≥ 0 here anyway); python trunc-division replay pin.
+
+    Scale shape: f29's exactly — daily pre-agg (the only volume term),
+    coalesce(1) on the calendar-bounded |types|×|days| relation, ~30
+    broadcast-joined UnionLoop iterations in lockstep across types."""
+    ev = Tables(spark, sf_dir).events
+    ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    ).coalesce(1).createOrReplaceTempView("cs2h_daily_ewma")
+    return spark.sql(
+        """
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, day_idx, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+                   SUM(x) OVER (PARTITION BY event_type)
+                       DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
+            FROM cs2h_daily_ewma
+        ), chain AS (
+            SELECT event_type, rn, n_days, mu,
+                   (x + 7 * mu) DIV 8 AS z,
+                   ABS((x + 7 * mu) DIV 8 - mu) AS max_dev,
+                   CASE WHEN ABS((x + 7 * mu) DIV 8 - mu) > mu DIV 10
+                        THEN 1 ELSE 0 END AS n_alarms
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT b.event_type, b.rn, b.n_days, b.mu,
+                   (b.x + 7 * c.z) DIV 8,
+                   GREATEST(c.max_dev, ABS((b.x + 7 * c.z) DIV 8 - b.mu)),
+                   c.n_alarms + CASE WHEN ABS((b.x + 7 * c.z) DIV 8 - b.mu)
+                                          > b.mu DIV 10
+                                     THEN 1 ELSE 0 END
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_days,
+               CAST(n_alarms AS BIGINT) AS n_alarms,
+               CAST(max_dev AS BIGINT) AS max_dev_cents,
+               CAST(z AS BIGINT) AS z_final_cents
+        FROM chain WHERE rn = n_days
+        """
+    )
+
+
+@register(
+    "f43_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), mu AS (
+        SELECT event_type,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+        FROM daily GROUP BY 1
+    ), signs AS (
+        SELECT d.event_type, d.day_idx,
+               CASE WHEN d.x > m.mu THEN 1 ELSE 0 END AS s
+        FROM daily d JOIN mu m ON m.event_type = d.event_type
+        WHERE d.x <> m.mu
+    ), lagged AS (
+        SELECT event_type, s,
+               LAG(s) OVER (PARTITION BY event_type ORDER BY day_idx) AS ps
+        FROM signs
+    ), agg AS (
+        SELECT event_type,
+               CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n0,
+               CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s <> ps
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n1, n0, r,
+           CAST(FLOOR((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+                / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                       / ((CAST(n1 + n0 AS DOUBLE)) * (n1 + n0)
+                          * (n1 + n0 - 1))) * 1000) AS BIGINT) AS z_milli
+    FROM agg
+    """,
+    survey="F43,E47,F33",
+)
+def f43_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type — the RANDOMNESS gate the
+    trend/changepoint tier needs answered first (e47 asks "is there a
+    monotone trend?", f33 "where did the level shift?"; THIS asks "is
+    the sequence even distinguishable from noise?"): too FEW runs of
+    above/below-center days means clustering/regimes, too many means
+    oscillation.  Center line = the per-type truncating-mean of daily
+    cents (exact integer); tie days (x == μ) are dropped, the classic
+    treatment.
+
+    Exactness: n1/n0/runs are pure BIGINT window counts; z's expected
+    value and variance use ONE shared explicitly-double chain (the e84
+    CAST rule via 1.0/2.0 literals on both engines), milli-floored;
+    python float replay pin at ±1 milli.
+
+    Scale shape: daily pre-agg (volume term) → KB per-type LAG window →
+    3-stat fold; calendar-bounded everywhere after the first agg."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("mu")
+    )
+    signs = (
+        daily.join(mu, "event_type")
+        .where(F.col("x") != F.col("mu"))
+        .select(
+            "event_type", "day_idx",
+            F.when(F.col("x") > F.col("mu"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = signs.select(
+        "event_type", "s", F.lag("s").over(w).alias("ps")
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n0"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1)
+                .otherwise(0)
+            )
+        ).cast("long").alias("r"),
+    )
+    return agg.select(
+        "event_type", "n1", "n0", "r",
+        F.expr(
+            "CAST(FLOOR((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))"
+            " / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)"
+            " / ((CAST(n1 + n0 AS DOUBLE)) * (n1 + n0)"
+            " * (n1 + n0 - 1))) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+@register(
+    "f44_turning_points",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), ctx AS (
+        SELECT event_type, x,
+               LAG(x)  OVER (PARTITION BY event_type ORDER BY day_idx) AS px,
+               LEAD(x) OVER (PARTITION BY event_type ORDER BY day_idx) AS nx
+        FROM daily
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN px IS NOT NULL AND nx IS NOT NULL
+                             AND ((x > px AND x > nx) OR (x < px AND x < nx))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS t
+        FROM ctx GROUP BY 1
+    )
+    SELECT event_type, n_days, t,
+           CAST(FLOOR((CAST(t AS DOUBLE) - 2.0 * (n_days - 2) / 3.0)
+                / sqrt((16.0 * n_days - 29.0) / 90.0) * 1000) AS BIGINT)
+               AS z_milli
+    FROM agg
+    """,
+    survey="F44,F43,E47",
+)
+def f44_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test per event type — the second classical
+    randomness screen next to f43's runs test, sensitive to a DIFFERENT
+    departure: runs counts above/below-center clustering (level
+    regimes), turning points count local extrema (x_{i−1} < x_i > x_{i+1}
+    or the reverse), so too few flags SMOOTH trends/cycles and too many
+    flags negative autocorrelation even when the level never crosses
+    center.  E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 under i.i.d.
+
+    Exactness: T is a pure BIGINT LAG/LEAD window count with STRICT
+    comparisons (tie-adjacent days are not extrema — stated rule); z
+    from ONE shared explicitly-double chain, milli-floored; python
+    replay pin at ±1 milli.
+
+    Scale shape: daily pre-agg → one calendar-bounded per-type window →
+    2-stat fold; no joins."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    ctx = daily.select(
+        "event_type", "x",
+        F.lag("x").over(w).alias("px"),
+        F.lead("x").over(w).alias("nx"),
+    )
+    agg = ctx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("px").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    ((F.col("x") > F.col("px")) & (F.col("x") > F.col("nx")))
+                    | ((F.col("x") < F.col("px")) & (F.col("x") < F.col("nx")))
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("t"),
+    )
+    return agg.select(
+        "event_type", "n_days", "t",
+        F.expr(
+            "CAST(FLOOR((CAST(t AS DOUBLE) - 2.0 * (n_days - 2) / 3.0)"
+            " / sqrt((16.0 * n_days - 29.0) / 90.0) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+@register(
+    "e97_grubbs_outlier",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM daily GROUP BY 1
+    ), dev AS (
+        SELECT d.event_type, st.n, st.s, st.s2, d.day_idx,
+               ABS(st.n * d.x - st.s) AS ndev
+        FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ), best AS (
+        SELECT event_type, n, s, s2,
+               MAX(ndev) AS max_ndev,
+               MIN(CASE WHEN ndev = mx THEN day_idx END) AS day_of_max
+        FROM (SELECT *, MAX(ndev) OVER (PARTITION BY event_type) AS mx
+              FROM dev)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, n,
+           CAST(day_of_max AS BIGINT) AS day_of_max,
+           CAST(FLOOR(CAST(max_ndev AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
+                / sqrt(CAST(n AS DOUBLE) * (n * s2 - s * s)) * 1000)
+                AS BIGINT) AS g_milli,
+           CAST(CASE WHEN CAST(max_ndev AS DOUBLE)
+                          * sqrt(CAST(n - 1 AS DOUBLE))
+                          > 3.0 * sqrt(CAST(n AS DOUBLE) * (n * s2 - s * s))
+                     THEN 1 ELSE 0 END AS INTEGER) AS beyond_3sigma
+    FROM best
+    """,
+    survey="E97,F20,E28",
+)
+def e97_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' extreme-studentized-deviate statistic per event type — the
+    single-most-extreme-point question the robust tier leaves open
+    (f20's MAD flags ALL outliers against a robust spread; e28's
+    trimmed mean REMOVES tails; Grubbs asks "is the one most extreme
+    day beyond what n draws from a normal explain?").  G = max|x−x̄|/s,
+    reported milli-floored with the argmax day, plus the conventional
+    3σ screen as an in-band decision (the n-dependent Grubbs critical
+    value is a table lookup; the DEFINED 3.0 cut keeps the statistic
+    data-shape-free — stated rule, same contract as f29's h = μ DIV 4).
+
+    Exactness: deviations stay on the n-SCALED integer lattice
+    (|n·x − S| — never a float mean), the variance term n·Σx²−S² is an
+    exact BIGINT, and G's final chain is ONE shared explicitly-double
+    template; the 3σ decision compares the SAME integers cross-scaled
+    so it is float-robust by magnitude; python replay pin at ±1 milli.
+
+    Scale shape: daily pre-agg → 3-stat hash agg → one KB join back for
+    the argmax window; everything after the pre-agg is calendar-bounded."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    dev = daily.join(stats, "event_type").select(
+        "event_type", "n", "s", "s2", "day_idx",
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("ndev"),
+    )
+    wmax = Window.partitionBy("event_type")
+    best = (
+        dev.withColumn("mx", F.max("ndev").over(wmax))
+        .groupBy("event_type", "n", "s", "s2")
+        .agg(
+            F.max("ndev").alias("max_ndev"),
+            F.min(
+                F.when(F.col("ndev") == F.col("mx"), F.col("day_idx"))
+            ).alias("day_of_max"),
+        )
+    )
+    return best.select(
+        "event_type", "n",
+        F.col("day_of_max").cast("long").alias("day_of_max"),
+        F.expr(
+            "CAST(FLOOR(CAST(max_ndev AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))"
+            " / sqrt(CAST(n AS DOUBLE) * (n * s2 - s * s)) * 1000) AS BIGINT)"
+        ).alias("g_milli"),
+        F.expr(
+            "CAST(CASE WHEN CAST(max_ndev AS DOUBLE)"
+            " * sqrt(CAST(n - 1 AS DOUBLE))"
+            " > 3.0 * sqrt(CAST(n AS DOUBLE) * (n * s2 - s * s))"
+            " THEN 1 ELSE 0 END AS INTEGER)"
+        ).alias("beyond_3sigma"),
+    )
+
+
+@register(
+    "e95_mantel_haenszel",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                             AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                             AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                             AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN o_custkey % 2 <> 0
+                             AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM orders GROUP BY 1
+    ), terms AS (
+        SELECT stratum, a, b, c, d, a + b + c + d AS n,
+               CAST(a * d * 1000000 // (a + b + c + d) AS BIGINT) AS r_micro,
+               CAST(b * c * 1000000 // (a + b + c + d) AS BIGINT) AS s_micro,
+               CAST(a * 1000000
+                    - (a + b) * (a + c) * 1000000 // (a + b + c + d)
+                    AS BIGINT) AS dev_micro,
+               CAST((a + b) * (c + d) * 1000000 // (a + b + c + d)
+                    * (a + c) // (a + b + c + d)
+                    * (b + d) // ((a + b + c + d) - 1) AS BIGINT) AS var_micro
+        FROM cells
+    ), fold AS (
+        SELECT CAST(SUM(r_micro) AS BIGINT) AS sr,
+               CAST(SUM(s_micro) AS BIGINT) AS ss,
+               CAST(SUM(dev_micro) AS BIGINT) AS sdev,
+               CAST(SUM(var_micro) AS BIGINT) AS svar
+        FROM terms
+    )
+    SELECT t.stratum, t.a, t.b, t.c, t.d,
+           CAST(f.sr * 1000 // f.ss AS BIGINT) AS or_mh_milli,
+           CAST(f.sdev // 1000 * (f.sdev // 1000) // f.svar * 1000
+                AS BIGINT) AS chi2_milli
+    FROM terms t CROSS JOIN fold f
+    """,
+    survey="E95,E37,E78",
+)
+def e95_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel stratified 2×2 analysis — the CONFOUNDER-adjusted
+    association the marginal tests cannot give (e37's chi-square on the
+    pooled table commits Simpson's paradox when strata differ; e88
+    partials out a CONTINUOUS confounder; MH pools odds ratios across
+    DISCRETE strata with inverse-n weights): exposure = even customer
+    key, outcome = order status F, strata = the five order priorities.
+    OR_MH = Σ(a·d/n) / Σ(b·c/n) plus the CMH chi-square
+    (Σ(a−E[a]))²/ΣVar with the hypergeometric variance per stratum.
+
+    Exactness: every per-stratum term is quantized to the micro lattice
+    via exact integer division BEFORE summation (quantize-before-ratio,
+    the e96 contract; the chained var DIVs are stated left-to-right so
+    both engines truncate identically), and the final OR/chi² are pure
+    integer divisions — no float anywhere; python replay pin plus a 1%
+    agreement check against the unquantized float OR.
+
+    Scale shape: one scan → 5-row 2×2 hash agg (map-side combinable) →
+    KB fold broadcast back onto the strata rows."""
+    o = fan_out(Tables(spark, sf_dir).orders)
+    exp_ = (F.col("o_custkey") % 2 == 0)
+    out_ = (F.col("o_orderstatus") == "F")
+    cells = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.sum(F.when(exp_ & out_, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out_, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out_, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out_, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    terms = cells.select(
+        "stratum", "a", "b", "c", "d",
+        F.expr("CAST(a * d * 1000000 div (a + b + c + d) AS BIGINT)").alias(
+            "r_micro"
+        ),
+        F.expr("CAST(b * c * 1000000 div (a + b + c + d) AS BIGINT)").alias(
+            "s_micro"
+        ),
+        F.expr(
+            "CAST(a * 1000000"
+            " - (a + b) * (a + c) * 1000000 div (a + b + c + d) AS BIGINT)"
+        ).alias("dev_micro"),
+        F.expr(
+            "CAST((a + b) * (c + d) * 1000000 div (a + b + c + d)"
+            " * (a + c) div (a + b + c + d)"
+            " * (b + d) div ((a + b + c + d) - 1) AS BIGINT)"
+        ).alias("var_micro"),
+    )
+    fold = terms.agg(
+        F.sum("r_micro").cast("long").alias("sr"),
+        F.sum("s_micro").cast("long").alias("ss"),
+        F.sum("dev_micro").cast("long").alias("sdev"),
+        F.sum("var_micro").cast("long").alias("svar"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(fold))
+        .select(
+            "stratum", "a", "b", "c", "d",
+            F.expr("CAST(sr * 1000 div ss AS BIGINT)").alias("or_mh_milli"),
+            F.expr(
+                "CAST(sdev div 1000 * (sdev div 1000) div svar * 1000"
+                " AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+    )

@@ -163,3 +163,148 @@ def test_e96_fleiss_kappa_python_replay(spark, sf_dir):
     p_bar = sa / (n_items * m * (m - 1))
     p_e = sum(v * v for v in cj.values()) / (n_items * m) ** 2
     assert abs(r.kappa_milli / 1000 - (p_bar - p_e) / (1 - p_e)) < 2e-3
+
+
+def _daily_cents_exact():
+    """Exact HALF_UP per-event rounding matching Spark/DuckDB ROUND."""
+    import math
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    days: dict = {}
+    for et, ts, v in zip(
+        t.column(0).to_pylist(),
+        t.column("ts").cast("int64").to_pylist(),
+        t.column(2).to_pylist(),
+    ):
+        d = ts // 86400000000
+        cents = math.floor(v * 100 + 0.5)  # HALF_UP on the binary double
+        key = (et, d)
+        days[key] = days.get(key, 0) + cents
+    series: dict = {}
+    for (et, d), x in days.items():
+        series.setdefault(et, []).append((d, x))
+    return {et: sorted(v) for et, v in series.items()}
+
+
+def test_f42_ewma_python_trunc_replay(spark, sf_dir):
+    out = {r.event_type: r for r in
+           REGISTRY["f42_ewma_control"].fn(spark, sf_dir).collect()}
+    series = _daily_cents_exact()
+    assert set(out) == set(series)
+    for et, pairs in series.items():
+        xs = [x for _, x in pairs]
+        mu = sum(xs) // len(xs)  # non-negative sums: floor == trunc
+        z = mu
+        alarms = 0
+        max_dev = 0
+        band = mu // 10
+        for x in xs:
+            z = (x + 7 * z) // 8
+            dev = abs(z - mu)
+            max_dev = max(max_dev, dev)
+            if dev > band:
+                alarms += 1
+        r = out[et]
+        assert (r.n_days, r.n_alarms, r.max_dev_cents, r.z_final_cents) == (
+            len(xs), alarms, max_dev, z), et
+
+
+def test_f43_runs_python_replay(spark, sf_dir):
+    import math
+
+    out = {r.event_type: r for r in
+           REGISTRY["f43_runs_test"].fn(spark, sf_dir).collect()}
+    for et, pairs in _daily_cents_exact().items():
+        xs = [x for _, x in pairs]
+        mu = sum(xs) // len(xs)
+        signs = [1 if x > mu else 0 for x in xs if x != mu]
+        n1, n0 = sum(signs), len(signs) - sum(signs)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        e = 1.0 + 2.0 * n1 * n0 / (n1 + n0)
+        var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+               / (float(n1 + n0) * (n1 + n0) * (n1 + n0 - 1)))
+        z_milli = math.floor((runs - e) / math.sqrt(var) * 1000)
+        r = out[et]
+        assert (r.n1, r.n0, r.r) == (n1, n0, runs), et
+        assert abs(r.z_milli - z_milli) <= 1, (et, r.z_milli, z_milli)
+
+
+def test_f44_turning_points_python_replay(spark, sf_dir):
+    import math
+
+    out = {r.event_type: r for r in
+           REGISTRY["f44_turning_points"].fn(spark, sf_dir).collect()}
+    for et, pairs in _daily_cents_exact().items():
+        xs = [x for _, x in pairs]
+        n = len(xs)
+        t_cnt = sum(
+            1
+            for i in range(1, n - 1)
+            if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+            or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+        )
+        z_milli = math.floor(
+            (t_cnt - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+            * 1000
+        )
+        r = out[et]
+        assert (r.n_days, r.t) == (n, t_cnt), et
+        assert abs(r.z_milli - z_milli) <= 1, et
+
+
+def test_e97_grubbs_python_replay(spark, sf_dir):
+    import math
+
+    out = {r.event_type: r for r in
+           REGISTRY["e97_grubbs_outlier"].fn(spark, sf_dir).collect()}
+    for et, pairs in _daily_cents_exact().items():
+        n = len(pairs)
+        s = sum(x for _, x in pairs)
+        s2 = sum(x * x for _, x in pairs)
+        devs = [(abs(n * x - s), d) for d, x in pairs]
+        max_ndev = max(nd for nd, _ in devs)
+        day = min(d for nd, d in devs if nd == max_ndev)
+        g_milli = math.floor(
+            max_ndev * math.sqrt(n - 1.0) / math.sqrt(float(n) * (n * s2 - s * s))
+            * 1000
+        )
+        r = out[et]
+        assert (r.n, r.day_of_max) == (n, day), et
+        assert abs(r.g_milli - g_milli) <= 1, et
+        assert r.beyond_3sigma == (1 if r.g_milli > 3000 else 0) or True
+        # the flag compares the same quantities pre-quantization; check
+        # against the float G directly
+        g = max_ndev * math.sqrt(n - 1.0) / math.sqrt(float(n) * (n * s2 - s * s))
+        assert r.beyond_3sigma == (1 if g > 3.0 else 0), et
+
+
+def test_e95_mantel_haenszel_python_replay(spark, sf_dir):
+    rows = REGISTRY["e95_mantel_haenszel"].fn(spark, sf_dir).collect()
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_custkey", "o_orderstatus"],
+    )
+    cells: dict = {}
+    for pri, ck, st in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        a, b, c, d = cells.setdefault(pri, [0, 0, 0, 0])
+        i = (0 if st == "F" else 1) + (0 if ck % 2 == 0 else 2)
+        cells[pri][i] += 1
+    sr = ss = sdev = svar = 0
+    for pri, (a, b, c, d) in cells.items():
+        n = a + b + c + d
+        sr += a * d * 1_000_000 // n
+        ss += b * c * 1_000_000 // n
+        sdev += a * 1_000_000 - (a + b) * (a + c) * 1_000_000 // n
+        svar += (a + b) * (c + d) * 1_000_000 // n * (a + c) // n * (b + d) // (n - 1)
+    or_milli = sr * 1000 // ss
+    chi2_milli = sdev // 1000 * (sdev // 1000) // svar * 1000
+    got = {r.stratum: r for r in rows}
+    assert set(got) == set(cells)
+    for pri, (a, b, c, d) in cells.items():
+        r = got[pri]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d), pri
+        assert r.or_mh_milli == or_milli and r.chi2_milli == chi2_milli
+    # the quantized OR must track the unquantized float OR within 1%
+    fr = sum(a * d / (a + b + c + d) for a, b, c, d in cells.values())
+    fs = sum(b * c / (a + b + c + d) for a, b, c, d in cells.values())
+    assert abs(or_milli / 1000 - fr / fs) < 0.01 * (fr / fs)
