@@ -1274,3 +1274,386 @@ def e95_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_milli"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: LLM-pipeline depth — LM smoothing, graph keyword extraction,
+# exact stratified splits, ordinal association.
+# --------------------------------------------------------------------------
+
+from cassandra_snap_to_hadoop_spark.operators.text import tokens  # noqa: E402
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "j113_good_turing",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS g
+        FROM (SELECT {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ), wc AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM t GROUP BY 1
+    ), freqfreq AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wc GROUP BY 1
+    ), ntok AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n FROM freqfreq
+    ), gt AS (
+        SELECT a.r, a.n_r,
+               CAST((a.r + 1) * b.n_r * 1000000 // a.n_r AS BIGINT)
+                   AS r_star_micro
+        FROM freqfreq a JOIN freqfreq b ON b.r = a.r + 1
+        WHERE a.r <= 10
+    )
+    SELECT CAST(0 AS BIGINT) AS r,
+           (SELECT n_r FROM freqfreq WHERE r = 1) AS n_r,
+           CAST((SELECT n_r FROM freqfreq WHERE r = 1) * 1000000
+                // (SELECT n FROM ntok) AS BIGINT) AS r_star_micro
+    UNION ALL
+    SELECT r, n_r, r_star_micro FROM gt
+    """,
+    survey="J113,J103,J41",
+)
+def j113_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953) — the smoothing
+    primitive under Katz backoff and the historical ancestor of j103's
+    Kneser-Ney: how much probability mass should count-r types REALLY
+    get, and how much belongs to the unseen?  r* = (r+1)·N_{{r+1}}/N_r
+    from the frequency-of-frequencies table, and the r=0 row carries the
+    unseen-mass estimate P₀ = N₁/N — the quantity a corpus-coverage
+    claim (j55, j44) silently depends on.  The unit is the TRIGRAM
+    shingle (the engine's dedup/novelty unit): this synthetic corpus's
+    word unigrams have NO low-count tail (every word repeats hundreds of
+    times — measured, not assumed), while its trigram counts show the
+    classic Zipf tail GT exists for (N₁ ≈ 9k at every SF).
+
+    Exactness: the freq-of-freq table is pure BIGINT counting; r* is
+    one exact integer micro division per row (quantize-at-the-end); the
+    r ≤ 10 head is where GT is actually used (beyond that N_r gets
+    sparse and practitioners switch to the raw MLE — stated rule);
+    python Counter-of-Counters replay pin.
+
+    Scale shape: shingle explode (the volume term) → shingle hash agg →
+    the freq-of-freq agg collapses |shingle vocab| rows to ≤ max-count
+    rows — a KB self-join on r+1 finishes it."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    shingles = F.expr(
+        "transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', slice(words, i, 3)))"
+    )
+    wc = (
+        d.select(w.alias("words"))
+        .where(F.size("words") >= 3)
+        .select(F.explode(shingles).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    ff = wc.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    ntok = ff.agg(F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n"))
+    a = ff.select(F.col("r"), F.col("n_r"))
+    b = ff.select((F.col("r") - 1).alias("rm1"), F.col("n_r").alias("n_next"))
+    gt = (
+        a.join(b, F.col("rm1") == F.col("r"))
+        .where(F.col("r") <= 10)
+        .select(
+            "r", "n_r",
+            F.expr(
+                "CAST((r + 1) * n_next * 1000000 div n_r AS BIGINT)"
+            ).alias("r_star_micro"),
+        )
+    )
+    unseen = (
+        ff.where(F.col("r") == 1)
+        .crossJoin(F.broadcast(ntok))
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.col("n_r"),
+            F.expr("CAST(n_r * 1000000 div n AS BIGINT)").alias("r_star_micro"),
+        )
+    )
+    return unseen.unionByName(gt)
+
+
+@register(
+    "j114_textrank_keywords",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, w, ord
+        FROM (
+            SELECT doc_id, unnest({_WORDS}) AS w,
+                   generate_subscripts({_WORDS}, 1) AS ord
+            FROM documents
+        ) WHERE length(w) >= 4
+    ), seq AS (
+        SELECT doc_id, w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+        FROM toks
+    ), raw_edges AS (
+        SELECT a.w AS u, b.w AS v
+        FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+        WHERE a.w <> b.w
+    ), edges AS MATERIALIZED (
+        SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw_edges
+    ), sym AS MATERIALIZED (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), deg AS MATERIALIZED (
+        SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+    ), s0 AS MATERIALIZED (
+        SELECT w, CAST(1000000 AS BIGINT) AS s FROM deg
+    ), s1 AS MATERIALIZED (
+        SELECT d.w, CAST(150000 + 85 * SUM(s0.s // nd.deg) // 100 AS BIGINT) AS s
+        FROM deg d
+        JOIN sym e ON e.v = d.w
+        JOIN s0 ON s0.w = e.u
+        JOIN deg nd ON nd.w = e.u
+        GROUP BY d.w
+    ), s2 AS MATERIALIZED (
+        SELECT d.w, CAST(150000 + 85 * SUM(s1.s // nd.deg) // 100 AS BIGINT) AS s
+        FROM deg d
+        JOIN sym e ON e.v = d.w
+        JOIN s1 ON s1.w = e.u
+        JOIN deg nd ON nd.w = e.u
+        GROUP BY d.w
+    ), s3 AS MATERIALIZED (
+        SELECT d.w, CAST(150000 + 85 * SUM(s2.s // nd.deg) // 100 AS BIGINT) AS s
+        FROM deg d
+        JOIN sym e ON e.v = d.w
+        JOIN s2 ON s2.w = e.u
+        JOIN deg nd ON nd.w = e.u
+        GROUP BY d.w
+    )
+    SELECT w AS keyword, s AS score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, w) AS BIGINT) AS rank
+    FROM s3 ORDER BY s DESC, w LIMIT 10
+    """,
+    survey="J114,J71,J88",
+)
+def j114_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    GRAPH-centrality keyword scorer next to j88's RAKE (degree/frequency
+    heuristic) and j7's TF-IDF (corpus-statistical): PageRank over the
+    word co-occurrence graph ranks words by how central they are to the
+    corpus's own linking structure, which surfaces connective vocabulary
+    the frequency heuristics miss.  Adjacency = consecutive FILTERED
+    tokens (length ≥ 4, the content-word proxy), undirected, deduplicated.
+
+    Exactness (the j71/j112 lattice discipline): 3 damped iterations
+    s′_v = 150000 + 85·Σ_u (s_u DIV deg_u) DIV 100 — every step pure
+    BIGINT with stated division order, mirrored by the unrolled
+    MATERIALIZED CTE oracle; global top-10 with the (score DESC, word)
+    tiebreak; python replay pin including the rank column.
+
+    Scale shape: tokenize + per-doc adjacency window (the volume terms)
+    → DISTINCT edge agg (vocab-bounded) → 3 × (|E| join + hash agg) on
+    the KB word graph → TakeOrderedAndProject 10, never a global sort."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    toks = (
+        d.select("doc_id", F.posexplode(w).alias("ord", "w"))
+        .where(F.length("w") >= 4)
+    )
+    seq = toks.select(
+        "doc_id", "w",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("ord"))
+        .alias("rn"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    raw = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).where(F.col("a.w") != F.col("b.w")).select(
+        F.least(F.col("a.w"), F.col("b.w")).alias("u"),
+        F.greatest(F.col("a.w"), F.col("b.w")).alias("v"),
+    )
+    edges = raw.distinct().localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("w")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint(eager=True)
+    s = deg.select("w", F.lit(1000000).cast("long").alias("s"))
+    for _ in range(3):
+        contrib = (
+            sym.join(s.withColumnRenamed("w", "su"), F.col("su") == F.col("u"))
+            .join(deg.select(F.col("w").alias("du"),
+                             F.col("deg").alias("deg_u")),
+                  F.col("du") == F.col("u"))
+            .select(F.col("v").alias("w"),
+                    F.expr("s div deg_u").alias("c"))
+        )
+        s = (
+            contrib.groupBy("w")
+            .agg(F.expr("CAST(150000 + 85 * SUM(c) div 100 AS BIGINT)").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+    ranked = s.orderBy(F.col("s").desc(), "w").limit(10)
+    return ranked.select(
+        F.col("w").alias("keyword"),
+        F.col("s").alias("score_micro"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "w"))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+@register(
+    "j115_stratified_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN rn * 5 <= n_s * 4 THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked GROUP BY 1, 2
+    """,
+    survey="J115,J12,J58",
+)
+def j115_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact STRATIFIED train/val split — the per-stratum guarantee j12's
+    hash-threshold split only gives in expectation: every source
+    contributes exactly ⌊0.8·n_s⌋ training documents (the binomial
+    wobble of per-row hashing is gone), which is what evaluation
+    protocols need when a small stratum must not vanish from val by
+    chance.  Assignment stays DETERMINISTIC and shuffle-free in the
+    randomness sense: documents rank by md5(doc_id) within their
+    stratum (a seeded permutation both engines compute identically,
+    doc_id tiebreak for md5-collision paranoia), and rank·5 ≤ 4·n_s
+    selects the train prefix — integer arithmetic, no float ratio.
+
+    Output per (source, split): count and doc_id checksum — the count
+    certifies the exact ⌊0.8 n⌋ law (also python-pinned), the checksum
+    certifies the MEMBERSHIP, not just the size.
+
+    Scale shape: one scan → per-stratum rank window (strata partition
+    the corpus, windows parallelize across them) → hash agg; at 100 TB
+    the window sorts each stratum's (md5, id) pairs — the same cost as
+    any per-key total order, no global sort."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    wprt = Window.partitionBy("source")
+    ranked = d.select(
+        "source", "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(wprt).alias("n_s"),
+    )
+    return (
+        ranked.select(
+            "source", "doc_id",
+            F.when(F.col("rn") * 5 <= F.col("n_s") * 4, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+    )
+
+
+@register(
+    "e98_somers_d",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS nation,
+               epoch_us(o.o_orderdate) // 86400000000 // 30 AS m,
+               COUNT(*) AS x,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.nation,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS tie_y
+        FROM o a JOIN o b ON a.nation = b.nation AND a.m < b.m
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(SUM(conc) AS BIGINT) AS nc,
+           CAST(SUM(disc) AS BIGINT) AS nd,
+           CAST(SUM(tie_y) AS BIGINT) AS ty,
+           CASE WHEN SUM(conc) + SUM(disc) + SUM(tie_y) > 0
+                THEN CAST((SUM(conc) - SUM(disc)) * 1000
+                     // (SUM(conc) + SUM(disc) + SUM(tie_y)) AS BIGINT)
+                ELSE NULL END AS d_milli
+    FROM pairs GROUP BY 1
+    """,
+    survey="E98,E67,E89",
+)
+def e98_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D_yx per customer nation — the ASYMMETRIC ordinal
+    association the symmetric e67 tau-b cannot state: with monthly order
+    count as the independent ordinal and monthly revenue as the
+    DEPENDENT one, D_yx = (C−D)/(C+D+T_y) penalizes only ties in the
+    dependent variable, making it the effect size that pairs with e89's
+    Cochran-Armitage directional test (and the statistic under the
+    c-index / AUC identity for binary y).
+
+    Exactness: strictly STRONGER than tau-b's — the denominator has no
+    sqrt, so d_milli = (C−D)·1000 DIV (C+D+T_y) is pure integer
+    end-to-end (DuckDB // == Spark div on a non-negative denominator);
+    concordance counting shares e67's exact BIGINT pairwise lattice;
+    python pair-count replay pin.
+
+    Scale shape: e67's exactly — the quadratic term is the
+    calendar-bounded per-nation month lattice, constant in corpus
+    volume; the orders⋈customer pre-agg is the only volume-scaled work."""
+    t = Tables(spark, sf_dir)
+    o = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000 DIV 30").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m"))
+    ).select(
+        F.col("a.nation").alias("nation"),
+        ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))).alias("prod"),
+        ((F.col("a.y") == F.col("b.y")) & (F.col("a.x") != F.col("b.x"))).alias("ey"),
+    )
+    agg = pairs.groupBy("nation").agg(
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("ey"), 1).otherwise(0)).cast("long").alias("ty"),
+    )
+    return agg.select(
+        F.col("nation").cast("long").alias("nation"),
+        "nc", "nd", "ty",
+        F.when(
+            (F.col("nc") + F.col("nd") + F.col("ty")) > 0,
+            F.expr("CAST((nc - nd) * 1000 div (nc + nd + ty) AS BIGINT)"),
+        ).otherwise(F.lit(None)).alias("d_milli"),
+    )

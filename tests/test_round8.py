@@ -308,3 +308,138 @@ def test_e95_mantel_haenszel_python_replay(spark, sf_dir):
     fr = sum(a * d / (a + b + c + d) for a, b, c, d in cells.values())
     fs = sum(b * c / (a + b + c + d) for a, b, c, d in cells.values())
     assert abs(or_milli / 1000 - fr / fs) < 0.01 * (fr / fs)
+
+
+def _doc_words():
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source", "text"])
+    out = []
+    for doc_id, src, text in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        out.append((doc_id, src, norm.split(" ") if norm else []))
+    return out
+
+
+def test_j113_good_turing_python_counter_replay(spark, sf_dir):
+    from collections import Counter
+
+    grams = Counter()
+    for _, _, ws in _doc_words():
+        if len(ws) >= 3:
+            for i in range(len(ws) - 2):
+                grams[" ".join(ws[i : i + 3])] += 1
+    ff = Counter(grams.values())
+    n_tok = sum(r * n for r, n in ff.items())
+    want = {
+        0: (ff[1], ff[1] * 1_000_000 // n_tok),
+    }
+    for r in sorted(ff):
+        if r <= 10 and ff.get(r + 1, 0) > 0:
+            want[r] = (ff[r], (r + 1) * ff[r + 1] * 1_000_000 // ff[r])
+    out = {
+        r.r: (r.n_r, r.r_star_micro)
+        for r in REGISTRY["j113_good_turing"].fn(spark, sf_dir).collect()
+    }
+    assert out == want
+    # GT law: smoothed counts discount the head to fund the unseen mass
+    assert out[0][1] > 0 and out[1][1] < 1_000_000 * 2
+
+
+def test_j114_textrank_python_power_iteration(spark, sf_dir):
+    edges = set()
+    for _, _, ws in _doc_words():
+        fs = [w for w in ws if len(w) >= 4]
+        for a, b in zip(fs, fs[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    sym = list(edges) + [(v, u) for u, v in edges]
+    deg: dict = {}
+    for u, _ in sym:
+        deg[u] = deg.get(u, 0) + 1
+    s = {w: 1_000_000 for w in deg}
+    for _ in range(3):
+        agg: dict = {}
+        for u, v in sym:
+            agg[v] = agg.get(v, 0) + s[u] // deg[u]
+        s = {w: 150_000 + 85 * c // 100 for w, c in agg.items()}
+    top = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = sorted(
+        REGISTRY["j114_textrank_keywords"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.keyword, r.score_micro) for r in out] == top
+    assert [r.rank for r in out] == list(range(1, 11))
+
+
+def test_j115_stratified_split_exact_proportions(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    strata = defaultdict(list)
+    for doc_id, src, _ in _doc_words():
+        strata[src].append(doc_id)
+    want = {}
+    for src, ids in strata.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        n = len(ids)
+        k = 4 * n // 5  # rn*5 <= 4n  <=>  rn <= floor(4n/5)
+        train, val = ranked[:k], ranked[k:]
+        want[(src, "train")] = (len(train), sum(train))
+        want[(src, "val")] = (len(val), sum(val))
+    out = {
+        (r.source, r.split): (r.n_docs, r.doc_id_sum)
+        for r in REGISTRY["j115_stratified_split"].fn(spark, sf_dir).collect()
+    }
+    assert out == want
+    # the exactness law the operator exists for: train = floor(0.8 n) per
+    # stratum, never off by the binomial wobble of per-row hashing
+    for src, ids in strata.items():
+        assert out[(src, "train")][0] == 4 * len(ids) // 5
+
+
+def test_e98_somers_d_python_pair_count(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    c = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = dict(zip(c.column(0).to_pylist(), c.column(1).to_pylist()))
+    import math
+    from collections import defaultdict
+
+    monthly = defaultdict(lambda: [0, 0])
+    for ck, od, tp in zip(
+        t.column(0).to_pylist(),
+        t.column("o_orderdate").cast("int64").to_pylist(),
+        t.column(2).to_pylist(),
+    ):
+        if ck not in nat:
+            continue
+        m = od // 86400000000 // 30
+        cell = monthly[(nat[ck], m)]
+        cell[0] += 1
+        cell[1] += math.floor(tp * 100 + 0.5)
+    series = defaultdict(list)
+    for (n, m), (x, y) in monthly.items():
+        series[n].append((m, x, y))
+    out = {r.nation: r for r in REGISTRY["e98_somers_d"].fn(spark, sf_dir).collect()}
+    for n, pts in series.items():
+        pts.sort()
+        nc = nd = ty = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[i][1] - pts[j][1]
+                dy = pts[i][2] - pts[j][2]
+                if dx * dy > 0:
+                    nc += 1
+                elif dx * dy < 0:
+                    nd += 1
+                elif dy == 0 and dx != 0:
+                    ty += 1
+        r = out[n]
+        assert (r.nc, r.nd, r.ty) == (nc, nd, ty), n
+        if nc + nd + ty > 0:
+            num = (nc - nd) * 1000
+            den = nc + nd + ty
+            assert r.d_milli == abs(num) // den * (1 if num >= 0 else -1), n
