@@ -1657,3 +1657,322 @@ def e98_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((nc - nd) * 1000 div (nc + nd + ty) AS BIGINT)"),
         ).otherwise(F.lit(None)).alias("d_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: count-model fitting, asymmetric overlap, bitwise function
+# coverage, and standardized effect size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e99_negbin_moments",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM d GROUP BY 1
+    )
+    SELECT event_type, n, s, q,
+           CAST(CASE WHEN (n * q - s * s) * 1.0 / (n * (n - 1))
+                          > CAST(s AS DOUBLE) / n
+                THEN FLOOR((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                     / ((n * q - s * s) * 1.0 / (n * (n - 1))
+                        - CAST(s AS DOUBLE) / n) * 1000)
+                ELSE NULL END AS BIGINT) AS r_hat_milli,
+           CAST(CASE WHEN (n * q - s * s) * 1.0 / (n * (n - 1))
+                          > CAST(s AS DOUBLE) / n
+                THEN FLOOR((CAST(s AS DOUBLE) / n)
+                     / ((n * q - s * s) * 1.0 / (n * (n - 1))) * 1000)
+                ELSE NULL END AS BIGINT) AS p_hat_milli
+    FROM st
+    """,
+    survey="E99,F39,E76",
+)
+def e99_negbin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit per event type — the
+    MODEL-fitting step f39's overdispersion gate points at: once D =
+    s²/x̄ rejects the Poisson, the NB(r, p) with r̂ = x̄²/(s²−x̄) and
+    p̂ = x̄/s² is the standard count model (e76's per-bucket surprise
+    then uses it instead of the Poisson tail).  Fitted on daily EVENT
+    COUNTS (not cents — counts are the NB's natural unit).
+
+    The guard is part of the contract: when a type is UNDERdispersed
+    (s² ≤ x̄ — this corpus's 'view' type at sf0.001, measured) the NB
+    moment estimator does not exist and both engines emit NULL — the
+    operator certifies the decision boundary, not just the happy path.
+
+    Exactness: n/S/Q are exact BIGINTs; x̄, s² and the r̂/p̂ chain use
+    ONE shared explicitly-double template (1.0-literal multiplications
+    and CAST AS DOUBLE on both engines, identical op order),
+    milli-floored; python replay pin at ±1 milli.
+
+    Scale shape: daily count agg (volume term) → 3-stat fold; KB."""
+    ev = Tables(spark, sf_dir).events
+    st = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        )
+    )
+    over = "(n * q - s * s) * 1.0 / (n * (n - 1)) > CAST(s AS DOUBLE) / n"
+    return st.select(
+        "event_type", "n", "s", "q",
+        F.expr(
+            f"CAST(CASE WHEN {over}"
+            " THEN FLOOR((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+            " / ((n * q - s * s) * 1.0 / (n * (n - 1))"
+            " - CAST(s AS DOUBLE) / n) * 1000)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("r_hat_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {over}"
+            " THEN FLOOR((CAST(s AS DOUBLE) / n)"
+            " / ((n * q - s * s) * 1.0 / (n * (n - 1))) * 1000)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("p_hat_milli"),
+    )
+
+
+@register(
+    "j116_source_containment",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT source,
+               unnest([array_to_string(w[i:i+2], ' ')
+                       for i in range(1, len(w) - 1)]) AS s
+        FROM (SELECT source, {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 3
+    ), mask AS (
+        SELECT s, list_sort(list(source)) AS m FROM sh0 GROUP BY s
+    ), hist AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM mask GROUP BY m
+    ), srcs AS (
+        SELECT DISTINCT source FROM documents
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ), sums AS (
+        SELECT p.src_a, p.src_b,
+               CAST(SUM(CASE WHEN list_contains(h.m, p.src_a) THEN h.cnt
+                             ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN list_contains(h.m, p.src_b) THEN h.cnt
+                             ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN list_contains(h.m, p.src_a)
+                              AND list_contains(h.m, p.src_b) THEN h.cnt
+                             ELSE 0 END) AS BIGINT) AS n_inter
+        FROM hist h CROSS JOIN pairs p
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_a, n_b, n_inter,
+           CAST(n_inter * 1000 // n_a AS BIGINT) AS cont_a_in_b_milli,
+           CAST(n_inter * 1000 // n_b AS BIGINT) AS cont_b_in_a_milli
+    FROM sums
+    """,
+    survey="J116,E24,J2",
+)
+def j116_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair shingle CONTAINMENT — the asymmetric overlap
+    measure Jaccard (j2) and inclusion-exclusion union accounting (e24)
+    both hide: C(A→B) = |A∩B|/|A| asks "how much of A is inside B?",
+    which is the question subset/superset dedup (a crawl re-scrape, a
+    corpus that bundles another) actually poses — a small source fully
+    contained in a large one has tiny Jaccard but containment 1.0 (the
+    Broder 1997 distinction; MinHash estimates resemblance, containment
+    needs the set sizes this exact tier provides).
+
+    Exactness & plan: the e24 mask-histogram identity — one hash agg per
+    shingle to its source-SET, a KB histogram per distinct mask, then
+    every pair's |A|, |B|, |A∩B| are CASE sums over that KB relation
+    crossed with the broadcast pair list; NO join on shingle values at
+    any scale.  Containments are exact integer milli divisions; python
+    set replay pin including both directions and the subset law
+    max(cont) = 1000 ⟺ one side ⊆ the other."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    w = tokens(F.col("text"))
+    shingles = F.expr(
+        "transform(sequence(1, size(words) - 2),"
+        " i -> concat_ws(' ', slice(words, i, 3)))"
+    )
+    sh0 = (
+        d.select("source", w.alias("words"))
+        .where(F.size("words") >= 3)
+        .select("source", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    mask = sh0.groupBy("s").agg(F.sort_array(F.collect_set("source")).alias("m"))
+    hist = mask.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            srcs.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    sums = (
+        hist.crossJoin(F.broadcast(pairs))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.array_contains("m", F.col("src_a")), F.col("cnt"))
+                .otherwise(0)
+            ).cast("long").alias("n_a"),
+            F.sum(
+                F.when(F.array_contains("m", F.col("src_b")), F.col("cnt"))
+                .otherwise(0)
+            ).cast("long").alias("n_b"),
+            F.sum(
+                F.when(
+                    F.array_contains("m", F.col("src_a"))
+                    & F.array_contains("m", F.col("src_b")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).cast("long").alias("n_inter"),
+        )
+    )
+    return sums.select(
+        "src_a", "src_b", "n_a", "n_b", "n_inter",
+        F.expr("CAST(n_inter * 1000 div n_a AS BIGINT)").alias(
+            "cont_a_in_b_milli"
+        ),
+        F.expr("CAST(n_inter * 1000 div n_b AS BIGINT)").alias(
+            "cont_b_in_a_milli"
+        ),
+    )
+
+
+@register(
+    "i24_bitwise_funcs",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(bit_and(o_orderkey & 1023) AS BIGINT) AS and_low10,
+           CAST(bit_or(o_orderkey & 1023) AS BIGINT) AS or_low10,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_all,
+           CAST(SUM(CASE WHEN (o_orderkey >> 3) & 1 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bit3_set,
+           CAST(SUM(xor(o_orderkey & 255, o_custkey & 255)) AS BIGINT)
+               AS xor_bytes_sum,
+           CAST(SUM((o_orderkey << 2) & 4095) AS BIGINT) AS shl_masked_sum
+    FROM orders GROUP BY 1
+    """,
+    survey="I24,I8,I3",
+)
+def i24_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function-coverage row (the I-family pattern: one query
+    exercising several functions) — the bit-manipulation tier layout
+    and fingerprint code leans on, certified as first-class scalars and
+    AGGREGATES: & | ^ << >> as scalars, BIT_AND / BIT_OR / BIT_XOR as
+    aggregates (the XOR aggregate is the classic set-difference
+    fingerprint: two relations with equal BIT_XOR over a key column
+    likely match — b14's Merkle digests are the cryptographic upgrade).
+
+    Exactness: bit operations are exact by nature; the only care is
+    operator spelling (DuckDB spells scalar xor as xor(a,b), Spark as
+    a ^ b) and sign (keys are non-negative, shifts stay in-range via
+    the & 4095 mask — stated rule).
+
+    Scale shape: one scan, one 5-row hash agg, map-side combinable."""
+    o = fan_out(Tables(spark, sf_dir).orders)
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.bit_and(F.expr("o_orderkey & 1023")).cast("long").alias("and_low10"),
+        F.bit_or(F.expr("o_orderkey & 1023")).cast("long").alias("or_low10"),
+        F.bit_xor(F.col("o_orderkey")).cast("long").alias("xor_all"),
+        F.sum(
+            F.when(F.expr("(o_orderkey >> 3) & 1 = 1"), 1).otherwise(0)
+        ).cast("long").alias("bit3_set"),
+        F.sum(F.expr("(o_orderkey & 255) ^ (o_custkey & 255)"))
+        .cast("long")
+        .alias("xor_bytes_sum"),
+        F.sum(F.expr("shiftleft(o_orderkey, 2) & 4095"))
+        .cast("long")
+        .alias("shl_masked_sum"),
+    )
+
+
+@register(
+    "e100_effect_size",
+    oracle="""
+    WITH st AS (
+        SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END)
+                    AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END)
+                    AS BIGINT) AS q0
+        FROM documents
+    )
+    SELECT n1, n0,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                / sqrt(((n1 * q1 - s1 * s1) * 1.0 / n1
+                        + (n0 * q0 - s0 * s0) * 1.0 / n0)
+                       / (n1 + n0 - 2)) * 1000) AS BIGINT) AS d_milli,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                / sqrt(((n1 * q1 - s1 * s1) * 1.0 / n1
+                        + (n0 * q0 - s0 * s0) * 1.0 / n0)
+                       / (n1 + n0 - 2))
+                * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)) * 1000) AS BIGINT)
+               AS g_milli
+    FROM st
+    """,
+    survey="E100,E52,E40",
+)
+def e100_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g — the STANDARDIZED effect size the
+    significance tier stops short of (e52's Welch t says "the n_chars
+    difference between English and the rest is not noise"; at 100 TB
+    row counts EVERYTHING is significant, and d = Δmean/s_pooled is the
+    scale-free magnitude that survives that regime; g applies the
+    small-sample bias correction 1 − 3/(4N−9)).
+
+    Exactness: the six sufficient statistics are exact BIGINTs in ONE
+    map-side-combinable agg; pooled variance uses the n·Σx²−S² identity
+    per group (never a float mean in a subtraction), and d/g come from
+    ONE shared explicitly-double chain milli-floored; python replay pin
+    at ±1 milli.
+
+    Scale shape: one scan → one 6-stat global agg → 1-row arithmetic."""
+    d = fan_out(Tables(spark, sf_dir).documents)
+    en = F.col("lang") == "en"
+    st = d.agg(
+        F.sum(F.when(en, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(en, F.col("n_chars")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(en, F.col("n_chars") * F.col("n_chars")).otherwise(0))
+        .cast("long").alias("q1"),
+        F.sum(F.when(~en, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(~en, F.col("n_chars")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(~en, F.col("n_chars") * F.col("n_chars")).otherwise(0))
+        .cast("long").alias("q0"),
+    )
+    chain = (
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+        " / sqrt(((n1 * q1 - s1 * s1) * 1.0 / n1"
+        " + (n0 * q0 - s0 * s0) * 1.0 / n0)"
+        " / (n1 + n0 - 2))"
+    )
+    return st.select(
+        "n1", "n0",
+        F.expr(f"CAST(FLOOR({chain} * 1000) AS BIGINT)").alias("d_milli"),
+        F.expr(
+            f"CAST(FLOOR({chain} * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))"
+            " * 1000) AS BIGINT)"
+        ).alias("g_milli"),
+    )

@@ -443,3 +443,109 @@ def test_e98_somers_d_python_pair_count(spark, sf_dir):
             num = (nc - nd) * 1000
             den = nc + nd + ty
             assert r.d_milli == abs(num) // den * (1 if num >= 0 else -1), n
+
+
+def test_e99_negbin_python_replay(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    days = defaultdict(int)
+    for et, ts in zip(
+        t.column(0).to_pylist(), t.column("ts").cast("int64").to_pylist()
+    ):
+        days[(et, ts // 86400000000)] += 1
+    series = defaultdict(list)
+    for (et, _), x in days.items():
+        series[et].append(x)
+    out = {r.event_type: r for r in
+           REGISTRY["e99_negbin_moments"].fn(spark, sf_dir).collect()}
+    saw_null = saw_fit = False
+    for et, xs in series.items():
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        var = (n * q - s * s) * 1.0 / (n * (n - 1))
+        mean = s / n
+        r = out[et]
+        assert (r.n, r.s, r.q) == (n, s, q), et
+        if var > mean:
+            saw_fit = True
+            assert abs(r.r_hat_milli - math.floor(mean * mean / (var - mean) * 1000)) <= 1
+            assert abs(r.p_hat_milli - math.floor(mean / var * 1000)) <= 1
+        else:
+            saw_null = True
+            assert r.r_hat_milli is None and r.p_hat_milli is None, et
+    # the fixture exercises BOTH branches (measured: 'view' is
+    # underdispersed at sf0.001)
+    assert saw_fit and saw_null
+
+
+def test_j116_containment_python_sets(spark, sf_dir):
+    from itertools import combinations
+
+    sets: dict = {}
+    for _, src, ws in _doc_words():
+        if len(ws) >= 3:
+            sets.setdefault(src, set()).update(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in REGISTRY["j116_source_containment"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(combinations(sorted(sets), 2))
+    for (a, b), r in out.items():
+        na, nb = len(sets[a]), len(sets[b])
+        ni = len(sets[a] & sets[b])
+        assert (r.n_a, r.n_b, r.n_inter) == (na, nb, ni), (a, b)
+        assert r.cont_a_in_b_milli == ni * 1000 // na
+        assert r.cont_b_in_a_milli == ni * 1000 // nb
+        # subset law: containment hits 1000 iff one side is a subset
+        assert (r.cont_a_in_b_milli == 1000) == (sets[a] <= sets[b])
+
+
+def test_i24_bitwise_python_replay(spark, sf_dir):
+    from collections import defaultdict
+    from functools import reduce
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_custkey"],
+    )
+    groups = defaultdict(list)
+    for pri, ok, ck in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        groups[pri].append((ok, ck))
+    out = {r.priority: r for r in
+           REGISTRY["i24_bitwise_funcs"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(groups)
+    for pri, rows in groups.items():
+        r = out[pri]
+        assert r.and_low10 == reduce(lambda a, b: a & b, (ok & 1023 for ok, _ in rows))
+        assert r.or_low10 == reduce(lambda a, b: a | b, (ok & 1023 for ok, _ in rows))
+        assert r.xor_all == reduce(lambda a, b: a ^ b, (ok for ok, _ in rows))
+        assert r.bit3_set == sum(1 for ok, _ in rows if (ok >> 3) & 1)
+        assert r.xor_bytes_sum == sum((ok & 255) ^ (ck & 255) for ok, ck in rows)
+        assert r.shl_masked_sum == sum((ok << 2) & 4095 for ok, _ in rows)
+
+
+def test_e100_effect_size_python_replay(spark, sf_dir):
+    import math
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    g1 = [n for lg, n in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+          if lg == "en"]
+    g0 = [n for lg, n in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+          if lg != "en"]
+    n1, s1, q1 = len(g1), sum(g1), sum(x * x for x in g1)
+    n0, s0, q0 = len(g0), sum(g0), sum(x * x for x in g0)
+    sp = math.sqrt(
+        ((n1 * q1 - s1 * s1) * 1.0 / n1 + (n0 * q0 - s0 * s0) * 1.0 / n0)
+        / (n1 + n0 - 2)
+    )
+    d = (s1 / n1 - s0 / n0) / sp
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))
+    r = REGISTRY["e100_effect_size"].fn(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert abs(r.d_milli - math.floor(d * 1000)) <= 1
+    assert abs(r.g_milli - math.floor(g * 1000)) <= 1
+    # |g| < |d| always (the correction shrinks toward zero)
+    assert abs(r.g_milli) <= abs(r.d_milli)
