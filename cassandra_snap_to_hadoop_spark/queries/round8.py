@@ -1493,14 +1493,22 @@ def j114_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("CAST(150000 + 85 * SUM(c) div 100 AS BIGINT)").alias("s"))
             .localCheckpoint(eager=True)
         )
-    ranked = s.orderBy(F.col("s").desc(), "w").limit(10)
-    return ranked.select(
-        F.col("w").alias("keyword"),
-        F.col("s").alias("score_micro"),
-        F.row_number()
-        .over(Window.orderBy(F.col("s").desc(), "w"))
-        .cast("long")
-        .alias("rank"),
+    # Global top-10 via TakeOrderedAndProject; the rank column is then a
+    # 10x10 broadcast inequality self-join count (rank = 1 + #rows ahead
+    # in the (score DESC, word) order) — never an unpartitioned window,
+    # even over the 10-row relation (engine-wide plan ban).
+    ranked = (
+        s.orderBy(F.col("s").desc(), "w").limit(10).localCheckpoint(eager=True)
+    )
+    a, b = ranked.alias("ra"), ranked.alias("rb")
+    ahead = (F.col("rb.s") > F.col("ra.s")) | (
+        (F.col("rb.s") == F.col("ra.s")) & (F.col("rb.w") < F.col("ra.w"))
+    )
+    return (
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(F.col("ra.w").alias("keyword"), F.col("ra.s").alias("score_micro"))
+        .agg((F.count(F.col("rb.w")) + 1).cast("long").alias("rank"))
+        .orderBy("rank")
     )
 
 

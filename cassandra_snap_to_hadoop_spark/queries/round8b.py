@@ -1,0 +1,447 @@
+"""Round-8 continuation — the nonparametric k-sample / paired / blocked
+test tier the two-sample rank machinery (e45 Mann-Whitney, e36 KS, e81
+CvM) stops short of: Kruskal-Wallis (k independent groups), Wilcoxon
+signed-rank (paired within-unit drift), Friedman (complete randomized
+blocks), and Cochran's Q (blocked binary outcomes).  All four ride the
+e45/e46 doubled-rank integer lattice: tie-averaged ranks are
+half-integers, so every rank is stored as rank2 = 2*(#smaller) +
+(#equal) + 1, every sufficient statistic is an exact BIGINT certified by
+the hash check, and the final test statistic is one shared scalar double
+chain (or, for Friedman and Cochran, pure integer millis end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.registry import register
+
+
+@register(
+    "e101_kruskal_wallis",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+    ), vc AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1
+    ), r2 AS (
+        SELECT v, c,
+               2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) - c) + c + 1 AS rank2
+        FROM vc
+    ), per_g AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(rank2) AS BIGINT) AS r2_sum
+        FROM vals JOIN r2 USING (v) GROUP BY 1
+    ), ties AS (
+        SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum FROM vc
+    ), wide AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN g = 'A' THEN n_g END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN g = 'A' THEN r2_sum END) AS BIGINT) AS r2_a,
+               CAST(SUM(CASE WHEN g = 'N' THEN n_g END) AS BIGINT) AS n_n,
+               CAST(SUM(CASE WHEN g = 'N' THEN r2_sum END) AS BIGINT) AS r2_n,
+               CAST(SUM(CASE WHEN g = 'R' THEN n_g END) AS BIGINT) AS n_r,
+               CAST(SUM(CASE WHEN g = 'R' THEN r2_sum END) AS BIGINT) AS r2_r
+        FROM per_g
+    ), h AS (
+        SELECT n, n_a, r2_a, n_n, r2_n, n_r, r2_r, tie_sum,
+               12.0 / (CAST(n AS DOUBLE) * (n + 1))
+               * (CAST(r2_a AS DOUBLE) * CAST(r2_a AS DOUBLE)
+                    / (4.0 * n_a)
+                  + CAST(r2_n AS DOUBLE) * CAST(r2_n AS DOUBLE)
+                    / (4.0 * n_n)
+                  + CAST(r2_r AS DOUBLE) * CAST(r2_r AS DOUBLE)
+                    / (4.0 * n_r))
+               - 3.0 * (n + 1) AS h_raw,
+               1.0 - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * n - n)
+                 AS tie_corr
+        FROM wide CROSS JOIN ties
+    )
+    SELECT n, n_a, r2_a, n_n, r2_n, n_r, r2_r, tie_sum,
+           CAST(FLOOR(h_raw * 1000) AS BIGINT) AS h_milli,
+           CAST(FLOOR(h_raw / tie_corr * 1000) AS BIGINT) AS h_tied_milli
+    FROM h
+    """,
+    survey="E101,E45,E5",
+)
+def e101_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three lineitem return-flag populations
+    on quantity — the k-SAMPLE extension e45's two-sample U cannot state
+    (one omnibus 'did ANY of the k groups shift' with chi-square_{k-1}
+    calibration, the nonparametric sibling of e57's one-way ANOVA).
+
+    Exactness: the e45 doubled-rank lattice verbatim — rank2 = 2*(#
+    smaller) + (#equal) + 1 on the DISTINCT-VALUE relation, per-group
+    (n_g, Σrank2) exact BIGINTs, the tie term Σ(t³−t) an exact BIGINT —
+    then H = 12/(N(N+1))·ΣRj²/nj − 3(N+1) (with Rj²/nj written as
+    r2_sum²/(4nj)) and its tie-corrected form are ONE shared scalar
+    double chain over those integers, identical operation order on both
+    engines, milli-floored.  The return-flag domain is closed (A/N/R), so
+    the groups pivot into a single row via conditional aggregation and no
+    float aggregation across rows ever happens.  Integer budget: rank2 ≤
+    2N and Σrank2 ≤ 2N² (BIGINT-safe to N ≈ 2·10⁹ rows); the tie cube
+    t³ ≤ N³ bounds the exact tie term to N ≈ 2·10⁶ per distinct value —
+    beyond that the tie histogram is domain-bounded (50 quantity values),
+    so t ≈ N/50 keeps the budget to N ≈ 10⁸ rows per flag, stated here
+    for the 100 TB read.
+
+    Scale shape: ranks live on the 50-row distinct-quantity relation (no
+    unpartitioned window — global_cumsum two-pass), scoring is one hash
+    join of the fact onto the broadcast value→rank2 map plus a 3-group
+    agg folded to one row by conditional aggregation."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
+    li = Tables(spark, sf_dir).lineitem
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    vc = vals.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    cum = global_cumsum(vc, [F.col("v")], "c", rank_col="__rk", cum_col="cumv")
+    r2 = cum.select(
+        "v", (2 * (F.col("cumv") - F.col("c")) + F.col("c") + 1).alias("rank2")
+    )
+    per_g = (
+        vals.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("rank2").cast("long").alias("r2_sum"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    wide = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.when(F.col("g") == "A", F.col("n_g"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == "A", F.col("r2_sum"))).cast("long").alias("r2_a"),
+        F.sum(F.when(F.col("g") == "N", F.col("n_g"))).cast("long").alias("n_n"),
+        F.sum(F.when(F.col("g") == "N", F.col("r2_sum"))).cast("long").alias("r2_n"),
+        F.sum(F.when(F.col("g") == "R", F.col("n_g"))).cast("long").alias("n_r"),
+        F.sum(F.when(F.col("g") == "R", F.col("r2_sum"))).cast("long").alias("r2_r"),
+    ).crossJoin(F.broadcast(ties))
+    h_raw = (
+        "12.0 / (CAST(n AS DOUBLE) * (n + 1))"
+        " * (CAST(r2_a AS DOUBLE) * CAST(r2_a AS DOUBLE) / (4.0 * n_a)"
+        "    + CAST(r2_n AS DOUBLE) * CAST(r2_n AS DOUBLE) / (4.0 * n_n)"
+        "    + CAST(r2_r AS DOUBLE) * CAST(r2_r AS DOUBLE) / (4.0 * n_r))"
+        " - 3.0 * (n + 1)"
+    )
+    tie_corr = (
+        "1.0 - CAST(tie_sum AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * n - n)"
+    )
+    return wide.select(
+        "n", "n_a", "r2_a", "n_n", "r2_n", "n_r", "r2_r", "tie_sum",
+        F.expr(f"CAST(FLOOR(({h_raw}) * 1000) AS BIGINT)").alias("h_milli"),
+        F.expr(
+            f"CAST(FLOOR(({h_raw}) / ({tie_corr}) * 1000) AS BIGINT)"
+        ).alias("h_tied_milli"),
+    )
+
+
+@register(
+    "e102_wilcoxon_signed_rank",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT)
+               - CAST(SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ), nz AS (
+        SELECT d, ABS(d) AS a FROM per_user WHERE d <> 0
+    ), ac AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1
+    ), r2 AS (
+        SELECT a, c,
+               2 * (SUM(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) - c) + c + 1 AS rank2
+        FROM ac
+    ), scored AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN d > 0 THEN rank2 ELSE 0 END)
+                    AS BIGINT) AS w2_plus,
+               CAST(SUM(CASE WHEN d < 0 THEN rank2 ELSE 0 END)
+                    AS BIGINT) AS w2_minus
+        FROM nz JOIN r2 USING (a)
+    ), ties AS (
+        SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum FROM ac
+    )
+    SELECT n, w2_plus, w2_minus, tie_sum,
+           CAST(FLOOR(
+               (CAST(w2_plus AS DOUBLE) / 2.0
+                - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                      - CAST(tie_sum AS DOUBLE) / 48.0) * 1000)
+           AS BIGINT) AS z_milli
+    FROM scored CROSS JOIN ties
+    """,
+    survey="E102,E45,F15",
+)
+def e102_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on PAIRED within-user drift: each user's
+    event-value total on odd calendar days vs even calendar days — the
+    within-unit period-A/period-B comparison e45's independent-sample U
+    gets wrong (the user is their own control; independence across the
+    pair members does not hold, so the signed-rank null is the right
+    one).  Zero differences drop per the standard Pratt-free convention.
+
+    Exactness: per-user differences are exact BIGINT cents; |d| ranks
+    ride the e45 doubled lattice on the DISTINCT-|d| relation; W2+ =
+    Σrank2 over positive d and its negative twin are exact BIGINTs with
+    the closed-form law W2+ + W2- = 2·n(n+1)/2 pinned in tests; the
+    normal approximation z = (W+ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)
+    /48) is one scalar double chain over those integers (W+ = w2_plus/2),
+    milli-floored.
+
+    Scale shape: one fact scan → per-user agg (shuffle on user_id), |d|
+    ranks on the distinct-value relation via global_cumsum, one hash
+    join back, one global agg — no unpartitioned windows, no float
+    aggregation."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
+    ev = Tables(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("long")
+    day_parity = F.expr("unix_micros(ts) DIV 86400000000") % 2
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(day_parity == 1, cents).otherwise(F.lit(0))).cast("long")
+            - F.sum(F.when(day_parity == 0, cents).otherwise(F.lit(0))).cast("long")
+        ).alias("d")
+    )
+    nz = per_user.filter(F.col("d") != 0).select("d", F.abs(F.col("d")).alias("a"))
+    ac = nz.groupBy("a").agg(F.count("*").cast("long").alias("c"))
+    cum = global_cumsum(ac, [F.col("a")], "c", rank_col="__rk", cum_col="cumv")
+    r2 = cum.select(
+        "a", (2 * (F.col("cumv") - F.col("c")) + F.col("c") + 1).alias("rank2")
+    )
+    scored = nz.join(F.broadcast(r2), "a").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("rank2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum(F.when(F.col("d") < 0, F.col("rank2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w2_minus"),
+    )
+    ties = ac.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    return scored.crossJoin(F.broadcast(ties)).select(
+        "n", "w2_plus", "w2_minus", "tie_sum",
+        F.expr(
+            "CAST(FLOOR("
+            " (CAST(w2_plus AS DOUBLE) / 2.0"
+            "  - CAST(n AS DOUBLE) * (n + 1) / 4.0)"
+            " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0"
+            "        - CAST(tie_sum AS DOUBLE) / 48.0) * 1000)"
+            " AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+@register(
+    "e103_friedman_test",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), complete AS (
+        SELECT blk FROM cells GROUP BY 1 HAVING COUNT(*) = 5
+    ), cc AS (
+        SELECT cells.* FROM cells JOIN complete USING (blk)
+    ), ranked AS (
+        SELECT a.blk, a.trt,
+               2 * SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS rank2
+        FROM cc a JOIN cc b ON a.blk = b.blk
+        GROUP BY 1, 2
+    ), per_trt AS (
+        SELECT trt, CAST(SUM(rank2) AS BIGINT) AS r2_sum
+        FROM ranked GROUP BY 1
+    ), summ AS (
+        SELECT CAST((SELECT COUNT(*) FROM complete) AS BIGINT) AS n_blocks,
+               CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS ss2
+        FROM per_trt
+    )
+    SELECT p.trt, p.r2_sum, s.n_blocks,
+           CAST(3000 * s.ss2 // (s.n_blocks * 5 * 6)
+                - 3000 * s.n_blocks * 6 AS BIGINT) AS chi2_milli
+    FROM per_trt p CROSS JOIN summ s
+    ORDER BY p.trt
+    """,
+    survey="E103,E57,E45",
+)
+def e103_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over complete randomized blocks: nation =
+    block, order priority = treatment, per-cell revenue (exact cents) =
+    response — 'does any priority class systematically out-earn the
+    others once every nation judges all five on its own scale' — the
+    BLOCKED k-sample question e101's Kruskal-Wallis (which pools all
+    groups onto one global ranking) cannot ask, and the nonparametric
+    sibling of a two-way ANOVA main effect.
+
+    Exactness: pure integer END-TO-END — cell values are exact BIGINT
+    cent sums; within-block tie-averaged ranks ride the doubled lattice
+    computed by a per-block self-join (k=5 rows per block, so the
+    quadratic is 25 pairs per block, constant); treatment rank sums R2j
+    and ΣR2j² are exact BIGINTs; χ² = 12/(nk(k+1))·ΣRj² − 3n(k+1)
+    becomes chi2_milli = 3000·ΣR2j² DIV (n·k·(k+1)) − 3000·n·(k+1) with
+    Rj = R2j/2 — integer floor division, NO doubles anywhere.  Blocks
+    missing any treatment are excluded (Friedman requires complete
+    blocks; stated, and the fixture has all 25 complete).
+
+    Scale shape: fact scan → (block, treatment) agg; ranking is a
+    self-join on the block key over a k-bounded relation (25·k rows);
+    everything after is KB-scale.  Output is one row per treatment (5)
+    carrying the shared integer chi2."""
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    complete = cells.groupBy("blk").count().filter(F.col("count") == 5).select("blk")
+    cc = cells.join(F.broadcast(complete), "blk")
+    a, b = cc.alias("a"), cc.alias("b")
+    ranked = (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .groupBy(F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt"))
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("b.v") < F.col("a.v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("b.v") == F.col("a.v"), 1).otherwise(0))
+                + 1
+            ).alias("rank2")
+        )
+    )
+    per_trt = ranked.groupBy("trt").agg(F.sum("rank2").cast("long").alias("r2_sum"))
+    n_blocks = complete.agg(F.count("*").cast("long").alias("n_blocks"))
+    summ = (
+        per_trt.agg(
+            F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("ss2")
+        )
+        .crossJoin(F.broadcast(n_blocks))
+    )
+    return (
+        per_trt.crossJoin(F.broadcast(summ))
+        .select(
+            "trt",
+            "r2_sum",
+            "n_blocks",
+            F.expr(
+                "CAST(3000 * ss2 DIV (n_blocks * 5 * 6)"
+                " - 3000 * n_blocks * 6 AS BIGINT)"
+            ).alias("chi2_milli"),
+        )
+        .orderBy("trt")
+    )
+
+
+@register(
+    "e104_cochran_q",
+    oracle="""
+    WITH flags AS (
+        SELECT l_orderkey AS blk,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x_ret,
+               MAX(CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) >= 5
+                   THEN 1 ELSE 0 END) AS x_disc,
+               MAX(CASE WHEN CAST(ROUND(l_tax * 100) AS BIGINT) >= 5
+                   THEN 1 ELSE 0 END) AS x_tax
+        FROM lineitem GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(x_ret) AS BIGINT) AS c_ret,
+               CAST(SUM(x_disc) AS BIGINT) AS c_disc,
+               CAST(SUM(x_tax) AS BIGINT) AS c_tax,
+               CAST(SUM(x_ret + x_disc + x_tax) AS BIGINT) AS sum_r,
+               CAST(SUM((x_ret + x_disc + x_tax)
+                        * (x_ret + x_disc + x_tax)) AS BIGINT) AS sum_r2
+        FROM flags
+    )
+    SELECT n_blocks, c_ret, c_disc, c_tax, sum_r, sum_r2,
+           CASE WHEN 3 * sum_r - sum_r2 > 0
+                THEN CAST(1000 * (3 * 2 * (3 * (c_ret * c_ret
+                          + c_disc * c_disc + c_tax * c_tax)
+                          - sum_r * sum_r))
+                     // (3 * sum_r - sum_r2) AS BIGINT)
+                ELSE NULL END AS q_milli
+    FROM s
+    """,
+    survey="E104,E78,E96",
+)
+def e104_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over blocked BINARY outcomes: per order (block), does
+    the order contain (a) any returned line, (b) any line discounted ≥5%,
+    (c) any line taxed ≥5% — 'do the k binary treatments have equal
+    success rates once every block answers all k' — the k-treatment
+    extension of e78's McNemar (k=2 paired binary) and the binary
+    sibling of e103's Friedman.
+
+    Exactness: pure integer END-TO-END — presence flags are 0/1 MAXes,
+    column totals Cj, ΣRi and ΣRi² exact BIGINTs in ONE aggregation,
+    and Q = k(k−1)·[k·ΣCj² − (ΣCj)²] / (k·ΣRi − ΣRi²) is an integer
+    milli floor division (the denominator is zero only when every block
+    answers all-yes or all-no — guarded to NULL).  The mode domain is
+    closed (3 chosen treatments), so the whole statistic folds into one
+    row with conditional aggregation and no float ever appears.
+
+    Scale shape: one fact scan → per-order flag agg (shuffle on the
+    natural lineitem key) → one global 6-stat agg → 1-row arithmetic."""
+    li = Tables(spark, sf_dir).lineitem
+    flags = li.groupBy(F.col("l_orderkey").alias("blk")).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("x_ret"),
+        F.max(
+            F.when(F.round(F.col("l_discount") * 100).cast("long") >= 5, 1).otherwise(0)
+        ).alias("x_disc"),
+        F.max(
+            F.when(F.round(F.col("l_tax") * 100).cast("long") >= 5, 1).otherwise(0)
+        ).alias("x_tax"),
+    )
+    r = F.col("x_ret") + F.col("x_disc") + F.col("x_tax")
+    s = flags.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("x_ret").cast("long").alias("c_ret"),
+        F.sum("x_disc").cast("long").alias("c_disc"),
+        F.sum("x_tax").cast("long").alias("c_tax"),
+        F.sum(r).cast("long").alias("sum_r"),
+        F.sum(r * r).cast("long").alias("sum_r2"),
+    )
+    return s.select(
+        "n_blocks", "c_ret", "c_disc", "c_tax", "sum_r", "sum_r2",
+        F.expr(
+            "CASE WHEN 3 * sum_r - sum_r2 > 0"
+            " THEN CAST(1000 * (3 * 2 * (3 * (c_ret * c_ret"
+            "      + c_disc * c_disc + c_tax * c_tax)"
+            "      - sum_r * sum_r))"
+            "      DIV (3 * sum_r - sum_r2) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("q_milli"),
+    )

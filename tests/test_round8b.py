@@ -1,0 +1,161 @@
+"""Round-8 continuation pins: independent pure-Python third
+implementations of the nonparametric k-sample / paired / blocked tier
+(e101 Kruskal-Wallis, e102 Wilcoxon signed-rank, e103 Friedman, e104
+Cochran's Q) so a Spark+DuckDB twin bug cannot hide behind a matching
+hash.  Integer sufficient statistics assert EXACT equality; the two
+milli-floored double-chain statistics (e101 H, e102 z) allow ±1 milli
+for python-vs-engine summation-order ulps.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _rank2_map(counter: Counter) -> dict:
+    """value -> doubled tie-averaged rank (2*#smaller + #equal + 1)."""
+    out, cum = {}, 0
+    for v in sorted(counter):
+        c = counter[v]
+        out[v] = 2 * cum + c + 1
+        cum += c
+    return out
+
+
+def test_e101_kruskal_wallis_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    gs = t.column(0).to_pylist()
+    vs = [int(round(q)) for q in t.column(1).to_pylist()]
+    vc = Counter(vs)
+    r2 = _rank2_map(vc)
+    n_g, r2_sum = Counter(), Counter()
+    for g, v in zip(gs, vs):
+        n_g[g] += 1
+        r2_sum[g] += r2[v]
+    n = sum(n_g.values())
+    tie_sum = sum(c * c * c - c for c in vc.values())
+    row = REGISTRY["e101_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n and row.tie_sum == tie_sum
+    for flag, nc, rc in (("A", "n_a", "r2_a"), ("N", "n_n", "r2_n"),
+                         ("R", "n_r", "r2_r")):
+        assert row[nc] == n_g[flag] and row[rc] == r2_sum[flag], flag
+    h = (
+        12.0 / (n * (n + 1))
+        * sum(r2_sum[g] ** 2 / (4.0 * n_g[g]) for g in ("A", "N", "R"))
+        - 3.0 * (n + 1)
+    )
+    corr = 1.0 - tie_sum / (float(n) ** 3 - n)
+    assert abs(row.h_milli - math.floor(h * 1000)) <= 1
+    assert abs(row.h_tied_milli - math.floor(h / corr * 1000)) <= 1
+    # H must be chi-square-scaled: nonnegative after tie correction
+    assert row.h_tied_milli >= row.h_milli >= 0
+
+
+def test_e102_wilcoxon_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    d = defaultdict(int)
+    for u, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        day = (
+            int(ts.timestamp() * 1_000_000) // 86_400_000_000
+            if hasattr(ts, "timestamp")
+            else int(ts) // 86_400_000_000
+        )
+        cents = int(round(v * 100))
+        d[u] += cents if day % 2 == 1 else -cents
+    diffs = [x for x in d.values() if x != 0]
+    ac = Counter(abs(x) for x in diffs)
+    r2 = _rank2_map(ac)
+    n = len(diffs)
+    w2p = sum(r2[abs(x)] for x in diffs if x > 0)
+    w2m = sum(r2[abs(x)] for x in diffs if x < 0)
+    tie_sum = sum(c * c * c - c for c in ac.values())
+    row = REGISTRY["e102_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.w2_plus, row.w2_minus, row.tie_sum) == (n, w2p, w2m, tie_sum)
+    # closed-form rank-sum law on the doubled lattice
+    assert row.w2_plus + row.w2_minus == n * (n + 1)
+    z = (w2p / 2.0 - n * (n + 1) / 4.0) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - tie_sum / 48.0
+    )
+    assert abs(row.z_milli - math.floor(z * 1000)) <= 1
+
+
+def test_e103_friedman_python_replay(spark, sf_dir):
+    o = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    c = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = dict(zip(c.column(0).to_pylist(), c.column(1).to_pylist()))
+    cells = defaultdict(int)
+    for ck, pr, tp in zip(
+        o.column(0).to_pylist(), o.column(1).to_pylist(), o.column(2).to_pylist()
+    ):
+        cells[(nation[ck], pr)] += int(round(tp * 100))
+    by_blk = defaultdict(dict)
+    for (blk, trt), v in cells.items():
+        by_blk[blk][trt] = v
+    complete = {b: tv for b, tv in by_blk.items() if len(tv) == 5}
+    r2_sum = Counter()
+    for tv in complete.values():
+        vals = list(tv.values())
+        for trt, v in tv.items():
+            smaller = sum(1 for x in vals if x < v)
+            equal = sum(1 for x in vals if x == v)
+            r2_sum[trt] += 2 * smaller + equal + 1
+    nb = len(complete)
+    ss2 = sum(r * r for r in r2_sum.values())
+    chi2_milli = 3000 * ss2 // (nb * 5 * 6) - 3000 * nb * 6
+    rows = REGISTRY["e103_friedman_test"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.r2_sum == r2_sum[r.trt], r.trt
+        assert r.n_blocks == nb and r.chi2_milli == chi2_milli
+    # within every complete block the five rank2 values sum to 2*k(k+1)/2
+    assert sum(r2_sum.values()) == nb * 5 * 6
+
+
+def test_e104_cochran_q_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_discount", "l_tax"],
+    )
+    flags = defaultdict(lambda: [0, 0, 0])
+    for k, rf, dc, tx in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(),
+        t.column(2).to_pylist(), t.column(3).to_pylist(),
+    ):
+        f = flags[k]
+        if rf == "R":
+            f[0] = 1
+        if int(round(dc * 100)) >= 5:
+            f[1] = 1
+        if int(round(tx * 100)) >= 5:
+            f[2] = 1
+    nb = len(flags)
+    cj = [sum(f[j] for f in flags.values()) for j in range(3)]
+    sum_r = sum(sum(f) for f in flags.values())
+    sum_r2 = sum(sum(f) ** 2 for f in flags.values())
+    den = 3 * sum_r - sum_r2
+    q_milli = (
+        1000 * (3 * 2 * (3 * sum(c * c for c in cj) - sum_r * sum_r)) // den
+        if den > 0
+        else None
+    )
+    row = REGISTRY["e104_cochran_q"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_blocks, row.c_ret, row.c_disc, row.c_tax) == (
+        nb, cj[0], cj[1], cj[2],
+    )
+    assert (row.sum_r, row.sum_r2, row.q_milli) == (sum_r, sum_r2, q_milli)
+    assert sum_r == sum(cj)  # row/column total identity
