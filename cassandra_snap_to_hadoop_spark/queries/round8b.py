@@ -445,3 +445,435 @@ def e104_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("q_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: residual-diagnostics (Ljung-Box portmanteau, Durbin-Watson) and
+# the categorical-association pair (G-test, odds ratio with Woolf CI).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "f45_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ), den AS (
+        SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS d
+        FROM daily CROSS JOIN stats
+    ), lags AS (
+        SELECT unnest(range(1, 8)) AS k
+    ), nums AS (
+        SELECT k, CAST(SUM((n * a.x - s) * (n * b.x - s)) AS BIGINT) AS num
+        FROM daily a
+        JOIN lags ON TRUE
+        JOIN daily b ON b.day = a.day + k
+        CROSS JOIN stats
+        GROUP BY k
+    ), wide AS (
+        SELECT CAST(SUM(CASE WHEN k = 1 THEN num END) AS BIGINT) AS m1,
+               CAST(SUM(CASE WHEN k = 2 THEN num END) AS BIGINT) AS m2,
+               CAST(SUM(CASE WHEN k = 3 THEN num END) AS BIGINT) AS m3,
+               CAST(SUM(CASE WHEN k = 4 THEN num END) AS BIGINT) AS m4,
+               CAST(SUM(CASE WHEN k = 5 THEN num END) AS BIGINT) AS m5,
+               CAST(SUM(CASE WHEN k = 6 THEN num END) AS BIGINT) AS m6,
+               CAST(SUM(CASE WHEN k = 7 THEN num END) AS BIGINT) AS m7
+        FROM nums
+    )
+    SELECT n, d AS den_scaled, m1, m2, m3, m4, m5, m6, m7,
+           CAST(FLOOR(CAST(n AS DOUBLE) * (n + 2) * (
+               (CAST(m1 AS DOUBLE) / d) * (CAST(m1 AS DOUBLE) / d) / (n - 1)
+             + (CAST(m2 AS DOUBLE) / d) * (CAST(m2 AS DOUBLE) / d) / (n - 2)
+             + (CAST(m3 AS DOUBLE) / d) * (CAST(m3 AS DOUBLE) / d) / (n - 3)
+             + (CAST(m4 AS DOUBLE) / d) * (CAST(m4 AS DOUBLE) / d) / (n - 4)
+             + (CAST(m5 AS DOUBLE) / d) * (CAST(m5 AS DOUBLE) / d) / (n - 5)
+             + (CAST(m6 AS DOUBLE) / d) * (CAST(m6 AS DOUBLE) / d) / (n - 6)
+             + (CAST(m7 AS DOUBLE) / d) * (CAST(m7 AS DOUBLE) / d) / (n - 7)
+           ) * 1000) AS BIGINT) AS q_milli
+    FROM wide CROSS JOIN stats CROSS JOIN den
+    """,
+    survey="F45,F38,F43",
+)
+def f45_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q over ACF lags 1..7 of the daily
+    event-count series — the ONE-NUMBER whiteness gate f38's per-lag
+    table feeds (f43/f44 screen randomness via signs and extrema; Q is
+    the chi-square_7 test every ARIMA residual check quotes: n(n+2)·
+    Σ r_k²/(n−k)).
+
+    Exactness: the f38 n-scaled lattice verbatim — per-lag numerators
+    Σ(n·x_t−S)(n·x_{t+k}−S) and the shared denominator are exact
+    BIGINTs; the closed lag domain (1..7) pivots them into ONE row by
+    conditional aggregation, and Q is one shared scalar double chain in
+    written term order (r_k = num_k/d computed per term — num_k² would
+    overflow BIGINT, so the squares live in doubles), milli-floored.
+    Lag adjacency is explicit day arithmetic (calendar gaps drop pairs,
+    never misalign them — the f38 rule).
+
+    Scale shape: one scan → calendar-bounded daily agg; lag join, pivot
+    and the 1-row fold all run on the |days| relation (KB at any
+    volume)."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    den = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("long").alias("d"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    wide = nums.agg(
+        *[
+            F.sum(F.when(F.col("k") == k, F.col("num")))
+            .cast("long")
+            .alias(f"m{k}")
+            for k in range(1, 8)
+        ]
+    )
+    q_terms = " + ".join(
+        f"(CAST(m{k} AS DOUBLE) / d) * (CAST(m{k} AS DOUBLE) / d) / (n - {k})"
+        for k in range(1, 8)
+    )
+    return (
+        wide.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n",
+            F.col("d").alias("den_scaled"),
+            *[F.col(f"m{k}") for k in range(1, 8)],
+            F.expr(
+                f"CAST(FLOOR(CAST(n AS DOUBLE) * (n + 2) * ({q_terms}) * 1000)"
+                " AS BIGINT)"
+            ).alias("q_milli"),
+        )
+    )
+
+
+@register(
+    "f46_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM daily GROUP BY 1
+    ), den AS (
+        SELECT d.event_type,
+               CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS den_scaled
+        FROM daily d JOIN stats USING (event_type)
+        GROUP BY 1
+    ), num AS (
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM((st.n * b.x - st.n * a.x)
+                        * (st.n * b.x - st.n * a.x)) AS BIGINT) AS num_scaled
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + 1
+        JOIN stats st ON st.event_type = a.event_type
+        GROUP BY 1
+    )
+    SELECT s.event_type, s.n AS n_days, num.n_pairs,
+           num.num_scaled, den.den_scaled,
+           CAST(1000 * num.num_scaled // den.den_scaled AS BIGINT) AS dw_milli
+    FROM stats s JOIN num USING (event_type) JOIN den USING (event_type)
+    ORDER BY s.event_type
+    """,
+    survey="F46,F38,F43",
+)
+def f46_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order serial-correlation statistic per event
+    type on the daily revenue-cents series — the regression-residual
+    autocorrelation gate (DW ≈ 2(1−ρ₁): ≈2 white, →0 positive, →4
+    negative serial correlation) that complements f45's omnibus Q with a
+    DIRECTIONAL lag-1 readout; residuals here are deviations from the
+    per-type mean (the intercept-only model), for which DW is exact.
+
+    Exactness: pure integer END-TO-END — the mean-centering cancels in
+    the difference numerator, so with the n-scaled lattice num_scaled =
+    Σ(n·x_t − n·x_{t−1})² and den_scaled = Σ(n·x_t − S)² are both exact
+    BIGINTs scaled by the same n², and dw_milli = 1000·num DIV den needs
+    no doubles at all.  Consecutive-day pairs come from explicit day
+    arithmetic (the f38 rule: calendar gaps drop pairs, never misalign).
+
+    Scale shape: one scan → (type, day) agg; everything after lives on
+    the calendar-bounded per-type day relation (KB), one hash join per
+    leg on the type key."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    den = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            )
+            .cast("long")
+            .alias("den_scaled")
+        )
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    num = (
+        a.join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("db") == F.col("da") + 1),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("xb") - F.col("n") * F.col("xa"))
+                * (F.col("n") * F.col("xb") - F.col("n") * F.col("xa"))
+            )
+            .cast("long")
+            .alias("num_scaled"),
+        )
+    )
+    return (
+        stats.join(num, "event_type")
+        .join(den, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            "num_scaled",
+            "den_scaled",
+            F.expr("CAST(1000 * num_scaled DIV den_scaled AS BIGINT)").alias(
+                "dw_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "e105_g_test",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderpriority AS pr, c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+        SELECT pr, seg, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2
+    ), rt AS (
+        SELECT pr, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), ct AS (
+        SELECT seg, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), terms AS (
+        SELECT pr, seg, o, r, c, n,
+               CAST(FLOOR(CAST(o AS DOUBLE)
+                    * ln(CAST(o AS DOUBLE) * n
+                         / (CAST(r AS DOUBLE) * c)) * 1000000)
+                    AS BIGINT) AS term_micro
+        FROM cells JOIN rt USING (pr) JOIN ct USING (seg) CROSS JOIN n
+    ), g AS (
+        SELECT CAST(2 * SUM(term_micro) AS BIGINT) AS g2_micro FROM terms
+    )
+    SELECT pr, seg, o, r AS row_total, c AS col_total, term_micro, g2_micro
+    FROM terms CROSS JOIN g
+    ORDER BY pr, seg
+    """,
+    survey="E105,E37,E95",
+)
+def e105_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence on the order
+    priority × customer market-segment contingency grid — the
+    information-theoretic twin of e37's Pearson chi-square (G = 2ΣO·
+    ln(O·N/(R·C)) is 2N·(mutual information in nats), additive across
+    partitions of the table, which Pearson's X² is not — the property
+    that matters when 100 TB forces per-shard accumulation).
+
+    Exactness: observed counts and margins are exact BIGINTs; each
+    cell's term O·ln(O·N/(R·C)) is FLOOR-quantized to micro FIRST
+    (the e95 quantize-before-sum discipline — engine ln parity is
+    certified by the j101 precedent and pinned here per cell), then the
+    statistic is an exact INTEGER sum of quantized terms — no float
+    aggregation ever happens; quantization bias is bounded by one micro
+    per cell (25 cells, stated).  Empty cells simply don't exist in the
+    cells relation (O·ln(O·…) → 0 as O → 0, the standard convention).
+
+    Scale shape: one orders⋈customer scan → 25-cell hash agg (both
+    domains closed) → margin joins and the integer fold on the KB grid."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("o_orderpriority").alias("pr"), F.col("c_mktsegment").alias("seg"))
+    cells = base.groupBy("pr", "seg").agg(F.count("*").cast("long").alias("o"))
+    rt = cells.groupBy("pr").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pr", "seg", "o", "r", "c", "n",
+            F.expr(
+                "CAST(FLOOR(CAST(o AS DOUBLE)"
+                " * ln(CAST(o AS DOUBLE) * n"
+                "      / (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    g = terms.agg((2 * F.sum("term_micro")).cast("long").alias("g2_micro"))
+    return (
+        terms.crossJoin(F.broadcast(g))
+        .select(
+            "pr", "seg", "o",
+            F.col("r").alias("row_total"),
+            F.col("c").alias("col_total"),
+            "term_micro", "g2_micro",
+        )
+        .orderBy("pr", "seg")
+    )
+
+
+@register(
+    "e106_odds_ratio_woolf",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+        SELECT CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM base
+    ), q AS (
+        SELECT a, b, c, d,
+               CAST(1000 * (a * d) // (b * c) AS BIGINT) AS or_milli,
+               CAST(FLOOR(ln(CAST(a AS DOUBLE) * d
+                             / (CAST(b AS DOUBLE) * c)) * 1000000)
+                    AS BIGINT) AS lnor_micro,
+               CAST(FLOOR(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+                          * 1000000) AS BIGINT) AS se_micro
+        FROM cells
+    )
+    SELECT a, b, c, d, or_milli, lnor_micro, se_micro,
+           CAST(lnor_micro - 1960 * se_micro // 1000 AS BIGINT)
+               AS ci_lo_ln_micro,
+           CAST(lnor_micro + 1960 * se_micro // 1000 AS BIGINT)
+               AS ci_hi_ln_micro
+    FROM q
+    """,
+    survey="E106,E95,E89",
+)
+def e106_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with the Woolf log-interval: exposure = BUILDING
+    market segment, outcome = urgent order — the SINGLE-stratum effect
+    estimate e95's Mantel-Haenszel pools across strata (run THIS first;
+    if strata disagree with the pooled answer, Simpson's paradox is in
+    play) with the textbook CI: ln OR ± 1.96·√(1/a+1/b+1/c+1/d).
+
+    Exactness: the 2×2 cells are ONE exact conditional aggregation;
+    or_milli = 1000·ad DIV bc is pure integer; ln OR and the Woolf SE
+    are each FLOOR-quantized to micro straight off their double
+    expressions (ln parity per the j101 precedent; sqrt is IEEE
+    correctly-rounded, bit-identical on both engines), and the CI bounds
+    are then PURE INTEGER arithmetic on the quantized pair — reported on
+    the log scale so no exp() round-trip can drift.
+
+    Scale shape: one orders⋈customer scan → one 4-stat global agg →
+    1-row arithmetic; nothing after the scan exceeds one row."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("e"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    cells = base.agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    q = cells.select(
+        "a", "b", "c", "d",
+        F.expr("CAST(1000 * (a * d) DIV (b * c) AS BIGINT)").alias("or_milli"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(a AS DOUBLE) * d"
+            " / (CAST(b AS DOUBLE) * c)) * 1000000) AS BIGINT)"
+        ).alias("lnor_micro"),
+        F.expr(
+            "CAST(FLOOR(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)"
+            " * 1000000) AS BIGINT)"
+        ).alias("se_micro"),
+    )
+    return q.select(
+        "a", "b", "c", "d", "or_milli", "lnor_micro", "se_micro",
+        F.expr("CAST(lnor_micro - 1960 * se_micro DIV 1000 AS BIGINT)").alias(
+            "ci_lo_ln_micro"
+        ),
+        F.expr("CAST(lnor_micro + 1960 * se_micro DIV 1000 AS BIGINT)").alias(
+            "ci_hi_ln_micro"
+        ),
+    )

@@ -159,3 +159,120 @@ def test_e104_cochran_q_python_replay(spark, sf_dir):
     )
     assert (row.sum_r, row.sum_r2, row.q_milli) == (sum_r, sum_r2, q_milli)
     assert sum_r == sum(cj)  # row/column total identity
+
+
+def _events():
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    out = []
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        day = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        out.append((et, day, int(round(v * 100))))
+    return out
+
+
+def test_f45_ljung_box_python_replay(spark, sf_dir):
+    daily = Counter()
+    for _, day, _ in _events():
+        daily[day] += 1
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    d = sum((n * daily[t] - s) ** 2 for t in days)
+    m = {}
+    for k in range(1, 8):
+        m[k] = sum(
+            (n * daily[t] - s) * (n * daily[t + k] - s)
+            for t in days
+            if t + k in daily
+        )
+    q = (
+        n * (n + 2)
+        * sum((m[k] / d) * (m[k] / d) / (n - k) for k in range(1, 8))
+    )
+    row = REGISTRY["f45_ljung_box"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n and row.den_scaled == d
+    for k in range(1, 8):
+        assert row[f"m{k}"] == m[k], k
+    assert abs(row.q_milli - math.floor(q * 1000)) <= 1
+    assert row.q_milli >= 0  # Q is a sum of squares scaled by positives
+
+
+def test_f46_durbin_watson_python_replay(spark, sf_dir):
+    daily = defaultdict(int)
+    for et, day, cents in _events():
+        daily[(et, day)] += cents
+    by_type = defaultdict(dict)
+    for (et, day), x in daily.items():
+        by_type[et][day] = x
+    rows = {r.event_type: r for r in
+            REGISTRY["f46_durbin_watson"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(by_type)
+    for et, series in by_type.items():
+        n, s = len(series), sum(series.values())
+        den = sum((n * x - s) ** 2 for x in series.values())
+        pairs = [(t, t + 1) for t in series if t + 1 in series]
+        num = sum((n * series[b] - n * series[a]) ** 2 for a, b in pairs)
+        r = rows[et]
+        assert (r.n_days, r.n_pairs) == (n, len(pairs)), et
+        assert (r.num_scaled, r.den_scaled) == (num, den), et
+        assert r.dw_milli == 1000 * num // den, et
+        assert 0 <= r.dw_milli <= 4000  # DW lives in [0, 4]
+
+
+def _orders_with_segment():
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    c = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(c.column(0).to_pylist(), c.column(1).to_pylist()))
+    return [
+        (pr, seg[ck])
+        for ck, pr in zip(o.column(0).to_pylist(), o.column(1).to_pylist())
+    ]
+
+
+def test_e105_g_test_python_replay(spark, sf_dir):
+    cells, rt, ct = Counter(), Counter(), Counter()
+    for pr, sg in _orders_with_segment():
+        cells[(pr, sg)] += 1
+        rt[pr] += 1
+        ct[sg] += 1
+    n = sum(cells.values())
+    rows = REGISTRY["e105_g_test"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(cells)
+    g_q = 0
+    for r in rows:
+        o = cells[(r.pr, r.seg)]
+        assert r.o == o and r.row_total == rt[r.pr] and r.col_total == ct[r.seg]
+        term = math.floor(o * math.log(o * n / (rt[r.pr] * ct[r.seg])) * 1e6)
+        assert abs(r.term_micro - term) <= 1, (r.pr, r.seg)
+        g_q += r.term_micro
+    assert all(r.g2_micro == 2 * g_q for r in rows)
+    # G >= 0 up to per-cell quantization (<= 1 micro each)
+    assert rows[0].g2_micro >= -2 * len(cells)
+
+
+def test_e106_odds_ratio_python_replay(spark, sf_dir):
+    a = b = c = d = 0
+    for pr, sg in _orders_with_segment():
+        e, y = sg == "BUILDING", pr == "1-URGENT"
+        if e and y:
+            a += 1
+        elif e:
+            b += 1
+        elif y:
+            c += 1
+        else:
+            d += 1
+    row = REGISTRY["e106_odds_ratio_woolf"].fn(spark, sf_dir).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+    assert row.or_milli == 1000 * a * d // (b * c)
+    assert abs(row.lnor_micro - math.floor(math.log(a * d / (b * c)) * 1e6)) <= 1
+    assert abs(
+        row.se_micro
+        - math.floor(math.sqrt(1 / a + 1 / b + 1 / c + 1 / d) * 1e6)
+    ) <= 1
+    assert row.ci_lo_ln_micro == row.lnor_micro - 1960 * row.se_micro // 1000
+    assert row.ci_hi_ln_micro == row.lnor_micro + 1960 * row.se_micro // 1000
+    assert row.ci_lo_ln_micro < row.lnor_micro < row.ci_hi_ln_micro
