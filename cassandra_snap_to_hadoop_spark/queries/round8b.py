@@ -877,3 +877,416 @@ def e106_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_ln_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: corpus-statistics tier — vocabulary growth (Heaps), readability
+# (Flesch-Kincaid), sequential drift (Page-Hinkley), and term burstiness.
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "j117_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id, unnest({_WORDS}) AS w FROM documents
+    ), per_doc AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM tok GROUP BY 1, 2
+    ), first_doc AS (
+        SELECT source, w, MIN(doc_id) AS fd FROM tok GROUP BY 1, 2
+    ), new_types AS (
+        SELECT source, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM first_doc GROUP BY 1, 2
+    ), cum AS (
+        SELECT p.source, p.doc_id,
+               SUM(p.tc) OVER (PARTITION BY p.source ORDER BY p.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS n_cum,
+               SUM(COALESCE(nt.nv, 0)) OVER (PARTITION BY p.source
+                   ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS v_cum,
+               ROW_NUMBER() OVER (PARTITION BY p.source
+                                  ORDER BY p.doc_id) AS rnk
+        FROM per_doc p LEFT JOIN new_types nt
+            ON nt.source = p.source AND nt.doc_id = p.doc_id
+    ), dstats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM per_doc GROUP BY 1
+    ), cps AS (
+        SELECT DISTINCT d.source,
+               GREATEST(1, (j.j * d.nd) // 8) AS rnk
+        FROM dstats d CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
+    ), pts AS (
+        SELECT c.source,
+               CAST(FLOOR(ln(CAST(c.n_cum AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(c.v_cum AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS y
+        FROM cum c JOIN cps ON cps.source = c.source AND cps.rnk = c.rnk
+    ), s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT source, m, sx, sy, sxy, sxx,
+           CAST(1000 * (m * sxy - sx * sy) // (m * sxx - sx * sx)
+                AS BIGINT) AS beta_milli,
+           CAST(FLOOR((CAST(sy AS DOUBLE) / m
+                       - (CAST(m * sxy - sx * sy AS DOUBLE)
+                          / (m * sxx - sx * sx)) * sx / m) / 1000)
+                AS BIGINT) AS lnk_milli
+    FROM s ORDER BY source
+    """,
+    survey="J117,J61,J8",
+)
+def j117_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) = K·n^β per source — the
+    GROWTH sibling of j61's Zipf rank-frequency fit (Zipf reads the
+    static distribution; Heaps answers the capacity-planning question
+    'how fast does the vocabulary grow as this source scales', the
+    β < 1 sublinearity every tokenizer-budget projection relies on —
+    Heaps 1978, and the two laws are asymptotically linked).
+
+    Exactness: token counts, per-(source,token) FIRST-document ids, and
+    the cumulative (tokens-so-far, types-so-far) pairs are exact
+    BIGINTs on per-source windows; 8 checkpoint rows per source picked
+    by the integer closed form GREATEST(1, j·D DIV 8); ln(n), ln(V)
+    FLOOR-micro-quantized (j101 ln-parity precedent) BEFORE the OLS
+    sufficient statistics, which are then exact integer sums; the slope
+    is a pure integer milli division and only the intercept finishes in
+    one shared scalar double chain.  Integer budget: the centered slope
+    terms stay ≤ ~6·10¹⁷ for any corpus whose ln-token-count spread
+    fits 10³ nats — stated for the 100 TB read.
+
+    Scale shape: tokenize (the volume term) → (source,doc) and
+    (source,token) hash aggs → per-source windows on the DOC relation
+    (calendar-of-docs bounded, partitioned by source) → 8-point
+    checkpoint join → KB folds."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("source", "doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("tc")
+    )
+    first_doc = tok.groupBy("source", "w").agg(F.min("doc_id").alias("fd"))
+    new_types = first_doc.groupBy(
+        "source", F.col("fd").alias("doc_id")
+    ).agg(F.count("*").cast("long").alias("nv"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rnk = Window.partitionBy("source").orderBy("doc_id")
+    cum = (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("tc").over(w_cum).alias("n_cum"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w_cum).alias("v_cum"),
+            F.row_number().over(w_rnk).alias("rnk"),
+        )
+    )
+    dstats = per_doc.groupBy("source").agg(F.count("*").cast("long").alias("nd"))
+    js = spark.range(1, 9).select(F.col("id").alias("j"))
+    cps = (
+        dstats.crossJoin(F.broadcast(js))
+        .select(
+            "source",
+            F.greatest(F.lit(1), F.expr("(j * nd) DIV 8")).alias("rnk"),
+        )
+        .distinct()
+    )
+    pts = cum.join(cps, ["source", "rnk"]).select(
+        "source",
+        F.expr("CAST(FLOOR(ln(CAST(n_cum AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(FLOOR(ln(CAST(v_cum AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    s = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "source", "m", "sx", "sy", "sxy", "sxx",
+        F.expr(
+            "CAST(1000 * (m * sxy - sx * sy) DIV (m * sxx - sx * sx) AS BIGINT)"
+        ).alias("beta_milli"),
+        F.expr(
+            "CAST(FLOOR((CAST(sy AS DOUBLE) / m"
+            " - (CAST(m * sxy - sx * sy AS DOUBLE)"
+            "    / (m * sxx - sx * sx)) * sx / m) / 1000) AS BIGINT)"
+        ).alias("lnk_milli"),
+    ).orderBy("source")
+
+
+@register(
+    "j118_flesch_kincaid",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len({_WORDS}) AS BIGINT) AS words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all({_NORM}, '[aeiouy]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    ), s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS w,
+               CAST(SUM(sentences) AS BIGINT) AS st,
+               CAST(SUM(syllables) AS BIGINT) AS y
+        FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs, w AS n_words, st AS n_sentences, y AS n_syllables,
+           CAST(FLOOR((CAST(39 AS DOUBLE) * w / (100 * st)
+                       + CAST(118 AS DOUBLE) * y / (10 * w)
+                       - CAST(1559 AS DOUBLE) / 100) * 1000)
+                AS BIGINT) AS fk_grade_milli,
+           CAST(FLOOR((CAST(206835 AS DOUBLE) / 1000
+                       - CAST(1015 AS DOUBLE) * w / (1000 * st)
+                       - CAST(846 AS DOUBLE) * y / (10 * w)) * 1000)
+                AS BIGINT) AS fre_milli
+    FROM s ORDER BY source
+    """,
+    survey="J118,J8,J22",
+)
+def j118_flesch_kincaid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level and Flesch reading-ease per source —
+    the READABILITY leg of the quality tier (j22 scores surface
+    heuristics, j9 identifies language; FK is the standardized
+    complexity score real curation recipes filter on): grade =
+    0.39·(W/S) + 11.8·(Y/W) − 15.59 over total words W, sentences S,
+    vowel-group syllables Y.
+
+    Exactness: all three counts are exact BIGINT sums of per-document
+    regexp counts — words from the canonical whitespace tokenization,
+    sentences as '[.!?]+' runs clamped to ≥1 per doc (stated rule),
+    syllables as '[aeiouy]+' vowel groups on the normalized text
+    (groups never span the space-separated words, so the doc-level
+    count equals the per-word sum); both formulas are one shared scalar
+    double chain built ONLY from integer literals and CASTs (the
+    decimal-literal landmine rule), milli-floored.
+
+    Scale shape: one pure-map scan (codegen regexp counting, no UDF) →
+    per-source 4-stat hash agg → per-row arithmetic on the KB source
+    relation."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    per_doc = d.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.size(
+            F.regexp_extract_all(normalize_text(F.col("text")), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("w"),
+        F.sum("sentences").cast("long").alias("st"),
+        F.sum("syllables").cast("long").alias("y"),
+    )
+    return s.select(
+        "source", "n_docs",
+        F.col("w").alias("n_words"),
+        F.col("st").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        F.expr(
+            "CAST(FLOOR((CAST(39 AS DOUBLE) * w / (100 * st)"
+            " + CAST(118 AS DOUBLE) * y / (10 * w)"
+            " - CAST(1559 AS DOUBLE) / 100) * 1000) AS BIGINT)"
+        ).alias("fk_grade_milli"),
+        F.expr(
+            "CAST(FLOOR((CAST(206835 AS DOUBLE) / 1000"
+            " - CAST(1015 AS DOUBLE) * w / (1000 * st)"
+            " - CAST(846 AS DOUBLE) * y / (10 * w)) * 1000) AS BIGINT)"
+        ).alias("fre_milli"),
+    ).orderBy("source")
+
+
+@register(
+    "f47_page_hinkley",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    ), dev AS (
+        SELECT event_type, day,
+               1000 * x - (1000 * s) // i AS dev_milli
+        FROM seq
+    ), ph AS (
+        SELECT event_type, day,
+               SUM(dev_milli) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS ph_t
+        FROM dev
+    ), band AS (
+        SELECT event_type, day, ph_t,
+               ph_t - MIN(ph_t) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS ph_dev
+        FROM ph
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS total
+        FROM daily GROUP BY 1
+    )
+    SELECT s.event_type, s.n_days, s.total,
+           CAST(MAX(b.ph_dev) AS BIGINT) AS max_dev_milli,
+           CAST((1000 * s.total) // s.n_days AS BIGINT) AS lambda_milli,
+           MIN(CASE WHEN b.ph_dev > (1000 * s.total) // s.n_days
+                    THEN b.day END) AS alarm_day
+    FROM band b JOIN stats s USING (event_type)
+    GROUP BY 1, 2, 3
+    ORDER BY s.event_type
+    """,
+    survey="F47,F15,F42",
+)
+def f47_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector per event type on the daily count
+    series — the SEQUENTIAL mean-shift monitor completing the change
+    tier (f15's CUSUM tracks deviation from a FIXED reference, f42's
+    EWMA discounts geometrically; PH accumulates deviation from the
+    RUNNING mean and alarms on its excursion from the running minimum —
+    the classic Page 1954 formulation streaming-drift libraries ship).
+
+    Exactness: pure integer END-TO-END — the running mean enters ONLY
+    through the truncating division (1000·S_i) DIV i (defined statistic,
+    the f42 discipline), so dev, PH_t, the running minimum and the
+    excursion are exact BIGINTs; the alarm band λ = one mean day of
+    deviation ((1000·total) DIV n — a DEFINED, scale-free contract) and
+    alarm_day is the first crossing (NULL when the series never
+    drifts).
+
+    Scale shape: one scan → (type, day) agg (the volume term); all four
+    windows are per-type over the calendar-bounded day relation; one
+    KB stats join and a per-type fold."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rnk = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", "day", "x",
+        F.row_number().over(w_rnk).alias("i"),
+        F.sum("x").over(w).alias("s"),
+    )
+    dev = seq.select(
+        "event_type", "day",
+        F.expr("1000 * x - (1000 * s) DIV i").alias("dev_milli"),
+    )
+    ph = dev.select(
+        "event_type", "day", F.sum("dev_milli").over(w).alias("ph_t")
+    )
+    band = ph.select(
+        "event_type", "day", "ph_t",
+        (F.col("ph_t") - F.min("ph_t").over(w)).alias("ph_dev"),
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    lam = F.expr("(1000 * total) DIV n_days")
+    return (
+        band.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_days", "total")
+        .agg(
+            F.max("ph_dev").cast("long").alias("max_dev_milli"),
+            F.max(lam).cast("long").alias("lambda_milli"),
+            F.min(F.when(F.col("ph_dev") > lam, F.col("day"))).alias("alarm_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "j119_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+    ), dw AS (
+        SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), per_w AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+               CAST(SUM(c) AS BIGINT) AS cf
+        FROM dw GROUP BY 1
+    )
+    SELECT w, df, df2, cf,
+           CAST(1000 * df2 // df AS BIGINT) AS burst_milli,
+           CAST(1000 * cf // df AS BIGINT) AS rate_milli
+    FROM per_w
+    ORDER BY df DESC, w LIMIT 20
+    """,
+    survey="J119,J6,J113",
+)
+def j119_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness for the top-20 document-frequency
+    terms: P(term repeats | term appears) = df₂/df — the within-document
+    CLUMPING statistic frequency alone hides (a term with cf=1000 spread
+    over 1000 docs behaves Poisson; the same cf concentrated 10-per-doc
+    is bursty — Church & Gale 1995), which drives stopword-vs-content
+    separation and the overdispersion j113's Good-Turing mass implies.
+
+    Exactness: pure integer END-TO-END — per-(term, doc) counts, df,
+    df₂, cf are exact BIGINTs from two hash aggs; burstiness and the
+    occurrences-per-containing-doc rate are integer milli divisions;
+    the top-20 cut uses the deterministic (df DESC, w) tiebreak.
+
+    Scale shape: tokenize (volume term) → (term, doc) hash agg → term
+    hash agg on the vocab-bounded relation → TakeOrderedAndProject 20,
+    never a global sort."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dw = tok.groupBy("w", "doc_id").agg(F.count("*").cast("long").alias("c"))
+    per_w = dw.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long").alias("df2"),
+        F.sum("c").cast("long").alias("cf"),
+    )
+    return (
+        per_w.select(
+            "w", "df", "df2", "cf",
+            F.expr("CAST(1000 * df2 DIV df AS BIGINT)").alias("burst_milli"),
+            F.expr("CAST(1000 * cf DIV df AS BIGINT)").alias("rate_milli"),
+        )
+        .orderBy(F.col("df").desc(), "w")
+        .limit(20)
+    )

@@ -276,3 +276,116 @@ def test_e106_odds_ratio_python_replay(spark, sf_dir):
     assert row.ci_lo_ln_micro == row.lnor_micro - 1960 * row.se_micro // 1000
     assert row.ci_hi_ln_micro == row.lnor_micro + 1960 * row.se_micro // 1000
     assert row.ci_lo_ln_micro < row.lnor_micro < row.ci_hi_ln_micro
+
+
+import re as _re
+
+
+def _docs(cols):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=cols)
+    return list(zip(*[t.column(i).to_pylist() for i in range(len(cols))]))
+
+
+def _norm_words(text):
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    return norm, norm.split(" ")
+
+
+def test_j117_heaps_law_python_replay(spark, sf_dir):
+    by_source = defaultdict(list)
+    for src, did, text in _docs(["source", "doc_id", "text"]):
+        by_source[src].append((did, _norm_words(text)[1]))
+    rows = {r.source: r for r in
+            REGISTRY["j117_heaps_law"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(by_source)
+    for src, docs in by_source.items():
+        docs.sort()
+        seen, pts_by_rank = set(), {}
+        n_cum = 0
+        for rnk, (did, ws) in enumerate(docs, 1):
+            n_cum += len(ws)
+            seen |= set(ws)
+            pts_by_rank[rnk] = (n_cum, len(seen))
+        nd = len(docs)
+        cps = sorted({max(1, (j * nd) // 8) for j in range(1, 9)})
+        xs = [math.floor(math.log(pts_by_rank[r][0]) * 1e6) for r in cps]
+        ys = [math.floor(math.log(pts_by_rank[r][1]) * 1e6) for r in cps]
+        m = len(cps)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        r = rows[src]
+        assert (r.m, r.sx, r.sy, r.sxy, r.sxx) == (m, sx, sy, sxy, sxx), src
+        num, den = m * sxy - sx * sy, m * sxx - sx * sx
+        assert r.beta_milli == 1000 * num // den, src
+        lnk = (sy / m - (num / den) * sx / m) / 1000
+        assert abs(r.lnk_milli - math.floor(lnk)) <= 1, src
+
+
+def test_j118_flesch_kincaid_python_replay(spark, sf_dir):
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, sentences, syllables
+    for src, text in _docs(["source", "text"]):
+        norm, ws = _norm_words(text)
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += max(len(_re.findall(r"[.!?]+", text)), 1)
+        a[3] += len(_re.findall(r"[aeiouy]+", norm))
+    rows = {r.source: r for r in
+            REGISTRY["j118_flesch_kincaid"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for src, (nd, w, st, y) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_words, r.n_sentences, r.n_syllables) == (nd, w, st, y)
+        fk = 0.39 * w / st + 11.8 * y / w - 15.59
+        fre = 206.835 - 1.015 * w / st - 84.6 * y / w
+        assert abs(r.fk_grade_milli - math.floor(fk * 1000)) <= 1, src
+        assert abs(r.fre_milli - math.floor(fre * 1000)) <= 1, src
+
+
+def test_f47_page_hinkley_python_replay(spark, sf_dir):
+    daily = defaultdict(lambda: defaultdict(int))
+    for et, day, _ in _events():
+        daily[et][day] += 1
+    rows = {r.event_type: r for r in
+            REGISTRY["f47_page_hinkley"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(daily)
+    for et, series in daily.items():
+        days = sorted(series)
+        s = ph = 0
+        run_min, max_dev, alarm = 0, 0, None
+        total, n = sum(series.values()), len(days)
+        lam = 1000 * total // n
+        for i, day in enumerate(days, 1):
+            s += series[day]
+            ph += 1000 * series[day] - (1000 * s) // i
+            run_min = min(run_min, ph) if i > 1 else ph
+            dev = ph - run_min
+            max_dev = max(max_dev, dev)
+            if alarm is None and dev > lam:
+                alarm = day
+        r = rows[et]
+        assert (r.n_days, r.total) == (n, total), et
+        assert (r.max_dev_milli, r.lambda_milli) == (max_dev, lam), et
+        assert r.alarm_day == alarm, et
+
+
+def test_j119_term_burstiness_python_replay(spark, sf_dir):
+    dw = Counter()
+    for (did, text) in _docs(["doc_id", "text"]):
+        for w in _norm_words(text)[1]:
+            dw[(w, did)] += 1
+    per_w = defaultdict(lambda: [0, 0, 0])
+    for (w, _), c in dw.items():
+        p = per_w[w]
+        p[0] += 1
+        p[1] += 1 if c >= 2 else 0
+        p[2] += c
+    top = sorted(per_w.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    rows = REGISTRY["j119_term_burstiness"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r, (w, (df, df2, cf)) in zip(rows, top):
+        assert (r.w, r.df, r.df2, r.cf) == (w, df, df2, cf)
+        assert r.burst_milli == 1000 * df2 // df
+        assert r.rate_milli == 1000 * cf // df
+        assert 0 <= r.burst_milli <= 1000  # df2 <= df by construction
