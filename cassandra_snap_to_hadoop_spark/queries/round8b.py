@@ -1290,3 +1290,293 @@ def j119_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "w")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: Cassandra systems semantics — the secondary-index read path,
+# lightweight-transaction (CAS) replay, and the wide-partition histogram.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "b16_secondary_index_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS pk, o_orderkey % 32 AS bucket,
+               o_orderpriority AS val,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), idx AS (
+        SELECT val, bucket, pk FROM base
+    ), fetched AS (
+        SELECT i.val, i.bucket, b.cents
+        FROM idx i JOIN base b ON b.pk = i.pk AND b.bucket = i.bucket
+        WHERE b.val = i.val
+    )
+    SELECT val AS priority,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM fetched GROUP BY 1 ORDER BY 1
+    """,
+    survey="B16,B1,D1",
+)
+def b16_secondary_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra secondary-index (2i) read path: the index table stores
+    (indexed_value → partition key) pairs CO-LOCATED with the base rows
+    (Cassandra 2i is a LOCAL index — each node indexes only its own
+    token range, modeled by the bucket column riding both relations),
+    the read fans out value → keys → base-row fetch, and the fetch
+    RE-VERIFIES the predicate (Cassandra re-checks on read because the
+    index may trail the base under concurrent writes).  Certified
+    end-to-end against the direct-scan oracle: the index path and the
+    scan path must reconcile to identical per-value counts, bucket
+    fan-out and content checksums.
+
+    Exactness: pure integer — cents checksums, exact counts, exact
+    distinct-bucket fan-out per indexed value.
+
+    Scale shape: index build is one projection; the read path is one
+    hash join on the composite (pk, bucket) locality key — exactly the
+    node-local lookup the real 2i performs, never a cross-bucket
+    shuffle of base rows; final agg on the 5-value domain."""
+    o = Tables(spark, sf_dir).orders
+    base = o.select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_orderkey") % 32).alias("bucket"),
+        F.col("o_orderpriority").alias("val"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    idx = base.select("val", "bucket", "pk")
+    fetched = (
+        idx.alias("i")
+        .join(
+            base.alias("b"),
+            (F.col("b.pk") == F.col("i.pk"))
+            & (F.col("b.bucket") == F.col("i.bucket")),
+        )
+        .where(F.col("b.val") == F.col("i.val"))
+        .select(F.col("i.val").alias("val"), F.col("i.bucket").alias("bucket"),
+                F.col("b.cents").alias("cents"))
+    )
+    return (
+        fetched.groupBy(F.col("val").alias("priority"))
+        .agg(
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "b17_lwt_cas_replay",
+    oracle="""
+    WITH dedup AS (
+        SELECT l_orderkey AS pk, l_linenumber AS ln,
+               MIN(CAST(l_quantity AS BIGINT)) AS q,
+               MIN(l_partkey) AS pkey,
+               MIN(CAST(ROUND(l_discount * 100) AS BIGINT)) AS dc
+        FROM lineitem GROUP BY 1, 2
+    ), props AS (
+        SELECT pk, ln, q AS newv,
+               CASE WHEN ln = 1 THEN pkey % 2
+                    WHEN dc >= 5 THEN 0
+                    ELSE LAG(q) OVER (PARTITION BY pk ORDER BY ln)
+               END AS expected
+        FROM dedup
+    ), keys AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_props FROM props GROUP BY 1
+    ), replay AS (
+        WITH RECURSIVE st AS (
+            SELECT pk, 0 AS j, CAST(0 AS BIGINT) AS state,
+                   CAST(0 AS BIGINT) AS applied
+            FROM keys
+            UNION ALL
+            SELECT st.pk, st.j + 1,
+                   CASE WHEN p.expected = st.state THEN p.newv
+                        ELSE st.state END,
+                   st.applied + CASE WHEN p.expected = st.state
+                                     THEN 1 ELSE 0 END
+            FROM st LEFT JOIN props p ON p.pk = st.pk AND p.ln = st.j + 1
+            WHERE st.j < 7
+        )
+        SELECT pk, state, applied FROM st WHERE j = 7
+    )
+    SELECT k.n_props, r.applied,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(r.state) AS BIGINT) AS sum_state
+    FROM replay r JOIN keys k USING (pk)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="B17,B2,B6",
+)
+def b17_lwt_cas_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra lightweight-transaction (Paxos CAS) replay: each
+    partition's proposals apply in ballot order IFF the expected value
+    matches the current state (`UPDATE ... IF value = ?`), rejected
+    proposals leave the state frozen — the conditional-write semantics
+    LWW (b2) and counters (b6) cannot express, because the outcome of
+    ballot j depends on the ACCEPT/REJECT history of 1..j−1, not just
+    timestamps.  Fixture: per order, line j proposes quantity_j
+    expecting quantity_{j−1} (the chain a correct client reads), except
+    line 1 expects partkey%2 (odd partkeys = doomed first ballot) and
+    ≥5%-discount lines expect 0 (stale reads) — exercising accept
+    chains, freezes, and stale-read re-acceptance after a freeze.
+
+    Exactness: pure integer end-to-end — the 7-step bounded fold is
+    BIGINT state + applied counters, mirrored by the oracle's
+    WITH RECURSIVE replay; output folds per-key finals onto the
+    (n_props, applied) grid with a content checksum.
+
+    Scale shape: proposals from one scan (per-key LAG window on the
+    natural lineitem order); 7 lockstep rounds of state⋈proposals hash
+    joins on the SAME pk key (co-partitioned after round 1, lineage
+    truncated per round); final KB grid agg."""
+    from pyspark.sql import Window
+
+    li = Tables(spark, sf_dir).lineitem
+    # The synthetic testdata has duplicate (orderkey, linenumber) pairs at
+    # sf0.01+ (the b14 lesson): reduce to ONE proposal per ballot slot with
+    # deterministic MIN aggregation BEFORE the LAG chain and the step joins,
+    # or both the window order and the per-step join fan-out are undefined.
+    dedup = li.groupBy(
+        F.col("l_orderkey").alias("pk"), F.col("l_linenumber").alias("ln")
+    ).agg(
+        F.min(F.col("l_quantity").cast("long")).alias("q"),
+        F.min("l_partkey").alias("pkey"),
+        F.min(F.round(F.col("l_discount") * 100).cast("long")).alias("dc"),
+    )
+    props = dedup.select(
+        "pk",
+        "ln",
+        F.col("q").alias("newv"),
+        F.when(F.col("ln") == 1, F.col("pkey") % 2)
+        .when(F.col("dc") >= 5, F.lit(0))
+        .otherwise(F.lag("q").over(Window.partitionBy("pk").orderBy("ln")))
+        .cast("long")
+        .alias("expected"),
+    ).localCheckpoint(eager=True)
+    keys = props.groupBy("pk").agg(F.count("*").cast("long").alias("n_props"))
+    state = keys.select(
+        "pk", F.lit(0).cast("long").alias("state"), F.lit(0).cast("long").alias("applied")
+    )
+    for j in range(1, 8):
+        pj = props.where(F.col("ln") == j).select(
+            "pk", F.col("newv").alias("__nv"), F.col("expected").alias("__ex")
+        )
+        state = (
+            state.join(pj, "pk", "left")
+            .select(
+                "pk",
+                F.when(F.col("__ex") == F.col("state"), F.col("__nv"))
+                .otherwise(F.col("state"))
+                .alias("state"),
+                (
+                    F.col("applied")
+                    + F.when(F.col("__ex") == F.col("state"), 1).otherwise(0)
+                ).cast("long").alias("applied"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.join(keys, "pk")
+        .groupBy("n_props", "applied")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("state").cast("long").alias("sum_state"),
+        )
+        .orderBy("n_props", "applied")
+    )
+
+
+@register(
+    "a38_partition_size_histogram",
+    oracle="""
+    WITH rows_b AS (
+        SELECT l_orderkey AS pk,
+               48 + 2 * CAST(l_quantity AS BIGINT)
+                  + CAST(ROUND(l_discount * 100) AS BIGINT) AS row_bytes
+        FROM lineitem
+    ), parts AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(row_bytes) AS BIGINT) AS bytes
+        FROM rows_b GROUP BY 1
+    ), pw AS (
+        SELECT unnest(range(0, 41)) AS p
+    ), bucketed AS (
+        SELECT p, n_rows, bytes
+        FROM parts JOIN pw
+          ON bytes >= (CAST(1 AS BIGINT) << p)
+         AND bytes < (CAST(1 AS BIGINT) << (p + 1))
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM parts
+    )
+    SELECT CAST(p AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_bytes,
+           CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+           CAST(SUM(n_rows) AS BIGINT) AS sum_rows,
+           CAST(1000000 * COUNT(*) // n_total AS BIGINT) AS share_ppm
+    FROM bucketed CROSS JOIN tot
+    GROUP BY 1, n_total ORDER BY 1
+    """,
+    survey="A38,B5,E18",
+)
+def a38_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-size histogram on log2 buckets — the `nodetool
+    tablehistograms` wide-partition audit every Cassandra operator runs
+    before a migration (partitions past ~100 MB stall compaction and
+    repair; the histogram's right tail IS the risk report), computed
+    from the snapshot with a DEFINED per-row serialization estimator
+    (48 B overhead + 2 B/quantity unit + discount cents) so the result
+    is reproducible rather than codec-dependent.
+
+    Exactness: pure integer end-to-end — per-partition byte totals are
+    exact BIGINT sums; the log2 bucket comes from an explicit
+    power-of-two RANGE JOIN against a 41-row shift-left relation
+    (2^p ≤ bytes < 2^(p+1)) — never FLOOR(ln x / ln 2), whose boundary
+    ulps at exact powers of two would differ between engines; shares
+    are integer ppm.
+
+    Scale shape: one scan → per-partition hash agg (the natural
+    lineitem key, map-side combinable) → broadcast 41-row range join →
+    ≤41-bucket agg."""
+    li = Tables(spark, sf_dir).lineitem
+    rows_b = li.select(
+        F.col("l_orderkey").alias("pk"),
+        (
+            F.lit(48)
+            + 2 * F.col("l_quantity").cast("long")
+            + F.round(F.col("l_discount") * 100).cast("long")
+        ).alias("row_bytes"),
+    )
+    parts = rows_b.groupBy("pk").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("row_bytes").cast("long").alias("bytes"),
+    )
+    pw = spark.range(0, 41).select(F.col("id").cast("int").alias("p"))
+    bucketed = parts.join(
+        F.broadcast(pw),
+        (F.col("bytes") >= F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        & (F.col("bytes") < F.expr("shiftleft(CAST(1 AS BIGINT), p + 1)")),
+    )
+    tot = parts.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("p").cast("long").alias("log2_bucket"), F.col("n_total"))
+        .agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.min("bytes").cast("long").alias("min_bytes"),
+            F.max("bytes").cast("long").alias("max_bytes"),
+            F.sum("bytes").cast("long").alias("sum_bytes"),
+            F.sum("n_rows").cast("long").alias("sum_rows"),
+            F.expr("CAST(1000000 * COUNT(*) DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .drop("n_total")
+        .orderBy("log2_bucket")
+    )

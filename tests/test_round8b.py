@@ -389,3 +389,104 @@ def test_j119_term_burstiness_python_replay(spark, sf_dir):
         assert r.burst_milli == 1000 * df2 // df
         assert r.rate_milli == 1000 * cf // df
         assert 0 <= r.burst_milli <= 1000  # df2 <= df by construction
+
+
+def test_b16_secondary_index_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for k, pr, tp in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        a = agg[pr]
+        a[0].add(k % 32)
+        a[1] += 1
+        a[2] += int(round(tp * 100))
+    rows = {r.priority: r for r in
+            REGISTRY["b16_secondary_index_scan"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for pr, (buckets, n, cents) in agg.items():
+        r = rows[pr]
+        assert (r.n_buckets, r.n_rows, r.sum_cents) == (len(buckets), n, cents), pr
+
+
+def test_b17_lwt_cas_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
+                 "l_discount"],
+    )
+    dedup = {}
+    for ok, ln, q, pk, dc in zip(*[t.column(i).to_pylist() for i in range(5)]):
+        key = (ok, ln)
+        cand = (int(round(q)), pk, int(round(dc * 100)))
+        if key not in dedup:
+            dedup[key] = list(cand)
+        else:
+            cur = dedup[key]
+            cur[0] = min(cur[0], cand[0])
+            cur[1] = min(cur[1], cand[1])
+            cur[2] = min(cur[2], cand[2])
+    by_key = defaultdict(dict)
+    for (ok, ln), (q, pk, dc) in dedup.items():
+        by_key[ok][ln] = (q, pk, dc)
+    grid = defaultdict(lambda: [0, 0])
+    for ok, lines in by_key.items():
+        state, applied = 0, 0
+        lns = sorted(lines)
+        for j in range(1, 8):
+            if j not in lines:
+                continue
+            q, pk, dc = lines[j]
+            if j == 1:
+                expected = pk % 2
+            elif dc >= 5:
+                expected = 0
+            else:
+                earlier = [x for x in lns if x < j]
+                # LAG over the existing rows: None (never matches) when
+                # this is the first ballot slot present for the key
+                expected = lines[max(earlier)][0] if earlier else None
+            if expected == state:
+                state, applied = q, applied + 1
+        g = grid[(len(lines), applied)]
+        g[0] += 1
+        g[1] += state
+    rows = REGISTRY["b17_lwt_cas_replay"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(grid)
+    for r in rows:
+        n_keys, sum_state = grid[(r.n_props, r.applied)]
+        assert (r.n_keys, r.sum_state) == (n_keys, sum_state), (r.n_props, r.applied)
+        assert r.applied <= r.n_props  # can never apply more than proposed
+
+
+def test_a38_partition_histogram_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount"],
+    )
+    parts = defaultdict(lambda: [0, 0])
+    for ok, q, dc in zip(*[t.column(i).to_pylist() for i in range(3)]):
+        p = parts[ok]
+        p[0] += 1
+        p[1] += 48 + 2 * int(round(q)) + int(round(dc * 100))
+    hist = defaultdict(lambda: [0, None, None, 0, 0])
+    for n_rows, size in parts.values():
+        b = size.bit_length() - 1  # 2^b <= size < 2^(b+1)
+        h = hist[b]
+        h[0] += 1
+        h[1] = size if h[1] is None else min(h[1], size)
+        h[2] = size if h[2] is None else max(h[2], size)
+        h[3] += size
+        h[4] += n_rows
+    total = len(parts)
+    rows = REGISTRY["a38_partition_size_histogram"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(hist)
+    for r in rows:
+        n, mn, mx, sm, nr = hist[r.log2_bucket]
+        assert (r.n_partitions, r.min_bytes, r.max_bytes) == (n, mn, mx)
+        assert (r.sum_bytes, r.sum_rows) == (sm, nr)
+        assert r.share_ppm == 1_000_000 * n // total
+    assert sum(h[0] for h in hist.values()) == total  # buckets partition
