@@ -1580,3 +1580,260 @@ def a38_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_total")
         .orderBy("log2_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: data-forensics and lexical-diversity tier — Benford first-digit
+# audit, standardized type-token ratio, and Theil's U2 forecast skill.
+# --------------------------------------------------------------------------
+
+# FLOOR(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed in Python so both
+# engines compare against the SAME integer constants (the e72 discipline —
+# no engine log10 in the expected-mass path).
+_BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_MICRO.items()
+) + " END"
+
+
+@register(
+    "e107_benford_law",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), digits AS (
+        SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM cents WHERE c > 0
+    ), obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS o FROM digits GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+    ), terms AS (
+        SELECT d, o, n, CAST({_BENFORD_SQL_CASE} AS BIGINT) AS p_micro,
+               CAST(FLOOR(
+                   CAST(1000000 * o - n * ({_BENFORD_SQL_CASE}) AS DOUBLE)
+                   * CAST(1000000 * o - n * ({_BENFORD_SQL_CASE}) AS DOUBLE)
+                   / (CAST(1000000 AS DOUBLE) * n * ({_BENFORD_SQL_CASE}))
+                   * 1000) AS BIGINT) AS term_milli
+        FROM obs CROSS JOIN n
+    ), chi AS (
+        SELECT CAST(SUM(term_milli) AS BIGINT) AS chi2_milli FROM terms
+    )
+    SELECT d AS digit, o AS observed, p_micro,
+           CAST(n * p_micro AS BIGINT) AS expected_micro,
+           term_milli, chi2_milli
+    FROM terms CROSS JOIN chi
+    ORDER BY d
+    """,
+    survey="E107,E37,E105",
+)
+def e107_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order totals (in cents) — the
+    data-FORENSICS screen (fabricated or unit-mangled numeric columns
+    break the log-uniform first-digit law; auditors and data-quality
+    gates both run exactly this chi-square before trusting a feed).
+
+    Exactness: first digits come from STRING truncation of the exact
+    BIGINT cents (never FLOOR(x/10^(len-1)) float paths); the Benford
+    masses log10(1+1/d) are PYTHON-precomputed integer micro constants
+    embedded identically in both engines (the e72 discipline — no
+    engine log10 anywhere); each digit's chi-square term
+    (10⁶·O − N·p)²/(10⁶·N·p) is FLOOR-milli-quantized per digit
+    (quantize-before-sum) and the statistic is an exact INTEGER sum
+    over the closed 9-digit domain.
+
+    Scale shape: one scan → 9-row hash agg → constant-size arithmetic;
+    nothing after the scan exceeds nine rows."""
+    o = Tables(spark, sf_dir).orders
+    cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    digits = cents.where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("o"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    p_case = _BENFORD_SQL_CASE
+    terms = obs.crossJoin(F.broadcast(n)).select(
+        "d", "o", "n",
+        F.expr(f"CAST({p_case} AS BIGINT)").alias("p_micro"),
+        F.expr(
+            f"CAST(FLOOR("
+            f" CAST(1000000 * o - n * ({p_case}) AS DOUBLE)"
+            f" * CAST(1000000 * o - n * ({p_case}) AS DOUBLE)"
+            f" / (CAST(1000000 AS DOUBLE) * n * ({p_case}))"
+            f" * 1000) AS BIGINT)"
+        ).alias("term_milli"),
+    )
+    chi = terms.agg(F.sum("term_milli").cast("long").alias("chi2_milli"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("o").alias("observed"),
+            "p_micro",
+            F.expr("CAST(n * p_micro AS BIGINT)").alias("expected_micro"),
+            "term_milli",
+            "chi2_milli",
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "j120_sttr_lexical_diversity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, doc_id, w,
+               CAST(ord - 1 AS BIGINT) // 50 AS chunk
+        FROM (
+            SELECT source, doc_id, unnest({_WORDS}) AS w,
+                   generate_subscripts({_WORDS}, 1) AS ord
+            FROM documents
+        )
+    ), chunks AS (
+        SELECT source, doc_id, chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+        FROM tok GROUP BY 1, 2, 3
+    ), full_chunks AS (
+        SELECT source, CAST(1000 * n_types // 50 AS BIGINT) AS ttr_milli
+        FROM chunks WHERE n_tok = 50
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ttr_milli) AS BIGINT) AS sum_ttr_milli,
+           CAST(SUM(ttr_milli) // COUNT(*) AS BIGINT) AS sttr_mean_milli
+    FROM full_chunks GROUP BY 1 ORDER BY 1
+    """,
+    survey="J120,J8,J44",
+)
+def j120_sttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio (STTR) per source — the
+    length-INVARIANT lexical-diversity measure raw TTR is not (TTR
+    falls with document length by Heaps' law, j117; STTR fixes it by
+    averaging TTR over fixed 50-token chunks, the Kubát-Milička
+    standardization corpus linguistics reports): low STTR = repetitive
+    boilerplate, the signal dedup misses when the repetition is
+    WITHIN documents.
+
+    Exactness: pure integer end-to-end — per-chunk type counts are
+    exact (chunk = position DIV 50 on the canonical tokenization), only
+    FULL 50-token chunks participate (stated rule; short docs
+    contribute nothing), per-chunk TTR is an integer milli division and
+    the per-source mean divides two exact BIGINTs.
+
+    Scale shape: tokenize with positions (volume term) → (doc, chunk)
+    hash agg with a distinct-count → per-source fold; no windows, no
+    joins."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    tok = d.select(
+        "source", "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    ).select(
+        "source", "doc_id", "w", F.expr("CAST(pos AS BIGINT) DIV 50").alias("chunk")
+    )
+    chunks = tok.groupBy("source", "doc_id", "chunk").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    full_chunks = chunks.where(F.col("n_tok") == 50).select(
+        "source", F.expr("CAST(1000 * n_types DIV 50 AS BIGINT)").alias("ttr_milli")
+    )
+    return (
+        full_chunks.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("ttr_milli").cast("long").alias("sum_ttr_milli"),
+            F.expr("CAST(SUM(ttr_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "sttr_mean_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "f48_theil_u2",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.event_type, a.x AS x_t, b1.x AS x_lag1, b7.x AS x_lag7
+        FROM daily a
+        JOIN daily b1 ON b1.event_type = a.event_type AND b1.day = a.day - 1
+        JOIN daily b7 ON b7.event_type = a.event_type AND b7.day = a.day - 7
+    ), s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM((x_t - x_lag7) * (x_t - x_lag7)) AS BIGINT)
+                   AS sse_seasonal,
+               CAST(SUM((x_t - x_lag1) * (x_t - x_lag1)) AS BIGINT)
+                   AS sse_naive
+        FROM paired GROUP BY 1
+    )
+    SELECT event_type, n_days, sse_seasonal, sse_naive,
+           CASE WHEN sse_naive > 0
+                THEN CAST(FLOOR(sqrt(CAST(sse_seasonal AS DOUBLE)
+                                     / sse_naive) * 1000) AS BIGINT)
+                ELSE NULL END AS u2_milli
+    FROM s ORDER BY event_type
+    """,
+    survey="F48,E56,F27",
+)
+def f48_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-skill ratio per event type: RMSE of the
+    SEASONAL naive forecast (day-7-ago) over RMSE of the plain naive
+    (yesterday) on daily revenue cents — the model-free skill baseline
+    e56's MASE scales errors BY (U2 < 1 means weekly seasonality beats
+    persistence — justifying f27's Holt-Winters seasonal state; U2 ≥ 1
+    means the extra seasonal machinery buys nothing).
+
+    Exactness: both squared-error sums are exact BIGINTs over the SAME
+    day set (rows where both lag-1 and lag-7 exist — explicit
+    day-arithmetic joins, the f38 gap rule); U2 = √(SSE7/SSE1) is one
+    sqrt of an exact integer ratio (sqrt is IEEE correctly-rounded),
+    milli-floored; zero naive error guards to NULL.
+
+    Scale shape: one scan → (type, day) agg; the two lag joins and the
+    fold live on the calendar-bounded per-type day relation (KB)."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    a = daily.select("event_type", "day", F.col("x").alias("x_t"))
+    b1 = daily.select(
+        F.col("event_type").alias("et1"), F.col("day").alias("d1"),
+        F.col("x").alias("x_lag1"),
+    )
+    b7 = daily.select(
+        F.col("event_type").alias("et7"), F.col("day").alias("d7"),
+        F.col("x").alias("x_lag7"),
+    )
+    paired = a.join(
+        b1, (F.col("et1") == F.col("event_type")) & (F.col("d1") == F.col("day") - 1)
+    ).join(
+        b7, (F.col("et7") == F.col("event_type")) & (F.col("d7") == F.col("day") - 7)
+    )
+    s = paired.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum((F.col("x_t") - F.col("x_lag7")) * (F.col("x_t") - F.col("x_lag7")))
+        .cast("long")
+        .alias("sse_seasonal"),
+        F.sum((F.col("x_t") - F.col("x_lag1")) * (F.col("x_t") - F.col("x_lag1")))
+        .cast("long")
+        .alias("sse_naive"),
+    )
+    return s.select(
+        "event_type", "n_days", "sse_seasonal", "sse_naive",
+        F.expr(
+            "CASE WHEN sse_naive > 0"
+            " THEN CAST(FLOOR(sqrt(CAST(sse_seasonal AS DOUBLE)"
+            "                      / sse_naive) * 1000) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("u2_milli"),
+    ).orderBy("event_type")

@@ -490,3 +490,71 @@ def test_a38_partition_histogram_python_replay(spark, sf_dir):
         assert (r.sum_bytes, r.sum_rows) == (sm, nr)
         assert r.share_ppm == 1_000_000 * n // total
     assert sum(h[0] for h in hist.values()) == total  # buckets partition
+
+
+def test_e107_benford_python_replay(spark, sf_dir):
+    BEN = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+           6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    obs = Counter()
+    for tp in t.column(0).to_pylist():
+        c = int(round(tp * 100))
+        if c > 0:
+            obs[int(str(c)[0])] += 1
+    n = sum(obs.values())
+    rows = REGISTRY["e107_benford_law"].fn(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == sorted(obs)
+    chi2 = 0
+    for r in rows:
+        assert r.observed == obs[r.digit] and r.p_micro == BEN[r.digit]
+        assert r.expected_micro == n * BEN[r.digit]
+        dev = 1_000_000 * obs[r.digit] - n * BEN[r.digit]
+        term = math.floor(dev * dev / (1_000_000 * n * BEN[r.digit]) * 1000)
+        assert abs(r.term_milli - term) <= 1, r.digit
+        chi2 += r.term_milli
+    assert all(r.chi2_milli == chi2 for r in rows)
+    assert chi2 >= 0
+
+
+def test_j120_sttr_python_replay(spark, sf_dir):
+    agg = defaultdict(lambda: [0, 0])
+    for src, text in _docs(["source", "text"]):
+        ws = _norm_words(text)[1]
+        for i in range(0, len(ws) - len(ws) % 50, 50):
+            chunk = ws[i:i + 50]
+            agg[src][0] += 1
+            agg[src][1] += 1000 * len(set(chunk)) // 50
+    rows = {r.source: r for r in
+            REGISTRY["j120_sttr_lexical_diversity"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {s for s, a in agg.items() if a[0] > 0}
+    for src, (nc, st_sum) in agg.items():
+        if nc == 0:
+            continue
+        r = rows[src]
+        assert (r.n_chunks, r.sum_ttr_milli) == (nc, st_sum), src
+        assert r.sttr_mean_milli == st_sum // nc
+        assert 0 < r.sttr_mean_milli <= 1000  # TTR is a proper fraction
+
+
+def test_f48_theil_u2_python_replay(spark, sf_dir):
+    daily = defaultdict(lambda: defaultdict(int))
+    for et, day, cents in _events():
+        daily[et][day] += cents
+    rows = {r.event_type: r for r in
+            REGISTRY["f48_theil_u2"].fn(spark, sf_dir).collect()}
+    for et, series in daily.items():
+        sse7 = sse1 = n = 0
+        for day, x in series.items():
+            if day - 1 in series and day - 7 in series:
+                n += 1
+                sse1 += (x - series[day - 1]) ** 2
+                sse7 += (x - series[day - 7]) ** 2
+        if n == 0:
+            assert et not in rows
+            continue
+        r = rows[et]
+        assert (r.n_days, r.sse_seasonal, r.sse_naive) == (n, sse7, sse1), et
+        if sse1 > 0:
+            assert r.u2_milli == math.floor(math.sqrt(sse7 / sse1) * 1000)
+        else:
+            assert r.u2_milli is None

@@ -1095,6 +1095,82 @@ def main() -> None:
             )
         return v
 
+    def cas_fold_shape(li):
+        """b17's shape: the MIN-dedup + per-key LAG window are the volume
+        terms; the 7 lockstep state⋈proposals joins stay on the SAME pk
+        key (co-partitioned, lineage truncated per round), so round cost
+        is linear in keys and the round COUNT is the constant 7 —
+        amplified orderkeys scale key cardinality while per-key ballot
+        density (the fold depth) stays 1x."""
+        from pyspark.sql.window import Window
+
+        dedup = li.groupBy(
+            F.col("l_orderkey").alias("pk"), F.col("l_linenumber").alias("ln")
+        ).agg(
+            F.min(F.col("l_quantity").cast("long")).alias("q"),
+            F.min("l_partkey").alias("pkey"),
+            F.min(F.round(F.col("l_discount") * 100).cast("long")).alias("dc"),
+        )
+        props = dedup.select(
+            "pk", "ln", F.col("q").alias("newv"),
+            F.when(F.col("ln") == 1, F.col("pkey") % 2)
+            .when(F.col("dc") >= 5, F.lit(0))
+            .otherwise(F.lag("q").over(Window.partitionBy("pk").orderBy("ln")))
+            .cast("long").alias("expected"),
+        ).localCheckpoint(eager=True)
+        state = props.select("pk").distinct().select(
+            "pk", F.lit(0).cast("long").alias("state")
+        )
+        for j in range(1, 8):
+            pj = props.where(F.col("ln") == j).select(
+                "pk", F.col("newv").alias("__nv"), F.col("expected").alias("__ex")
+            )
+            state = (
+                state.join(pj, "pk", "left")
+                .select(
+                    "pk",
+                    F.when(F.col("__ex") == F.col("state"), F.col("__nv"))
+                    .otherwise(F.col("state")).alias("state"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state
+
+    def heaps_shape(d):
+        """j117's shape: tokenize + the (source,doc)/(source,token) hash
+        aggs are the volume terms; the cumulative windows run per source
+        over the DOC relation and the checkpoint join + OLS folds are KB.
+        Amplified docs multiply both docs and tokens linearly."""
+        from pyspark.sql.window import Window
+
+        tok = d.select(
+            "source", "doc_id",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("w"),
+        )
+        per_doc = tok.groupBy("source", "doc_id").agg(
+            F.count("*").cast("long").alias("tc")
+        )
+        first_doc = tok.groupBy("source", "w").agg(F.min("doc_id").alias("fd"))
+        new_types = first_doc.groupBy("source", F.col("fd").alias("doc_id")).agg(
+            F.count("*").cast("long").alias("nv")
+        )
+        w_cum = (
+            Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            per_doc.join(new_types, ["source", "doc_id"], "left")
+            .select(
+                "source",
+                F.sum("tc").over(w_cum).alias("n_cum"),
+                F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w_cum).alias("v_cum"),
+            )
+            .groupBy("source")
+            .agg(F.max("n_cum").alias("n"), F.max("v_cum").alias("v"))
+        )
+
     # d23's probe input: BOTH keys remapped so per-customer order density
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
@@ -1175,6 +1251,10 @@ def main() -> None:
         ("maxcover-step", lambda: maxcover_step_shape(d1), lambda: maxcover_step_shape(dN)),
         ("merkle-range-digest", lambda: merkle_shape(li1), lambda: merkle_shape(liN)),
         ("markov-kb-joins", lambda: markov_shape(e1), lambda: markov_shape(eN)),
+        # round-8 iterative shapes: CAS fold rounds are constant (7), key
+        # volume linear; Heaps windows are per-source over the doc axis.
+        ("cas-lockstep-fold", lambda: cas_fold_shape(li1), lambda: cas_fold_shape(liN)),
+        ("heaps-vocab-growth", lambda: heaps_shape(d1), lambda: heaps_shape(dN)),
         # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
