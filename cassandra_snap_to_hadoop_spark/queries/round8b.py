@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.registry import register
 
 
@@ -1837,3 +1837,349 @@ def f48_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("u2_milli"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Batch 6: diversified selection (MMR re-rank over embeddings) and the
+# robust variance-homogeneity gate (Brown-Forsythe).
+# --------------------------------------------------------------------------
+
+_MMR_K = 4       # greedy picks per query
+_MMR_M = 12      # candidate pool per query (deterministic top-M by rel)
+# λ = 0.7 on the 10x integer lattice: mmr = 7·rel − 3·max-selected-dot
+_MMR_NUM, _MMR_DEN = 7, 3
+
+
+def _mmr_sql() -> str:
+    steps, outs = [], []
+    prev_sel = "sel1"
+    outs.append(
+        "SELECT 1 AS step, qid, id, rel, CAST(0 AS BIGINT) AS red,"
+        " CAST(7 * rel AS BIGINT) AS score FROM s1"
+    )
+    for r in range(2, _MMR_K + 1):
+        steps.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT qid, id, rel, red, score FROM (
+            SELECT c.qid, c.id, c.rel, m.red,
+                   7 * c.rel - 3 * m.red AS score,
+                   ROW_NUMBER() OVER (PARTITION BY c.qid
+                       ORDER BY 7 * c.rel - 3 * m.red DESC, c.id) AS rn
+            FROM cand c
+            JOIN (SELECT p.qid, p.ida AS id, CAST(MAX(p.dot) AS BIGINT) AS red
+                  FROM pd p JOIN {prev_sel} s
+                      ON s.qid = p.qid AND s.id = p.idb
+                  GROUP BY 1, 2) m ON m.qid = c.qid AND m.id = c.id
+            WHERE NOT EXISTS (SELECT 1 FROM {prev_sel} s
+                              WHERE s.qid = c.qid AND s.id = c.id)
+        ) WHERE rn = 1
+    ), sel{r} AS MATERIALIZED (
+        SELECT qid, id FROM {prev_sel} UNION ALL SELECT qid, id FROM s{r}
+    )""")
+        outs.append(
+            f"SELECT {r} AS step, qid, id, rel, red, score FROM s{r}"
+        )
+        prev_sel = f"sel{r}"
+    return f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS micro
+        FROM embeddings
+    ), rel_all AS (
+        SELECT q.vec_id AS qid, e.vec_id AS id,
+               CAST(SUM(q.micro * e.micro) AS BIGINT) AS rel
+        FROM ex q JOIN ex e ON e.dim = q.dim AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+        GROUP BY 1, 2
+    ), cand AS MATERIALIZED (
+        SELECT qid, id, rel FROM (
+            SELECT qid, id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, id) AS rn
+            FROM rel_all
+        ) WHERE rn <= {_MMR_M}
+    ), pd AS MATERIALIZED (
+        SELECT a.qid, a.id AS ida, b.id AS idb,
+               CAST(SUM(ea.micro * eb.micro) AS BIGINT) AS dot
+        FROM cand a
+        JOIN cand b ON b.qid = a.qid AND b.id <> a.id
+        JOIN ex ea ON ea.vec_id = a.id
+        JOIN ex eb ON eb.vec_id = b.id AND eb.dim = ea.dim
+        GROUP BY 1, 2, 3
+    ), s1 AS MATERIALIZED (
+        SELECT qid, id, rel FROM (
+            SELECT qid, id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ), sel1 AS MATERIALIZED (SELECT qid, id FROM s1),{",".join(steps)}
+    SELECT CAST(step AS INTEGER) AS step, CAST(qid AS BIGINT) AS query_id,
+           CAST(id AS BIGINT) AS picked_id, rel, red, score
+    FROM ({" UNION ALL ".join(outs)})
+    ORDER BY step, query_id
+    """
+
+
+@register("j121_mmr_rerank", oracle=_mmr_sql(), survey="J121,J3,J109")
+def j121_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) over the embedding table — the SELECTION operator
+    pure similarity search (j3) cannot express: greedy picks maximize
+    λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), trading relevance against
+    redundancy — what dataset-curation pipelines run to pick DIVERSE
+    exemplars instead of k near-duplicates of the same neighbor (the
+    submodular-greedy sibling of j109's max-coverage).
+
+    Exactness: embeddings quantize to the micro lattice once, so every
+    dot product (relevance AND pairwise redundancy) is an exact BIGINT
+    (|x|≤4 ⇒ per-dim product ≤ 1.6e13, ×64 dims ≤ 1.1e15); λ = 0.7
+    rides the 10× integer lattice (score = 7·rel − 3·red, stated
+    contract); candidate pools are the deterministic top-{_MMR_M} by
+    (rel DESC, id) and every greedy argmax tie-breaks (score DESC, id);
+    the full 4-step trajectory (pick, rel, red, score per step) is the
+    hash-certified output, mirrored by the unrolled MATERIALIZED-CTE
+    oracle; python greedy replay pin.
+
+    Scale shape: the volume terms are the one quantized explode and the
+    8×|V| relevance dot join (linear in vectors — the brute-force tier;
+    an IVF/LSH preselect drops in above it, j3's documented dial);
+    everything after runs on the (8 queries × {_MMR_M})-row candidate
+    relation: pairwise dots, redundancy maxes and argmaxes are KB
+    joins in query lockstep, {_MMR_K}-bounded."""
+    from pyspark.sql import Window
+
+    e = Tables(spark, sf_dir).embeddings
+    ex = (
+        fan_out(e)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id", "dim",
+            F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qex = ex.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("dim").alias("qdim"),
+        F.col("micro").alias("qmicro"),
+    )
+    rel_all = (
+        qex.join(ex, (F.col("dim") == F.col("qdim")) & (F.col("vec_id") != F.col("qid")))
+        .groupBy("qid", F.col("vec_id").alias("id"))
+        .agg(F.sum(F.col("qmicro") * F.col("micro")).cast("long").alias("rel"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id"))
+    cand = (
+        rel_all.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _MMR_M)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    candex = cand.join(ex, F.col("vec_id") == F.col("id")).select(
+        "qid", "id", "dim", "micro"
+    )
+    a = candex.select(
+        F.col("qid"), F.col("id").alias("ida"), F.col("dim").alias("da"),
+        F.col("micro").alias("ma"),
+    )
+    b = candex.select(
+        F.col("qid").alias("qb"), F.col("id").alias("idb"),
+        F.col("dim").alias("db"), F.col("micro").alias("mb"),
+    )
+    pd = (
+        a.join(
+            b,
+            (F.col("qb") == F.col("qid"))
+            & (F.col("db") == F.col("da"))
+            & (F.col("idb") != F.col("ida")),
+        )
+        .groupBy("qid", "ida", "idb")
+        .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"))
+        .localCheckpoint(eager=True)
+    )
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            F.lit(1).alias("step"), "qid", "id", "rel",
+            F.lit(0).cast("long").alias("red"),
+            (7 * F.col("rel")).cast("long").alias("score"),
+        )
+    )
+    traj = s1
+    sel = s1.select("qid", "id")
+    for r in range(2, _MMR_K + 1):
+        red = (
+            pd.join(
+                sel.select(F.col("qid").alias("qs"), F.col("id").alias("ids")),
+                (F.col("qs") == F.col("qid")) & (F.col("ids") == F.col("idb")),
+            )
+            .groupBy("qid", "ida")
+            .agg(F.max("dot").cast("long").alias("red"))
+        )
+        rem = cand.join(sel, ["qid", "id"], "left_anti")
+        scored = rem.join(
+            red, (F.col("ida") == F.col("id")) & (red["qid"] == rem["qid"])
+        ).select(
+            rem["qid"].alias("qid"), "id", "rel", "red",
+            (7 * F.col("rel") - 3 * F.col("red")).cast("long").alias("score"),
+        )
+        w_pick = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select(F.lit(r).alias("step"), "qid", "id", "rel", "red", "score")
+            .localCheckpoint(eager=True)
+        )
+        traj = traj.unionByName(pick)
+        sel = sel.unionByName(pick.select("qid", "id"))
+    return traj.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("qid").cast("long").alias("query_id"),
+        F.col("id").cast("long").alias("picked_id"),
+        "rel", "red", "score",
+    ).orderBy("step", "query_id")
+
+
+@register(
+    "e108_brown_forsythe",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+    ), vc AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cumc,
+               SUM(c) OVER (PARTITION BY g) AS n_g
+        FROM vc
+    ), med AS (
+        SELECT g,
+               CAST(MIN(CASE WHEN cumc >= (n_g + 1) // 2 THEN v END)
+                    + MIN(CASE WHEN cumc >= n_g // 2 + 1 THEN v END)
+                    AS BIGINT) AS med2
+        FROM cum GROUP BY 1
+    ), z AS (
+        SELECT vals.g, ABS(2 * v - med2) AS z2
+        FROM vals JOIN med ON med.g = vals.g
+    ), pg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z2) AS BIGINT) AS s,
+               CAST(SUM(z2 * z2) AS BIGINT) AS q
+        FROM z GROUP BY 1
+    ), wide AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(s) AS BIGINT) AS s_tot,
+               CAST(SUM(CASE WHEN g = 'A' THEN n END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN g = 'A' THEN s END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN g = 'A' THEN q END) AS BIGINT) AS q_a,
+               CAST(SUM(CASE WHEN g = 'N' THEN n END) AS BIGINT) AS n_n,
+               CAST(SUM(CASE WHEN g = 'N' THEN s END) AS BIGINT) AS s_n,
+               CAST(SUM(CASE WHEN g = 'N' THEN q END) AS BIGINT) AS q_n,
+               CAST(SUM(CASE WHEN g = 'R' THEN n END) AS BIGINT) AS n_r,
+               CAST(SUM(CASE WHEN g = 'R' THEN s END) AS BIGINT) AS s_r,
+               CAST(SUM(CASE WHEN g = 'R' THEN q END) AS BIGINT) AS q_r
+        FROM pg
+    )
+    SELECT n_tot, n_a, s_a, q_a, n_n, s_n, q_n, n_r, s_r, q_r,
+           CAST(FLOOR(
+               (CAST(n_tot - 3 AS DOUBLE) / 2)
+               * (CAST(s_a AS DOUBLE) * s_a / n_a
+                  + CAST(s_n AS DOUBLE) * s_n / n_n
+                  + CAST(s_r AS DOUBLE) * s_r / n_r
+                  - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
+               / (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a
+                  + CAST(q_n AS DOUBLE) - CAST(s_n AS DOUBLE) * s_n / n_n
+                  + CAST(q_r AS DOUBLE) - CAST(s_r AS DOUBLE) * s_r / n_r)
+               * 1000) AS BIGINT) AS f_milli
+    FROM wide
+    """,
+    survey="E108,E57,E101",
+)
+def e108_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test across the three
+    return-flag populations — the PRECONDITION gate the mean-comparison
+    tier silently assumes (e57's ANOVA and e52's t pool variances;
+    Levene-class tests ask 'are the spreads even comparable', and the
+    Brown-Forsythe variant centers on the MEDIAN so heavy tails can't
+    fake a variance difference): one-way ANOVA on z = |x − median_g|.
+
+    Exactness: medians ride the DOUBLED lattice (med2 = lower + upper
+    middle from the per-group cumulative value histogram — exact for
+    odd and even n), so z2 = |2x − med2| is an exact BIGINT per row;
+    per-group (n, Σz2, Σz2²) pivot to ONE row over the closed A/N/R
+    domain, and F = [(N−k)/(k−1)]·SSB/SSW is one shared scalar double
+    chain over those integers, milli-floored; python replay pin ±1.
+
+    Scale shape: value-histogram medians on the 50-row distinct
+    relation (per-group windows), one broadcast med2 join back, one
+    3-group agg pivoted by conditional aggregation — two scans total,
+    no unpartitioned windows."""
+    from pyspark.sql import Window
+
+    li = Tables(spark, sf_dir).lineitem
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    vc = vals.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    cum = vc.select(
+        "g", "v", "c",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_all).alias("n_g"),
+    )
+    med = cum.groupBy("g").agg(
+        (
+            F.min(F.when(F.col("cumc") >= F.expr("(n_g + 1) DIV 2"), F.col("v")))
+            + F.min(F.when(F.col("cumc") >= F.expr("n_g DIV 2 + 1"), F.col("v")))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    z = vals.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("v") - F.col("med2")).alias("z2")
+    )
+    pg = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z2").cast("long").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("q"),
+    )
+    wide = pg.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        *[
+            F.sum(F.when(F.col("g") == flag, F.col(col)))
+            .cast("long")
+            .alias(f"{col}_{flag.lower()}")
+            for flag in ("A", "N", "R")
+            for col in ("n", "s", "q")
+        ],
+    )
+    ssb = (
+        "CAST(s_a AS DOUBLE) * s_a / n_a"
+        " + CAST(s_n AS DOUBLE) * s_n / n_n"
+        " + CAST(s_r AS DOUBLE) * s_r / n_r"
+        " - CAST(s_tot AS DOUBLE) * s_tot / n_tot"
+    )
+    ssw = (
+        "CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a"
+        " + CAST(q_n AS DOUBLE) - CAST(s_n AS DOUBLE) * s_n / n_n"
+        " + CAST(q_r AS DOUBLE) - CAST(s_r AS DOUBLE) * s_r / n_r"
+    )
+    return wide.select(
+        "n_tot", "n_a", "s_a", "q_a", "n_n", "s_n", "q_n", "n_r", "s_r", "q_r",
+        F.expr(
+            f"CAST(FLOOR((CAST(n_tot - 3 AS DOUBLE) / 2) * ({ssb}) / ({ssw})"
+            " * 1000) AS BIGINT)"
+        ).alias("f_milli"),
+    )

@@ -558,3 +558,75 @@ def test_f48_theil_u2_python_replay(spark, sf_dir):
             assert r.u2_milli == math.floor(math.sqrt(sse7 / sse1) * 1000)
         else:
             assert r.u2_milli is None
+
+
+def test_j121_mmr_python_greedy_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [int(round(float(x) * 1_000_000)) for x in emb]
+        for vid, emb in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+    }
+    dot = lambda a, b: sum(x * y for x, y in zip(vecs[a], vecs[b]))
+    want = []
+    for qid in sorted(v for v in vecs if v < 8):
+        rel = {i: dot(qid, i) for i in vecs if i != qid}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:12]
+        sel = []
+        first = min(cand, key=lambda i: (-rel[i], i))
+        sel.append(first)
+        want.append((1, qid, first, rel[first], 0, 7 * rel[first]))
+        for step in range(2, 5):
+            best = None
+            for c in cand:
+                if c in sel:
+                    continue
+                red = max(dot(c, s) for s in sel)
+                score = 7 * rel[c] - 3 * red
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, red, score)
+            _, c, red, score = best
+            sel.append(c)
+            want.append((step, qid, c, rel[c], red, score))
+    want.sort()
+    rows = REGISTRY["j121_mmr_rerank"].fn(spark, sf_dir).collect()
+    got = sorted(
+        (r.step, r.query_id, r.picked_id, r.rel, r.red, r.score) for r in rows
+    )
+    assert got == want
+    # picks are distinct within each query
+    for qid in {q for _, q, *_ in want}:
+        picks = [p for _, q, p, *_ in want if q == qid]
+        assert len(picks) == len(set(picks)) == 4
+
+
+def test_e108_brown_forsythe_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    by_g = defaultdict(list)
+    for g, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        by_g[g].append(int(round(q)))
+    stats = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        n = len(xs)
+        med2 = xs[(n - 1) // 2] + xs[n // 2]
+        z2 = [abs(2 * x - med2) for x in xs]
+        stats[g] = (n, sum(z2), sum(z * z for z in z2))
+    n_tot = sum(s[0] for s in stats.values())
+    s_tot = sum(s[1] for s in stats.values())
+    ssb = (
+        sum(s[1] ** 2 / s[0] for s in stats.values()) - s_tot**2 / n_tot
+    )
+    ssw = sum(s[2] - s[1] ** 2 / s[0] for s in stats.values())
+    f = (n_tot - 3) / 2 * ssb / ssw
+    row = REGISTRY["e108_brown_forsythe"].fn(spark, sf_dir).collect()[0]
+    assert row.n_tot == n_tot
+    for g, (nc, sc, qc) in (("A", ("n_a", "s_a", "q_a")),
+                            ("N", ("n_n", "s_n", "q_n")),
+                            ("R", ("n_r", "s_r", "q_r"))):
+        n, s, q = stats[g]
+        assert (row[nc], row[sc], row[qc]) == (n, s, q), g
+    assert abs(row.f_milli - math.floor(f * 1000)) <= 1
+    assert row.f_milli >= 0
