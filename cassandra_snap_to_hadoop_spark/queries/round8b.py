@@ -2183,3 +2183,235 @@ def e108_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("f_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 7: training-mix engineering — integer Hamilton apportionment of a
+# token budget across sources, and Bandt-Pompe permutation entropy.
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000  # tokens to apportion (contract constant)
+
+
+@register(
+    "j122_token_budget_apportion",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(len({_WORDS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+    ), w AS (
+        SELECT source, tokens,
+               CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wgt
+        FROM tok
+    ), tot AS (
+        SELECT CAST(SUM(wgt) AS BIGINT) AS wsum FROM w
+    ), base AS (
+        SELECT source, tokens, wgt,
+               CAST({_MIX_BUDGET} * wgt // wsum AS BIGINT) AS base_alloc,
+               CAST({_MIX_BUDGET} * wgt % wsum AS BIGINT) AS rem
+        FROM w CROSS JOIN tot
+    ), leftover AS (
+        SELECT CAST({_MIX_BUDGET} - SUM(base_alloc) AS BIGINT) AS k FROM base
+    ), ranked AS (
+        SELECT a.source, a.tokens, a.wgt, a.base_alloc, a.rem,
+               CAST(1 + COUNT(b.source) AS BIGINT) AS rnk
+        FROM base a LEFT JOIN base b
+            ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT source, tokens, wgt, base_alloc, rem,
+           CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base_alloc + CASE WHEN rnk <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked CROSS JOIN leftover
+    ORDER BY source
+    """,
+    survey="J122,J12,J115",
+)
+def j122_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token-budget apportionment: split a fixed budget of
+    {_MIX_BUDGET} tokens across sources proportional to √(source tokens)
+    — the square-root mixing heuristic public data recipes use to keep
+    big sources from drowning small ones — with the HAMILTON
+    largest-remainder method so the integer allocations sum EXACTLY to
+    the budget (naive rounding over- or under-shoots; apportionment is
+    the classic fix, and the same machinery allocates samples in j115's
+    splits or shards in a layout plan).
+
+    Exactness: pure integer END-TO-END — token counts exact; weights are
+    FLOOR(√T) (IEEE sqrt is correctly rounded, identical both engines);
+    base = B·w DIV W and remainder = B·w MOD W are integer; the k
+    leftover units go to the k largest remainders with the (rem DESC,
+    source) tiebreak, ranked by a broadcast inequality self-join over
+    the SOURCE-domain relation (never an unpartitioned window); the
+    Σalloc = B law is pinned.
+
+    Scale shape: one tokenize scan (the volume term) → per-source agg →
+    everything after on the ≤|sources| KB relation."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("source", F.size(tokens(F.col("text"))).alias("nt")).groupBy(
+        "source"
+    ).agg(F.sum("nt").cast("long").alias("tokens"))
+    w = tok.select(
+        "source", "tokens",
+        F.expr("CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)").alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").cast("long").alias("wsum"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source", "tokens", "wgt",
+        F.expr(f"CAST({_MIX_BUDGET} * wgt DIV wsum AS BIGINT)").alias("base_alloc"),
+        F.expr(f"CAST({_MIX_BUDGET} * wgt % wsum AS BIGINT)").alias("rem"),
+    ).localCheckpoint(eager=True)
+    leftover = base.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base_alloc")).cast("long").alias("k")
+    )
+    a, b = base.alias("ba"), base.alias("bb")
+    ahead = (F.col("bb.rem") > F.col("ba.rem")) | (
+        (F.col("bb.rem") == F.col("ba.rem"))
+        & (F.col("bb.source") < F.col("ba.source"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(
+            F.col("ba.source").alias("source"),
+            F.col("ba.tokens").alias("tokens"),
+            F.col("ba.wgt").alias("wgt"),
+            F.col("ba.base_alloc").alias("base_alloc"),
+            F.col("ba.rem").alias("rem"),
+        )
+        .agg((F.count(F.col("bb.source")) + 1).cast("long").alias("rnk"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source", "tokens", "wgt", "base_alloc", "rem",
+            F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "f49_permutation_entropy",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), trip AS (
+        SELECT a.event_type,
+               a.x AS va, b.x AS vb, c.x AS vc
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + 1
+        JOIN daily c ON c.event_type = a.event_type AND c.day = a.day + 2
+    ), pat AS (
+        SELECT event_type,
+               CAST(
+                 (CASE WHEN vb < va THEN 1 ELSE 0 END
+                  + CASE WHEN vc < va THEN 1 ELSE 0 END) * 100
+               + (CASE WHEN va <= vb THEN 1 ELSE 0 END
+                  + CASE WHEN vc < vb THEN 1 ELSE 0 END) * 10
+               + (CASE WHEN va <= vc THEN 1 ELSE 0 END
+                  + CASE WHEN vb <= vc THEN 1 ELSE 0 END)
+               AS BIGINT) AS pattern
+        FROM trip
+    ), pc AS (
+        SELECT event_type, pattern, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pat GROUP BY 1, 2
+    ), n AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM pc GROUP BY 1
+    ), terms AS (
+        SELECT pc.event_type, pattern, c, n.n,
+               CAST(FLOOR(CAST(c AS DOUBLE) / n.n
+                          * ln(CAST(c AS DOUBLE) / n.n) * 1000000)
+                    AS BIGINT) AS term_micro
+        FROM pc JOIN n ON n.event_type = pc.event_type
+    ), h AS (
+        SELECT event_type, CAST(-SUM(term_micro) AS BIGINT) AS h_micro
+        FROM terms GROUP BY 1
+    )
+    SELECT t.event_type, pattern, c, t.n, term_micro, h.h_micro
+    FROM terms t JOIN h ON h.event_type = t.event_type
+    ORDER BY t.event_type, pattern
+    """,
+    survey="F49,F43,F34",
+)
+def f49_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt-Pompe permutation entropy (order-3) of the daily event-count
+    series per type — the COMPLEXITY measure completing the randomness
+    tier (f43/f44 count signs and extrema; permutation entropy reads the
+    distribution over ORDER PATTERNS of 3 consecutive days: maximal for
+    white noise, low for monotone/periodic structure, and famously
+    robust because it never uses the magnitudes).
+
+    Exactness: order patterns come from pure integer comparisons with
+    the standard earlier-index tie rule ((value, index) lexicographic —
+    encoded as each position's less-than count, a 3-digit code);
+    pattern counts are exact BIGINTs over the CLOSED 6-pattern domain;
+    each −p·ln p term is FLOOR-micro-quantized per pattern
+    (quantize-before-sum, ln parity per j101) and H is an exact INTEGER
+    sum.  Triples come from explicit day arithmetic (gaps drop triples,
+    never misalign — the f38 rule).
+
+    Scale shape: one scan → (type, day) agg; the triple join, pattern
+    classification and entropy folds all live on the calendar-bounded
+    per-type day relation (KB)."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("va"))
+    b = daily.select(
+        F.col("event_type").alias("etb"), F.col("day").alias("db"),
+        F.col("x").alias("vb"),
+    )
+    c = daily.select(
+        F.col("event_type").alias("etc_"), F.col("day").alias("dc"),
+        F.col("x").alias("vc"),
+    )
+    trip = a.join(
+        b, (F.col("etb") == F.col("event_type")) & (F.col("db") == F.col("da") + 1)
+    ).join(
+        c, (F.col("etc_") == F.col("event_type")) & (F.col("dc") == F.col("da") + 2)
+    )
+    pat = trip.select(
+        "event_type",
+        F.expr(
+            "CAST((CASE WHEN vb < va THEN 1 ELSE 0 END"
+            "  + CASE WHEN vc < va THEN 1 ELSE 0 END) * 100"
+            " + (CASE WHEN va <= vb THEN 1 ELSE 0 END"
+            "  + CASE WHEN vc < vb THEN 1 ELSE 0 END) * 10"
+            " + (CASE WHEN va <= vc THEN 1 ELSE 0 END"
+            "  + CASE WHEN vb <= vc THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("pattern"),
+    )
+    pc = pat.groupBy("event_type", "pattern").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n = pc.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    terms = pc.join(n, "event_type").select(
+        "event_type", "pattern", "c", "n",
+        F.expr(
+            "CAST(FLOOR(CAST(c AS DOUBLE) / n"
+            " * ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    h = terms.groupBy("event_type").agg(
+        (-F.sum("term_micro")).cast("long").alias("h_micro")
+    )
+    return (
+        terms.join(h, "event_type")
+        .select("event_type", "pattern", "c", "n", "term_micro", "h_micro")
+        .orderBy("event_type", "pattern")
+    )

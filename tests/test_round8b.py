@@ -630,3 +630,63 @@ def test_e108_brown_forsythe_python_replay(spark, sf_dir):
         assert (row[nc], row[sc], row[qc]) == (n, s, q), g
     assert abs(row.f_milli - math.floor(f * 1000)) <= 1
     assert row.f_milli >= 0
+
+
+def test_j122_apportion_python_replay(spark, sf_dir):
+    BUDGET = 1_000_000
+    tok = Counter()
+    for src, text in _docs(["source", "text"]):
+        tok[src] += len(_norm_words(text)[1])
+    wgt = {s: math.isqrt(t) for s, t in tok.items()}
+    wsum = sum(wgt.values())
+    base = {s: BUDGET * w // wsum for s, w in wgt.items()}
+    rem = {s: BUDGET * w % wsum for s, w in wgt.items()}
+    k = BUDGET - sum(base.values())
+    order = sorted(rem, key=lambda s: (-rem[s], s))
+    extras = set(order[:k])
+    rows = {r.source: r for r in
+            REGISTRY["j122_token_budget_apportion"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(tok)
+    total = 0
+    for s, r in rows.items():
+        assert (r.tokens, r.wgt, r.base_alloc, r.rem) == (
+            tok[s], wgt[s], base[s], rem[s]
+        ), s
+        assert r.extra == (1 if s in extras else 0), s
+        assert r.alloc == base[s] + r.extra
+        total += r.alloc
+    assert total == BUDGET  # the apportionment law
+
+
+def test_f49_permutation_entropy_python_replay(spark, sf_dir):
+    daily = defaultdict(lambda: defaultdict(int))
+    for et, day, _ in _events():
+        daily[et][day] += 1
+    rows = REGISTRY["f49_permutation_entropy"].fn(spark, sf_dir).collect()
+    got = defaultdict(dict)
+    h_by_type = {}
+    for r in rows:
+        got[r.event_type][r.pattern] = (r.c, r.n, r.term_micro)
+        h_by_type[r.event_type] = r.h_micro
+    for et, series in daily.items():
+        pats = Counter()
+        for d in sorted(series):
+            if d + 1 in series and d + 2 in series:
+                v = [(series[d], 0), (series[d + 1], 1), (series[d + 2], 2)]
+                code = 0
+                for val, idx in v:
+                    rank = sum(1 for w in v if w < (val, idx))
+                    code += rank * 10 ** (2 - idx)
+                pats[code] += 1
+        n = sum(pats.values())
+        assert set(got[et]) == set(pats), et
+        h = 0
+        for p, cnt in pats.items():
+            c_, n_, term = got[et][p]
+            assert (c_, n_) == (cnt, n), (et, p)
+            want = math.floor(cnt / n * math.log(cnt / n) * 1e6)
+            assert abs(term - want) <= 1, (et, p)
+            h -= term
+        assert h_by_type[et] == h and h >= 0
+        # order-3 entropy is bounded by ln 6
+        assert h <= math.log(6) * 1e6 + len(pats)
