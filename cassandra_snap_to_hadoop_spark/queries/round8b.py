@@ -2415,3 +2415,342 @@ def f49_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "pattern", "c", "n", "term_micro", "h_micro")
         .orderBy("event_type", "pattern")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 8: association effect size (Cramér's V), ROUGE-bigram pair scoring,
+# and snapshot incremental-backup byte accounting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e109_cramers_v",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderpriority AS pr, c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+        SELECT pr, seg, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2
+    ), rt AS (
+        SELECT pr, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), ct AS (
+        SELECT seg, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ), n AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), terms AS (
+        SELECT pr, seg, o, r, c, n,
+               CAST(FLOOR(
+                   CAST(n * o - r * c AS DOUBLE)
+                   * CAST(n * o - r * c AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * r * c) * 1000000)
+                   AS BIGINT) AS term_micro
+        FROM cells JOIN rt USING (pr) JOIN ct USING (seg) CROSS JOIN n
+    ), chi AS (
+        SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro FROM terms
+    )
+    SELECT pr, seg, o, term_micro, chi2_micro,
+           CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000
+                           / (CAST(n AS DOUBLE) * 4)) * 1000)
+                AS BIGINT) AS v_milli
+    FROM terms CROSS JOIN chi
+    ORDER BY pr, seg
+    """,
+    survey="E109,E105,E100",
+)
+def e109_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V on the priority × market-segment grid — the EFFECT
+    SIZE the association tests stop short of (e37/e105 say "not
+    independent", which at 100 TB row counts is always true; V =
+    √(χ²/(N·min(r−1,c−1))) ∈ [0,1] says HOW FAR from independence,
+    comparable across tables of any size — the categorical sibling of
+    e100's Cohen d).
+
+    Exactness: Pearson per-cell terms use the integer identity
+    (O−RC/N)²/(RC/N) = (N·O−R·C)²/(N·R·C) — numerator exact BIGINT
+    before the double division — FLOOR-micro-quantized per cell
+    (quantize-before-sum over the closed 25-cell grid), χ² an exact
+    INTEGER sum, and V one IEEE sqrt of the quantized ratio
+    (min(r−1,c−1) = 4 is a domain constant), milli-floored; python
+    replay pin.
+
+    Scale shape: identical to e105 — one join scan, a 25-cell agg,
+    margin joins and KB folds."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("o_orderpriority").alias("pr"), F.col("c_mktsegment").alias("seg"))
+    cells = base.groupBy("pr", "seg").agg(F.count("*").cast("long").alias("o"))
+    rt = cells.groupBy("pr").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pr", "seg", "o", "r", "c", "n",
+            F.expr(
+                "CAST(FLOOR(CAST(n * o - r * c AS DOUBLE)"
+                " * CAST(n * o - r * c AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * r * c) * 1000000) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    chi = terms.agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "pr", "seg", "o", "term_micro", "chi2_micro",
+            F.expr(
+                "CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000"
+                " / (CAST(n AS DOUBLE) * 4)) * 1000) AS BIGINT)"
+            ).alias("v_milli"),
+        )
+        .orderBy("pr", "seg")
+    )
+
+
+@register(
+    "j123_rouge_bigram",
+    oracle=f"""
+    WITH grams AS (
+        SELECT source, doc_id,
+               unnest([array_to_string(w[i:i+1], ' ')
+                       for i in range(1, len(w))]) AS g
+        FROM (SELECT source, doc_id, {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 2
+    ), gc AS (
+        SELECT source, doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams GROUP BY 1, 2, 3
+    ), totals AS (
+        SELECT source, doc_id, CAST(SUM(c) AS BIGINT) AS tot
+        FROM gc GROUP BY 1, 2
+    ), pairs AS (
+        SELECT r.source, r.doc_id AS ref_id, c.doc_id AS cand_id,
+               r.tot AS ref_tot, c.tot AS cand_tot
+        FROM totals r JOIN totals c
+            ON c.source = r.source AND c.doc_id = r.doc_id + 20
+    ), clipped AS (
+        SELECT p.source, p.ref_id,
+               CAST(SUM(LEAST(rg.c, cg.c)) AS BIGINT) AS clip
+        FROM pairs p
+        JOIN gc rg ON rg.doc_id = p.ref_id AND rg.source = p.source
+        JOIN gc cg ON cg.doc_id = p.cand_id AND cg.source = p.source
+                  AND cg.g = rg.g
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.source,
+               CAST(1000 * COALESCE(cl.clip, 0) // p.cand_tot AS BIGINT)
+                   AS p_milli,
+               CAST(1000 * COALESCE(cl.clip, 0) // p.ref_tot AS BIGINT)
+                   AS r_milli,
+               CAST(2000 * COALESCE(cl.clip, 0)
+                    // (p.ref_tot + p.cand_tot) AS BIGINT) AS f1_milli
+        FROM pairs p LEFT JOIN clipped cl
+            ON cl.source = p.source AND cl.ref_id = p.ref_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(p_milli) // COUNT(*) AS BIGINT) AS mean_p_milli,
+           CAST(SUM(r_milli) // COUNT(*) AS BIGINT) AS mean_r_milli,
+           CAST(SUM(f1_milli) // COUNT(*) AS BIGINT) AS mean_f1_milli
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    survey="J123,J72,J5",
+)
+def j123_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (bigram) precision/recall/F1 over adjacent-document pairs
+    per source — the n-gram-overlap summarization metric whose CLIPPED
+    counting (Σ min(count_ref, count_cand) per bigram) the plain Jaccard
+    tier (j5) cannot express, and the SQL-certifiable sibling of the
+    LCS-based j72 ROUGE-L (LCS needs sequential recursion; bigram ROUGE
+    is pure multiset algebra).  Fixture pairs doc i with doc i+20 — the
+    NEXT document of the same source under the corpus's round-robin
+    source assignment (deterministic re-scrape stand-in).
+
+    Exactness: pure integer END-TO-END — bigram multiset counts, the
+    clipped intersection, P/R per pair as integer milli divisions, and
+    F1 via the harmonic identity 2·clip/(ref_tot+cand_tot) (exact when
+    P and R share the clip numerator — no float P·R product); per-source
+    means divide exact milli sums (quantize-before-average); pairs with
+    zero overlap keep their zero row via the LEFT join.
+
+    Scale shape: bigram explode (volume term) → (doc, gram) hash agg →
+    one gram-equi join bounded to ADJACENT-doc pairs (each gram row
+    meets one partner doc, never a corpus-wide gram fan-out) →
+    per-source folds."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    toks = d.select("source", "doc_id", F.posexplode(w).alias("pos", "tk"))
+    nxt = toks.select(
+        "source", "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tk").alias("tk2")
+    )
+    grams = toks.join(nxt, ["source", "doc_id", "pos"]).select(
+        "source", "doc_id", F.concat_ws(" ", "tk", "tk2").alias("g")
+    )
+    gc = grams.groupBy("source", "doc_id", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = gc.groupBy("source", "doc_id").agg(F.sum("c").cast("long").alias("tot"))
+    cand = totals.select(
+        F.col("source").alias("sc"), F.col("doc_id").alias("cand_id"),
+        F.col("tot").alias("cand_tot"),
+    )
+    pairs = totals.join(
+        cand,
+        (F.col("sc") == F.col("source"))
+        & (F.col("cand_id") == F.col("doc_id") + 20),
+    ).select(
+        "source", F.col("doc_id").alias("ref_id"), "cand_id",
+        F.col("tot").alias("ref_tot"), "cand_tot",
+    ).localCheckpoint(eager=True)
+    rg = gc.select(
+        F.col("source").alias("sr"), F.col("doc_id").alias("rid"),
+        F.col("g").alias("gr"), F.col("c").alias("cr"),
+    )
+    cg = gc.select(
+        F.col("source").alias("scg"), F.col("doc_id").alias("cid"),
+        F.col("g").alias("gcol"), F.col("c").alias("cc"),
+    )
+    clipped = (
+        pairs.join(rg, (F.col("sr") == F.col("source")) & (F.col("rid") == F.col("ref_id")))
+        .join(
+            cg,
+            (F.col("scg") == F.col("source"))
+            & (F.col("cid") == F.col("cand_id"))
+            & (F.col("gcol") == F.col("gr")),
+        )
+        .groupBy("source", "ref_id")
+        .agg(F.sum(F.least(F.col("cr"), F.col("cc"))).cast("long").alias("clip"))
+    )
+    scored = pairs.join(clipped, ["source", "ref_id"], "left").select(
+        "source",
+        F.expr("CAST(1000 * COALESCE(clip, 0) DIV cand_tot AS BIGINT)").alias(
+            "p_milli"
+        ),
+        F.expr("CAST(1000 * COALESCE(clip, 0) DIV ref_tot AS BIGINT)").alias(
+            "r_milli"
+        ),
+        F.expr(
+            "CAST(2000 * COALESCE(clip, 0) DIV (ref_tot + cand_tot) AS BIGINT)"
+        ).alias("f1_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(p_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_p_milli"
+            ),
+            F.expr("CAST(SUM(r_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_r_milli"
+            ),
+            F.expr("CAST(SUM(f1_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_f1_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "a39_incremental_backup_bytes",
+    oracle="""
+    WITH rows_b AS (
+        SELECT l_orderkey % 97 AS gen,
+               48 + 2 * CAST(l_quantity AS BIGINT)
+                  + CAST(ROUND(l_discount * 100) AS BIGINT) AS row_bytes
+        FROM lineitem
+    ), gens AS (
+        SELECT gen, CAST(SUM(row_bytes) AS BIGINT) AS bytes
+        FROM rows_b GROUP BY 1
+    ), tags AS (
+        SELECT 'tag1' AS tag, gen, bytes FROM gens WHERE gen % 5 <> 0
+        UNION ALL
+        SELECT 'tag2' AS tag, gen, bytes FROM gens
+    ), logical AS (
+        SELECT tag, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS logical_bytes
+        FROM tags GROUP BY 1
+    ), shared AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS shared_files,
+               CAST(SUM(bytes) AS BIGINT) AS shared_bytes
+        FROM gens WHERE gen % 5 <> 0
+    ), delta AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS delta_files,
+               CAST(SUM(bytes) AS BIGINT) AS delta_bytes
+        FROM gens WHERE gen % 5 = 0
+    )
+    SELECT l.tag, l.n_files, l.logical_bytes,
+           s.shared_files, s.shared_bytes, d.delta_files, d.delta_bytes,
+           CAST(1000 * s.shared_bytes
+                // (s.shared_bytes + d.delta_bytes) AS BIGINT)
+               AS dedup_ratio_milli
+    FROM logical l CROSS JOIN shared s CROSS JOIN delta d
+    ORDER BY l.tag
+    """,
+    survey="A39,A6,A22",
+)
+def a39_incremental_backup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot incremental-backup byte accounting: Cassandra snapshots
+    are HARDLINKS, so two tags sharing SSTable generations cost their
+    union once on disk and an incremental backup ships only the
+    generations the previous tag lacks — the `nodetool snapshot` +
+    `incremental_backups` economics (a6 lists one manifest; THIS is the
+    cross-tag question an operator actually bills: logical vs physical
+    bytes and the upload delta).  Fixture: tag1 = the un-recompacted
+    generations (gen % 5 ≠ 0), tag2 = all generations, bytes from the
+    a38 per-row estimator.
+
+    Exactness: pure integer end-to-end — per-generation byte sums,
+    per-tag logical bytes, shared/delta partitions of the generation
+    set, and the dedup ratio as an integer milli division.
+
+    Scale shape: one scan → per-generation agg (97-row relation) →
+    constant-size folds; the tag relation is a projection of the
+    generation relation, never a second scan."""
+    li = Tables(spark, sf_dir).lineitem
+    gens = (
+        li.select(
+            (F.col("l_orderkey") % 97).alias("gen"),
+            (
+                F.lit(48)
+                + 2 * F.col("l_quantity").cast("long")
+                + F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("row_bytes"),
+        )
+        .groupBy("gen")
+        .agg(F.sum("row_bytes").cast("long").alias("bytes"))
+        .localCheckpoint(eager=True)
+    )
+    tags = gens.where(F.col("gen") % 5 != 0).select(
+        F.lit("tag1").alias("tag"), "gen", "bytes"
+    ).unionByName(gens.select(F.lit("tag2").alias("tag"), "gen", "bytes"))
+    logical = tags.groupBy("tag").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("logical_bytes"),
+    )
+    shared = gens.where(F.col("gen") % 5 != 0).agg(
+        F.count("*").cast("long").alias("shared_files"),
+        F.sum("bytes").cast("long").alias("shared_bytes"),
+    )
+    delta = gens.where(F.col("gen") % 5 == 0).agg(
+        F.count("*").cast("long").alias("delta_files"),
+        F.sum("bytes").cast("long").alias("delta_bytes"),
+    )
+    return (
+        logical.crossJoin(F.broadcast(shared))
+        .crossJoin(F.broadcast(delta))
+        .select(
+            "tag", "n_files", "logical_bytes", "shared_files", "shared_bytes",
+            "delta_files", "delta_bytes",
+            F.expr(
+                "CAST(1000 * shared_bytes"
+                " DIV (shared_bytes + delta_bytes) AS BIGINT)"
+            ).alias("dedup_ratio_milli"),
+        )
+        .orderBy("tag")
+    )

@@ -690,3 +690,86 @@ def test_f49_permutation_entropy_python_replay(spark, sf_dir):
         assert h_by_type[et] == h and h >= 0
         # order-3 entropy is bounded by ln 6
         assert h <= math.log(6) * 1e6 + len(pats)
+
+
+def test_e109_cramers_v_python_replay(spark, sf_dir):
+    cells, rt, ct = Counter(), Counter(), Counter()
+    for pr, sg in _orders_with_segment():
+        cells[(pr, sg)] += 1
+        rt[pr] += 1
+        ct[sg] += 1
+    n = sum(cells.values())
+    rows = REGISTRY["e109_cramers_v"].fn(spark, sf_dir).collect()
+    chi = 0
+    for r in rows:
+        o = cells[(r.pr, r.seg)]
+        dev = n * o - rt[r.pr] * ct[r.seg]
+        term = math.floor(dev * dev / (n * rt[r.pr] * ct[r.seg]) * 1e6)
+        assert r.o == o and abs(r.term_micro - term) <= 1, (r.pr, r.seg)
+        chi += r.term_micro
+    assert all(r.chi2_micro == chi for r in rows)
+    v = math.floor(math.sqrt(chi / 1e6 / (n * 4)) * 1000)
+    assert all(abs(r.v_milli - v) <= 1 for r in rows)
+    assert 0 <= rows[0].v_milli <= 1000  # V lives in [0, 1]
+
+
+def test_j123_rouge_bigram_python_replay(spark, sf_dir):
+    docs = {}
+    for src, did, text in _docs(["source", "doc_id", "text"]):
+        ws = _norm_words(text)[1]
+        docs[did] = (src, Counter(zip(ws, ws[1:])))
+    per_src = defaultdict(list)
+    for did, (src, ref) in docs.items():
+        if did + 20 not in docs or sum(ref.values()) == 0:
+            continue
+        csrc, cand = docs[did + 20]
+        assert csrc == src  # round-robin source assignment
+        if sum(cand.values()) == 0:
+            continue
+        clip = sum(min(c, cand[g]) for g, c in ref.items())
+        rt, ct2 = sum(ref.values()), sum(cand.values())
+        per_src[src].append(
+            (1000 * clip // ct2, 1000 * clip // rt, 2000 * clip // (rt + ct2))
+        )
+    rows = {r.source: r for r in
+            REGISTRY["j123_rouge_bigram"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {s for s, v in per_src.items() if v}
+    for src, triples in per_src.items():
+        if not triples:
+            continue
+        r = rows[src]
+        np = len(triples)
+        assert r.n_pairs == np, src
+        assert r.mean_p_milli == sum(t[0] for t in triples) // np
+        assert r.mean_r_milli == sum(t[1] for t in triples) // np
+        assert r.mean_f1_milli == sum(t[2] for t in triples) // np
+        # F1 is between P and R (harmonic mean law), per-pair
+        for p, rr, f1 in triples:
+            assert min(p, rr) - 1 <= f1 <= max(p, rr) + 1
+
+
+def test_a39_backup_bytes_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount"],
+    )
+    gens = defaultdict(int)
+    for ok, q, dc in zip(*[t.column(i).to_pylist() for i in range(3)]):
+        gens[ok % 97] += 48 + 2 * int(round(q)) + int(round(dc * 100))
+    shared = {g: b for g, b in gens.items() if g % 5 != 0}
+    delta = {g: b for g, b in gens.items() if g % 5 == 0}
+    rows = {r.tag: r for r in
+            REGISTRY["a39_incremental_backup_bytes"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"tag1", "tag2"}
+    assert rows["tag1"].n_files == len(shared)
+    assert rows["tag1"].logical_bytes == sum(shared.values())
+    assert rows["tag2"].n_files == len(gens)
+    assert rows["tag2"].logical_bytes == sum(gens.values())
+    for r in rows.values():
+        assert (r.shared_files, r.shared_bytes) == (len(shared), sum(shared.values()))
+        assert (r.delta_files, r.delta_bytes) == (len(delta), sum(delta.values()))
+        assert r.dedup_ratio_milli == 1000 * sum(shared.values()) // (
+            sum(shared.values()) + sum(delta.values())
+        )
+    # hardlink law: physical union == shared + delta == tag2 logical
+    assert sum(shared.values()) + sum(delta.values()) == rows["tag2"].logical_bytes
