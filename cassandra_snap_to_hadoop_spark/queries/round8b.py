@@ -1256,12 +1256,15 @@ def f47_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J119,J6,J113",
 )
 def j119_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Church-Gale term burstiness for the top-20 document-frequency
-    terms: P(term repeats | term appears) = df₂/df — the within-document
-    CLUMPING statistic frequency alone hides (a term with cf=1000 spread
-    over 1000 docs behaves Poisson; the same cf concentrated 10-per-doc
-    is bursty — Church & Gale 1995), which drives stopword-vs-content
-    separation and the overdispersion j113's Good-Turing mass implies.
+    """Church-Gale ADAPTATION probability for the top-20
+    document-frequency terms: P(term repeats | term appears) = df₂/df —
+    the second of Church & Gale 1995's two burstiness readings and NOT
+    j96's: j96 reports the variance-to-mean ratio over ALL docs
+    (zeros included, a moment statistic); adaptation conditions on
+    presence and needs only the df₂/df pair, which is what cache-model
+    and repetition-prior work actually plugs in.  The two disagree
+    exactly on terms whose mass concentrates in few docs — the case the
+    fixture exercises.
 
     Exactness: pure integer END-TO-END — per-(term, doc) counts, df,
     df₂, cf are exact BIGINTs from two hash aggs; burstiness and the
