@@ -1590,12 +1590,13 @@ def a38_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audit, standardized type-token ratio, and Theil's U2 forecast skill.
 # --------------------------------------------------------------------------
 
-# FLOOR(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed in Python so both
-# engines compare against the SAME integer constants (the e72 discipline —
-# no engine log10 in the expected-mass path).
+# SECOND-digit Benford masses FLOOR(Σ_{d1=1..9} log10(1 + 1/(10·d1+d)) · 1e6)
+# for d = 0..9, precomputed in Python so both engines compare against the
+# SAME integer constants (the e72 discipline — no engine log10 in the
+# expected-mass path).
 _BENFORD_MICRO = {
-    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
-    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+    0: 119679, 1: 113890, 2: 108821, 3: 104329, 4: 100308,
+    5: 96677, 6: 93374, 7: 90351, 8: 87570, 9: 84997,
 }
 _BENFORD_SQL_CASE = "CASE d " + " ".join(
     f"WHEN {d} THEN {p}" for d, p in _BENFORD_MICRO.items()
@@ -1608,8 +1609,8 @@ _BENFORD_SQL_CASE = "CASE d " + " ".join(
     WITH cents AS (
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
     ), digits AS (
-        SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
-        FROM cents WHERE c > 0
+        SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 2, 1) AS BIGINT) AS d
+        FROM cents WHERE c >= 10
     ), obs AS (
         SELECT d, CAST(COUNT(*) AS BIGINT) AS o FROM digits GROUP BY 1
     ), n AS (
@@ -1634,26 +1635,30 @@ _BENFORD_SQL_CASE = "CASE d " + " ".join(
     survey="E107,E37,E105",
 )
 def e107_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit on order totals (in cents) — the
-    data-FORENSICS screen (fabricated or unit-mangled numeric columns
-    break the log-uniform first-digit law; auditors and data-quality
-    gates both run exactly this chi-square before trusting a feed).
+    """Benford SECOND-digit chi-square on order totals (in cents) — the
+    forensic ESCALATION of e33's first-digit table (the standard audit
+    sequence: first digits pass a casual fake, SECOND digits catch
+    rounding/threshold manipulation because their Benford masses are
+    nearly flat, 12.0%→8.5%, and any per-digit preference shows; e33
+    reports per-digit deviations, THIS reports the pooled test
+    statistic an alerting gate thresholds).
 
-    Exactness: first digits come from STRING truncation of the exact
-    BIGINT cents (never FLOOR(x/10^(len-1)) float paths); the Benford
-    masses log10(1+1/d) are PYTHON-precomputed integer micro constants
+    Exactness: second digits come from STRING truncation of the exact
+    BIGINT cents (numbers ≥ 10 only — stated rule; never float log
+    paths); the masses Σ_d1 log10(1+1/(10·d1+d)) are PYTHON-precomputed
+    integer micro constants
     embedded identically in both engines (the e72 discipline — no
     engine log10 anywhere); each digit's chi-square term
     (10⁶·O − N·p)²/(10⁶·N·p) is FLOOR-milli-quantized per digit
     (quantize-before-sum) and the statistic is an exact INTEGER sum
-    over the closed 9-digit domain.
+    over the closed 10-digit domain.
 
-    Scale shape: one scan → 9-row hash agg → constant-size arithmetic;
-    nothing after the scan exceeds nine rows."""
+    Scale shape: one scan → 10-row hash agg → constant-size arithmetic;
+    nothing after the scan exceeds ten rows."""
     o = Tables(spark, sf_dir).orders
     cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
-    digits = cents.where(F.col("c") > 0).select(
-        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d")
+    digits = cents.where(F.col("c") >= 10).select(
+        F.substring(F.col("c").cast("string"), 2, 1).cast("long").alias("d")
     )
     obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("o"))
     n = obs.agg(F.sum("o").cast("long").alias("n"))
