@@ -2762,3 +2762,328 @@ def a39_incremental_backup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 9: monitoring-statistics closure — effective sample size, the
+# nearest-event temporal join, and the tombstone scan-pressure audit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "f50_effective_sample_size",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM daily
+    ), den AS (
+        SELECT CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS d
+        FROM daily CROSS JOIN stats
+    ), lags AS (
+        SELECT unnest(range(1, 8)) AS k
+    ), nums AS (
+        SELECT k, CAST(SUM((n * a.x - s) * (n * b.x - s)) AS BIGINT) AS num
+        FROM daily a
+        JOIN lags ON TRUE
+        JOIN daily b ON b.day = a.day + k
+        CROSS JOIN stats
+        GROUP BY k
+    ), wide AS (
+        SELECT CAST(SUM(CASE WHEN k = 1 THEN num END) AS BIGINT) AS m1,
+               CAST(SUM(CASE WHEN k = 2 THEN num END) AS BIGINT) AS m2,
+               CAST(SUM(CASE WHEN k = 3 THEN num END) AS BIGINT) AS m3,
+               CAST(SUM(CASE WHEN k = 4 THEN num END) AS BIGINT) AS m4,
+               CAST(SUM(CASE WHEN k = 5 THEN num END) AS BIGINT) AS m5,
+               CAST(SUM(CASE WHEN k = 6 THEN num END) AS BIGINT) AS m6,
+               CAST(SUM(CASE WHEN k = 7 THEN num END) AS BIGINT) AS m7
+        FROM nums
+    )
+    SELECT n, d AS den_scaled,
+           CAST(FLOOR((1.0 + 2.0 * (CAST(m1 AS DOUBLE) / d
+                + CAST(m2 AS DOUBLE) / d + CAST(m3 AS DOUBLE) / d
+                + CAST(m4 AS DOUBLE) / d + CAST(m5 AS DOUBLE) / d
+                + CAST(m6 AS DOUBLE) / d + CAST(m7 AS DOUBLE) / d))
+                * 1000) AS BIGINT) AS tau_milli,
+           CAST(FLOOR(CAST(n AS DOUBLE)
+                / (1.0 + 2.0 * (CAST(m1 AS DOUBLE) / d
+                   + CAST(m2 AS DOUBLE) / d + CAST(m3 AS DOUBLE) / d
+                   + CAST(m4 AS DOUBLE) / d + CAST(m5 AS DOUBLE) / d
+                   + CAST(m6 AS DOUBLE) / d + CAST(m7 AS DOUBLE) / d))
+                * 1000) AS BIGINT) AS ess_milli
+    FROM wide CROSS JOIN stats CROSS JOIN den
+    """,
+    survey="F50,F38,F45",
+)
+def f50_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the daily event-count series — the
+    MONITORING consequence the ACF tier implies but never states (f38
+    measures the per-lag dependence, f45 tests it; ESS = n/τ with the
+    integrated autocorrelation time τ = 1 + 2Σρ_k says how many
+    INDEPENDENT observations the n autocorrelated days are worth — the
+    number every confidence interval over the series should divide by,
+    and the MCMC-diagnostics quantity under the same name).
+
+    Exactness: the f38 lattice again — per-lag numerators and the
+    shared denominator exact BIGINTs pivoted over the closed 1..7 lag
+    window; τ and ESS are one shared scalar double chain in written
+    term order, milli-floored (truncation at lag 7 is the stated
+    estimator, the f45 window).
+
+    Scale shape: identical to f45 — daily agg, KB lag join, 1-row
+    fold."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    den = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("x") - F.col("s"))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("long").alias("d"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("s"))
+                * (F.col("n") * F.col("xb") - F.col("s"))
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    wide = nums.agg(
+        *[
+            F.sum(F.when(F.col("k") == k, F.col("num")))
+            .cast("long")
+            .alias(f"m{k}")
+            for k in range(1, 8)
+        ]
+    )
+    tau = "1.0 + 2.0 * (" + " + ".join(
+        f"CAST(m{k} AS DOUBLE) / d" for k in range(1, 8)
+    ) + ")"
+    return (
+        wide.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n",
+            F.col("d").alias("den_scaled"),
+            F.expr(f"CAST(FLOOR(({tau}) * 1000) AS BIGINT)").alias("tau_milli"),
+            F.expr(
+                f"CAST(FLOOR(CAST(n AS DOUBLE) / ({tau}) * 1000) AS BIGINT)"
+            ).alias("ess_milli"),
+        )
+    )
+
+
+@register(
+    "d24_nearest_event_join",
+    oracle="""
+    WITH ue AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), marked AS (
+        SELECT user_id, event_id, event_type, t,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN t END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS UNBOUNDED PRECEDING) AS prev_click,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN t END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS next_click
+        FROM ue
+    ), purchases AS (
+        SELECT user_id, t, prev_click, next_click,
+               CASE
+                   WHEN prev_click IS NULL AND next_click IS NULL THEN 'none'
+                   WHEN next_click IS NULL THEN 'prev'
+                   WHEN prev_click IS NULL THEN 'next'
+                   WHEN t - prev_click <= next_click - t THEN 'prev'
+                   ELSE 'next'
+               END AS direction
+        FROM marked WHERE event_type = 'purchase'
+    ), deltas AS (
+        SELECT direction,
+               CASE direction WHEN 'prev' THEN t - prev_click
+                              WHEN 'next' THEN next_click - t
+                              ELSE NULL END AS delta_us
+        FROM purchases
+    )
+    SELECT direction,
+           CAST(COALESCE(delta_us // 600000000, -1) AS BIGINT) AS bucket_10min,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(delta_us) AS BIGINT) AS sum_delta_us,
+           CAST(MIN(delta_us) AS BIGINT) AS min_delta_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_delta_us
+    FROM deltas GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="D24,D7,E26",
+)
+def d24_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join: every purchase matched to its
+    closest click by |Δt| in EITHER direction — the attribution
+    question d7's as-of join answers only half of (as-of = most recent
+    BEFORE; conversions are routinely logged seconds before the click
+    lands, so backward-only matching drops them; tie → prev, stated).
+
+    Exactness: pure integer — both candidates come from one pass of
+    per-user IGNORE-NULLS running windows over the (ts, event_id) total
+    order (prev = last click at-or-before, next = first click
+    at-or-after), Δt in exact micros, direction by the deterministic
+    ≤ rule, 10-minute integer buckets (unmatched purchases keep their
+    'none' row at bucket −1).
+
+    Scale shape: one scan filtered to the two marker types → two
+    per-user windows on the SAME sort (one exchange) → bounded bucket
+    agg; no join at all — the nearest-neighbor search is the window
+    pass, exactly how a 1000-executor plan wants it."""
+    from pyspark.sql import Window
+
+    ev = Tables(spark, sf_dir).events
+    ue = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_t = F.when(F.col("event_type") == "click", F.col("t"))
+    marked = ue.select(
+        "user_id", "event_type", "t",
+        F.last(click_t, ignorenulls=True).over(w_prev).alias("prev_click"),
+        F.first(click_t, ignorenulls=True).over(w_next).alias("next_click"),
+    )
+    purchases = marked.where(F.col("event_type") == "purchase").select(
+        "t", "prev_click", "next_click",
+        F.when(
+            F.col("prev_click").isNull() & F.col("next_click").isNull(), "none"
+        )
+        .when(F.col("next_click").isNull(), "prev")
+        .when(F.col("prev_click").isNull(), "next")
+        .when(
+            F.col("t") - F.col("prev_click") <= F.col("next_click") - F.col("t"),
+            "prev",
+        )
+        .otherwise("next")
+        .alias("direction"),
+    )
+    deltas = purchases.select(
+        "direction",
+        F.when(F.col("direction") == "prev", F.col("t") - F.col("prev_click"))
+        .when(F.col("direction") == "next", F.col("next_click") - F.col("t"))
+        .alias("delta_us"),
+    )
+    return (
+        deltas.groupBy(
+            "direction",
+            F.coalesce(
+                F.expr("delta_us DIV 600000000"), F.lit(-1)
+            ).cast("long").alias("bucket_10min"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("delta_us").cast("long").alias("sum_delta_us"),
+            F.min("delta_us").cast("long").alias("min_delta_us"),
+            F.max("delta_us").cast("long").alias("max_delta_us"),
+        )
+        .orderBy("direction", "bucket_10min")
+    )
+
+
+@register(
+    "b18_tombstone_scan_audit",
+    oracle="""
+    WITH parts AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS cells,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tombstones
+        FROM events GROUP BY 1
+    ), leveled AS (
+        SELECT user_id, cells, tombstones,
+               CASE WHEN tombstones >= 10 THEN 'fail'
+                    WHEN tombstones >= 3 THEN 'warn'
+                    ELSE 'ok' END AS level
+        FROM parts
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(cells) AS BIGINT) AS total_cells,
+           CAST(SUM(tombstones) AS BIGINT) AS total_tombstones,
+           CAST(MAX(tombstones) AS BIGINT) AS max_tombstones,
+           CAST(1000 * SUM(tombstones) // SUM(cells) AS BIGINT)
+               AS ratio_milli
+    FROM leveled GROUP BY 1 ORDER BY 1
+    """,
+    survey="B18,B3,B8",
+)
+def b18_tombstone_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone scan-pressure audit — Cassandra's
+    tombstone_warn_threshold / tombstone_failure_threshold protection
+    (a read slicing a partition must materialize every tombstone it
+    crosses; past the warn level reads degrade, past the failure level
+    they ABORT — the operational cliff b3's suppression semantics and
+    b8's compaction GC exist to prevent): per partition (user), scanned
+    cells vs tombstone markers ('error' rows, the b3 convention), rolled
+    up by warn level with the thresholds scaled to this corpus (warn ≥3,
+    fail ≥10 — stated contract).
+
+    Exactness: pure integer end-to-end — cell and tombstone counts,
+    closed 3-level domain, ratio as integer milli.
+
+    Scale shape: one scan → per-partition agg (map-side combinable on
+    the natural key) → 3-row level agg."""
+    ev = Tables(spark, sf_dir).events
+    parts = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("cells"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("tombstones"),
+    )
+    leveled = parts.select(
+        "cells", "tombstones",
+        F.when(F.col("tombstones") >= 10, "fail")
+        .when(F.col("tombstones") >= 3, "warn")
+        .otherwise("ok")
+        .alias("level"),
+    )
+    return (
+        leveled.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.sum("cells").cast("long").alias("total_cells"),
+            F.sum("tombstones").cast("long").alias("total_tombstones"),
+            F.max("tombstones").cast("long").alias("max_tombstones"),
+            F.expr(
+                "CAST(1000 * SUM(tombstones) DIV SUM(cells) AS BIGINT)"
+            ).alias("ratio_milli"),
+        )
+        .orderBy("level")
+    )

@@ -773,3 +773,102 @@ def test_a39_backup_bytes_python_replay(spark, sf_dir):
         )
     # hardlink law: physical union == shared + delta == tag2 logical
     assert sum(shared.values()) + sum(delta.values()) == rows["tag2"].logical_bytes
+
+
+def test_f50_ess_python_replay(spark, sf_dir):
+    daily = Counter()
+    for _, day, _ in _events():
+        daily[day] += 1
+    days = sorted(daily)
+    n, s = len(days), sum(daily.values())
+    d = sum((n * daily[t] - s) ** 2 for t in days)
+    rho = [
+        sum(
+            (n * daily[t] - s) * (n * daily[t + k] - s)
+            for t in days if t + k in daily
+        ) / d
+        for k in range(1, 8)
+    ]
+    tau = 1.0 + 2.0 * sum(rho)
+    row = REGISTRY["f50_effective_sample_size"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n and row.den_scaled == d
+    assert abs(row.tau_milli - math.floor(tau * 1000)) <= 1
+    assert abs(row.ess_milli - math.floor(n / tau * 1000)) <= 1
+    # law: 1000 * n ~= tau * ess (both milli-floored)
+    assert row.ess_milli <= 1000 * n / max(row.tau_milli / 1000, 1e-9) + 1000
+
+
+def test_d24_nearest_event_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    by_user = defaultdict(list)
+    for u, eid, et, ts in zip(*[t.column(i).to_pylist() for i in range(4)]):
+        if et in ("click", "purchase"):
+            by_user[u].append((int(ts.timestamp() * 1_000_000), eid, et))
+    agg = defaultdict(lambda: [0, 0, None, None])
+    for rows in by_user.values():
+        rows.sort()
+        for i, (pt, _, et) in enumerate(rows):
+            if et != "purchase":
+                continue
+            prev = next(
+                (rows[j][0] for j in range(i, -1, -1) if rows[j][2] == "click"),
+                None,
+            )
+            nxt = next(
+                (rows[j][0] for j in range(i, len(rows)) if rows[j][2] == "click"),
+                None,
+            )
+            if prev is None and nxt is None:
+                key, delta = ("none", -1), None
+            elif nxt is None or (prev is not None and pt - prev <= nxt - pt):
+                delta = pt - prev
+                key = ("prev", delta // 600_000_000)
+            else:
+                delta = nxt - pt
+                key = ("next", delta // 600_000_000)
+            a = agg[key]
+            a[0] += 1
+            if delta is not None:
+                a[1] += delta
+                a[2] = delta if a[2] is None else min(a[2], delta)
+                a[3] = delta if a[3] is None else max(a[3], delta)
+    rows_out = REGISTRY["d24_nearest_event_join"].fn(spark, sf_dir).collect()
+    assert len(rows_out) == len(agg)
+    for r in rows_out:
+        n_, sd, mn, mx = agg[(r.direction, r.bucket_10min)]
+        assert r.n == n_, (r.direction, r.bucket_10min)
+        assert (r.sum_delta_us, r.min_delta_us, r.max_delta_us) == (
+            sd if r.direction != "none" else None,
+            mn, mx,
+        ), (r.direction, r.bucket_10min)
+
+
+def test_b18_tombstone_audit_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    parts = defaultdict(lambda: [0, 0])
+    for u, et in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        p = parts[u]
+        p[0] += 1
+        if et == "error":
+            p[1] += 1
+    levels = defaultdict(lambda: [0, 0, 0, 0])
+    for cells, tomb in parts.values():
+        lvl = "fail" if tomb >= 10 else "warn" if tomb >= 3 else "ok"
+        a = levels[lvl]
+        a[0] += 1
+        a[1] += cells
+        a[2] += tomb
+        a[3] = max(a[3], tomb)
+    rows = {r.level: r for r in
+            REGISTRY["b18_tombstone_scan_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(levels)
+    for lvl, (np_, tc, tt, mt) in levels.items():
+        r = rows[lvl]
+        assert (r.n_partitions, r.total_cells, r.total_tombstones) == (np_, tc, tt)
+        assert r.max_tombstones == mt
+        assert r.ratio_milli == 1000 * tt // tc
+    # every partition lands in exactly one level
+    assert sum(v[0] for v in levels.values()) == len(parts)
