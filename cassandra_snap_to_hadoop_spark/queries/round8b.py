@@ -3087,3 +3087,197 @@ def b18_tombstone_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 10: heavy-tail measurement (Hill estimator) and experiment-design
+# closure (power-analysis sample size).
+# --------------------------------------------------------------------------
+
+_HILL_K = 100  # tail order statistics used by the Hill estimator
+
+
+@register(
+    "e110_hill_tail_index",
+    oracle=f"""
+    WITH lens AS (
+        SELECT CAST(n_chars AS BIGINT) AS x FROM documents WHERE n_chars > 0
+    ), topk AS (
+        SELECT x, rn FROM (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC) AS rn FROM lens
+        ) WHERE rn <= {_HILL_K} + 1
+    ), thresh AS (
+        SELECT CAST(x AS BIGINT) AS xk1 FROM topk WHERE rn = {_HILL_K} + 1
+    ), terms AS (
+        SELECT CAST(FLOOR((ln(CAST(x AS DOUBLE)) - ln(CAST(xk1 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS t_micro
+        FROM topk CROSS JOIN thresh WHERE rn <= {_HILL_K}
+    ), s AS (
+        SELECT CAST(SUM(t_micro) AS BIGINT) AS sum_micro,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM terms
+    )
+    SELECT k, xk1 AS x_k1, sum_micro,
+           CAST(1000 * k * 1000000 // sum_micro AS BIGINT) AS alpha_milli,
+           CAST(1000000 * sum_micro // (k * 1000000) AS BIGINT)
+               AS inv_alpha_micro
+    FROM s CROSS JOIN thresh
+    """,
+    survey="E110,E20,J61",
+)
+def e110_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over the document-length distribution —
+    the heavy-tail EXPONENT the descriptive tier gestures at (e20's
+    Pareto cut says "the top sliver holds most mass", j61's Zipf fit
+    reads the VOCABULARY rank curve; Hill 1975 measures the tail itself:
+    α̂ = k / Σ_{{i≤k}} ln(x_(i)/x_(k+1)) over the top-k order statistics
+    — α ≤ 2 means infinite variance and every mean-based length
+    statistic becomes unstable, the fact a 100 TB curation pipeline must
+    know before trusting averages).
+
+    Exactness: the top-(k+1) order statistics are deterministic (value
+    DESC rank); each log-ratio term is FLOOR-micro-quantized
+    (quantize-before-sum, ln parity per j101), the sum is an exact
+    INTEGER, and α̂ (and its inverse, the Pareto shape's reciprocal) are
+    integer milli/micro divisions of exact integers.
+
+    Scale shape: one scan → global top-(k+1) via TakeOrderedAndProject
+    (k = {_HILL_K} constant — no global sort, no unpartitioned window in
+    the Spark plan; the rank is recomputed on the ≤k+1-row relation) →
+    KB folds."""
+    d = Tables(spark, sf_dir).documents
+    lens = d.where(F.col("n_chars") > 0).select(
+        F.col("n_chars").cast("long").alias("x")
+    )
+    topk1 = (
+        lens.orderBy(F.col("x").desc())
+        .limit(_HILL_K + 1)
+        .localCheckpoint(eager=True)
+    )
+    # rank within the k+1-row relation via broadcast inequality self-join
+    # over the DISTINCT-value relation (the j114 rule: never an
+    # unpartitioned window, even over k+1 rows; and the above-count must
+    # sum the GREATER values' multiplicities from the distinct relation —
+    # joining the raw copies would multiply it by the value's own count).
+    counts = topk1.groupBy("x").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    a = counts.select(F.col("x"), F.col("cnt"))
+    b = counts.select(F.col("x").alias("xb"), F.col("cnt").alias("cntb"))
+    ranked = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("x"), "left")
+        .groupBy("x", "cnt")
+        .agg(
+            (F.coalesce(F.sum("cntb"), F.lit(0)) + 1).alias("rn_min"),
+        )
+    )
+    thresh = (
+        ranked.where(
+            (F.col("rn_min") <= _HILL_K + 1)
+            & (F.col("rn_min") + F.col("cnt") - 1 >= _HILL_K + 1)
+        )
+        .select(F.col("x").cast("long").alias("xk1"))
+    )
+    in_tail = ranked.select(
+        "x",
+        F.least(
+            F.col("cnt"),
+            F.greatest(F.lit(0), F.lit(_HILL_K) + 1 - F.col("rn_min")),
+        ).alias("n_tail"),
+    ).where(F.col("n_tail") > 0)
+    terms = in_tail.crossJoin(F.broadcast(thresh)).select(
+        (
+            F.expr(
+                "CAST(FLOOR((ln(CAST(x AS DOUBLE)) - ln(CAST(xk1 AS DOUBLE)))"
+                " * 1000000) AS BIGINT)"
+            )
+            * F.col("n_tail")
+        ).alias("t_micro"),
+        F.col("n_tail"),
+    )
+    s = terms.agg(
+        F.sum("t_micro").cast("long").alias("sum_micro"),
+        F.sum("n_tail").cast("long").alias("k"),
+    )
+    return s.crossJoin(F.broadcast(thresh)).select(
+        "k",
+        F.col("xk1").alias("x_k1"),
+        "sum_micro",
+        F.expr("CAST(1000 * k * 1000000 DIV sum_micro AS BIGINT)").alias(
+            "alpha_milli"
+        ),
+        F.expr("CAST(1000000 * sum_micro DIV (k * 1000000) AS BIGINT)").alias(
+            "inv_alpha_micro"
+        ),
+    )
+
+
+# z_{0.025} and z_{0.20} on the micro lattice (two-sided 5%, 80% power),
+# Python-precomputed so neither engine evaluates a normal quantile.
+_Z_ALPHA_MICRO = 1_959_963  # floor(1.959963985... * 1e6)
+_Z_BETA_MICRO = 841_621     # floor(0.841621233... * 1e6)
+
+
+@register(
+    "e111_power_sample_size",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM cents
+    )
+    SELECT n, sx, sxx,
+           CAST(FLOOR(2.0
+                * (CAST({_Z_ALPHA_MICRO} AS DOUBLE) / 1000000
+                   + CAST({_Z_BETA_MICRO} AS DOUBLE) / 1000000)
+                * (CAST({_Z_ALPHA_MICRO} AS DOUBLE) / 1000000
+                   + CAST({_Z_BETA_MICRO} AS DOUBLE) / 1000000)
+                * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                / (CAST(n AS DOUBLE) * (n - 1))
+                / ((CAST(sx AS DOUBLE) / n / 100)
+                   * (CAST(sx AS DOUBLE) / n / 100))) + 1 AS BIGINT)
+               AS n_per_arm
+    FROM s
+    """,
+    survey="E111,E52,E93",
+)
+def e111_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis: the per-arm sample size needed to detect a 1%
+    lift in mean event value at two-sided α = 5% with 80% power —
+    the EXPERIMENT-DESIGN step the testing tier presumes already
+    happened (e52 tests a difference, e93 gates the randomization;
+    power analysis answers "how long must the experiment RUN", the
+    question every launch review asks first): n = 2(z_{{α/2}}+z_β)²σ²/δ²
+    with δ = 1% of the observed mean.
+
+    Exactness: the normal quantiles are PYTHON-precomputed micro
+    constants (the e72 discipline — no engine erf⁻¹ anywhere); σ² uses
+    the exact-BIGINT identity (n·Σx² − S²)/(n(n−1)) in cents; the whole
+    formula is ONE shared scalar double chain over three exact integers
+    and two embedded constants, ceil'd via FLOOR+1; python pin ±1.
+
+    Scale shape: one scan → ONE 3-stat global agg → 1-row arithmetic."""
+    ev = Tables(spark, sf_dir).events
+    cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("x"))
+    s = cents.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n", "sx", "sxx",
+        F.expr(
+            f"CAST(FLOOR(2.0"
+            f" * (CAST({_Z_ALPHA_MICRO} AS DOUBLE) / 1000000"
+            f"    + CAST({_Z_BETA_MICRO} AS DOUBLE) / 1000000)"
+            f" * (CAST({_Z_ALPHA_MICRO} AS DOUBLE) / 1000000"
+            f"    + CAST({_Z_BETA_MICRO} AS DOUBLE) / 1000000)"
+            f" * (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            f" / (CAST(n AS DOUBLE) * (n - 1))"
+            f" / ((CAST(sx AS DOUBLE) / n / 100)"
+            f"    * (CAST(sx AS DOUBLE) / n / 100))) + 1 AS BIGINT)"
+        ).alias("n_per_arm"),
+    )

@@ -872,3 +872,33 @@ def test_b18_tombstone_audit_python_replay(spark, sf_dir):
         assert r.ratio_milli == 1000 * tt // tc
     # every partition lands in exactly one level
     assert sum(v[0] for v in levels.values()) == len(parts)
+
+
+def test_e110_hill_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+    xs = sorted((x for x in t.column(0).to_pylist() if x > 0), reverse=True)
+    K = 100
+    xk1 = xs[K]
+    sum_micro = sum(
+        math.floor((math.log(x) - math.log(xk1)) * 1e6) for x in xs[:K]
+    )
+    row = REGISTRY["e110_hill_tail_index"].fn(spark, sf_dir).collect()[0]
+    assert (row.k, row.x_k1, row.sum_micro) == (K, xk1, sum_micro)
+    assert row.alpha_milli == 1000 * K * 1_000_000 // sum_micro
+    assert row.inv_alpha_micro == 1_000_000 * sum_micro // (K * 1_000_000)
+    assert row.alpha_milli > 0  # tail terms are nonnegative, at least one > 0
+
+
+def test_e111_power_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+    xs = [int(round(v * 100)) for v in t.column(0).to_pylist()]
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    delta = sx / n / 100  # 1% of the mean, in cents
+    z = 1_959_963 / 1e6 + 841_621 / 1e6
+    want = math.floor(2.0 * z * z * var / (delta * delta)) + 1
+    row = REGISTRY["e111_power_sample_size"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.sx, row.sxx) == (n, sx, sxx)
+    assert abs(row.n_per_arm - want) <= 1
+    # detecting a smaller effect needs more samples than we HAVE here
+    assert row.n_per_arm > 0
