@@ -293,3 +293,146 @@ def test_heaps_slope_is_one_when_v_equals_n(ns):
     sxx = sum(x * x for x in xs)
     num, den = m * sxx - sx * sx, m * sxx - sx * sx
     assert 1000 * num // den == 1000
+
+
+# ------------------------------------------------------------- MMR greedy
+
+
+@st.composite
+def _mmr_instance(draw):
+    n = draw(st.integers(5, 10))
+    dim = 4
+    vecs = [
+        tuple(draw(st.integers(-5, 5)) for _ in range(dim)) for _ in range(n)
+    ]
+    return vecs
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+@given(_mmr_instance())
+def test_mmr_first_pick_is_pure_relevance_and_scores_decrease(vecs):
+    """Step 1 ignores redundancy (red=0) and the running MMR objective
+    of the PICKED items never exceeds 7·rel of the first pick."""
+    q = vecs[0]
+    cand = list(range(1, len(vecs)))
+    rel = {i: _dot(q, vecs[i]) for i in cand}
+    first = min(cand, key=lambda i: (-rel[i], i))
+    sel = [first]
+    scores = [7 * rel[first]]
+    for _ in range(min(3, len(cand) - 1)):
+        best = None
+        for c in cand:
+            if c in sel:
+                continue
+            red = max(_dot(vecs[c], vecs[s]) for s in sel)
+            key = (-(7 * rel[c] - 3 * red), c)
+            if best is None or key < best[0]:
+                best = (key, c, 7 * rel[c] - 3 * red)
+        sel.append(best[1])
+        scores.append(best[2])
+    assert scores[0] == 7 * max(rel.values())
+    # each later pick's mmr score can't beat step-1's pure relevance
+    assert all(s <= scores[0] for s in scores[1:])
+    assert len(set(sel)) == len(sel)
+
+
+# ------------------------------------------------- Hamilton apportionment
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=30).filter(
+        lambda ws: sum(ws) > 0
+    ),
+    st.integers(1, 10**7),
+)
+def test_hamilton_apportionment_sums_to_budget_and_near_quota(ws, budget):
+    wsum = sum(ws)
+    base = [budget * w // wsum for w in ws]
+    rem = [budget * w % wsum for w in ws]
+    k = budget - sum(base)
+    order = sorted(range(len(ws)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:k]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    # quota rule: every allocation is floor or ceil of the exact share
+    for w, a in zip(ws, alloc):
+        lo = budget * w // wsum
+        assert a in (lo, lo + 1)
+
+
+# -------------------------------------------------------- Hill estimator
+
+
+@given(st.lists(st.integers(2, 10**6), min_size=12, max_size=200))
+def test_hill_terms_nonnegative_and_alpha_positive(xs):
+    xs = sorted(xs, reverse=True)
+    k = min(10, len(xs) - 1)
+    xk1 = xs[k]
+    terms = [math.floor((math.log(x) - math.log(xk1)) * 1e6) for x in xs[:k]]
+    # each log-ratio is >= 0 up to the floor's -1 at exact ties
+    assert all(t >= -1 for t in terms)
+    s = sum(terms)
+    if s > 0:
+        assert 1000 * k * 1_000_000 // s > 0
+
+
+# --------------------------------------------- order-pattern classification
+
+
+@given(st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(0, 3)))
+def test_permutation_pattern_code_is_a_permutation(t):
+    """The 3-digit less-than-count code is always a permutation of
+    {0,1,2} under the (value, index) tie rule — exactly 6 possible
+    codes, each digit distinct."""
+    v = [(t[0], 0), (t[1], 1), (t[2], 2)]
+    digits = [sum(1 for w in v if w < x) for x in v]
+    assert sorted(digits) == [0, 1, 2]
+
+
+# ------------------------------------------------------- Benford masses
+
+
+def test_benford_second_digit_masses_sum_to_one():
+    micro = {
+        0: 119679, 1: 113890, 2: 108821, 3: 104329, 4: 100308,
+        5: 96677, 6: 93374, 7: 90351, 8: 87570, 9: 84997,
+    }
+    # floors lose < 1 micro each; the ten masses must cover (1e6 - 10, 1e6]
+    assert 1_000_000 - 10 <= sum(micro.values()) <= 1_000_000
+    for d in range(10):
+        exact = sum(math.log10(1 + 1 / (10 * d1 + d)) for d1 in range(1, 10))
+        assert micro[d] == math.floor(exact * 1e6)
+    # second-digit masses are monotonically decreasing in d
+    assert all(micro[d] > micro[d + 1] for d in range(9))
+
+
+# ---------------------------------------------------- nearest-event rule
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.sampled_from("cp")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_nearest_event_delta_is_minimal(evts):
+    """The prev/next window construction finds the true nearest click
+    for every purchase (ties to prev) — checked against brute force."""
+    evts = sorted((t, i, k) for i, (t, k) in enumerate(evts))
+    clicks = [t for t, _, k in evts if k == "c"]
+    for t, _, k in evts:
+        if k != "p" or not clicks:
+            continue
+        prev = max((c for c in clicks if c <= t), default=None)
+        nxt = min((c for c in clicks if c >= t), default=None)
+        if prev is not None and (nxt is None or t - prev <= nxt - t):
+            chosen = t - prev
+        else:
+            chosen = nxt - t
+        brute = min(abs(c - t) for c in clicks)
+        assert chosen == brute
