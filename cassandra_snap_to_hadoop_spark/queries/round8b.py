@@ -3281,3 +3281,172 @@ def e111_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"    * (CAST(sx AS DOUBLE) / n / 100))) + 1 AS BIGINT)"
         ).alias("n_per_arm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 11: errors-in-both-variables regression (Deming) and corpus
+# composition diversity (Simpson / Berger-Parker).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e112_deming_regression",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(len({_WORDS}) AS BIGINT) AS y
+        FROM documents
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM base
+    )
+    SELECT n, sx, sy, sxx, syy, sxy,
+           CAST(FLOOR((
+               ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                - (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                + sqrt(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                        - (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                       * ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                          - (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx))
+                       + 4.0 * (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                             * (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)))
+               / (2.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)))
+               * 1000000) AS BIGINT) AS slope_micro,
+           CAST(FLOOR((CAST(sy AS DOUBLE) / n
+               - ((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                  - (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  + sqrt(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                          - (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx))
+                         * ((CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)
+                            - (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx))
+                         + 4.0 * (CAST(n AS DOUBLE) * sxy
+                                  - CAST(sx AS DOUBLE) * sy)
+                               * (CAST(n AS DOUBLE) * sxy
+                                  - CAST(sx AS DOUBLE) * sy)))
+                 / (2.0 * (CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy))
+                 * (CAST(sx AS DOUBLE) / n)) * 1000) AS BIGINT)
+               AS intercept_milli
+    FROM s
+    """,
+    survey="E112,E41,E51",
+)
+def e112_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-both-variables, δ=1 orthogonal) regression of
+    token count on byte length — the CALIBRATION estimator e41's OLS is
+    wrong for when BOTH axes are measured with error (OLS attenuates
+    the slope toward zero; Deming splits the residual orthogonally —
+    the method-comparison standard in measurement science, and exactly
+    the "bytes-per-token from two noisy counters" calibration a
+    tokenizer-budget planner runs): slope = (S_yy − S_xx +
+    √((S_yy−S_xx)² + 4S_xy²)) / (2S_xy).
+
+    Exactness: the e41 discipline — all six sufficient statistics are
+    exact BIGINTs certified by the hash; slope and intercept are ONE
+    shared scalar double chain over the n-scaled centered forms
+    (n·Σxy − ΣxΣy etc.), micro/milli-floored; python pin ±1.
+
+    Scale shape: one tokenize scan → ONE 6-stat global agg → 1-row
+    arithmetic."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    base = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    s = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cyy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    cxx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    cxy = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    slope = (
+        f"(({cyy} - {cxx}"
+        f" + sqrt(({cyy} - {cxx}) * ({cyy} - {cxx})"
+        f"        + 4.0 * {cxy} * {cxy}))"
+        f" / (2.0 * {cxy}))"
+    )
+    return s.select(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.expr(f"CAST(FLOOR({slope} * 1000000) AS BIGINT)").alias("slope_micro"),
+        F.expr(
+            f"CAST(FLOOR((CAST(sy AS DOUBLE) / n"
+            f" - {slope} * (CAST(sx AS DOUBLE) / n)) * 1000) AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
+@register(
+    "j124_corpus_diversity",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(MAX(n_s) AS BIGINT) AS n_max,
+               CAST(SUM(n_s * (n_s - 1)) AS BIGINT) AS pair_sum
+        FROM counts
+    )
+    SELECT n, n_sources, n_max,
+           CAST(1000 - 1000 * pair_sum // (n * (n - 1)) AS BIGINT)
+               AS simpson_milli,
+           CAST(1000 * n_max // n AS BIGINT) AS berger_parker_milli,
+           CAST(1000 * (n * (n - 1)) // (n_sources * pair_sum) AS BIGINT)
+               AS inv_simpson_evenness_milli
+    FROM tot
+    """,
+    survey="J124,J8,J122",
+)
+def j124_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition diversity over sources — the ecology indices a
+    mixing report quotes next to j122's budget split: Simpson's
+    1 − Σn_s(n_s−1)/N(N−1) (the probability two random docs come from
+    DIFFERENT sources — the unbiased finite-sample form), Berger-Parker
+    dominance max n_s/N (how much the biggest source owns), and inverse-
+    Simpson evenness ÷ source count (1 = perfectly balanced mix).
+    Shannon entropy already has its own row; these two are the
+    pure-INTEGER diversity readings (no logs at all).
+
+    Exactness: pure integer end-to-end — source counts, the pairwise
+    collision sum Σn_s(n_s−1), and all three indices as integer milli
+    divisions of exact BIGINTs; python pin + the Berger-Parker ≥ 1/k
+    and Simpson ∈ [0, 1) laws.
+
+    Scale shape: one scan → per-source agg → ONE 4-stat fold → 1-row
+    arithmetic."""
+    d = Tables(spark, sf_dir).documents
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("n_s").cast("long").alias("n_max"),
+        F.sum(F.col("n_s") * (F.col("n_s") - 1)).cast("long").alias("pair_sum"),
+    )
+    return tot.select(
+        "n", "n_sources", "n_max",
+        F.expr(
+            "CAST(1000 - 1000 * pair_sum DIV (n * (n - 1)) AS BIGINT)"
+        ).alias("simpson_milli"),
+        F.expr("CAST(1000 * n_max DIV n AS BIGINT)").alias("berger_parker_milli"),
+        F.expr(
+            "CAST(1000 * (n * (n - 1)) DIV (n_sources * pair_sum) AS BIGINT)"
+        ).alias("inv_simpson_evenness_milli"),
+    )

@@ -902,3 +902,48 @@ def test_e111_power_python_replay(spark, sf_dir):
     assert abs(row.n_per_arm - want) <= 1
     # detecting a smaller effect needs more samples than we HAVE here
     assert row.n_per_arm > 0
+
+
+def test_e112_deming_python_replay(spark, sf_dir):
+    xs, ys = [], []
+    for nc, text in _docs(["n_chars", "text"]):
+        xs.append(nc)
+        ys.append(len(_norm_words(text)[1]))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    cyy, cxx = n * syy - sy * sy, n * sxx - sx * sx
+    cxy = n * sxy - sx * sy
+    slope = ((cyy - cxx) + math.sqrt((cyy - cxx) ** 2 + 4 * cxy * cxy)) / (
+        2 * cxy
+    )
+    intercept = sy / n - slope * sx / n
+    row = REGISTRY["e112_deming_regression"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.sx, row.sy, row.sxx, row.syy, row.sxy) == (
+        n, sx, sy, sxx, syy, sxy,
+    )
+    assert abs(row.slope_micro - math.floor(slope * 1e6)) <= 1
+    assert abs(row.intercept_milli - math.floor(intercept * 1000)) <= 1
+    # Deming with positive covariance: slope positive, and at least as
+    # steep as OLS (attenuation correction)
+    assert row.slope_micro > 0
+    assert slope >= cxy / cxx - 1e-9
+
+
+def test_j124_diversity_python_replay(spark, sf_dir):
+    counts = Counter(src for src, in _docs(["source"]))
+    n = sum(counts.values())
+    k = len(counts)
+    nmax = max(counts.values())
+    pair_sum = sum(c * (c - 1) for c in counts.values())
+    row = REGISTRY["j124_corpus_diversity"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.n_sources, row.n_max) == (n, k, nmax)
+    assert row.simpson_milli == 1000 - 1000 * pair_sum // (n * (n - 1))
+    assert row.berger_parker_milli == 1000 * nmax // n
+    assert row.inv_simpson_evenness_milli == 1000 * (n * (n - 1)) // (
+        k * pair_sum
+    )
+    assert 0 <= row.simpson_milli < 1000
+    assert row.berger_parker_milli >= 1000 // k  # dominance >= 1/k
