@@ -3450,3 +3450,267 @@ def j124_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * (n * (n - 1)) DIV (n_sources * pair_sum) AS BIGINT)"
         ).alias("inv_simpson_evenness_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 12: cumulative-hazard estimation (Nelson-Aalen) and the dedup
+# threshold-sweep curve.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e113_nelson_aalen",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events GROUP BY 1
+    ), wend AS (
+        SELECT MAX(d1) AS w FROM pu
+    ), lt AS (
+        SELECT CAST(date_diff('day', d0, d1) AS INT) AS t_days,
+               CASE WHEN date_diff('day', d1, w) >= 3 THEN 1 ELSE 0 END
+                   AS observed
+        FROM pu CROSS JOIN wend
+    ), agg AS (
+        SELECT t_days,
+               CAST(SUM(observed) AS BIGINT) AS events,
+               CAST(COUNT(*) - SUM(observed) AS BIGINT) AS censored,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lt GROUP BY 1
+    ), u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lt
+    ), risk AS (
+        SELECT t_days, events, censored,
+               total - CAST(COALESCE(SUM(cnt) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS at_risk
+        FROM agg CROSS JOIN u
+    ), terms AS (
+        SELECT t_days, at_risk, events, censored,
+               CAST(1000000 * events // at_risk AS BIGINT) AS na_term_micro,
+               CAST(1000000 * events // (at_risk * at_risk) AS BIGINT)
+                   AS var_term_micro
+        FROM risk
+    )
+    SELECT t_days, at_risk, events, censored, na_term_micro,
+           CAST(SUM(na_term_micro) OVER (ORDER BY t_days
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_cum_micro,
+           CAST(SUM(var_term_micro) OVER (ORDER BY t_days
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS var_cum_micro
+    FROM terms ORDER BY t_days
+    """,
+    survey="E113,E39,E82",
+)
+def e113_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the SAME censored
+    user-lifetime fixture as e39's Kaplan-Meier (lifetime = first→last
+    event day, 3-day right-censoring rule) — the hazard-scale sibling
+    every survival report shows next to the KM curve (H(t) = Σ d_i/n_i
+    is additive, unbiased in small risk sets where KM's product form
+    degrades, and its slope reads as the instantaneous churn RATE — the
+    quantity e82's log-rank compares between groups), plus the standard
+    Σ d_i/n_i² variance accumulator.
+
+    Exactness: pure integer END-TO-END — per-time d_i/n_i and d_i/n_i²
+    are FLOOR-micro-quantized integer divisions (quantize-before-sum)
+    and both accumulators are exact INTEGER prefix sums; risk sets are
+    the same exact-count prefix as e39, computed here via the sanctioned
+    global_cumsum two-pass instead of an unpartitioned window (the
+    bounded-grid exemption e39 predates).
+
+    Scale shape: per-user reduction (the only corpus-scale stage) →
+    lifetime-grid agg (calendar-bounded) → global_cumsum passes on the
+    ≤|grid| relation → per-row arithmetic."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
+
+    e = Tables(spark, sf_dir).events
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    wend = pu.agg(F.max("d1").alias("w"))
+    lt = pu.crossJoin(F.broadcast(wend)).select(
+        F.datediff("d1", "d0").cast("int").alias("t_days"),
+        F.when(F.datediff("w", "d1") >= 3, 1).otherwise(0).alias("observed"),
+    )
+    agg = lt.groupBy("t_days").agg(
+        F.sum("observed").cast("long").alias("events"),
+        (F.count("*") - F.sum("observed")).cast("long").alias("censored"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    u = lt.agg(F.count("*").cast("long").alias("total"))
+    cum = global_cumsum(agg, [F.col("t_days")], "cnt", rank_col="__rk", cum_col="cumc")
+    risk = cum.crossJoin(F.broadcast(u)).select(
+        "t_days", "events", "censored",
+        (F.col("total") - (F.col("cumc") - F.col("cnt"))).alias("at_risk"),
+    )
+    terms = risk.select(
+        "t_days", "at_risk", "events", "censored",
+        F.expr("CAST(1000000 * events DIV at_risk AS BIGINT)").alias(
+            "na_term_micro"
+        ),
+        F.expr(
+            "CAST(1000000 * events DIV (at_risk * at_risk) AS BIGINT)"
+        ).alias("var_term_micro"),
+    )
+    h = global_cumsum(
+        terms, [F.col("t_days")], "na_term_micro", rank_col="__r1", cum_col="h_cum"
+    )
+    hv = global_cumsum(
+        h, [F.col("t_days")], "var_term_micro", rank_col="__r2", cum_col="v_cum"
+    )
+    return hv.select(
+        "t_days", "at_risk", "events", "censored", "na_term_micro",
+        F.col("h_cum").cast("long").alias("h_cum_micro"),
+        F.col("v_cum").cast("long").alias("var_cum_micro"),
+    ).orderBy("t_days")
+
+
+@register(
+    "j125_dedup_threshold_curve",
+    oracle=f"""
+    WITH grams AS (
+        SELECT source, doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+1], ' ')
+                                     for i in range(1, len(w))])) AS g
+        FROM (SELECT source, doc_id, {_WORDS} AS w FROM documents)
+        WHERE len(w) >= 2
+    ), sizes AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM grams GROUP BY 1, 2
+    ), pairs AS (
+        SELECT r.source, r.doc_id AS ref_id, c.doc_id AS cand_id,
+               r.sz AS ref_sz, c.sz AS cand_sz
+        FROM sizes r JOIN sizes c
+            ON c.source = r.source AND c.doc_id = r.doc_id + 20
+    ), inter AS (
+        SELECT p.source, p.ref_id,
+               CAST(COUNT(*) AS BIGINT) AS i_sz
+        FROM pairs p
+        JOIN grams rg ON rg.doc_id = p.ref_id AND rg.source = p.source
+        JOIN grams cg ON cg.doc_id = p.cand_id AND cg.source = p.source
+                     AND cg.g = rg.g
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.source,
+               CAST(1000 * COALESCE(i.i_sz, 0)
+                    // (p.ref_sz + p.cand_sz - COALESCE(i.i_sz, 0))
+                    AS BIGINT) AS jac_milli
+        FROM pairs p LEFT JOIN inter i
+            ON i.source = p.source AND i.ref_id = p.ref_id
+    ), thresholds AS (
+        SELECT unnest([5, 10, 25, 50, 100]) AS threshold_milli
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM scored
+    )
+    SELECT CAST(t.threshold_milli AS BIGINT) AS threshold_milli,
+           CAST(SUM(CASE WHEN s.jac_milli >= t.threshold_milli
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+           tot.n_pairs,
+           CAST(1000 * SUM(CASE WHEN s.jac_milli >= t.threshold_milli
+                    THEN 1 ELSE 0 END) // tot.n_pairs AS BIGINT)
+               AS dup_rate_milli
+    FROM thresholds t CROSS JOIN scored s CROSS JOIN tot
+    GROUP BY 1, tot.n_pairs ORDER BY 1
+    """,
+    survey="J125,J2,J5",
+)
+def j125_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sweep curve: the pair rate at Jaccard cutoffs
+    5‰…100‰ over the same-source neighbor pairs — the OPERATING-CURVE
+    view the single-threshold dedup tiers (j2 at one banding point, j5
+    at one cut) never show, and the first thing a curation review asks
+    before committing to a threshold ('how much corpus do we lose at
+    cut X vs Y?').  The sweep range is DATA-LOCKED: this synthetic
+    corpus has no near-duplicate neighbors (max observed bigram Jaccard
+    ≈ 0.115 at sf0.001), so cutting at the classic 0.8 would certify an
+    all-zero curve with no hash discrimination — the per-mille range
+    exercises every bucket.
+
+    Exactness: pure integer end-to-end — distinct bigram shingle sets,
+    exact intersection counts via the pair-bounded gram join, Jaccard
+    by inclusion-exclusion 1000·|∩| DIV (|A|+|B|−|∩|), the closed
+    5-threshold domain as a broadcast relation, rates as integer milli;
+    zero-overlap pairs stay via the LEFT join; python replay pin + the
+    curve-monotone-nonincreasing law.
+
+    Scale shape: shingle explode (volume term) → per-doc distinct agg →
+    ONE gram-equi join bounded to adjacent pairs (never corpus-wide) →
+    5×|pairs| broadcast threshold scan → 5-row agg."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    w = tokens(F.col("text"))
+    toks = d.select("source", "doc_id", F.posexplode(w).alias("pos", "tk"))
+    nxt = toks.select(
+        "source", "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tk").alias("tk2")
+    )
+    grams = (
+        toks.join(nxt, ["source", "doc_id", "pos"])
+        .select("source", "doc_id", F.concat_ws(" ", "tk", "tk2").alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    cand = sizes.select(
+        F.col("source").alias("sc"), F.col("doc_id").alias("cand_id"),
+        F.col("sz").alias("cand_sz"),
+    )
+    pairs = sizes.join(
+        cand,
+        (F.col("sc") == F.col("source"))
+        & (F.col("cand_id") == F.col("doc_id") + 20),
+    ).select(
+        "source", F.col("doc_id").alias("ref_id"), "cand_id",
+        F.col("sz").alias("ref_sz"), "cand_sz",
+    ).localCheckpoint(eager=True)
+    rg = grams.select(
+        F.col("source").alias("sr"), F.col("doc_id").alias("rid"),
+        F.col("g").alias("gr"),
+    )
+    cg = grams.select(
+        F.col("source").alias("scg"), F.col("doc_id").alias("cid"),
+        F.col("g").alias("gcol"),
+    )
+    inter = (
+        pairs.join(rg, (F.col("sr") == F.col("source")) & (F.col("rid") == F.col("ref_id")))
+        .join(
+            cg,
+            (F.col("scg") == F.col("source"))
+            & (F.col("cid") == F.col("cand_id"))
+            & (F.col("gcol") == F.col("gr")),
+        )
+        .groupBy("source", "ref_id")
+        .agg(F.count("*").cast("long").alias("i_sz"))
+    )
+    scored = pairs.join(inter, ["source", "ref_id"], "left").select(
+        F.expr(
+            "CAST(1000 * COALESCE(i_sz, 0)"
+            " DIV (ref_sz + cand_sz - COALESCE(i_sz, 0)) AS BIGINT)"
+        ).alias("jac_milli")
+    )
+    thresholds = spark.createDataFrame(
+        [(5,), (10,), (25,), (50,), (100,)], "threshold_milli long"
+    )
+    tot = scored.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold_milli", "n_pairs")
+        .agg(
+            F.sum(
+                F.when(F.col("jac_milli") >= F.col("threshold_milli"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup_pairs")
+        )
+        .select(
+            "threshold_milli", "n_dup_pairs", "n_pairs",
+            F.expr("CAST(1000 * n_dup_pairs DIV n_pairs AS BIGINT)").alias(
+                "dup_rate_milli"
+            ),
+        )
+        .orderBy("threshold_milli")
+    )

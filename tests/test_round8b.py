@@ -947,3 +947,65 @@ def test_j124_diversity_python_replay(spark, sf_dir):
     )
     assert 0 <= row.simpson_milli < 1000
     assert row.berger_parker_milli >= 1000 // k  # dominance >= 1/k
+
+
+def test_e113_nelson_aalen_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    span = defaultdict(lambda: [None, None])
+    for u, ts in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        d = ts.date()
+        s = span[u]
+        s[0] = d if s[0] is None else min(s[0], d)
+        s[1] = d if s[1] is None else max(s[1], d)
+    wend = max(s[1] for s in span.values())
+    agg = defaultdict(lambda: [0, 0])  # t_days -> [events, censored]
+    for d0, d1 in span.values():
+        td = (d1 - d0).days
+        if (wend - d1).days >= 3:
+            agg[td][0] += 1
+        else:
+            agg[td][1] += 1
+    total = len(span)
+    rows = REGISTRY["e113_nelson_aalen"].fn(spark, sf_dir).collect()
+    assert [r.t_days for r in rows] == sorted(agg)
+    seen, h, v = 0, 0, 0
+    for r in rows:
+        ev, ce = agg[r.t_days]
+        at_risk = total - seen
+        seen += ev + ce
+        na = 1_000_000 * ev // at_risk
+        assert (r.at_risk, r.events, r.censored) == (at_risk, ev, ce), r.t_days
+        assert r.na_term_micro == na
+        h += na
+        v += 1_000_000 * ev // (at_risk * at_risk)
+        assert (r.h_cum_micro, r.var_cum_micro) == (h, v), r.t_days
+    # the hazard accumulator is nondecreasing by construction
+    assert all(b.h_cum_micro >= a.h_cum_micro for a, b in zip(rows, rows[1:]))
+
+
+def test_j125_threshold_curve_python_replay(spark, sf_dir):
+    docs = {}
+    for src, did, text in _docs(["source", "doc_id", "text"]):
+        ws = _norm_words(text)[1]
+        docs[did] = {" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)}
+    jacs = []
+    for did, ref in docs.items():
+        if did + 20 not in docs or not ref:
+            continue
+        cand = docs[did + 20]
+        if not cand:
+            continue
+        i = len(ref & cand)
+        jacs.append(1000 * i // (len(ref) + len(cand) - i))
+    rows = REGISTRY["j125_dedup_threshold_curve"].fn(spark, sf_dir).collect()
+    assert [r.threshold_milli for r in rows] == [5, 10, 25, 50, 100]
+    assert rows[0].n_dup_pairs > 0  # the sweep range must discriminate
+    prev = None
+    for r in rows:
+        want = sum(1 for j in jacs if j >= r.threshold_milli)
+        assert r.n_dup_pairs == want, r.threshold_milli
+        assert r.n_pairs == len(jacs)
+        assert r.dup_rate_milli == 1000 * want // len(jacs)
+        if prev is not None:
+            assert r.n_dup_pairs <= prev  # monotone nonincreasing curve
+        prev = r.n_dup_pairs
