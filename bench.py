@@ -77,6 +77,9 @@ HEADLINE = [
     # round-7 representative (VERDICT r7 item 5): iterative graph
     # wedge-join truss peeling — shape distinct from j100's semi-join peel
     "j107_ktruss_peel",
+    # round-8 representative: embedding-selection workload (quantized
+    # dot-product joins + candidate-lockstep greedy rounds)
+    "j121_mmr_rerank",
 ]
 
 N_RUNS = 3

@@ -56,6 +56,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j100_kcore_decomposition": 3.34,
     "e75_isotonic_calibration": 2.46,
     "j107_ktruss_peel": 6.54,
+    "j121_mmr_rerank": 4.48,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
