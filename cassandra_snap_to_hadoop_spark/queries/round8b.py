@@ -3714,3 +3714,192 @@ def j125_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_milli")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 13: temporal anti-join (attribution complement) and the Newcombe
+# risk-difference interval (two-sample extension of e31's Wilson CI).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "d26_temporal_anti_join",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    ), flagged AS (
+        SELECT p.day,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM c
+                   WHERE c.user_id = p.user_id
+                     AND p.t - c.t BETWEEN 0 AND 3600000000
+               ) THEN 0 ELSE 1 END AS orphan
+        FROM p
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(orphan) AS BIGINT) AS n_orphan,
+           CAST(1000 * SUM(orphan) // COUNT(*) AS BIGINT) AS orphan_rate_milli
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+    survey="D26,D4,E26",
+)
+def d26_temporal_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join: purchases with NO click by the same user in
+    the preceding hour — the attribution COMPLEMENT (d4's anti-join has
+    no time dimension; e26 attributes the matched purchases; d24 finds
+    the nearest match; THIS counts the unmatchable ones, the 'dark
+    conversion' rate every attribution report must disclose), rolled up
+    per day.
+
+    Exactness: pure integer — micro timestamps, the [0, 1h] window as
+    exact integer bounds, existence by left-anti join (Spark) == NOT
+    EXISTS (oracle), daily orphan rates as integer milli.
+
+    Scale shape: the e26 pattern — user-equi join with the range
+    predicate as a residual filter (never a cross product; clicks
+    co-shuffle with purchases on user_id), left_anti so matched rows
+    short-circuit; calendar-bounded day agg after."""
+    ev = Tables(spark, sf_dir).events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.expr("unix_micros(ts)").alias("ct")
+    )
+    orphans = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("t") - F.col("ct") >= 0)
+        & (F.col("t") - F.col("ct") <= 3_600_000_000),
+        "left_anti",
+    )
+    totals = p.groupBy("day").agg(F.count("*").cast("long").alias("n_purchases"))
+    orph = orphans.groupBy("day").agg(F.count("*").cast("long").alias("n_orphan"))
+    return (
+        totals.join(orph, "day", "left")
+        .select(
+            "day",
+            "n_purchases",
+            F.coalesce(F.col("n_orphan"), F.lit(0)).cast("long").alias("n_orphan"),
+            F.expr(
+                "CAST(1000 * COALESCE(n_orphan, 0) DIV n_purchases AS BIGINT)"
+            ).alias("orphan_rate_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+# Newcombe risk-difference interval: every double expression below is built
+# from ONE shared SQL template string used verbatim by BOTH engines — the
+# operation order inside the Wilson limits is part of the contract.
+_NW_Z_MICRO = 1_959_963  # floor(z_{0.025} * 1e6), shared with e111
+_NW_Z = f"CAST({_NW_Z_MICRO} AS DOUBLE) / 1000000"
+_NW_Z2 = (
+    f"CAST({_NW_Z_MICRO} AS DOUBLE) * CAST({_NW_Z_MICRO} AS DOUBLE)"
+    " / 1000000000000"
+)
+
+
+def _nw_wilson(k: str, n: str, sign: str) -> str:
+    return (
+        f"(CAST({k} AS DOUBLE) + ({_NW_Z2}) / 2"
+        f" {sign} ({_NW_Z}) * sqrt(CAST({k} AS DOUBLE) * ({n} - {k}) / {n}"
+        f" + ({_NW_Z2}) / 4))"
+        f" / ({n} + ({_NW_Z2}))"
+    )
+
+
+_NW_P1, _NW_P2 = "CAST(a AS DOUBLE) / n1", "CAST(c AS DOUBLE) / n2"
+_NW_LO = (
+    f"({_NW_P1} - {_NW_P2})"
+    f" - sqrt(({_NW_P1} - {_nw_wilson('a', 'n1', '-')})"
+    f" * ({_NW_P1} - {_nw_wilson('a', 'n1', '-')})"
+    f" + ({_nw_wilson('c', 'n2', '+')} - {_NW_P2})"
+    f" * ({_nw_wilson('c', 'n2', '+')} - {_NW_P2}))"
+)
+_NW_HI = (
+    f"({_NW_P1} - {_NW_P2})"
+    f" + sqrt(({_nw_wilson('a', 'n1', '+')} - {_NW_P1})"
+    f" * ({_nw_wilson('a', 'n1', '+')} - {_NW_P1})"
+    f" + ({_NW_P2} - {_nw_wilson('c', 'n2', '-')})"
+    f" * ({_NW_P2} - {_nw_wilson('c', 'n2', '-')}))"
+)
+
+
+@register(
+    "e114_newcombe_risk_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+        SELECT CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM base
+    )
+    SELECT a, n1, c, n2,
+           CAST(1000 * (a * n2 - c * n1) // (n1 * n2) AS BIGINT) AS rd_milli,
+           CAST(FLOOR(({_NW_LO}) * 1000) AS BIGINT) AS ci_lo_milli,
+           CAST(FLOOR(({_NW_HI}) * 1000) AS BIGINT) AS ci_hi_milli
+    FROM cells
+    """,
+    survey="E114,E31,E106",
+)
+def e114_newcombe_risk_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newcombe score interval for the risk DIFFERENCE p1 − p2 (urgent
+    rate, BUILDING vs other segments) — the two-sample extension of
+    e31's single-proportion Wilson CI and the ADDITIVE-scale companion
+    of e106's multiplicative odds ratio (a launch review reads 'how
+    many points of lift', not a log-odds): Newcombe 1998 method 10
+    builds the diff CI from the two Wilson limits, inheriting Wilson's
+    near-nominal coverage at any proportion.
+
+    Exactness: the 2×2 margins are ONE exact conditional aggregation;
+    rd_milli = 1000·(a·n2 − c·n1) DIV (n1·n2) is pure integer; both CI
+    bounds come from SQL template strings generated ONCE in Python and
+    pasted verbatim into BOTH engines (the operation order inside the
+    Wilson limits is the contract — a hand-transcribed copy with a
+    different association would drift in the last ulp), built only from
+    exact integers, the precomputed z micro constant and IEEE sqrt (no
+    ln/exp/asin anywhere), milli-floored.
+
+    Scale shape: one orders⋈customer scan → ONE 4-stat agg → 1-row
+    arithmetic."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("e"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    cells = base.agg(
+        F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return cells.select(
+        "a", "n1", "c", "n2",
+        F.expr("CAST(1000 * (a * n2 - c * n1) DIV (n1 * n2) AS BIGINT)").alias(
+            "rd_milli"
+        ),
+        F.expr(f"CAST(FLOOR(({_NW_LO}) * 1000) AS BIGINT)").alias("ci_lo_milli"),
+        F.expr(f"CAST(FLOOR(({_NW_HI}) * 1000) AS BIGINT)").alias("ci_hi_milli"),
+    )

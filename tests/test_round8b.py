@@ -1009,3 +1009,61 @@ def test_j125_threshold_curve_python_replay(spark, sf_dir):
         if prev is not None:
             assert r.n_dup_pairs <= prev  # monotone nonincreasing curve
         prev = r.n_dup_pairs
+
+
+def test_d26_temporal_anti_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    clicks, purchases = defaultdict(list), []
+    for u, et, ts in zip(*[t.column(i).to_pylist() for i in range(3)]):
+        us = int(ts.timestamp() * 1_000_000)
+        if et == "click":
+            clicks[u].append(us)
+        elif et == "purchase":
+            purchases.append((u, us))
+    agg = defaultdict(lambda: [0, 0])
+    for u, pt in purchases:
+        day = pt // 86_400_000_000
+        orphan = not any(0 <= pt - ct <= 3_600_000_000 for ct in clicks.get(u, []))
+        agg[day][0] += 1
+        agg[day][1] += int(orphan)
+    rows = {r.day: r for r in
+            REGISTRY["d26_temporal_anti_join"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for day, (np_, no) in agg.items():
+        r = rows[day]
+        assert (r.n_purchases, r.n_orphan) == (np_, no), day
+        assert r.orphan_rate_milli == 1000 * no // np_
+    # d24 consistency: every orphan here is a purchase d24 cannot match
+    # backwards within the hour (weaker law: orphans <= purchases)
+    assert all(r.n_orphan <= r.n_purchases for r in rows.values())
+
+
+def test_e114_newcombe_python_replay(spark, sf_dir):
+    a = n1 = c = n2 = 0
+    for pr, sg in _orders_with_segment():
+        if sg == "BUILDING":
+            n1 += 1
+            a += pr == "1-URGENT"
+        else:
+            n2 += 1
+            c += pr == "1-URGENT"
+    z = 1_959_963 / 1e6
+
+    def wilson(k, n):
+        half = z * z / 2
+        rad = z * math.sqrt(k * (n - k) / n + z * z / 4)
+        return (k + half - rad) / (n + z * z), (k + half + rad) / (n + z * z)
+
+    p1, p2 = a / n1, c / n2
+    l1, u1 = wilson(a, n1)
+    l2, u2 = wilson(c, n2)
+    lo = (p1 - p2) - math.sqrt((p1 - l1) ** 2 + (u2 - p2) ** 2)
+    hi = (p1 - p2) + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
+    row = REGISTRY["e114_newcombe_risk_diff"].fn(spark, sf_dir).collect()[0]
+    assert (row.a, row.n1, row.c, row.n2) == (a, n1, c, n2)
+    assert row.rd_milli == 1000 * (a * n2 - c * n1) // (n1 * n2)
+    assert abs(row.ci_lo_milli - math.floor(lo * 1000)) <= 1
+    assert abs(row.ci_hi_milli - math.floor(hi * 1000)) <= 1
+    assert row.ci_lo_milli <= row.rd_milli <= row.ci_hi_milli
