@@ -3903,3 +3903,97 @@ def e114_newcombe_risk_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(FLOOR(({_NW_LO}) * 1000) AS BIGINT)").alias("ci_lo_milli"),
         F.expr(f"CAST(FLOOR(({_NW_HI}) * 1000) AS BIGINT)").alias("ci_hi_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 14: higher-order (lambda) array-function coverage, certified
+# against a purely relational oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "i25_higher_order_array_funcs",
+    oracle="""
+    WITH q AS (
+        SELECT l_orderkey AS pk, CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+    ), per_row AS (
+        SELECT pk, v,
+               ROW_NUMBER() OVER (PARTITION BY pk ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY pk) AS n
+        FROM q
+    ), dot AS (
+        SELECT a.pk, CAST(SUM(a.v * b.v) AS BIGINT) AS pal_dot
+        FROM per_row a JOIN per_row b
+            ON b.pk = a.pk AND b.rn = a.n - a.rn + 1
+        GROUP BY 1
+    ), per_order AS (
+        SELECT q.pk,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(v) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN v >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ge_25,
+               CAST(MAX(CASE WHEN v = 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS any_50
+        FROM q GROUP BY 1
+    )
+    SELECT p.n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.total) AS BIGINT) AS sum_total,
+           CAST(SUM(p.n_ge_25) AS BIGINT) AS sum_ge_25,
+           CAST(SUM(p.any_50) AS BIGINT) AS n_with_50,
+           CAST(SUM(d.pal_dot) AS BIGINT) AS sum_pal_dot
+    FROM per_order p JOIN dot d ON d.pk = p.pk
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="I25,I5,L1",
+)
+def i25_higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order (lambda) array-function coverage — aggregate /
+    filter / exists / zip_with / reverse evaluated INSIDE the engine's
+    lambda runtime and certified against a purely RELATIONAL oracle
+    computing the same four facts per order (i5 covers the scalar array
+    functions; the lambda family is a separate codegen path — Spark
+    evaluates it in the interpreted HigherOrderFunction frame — and a
+    coverage claim needs cross-engine evidence, not just 'it ran'):
+    total = aggregate(+), count = size(filter(≥25)), flag =
+    exists(=50), and the sorted-array palindrome dot product
+    Σ v_(i)·v_(n+1−i) via zip_with(arr, reverse(arr), *).
+
+    Exactness: arrays are array_sort(collect_list(...)) so the
+    collect_list order nondeterminism never reaches the semantics (the
+    sorted multiset pairing is well-defined under ties); every fact is
+    pure BIGINT; the output folds onto the bounded n_lines grid.
+
+    Scale shape: one scan → per-order collect (the natural key,
+    map-side combinable) → per-row lambda evaluation (no shuffle) →
+    ≤7-row grid agg; the oracle's windows are per-order (partitioned)."""
+    li = Tables(spark, sf_dir).lineitem
+    arrs = li.groupBy(F.col("l_orderkey").alias("pk")).agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("arr")
+    )
+    facts = arrs.select(
+        F.size("arr").cast("long").alias("n_lines"),
+        F.expr(
+            "aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total"),
+        F.expr("CAST(size(filter(arr, x -> x >= 25)) AS BIGINT)").alias("n_ge_25"),
+        F.expr(
+            "CAST(CASE WHEN exists(arr, x -> x = 50) THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("any_50"),
+        F.expr(
+            "aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("pal_dot"),
+    )
+    return (
+        facts.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("total").cast("long").alias("sum_total"),
+            F.sum("n_ge_25").cast("long").alias("sum_ge_25"),
+            F.sum("any_50").cast("long").alias("n_with_50"),
+            F.sum("pal_dot").cast("long").alias("sum_pal_dot"),
+        )
+        .orderBy("n_lines")
+    )

@@ -1067,3 +1067,32 @@ def test_e114_newcombe_python_replay(spark, sf_dir):
     assert abs(row.ci_lo_milli - math.floor(lo * 1000)) <= 1
     assert abs(row.ci_hi_milli - math.floor(hi * 1000)) <= 1
     assert row.ci_lo_milli <= row.rd_milli <= row.ci_hi_milli
+
+
+def test_i25_higher_order_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    per = defaultdict(list)
+    for k, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        per[k].append(int(round(q)))
+    grid = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for vs in per.values():
+        vs.sort()
+        n = len(vs)
+        g = grid[n]
+        g[0] += 1
+        g[1] += sum(vs)
+        g[2] += sum(1 for v in vs if v >= 25)
+        g[3] += int(any(v == 50 for v in vs))
+        g[4] += sum(a * b for a, b in zip(vs, reversed(vs)))
+    rows = REGISTRY["i25_higher_order_array_funcs"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(grid)
+    for r in rows:
+        no, st, sg, w50, pd_ = grid[r.n_lines]
+        assert (r.n_orders, r.sum_total, r.sum_ge_25) == (no, st, sg), r.n_lines
+        assert (r.n_with_50, r.sum_pal_dot) == (w50, pd_), r.n_lines
+    # Cauchy-Schwarz: the palindrome dot of a sorted array is the MINIMUM
+    # over pairings of the multiset with itself — ≤ the aligned dot
+    for vs in list(per.values())[:50]:
+        vs.sort()
+        pal = sum(a * b for a, b in zip(vs, reversed(vs)))
+        assert pal <= sum(v * v for v in vs)
