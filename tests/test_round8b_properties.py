@@ -313,29 +313,41 @@ def _dot(a, b):
 
 
 @given(_mmr_instance())
-def test_mmr_first_pick_is_pure_relevance_and_scores_decrease(vecs):
-    """Step 1 ignores redundancy (red=0) and the running MMR objective
-    of the PICKED items never exceeds 7·rel of the first pick."""
+def test_mmr_first_pick_is_pure_relevance_and_greedy_dominates(vecs):
+    """Step 1 ignores redundancy (red=0) and maximizes pure relevance;
+    every later pick's MMR score dominates every other REMAINING
+    candidate's score at that step (the argmax definition), and — when
+    all pairwise redundancies are nonnegative — never exceeds 7·rel of
+    the first pick (with NEGATIVE dots, redundancy is a bonus and the
+    ceiling genuinely does not hold: Hypothesis found the antiparallel
+    counterexample that corrected this law)."""
     q = vecs[0]
     cand = list(range(1, len(vecs)))
     rel = {i: _dot(q, vecs[i]) for i in cand}
     first = min(cand, key=lambda i: (-rel[i], i))
     sel = [first]
     scores = [7 * rel[first]]
+    nonneg = all(
+        _dot(vecs[i], vecs[j]) >= 0 for i in cand for j in cand if i != j
+    )
     for _ in range(min(3, len(cand) - 1)):
-        best = None
+        best, allsc = None, []
         for c in cand:
             if c in sel:
                 continue
             red = max(_dot(vecs[c], vecs[s]) for s in sel)
-            key = (-(7 * rel[c] - 3 * red), c)
+            sc = 7 * rel[c] - 3 * red
+            allsc.append(sc)
+            key = (-sc, c)
             if best is None or key < best[0]:
-                best = (key, c, 7 * rel[c] - 3 * red)
+                best = (key, c, sc)
         sel.append(best[1])
         scores.append(best[2])
+        assert best[2] == max(allsc)  # the argmax definition
     assert scores[0] == 7 * max(rel.values())
-    # each later pick's mmr score can't beat step-1's pure relevance
-    assert all(s <= scores[0] for s in scores[1:])
+    if nonneg:
+        # with nonnegative redundancy, step-1's pure relevance is a ceiling
+        assert all(s <= scores[0] for s in scores[1:])
     assert len(set(sel)) == len(sel)
 
 
