@@ -3997,3 +3997,134 @@ def i25_higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 15: ranking-stability audit (Spearman footrule between two source
+# orderings).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "e115_rank_stability_footrule",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), ranked AS (
+        SELECT a.source, a.n_docs, a.n_tokens,
+               CAST(1 + SUM(CASE WHEN b.n_docs > a.n_docs
+                        OR (b.n_docs = a.n_docs AND b.source < a.source)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rank_docs,
+               CAST(1 + SUM(CASE WHEN b.n_tokens > a.n_tokens
+                        OR (b.n_tokens = a.n_tokens AND b.source < a.source)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rank_tokens
+        FROM per_src a JOIN per_src b ON b.source <> a.source
+        GROUP BY 1, 2, 3
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ABS(rank_docs - rank_tokens)) AS BIGINT) AS footrule,
+               CAST(MAX(ABS(rank_docs - rank_tokens)) AS BIGINT)
+                   AS max_displacement
+        FROM ranked
+    )
+    SELECT k, footrule, max_displacement,
+           CAST(CASE WHEN k % 2 = 0
+                THEN 1000 * footrule // ((k * k) // 2)
+                ELSE 1000 * footrule // ((k * k - 1) // 2)
+                END AS BIGINT) AS footrule_norm_milli
+    FROM s
+    """,
+    survey="E115,E67,J124",
+)
+def e115_rank_stability_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule distance between the two natural source
+    orderings — by document count and by token count — the
+    RANK-STABILITY audit the correlation tier skips (e67's tau asks
+    'are the metrics associated'; the footrule F = Σ|r1(s) − r2(s)|
+    asks 'how far do the LEADERBOARDS disagree', the quantity a mixing
+    dashboard that sorts sources by one metric but budgets by another
+    needs — Diaconis & Graham 1977 bound it within 2× of Kendall's
+    bubble-sort distance), with the max single displacement and the
+    normalized form F / max-F (max-F = k²/2 for even k, (k²−1)/2 odd).
+
+    Exactness: pure integer END-TO-END — both rankings come from ONE
+    inequality self-join over the source-domain relation with the
+    deterministic (metric DESC, source) tiebreak (never an
+    unpartitioned window, the j114 rule), the footrule/max/normalizer
+    are exact BIGINT arithmetic; python replay pin + the F ≤ max-F and
+    F-is-even laws (the footrule of two permutations is always even).
+
+    Scale shape: one tokenize scan → per-source agg → a k²-bounded
+    self-join on the KB source relation → 1-row fold."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    per_src = d.select(
+        "source", F.size(tokens(F.col("text"))).alias("nt")
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    a = per_src.select(
+        F.col("source"), F.col("n_docs"), F.col("n_tokens")
+    )
+    b = per_src.select(
+        F.col("source").alias("sb"), F.col("n_docs").alias("db"),
+        F.col("n_tokens").alias("tb"),
+    )
+    ranked = (
+        a.join(F.broadcast(b), F.col("sb") != F.col("source"))
+        .groupBy("source", "n_docs", "n_tokens")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("db") > F.col("n_docs"))
+                        | (
+                            (F.col("db") == F.col("n_docs"))
+                            & (F.col("sb") < F.col("source"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("rank_docs"),
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("tb") > F.col("n_tokens"))
+                        | (
+                            (F.col("tb") == F.col("n_tokens"))
+                            & (F.col("sb") < F.col("source"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("rank_tokens"),
+        )
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.abs(F.col("rank_docs") - F.col("rank_tokens")))
+        .cast("long")
+        .alias("footrule"),
+        F.max(F.abs(F.col("rank_docs") - F.col("rank_tokens")))
+        .cast("long")
+        .alias("max_displacement"),
+    )
+    return s.select(
+        "k", "footrule", "max_displacement",
+        F.expr(
+            "CAST(CASE WHEN k % 2 = 0"
+            " THEN 1000 * footrule DIV ((k * k) DIV 2)"
+            " ELSE 1000 * footrule DIV ((k * k - 1) DIV 2)"
+            " END AS BIGINT)"
+        ).alias("footrule_norm_milli"),
+    )

@@ -1096,3 +1096,27 @@ def test_i25_higher_order_python_replay(spark, sf_dir):
         vs.sort()
         pal = sum(a * b for a, b in zip(vs, reversed(vs)))
         assert pal <= sum(v * v for v in vs)
+
+
+def test_e115_footrule_python_replay(spark, sf_dir):
+    stats = defaultdict(lambda: [0, 0])
+    for src, text in _docs(["source", "text"]):
+        s = stats[src]
+        s[0] += 1
+        s[1] += len(_norm_words(text)[1])
+    srcs = sorted(stats)
+
+    def ranks(idx):
+        order = sorted(srcs, key=lambda s: (-stats[s][idx], s))
+        return {s: i + 1 for i, s in enumerate(order)}
+
+    rd, rt = ranks(0), ranks(1)
+    k = len(srcs)
+    foot = sum(abs(rd[s] - rt[s]) for s in srcs)
+    mx = max(abs(rd[s] - rt[s]) for s in srcs)
+    norm = k * k // 2 if k % 2 == 0 else (k * k - 1) // 2
+    row = REGISTRY["e115_rank_stability_footrule"].fn(spark, sf_dir).collect()[0]
+    assert (row.k, row.footrule, row.max_displacement) == (k, foot, mx)
+    assert row.footrule_norm_milli == 1000 * foot // norm
+    assert foot % 2 == 0          # footrule of two permutations is even
+    assert foot <= norm           # Diaconis-Graham maximum
