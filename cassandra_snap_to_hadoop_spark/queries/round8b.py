@@ -4128,3 +4128,74 @@ def e115_rank_stability_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("footrule_norm_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 16: vocabulary-health closure — per-source hapax legomena share.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j126_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_WORDS}) AS w FROM documents
+    ), wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ), s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(c) AS BIGINT) AS tokens,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dis_legomena
+        FROM wc GROUP BY 1
+    )
+    SELECT source, vocab, tokens, hapax, dis_legomena,
+           CAST(1000 * hapax // vocab AS BIGINT) AS hapax_vocab_milli,
+           CAST(1000000 * hapax // tokens AS BIGINT) AS hapax_token_micro
+    FROM s ORDER BY source
+    """,
+    survey="J126,J113,J117",
+)
+def j126_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax legomena share — the vocabulary-HEALTH reading
+    the global tiers imply but never localize (j113's Good-Turing runs
+    on the corpus-wide trigram table: its N₁/N IS the unseen-mass
+    estimate; j117's Heaps β says vocab still grows; THIS says, per
+    source, what fraction of the vocabulary is single-use — the classic
+    OCR-garbage / boilerplate detector: garbage inflates hapax/vocab,
+    templated text collapses it), plus the dis-legomena count the
+    Good-Turing r=1→2 step consumes.
+
+    Exactness: pure integer end-to-end — per-(source, word) counts,
+    vocab/token/hapax totals, and both ratios as integer milli/micro
+    divisions; python Counter pin + the hapax ≤ vocab ≤ tokens chain
+    law.
+
+    Scale shape: tokenize (volume term) → (source, word) hash agg →
+    per-source fold; no joins, no windows."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    wc = tok.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    s = wc.groupBy("source").agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dis_legomena"),
+    )
+    return s.select(
+        "source", "vocab", "tokens", "hapax", "dis_legomena",
+        F.expr("CAST(1000 * hapax DIV vocab AS BIGINT)").alias(
+            "hapax_vocab_milli"
+        ),
+        F.expr("CAST(1000000 * hapax DIV tokens AS BIGINT)").alias(
+            "hapax_token_micro"
+        ),
+    ).orderBy("source")

@@ -1120,3 +1120,24 @@ def test_e115_footrule_python_replay(spark, sf_dir):
     assert row.footrule_norm_milli == 1000 * foot // norm
     assert foot % 2 == 0          # footrule of two permutations is even
     assert foot <= norm           # Diaconis-Graham maximum
+
+
+def test_j126_hapax_python_replay(spark, sf_dir):
+    wc = defaultdict(Counter)
+    for src, text in _docs(["source", "text"]):
+        wc[src].update(_norm_words(text)[1])
+    rows = {r.source: r for r in
+            REGISTRY["j126_hapax_ratio"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(wc)
+    for src, counts in wc.items():
+        vocab = len(counts)
+        tokens = sum(counts.values())
+        hapax = sum(1 for c in counts.values() if c == 1)
+        dis = sum(1 for c in counts.values() if c == 2)
+        r = rows[src]
+        assert (r.vocab, r.tokens, r.hapax, r.dis_legomena) == (
+            vocab, tokens, hapax, dis,
+        ), src
+        assert r.hapax_vocab_milli == 1000 * hapax // vocab
+        assert r.hapax_token_micro == 1_000_000 * hapax // tokens
+        assert hapax <= vocab <= tokens  # the chain law
