@@ -59,8 +59,85 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
-# Round-8 driver window (50 insertion-ordered entries), recomputed
-# programmatically at round-8 start from REGISTRY − ∪ CORRECTNESS_r{1..7}
+# Round-9 driver window (50 insertion-ordered entries), recomputed
+# programmatically at round-9 start from REGISTRY − ∪ CORRECTNESS_r{1..8}
+# (VERDICT.md round-8 item 1): the backlog is exactly the 58 round-8
+# session additions that were registered AFTER the r8 window rotated —
+# all SQL-oracled, all judge-mirror-green (457/457) and mirror-green
+# locally at sf0.001/0.01/0.1; zero rows-only keys remain unattempted.
+# The first 50 (insertion order) fill the window; the 8 overflow keys
+# are `_ROUND9_TAIL` and clear in round 10.
+_ROUND9_PRIORITY: tuple[str, ...] = (
+    "a36_sstable_ma_roundtrip",
+    "a37_sstable_ma_clustering_scan",
+    "b15_quorum_read_repair",
+    "j111_t_closeness",
+    "j112_hits_scores",
+    "e96_fleiss_kappa",
+    "f42_ewma_control",
+    "f43_runs_test",
+    "f44_turning_points",
+    "e97_grubbs_outlier",
+    "e95_mantel_haenszel",
+    "j113_good_turing",
+    "j114_textrank_keywords",
+    "j115_stratified_split",
+    "e98_somers_d",
+    "e99_negbin_moments",
+    "j116_source_containment",
+    "i24_bitwise_funcs",
+    "e100_effect_size",
+    "e101_kruskal_wallis",
+    "e102_wilcoxon_signed_rank",
+    "e103_friedman_test",
+    "e104_cochran_q",
+    "f45_ljung_box",
+    "f46_durbin_watson",
+    "e105_g_test",
+    "e106_odds_ratio_woolf",
+    "j117_heaps_law",
+    "j118_flesch_kincaid",
+    "f47_page_hinkley",
+    "j119_term_burstiness",
+    "b16_secondary_index_scan",
+    "b17_lwt_cas_replay",
+    "a38_partition_size_histogram",
+    "e107_benford_law",
+    "j120_sttr_lexical_diversity",
+    "f48_theil_u2",
+    "j121_mmr_rerank",
+    "e108_brown_forsythe",
+    "j122_token_budget_apportion",
+    "f49_permutation_entropy",
+    "e109_cramers_v",
+    "j123_rouge_bigram",
+    "a39_incremental_backup_bytes",
+    "f50_effective_sample_size",
+    "d24_nearest_event_join",
+    "b18_tombstone_scan_audit",
+    "e110_hill_tail_index",
+    "e111_power_sample_size",
+    "e112_deming_regression",
+)
+
+# Positions 51+: the 8 overflow keys from the same backlog (all
+# SQL-oracled, insertion order) — a generous driver budget certifies
+# them this round; otherwise they lead the round-10 window and the
+# never-certified backlog is then EMPTY.
+_ROUND9_TAIL: tuple[str, ...] = (
+    "j124_corpus_diversity",
+    "e113_nelson_aalen",
+    "j125_dedup_threshold_curve",
+    "d26_temporal_anti_join",
+    "e114_newcombe_risk_diff",
+    "i25_higher_order_array_funcs",
+    "e115_rank_stability_footrule",
+    "j126_hapax_ratio",
+)
+
+# Round-8 driver window kept for the record (driver r8 certified 37 SQL
+# keys hash-level + 13 rows-only `spark_rows>0` lines = 50/50);
+# originally recomputed at round-8 start from REGISTRY − ∪ CORRECTNESS_r{1..7}
 # (VERDICT.md round-7 item 3): all 37 remaining never-driver-certified
 # SQL-oracled keys first — the `_ROUND7_TAIL` SQL head (j49 …
 # j89_label_propagation), the nineteen round-7 additions (a33 … j110) and
@@ -790,4 +867,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND8_PRIORITY + _ROUND8_TAIL)
+_reorder(_ROUND9_PRIORITY + _ROUND9_TAIL)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND8_PRIORITY, _ROUND8_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND9_PRIORITY, _ROUND9_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,7 +54,7 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND8_PRIORITY) + list(_ROUND8_TAIL)
+    combined = list(_ROUND9_PRIORITY) + list(_ROUND9_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
@@ -114,16 +114,16 @@ def test_readme_totals_match_registry():
     )
 
 
-_CURRENT_ROUND = 8
+_CURRENT_ROUND = 9
 
 
-def test_round8_window_certifies_only_new_rows_sql_first():
+def test_round9_window_certifies_only_new_rows_sql_first():
     """The 50-slot driver window must spend every slot on a query that has
     never appeared in a driver CORRECTNESS window, and every SQL-oracled
     key (hash-level evidence) must come before any rows-only key — this
-    round the 37 remaining SQL keys don't fill the window, so the 13
-    never-attempted rows-only keys take the back slots for their
-    `spark_rows>0` lines (VERDICT r7 item 3).
+    round the backlog (REGISTRY − ∪CORRECTNESS_r{1..8}) is exactly the 58
+    round-8 session additions, all SQL-oracled; the first 50 fill the
+    window (VERDICT r8 item 1).
 
     Assert against PRIOR rounds only: the current round's own results file
     (written mid-round by the driver) certifies exactly these names, which
@@ -137,28 +137,29 @@ def test_round8_window_certifies_only_new_rows_sql_first():
         if m and int(m.group(1)) >= _CURRENT_ROUND:
             continue
         certified |= set(json.loads(p.read_text()))
-    assert len(_ROUND8_PRIORITY) == 50
-    already = [n for n in _ROUND8_PRIORITY if n in certified]
+    assert len(_ROUND9_PRIORITY) == 50
+    already = [n for n in _ROUND9_PRIORITY if n in certified]
     assert not already, f"window wastes slots on already-attempted: {already}"
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND8_PRIORITY]
+    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND9_PRIORITY]
     first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
     assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND8_PRIORITY"
+        "SQL-oracled key(s) ordered after rows-only keys in _ROUND9_PRIORITY"
     )
-    assert kinds.count("sql") == 37, kinds.count("sql")
+    assert kinds.count("sql") == 50, kinds.count("sql")
 
 
-def test_round8_tail_orders_sql_before_rows_only():
+def test_round9_tail_orders_sql_before_rows_only():
     """VERDICT r6 item 2: the insurance tail must certify SQL-oracled
     keys (hash evidence) before rows-only keys, so a generous driver
     budget that runs past 50 finishes the backlog in evidence-strength
-    order.  This round the tail is entirely the ten rows-only keys whose
-    only driver line is a round-1/3 `err:"no_oracle"` artifact."""
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND8_TAIL]
+    order.  This round the tail is the 8 SQL-oracled overflow keys from
+    the round-8 additions; the never-certified backlog is then empty."""
+    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND9_TAIL]
     first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
     assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND8_TAIL"
+        "SQL-oracled key(s) ordered after rows-only keys in _ROUND9_TAIL"
     )
+    assert not any(n for n in _ROUND9_TAIL if not REGISTRY[n].oracle)
 
 
 def test_survey_rows_cover_every_section2_row():
