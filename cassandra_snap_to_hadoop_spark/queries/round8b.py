@@ -64,7 +64,9 @@ from cassandra_snap_to_hadoop_spark.registry import register
     )
     SELECT n, n_a, r2_a, n_n, r2_n, n_r, r2_r, tie_sum,
            CAST(FLOOR(h_raw * 1000) AS BIGINT) AS h_milli,
-           CAST(FLOOR(h_raw / tie_corr * 1000) AS BIGINT) AS h_tied_milli
+           CASE WHEN tie_sum < n * n * n - n
+                THEN CAST(FLOOR(h_raw / tie_corr * 1000) AS BIGINT)
+                ELSE NULL END AS h_tied_milli
     FROM h
     """,
     survey="E101,E45,E5",
@@ -142,8 +144,13 @@ def e101_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "n", "n_a", "r2_a", "n_n", "r2_n", "n_r", "r2_r", "tie_sum",
         F.expr(f"CAST(FLOOR(({h_raw}) * 1000) AS BIGINT)").alias("h_milli"),
+        # Degenerate all-values-identical data makes tie_corr exactly 0;
+        # Spark double division yields NULL there but DuckDB IEEE mode
+        # yields inf and errors on the BIGINT cast — guard both to NULL.
         F.expr(
-            f"CAST(FLOOR(({h_raw}) / ({tie_corr}) * 1000) AS BIGINT)"
+            f"CASE WHEN tie_sum < n * n * n - n"
+            f" THEN CAST(FLOOR(({h_raw}) / ({tie_corr}) * 1000) AS BIGINT)"
+            f" ELSE NULL END"
         ).alias("h_tied_milli"),
     )
 
@@ -388,7 +395,7 @@ def e103_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_blocks, c_ret, c_disc, c_tax, sum_r, sum_r2,
            CASE WHEN 3 * sum_r - sum_r2 > 0
-                THEN CAST(1000 * (3 * 2 * (3 * (c_ret * c_ret
+                THEN CAST(1000 * (2 * (3 * (c_ret * c_ret
                           + c_disc * c_disc + c_tax * c_tax)
                           - sum_r * sum_r))
                      // (3 * sum_r - sum_r2) AS BIGINT)
@@ -407,9 +414,12 @@ def e104_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure integer END-TO-END — presence flags are 0/1 MAXes,
     column totals Cj, ΣRi and ΣRi² exact BIGINTs in ONE aggregation,
-    and Q = k(k−1)·[k·ΣCj² − (ΣCj)²] / (k·ΣRi − ΣRi²) is an integer
+    and Q = (k−1)·[k·ΣCj² − (ΣCj)²] / (k·ΣRi − ΣRi²) is an integer
     milli floor division (the denominator is zero only when every block
-    answers all-yes or all-no — guarded to NULL).  The mode domain is
+    answers all-yes or all-no — guarded to NULL).  The (k−1) coefficient
+    is the EXPANDED form of the textbook k(k−1)·Σ(Cj − N/k)² numerator:
+    Σ(Cj − N/k)² = (k·ΣCj² − N²)/k, so one factor of k cancels — at k=2
+    this reduces exactly to McNemar's (b−c)²/(b+c).  The mode domain is
     closed (3 chosen treatments), so the whole statistic folds into one
     row with conditional aggregation and no float ever appears.
 
@@ -438,7 +448,7 @@ def e104_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_blocks", "c_ret", "c_disc", "c_tax", "sum_r", "sum_r2",
         F.expr(
             "CASE WHEN 3 * sum_r - sum_r2 > 0"
-            " THEN CAST(1000 * (3 * 2 * (3 * (c_ret * c_ret"
+            " THEN CAST(1000 * (2 * (3 * (c_ret * c_ret"
             "      + c_disc * c_disc + c_tax * c_tax)"
             "      - sum_r * sum_r))"
             "      DIV (3 * sum_r - sum_r2) AS BIGINT)"
@@ -2018,19 +2028,24 @@ def j121_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     traj = s1
     sel = s1.select("qid", "id")
     for r in range(2, _MMR_K + 1):
+        # red's qid is renamed to rqid at the groupBy: both red and rem
+        # trace to the checkpointed cand, so joining red["qid"] ==
+        # rem["qid"] degenerates to a trivially-true qid == qid predicate
+        # (Spark warns and falls back to self-join auto-resolution) —
+        # distinct names keep the equi-join condition real.
         red = (
             pd.join(
                 sel.select(F.col("qid").alias("qs"), F.col("id").alias("ids")),
                 (F.col("qs") == F.col("qid")) & (F.col("ids") == F.col("idb")),
             )
-            .groupBy("qid", "ida")
+            .groupBy(F.col("qid").alias("rqid"), F.col("ida"))
             .agg(F.max("dot").cast("long").alias("red"))
         )
         rem = cand.join(sel, ["qid", "id"], "left_anti")
         scored = rem.join(
-            red, (F.col("ida") == F.col("id")) & (red["qid"] == rem["qid"])
+            red, (F.col("ida") == F.col("id")) & (F.col("rqid") == F.col("qid"))
         ).select(
-            rem["qid"].alias("qid"), "id", "rel", "red",
+            "qid", "id", "rel", "red",
             (7 * F.col("rel") - 3 * F.col("red")).cast("long").alias("score"),
         )
         w_pick = Window.partitionBy("qid").orderBy(

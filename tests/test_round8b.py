@@ -149,7 +149,7 @@ def test_e104_cochran_q_python_replay(spark, sf_dir):
     sum_r2 = sum(sum(f) ** 2 for f in flags.values())
     den = 3 * sum_r - sum_r2
     q_milli = (
-        1000 * (3 * 2 * (3 * sum(c * c for c in cj) - sum_r * sum_r)) // den
+        1000 * (2 * (3 * sum(c * c for c in cj) - sum_r * sum_r)) // den
         if den > 0
         else None
     )
@@ -1063,7 +1063,11 @@ def test_e114_newcombe_python_replay(spark, sf_dir):
     hi = (p1 - p2) + math.sqrt((u1 - p1) ** 2 + (p2 - l2) ** 2)
     row = REGISTRY["e114_newcombe_risk_diff"].fn(spark, sf_dir).collect()[0]
     assert (row.a, row.n1, row.c, row.n2) == (a, n1, c, n2)
-    assert row.rd_milli == 1000 * (a * n2 - c * n1) // (n1 * n2)
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors, which
+    # diverges by 1 on a negative non-exact risk difference — pin trunc.
+    rd_num = 1000 * (a * n2 - c * n1)
+    rd_trunc = abs(rd_num) // (n1 * n2) * (1 if rd_num >= 0 else -1)
+    assert row.rd_milli == rd_trunc
     assert abs(row.ci_lo_milli - math.floor(lo * 1000)) <= 1
     assert abs(row.ci_hi_milli - math.floor(hi * 1000)) <= 1
     assert row.ci_lo_milli <= row.rd_milli <= row.ci_hi_milli

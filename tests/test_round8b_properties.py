@@ -153,8 +153,19 @@ def test_cochran_q_identities(blocks):
     den = k * sum(ri) - sum(r * r for r in ri)
     assert num >= 0 and den >= 0
     if den > 0:
-        q_milli = 1000 * k * (k - 1) * num // den
+        q_milli = 1000 * (k - 1) * num // den
         assert q_milli >= 0
+        # k=2 McNemar reduction: projecting onto treatments (0, 1) the
+        # same formula must equal (b - c)^2 / (b + c) exactly.
+        b = sum(1 for t in blocks if t[0] and not t[1])
+        c = sum(1 for t in blocks if t[1] and not t[0])
+        cj2 = [sum(int(t[j]) for t in blocks) for j in range(2)]
+        ri2 = [int(t[0]) + int(t[1]) for t in blocks]
+        num2 = 2 * sum(x * x for x in cj2) - sum(cj2) ** 2
+        den2 = 2 * sum(ri2) - sum(r * r for r in ri2)
+        assert num2 == (b - c) ** 2 and den2 == b + c
+        if den2 > 0:
+            assert 1000 * (2 - 1) * num2 // den2 == 1000 * (b - c) ** 2 // (b + c)
 
 
 # ------------------------------------------------------- Durbin-Watson
