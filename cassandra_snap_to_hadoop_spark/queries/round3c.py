@@ -913,8 +913,21 @@ def f22_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lttb(ts, xs, n_out):
     """Largest-Triangle-Three-Buckets (Steinarsson 2013) on parallel
-    numpy arrays sorted by time; returns selected indices.  Sequential by
-    construction: each bucket's pick anchors the next bucket's triangle."""
+    INTEGER numpy arrays sorted by time; returns selected indices.
+    Sequential by construction: each bucket's pick anchors the next
+    bucket's triangle.
+
+    EXACT-INTEGER form (the round-9 rows-only→SQL conversion): inputs
+    are int64 lattices (relative seconds, milli-quantized values) and
+    the next-bucket centroid is cleared of its division by scaling the
+    doubled triangle area through the bucket count c —
+    ``A = |(ax·c − Σt)(v − ay) − (ax − t)(Σv − ay·c)|`` — so every
+    area is an exact BIGINT and DuckDB reproduces the argmax chain
+    bit-for-bit.  Budget: |ax·c − Σt| ≤ c·span_sec and |Σv − ay·c| ≤
+    c·2·max|v|, so |A| ≤ 2·c·span_sec·max|v| ≈ 2e15 on this corpus
+    (c ≈ 330, 30-day span, v ≤ 5.7e5 milli) — 4000× inside int64 even
+    before the 100× c headroom.  Ties pick the first (time-ordered)
+    index, matching the oracle's (area DESC, rn ASC) NOT-EXISTS rule."""
     import numpy as np
 
     n = len(ts)
@@ -926,17 +939,85 @@ def _lttb(ts, xs, n_out):
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
         nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
-        ax, ay = ts[picked[-1]], xs[picked[-1]]
-        cx = float(np.mean(ts[nlo:nhi])) if nhi > nlo else float(ts[n - 1])
-        cy = float(np.mean(xs[nlo:nhi])) if nhi > nlo else float(xs[n - 1])
+        ax, ay = int(ts[picked[-1]]), int(xs[picked[-1]])
+        c = nhi - nlo
+        st, sv = int(ts[nlo:nhi].sum()), int(xs[nlo:nhi].sum())
         seg_t, seg_x = ts[lo:hi], xs[lo:hi]
-        areas = np.abs((ax - cx) * (seg_x - ay) - (ax - seg_t) * (cy - ay))
+        areas = np.abs((ax * c - st) * (seg_x - ay) - (ax - seg_t) * (sv - ay * c))
         picked.append(lo + int(areas.argmax()))  # argmax: first index on ties
     picked.append(n - 1)
     return picked
 
 
-@register("f21_lttb_downsample", oracle=None, survey="F21,L3,F4")
+# f21's doubled-triangle area, scaled by the next-bucket count: ONE
+# template instantiated for both the candidate row p and the rival row q
+# inside the oracle's NOT-EXISTS argmax (the e114 rule — a hand-copied
+# second expression is how association-order drift slips in).  Anchor
+# columns come from the chain row c, centroid sums from ctr row x.
+def _f21_area_sql(row: str) -> str:
+    return (
+        f"ABS((c.t * x.c - x.st) * ({row}.vm - c.vm)"
+        f" - (c.t - {row}.t) * (x.sv - c.vm * x.c))"
+    )
+
+
+@register(
+    "f21_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT event_type, event_id, value,
+               epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 1000) AS BIGINT) AS vm
+        FROM events
+    ), pts AS (
+        SELECT event_type, event_id, value, ts_us, vm,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ts_us, event_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               (ts_us - MIN(ts_us) OVER (PARTITION BY event_type))
+                   // 1000000 AS t
+        FROM base
+    ), ib AS (
+        SELECT p.*, b.b + 1 AS bucket
+        FROM pts p
+        JOIN (SELECT unnest(range(0, 62)) AS b) b
+          ON p.rn - 1 >= 1 + (b.b * (p.n - 2)) // 62
+         AND p.rn - 1 < 1 + ((b.b + 1) * (p.n - 2)) // 62
+        WHERE p.rn > 1 AND p.rn < p.n
+    ), ctr AS (
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(vm) AS BIGINT) AS sv
+        FROM ib GROUP BY 1, 2
+        UNION ALL
+        SELECT event_type, CAST(63 AS BIGINT), CAST(1 AS BIGINT), t, vm
+        FROM pts WHERE rn = n
+    ), chain AS (
+        SELECT CAST(0 AS BIGINT) AS step,
+               event_type, event_id, ts_us, value, t, vm
+        FROM pts WHERE rn = 1
+        UNION ALL
+        SELECT c.step + 1, p.event_type, p.event_id, p.ts_us, p.value,
+               p.t, p.vm
+        FROM chain c
+        JOIN ib p ON p.event_type = c.event_type AND p.bucket = c.step + 1
+        JOIN ctr x ON x.event_type = c.event_type AND x.bucket = c.step + 2
+        WHERE c.step < 62 AND NOT EXISTS (
+            SELECT 1 FROM ib q
+            WHERE q.event_type = c.event_type AND q.bucket = c.step + 1
+              AND ({_f21_area_sql("q")} > {_f21_area_sql("p")}
+                   OR ({_f21_area_sql("q")} = {_f21_area_sql("p")}
+                       AND q.rn < p.rn))
+        )
+    )
+    SELECT event_type, event_id, ts_us, value, CAST(step AS INT) AS pos
+    FROM chain
+    UNION ALL
+    SELECT event_type, event_id, ts_us, value, CAST(63 AS INT) AS pos
+    FROM pts WHERE rn = n
+    """,
+    survey="F21,L3,F4",
+)
 def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB time-series downsampling (Largest-Triangle-Three-Buckets,
     Steinarsson 2013) — the standard shape-preserving reduction behind
@@ -949,30 +1030,50 @@ def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     like f15's CUSUM this is a genuine sequential recursion — NOT
     window-expressible — and runs as ``applyInPandas`` per series: one
     shuffle on the series key, the fold vectorized per bucket in numpy,
-    state never leaves the group.  Rows-only by design; the fold is
-    pinned against endpoints/monotone-time/subset laws AND brute-force
-    triangle recomputation in tests/test_round3b.py.  At 100 TB series
-    parallelize freely; a series too long for one group pre-reduces with
+    state never leaves the group.
+
+    SQL-CERTIFIED since round 9 (the VERDICT r8 item-5 conversion): the
+    areas move to an exact integer lattice — t = seconds relative to the
+    series head (BIGINT), v = milli-quantized value (HALF_UP ROUND in
+    BOTH engines), next-bucket centroid division cleared by scaling the
+    doubled area through the bucket count (see ``_lttb``) — so the pick
+    chain is bit-identical engine arithmetic, and the DuckDB oracle
+    restates the recursion as a WITH RECURSIVE lockstep chain (one row
+    per series per step, 62 steps) whose per-step argmax is a correlated
+    NOT-EXISTS against the same bucket (area DESC, rn ASC — exactly
+    numpy argmax's first-max-in-time-order).  The milli lattice also
+    ends the old float-centroid associativity exposure.
+
+    Scale: engine side is ONE shuffle on the series key + a vectorized
+    per-group fold (the oracle's 62-step chain is the CERTIFICATE, not
+    the production plan); series too long for one group pre-reduce with
     a coarse per-partition LTTB pass (same picks on the survivors)."""
     import pandas as pd
 
     def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        t = pdf["ts"].astype("int64").to_numpy() // 1000  # µs
-        x = pdf["value"].to_numpy()
-        idx = _lttb(t, x, 64)
+        t_us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        t = (t_us - t_us[0]) // 1_000_000  # relative seconds (head = min)
+        v = pdf["vm"].to_numpy()
+        idx = _lttb(t, v, 64)
         out = pdf.iloc[idx]
         return pd.DataFrame(
             {
                 "event_type": out["event_type"].to_numpy(),
                 "event_id": out["event_id"].to_numpy(),
-                "ts_us": t[idx],
+                "ts_us": t_us[idx],
                 "value": out["value"].to_numpy(),
                 "pos": list(range(len(idx))),
             }
         )
 
-    e = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
+    # vm is computed JVM-side: Spark ROUND is BigDecimal HALF_UP on the
+    # double's exact binary value, matching DuckDB ROUND — a Python-side
+    # round would be banker's and drift on exact .5 products.
+    e = Tables(spark, sf_dir).events.select(
+        "event_type", "ts", "event_id", "value",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
     return e.groupBy("event_type").applyInPandas(
         downsample,
         "event_type string, event_id long, ts_us long, value double, pos int",

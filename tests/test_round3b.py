@@ -915,10 +915,12 @@ def test_f22_peak_concurrency_sweep_laws(spark, sf_dir):
 def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
     """LTTB laws: endpoints kept, output time-ordered, 64 points per
     series, picks are a subset of the series — and the GREEDY OPTIMALITY
-    property: every interior pick maximizes the triangle area formed
-    with the previous pick and the next bucket's mean (recomputed here
-    by brute force from the raw series)."""
-    import numpy as np
+    property: every interior pick maximizes the EXACT-INTEGER triangle
+    area (relative-seconds × milli-value lattice, centroid division
+    cleared by the bucket count — the round-9 SQL-certified form) formed
+    with the previous pick and the next bucket's centroid, recomputed
+    here by brute force from the raw series in pure-int Python."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     out: dict[str, list] = {}
     for r in REGISTRY["f21_lttb_downsample"].fn(spark, sf_dir).collect():
@@ -933,8 +935,14 @@ def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
     for et, sel in out.items():
         sel.sort(key=lambda r: r.pos)
         series = sorted(raw[et], key=lambda r: (r.ts, r.event_id))
-        t = np.array([int(r.ts.timestamp() * 1_000_000) for r in series], dtype=np.int64)
-        x = np.array([r.value for r in series])
+        t_us = [int(r.ts.timestamp() * 1_000_000) for r in series]
+        t = [(u - t_us[0]) // 1_000_000 for u in t_us]
+        # HALF_UP milli lattice — the engines' BigDecimal ROUND, not
+        # Python banker's round
+        v = [
+            int(Decimal(r.value * 1000).quantize(Decimal(1), ROUND_HALF_UP))
+            for r in series
+        ]
         ids = [r.event_id for r in series]
         n = len(series)
         assert len(sel) == 64
@@ -945,10 +953,15 @@ def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
         for b in range(62):
             lo, hi = edges[b], edges[b + 1]
             nlo, nhi = (edges[b + 1], edges[b + 2]) if b + 2 < len(edges) else (n - 1, n)
-            ax, ay = t[pick_idx[b]], x[pick_idx[b]]
-            cx, cy = float(np.mean(t[nlo:nhi])), float(np.mean(x[nlo:nhi]))
-            areas = np.abs((ax - cx) * (x[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay))
-            assert pick_idx[b + 1] == lo + int(areas.argmax()), (et, b)
+            ax, ay = t[pick_idx[b]], v[pick_idx[b]]
+            c = nhi - nlo
+            st, sv = sum(t[nlo:nhi]), sum(v[nlo:nhi])
+            areas = [
+                abs((ax * c - st) * (v[j] - ay) - (ax - t[j]) * (sv - ay * c))
+                for j in range(lo, hi)
+            ]
+            best = max(range(len(areas)), key=lambda j: (areas[j], -j))
+            assert pick_idx[b + 1] == lo + best, (et, b)
 
 
 def test_j60_sparse_cosine_matches_python_recompute(spark, sf_dir):
