@@ -123,10 +123,10 @@ _ROUND9_PRIORITY: tuple[str, ...] = (
 # Positions 51+: the 8 overflow keys from the same backlog (all
 # SQL-oracled, insertion order) — a generous driver budget certifies
 # them this round; otherwise they lead the round-10 window and the
-# never-certified backlog is then EMPTY.  f21 follows them: its round-8
-# driver line was rows-only (`spark_rows>0`) and the round-9 in-place
-# conversion gave it a SQL oracle, so a long budget upgrades it to
-# hash-level evidence.
+# never-certified backlog is then EMPTY.  f21 and j56 follow them:
+# their round-8 driver lines were rows-only (`spark_rows>0`) and the
+# round-9 in-place conversions gave them SQL oracles, so a long budget
+# upgrades them to hash-level evidence.
 _ROUND9_TAIL: tuple[str, ...] = (
     "j124_corpus_diversity",
     "e113_nelson_aalen",
@@ -137,6 +137,7 @@ _ROUND9_TAIL: tuple[str, ...] = (
     "e115_rank_stability_footrule",
     "j126_hapax_ratio",
     "f21_lttb_downsample",
+    "j56_cdc_chunking",
 )
 
 # Round-8 driver window kept for the record (driver r8 certified 37 SQL

@@ -1013,17 +1013,135 @@ def j55_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j56_cdc_chunking", survey="J56,J1,L1")
+# j56 oracle machinery.  The key fact that makes CDC SQL-expressible:
+# the gear hash h = ((h << 1) + GEAR[byte]) mod 2^64 forgets bytes more
+# than 64 positions back (their shifts vanish mod 2^64), and a cut is
+# only legal once the chunk has >= 64 = min_len bytes — so at every
+# position where a cut COULD happen, the in-chunk hash equals the
+# position-local 64-byte window hash, and the candidate-boundary flags
+# are computable per position with no recursion.  Only the boundary
+# SELECTION (next candidate >= start+min_len, hard cut at max_len) stays
+# sequential, as a WITH RECURSIVE lockstep chain over docs whose depth
+# is max chunks/doc (~10 here).  HUGEINT carries the mod-2^64 terms:
+# term_k = (GEAR[b] mod 2^(64-k)) << k <= 2^64, 64-term sum <= 2^70.
+def _j56_gear_values() -> str:
+    from cassandra_snap_to_hadoop_spark.operators.chunking import GEAR
+
+    return ",".join(f"({i},{g}::HUGEINT)" for i, g in enumerate(GEAR))
+
+
+# Chunk end for chunk starting at c.s, given the LEFT-JOINed first mask
+# candidate x in [s+63, s+1022]: mask cut at x.pos+1, else hard cut at
+# s+1024 (size == max_len), else the document tail.  ONE template reused
+# verbatim in the recursive step, its WHERE guard, and the final chunk
+# relation (the e114 one-template rule).
+_J56_END = (
+    "LEAST(COALESCE(x.pos + 1, 9223372036854775807),"
+    " c.s + 1024, d.len)"
+)
+# "First candidate in range" without a subquery (DuckDB cannot put a
+# NOT EXISTS inside a LEFT JOIN's ON): cand2 precomputes each
+# candidate's predecessor with LAG OUTSIDE the recursion, and x is the
+# first in [s+63, s+1022] iff its predecessor falls before the range.
+_J56_CAND_JOIN = (
+    "LEFT JOIN cand2 x ON x.doc_id = c.doc_id"
+    " AND x.pos >= c.s + 63 AND x.pos <= c.s + 1022"
+    " AND (x.prev IS NULL OR x.prev < c.s + 63)"
+)
+
+
+@register(
+    "j56_cdc_chunking",
+    oracle=f"""
+    WITH RECURSIVE g(byte, gv) AS (VALUES {{GEAR_VALUES}}),
+    dlen AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+          AND length(text) = octet_length(encode(text))
+    ), chars AS (
+        SELECT doc_id, i.i AS pos, ord(substring(text, i.i + 1, 1)) AS byte
+        FROM dlen, LATERAL (SELECT unnest(range(0, len)) AS i) i
+    ), g8 AS MATERIALIZED (
+        -- The mask tests only the avg_bits = 8 TRAILING bits, and bit
+        -- j of the gear recursion h = (h << 1) + GEAR[b] mod 2^64
+        -- depends only on bytes <= j positions back — so the candidate
+        -- flag needs just the LAST 8 BYTES, in plain BIGINT: byte b
+        -- sitting k in 0..7 positions back contributes
+        -- (GEAR[b] mod 2^(8-k)) << k to the low byte.
+        SELECT g.byte, k.k,
+               CAST(((g.gv % (1::HUGEINT << (8 - k.k)))
+                     * (1::HUGEINT << k.k)) AS BIGINT) AS term
+        FROM g, (SELECT unnest(range(0, 8)) AS k) k
+    ), win AS (
+        -- SCATTER, not gather: each byte emits its 8 forward
+        -- contributions via one equi join on byte value (no second
+        -- corpus-sized probe); positions past the doc end drop below.
+        SELECT b.doc_id, b.pos + t.k AS pos, t.term
+        FROM chars b JOIN g8 t ON t.byte = b.byte
+    ), cand AS MATERIALIZED (
+        -- pos >= 63: a cut needs chunk size >= min_len = 64, so flags
+        -- below 63 can never fire (and the in-chunk low byte equals
+        -- this position-local one exactly when size >= 8 <= 64).
+        SELECT w.doc_id, w.pos
+        FROM win w JOIN dlen d ON d.doc_id = w.doc_id
+        WHERE w.pos >= 63 AND w.pos < d.len
+        GROUP BY w.doc_id, w.pos
+        HAVING SUM(term) % 256 = 0
+    ), cand2 AS MATERIALIZED (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM cand
+    ), chain AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS s FROM dlen
+        UNION ALL
+        SELECT c.doc_id, {_J56_END}
+        FROM chain c
+        JOIN dlen d ON d.doc_id = c.doc_id
+        {_J56_CAND_JOIN}
+        WHERE {_J56_END} < d.len
+    ), chunks AS (
+        SELECT c.doc_id, c.s, {_J56_END} AS e,
+               {_J56_END} - c.s AS clen,
+               md5(substring(d.text, CAST(c.s + 1 AS INT),
+                             CAST({_J56_END} - c.s AS INT))) AS h
+        FROM chain c
+        JOIN dlen d ON d.doc_id = c.doc_id
+        {_J56_CAND_JOIN}
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(clen) AS BIGINT) AS total_bytes,
+               CAST(MIN(clen) AS BIGINT) AS min_chunk,
+               CAST(MAX(clen) AS BIGINT) AS max_chunk
+        FROM chunks WHERE doc_id < 200 GROUP BY 1
+    ), corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c_total,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS c_distinct
+        FROM chunks
+    )
+    SELECT * FROM per_doc CROSS JOIN corpus
+    """.replace("{GEAR_VALUES}", _j56_gear_values()),
+    survey="J56,J1,L1",
+)
 def j56_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (gear-hash CDC, operators/chunking.py) —
     chunk boundaries fall where the rolling hash of recent bytes hits a
     mask, so near-identical documents share most chunk hashes even after
     insertions shift every byte offset: the storage-dedup primitive
     (rsync/LBFS/restic) that fixed-size chunking (j31) fundamentally
-    cannot provide.  Rows-only: a rolling dependency chain has no SQL
-    restatement; tests pin exact reconstruction (chunks concatenate to
-    the original bytes) and the boundary-stability property (prepending
-    a line leaves the chunk-hash multiset almost entirely intact).
+    cannot provide.
+
+    SQL-CERTIFIED since round 9 (the VERDICT r8 item-5 conversion): the
+    gear recursion mod 2^64 forgets bytes > 64 positions back and cuts
+    need size >= min_len = 64, so wherever a cut is LEGAL the in-chunk
+    hash equals a position-local 64-byte window hash — candidate flags
+    become one 64-way self-join in HUGEINT, and only boundary SELECTION
+    (next candidate >= start+64, hard cut at 1024) runs as a bounded
+    WITH RECURSIVE lockstep chain.  Both sides gate to non-empty ASCII
+    docs (char == byte — every doc on this corpus), keeping the oracle's
+    char arithmetic faithful to the engine's byte chunker; tests pin
+    exact reconstruction and the boundary-stability property.
 
     Output: per-document chunk accounting for docs < 200 plus the
     corpus-level chunk-dedup ratio inputs (distinct vs total chunk
@@ -1043,8 +1161,17 @@ def j56_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             else [f"{s}:{e}:{h}" for s, e, h in cdc_chunks(t)]
         )
 
-    d = fan_out(Tables(spark, sf_dir).documents).select(
-        "doc_id", chunks_udf(F.col("text")).alias("chunks")
+    d = (
+        fan_out(Tables(spark, sf_dir).documents)
+        # Same gate as the oracle: non-empty ASCII docs (char == byte),
+        # so the oracle's VARCHAR position arithmetic mirrors the byte
+        # chunker exactly.  Every doc on this corpus passes.
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length("text") > 0)
+            & (F.length("text") == F.octet_length("text"))
+        )
+        .select("doc_id", chunks_udf(F.col("text")).alias("chunks"))
     )
     per_chunk = d.select(
         "doc_id", F.explode("chunks").alias("c")
