@@ -80,6 +80,10 @@ HEADLINE = [
     # round-8 representative: embedding-selection workload (quantized
     # dot-product joins + candidate-lockstep greedy rounds)
     "j121_mmr_rerank",
+    # round-8 second representative (VERDICT r8 item 7): Cassandra LWT
+    # ballot replay — per-slot LAG-chain over MIN-deduped CAS rounds, the
+    # ordered-window state-machine class the headline lacked
+    "b17_lwt_cas_replay",
 ]
 
 N_RUNS = 3
