@@ -1171,6 +1171,159 @@ def main() -> None:
             .agg(F.max("n_cum").alias("n"), F.max("v_cum").alias("v"))
         )
 
+    def mmr_lockstep_shape(emb):
+        """j121's shape: the volume terms are ONE quantized explode and
+        the 8×|V| relevance dot join (the brute-force tier an IVF/LSH
+        preselect drops in above); everything after — pairwise candidate
+        dots, redundancy maxes, per-query argmaxes — runs in greedy
+        LOCKSTEP on the (8 queries × 12 candidates) KB relation for 3
+        rounds.  Amplified vec_ids scale the corpus while replica-0
+        keeps the 8 query vectors, so candidate pools stay top-12 per
+        query and the greedy rounds stay KB — the ratio should track the
+        relevance join, ~linear."""
+        from pyspark.sql.window import Window
+
+        ex = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id", "dim",
+            F.round(F.col("x") * 1_000_000).cast("long").alias("micro"),
+        ).localCheckpoint(eager=True)
+        q = ex.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"), F.col("dim").alias("qd"),
+            F.col("micro").alias("qm"),
+        )
+        rel = (
+            ex.join(F.broadcast(q), (F.col("qd") == F.col("dim"))
+                    & (F.col("vec_id") != F.col("qid")))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum(F.col("micro") * F.col("qm")).cast("long").alias("rel"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("vec_id"))
+        cand = (
+            rel.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 12).drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        cx = cand.join(ex, "vec_id").select("qid", "vec_id", "dim", "micro")
+        a = cx.select("qid", F.col("vec_id").alias("ida"),
+                      F.col("dim").alias("da"), F.col("micro").alias("ma"))
+        b = cx.select(F.col("qid").alias("qb"), F.col("vec_id").alias("idb"),
+                      F.col("dim").alias("db"), F.col("micro").alias("mb"))
+        pd_ = (
+            a.join(b, (F.col("qb") == F.col("qid")) & (F.col("db") == F.col("da"))
+                   & (F.col("idb") != F.col("ida")))
+            .groupBy("qid", "ida", "idb")
+            .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"))
+            .localCheckpoint(eager=True)
+        )
+        sel = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("qid", F.col("vec_id"))
+        )
+        out = sel
+        for _ in range(3):
+            red = (
+                pd_.join(sel.select(F.col("qid").alias("qs"),
+                                    F.col("vec_id").alias("ids")),
+                         (F.col("qs") == F.col("qid"))
+                         & (F.col("ids") == F.col("idb")))
+                .groupBy(F.col("qid").alias("rqid"), F.col("ida"))
+                .agg(F.max("dot").cast("long").alias("red"))
+            )
+            rem = cand.join(sel, ["qid", "vec_id"], "left_anti")
+            scored = rem.join(
+                red, (F.col("ida") == F.col("vec_id"))
+                & (F.col("rqid") == F.col("qid"))
+            ).select("qid", "vec_id",
+                     (7 * F.col("rel") - 3 * F.col("red")).alias("score"))
+            wp = Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("vec_id"))
+            pick = (
+                scored.withColumn("rn", F.row_number().over(wp))
+                .where(F.col("rn") == 1).select("qid", "vec_id")
+                .localCheckpoint(eager=True)
+            )
+            sel = sel.unionByName(pick)
+            out = out.unionByName(pick)
+        return out
+
+    def hits_shape(li):
+        """j112's shape: the initial edge distinct is the ONLY
+        volume-scaled stage (amplified orderkeys fold into the same
+        512+512 node domain, densifying edges toward the 512×512 cap);
+        each of the 6 half-steps is one |E| hash join + hash agg + a
+        1-row total broadcast on KB relations — ratio should track the
+        distinct, sub-linear once edges saturate."""
+        e = (
+            li.where(F.col("l_orderkey") % 10 == 0)
+            .select((F.col("l_orderkey") % 512).alias("u"),
+                    (F.col("l_partkey") % 512).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        h = e.select("u").distinct().select(
+            "u", F.lit(1_000_000).cast("long").alias("s"))
+
+        def half(scores, frm, to):
+            raw = (
+                e.join(scores.withColumnRenamed(frm, "__k"),
+                       F.col("__k") == F.col(frm))
+                .groupBy(to).agg(F.sum("s").cast("long").alias("r"))
+            )
+            tot = raw.agg(F.sum("r").cast("long").alias("t"))
+            return (
+                raw.crossJoin(F.broadcast(tot))
+                .select(F.col(to),
+                        F.expr("CAST(r * 1000000 DIV t AS BIGINT)").alias("s"))
+                .localCheckpoint(eager=True)
+            )
+
+        for _ in range(3):
+            a = half(h, "u", "v").withColumnRenamed("v", "__a")
+            h = half(a.select(F.col("__a").alias("v"), "s"), "v", "u")
+        return h
+
+    def ewma_lockstep_shape(ev, n_types):
+        """f42's shape on the KEY axis: the recursion depth is
+        calendar-bounded (~30 days, constant), and amplifying the TYPE
+        cardinality widens every lockstep UnionLoop iteration instead —
+        per-iteration rows scale ×N at constant round count, so the
+        ratio should be ~flat (the per-iteration scheduling floor
+        dominates KB relations)."""
+        key = (
+            F.concat_ws("#", F.col("event_type"),
+                        (F.col("user_id") % n_types).cast("string"))
+            if n_types > 1 else F.col("event_type")
+        )
+        view = f"cs2h_probe_ewma_{n_types}"
+        ev.groupBy(
+            key.alias("event_type"),
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        ).coalesce(1).createOrReplaceTempView(view)
+        return spark.sql(f"""
+            WITH RECURSIVE numbered AS (
+                SELECT event_type, day_idx, x,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY day_idx) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+                       SUM(x) OVER (PARTITION BY event_type)
+                           DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
+                FROM {view}
+            ), chain AS (
+                SELECT event_type, rn, n_days, mu, x AS z
+                FROM numbered WHERE rn = 1
+                UNION ALL
+                SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days,
+                       b.mu, (b.x + 7 * c.z) DIV 8
+                FROM chain c JOIN numbered b
+                  ON b.event_type = c.event_type AND b.rn = c.rn + 1
+            )
+            SELECT event_type, z FROM chain WHERE rn = n_days
+        """)
+
     # d23's probe input: BOTH keys remapped so per-customer order density
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
@@ -1255,6 +1408,14 @@ def main() -> None:
         # volume linear; Heaps windows are per-source over the doc axis.
         ("cas-lockstep-fold", lambda: cas_fold_shape(li1), lambda: cas_fold_shape(liN)),
         ("heaps-vocab-growth", lambda: heaps_shape(d1), lambda: heaps_shape(dN)),
+        # round-8 iterative shapes, second batch (VERDICT r8 item 6):
+        # MMR's greedy rounds stay KB while the relevance join scales;
+        # HITS half-steps are KB with a volume-scaled initial distinct;
+        # EWMA scales the per-iteration LOCKSTEP width (types ×N) at the
+        # constant calendar depth.
+        ("mmr-lockstep-greedy", lambda: mmr_lockstep_shape(emb1), lambda: mmr_lockstep_shape(embN)),
+        ("hits-half-steps", lambda: hits_shape(li1), lambda: hits_shape(liN)),
+        ("ewma-lockstep-width", lambda: ewma_lockstep_shape(e1, 1), lambda: ewma_lockstep_shape(e1, mult)),
         # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
