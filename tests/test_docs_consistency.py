@@ -192,3 +192,39 @@ def test_every_registered_query_is_documented_somewhere():
         n for n in REGISTRY if n not in docs and not n.startswith("tpch_q")
     ]
     assert not undocumented, f"registered but undocumented: {undocumented}"
+
+
+def test_readme_ledger_matches_artifacts():
+    """README's certification-ledger counts must be recomputed from the
+    driver CORRECTNESS artifacts + registry, never hand-maintained
+    (VERDICT r8 item 8).  Counts cover rounds STRICTLY BEFORE the
+    current one — the current round's file lands mid-round and would
+    otherwise flip the ledger the moment the driver succeeds (the
+    round-4 tripwire lesson)."""
+    import json
+
+    hash_certified: set[str] = set()
+    attempted: set[str] = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if m and int(m.group(1)) >= _CURRENT_ROUND:
+            continue
+        d = json.loads(p.read_text())
+        attempted |= set(d)
+        hash_certified |= {k for k, v in d.items() if v.get("hash_match")}
+    rows_only_lines = attempted - hash_certified
+    never = set(REGISTRY) - attempted
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"\*\*(\d+) hash-certified by the driver\*\*", text)
+    assert m and int(m.group(1)) == len(hash_certified), (
+        f"README hash-certified count should be {len(hash_certified)}"
+    )
+    m = re.search(r"\*\*(\d+) driver rows-only lines\*\*", text)
+    assert m and int(m.group(1)) == len(rows_only_lines), (
+        f"README rows-only-line count should be {len(rows_only_lines)}"
+    )
+    m = re.search(r"\*\*(\d+) SQL-oracled, awaiting their first driver window\*\*", text)
+    assert m and int(m.group(1)) == len(never), (
+        f"README awaiting-window count should be {len(never)}"
+    )
+    assert all(REGISTRY[k].oracle for k in never)
