@@ -56,6 +56,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round7,  # round-7 additions (SSTable binary roundtrip a33/a34) — rotate in round 8
     round8,  # round-8 additions (ma-format SSTable roundtrips a36/a37) — rotate in round 9
     round8b,  # round-8 continuation (nonparametric k-sample/paired/blocked tier) — rotate in round 9
+    round9,  # round-9 additions (reliability tier: Cronbach/AD/Krippendorff/ICC) — rotate in round 10
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 

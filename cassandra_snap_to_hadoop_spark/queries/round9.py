@@ -1,0 +1,432 @@
+"""Round-9 additions — reliability/psychometrics tier plus depth
+operators filling algorithm classes the registry lacked.
+
+Batch 1 completes two families the statistics tier left open: the
+EDF-statistic trio (e36 KS sup-gap, e81 CvM integrated gap — e117 adds
+the Anderson-Darling TAIL-WEIGHTED gap) and the measurement-reliability
+pair (e116 Cronbach's alpha for internal consistency, e119 ICC(1,1) for
+absolute agreement), with e118 Krippendorff's alpha covering the
+missing-data inter-rater model e96's Fleiss kappa (complete panels
+only) cannot state.  Every statistic keeps the integer-lattice
+discipline: n-scaled central moments, per-term micro quantization with
+identical operation order in both engines, milli/micro floor divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.registry import register
+
+
+@register(
+    "e116_cronbach_alpha",
+    oracle="""
+    WITH cells AS (
+        -- (orderkey, linenumber) is NOT unique in this corpus (the
+        -- b14/b17 row-version lesson): MIN-dedup each slot BEFORE the
+        -- complete-block count or duplicated slots masquerade as items
+        SELECT l_orderkey AS subj, l_linenumber AS item,
+               CAST(MIN(l_quantity) AS BIGINT) AS x
+        FROM lineitem WHERE l_linenumber <= 4 GROUP BY 1, 2
+    ), complete AS (
+        SELECT subj FROM cells GROUP BY 1 HAVING COUNT(*) = 4
+    ), cc AS (
+        SELECT cells.* FROM cells JOIN complete USING (subj)
+    ), stats AS (
+        SELECT CAST(COUNT(DISTINCT subj) AS BIGINT) AS n
+        FROM cc
+    ), item_var AS (
+        SELECT CAST(SUM(nsx2) AS BIGINT) AS sum_item_var
+        FROM (
+            SELECT item,
+                   CAST(CAST(COUNT(*) AS BIGINT) * SUM(x * x)
+                        - SUM(x) * SUM(x) AS BIGINT) AS nsx2
+            FROM cc GROUP BY item
+        )
+    ), totals AS (
+        SELECT subj, CAST(SUM(x) AS BIGINT) AS t FROM cc GROUP BY 1
+    ), total_var AS (
+        SELECT CAST(CAST(COUNT(*) AS BIGINT) * SUM(t * t)
+                    - SUM(t) * SUM(t) AS BIGINT) AS total_var
+        FROM totals
+    )
+    SELECT n, sum_item_var, total_var,
+           CASE WHEN total_var > 0
+                THEN CAST(4 * 1000 * (total_var - sum_item_var)
+                          // (3 * total_var) AS BIGINT)
+                ELSE NULL END AS alpha_milli
+    FROM stats CROSS JOIN item_var CROSS JOIN total_var
+    """,
+    survey="E116,E5,E49",
+)
+def e116_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over k = 4 'items' per subject — the INTERNAL-
+    CONSISTENCY reliability coefficient (Cronbach 1951): do the k
+    measurements of one subject hang together as a single scale?
+    Subjects are orders carrying all four linenumbers 1..4 (the
+    complete-block rule e103/e104 use), items are the line positions,
+    scores are quantities.  α = k/(k−1) · (1 − Σⱼvar(itemⱼ)/var(total))
+    is what every survey/labeling pipeline reports before averaging k
+    redundant annotator scores into one label — the measurement model
+    e100's Cohen d (effect between groups) and e96's Fleiss kappa
+    (categorical agreement) do not cover.
+
+    Exactness: with every variance written as its n-scaled integer
+    numerator V = n·Σx² − (Σx)² (common n² denominator cancels in the
+    ratio), α_milli = k·1000·(V_tot − ΣVⱼ) DIV ((k−1)·V_tot) is pure
+    BIGINT end-to-end.  Budget: quantities ≤ 50, so V ≤ n²·2500 ≈ 1e12
+    at sf0.1 and the 4000× numerator stays ≪ 2^63.  The degenerate
+    all-subjects-identical case (V_tot = 0) is guarded to NULL (the
+    e101 rule).
+
+    Scale shape: one fact scan → complete-block semi join (shuffle on
+    the natural l_orderkey key) → one 4-group item agg + one subject
+    agg → 1-row arithmetic."""
+    li = Tables(spark, sf_dir).lineitem
+    cells = (
+        li.where(F.col("l_linenumber") <= 4)
+        .groupBy(
+            F.col("l_orderkey").alias("subj"), F.col("l_linenumber").alias("item")
+        )
+        .agg(F.min("l_quantity").cast("long").alias("x"))
+    )
+    complete = cells.groupBy("subj").count().where(F.col("count") == 4).select("subj")
+    cc = cells.join(complete, "subj")
+    item_var = (
+        cc.groupBy("item")
+        .agg(
+            (
+                F.count("*").cast("long") * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).alias("nsx2")
+        )
+        .agg(F.sum("nsx2").cast("long").alias("sum_item_var"))
+    )
+    totals = cc.groupBy("subj").agg(F.sum("x").cast("long").alias("t"))
+    total_var = totals.agg(
+        (
+            F.count("*").cast("long") * F.sum(F.col("t") * F.col("t"))
+            - F.sum("t") * F.sum("t")
+        ).alias("total_var")
+    )
+    n = cc.agg(F.countDistinct("subj").cast("long").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(item_var))
+        .crossJoin(F.broadcast(total_var))
+        .select(
+            "n", "sum_item_var", "total_var",
+            F.expr(
+                "CASE WHEN total_var > 0"
+                " THEN CAST(4 * 1000 * (total_var - sum_item_var)"
+                "      DIV (3 * total_var) AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("alpha_milli"),
+        )
+    )
+
+
+# e117's per-value AD term: ONE template instantiated verbatim in both
+# engines (the e114 rule).  z = cuma·m − cumb·n is the exact BIGINT ECDF
+# cross-product (e81's gap); the tail weight splits as (z/i)·(z/(N−i))
+# so double magnitudes stay ~N·m and the op order is pinned.
+_E117_TERM = (
+    # CAST AS DOUBLE, never `* 1.0`: Spark parses a bare 1.0 literal as
+    # DECIMAL(2,1) and silently switches the chain to decimal arithmetic
+    # (the e84 lesson), where DuckDB's 1.0 is DOUBLE.
+    "CAST(ROUND((ca + cb)"
+    " * (CAST(cuma * m - cumb * n AS DOUBLE) / cumn)"
+    " * (CAST(cuma * m - cumb * n AS DOUBLE) / (n + m - cumn))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "e117_anderson_darling",
+    oracle=f"""
+    WITH counts AS (
+        SELECT n_chars AS v,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n, CAST(SUM(cb) AS BIGINT) AS m
+        FROM counts
+    ), cum AS (
+        SELECT v, ca, cb,
+               SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb,
+               SUM(ca + cb) OVER (ORDER BY v) AS cumn
+        FROM counts
+    ), terms AS (
+        SELECT {_E117_TERM} AS t_micro
+        FROM cum CROSS JOIN tot
+        WHERE cumn < n + m
+    )
+    SELECT n, m,
+           CAST(SUM(t_micro) AS BIGINT) AS ad_sum_micro,
+           CAST(SUM(t_micro) // (n * m) AS BIGINT) AS ad_micro
+    FROM terms CROSS JOIN tot
+    GROUP BY n, m
+    """,
+    survey="E117,E81,E36",
+)
+def e117_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling drift statistic between the English
+    corpus slice and the rest (n_chars distributions) — completing the
+    EDF trio: e36's KS sees the single worst gap, e81's CvM weighs every
+    gap equally, AD up-weights gaps by 1/(H(1−H)) so TAIL drift (where
+    few observations live) registers long before KS/CvM move — the
+    standard choice when distribution shifts hit the extremes first.
+
+    Statistic: A² = (1/(nm)) Σ_g c_g·z_g²/(i_g·(N−i_g)) over the pooled
+    distinct-value grid (Pettitt 1976's two-sample form under the
+    right-continuous tie convention: i = pooled cumulative count at each
+    group end, z = cuma·m − cumb·n the exact integer ECDF cross-product,
+    the last group excluded as its weight is 0/0).
+
+    Exactness: z is BIGINT-exact (e81's gap); each term is ONE shared
+    double template c·(z/i)·(z/(N−i)) with pinned operation order,
+    micro-rounded per value and summed as integers; the final DIV(n·m)
+    is pure integer.  Double magnitudes stay ≤ ~N·m ≈ 2.5e7 at sf0.1 —
+    far inside the 2^53 exact-integer window.
+
+    Scale shape: e81's exactly — one corpus scan → per-distinct-value
+    count agg; the cumulative window runs over the domain-bounded
+    n_chars grid (the e36 exemption class); everything after is KB."""
+    d = Tables(spark, sf_dir).documents
+    counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("n"), F.sum("cb").cast("long").alias("m")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "v", "ca", "cb",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum(F.col("ca") + F.col("cb")).over(w).alias("cumn"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cumn") < F.col("n") + F.col("m"))
+        .select(F.expr(_E117_TERM).alias("t_micro"), "n", "m")
+    )
+    return terms.groupBy("n", "m").agg(
+        F.sum("t_micro").cast("long").alias("ad_sum_micro"),
+        F.expr("CAST(SUM(t_micro) DIV (n * m) AS BIGINT)").alias("ad_micro"),
+    ).select("n", "m", "ad_sum_micro", "ad_micro")
+
+
+@register(
+    "e118_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+        SELECT l_orderkey AS unit, l_returnflag AS c
+        FROM lineitem WHERE l_linenumber <= 3
+    ), mu AS (
+        SELECT unit, CAST(COUNT(*) AS BIGINT) AS m_u FROM ratings GROUP BY 1
+    ), pairable AS (
+        SELECT r.unit, r.c, m.m_u FROM ratings r JOIN mu m USING (unit)
+        WHERE m.m_u >= 2
+    ), unit_cat AS (
+        SELECT unit, c, m_u, CAST(COUNT(*) AS BIGINT) AS n_uc
+        FROM pairable GROUP BY 1, 2, 3
+    ), do_terms AS (
+        -- per-unit observed DISAGREEMENT mass on the micro lattice:
+        -- pairs of unequal categories = m_u(m_u-1) - sum_c n_uc(n_uc-1),
+        -- normalized by (m_u - 1) per Krippendorff's coincidence matrix
+        SELECT unit,
+               CAST(1000000 * (MAX(m_u) * (MAX(m_u) - 1)
+                               - SUM(n_uc * (n_uc - 1)))
+                    // (MAX(m_u) - 1) AS BIGINT) AS do_micro
+        FROM unit_cat GROUP BY unit
+    ), do_sum AS (
+        SELECT CAST(SUM(do_micro) AS BIGINT) AS do_total FROM do_terms
+    ), marg AS (
+        SELECT c, CAST(SUM(n_uc) AS BIGINT) AS n_c FROM unit_cat GROUP BY 1
+    ), de AS (
+        SELECT CAST(SUM(n_c) AS BIGINT) AS n_tot,
+               CAST(SUM(n_c) * SUM(n_c) - SUM(n_c * n_c) AS BIGINT) AS de_num
+        FROM marg
+    )
+    SELECT n_tot, do_total, de_num,
+           -- 1000·Do·(n−1) DIV (1e6·De) folded to Do·(n−1) DIV (1e3·De):
+           -- exactly equal (the 1000/1e6 cancels) and the product stays
+           -- ≤ ~2e17 at sf0.1 where the unfolded form overflows int64.
+           CASE WHEN de_num > 0
+                THEN CAST(1000 - do_total * (n_tot - 1)
+                          // (1000 * de_num) AS BIGINT)
+                ELSE NULL END AS alpha_milli
+    FROM do_sum CROSS JOIN de
+    """,
+    survey="E118,E96,E53",
+)
+def e118_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over units with MISSING
+    ratings — the inter-rater reliability model e96's Fleiss kappa
+    cannot state: Fleiss needs every unit rated by the same number of
+    raters, Krippendorff pairs whatever ratings exist per unit (units =
+    orders, raters = line positions 1..3, category = return flag; units
+    with < 2 ratings drop as unpairable — exactly the real labeling-
+    pipeline situation where annotator panels are ragged).
+
+    α = 1 − D_o/D_e on the coincidence lattice: per-unit observed
+    disagreement (m_u(m_u−1) − Σ_c n_uc(n_uc−1)) / (m_u−1) accumulates
+    micro-quantized (the e105 per-term rule — the only division with a
+    unit-varying denominator), expected disagreement from the pooled
+    marginals ((Σn_c)² − Σn_c²) / (n−1), and
+    α_milli = 1000 − D_o·(n−1) DIV (1000·D_e-numerator) folds the two
+    exact integers (the 1000/1e6 scaling cancels exactly, keeping the
+    product ≤ ~2e17 at sf0.1 where the unfolded form overflows).
+    Degenerate single-category data (D_e = 0) guards to NULL.
+
+    Scale shape: one fact scan → per-unit agg (natural-key shuffle) →
+    per-(unit,category) agg → two KB aggs → 1-row arithmetic."""
+    li = Tables(spark, sf_dir).lineitem
+    ratings = li.where(F.col("l_linenumber") <= 3).select(
+        F.col("l_orderkey").alias("unit"), F.col("l_returnflag").alias("c")
+    )
+    mu = ratings.groupBy("unit").agg(F.count("*").cast("long").alias("m_u"))
+    pairable = ratings.join(mu.where(F.col("m_u") >= 2), "unit")
+    unit_cat = pairable.groupBy("unit", "c", "m_u").agg(
+        F.count("*").cast("long").alias("n_uc")
+    )
+    do_sum = (
+        unit_cat.groupBy("unit")
+        .agg(
+            F.expr(
+                "CAST(1000000 * (MAX(m_u) * (MAX(m_u) - 1)"
+                " - SUM(n_uc * (n_uc - 1)))"
+                " DIV (MAX(m_u) - 1) AS BIGINT)"
+            ).alias("do_micro")
+        )
+        .agg(F.sum("do_micro").cast("long").alias("do_total"))
+    )
+    de = unit_cat.groupBy("c").agg(F.sum("n_uc").cast("long").alias("n_c")).agg(
+        F.sum("n_c").cast("long").alias("n_tot"),
+        (F.sum("n_c") * F.sum("n_c") - F.sum(F.col("n_c") * F.col("n_c")))
+        .cast("long")
+        .alias("de_num"),
+    )
+    return do_sum.crossJoin(F.broadcast(de)).select(
+        "n_tot", "do_total", "de_num",
+        F.expr(
+            "CASE WHEN de_num > 0"
+            " THEN CAST(1000 - do_total * (n_tot - 1)"
+            "      DIV (1000 * de_num) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("alpha_milli"),
+    )
+
+
+@register(
+    "e119_icc_oneway",
+    oracle="""
+    WITH cells AS (
+        -- MIN-dedup per (subj, slot) first — the b14/b17 lesson; the
+        -- deduped slot scores are the ratings
+        SELECT l_orderkey AS subj, l_linenumber AS item,
+               CAST(MIN(l_quantity) AS BIGINT) AS x
+        FROM lineitem WHERE l_linenumber <= 4 GROUP BY 1, 2
+    ), complete AS (
+        SELECT subj FROM cells GROUP BY 1 HAVING COUNT(*) = 4
+    ), cc AS (
+        SELECT cells.* FROM cells JOIN complete USING (subj)
+    ), per_subj AS (
+        SELECT subj, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM cc GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS g,
+               CAST(SUM(s2) AS BIGINT) AS g2,
+               CAST(SUM(s * s) AS BIGINT) AS ss
+        FROM per_subj
+    ), ms AS (
+        -- n-scaled integer sums of squares, k = 4 raters per subject:
+        -- SSB·4n = n·ss − g², SSW·4n = 4n·g2 − n·ss; MSB = SSB/(n−1),
+        -- MSW = SSW/(n(k−1)) — carried as exact integer numerators over
+        -- the SHARED 4n denominator, which cancels in the ICC ratio.
+        SELECT n, g, g2, ss,
+               (n * ss - g * g) AS ssb4n,
+               (4 * n * g2 - n * ss) AS ssw4n
+        FROM stats
+    )
+    SELECT n, ssb4n, ssw4n,
+           CASE WHEN 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0
+                THEN CAST(1000 * (3 * n * ssb4n - (n - 1) * ssw4n)
+                          // (3 * n * ssb4n + 3 * (n - 1) * ssw4n)
+                     AS BIGINT)
+                ELSE NULL END AS icc_milli
+    FROM ms
+    """,
+    survey="E119,E49,E116",
+)
+def e119_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) — the one-way random-effects intraclass correlation
+    (Shrout & Fleiss 1979 case 1): how much of a single rating's
+    variance is the SUBJECT rather than the rater draw?  Same complete-
+    block fixture as e116 (orders with all 4 line positions, quantity
+    scores) but the opposite reading: Cronbach asks whether the k items
+    agree as a scale (consistency), ICC asks how reliable ONE rating is
+    in absolute terms — the statistic behind 'do we need all 4
+    annotators or is 1 enough'.
+
+    ICC = (MSB − MSW)/(MSB + (k−1)·MSW) with MSB = SSB/(n−1) and
+    MSW = SSW/(n(k−1)).  On the n-scaled lattice A = SSB·4n = n·Σs² − G²
+    and B = SSW·4n = 4n·Σx² − n·Σs² are exact BIGINTs; putting MSB and
+    3·MSW over the shared 12n²(n−1) denominator gives
+    icc_milli = 1000·(3n·A − (n−1)·B) DIV (3n·A + 3(n−1)·B) — pure
+    integer, zero-variance data guarded to NULL.  Budget: Σs² ≤ n·200²
+    ⇒ n·ss ≈ 1e15 at sf0.1 and 3n·A ≲ 3e18… no: A itself carries n² —
+    A ≤ n²·200², so 3n·A overflows past n ≈ 40k complete blocks.  At
+    sf0.1 n ≈ 15k (3n·A ≈ 6e17 ✓); beyond that, drop the per-subject
+    scores to a coarser lattice or divide A, B by GCD(n, ·) first —
+    stated here for the 100 TB read.
+
+    Scale shape: e116's — one fact scan → complete-block semi join →
+    per-subject agg → ONE 4-stat global agg → 1-row arithmetic."""
+    li = Tables(spark, sf_dir).lineitem
+    cells = (
+        li.where(F.col("l_linenumber") <= 4)
+        .groupBy(
+            F.col("l_orderkey").alias("subj"), F.col("l_linenumber").alias("item")
+        )
+        .agg(F.min("l_quantity").cast("long").alias("x"))
+    )
+    complete = cells.groupBy("subj").count().where(F.col("count") == 4).select("subj")
+    cc = cells.join(complete, "subj")
+    per_subj = cc.groupBy("subj").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    stats = per_subj.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("g"),
+        F.sum("s2").cast("long").alias("g2"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss"),
+    )
+    return stats.select(
+        "n",
+        F.expr("n * ss - g * g").alias("ssb4n"),
+        F.expr("4 * n * g2 - n * ss").alias("ssw4n"),
+    ).select(
+        "n", "ssb4n", "ssw4n",
+        F.expr(
+            "CASE WHEN 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0"
+            " THEN CAST(1000 * (3 * n * ssb4n - (n - 1) * ssw4n)"
+            "      DIV (3 * n * ssb4n + 3 * (n - 1) * ssw4n) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("icc_milli"),
+    )

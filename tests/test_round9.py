@@ -1,0 +1,164 @@
+"""Round-9 pins: independent pure-Python third implementations of the
+reliability tier (e116 Cronbach's alpha, e117 Anderson-Darling, e118
+Krippendorff's alpha, e119 ICC(1,1)) so a Spark+DuckDB twin bug cannot
+hide behind a matching hash.  Integer sufficient statistics assert
+EXACT equality; e117's per-value micro-rounded double terms allow ±1
+micro per distinct value for python-vs-engine ulps.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import pyarrow.parquet as pq
+
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _complete_blocks():
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    per = defaultdict(dict)
+    for ok, ln, q in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        if ln <= 4:
+            # (orderkey, linenumber) is NOT unique in this corpus — the
+            # b14/b17 row-version lesson; MIN-dedup each slot like the
+            # engines do
+            q = int(round(q))
+            per[ok][ln] = min(per[ok][ln], q) if ln in per[ok] else q
+    return {k: v for k, v in per.items() if len(v) == 4}
+
+
+def test_e116_cronbach_python_replay(spark, sf_dir):
+    blocks = _complete_blocks()
+    n = len(blocks)
+    sum_item_var = 0
+    for j in range(1, 5):
+        xs = [b[j] for b in blocks.values()]
+        sum_item_var += n * sum(x * x for x in xs) - sum(xs) ** 2
+    ts = [sum(b.values()) for b in blocks.values()]
+    total_var = n * sum(t * t for t in ts) - sum(ts) ** 2
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors and
+    # diverges by 1 on negative alpha (it IS negative on this fixture)
+    num = 4 * 1000 * (total_var - sum_item_var)
+    want = (
+        abs(num) // (3 * total_var) * (1 if num >= 0 else -1)
+        if total_var > 0
+        else None
+    )
+    # exact-Fraction cross-check of the textbook form alpha =
+    # k/(k-1) * (1 - sum(var_j)/var_total): the n-scaled numerators
+    # share the n^2 denominator, so the trunc-milli values agree
+    # (int() on a Fraction truncates toward zero, matching the engines)
+    if total_var > 0:
+        alpha = Fraction(4, 3) * (1 - Fraction(sum_item_var, total_var))
+        assert want == int(1000 * alpha)
+    row = REGISTRY["e116_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.sum_item_var, row.total_var, row.alpha_milli) == (
+        n, sum_item_var, total_var, want,
+    )
+
+
+def test_e117_anderson_darling_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "n_chars"])
+    counts = defaultdict(lambda: [0, 0])
+    for lang, v in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        counts[v][0 if lang == "en" else 1] += 1
+    n = sum(a for a, _ in counts.values())
+    m = sum(b for _, b in counts.values())
+    cuma = cumn = 0
+    s_micro = 0
+    n_terms = 0
+    for v in sorted(counts):
+        ca, cb = counts[v]
+        cuma += ca
+        cumn += ca + cb
+        cumb = cumn - cuma
+        if cumn < n + m:
+            z = cuma * m - cumb * n
+            term = (ca + cb) * (z / cumn) * (z / (n + m - cumn)) * 1e6
+            s_micro += int(term + 0.5) if term >= 0 else -int(-term + 0.5)
+            n_terms += 1
+    row = REGISTRY["e117_anderson_darling"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.m) == (n, m)
+    # per-term double rounding may drift 1 micro against python's order
+    assert abs(row.ad_sum_micro - s_micro) <= n_terms
+    assert row.ad_micro == row.ad_sum_micro // (n * m)
+    # AD is nonnegative by construction (every term is z^2-weighted)
+    assert row.ad_sum_micro >= 0
+
+
+def test_e118_krippendorff_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+    per = defaultdict(list)
+    for ok, ln, c in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        if ln <= 3:
+            per[ok].append(c)
+    do_total = 0
+    marg = Counter()
+    n_tot = 0
+    for cs in per.values():
+        m_u = len(cs)
+        if m_u < 2:
+            continue
+        cnt = Counter(cs)
+        marg.update(cnt)
+        n_tot += m_u
+        disagree = m_u * (m_u - 1) - sum(c * (c - 1) for c in cnt.values())
+        do_total += 1_000_000 * disagree // (m_u - 1)
+    de_num = n_tot * n_tot - sum(c * c for c in marg.values())
+    want = (
+        1000 - do_total * (n_tot - 1) // (1000 * de_num) if de_num > 0 else None
+    )
+    row = REGISTRY["e118_krippendorff_alpha"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_tot, row.do_total, row.de_num, row.alpha_milli) == (
+        n_tot, do_total, de_num, want,
+    )
+    # perfect disagreement floor / perfect agreement ceiling
+    assert row.alpha_milli is None or row.alpha_milli <= 1000
+
+
+def test_e119_icc_python_replay(spark, sf_dir):
+    blocks = _complete_blocks()
+    n = len(blocks)
+    g = sum(sum(b.values()) for b in blocks.values())
+    g2 = sum(x * x for b in blocks.values() for x in b.values())
+    ss = sum(sum(b.values()) ** 2 for b in blocks.values())
+    ssb4n = n * ss - g * g
+    ssw4n = 4 * n * g2 - n * ss
+    den = 3 * n * ssb4n + 3 * (n - 1) * ssw4n
+    # trunc toward zero, not Python floor (negative ICC on this fixture)
+    num = 1000 * (3 * n * ssb4n - (n - 1) * ssw4n)
+    want = abs(num) // den * (1 if num >= 0 else -1) if den > 0 else None
+    # Fraction cross-check of the textbook ICC(1,1) = (MSB-MSW)/(MSB+3MSW):
+    # int() on a Fraction truncates toward zero, matching the engines
+    if den > 0:
+        msb = Fraction(ssb4n, 4 * n * (n - 1))
+        msw = Fraction(ssw4n, 4 * n * n * 3)
+        icc = (msb - msw) / (msb + 3 * msw)
+        assert want == int(1000 * icc)
+    row = REGISTRY["e119_icc_oneway"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.ssb4n, row.ssw4n, row.icc_milli) == (n, ssb4n, ssw4n, want)
+    # SSW >= 0 and SSB >= 0 by Cauchy-Schwarz on the lattice
+    assert row.ssb4n >= 0 and row.ssw4n >= 0
+
+
+def test_e116_e119_share_complete_block_population(spark, sf_dir):
+    """The two reliability statistics must read the SAME subjects —
+    their n columns agree (one fixture, two decompositions)."""
+    a = REGISTRY["e116_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
+    b = REGISTRY["e119_icc_oneway"].fn(spark, sf_dir).collect()[0]
+    assert a.n == b.n
