@@ -430,3 +430,230 @@ def e119_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("icc_milli"),
     )
+
+
+@register(
+    "j127_ngram_decontamination",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, doc_id % 10 = 7 AS is_eval,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS w
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, source, is_eval,
+               unnest([array_to_string(w[i:i+7], ' ')
+                       for i in range(1, greatest(len(w) - 6, 1))]) AS s
+        FROM t WHERE len(w) >= 8
+    ), ev AS (
+        SELECT DISTINCT s FROM sh WHERE is_eval
+    ), hits AS (
+        SELECT DISTINCT sh.doc_id, sh.source
+        FROM sh JOIN ev USING (s) WHERE NOT is_eval
+    ), collide AS (
+        SELECT CAST(COUNT(DISTINCT sh.s) AS BIGINT) AS n_collision_grams
+        FROM sh JOIN ev USING (s) WHERE NOT is_eval
+    ), train AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train
+        FROM t WHERE NOT is_eval GROUP BY 1
+    )
+    SELECT train.source, n_train,
+           CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST(1000000 * COALESCE(h.n_cont, 0) // n_train AS BIGINT)
+               AS cont_ppm,
+           n_collision_grams
+    FROM train
+    LEFT JOIN (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cont
+        FROM hits GROUP BY 1
+    ) h USING (source)
+    CROSS JOIN collide
+    """,
+    survey="J127,J69,J5",
+)
+def j127_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram train/eval decontamination (the GPT-3 appendix-C /
+    Dolma rule): a training document is CONTAMINATED if it shares any
+    verbatim 8-gram with the held-out eval split (doc_id % 10 == 7, the
+    j12 deterministic-split discipline).  This is the n-gram EXACT
+    counterpart of j69's embedding decontamination — embedding decon
+    catches paraphrases but misses verbatim substrings below the cosine
+    radius; every production pipeline runs BOTH.
+
+    Semantics: per-doc DISTINCT 8-grams over the shared _NORM
+    tokenization (lower + whitespace collapse — the j6/j60 rule), eval
+    gram set ∪, train docs flagged by one semi join; output = per-source
+    train counts, contaminated counts, ppm rate, plus the global
+    distinct collision-gram count.  On this corpus 6/450 train docs
+    collide at sf0.01 — a discriminating fixture (the j125 zero-count
+    lesson is why this was checked BEFORE registration).
+
+    Scale shape: tokenize scan → per-doc distinct-gram explode (shuffle
+    on gram) → eval-set semi join (the eval side is the SMALL side —
+    broadcast at production scale; AQE picks it here) → per-source agg.
+    At 100 TB the gram relation is the volume term and the semi join is
+    the one shuffle — exactly j69's banded-LSH plan with grams for
+    bands."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    t = d.select(
+        "doc_id", "source",
+        (F.col("doc_id") % 10 == 7).alias("is_eval"),
+        tokens(F.col("text")).alias("w"),
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(w) - 7),"
+        " i -> concat_ws(' ', slice(w, i, 8)))"
+    )
+    sh = (
+        t.where(F.size("w") >= 8)
+        .select("doc_id", "source", "is_eval", F.explode(grams).alias("s"))
+        .distinct()
+    )
+    ev = sh.where(F.col("is_eval")).select("s").distinct()
+    train_hits = sh.where(~F.col("is_eval")).join(ev, "s")
+    hits = train_hits.select("doc_id", "source").distinct()
+    collide = train_hits.agg(
+        F.countDistinct("s").cast("long").alias("n_collision_grams")
+    )
+    train = (
+        t.where(~F.col("is_eval"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_train"))
+    )
+    h = hits.groupBy("source").agg(F.count("*").cast("long").alias("n_cont"))
+    return (
+        train.join(h, "source", "left")
+        .select(
+            "source", "n_train",
+            F.coalesce(F.col("n_cont"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.expr(
+                "CAST(1000000 * COALESCE(n_cont, 0) DIV n_train AS BIGINT)"
+            ).alias("cont_ppm"),
+        )
+        .crossJoin(F.broadcast(collide))
+    )
+
+
+@register(
+    "b19_hinted_handoff",
+    oracle="""
+    WITH muts AS (
+        SELECT l_orderkey AS pk, l_linenumber AS ck,
+               CAST(l_orderkey % 3 AS BIGINT) AS replica,
+               (epoch_us(l_shipdate) // 86400000000) % 100 AS phase,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), classified AS (
+        SELECT *,
+               CASE replica WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 50 END AS o_start,
+               CASE replica WHEN 0 THEN 12 WHEN 1 THEN 38 ELSE 65 END AS o_end
+        FROM muts
+    ), status AS (
+        SELECT pk, ck, replica, phase, cents,
+               CASE WHEN phase < o_start OR phase >= o_end THEN 'direct'
+                    WHEN o_end - phase <= 5 THEN 'hinted'
+                    ELSE 'dropped' END AS st
+        FROM classified
+    ), winners AS (
+        SELECT replica, pk, ck,
+               MAX(ROW(phase, cents)) AS win
+        FROM status GROUP BY 1, 2, 3
+    ), stale AS (
+        SELECT s.replica, CAST(COUNT(DISTINCT (s.pk, s.ck)) AS BIGINT) AS stale_keys
+        FROM status s JOIN winners w
+          ON w.replica = s.replica AND w.pk = s.pk AND w.ck = s.ck
+         AND ROW(s.phase, s.cents) = w.win
+        WHERE s.st = 'dropped'
+        GROUP BY 1
+    )
+    SELECT status.replica,
+           CAST(SUM(CASE WHEN st = 'direct' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_direct,
+           CAST(SUM(CASE WHEN st = 'hinted' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hinted,
+           CAST(SUM(CASE WHEN st = 'dropped' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(COALESCE(MAX(stale.stale_keys), 0) AS BIGINT) AS stale_keys
+    FROM status LEFT JOIN stale USING (replica)
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="B19,B2,B14",
+)
+def b19_hinted_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hinted handoff accounting — the Cassandra availability mechanism
+    the B family still lacked (next to b14's Merkle repair and b15's
+    read repair): writes targeting a DOWN replica are stored as hints on
+    the coordinator and replayed when the replica returns, but only
+    hints younger than max_hint_window survive; older writes are LOST
+    until repair.  Mutations are lineitem rows keyed (orderkey,
+    linenumber); replica = orderkey % 3; each replica has a
+    deterministic outage window on the 100-day phase lattice (r0
+    [10,12): shorter than the 5-day hint window → fully recovered; r1
+    [30,38) and r2 [50,65): longer → early-outage writes drop).  A hint
+    written at phase p inside [start, end) is REPLAYED iff end − p ≤ 5.
+
+    Output per replica: direct / hinted / dropped mutation counts plus
+    the CONSISTENCY damage: stale_keys = keys whose LWW-winning mutation
+    (max (phase, cents) — the b2 priority rule) was dropped, i.e. keys a
+    read at that replica would serve stale until b14's repair runs.
+    Pure integer phases; the cents tiebreak makes the winner
+    deterministic and identical in both engines.
+
+    Scale shape: one fact scan → per-mutation CASE classification (no
+    join — outage windows are CASE constants) → per-key max_by agg
+    (natural-key shuffle) → per-replica fold; at 100 TB the only volume
+    terms are the scan and the one key agg."""
+    li = Tables(spark, sf_dir).lineitem
+    muts = li.select(
+        F.col("l_orderkey").alias("pk"),
+        F.col("l_linenumber").alias("ck"),
+        (F.col("l_orderkey") % 3).cast("long").alias("replica"),
+        (F.expr("unix_micros(l_shipdate) DIV 86400000000") % 100).alias("phase"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    status = muts.select(
+        "*",
+        F.expr(
+            "CASE WHEN phase < (CASE replica WHEN 0 THEN 10 WHEN 1 THEN 30"
+            "                   ELSE 50 END)"
+            "       OR phase >= (CASE replica WHEN 0 THEN 12 WHEN 1 THEN 38"
+            "                    ELSE 65 END) THEN 'direct'"
+            "     WHEN (CASE replica WHEN 0 THEN 12 WHEN 1 THEN 38 ELSE 65 END)"
+            "          - phase <= 5 THEN 'hinted'"
+            "     ELSE 'dropped' END"
+        ).alias("st"),
+    )
+    winners = status.groupBy("replica", "pk", "ck").agg(
+        F.max(F.struct("phase", "cents")).alias("win")
+    )
+    stale = (
+        status.where(F.col("st") == "dropped")
+        .join(winners, ["replica", "pk", "ck"])
+        .where(F.struct("phase", "cents") == F.col("win"))
+        .groupBy("replica")
+        .agg(F.countDistinct("pk", "ck").cast("long").alias("stale_keys"))
+    )
+    return (
+        status.groupBy("replica")
+        .agg(
+            F.sum(F.when(F.col("st") == "direct", 1).otherwise(0))
+            .cast("long")
+            .alias("n_direct"),
+            F.sum(F.when(F.col("st") == "hinted", 1).otherwise(0))
+            .cast("long")
+            .alias("n_hinted"),
+            F.sum(F.when(F.col("st") == "dropped", 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .join(stale, "replica", "left")
+        .select(
+            "replica", "n_direct", "n_hinted", "n_dropped",
+            F.coalesce(F.col("stale_keys"), F.lit(0))
+            .cast("long")
+            .alias("stale_keys"),
+        )
+        .orderBy("replica")
+    )

@@ -162,3 +162,78 @@ def test_e116_e119_share_complete_block_population(spark, sf_dir):
     a = REGISTRY["e116_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
     b = REGISTRY["e119_icc_oneway"].fn(spark, sf_dir).collect()[0]
     assert a.n == b.n
+
+
+def test_j127_decontamination_python_replay(spark, sf_dir):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source", "text"])
+    rows = list(zip(*(t.column(c).to_pylist() for c in t.column_names)))
+    grams = {}
+    for did, src, text in rows:
+        w = _re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+        grams[did] = (
+            src,
+            {" ".join(w[i : i + 8]) for i in range(len(w) - 7)} if len(w) >= 8 else set(),
+        )
+    ev = set().union(*(g for d, (s, g) in grams.items() if d % 10 == 7))
+    per_src_train = Counter(s for d, (s, g) in grams.items() if d % 10 != 7)
+    cont = defaultdict(int)
+    collisions = set()
+    for d, (s, g) in grams.items():
+        if d % 10 == 7:
+            continue
+        hit = g & ev
+        if hit:
+            cont[s] += 1
+            collisions |= hit
+    out = {r.source: r for r in REGISTRY["j127_ngram_decontamination"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(per_src_train)
+    for s, r in out.items():
+        assert (r.n_train, r.n_contaminated) == (per_src_train[s], cont[s])
+        assert r.cont_ppm == 1_000_000 * cont[s] // per_src_train[s]
+        assert r.n_collision_grams == len(collisions)
+    # the fixture must discriminate (the j125 zero-count lesson)
+    assert sum(cont.values()) > 0
+
+
+def test_b19_hinted_handoff_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"],
+    )
+    windows = {0: (10, 12), 1: (30, 38), 2: (50, 65)}
+    per = defaultdict(lambda: Counter())
+    best = {}
+    status = []
+    for ok, ln, sd, ep in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        r = ok % 3
+        phase = (int(sd.timestamp() * 1_000_000) // 86_400_000_000) % 100
+        cents = int(round(ep * 100))
+        s, e = windows[r]
+        st = (
+            "direct" if phase < s or phase >= e
+            else ("hinted" if e - phase <= 5 else "dropped")
+        )
+        per[r][st] += 1
+        status.append((r, ok, ln, phase, cents, st))
+        k = (r, ok, ln)
+        if k not in best or (phase, cents) > best[k]:
+            best[k] = (phase, cents)
+    stale = defaultdict(set)
+    for r, ok, ln, phase, cents, st in status:
+        if st == "dropped" and best[(r, ok, ln)] == (phase, cents):
+            stale[r].add((ok, ln))
+    rows = {r.replica: r for r in REGISTRY["b19_hinted_handoff"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in (0, 1, 2):
+        row = rows[r]
+        assert (row.n_direct, row.n_hinted, row.n_dropped) == (
+            per[r]["direct"], per[r]["hinted"], per[r]["dropped"],
+        )
+        assert row.stale_keys == len(stale[r])
+    # r0's outage (2 days) is shorter than the hint window: nothing drops
+    assert rows[0].n_dropped == 0 and rows[0].stale_keys == 0
+    # conservation: every mutation classified exactly once
+    n_total = sum(per[r].total() for r in per)
+    assert n_total == t.num_rows
