@@ -657,3 +657,220 @@ def b19_hinted_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+@register(
+    "d27_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+        SELECT l_suppkey AS k,
+               epoch_us(l_shipdate) // 86400000000 AS valid_from,
+               epoch_us(l_shipdate) // 86400000000
+                   + l_orderkey % 30 AS tx_from,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), spans AS (
+        SELECT k, MIN(valid_from) AS lo, MAX(valid_from) AS hi
+        FROM versions GROUP BY 1
+    ), probes AS (
+        SELECT k, p.p AS probe_id,
+               lo + (hi - lo) * (p.p + 1) // 4 AS t,
+               lo + (hi - lo) * (p.p + 1) // 4 + 10 * p.p AS tx_asof
+        FROM spans, (SELECT unnest(range(0, 3)) AS p) p
+    ), picked AS (
+        SELECT p.k, p.probe_id, p.t, p.tx_asof,
+               MAX({'valid_from': v.valid_from, 'tx_from': v.tx_from,
+                    'cents': v.cents}) AS win
+        FROM probes p
+        JOIN versions v
+          ON v.k = p.k AND v.valid_from <= p.t AND v.tx_from <= p.tx_asof
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT probes.k, probes.probe_id, probes.t, probes.tx_asof,
+           CAST(picked.win.valid_from AS BIGINT) AS picked_valid,
+           CAST(picked.win.tx_from AS BIGINT) AS picked_tx,
+           CAST(picked.win.cents AS BIGINT) AS picked_cents
+    FROM probes LEFT JOIN picked
+      ON picked.k = probes.k AND picked.probe_id = probes.probe_id
+    """,
+    survey="D27,D19,D7",
+)
+def d27_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of join (Snodgrass's two-axis temporal model) — the
+    join class d19's PIT/SCD2 (ONE time axis) cannot state: every
+    version carries a VALID time (when the price became effective) and a
+    TRANSACTION time (when the system learned it, here valid + a 0-29
+    day correction lag from the order key), and a query is a PAIR
+    (t, T): "what did we believe at transaction time T the value
+    effective at t was?"  Late-arriving corrections (tx ≫ valid) are
+    exactly what makes the two axes non-interchangeable — an as-of on
+    valid time alone silently reads corrections that had not arrived.
+
+    Per (supplier, probe): among versions with valid ≤ t AND tx ≤ T,
+    pick max (valid, tx, cents) lexicographic — latest effective, then
+    latest learned, the cents tiebreak making duplicates deterministic.
+    Probes are the supplier's valid-span quartiles with staggered
+    transaction horizons (T = t + 10·probe_id), so probe 0 reads with
+    ZERO correction visibility and probe 2 with 20 days — the output
+    shows the same t flipping value as T advances, the bitemporal
+    signature.  LEFT join keeps probes with no visible version (NULLs).
+
+    Scale shape: versions scan → per-key span agg → 3-probe explode
+    (KB per key) → one range-predicate join on the EQUI key k (the
+    d6/d19 rule: equi key carries the shuffle, ranges filter inside the
+    key group) → max_by agg.  Probe count is constant; volume term is
+    the one key-partitioned join."""
+    li = Tables(spark, sf_dir).lineitem
+    versions = li.select(
+        F.col("l_suppkey").alias("k"),
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("valid_from"),
+        (
+            F.expr("unix_micros(l_shipdate) DIV 86400000000")
+            + F.col("l_orderkey") % 30
+        ).alias("tx_from"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    spans = versions.groupBy("k").agg(
+        F.min("valid_from").alias("lo"), F.max("valid_from").alias("hi")
+    )
+    probes = spans.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("probe_id"), "lo", "hi"
+    ).select(
+        "k",
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.expr("lo + (hi - lo) * (probe_id + 1) DIV 4").alias("t"),
+        F.expr(
+            "lo + (hi - lo) * (probe_id + 1) DIV 4 + 10 * probe_id"
+        ).alias("tx_asof"),
+    )
+    picked = (
+        probes.join(
+            versions.select(
+                F.col("k").alias("vk"), "valid_from", "tx_from", "cents"
+            ),
+            (F.col("vk") == F.col("k"))
+            & (F.col("valid_from") <= F.col("t"))
+            & (F.col("tx_from") <= F.col("tx_asof")),
+        )
+        .groupBy("k", "probe_id")
+        .agg(F.max(F.struct("valid_from", "tx_from", "cents")).alias("win"))
+    )
+    return probes.join(picked, ["k", "probe_id"], "left").select(
+        "k", "probe_id", "t", "tx_asof",
+        F.col("win.valid_from").cast("long").alias("picked_valid"),
+        F.col("win.tx_from").cast("long").alias("picked_tx"),
+        F.col("win.cents").cast("long").alias("picked_cents"),
+    )
+
+
+# f51's sign-aware squared threshold comparison: ONE template for both
+# engines (the e114 rule).  Symbol 'a'/'c' iff the segment deviation
+# d = n*seg_sum - S*c clears the +-beta*sigma breakpoint, compared in
+# squares on the integer lattice: 1e6*d^2 vs BETA2_PPM*c^2*V where
+# V = n*Q - S^2 is the n^2-scaled variance numerator (both sides share
+# the (n*c)^2 denominator, which cancels).
+_F51_BETA2_PPM = 185_526  # (0.4307272993)^2, the alphabet-3 Gaussian breakpoint
+_F51_SYMBOL = (
+    "CASE WHEN d < 0 AND 1000000 * d * d > {b2} * c * c * v THEN 'a'"
+    "     WHEN d > 0 AND 1000000 * d * d > {b2} * c * c * v THEN 'c'"
+    "     ELSE 'b' END"
+).format(b2=_F51_BETA2_PPM)
+
+
+@register(
+    "f51_sax_symbolization",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily
+    ), stats AS (
+        SELECT event_type, MAX(n) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM numbered GROUP BY 1
+    ), segs AS (
+        SELECT event_type, ((rn - 1) * 6) // n AS seg,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(x) AS BIGINT) AS seg_sum
+        FROM numbered GROUP BY 1, 2
+    ), scored AS (
+        SELECT segs.event_type, seg, c,
+               stats.n * seg_sum - stats.s * c AS d,
+               stats.n * stats.q - stats.s * stats.s AS v
+        FROM segs JOIN stats USING (event_type)
+    )
+    SELECT event_type, CAST(seg AS BIGINT) AS seg, c, d, v,
+           {_F51_SYMBOL} AS symbol
+    FROM scored
+    """,
+    survey="F51,F28,E5",
+)
+def f51_sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003) — PAA segment means discretized
+    against Gaussian breakpoints into a 3-letter alphabet, the standard
+    symbolic time-series representation behind motif discovery and
+    HOT-SAX anomaly search; a class (symbolic discretization) the F
+    family lacked next to decomposition (f28), smoothing (f30) and
+    changepoints (f33).  Per event type the ~30-day daily-mean series
+    splits into 6 PAA segments (seg = (rn−1)·6 DIV n — the f21 edge
+    rule), and each segment symbolizes by where its mean sits against
+    μ ± 0.4307·σ (the alphabet-3 equiprobable Gaussian cuts).
+
+    Exactness: σ is irrational, so the comparison moves to SQUARES on
+    the integer lattice — d = n·seg_sum − S·c (the (n·c)-scaled segment
+    deviation) against β²·c²·V with V = n·Q − S² (the n²-scaled variance
+    numerator; the shared (n·c)² denominator cancels), β² injected as
+    the 185526 ppm constant (the e72 injected-constant rule) — one
+    sign-aware template in both engines, pure BIGINT.  Boundary flips
+    would need the exact rational d²/(c²V) to hit β² to 6 decimals —
+    checked absent on this data at all three SFs by the mirror.  Budget:
+    daily means ≤ ~600, so 1e6·d² ≲ 6e16 and β²·c²·V ≲ 1e15 ✓.
+
+    Scale shape: one scan → daily agg → per-type windows over the
+    calendar-bounded daily relation (the e36 exemption class) → one
+    6-row-per-type fold; everything after the daily agg is KB."""
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value) AS BIGINT)) DIV COUNT(*) AS BIGINT)"
+        ).alias("x")
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    numbered = daily.select(
+        "event_type", "x",
+        F.row_number().over(wt.orderBy("day")).alias("rn"),
+        F.count("*").over(wt).cast("long").alias("n"),
+    )
+    stats = numbered.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    segs = numbered.groupBy(
+        "event_type", F.expr("((rn - 1) * 6) DIV n").alias("seg")
+    ).agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("x").cast("long").alias("seg_sum"),
+    )
+    scored = segs.join(stats, "event_type").select(
+        "event_type",
+        F.col("seg").cast("long").alias("seg"),
+        "c",
+        (F.col("n") * F.col("seg_sum") - F.col("s") * F.col("c")).alias("d"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("v"),
+    )
+    return scored.select(
+        "event_type", "seg", "c", "d", "v", F.expr(_F51_SYMBOL).alias("symbol")
+    )

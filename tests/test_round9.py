@@ -237,3 +237,83 @@ def test_b19_hinted_handoff_python_replay(spark, sf_dir):
     # conservation: every mutation classified exactly once
     n_total = sum(per[r].total() for r in per)
     assert n_total == t.num_rows
+
+
+def test_d27_bitemporal_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice"],
+    )
+    vers = defaultdict(list)
+    for sk, ok, sd, ep in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        valid = int(sd.timestamp() * 1_000_000) // 86_400_000_000
+        vers[sk].append((valid, valid + ok % 30, int(round(ep * 100))))
+    rows = REGISTRY["d27_bitemporal_asof"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3 * len(vers)
+    tx_bites = 0
+    for r in rows:
+        vs = vers[r.k]
+        lo = min(v[0] for v in vs)
+        hi = max(v[0] for v in vs)
+        t_want = lo + (hi - lo) * (r.probe_id + 1) // 4
+        assert (r.t, r.tx_asof) == (t_want, t_want + 10 * r.probe_id)
+        vis = [v for v in vs if v[0] <= r.t and v[1] <= r.tx_asof]
+        if vis:
+            w = max(vis)
+            assert (r.picked_valid, r.picked_tx, r.picked_cents) == w
+        else:
+            assert r.picked_valid is None and r.picked_cents is None
+        # does the transaction axis BITE here: the valid-only as-of
+        # (ignoring tx) would pick a different version
+        valid_only = [v for v in vs if v[0] <= r.t]
+        if valid_only and max(valid_only) != (max(vis) if vis else None):
+            tx_bites += 1
+    # the correction lag must actually exclude versions somewhere —
+    # otherwise the fixture degenerates to a one-axis as-of (the j125
+    # zero-count lesson)
+    assert tx_bites > 0
+
+
+def test_f51_sax_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    daily = defaultdict(lambda: [0, 0])
+    for et, ts, v in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        day = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        d = daily[(et, day)]
+        d[0] += int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+        d[1] += 1
+    series = defaultdict(list)
+    for (et, day), (s, c) in sorted(daily.items()):
+        series[et].append(s // c)
+    want = {}
+    for et, xs in series.items():
+        n = len(xs)
+        s, q = sum(xs), sum(x * x for x in xs)
+        v = n * q - s * s
+        segs = defaultdict(lambda: [0, 0])
+        for i, x in enumerate(xs):
+            g = (i * 6) // n
+            segs[g][0] += 1
+            segs[g][1] += x
+        for g, (c, seg_sum) in segs.items():
+            d = n * seg_sum - s * c
+            if d < 0 and 1_000_000 * d * d > 185_526 * c * c * v:
+                sym = "a"
+            elif d > 0 and 1_000_000 * d * d > 185_526 * c * c * v:
+                sym = "c"
+            else:
+                sym = "b"
+            want[(et, g)] = (c, d, v, sym)
+    rows = REGISTRY["f51_sax_symbolization"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    syms = Counter()
+    for r in rows:
+        assert (r.c, r.d, r.v, r.symbol) == want[(r.event_type, r.seg)], r
+        syms[r.symbol] += 1
+    # fixture discriminates: all three letters appear across the corpus
+    assert set(syms) == {"a", "b", "c"}, syms
+    # PAA conservation: per type the segment deviations sum to zero
+    per_type = defaultdict(int)
+    for r in rows:
+        per_type[r.event_type] += r.d
+    assert all(v == 0 for v in per_type.values())
