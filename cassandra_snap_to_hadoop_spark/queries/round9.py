@@ -874,3 +874,272 @@ def f51_sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "event_type", "seg", "c", "d", "v", F.expr(_F51_SYMBOL).alias("symbol")
     )
+
+
+@register(
+    "j128_repetition_signals",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS w
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, source, len(w) AS n_tok FROM t
+    ), big AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, greatest(len(w), 1))]) AS g
+        FROM t WHERE len(w) >= 2
+    ), bc AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+    ), top2 AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_big,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_big
+        FROM bc GROUP BY 1
+    ), tri AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, greatest(len(w) - 1, 1))]) AS g
+        FROM t WHERE len(w) >= 3
+    ), tc AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2
+    ), dup3 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_tri
+        FROM tc GROUP BY 1
+    ), scored AS (
+        SELECT toks.doc_id, toks.source, toks.n_tok,
+               CAST(1000000 * COALESCE(top_big, 0)
+                    // greatest(n_tok - 1, 1) AS BIGINT) AS top_bigram_ppm,
+               CAST(1000000 * COALESCE(dup_big, 0)
+                    // greatest(n_tok - 1, 1) AS BIGINT) AS dup_bigram_ppm,
+               CAST(1000000 * COALESCE(dup_tri, 0)
+                    // greatest(n_tok - 2, 1) AS BIGINT) AS dup_trigram_ppm
+        FROM toks
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN dup3 USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN top_bigram_ppm > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top_bigram_flagged,
+           CAST(SUM(CASE WHEN dup_trigram_ppm > 40000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_trigram_flagged,
+           CAST(SUM(top_bigram_ppm) // COUNT(*) AS BIGINT)
+               AS mean_top_bigram_ppm,
+           CAST(SUM(dup_bigram_ppm) // COUNT(*) AS BIGINT)
+               AS mean_dup_bigram_ppm,
+           CAST(SUM(dup_trigram_ppm) // COUNT(*) AS BIGINT)
+               AS mean_dup_trigram_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    survey="J128,J9,J6",
+)
+def j128_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher (Rae et al. 2021)
+    repetition-filter family adapted to this corpus's single-line docs:
+    top-bigram coverage (fraction of bigram slots taken by the single
+    most frequent bigram), duplicated-bigram coverage, and
+    duplicated-trigram coverage, each as exact ppm of the doc's n-gram
+    slots.  These catch the looping/templated text j9's length/punct
+    heuristics and j29's cross-doc line dedup both miss: repetition
+    INSIDE one document.
+
+    Output per source: doc counts, flag counts at the stated thresholds
+    (top-bigram > 10%, dup-trigram > 4% — corpus-scaled cuts verified to
+    discriminate at sf0.001: p90/max are 6.7%/14.3% and 0%/8.5%, so the
+    flags isolate the true tail — the Gopher-table-A1 analogue on this
+    short-doc corpus), and mean signal levels.  Pure integer
+    end-to-end; per-doc fractions are exact ppm floor divisions.
+
+    Scale shape: tokenize scan → per-doc n-gram explodes (shuffle on
+    (doc, gram) — map-side combinable) → per-doc aggs → per-source
+    fold.  No joins beyond the per-doc signal assembly; at 100 TB the
+    gram explode is the volume term, the classic corpus-scan shape."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+    toks = t.select("doc_id", "source", F.size("w").cast("long").alias("n_tok"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', slice(w, i, 2)))"
+    )
+    trigrams = F.expr(
+        "transform(sequence(1, size(w) - 2),"
+        " i -> concat_ws(' ', slice(w, i, 3)))"
+    )
+    bc = (
+        t.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top2 = bc.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_big"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_big"),
+    )
+    dup3 = (
+        t.where(F.size("w") >= 3)
+        .select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_tri")
+        )
+    )
+    scored = (
+        toks.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "source",
+            F.expr(
+                "CAST(1000000 * COALESCE(top_big, 0)"
+                " DIV greatest(n_tok - 1, 1) AS BIGINT)"
+            ).alias("top_bigram_ppm"),
+            F.expr(
+                "CAST(1000000 * COALESCE(dup_big, 0)"
+                " DIV greatest(n_tok - 1, 1) AS BIGINT)"
+            ).alias("dup_bigram_ppm"),
+            F.expr(
+                "CAST(1000000 * COALESCE(dup_tri, 0)"
+                " DIV greatest(n_tok - 2, 1) AS BIGINT)"
+            ).alias("dup_trigram_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("top_bigram_ppm") > 100000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_top_bigram_flagged"),
+            F.sum(F.when(F.col("dup_trigram_ppm") > 40000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_trigram_flagged"),
+            F.expr("CAST(SUM(top_bigram_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_top_bigram_ppm"
+            ),
+            F.expr("CAST(SUM(dup_bigram_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_dup_bigram_ppm"
+            ),
+            F.expr("CAST(SUM(dup_trigram_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_dup_trigram_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "f52_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM daily
+    ), lags AS (
+        SELECT unnest(range(-7, 8)) AS k
+    ), pairs AS (
+        SELECT l.k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST(SUM((s.n * a.x - s.sx) * (s.n * b.y - s.sy))
+                    AS BIGINT) AS num
+        FROM lags l
+        CROSS JOIN stats s
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + l.k
+        GROUP BY 1
+    ), best AS (
+        SELECT k AS best_lag FROM pairs
+        ORDER BY num DESC, ABS(k) ASC, k ASC LIMIT 1
+    )
+    SELECT k, n_overlap, num,
+           CASE WHEN k = best_lag THEN 1 ELSE 0 END AS is_best
+    FROM pairs CROSS JOIN best ORDER BY k
+    """,
+    survey="F52,F26,E46",
+)
+def f52_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    series — the TWO-series companion of f26's autocorrelation (one
+    series vs its own past) and the question every funnel owner asks:
+    at what lag do purchases track clicks?  CCF numerators at lags
+    −7..+7 on the n-scaled lattice: num_k = Σ_t (n·x_t − Sx)(n·y_{t+k} −
+    Sy) over the overlapping days, an exact BIGINT (the e46/f26 central-
+    moment discipline; the shared n² denominator and the lag-constant
+    variance normalization cancel in the argmax, so no sqrt ever
+    appears).  best_lag = argmax num with the (|k|, k) tiebreak; the
+    overlap count n_overlap is reported so the boundary-loss at large
+    |k| is visible.
+
+    Budget: daily counts ≤ ~700 at sf0.1 ⇒ |n·x − Sx| ≤ n·700 ≈ 2e4,
+    per-term product ≤ 4.4e8, 30-term sums ≪ 2^63 at any plausible SF.
+
+    Scale shape: one scan → conditional daily agg (the only volume
+    term) → a 15-lag × ~30-day self-join on the calendar-bounded daily
+    relation (KB — the e36 exemption class) → 15-row fold."""
+    ev = Tables(spark, sf_dir).events
+    daily = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.expr("unix_micros(ts) DIV 86400000000").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    stats = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    lags = Tables(spark, sf_dir).region.sparkSession.range(-7, 8).select(
+        F.col("id").alias("k")
+    )
+    a = daily.select(F.col("day").alias("da"), "x")
+    b = daily.select(F.col("day").alias("db"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(F.broadcast(stats))
+        .join(a, F.lit(True))
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("sx"))
+                * (F.col("n") * F.col("y") - F.col("sy"))
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    best = pairs.orderBy(
+        F.col("num").desc(), F.abs(F.col("k")).asc(), F.col("k").asc()
+    ).limit(1).select(F.col("k").alias("best_lag"))
+    return (
+        pairs.crossJoin(F.broadcast(best))
+        .select(
+            "k", "n_overlap", "num",
+            F.when(F.col("k") == F.col("best_lag"), 1).otherwise(0).alias("is_best"),
+        )
+        .orderBy("k")
+    )

@@ -317,3 +317,78 @@ def test_f51_sax_python_replay(spark, sf_dir):
     for r in rows:
         per_type[r.event_type] += r.d
     assert all(v == 0 for v in per_type.values())
+
+
+def test_j128_repetition_python_replay(spark, sf_dir):
+    import re as _re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source", "text"])
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, flag1, flag2, s1, s2, s3
+    for did, src, text in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        w = _re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+        n_tok = len(w)
+        bc = Counter(" ".join(w[i : i + 2]) for i in range(n_tok - 1))
+        tc = Counter(" ".join(w[i : i + 3]) for i in range(n_tok - 2))
+        top_big = max(bc.values()) if bc else 0
+        dup_big = sum(c for c in bc.values() if c >= 2)
+        dup_tri = sum(c for c in tc.values() if c >= 2)
+        p1 = 1_000_000 * top_big // max(n_tok - 1, 1)
+        p2 = 1_000_000 * dup_big // max(n_tok - 1, 1)
+        p3 = 1_000_000 * dup_tri // max(n_tok - 2, 1)
+        a = agg[src]
+        a[0] += 1
+        a[1] += p1 > 100_000
+        a[2] += p3 > 40_000
+        a[3] += p1
+        a[4] += p2
+        a[5] += p3
+    rows = {r.source: r for r in REGISTRY["j128_repetition_signals"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for s, a in agg.items():
+        r = rows[s]
+        assert (
+            r.n_docs, r.n_top_bigram_flagged, r.n_dup_trigram_flagged,
+            r.mean_top_bigram_ppm, r.mean_dup_bigram_ppm, r.mean_dup_trigram_ppm,
+        ) == (a[0], a[1], a[2], a[3] // a[0], a[4] // a[0], a[5] // a[0])
+        # coverage fractions live in [0, 1e6] and top <= dup-bigram mass
+        # can exceed top only when a second duplicated bigram exists —
+        # the unconditional law is mean_top <= mean_dup + 1e6 slack-free
+        assert 0 <= r.mean_top_bigram_ppm <= 1_000_000
+        assert 0 <= r.mean_dup_trigram_ppm <= 1_000_000
+    # fixture discriminates: some doc somewhere flags on each signal
+    assert sum(a[1] for a in agg.values()) > 0
+    assert sum(a[2] for a in agg.values()) > 0
+
+
+def test_f52_cross_correlation_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    daily = defaultdict(lambda: [0, 0])
+    for et, ts in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        if et not in ("click", "purchase"):
+            continue
+        day = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        daily[day][0 if et == "click" else 1] += 1
+    n = len(daily)
+    sx = sum(v[0] for v in daily.values())
+    sy = sum(v[1] for v in daily.values())
+    want = {}
+    for k in range(-7, 8):
+        num = 0
+        c = 0
+        for day, (x, _) in daily.items():
+            if day + k in daily:
+                y = daily[day + k][1]
+                num += (n * x - sx) * (n * y - sy)
+                c += 1
+        want[k] = (c, num)
+    best = max(want, key=lambda k: (want[k][1], -abs(k), -k))
+    rows = REGISTRY["f52_cross_correlation"].fn(spark, sf_dir).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert (r.n_overlap, r.num) == want[r.k], r.k
+        assert r.is_best == (1 if r.k == best else 0)
+    assert sum(r.is_best for r in rows) == 1
+    # lag-0 overlap is the full calendar; |k|=7 loses exactly 7 days
+    lag0 = next(r for r in rows if r.k == 0)
+    lag7 = next(r for r in rows if r.k == 7)
+    assert lag0.n_overlap == n and lag7.n_overlap == n - 7
