@@ -1143,3 +1143,195 @@ def f52_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# e120's per-pair studentized-range comparison: ONE template (the e114
+# rule), instantiated per pair with column-name substitution.  All nine
+# sufficient statistics are exact BIGINTs in ONE wide row (closed A/N/R
+# domain -> conditional aggregation), so the double chain has a FIXED
+# operation order in both engines -- no aggregate-order ambiguity.
+# Constant: q(0.95; k=3, df=inf)^2 = 3.3145^2 = 10.986 (micro-injected).
+_E120_Q2_CRIT_MICRO = 10_986_000
+_E120_MSW = (
+    "((qa - CAST(sa AS DOUBLE) * sa / na)"
+    " + (qn - CAST(sn AS DOUBLE) * sn / nn)"
+    " + (qr - CAST(sr AS DOUBLE) * sr / nr)) / (na + nn + nr - 3)"
+)
+
+
+def _e120_q2(si: str, ni: str, sj: str, nj: str) -> str:
+    d = f"(CAST({si} AS DOUBLE) / {ni} - CAST({sj} AS DOUBLE) / {nj})"
+    return (
+        f"CAST(ROUND({d} * {d}"
+        f" / (({_E120_MSW}) / 2.0 * (CAST(1 AS DOUBLE) / {ni}"
+        f"    + CAST(1 AS DOUBLE) / {nj})) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "e120_tukey_hsd",
+    oracle=f"""
+    WITH wide AS (
+        SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qa,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sn,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qn,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sr,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS qr
+        FROM lineitem
+    )
+    SELECT pair, n_i, n_j, q2_micro,
+           CASE WHEN q2_micro > {_E120_Q2_CRIT_MICRO} THEN 1 ELSE 0 END
+               AS significant
+    FROM (
+        SELECT 'A-N' AS pair, na AS n_i, nn AS n_j,
+               {_e120_q2("sa", "na", "sn", "nn")} AS q2_micro FROM wide
+        UNION ALL
+        SELECT 'A-R', na, nr, {_e120_q2("sa", "na", "sr", "nr")} FROM wide
+        UNION ALL
+        SELECT 'N-R', nn, nr, {_e120_q2("sn", "nn", "sr", "nr")} FROM wide
+    ) ORDER BY pair
+    """,
+    survey="E120,E49,E52",
+)
+def e120_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD post-hoc pairwise comparisons — the step AFTER e49's
+    one-way ANOVA F that the registry lacked: the omnibus F says "some
+    group differs"; Tukey's studentized-range test says WHICH pairs,
+    with family-wise error control the three unadjusted e52 t-tests
+    would forfeit.  Groups are the return-flag populations on quantity.
+
+    Per pair q²_ij = (m_i − m_j)² / (MSW/2 · (1/n_i + 1/n_j)) compared
+    against q²(0.95; k=3, ν=∞) = 10.986 (micro-injected constant — the
+    e72 rule).  Exactness: the nine sufficient statistics (n, Σx, Σx²
+    per group) land in ONE wide row via conditional aggregation (closed
+    A/N/R domain — the e101 pivot discipline), so MSW and every pair's
+    q² are single double chains with a FIXED operation order shared
+    verbatim by both engines (no aggregate-order ambiguity), each
+    micro-rounded once.
+
+    Scale shape: one fact scan → ONE conditional 9-stat agg (map-side
+    combinable) → 3-row pair fold; nothing after the scan exceeds a
+    row."""
+    li = Tables(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("long")
+    wide = li.agg(
+        *[
+            agg.alias(name)
+            for flag, suffix in (("A", "a"), ("N", "n"), ("R", "r"))
+            for name, agg in (
+                (f"n{suffix}", F.sum(F.when(F.col("l_returnflag") == flag, 1).otherwise(0)).cast("long")),
+                (f"s{suffix}", F.sum(F.when(F.col("l_returnflag") == flag, q).otherwise(0)).cast("long")),
+                (f"q{suffix}", F.sum(F.when(F.col("l_returnflag") == flag, q * q).otherwise(0)).cast("long")),
+            )
+        ]
+    )
+    pairs = [
+        ("A-N", "sa", "na", "sn", "nn"),
+        ("A-R", "sa", "na", "sr", "nr"),
+        ("N-R", "sn", "nn", "sr", "nr"),
+    ]
+    out = None
+    for pair, si, ni, sj, nj in pairs:
+        row = wide.select(
+            F.lit(pair).alias("pair"),
+            F.col(ni).alias("n_i"),
+            F.col(nj).alias("n_j"),
+            F.expr(_e120_q2(si, ni, sj, nj)).alias("q2_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "pair", "n_i", "n_j", "q2_micro",
+        F.when(F.col("q2_micro") > _E120_Q2_CRIT_MICRO, 1)
+        .otherwise(0)
+        .alias("significant"),
+    ).orderBy("pair")
+
+
+@register(
+    "k16_pane_merged_sliding",
+    oracle="""
+    -- The oracle computes the sliding windows DIRECTLY (each event lands
+    -- in every 3-hour window covering it); the engine assembles the same
+    -- windows by merging 1-hour PANES.  Hash equality IS the pane-slicing
+    -- correctness proof (Li et al.'s panes optimization).
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_idx,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), windows AS (
+        SELECT event_type,
+               hour_idx - o.o AS w_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM ev, (SELECT unnest(range(0, 3)) AS o) o
+        GROUP BY 1, 2
+    )
+    SELECT event_type, w_start, n_events, sum_cents
+    FROM windows
+    WHERE w_start % 1 = 0
+    """,
+    survey="K16,K2,A24",
+)
+def k16_pane_merged_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pane-merged sliding windows (the panes optimization, Li et al.
+    SIGMOD'05; Spark's own sliding-window implementation explodes every
+    event into size/slide copies): the ENGINE first aggregates disjoint
+    1-hour PANES (each event touched once), then assembles every 3-hour
+    sliding window (slide 1 h) by merging its three panes — the
+    incremental-aggregation shape a streaming engine uses so per-event
+    work is O(1) instead of O(windows-per-event).  The ORACLE computes
+    the same windows DIRECTLY (explode into all covering windows), so
+    the cross-engine hash match is a machine-checked proof of the
+    pane-slicing identity — the a24 fold-equals-recompute discipline
+    applied to window slicing.
+
+    Both sides are exact integers (hour indexes, cent sums).  Windows at
+    the series edges keep their partial contents (no trimming) — stated
+    convention, identical in both engines.
+
+    Scale shape (the point of the operator): the pane agg touches each
+    event ONCE (map-side combinable, shuffle on (type, hour)); the merge
+    explodes PANES (calendar-bounded, ~720/type) not events — at 100 TB
+    the win over direct sliding aggregation is the event-volume ×3
+    explode that never happens."""
+    ev = Tables(spark, sf_dir).events
+    panes = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx"),
+    ).agg(
+        F.count("*").cast("long").alias("pn"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("pc"),
+    )
+    # each pane feeds the 3 windows starting at hour_idx-2 .. hour_idx
+    merged = (
+        panes.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+            "hour_idx", "pn", "pc",
+        )
+        .select(
+            "event_type",
+            (F.col("hour_idx") - F.col("o")).alias("w_start"),
+            "pn", "pc",
+        )
+        .groupBy("event_type", "w_start")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pc").cast("long").alias("sum_cents"),
+        )
+    )
+    return merged.select("event_type", "w_start", "n_events", "sum_cents")

@@ -392,3 +392,52 @@ def test_f52_cross_correlation_python_replay(spark, sf_dir):
     lag0 = next(r for r in rows if r.k == 0)
     lag7 = next(r for r in rows if r.k == 7)
     assert lag0.n_overlap == n and lag7.n_overlap == n - 7
+
+
+def test_e120_tukey_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    st = {g: [0, 0, 0] for g in "ANR"}
+    for g, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        qi = int(round(q))
+        s = st[g]
+        s[0] += 1
+        s[1] += qi
+        s[2] += qi * qi
+    msw = sum(s[2] - s[1] * s[1] / s[0] for s in (st["A"], st["N"], st["R"])) / (
+        sum(s[0] for s in st.values()) - 3
+    )
+    rows = {r.pair: r for r in REGISTRY["e120_tukey_hsd"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"A-N", "A-R", "N-R"}
+    for pair, (i, j) in {"A-N": "AN", "A-R": "AR", "N-R": "NR"}.items():
+        si, ni = st[i][1], st[i][0]
+        sj, nj = st[j][1], st[j][0]
+        d = si / ni - sj / nj
+        q2 = d * d / (msw / 2 * (1 / ni + 1 / nj)) * 1e6
+        want = int(q2 + 0.5)
+        r = rows[pair]
+        assert (r.n_i, r.n_j) == (ni, nj)
+        # double-chain replay: python op order differs from the shared
+        # SQL template only in summation of the 3 MSW terms -> ±2 micro
+        assert abs(r.q2_micro - want) <= 2, (pair, r.q2_micro, want)
+        assert r.significant == (1 if r.q2_micro > 10_986_000 else 0)
+        assert r.q2_micro >= 0
+
+
+def test_k16_pane_merge_equals_direct(spark, sf_dir):
+    """The pane-merge identity replayed in python: per-event direct
+    window assembly equals the engine's pane-merged output EXACTLY."""
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    direct = defaultdict(lambda: [0, 0])
+    for et, ts, v in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        h = int(ts.timestamp() * 1_000_000) // 3_600_000_000
+        cents = int(v * 100 + 0.5) if v >= 0 else -int(-v * 100 + 0.5)
+        for o in range(3):
+            d = direct[(et, h - o)]
+            d[0] += 1
+            d[1] += cents
+    rows = REGISTRY["k16_pane_merged_sliding"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(direct)
+    for r in rows:
+        assert (r.n_events, r.sum_cents) == tuple(direct[(r.event_type, r.w_start)])
+    # conservation: every event contributes to exactly 3 windows
+    assert sum(r.n_events for r in rows) == 3 * t.num_rows
