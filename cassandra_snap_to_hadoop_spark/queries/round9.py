@@ -1335,3 +1335,199 @@ def k16_pane_merged_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("event_type", "w_start", "n_events", "sum_cents")
+
+
+@register(
+    "j129_hard_negative_mining",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.i AS dim,
+               CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS micro
+        FROM (SELECT vec_id, label, embedding FROM embeddings) e,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) u
+    ), q AS (
+        SELECT vec_id AS qid, label AS qlabel, dim AS qd, micro AS qm
+        FROM ex WHERE vec_id < 8
+    ), dots AS (
+        SELECT q.qid, q.qlabel, ex.vec_id AS neg_id, ex.label AS neg_label,
+               CAST(SUM(ex.micro * q.qm) AS BIGINT) AS dot
+        FROM ex JOIN q ON ex.dim = q.qd AND ex.label <> q.qlabel
+        GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY dot DESC, neg_id) AS rnk
+        FROM dots
+    )
+    SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+           CAST(rnk AS BIGINT) AS rnk, neg_id,
+           CAST(neg_label AS BIGINT) AS neg_label, dot
+    FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+    """,
+    survey="J129,J3,J76",
+)
+def j129_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training — per
+    query vector, the top-3 MOST SIMILAR vectors carrying a DIFFERENT
+    label: the exact op every dense-retriever pipeline (DPR/contriever
+    lineage) runs to replace random negatives, and a selection j3's
+    unconstrained KNN and j78's centroid eval cannot state (the
+    constraint lives INSIDE the ranking, not after it — a post-filtered
+    KNN can starve below k).
+
+    Exactness: the j121 micro-lattice (|x| ≤ 4 ⇒ per-dim product ≤
+    1.6e13, ×64 dims ≤ 1.1e15 BIGINT-exact dots); ranking tie-breaks
+    (dot DESC, neg_id) — fully deterministic.
+
+    Scale shape: one quantized explode → the 8×|V| label-filtered dot
+    join (the brute-force tier; an IVF/LSH preselect drops in above it —
+    the j3 dial) → per-query top-3 window on the 8-group relation.
+    Query count is constant; the dot join is the single volume term."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id", "label", "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    q = ex.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("dim").alias("qd"), F.col("micro").alias("qm"),
+    )
+    dots = (
+        ex.join(
+            F.broadcast(q),
+            (F.col("dim") == F.col("qd")) & (F.col("label") != F.col("qlabel")),
+        )
+        .groupBy("qid", "qlabel", F.col("vec_id").alias("neg_id"),
+                 F.col("label").alias("neg_label"))
+        .agg(F.sum(F.col("micro") * F.col("qm")).cast("long").alias("dot"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("neg_id"))
+    return (
+        dots.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "qid", F.col("qlabel").cast("long").alias("qlabel"),
+            F.col("rnk").cast("long").alias("rnk"), "neg_id",
+            F.col("neg_label").cast("long").alias("neg_label"), "dot",
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "j130_knn_label_noise",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.i AS dim,
+               CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS micro
+        FROM (SELECT vec_id, label, embedding FROM embeddings) e,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) u
+    ), probes AS (
+        SELECT vec_id AS pid, label AS plabel, dim AS pd, micro AS pm
+        FROM ex WHERE vec_id % 25 = 0
+    ), dots AS (
+        SELECT p.pid, p.plabel, ex.vec_id AS nid, ex.label AS nlabel,
+               CAST(SUM(ex.micro * p.pm) AS BIGINT) AS dot
+        FROM ex JOIN probes p ON ex.dim = p.pd AND ex.vec_id <> p.pid
+        GROUP BY 1, 2, 3, 4
+    ), knn AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                                     ORDER BY dot DESC, nid) AS rnk
+        FROM dots
+    ), votes AS (
+        SELECT pid, plabel, nlabel,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(MIN(rnk) AS BIGINT) AS best_rnk
+        FROM knn WHERE rnk <= 3 GROUP BY 1, 2, 3
+    ), winner AS (
+        SELECT pid, plabel,
+               MAX({'c': c, 'neg_rnk': -best_rnk, 'lab': nlabel}) AS w
+        FROM votes GROUP BY 1, 2
+    )
+    SELECT CAST(plabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN w.lab <> plabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(1000000 * SUM(CASE WHEN w.lab <> plabel THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS flag_ppm
+    FROM winner GROUP BY 1 ORDER BY 1
+    """,
+    survey="J130,J78,J59",
+)
+def j130_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise detection (the confident-learning / Wilson-editing
+    family): a labeled vector whose 3 nearest neighbors majority-vote a
+    DIFFERENT label is a mislabeling candidate — the per-EXAMPLE audit
+    j78's nearest-centroid eval (per-class confusion) and j94's
+    purity/NMI (per-cluster) both aggregate away.  Probes are the
+    deterministic vec_id % 25 == 0 subset (the j43 sampling discipline);
+    neighbors rank by exact micro-lattice dots with (dot DESC, nid)
+    ties; the majority vote tie-breaks by (count, nearest-rank, label) —
+    a total order, so the winner is deterministic in both engines.
+
+    Output per label: probe count, flagged count, flag ppm — the
+    label-quality leaderboard a curation pipeline triages by.
+
+    Scale shape: quantized explode → probe-set dot join (probes are the
+    small broadcast side; the corpus side is the volume term) → top-3
+    window per probe → KB vote/flag folds.  The probe rate is the cost
+    dial; at 100 TB the production analogue samples per label stratum."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id", "label", "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    )
+    probes = ex.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("label").alias("plabel"),
+        F.col("dim").alias("pd"), F.col("micro").alias("pm"),
+    )
+    dots = (
+        ex.join(
+            F.broadcast(probes),
+            (F.col("dim") == F.col("pd")) & (F.col("vec_id") != F.col("pid")),
+        )
+        .groupBy("pid", "plabel", F.col("vec_id").alias("nid"),
+                 F.col("label").alias("nlabel"))
+        .agg(F.sum(F.col("micro") * F.col("pm")).cast("long").alias("dot"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy(F.col("dot").desc(), F.col("nid"))
+    votes = (
+        dots.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .groupBy("pid", "plabel", "nlabel")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.min("rnk").cast("long").alias("best_rnk"),
+        )
+    )
+    winner = votes.groupBy("pid", "plabel").agg(
+        F.max(
+            F.struct(
+                F.col("c"), (-F.col("best_rnk")).alias("neg_rnk"),
+                F.col("nlabel").alias("lab"),
+            )
+        ).alias("w")
+    )
+    return (
+        winner.groupBy(F.col("plabel").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("w.lab") != F.col("plabel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN w.lab <> plabel THEN 1 ELSE 0 END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("flag_ppm"),
+        )
+        .orderBy("label")
+    )

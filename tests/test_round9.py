@@ -441,3 +441,72 @@ def test_k16_pane_merge_equals_direct(spark, sf_dir):
         assert (r.n_events, r.sum_cents) == tuple(direct[(r.event_type, r.w_start)])
     # conservation: every event contributes to exactly 3 windows
     assert sum(r.n_events for r in rows) == 3 * t.num_rows
+
+
+def _emb_micro():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    out = {}
+    for vid, emb, lab in zip(
+        t.column("vec_id").to_pylist(),
+        t.column("embedding").to_pylist(),
+        t.column("label").to_pylist(),
+    ):
+        v = []
+        for x in emb:
+            d = float(x) * 1_000_000
+            v.append(int(d + 0.5) if d >= 0 else -int(-d + 0.5))
+        out[vid] = (lab, v)
+    return out
+
+
+def test_j129_hard_negatives_python_replay(spark, sf_dir):
+    embs = _emb_micro()
+    rows = REGISTRY["j129_hard_negative_mining"].fn(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.qid].append(r)
+    assert set(by_q) == {v for v in embs if v < 8}
+    for qid, rs in by_q.items():
+        qlab, qv = embs[qid]
+        cands = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv, v)), vid)
+                for vid, (lab, v) in embs.items()
+                if lab != qlab
+            ),
+        )[:3]
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.neg_id for r in rs] == [vid for _, vid in cands]
+        assert [r.dot for r in rs] == [-d for d, _ in cands]
+        # the defining constraint: every mined negative crosses labels
+        assert all(r.neg_label != r.qlabel for r in rs)
+        # hardness ordering
+        assert rs[0].dot >= rs[1].dot >= rs[2].dot
+
+
+def test_j130_label_noise_python_replay(spark, sf_dir):
+    embs = _emb_micro()
+    per_label = defaultdict(lambda: [0, 0])
+    for pid, (plab, pv) in embs.items():
+        if pid % 25 != 0:
+            continue
+        knn = sorted(
+            (
+                (-sum(a * b for a, b in zip(pv, v)), vid, lab)
+                for vid, (lab, v) in embs.items()
+                if vid != pid
+            ),
+        )[:3]
+        votes = defaultdict(lambda: [0, 9])
+        for rnk, (_, vid, lab) in enumerate(knn, 1):
+            votes[lab][0] += 1
+            votes[lab][1] = min(votes[lab][1], rnk)
+        win = max(votes.items(), key=lambda kv: (kv[1][0], -kv[1][1], kv[0]))[0]
+        per_label[plab][0] += 1
+        per_label[plab][1] += win != plab
+    rows = {r.label: r for r in REGISTRY["j130_knn_label_noise"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(per_label)
+    for lab, (n, fl) in per_label.items():
+        r = rows[lab]
+        assert (r.n_probes, r.n_flagged) == (n, fl)
+        assert r.flag_ppm == 1_000_000 * fl // n
