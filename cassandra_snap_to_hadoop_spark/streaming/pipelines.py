@@ -689,3 +689,29 @@ def f33_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         fit, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def k16_pane_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """K16 streaming twin: the PANE half of pane-merged sliding windows —
+    disjoint 1-hour tumbling aggregates (each event touched once, the
+    panes-optimization invariant).  The 3-pane window ASSEMBLY runs
+    downstream on the emitted pane aggregate (calendar-bounded, KB),
+    exactly like k12's rank: the merge is deterministic per emission
+    while keeping the stateful operator a plain incremental tumbling
+    agg; see tests/test_streaming_parity.py::test_k16_pane_parity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("pc"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / 3_600_000_000)
+            .cast("long")
+            .alias("hour_idx"),
+            "event_type",
+            "pn",
+            "pc",
+        )
+    )

@@ -665,3 +665,41 @@ def test_k15_lateness_fold_parity_with_batch(spark, sf_dir, event_shards, tmp_pa
             a[1] = max(a[1], max(late or 0, 0))
             seen2[typ] = max(seen2.get(typ, tus), tus)
     assert got == {k: tuple(v) for k, v in agg2.items()}
+
+
+def test_k16_pane_parity(spark, sf_dir, event_shards, tmp_path):
+    """Pane-merged sliding windows: the 1-hour pane agg runs
+    incrementally (each event touched once); the 3-pane window assembly
+    runs on the emitted pane aggregate — together they must reproduce
+    the batch pane-merge declaration, which the oracle already proves
+    equal to DIRECT window assembly.  Stream == batch == direct closes
+    the triangle."""
+    from cassandra_snap_to_hadoop_spark.streaming.pipelines import k16_pane_stream
+
+    batch = REGISTRY["k16_pane_merged_sliding"].fn(spark, sf_dir).collect()
+    panes = run_to_completion(
+        k16_pane_stream(
+            read_event_stream(spark, event_shards, max_files_per_trigger=5),
+            watermark="30 days",
+        ),
+        str(tmp_path / "ck16"),
+    )
+    pdf = spark.createDataFrame(panes)
+    merged = (
+        pdf.select(
+            "event_type",
+            F.explode(F.expr("sequence(0, 2)")).alias("o"),
+            "hour_idx", "pn", "pc",
+        )
+        .select(
+            "event_type",
+            (F.col("hour_idx") - F.col("o")).alias("w_start"),
+            "pn", "pc",
+        )
+        .groupBy("event_type", "w_start")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pc").cast("long").alias("sum_cents"),
+        )
+    )
+    assert _rows(batch) == _rows(merged.collect())
