@@ -1324,6 +1324,73 @@ def main() -> None:
             SELECT event_type, z FROM chain WHERE rn = n_days
         """)
 
+    def decontam_shape(d):
+        """j127's shape: per-doc distinct 8-grams (the volume term) semi
+        joined against the eval split's gram set; amplified docs scale
+        both sides proportionally (doc_ids remapped, so the % 10 eval
+        rule keeps a 10% eval fraction)."""
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as toks
+
+        t = d.select(
+            "doc_id", "source",
+            (F.col("doc_id") % 10 == 7).alias("is_eval"),
+            toks(F.col("text")).alias("w"),
+        )
+        grams = F.expr(
+            "transform(sequence(1, size(w) - 7),"
+            " i -> concat_ws(' ', slice(w, i, 8)))"
+        )
+        sh = (
+            t.where(F.size("w") >= 8)
+            .select("doc_id", "source", "is_eval", F.explode(grams).alias("s"))
+            .distinct()
+        )
+        ev = sh.where(F.col("is_eval")).select("s").distinct()
+        return (
+            sh.where(~F.col("is_eval"))
+            .join(ev, "s")
+            .select("doc_id", "source")
+            .distinct()
+            .groupBy("source")
+            .agg(F.count("*").alias("n_cont"))
+        )
+
+    def pane_merge_shape(e):
+        """k16's shape: 1-hour pane agg (each event touched ONCE) ->
+        3-offset pane explode (calendar-bounded) -> window merge.  The
+        event-volume term is only the pane agg."""
+        panes = e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx"),
+        ).agg(
+            F.count("*").cast("long").alias("pn"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("pc"),
+        )
+        return (
+            panes.select(
+                "event_type",
+                F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+                "hour_idx", "pn", "pc",
+            )
+            .groupBy("event_type", (F.col("hour_idx") - F.col("o")).alias("w"))
+            .agg(F.sum("pn").alias("n"), F.sum("pc").alias("s"))
+        )
+
+    def sliding_direct_shape(e):
+        """The UNOPTIMIZED contrast for k16: every event explodes into
+        its 3 covering windows BEFORE aggregation — the x3 event-volume
+        explode the pane optimization exists to avoid."""
+        return (
+            e.select(
+                "event_type",
+                F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+                F.expr("unix_micros(ts) DIV 3600000000").alias("hour_idx"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .groupBy("event_type", (F.col("hour_idx") - F.col("o")).alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        )
+
     # d23's probe input: BOTH keys remapped so per-customer order density
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
@@ -1416,6 +1483,12 @@ def main() -> None:
         ("mmr-lockstep-greedy", lambda: mmr_lockstep_shape(emb1), lambda: mmr_lockstep_shape(embN)),
         ("hits-half-steps", lambda: hits_shape(li1), lambda: hits_shape(liN)),
         ("ewma-lockstep-width", lambda: ewma_lockstep_shape(e1, 1), lambda: ewma_lockstep_shape(e1, mult)),
+        # round-9 shapes: gram semi-join decontamination; pane-merged
+        # sliding vs the unoptimized direct x3 explode (the pair of rows
+        # quantifies the panes optimization under amplification).
+        ("decontam-gram-semijoin", lambda: decontam_shape(d1), lambda: decontam_shape(dN)),
+        ("pane-merged-sliding", lambda: pane_merge_shape(e1), lambda: pane_merge_shape(eN)),
+        ("sliding-direct-explode", lambda: sliding_direct_shape(e1), lambda: sliding_direct_shape(eN)),
         # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
