@@ -1531,3 +1531,178 @@ def j130_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sql_api_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY ALL
+    """,
+    survey="SQL-6,E2,C1",
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the modern SQL-surface shorthand (every
+    non-aggregate select item becomes a grouping key) that Spark 4 and
+    DuckDB both implement; registered so the engine's SQL text path is
+    certified on the SAME syntax users will paste in from either system
+    (the sql_api_unpivot/parameterized discipline: surface coverage is
+    evidence, not sugar).  The oracle is the IDENTICAL text — one query,
+    two engines, byte-equal semantics.
+
+    Scale shape: one scan → hash agg with map-side partial combine; the
+    shorthand resolves at analysis time to the e2 plan."""
+    Tables(spark, sf_dir).lineitem.createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem_gba GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "b20_consistency_level_freshness",
+    oracle="""
+    WITH muts AS (
+        SELECT l_orderkey AS pk, l_linenumber AS ck,
+               (epoch_us(l_shipdate) // 86400000000) % 100 AS phase,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), winners AS (
+        -- PACKED priority (the LWW packed-priority idiom): phase rides
+        -- the high bits, cents the low 40 (cents <= ~1.1e7 < 2^40), so
+        -- MAX over one BIGINT is the (phase, cents) lexicographic max —
+        -- struct-field extraction from an aggregated struct turned out
+        -- pathologically slow in DuckDB at sf0.1 (minutes vs 2 s)
+        SELECT pk, ck,
+               MAX(phase * 1099511627776 + cents)
+                   // 1099511627776 AS wphase
+        FROM muts GROUP BY 1, 2
+    ), presence AS (
+        -- RF = 3: every mutation reaches all replicas except those whose
+        -- outage swallows it past the 5-day hint window (the b19 rule:
+        -- replica r down on phases [start_r, end_r), hints from the last
+        -- 5 days replay — so the winner is MISSING at r iff its phase
+        -- lies in [start_r, end_r - 5))
+        SELECT pk, ck,
+               CASE WHEN wphase >= 10 AND wphase < 12 - 5
+                    THEN 0 ELSE 1 END AS at_r0,
+               CASE WHEN wphase >= 30 AND wphase < 38 - 5
+                    THEN 0 ELSE 1 END AS at_r1,
+               CASE WHEN wphase >= 50 AND wphase < 65 - 5
+                    THEN 0 ELSE 1 END AS at_r2,
+               (pk // 7) % 3 AS h
+        FROM winners
+    ), per_cl AS (
+        SELECT 'ONE' AS cl,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE h WHEN 0 THEN at_r0 WHEN 1 THEN at_r1
+                        ELSE at_r2 END) AS BIGINT) AS n_fresh
+        FROM presence
+        UNION ALL
+        SELECT 'QUORUM', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN (CASE h WHEN 0 THEN at_r0 WHEN 1 THEN at_r1
+                                   ELSE at_r2 END)
+                             + (CASE (h + 1) % 3 WHEN 0 THEN at_r0
+                                WHEN 1 THEN at_r1 ELSE at_r2 END) >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM presence
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN at_r0 + at_r1 + at_r2 >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM presence
+    )
+    SELECT cl, n_keys, n_fresh,
+           CAST(1000000 * n_fresh // n_keys AS BIGINT) AS fresh_ppm
+    FROM per_cl ORDER BY cl
+    """,
+    survey="B20,B19,B15",
+)
+def b20_consistency_level_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistency-level read freshness — the tunable-consistency
+    question b15's read repair and b19's hinted handoff set up but never
+    answer: UNDER WHICH CL does a read see the newest write, given the
+    same deterministic outage/hint model at RF = 3?  Every mutation
+    reaches all three replicas except where a replica's outage swallows
+    it past the hint window (b19's rule applied per replica to the
+    key's LWW WINNER).  Reads resolve to the newest version among
+    contacted replicas, so a key is FRESH under a replica set iff ANY
+    contacted replica holds the winner (packed-priority BIGINT max —
+    cents ≤ ~1.1e7 < 2^40 rides the low bits): ONE contacts the deterministic
+    coordinator pick h = (pk DIV 7) % 3, QUORUM contacts {h, h+1},
+    ALL contacts all three.
+
+    Output per CL: key count, fresh count, fresh ppm — the
+    monotonicity ONE ≤ QUORUM ≤ ALL is the tunable-consistency LAW and
+    is pin-asserted.  Pure integer phases; same winner rule as b19/b17
+    ((phase, cents) max — the b2 priority discipline).
+
+    Scale shape: one fact scan → per-key max_by agg (the only shuffle)
+    → three conditional folds over the KB presence relation."""
+    li = Tables(spark, sf_dir).lineitem
+    muts = li.select(
+        F.col("l_orderkey").alias("pk"),
+        F.col("l_linenumber").alias("ck"),
+        (F.expr("unix_micros(l_shipdate) DIV 86400000000") % 100).alias("phase"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    # the packed-priority LWW tier (operators/cassandra.py's idiom):
+    # MAX over ONE BIGINT keeps the winner agg a plain map-side-
+    # combinable hash aggregate in both engines
+    winners = muts.groupBy("pk", "ck").agg(
+        F.expr(
+            "MAX(phase * 1099511627776 + cents) DIV 1099511627776"
+        ).alias("wphase")
+    )
+    presence = winners.select(
+        "pk", "ck",
+        F.expr(
+            "CASE WHEN wphase >= 10 AND wphase < 12 - 5 THEN 0 ELSE 1 END"
+        ).alias("at_r0"),
+        F.expr(
+            "CASE WHEN wphase >= 30 AND wphase < 38 - 5 THEN 0 ELSE 1 END"
+        ).alias("at_r1"),
+        F.expr(
+            "CASE WHEN wphase >= 50 AND wphase < 65 - 5 THEN 0 ELSE 1 END"
+        ).alias("at_r2"),
+        F.expr("(pk DIV 7) % 3").alias("h"),
+    )
+    pick = "CASE h WHEN 0 THEN at_r0 WHEN 1 THEN at_r1 ELSE at_r2 END"
+    pick_next = (
+        "CASE (h + 1) % 3 WHEN 0 THEN at_r0 WHEN 1 THEN at_r1 ELSE at_r2 END"
+    )
+    one = presence.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.expr(f"CAST(SUM({pick}) AS BIGINT)").alias("n_fresh"),
+    ).select(F.lit("ONE").alias("cl"), "n_keys", "n_fresh")
+    quorum = presence.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ({pick}) + ({pick_next}) >= 1"
+            f" THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_fresh"),
+    ).select(F.lit("QUORUM").alias("cl"), "n_keys", "n_fresh")
+    al = presence.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.expr(
+            "CAST(SUM(CASE WHEN at_r0 + at_r1 + at_r2 >= 1"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_fresh"),
+    ).select(F.lit("ALL").alias("cl"), "n_keys", "n_fresh")
+    return (
+        one.unionByName(quorum)
+        .unionByName(al)
+        .select(
+            "cl", "n_keys", "n_fresh",
+            F.expr("CAST(1000000 * n_fresh DIV n_keys AS BIGINT)").alias(
+                "fresh_ppm"
+            ),
+        )
+        .orderBy("cl")
+    )

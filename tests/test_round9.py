@@ -510,3 +510,61 @@ def test_j130_label_noise_python_replay(spark, sf_dir):
         r = rows[lab]
         assert (r.n_probes, r.n_flagged) == (n, fl)
         assert r.flag_ppm == 1_000_000 * fl // n
+
+
+def test_b20_consistency_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"],
+    )
+    best = {}
+    for ok, ln, sd, ep in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        phase = (int(sd.timestamp() * 1_000_000) // 86_400_000_000) % 100
+        cents = int(round(ep * 100))
+        k = (ok, ln)
+        if k not in best or (phase, cents) > best[k]:
+            best[k] = (phase, cents)
+    windows = [(10, 12), (30, 38), (50, 65)]
+    n = len(best)
+    fresh = {"ONE": 0, "QUORUM": 0, "ALL": 0}
+    for (ok, ln), (phase, _) in best.items():
+        present = [not (s <= phase < e - 5) for s, e in windows]
+        h = (ok // 7) % 3
+        fresh["ONE"] += present[h]
+        fresh["QUORUM"] += present[h] or present[(h + 1) % 3]
+        fresh["ALL"] += any(present)
+    rows = {r.cl: r for r in REGISTRY["b20_consistency_level_freshness"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"ONE", "QUORUM", "ALL"}
+    for cl in rows:
+        assert (rows[cl].n_keys, rows[cl].n_fresh) == (n, fresh[cl]), cl
+        assert rows[cl].fresh_ppm == 1_000_000 * fresh[cl] // n
+    # the tunable-consistency LAW: freshness is monotone in the CL
+    assert rows["ONE"].n_fresh <= rows["QUORUM"].n_fresh <= rows["ALL"].n_fresh
+    # the fixture must show real staleness somewhere below ALL
+    assert rows["ONE"].n_fresh < rows["ALL"].n_fresh or rows["ALL"].n_fresh < n
+
+
+def _rows(rows):
+    return sorted(map(tuple, rows))
+
+
+def test_sql_api_group_by_all_matches_explicit(spark, sf_dir):
+    """GROUP BY ALL must resolve to exactly the explicit grouping —
+    value-equal on the same session."""
+    from pyspark.sql import functions as F
+
+    from cassandra_snap_to_hadoop_spark.io import Tables
+
+    got = _rows(
+        REGISTRY["sql_api_group_by_all"].fn(spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty").collect()
+    )
+    explicit = _rows(
+        Tables(spark, sf_dir).lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        )
+        .collect()
+    )
+    assert got == explicit
