@@ -1706,3 +1706,266 @@ def b20_consistency_level_freshness(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cl")
     )
+
+
+# f53's sign-split truncating mean: Spark DIV and DuckDB // truncate
+# toward zero, but the SUM being divided can be negative — ONE template
+# (the e114 rule) keeps the trunc semantics explicit and identical.
+def _f53_trunc_div(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} // {den}"
+        f" ELSE -((-({num})) // {den}) END"
+    )
+
+
+def _f53_trunc_div_spark(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} DIV {den}"
+        f" ELSE -((-({num})) DIV {den}) END"
+    )
+
+
+@register(
+    "f53_seasonal_strength",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), w7 AS (
+        SELECT event_type, day_idx, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                   AS sum7,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY day_idx
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        FROM daily
+    ), det AS (
+        SELECT event_type, day_idx, day_idx % 7 AS phase,
+               1000 * cnt - (1000 * sum7) // 7 AS detr
+        FROM w7 WHERE cnt7 = 7
+    ), seas AS (
+        SELECT event_type, phase,
+               {_f53_trunc_div("CAST(SUM(detr) AS BIGINT)", "COUNT(*)")} AS s
+        FROM det GROUP BY 1, 2
+    ), parts AS (
+        SELECT det.event_type, detr - s AS resid, detr
+        FROM det JOIN seas ON seas.event_type = det.event_type
+                          AND seas.phase = det.phase
+    ), vars AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * SUM(resid * resid)
+                    - SUM(resid) * SUM(resid) AS BIGINT) AS v_resid,
+               CAST(COUNT(*) * SUM(detr * detr)
+                    - SUM(detr) * SUM(detr) AS BIGINT) AS v_detr
+        FROM parts GROUP BY 1
+    )
+    SELECT event_type, n, v_resid, v_detr,
+           CASE WHEN v_detr > 0
+                THEN GREATEST(CAST(0 AS BIGINT),
+                     CAST(1000 * (v_detr - v_resid) // v_detr AS BIGINT))
+                ELSE NULL END AS f_seasonal_milli
+    FROM vars ORDER BY event_type
+    """,
+    survey="F53,F28,E5",
+)
+def f53_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal STRENGTH (Hyndman's F_s = max(0, 1 − var(remainder)/
+    var(detrended)) from the forecasting-principles feature set) — the
+    one-number diagnostic built on f28's additive decomposition: f28
+    EMITS the components, this scores how much of the detrended
+    variation the weekly cycle explains — the feature a monitoring
+    pipeline thresholds to decide whether f14/f20's anomaly gates need
+    the seasonal adjustment at all.
+
+    Same lattice as f28 (milli, tz-free epoch-day phases, full-7-window
+    days only, truncating divisions sign-split via one shared template);
+    the two variances ride n-scaled integer numerators (the e116 rule)
+    whose shared denominator cancels in the ratio, clamped at 0 with the
+    textbook GREATEST.  Budget: detr_milli ≤ ~7e5 at sf0.1 ⇒ n·Σx² ≈
+    3e14; the lattice holds to ~100× daily volume, stated for the
+    100 TB read.
+
+    Scale shape: one scan → daily agg → partitioned 7-day windows on
+    the calendar-bounded relation (the e36 exemption class) → phase agg
+    → per-type variance fold."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    w7 = daily.select(
+        "event_type", "day_idx", "cnt",
+        F.sum("cnt").over(w).cast("long").alias("sum7"),
+        F.count("*").over(w).alias("cnt7"),
+    )
+    det = w7.where(F.col("cnt7") == 7).select(
+        "event_type",
+        (F.col("day_idx") % 7).alias("phase"),
+        (1000 * F.col("cnt") - F.expr("(1000 * sum7) DIV 7")).alias("detr"),
+    )
+    seas = det.groupBy("event_type", "phase").agg(
+        F.expr(
+            _f53_trunc_div_spark("CAST(SUM(detr) AS BIGINT)", "COUNT(*)")
+        ).alias("s")
+    )
+    parts = det.join(seas, ["event_type", "phase"]).select(
+        "event_type", (F.col("detr") - F.col("s")).alias("resid"), "detr"
+    )
+    vars_ = parts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.count("*") * F.sum(F.col("resid") * F.col("resid"))
+            - F.sum("resid") * F.sum("resid")
+        )
+        .cast("long")
+        .alias("v_resid"),
+        (
+            F.count("*") * F.sum(F.col("detr") * F.col("detr"))
+            - F.sum("detr") * F.sum("detr")
+        )
+        .cast("long")
+        .alias("v_detr"),
+    )
+    return vars_.select(
+        "event_type", "n", "v_resid", "v_detr",
+        F.expr(
+            "CASE WHEN v_detr > 0"
+            " THEN GREATEST(CAST(0 AS BIGINT),"
+            "      CAST(1000 * (v_detr - v_resid) DIV v_detr AS BIGINT))"
+            " ELSE NULL END"
+        ).alias("f_seasonal_milli"),
+    ).orderBy("event_type")
+
+
+@register(
+    "j131_semdedup",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.i AS dim,
+               CAST(ROUND(CAST(u.x AS DOUBLE) * 100) AS BIGINT) AS c
+        FROM (SELECT vec_id, label, embedding FROM embeddings) e,
+             LATERAL (SELECT unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i) u
+    ), norms AS (
+        SELECT vec_id, label, CAST(SUM(c * c) AS BIGINT) AS n2
+        FROM ex GROUP BY 1, 2
+    ), dots AS (
+        SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM ex a JOIN ex b
+          ON b.label = a.label AND b.dim = a.dim AND b.vec_id > a.vec_id
+        GROUP BY 1, 2, 3
+    ), dup_pairs AS (
+        SELECT d.label, d.va, d.vb
+        FROM dots d
+        JOIN norms x ON x.vec_id = d.va
+        JOIN norms y ON y.vec_id = d.vb
+        WHERE d.dot > 0 AND 100 * d.dot * d.dot > 81 * x.n2 * y.n2
+    ), pruned AS (
+        SELECT label, vb FROM dup_pairs GROUP BY 1, 2
+    )
+    SELECT norms.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(MAX(dp.n_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(MAX(pr.n_pruned), 0) AS BIGINT) AS n_pruned,
+           CAST(COUNT(*) - COALESCE(MAX(pr.n_pruned), 0) AS BIGINT) AS n_kept
+    FROM norms
+    LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM dup_pairs GROUP BY 1) dp USING (label)
+    LEFT JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pruned
+               FROM pruned GROUP BY 1) pr USING (label)
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="J131,J2,J4",
+)
+def j131_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — cluster-scoped SEMANTIC dedup:
+    within each cluster (the given label — in production the k-means
+    assignment), prune every vector whose cosine to an EARLIER kept
+    vector exceeds τ = 0.9 (the keep-first rule: vb drops iff some
+    va < vb has sim > τ — deterministic, no CC needed).  This is the
+    embedding counterpart of j2's MinHash dedup and differs from
+    j2_embedding_neardup exactly where SemDeDup differs from brute
+    near-dup: the CLUSTER bounds the quadratic term, which is the whole
+    scaling argument of the paper.
+
+    Exactness: the centi lattice (|x| ≤ 4 ⇒ |c| ≤ 400, dots ≤ ~1e7) so
+    the sign-aware squared comparison 100·dot² > 81·‖a‖²·‖b‖²
+    (τ² = 81/100 EXACT — no injected constant) stays inside int64 with
+    ~100× headroom; the cosine is DEFINED on the centi lattice, stated
+    contract.  Output per label: vector count, dup pairs above τ,
+    pruned, kept.
+
+    Scale shape: quantized explode → norms agg → within-label pair dots
+    via the (label, dim) equi self-join — candidate volume Σ|cluster|²,
+    bounded by the clustering exactly as the paper argues (never
+    corpus²) — → threshold filter → per-label folds."""
+    e = Tables(spark, sf_dir).embeddings
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id", "label", "dim",
+        F.round(F.col("x").cast("double") * 100).cast("long").alias("c"),
+    )
+    norms = ex.groupBy("vec_id", "label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = ex.select(
+        F.col("label").alias("la"), F.col("vec_id").alias("va"),
+        F.col("dim").alias("da"), F.col("c").alias("ca"),
+    )
+    b = ex.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("vb"),
+        F.col("dim").alias("db"), F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("lb") == F.col("la"))
+            & (F.col("db") == F.col("da"))
+            & (F.col("vb") > F.col("va")),
+        )
+        .groupBy(F.col("la").alias("label"), "va", "vb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    dup_pairs = (
+        dots.join(
+            norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("n2a")),
+            "va",
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("n2b")),
+            "vb",
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (100 * F.col("dot") * F.col("dot") > 81 * F.col("n2a") * F.col("n2b"))
+        )
+        .select("label", "va", "vb")
+    )
+    pruned = dup_pairs.select("label", "vb").distinct()
+    per_label = norms.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    dp = dup_pairs.groupBy("label").agg(F.count("*").cast("long").alias("n_pairs"))
+    pr = pruned.groupBy("label").agg(F.count("*").cast("long").alias("n_pruned"))
+    return (
+        per_label.join(dp, "label", "left")
+        .join(pr, "label", "left")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("label")
+    )

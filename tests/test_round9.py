@@ -568,3 +568,79 @@ def test_sql_api_group_by_all_matches_explicit(spark, sf_dir):
         .collect()
     )
     assert got == explicit
+
+
+def test_f53_seasonal_strength_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    daily = Counter()
+    for et, ts in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        daily[(et, int(ts.timestamp() * 1_000_000) // 86_400_000_000)] += 1
+    series = defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        series[et].append((d, c))
+    want = {}
+    for et, xs in series.items():
+        det = []
+        for i in range(len(xs)):
+            if i < 3 or i >= len(xs) - 3:
+                continue
+            sum7 = sum(c for _, c in xs[i - 3 : i + 4])
+            det.append((xs[i][0] % 7, 1000 * xs[i][1] - (1000 * sum7) // 7))
+        ph = defaultdict(list)
+        for p, v in det:
+            ph[p].append(v)
+        s_of = {
+            p: (sum(v) // len(v) if sum(v) >= 0 else -((-sum(v)) // len(v)))
+            for p, v in ph.items()
+        }
+        resid = [v - s_of[p] for p, v in det]
+        dv = [v for _, v in det]
+        n = len(det)
+        v_resid = n * sum(r * r for r in resid) - sum(resid) ** 2
+        v_detr = n * sum(v * v for v in dv) - sum(dv) ** 2
+        fs = max(0, 1000 * (v_detr - v_resid) // v_detr) if v_detr > 0 else None
+        want[et] = (n, v_resid, v_detr, fs)
+    rows = {r.event_type: r for r in REGISTRY["f53_seasonal_strength"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for et, (n, vr, vd, fs) in want.items():
+        r = rows[et]
+        assert (r.n, r.v_resid, r.v_detr, r.f_seasonal_milli) == (n, vr, vd, fs)
+        # variance dominance: removing the seasonal mean per phase can
+        # only shrink the within-phase variance sum, so F_s in [0, 1000]
+        assert r.f_seasonal_milli is None or 0 <= r.f_seasonal_milli <= 1000
+
+
+def test_j131_semdedup_python_replay(spark, sf_dir):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    by_label = defaultdict(dict)
+    for vid, emb, lab in zip(
+        t.column("vec_id").to_pylist(),
+        t.column("embedding").to_pylist(),
+        t.column("label").to_pylist(),
+    ):
+        v = []
+        for x in emb:
+            d = float(x) * 100
+            v.append(int(d + 0.5) if d >= 0 else -int(-d + 0.5))
+        by_label[lab][vid] = v
+    want = {}
+    for lab, vecs in by_label.items():
+        ids = sorted(vecs)
+        n2 = {i: sum(c * c for c in vecs[i]) for i in ids}
+        pairs = 0
+        pruned = set()
+        for i_pos, a in enumerate(ids):
+            for b in ids[i_pos + 1 :]:
+                dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                if dot > 0 and 100 * dot * dot > 81 * n2[a] * n2[b]:
+                    pairs += 1
+                    pruned.add(b)
+        want[lab] = (len(ids), pairs, len(pruned))
+    rows = {r.label: r for r in REGISTRY["j131_semdedup"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for lab, (n, pairs, npr) in want.items():
+        r = rows[lab]
+        assert (r.n_vecs, r.n_dup_pairs, r.n_pruned, r.n_kept) == (
+            n, pairs, npr, n - npr,
+        )
+        assert r.n_pruned <= r.n_dup_pairs  # each pruned vec needs >=1 pair
