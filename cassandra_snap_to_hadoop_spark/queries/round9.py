@@ -1969,3 +1969,175 @@ def j131_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "e121_weighted_kappa",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS r1,
+               LEAST(CAST(5 AS BIGINT),
+                     1 + CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         // 10000000) AS r2
+        FROM orders
+    ), o AS (
+        SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM per_order GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM o
+    ), rows_ AS (
+        SELECT r1, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1
+    ), cols_ AS (
+        SELECT r2, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1
+    ), wo AS (
+        SELECT CAST(SUM((r1 - r2) * (r1 - r2) * c) AS BIGINT) AS sum_wo
+        FROM o
+    ), we AS (
+        SELECT CAST(SUM((rows_.r1 - cols_.r2) * (rows_.r1 - cols_.r2)
+                        * rows_.rc * cols_.cc) AS BIGINT) AS sum_we
+        FROM rows_ CROSS JOIN cols_
+    )
+    SELECT n, sum_wo, sum_we,
+           CASE WHEN sum_we > 0
+                THEN CAST(1000 - 1000 * n * sum_wo // sum_we AS BIGINT)
+                ELSE NULL END AS qwk_milli
+    FROM tot CROSS JOIN wo CROSS JOIN we
+    """,
+    survey="E121,E53,E67",
+)
+def e121_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa (Cohen 1968) — ORDINAL agreement, the
+    metric e53's nominal kappa throws away: disagreeing by one grade and
+    by four grades both count as plain disagreement under nominal kappa,
+    while QWK weights each (i, j) cell by (i−j)² — the standard metric
+    wherever graded labels meet (essay scoring, severity triage, every
+    ordinal-label competition).  Raters: the order's stated priority
+    digit (1..5 — a genuinely ordinal column) vs the price-derived grade
+    LEAST(5, 1 + cents DIV 1e7).
+
+    Exactness: QWK = 1 − Σw·O / Σw·E with E_ij = row_i·col_j / n folds
+    to the all-BIGINT qwk_milli = 1000 − 1000·n·ΣwO DIV Σw·row·col
+    (the n denominator clears; weights are exact integer squares ≤ 16).
+    Budget: Σw·row·col ≤ 16·n² ≈ 3.6e11 at sf0.1 — ×1000 far inside
+    int64.  Degenerate single-grade marginals (ΣwE = 0) guard to NULL.
+
+    Scale shape: one scan → 25-cell contingency agg (map-side
+    combinable) → KB marginal folds → 1-row arithmetic."""
+    o = Tables(spark, sf_dir).orders
+    per = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("r1"),
+        F.expr(
+            "LEAST(CAST(5 AS BIGINT),"
+            " 1 + CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 10000000)"
+        ).alias("r2"),
+    )
+    cells = per.groupBy("r1", "r2").agg(F.count("*").cast("long").alias("c"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    rows_ = cells.groupBy("r1").agg(F.sum("c").cast("long").alias("rc"))
+    cols_ = cells.groupBy("r2").agg(F.sum("c").cast("long").alias("cc"))
+    wo = cells.agg(
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")) * F.col("c"))
+        .cast("long")
+        .alias("sum_wo")
+    )
+    we = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .agg(
+            F.sum(
+                (F.col("r1") - F.col("r2"))
+                * (F.col("r1") - F.col("r2"))
+                * F.col("rc")
+                * F.col("cc")
+            )
+            .cast("long")
+            .alias("sum_we")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(wo))
+        .crossJoin(F.broadcast(we))
+        .select(
+            "n", "sum_wo", "sum_we",
+            F.expr(
+                "CASE WHEN sum_we > 0"
+                " THEN CAST(1000 - 1000 * n * sum_wo DIV sum_we AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("qwk_milli"),
+        )
+    )
+
+
+@register(
+    "b21_ring_rebalance_plan",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_orderkey % 1000 AS token,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), owners AS (
+        SELECT token, cents,
+               CASE WHEN token < 333 THEN 0
+                    WHEN token < 666 THEN 1 ELSE 2 END AS old_owner,
+               CASE WHEN token < 250 THEN 0
+                    WHEN token < 500 THEN 1
+                    WHEN token < 750 THEN 2 ELSE 3 END AS new_owner
+        FROM keyed
+    )
+    SELECT CAST(old_owner AS BIGINT) AS old_owner,
+           CAST(new_owner AS BIGINT) AS new_owner,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS bytes_proxy_cents,
+           CASE WHEN old_owner = new_owner THEN 0 ELSE 1 END AS moves
+    FROM owners GROUP BY old_owner, new_owner ORDER BY 1, 2
+    """,
+    survey="B21,B1,A29",
+)
+def b21_ring_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ring rebalance plan — what `nodetool` bootstrap/move
+    actually costs: adding a fourth node to a 3-node ring re-cuts the
+    token ranges ([0,333,666) → [0,250,500,750)), and every row whose
+    token's OWNER changes must stream between nodes.  The plan is the
+    (old_owner, new_owner) transfer matrix with row counts and a bytes
+    proxy — the operator a capacity planner runs BEFORE the bootstrap
+    (b1's token bucketing gives placement; this gives the DELTA between
+    two placements).  Contiguous single-range ownership here; vnodes
+    generalize by unioning per-vnode ranges into the same CASE lattice.
+
+    Exactness: pure integer tokens (the b1 modular discipline) and cent
+    sums; the transfer matrix is a plain conditional agg.
+
+    Scale shape: one scan → token + owner CASE projection (no join) →
+    ≤ 12-cell agg (map-side combinable).  At 100 TB this is exactly the
+    one-pass accounting scan a real rebalance planner would run."""
+    li = Tables(spark, sf_dir).lineitem
+    owners = li.select(
+        (F.col("l_orderkey") % 1000).alias("token"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).select(
+        "token", "cents",
+        F.expr(
+            "CASE WHEN token < 333 THEN 0 WHEN token < 666 THEN 1 ELSE 2 END"
+        ).alias("old_owner"),
+        F.expr(
+            "CASE WHEN token < 250 THEN 0 WHEN token < 500 THEN 1"
+            " WHEN token < 750 THEN 2 ELSE 3 END"
+        ).alias("new_owner"),
+    )
+    return (
+        owners.groupBy(
+            F.col("old_owner").cast("long").alias("old_owner"),
+            F.col("new_owner").cast("long").alias("new_owner"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("bytes_proxy_cents"),
+        )
+        .select(
+            "old_owner", "new_owner", "n_rows", "bytes_proxy_cents",
+            F.when(F.col("old_owner") == F.col("new_owner"), 0)
+            .otherwise(1)
+            .alias("moves"),
+        )
+        .orderBy("old_owner", "new_owner")
+    )

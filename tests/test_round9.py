@@ -644,3 +644,64 @@ def test_j131_semdedup_python_replay(spark, sf_dir):
             n, pairs, npr, n - npr,
         )
         assert r.n_pruned <= r.n_dup_pairs  # each pruned vec needs >=1 pair
+
+
+def test_e121_weighted_kappa_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    cells = Counter()
+    for pr, tp in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        r1 = int(pr[0])
+        r2 = min(5, 1 + int(round(tp * 100)) // 10_000_000)
+        cells[(r1, r2)] += 1
+    n = sum(cells.values())
+    rows_m = Counter()
+    cols_m = Counter()
+    for (r1, r2), c in cells.items():
+        rows_m[r1] += c
+        cols_m[r2] += c
+    sum_wo = sum((r1 - r2) ** 2 * c for (r1, r2), c in cells.items())
+    sum_we = sum(
+        (i - j) ** 2 * rows_m[i] * cols_m[j] for i in rows_m for j in cols_m
+    )
+    want = 1000 - 1000 * n * sum_wo // sum_we if sum_we > 0 else None
+    row = REGISTRY["e121_weighted_kappa"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.sum_wo, row.sum_we, row.qwk_milli) == (
+        n, sum_wo, sum_we, want,
+    )
+    # exact-Fraction cross-check: 1000 - floor(1000*(1-qwk)) is the
+    # CEILING of 1000*qwk (identity: 1000 - floor(x) == ceil(1000 - x))
+    if sum_we > 0:
+        import math
+
+        qwk = 1 - Fraction(n * sum_wo, sum_we)
+        assert want == math.ceil(1000 * qwk)
+    assert row.qwk_milli is None or row.qwk_milli <= 1000
+
+
+def test_b21_ring_rebalance_python_replay(spark, sf_dir):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    mat = defaultdict(lambda: [0, 0])
+    total = 0
+    for ok, ep in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        tok = ok % 1000
+        old = 0 if tok < 333 else (1 if tok < 666 else 2)
+        new = 0 if tok < 250 else (1 if tok < 500 else (2 if tok < 750 else 3))
+        m = mat[(old, new)]
+        m[0] += 1
+        m[1] += int(round(ep * 100))
+        total += 1
+    rows = REGISTRY["b21_ring_rebalance_plan"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(mat)
+    for r in rows:
+        n, cents = mat[(r.old_owner, r.new_owner)]
+        assert (r.n_rows, r.bytes_proxy_cents) == (n, cents)
+        assert r.moves == (0 if r.old_owner == r.new_owner else 1)
+        # ring monotonicity: contiguous re-cuts only ever hand ranges to
+        # an ADJACENT-or-same owner index (old <= new <= old+1 here)
+        assert r.old_owner <= r.new_owner <= r.old_owner + 1
+    # conservation: the matrix partitions all rows
+    assert sum(r.n_rows for r in rows) == total
