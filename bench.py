@@ -84,6 +84,10 @@ HEADLINE = [
     # ballot replay — per-slot LAG-chain over MIN-deduped CAS rounds, the
     # ordered-window state-machine class the headline lacked
     "b17_lwt_cas_replay",
+    # round-9 representative: cluster-bounded quadratic embedding dedup
+    # (SemDeDup) — within-label pair dots via the (label, dim) equi
+    # self-join; the cluster bounds the candidate term
+    "j131_semdedup",
 ]
 
 N_RUNS = 3

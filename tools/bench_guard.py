@@ -58,6 +58,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j107_ktruss_peel": 6.54,
     "j121_mmr_rerank": 4.48,
     "b17_lwt_cas_replay": 3.70,
+    "j131_semdedup": 0.82,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan

@@ -1391,6 +1391,38 @@ def main() -> None:
             .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
         )
 
+    def semdedup_shape(emb, remap_labels):
+        """j131's shape: within-label pair dots via the (label, dim) equi
+        self-join.  With remap_labels the amplified replicas land in NEW
+        clusters (cluster count xN, cluster size 1x) — SemDeDup's actual
+        scaling regime, candidate volume ~linear.  Without it the 8
+        clusters grow xN and candidates go quadratic — the documented
+        worst case the production k (cluster count) dial exists to
+        avoid."""
+        e = emb
+        if remap_labels:
+            e = e.withColumn(
+                "label",
+                (F.col("label") + F.expr("vec_id DIV 1000000000") * 8).cast("int"),
+            )
+        ex = e.select(
+            "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id", "label", "dim",
+            F.round(F.col("x").cast("double") * 100).cast("long").alias("c"),
+        )
+        a = ex.select(F.col("label").alias("la"), F.col("vec_id").alias("va"),
+                      F.col("dim").alias("da"), F.col("c").alias("ca"))
+        b = ex.select(F.col("label").alias("lb"), F.col("vec_id").alias("vb"),
+                      F.col("dim").alias("db"), F.col("c").alias("cb"))
+        return (
+            a.join(b, (F.col("lb") == F.col("la")) & (F.col("db") == F.col("da"))
+                   & (F.col("vb") > F.col("va")))
+            .groupBy("la", "va", "vb")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+            .groupBy("la").agg(F.count("*").alias("n_pairs"))
+        )
+
     # d23's probe input: BOTH keys remapped so per-customer order density
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
@@ -1489,6 +1521,10 @@ def main() -> None:
         ("decontam-gram-semijoin", lambda: decontam_shape(d1), lambda: decontam_shape(dN)),
         ("pane-merged-sliding", lambda: pane_merge_shape(e1), lambda: pane_merge_shape(eN)),
         ("sliding-direct-explode", lambda: sliding_direct_shape(e1), lambda: sliding_direct_shape(eN)),
+        # j131: amplified replicas land in NEW clusters (count xN, size
+        # 1x) — SemDeDup's scaling regime; the fixed-cluster quadratic
+        # contrast is the documented worst case the k dial avoids.
+        ("semdedup-cluster-bounded", lambda: semdedup_shape(emb1, False), lambda: semdedup_shape(embN, True)),
         # 1x = 8 synthetic sources, Nx = 16: measures the 2^s mask-growth
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
