@@ -2141,3 +2141,177 @@ def b21_ring_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("old_owner", "new_owner")
     )
+
+
+# f54's per-window (R/S)^2: the rescaled range squared is the EXACT
+# integer ratio R_scaled^2 / V — Z_k = sum(w*x_i) - k*S_w carries the
+# w-scaling, R_scaled = max Z - min Z (k = 1..w), V = w*sum(x^2) - S^2
+# carries w^2, and both scalings cancel in R^2/V.  ln(3) enters once as
+# a CAST('...' AS DOUBLE) string literal (the e84 decimal-literal rule).
+_F54_LN9 = "CAST('2.1972245773362196' AS DOUBLE)"  # 2*ln(3) = ln(9)
+
+
+@register(
+    "f54_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ), winsz AS (SELECT unnest([8, 24]) AS w), cells AS (
+        SELECT n.event_type, ws.w, (n.rn - 1) // ws.w AS wid,
+               ((n.rn - 1) % ws.w) + 1 AS k, n.x
+        FROM numbered n CROSS JOIN winsz ws
+    ), complete AS (
+        SELECT event_type, w, wid FROM cells
+        GROUP BY 1, 2, 3 HAVING COUNT(*) = w
+    ), cc AS (
+        SELECT cells.* FROM cells JOIN complete USING (event_type, w, wid)
+    ), wstats AS (
+        SELECT event_type, w, wid,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM cc GROUP BY 1, 2, 3
+    ), z AS (
+        SELECT cc.event_type, cc.w, cc.wid, cc.k,
+               SUM(cc.w * cc.x) OVER (PARTITION BY cc.event_type, cc.w,
+                                      cc.wid ORDER BY cc.k)
+                   - cc.k * ws.s AS zk
+        FROM cc JOIN wstats ws USING (event_type, w, wid)
+    ), rr AS (
+        SELECT event_type, w, wid,
+               CAST(MAX(zk) - MIN(zk) AS BIGINT) AS r_scaled
+        FROM z GROUP BY 1, 2, 3
+    ), per_win AS (
+        SELECT rr.event_type, rr.w,
+               CAST(1000000 * rr.r_scaled * rr.r_scaled
+                    // (ws.w * ws.q - ws.s * ws.s) AS BIGINT) AS rs2_micro
+        FROM rr JOIN wstats ws USING (event_type, w, wid)
+        WHERE ws.w * ws.q - ws.s * ws.s > 0
+    ), agg AS (
+        SELECT event_type, w,
+               CAST(SUM(rs2_micro) // COUNT(*) AS BIGINT) AS rs2,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM per_win GROUP BY 1, 2
+    ), wide AS (
+        SELECT a8.event_type,
+               a8.rs2 AS rs2_w8, a8.n_windows AS n_w8,
+               a24.rs2 AS rs2_w24, a24.n_windows AS n_w24
+        FROM (SELECT * FROM agg WHERE w = 8) a8
+        JOIN (SELECT * FROM agg WHERE w = 24) a24 USING (event_type)
+    )
+    SELECT event_type, n_w8, rs2_w8, n_w24, rs2_w24,
+           CASE WHEN rs2_w8 > 0 AND rs2_w24 > 0
+                THEN CAST(ROUND(1000 * LN(CAST(rs2_w24 AS DOUBLE) / rs2_w8)
+                          / {_F54_LN9}) AS BIGINT)
+                ELSE NULL END AS hurst_milli
+    FROM wide ORDER BY event_type
+    """,
+    survey="F54,F26,J61",
+)
+def f54_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis (Hurst 1951 / Mandelbrot
+    R/S) — LONG-MEMORY detection, the time-series class the F family
+    lacked: f26's autocorrelation sees fixed lags, f47/f29 see level
+    shifts, but persistent self-similar dependence shows as R/S growing
+    like n^H with H > 0.5 — the statistic behind 'is this traffic bursty
+    at every scale'.  Two window sizes (8 and 24 days) over the per-type
+    daily-mean series give H = ln(RS₂₄/RS₈)/ln 3.
+
+    Exactness: (R/S)² per window is the EXACT integer ratio R²/V — the
+    cumulative deviations Z_k = Σw·xᵢ − k·S carry the w-scaling and
+    V = w·Σx² − S² carries w², so both cancel and NO sqrt appears
+    (the f51 squares discipline); per-window micro quantization (e105),
+    integer window means, and one final shared LN template over an
+    int-ratio double with ln 9 as a CAST-string constant (the e84
+    decimal-literal rule).  H_milli ≈ 500 ⇔ no memory; > 500 persistent.
+
+    Scale shape: one scan → daily agg → per-(type, w, window) partitioned
+    cumulative windows on the calendar-bounded relation (the e36
+    exemption class) → KB folds."""
+    from pyspark.sql.window import Window
+
+    ev = Tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value) AS BIGINT)) DIV COUNT(*) AS BIGINT)"
+        ).alias("x")
+    )
+    numbered = daily.select(
+        "event_type", "x",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+    )
+    winsz = numbered.sparkSession.createDataFrame([(8,), (24,)], "w int")
+    cells = numbered.crossJoin(F.broadcast(winsz)).select(
+        "event_type", "w",
+        F.expr("(rn - 1) DIV w").alias("wid"),
+        F.expr("((rn - 1) % w) + 1").alias("k"),
+        "x",
+    )
+    complete = (
+        cells.groupBy("event_type", "w", "wid")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == F.col("w"))
+        .drop("cnt")
+    )
+    cc = cells.join(complete, ["event_type", "w", "wid"])
+    wstats = cc.groupBy("event_type", "w", "wid").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    wz = Window.partitionBy("event_type", "w", "wid").orderBy("k")
+    z = cc.join(wstats, ["event_type", "w", "wid"]).select(
+        "event_type", "w", "wid",
+        (
+            F.sum(F.col("w").cast("long") * F.col("x")).over(wz)
+            - F.col("k").cast("long") * F.col("s")
+        ).alias("zk"),
+    )
+    rr = z.groupBy("event_type", "w", "wid").agg(
+        (F.max("zk") - F.min("zk")).cast("long").alias("r_scaled")
+    )
+    per_win = (
+        rr.join(wstats, ["event_type", "w", "wid"])
+        .where(F.expr("w * q - s * s > 0"))
+        .select(
+            "event_type", "w",
+            F.expr(
+                "CAST(1000000 * r_scaled * r_scaled"
+                " DIV (w * q - s * s) AS BIGINT)"
+            ).alias("rs2_micro"),
+        )
+    )
+    agg = per_win.groupBy("event_type", "w").agg(
+        F.expr("CAST(SUM(rs2_micro) DIV COUNT(*) AS BIGINT)").alias("rs2"),
+        F.count("*").cast("long").alias("n_windows"),
+    )
+    a8 = agg.where(F.col("w") == 8).select(
+        "event_type", F.col("rs2").alias("rs2_w8"), F.col("n_windows").alias("n_w8")
+    )
+    a24 = agg.where(F.col("w") == 24).select(
+        "event_type", F.col("rs2").alias("rs2_w24"),
+        F.col("n_windows").alias("n_w24"),
+    )
+    return (
+        a8.join(a24, "event_type")
+        .select(
+            "event_type", "n_w8", "rs2_w8", "n_w24", "rs2_w24",
+            F.expr(
+                f"CASE WHEN rs2_w8 > 0 AND rs2_w24 > 0"
+                f" THEN CAST(ROUND(1000 * LN(CAST(rs2_w24 AS DOUBLE) / rs2_w8)"
+                f"      / {_F54_LN9}) AS BIGINT)"
+                f" ELSE NULL END"
+            ).alias("hurst_milli"),
+        )
+        .orderBy("event_type")
+    )

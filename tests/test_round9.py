@@ -705,3 +705,62 @@ def test_b21_ring_rebalance_python_replay(spark, sf_dir):
         assert r.old_owner <= r.new_owner <= r.old_owner + 1
     # conservation: the matrix partitions all rows
     assert sum(r.n_rows for r in rows) == total
+
+
+def test_f54_hurst_python_replay(spark, sf_dir):
+    import math
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    daily = defaultdict(lambda: [0, 0])
+    for et, ts, v in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        day = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        d = daily[(et, day)]
+        d[0] += int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+        d[1] += 1
+    series = defaultdict(list)
+    for (et, day), (s, c) in sorted(daily.items()):
+        series[et].append(s // c)
+    want = {}
+    for et, xs in series.items():
+        rs2 = {}
+        nw = {}
+        for w in (8, 24):
+            qs = []
+            for wid in range(len(xs) // w):
+                win = xs[wid * w : (wid + 1) * w]
+                s, q = sum(win), sum(x * x for x in win)
+                v = w * q - s * s
+                if v <= 0:
+                    continue
+                zk, mx, mn = 0, None, None
+                acc = 0
+                for k, x in enumerate(win, 1):
+                    acc += w * x
+                    zk = acc - k * s
+                    mx = zk if mx is None else max(mx, zk)
+                    mn = zk if mn is None else min(mn, zk)
+                r = mx - mn
+                qs.append(1_000_000 * r * r // v)
+            if qs:
+                rs2[w] = sum(qs) // len(qs)
+                nw[w] = len(qs)
+        if 8 in rs2 and 24 in rs2:
+            h = (
+                int(
+                    round(
+                        1000 * math.log(rs2[24] / rs2[8]) / 2.1972245773362196
+                    )
+                )
+                if rs2[8] > 0 and rs2[24] > 0
+                else None
+            )
+            want[et] = (nw[8], rs2[8], nw[24], rs2[24], h)
+    rows = {r.event_type: r for r in REGISTRY["f54_hurst_rs"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for et, (n8, r8, n24, r24, h) in want.items():
+        r = rows[et]
+        assert (r.n_w8, r.rs2_w8, r.n_w24, r.rs2_w24) == (n8, r8, n24, r24)
+        # the single LN is a double chain — allow 1 milli for ulps
+        assert abs(r.hurst_milli - h) <= 1
+        # R/S grows with window size on any non-constant series
+        assert r.rs2_w24 >= r.rs2_w8
