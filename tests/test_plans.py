@@ -584,6 +584,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     " value grid (the e36/e81 exemption class)",
     "e27_hll_distinct_to_date": "cumulative window over the first-event"
     " day grid (calendar-bounded — the e39 exemption class)",
+    "e117_anderson_darling": "cumulative window over the DISTINCT n_chars"
+    " value grid — domain-bounded, independent of corpus row count"
+    " (the e36/e81 exemption class)",
 }
 
 

@@ -1259,9 +1259,15 @@ def test_binseg_fold_is_argmax_property():
 
 
 def test_winnowing_density_and_coverage_properties():
-    """Hypothesis: for ANY word list, the selected fingerprint set obeys
-    ceil(n_win/w) <= |sel| <= n_win, and any two sequences sharing a
-    k+w-1-word span share a fingerprint (the MOSS guarantee)."""
+    """Hypothesis: for ANY word list, the selected fingerprint POSITIONS
+    obey ceil(n_win/w) <= |sel_pos| <= n_win (one position can be the
+    pick of at most w consecutive windows), and any two sequences
+    sharing a k+w-1-word span share a fingerprint HASH (the MOSS
+    guarantee).  The density bound counts POSITIONS, not distinct hash
+    values: Hypothesis falsified the original value-set form with an
+    all-identical word list (every window hash equal -> one distinct
+    value, positions still dense) — the LAW was wrong, not the engine,
+    the round-8 MMR-property precedent."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -1271,8 +1277,13 @@ def test_winnowing_density_and_coverage_properties():
     @given(st.lists(word, min_size=7, max_size=40), st.lists(word, min_size=0, max_size=10), st.lists(word, min_size=0, max_size=10))
     def run(words, prefix, suffix):
         n_win = len(words) - 4 + 1 - 4 + 1
-        sel = _py_selected(words)
-        assert math.ceil(n_win / 4) <= len(sel) <= n_win
+        hs = [_h60(" ".join(words[i : i + 4])) for i in range(len(words) - 3)]
+        sel_pos = set()
+        for j in range(n_win):
+            window = hs[j : j + 4]
+            m = min(window)
+            sel_pos.add(j + window.index(m))  # leftmost-min tiebreak
+        assert math.ceil(n_win / 4) <= len(sel_pos) <= n_win
         # embed the first 7 words of `words` into two different hosts:
         span = words[:7]
         a = prefix + span + suffix
