@@ -60,14 +60,94 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
-# Round-9 driver window (50 insertion-ordered entries), recomputed
-# programmatically at round-9 start from REGISTRY − ∪ CORRECTNESS_r{1..8}
-# (VERDICT.md round-8 item 1): the backlog is exactly the 58 round-8
-# session additions that were registered AFTER the r8 window rotated —
-# all SQL-oracled, all judge-mirror-green (457/457) and mirror-green
-# locally at sf0.001/0.01/0.1; zero rows-only keys remain unattempted.
-# The first 50 (insertion order) fill the window; the 8 overflow keys
-# are `_ROUND9_TAIL` and clear in round 10.
+# Round-10 driver window (50 insertion-ordered entries), recomputed
+# programmatically at round-10 start from
+# REGISTRY − (hash-certified ∪ CORRECTNESS_r{1..9}) per VERDICT.md
+# round-9 item 1.  The never-certified backlog is exactly 31 SQL keys:
+# the 8 `_ROUND9_TAIL` overflow keys (j124 … j126), the 21 round-9
+# session additions (e116_cronbach_alpha … f54_hurst_rs), and the two
+# in-place conversions f21_lttb_downsample / j56_cdc_chunking whose
+# round-9 SQL oracles upgrade their old rows-only driver lines to hash
+# evidence.  All 31 are judge-mirror-green (478/478 this round) and
+# mirror-green locally at sf0.001/0.01/0.1.  Positions 32-33 are
+# f15_cusum_drift / f24_holt_forecast (round-10 conversion targets —
+# a hash line if the conversions land, a clean `spark_rows>0` line
+# otherwise); the remaining window slots re-check rows-only keys whose
+# last driver line predates several engine revisions.  ONE window
+# clears the whole backlog; rounds 11+ certify at parity with
+# additions.
+_ROUND10_PRIORITY: tuple[str, ...] = (
+    # ── 31 SQL-oracled, never hash-certified by the driver ──
+    "j124_corpus_diversity",
+    "e113_nelson_aalen",
+    "j125_dedup_threshold_curve",
+    "d26_temporal_anti_join",
+    "e114_newcombe_risk_diff",
+    "i25_higher_order_array_funcs",
+    "e115_rank_stability_footrule",
+    "j126_hapax_ratio",
+    "e116_cronbach_alpha",
+    "e117_anderson_darling",
+    "e118_krippendorff_alpha",
+    "e119_icc_oneway",
+    "j127_ngram_decontamination",
+    "b19_hinted_handoff",
+    "d27_bitemporal_asof",
+    "f51_sax_symbolization",
+    "j128_repetition_signals",
+    "f52_cross_correlation",
+    "e120_tukey_hsd",
+    "k16_pane_merged_sliding",
+    "j129_hard_negative_mining",
+    "j130_knn_label_noise",
+    "sql_api_group_by_all",
+    "b20_consistency_level_freshness",
+    "f53_seasonal_strength",
+    "j131_semdedup",
+    "e121_weighted_kappa",
+    "b21_ring_rebalance_plan",
+    "f54_hurst_rs",
+    "f21_lttb_downsample",
+    "j56_cdc_chunking",
+    # ── round-10 conversion targets (SQL twins planned this round) ──
+    "f15_cusum_drift",
+    "f24_holt_forecast",
+    # ── rows-only re-checks (fresh `spark_rows>0` lines) ──
+    "j3_knn_bruteforce_arrow",
+    "j3_knn_pq",
+    "j10_multimodal_decode",
+    "e12_hll_sketch_merge",
+    "llm_curation_funnel_lsh",
+    "j20_compression_ratio",
+    "b1_murmur3_placement",
+    "j2_minhash_lsh_pairs",
+    "j2_simhash",
+    "j3_knn_ivf",
+    "j3_knn_ivf_kmeans",
+    "j3_similarity_join_lsh",
+    "j9_fingerprint",
+    "j48_media_embedding_knn",
+    "j66_bpe_merges",
+    "j68_bpe_encode_stats",
+    "j72_rouge_l",
+)
+
+# Overflow past the 50-entry window: the two `pyspark.ml` estimator
+# tiers (law-tested against the hand-rolled tiers; model hash seeds are
+# JVM-internal so they stay rows-only by design).
+_ROUND10_TAIL: tuple[str, ...] = (
+    "j2_minhash_lsh_ml",
+    "j3_knn_brp_lsh_ml",
+)
+
+# Round-9 driver window kept for the record (driver r9 certified 50/50
+# hash-level), recomputed at round-9 start from
+# REGISTRY − ∪ CORRECTNESS_r{1..8} (VERDICT.md round-8 item 1): the
+# backlog was exactly the 58 round-8 session additions registered AFTER
+# the r8 window rotated — all SQL-oracled, all judge-mirror-green
+# (457/457) and mirror-green locally at sf0.001/0.01/0.1.  The first 50
+# (insertion order) filled the window; the 8 overflow keys were
+# `_ROUND9_TAIL` and clear in round 10.
 _ROUND9_PRIORITY: tuple[str, ...] = (
     "a36_sstable_ma_roundtrip",
     "a37_sstable_ma_clustering_scan",
@@ -873,4 +953,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND9_PRIORITY + _ROUND9_TAIL)
+_reorder(_ROUND10_PRIORITY + _ROUND10_TAIL)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND9_PRIORITY, _ROUND9_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND10_PRIORITY, _ROUND10_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,7 +54,7 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND9_PRIORITY) + list(_ROUND9_TAIL)
+    combined = list(_ROUND10_PRIORITY) + list(_ROUND10_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
@@ -114,52 +114,56 @@ def test_readme_totals_match_registry():
     )
 
 
-_CURRENT_ROUND = 9
+_CURRENT_ROUND = 10
 
 
-def test_round9_window_certifies_only_new_rows_sql_first():
-    """The 50-slot driver window must spend every slot on a query that has
-    never appeared in a driver CORRECTNESS window, and every SQL-oracled
-    key (hash-level evidence) must come before any rows-only key — this
-    round the backlog (REGISTRY − ∪CORRECTNESS_r{1..8}) is exactly the 58
-    round-8 session additions, all SQL-oracled; the first 50 fill the
-    window (VERDICT r8 item 1).
+def test_round10_window_clears_backlog_then_rechecks():
+    """Round-10 window contract (VERDICT r9 item 1): the head of the
+    50-slot window must be EXACTLY the never-hash-certified backlog —
+    every SQL-oracled key without a hash-level line in
+    ∪CORRECTNESS_r{1..9} — so one window clears it.  Because the backlog
+    (31 keys) is smaller than the window, the remaining slots re-check
+    rows-only keys (fresh `spark_rows>0` lines against the current
+    engine) — already-attempted keys are INTENTIONAL there, unlike
+    rounds 4-9 whose backlogs exceeded the window.
 
-    Assert against PRIOR rounds only: the current round's own results file
-    (written mid-round by the driver) certifies exactly these names, which
-    is success, not waste — the round-4 tripwire globbed everything and
-    went red the moment the round succeeded (VERDICT r4 item 1)."""
+    Assert against PRIOR rounds only: the current round's own results
+    file (written mid-round by the driver) certifies exactly these
+    names, which is success, not waste (VERDICT r4 item 1)."""
     import json
 
-    certified: set[str] = set()
+    hash_certified: set[str] = set()
     for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
         if m and int(m.group(1)) >= _CURRENT_ROUND:
             continue
-        certified |= set(json.loads(p.read_text()))
-    assert len(_ROUND9_PRIORITY) == 50
-    already = [n for n in _ROUND9_PRIORITY if n in certified]
-    assert not already, f"window wastes slots on already-attempted: {already}"
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND9_PRIORITY]
+        d = json.loads(p.read_text())
+        hash_certified |= {k for k, v in d.items() if v.get("hash_match")}
+    assert len(_ROUND10_PRIORITY) == 50
+    backlog = [
+        n for n in REGISTRY if REGISTRY[n].oracle and n not in hash_certified
+    ]
+    head = list(_ROUND10_PRIORITY)[: len(backlog)]
+    assert set(head) == set(backlog), (
+        f"window head must equal the never-hash-certified SQL backlog; "
+        f"missing={sorted(set(backlog) - set(head))} "
+        f"extra={sorted(set(head) - set(backlog))}"
+    )
+    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND10_PRIORITY]
     first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
     assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND9_PRIORITY"
+        "SQL-oracled key(s) ordered after rows-only keys in _ROUND10_PRIORITY"
     )
-    assert kinds.count("sql") == 50, kinds.count("sql")
 
 
-def test_round9_tail_orders_sql_before_rows_only():
-    """VERDICT r6 item 2: the insurance tail must certify SQL-oracled
-    keys (hash evidence) before rows-only keys, so a generous driver
-    budget that runs past 50 finishes the backlog in evidence-strength
-    order.  This round the tail is the 8 SQL-oracled overflow keys from
-    the round-8 additions; the never-certified backlog is then empty."""
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND9_TAIL]
-    first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
-    assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND9_TAIL"
+def test_round10_tail_is_rows_only_by_design():
+    """The round-10 overflow holds only the two `pyspark.ml` estimator
+    tiers (JVM-internal model seeds — rows-only by contract, law-tested
+    against the hand-rolled tiers).  Every SQL-oracled key must be
+    inside the window itself this round."""
+    assert all(not REGISTRY[n].oracle for n in _ROUND10_TAIL), (
+        "SQL-oracled key found in _ROUND10_TAIL — it belongs in the window"
     )
-    assert not any(n for n in _ROUND9_TAIL if not REGISTRY[n].oracle)
 
 
 def test_survey_rows_cover_every_section2_row():
@@ -182,6 +186,28 @@ def test_survey_rows_cover_every_section2_row():
         tagged |= set(q.survey_rows)
     missing = [r for r in row_ids if r not in tagged]
     assert not missing, f"§2 rows with no survey_rows tag on any query: {missing}"
+
+
+# VERDICT r9 item 8: pin the §2 row count so the judge's coverage table
+# can be regenerated mechanically — adding a §2 row without bumping this
+# constant (or tagging a covering query) fails CI, not judge review.
+_SURVEY_SECTION2_ROWS = 366
+
+
+def test_survey_section2_row_count_is_pinned():
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(r"^## 2\. Operator inventory(.*?)^## ", text, re.S | re.M)
+    assert m, "SURVEY.md §2 heading not found"
+    n = sum(
+        1
+        for line in m.group(1).splitlines()
+        if re.match(r"^\|\s*([A-Z][A-Za-z0-9-]*(?:-[a-z0-9]+)?)\s*\|", line)
+    )
+    assert n == _SURVEY_SECTION2_ROWS, (
+        f"SURVEY.md §2 has {n} operator rows but the pinned count is "
+        f"{_SURVEY_SECTION2_ROWS} — update _SURVEY_SECTION2_ROWS in the same "
+        f"commit that edits §2 (and tag the covering query via survey_rows)"
+    )
 
 
 def test_every_registered_query_is_documented_somewhere():
