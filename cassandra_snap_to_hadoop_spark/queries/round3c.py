@@ -979,23 +979,28 @@ def _f21_area_sql(row: str) -> str:
                    // 1000000 AS t
         FROM base
     ), ib AS (
+        -- Short-series gate (ADVICE r9): with n <= 64 the engine's _lttb
+        -- returns ALL n points (its n_out >= n passthrough) while a
+        -- 62-bucket chain would hit an empty bucket and silently
+        -- truncate — so the chain only runs for n > 64 and short series
+        -- take the passthrough branch of the final UNION instead.
         SELECT p.*, b.b + 1 AS bucket
         FROM pts p
         JOIN (SELECT unnest(range(0, 62)) AS b) b
           ON p.rn - 1 >= 1 + (b.b * (p.n - 2)) // 62
          AND p.rn - 1 < 1 + ((b.b + 1) * (p.n - 2)) // 62
-        WHERE p.rn > 1 AND p.rn < p.n
+        WHERE p.rn > 1 AND p.rn < p.n AND p.n > 64
     ), ctr AS (
         SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c,
                CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(vm) AS BIGINT) AS sv
         FROM ib GROUP BY 1, 2
         UNION ALL
         SELECT event_type, CAST(63 AS BIGINT), CAST(1 AS BIGINT), t, vm
-        FROM pts WHERE rn = n
+        FROM pts WHERE rn = n AND n > 64
     ), chain AS (
         SELECT CAST(0 AS BIGINT) AS step,
                event_type, event_id, ts_us, value, t, vm
-        FROM pts WHERE rn = 1
+        FROM pts WHERE rn = 1 AND n > 64
         UNION ALL
         SELECT c.step + 1, p.event_type, p.event_id, p.ts_us, p.value,
                p.t, p.vm
@@ -1014,7 +1019,12 @@ def _f21_area_sql(row: str) -> str:
     FROM chain
     UNION ALL
     SELECT event_type, event_id, ts_us, value, CAST(63 AS INT) AS pos
-    FROM pts WHERE rn = n
+    FROM pts WHERE rn = n AND n > 64
+    UNION ALL
+    -- n <= 64 passthrough: every point, pos = time order (the engine's
+    -- _lttb n_out >= n branch)
+    SELECT event_type, event_id, ts_us, value, CAST(rn - 1 AS INT) AS pos
+    FROM pts WHERE n <= 64
     """,
     survey="F21,L3,F4",
 )
@@ -1043,6 +1053,14 @@ def f21_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS against the same bucket (area DESC, rn ASC — exactly
     numpy argmax's first-max-in-time-order).  The milli lattice also
     ends the old float-centroid associativity exposure.
+
+    Short-series contract (ADVICE r9): a series with n <= 64 points is
+    returned UNCHANGED (all n points, pos = time order) by both engines
+    — _lttb's n_out >= n passthrough on the engine side, an explicit
+    n <= 64 UNION branch in the oracle (whose 62-bucket chain would hit
+    an empty bucket below n = 64 and silently truncate).  Pinned by
+    tests/test_round3b.py::test_f21_lttb_short_series_passthrough_contract
+    on a staged n = 10/63/64/200 fixture.
 
     Scale: engine side is ONE shuffle on the series key + a vectorized
     per-group fold (the oracle's 62-step chain is the CERTIFICATE, not

@@ -364,7 +364,13 @@ def e118_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats
     )
     SELECT n, ssb4n, ssw4n,
-           CASE WHEN 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0
+           -- Lattice-budget gate (ADVICE r9): NULL out (loudly, in BOTH
+           -- engines) when 1000·3n·A or 1000·3(n−1)·B could leave int64
+           -- — Spark with ANSI off would wrap SILENTLY where DuckDB
+           -- raises, so the guard must fire before either happens.
+           CASE WHEN ssb4n <= 4600000000000000 // (3 * n)
+                 AND ssw4n <= 4600000000000000 // (3 * GREATEST(n - 1, 1))
+                 AND 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0
                 THEN CAST(1000 * (3 * n * ssb4n - (n - 1) * ssw4n)
                           // (3 * n * ssb4n + 3 * (n - 1) * ssw4n)
                      AS BIGINT)
@@ -388,12 +394,18 @@ def e119_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     and B = SSW·4n = 4n·Σx² − n·Σs² are exact BIGINTs; putting MSB and
     3·MSW over the shared 12n²(n−1) denominator gives
     icc_milli = 1000·(3n·A − (n−1)·B) DIV (3n·A + 3(n−1)·B) — pure
-    integer, zero-variance data guarded to NULL.  Budget: Σs² ≤ n·200²
-    ⇒ n·ss ≈ 1e15 at sf0.1 and 3n·A ≲ 3e18… no: A itself carries n² —
-    A ≤ n²·200², so 3n·A overflows past n ≈ 40k complete blocks.  At
-    sf0.1 n ≈ 15k (3n·A ≈ 6e17 ✓); beyond that, drop the per-subject
-    scores to a coarser lattice or divide A, B by GCD(n, ·) first —
-    stated here for the 100 TB read.
+    integer, zero-variance data guarded to NULL.  Budget: A ≤ n²·200²
+    (A carries n²), so the 1000-scaled terms leave int64 past tens of
+    thousands of complete blocks — and Spark with ANSI off would WRAP
+    silently where DuckDB raises, an asymmetric failure (wrong numbers,
+    not a loud error).  Both engines therefore carry an explicit
+    lattice-budget gate (ADVICE r9): icc_milli is NULL unless
+    A ≤ 4.6e15/(3n) and B ≤ 4.6e15/(3(n−1)), which keeps every product
+    (including the ×1000) inside int64 by construction.  At sf0.1 the
+    actual magnitudes sit orders under the gate; past it, drop the
+    per-subject scores to a coarser lattice or divide A, B by
+    GCD(n, ·) first — the gate makes the exhaustion loud instead of
+    silent.
 
     Scale shape: e116's — one fact scan → complete-block semi join →
     per-subject agg → ONE 4-stat global agg → 1-row arithmetic."""
@@ -424,7 +436,12 @@ def e119_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n", "ssb4n", "ssw4n",
         F.expr(
-            "CASE WHEN 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0"
+            # lattice-budget gate mirrored from the oracle (ADVICE r9):
+            # with ANSI off Spark WRAPS on int64 overflow where DuckDB
+            # raises — gate both engines to NULL before either can
+            "CASE WHEN ssb4n <= 4600000000000000 DIV (3 * n)"
+            " AND ssw4n <= 4600000000000000 DIV (3 * GREATEST(n - 1, 1))"
+            " AND 3 * n * ssb4n + 3 * (n - 1) * ssw4n > 0"
             " THEN CAST(1000 * (3 * n * ssb4n - (n - 1) * ssw4n)"
             "      DIV (3 * n * ssb4n + 3 * (n - 1) * ssw4n) AS BIGINT)"
             " ELSE NULL END"
@@ -1280,9 +1297,10 @@ def e120_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev, (SELECT unnest(range(0, 3)) AS o) o
         GROUP BY 1, 2
     )
+    -- slide = 1 pane, so every w_start is a window start (a parametric
+    -- slide s would filter w_start % s = 0 here)
     SELECT event_type, w_start, n_events, sum_cents
     FROM windows
-    WHERE w_start % 1 = 0
     """,
     survey="K16,K2,A24",
 )
@@ -1889,13 +1907,19 @@ def f53_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j131_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — cluster-scoped SEMANTIC dedup:
     within each cluster (the given label — in production the k-means
-    assignment), prune every vector whose cosine to an EARLIER kept
-    vector exceeds τ = 0.9 (the keep-first rule: vb drops iff some
-    va < vb has sim > τ — deterministic, no CC needed).  This is the
-    embedding counterpart of j2's MinHash dedup and differs from
-    j2_embedding_neardup exactly where SemDeDup differs from brute
-    near-dup: the CLUSTER bounds the quadratic term, which is the whole
-    scaling argument of the paper.
+    assignment), prune every vector whose cosine to ANY earlier cluster
+    member exceeds τ = 0.9 (one-pass rule: vb drops iff some va < vb
+    has sim > τ, REGARDLESS of whether va itself was pruned —
+    deterministic, no CC needed).  This matches the paper's published
+    implementation, which prunes on max-cosine-to-lower-indexed-member
+    computed in one pass; on a chain a-b-c with sim(a,b) > τ,
+    sim(b,c) > τ, sim(a,c) < τ it therefore prunes BOTH b and c, where
+    an iterative keep-first sweep would keep c — a documented (mild)
+    over-pruning bias, the defined semantics here in both engines
+    (ADVICE r9).  This is the embedding counterpart of j2's MinHash
+    dedup and differs from j2_embedding_neardup exactly where SemDeDup
+    differs from brute near-dup: the CLUSTER bounds the quadratic term,
+    which is the whole scaling argument of the paper.
 
     Exactness: the centi lattice (|x| ≤ 4 ⇒ |c| ≤ 400, dots ≤ ~1e7) so
     the sign-aware squared comparison 100·dot² > 81·‖a‖²·‖b‖²

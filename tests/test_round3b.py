@@ -964,6 +964,67 @@ def test_f21_lttb_laws_and_greedy_optimality(spark, sf_dir):
             assert pick_idx[b + 1] == lo + best, (et, b)
 
 
+def test_f21_lttb_short_series_passthrough_contract(spark, sf_dir, tmp_path):
+    """ADVICE r9 short-series contract pin: a series with n <= 64 points
+    passes through UNCHANGED (all n points, pos = time order) in BOTH
+    engines — the engine via _lttb's n_out >= n branch, the oracle via
+    the n <= 64 UNION branch (its 62-bucket WITH RECURSIVE chain would
+    hit an empty bucket below n = 64 and silently truncate).  Staged on
+    a fixture sf dir whose events table mixes n = 10 / 63 / 64 (gate
+    boundary) / 200 series, checked hash-level via check_query."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.io import TABLES
+    from cassandra_snap_to_hadoop_spark.oracle import check_query
+
+    d = tmp_path / "sf_f21_short"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": [], "props": []}
+    eid = 0
+    base_us = 1_700_000_000_000_000
+    for et, n in [("tiny", 10), ("sub", 63), ("edge", 64), ("long", 200)]:
+        for i in range(n):
+            eid += 1
+            rows["event_id"].append(eid)
+            # irregular spacing + sign-flipping values so LTTB picks are
+            # non-trivial on the long series
+            rows["ts"].append(base_us + i * 7_000_000 + (i % 5) * 1_000_000)
+            rows["user_id"].append(i % 7)
+            rows["event_type"].append(et)
+            rows["value"].append(((-1) ** i) * (i * 3.7 % 101) + i * 0.25)
+            rows["props"].append("{}")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+            "props": pa.array(rows["props"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "events.parquet")
+    res = check_query(spark, "f21_lttb_downsample", str(d))
+    assert res.ok, res
+    out = REGISTRY["f21_lttb_downsample"].fn(spark, str(d)).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert {t: len(v) for t, v in by_type.items()} == {
+        "tiny": 10, "sub": 63, "edge": 64, "long": 64,
+    }
+    for et, n in [("tiny", 10), ("sub", 63), ("edge", 64)]:
+        sel = sorted(by_type[et], key=lambda r: r.pos)
+        assert [r.pos for r in sel] == list(range(n))
+        assert [r.ts_us for r in sel] == sorted(r.ts_us for r in sel)
+
+
 def test_j60_sparse_cosine_matches_python_recompute(spark, sf_dir):
     """Every returned pair's cosine recomputed exactly in Python from the
     raw corpus (same micro-nat idf integers, full norms, rare-shingle
