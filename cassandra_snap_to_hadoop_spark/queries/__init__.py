@@ -57,6 +57,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round8,  # round-8 additions (ma-format SSTable roundtrips a36/a37) — rotate in round 9
     round8b,  # round-8 continuation (nonparametric k-sample/paired/blocked tier) — rotate in round 9
     round9,  # round-9 additions (reliability tier: Cronbach/AD/Krippendorff/ICC) — rotate in round 10
+    round10,  # round-10 additions (Cassandra 4.x na/nb SSTable codec) — rotate in round 11
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 

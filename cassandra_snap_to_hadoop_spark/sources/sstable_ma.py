@@ -10,9 +10,11 @@ second half of the format boundary VERDICT r7 item 8 asked to document:
   HERE: row-oriented layout, flags bytes, Cassandra vint coding, and
   delta-encoded timestamps/TTLs/deletion-times against per-SSTable
   ``EncodingStats`` minimums.
-* **na / nb / oa … (Cassandra 4.x/5.x)** — NOT implemented (out of
-  scope offline: no fixtures, no network; they add checksummed trailers
-  and key-range metadata on top of the same row-oriented core).
+* **na / nb (Cassandra 4.x)** — implemented in
+  ``sources/sstable_na.py`` on THIS module's row core (the 4.x Data.db
+  serialization is unchanged from 3.0; 4.x adds digest/chunk checksums
+  and checksummed repair metadata around it).  ``oa`` (5.x) remains out
+  of scope — see the sstable_na docstring for the boundary.
 
 Byte layout implemented (the public 3.0 BIG-format serialization):
 
@@ -245,10 +247,17 @@ def _encode_cell_value(cql_type: str, v: Any) -> bytes:
 
 # ----------------------------------------------------------------- write
 
-def write_ma_data_db(path: str, partitions: list[dict], meta: TableMeta) -> None:
-    """Serialize partitions to an ``ma``-format Data.db file plus its
-    stats sidecar.  Partition dicts use the SAME vocabulary as the ka
-    writer (``sources/sstable.py:write_data_db``): ``{"key": tuple,
+def serialize_ma_partitions(
+    partitions: list[dict], meta: TableMeta
+) -> tuple[bytes, EncodingStats]:
+    """Serialize partitions to the raw 3.0 row-oriented Data.db byte
+    stream and its EncodingStats — the shared core of the ``ma`` writer
+    AND the 4.x ``na``/``nb`` writer (``sources/sstable_na.py``), whose
+    Data.db serialization is byte-identical to 3.0's; the 4.x format
+    changes live in the integrity/metadata components around it.
+
+    Partition dicts use the SAME vocabulary as the ka writer
+    (``sources/sstable.py:write_data_db``): ``{"key": tuple,
     "deletion": (ldt, mfda) | None, "rows": [{"clustering": tuple,
     "marker_ts": int, "cells": {col: cellspec}}]}`` with cellspec
     ``("live", ts, value)`` / ``("tombstone", ts, ldt)`` /
@@ -341,8 +350,16 @@ def write_ma_data_db(path: str, partitions: list[dict], meta: TableMeta) -> None
             prev_size = len(head)
             out += head
         out += bytes((END_OF_PARTITION,))
+    return bytes(out), stats
+
+
+def write_ma_data_db(path: str, partitions: list[dict], meta: TableMeta) -> None:
+    """Serialize partitions to an ``ma``-format Data.db file plus its
+    stats sidecar (see ``serialize_ma_partitions`` for the partition
+    vocabulary and the subset contract)."""
+    raw, stats = serialize_ma_partitions(partitions, meta)
     with open(path, "wb") as fh:
-        fh.write(bytes(out))
+        fh.write(raw)
     write_stats_db(stats_path_for(path), stats)
 
 
