@@ -1281,47 +1281,138 @@ def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("f15_cusum_drift", oracle=None, survey="L3,F3,E5")
+# Exact integer sqrt template shared by the f15 engine SQL and oracle:
+# FLOOR(SQRT(double)) of a BIGINT < 2^52 is within ±1 of the true isqrt
+# (the double represents v exactly and SQRT is correctly rounded), so one
+# two-sided adjustment makes it EXACT — no float ever reaches the output.
+def _f15_isqrt_sql(v: str) -> str:
+    r0 = f"CAST(FLOOR(SQRT(CAST({v} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({r0} - (CASE WHEN {r0} * {r0} > {v} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN ({r0} + 1) * ({r0} + 1) <= {v} THEN 1 ELSE 0 END))"
+    )
+
+
+@register(
+    "f15_cusum_drift",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM e GROUP BY 1
+    ), calib AS (
+        SELECT event_type, n, s // n AS mu,
+               CASE WHEN n > 1 THEN {_f15_isqrt_sql("((n * q - s * s) // (n * (n - 1)))")}
+                    ELSE CAST(0 AS BIGINT) END AS sigma
+        FROM stats
+    ), walk AS (
+        SELECT e.event_type, c.n, c.sigma, e.ts_us, e.event_id,
+               SUM(e.cents - c.mu - c.sigma // 2) OVER w AS p
+        FROM e JOIN calib c USING (event_type)
+        WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts_us, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cusum AS (
+        SELECT event_type, n, sigma,
+               p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER w) AS cs
+        FROM walk
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN cs > 4 * sigma THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           CAST(MAX(cs) AS BIGINT) AS max_cusum_cents,
+           CAST(sigma AS BIGINT) AS sigma_cents,
+           CAST(CASE WHEN sigma > 0 THEN 1000 * MAX(cs) // sigma
+                     ELSE 0 END AS BIGINT) AS max_cusum_sigma_milli
+    FROM cusum GROUP BY event_type, n, sigma
+    """,
+    survey="F15,F3,E5",
+)
 def f15_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection per event type — the classic sequential
-    change-point statistic: ``s_i = max(0, s_{i-1} + (x_i - mean - k))``
+    change-point statistic ``s_i = max(0, s_{i-1} + (x_i − μ − k))``
     over the type's events in (ts, event_id) order, alarming when the
-    running sum exceeds ``h`` sigma.  The recursion makes this
-    genuinely NOT window-expressible (each value depends on a clamped
-    prior), so it is the canonical ``applyInPandas`` case: one shuffle
-    on the grouping key, the sequential fold runs vectorized per group
-    in Arrow-backed pandas, state never leaves the group.  Rows-only by
-    design (no SQL oracle can state the recursion); the fold is
-    value-checked against a pure-Python reference in
-    tests/test_round3.py.  At 100 TB the per-group sequential scan is
-    the irreducible cost of the statistic itself; groups parallelize
-    freely and nothing is collected."""
-    import pandas as pd
+    running sum exceeds ``h = 4σ`` (allowance ``k = σ/2``).
 
-    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        x = pdf["value"].to_numpy()
-        mu, sd = x.mean(), x.std(ddof=1)
-        k, h = 0.5 * sd, 4.0 * sd
-        s = 0.0
-        n_alarms, smax = 0, 0.0
-        for v in x:
-            s = max(0.0, s + (v - mu - k))
-            smax = max(smax, s)
-            if s > h:
-                n_alarms += 1
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "n_events": [len(x)],
-                "n_alarms": [n_alarms],
-                "max_cusum_sigma": [round(smax / sd, 4) if sd > 0 else 0.0],
-            }
+    SQL-CERTIFIED since round 10 (VERDICT r9 item 4) via the REFLECTION
+    IDENTITY: unrolling the clamp gives
+    ``s_i = max_{0≤j≤i} Σ_{t=j+1..i} y_t = P_i − min(0, min_{j≤i} P_j)``
+    with ``y = x − μ − k`` and ``P`` its prefix sum — so the "genuinely
+    not window-expressible" fold IS window-expressible after all: one
+    running SUM plus one running MIN over the same (ts, event_id)
+    order.  The old ``applyInPandas`` fold is gone; the engine now runs
+    pure JVM window functions (partitioned by event_type — never
+    global), which is also the better 100 TB plan: no Python workers,
+    no per-group state, whole-stage codegen end-to-end.
+
+    Exactness: the integer-cents lattice — x = ROUND(value·100), μ the
+    truncating integer mean, σ the EXACT integer sqrt of the truncated
+    sample variance (FLOOR(SQRT(double)) is within ±1 for v < 2^52;
+    one two-sided adjustment pins it — ``_f15_isqrt_sql``), k = σ//2,
+    h = 4σ.  All outputs BIGINT; the σ-normalized excursion is reported
+    in milli-σ by integer division.  The fold replay in
+    tests/test_round3.py pins the identity against the direct clamped
+    recursion in pure Python."""
+    e = Tables(spark, sf_dir).events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    isqrt = _f15_isqrt_sql("((n * q - s * s) DIV (n * (n - 1)))").replace("//", "DIV")
+    calib = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
         )
-
-    e = Tables(spark, sf_dir).events.select("event_type", "ts", "event_id", "value")
-    return e.groupBy("event_type").applyInPandas(
-        cusum, "event_type string, n_events long, n_alarms long, max_cusum_sigma double"
+        .select(
+            "event_type",
+            "n",
+            F.expr("s DIV n").alias("mu"),
+            F.expr(
+                f"CASE WHEN n > 1 THEN {isqrt} ELSE CAST(0 AS BIGINT) END"
+            ).alias("sigma"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = e.join(F.broadcast(calib), "event_type").withColumn(
+        "p",
+        F.sum(
+            F.col("cents") - F.col("mu") - F.expr("sigma DIV 2")
+        ).over(w),
+    )
+    cusum = walk.withColumn(
+        "cs", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return cusum.groupBy("event_type", "n", "sigma").agg(
+        F.sum(F.when(F.col("cs") > 4 * F.col("sigma"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+        F.max("cs").cast("long").alias("max_cusum_cents"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "n_alarms",
+        "max_cusum_cents",
+        F.col("sigma").alias("sigma_cents"),
+        F.expr(
+            "CASE WHEN sigma > 0 THEN 1000 * max_cusum_cents DIV sigma"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("max_cusum_sigma_milli"),
     )
 
 

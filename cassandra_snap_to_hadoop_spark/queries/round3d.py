@@ -362,49 +362,118 @@ def e36_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("f24_holt_forecast", oracle=None, survey="L3,F4,F24")
+@register(
+    "f24_holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT b.user_id, b.lo + u.i AS d
+        FROM bounds b, LATERAL (SELECT unnest(range(0, b.hi - b.lo + 1)) AS i) u
+    ), filled AS (
+        SELECT s.user_id, s.d,
+               COALESCE(daily.n, 0) * 1000000 AS x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.user_id ORDER BY s.d)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY s.user_id) AS BIGINT) AS n_days,
+               LEAD(COALESCE(daily.n, 0) * 1000000)
+                   OVER (PARTITION BY s.user_id ORDER BY s.d) AS x_next
+        FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+    ), chain AS (
+        SELECT user_id, rn, n_days,
+               x AS lvl,
+               COALESCE(x_next - x, CAST(0 AS BIGINT)) AS trend
+        FROM filled WHERE rn = 1
+        UNION ALL
+        -- integer Holt on the micro lattice, trunc-toward-zero division
+        -- (trend goes negative; DuckDB // and Spark DIV both truncate):
+        --   l_t = (x_t + (l + b)) / 2            (alpha = 1/2)
+        --   b_t = (3 (l_t - l) + 7 b) / 10       (beta  = 3/10)
+        SELECT b.user_id, b.rn, b.n_days,
+               (b.x + c.lvl + c.trend) // 2,
+               (3 * ((b.x + c.lvl + c.trend) // 2 - c.lvl) + 7 * c.trend) // 10
+        FROM chain c
+        JOIN filled b ON b.user_id = c.user_id AND b.rn = c.rn + 1
+    )
+    SELECT user_id, n_days,
+           CAST(lvl AS BIGINT) AS level_micros,
+           CAST(trend AS BIGINT) AS trend_micros,
+           CAST(lvl + 7 * trend AS BIGINT) AS forecast7_micros
+    FROM chain WHERE rn = n_days
+    """,
+    survey="L3,F4,F24",
+)
 def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing per user over the zero-filled
-    daily event-count series: level/trend recursion (alpha=0.5, beta=0.3,
-    classic init l0=x0, b0=x1-x0) plus a 7-day-ahead linear forecast.
-    Like f15's CUSUM, each smoothed value depends on the CLAMPED previous
-    state, so the recursion is genuinely not window-expressible — the
-    canonical applyInPandas fold: one shuffle on user_id, the sequential
-    scan runs per group in Arrow-backed pandas over the group's bounded
-    day span, nothing collects.  Rows-only by design; the fold is pinned
-    to a pure-Python reference in tests/test_round3d.py.  At 100 TB the
-    pre-aggregation (user x day counts) does the data reduction; the fold
-    then touches |users| * |days| rows only."""
+    daily event-count series: level/trend recursion with the classic
+    init (l₁ = x₁, b₁ = x₂ − x₁) plus a 7-day-ahead linear forecast.
+    Each smoothed value depends on the previous state, so the recursion
+    is genuinely not window-expressible — the canonical applyInPandas
+    fold: one shuffle on user_id, the sequential scan runs per group
+    over the group's bounded day span, nothing collects.
+
+    SQL-CERTIFIED since round 10 (VERDICT r9 item 4 — the f31/f27
+    conversion applied back to THIS registration): the fold moves to
+    the integer MICRO lattice (x = daily count × 10⁶) with
+    α = 1/2, β = 3/10 and trunc-toward-zero division —
+
+        l_t = (x_t + (l_{t-1} + b_{t-1})) DIV 2
+        b_t = (3·(l_t − l_{t-1}) + 7·b_{t-1}) DIV 10
+
+    — bit-identical BIGINT state in both engines; the DuckDB oracle
+    restates it as a per-user WITH RECURSIVE lockstep chain over the
+    zero-filled calendar spine (depth = day span ≤ the observation
+    window, frontier = |users| rows).  Trend goes negative: the Python
+    replay uses sign-split division (Python // floors; SQL truncates).
+    The float α=0.5/β=0.3 tier (``operators/forecast.holt_fold``)
+    remains the production path for the STREAMING twin
+    (streaming/pipelines.f24_stream), whose parity test pins against
+    the fold directly.
+
+    Scale shape: pre-aggregation (user × day counts) does the data
+    reduction; the engine fold then touches |users| × |days| rows in
+    one applyInPandas pass (the oracle's recursion is the CERTIFICATE,
+    not the production plan)."""
     import pandas as pd
 
-    from cassandra_snap_to_hadoop_spark.operators.forecast import holt_fold
+    def tdiv(a: int, b: int) -> int:
+        # trunc-toward-zero to match Spark DIV / DuckDB // on negatives
+        q = abs(a) // b
+        return q if a >= 0 else -q
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day")
-        days = pd.date_range(pdf["day"].min(), pdf["day"].max(), freq="D").date
-        x = (
-            pdf.set_index("day")["n"]
-            .reindex(days, fill_value=0)
-            .astype(float)
-            .to_numpy()
-        )
-        level, trend, fc = holt_fold(x)
+        pdf = pdf.sort_values("d")
+        lo, hi = int(pdf["d"].iloc[0]), int(pdf["d"].iloc[-1])
+        counts = dict(zip(pdf["d"].astype(int), pdf["n"].astype(int)))
+        xs = [counts.get(d, 0) * 1_000_000 for d in range(lo, hi + 1)]
+        lvl = xs[0]
+        trend = xs[1] - xs[0] if len(xs) > 1 else 0
+        for x in xs[1:]:
+            prev = lvl
+            lvl = tdiv(x + lvl + trend, 2)
+            trend = tdiv(3 * (lvl - prev) + 7 * trend, 10)
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_days": [len(x)],
-                "level": [level],
-                "trend": [trend],
-                "forecast_7d": [fc],
+                "n_days": [len(xs)],
+                "level_micros": [lvl],
+                "trend_micros": [trend],
+                "forecast7_micros": [lvl + 7 * trend],
             }
         )
 
     e = Tables(spark, sf_dir).events
-    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n")
-    )
+    daily = e.groupBy(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(F.count("*").alias("n"))
     return daily.groupBy("user_id").applyInPandas(
-        holt, "user_id long, n_days long, level double, trend double, forecast_7d double"
+        holt,
+        "user_id long, n_days long, level_micros long, trend_micros long,"
+        " forecast7_micros long",
     )
 
 

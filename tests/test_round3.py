@@ -210,39 +210,44 @@ def test_k12_topk_shape_and_monotone(spark):
 
 
 def test_f15_cusum_matches_python_reference(spark):
-    """The applyInPandas CUSUM fold must equal a pure-Python reference
-    computed from the same ordered values."""
+    """The window-identity CUSUM (round-10 SQL conversion) must equal
+    the DIRECT clamped recursion ``s_i = max(0, s_{i-1} + y_i)`` replayed
+    in pure-int Python — this is the machine check of the reflection
+    identity ``s_i = P_i − min(0, min_{j≤i} P_j)`` the engine now uses,
+    on the same integer-cents lattice (math.isqrt as the independent
+    exact-σ third implementation)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     rows = Tables(spark, SF).events.select("event_type", "ts", "event_id", "value").collect()
     by_type: dict = {}
     for r in rows:
-        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+        cents = int(Decimal(r.value * 100).quantize(Decimal(1), ROUND_HALF_UP))
+        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, cents))
     want = {}
     for t, evs in by_type.items():
         evs.sort()
-        xs = [v for _, _, v in evs]
-        n = len(xs)
-        mu = sum(xs) / n
-        var = sum((v - mu) ** 2 for v in xs) / (n - 1)
-        sd = var ** 0.5
-        k, h = 0.5 * sd, 4.0 * sd
-        s = smax = 0.0
-        alarms = 0
-        for v in xs:
-            s = max(0.0, s + (v - mu - k))
+        xs = [c for _, _, c in evs]
+        n, s_sum, q = len(xs), sum(xs), sum(c * c for c in xs)
+        mu = s_sum // n  # positive sums: floor == trunc
+        sigma = math.isqrt((n * q - s_sum * s_sum) // (n * (n - 1))) if n > 1 else 0
+        k, h = sigma // 2, 4 * sigma
+        s = smax = alarms = 0
+        for c in xs:
+            s = max(0, s + (c - mu - k))
             smax = max(smax, s)
             if s > h:
                 alarms += 1
-        want[t] = (n, alarms, round(smax / sd, 4))
+        want[t] = (n, alarms, smax, sigma, 1000 * smax // sigma if sigma > 0 else 0)
     R = load_all()
     got = {
-        r.event_type: (r.n_events, r.n_alarms, r.max_cusum_sigma)
+        r.event_type: (
+            r.n_events, r.n_alarms, r.max_cusum_cents,
+            r.sigma_cents, r.max_cusum_sigma_milli,
+        )
         for r in R["f15_cusum_drift"].fn(spark, SF).collect()
     }
-    assert set(got) == set(want)
-    for t in want:
-        assert got[t][0] == want[t][0]
-        assert got[t][1] == want[t][1]
-        assert abs(got[t][2] - want[t][2]) < 1e-6, (t, got[t], want[t])
+    assert got == want
 
 
 def test_staged_queries_are_rerun_stable(spark):

@@ -189,18 +189,32 @@ def _holt_ref(xs: list[float], alpha=0.5, beta=0.3):
 
 
 def test_holt_matches_python_reference(spark, sf_dir):
-    ev = Tables(spark, sf_dir).events.select("user_id", F.to_date("ts").alias("day")).collect()
+    """The round-10 SQL-certified integer micro-lattice fold, replayed
+    independently in pure Python (its own epoch-day zero-fill and
+    sign-split trunc division — Python // floors, the engines
+    truncate)."""
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).collect()
     per: dict[int, Counter] = {}
     for r in ev:
-        per.setdefault(r.user_id, Counter())[r.day] += 1
+        per.setdefault(r.user_id, Counter())[int(r.d)] += 1
+
+    def tdiv(a: int, b: int) -> int:
+        return abs(a) // b if a >= 0 else -(abs(a) // b)
+
     expect = {}
     for uid, counts in per.items():
         lo, hi = min(counts), max(counts)
-        xs = [float(counts.get(lo + dt.timedelta(days=i), 0)) for i in range((hi - lo).days + 1)]
-        level, trend, fc = _holt_ref(xs)
-        expect[uid] = (len(xs), level, trend, fc)
+        xs = [counts.get(d, 0) * 1_000_000 for d in range(lo, hi + 1)]
+        lvl, trend = xs[0], (xs[1] - xs[0] if len(xs) > 1 else 0)
+        for x in xs[1:]:
+            prev = lvl
+            lvl = tdiv(x + lvl + trend, 2)
+            trend = tdiv(3 * (lvl - prev) + 7 * trend, 10)
+        expect[uid] = (len(xs), lvl, trend, lvl + 7 * trend)
     got = {
-        r.user_id: (r.n_days, r.level, r.trend, r.forecast_7d)
+        r.user_id: (r.n_days, r.level_micros, r.trend_micros, r.forecast7_micros)
         for r in REGISTRY["f24_holt_forecast"].fn(spark, sf_dir).collect()
     }
     assert got == expect
@@ -806,15 +820,26 @@ def test_holt_streaming_state_parity(spark, sf_dir, tmp_path):
         cur = final.get(r.user_id)
         if cur is None or r.n_days >= cur.n_days:
             final[r.user_id] = r
-    batch = {
-        r.user_id: r for r in REGISTRY["f24_holt_forecast"].fn(spark, sf_dir).collect()
-    }
+    # Pin against the float fold DIRECTLY (the f27 precedent): the
+    # registered f24 query is the integer micro-lattice tier since its
+    # round-10 SQL conversion, while the streaming twin stays on the
+    # production float path (operators/forecast.holt_fold == _holt_ref).
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    per: dict[int, Counter] = {}
+    for r in ev:
+        per.setdefault(r.user_id, Counter())[r.day] += 1
+    batch = {}
+    for uid, counts in per.items():
+        lo, hi = min(counts), max(counts)
+        xs = [
+            float(counts.get(lo + dt.timedelta(days=i), 0))
+            for i in range((hi - lo).days + 1)
+        ]
+        level, trend, fc = _holt_ref(xs)
+        batch[uid] = (len(xs), level, trend, fc)
     assert set(final) == set(batch)
     for uid, b in batch.items():
         s = final[uid]
-        assert (s.n_days, s.level, s.trend, s.forecast_7d) == (
-            b.n_days,
-            b.level,
-            b.trend,
-            b.forecast_7d,
-        ), uid
+        assert (s.n_days, s.level, s.trend, s.forecast_7d) == b, uid
