@@ -59,6 +59,7 @@ BASELINE_MEDIANS: dict[str, float] = {
     "j121_mmr_rerank": 4.48,
     "b17_lwt_cas_replay": 3.70,
     "j131_semdedup": 0.82,
+    "j127_ngram_decontamination": 1.42,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
