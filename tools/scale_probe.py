@@ -1391,6 +1391,134 @@ def main() -> None:
             .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
         )
 
+    def bitemporal_shape(li):
+        """d27's shape (round-10 probe, VERDICT r9 item 6): versions scan
+        -> per-key span agg -> constant 3-probe explode -> ONE
+        range-predicate join carried by the EQUI key -> max_by agg.
+        Amplification remaps l_suppkey too, so KEY CARDINALITY scales Nx
+        with per-key version density 1x — the claim under test is that
+        the equi key carries the shuffle and the in-key range filter
+        never goes quadratic."""
+        versions = li.select(
+            F.col("l_suppkey").alias("k"),
+            F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("valid_from"),
+            (
+                F.expr("unix_micros(l_shipdate) DIV 86400000000")
+                + F.col("l_orderkey") % 30
+            ).alias("tx_from"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        spans = versions.groupBy("k").agg(
+            F.min("valid_from").alias("lo"), F.max("valid_from").alias("hi")
+        )
+        probes = spans.select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("p"), "lo", "hi"
+        ).select(
+            "k", F.col("p").cast("long").alias("p"),
+            F.expr("lo + (hi - lo) * (p + 1) DIV 4").alias("t"),
+            F.expr("lo + (hi - lo) * (p + 1) DIV 4 + 10 * p").alias("tx"),
+        )
+        return (
+            probes.join(
+                versions.select(F.col("k").alias("vk"), "valid_from",
+                                "tx_from", "cents"),
+                (F.col("vk") == F.col("k"))
+                & (F.col("valid_from") <= F.col("t"))
+                & (F.col("tx_from") <= F.col("tx")),
+            )
+            .groupBy("k", "p")
+            .agg(F.max(F.struct("valid_from", "tx_from", "cents")).alias("win"))
+            .groupBy("p")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def hurst_fanout_shape(e, n_types):
+        """f54's shape (round-10 probe): daily lattice -> per-(type, w,
+        window) cell fan-out -> window stats + cumulative Z -> R^2/V
+        ratios.  The amplification axis is SERIES COUNT (synthetic
+        type labels user_id % n_types), not event volume — after the
+        daily agg the cost is windows = types x days / w, and types is
+        the production dial."""
+        daily = e.groupBy(
+            (F.col("user_id") % n_types).alias("etype"),
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        ).agg(
+            F.expr("SUM(CAST(ROUND(value) AS BIGINT)) DIV COUNT(*)").alias("x")
+        )
+        from pyspark.sql.window import Window as _W
+
+        rn = F.row_number().over(_W.partitionBy("etype").orderBy("day"))
+        numbered = daily.select("etype", "x", rn.alias("rn"))
+        cells = numbered.join(
+            spark.range(2).select(
+                F.when(F.col("id") == 0, 8).otherwise(24).alias("w")
+            ),
+        ).select(
+            "etype", "w",
+            F.expr("(rn - 1) DIV w").alias("wid"),
+            F.expr("((rn - 1) % w) + 1").alias("k"),
+            "x",
+        )
+        complete = cells.groupBy("etype", "w", "wid").agg(
+            F.count("*").alias("cnt")
+        ).where(F.col("cnt") == F.col("w")).drop("cnt")
+        cc = cells.join(complete, ["etype", "w", "wid"])
+        wstats = cc.groupBy("etype", "w", "wid").agg(
+            F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("q")
+        )
+        zw = _W.partitionBy("etype", "w", "wid").orderBy("k")
+        z = cc.join(wstats, ["etype", "w", "wid"]).select(
+            "etype", "w", "wid", "s", "q",
+            (F.sum(F.col("w") * F.col("x")).over(zw) - F.col("k") * F.col("s"))
+            .alias("zk"),
+        )
+        return (
+            z.groupBy("etype", "w", "wid", "s", "q")
+            .agg((F.max("zk") - F.min("zk")).alias("r"))
+            .where(F.expr("w * q - s * s > 0"))
+            .select(
+                "etype", "w",
+                F.expr("1000000 * r * r DIV (w * q - s * s)").alias("rs2"),
+            )
+            .groupBy("etype", "w")
+            .agg(F.expr("SUM(rs2) DIV COUNT(*)").alias("rs2_mean"))
+        )
+
+    def krippendorff_shape(li):
+        """e118's shape (round-10 probe): ratings scan -> per-unit
+        pairable filter -> unit x category coincidence counts -> two
+        1-row folds.  Amplification remaps l_orderkey, so UNITS scale Nx
+        at constant raters-per-unit — the coincidence lattice is
+        unit-local, never a cross-unit pair join."""
+        ratings = li.where(F.col("l_linenumber") <= 3).select(
+            F.col("l_orderkey").alias("unit"), F.col("l_returnflag").alias("c")
+        )
+        mu = ratings.groupBy("unit").agg(F.count("*").alias("m_u"))
+        pairable = ratings.join(mu.where(F.col("m_u") >= 2), "unit")
+        unit_cat = pairable.groupBy("unit", "c", "m_u").agg(
+            F.count("*").alias("n_uc")
+        )
+        do_terms = unit_cat.groupBy("unit").agg(
+            F.expr(
+                "1000000 * (MAX(m_u) * (MAX(m_u) - 1) - SUM(n_uc * (n_uc - 1)))"
+                " DIV (MAX(m_u) - 1)"
+            ).alias("do_micro")
+        )
+        marg = unit_cat.groupBy("c").agg(F.sum("n_uc").alias("n_c"))
+        de = marg.agg(
+            F.sum("n_c").alias("n_tot"),
+            (F.sum("n_c") * F.sum("n_c") - F.sum(F.col("n_c") * F.col("n_c")))
+            .alias("de_num"),
+        )
+        return do_terms.agg(F.sum("do_micro").alias("do_total")).crossJoin(
+            F.broadcast(de)
+        ).select(
+            F.expr(
+                "CASE WHEN de_num > 0 THEN 1000 - do_total * (n_tot - 1)"
+                " DIV (1000 * de_num) ELSE NULL END"
+            ).alias("alpha_milli")
+        )
+
     def semdedup_shape(emb, remap_labels):
         """j131's shape: within-label pair dots via the (label, dim) equi
         self-join.  With remap_labels the amplified replicas land in NEW
@@ -1427,6 +1555,9 @@ def main() -> None:
     # stays 1x — the linear-candidate-volume claim is exactly what the
     # ratio measures (the d8/e26 argument).
     oN_cust = amplify(t.orders, ["o_orderkey", "o_custkey"])
+    # d27's probe input: supplier key remapped too — key cardinality xN,
+    # per-key version density 1x (the equi-key-carries-the-shuffle claim).
+    liN_supp = amplify(t.lineitem, ["l_orderkey", "l_suppkey"])
 
     def allen_shape(o):
         """d23's shape (round 7): same-customer interval pairs via the
@@ -1519,6 +1650,12 @@ def main() -> None:
         # sliding vs the unoptimized direct x3 explode (the pair of rows
         # quantifies the panes optimization under amplification).
         ("decontam-gram-semijoin", lambda: decontam_shape(d1), lambda: decontam_shape(dN)),
+        # round-10 shapes (VERDICT r9 item 6): d27 keys xN at 1x per-key
+        # density; f54 series-count axis (types x mult, volume fixed);
+        # e118 units xN at constant raters-per-unit.
+        ("bitemporal-probe-join", lambda: bitemporal_shape(li1), lambda: bitemporal_shape(liN_supp)),
+        ("hurst-window-fanout", lambda: hurst_fanout_shape(e1, 5), lambda: hurst_fanout_shape(e1, 5 * mult)),
+        ("krippendorff-coincidence", lambda: krippendorff_shape(li1), lambda: krippendorff_shape(liN)),
         ("pane-merged-sliding", lambda: pane_merge_shape(e1), lambda: pane_merge_shape(eN)),
         ("sliding-direct-explode", lambda: sliding_direct_shape(e1), lambda: sliding_direct_shape(eN)),
         # j131: amplified replicas land in NEW clusters (count xN, size
