@@ -416,3 +416,998 @@ def a42_sstable_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: nonparametric shift/scale/trend depth operators + time-series
+# diagnostics.  Same acceptance bar as rounds 3-9: exact-integer or
+# shared-IEEE-chain discipline, DuckDB oracle, pure-Python third
+# implementation pin, scale note per docstring.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from cassandra_snap_to_hadoop_spark.io import Tables  # noqa: E402
+from cassandra_snap_to_hadoop_spark.queries.round3 import _f15_isqrt_sql  # noqa: E402
+
+
+def _isqrt_spark(v: str) -> str:
+    """The shared exact-isqrt template in Spark SQL spelling (DIV)."""
+    return _f15_isqrt_sql(v).replace("//", "DIV")
+
+
+@register(
+    "e122_mood_median_test",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem
+    ), hist AS (
+        SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2
+    ), pooled AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM hist GROUP BY 1
+    ), med AS (
+        -- lower pooled median: smallest v whose cumulative count reaches
+        -- half of N (2*cum >= N exactly, no float midpoint)
+        SELECT MIN(v) AS m FROM (
+            SELECT v, SUM(gc) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(gc) OVER () AS n
+            FROM pooled
+        ) WHERE 2 * cum >= n
+    ), cells AS (
+        SELECT grp,
+               CAST(SUM(CASE WHEN v > m THEN c ELSE 0 END) AS BIGINT) AS above,
+               CAST(SUM(CASE WHEN v <= m THEN c ELSE 0 END) AS BIGINT) AS at_or_below
+        FROM hist CROSS JOIN med GROUP BY 1
+    ), margins AS (
+        SELECT CAST(SUM(above) AS BIGINT) AS tot_above,
+               CAST(SUM(at_or_below) AS BIGINT) AS tot_below,
+               CAST(SUM(above + at_or_below) AS BIGINT) AS n
+        FROM cells
+    ), terms AS (
+        -- isqrt-lattice chi-square (defined contract): per-cell
+        -- t = 1000*(O*N - R*C) DIV isqrt(N*R*C); term = t^2; the square
+        -- of the standardized residual in milli, exact integers
+        SELECT grp, above, at_or_below,
+               {{T_ABOVE}} AS t_above,
+               {{T_BELOW}} AS t_below
+        FROM cells CROSS JOIN margins
+    )
+    SELECT grp, above, at_or_below,
+           CAST((t_above * t_above + t_below * t_below) // 1000 AS BIGINT)
+               AS chi2_contrib_milli
+    FROM terms ORDER BY grp
+    """.replace(
+        "{T_ABOVE}",
+        "(1000 * (above * n - (above + at_or_below) * tot_above)) // "
+        + _f15_isqrt_sql("(n * (above + at_or_below) * tot_above)"),
+    ).replace(
+        "{T_BELOW}",
+        "(1000 * (at_or_below * n - (above + at_or_below) * tot_below)) // "
+        + _f15_isqrt_sql("(n * (above + at_or_below) * tot_below)"),
+    ),
+    survey="E122,E37,E23",
+)
+def e122_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the three return-flag groups — the
+    k-sample location test that only asks "is each group's share above
+    the POOLED median what chance predicts?", making it robust to any
+    monotone transformation (the coarse, assumption-free sibling of
+    e101's Kruskal-Wallis, which uses full ranks).
+
+    Exactness: quantities are integers 1..50, so the pooled lower
+    median is exact (smallest v with 2·cum ≥ N on the value histogram
+    — the e23 weighted-median rule); the 2×k table is pure counts; the
+    chi-square contribution is carried on the ISQRT LATTICE (defined
+    contract): per cell t = 1000·(O·N − R·C) DIV isqrt(N·R·C), the
+    milli-scaled standardized residual — exact BIGINTs where the
+    textbook (O−E)²/E over a common denominator would overflow int64
+    at these margins (N ≈ 6e5 ⇒ (O·N−R·C)² ≈ 1e22).  The shared
+    two-sided-adjusted isqrt template (_f15_isqrt_sql) makes the root
+    exact in both engines.
+
+    Scale shape: one histogram agg on the (group, value) lattice (≤150
+    rows), one calendar of window cumsums, constant-size cells — the
+    corpus scan is the only volume term."""
+    li = Tables(spark, sf_dir).lineitem
+    hist = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    pooled = hist.groupBy("v").agg(F.sum("c").alias("gc"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        pooled.select(
+            "v",
+            F.sum("gc").over(wcum).alias("cum"),
+            F.sum("gc").over(Window.partitionBy()).alias("n"),
+        )
+        .where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("v").alias("m"))
+    )
+    cells = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(F.col("v") <= F.col("m"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("at_or_below"),
+        )
+    )
+    margins = cells.agg(
+        F.sum("above").cast("long").alias("tot_above"),
+        F.sum("at_or_below").cast("long").alias("tot_below"),
+        F.sum(F.col("above") + F.col("at_or_below")).cast("long").alias("n"),
+    )
+    t_above = (
+        "(1000 * (above * n - (above + at_or_below) * tot_above)) DIV "
+        + _isqrt_spark("(n * (above + at_or_below) * tot_above)")
+    )
+    t_below = (
+        "(1000 * (at_or_below * n - (above + at_or_below) * tot_below)) DIV "
+        + _isqrt_spark("(n * (above + at_or_below) * tot_below)")
+    )
+    return (
+        cells.crossJoin(F.broadcast(margins))
+        .select(
+            "grp", "above", "at_or_below",
+            F.expr(t_above).alias("ta"),
+            F.expr(t_below).alias("tb"),
+        )
+        .select(
+            "grp", "above", "at_or_below",
+            F.expr("CAST((ta * ta + tb * tb) DIV 1000 AS BIGINT)").alias(
+                "chi2_contrib_milli"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "e123_hodges_lehmann",
+    oracle="""
+    WITH hx AS (
+        -- the treated sample carries an INJECTED uniform 0..6 shift
+        -- (mean 3) so the estimator has a known truth to recover — the
+        -- j125 fixture-discrimination lesson (R vs A quantities alone
+        -- are identically distributed and HL would be a degenerate 0)
+        SELECT CAST(l_quantity AS BIGINT) + l_partkey % 7 AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), hy AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), diffs AS (
+        SELECT hx.v - hy.v AS d, CAST(SUM(hx.c * hy.c) AS BIGINT) AS w
+        FROM hx CROSS JOIN hy GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n_pairs FROM diffs),
+    cum AS (
+        SELECT d, w, SUM(w) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM diffs
+    )
+    SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM hx) AS n_x,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM hy) AS n_y,
+           tot.n_pairs,
+           (SELECT MIN(d) FROM cum CROSS JOIN tot
+            WHERE 2 * cw >= tot.n_pairs) AS hl_shift
+    FROM tot
+    """,
+    survey="E123,E45,E23",
+)
+def e123_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimator between the 'R' and 'A'
+    return-flag quantity samples (the 'R' side carrying an injected
+    uniform 0..6 shift, mean 3, so the known truth is recoverable) —
+    the median of ALL n_x·n_y pairwise
+    differences x_i − y_j, the robust location-shift companion of
+    e45's Mann-Whitney (MWU tests whether a shift exists; HL says HOW
+    BIG it is, with 0.955 asymptotic efficiency vs the mean on normal
+    data and full outlier resistance).
+
+    The n_x·n_y ≈ 4e10 pair space never materializes: quantities live
+    on a ≤50-value integer lattice, so the pairwise-difference
+    DISTRIBUTION is the cross of two ≤50-row histograms with weight
+    cx·cy per (v_x − v_y) cell (≤99 distinct differences), and the
+    median is the e23 weighted-median rule on that lattice — the lower
+    weighted median (smallest d with 2·cum ≥ n_pairs), fully exact
+    BIGINT.
+
+    Scale shape: two histogram aggs (one corpus scan), a ≤50×50
+    broadcast cross, one window cumsum over ≤99 rows — at any corpus
+    size the pair term is |domain|², never n²."""
+    li = Tables(spark, sf_dir).lineitem
+    hx = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(
+            (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hy = (
+        li.where(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    diffs = (
+        hx.select(F.col("v").alias("vx"), F.col("c").alias("cx"))
+        .crossJoin(F.broadcast(hy.select(F.col("v").alias("vy"), F.col("c").alias("cy"))))
+        .groupBy((F.col("vx") - F.col("vy")).alias("d"))
+        .agg(F.sum(F.col("cx") * F.col("cy")).cast("long").alias("w"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select("d", "w", F.sum("w").over(wcum).alias("cw"))
+    tot = diffs.agg(F.sum("w").cast("long").alias("n_pairs"))
+    nx = hx.agg(F.sum("c").cast("long").alias("n_x"))
+    ny = hy.agg(F.sum("c").cast("long").alias("n_y"))
+    hl = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cw") >= F.col("n_pairs"))
+        .agg(F.min("d").alias("hl_shift"))
+    )
+    return (
+        nx.crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hl))
+        .select("n_x", "n_y", "n_pairs", "hl_shift")
+    )
+
+
+@register(
+    "e124_jonckheere_terpstra",
+    oracle="""
+    WITH q AS (
+        -- injected +g-1 location shift: the monotone truth is known,
+        -- so the z statistic must come out large-positive
+        SELECT CAST(l_linenumber AS BIGINT) AS g,
+               CAST(l_quantity AS BIGINT) + l_linenumber - 1 AS v
+        FROM lineitem WHERE l_linenumber <= 4
+    ), hist AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2
+    ), sizes AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM hist GROUP BY 1
+    ), pairs AS (
+        -- 2U per ordered group pair (i < j): wins count 2, ties count 1
+        -- — integer throughout, via the two histograms' value cross
+        SELECT CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                             WHEN a.v = b.v THEN a.c * b.c
+                             ELSE 0 END) AS BIGINT) AS u2
+        FROM hist a JOIN hist b ON a.g < b.g
+    ), moments AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(n_g * n_g) AS BIGINT) AS sum_n2,
+               CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sum_n23
+        FROM sizes
+    )
+    SELECT u2,
+           (n * n - sum_n2) AS mu4,
+           (n * n * (2 * n + 3) - sum_n23) AS var72,
+           -- shared-IEEE z: exact integer inputs, identical expression
+           -- in both engines; U = u2/2, mu = mu4/4, so
+           -- U - mu = (2*u2 - mu4)/4
+           (CAST(2 * u2 - (n * n - sum_n2) AS DOUBLE) / 4.0)
+               / SQRT(CAST(n * n * (2 * n + 3) - sum_n23 AS DOUBLE) / 72.0)
+               AS z_stat
+    FROM pairs CROSS JOIN moments
+    """,
+    survey="E124,E45,E47",
+)
+def e124_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test across the
+    ordered line positions 1..4 — the k-sample test e101's
+    Kruskal-Wallis cannot state: KW asks "do the groups differ AT ALL",
+    JT asks "do they INCREASE in the given order", pooling every
+    pairwise Mann-Whitney U_ij for i < j (strictly more powerful when
+    the alternative really is monotone — the dose-response situation).
+    The fixture injects a +g−1 location shift per group so the monotone
+    truth is known and the z must come out large-positive (the j125
+    discrimination rule).
+
+    Exactness: quantities + shifts live on an integer lattice, so every
+    U_ij is the cross of two value histograms — 2U carried as exact
+    BIGINT (wins 2, ties 1); the null moments μ = (N² − Σn_g²)/4 and
+    σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72 are exact integer numerators
+    over fixed denominators; only the final z divides, as the SAME IEEE
+    expression from identical integers in both engines (the e45/e52
+    shared-chain rule).
+
+    Scale shape: one histogram agg on the (group, value) lattice (≤4 ×
+    ~54 rows), one tiny histogram-pair join, two 1-row folds — the
+    corpus scan is the only volume term, exactly e122's shape."""
+    li = Tables(spark, sf_dir).lineitem
+    hist = (
+        li.where(F.col("l_linenumber") <= 4)
+        .groupBy(
+            F.col("l_linenumber").cast("long").alias("g"),
+            (
+                F.col("l_quantity").cast("long")
+                + F.col("l_linenumber").cast("long")
+                - 1
+            ).alias("v"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = hist.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    a = hist.select(F.col("g").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = hist.select(F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
+        .agg(
+            F.sum(
+                F.when(F.col("va") < F.col("vb"), 2 * F.col("ca") * F.col("cb"))
+                .when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("u2")
+        )
+    )
+    moments = sizes.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sum_n2"),
+        F.sum(F.col("n_g") * F.col("n_g") * (2 * F.col("n_g") + 3))
+        .cast("long")
+        .alias("sum_n23"),
+    )
+    return pairs.crossJoin(F.broadcast(moments)).select(
+        "u2",
+        F.expr("n * n - sum_n2").alias("mu4"),
+        F.expr("n * n * (2 * n + 3) - sum_n23").alias("var72"),
+        F.expr(
+            "(CAST(2 * u2 - (n * n - sum_n2) AS DOUBLE) / 4.0)"
+            " / SQRT(CAST(n * n * (2 * n + 3) - sum_n23 AS DOUBLE) / 72.0)"
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "f55_kuiper_two_sample",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ROUND(value) AS BIGINT) AS v FROM events
+    ), counts AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1
+    ), vals AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM counts GROUP BY 1
+    ), gcum AS (
+        SELECT v, CAST(SUM(gc) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gcum
+        FROM vals
+    ), n AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM counts),
+    grid AS (
+        SELECT t.event_type, t.n_s, g.v, g.gcum FROM tot t CROSS JOIN gcum g
+    ), cum AS (
+        SELECT gr.event_type, gr.n_s, gr.v, gr.gcum,
+               CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY gr.event_type
+                   ORDER BY gr.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_s
+        FROM grid gr LEFT JOIN counts c
+          ON c.event_type = gr.event_type AND c.v = gr.v
+    ), d AS (
+        SELECT event_type, n_s, N,
+               CAST(MAX(cum_s * (N - n_s) - (gcum - cum_s) * n_s) AS BIGINT)
+                   AS dplus_num,
+               CAST(MAX((gcum - cum_s) * n_s - cum_s * (N - n_s)) AS BIGINT)
+                   AS dminus_num
+        FROM cum CROSS JOIN n GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n_s AS n_source, (N - n_s) AS n_rest,
+           GREATEST(dplus_num, 0) AS dplus_num,
+           GREATEST(dminus_num, 0) AS dminus_num,
+           (GREATEST(dplus_num, 0) + GREATEST(dminus_num, 0))
+               / (CAST(n_s AS DOUBLE) * (N - n_s)) AS v_stat
+    FROM d ORDER BY event_type
+    """,
+    survey="F55,E36,F3",
+)
+def f55_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample statistic per event type vs the rest of the
+    corpus: V = D⁺ + D⁻, the cyclic-invariant refinement of e36's KS —
+    KS's sup|F₁ − F₂| is blind to distributions that differ in BOTH
+    tails with opposite signs (and under-weights the tails generally);
+    Kuiper adds the two one-sided suprema, giving equal sensitivity at
+    every quantile and invariance under cyclic shifts (the classic use:
+    time-of-day/periodic drift, exactly the events workload).
+
+    Machinery is e36's integer grid verbatim: per-(type, value) counts,
+    global value grid via window cumsums, ECDF comparison on the exact
+    integer numerator cum_s·(N−n_s) − (gcum−cum_s)·n_s — D⁺ and D⁻ are
+    its max and the max of its negation (floored at 0: one-sided
+    suprema are nonnegative by F(-∞)=0), and only the final V divides,
+    identically in both engines.
+
+    Scale shape: e36's — one hash agg to the (type × distinct-value)
+    grid, window cumsums on the grid, never a row-level sort."""
+    e = Tables(spark, sf_dir).events
+    counts = (
+        e.groupBy(
+            "event_type", F.round("value").cast("long").alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n_s"))
+    gl = counts.groupBy("v").agg(F.sum("c").alias("gc"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        gl.withColumn("gcum", F.sum("gc").over(wg))
+        .agg(F.sort_array(F.collect_list(F.struct("v", "gcum"))).alias("pts"))
+    )
+    ntot = counts.agg(F.sum("c").alias("N"))
+    grid = (
+        tot.crossJoin(F.broadcast(pts))
+        .select("event_type", "n_s", F.explode("pts").alias("p"))
+        .select(
+            "event_type", "n_s",
+            F.col("p.v").alias("v"), F.col("p.gcum").alias("gcum"),
+        )
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.join(counts, ["event_type", "v"], "left").withColumn(
+        "cum_s", F.sum(F.coalesce(F.col("c"), F.lit(0))).over(ws)
+    )
+    diff = F.col("cum_s") * (F.col("N") - F.col("n_s")) - (
+        F.col("gcum") - F.col("cum_s")
+    ) * F.col("n_s")
+    d = (
+        cum.crossJoin(F.broadcast(ntot))
+        .groupBy("event_type", "n_s", "N")
+        .agg(
+            F.max(diff).cast("long").alias("dp"),
+            F.max(-diff).cast("long").alias("dm"),
+        )
+    )
+    return d.select(
+        "event_type",
+        F.col("n_s").alias("n_source"),
+        (F.col("N") - F.col("n_s")).alias("n_rest"),
+        F.greatest(F.col("dp"), F.lit(0)).alias("dplus_num"),
+        F.greatest(F.col("dm"), F.lit(0)).alias("dminus_num"),
+        (
+            (F.greatest(F.col("dp"), F.lit(0)) + F.greatest(F.col("dm"), F.lit(0)))
+            / (F.col("n_s").cast("double") * (F.col("N") - F.col("n_s")))
+        ).alias("v_stat"),
+    ).orderBy("event_type")
+
+
+@register(
+    "f56_variance_ratio",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ), d1 AS (
+        SELECT event_type,
+               x - LAG(x) OVER (PARTITION BY event_type ORDER BY rn) AS r
+        FROM numbered
+    ), d5 AS (
+        SELECT event_type,
+               x - LAG(x, 5) OVER (PARTITION BY event_type ORDER BY rn) AS r
+        FROM numbered
+    ), s1 AS (
+        SELECT event_type, CAST(COUNT(r) AS BIGINT) AS n1,
+               CAST(SUM(r) AS BIGINT) AS s, CAST(SUM(r * r) AS BIGINT) AS q
+        FROM d1 WHERE r IS NOT NULL GROUP BY 1
+    ), s5 AS (
+        SELECT event_type, CAST(COUNT(r) AS BIGINT) AS n5,
+               CAST(SUM(r) AS BIGINT) AS s, CAST(SUM(r * r) AS BIGINT) AS q
+        FROM d5 WHERE r IS NOT NULL GROUP BY 1
+    )
+    SELECT s1.event_type, s1.n1, s5.n5,
+           (s1.n1 * s1.q - s1.s * s1.s) AS v1_num,
+           (s5.n5 * s5.q - s5.s * s5.s) AS v5_num,
+           -- VR(5) = var(5-day diffs) / (5 * var(1-day diffs)); exact
+           -- integer numerators over n^2 denominators, one shared-IEEE
+           -- division at the end
+           CAST(s5.n5 * s5.q - s5.s * s5.s AS DOUBLE) * s1.n1 * s1.n1
+               / (5.0 * CAST(s1.n1 * s1.q - s1.s * s1.s AS DOUBLE)
+                  * s5.n5 * s5.n5) AS vr5
+    FROM s1 JOIN s5 USING (event_type) ORDER BY event_type
+    """,
+    survey="F56,F26,F2",
+)
+def f56_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio VR(5) per event type over the daily
+    total-cents series — the random-walk diagnostic: under an i.i.d.
+    increment null, the variance of 5-day differences is exactly 5× the
+    variance of 1-day differences, so VR(5) ≈ 1; VR > 1 flags positive
+    serial correlation (trending), VR < 1 mean reversion.  Complements
+    f38's ACF (per-lag correlations) with the single
+    aggregated-horizon statistic the econometrics literature actually
+    tests.
+
+    Exactness: daily sums are integer cents; 1-day and 5-day
+    differences are LAG windows on the integer lattice; each variance
+    is the exact integer numerator n·Σr² − (Σr)² over n²; the single
+    final division is the same IEEE expression from identical integers
+    in both engines.
+
+    Scale shape: one daily pre-agg (the only volume term) then
+    calendar-bounded per-type windows and a 5-row join — f54's daily
+    lattice discipline."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.select(
+        "event_type",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("r1"),
+        (F.col("x") - F.lag("x", 5).over(w)).alias("r5"),
+    )
+    s1 = diffs.where(F.col("r1").isNotNull()).groupBy("event_type").agg(
+        F.count("r1").cast("long").alias("n1"),
+        F.sum("r1").cast("long").alias("s1"),
+        F.sum(F.col("r1") * F.col("r1")).cast("long").alias("q1"),
+    )
+    s5 = diffs.where(F.col("r5").isNotNull()).groupBy("event_type").agg(
+        F.count("r5").cast("long").alias("n5"),
+        F.sum("r5").cast("long").alias("s5"),
+        F.sum(F.col("r5") * F.col("r5")).cast("long").alias("q5"),
+    )
+    return (
+        s1.join(s5, "event_type")
+        .select(
+            "event_type", "n1", "n5",
+            F.expr("n1 * q1 - s1 * s1").alias("v1_num"),
+            F.expr("n5 * q5 - s5 * s5").alias("v5_num"),
+            F.expr(
+                "CAST(n5 * q5 - s5 * s5 AS DOUBLE) * n1 * n1"
+                " / (5.0 * CAST(n1 * q1 - s1 * s1 AS DOUBLE) * n5 * n5)"
+            ).alias("vr5"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f57_cox_stuart_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM daily
+    ), paired AS (
+        -- pair t with t + floor(n/2): first half vs second half, the
+        -- middle element dropped when n is odd
+        SELECT a.event_type,
+               CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS plus,
+               CASE WHEN b.x < a.x THEN 1 ELSE 0 END AS minus
+        FROM numbered a
+        JOIN numbered b ON b.event_type = a.event_type
+                       AND b.rn = a.rn + a.n // 2
+        WHERE a.rn <= a.n // 2
+    )
+    SELECT event_type,
+           CAST(SUM(plus) AS BIGINT) AS n_plus,
+           CAST(SUM(minus) AS BIGINT) AS n_minus,
+           CAST(SUM(plus + minus) AS BIGINT) AS n_pairs,
+           -- sign-test z with identical IEEE spelling in both engines
+           CASE WHEN SUM(plus + minus) > 0
+                THEN (CAST(2 * SUM(plus) - SUM(plus + minus) AS DOUBLE))
+                     / SQRT(CAST(SUM(plus + minus) AS DOUBLE))
+                ELSE NULL END AS z_stat
+    FROM paired GROUP BY event_type ORDER BY event_type
+    """,
+    survey="F57,E47,F2",
+)
+def f57_cox_stuart_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart trend test per event type — the sign test applied to
+    (x_t, x_{t+n/2}) pairs: a monotone trend makes the second half
+    systematically exceed the first.  The assumption-free quick check
+    beside e47's Mann-Kendall (which uses ALL O(n²) pairs; Cox-Stuart
+    uses n/2 independent pairs, trading power for a clean binomial
+    null and O(n) cost).
+
+    Exactness: daily cents are integers; pairing is one self-join on
+    rn + n//2 (ties drop, the standard rule); the z statistic
+    (2·n⁺ − m)/√m is the same IEEE expression from identical integers
+    in both engines.
+
+    Scale shape: daily pre-agg → per-type row numbering → one
+    calendar-bounded equi self-join — no full-series state anywhere."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    numbered = daily.select(
+        "event_type", "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    a = numbered.select(
+        "event_type", F.col("x").alias("xa"), "rn", "n"
+    ).where(F.col("rn") <= F.expr("n DIV 2"))
+    b = numbered.select(
+        F.col("event_type").alias("eb"), F.col("x").alias("xb"),
+        F.col("rn").alias("rnb"),
+    )
+    paired = a.join(
+        b,
+        (F.col("eb") == F.col("event_type"))
+        & (F.col("rnb") == F.col("rn") + F.expr("n DIV 2")),
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_plus"),
+            F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_minus"),
+        )
+        .select(
+            "event_type", "n_plus", "n_minus",
+            (F.col("n_plus") + F.col("n_minus")).alias("n_pairs"),
+            F.expr(
+                "CASE WHEN n_plus + n_minus > 0"
+                " THEN CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)"
+                " / SQRT(CAST(n_plus + n_minus AS DOUBLE))"
+                " ELSE NULL END"
+            ).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f58_kpss_level",
+    oracle="""
+    WITH daily AS (
+        -- daily MEAN cents (truncating): magnitudes independent of
+        -- per-day event volume, the overflow-proof lattice (an n-scaled
+        -- daily-SUM variant left int64 at sf0.1 already — 1000·ΣS² needs
+        -- the 2800x headroom means provide)
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, d, x,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(x) OVER (PARTITION BY event_type)
+                    // COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS mu
+        FROM daily
+    ), partials AS (
+        -- truncating-mean-centered partial sums: residual drift < n per
+        -- step, a DEFINED contract shared by both engines
+        SELECT event_type, n,
+               CAST(SUM(x - mu) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS snum,
+               (x - mu) AS dev
+        FROM numbered
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(snum * snum) AS BIGINT) AS sum_s2,
+           CAST(SUM(dev * dev) AS BIGINT) AS sum_dev2,
+           -- eta = sum(S_t^2) / (n^2 sigma^2) with sigma^2 = sum(dev^2)/n
+           -- => eta_milli = 1000 * sum(S^2) DIV (n * sum(dev^2)), exact
+           CASE WHEN SUM(dev * dev) > 0
+                THEN CAST(1000 * SUM(snum * snum)
+                          // (MAX(n) * SUM(dev * dev)) AS BIGINT)
+                ELSE NULL END AS kpss_milli
+    FROM partials GROUP BY event_type ORDER BY event_type
+    """,
+    survey="F58,F47,F3",
+)
+def f58_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic per event type (Kwiatkowski-
+    Phillips-Schmidt-Shin, lag-0 short-run variance): η = Σ S_t² /
+    (n²·σ̂²) over demeaned partial sums — the null-reversed complement
+    of the unit-root family (KPSS's NULL is stationarity, so it pairs
+    with drift detectors f47/f42 as the 'has the level actually moved'
+    certificate) and the natural closing member of the
+    partial-sum tier (f29 CUSUM accumulates, KPSS squares and
+    normalizes the same walk).
+
+    Exactness + budget (the e119/e118 lesson applied BEFORE shipping:
+    a daily-SUM n-scaled lattice already left int64 at sf0.1): the
+    series is the daily MEAN cents (truncating — volume-independent
+    magnitudes, ≤ max value·100 forever), centering subtracts the
+    truncating integer mean (residual drift < n per step, a defined
+    contract), and η_milli = 1000·ΣS_t² DIV (n·Σdev²) is exact BIGINT
+    with |S_t| ≤ n·max|dev| ≈ 30·5.6e4 ⇒ 1000·ΣS² ≈ 1e17, 90×
+    headroom at any corpus volume.
+
+    Scale shape: daily pre-agg (volume term) → calendar-bounded
+    per-type windows → one agg; no recursion, no pandas."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.expr(
+            "SUM(CAST(ROUND(value * 100) AS BIGINT)) DIV COUNT(*)"
+        ).alias("x")
+    )
+    wp = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = daily.select(
+        "event_type", "d", "x",
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.expr(
+            "SUM(x) OVER (PARTITION BY event_type)"
+            " DIV COUNT(*) OVER (PARTITION BY event_type)"
+        ).alias("mu"),
+    )
+    partials = numbered.select(
+        "event_type", "n",
+        F.sum(F.col("x") - F.col("mu")).over(wcum).alias("snum"),
+        (F.col("x") - F.col("mu")).alias("dev"),
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum(F.col("snum") * F.col("snum")).cast("long").alias("sum_s2"),
+            F.sum(F.col("dev") * F.col("dev")).cast("long").alias("sum_dev2"),
+        )
+        .select(
+            "event_type", "n_days", "sum_s2", "sum_dev2",
+            F.expr(
+                "CASE WHEN sum_dev2 > 0"
+                " THEN CAST(1000 * sum_s2 DIV (n_days * sum_dev2)"
+                " AS BIGINT) ELSE NULL END"
+            ).alias("kpss_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "j132_temperature_sampling",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(string_split(trim(regexp_replace(lower(text),
+                        '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), r AS (
+        -- r_s = isqrt(n_s * 1e6) = 1000*sqrt(n_s) exactly: tau = 1/2
+        -- temperature weights on the exact integer-sqrt lattice
+        SELECT source, n_tokens,
+               {{ISQRT}} AS r_s
+        FROM toks
+    ), tot AS (
+        SELECT CAST(SUM(r_s) AS BIGINT) AS r_tot,
+               CAST(SUM(n_tokens) AS BIGINT) AS t_tot
+        FROM r
+    )
+    SELECT source, n_tokens, r_s,
+           CAST(1000000 * r_s // r_tot AS BIGINT) AS w_ppm,
+           -- effective epochs over one full-corpus pass at the weighted
+           -- mixture: epochs = w_s * T_total / n_s (milli)
+           CAST(1000 * r_s * (t_tot // 1000) // GREATEST(r_tot // 1000, 1)
+                // n_tokens AS BIGINT) AS epochs_milli
+    FROM r CROSS JOIN tot ORDER BY source
+    """.replace("{ISQRT}", _f15_isqrt_sql("(n_tokens * 1000000)")),
+    survey="J132,J43,J8",
+)
+def j132_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights at τ = 1/2 — the
+    standard multilingual/multi-source LM recipe (sample source s with
+    probability ∝ n_s^τ, τ < 1 upweighting low-resource sources; mC4,
+    PaLM and XLM-R all train on exactly this family): per-source token
+    counts → w_s ∝ √n_s → parts-per-million weights plus the quantity
+    an engineer actually budgets with, the EFFECTIVE EPOCH count
+    (w_s·T/n_s — how many times the weighted mixture passes over each
+    source per corpus-sized batch; small sources repeat, the known
+    overfitting dial).  Complements j43 (who samples) and j122 (token
+    budgets) with the WEIGHTING law itself.
+
+    Exactness: τ = 1/2 makes the power an integer sqrt —
+    r_s = isqrt(n_s·10⁶) = 1000·√n_s EXACTLY via the shared adjusted
+    FLOOR∘SQRT template — so weights are pure integer ratios; the
+    epoch division ladder pre-shrinks T and R by 1000 each (documented
+    truncation, keeps r_s·T inside int64 for corpora to ~10¹³ tokens).
+
+    Scale shape: one tokenize scan (the volume term) → per-source agg
+    (≤ sources rows) → two 1-row folds; the weighting is free at any
+    corpus size."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    r = toks.select(
+        "source", "n_tokens",
+        F.expr(_isqrt_spark("(n_tokens * 1000000)")).alias("r_s"),
+    )
+    tot = r.agg(
+        F.sum("r_s").cast("long").alias("r_tot"),
+        F.sum("n_tokens").cast("long").alias("t_tot"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_tokens", "r_s",
+            F.expr("CAST(1000000 * r_s DIV r_tot AS BIGINT)").alias("w_ppm"),
+            F.expr(
+                "CAST(1000 * r_s * (t_tot DIV 1000) DIV GREATEST(r_tot DIV 1000, 1)"
+                " DIV n_tokens AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# NetworkTopologyStrategy fixture ring: 12 vnode positions on a 1200-token
+# ring (position p owns tokens [100*p, 100*(p+1))); node placement is
+# deliberately NOT rack-alternating so the rack-aware walk must actually
+# SKIP same-rack neighbours (positions 0-1 share rack 0 via nodes 0 and 3).
+_B22_RING = (
+    # (position, node); rack = node % 3
+    (0, 0), (1, 3), (2, 1), (3, 4), (4, 2), (5, 5),
+    (6, 0), (7, 1), (8, 3), (9, 2), (10, 4), (11, 5),
+)
+_B22_RING_SQL = ", ".join(f"({p}, {n}, {n % 3})" for p, n in _B22_RING)
+
+
+@register(
+    "b22_rack_aware_placement",
+    oracle=f"""
+    WITH ring(pos, node, rack) AS (VALUES {_B22_RING_SQL}),
+    keyed AS (
+        SELECT l_orderkey % 1200 AS token,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), walk AS (
+        -- clockwise walk from each key's segment: distance in ring
+        -- positions, wrapping modulo 12
+        SELECT k.token, k.cents, r.node, r.rack,
+               (r.pos - (k.token // 100) + 12) % 12 AS dist
+        FROM keyed k CROSS JOIN ring r
+    ), first_per_rack AS (
+        -- NetworkTopologyStrategy, RF = 3 = #racks: the replica set is
+        -- the FIRST node of each rack in walk order
+        SELECT token, cents, node, rack, dist,
+               ROW_NUMBER() OVER (PARTITION BY token, cents, rack
+                                  ORDER BY dist) AS rk
+        FROM walk
+    )
+    SELECT node, CAST(node % 3 AS BIGINT) AS rack,
+           CAST(COUNT(*) AS BIGINT) AS n_replica_rows,
+           CAST(SUM(cents) AS BIGINT) AS bytes_proxy_cents,
+           CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_primary_rows
+    FROM first_per_rack WHERE rk = 1
+    GROUP BY node ORDER BY node
+    """,
+    survey="B22,B1,B13",
+)
+def b22_rack_aware_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rack-aware replica placement (NetworkTopologyStrategy, single DC,
+    RF = 3 over 3 racks) — the placement rule b1/b13/b21's
+    SimpleStrategy tier cannot state: replicas are NOT the next RF
+    nodes clockwise but the first node of EACH RACK encountered
+    clockwise, so two adjacent same-rack vnodes never hold the same
+    partition (the rack-failure-domain guarantee `nodetool status`
+    reports as effective ownership).  The 12-vnode fixture ring
+    deliberately places same-rack nodes adjacently (positions 0-1 are
+    both rack 0), so the walk MUST skip — a ring where racks alternate
+    would make the naive next-RF rule accidentally correct and prove
+    nothing (the j125 discrimination rule).
+
+    With RF = #racks the greedy rack-aware walk reduces EXACTLY to
+    'first node per rack in walk order' — a rank-1-per-rack window over
+    the key×ring cross, no recursion (the general RF < #racks walk
+    would need the b17-class lockstep; documented boundary).  Output:
+    per-node replicated row count, bytes proxy, and primary-range rows
+    (dist = 0), the balance sheet a capacity planner reads.
+
+    Scale shape: the ring is a 12-row VALUES literal — the key×ring
+    cross is a broadcast of 12 rows (Σ 12·|keys|, then rank-filtered),
+    and every aggregate distributes on the token; placement never
+    needs driver state.  Law pinned in tests: every token gets exactly
+    3 replicas on 3 distinct racks."""
+    li = Tables(spark, sf_dir).lineitem
+    ring = spark.createDataFrame(
+        [(p, n, n % 3) for p, n in _B22_RING], "pos int, node int, rack int"
+    )
+    keyed = li.select(
+        (F.col("l_orderkey") % 1200).alias("token"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    walk = keyed.crossJoin(F.broadcast(ring)).select(
+        "token", "cents", "node", "rack",
+        ((F.col("pos") - (F.col("token") / 100).cast("int") + 12) % 12).alias("dist"),
+    )
+    w = Window.partitionBy("token", "cents", "rack").orderBy("dist")
+    fpr = walk.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        fpr.groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_replica_rows"),
+            F.sum("cents").cast("long").alias("bytes_proxy_cents"),
+            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_primary_rows"),
+        )
+        .select(
+            "node",
+            (F.col("node") % 3).cast("long").alias("rack"),
+            "n_replica_rows", "bytes_proxy_cents", "n_primary_rows",
+        )
+        .orderBy("node")
+    )
+
+
+@register(
+    "sql_api_identifier",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    survey="SQL-7,SQL-3,E2",
+)
+def sql_api_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (§3.3 API depth, SQL-7): the query text
+    parameterizes TABLE AND COLUMN NAMES — not just values (SQL-3's
+    named parameters) — through the identifier-safe constructor, the
+    injection-proof front door for templated analytics over dynamic
+    schemas ('group this table by that column') that string-formatted
+    SQL does with quoting bugs.  Binding happens at parse time, so
+    Catalyst sees ordinary references: same pushed filters, same plan
+    as the inlined query; a value that is not a valid identifier is a
+    parse error, never an injection.
+
+    The oracle states the same query with the identifiers inlined."""
+    from cassandra_snap_to_hadoop_spark.io import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cs2h_orders_ident")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(IDENTIFIER(:val_col) * 100) AS BIGINT))
+                   AS total_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={
+            "grp_col": "o_orderpriority",
+            "val_col": "o_totalprice",
+            "tbl": "cs2h_orders_ident",
+        },
+    )

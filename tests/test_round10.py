@@ -1,0 +1,348 @@
+"""Round-10 pins: independent pure-Python third implementations of the
+batch-2 depth operators (e122 Mood, e123 Hodges-Lehmann, e124
+Jonckheere-Terpstra, f55 Kuiper, f56 variance ratio, f57 Cox-Stuart,
+f58 KPSS, j132 temperature weights, b22 rack-aware placement) so a
+Spark+DuckDB twin bug cannot hide behind a matching hash.  Everything
+is recomputed from the raw parquet with math.isqrt / Fraction as the
+independent exact tier; integer outputs assert EXACT equality.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from cassandra_snap_to_hadoop_spark.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _quantities():
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linenumber", "l_quantity", "l_partkey"],
+    )
+    return list(
+        zip(
+            t.column(0).to_pylist(),
+            t.column(1).to_pylist(),
+            (int(q) for q in t.column(2).to_pylist()),
+            t.column(3).to_pylist(),
+        )
+    )
+
+
+def _daily_cents_mean(spark):
+    """(type -> ordered daily mean-cents list) replayed independently."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    per: dict[str, dict[int, list[int]]] = defaultdict(lambda: defaultdict(list))
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        d = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        cents = int(Decimal(v * 100).quantize(Decimal(1), ROUND_HALF_UP))
+        per[et][d].append(cents)
+    out = {}
+    for et, days in per.items():
+        out[et] = [sum(cs) // len(cs) for _, cs in sorted(days.items())]
+    return out
+
+
+def test_e122_mood_matches_python(spark):
+    rows = _quantities()
+    hist: dict[str, Counter] = defaultdict(Counter)
+    for grp, _, q, _ in rows:
+        hist[grp][q] += 1
+    pooled = Counter()
+    for h in hist.values():
+        pooled.update(h)
+    n = sum(pooled.values())
+    cum = 0
+    for v in sorted(pooled):
+        cum += pooled[v]
+        if 2 * cum >= n:
+            m = v
+            break
+    cells = {
+        g: (
+            sum(c for v, c in h.items() if v > m),
+            sum(c for v, c in h.items() if v <= m),
+        )
+        for g, h in hist.items()
+    }
+    ta_tot = sum(a for a, _ in cells.values())
+    tb_tot = sum(b for _, b in cells.values())
+    want = {}
+    for g, (a, b) in cells.items():
+        r = a + b
+
+        def tdiv(x, y):
+            q = abs(x) // y
+            return q if x >= 0 else -q
+
+        t_above = tdiv(1000 * (a * n - r * ta_tot), math.isqrt(n * r * ta_tot))
+        t_below = tdiv(1000 * (b * n - r * tb_tot), math.isqrt(n * r * tb_tot))
+        want[g] = (a, b, (t_above * t_above + t_below * t_below) // 1000)
+    got = {
+        r.grp: (r.above, r.at_or_below, r.chi2_contrib_milli)
+        for r in REGISTRY["e122_mood_median_test"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_e123_hl_recovers_injected_shift(spark):
+    rows = _quantities()
+    hx = Counter(q + pk % 7 for g, _, q, pk in rows if g == "R")
+    hy = Counter(q for g, _, q, _ in rows if g == "A")
+    diffs = Counter()
+    for vx, cx in hx.items():
+        for vy, cy in hy.items():
+            diffs[vx - vy] += cx * cy
+    n_pairs = sum(diffs.values())
+    cum = 0
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if 2 * cum >= n_pairs:
+            hl = d
+            break
+    (r,) = REGISTRY["e123_hodges_lehmann"].fn(spark, SF).collect()
+    assert (r.n_x, r.n_y, r.n_pairs, r.hl_shift) == (
+        sum(hx.values()), sum(hy.values()), n_pairs, hl,
+    )
+    # the injected uniform 0..6 shift has median 3 — the estimator must
+    # recover the known truth (fixture-discrimination pin)
+    assert r.hl_shift == 3
+
+
+def test_e124_jt_matches_brute_force_and_is_positive(spark):
+    rows = _quantities()
+    groups: dict[int, list[int]] = defaultdict(list)
+    for _, ln, q, _ in rows:
+        if ln <= 4:
+            groups[ln].append(q + ln - 1)
+    # brute 2U over all ordered group pairs via histograms (exact)
+    u2 = 0
+    for gi in sorted(groups):
+        for gj in sorted(groups):
+            if gi >= gj:
+                continue
+            ha, hb = Counter(groups[gi]), Counter(groups[gj])
+            for va, ca in ha.items():
+                for vb, cb in hb.items():
+                    if va < vb:
+                        u2 += 2 * ca * cb
+                    elif va == vb:
+                        u2 += ca * cb
+    sizes = [len(v) for v in groups.values()]
+    n = sum(sizes)
+    mu4 = n * n - sum(s * s for s in sizes)
+    var72 = n * n * (2 * n + 3) - sum(s * s * (2 * s + 3) for s in sizes)
+    (r,) = REGISTRY["e124_jonckheere_terpstra"].fn(spark, SF).collect()
+    assert (r.u2, r.mu4, r.var72) == (u2, mu4, var72)
+    z = ((2 * u2 - mu4) / 4.0) / math.sqrt(var72 / 72.0)
+    assert abs(r.z_stat - z) < 1e-9
+    # injected +g-1 monotone shift: the trend must be detected
+    assert r.z_stat > 3.0
+
+
+def test_f55_kuiper_dominates_ks_and_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    hist: dict[str, Counter] = defaultdict(Counter)
+    for et, v in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        hist[et][int(Decimal(v).quantize(Decimal(1), ROUND_HALF_UP))] += 1
+    grid = sorted({v for h in hist.values() for v in h})
+    n_tot = sum(sum(h.values()) for h in hist.values())
+    want = {}
+    for et, h in hist.items():
+        n_s = sum(h.values())
+        cum_s = cum_g = 0
+        dp = dm = 0
+        for v in grid:
+            cum_s += h.get(v, 0)
+            cum_g += sum(hh.get(v, 0) for hh in hist.values())
+            diff = cum_s * (n_tot - n_s) - (cum_g - cum_s) * n_s
+            dp, dm = max(dp, diff), max(dm, -diff)
+        want[et] = (n_s, n_tot - n_s, dp, dm)
+    got = {}
+    for r in REGISTRY["f55_kuiper_two_sample"].fn(spark, SF).collect():
+        got[r.event_type] = (r.n_source, r.n_rest, r.dplus_num, r.dminus_num)
+        # law: V >= KS's sup|diff| (V = D+ + D- >= max(D+, D-))
+        assert r.dplus_num + r.dminus_num >= max(r.dplus_num, r.dminus_num)
+        assert r.v_stat >= 0
+    assert got == want
+
+
+def test_f56_variance_ratio_matches_python(spark):
+    # the query uses daily SUM cents (not f58's means) — replay with sums
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    per: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        d = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        per[et][d] += int(Decimal(v * 100).quantize(Decimal(1), ROUND_HALF_UP))
+    want = {}
+    for et, days in per.items():
+        xs = [x for _, x in sorted(days.items())]
+        r1 = [b - a for a, b in zip(xs, xs[1:])]
+        r5 = [xs[i] - xs[i - 5] for i in range(5, len(xs))]
+        v1 = len(r1) * sum(r * r for r in r1) - sum(r1) ** 2
+        v5 = len(r5) * sum(r * r for r in r5) - sum(r5) ** 2
+        want[et] = (len(r1), len(r5), v1, v5)
+    got = {}
+    for r in REGISTRY["f56_variance_ratio"].fn(spark, SF).collect():
+        got[r.event_type] = (r.n1, r.n5, r.v1_num, r.v5_num)
+        n1, n5, v1, v5 = want[r.event_type]
+        z = (v5 * n1 * n1) / (5.0 * v1 * n5 * n5)
+        assert abs(r.vr5 - z) < 1e-9
+    assert got == want
+
+
+def test_f57_cox_stuart_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    per: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        d = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        per[et][d] += int(Decimal(v * 100).quantize(Decimal(1), ROUND_HALF_UP))
+    want = {}
+    for et, days in per.items():
+        xs = [x for _, x in sorted(days.items())]
+        h = len(xs) // 2
+        plus = sum(1 for i in range(h) if xs[i + h] > xs[i])
+        minus = sum(1 for i in range(h) if xs[i + h] < xs[i])
+        want[et] = (plus, minus, plus + minus)
+    got = {
+        r.event_type: (r.n_plus, r.n_minus, r.n_pairs)
+        for r in REGISTRY["f57_cox_stuart_trend"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_f58_kpss_matches_python_and_nonnegative(spark):
+    series = _daily_cents_mean(spark)
+    want = {}
+    for et, xs in series.items():
+        n = len(xs)
+        mu = sum(xs) // n
+        devs = [x - mu for x in xs]
+        s = 0
+        snums = []
+        for dv in devs:
+            s += dv
+            snums.append(s)
+        sum_s2 = sum(v * v for v in snums)
+        sum_dev2 = sum(v * v for v in devs)
+        eta = 1000 * sum_s2 // (n * sum_dev2) if sum_dev2 > 0 else None
+        want[et] = (n, sum_s2, sum_dev2, eta)
+    got = {}
+    for r in REGISTRY["f58_kpss_level"].fn(spark, SF).collect():
+        got[r.event_type] = (r.n_days, r.sum_s2, r.sum_dev2, r.kpss_milli)
+        assert r.kpss_milli is None or r.kpss_milli >= 0
+    assert got == want
+
+
+def test_j132_weights_match_python_and_sum_to_unit(spark):
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    ntok: Counter = Counter()
+    for src, txt in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        ntok[src] += len(re.sub(r"\s+", " ", txt.lower()).strip().split(" "))
+    r_s = {s: math.isqrt(n * 1_000_000) for s, n in ntok.items()}
+    r_tot, t_tot = sum(r_s.values()), sum(ntok.values())
+    got = {}
+    for r in REGISTRY["j132_temperature_sampling"].fn(spark, SF).collect():
+        got[r.source] = (r.n_tokens, r.r_s, r.w_ppm, r.epochs_milli)
+    want = {
+        s: (
+            ntok[s],
+            r_s[s],
+            1_000_000 * r_s[s] // r_tot,
+            1000 * r_s[s] * (t_tot // 1000) // max(r_tot // 1000, 1) // ntok[s],
+        )
+        for s in ntok
+    }
+    assert got == want
+    total_ppm = sum(v[2] for v in got.values())
+    # floor rounding loses < 1 ppm per source
+    assert 1_000_000 - len(got) <= total_ppm <= 1_000_000
+
+
+def test_b22_placement_laws(spark):
+    """Every token's replica set: exactly 3 nodes, 3 DISTINCT racks, and
+    the primary (dist 0 segment owner) is among them — replayed from the
+    fixture ring in pure Python over all 12 segments."""
+    from cassandra_snap_to_hadoop_spark.queries.round10 import _B22_RING
+
+    ring = list(_B22_RING)
+
+    def replicas(segment: int):
+        byrack = {}
+        for pos, node in sorted(ring, key=lambda pn: (pn[0] - segment) % 12):
+            rack = node % 3
+            if rack not in byrack:
+                byrack[rack] = node
+        return byrack
+
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    per_node = Counter()
+    per_node_cents = Counter()
+    per_node_primary = Counter()
+    for ok, price in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        seg = (ok % 1200) // 100
+        cents = int(Decimal(price * 100).quantize(Decimal(1), ROUND_HALF_UP))
+        byrack = replicas(seg)
+        assert len(byrack) == 3 and len(set(byrack.values())) == 3
+        primary = next(
+            node for pos, node in sorted(ring, key=lambda pn: (pn[0] - seg) % 12)
+        )
+        for node in byrack.values():
+            per_node[node] += 1
+            per_node_cents[node] += cents
+        per_node_primary[primary] += 1
+    got = {
+        r.node: (r.rack, r.n_replica_rows, r.bytes_proxy_cents, r.n_primary_rows)
+        for r in REGISTRY["b22_rack_aware_placement"].fn(spark, SF).collect()
+    }
+    for node, (rack, n, cents, prim) in got.items():
+        assert rack == node % 3
+        assert n == per_node[node]
+        assert cents == per_node_cents[node]
+        assert prim == per_node_primary[node]
+    # total replica rows = 3x the table (RF = 3)
+    assert sum(v[1] for v in got.values()) == 3 * t.num_rows
+
+
+def test_sql_identifier_binding_equals_inline(spark):
+    """IDENTIFIER() binding must produce exactly the inline query's
+    result (parse-time substitution, not runtime string splicing)."""
+    got = {
+        r.grp: (r.n, r.total_cents)
+        for r in REGISTRY["sql_api_identifier"].fn(spark, SF).collect()
+    }
+    inline = {
+        r.grp: (r.n, r.total_cents)
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority AS grp, COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM cs2h_orders_ident GROUP BY 1 ORDER BY 1
+            """
+        ).collect()
+    }
+    assert got == inline
