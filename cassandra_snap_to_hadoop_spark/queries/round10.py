@@ -1411,3 +1411,460 @@ def sql_api_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbl": "cs2h_orders_ident",
         },
     )
+
+
+@register(
+    "e125_cliffs_delta",
+    oracle="""
+    WITH hx AS (
+        SELECT CAST(l_quantity AS BIGINT) + l_partkey % 7 AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), hy AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), cross_counts AS (
+        SELECT CAST(SUM(CASE WHEN hx.v > hy.v THEN hx.c * hy.c ELSE 0 END)
+                    AS BIGINT) AS gt,
+               CAST(SUM(CASE WHEN hx.v < hy.v THEN hx.c * hy.c ELSE 0 END)
+                    AS BIGINT) AS lt,
+               CAST(SUM(CASE WHEN hx.v = hy.v THEN hx.c * hy.c ELSE 0 END)
+                    AS BIGINT) AS eq
+        FROM hx CROSS JOIN hy
+    )
+    SELECT gt, lt, eq, (gt + lt + eq) AS n_pairs,
+           CAST(1000 * (gt - lt) // (gt + lt + eq) AS BIGINT) AS delta_milli
+    FROM cross_counts
+    """,
+    survey="E125,E45,E100",
+)
+def e125_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between the shifted-'R' and 'A' quantity samples —
+    the ORDINAL effect size the parametric tier (e100's Cohen's d)
+    mis-states for non-normal data: δ = P(x>y) − P(x<y), the
+    probability-of-superiority difference, invariant to any monotone
+    transform and the standard companion to a Mann-Whitney rejection
+    ("significant, but how big?"; |δ| < .147 negligible / .33 small /
+    .474 medium per Romano's thresholds).  Same injected +0..6 shift as
+    e123, so the known truth is a positive medium-size δ — the pinned
+    discrimination.
+
+    Exactness: the ≤57×50 histogram cross counts gt/lt/eq pairs as
+    exact BIGINTs (never materializing n_x·n_y rows) and
+    δ_milli = 1000·(gt − lt) DIV n_pairs is pure integer.
+
+    Scale shape: e123's — two histogram aggs on the value lattice, a
+    broadcast cross, one fold; pair term is domain², never n²."""
+    li = Tables(spark, sf_dir).lineitem
+    hx = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(
+            (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hy = (
+        li.where(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cx = hx.select(F.col("v").alias("vx"), F.col("c").alias("cx")).crossJoin(
+        F.broadcast(hy.select(F.col("v").alias("vy"), F.col("c").alias("cy")))
+    )
+    return cx.agg(
+        F.sum(F.when(F.col("vx") > F.col("vy"), F.col("cx") * F.col("cy")).otherwise(0))
+        .cast("long")
+        .alias("gt"),
+        F.sum(F.when(F.col("vx") < F.col("vy"), F.col("cx") * F.col("cy")).otherwise(0))
+        .cast("long")
+        .alias("lt"),
+        F.sum(F.when(F.col("vx") == F.col("vy"), F.col("cx") * F.col("cy")).otherwise(0))
+        .cast("long")
+        .alias("eq"),
+    ).select(
+        "gt", "lt", "eq",
+        (F.col("gt") + F.col("lt") + F.col("eq")).alias("n_pairs"),
+        F.expr("CAST(1000 * (gt - lt) DIV (gt + lt + eq) AS BIGINT)").alias(
+            "delta_milli"
+        ),
+    )
+
+
+# f59's per-window detrended RSS on the dollar-profile lattice:
+# RSS = (N1*D - N2^2) / (w*D) with N1 = w*Syy - Sy^2, N2 = w*Sky - Sk*Sy,
+# D = w*Skk - Sk^2 (the pure-k moment, constant per w).  ln(3)^-1 ladder
+# shared with f54.
+_F59_LN9 = "CAST('2.1972245773362196' AS DOUBLE)"  # ln(9) = 2*ln(3)
+
+
+@register(
+    "f59_dfa_alpha",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // COUNT(*) // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               CAST(SUM(x) OVER (PARTITION BY event_type)
+                    // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS mu
+        FROM daily
+    ), profile AS (
+        -- DFA step 1: the integrated mean-centered profile
+        SELECT event_type, rn,
+               CAST(SUM(x - mu) OVER (PARTITION BY event_type ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS y
+        FROM numbered
+    ), winsz AS (SELECT unnest([8, 24]) AS w), cells AS (
+        SELECT p.event_type, ws.w, (p.rn - 1) // ws.w AS wid,
+               ((p.rn - 1) % ws.w) + 1 AS k, p.y
+        FROM profile p CROSS JOIN winsz ws
+    ), complete AS (
+        SELECT event_type, w, wid FROM cells
+        GROUP BY 1, 2, 3 HAVING COUNT(*) = w
+    ), wstats AS (
+        SELECT c.event_type, c.w, c.wid,
+               CAST(SUM(c.y) AS BIGINT) AS sy,
+               CAST(SUM(c.y * c.y) AS BIGINT) AS syy,
+               CAST(SUM(c.k * c.y) AS BIGINT) AS sky,
+               CAST(SUM(c.k) AS BIGINT) AS sk,
+               CAST(SUM(c.k * c.k) AS BIGINT) AS skk
+        FROM cells c JOIN complete USING (event_type, w, wid)
+        GROUP BY 1, 2, 3
+    ), rss AS (
+        -- micro-scaled per-window detrended RSS (exact integer ladder)
+        SELECT event_type, w,
+               CAST(1000000 * ((w * syy - sy * sy) * (w * skk - sk * sk)
+                               - (w * sky - sk * sy) * (w * sky - sk * sy))
+                    // (w * (w * skk - sk * sk)) AS BIGINT) AS rss_micro
+        FROM wstats
+    ), agg AS (
+        SELECT event_type, w,
+               CAST(SUM(rss_micro) // COUNT(*) AS BIGINT) AS f2,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM rss GROUP BY 1, 2
+    ), wide AS (
+        SELECT a8.event_type, a8.f2 AS f2_w8, a8.n_windows AS n_w8,
+               a24.f2 AS f2_w24, a24.n_windows AS n_w24
+        FROM (SELECT * FROM agg WHERE w = 8) a8
+        JOIN (SELECT * FROM agg WHERE w = 24) a24 USING (event_type)
+    )
+    SELECT event_type, n_w8, f2_w8, n_w24, f2_w24,
+           CASE WHEN f2_w8 > 0 AND f2_w24 > 0
+                THEN CAST(ROUND(1000 * LN(CAST(f2_w24 AS DOUBLE) / f2_w8)
+                          / {_F59_LN9}) AS BIGINT)
+                ELSE NULL END AS dfa_alpha_milli
+    FROM wide ORDER BY event_type
+    """,
+    survey="F59,F54,E41",
+)
+def f59_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (Peng et al. 1994) per event type
+    — f54's Hurst R/S with the detrending step that makes the exponent
+    robust to NON-STATIONARY trends (the reason DFA displaced R/S in
+    physiology and network telemetry): integrate the mean-centered
+    daily series into a profile, split into windows of w ∈ {{8, 24}},
+    LINEARLY DETREND each window (per-window OLS — e41's sufficient-
+    statistic normal equations), and read the scaling exponent α from
+    F²(24)/F²(8) on the ln(3) ladder (24/8 = 3, the f54 rule;
+    α ≈ 0.5 uncorrelated, > 0.5 persistent, ≈ 1.5 Brownian).
+
+    Exactness: the profile rides a DOLLAR lattice (daily mean cents
+    DIV 100 — the f58-class budget decision: cent profiles push
+    N2² ≈ (w·Sky)² past int64, dollars give 150× headroom), and the
+    per-window residual sum of squares is the exact integer ladder
+    RSS·(w·D) = (w·Syy − Sy²)·D − (w·Sky − Sk·Sy)² with
+    D = w·Skk − Sk² the pure-k moment — micro-scaled by ONE division.
+    Only the final α takes a ln, as the same IEEE expression from
+    identical integers (the f54 ladder verbatim, ln(9) a shared string
+    literal per the e84 decimal rule).
+
+    Scale shape: f54's — daily pre-agg (the volume term) →
+    calendar-bounded per-(type, w, window) cells → hash aggs; windows =
+    types × days ÷ w, flat in corpus volume (the f54 probe's axis)."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.expr(
+            "SUM(CAST(ROUND(value * 100) AS BIGINT)) DIV COUNT(*) DIV 100"
+        ).alias("x")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = daily.select(
+        "event_type", "x",
+        F.row_number().over(wo).alias("rn"),
+        F.expr(
+            "SUM(x) OVER (PARTITION BY event_type)"
+            " DIV COUNT(*) OVER (PARTITION BY event_type)"
+        ).alias("mu"),
+    )
+    profile = numbered.select(
+        "event_type", "rn",
+        F.sum(F.col("x") - F.col("mu"))
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("y"),
+    )
+    winsz = spark.range(2).select(
+        F.when(F.col("id") == 0, 8).otherwise(24).cast("long").alias("w")
+    )
+    cells = profile.crossJoin(F.broadcast(winsz)).select(
+        "event_type", "w",
+        F.expr("(rn - 1) DIV w").alias("wid"),
+        F.expr("((rn - 1) % w) + 1").alias("k"),
+        "y",
+    )
+    complete = (
+        cells.groupBy("event_type", "w", "wid")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") == F.col("w"))
+        .drop("cnt")
+    )
+    wstats = (
+        cells.join(complete, ["event_type", "w", "wid"])
+        .groupBy("event_type", "w", "wid")
+        .agg(
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("k") * F.col("y")).cast("long").alias("sky"),
+            F.sum("k").cast("long").alias("sk"),
+            F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+        )
+    )
+    rss = wstats.select(
+        "event_type", "w",
+        F.expr(
+            "CAST(1000000 * ((w * syy - sy * sy) * (w * skk - sk * sk)"
+            " - (w * sky - sk * sy) * (w * sky - sk * sy))"
+            " DIV (w * (w * skk - sk * sk)) AS BIGINT)"
+        ).alias("rss_micro"),
+    )
+    agg = rss.groupBy("event_type", "w").agg(
+        F.expr("CAST(SUM(rss_micro) DIV COUNT(*) AS BIGINT)").alias("f2"),
+        F.count("*").cast("long").alias("n_windows"),
+    )
+    a8 = agg.where(F.col("w") == 8).select(
+        "event_type", F.col("f2").alias("f2_w8"), F.col("n_windows").alias("n_w8")
+    )
+    a24 = agg.where(F.col("w") == 24).select(
+        "event_type", F.col("f2").alias("f2_w24"), F.col("n_windows").alias("n_w24")
+    )
+    return (
+        a8.join(a24, "event_type")
+        .select(
+            "event_type", "n_w8", "f2_w8", "n_w24", "f2_w24",
+            F.expr(
+                "CASE WHEN f2_w8 > 0 AND f2_w24 > 0"
+                " THEN CAST(ROUND(1000 * LN(CAST(f2_w24 AS DOUBLE) / f2_w8)"
+                f" / {_F59_LN9}) AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("dfa_alpha_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "b23_vnode_ownership",
+    oracle="""
+    WITH cfg(n_vnodes) AS (VALUES (1), (16)),
+    vnodes AS (
+        -- 6 nodes x V vnodes; token = md5-derived 60-bit position, the
+        -- b13/j64 md5 lattice (deterministic, both engines identical)
+        SELECT cfg.n_vnodes, n.n AS node, v.v AS vnode,
+               CAST(CAST(('0x' || substr(md5('vn-' || n.n || '-' || v.v),
+                                         1, 15)) AS UBIGINT) AS BIGINT)
+                   AS token
+        FROM cfg,
+             (SELECT unnest(range(0, 6)) AS n) n,
+             (SELECT unnest(range(0, 16)) AS v) v
+        WHERE v.v < cfg.n_vnodes
+    ), gaps AS (
+        -- ownership of a vnode = clockwise gap from its PREDECESSOR on
+        -- the 2^60 ring (wraparound handled by adding the ring size to
+        -- the first token's gap)
+        SELECT n_vnodes, node, token,
+               token - COALESCE(LAG(token) OVER (PARTITION BY n_vnodes
+                                                 ORDER BY token),
+                                MAX(token) OVER (PARTITION BY n_vnodes)
+                                - (CAST(1 AS BIGINT) << 60))
+                   AS owned
+        FROM vnodes
+    ), per_node AS (
+        SELECT n_vnodes, node,
+               CAST(SUM(owned) AS BIGINT) AS owned_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vnode_count
+        FROM gaps GROUP BY 1, 2
+    )
+    SELECT n_vnodes, node, vnode_count,
+           -- divide-first ppm: 1e6*owned overflows int64 (owned can be
+           -- ~2^60); ppm = owned DIV (2^60 DIV 1e6), defined identically
+           -- in both engines
+           CAST(owned_tokens // ((CAST(1 AS BIGINT) << 60) // 1000000)
+                AS BIGINT) AS owned_ppm
+    FROM per_node ORDER BY n_vnodes, node
+    """,
+    survey="B23,B13,B21",
+)
+def b23_vnode_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vnode ownership variance — WHY Cassandra defaults to virtual
+    nodes: with one token per node, random placement gives wildly
+    unequal ring shares (the max/min ownership ratio can be several×);
+    with V vnodes per node each node's share is a SUM of V independent
+    gaps, and the relative spread shrinks ~1/√V — `nodetool status`'s
+    'Owns %' column, computed from first principles.  Both configs
+    (V = 1 and V = 16 — 16 is Cassandra 4.0's num_tokens default) for
+    the same 6 nodes on one md5-derived 60-bit ring, so the
+    variance-reduction law is visible in one relation (and pinned in
+    tests: ppm spread at V=16 strictly below V=1; the law is
+    statistical, and V=4 on THIS draw actually violates it — which is
+    exactly why the default moved to 16, not 4).
+
+    Exactness: tokens are the b13/j64 md5 60-bit lattice (identical
+    text → identical token in both engines); ownership is the clockwise
+    gap to the predecessor with the wraparound gap assigned to the
+    first token; ppm by integer division of 2^60.  Zero floats.
+
+    Scale shape: the ring is 6–96 rows — everything is KB; the
+    operator exists for its LAW, not its volume (the placement itself
+    applied to data is b1/b21/b22's job)."""
+    cfg = spark.range(2).select(
+        F.when(F.col("id") == 0, 1).otherwise(16).cast("int").alias("n_vnodes")
+    )
+    nodes = spark.range(6).select(F.col("id").cast("int").alias("node"))
+    vn = spark.range(16).select(F.col("id").cast("int").alias("vnode"))
+    vnodes = (
+        cfg.crossJoin(nodes)
+        .crossJoin(vn)
+        .where(F.col("vnode") < F.col("n_vnodes"))
+        .select(
+            "n_vnodes", "node", "vnode",
+            F.expr(
+                "CAST(CONV(substr(md5(CONCAT('vn-', node, '-', vnode)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("token"),
+        )
+    )
+    wr = Window.partitionBy("n_vnodes").orderBy("token")
+    wall = Window.partitionBy("n_vnodes")
+    gaps = vnodes.select(
+        "n_vnodes", "node", "token",
+        (
+            F.col("token")
+            - F.coalesce(
+                F.lag("token").over(wr),
+                F.max("token").over(wall) - F.expr("CAST(1 AS BIGINT) << 60"),
+            )
+        ).alias("owned"),
+    )
+    return (
+        gaps.groupBy("n_vnodes", "node")
+        .agg(
+            F.sum("owned").cast("long").alias("owned_tokens"),
+            F.count("*").cast("long").alias("vnode_count"),
+        )
+        .select(
+            "n_vnodes", "node", "vnode_count",
+            F.expr(
+                "CAST(owned_tokens DIV ((CAST(1 AS BIGINT) << 60)"
+                " DIV 1000000) AS BIGINT)"
+            ).alias("owned_ppm"),
+        )
+        .orderBy("n_vnodes", "node")
+    )
+
+
+# a43's fixture is SF-INDEPENDENT (deterministic synthetic content at a
+# fixed scratch path) because the oracle's parquet_metadata() needs a
+# literal file path — the registry oracle string carries no sf_dir
+# substitution by design.
+_A43_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parents[2]
+    / ".scratch"
+    / "a43_rowgroup_fixture.parquet"
+)
+
+
+def _stage_a43_fixture() -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(_A43_FIXTURE):
+        return _A43_FIXTURE
+    os.makedirs(os.path.dirname(_A43_FIXTURE), exist_ok=True)
+    n = 60_000
+    tbl = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "val": pa.array([(i * 37) % 1000 for i in range(n)], pa.int64()),
+            "name": pa.array([f"row-{i % 97}" for i in range(n)], pa.string()),
+        }
+    )
+    tmp = _A43_FIXTURE + ".tmp"
+    pq.write_table(tbl, tmp, row_group_size=20_000, compression="snappy")
+    os.replace(tmp, _A43_FIXTURE)
+    return _A43_FIXTURE
+
+
+@register(
+    "a43_parquet_rowgroup_audit",
+    oracle=f"""
+    SELECT row_group_id,
+           CAST(MAX(row_group_num_rows) AS BIGINT) AS num_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_columns,
+           CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+    FROM parquet_metadata('{_A43_FIXTURE}')
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="A43,A35,A38",
+)
+def a43_parquet_rowgroup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet ROW-GROUP audit — the physical numbers behind every Spark
+    split decision: row groups are the scan parallelism unit
+    (`files.maxPartitionBytes` slices at row-group boundaries), their
+    compressed size decides whether a 128 MB partition holds one group
+    or forty, and the per-group compression ratio is the dial for
+    `parquet.block.size` at write time.  a35/a38 audit LOGICAL layout
+    (bloom skipping, partition sizes); this reads the container format
+    itself — the compaction planner's other input.
+
+    Both engines read the SAME file bytes through independent parquet
+    implementations (pyarrow's C++ metadata reader vs DuckDB's native
+    ``parquet_metadata()``), so the hash match certifies the footer
+    parse, not a shared code path.  The subject is a deterministic
+    synthetic 60k-row/3-row-group fixture at a FIXED scratch path
+    (sf-independent) because the oracle needs a literal path — the
+    registry carries no sf_dir substitution; engine staging is
+    write-to-tmp + atomic rename, idempotent across engines/sessions.
+
+    Scale shape: metadata-only — the footer is KB regardless of data
+    size (parquet's design); a real audit fans out one task per file;
+    here one fixture file read driver-side exactly like the oracle."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(_stage_a43_fixture()).metadata
+    rows = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        comp = sum(rg.column(c).total_compressed_size for c in range(rg.num_columns))
+        uncomp = sum(
+            rg.column(c).total_uncompressed_size for c in range(rg.num_columns)
+        )
+        rows.append((g, rg.num_rows, rg.num_columns, comp, uncomp))
+    return spark.createDataFrame(
+        rows,
+        "row_group_id long, num_rows long, n_columns long,"
+        " compressed_bytes long, uncompressed_bytes long",
+    ).orderBy("row_group_id")

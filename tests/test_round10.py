@@ -346,3 +346,122 @@ def test_sql_identifier_binding_equals_inline(spark):
         ).collect()
     }
     assert got == inline
+
+
+def test_e125_cliffs_delta_matches_python(spark):
+    rows = _quantities()
+    hx = Counter(q + pk % 7 for g, _, q, pk in rows if g == "R")
+    hy = Counter(q for g, _, q, _ in rows if g == "A")
+    gt = lt = eq = 0
+    for vx, cx in hx.items():
+        for vy, cy in hy.items():
+            if vx > vy:
+                gt += cx * cy
+            elif vx < vy:
+                lt += cx * cy
+            else:
+                eq += cx * cy
+    (r,) = REGISTRY["e125_cliffs_delta"].fn(spark, SF).collect()
+    assert (r.gt, r.lt, r.eq, r.n_pairs) == (gt, lt, eq, gt + lt + eq)
+    assert r.delta_milli == 1000 * (gt - lt) // (gt + lt + eq)
+    # the injected +0..6 (mean 3) shift on a ~50-wide lattice must show
+    # as a clearly positive delta
+    assert r.delta_milli > 50
+
+
+def test_f59_dfa_matches_python(spark):
+    series = _daily_cents_mean(spark)
+    want = {}
+    for et, means in series.items():
+        xs = [m // 100 for m in means]  # dollar lattice
+        n = len(xs)
+        mu = sum(xs) // n
+        prof = []
+        s = 0
+        for x in xs:
+            s += x - mu
+            prof.append(s)
+        f2 = {}
+        for w in (8, 24):
+            rss_micros = []
+            for wid in range(len(prof) // w):
+                ys = prof[wid * w : (wid + 1) * w]
+                ks = list(range(1, w + 1))
+                sy, syy = sum(ys), sum(y * y for y in ys)
+                sk, skk = sum(ks), sum(k * k for k in ks)
+                sky = sum(k * y for k, y in zip(ks, ys))
+                d = w * skk - sk * sk
+                n1 = w * syy - sy * sy
+                n2 = w * sky - sk * sy
+                rss_micros.append(1_000_000 * (n1 * d - n2 * n2) // (w * d))
+            if rss_micros:
+                f2[w] = (sum(rss_micros) // len(rss_micros), len(rss_micros))
+        want[et] = (f2[8][1], f2[8][0], f2[24][1], f2[24][0])
+    got = {}
+    for r in REGISTRY["f59_dfa_alpha"].fn(spark, SF).collect():
+        got[r.event_type] = (r.n_w8, r.f2_w8, r.n_w24, r.f2_w24)
+        if r.f2_w8 > 0 and r.f2_w24 > 0:
+            alpha = round(
+                1000 * math.log(r.f2_w24 / r.f2_w8) / (2 * math.log(3))
+            )
+            assert r.dfa_alpha_milli == alpha
+    assert got == want
+
+
+def test_b23_vnode_variance_reduction_law(spark):
+    rows = REGISTRY["b23_vnode_ownership"].fn(spark, SF).collect()
+    by_cfg: dict[int, list[int]] = defaultdict(list)
+    for r in rows:
+        assert r.vnode_count == r.n_vnodes
+        by_cfg[r.n_vnodes].append(r.owned_ppm)
+    assert set(by_cfg) == {1, 16} and all(len(v) == 6 for v in by_cfg.values())
+    # total ownership covers the ring (ppm, truncation loses < 1 ppm/vnode)
+    for cfg, ppms in by_cfg.items():
+        assert 1_000_000 - 6 * cfg <= sum(ppms) <= 1_000_000
+    # the vnode law: 16 vnodes/node tightens the ownership spread
+    spread1 = max(by_cfg[1]) - min(by_cfg[1])
+    spread16 = max(by_cfg[16]) - min(by_cfg[16])
+    assert spread16 < spread1
+    # independent md5 replay of every token's ring position
+    import hashlib
+
+    for cfg in (1, 16):
+        toks = []
+        for node in range(6):
+            for v in range(cfg):
+                h = hashlib.md5(f"vn-{node}-{v}".encode()).hexdigest()
+                toks.append((int(h[:15], 16), node))
+        toks.sort()
+        ring = 1 << 60
+        owned = Counter()
+        prev = toks[-1][0] - ring
+        for tok, node in toks:
+            owned[node] += tok - prev
+            prev = tok
+        for r in rows:
+            if r.n_vnodes == cfg:
+                assert r.owned_ppm == owned[r.node] // (ring // 1_000_000)
+
+
+def test_a43_rowgroup_audit_matches_pyarrow_ground_truth(spark):
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.queries.round10 import (
+        _A43_FIXTURE,
+        _stage_a43_fixture,
+    )
+
+    rows = {
+        r.row_group_id: (r.num_rows, r.n_columns, r.compressed_bytes,
+                         r.uncompressed_bytes)
+        for r in REGISTRY["a43_parquet_rowgroup_audit"].fn(spark, SF).collect()
+    }
+    md = pq.ParquetFile(_stage_a43_fixture()).metadata
+    assert md.num_row_groups == 3 and set(rows) == {0, 1, 2}
+    for g in range(3):
+        rg = md.row_group(g)
+        comp = sum(rg.column(c).total_compressed_size for c in range(rg.num_columns))
+        unc = sum(rg.column(c).total_uncompressed_size for c in range(rg.num_columns))
+        assert rows[g] == (rg.num_rows, rg.num_columns, comp, unc)
+        assert rg.num_rows == 20_000
+    assert _A43_FIXTURE.endswith("a43_rowgroup_fixture.parquet")
