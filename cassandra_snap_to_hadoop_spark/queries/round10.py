@@ -1868,3 +1868,482 @@ def a43_parquet_rowgroup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_group_id long, num_rows long, n_columns long,"
         " compressed_bytes long, uncompressed_bytes long",
     ).orderBy("row_group_id")
+
+
+from cassandra_snap_to_hadoop_spark.io import fan_out  # noqa: E402
+from cassandra_snap_to_hadoop_spark.queries.round4c import (  # noqa: E402
+    _MH_BANDS,
+    _MH_N,
+    _MH_ROWS,
+    _NORM,
+    _SHINGLES,
+    _mh_sql_hash,
+)
+
+
+@register(
+    "j133_minhash_error_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS sh FROM toks
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN({_mh_sql_hash(i)}) AS mh_{i}" for i in range(_MH_N))}
+        FROM sh GROUP BY 1
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('|', "
+            + ", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+            + ") AS bkey FROM mh"
+            for b in range(_MH_BANDS)
+        )}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), matches AS (
+        SELECT c.id_a, c.id_b,
+               ({" + ".join(
+                   f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+                   for i in range(_MH_N)
+               )}) AS mh_matches
+        FROM cand c JOIN mh a ON a.doc_id = c.id_a
+        JOIN mh b ON b.doc_id = c.id_b
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ), per_pair AS (
+        SELECT m.mh_matches,
+               CAST(1000 * COALESCE(i.inter, 0)
+                    // (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS BIGINT)
+                   AS exact_milli
+        FROM matches m
+        LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b
+    )
+    SELECT CAST(mh_matches AS BIGINT) AS mh_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(1000 * mh_matches // {_MH_N} AS BIGINT) AS est_milli,
+           CAST(SUM(exact_milli) // COUNT(*) AS BIGINT) AS mean_exact_milli
+    FROM per_pair GROUP BY mh_matches ORDER BY 1
+    """,
+    survey="J133,J2,J97",
+)
+def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION audit — the self-evaluation j97's
+    S-curve (collision probability vs true Jaccard) leaves out: per
+    LSH candidate pair, how does the signature's point estimate
+    (matching components / k — an unbiased estimator with variance
+    J(1−J)/k) track the EXACT shingle Jaccard?  Grouped by match count,
+    the output is the calibration curve E[J | matches] vs matches/16 —
+    the measurement that justifies (or indicts) a chosen k before
+    anyone trusts signature-only dedup decisions at 100 TB, where exact
+    verification of every candidate is the expensive step this
+    estimator exists to skip.
+
+    Machinery: the j2-md5 pipeline verbatim (16 md5-derived 60-bit
+    permutations, 4×4 banding, bucket-join candidates) plus a
+    per-component signature-equality count and the exact-Jaccard
+    verification join; per-pair exact_milli is integer (1000·∩ DIV ∪)
+    and the per-bucket mean is an integer mean of integers — zero
+    floats anywhere.
+
+    Scale shape: j2's — signature agg (one shuffle), banded bucket
+    join (never all-pairs), verification join on candidates only; the
+    audit adds one 16-term codegen sum per candidate."""
+    from cassandra_snap_to_hadoop_spark.operators.dedup import (
+        md5_minhash_bands,
+        shingles,
+    )
+
+    d = Tables(spark, sf_dir).documents
+    ex = fan_out(d).select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    )
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10
+        ).cast("long")
+
+    mh = ex.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"mh_{i}") for i in range(_MH_N)]
+    )
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(_MH_N)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(_MH_N)],
+    )
+    match_expr = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    matches = (
+        cand.join(ma, "id_a").join(mb, "id_b")
+        .select("id_a", "id_b", match_expr.alias("mh_matches"))
+    )
+    sizes = ex.distinct().groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    ea = ex.distinct().select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    eb = ex.distinct().select(F.col("doc_id").alias("eb_id"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, (F.col("id_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    per_pair = (
+        matches.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            "mh_matches",
+            F.expr(
+                "CAST(1000 * COALESCE(inter, 0)"
+                " DIV (sz_a + sz_b - COALESCE(inter, 0)) AS BIGINT)"
+            ).alias("exact_milli"),
+        )
+    )
+    return (
+        per_pair.groupBy(F.col("mh_matches").cast("long").alias("mh_matches"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(exact_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_exact_milli"
+            ),
+        )
+        .select(
+            "mh_matches", "n_pairs",
+            F.expr(f"CAST(1000 * mh_matches DIV {_MH_N} AS BIGINT)").alias(
+                "est_milli"
+            ),
+            "mean_exact_milli",
+        )
+        .orderBy("mh_matches")
+    )
+
+
+from cassandra_snap_to_hadoop_spark.queries.round5 import _PERIODS  # noqa: E402
+
+# ln(5) for the f60 normalization (5 candidate periods), a shared string
+# literal per the e84 decimal rule.
+_F60_LN_K = "CAST('1.6094379124341003' AS DOUBLE)"
+
+
+@register(
+    "f60_spectral_entropy",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT b.event_type, b.d0 + s.range AS day, s.range AS t
+        FROM bounds b CROSS JOIN range(0, 100000) s
+        WHERE b.d0 + s.range <= b.d1
+    ), filled AS (
+        SELECT s.event_type, s.t, COALESCE(d.n, 0) AS n
+        FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day
+    ), terms AS (
+        SELECT f.event_type, p.period,
+               CAST(FLOOR(f.n * cos(2 * pi() * f.t / p.period) * 1000000)
+                    AS BIGINT) AS ct,
+               CAST(FLOOR(f.n * sin(2 * pi() * f.t / p.period) * 1000000)
+                    AS BIGINT) AS st
+        FROM filled f CROSS JOIN (
+            SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period
+        ) p
+    ), sums AS (
+        SELECT event_type, period,
+               CAST(SUM(ct) // 1000 AS BIGINT) AS c_milli,
+               CAST(SUM(st) // 1000 AS BIGINT) AS s_milli
+        FROM terms GROUP BY 1, 2
+    ), pw AS (
+        SELECT event_type, period,
+               c_milli * c_milli + s_milli * s_milli AS power,
+               CAST(SUM(c_milli * c_milli + s_milli * s_milli)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM sums
+    ), ent_terms AS (
+        -- per-period micro-quantized -p*ln(p) (the e105 per-term rule:
+        -- round each term identically in both engines, THEN integer-sum)
+        SELECT event_type,
+               CASE WHEN power > 0 AND power < total
+                    THEN CAST(ROUND(-1000000.0 * (CAST(power AS DOUBLE) / total)
+                              * LN(CAST(power AS DOUBLE) / total)) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS e_micro
+        FROM pw
+    )
+    SELECT event_type,
+           CAST(SUM(e_micro) AS BIGINT) AS entropy_micro,
+           CAST(ROUND(1000.0 * SUM(e_micro) / (1000000.0 * {_F60_LN_K}))
+                AS BIGINT) AS flatness_milli
+    FROM ent_terms GROUP BY event_type ORDER BY event_type
+    """,
+    survey="F60,F34,J106",
+)
+def f60_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy / flatness per event type over f34's candidate-
+    period periodogram: H = −Σ p·ln p of the NORMALIZED power
+    distribution, scaled by ln(K) into [0, 1] — the one-number
+    'how periodic is this series' gauge (flatness → 1 means white-ish
+    power spread, → 0 means one period dominates), the spectral sibling
+    of j106's token entropy and the summary f34's per-period ranking
+    feeds but cannot state itself.
+
+    Exactness: powers are f34's exact integer lattice verbatim
+    (micro-quantized Fourier terms, milli-rescaled before squaring);
+    the entropy terms take the ONLY float step per period —
+    micro-quantized −p·ln p, ROUNDed identically in both engines from
+    identical integers (the e105 per-term rule), then integer-summed;
+    the final ln(K) normalization is one shared-IEEE division with
+    ln(5) a shared string literal (the e84 decimal rule).
+
+    Scale shape: f34's — daily pre-agg (the volume term) →
+    calendar-bounded spine → 5-period term explode → hash aggs; the
+    entropy adds one window sum and a 5-row fold per type."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        bounds.select(
+            "event_type", "d0", "d1",
+            F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias("t"),
+        )
+        .select("event_type", (F.col("d0") + F.col("t")).alias("day"), "t")
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+    terms = filled.crossJoin(F.broadcast(periods)).select(
+        "event_type", "period",
+        F.floor(
+            F.col("n") * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000
+        ).cast("long").alias("ct"),
+        F.floor(
+            F.col("n") * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000
+        ).cast("long").alias("st"),
+    )
+    sums = terms.groupBy("event_type", "period").agg(
+        F.expr("CAST(SUM(ct) DIV 1000 AS BIGINT)").alias("c_milli"),
+        F.expr("CAST(SUM(st) DIV 1000 AS BIGINT)").alias("s_milli"),
+    )
+    pw = sums.select(
+        "event_type", "period",
+        (F.col("c_milli") * F.col("c_milli") + F.col("s_milli") * F.col("s_milli"))
+        .alias("power"),
+    ).withColumn(
+        "total", F.sum("power").over(Window.partitionBy("event_type"))
+    )
+    ent = pw.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN power > 0 AND power < total"
+            " THEN CAST(ROUND(-1000000.0 * (CAST(power AS DOUBLE) / total)"
+            " * LN(CAST(power AS DOUBLE) / total)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("e_micro"),
+    )
+    return (
+        ent.groupBy("event_type")
+        .agg(F.sum("e_micro").cast("long").alias("entropy_micro"))
+        .select(
+            "event_type", "entropy_micro",
+            F.expr(
+                "CAST(ROUND(1000.0 * entropy_micro"
+                f" / (1000000.0 * {_F60_LN_K})) AS BIGINT)"
+            ).alias("flatness_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f61_sample_entropy",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), numbered AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ), emb AS (
+        -- m = 2 embedding with the m+1-th point carried for the A count
+        SELECT event_type, rn, x AS x0,
+               LEAD(x, 1) OVER (PARTITION BY event_type ORDER BY rn) AS x1,
+               LEAD(x, 2) OVER (PARTITION BY event_type ORDER BY rn) AS x2
+        FROM numbered
+    ), calib AS (
+        SELECT n.event_type,
+               {_f15_isqrt_sql(
+                   "((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+                   " // (COUNT(*) * GREATEST(COUNT(*) - 1, 1)))"
+               )} // 2 AS r
+        FROM numbered n GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type,
+               CASE WHEN GREATEST(ABS(a.x0 - b.x0), ABS(a.x1 - b.x1)) <= c.r
+                    THEN 1 ELSE 0 END AS m2,
+               CASE WHEN GREATEST(ABS(a.x0 - b.x0), ABS(a.x1 - b.x1),
+                                  ABS(a.x2 - b.x2)) <= c.r
+                    THEN 1 ELSE 0 END AS m3
+        FROM emb a
+        JOIN emb b ON b.event_type = a.event_type AND b.rn > a.rn
+        JOIN calib c ON c.event_type = a.event_type
+        WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(m2) AS BIGINT) AS b_count,
+           CAST(SUM(m3) AS BIGINT) AS a_count,
+           CASE WHEN SUM(m3) > 0 AND SUM(m2) > 0
+                THEN CAST(ROUND(-1000.0 * LN(CAST(SUM(m3) AS DOUBLE)
+                                             / SUM(m2))) AS BIGINT)
+                ELSE NULL END AS sampen_milli
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+    survey="F61,F49,F15",
+)
+def f61_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman & Moorman 2000) per event type over the
+    daily mean-cents series — the regularity gauge f49's permutation
+    entropy approximates ordinally: SampEn(m=2, r=σ/2) =
+    −ln(A/B), where B counts template pairs matching for 2 consecutive
+    points within tolerance r (Chebyshev distance) and A those still
+    matching at 3 — LOW SampEn = self-similar/regular series, HIGH =
+    unpredictable.  Unlike approximate entropy it excludes
+    self-matches, making A/B an unbiased conditional-repeat estimate.
+    r = σ/2 rather than the textbook 0.2σ: with only ~28 templates per
+    30-day series the 0.2σ tolerance measured A = 0 for 4 of 5 types
+    (a non-discriminating fixture, the j125 rule); the r dial is
+    series-length-dependent and σ/2 yields nonzero A/B everywhere at
+    every SF — checked BEFORE registration.
+
+    Exactness: the series is f58's daily mean-cents lattice; the
+    tolerance is the exact integer σ/5 via the shared adjusted-isqrt
+    template (f15's calibration rule); match counts are exact integer
+    pair counts (the m=3 templates restrict both sides, the standard
+    N−m convention); only the final −ln(A/B) is float, the same IEEE
+    expression from identical integers.
+
+    Scale shape: daily pre-agg (volume term) → per-type LEAD windows →
+    ONE within-type pair join over ≤n_days rows per type (30² = 450
+    pairs — calendar-bounded forever, the f54/f59 axis), one agg."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT)) DIV COUNT(*)").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    numbered = daily.select(
+        "event_type", "x", F.row_number().over(w).alias("rn")
+    )
+    emb = numbered.select(
+        "event_type", "rn",
+        F.col("x").alias("x0"),
+        F.lead("x", 1).over(Window.partitionBy("event_type").orderBy("rn")).alias("x1"),
+        F.lead("x", 2).over(Window.partitionBy("event_type").orderBy("rn")).alias("x2"),
+    )
+    isq = _isqrt_spark(
+        "((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+        " DIV (COUNT(*) * GREATEST(COUNT(*) - 1, 1)))"
+    )
+    calib = numbered.groupBy("event_type").agg(
+        F.expr(f"{isq} DIV 2").alias("r")
+    )
+    a = emb.where(F.col("x2").isNotNull()).select(
+        "event_type", F.col("rn").alias("rna"),
+        F.col("x0").alias("a0"), F.col("x1").alias("a1"), F.col("x2").alias("a2"),
+    )
+    b = emb.where(F.col("x2").isNotNull()).select(
+        F.col("event_type").alias("etb"), F.col("rn").alias("rnb"),
+        F.col("x0").alias("b0"), F.col("x1").alias("b1"), F.col("x2").alias("b2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("etb") == F.col("event_type")) & (F.col("rnb") > F.col("rna")),
+        )
+        .join(F.broadcast(calib), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.greatest(
+                    F.abs(F.col("a0") - F.col("b0")),
+                    F.abs(F.col("a1") - F.col("b1")),
+                )
+                <= F.col("r"),
+                1,
+            )
+            .otherwise(0)
+            .alias("m2"),
+            F.when(
+                F.greatest(
+                    F.abs(F.col("a0") - F.col("b0")),
+                    F.abs(F.col("a1") - F.col("b1")),
+                    F.abs(F.col("a2") - F.col("b2")),
+                )
+                <= F.col("r"),
+                1,
+            )
+            .otherwise(0)
+            .alias("m3"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.sum("m2").cast("long").alias("b_count"),
+            F.sum("m3").cast("long").alias("a_count"),
+        )
+        .select(
+            "event_type", "b_count", "a_count",
+            F.expr(
+                "CASE WHEN a_count > 0 AND b_count > 0"
+                " THEN CAST(ROUND(-1000.0 * LN(CAST(a_count AS DOUBLE)"
+                " / b_count)) AS BIGINT) ELSE NULL END"
+            ).alias("sampen_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -465,3 +465,115 @@ def test_a43_rowgroup_audit_matches_pyarrow_ground_truth(spark):
         assert rows[g] == (rg.num_rows, rg.num_columns, comp, unc)
         assert rg.num_rows == 20_000
     assert _A43_FIXTURE.endswith("a43_rowgroup_fixture.parquet")
+
+
+def test_j133_calibration_audit_matches_python(spark):
+    """Full pipeline replay in pure Python: md5 minhash signatures,
+    banded candidates, per-pair component matches, exact Jaccard —
+    and the calibration LAW that mean exact Jaccard rises with the
+    match count."""
+    import hashlib
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sh = {}
+    for did, txt in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        w = re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+        sh[did] = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    def h(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+
+    mh = {
+        did: [min(h(i, s) for s in ss) for i in range(16)]
+        for did, ss in sh.items()
+        if ss
+    }
+    buckets = defaultdict(set)
+    for did, sig in mh.items():
+        for band in range(4):
+            key = (band, tuple(sig[band * 4 : band * 4 + 4]))
+            buckets[key].add(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    per_bucket = defaultdict(list)
+    for a, b in cand:
+        m = sum(1 for i in range(16) if mh[a][i] == mh[b][i])
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        per_bucket[m].append(1000 * inter // union)
+    want = {
+        m: (len(v), 1000 * m // 16, sum(v) // len(v))
+        for m, v in per_bucket.items()
+    }
+    got = {
+        r.mh_matches: (r.n_pairs, r.est_milli, r.mean_exact_milli)
+        for r in REGISTRY["j133_minhash_error_audit"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # calibration law: E[exact | matches] nondecreasing in matches on
+    # this fixture (ties allowed)
+    ms = sorted(got)
+    assert all(got[a][2] <= got[b][2] for a, b in zip(ms, ms[1:]))
+
+
+def test_f60_entropy_bounds_and_python_replay(spark):
+    import math
+
+    rows = REGISTRY["f60_spectral_entropy"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # H in [0, ln K] => flatness in [0, 1000] (micro rounding slack)
+        assert 0 <= r.entropy_micro <= 1_000_000 * math.log(5) + 5
+        assert 0 <= r.flatness_milli <= 1000
+    # replay the entropy fold from f34's certified power lattice
+    f34 = {}
+    for r in REGISTRY["f34_periodogram"].fn(spark, SF).collect():
+        f34.setdefault(r.event_type, []).append(r.power)
+    for r in rows:
+        powers = f34[r.event_type]
+        tot = sum(powers)
+        e = sum(
+            round(-1_000_000 * (p / tot) * math.log(p / tot))
+            for p in powers
+            if 0 < p < tot
+        )
+        assert r.entropy_micro == e
+        assert r.flatness_milli == round(1000 * e / (1_000_000 * math.log(5)))
+
+
+def test_f61_sampen_matches_python(spark):
+    series = _daily_cents_mean(spark)
+    want = {}
+    for et, xs in series.items():
+        n = len(xs)
+        var = (n * sum(x * x for x in xs) - sum(xs) ** 2) // (n * max(n - 1, 1))
+        r_tol = math.isqrt(var) // 2
+        emb = [
+            (xs[i], xs[i + 1], xs[i + 2]) for i in range(n - 2)
+        ]
+        b_cnt = a_cnt = 0
+        for i in range(len(emb)):
+            for j in range(i + 1, len(emb)):
+                a_, b_ = emb[i], emb[j]
+                if max(abs(a_[0] - b_[0]), abs(a_[1] - b_[1])) <= r_tol:
+                    b_cnt += 1
+                    if abs(a_[2] - b_[2]) <= r_tol:
+                        a_cnt += 1
+        se = (
+            round(-1000 * math.log(a_cnt / b_cnt))
+            if a_cnt > 0 and b_cnt > 0
+            else None
+        )
+        want[et] = (b_cnt, a_cnt, se)
+    got = {
+        r.event_type: (r.b_count, r.a_count, r.sampen_milli)
+        for r in REGISTRY["f61_sample_entropy"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # discrimination: at least 4 of 5 types must have a defined SampEn
+    assert sum(1 for v in got.values() if v[2] is not None) >= 4
