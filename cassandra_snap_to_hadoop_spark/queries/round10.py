@@ -2347,3 +2347,222 @@ def f61_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "d28_asof_tolerance_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), matched AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts
+        FROM purchases p ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(v_ts) <= 172800000000
+                THEN CAST(epoch_ms(v_ts) AS BIGINT) ELSE NULL END
+               AS last_view_ms,
+           CASE WHEN v_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(v_ts) <= 172800000000
+                THEN CAST((epoch_us(p_ts) - epoch_us(v_ts)) // 1000 AS BIGINT)
+                ELSE NULL END AS staleness_ms
+    FROM matched
+    """,
+    survey="D28,D7,D17",
+)
+def d28_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance``, kdb's windowed aj) — the production refinement d7
+    lacks: a purchase only attributes to the user's latest prior view
+    if it happened within 48 hours (the median prior-view staleness on
+    this corpus is ~34 h, so the window splits the population
+    meaningfully — measured before registration, the j125 rule); a
+    9-day-old view is not 'the view that led to this purchase', it is
+    noise that a plain as-of would silently promote into
+    attribution.  NULLs beyond tolerance make
+    the miss EXPLICIT (feeding the funnel's 'organic' bucket), and the
+    surfaced staleness is the distribution an attribution modeler
+    actually tunes the window on.
+
+    Semantics: match = latest view with v.ts ≤ p.ts (d7's ≥ rule),
+    kept only if p.ts − v.ts ≤ 48 h — tolerance FILTERS the match, it
+    does not fall through to an older one (merge_asof's rule; an
+    older view is even staler).  The engine is d7's union + one-window
+    shape with the tolerance as a post-filter on the matched
+    timestamp — still ONE shuffle, no pairwise blowup; the oracle
+    states it as ASOF LEFT JOIN + the same CASE.
+
+    Scale shape: d7's — union, single window partitioned by user, one
+    filter; tolerance adds zero shuffles."""
+    e = Tables(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("view_us"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.lit(0).alias("is_p"),
+        F.unix_micros("ts").alias("view_us"),
+    )
+    unioned = purchases.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn(
+            "last_view_us", F.last("view_us", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("p_us"),
+            "last_view_us",
+        )
+    )
+    in_tol = F.col("last_view_us").isNotNull() & (
+        F.col("p_us") - F.col("last_view_us") <= 172_800_000_000
+    )
+    return matched.select(
+        "event_id", "user_id",
+        F.when(in_tol, F.expr("last_view_us DIV 1000")).alias("last_view_ms"),
+        F.when(in_tol, F.expr("(p_us - last_view_us) DIV 1000")).alias(
+            "staleness_ms"
+        ),
+    )
+
+
+@register(
+    "e126_theil_u",
+    oracle="""
+    WITH cells AS (
+        -- X = quantity decade bucket, Y = exact quantity: Y DETERMINES
+        -- X (U(X|Y) = 1) but X only narrows Y (U(Y|X) < 1) — the
+        -- asymmetry IS the operator's point, and a (returnflag,
+        -- linestatus) pair measured independent (U = 0, degenerate)
+        -- was rejected before registration (the j125 rule)
+        SELECT CAST(l_quantity AS BIGINT) // 10 AS x,
+               CAST(l_quantity AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), margins AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), hx AS (
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(-1000000.0
+                    * (CAST(cx AS DOUBLE) / n)
+                    * LN(CAST(cx AS DOUBLE) / n)) AS BIGINT)), 0) AS BIGINT)
+                   AS hx_micro
+        FROM (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1) g
+        CROSS JOIN margins WHERE cx > 0 AND cx < n
+    ), hy AS (
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(-1000000.0
+                    * (CAST(cy AS DOUBLE) / n)
+                    * LN(CAST(cy AS DOUBLE) / n)) AS BIGINT)), 0) AS BIGINT)
+                   AS hy_micro
+        FROM (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1) g
+        CROSS JOIN margins WHERE cy > 0 AND cy < n
+    ), hx_given_y AS (
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(-1000000.0
+                    * (CAST(c AS DOUBLE) / n)
+                    * LN(CAST(c AS DOUBLE) / cy)) AS BIGINT)), 0) AS BIGINT)
+                   AS hxy_micro
+        FROM cells
+        JOIN (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1) gy USING (y)
+        CROSS JOIN margins WHERE c > 0 AND c < cy
+    ), hy_given_x AS (
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(-1000000.0
+                    * (CAST(c AS DOUBLE) / n)
+                    * LN(CAST(c AS DOUBLE) / cx)) AS BIGINT)), 0) AS BIGINT)
+                   AS hyx_micro
+        FROM cells
+        JOIN (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1) gx USING (x)
+        CROSS JOIN margins WHERE c > 0 AND c < cx
+    )
+    SELECT hx_micro, hy_micro, hxy_micro, hyx_micro,
+           CASE WHEN hx_micro > 0
+                THEN CAST(1000 * (hx_micro - hxy_micro) // hx_micro AS BIGINT)
+                ELSE NULL END AS u_x_given_y_milli,
+           CASE WHEN hy_micro > 0
+                THEN CAST(1000 * (hy_micro - hyx_micro) // hy_micro AS BIGINT)
+                ELSE NULL END AS u_y_given_x_milli
+    FROM hx CROSS JOIN hy CROSS JOIN hx_given_y CROSS JOIN hy_given_x
+    """,
+    survey="E126,E71,J106",
+)
+def e126_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient, BOTH directions, for the
+    (quantity-decade-bucket, exact-quantity) pair — the ASYMMETRIC
+    categorical association e71's Cramér's V cannot state: U(X|Y)
+    answers "what fraction of X's entropy does knowing Y remove" and
+    U(X|Y) ≠ U(Y|X).  The fixture makes the asymmetry the pinned
+    truth: the exact quantity DETERMINES its decade bucket
+    (U(X|Y) = 1000 milli exactly — every conditional cell entropy is
+    zero), while the bucket only narrows the quantity to ~10 values
+    (U(Y|X) ≈ 1 − ln(10)/ln(50) ≈ 0.41).  The first fixture attempted
+    here, (returnflag, linestatus), measured INDEPENDENT on this
+    corpus (U = 0 both ways — degenerate) and was rejected before
+    registration, the j125 discrimination rule.
+
+    Exactness: the e105/f60 per-term micro rule — every −p·ln p and
+    conditional term ROUNDed to integer micro-nats identically in
+    both engines from identical counts, then integer-summed; both
+    U_milli values are pure integer ratios of those sums.
+
+    Scale shape: one contingency hash agg (≤50 cells on the quantity
+    lattice) + KB folds; the corpus scan is the only volume term."""
+    li = Tables(spark, sf_dir).lineitem
+    cells = (
+        li.groupBy(
+            F.expr("CAST(l_quantity AS BIGINT) DIV 10").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_df = cells.agg(F.sum("c").cast("long").alias("n"))
+
+    def _ent(df, cnt_col: str, denom_col: str, out: str):
+        return df.where(
+            (F.col(cnt_col) > 0) & (F.col(cnt_col) < F.col(denom_col))
+        ).select(
+            F.expr(
+                f"CAST(ROUND(-1000000.0 * (CAST({cnt_col} AS DOUBLE) / n)"
+                f" * LN(CAST({cnt_col} AS DOUBLE) / {denom_col})) AS BIGINT)"
+            ).alias("t")
+        ).agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias(out))
+
+    gx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    gy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    hx = _ent(gx.crossJoin(F.broadcast(n_df)).withColumn("nn", F.col("n")),
+              "cx", "nn", "hx_micro")
+    hy = _ent(gy.crossJoin(F.broadcast(n_df)).withColumn("nn", F.col("n")),
+              "cy", "nn", "hy_micro")
+    hxy = _ent(
+        cells.join(gy, "y").crossJoin(F.broadcast(n_df)), "c", "cy", "hxy_micro"
+    )
+    hyx = _ent(
+        cells.join(gx, "x").crossJoin(F.broadcast(n_df)), "c", "cx", "hyx_micro"
+    )
+    return (
+        hx.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+        .crossJoin(F.broadcast(hyx))
+        .select(
+            "hx_micro", "hy_micro", "hxy_micro", "hyx_micro",
+            F.expr(
+                "CASE WHEN hx_micro > 0 THEN CAST(1000 * (hx_micro - hxy_micro)"
+                " DIV hx_micro AS BIGINT) ELSE NULL END"
+            ).alias("u_x_given_y_milli"),
+            F.expr(
+                "CASE WHEN hy_micro > 0 THEN CAST(1000 * (hy_micro - hyx_micro)"
+                " DIV hy_micro AS BIGINT) ELSE NULL END"
+            ).alias("u_y_given_x_milli"),
+        )
+    )

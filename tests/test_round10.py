@@ -577,3 +577,68 @@ def test_f61_sampen_matches_python(spark):
     assert got == want
     # discrimination: at least 4 of 5 types must have a defined SampEn
     assert sum(1 for v in got.values() if v[2] is not None) >= 4
+
+
+def test_d28_tolerance_filters_not_falls_through(spark):
+    """d28 = d7's match, kept only within 48 h — replayed directly
+    against the registered d7 result: every d28 non-NULL equals d7's
+    match with staleness <= 48 h; every NULL is either d7-NULL or
+    beyond tolerance (never a fall-through to an older view)."""
+    d7 = {
+        r.event_id: r.last_view_ms
+        for r in REGISTRY["d7_asof_join"].fn(spark, SF).collect()
+    }
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts", "event_type"])
+    us = {
+        eid: int(ts.timestamp() * 1_000_000)
+        for eid, ts, et in zip(
+            t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+        )
+        if et in ("purchase", "view")
+    }
+    rows = REGISTRY["d28_asof_tolerance_join"].fn(spark, SF).collect()
+    assert {r.event_id for r in rows} == set(d7)
+    n_matched = 0
+    for r in rows:
+        base = d7[r.event_id]
+        if r.last_view_ms is not None:
+            n_matched += 1
+            assert r.last_view_ms == base
+            # staleness truncates the MICROS difference (the engines'
+            # contract), not the difference of ms-truncated stamps
+            view_us = [u for u in us.values() if u // 1000 == base]
+            assert r.staleness_ms == (us[r.event_id] - view_us[0]) // 1000
+            assert 0 <= r.staleness_ms <= 48 * 3600 * 1000
+        else:
+            assert base is None or us[r.event_id] // 1000 - base > 48 * 3600 * 1000 - 1
+    # the 48 h window must split the population both ways (j125 rule)
+    assert 0 < n_matched < len(rows)
+
+
+def test_e126_theil_u_asymmetry_and_python_replay(spark):
+    rows = _quantities()
+    cells = Counter((q // 10, q) for _, _, q, _ in rows)
+    n = sum(cells.values())
+    cx = Counter()
+    cy = Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+
+    def ent(counts, denom_of):
+        s = 0
+        for key, c in counts.items():
+            d = denom_of(key)
+            if 0 < c < d:
+                s += round(-1_000_000 * (c / n) * math.log(c / d))
+        return s
+
+    hx = ent(cx, lambda k: n)
+    hy = ent(cy, lambda k: n)
+    hxy = ent(cells, lambda k: cy[k[1]])
+    hyx = ent(cells, lambda k: cx[k[0]])
+    (r,) = REGISTRY["e126_theil_u"].fn(spark, SF).collect()
+    assert (r.hx_micro, r.hy_micro, r.hxy_micro, r.hyx_micro) == (hx, hy, hxy, hyx)
+    # the pinned asymmetry: quantity DETERMINES its bucket
+    assert r.u_x_given_y_milli == 1000 and r.hxy_micro == 0
+    assert 0 < r.u_y_given_x_milli < 1000
