@@ -1519,6 +1519,73 @@ def main() -> None:
             ).alias("alpha_milli")
         )
 
+    def rack_placement_shape(li):
+        """b22's shape (round-10 probe): key x 12-row-ring broadcast
+        cross -> rank-1-per-rack window -> per-node aggs.  The volume
+        term is 12x the key count through a broadcast (no shuffle until
+        the token-partitioned rank)."""
+        from pyspark.sql.window import Window as _W
+
+        ring = spark.createDataFrame(
+            [(p, n, n % 3) for p, n in
+             ((0, 0), (1, 3), (2, 1), (3, 4), (4, 2), (5, 5),
+              (6, 0), (7, 1), (8, 3), (9, 2), (10, 4), (11, 5))],
+            "pos int, node int, rack int",
+        )
+        keyed = li.select(
+            (F.col("l_orderkey") % 1200).alias("token"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        walk = keyed.crossJoin(F.broadcast(ring)).select(
+            "token", "cents", "node", "rack",
+            ((F.col("pos") - (F.col("token") / 100).cast("int") + 12) % 12)
+            .alias("dist"),
+        )
+        w = _W.partitionBy("token", "cents", "rack").orderBy("dist")
+        return (
+            walk.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .groupBy("node")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        )
+
+    def minhash_audit_shape(d):
+        """j133's shape (round-10 probe): md5 signature agg -> banded
+        candidates -> per-pair 16-term match count + exact verification
+        join.  Candidate volume is bucket-bounded (j2's law); the audit
+        adds one codegen sum per candidate, so scaling tracks the j2
+        probes."""
+        from cassandra_snap_to_hadoop_spark.operators.dedup import (
+            md5_minhash_bands,
+            shingles,
+        )
+
+        ex = d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+        )
+        bands = md5_minhash_bands(d, n_hashes=16, rows_per_band=4)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        ea = ex.distinct().select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        eb = ex.distinct().select(F.col("doc_id").alias("eb_id"), F.col("sh").alias("sh_b"))
+        return (
+            cand.join(ea, "id_a")
+            .join(eb, (F.col("id_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+            .groupBy()
+            .agg(F.count("*").alias("n_pairs"), F.sum("inter").alias("s"))
+        )
+
     def semdedup_shape(emb, remap_labels):
         """j131's shape: within-label pair dots via the (label, dim) equi
         self-join.  With remap_labels the amplified replicas land in NEW
@@ -1654,6 +1721,11 @@ def main() -> None:
         # density; f54 series-count axis (types x mult, volume fixed);
         # e118 units xN at constant raters-per-unit.
         ("bitemporal-probe-join", lambda: bitemporal_shape(li1), lambda: bitemporal_shape(liN_supp)),
+        # round-10 batch shapes: b22's ring cross (keys xN, ring fixed);
+        # j133's audit rides the banded candidate set (marker-mutated
+        # docs keep realistic near-dup pair counts, the j2 probe input).
+        ("rack-placement-cross", lambda: rack_placement_shape(li1), lambda: rack_placement_shape(liN)),
+        ("minhash-audit", lambda: minhash_audit_shape(d1_marked), lambda: minhash_audit_shape(dN_marked)),
         ("hurst-window-fanout", lambda: hurst_fanout_shape(e1, 5), lambda: hurst_fanout_shape(e1, 5 * mult)),
         ("krippendorff-coincidence", lambda: krippendorff_shape(li1), lambda: krippendorff_shape(liN)),
         ("pane-merged-sliding", lambda: pane_merge_shape(e1), lambda: pane_merge_shape(eN)),
