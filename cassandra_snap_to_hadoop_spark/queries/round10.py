@@ -2566,3 +2566,313 @@ def e126_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("u_y_given_x_milli"),
         )
     )
+
+
+@register(
+    "e127_brunner_munzel",
+    oracle="""
+    WITH hx AS (
+        SELECT CAST(l_quantity AS BIGINT) + l_partkey % 7 AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), hy AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), pooled AS (
+        SELECT v, COALESCE(x.c, 0) AS cx, COALESCE(y.c, 0) AS cy
+        FROM (SELECT v, c FROM hx) x FULL OUTER JOIN hy y USING (v)
+    ), ranked AS (
+        -- doubled POOLED midrank per value: 2*cum_before + c + 1
+        SELECT v, cx, cy,
+               2 * (SUM(cx + cy) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (cx + cy)) + (cx + cy) + 1 AS m2,
+               2 * (SUM(cx) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cx) + cx + 1 AS w2x,
+               2 * (SUM(cy) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cy) + cy + 1 AS w2y
+        FROM pooled
+    ), sizes AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS n1, CAST(SUM(cy) AS BIGINT) AS n2,
+               CAST(SUM(cx * m2) AS BIGINT) AS t1,
+               CAST(SUM(cy * m2) AS BIGINT) AS t2
+        FROM ranked
+    ), devs AS (
+        -- truncating-mean-centered doubled rank deviations per sample
+        -- (a DEFINED lattice: T DIV n replaces the rational mean; the
+        -- residual bias < 1 doubled-rank unit per member)
+        SELECT CAST(SUM(cx * POWER_INT) AS BIGINT) AS s2x_q,
+               CAST(SUM(cy * POWER_INT2) AS BIGINT) AS s2y_q
+        FROM (
+            SELECT r.cx, r.cy,
+                   (r.m2 - r.w2x - (s.t1 // s.n1 - (s.n1 + 1)))
+                   * (r.m2 - r.w2x - (s.t1 // s.n1 - (s.n1 + 1)))
+                       AS POWER_INT,
+                   (r.m2 - r.w2y - (s.t2 // s.n2 - (s.n2 + 1)))
+                   * (r.m2 - r.w2y - (s.t2 // s.n2 - (s.n2 + 1)))
+                       AS POWER_INT2
+            FROM ranked r CROSS JOIN sizes s
+        )
+    )
+    SELECT s.n1, s.n2, s.t1, s.t2, d.s2x_q, d.s2y_q,
+           -- p_hat = (mean pooled rank of Y - (n2+1)/2) / n1, doubled
+           -- lattice: milli = 1000 * (T2/n2*... ) — shared-IEEE from
+           -- exact integers
+           1000.0 * (CAST(s.t2 AS DOUBLE) / s.n2 - (s.n2 + 1))
+               / (2.0 * s.n1) AS p_hat_milli,
+           -- Brunner-Munzel W: (t2/n2 - t1/n1)/2 over the pooled-rank
+           -- variance estimate (doubled-lattice quarters cancel)
+           ((CAST(s.t2 AS DOUBLE) / s.n2 - CAST(s.t1 AS DOUBLE) / s.n1) / 2.0)
+               / SQRT((s.n1 + s.n2)
+                      * (CAST(d.s2x_q AS DOUBLE) / (4.0 * (s.n1 - 1) * s.n1)
+                         / s.n2 / s.n2
+                         + CAST(d.s2y_q AS DOUBLE) / (4.0 * (s.n2 - 1) * s.n2)
+                         / s.n1 / s.n1)
+                      * (s.n1 + s.n2)) AS w_stat
+    FROM sizes s CROSS JOIN devs d
+    """,
+    survey="E127,E45,E52",
+)
+def e127_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test between the shifted-'R' and 'A' quantity
+    samples — the modern replacement for Mann-Whitney under UNEQUAL
+    VARIANCES (the nonparametric Behrens-Fisher problem): e45's U test
+    assumes exchangeable spread under H0 and mis-sizes otherwise; BM
+    studentizes the relative effect p̂ = P(X < Y) + ½P(X = Y) with
+    per-sample rank variances, staying valid when the two samples'
+    shapes differ (R's brunnermunzel, scipy ≥1.2 — the recommended
+    default in the methodological literature since Brunner-Munzel
+    2000).
+
+    Exactness: midranks (the tie-correct rank value) live on the
+    DOUBLED integer lattice — pooled midrank2 = 2·cum_before + c + 1
+    and the within-sample analogues are exact BIGINTs from histogram
+    window cumsums; rank-variance sums use truncating-mean centering
+    (T DIV n, bias < 1 doubled-rank unit per member — a defined
+    lattice, the f58 rule); p̂ and W are the same IEEE expressions from
+    identical integers in both engines.
+
+    Scale shape: e122's — one (sample, value) histogram agg, window
+    cumsums over the ≤57-value grid, two 1-row folds; the corpus scan
+    is the only volume term."""
+    li = Tables(spark, sf_dir).lineitem
+    hx = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(
+            (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
+        )
+        .agg(F.count("*").cast("long").alias("cx"))
+    )
+    hy = (
+        li.where(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cy"))
+    )
+    pooled = (
+        hx.join(hy, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("cx"), F.lit(0)).alias("cx"),
+            F.coalesce(F.col("cy"), F.lit(0)).alias("cy"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = pooled.select(
+        "v", "cx", "cy",
+        (
+            2 * (F.sum(F.col("cx") + F.col("cy")).over(wv) - (F.col("cx") + F.col("cy")))
+            + (F.col("cx") + F.col("cy"))
+            + 1
+        ).alias("m2"),
+        (2 * (F.sum("cx").over(wv) - F.col("cx")) + F.col("cx") + 1).alias("w2x"),
+        (2 * (F.sum("cy").over(wv) - F.col("cy")) + F.col("cy") + 1).alias("w2y"),
+    )
+    sizes = ranked.agg(
+        F.sum("cx").cast("long").alias("n1"),
+        F.sum("cy").cast("long").alias("n2"),
+        F.sum(F.col("cx") * F.col("m2")).cast("long").alias("t1"),
+        F.sum(F.col("cy") * F.col("m2")).cast("long").alias("t2"),
+    )
+    devs = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .select(
+            (
+                F.col("cx")
+                * F.expr(
+                    "(m2 - w2x - (t1 DIV n1 - (n1 + 1)))"
+                    " * (m2 - w2x - (t1 DIV n1 - (n1 + 1)))"
+                )
+            ).alias("qx"),
+            (
+                F.col("cy")
+                * F.expr(
+                    "(m2 - w2y - (t2 DIV n2 - (n2 + 1)))"
+                    " * (m2 - w2y - (t2 DIV n2 - (n2 + 1)))"
+                )
+            ).alias("qy"),
+        )
+        .agg(
+            F.sum("qx").cast("long").alias("s2x_q"),
+            F.sum("qy").cast("long").alias("s2y_q"),
+        )
+    )
+    return sizes.crossJoin(F.broadcast(devs)).select(
+        "n1", "n2", "t1", "t2", "s2x_q", "s2y_q",
+        F.expr(
+            "1000.0 * (CAST(t2 AS DOUBLE) / n2 - (n2 + 1)) / (2.0 * n1)"
+        ).alias("p_hat_milli"),
+        F.expr(
+            "((CAST(t2 AS DOUBLE) / n2 - CAST(t1 AS DOUBLE) / n1) / 2.0)"
+            " / SQRT((n1 + n2)"
+            " * (CAST(s2x_q AS DOUBLE) / (4.0 * (n1 - 1) * n1) / n2 / n2"
+            "    + CAST(s2y_q AS DOUBLE) / (4.0 * (n2 - 1) * n2) / n1 / n1)"
+            " * (n1 + n2))"
+        ).alias("w_stat"),
+    )
+
+
+# nDCG@10 rank discounts: D(i) = round(1e6 / log2(i+1)) — EXACT integer
+# constants, so the whole metric is float-free (computed once, pinned by
+# tests against math.log2).
+_J134_DISCOUNTS = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_J134_DISC_SQL = ", ".join(
+    f"({i + 1}, {d})" for i, d in enumerate(_J134_DISCOUNTS)
+)
+
+
+@register(
+    "j134_ndcg_retrieval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+               e.label AS nlabel, q.qv, e.embedding AS ev
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), dots AS (
+        -- exact centi-lattice dot (the j131 quantization contract)
+        SELECT query_id, qlabel, neighbor_id, nlabel,
+               CAST(SUM(CAST(ROUND(CAST(u.a AS DOUBLE) * 100) AS BIGINT)
+                        * CAST(ROUND(CAST(u.b AS DOUBLE) * 100) AS BIGINT))
+                    AS BIGINT) AS dot
+        FROM pairs,
+             LATERAL (SELECT unnest(qv) AS a, unnest(ev) AS b,
+                             generate_subscripts(qv, 1) AS i) u
+        GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+        SELECT query_id,
+               CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS rn
+        FROM dots
+    ), topk AS (
+        SELECT r.query_id, r.rel, d.disc
+        FROM ranked r JOIN (VALUES {_J134_DISC_SQL}) AS d(rn, disc)
+          ON d.rn = r.rn
+    ), dcg AS (
+        SELECT query_id,
+               CAST(SUM(rel * disc) AS BIGINT) AS dcg_micro,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_topk
+        FROM topk GROUP BY 1
+    ), nrel AS (
+        SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel
+        FROM ranked GROUP BY 1
+    ), idcg AS (
+        -- ideal DCG: all relevant docs packed into the top ranks
+        SELECT n.query_id,
+               CAST(SUM(d.disc) AS BIGINT) AS idcg_micro
+        FROM nrel n JOIN (VALUES {_J134_DISC_SQL}) AS d(rn, disc)
+          ON d.rn <= LEAST(n.n_rel, 10)
+        GROUP BY 1
+    )
+    SELECT d.query_id, d.n_rel_topk, n.n_rel, d.dcg_micro, i.idcg_micro,
+           CAST(1000 * d.dcg_micro // i.idcg_micro AS BIGINT) AS ndcg_milli
+    FROM dcg d JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    ORDER BY d.query_id
+    """,
+    survey="J134,J3,E62",
+)
+def j134_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval evaluation for the 8 probe queries over the
+    exact centi-lattice cosine ranking (label match = binary
+    relevance) — the GRADED-position metric the eval tier lacks: e62's
+    ROC/AUC scores a classifier's ordering globally, j121's MMR
+    *selects* a ranking; nDCG scores a RANKING where position matters
+    logarithmically, the standard retrieval-quality number every
+    embedding-search dial (j3's IVF/LSH tiers) is ultimately tuned
+    against.
+
+    Float-free by construction: rank discounts 1/log₂(i+1) are
+    pre-quantized micro-integer CONSTANTS (pinned against math.log2 in
+    tests), relevance is binary, the ranking key is the exact integer
+    centi dot (deterministic ties by neighbor id), and
+    nDCG_milli = 1000·DCG DIV IDCG — the entire metric is integer
+    arithmetic over an integer ordering.
+
+    Scale shape: 8 broadcast queries × corpus scan → exact dot (j3's
+    brute tier; the IVF/LSH preselect is the production dial) →
+    per-query top-10 window → constant-size discount join; the eval is
+    O(queries × corpus) with the documented ANN ladder cutting the
+    corpus term."""
+    e = Tables(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(
+            "qv", "embedding",
+            lambda a, b: F.round(a.cast("double") * 100).cast("long")
+            * F.round(b.cast("double") * 100).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dots = pairs.select(
+        "query_id", "qlabel",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        dot.alias("dot"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    ranked = dots.select(
+        "query_id",
+        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_J134_DISCOUNTS)], "rn int, disc long"
+    )
+    topk = ranked.join(F.broadcast(disc), "rn")
+    dcg = topk.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("disc")).cast("long").alias("dcg_micro"),
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+    )
+    nrel = ranked.groupBy("query_id").agg(F.sum("rel").cast("long").alias("n_rel"))
+    idcg = (
+        nrel.join(
+            F.broadcast(disc),
+            F.col("rn") <= F.least(F.col("n_rel"), F.lit(10)),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("disc").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(nrel, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id", "n_rel_topk", "n_rel", "dcg_micro", "idcg_micro",
+            F.expr("CAST(1000 * dcg_micro DIV idcg_micro AS BIGINT)").alias(
+                "ndcg_milli"
+            ),
+        )
+        .orderBy("query_id")
+    )

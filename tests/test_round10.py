@@ -642,3 +642,85 @@ def test_e126_theil_u_asymmetry_and_python_replay(spark):
     # the pinned asymmetry: quantity DETERMINES its bucket
     assert r.u_x_given_y_milli == 1000 and r.hxy_micro == 0
     assert 0 < r.u_y_given_x_milli < 1000
+
+
+def test_e127_brunner_munzel_matches_python(spark):
+    rows = _quantities()
+    hx = Counter(q + pk % 7 for g, _, q, pk in rows if g == "R")
+    hy = Counter(q for g, _, q, _ in rows if g == "A")
+    grid = sorted(set(hx) | set(hy))
+    cumx = cumy = 0
+    m2 = {}
+    w2x = {}
+    w2y = {}
+    for v in grid:
+        cx, cy = hx.get(v, 0), hy.get(v, 0)
+        m2[v] = 2 * (cumx + cumy) + (cx + cy) + 1
+        w2x[v] = 2 * cumx + cx + 1
+        w2y[v] = 2 * cumy + cy + 1
+        cumx += cx
+        cumy += cy
+    n1, n2 = sum(hx.values()), sum(hy.values())
+    t1 = sum(hx.get(v, 0) * m2[v] for v in grid)
+    t2 = sum(hy.get(v, 0) * m2[v] for v in grid)
+    s2x_q = sum(
+        hx.get(v, 0) * (m2[v] - w2x[v] - (t1 // n1 - (n1 + 1))) ** 2 for v in grid
+    )
+    s2y_q = sum(
+        hy.get(v, 0) * (m2[v] - w2y[v] - (t2 // n2 - (n2 + 1))) ** 2 for v in grid
+    )
+    (r,) = REGISTRY["e127_brunner_munzel"].fn(spark, SF).collect()
+    assert (r.n1, r.n2, r.t1, r.t2, r.s2x_q, r.s2y_q) == (
+        n1, n2, t1, t2, s2x_q, s2y_q,
+    )
+    p_hat = 1000.0 * (t2 / n2 - (n2 + 1)) / (2.0 * n1)
+    assert abs(r.p_hat_milli - p_hat) < 1e-6
+    # cross-check against e125's pair counts: p_hat = (lt + eq/2)/pairs
+    # with X the shifted 'R' sample (rank identity, exact up to the
+    # truncating-mean lattice which only touches the variance terms)
+    (d,) = REGISTRY["e125_cliffs_delta"].fn(spark, SF).collect()
+    p_pairs = 1000.0 * (d.lt + d.eq / 2.0) / d.n_pairs
+    assert abs(r.p_hat_milli - p_pairs) < 0.5
+    # X shifted UP => P(X < Y) < 1/2 and a large-negative W
+    assert r.p_hat_milli < 500
+    assert r.w_stat < -3.0
+
+
+def test_j134_ndcg_matches_python_and_discount_constants(spark):
+    from cassandra_snap_to_hadoop_spark.queries.round10 import _J134_DISCOUNTS
+
+    # the discount constants ARE round(1e6 / log2(i+1))
+    for i, d in enumerate(_J134_DISCOUNTS):
+        assert d == round(1_000_000 / math.log2(i + 2))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+    vecs = {}
+    labels = {}
+    for vid, lab, emb in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        vecs[vid] = [
+            int(Decimal(float(x) * 100).quantize(Decimal(1), ROUND_HALF_UP))
+            for x in emb
+        ]
+        labels[vid] = lab
+    want = {}
+    for qid in range(8):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(vecs[qid], vecs[nid])), nid)
+                for nid in vecs
+                if nid != qid
+            ),
+        )
+        rels = [1 if labels[nid] == labels[qid] else 0 for _, nid in scored]
+        dcg = sum(r * d for r, d in zip(rels[:10], _J134_DISCOUNTS))
+        n_rel = sum(rels)
+        idcg = sum(_J134_DISCOUNTS[: min(n_rel, 10)])
+        want[qid] = (sum(rels[:10]), n_rel, dcg, idcg, 1000 * dcg // idcg)
+    got = {
+        r.query_id: (r.n_rel_topk, r.n_rel, r.dcg_micro, r.idcg_micro, r.ndcg_milli)
+        for r in REGISTRY["j134_ndcg_retrieval"].fn(spark, SF).collect()
+    }
+    assert got == want
