@@ -2876,3 +2876,276 @@ def j134_ndcg_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "a44_lcs_level_audit",
+    oracle="""
+    WITH files AS (
+        -- per-day "sstable" stats (the a29/a31 convention): size proxy
+        -- + token coverage (orderkey % 1000 range)
+        SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(l_orderkey % 1000) AS BIGINT) AS tok_lo,
+               CAST(MAX(l_orderkey % 1000) AS BIGINT) AS tok_hi
+        FROM lineitem GROUP BY 1
+    ), leveled AS (
+        -- LCS assignment: newest-first file rank f; L1 holds 10 files,
+        -- L2 the next 100, L3 the next 1000 (the 10x fanout law)
+        SELECT *,
+               CASE WHEN f <= 10 THEN 1
+                    WHEN f <= 110 THEN 2
+                    WHEN f <= 1110 THEN 3 ELSE 4 END AS lvl
+        FROM (SELECT files.*, ROW_NUMBER() OVER (ORDER BY day DESC) AS f
+              FROM files)
+    ), ovl AS (
+        -- the LCS INVARIANT: within a level (L1+), files must not
+        -- overlap in token space; count adjacent overlaps in
+        -- range-start order — each one is compaction work
+        -- (CTE named ovl: OVERLAPS is a reserved word in DuckDB)
+        SELECT lvl,
+               CAST(SUM(CASE WHEN prev_hi IS NOT NULL
+                              AND prev_hi >= tok_lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS overlap_pairs
+        FROM (
+            SELECT lvl, tok_lo,
+                   LAG(tok_hi) OVER (PARTITION BY lvl
+                                     ORDER BY tok_lo, day) AS prev_hi
+            FROM leveled
+        ) GROUP BY 1
+    )
+    SELECT l.lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(l.n_rows) AS BIGINT) AS rows_total,
+           CAST(CASE WHEN l.lvl = 1 THEN 10
+                     WHEN l.lvl = 2 THEN 100
+                     WHEN l.lvl = 3 THEN 1000 ELSE 10000 END AS BIGINT)
+               AS capacity_files,
+           CAST(1000000 * COUNT(*)
+                // CASE WHEN l.lvl = 1 THEN 10
+                        WHEN l.lvl = 2 THEN 100
+                        WHEN l.lvl = 3 THEN 1000 ELSE 10000 END AS BIGINT)
+               AS fill_ppm,
+           CAST(MAX(o.overlap_pairs) AS BIGINT) AS overlap_pairs
+    FROM leveled l JOIN ovl o USING (lvl)
+    GROUP BY l.lvl ORDER BY l.lvl
+    """,
+    survey="A44,A31,A29",
+)
+def a44_lcs_level_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leveled-compaction (LCS) audit — the strategy tier a31's STCS
+    audit leaves open: LCS caps each level at 10^L fixed-size sstables
+    and guarantees NON-OVERLAPPING token ranges within a level (one
+    read touches ≤ L files instead of every tier), at the price of
+    re-sorting on promotion.  The audit assigns the per-day 'sstable'
+    relation (the a29/a31 size-proxy convention) newest-first into the
+    10×-fanout levels and reports per level: file count vs capacity,
+    fill ppm, and the INVARIANT VIOLATIONS — adjacent token-range
+    overlaps in range-start order, each one promotion/compaction work.
+    Time-partitioned files all span the full token ring (they were
+    written by time, not token), so L1+ shows overlaps ≈ files − 1:
+    exactly the write-amplification LCS pays on ingest-heavy
+    workloads, which is WHY STCS is the default for the snapshot-ETL
+    write pattern — the audit quantifies the trade.
+
+    Exactness: levels, capacities, fill ppm and overlap counts are
+    pure integer/window arithmetic on exact per-day aggregates.
+
+    Scale shape: one map-side-combinable hash agg to per-day stats
+    (metadata scale), a ≤4-level window + agg — data volume only
+    enters the first agg."""
+    li = Tables(spark, sf_dir).lineitem
+    files = li.groupBy(
+        F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(F.col("l_orderkey") % 1000).cast("long").alias("tok_lo"),
+        F.max(F.col("l_orderkey") % 1000).cast("long").alias("tok_hi"),
+    )
+    leveled = files.withColumn(
+        "f", F.row_number().over(Window.orderBy(F.desc("day")))
+    ).withColumn(
+        "lvl",
+        F.when(F.col("f") <= 10, 1)
+        .when(F.col("f") <= 110, 2)
+        .when(F.col("f") <= 1110, 3)
+        .otherwise(4),
+    )
+    wo = Window.partitionBy("lvl").orderBy("tok_lo", "day")
+    overlaps = (
+        leveled.withColumn("prev_hi", F.lag("tok_hi").over(wo))
+        .groupBy("lvl")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_hi").isNotNull()
+                    & (F.col("prev_hi") >= F.col("tok_lo")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("overlap_pairs")
+        )
+    )
+    cap = (
+        F.when(F.col("lvl") == 1, 10)
+        .when(F.col("lvl") == 2, 100)
+        .when(F.col("lvl") == 3, 1000)
+        .otherwise(10000)
+        .cast("long")
+    )
+    return (
+        leveled.groupBy("lvl")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+        )
+        .join(overlaps, "lvl")
+        .select(
+            "lvl", "n_files", "rows_total",
+            cap.alias("capacity_files"),
+            F.expr(
+                "CAST(1000000 * n_files DIV CASE WHEN lvl = 1 THEN 10"
+                " WHEN lvl = 2 THEN 100 WHEN lvl = 3 THEN 1000"
+                " ELSE 10000 END AS BIGINT)"
+            ).alias("fill_ppm"),
+            "overlap_pairs",
+        )
+        .orderBy("lvl")
+    )
+
+
+@register(
+    "j135_rrf_fusion",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS ev
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), scores AS (
+        -- two EXACT integer retrieval keys over the centi lattice:
+        -- dot (cosine-numerator order) and squared L2 distance
+        SELECT query_id, neighbor_id,
+               CAST(SUM(ca * cb) AS BIGINT) AS dot,
+               CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS dist2
+        FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(ROUND(CAST(u.a AS DOUBLE) * 100) AS BIGINT) AS ca,
+                   CAST(ROUND(CAST(u.b AS DOUBLE) * 100) AS BIGINT) AS cb
+            FROM pairs,
+                 LATERAL (SELECT unnest(qv) AS a, unnest(ev) AS b,
+                                 generate_subscripts(qv, 1) AS i) u
+        ) GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS r_dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist2 ASC, neighbor_id) AS r_l2
+        FROM scores
+    ), fused AS (
+        -- RRF with k = 60 (Cormack et al. 2009): per-ranking
+        -- contribution 1e6 DIV (60 + rank), exact integer
+        SELECT query_id, neighbor_id, r_dot, r_l2,
+               (1000000 // (60 + r_dot) + 1000000 // (60 + r_l2))
+                   AS rrf_micro
+        FROM ranked
+    )
+    SELECT query_id, neighbor_id,
+           CAST(r_dot AS BIGINT) AS r_dot, CAST(r_l2 AS BIGINT) AS r_l2,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rn AS INTEGER) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_micro DESC, neighbor_id)
+                      AS rn
+        FROM fused
+    ) WHERE rn <= 5
+    ORDER BY query_id, fused_rank
+    """,
+    survey="J135,J3,J121",
+)
+def j135_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    retrieval rankings — THE hybrid-search combiner (every
+    vector+keyword engine ships it) the retrieval tier lacked: j3
+    ranks, j121 diversifies, j134 evaluates; RRF MERGES rankings
+    without score calibration, because 1/(k + rank) depends only on
+    positions.  Here the two rankings are inner-product order and
+    L2-distance order over the same centi lattice — genuinely
+    different orders on unnormalized vectors (norms matter for dot,
+    not for relative distance) — fused with the canonical k = 60.
+
+    Float-free: both ranking keys are exact BIGINTs (dot and squared
+    L2 share one quantized explode), ranks are deterministic
+    (tie → neighbor id), and each RRF contribution is
+    1e6 DIV (60 + rank) — exact integer division, so the fused order
+    is bit-reproducible in both engines.
+
+    Scale shape: j134's — 8 broadcast queries × corpus scan, ONE
+    quantized explode feeding both keys, two per-query rank windows,
+    top-5 cut; the ANN ladder preselects candidates in production."""
+    e = Tables(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    quant = F.zip_with(
+        "qv", "embedding",
+        lambda a, b: F.struct(
+            F.round(a.cast("double") * 100).cast("long").alias("ca"),
+            F.round(b.cast("double") * 100).cast("long").alias("cb"),
+        ),
+    )
+    scores = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            quant, F.lit(0).cast("long"), lambda acc, s: acc + s.ca * s.cb
+        ).alias("dot"),
+        F.aggregate(
+            quant,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + (s.ca - s.cb) * (s.ca - s.cb),
+        ).alias("dist2"),
+    )
+    ranked = scores.select(
+        "query_id", "neighbor_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("dot"), F.asc("neighbor_id")
+            )
+        )
+        .alias("r_dot"),
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.asc("dist2"), F.asc("neighbor_id")
+            )
+        )
+        .alias("r_l2"),
+    )
+    fused = ranked.select(
+        "query_id", "neighbor_id", "r_dot", "r_l2",
+        F.expr("1000000 DIV (60 + r_dot) + 1000000 DIV (60 + r_l2)").alias(
+            "rrf_micro"
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= 5)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("r_dot").cast("long").alias("r_dot"),
+            F.col("r_l2").cast("long").alias("r_l2"),
+            F.col("rrf_micro").cast("long").alias("rrf_micro"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -724,3 +724,89 @@ def test_j134_ndcg_matches_python_and_discount_constants(spark):
         for r in REGISTRY["j134_ndcg_retrieval"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_a44_lcs_levels_match_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: F401
+
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_shipdate", "l_orderkey"])
+    per = defaultdict(lambda: [0, 10**9, -1])
+    for sd, ok in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        d = int(sd.timestamp() * 1_000_000) // 86_400_000_000 if hasattr(sd, "timestamp") else (
+            (sd.toordinal() - 719163)
+        )
+        rec = per[d]
+        rec[0] += 1
+        tok = ok % 1000
+        rec[1] = min(rec[1], tok)
+        rec[2] = max(rec[2], tok)
+    files = sorted(per.items(), key=lambda kv: -kv[0])  # newest first
+    lv = {}
+    for f, (day, (n, lo, hi)) in enumerate(files, start=1):
+        lvl = 1 if f <= 10 else 2 if f <= 110 else 3 if f <= 1110 else 4
+        lv.setdefault(lvl, []).append((lo, day, hi, n))
+    want = {}
+    for lvl, fs in lv.items():
+        fs.sort(key=lambda x: (x[0], x[1]))
+        overlaps = sum(
+            1 for a, b in zip(fs, fs[1:]) if a[2] >= b[0]
+        )
+        cap = {1: 10, 2: 100, 3: 1000}.get(lvl, 10000)
+        want[lvl] = (
+            len(fs), sum(x[3] for x in fs), cap,
+            1_000_000 * len(fs) // cap, overlaps,
+        )
+    got = {
+        r.lvl: (r.n_files, r.rows_total, r.capacity_files, r.fill_ppm,
+                r.overlap_pairs)
+        for r in REGISTRY["a44_lcs_level_audit"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # the time-partitioning penalty: overlaps bounded by adjacency and
+    # present somewhere (at sf0.001 daily files hold ~2 rows, so their
+    # token ranges are narrow and only MOST adjacent pairs collide; at
+    # sf0.1 every file spans the ring and overlaps == n_files - 1)
+    assert all(
+        0 <= overlaps <= n_files - 1
+        for n_files, *_rest, overlaps in got.values()
+        if n_files > 1
+    )
+    assert any(overlaps > 0 for *_rest, overlaps in got.values())
+
+
+def test_j135_rrf_matches_python_and_rankings_diverge(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [
+            int(Decimal(float(x) * 100).quantize(Decimal(1), ROUND_HALF_UP))
+            for x in emb
+        ]
+        for vid, emb in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+    }
+    want = {}
+    diverged = False
+    for qid in range(8):
+        others = [n for n in vecs if n != qid]
+        dots = {n: sum(a * b for a, b in zip(vecs[qid], vecs[n])) for n in others}
+        d2s = {n: sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[n])) for n in others}
+        r_dot = {n: i + 1 for i, n in enumerate(sorted(others, key=lambda n: (-dots[n], n)))}
+        r_l2 = {n: i + 1 for i, n in enumerate(sorted(others, key=lambda n: (d2s[n], n)))}
+        if any(r_dot[n] != r_l2[n] for n in others):
+            diverged = True
+        rrf = {
+            n: 1_000_000 // (60 + r_dot[n]) + 1_000_000 // (60 + r_l2[n])
+            for n in others
+        }
+        top = sorted(others, key=lambda n: (-rrf[n], n))[:5]
+        for i, n in enumerate(top, start=1):
+            want[(qid, n)] = (r_dot[n], r_l2[n], rrf[n], i)
+    got = {
+        (r.query_id, r.neighbor_id): (r.r_dot, r.r_l2, r.rrf_micro, r.fused_rank)
+        for r in REGISTRY["j135_rrf_fusion"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # the two retrieval orders must genuinely differ somewhere, or the
+    # fusion proves nothing (j125 rule)
+    assert diverged
