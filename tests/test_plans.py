@@ -587,6 +587,16 @@ _GLOBAL_WINDOW_ALLOWED = {
     "e117_anderson_darling": "cumulative window over the DISTINCT n_chars"
     " value grid — domain-bounded, independent of corpus row count"
     " (the e36/e81 exemption class)",
+    "e122_mood_median_test": "pooled-median cumsum + total over the ≤50-value"
+    " quantity histogram (the e36/e81 exemption class)",
+    "e123_hodges_lehmann": "weighted-median cumsum over the ≤99-value"
+    " pairwise-difference lattice (domain-bounded)",
+    "f55_kuiper_two_sample": "global-ECDF cumsum over the DISTINCT rounded-"
+    "value grid — e36's machinery verbatim (the e36/e81 exemption class)",
+    "e127_brunner_munzel": "midrank cumsums over the ≤57-value pooled"
+    " quantity histogram (the e36/e81 exemption class)",
+    "a44_lcs_level_audit": "newest-first file rank over the per-day sstable"
+    " relation (calendar-bounded — the e39/f22 exemption class)",
 }
 
 
