@@ -3149,3 +3149,128 @@ def j135_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+@register(
+    "j136_fightin_words",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                    THEN 'a' ELSE 'b' END AS grp,
+               unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+        FROM toks WHERE w <> '' GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb,
+               CAST(SUM(ya + yb) AS BIGINT) AS a0
+        FROM counts
+    ), scored AS (
+        -- Monroe/Colaresi/Quinn 2008 log-odds with the informative
+        -- Dirichlet prior alpha_w = (ya+yb) * 500 / a0 scaled to milli
+        -- (prior mass 500 tokens split by corpus frequency); per-word
+        -- delta and variance are the SAME IEEE expressions from exact
+        -- integers in both engines, micro-rounded per word (e105 rule)
+        SELECT c.w, c.ya, c.yb,
+               CAST(ROUND(1000000.0 * (
+                   LN((c.ya + aw) / (t.na + 500.0 - c.ya - aw))
+                 - LN((c.yb + aw) / (t.nb + 500.0 - c.yb - aw))
+               )) AS BIGINT) AS delta_micro,
+               CAST(ROUND(1000000.0 * (1.0 / (c.ya + aw)
+                                       + 1.0 / (c.yb + aw))) AS BIGINT)
+                   AS var_micro
+        FROM (SELECT *, 500.0 * (ya + yb) / (SELECT a0 FROM tot) AS aw
+              FROM counts) c
+        CROSS JOIN tot t
+        WHERE c.ya + c.yb >= 50
+    )
+    SELECT w, ya, yb, delta_micro, var_micro,
+           CAST(ROUND(1000.0 * delta_micro
+                / SQRT(1000000.0 * var_micro)) AS BIGINT) AS z_milli
+    FROM scored
+    ORDER BY ABS(CAST(ROUND(1000.0 * delta_micro
+                / SQRT(1000000.0 * var_micro)) AS BIGINT)) DESC, w
+    LIMIT 20
+    """,
+    survey="J136,J52,J96",
+)
+def j136_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' words' (Monroe, Colaresi & Quinn 2008) — the standard
+    WHAT-DISTINGUISHES-THESE-CORPORA operator: log-odds ratio of each
+    word between two source groups with an INFORMATIVE Dirichlet prior
+    proportional to overall corpus frequency, z-standardized by the
+    delta's variance.  Raw log-odds overweight rare words and plain
+    frequency differences overweight stopwords; the prior fixes both —
+    which is why this displaced TF-IDF diffs and raw PMI (j52) for
+    corpus comparison (source-attribution audits, style drift, the
+    'what changed between crawls' question).
+
+    Exactness: counts are exact BIGINTs; the per-word delta and
+    variance take the ONLY float steps, as identical IEEE expressions
+    from identical integers, micro-ROUNDed per word (the e105 rule);
+    the z and the deterministic |z|-ranked top-20 cut are then
+    integer-keyed (ties by word).  Prior mass 500 tokens split by
+    corpus share (α_w = 500·(y_a+y_b)/N); df floor ≥ 50 keeps the
+    output on corpus-representative words.
+
+    Scale shape: one tokenize scan (the volume term) → per-word hash
+    agg → 1-row totals broadcast → per-word codegen arithmetic →
+    top-20 TakeOrdered; never a pairwise relation."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents
+    grp = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "a"
+    ).otherwise("b")
+    toks = d.select(grp.alias("grp"), F.explode(tokens(F.col("text"))).alias("w"))
+    counts = (
+        toks.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("ya"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("yb"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).cast("long").alias("a0"),
+    )
+    scored = (
+        counts.where(F.col("ya") + F.col("yb") >= 50)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("aw", F.expr("CAST(500 AS DOUBLE) * (ya + yb) / a0"))
+        .select(
+            "w", "ya", "yb",
+            F.expr(
+                "CAST(ROUND(CAST(1000000 AS DOUBLE) * ("
+                " LN((ya + aw) / (na + CAST(500 AS DOUBLE) - ya - aw))"
+                " - LN((yb + aw) / (nb + CAST(500 AS DOUBLE) - yb - aw))"
+                ")) AS BIGINT)"
+            ).alias("delta_micro"),
+            F.expr(
+                "CAST(ROUND(CAST(1000000 AS DOUBLE)"
+                " * (CAST(1 AS DOUBLE) / (ya + aw)"
+                "    + CAST(1 AS DOUBLE) / (yb + aw))) AS BIGINT)"
+            ).alias("var_micro"),
+        )
+        .withColumn(
+            "z_milli",
+            F.expr(
+                "CAST(ROUND(CAST(1000 AS DOUBLE) * delta_micro"
+                " / SQRT(CAST(1000000 AS DOUBLE) * var_micro)) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("z_milli")).desc(), F.asc("w"))
+        .limit(20)
+        .select("w", "ya", "yb", "delta_micro", "var_micro", "z_milli")
+    )

@@ -810,3 +810,45 @@ def test_j135_rrf_matches_python_and_rankings_diverge(spark):
     # the two retrieval orders must genuinely differ somewhere, or the
     # fusion proves nothing (j125 rule)
     assert diverged
+
+
+def test_j136_fightin_words_matches_python(spark):
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    ya: Counter = Counter()
+    yb: Counter = Counter()
+    agroup = {"src0", "src1", "src2", "src3", "src4"}
+    for src, txt in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        words = re.sub(r"\s+", " ", txt.lower()).strip().split(" ")
+        tgt = ya if src in agroup else yb
+        for w in words:
+            if w:
+                tgt[w] += 1
+    na, nb = sum(ya.values()), sum(yb.values())
+    a0 = na + nb
+    scored = []
+    for w in set(ya) | set(yb):
+        y1, y2 = ya.get(w, 0), yb.get(w, 0)
+        if y1 + y2 < 50:
+            continue
+        aw = 500.0 * (y1 + y2) / a0
+        delta = round(
+            1_000_000
+            * (
+                math.log((y1 + aw) / (na + 500.0 - y1 - aw))
+                - math.log((y2 + aw) / (nb + 500.0 - y2 - aw))
+            )
+        )
+        var = round(1_000_000 * (1.0 / (y1 + aw) + 1.0 / (y2 + aw)))
+        z = round(1000.0 * delta / math.sqrt(1_000_000.0 * var))
+        scored.append((w, y1, y2, delta, var, z))
+    scored.sort(key=lambda r: (-abs(r[5]), r[0]))
+    want = scored[:20]
+    got = [
+        (r.w, r.ya, r.yb, r.delta_micro, r.var_micro, r.z_milli)
+        for r in REGISTRY["j136_fightin_words"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    # discrimination: the top word must separate the groups decisively
+    assert abs(got[0][5]) > 500
