@@ -61,6 +61,82 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
+# Round-11 driver window, recomputed programmatically at round-11 start
+# from REGISTRY − (hash-certified ∪ CORRECTNESS_r{1..10}) per VERDICT.md
+# round-10 item 1.  The never-hash-certified backlog is exactly the 27
+# round-10 session additions (registered after the r10 window rotated):
+# the 4.x na/nb SSTable leg a40-a42, a43/a44 layout audits, the
+# nonparametric depth tier e122-e127, the time-series tier f55-f61,
+# the retrieval/corpus tier j132-j136, b22/b23, d28 and
+# sql_api_identifier — all judge-mirror-green at sf0.01 (505/505 in the
+# round-10 VERDICT) and mirror-green locally at sf0.001/0.01/0.1 before
+# they were committed.  They lead the window in insertion order.  New
+# round-11 session additions are APPENDED to the SQL head as they are
+# registered (the driver sweeps after the builder's last commit, so the
+# final committed order is what executes — this keeps round 11 at
+# certify-with-additions parity).  The tail of the window re-checks
+# rows-only keys, oldest driver line first (the two `pyspark.ml`
+# estimator tiers still carry round-1 lines; the other 17 were re-run
+# in round 10), so each gets a fresh `spark_rows>0` line against the
+# current engine if the budget allows.
+_ROUND11_PRIORITY: tuple[str, ...] = (
+    # ── 27 SQL-oracled, never hash-certified by the driver ──
+    "a40_sstable_na_roundtrip",
+    "a41_sstable_na_clustering_scan",
+    "a42_sstable_mixed_formats",
+    "e122_mood_median_test",
+    "e123_hodges_lehmann",
+    "e124_jonckheere_terpstra",
+    "f55_kuiper_two_sample",
+    "f56_variance_ratio",
+    "f57_cox_stuart_trend",
+    "f58_kpss_level",
+    "j132_temperature_sampling",
+    "b22_rack_aware_placement",
+    "sql_api_identifier",
+    "e125_cliffs_delta",
+    "f59_dfa_alpha",
+    "b23_vnode_ownership",
+    "a43_parquet_rowgroup_audit",
+    "j133_minhash_error_audit",
+    "f60_spectral_entropy",
+    "f61_sample_entropy",
+    "d28_asof_tolerance_join",
+    "e126_theil_u",
+    "e127_brunner_munzel",
+    "j134_ndcg_retrieval",
+    "a44_lcs_level_audit",
+    "j135_rrf_fusion",
+    "j136_fightin_words",
+    # ── round-11 session additions (SQL-oracled, appended as registered) ──
+    # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
+    "j2_minhash_lsh_ml",
+    "j3_knn_brp_lsh_ml",
+    "j3_knn_bruteforce_arrow",
+    "j3_knn_pq",
+    "j10_multimodal_decode",
+    "e12_hll_sketch_merge",
+    "llm_curation_funnel_lsh",
+    "j20_compression_ratio",
+    "b1_murmur3_placement",
+    "j2_minhash_lsh_pairs",
+    "j2_simhash",
+    "j3_knn_ivf",
+    "j3_knn_ivf_kmeans",
+    "j3_similarity_join_lsh",
+    "j9_fingerprint",
+    "j48_media_embedding_knn",
+    "j66_bpe_merges",
+    "j68_bpe_encode_stats",
+    "j72_rouge_l",
+)
+
+# No overflow this round: the backlog (27) plus all 19 rows-only
+# re-checks fit the observed ~50-entry budget with slots to spare;
+# session additions consume the spare slots first (rows-only re-checks
+# yield — all have fresh round-10 lines).
+_ROUND11_TAIL: tuple[str, ...] = ()
+
 # Round-10 driver window (50 insertion-ordered entries), recomputed
 # programmatically at round-10 start from
 # REGISTRY − (hash-certified ∪ CORRECTNESS_r{1..9}) per VERDICT.md
@@ -954,4 +1030,4 @@ def _reorder(priority: tuple[str, ...]) -> None:
     REGISTRY.update(tail)
 
 
-_reorder(_ROUND10_PRIORITY + _ROUND10_TAIL)
+_reorder(_ROUND11_PRIORITY + _ROUND11_TAIL)

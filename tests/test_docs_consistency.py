@@ -7,7 +7,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from cassandra_snap_to_hadoop_spark.queries import _ROUND10_PRIORITY, _ROUND10_TAIL
+from cassandra_snap_to_hadoop_spark.queries import _ROUND11_PRIORITY, _ROUND11_TAIL
 from cassandra_snap_to_hadoop_spark.registry import load_all
 
 REPO = Path(__file__).resolve().parents[1]
@@ -54,7 +54,7 @@ def test_next_md_references_only_registered_queries():
 
 
 def test_ordering_lists_are_duplicate_free_and_registered():
-    combined = list(_ROUND10_PRIORITY) + list(_ROUND10_TAIL)
+    combined = list(_ROUND11_PRIORITY) + list(_ROUND11_TAIL)
     assert len(combined) == len(set(combined)), "duplicate names in ordering lists"
     missing = [n for n in combined if n not in REGISTRY]
     assert not missing, missing
@@ -114,18 +114,19 @@ def test_readme_totals_match_registry():
     )
 
 
-_CURRENT_ROUND = 10
+_CURRENT_ROUND = 11
 
 
-def test_round10_window_clears_backlog_then_rechecks():
-    """Round-10 window contract (VERDICT r9 item 1): the head of the
-    50-slot window must be EXACTLY the never-hash-certified backlog —
-    every SQL-oracled key without a hash-level line in
-    ∪CORRECTNESS_r{1..9} — so one window clears it.  Because the backlog
-    (31 keys) is smaller than the window, the remaining slots re-check
-    rows-only keys (fresh `spark_rows>0` lines against the current
-    engine) — already-attempted keys are INTENTIONAL there, unlike
-    rounds 4-9 whose backlogs exceeded the window.
+def test_round11_window_clears_backlog_then_rechecks():
+    """Round-11 window contract (VERDICT r10 item 1): the SQL head of
+    the window must be EXACTLY the never-hash-certified backlog — every
+    SQL-oracled key without a hash-level line in ∪CORRECTNESS_r{1..10}.
+    Unlike rounds 4-10 this is enforced with NO module exemption:
+    round-11 session additions are appended to the SQL head as they are
+    registered (the driver sweeps after the last commit), so the
+    backlog⊆window direction must hold for them too.  Remaining slots
+    re-check rows-only keys (fresh `spark_rows>0` lines against the
+    current engine) — already-attempted keys are INTENTIONAL there.
 
     Assert against PRIOR rounds only: the current round's own results
     file (written mid-round by the driver) certifies exactly these
@@ -139,44 +140,35 @@ def test_round10_window_clears_backlog_then_rechecks():
             continue
         d = json.loads(p.read_text())
         hash_certified |= {k for k, v in d.items() if v.get("hash_match")}
-    assert len(_ROUND10_PRIORITY) == 50
     backlog = {
         n for n in REGISTRY if REGISTRY[n].oracle and n not in hash_certified
     }
-    sql_head = [n for n in _ROUND10_PRIORITY if REGISTRY[n].oracle]
+    sql_head = [n for n in _ROUND11_PRIORITY if REGISTRY[n].oracle]
     wasted = [n for n in sql_head if n not in backlog]
     assert not wasted, (
         f"window spends SQL slots on already-hash-certified keys: {wasted}"
     )
-    # Every rotation-time backlog key must be in the window; keys
-    # registered AFTER rotation (this round's own session additions in
-    # queries/round10*.py) are exempt — they rotate into round 11, the
-    # standing pattern since round 4.
-    uncovered = [
-        n
-        for n in backlog - set(sql_head)
-        if not REGISTRY[n].fn.__module__.startswith(
-            "cassandra_snap_to_hadoop_spark.queries.round10"
-        )
-    ]
+    uncovered = sorted(backlog - set(sql_head))
     assert not uncovered, (
-        f"never-hash-certified pre-rotation keys missing from the window: "
-        f"{uncovered}"
+        f"never-hash-certified SQL keys missing from the round-11 window "
+        f"(append session additions to _ROUND11_PRIORITY): {uncovered}"
     )
-    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND10_PRIORITY]
+    kinds = ["sql" if REGISTRY[n].oracle else "rows" for n in _ROUND11_PRIORITY]
     first_rows = kinds.index("rows") if "rows" in kinds else len(kinds)
     assert "sql" not in kinds[first_rows:], (
-        "SQL-oracled key(s) ordered after rows-only keys in _ROUND10_PRIORITY"
+        "SQL-oracled key(s) ordered after rows-only keys in _ROUND11_PRIORITY"
     )
+    # Every rows-only key gets a re-check slot (budget permitting).
+    rows_only = {n for n in REGISTRY if not REGISTRY[n].oracle}
+    missing_rows = sorted(rows_only - set(_ROUND11_PRIORITY) - set(_ROUND11_TAIL))
+    assert not missing_rows, f"rows-only keys without a re-check slot: {missing_rows}"
 
 
-def test_round10_tail_is_rows_only_by_design():
-    """The round-10 overflow holds only the two `pyspark.ml` estimator
-    tiers (JVM-internal model seeds — rows-only by contract, law-tested
-    against the hand-rolled tiers).  Every SQL-oracled key must be
-    inside the window itself this round."""
-    assert all(not REGISTRY[n].oracle for n in _ROUND10_TAIL), (
-        "SQL-oracled key found in _ROUND10_TAIL — it belongs in the window"
+def test_round11_tail_is_rows_only_by_design():
+    """Any round-11 overflow must hold only rows-only keys — every
+    SQL-oracled key belongs inside the window itself this round."""
+    assert all(not REGISTRY[n].oracle for n in _ROUND11_TAIL), (
+        "SQL-oracled key found in _ROUND11_TAIL — it belongs in the window"
     )
 
 
