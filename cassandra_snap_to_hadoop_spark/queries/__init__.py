@@ -58,6 +58,7 @@ from cassandra_snap_to_hadoop_spark.queries import (  # noqa: F401
     round8b,  # round-8 continuation (nonparametric k-sample/paired/blocked tier) — rotate in round 9
     round9,  # round-9 additions (reliability tier: Cronbach/AD/Krippendorff/ICC) — rotate in round 10
     round10,  # round-10 additions (Cassandra 4.x na/nb SSTable codec) — rotate in round 11
+    round11,  # round-11 additions (Cassandra 5.0 oa/BTI SSTable codec) — in-window this round
 )
 from cassandra_snap_to_hadoop_spark.registry import REGISTRY
 
@@ -109,6 +110,10 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "j135_rrf_fusion",
     "j136_fightin_words",
     # ── round-11 session additions (SQL-oracled, appended as registered) ──
+    "a45_sstable_oa_roundtrip",
+    "a46_sstable_oa_clustering_scan",
+    "a47_sstable_quad_formats",
+    "a48_oa_stats_audit",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

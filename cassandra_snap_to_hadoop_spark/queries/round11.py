@@ -1,0 +1,451 @@
+"""Round-11 additions — the Cassandra 5.0 ``oa``/BTI half of the
+SSTable format family (VERDICT r10 item 2) plus round-11 depth
+operators.
+
+a45/a46 certify the ``oa`` codec (``sources/sstable_oa.py`` +
+``sources/bti.py``) end-to-end exactly the way a33/a34 certified ka
+(round 7), a36/a37 certified ma (round 8) and a40/a41 certified na/nb
+(round 10): the SAME bounded supplier / clustered-orders subsets, the
+SAME deletion/TTL visibility rules, the SAME oracles — but the files on
+disk now carry 5.0's extended (post-2038) deletion headers, the
+key-range/partition-deletion/token-coverage stats metadata, and the BTI
+trie index (Partitions.db/Rows.db) which the scan VERIFIES and is
+DRIVEN BY (no sequential file walk).  a47 stages ONE snapshot whose
+generations span all FOUR formats (ka + ma + nb + oa); a48 certifies
+the 5.0-new stats metadata itself against the parquet truth.
+"""
+
+from __future__ import annotations
+
+import shutil
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_snap_to_hadoop_spark.queries.layout import _staged
+from cassandra_snap_to_hadoop_spark.queries.round7 import (
+    _AS_OF,
+    _ORDERS_CQL,
+    _SUPPLIER_CQL,
+)
+from cassandra_snap_to_hadoop_spark.queries.round10 import (
+    _HOST_ID,
+    _REPAIR_ID,
+    _supplier_partitions,
+)
+from cassandra_snap_to_hadoop_spark.registry import register
+from cassandra_snap_to_hadoop_spark.session import apply_runtime_confs
+
+# A partition-deletion localDeletionTime in year 2100 — representable by
+# oa's unsigned-32-bit extended deletion domain (CASSANDRA-14227 class),
+# NOT by the 2.x-4.x signed-int32 header (tests prove the 4.x packer
+# rejects it).  Deletion VISIBILITY depends only on markedForDeleteAt,
+# so the oracle is unchanged from a33/a36/a40 — the post-2038 value
+# exercises the byte path without touching the relational truth.
+_LDT_2100 = 4_102_444_800
+
+
+def _stage_supplier_oa_sstables(sf_dir: str):
+    """Two 5.0 generations: gen 1 with a pending-repair session id, gen 2
+    with an originating host id — the same supplier truth as
+    a33/a36/a40 (one oracle, FOUR byte layouts), with every partition
+    deletion carrying the year-2100 extended deletion time."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+    from cassandra_snap_to_hadoop_spark.sources.sstable_oa import write_oa_data_db
+
+    base = _staged("a45_sstable_oa", sf_dir, "supplier")
+    snap = base / "ks1" / "supplier" / "snapshots" / "tag-r11"
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    snap.mkdir(parents=True)
+    (snap / "schema.cql").write_text(_SUPPLIER_CQL)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+    gens = _supplier_partitions(sf_dir)
+    for g in gens.values():
+        for p in g:
+            if p["deletion"] is not None:
+                p["deletion"] = (_LDT_2100, p["deletion"][1])
+    write_oa_data_db(
+        str(snap / "oa-1-big-Data.db"),
+        gens[1],
+        meta,
+        pending_repair=_REPAIR_ID,
+        token_space_coverage=0.5,
+    )
+    write_oa_data_db(
+        str(snap / "oa-2-big-Data.db"),
+        gens[2],
+        meta,
+        host_id=_HOST_ID,
+        token_space_coverage=0.5,
+    )
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a45_sstable_oa_roundtrip",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END AS v_name,
+           CASE WHEN s_suppkey % 5 = 0 THEN CAST(NULL AS INTEGER)
+                ELSE s_nationkey END AS v_nationkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE s_acctbal END AS v_acctbal,
+           CAST(s_suppkey * 1000 AS BIGINT) AS writetime_us,
+           CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS v_gen
+    FROM supplier WHERE s_suppkey % 97 <> 0
+    """,
+    survey="A45,A2,B3,B4",
+)
+def a45_sstable_oa_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a40's roundtrip through the Cassandra 5.0 layout: the supplier
+    table re-encoded as two ``oa`` generations (``sources/sstable_oa.py``
+    — the shared 3.0 row core wrapped in 5.0's extended-deletion
+    headers, key-range stats metadata and BTI trie index) and scanned
+    back through the snapshot DataSource's ``oa-`` filename dispatch.
+    The oracle is IDENTICAL to a33/a36/a40's: the visibility rules are
+    format-independent truth, so a hash match across all FOUR codecs
+    certifies the decoders agree with the relational semantics AND each
+    other.
+
+    Beyond a40 this certifies: the unsigned-32-bit partition deletion
+    header carrying a year-2100 localDeletionTime (the post-2038
+    extension — the 4.x packer rejects this value, proven in
+    tests/test_sstable_oa.py), the index-DRIVEN scan (every partition
+    located via the Partitions.db trie, with per-partition
+    trie-key-vs-data-key and whole-file tiling cross-checks), and the
+    widened checksummed stats sidecar (i64 minLocalDeletionTime,
+    key-range bounds, partition-deletion marker, token coverage).
+
+    Scale shape: identical to a33/a36/a40 — staging is a bounded
+    driver-side fixture encode; the SCAN is one InputPartition per
+    Data.db decoded executor-side into Arrow batches; trie resolution
+    is O(index bytes) per file, executor-side."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import snapshot_scan
+
+    apply_runtime_confs(spark)
+    base = _stage_supplier_oa_sstables(sf_dir)
+    df = snapshot_scan(
+        spark,
+        str(base),
+        "ks1",
+        "supplier",
+        "tag-r11",
+        writetime="true",
+        as_of=str(_AS_OF),
+    )
+    return df.select(
+        "s_suppkey",
+        F.col("s_name").alias("v_name"),
+        F.col("s_nationkey").alias("v_nationkey"),
+        F.col("s_acctbal").alias("v_acctbal"),
+        F.col("_writetime").alias("writetime_us"),
+        F.regexp_extract(F.col("_sstable"), r"oa-(\d+)-big-Data\.db$", 1)
+        .cast("int")
+        .alias("v_gen"),
+    )
+
+
+def _stage_orders_oa_sstables(sf_dir: str):
+    """The a34/a37/a41 orders subset (orderkey % 100 == 0) as oa
+    SSTables with ``row_index_threshold=1``: EVERY partition gets a
+    Rows.db clustering trie, so the scan exercises the row-index
+    resolution + row-offset verification path on all partitions (a45's
+    key-only table exercises the direct-to-Data.db path on all of
+    its)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+    from cassandra_snap_to_hadoop_spark.sources.sstable_oa import write_oa_data_db
+
+    base = _staged("a46_sstable_oa", sf_dir, "orders")
+    snap = base / "ks1" / "orders_by_cust" / "snapshots" / "tag-r11"
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    snap.mkdir(parents=True)
+    (snap / "schema.cql").write_text(_ORDERS_CQL)
+    meta = parse_table_meta(_ORDERS_CQL)
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+    )
+    ok_col = t.column("o_orderkey")
+    t = t.filter(
+        pc.equal(pc.subtract(ok_col, pc.multiply(pc.divide(ok_col, 100), 100)), 0)
+    )
+    date_us = pc.cast(t.column("o_orderdate"), "int64").to_pylist()
+    rows = sorted(
+        zip(
+            t.column("o_custkey").to_pylist(),
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_orderstatus").to_pylist(),
+            t.column("o_totalprice").to_pylist(),
+            date_us,
+        )
+    )
+    parts: dict[int, dict] = {}
+    for ck, ok, status, price, dus in rows:
+        p = parts.setdefault(ck, {"key": (ck,), "deletion": None, "rows": []})
+        ts = ok * 10
+        p["rows"].append(
+            {
+                "clustering": (ok,),
+                "marker_ts": ts,
+                "cells": {
+                    "o_orderstatus": ("live", ts, status),
+                    "o_totalprice": ("live", ts, price),
+                    "o_orderdate": ("live", ts, dus // 1000),  # micros->millis
+                },
+            }
+        )
+    gens: dict[int, list] = {1: [], 2: []}
+    for ck in sorted(parts):
+        gens[1 if ck % 2 == 0 else 2].append(parts[ck])
+    write_oa_data_db(
+        str(snap / "oa-1-big-Data.db"), gens[1], meta, row_index_threshold=1
+    )
+    write_oa_data_db(
+        str(snap / "oa-2-big-Data.db"), gens[2], meta, row_index_threshold=1
+    )
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a46_sstable_oa_clustering_scan",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+           CAST(o_orderkey * 10 AS BIGINT) AS writetime_us
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    survey="A46,A2,B5",
+)
+def a46_sstable_oa_clustering_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a41's wide-row scan through the 5.0 wrapper with the Rows.db leg
+    load-bearing: every partition is row-indexed
+    (``row_index_threshold=1``), so each one resolves via Partitions.db
+    → Rows.db entry → per-partition clustering trie, and the scan
+    VERIFIES the trie's row offsets against the unfiltered offsets the
+    parser actually visits (a flipped index byte fails the scan —
+    tests/test_sstable_oa.py proves it).  Clustering blocks and
+    USE_ROW_TIMESTAMP cells ride the shared 3.0 row core unchanged.
+
+    Scale shape: as a34/a37/a41 — per-file executor-side streaming
+    decode; the row tries are what make single-row reads O(seek) inside
+    multi-GB partitions at production scale (the BTI design's point)."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import snapshot_scan
+
+    apply_runtime_confs(spark)
+    base = _stage_orders_oa_sstables(sf_dir)
+    df = snapshot_scan(
+        spark,
+        str(base),
+        "ks1",
+        "orders_by_cust",
+        "tag-r11",
+        writetime="true",
+        as_of=str(_AS_OF),
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.unix_micros(F.col("o_orderdate"))).alias("orderdate_us"),
+        F.col("_writetime").alias("writetime_us"),
+    )
+
+
+def _stage_supplier_quad_sstables(sf_dir: str):
+    """ONE snapshot directory whose generations span the ENTIRE format
+    family — gen 1 ka (2.x), gen 2 ma (3.x), gen 3 nb (4.x), gen 4 oa
+    (5.0) — keyed k % 4: a cluster that crossed three major upgrades
+    without ever fully compacting."""
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+    from cassandra_snap_to_hadoop_spark.sources.sstable import write_data_db
+    from cassandra_snap_to_hadoop_spark.sources.sstable_ma import write_ma_data_db
+    from cassandra_snap_to_hadoop_spark.sources.sstable_na import write_na_data_db
+    from cassandra_snap_to_hadoop_spark.sources.sstable_oa import write_oa_data_db
+
+    base = _staged("a47_sstable_quad", sf_dir, "supplier")
+    snap = base / "ks1" / "supplier" / "snapshots" / "tag-r11q"
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    snap.mkdir(parents=True)
+    (snap / "schema.cql").write_text(_SUPPLIER_CQL)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+    t = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    gens: dict[int, list] = {1: [], 2: [], 3: [], 4: []}
+    for k, name, nat, bal in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        ts = k * 1000
+        gens[1 + k % 4].append(
+            {
+                "key": (k,),
+                "deletion": None,
+                "rows": [
+                    {
+                        "clustering": (),
+                        "marker_ts": ts,
+                        "cells": {
+                            "s_name": ("live", ts, name),
+                            "s_nationkey": ("live", ts, nat),
+                            "s_acctbal": ("live", ts, bal),
+                        },
+                    }
+                ],
+            }
+        )
+    write_data_db(str(snap / "ks1-supplier-ka-1-Data.db"), gens[1], meta)
+    write_ma_data_db(str(snap / "ma-2-big-Data.db"), gens[2], meta)
+    write_na_data_db(str(snap / "nb-3-big-Data.db"), gens[3], meta, version="nb")
+    write_oa_data_db(str(snap / "oa-4-big-Data.db"), gens[4], meta)
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a47_sstable_quad_formats",
+    oracle="""
+    SELECT CASE WHEN s_suppkey % 4 = 0 THEN 'ka'
+                WHEN s_suppkey % 4 = 1 THEN 'ma'
+                WHEN s_suppkey % 4 = 2 THEN 'nb'
+                ELSE 'oa' END AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           CAST(SUM(s_suppkey * 1000) AS BIGINT) AS sum_writetime_us,
+           CAST(SUM(CAST(s_nationkey AS BIGINT)) AS BIGINT) AS sum_nation
+    FROM supplier
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="A47,A2,A6",
+)
+def a47_sstable_quad_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a42 extended to the FULL format family: ONE snapshot whose four
+    generations are ka (2.x cell-oriented), ma (3.x vint rows), nb (4.x
+    checksummed) and oa (5.0 trie-indexed) bytes of the SAME supplier
+    rows (keyed k % 4), decoded by one scan through the per-file
+    filename dispatch into one relation.  Grouping by decoding format
+    and checksumming keys, writetimes and a value column per group
+    proves each codec contributed exactly its share — four unrelated
+    byte layouts, one relational truth, one oracle hash.
+
+    Scale shape: listing assigns one InputPartition per generation
+    file; per-file format dispatch means a real mixed snapshot with
+    thousands of generations spreads across executors with no global
+    format assumption anywhere in the plan."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import snapshot_scan
+
+    apply_runtime_confs(spark)
+    base = _stage_supplier_quad_sstables(sf_dir)
+    df = snapshot_scan(
+        spark,
+        str(base),
+        "ks1",
+        "supplier",
+        "tag-r11q",
+        writetime="true",
+        as_of=str(_AS_OF),
+    )
+    fmt = (
+        F.when(F.col("_sstable").rlike(r"ka-\d+-Data\.db$"), F.lit("ka"))
+        .when(F.col("_sstable").rlike(r"ma-\d+-big-Data\.db$"), F.lit("ma"))
+        .when(F.col("_sstable").rlike(r"nb-\d+-big-Data\.db$"), F.lit("nb"))
+        .otherwise(F.lit("oa"))
+    )
+    return (
+        df.groupBy(fmt.alias("fmt"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("s_suppkey").cast("long").alias("sum_key"),
+            F.sum("_writetime").cast("long").alias("sum_writetime_us"),
+            F.sum(F.col("s_nationkey").cast("long")).cast("long").alias("sum_nation"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@register(
+    "a48_oa_stats_audit",
+    oracle="""
+    SELECT CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS gen,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MIN(s_suppkey) AS BIGINT) AS min_key,
+           CAST(MAX(s_suppkey) AS BIGINT) AS max_key,
+           CAST(MAX(CASE WHEN s_suppkey % 97 = 0 OR s_suppkey % 13 = 0
+                         THEN 1 ELSE 0 END) AS INTEGER) AS has_part_deletions,
+           CAST(0.5 AS DOUBLE) AS token_coverage
+    FROM supplier
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="A48,A6,A22",
+)
+def a48_oa_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5.0-new stats metadata certified against the parquet truth —
+    per generation of a45's staged snapshot: the trie-declared partition
+    count, the improved-min/max key-range bounds (decoded back from the
+    lexicographic encoded-key bytes the sidecar records), the
+    partition-level-deletion presence marker and the token-space
+    coverage.  (The i64-widened minLocalDeletionTime and the year-2100
+    partition-header value are pinned in tests/test_sstable_oa.py —
+    they aggregate CELL deletion times, which the parquet truth does
+    not model per-column, so they stay a pytest pin rather than an
+    oracle column.)
+
+    The engine side reads ONLY index/metadata components (Partitions.db
+    count + Statistics.db fields — KB regardless of data size, the same
+    metadata-not-data shape as a43's row-group audit); the oracle
+    recomputes every figure from the full parquet relation.  A hash
+    match certifies the stats WRITER (the bounds really are the min/max
+    of what's in the file) and the trie count in one line.
+
+    Scale shape: metadata-only — a production audit fans out one task
+    per SSTable and aggregates; here two sidecar reads driver-side,
+    exactly like the oracle's single group-by."""
+    from cassandra_snap_to_hadoop_spark.sources.sstable_oa import (
+        read_oa_stats_db,
+        read_partitions_db,
+        partitions_path_for,
+        stats_path_for,
+    )
+
+    apply_runtime_confs(spark)
+    base = _stage_supplier_oa_sstables(sf_dir)
+    snap = base / "ks1" / "supplier" / "snapshots" / "tag-r11"
+    out = []
+    for gen in (1, 2):
+        data_path = str(snap / f"oa-{gen}-big-Data.db")
+        n_parts = len(read_partitions_db(partitions_path_for(data_path)))
+        _stats, om = read_oa_stats_db(stats_path_for(data_path))
+        out.append(
+            (
+                gen,
+                n_parts,
+                struct.unpack(">q", om.min_key)[0],
+                struct.unpack(">q", om.max_key)[0],
+                1 if om.has_partition_deletions else 0,
+                om.token_space_coverage,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "gen int, n_partitions long, min_key long, max_key long,"
+        " has_part_deletions int, token_coverage double",
+    ).orderBy("gen")

@@ -10,17 +10,20 @@ round 1):
     <data_dir>/<keyspace>/<table>/snapshots/<tag>/gen-*.parquet
     <data_dir>/<keyspace>/<table>/snapshots/<tag>/*-Data.db
 
-SSTable format boundary (VERDICT r7 item 8, closed through 4.x in
-round 10): the legacy Cassandra 2.x ``ka``/``la`` cell-oriented format
+SSTable format boundary (VERDICT r7 item 8, closed through 5.0 in
+round 11): the legacy Cassandra 2.x ``ka``/``la`` cell-oriented format
 is decoded by ``sources/sstable.py`` (era-correct for the reference),
 the Cassandra 3.x ``ma`` row-oriented format (vints, flags, delta
-timestamps) by ``sources/sstable_ma.py``, and the Cassandra 4.x
+timestamps) by ``sources/sstable_ma.py``, the Cassandra 4.x
 ``na``/``nb`` format (same row core + digest/chunk checksums verified
-on read + checksummed stats metadata) by ``sources/sstable_na.py`` —
-dispatch is by the generation filename (``na-``/``nb-``/
-``ma-<gen>-big-Data.db`` vs ``<ks>-<table>-ka-<gen>-Data.db``).
-Cassandra 5.x ``oa`` is NOT decoded; a user pointing this source at
-such a snapshot gets an explicit error rather than silent misreads.
+on read + checksummed stats metadata) by ``sources/sstable_na.py``,
+and the Cassandra 5.0 ``oa`` format (extended deletion times, key-range
+stats metadata, BTI trie-indexed Partitions.db/Rows.db driving the
+scan) by ``sources/sstable_oa.py`` — dispatch is by the generation
+filename (``oa-``/``na-``/``nb-``/``ma-<gen>-big-Data.db`` vs
+``<ks>-<table>-ka-<gen>-Data.db``).  An unrecognized
+``<xx>-<gen>-big-Data.db`` version raises an explicit
+unsupported-format error rather than silently misreading.
 
 Design for scale: one ``InputPartition`` per snapshot file (SSTable) — the
 natural parallelism unit of a snapshot; readers stream Arrow batches, so a
@@ -322,18 +325,24 @@ class _SnapshotReader(DataSourceReader):
         r1-r6 tracked).  Format dispatch is by the SSTable filename's
         version component, exactly how Cassandra names generations:
 
+        * ``oa-<gen>-big-Data.db`` — Cassandra 5.0 format
+          (``sources/sstable_oa.py``; digest + chunk checksums AND both
+          BTI index sidecars verified, decode driven by the
+          Partitions.db trie);
         * ``na-``/``nb-<gen>-big-Data.db`` — Cassandra 4.x format
           (``sources/sstable_na.py``; digest + chunk checksums VERIFIED
           before decode, checksummed stats sidecar required);
         * ``ma-<gen>-big-Data.db`` — Cassandra 3.x row-oriented format
           (``sources/sstable_ma.py``; requires the stats sidecar);
+        * any OTHER ``<xx>-<gen>-big-Data.db`` — an explicit
+          unsupported-version error (a future 5.x/6.x format must never
+          fall through to the 2.x cell parser and fail with a decode
+          error three rows in);
         * anything else ``*-Data.db`` (``<ks>-<table>-ka-<gen>-Data.db``)
           — the legacy 2.x cell-oriented ``ka`` format
-          (``sources/sstable.py``).
-
-        Format ``oa`` (Cassandra 5.x) is NOT decoded — see the
-        sstable_na module docstring for the boundary."""
+          (``sources/sstable.py``)."""
         import os as _os
+        import re as _re
 
         import pyarrow as pa
 
@@ -342,7 +351,15 @@ class _SnapshotReader(DataSourceReader):
         with open(partition.path, "rb") as fh:
             raw = fh.read()
         base = _os.path.basename(partition.path)
-        if base.startswith(("na-", "nb-")):
+        if base.startswith("oa-"):
+            from cassandra_snap_to_hadoop_spark.sources.sstable_oa import (
+                scan_oa_sstable,
+            )
+
+            row_iter = scan_oa_sstable(
+                partition.path, self._meta, as_of=self._as_of, raw=raw
+            )
+        elif base.startswith(("na-", "nb-")):
             from cassandra_snap_to_hadoop_spark.sources.sstable_na import (
                 parse_na_data_db,
                 read_na_stats_db,
@@ -367,6 +384,13 @@ class _SnapshotReader(DataSourceReader):
                 raw, self._meta, stats, as_of=self._as_of
             )
         else:
+            m = _re.match(r"^([a-z]{2})-\d+-big-Data\.db$", base)
+            if m:
+                raise ValueError(
+                    f"unsupported SSTable format version {m.group(1)!r} in "
+                    f"{base} — this source decodes ka/la (2.x), ma (3.x), "
+                    f"na/nb (4.x) and oa (5.0)"
+                )
             row_iter = parse_data_db(raw, self._meta, as_of=self._as_of)
         want_wt = self._want_wt
         cols: dict[str, list] = {name: [] for name, _ in self._meta.columns}

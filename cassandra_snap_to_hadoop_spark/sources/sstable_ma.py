@@ -13,8 +13,12 @@ second half of the format boundary VERDICT r7 item 8 asked to document:
 * **na / nb (Cassandra 4.x)** — implemented in
   ``sources/sstable_na.py`` on THIS module's row core (the 4.x Data.db
   serialization is unchanged from 3.0; 4.x adds digest/chunk checksums
-  and checksummed repair metadata around it).  ``oa`` (5.x) remains out
-  of scope — see the sstable_na docstring for the boundary.
+  and checksummed repair metadata around it).
+* **oa (Cassandra 5.0)** — implemented in ``sources/sstable_oa.py``,
+  also on this row core via the pluggable partition-deletion header
+  codec below (5.0 widened deletion times past 2038) plus the BTI trie
+  index; ``parse_partition_at`` is the seam its index-driven reader
+  calls.
 
 Byte layout implemented (the public 3.0 BIG-format serialization):
 
@@ -245,10 +249,32 @@ def _encode_cell_value(cql_type: str, v: Any) -> bytes:
     return encode_uvint(len(b)) + b
 
 
+# ------------------------------------------------- partition deletion header
+#
+# The 3.0/4.x big formats serialize the partition-level DeletionTime as
+# <i32 localDeletionTime><i64 markedForDeleteAt>.  Cassandra 5.0's ``oa``
+# widened the deletion-time domain past 2038 (the CASSANDRA-14227 class
+# of changes) — same 12-byte width, unsigned 32-bit seconds — so the
+# serializer/parser take a pluggable header codec; the defaults below
+# keep the ma/na byte streams exactly as rounds 8-10 certified them.
+
+def _pack_deletion(ldt: int, mfda: int) -> bytes:
+    return struct.pack(">iq", ldt, mfda)
+
+
+def _unpack_deletion(raw: bytes, i: int) -> tuple[tuple[int, int], int]:
+    ldt, mfda = struct.unpack_from(">iq", raw, i)
+    return (ldt, mfda), i + 12
+
+
 # ----------------------------------------------------------------- write
 
 def serialize_ma_partitions(
-    partitions: list[dict], meta: TableMeta
+    partitions: list[dict],
+    meta: TableMeta,
+    *,
+    pack_deletion=_pack_deletion,
+    index_out: list | None = None,
 ) -> tuple[bytes, EncodingStats]:
     """Serialize partitions to the raw 3.0 row-oriented Data.db byte
     stream and its EncodingStats — the shared core of the ``ma`` writer
@@ -265,7 +291,14 @@ def serialize_ma_partitions(
 
     ``marker_ts`` maps to the 3.0 row PRIMARY KEY liveness timestamp
     (HAS_TIMESTAMP); every row must carry a cell for every regular
-    column (the HAS_ALL_COLUMNS subset this codec implements)."""
+    column (the HAS_ALL_COLUMNS subset this codec implements).
+
+    ``index_out`` (when a list is passed) receives one dict per
+    partition — ``{"key": encoded key bytes, "offset": partition start,
+    "row_offsets": [unfiltered start offsets], "end": end offset}`` —
+    the exact byte positions a primary index must point at; the 5.0
+    BTI-style trie writer (``sources/sstable_oa.py``) builds
+    Partitions.db/Rows.db from it."""
     from cassandra_snap_to_hadoop_spark.sources.sstable import _encode_key
 
     # pass 1: EncodingStats minimums over everything the deltas encode
@@ -298,12 +331,15 @@ def serialize_ma_partitions(
 
     out = bytearray()
     for part in partitions:
+        part_start = len(out)
+        row_offsets: list[int] = []
         key = _encode_key(part["key"], meta)
         out += struct.pack(">H", len(key)) + key
         ldt, mfda = part.get("deletion") or (LIVE_LDT, LIVE_MFDA)
-        out += struct.pack(">iq", ldt, mfda)
+        out += pack_deletion(ldt, mfda)
         prev_size = 0
         for row in part.get("rows", ()):
+            row_offsets.append(len(out))
             head = bytearray()
             head += bytes((HAS_TIMESTAMP | HAS_ALL_COLUMNS,))
             head += _encode_clustering(
@@ -350,6 +386,15 @@ def serialize_ma_partitions(
             prev_size = len(head)
             out += head
         out += bytes((END_OF_PARTITION,))
+        if index_out is not None:
+            index_out.append(
+                {
+                    "key": key,
+                    "offset": part_start,
+                    "row_offsets": row_offsets,
+                    "end": len(out),
+                }
+            )
     return bytes(out), stats
 
 
@@ -365,6 +410,119 @@ def write_ma_data_db(path: str, partitions: list[dict], meta: TableMeta) -> None
 
 # ------------------------------------------------------------------ read
 
+def parse_partition_at(
+    raw: bytes,
+    i: int,
+    meta: TableMeta,
+    stats: EncodingStats,
+    as_of: int = 2**31 - 1,
+    *,
+    unpack_deletion=_unpack_deletion,
+    row_offsets_out: list | None = None,
+) -> tuple[list[dict], int]:
+    """Decode ONE partition starting at byte offset ``i``; returns the
+    reconciled row dicts and the offset just past END_OF_PARTITION.
+    This is the seam a primary index needs: the sequential
+    ``parse_ma_data_db`` loop below and the 5.0 trie-index-driven scan
+    (``sources/sstable_oa.py``) both call it — the index points here
+    instead of re-walking the file.  ``row_offsets_out`` (when a list is
+    passed) receives the byte offset of every unfiltered's flags byte,
+    letting an index reader verify its row-index entries against the
+    actual byte stream."""
+    from cassandra_snap_to_hadoop_spark.sources.sstable import _decode_key
+
+    rows: list[dict] = []
+    (klen,) = struct.unpack_from(">H", raw, i)
+    i += 2
+    key = raw[i : i + klen]
+    i += klen
+    (_ldt, mfda), i = unpack_deletion(raw, i)
+    part_del = mfda if mfda != LIVE_MFDA else None
+    kvals = _decode_key(key, meta)
+    while True:
+        row_start = i
+        flags = raw[i]
+        i += 1
+        if flags & END_OF_PARTITION:
+            break
+        if row_offsets_out is not None:
+            row_offsets_out.append(row_start)
+        if flags & (IS_MARKER | EXTENSION_FLAG):
+            raise ValueError(
+                "ma subset: range-tombstone markers / extended rows "
+                "not supported (see sstable_ma docstring)"
+            )
+        if flags & (HAS_TTL | HAS_DELETION | HAS_COMPLEX_DELETION):
+            raise ValueError(
+                "ma subset: row-level TTL/deletion not supported"
+            )
+        if not flags & HAS_ALL_COLUMNS:
+            raise ValueError("ma subset: column-subset rows not supported")
+        cvals, i = _decode_clustering(raw, i, meta)
+        _body_size, i = decode_uvint(raw, i)
+        _prev_size, i = decode_uvint(raw, i)
+        row_ts = None
+        if flags & HAS_TIMESTAMP:
+            d, i = decode_uvint(raw, i)
+            row_ts = stats.min_timestamp + d
+        wt = None
+        if row_ts is not None and (part_del is None or row_ts > part_del):
+            wt = row_ts
+        cells: dict[str, Any] = {}
+        for col in meta.regular:
+            cflags = raw[i]
+            i += 1
+            if cflags & CELL_USE_ROW_TIMESTAMP:
+                ts = row_ts
+            else:
+                d, i = decode_uvint(raw, i)
+                ts = stats.min_timestamp + d
+            ldt = ttl = None
+            if cflags & (CELL_IS_DELETED | CELL_IS_EXPIRING):
+                d, i = decode_uvint(raw, i)
+                ldt = stats.min_ldt + d
+            if cflags & CELL_IS_EXPIRING:
+                d, i = decode_uvint(raw, i)
+                ttl = stats.min_ttl + d
+            value = None
+            if not cflags & CELL_IS_DELETED:
+                if cflags & CELL_HAS_EMPTY_VALUE:
+                    value = decode_value(meta.types[col], b"")
+                else:
+                    t = meta.types[col].lower()
+                    if t in _FIXED_LEN:
+                        w = _FIXED_LEN[t]
+                        value = decode_value(meta.types[col], raw[i : i + w])
+                        i += w
+                    else:
+                        w, i = decode_uvint(raw, i)
+                        value = decode_value(meta.types[col], raw[i : i + w])
+                        i += w
+            if part_del is not None and ts <= part_del:
+                continue  # shadowed by the partition tombstone
+            if wt is None or ts > wt:
+                wt = ts
+            if cflags & CELL_IS_DELETED:
+                cells[col] = None
+            elif (
+                cflags & CELL_IS_EXPIRING
+                and ldt is not None
+                and ldt <= as_of
+            ):
+                cells[col] = None
+            else:
+                cells[col] = value
+        if wt is None:
+            continue  # fully shadowed row
+        out = dict(zip(meta.partition, kvals))
+        out.update(zip(meta.clustering, cvals))
+        for col in meta.regular:
+            out[col] = cells.get(col)
+        out["_writetime"] = wt
+        rows.append(out)
+    return rows, i
+
+
 def parse_ma_data_db(
     raw: bytes, meta: TableMeta, stats: EncodingStats, as_of: int = 2**31 - 1
 ) -> Iterator[dict]:
@@ -372,94 +530,10 @@ def parse_ma_data_db(
     (columns in ``meta`` order plus ``_writetime``) — the same output
     contract as the ka codec's ``parse_data_db``, so the DataSource's
     Arrow bridge is shared.  ``stats`` comes from the sidecar
-    Statistics.db (``read_stats_db(stats_path_for(path))``)."""
-    from cassandra_snap_to_hadoop_spark.sources.sstable import _decode_key
-
+    Statistics.db (``read_stats_db(stats_path_for(path))``).  This is
+    the sequential scan; an index-driven scan calls
+    ``parse_partition_at`` per index entry instead."""
     i, n = 0, len(raw)
     while i < n:
-        (klen,) = struct.unpack_from(">H", raw, i)
-        i += 2
-        key = raw[i : i + klen]
-        i += klen
-        _ldt, mfda = struct.unpack_from(">iq", raw, i)
-        i += 12
-        part_del = mfda if mfda != LIVE_MFDA else None
-        kvals = _decode_key(key, meta)
-        while True:
-            flags = raw[i]
-            i += 1
-            if flags & END_OF_PARTITION:
-                break
-            if flags & (IS_MARKER | EXTENSION_FLAG):
-                raise ValueError(
-                    "ma subset: range-tombstone markers / extended rows "
-                    "not supported (see sstable_ma docstring)"
-                )
-            if flags & (HAS_TTL | HAS_DELETION | HAS_COMPLEX_DELETION):
-                raise ValueError(
-                    "ma subset: row-level TTL/deletion not supported"
-                )
-            if not flags & HAS_ALL_COLUMNS:
-                raise ValueError("ma subset: column-subset rows not supported")
-            cvals, i = _decode_clustering(raw, i, meta)
-            _body_size, i = decode_uvint(raw, i)
-            _prev_size, i = decode_uvint(raw, i)
-            row_ts = None
-            if flags & HAS_TIMESTAMP:
-                d, i = decode_uvint(raw, i)
-                row_ts = stats.min_timestamp + d
-            wt = None
-            if row_ts is not None and (part_del is None or row_ts > part_del):
-                wt = row_ts
-            cells: dict[str, Any] = {}
-            for col in meta.regular:
-                cflags = raw[i]
-                i += 1
-                if cflags & CELL_USE_ROW_TIMESTAMP:
-                    ts = row_ts
-                else:
-                    d, i = decode_uvint(raw, i)
-                    ts = stats.min_timestamp + d
-                ldt = ttl = None
-                if cflags & (CELL_IS_DELETED | CELL_IS_EXPIRING):
-                    d, i = decode_uvint(raw, i)
-                    ldt = stats.min_ldt + d
-                if cflags & CELL_IS_EXPIRING:
-                    d, i = decode_uvint(raw, i)
-                    ttl = stats.min_ttl + d
-                value = None
-                if not cflags & CELL_IS_DELETED:
-                    if cflags & CELL_HAS_EMPTY_VALUE:
-                        value = decode_value(meta.types[col], b"")
-                    else:
-                        t = meta.types[col].lower()
-                        if t in _FIXED_LEN:
-                            w = _FIXED_LEN[t]
-                            value = decode_value(meta.types[col], raw[i : i + w])
-                            i += w
-                        else:
-                            w, i = decode_uvint(raw, i)
-                            value = decode_value(meta.types[col], raw[i : i + w])
-                            i += w
-                if part_del is not None and ts <= part_del:
-                    continue  # shadowed by the partition tombstone
-                if wt is None or ts > wt:
-                    wt = ts
-                if cflags & CELL_IS_DELETED:
-                    cells[col] = None
-                elif (
-                    cflags & CELL_IS_EXPIRING
-                    and ldt is not None
-                    and ldt <= as_of
-                ):
-                    cells[col] = None
-                else:
-                    cells[col] = value
-            if wt is None:
-                continue  # fully shadowed row
-            out = dict(zip(meta.partition, kvals))
-            out.update(zip(meta.clustering, cvals))
-            for col in meta.regular:
-                out[col] = cells.get(col)
-            out["_writetime"] = wt
-            yield out
+        rows, i = parse_partition_at(raw, i, meta, stats, as_of=as_of)
+        yield from rows

@@ -19,10 +19,11 @@ item 2 named:
     Statistics.db had no integrity protection at all).
   - ``nb``: adds the originating host id to the stats metadata.
 
-* **oa … (Cassandra 5.x)** — NOT implemented (adds key ranges, token
-  space coverage and partition-level deletion presence markers to the
-  stats metadata; same row core — the natural next rung, out of scope
-  this round).
+* **oa (Cassandra 5.0)** — ``sources/sstable_oa.py``: same row core,
+  keeps this module's digest/chunk-checksum components, adds extended
+  (post-2038) deletion times, key-range/partition-deletion/token-
+  coverage stats metadata, and the BTI trie index
+  (Partitions.db/Rows.db) that drives its reader.
 
 This module therefore REUSES the ma row codec verbatim
 (``serialize_ma_partitions`` / ``parse_ma_data_db``) and implements the
