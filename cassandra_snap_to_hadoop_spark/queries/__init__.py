@@ -114,6 +114,10 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "a46_sstable_oa_clustering_scan",
     "a47_sstable_quad_formats",
     "a48_oa_stats_audit",
+    # j72: rows-only → SQL-certified in-place conversion this round
+    # (bit-parallel LCS, VERDICT r10 item 3) — its round-10 driver line
+    # was rows-only; this slot upgrades it to hash evidence.
+    "j72_rouge_l",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",
@@ -133,7 +137,6 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "j48_media_embedding_knn",
     "j66_bpe_merges",
     "j68_bpe_encode_stats",
-    "j72_rouge_l",
 )
 
 # No overflow this round: the backlog (27) plus all 19 rows-only

@@ -588,24 +588,83 @@ def f26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j72_rouge_l", survey="J67,I19,L3,J72")
+# The identical IEEE scoring chain both engines run on the exact
+# integers (lcs, nx, ny): p = lcs/nx, r = lcs/ny, F = 2pr/(p+r),
+# micro-quantized exactly like the original python `int(f*1e6 + 0.5)`
+# (FLOOR == truncation for positive doubles).  Every literal is CAST —
+# the e84/j136 bare-decimal-literal landmine.
+_J72_MICRO = """
+    CAST(FLOOR((2 * (CAST(lcs AS DOUBLE) / nx) * (CAST(lcs AS DOUBLE) / ny)
+         / ((CAST(lcs AS DOUBLE) / nx) + (CAST(lcs AS DOUBLE) / ny)))
+         * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+"""
+
+
+@register(
+    "j72_rouge_l",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                             ' '))[1:30] AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, n_chars, toks,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk
+        FROM d
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS xa, b.toks AS yb
+        FROM r a JOIN r b ON a.lang = b.lang AND b.rnk - a.rnk BETWEEN 1 AND 3
+    ),
+    folded AS (
+        SELECT id_a, id_b, len(xa) AS nx, len(yb) AS ny,
+               len(yb) - bit_count(
+                 list_reduce(
+                   list_prepend((CAST(1 AS BIGINT) << len(yb)) - 1,
+                     list_transform(xa, xe ->
+                       CAST(list_sum(list_transform(range(1, len(yb) + 1), j ->
+                         CASE WHEN yb[j] = xe
+                              THEN (CAST(1 AS BIGINT) << (j - 1))
+                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT))),
+                   (v, m) -> ((v + (v & m)) | (v - (v & m)))
+                             & ((CAST(1 AS BIGINT) << len(yb)) - 1)
+                 )) AS lcs
+        FROM pairs
+    )
+    SELECT id_a, id_b, {_J72_MICRO} AS rouge_l_micro
+    FROM folded WHERE lcs > 0
+    """,
+    survey="J67,I19,J72",
+)
 def j72_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L F-measure over same-language sorted-neighborhood candidate
     pairs — the LCS-based eval metric completing the distributed
     eval-metric tier (j67 BLEU-2 = clipped n-gram precision, i19 =
     Levenshtein, this = longest-common-subsequence recall/precision).
 
-    Rows-only: LCS is an inherently sequential DP with no SQL
-    restatement (a recursive-CTE encoding would be O(n·m) rows per pair
-    per step); the Arrow-batched pandas UDF runs the textbook O(n·m)
-    table on 30-TOKEN prefixes (bounded per-pair cost), and the
-    implementation is pinned against an independent pure-Python
-    itertools-free reference in tests/test_round3e.py.  F = 2pr/(p+r)
-    quantized to micro-units from exact LCS/len integers.
+    SQL-certified since round 11 (VERDICT r10 item 3) via the
+    Allison-Dix/Hyyrö BIT-PARALLEL LCS: with 30-token prefixes the DP
+    column state fits ONE 64-bit word, so the whole O(n·m) table
+    collapses to an n-step integer fold — V' = ((V + (V & M)) |
+    (V − (V & M))) masked to ny bits, LCS = ny − popcount(V) — which
+    both engines express as a per-row array fold over per-token match
+    masks (Spark ``aggregate`` HOF / DuckDB ``list_reduce``), no UDF,
+    no recursion.  The recurrence is pinned against the independent
+    full-table DP in tests/test_round3e.py (unchanged from the
+    pandas-UDF era — outputs are bit-identical) plus a 5000-case random
+    equivalence sweep recorded in tests/test_round11.py.  F = 2pr/(p+r)
+    runs the identical literal IEEE chain in both engines from the
+    exact (lcs, nx, ny) integers.
+
+    Replaces the round-4 Arrow pandas-UDF implementation: the fold is
+    whole-stage-codegen JVM arithmetic — the eval tier's last Python
+    hot path removed.
 
     Scale shape: candidates are j63's per-lang rank-band equi join
-    (O(n·w), never global); scoring is one vectorized UDF pass over
-    candidate pairs only."""
+    (O(n·w), never global); scoring is per-row constant work (≤30
+    integer fold steps) inside codegen, no shuffle added."""
     from cassandra_snap_to_hadoop_spark.operators.text import tokens
     from cassandra_snap_to_hadoop_spark.queries.round3d import _snm_candidate_pairs
 
@@ -613,37 +672,37 @@ def j72_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks30", F.slice(tokens(F.col("text")), 1, 30)
     )
     pairs = _snm_candidate_pairs(d, carry=["toks30"], w=4)
-
-    @F.pandas_udf("long")
-    def rouge_l_micro(a: pd.Series, b: pd.Series) -> pd.Series:
-        def lcs(x, y):
-            if not x or not y:
-                return 0
-            prev = [0] * (len(y) + 1)
-            for xi in x:
-                cur = [0]
-                for j, yj in enumerate(y, 1):
-                    cur.append(prev[j - 1] + 1 if xi == yj else max(prev[j], cur[-1]))
-                prev = cur
-            return prev[-1]
-
-        out = []
-        for x, y in zip(a, b):
-            x = list(x) if x is not None else []
-            y = list(y) if y is not None else []
-            m = lcs(x, y)
-            if m == 0:
-                out.append(0)
-                continue
-            p, r = m / len(x), m / len(y)
-            out.append(int((2 * p * r / (p + r)) * 1_000_000 + 0.5))
-        return pd.Series(out, dtype="int64")
-
-    return pairs.select(
+    mm = F.expr(
+        """
+        transform(toks30_a, xe ->
+            aggregate(zip_with(toks30_b, sequence(0, size(toks30_b) - 1),
+                               (t, j) -> struct(t, j)),
+                      CAST(0 AS BIGINT),
+                      (acc, s) -> acc | IF(s.t = xe,
+                                           shiftleft(CAST(1 AS BIGINT), s.j),
+                                           CAST(0 AS BIGINT))))
+        """
+    )
+    folded = pairs.select(
         "id_a",
         "id_b",
-        rouge_l_micro(F.col("toks30_a"), F.col("toks30_b")).alias("rouge_l_micro"),
-    ).filter(F.col("rouge_l_micro") > 0)
+        F.size("toks30_a").alias("nx"),
+        F.size("toks30_b").alias("ny"),
+        mm.alias("mm"),
+    ).withColumn(
+        "lcs",
+        F.expr(
+            """
+            ny - bit_count(
+                aggregate(mm, shiftleft(CAST(1 AS BIGINT), ny) - 1,
+                          (v, m) -> ((v + (v & m)) | (v - (v & m)))
+                                    & (shiftleft(CAST(1 AS BIGINT), ny) - 1)))
+            """
+        ),
+    )
+    return folded.filter(F.col("lcs") > 0).select(
+        "id_a", "id_b", F.expr(_J72_MICRO).alias("rouge_l_micro")
+    )
 
 
 @register(
