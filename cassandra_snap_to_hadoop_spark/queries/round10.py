@@ -1286,21 +1286,33 @@ _B22_RING_SQL = ", ".join(f"({p}, {n}, {n % 3})" for p, n in _B22_RING)
     oracle=f"""
     WITH ring(pos, node, rack) AS (VALUES {_B22_RING_SQL}),
     keyed AS (
-        SELECT l_orderkey % 1200 AS token,
+        -- Row identity for the per-rack rank below (ADVICE r10 item 3):
+        -- the synthetic lineitem has NO unique physical row id —
+        -- (l_orderkey, l_linenumber) itself collides — so the window
+        -- partitions on the FINEST available composite
+        -- (l_orderkey, l_linenumber, cents); rows identical in all
+        -- three are intentionally counted once (documented
+        -- distinct-row semantics, exact at every shipped SF where the
+        -- composite is row-unique — asserted by the 3x-total law in
+        -- tests/test_round10.py).
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey % 1200 AS token,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
         FROM lineitem
     ), walk AS (
         -- clockwise walk from each key's segment: distance in ring
         -- positions, wrapping modulo 12
-        SELECT k.token, k.cents, r.node, r.rack,
+        SELECT k.l_orderkey, k.l_linenumber, k.token, k.cents,
+               r.node, r.rack,
                (r.pos - (k.token // 100) + 12) % 12 AS dist
         FROM keyed k CROSS JOIN ring r
     ), first_per_rack AS (
         -- NetworkTopologyStrategy, RF = 3 = #racks: the replica set is
-        -- the FIRST node of each rack in walk order
+        -- the FIRST node of each rack in walk order, per distinct row
         SELECT token, cents, node, rack, dist,
-               ROW_NUMBER() OVER (PARTITION BY token, cents, rack
-                                  ORDER BY dist) AS rk
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey, l_linenumber, cents, rack
+                   ORDER BY dist) AS rk
         FROM walk
     )
     SELECT node, CAST(node % 3 AS BIGINT) AS rack,
@@ -1342,15 +1354,25 @@ def b22_rack_aware_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ring = spark.createDataFrame(
         [(p, n, n % 3) for p, n in _B22_RING], "pos int, node int, rack int"
     )
+    # Per-rack rank on the FINEST available row identity
+    # (l_orderkey, l_linenumber, cents) — the synthetic lineitem has no
+    # unique physical row id, so rows identical in all three count once
+    # (documented distinct-row semantics; exact per-row at every
+    # shipped SF, asserted by the 3x-total law in tests/test_round10)
+    # — ADVICE r10 item 3.
     keyed = li.select(
+        "l_orderkey",
+        "l_linenumber",
         (F.col("l_orderkey") % 1200).alias("token"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     walk = keyed.crossJoin(F.broadcast(ring)).select(
-        "token", "cents", "node", "rack",
+        "l_orderkey", "l_linenumber", "token", "cents", "node", "rack",
         ((F.col("pos") - (F.col("token") / 100).cast("int") + 12) % 12).alias("dist"),
     )
-    w = Window.partitionBy("token", "cents", "rack").orderBy("dist")
+    w = Window.partitionBy(
+        "l_orderkey", "l_linenumber", "cents", "rack"
+    ).orderBy("dist")
     fpr = walk.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     return (
         fpr.groupBy("node")
@@ -2057,6 +2079,15 @@ from cassandra_snap_to_hadoop_spark.queries.round5 import _PERIODS  # noqa: E402
 # literal per the e84 decimal rule.
 _F60_LN_K = "CAST('1.6094379124341003' AS DOUBLE)"
 
+# The pinned Fourier factor table shared with f34 (ADVICE r10 item 4 —
+# see queries/round5.py FOURIER_MICRO for the rationale): both queries
+# run the SAME exact integer lattice, so f60's entropy fold remains a
+# pure function of f34's certified powers.
+from cassandra_snap_to_hadoop_spark.queries.round5 import (  # noqa: E402
+    FOURIER_MICRO as _F60_FOURIER,
+    FOURIER_SQL as _F60_FOURIER_SQL,
+)
+
 
 @register(
     "f60_spectral_entropy",
@@ -2075,15 +2106,14 @@ _F60_LN_K = "CAST('1.6094379124341003' AS DOUBLE)"
         SELECT s.event_type, s.t, COALESCE(d.n, 0) AS n
         FROM spine s LEFT JOIN daily d
           ON d.event_type = s.event_type AND d.day = s.day
-    ), terms AS (
-        SELECT f.event_type, p.period,
-               CAST(FLOOR(f.n * cos(2 * pi() * f.t / p.period) * 1000000)
-                    AS BIGINT) AS ct,
-               CAST(FLOOR(f.n * sin(2 * pi() * f.t / p.period) * 1000000)
-                    AS BIGINT) AS st
-        FROM filled f CROSS JOIN (
-            SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period
-        ) p
+    ), fc(period, r, c, s) AS (VALUES {_F60_FOURIER_SQL}),
+    terms AS (
+        -- exact integer products against the pinned factor table: the
+        -- join key t % period selects the one factor row per period
+        SELECT f.event_type, fc.period,
+               CAST(f.n * fc.c AS BIGINT) AS ct,
+               CAST(f.n * fc.s AS BIGINT) AS st
+        FROM filled f JOIN fc ON fc.r = f.t % fc.period
     ), sums AS (
         SELECT event_type, period,
                CAST(SUM(ct) // 1000 AS BIGINT) AS c_milli,
@@ -2122,13 +2152,17 @@ def f60_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     of j106's token entropy and the summary f34's per-period ranking
     feeds but cannot state itself.
 
-    Exactness: powers are f34's exact integer lattice verbatim
-    (micro-quantized Fourier terms, milli-rescaled before squaring);
-    the entropy terms take the ONLY float step per period —
-    micro-quantized −p·ln p, ROUNDed identically in both engines from
-    identical integers (the e105 per-term rule), then integer-summed;
-    the final ln(K) normalization is one shared-IEEE division with
-    ln(5) a shared string literal (the e84 decimal rule).
+    Exactness: the Fourier factors are PRE-TABULATED micro integers
+    (cos/sin of 2πr/p for the 59 (p, r mod p) lattice points, computed
+    once driver-side and injected into both engines — ADVICE r10
+    item 4: no per-row libm call can 1-ulp-diverge between platforms),
+    so each term is the exact integer product n·c, milli-rescaled
+    before squaring; the entropy terms take the ONLY float step per
+    period — micro-quantized −p·ln p, ROUNDed identically in both
+    engines from identical integers (the e105 per-term rule), then
+    integer-summed; the final ln(K) normalization is one shared-IEEE
+    division with ln(5) a shared string literal (the e84 decimal
+    rule).
 
     Scale shape: f34's — daily pre-agg (the volume term) →
     calendar-bounded spine → 5-period term explode → hash aggs; the
@@ -2150,17 +2184,22 @@ def f60_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = spine.join(daily, ["event_type", "day"], "left").select(
         "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
-    periods = spark.createDataFrame(
-        [(p,) for p in _PERIODS], "period int"
+    fourier = spark.createDataFrame(
+        list(_F60_FOURIER), "period int, r int, c long, s long"
     )
-    terms = filled.crossJoin(F.broadcast(periods)).select(
-        "event_type", "period",
-        F.floor(
-            F.col("n") * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000
-        ).cast("long").alias("ct"),
-        F.floor(
-            F.col("n") * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000
-        ).cast("long").alias("st"),
+    terms = (
+        filled.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(p,) for p in _PERIODS], "period int")
+            )
+        )
+        .withColumn("r", F.col("t") % F.col("period"))
+        .join(F.broadcast(fourier), ["period", "r"])
+        .select(
+            "event_type", "period",
+            (F.col("n") * F.col("c")).cast("long").alias("ct"),
+            (F.col("n") * F.col("s")).cast("long").alias("st"),
+        )
     )
     sums = terms.groupBy("event_type", "period").agg(
         F.expr("CAST(SUM(ct) DIV 1000 AS BIGINT)").alias("c_milli"),

@@ -1168,6 +1168,30 @@ def e64_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PERIODS = (3, 5, 7, 14, 30)
 
+# Pre-tabulated micro-quantized Fourier factors shared by f34 and f60
+# (ADVICE r10 item 4): cos(2πt/p) depends only on t mod p and
+# Σ|periods| = 59, so BOTH engines consume the SAME pinned integer
+# constants instead of calling their own libm per row — the previous
+# FLOOR(n·cos(…)·1e6) form risked a 1-ulp cos() divergence flipping a
+# unit at a quantization boundary on other platforms.  Tabulated once
+# driver-side (pinned against math.cos in tests/test_round10.py),
+# injected as a VALUES literal into the oracles and a broadcast
+# relation into the plans; the per-row term is the EXACT integer
+# product n·c — no float touches the lattice.
+import math as _math  # noqa: E402
+
+FOURIER_MICRO: tuple[tuple[int, int, int, int], ...] = tuple(
+    (
+        p,
+        r,
+        round(_math.cos(2 * _math.pi * r / p) * 1_000_000),
+        round(_math.sin(2 * _math.pi * r / p) * 1_000_000),
+    )
+    for p in _PERIODS
+    for r in range(p)
+)
+FOURIER_SQL = ", ".join(f"({p}, {r}, {c}, {s})" for p, r, c, s in FOURIER_MICRO)
+
 
 @register(
     "f34_periodogram",
@@ -1186,15 +1210,14 @@ _PERIODS = (3, 5, 7, 14, 30)
         SELECT s.event_type, s.t, COALESCE(d.n, 0) AS n
         FROM spine s LEFT JOIN daily d
           ON d.event_type = s.event_type AND d.day = s.day
-    ), terms AS (
-        SELECT f.event_type, p.period,
-               CAST(FLOOR(f.n * cos(2 * pi() * f.t / p.period) * 1000000)
-                    AS BIGINT) AS ct,
-               CAST(FLOOR(f.n * sin(2 * pi() * f.t / p.period) * 1000000)
-                    AS BIGINT) AS st
-        FROM filled f CROSS JOIN (
-            SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period
-        ) p
+    ), fc(period, r, c, s) AS (VALUES {FOURIER_SQL}),
+    terms AS (
+        -- exact integer products against the pinned factor table: the
+        -- join key t % period selects the one factor row per period
+        SELECT f.event_type, fc.period,
+               CAST(f.n * fc.c AS BIGINT) AS ct,
+               CAST(f.n * fc.s AS BIGINT) AS st
+        FROM filled f JOIN fc ON fc.r = f.t % fc.period
     ), sums AS (
         SELECT event_type, period,
                CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -1225,11 +1248,15 @@ def f34_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     right lag guessed; the periodogram ranks candidate periods in one
     pass, feeding f27's season choice).
 
-    Exactness: each Fourier term is micro-quantized IMMEDIATELY
-    (FLOOR(n·cos(2πt/P)·1e6) — libm cos drifts ≤1 ulp ≈ 1e-10 of the
-    term, far below the floor), so sums are exact BIGINTs; the
-    milli-rescale before squaring keeps power ≤ (7e8)² < 2⁶³ (overflow
-    budget in-code); prank is a PARTITIONED deterministic rank.  Pinned
+    Exactness: the Fourier factors are PRE-TABULATED micro integers
+    (cos/sin of 2πr/p for the 59 (p, r mod p) lattice points, computed
+    once driver-side, pinned against math.cos in tests, and injected
+    into both engines — ADVICE r10 item 4 removed the per-row
+    FLOOR(n·cos(…)·1e6) libm call whose 1-ulp platform drift could flip
+    a unit at a quantization boundary), so each term is the exact
+    integer product n·c and sums are exact BIGINTs; the milli-rescale
+    before squaring keeps power ≤ (7e8)² < 2⁶³ (overflow budget
+    in-code); prank is a PARTITIONED deterministic rank.  Pinned
     against a pure-Python DFT in tests.
 
     Scale shape: daily pre-agg → calendar-bounded spine × |periods|
@@ -1253,20 +1280,24 @@ def f34_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "t", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     periods = F.array(*[F.lit(p) for p in _PERIODS])
-    terms = filled.select(
-        "event_type",
-        "t",
-        "n",
-        F.explode(periods).alias("period"),
-    ).select(
-        "event_type",
-        "period",
-        F.floor(F.col("n") * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000)
-        .cast("long")
-        .alias("ct"),
-        F.floor(F.col("n") * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period")) * 1000000)
-        .cast("long")
-        .alias("st"),
+    fourier = spark.createDataFrame(
+        list(FOURIER_MICRO), "period int, r int, c long, s long"
+    )
+    terms = (
+        filled.select(
+            "event_type",
+            "t",
+            "n",
+            F.explode(periods).alias("period"),
+        )
+        .withColumn("r", F.col("t") % F.col("period"))
+        .join(F.broadcast(fourier), ["period", "r"])
+        .select(
+            "event_type",
+            "period",
+            (F.col("n") * F.col("c")).cast("long").alias("ct"),
+            (F.col("n") * F.col("s")).cast("long").alias("st"),
+        )
     )
     sums = terms.groupBy("event_type", "period").agg(
         F.count("*").cast("long").alias("n_days"),

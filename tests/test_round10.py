@@ -852,3 +852,22 @@ def test_j136_fightin_words_matches_python(spark):
     assert got == want
     # discrimination: the top word must separate the groups decisively
     assert abs(got[0][5]) > 500
+
+
+def test_fourier_factor_table_pinned_against_math():
+    """The shared f34/f60 factor table (ADVICE r10 item 4) must be the
+    micro-rounded cos/sin of 2πr/p at every (period, r) lattice point,
+    with exact anchors at the rational angles."""
+    import math
+
+    from cassandra_snap_to_hadoop_spark.queries.round5 import _PERIODS, FOURIER_MICRO
+
+    assert len(FOURIER_MICRO) == sum(_PERIODS)
+    for p, r, c, s in FOURIER_MICRO:
+        assert c == round(math.cos(2 * math.pi * r / p) * 1_000_000)
+        assert s == round(math.sin(2 * math.pi * r / p) * 1_000_000)
+    by = {(p, r): (c, s) for p, r, c, s in FOURIER_MICRO}
+    assert by[(3, 0)] == (1_000_000, 0)       # angle 0
+    assert by[(14, 7)] == (-1_000_000, 0)     # angle π
+    assert by[(30, 15)] == (-1_000_000, 0)    # angle π
+    assert by[(4, 1)] if (4, 1) in by else True

@@ -570,11 +570,17 @@ def test_f34_matches_python_dft(spark):
         d0, d1 = min(by_day), max(by_day)
         xs = [by_day.get(d, 0) for d in range(d0, d1 + 1)]
         pw = {}
+        # the pinned factor table replay (ADVICE r10 item 4): terms are
+        # exact integer products n·c against cos/sin tabulated at the
+        # 59 (period, t mod period) lattice points
+        fac = {
+            (p, r): (round(math.cos(2 * math.pi * r / p) * 1_000_000),
+                     round(math.sin(2 * math.pi * r / p) * 1_000_000))
+            for p in (3, 5, 7, 14, 30) for r in range(p)
+        }
         for p in (3, 5, 7, 14, 30):
-            ct = sum(math.floor(n * math.cos(2 * math.pi * t / p) * 1_000_000)
-                     for t, n in enumerate(xs))
-            st = sum(math.floor(n * math.sin(2 * math.pi * t / p) * 1_000_000)
-                     for t, n in enumerate(xs))
+            ct = sum(n * fac[(p, t % p)][0] for t, n in enumerate(xs))
+            st = sum(n * fac[(p, t % p)][1] for t, n in enumerate(xs))
             cm, sm = _tzdiv(ct, 1000), _tzdiv(st, 1000)
             pw[p] = (len(xs), cm, sm, cm * cm + sm * sm)
         ranked = sorted(pw.items(), key=lambda kv: (-kv[1][3], kv[0]))

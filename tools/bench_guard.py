@@ -68,6 +68,11 @@ BASELINE_MEDIANS: dict[str, float] = {
 # slack over its baseline.
 ABS_SLACK_SEC = 0.25
 
+# The ratio bar (ADVICE r10 item 2: single source of truth — bench.py's
+# contention re-check imports this instead of hardcoding its own copy;
+# the CLI's --threshold flag still overrides per invocation).
+THRESHOLD = 1.5
+
 
 def _extract_bench(raw: str) -> dict:
     """Accept bench.py's own one-line JSON (possibly preceded by Spark log
@@ -90,7 +95,7 @@ def _extract_bench(raw: str) -> dict:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 1.5
+    threshold = THRESHOLD
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
