@@ -1686,6 +1686,157 @@ def main() -> None:
                               F.col("cnt")).otherwise(0)).alias("n_a"))
         )
 
+    def sampen_pair_shape(n_days):
+        """f61's shape (round-11 probe, VERDICT r10 item 5): per-type
+        m=2/m=3 template embedding via LEAD windows, then the
+        within-type (rnb > rna) pair join + Chebyshev match counts.
+        The amplification axis is CALENDAR LENGTH (synthetic days ×
+        mult at 5 fixed types) — the pair term is inherently days² per
+        type, and THAT is the claim under test: the registered f61
+        runs on a ≤30-day daily series where 30² pairs are constant
+        work, and a longer series must move to a bounded rolling
+        window; the probe quantifies the quadratic so the bound is a
+        measured fact, not an assertion."""
+        from pyspark.sql.window import Window as _W
+
+        base = spark.range(n_days * 5).select(
+            (F.col("id") % 5).alias("etype"),
+            F.expr("id DIV 5").alias("rn"),
+            (((F.col("id") * 2654435761) % 10007) - 5000).alias("x"),
+        )
+        w = _W.partitionBy("etype").orderBy("rn")
+        emb = base.select(
+            "etype", "rn",
+            F.col("x").alias("x0"),
+            F.lead("x", 1).over(w).alias("x1"),
+            F.lead("x", 2).over(w).alias("x2"),
+        ).where(F.col("x2").isNotNull())
+        a = emb.select(
+            "etype", F.col("rn").alias("rna"),
+            F.col("x0").alias("a0"), F.col("x1").alias("a1"),
+            F.col("x2").alias("a2"),
+        )
+        b = emb.select(
+            F.col("etype").alias("etb"), F.col("rn").alias("rnb"),
+            F.col("x0").alias("b0"), F.col("x1").alias("b1"),
+            F.col("x2").alias("b2"),
+        )
+        r_tol = 2500
+        return (
+            a.join(b, (F.col("etb") == F.col("etype")) & (F.col("rnb") > F.col("rna")))
+            .select(
+                "etype",
+                F.when(
+                    F.greatest(
+                        F.abs(F.col("a0") - F.col("b0")),
+                        F.abs(F.col("a1") - F.col("b1")),
+                    ) <= r_tol, 1,
+                ).otherwise(0).alias("m2"),
+                F.when(
+                    F.greatest(
+                        F.abs(F.col("a0") - F.col("b0")),
+                        F.abs(F.col("a1") - F.col("b1")),
+                        F.abs(F.col("a2") - F.col("b2")),
+                    ) <= r_tol, 1,
+                ).otherwise(0).alias("m3"),
+            )
+            .groupBy("etype")
+            .agg(F.sum("m2").alias("b_count"), F.sum("m3").alias("a_count"))
+        )
+
+    def bm_histogram_shape(li, vmult):
+        """e127's shape (round-11 probe, VERDICT r10 item 5): two value
+        histograms -> full-outer pooled lattice -> three doubled-rank
+        cumsum windows over the lattice -> sizes/devs folds.  The
+        amplification axis is VALUE CARDINALITY (distinct v × vmult at
+        constant row volume — the sub-unit lattice a finer quantization
+        would produce); the claim is that the window pass is linear in
+        lattice size (the unpartitioned cumsums ride the value-bounded
+        relation, allowlisted on exactly that ground)."""
+        from pyspark.sql.window import Window as _W
+
+        v = (F.col("l_quantity").cast("long") * vmult
+             + F.col("l_orderkey") % vmult)
+        hx = (
+            li.where(F.col("l_returnflag") == "R")
+            .groupBy(v.alias("v")).agg(F.count("*").alias("cx"))
+        )
+        hy = (
+            li.where(F.col("l_returnflag") == "A")
+            .groupBy(v.alias("v")).agg(F.count("*").alias("cy"))
+        )
+        pooled = (
+            hx.join(hy, "v", "full_outer")
+            .select(
+                "v",
+                F.coalesce("cx", F.lit(0)).alias("cx"),
+                F.coalesce("cy", F.lit(0)).alias("cy"),
+            )
+        )
+        wv = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+        ranked = pooled.select(
+            "cx", "cy",
+            (2 * (F.sum(F.col("cx") + F.col("cy")).over(wv)
+                  - (F.col("cx") + F.col("cy")))
+             + (F.col("cx") + F.col("cy")) + 1).alias("m2"),
+            (2 * (F.sum("cx").over(wv) - F.col("cx")) + F.col("cx") + 1).alias("w2x"),
+            (2 * (F.sum("cy").over(wv) - F.col("cy")) + F.col("cy") + 1).alias("w2y"),
+        )
+        return ranked.agg(
+            F.sum("cx").alias("n1"), F.sum("cy").alias("n2"),
+            F.sum(F.col("cx") * F.col("m2")).alias("t1"),
+            F.sum(F.col("cy") * F.col("m2")).alias("t2"),
+            F.sum(F.col("cx") * (F.col("m2") - F.col("w2x"))
+                  * (F.col("m2") - F.col("w2x"))).alias("s2x_q"),
+            F.sum(F.col("cy") * (F.col("m2") - F.col("w2y"))
+                  * (F.col("m2") - F.col("w2y"))).alias("s2y_q"),
+        )
+
+    def lcs_level_shape(li, fmult):
+        """a44's shape (round-11 probe, VERDICT r10 item 5): per-'file'
+        hash agg (metadata scale) -> newest-first unpartitioned rank ->
+        per-level lag-overlap window -> per-level aggs.  The
+        amplification axis is FILE COUNT (per-day files × fmult via a
+        synthetic shard key at constant data volume); the claim is
+        linearity in file count — the unpartitioned rank rides the
+        metadata-scale file relation, allowlisted on exactly that
+        ground, and overflowing files land in the L4 catch-all."""
+        from pyspark.sql.window import Window as _W
+
+        files = li.groupBy(
+            F.expr("unix_micros(l_shipdate) DIV 86400000000").alias("day"),
+            (F.col("l_orderkey") % fmult).alias("shard"),
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.col("l_orderkey") % 1000).alias("tok_lo"),
+            F.max(F.col("l_orderkey") % 1000).alias("tok_hi"),
+        )
+        leveled = files.withColumn(
+            "f", F.row_number().over(_W.orderBy(F.desc("day"), "shard"))
+        ).withColumn(
+            "lvl",
+            F.when(F.col("f") <= 10, 1)
+            .when(F.col("f") <= 110, 2)
+            .when(F.col("f") <= 1110, 3)
+            .otherwise(4),
+        )
+        wo = _W.partitionBy("lvl").orderBy("tok_lo", "day", "shard")
+        return (
+            leveled.withColumn("prev_hi", F.lag("tok_hi").over(wo))
+            .groupBy("lvl")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("n_rows").alias("rows_total"),
+                F.sum(
+                    F.when(
+                        F.col("prev_hi").isNotNull()
+                        & (F.col("prev_hi") >= F.col("tok_lo")),
+                        1,
+                    ).otherwise(0)
+                ).alias("overlap_pairs"),
+            )
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         ("dsir-importance", lambda: dsir_shape(d1), lambda: dsir_shape(dN)),
@@ -1738,6 +1889,14 @@ def main() -> None:
         # axis (not volume); the SCALE.md row documents the |hist| bound.
         ("mask-sources-2x", lambda: mask_sources_shape(d1, 8), lambda: mask_sources_shape(d1, 16)),
         ("cc-propagation", lambda: cc_shape(d1_marked), lambda: cc_shape(dN_marked)),
+        # round-11 shapes (VERDICT r10 item 5): f61's pair join on the
+        # CALENDAR axis (days x mult — deliberately measures the days²
+        # pair term the 30-day bound caps); e127's lattice windows on the
+        # VALUE-CARDINALITY axis (distinct v x mult, volume 1x); a44's
+        # level audit on the FILE-COUNT axis (files x mult, volume 1x).
+        ("sampen-pair-days", lambda: sampen_pair_shape(30), lambda: sampen_pair_shape(30 * mult)),
+        ("bm-lattice-windows", lambda: bm_histogram_shape(li1, 1), lambda: bm_histogram_shape(li1, mult)),
+        ("lcs-level-files", lambda: lcs_level_shape(li1, 1), lambda: lcs_level_shape(li1, mult)),
         ("winnowing-pairs", lambda: winnow_shape(d1_marked), lambda: winnow_shape(dN_marked)),
         ("srp-bucket-knn", lambda: srp_knn_shape(emb1), lambda: srp_knn_shape(embN)),
         ("minhash-md5-bands", lambda: minhash_md5_shape(d1_marked), lambda: minhash_md5_shape(dN_marked)),
