@@ -92,6 +92,12 @@ HEADLINE = [
     # decontamination — the distinct-gram SEMI-JOIN shape (train grams
     # anti/semi vs the broadcastable eval-gram side) the headline lacked
     "j127_ngram_decontamination",
+    # round-11 representatives (VERDICT r10 item 7): the round-10 depth
+    # tier's two shapes the headline lacked — e127's value-histogram
+    # lattice windows + integer folds, and f59's per-window OLS-detrend
+    # RSS ladder over the profile lattice
+    "e127_brunner_munzel",
+    "f59_dfa_alpha",
 ]
 
 N_RUNS = 3

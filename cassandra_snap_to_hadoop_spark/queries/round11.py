@@ -449,3 +449,347 @@ def a48_oa_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gen int, n_partitions long, min_key long, max_key long,"
         " has_part_deletions int, token_coverage double",
     ).orderBy("gen")
+
+
+# --------------------------------------------------------------------------
+# Batch 2: nonparametric/time-series depth operators.  Same acceptance
+# bar as rounds 3-10: exact-integer or shared-IEEE-chain discipline,
+# DuckDB oracle, pure-Python pin, scale note per docstring.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from cassandra_snap_to_hadoop_spark.io import Tables  # noqa: E402
+
+# The one shared-IEEE Dickey-Fuller chain both engines run on the exact
+# centered-moment integers (n, zz', zy', yy'): rho = zy'/zz',
+# s^2 = (yy' - zy'^2/zz')/n/(n-2), df = rho / sqrt(n*s^2/zz').
+_F62_CHAIN = """
+    (CAST(zy_p AS DOUBLE) / zz_p)
+    / SQRT(n_obs * ((CAST(yy_p AS DOUBLE)
+                     - CAST(zy_p AS DOUBLE) * (CAST(zy_p AS DOUBLE) / zz_p))
+                    / n_obs / (n_obs - 2)) / zz_p)
+"""
+
+
+@register(
+    "f62_dickey_fuller",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, x,
+               LAG(x) OVER (PARTITION BY event_type ORDER BY d) AS z
+        FROM daily
+    ), pairs AS (
+        SELECT event_type, (x - z) AS y, z FROM lagged WHERE z IS NOT NULL
+    ), sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(SUM(z * y) AS BIGINT) AS szy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1
+    ), primes AS (
+        SELECT event_type, n_obs,
+               n_obs * szz - sz * sz AS zz_p,
+               n_obs * szy - sz * sy AS zy_p,
+               n_obs * syy - sy * sy AS yy_p
+        FROM sums
+    )
+    SELECT event_type, n_obs,
+           CAST(zz_p AS BIGINT) AS zz_p, CAST(zy_p AS BIGINT) AS zy_p,
+           CAST(yy_p AS BIGINT) AS yy_p,
+           {_F62_CHAIN} AS df_stat
+    FROM primes ORDER BY event_type
+    """,
+    survey="F62,F58,E41",
+)
+def f62_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (no lag augmentation) per event type
+    over the daily mean-cents series — the HYPOTHESIS-REVERSED
+    complement f58's KPSS needs for the standard two-test stationarity
+    protocol (DF null = unit root / non-stationary, KPSS null =
+    stationary; agreement in opposite directions is the textbook
+    confirmation, disagreement flags near-integration): the OLS
+    regression Δx_t = α + ρ·x_{{t-1}} + ε with DF = ρ̂/se(ρ̂), compared
+    against the Dickey-Fuller (NOT normal) critical values downstream.
+
+    Exactness: the series is f58's daily mean-cents lattice; all five
+    regression sums are exact BIGINTs and the centered moments
+    (n·Szz − Sz² …) stay integer; ρ̂, s² and DF run ONE shared literal
+    IEEE chain from those integers in both engines (the e41
+    normal-equations rule).  Pinned against numpy lstsq in tests.
+
+    Scale shape: daily pre-agg (the volume term, map-side combinable) →
+    per-type LAG window on the calendar-bounded relation → one hash agg
+    → 1-row-per-type fold.  The f58 shape with one extra window."""
+    e = Tables(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
+    ).agg(
+        F.expr("SUM(CAST(ROUND(value * 100) AS BIGINT)) DIV COUNT(*)").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = (
+        daily.select("event_type", "x", F.lag("x").over(w).alias("z"))
+        .where(F.col("z").isNotNull())
+        .select("event_type", (F.col("x") - F.col("z")).alias("y"), "z")
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("szy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    primes = sums.select(
+        "event_type", "n_obs",
+        (F.col("n_obs") * F.col("szz") - F.col("sz") * F.col("sz")).alias("zz_p"),
+        (F.col("n_obs") * F.col("szy") - F.col("sz") * F.col("sy")).alias("zy_p"),
+        (F.col("n_obs") * F.col("syy") - F.col("sy") * F.col("sy")).alias("yy_p"),
+    )
+    return primes.select(
+        "event_type", "n_obs",
+        F.col("zz_p").cast("long").alias("zz_p"),
+        F.col("zy_p").cast("long").alias("zy_p"),
+        F.col("yy_p").cast("long").alias("yy_p"),
+        F.expr(_F62_CHAIN).alias("df_stat"),
+    ).orderBy("event_type")
+
+
+# Bartlett's per-group term chain on the TWO-PASS centered integers
+# (d1 = Σ(x−m), d2 = Σ(x−m)² with m the integer group mean): the
+# deviation lattice bounds d2 ≤ n·max_dev² and |d1| < n, so the exact
+# integers survive int64 to ~3e9 rows per group (the n·Σx² − (Σx)²
+# "primes" form overflows at ~6e5 — rejected in design).  Per-group
+# (n_i−1)·ln S_i² is micro-rounded from the same integers (the e105
+# per-term rule) so the k-term sum is exact.
+_E129_VAR = """
+    ((CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE) * d1 / n_i) / (n_i - 1))
+"""
+_E129_TERM = f"""
+    CAST(ROUND(1000000 * (n_i - 1) * LN({_E129_VAR})) AS BIGINT)
+"""
+_E129_SSQ = f"""
+    CAST(ROUND(1000000 * (n_i - 1) * {_E129_VAR}) AS BIGINT)
+"""
+
+
+@register(
+    "e129_bartlett_variance",
+    oracle=f"""
+    WITH vals AS (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x
+        FROM lineitem
+    ), means AS (
+        SELECT grp, CAST(SUM(x) // COUNT(*) AS BIGINT) AS m
+        FROM vals GROUP BY 1
+    ), g AS (
+        SELECT v.grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(v.x - mm.m) AS BIGINT) AS d1,
+               CAST(SUM((v.x - mm.m) * (v.x - mm.m)) AS BIGINT) AS d2
+        FROM vals v JOIN means mm ON mm.grp = v.grp
+        GROUP BY 1
+    ), gp AS (
+        SELECT grp, n_i, {_E129_TERM} AS term_micro, {_E129_SSQ} AS ssq_micro
+        FROM g
+    ), pooled AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ssq_micro) AS BIGINT) AS ssq_micro,
+               CAST(SUM(term_micro) AS BIGINT) AS terms_micro,
+               CAST(SUM(CAST(ROUND(1000000.0 / (n_i - 1)) AS BIGINT))
+                    AS BIGINT) AS inv_micro
+        FROM gp
+    )
+    SELECT n_tot, k, terms_micro,
+           -- T = [(N-k) ln Sp^2 - sum terms] / C, one shared chain from
+           -- the exact micro integers above
+           ((n_tot - k) * LN(CAST(ssq_micro AS DOUBLE) / 1000000
+                             / (n_tot - k))
+            - CAST(terms_micro AS DOUBLE) / 1000000)
+           / (1 + (CAST(inv_micro AS DOUBLE) / 1000000
+                   - 1.0 / (n_tot - k)) / (3 * (k - 1))) AS bartlett_t
+    FROM pooled
+    """,
+    survey="E129,E108,E5",
+)
+def e129_bartlett_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the three
+    return-flag populations — the CLASSIC (normal-theory, maximally
+    powerful under normality) counterpart of e108's Brown-Forsythe:
+    the standard protocol runs both, Bartlett for power and BF for
+    robustness, and a disagreement is itself the diagnosis (heavy
+    tails).  T = [(N−k)·ln Sp² − Σ(n_i−1)·ln S_i²]/C with the usual
+    Bartlett correction C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)).
+
+    Exactness: per-group deviations are centered on the INTEGER group
+    mean (two-pass, the f58 truncating rule), so (d1, d2) are exact
+    BIGINTs with an int64 budget to ~3e9 rows/group — the one-pass
+    n·Σx²−(Σx)² form was rejected in design (overflows at ~6e5); each
+    (n_i−1)·ln S_i² term and the pooled-SS term are micro-rounded from
+    those integers (the e105 per-term rule) and integer-summed; the
+    final T runs one shared literal IEEE chain.  Pinned against a
+    scipy-formula python replay in tests.
+
+    Scale shape: two map-side-combinable hash aggs (mean pass + 
+    deviation pass, 3-row broadcast between) then a 3-row fold — the
+    e5/e108 shape; volume enters only the scans."""
+    li = Tables(spark, sf_dir).lineitem
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+    )
+    means = vals.groupBy("grp").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("m")
+    )
+    g = (
+        vals.join(F.broadcast(means), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum(F.col("x") - F.col("m")).cast("long").alias("d1"),
+            F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    gp = g.select(
+        "grp", "n_i",
+        F.expr(_E129_TERM).alias("term_micro"),
+        F.expr(_E129_SSQ).alias("ssq_micro"),
+    )
+    pooled = gp.agg(
+        F.sum("n_i").cast("long").alias("n_tot"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("ssq_micro").cast("long").alias("ssq_micro"),
+        F.sum("term_micro").cast("long").alias("terms_micro"),
+        F.sum(F.expr("CAST(ROUND(1000000.0 / (n_i - 1)) AS BIGINT)"))
+        .cast("long")
+        .alias("inv_micro"),
+    )
+    return pooled.select(
+        "n_tot", "k", "terms_micro",
+        F.expr(
+            "((n_tot - k) * LN(CAST(ssq_micro AS DOUBLE) / 1000000"
+            " / (n_tot - k))"
+            " - CAST(terms_micro AS DOUBLE) / 1000000)"
+            " / (1 + (CAST(inv_micro AS DOUBLE) / 1000000"
+            " - 1.0 / (n_tot - k)) / (3 * (k - 1)))"
+        ).alias("bartlett_t"),
+    )
+
+
+@register(
+    "e130_page_trend",
+    oracle="""
+    WITH cells AS (
+        SELECT c.c_nationkey AS blk,
+               CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) AS j,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), complete AS (
+        SELECT blk FROM cells GROUP BY 1 HAVING COUNT(*) = 5
+    ), cc AS (
+        SELECT cells.* FROM cells JOIN complete USING (blk)
+    ), ranked AS (
+        SELECT a.blk, a.j,
+               2 * SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS rank2
+        FROM cc a JOIN cc b ON a.blk = b.blk
+        GROUP BY 1, 2
+    ), per_j AS (
+        SELECT j, CAST(SUM(rank2) AS BIGINT) AS r2_sum
+        FROM ranked GROUP BY 1
+    ), summ AS (
+        SELECT CAST((SELECT COUNT(*) FROM complete) AS BIGINT) AS b,
+               CAST(SUM(j * r2_sum) AS BIGINT) AS l2
+        FROM per_j
+    )
+    SELECT p.j, p.r2_sum, s.b, s.l2,
+           -- z from the doubled-rank null moments: E[L2] = b*k(k+1)^2/2,
+           -- Var[L2] = b*k^2(k+1)(k^2-1)/36, k = 5 — one shared chain
+           (CAST(s.l2 AS DOUBLE) - CAST(s.b AS DOUBLE) * 5 * 36 / 2)
+           / SQRT(CAST(s.b AS DOUBLE) * 25 * 6 * 24 / 36) AS z_stat
+    FROM per_j p CROSS JOIN summ s
+    ORDER BY p.j
+    """,
+    survey="E130,E103,E47",
+)
+def e130_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (Page 1963) for ORDERED alternatives in the
+    e103 Friedman layout — the repeated-measures sibling of e47's
+    Mann-Kendall and e124's Jonckheere-Terpstra (JT orders independent
+    groups; Page orders TREATMENTS within blocks): with treatments
+    hypothesized ordered by priority urgency (the leading digit of
+    o_orderpriority, 1-URGENT … 5-LOW), L = Σ_j j·R_j concentrates
+    when within-block ranks follow the hypothesized order — Friedman
+    asks "any difference?", Page asks "THIS monotone difference?",
+    gaining power exactly when the order is right.
+
+    Exactness: e103's doubled-midrank lattice verbatim (rank2 =
+    2·rank), so L2 = 2L is an exact BIGINT; the null moments for the
+    doubled statistic (E[L2] = b·k(k+1)²/2, Var[L2] =
+    b·k²(k+1)(k²−1)/36, k = 5 pinned as integer literals) feed one
+    shared literal IEEE z chain.  Block sums of cents make within-block
+    ties measure-zero; midranks handle the hypothetical tie exactly as
+    e103 documents.  Pinned against a pure-python replay in tests.
+
+    Scale shape: e103's — fact join → (block, treatment) hash agg →
+    within-block rank join on the 25-row-per-block cell relation → KB
+    folds.  Volume enters only the first agg."""
+    o = Tables(spark, sf_dir).orders
+    c = Tables(spark, sf_dir).customer
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("j"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    complete = cells.groupBy("blk").count().where(F.col("count") == 5).select("blk")
+    cc = cells.join(complete, "blk")
+    b_side = cc.select(
+        F.col("blk").alias("blk_b"), F.col("v").alias("v_b")
+    )
+    ranked = (
+        cc.join(b_side, F.col("blk") == F.col("blk_b"))
+        .groupBy("blk", "j")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("v_b") < F.col("v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("v_b") == F.col("v"), 1).otherwise(0))
+                + 1
+            ).alias("rank2")
+        )
+    )
+    per_j = ranked.groupBy("j").agg(F.sum("rank2").cast("long").alias("r2_sum"))
+    summ = per_j.agg(
+        F.sum(F.col("j") * F.col("r2_sum")).cast("long").alias("l2")
+    ).crossJoin(complete.agg(F.count("*").cast("long").alias("b")))
+    return (
+        per_j.crossJoin(F.broadcast(summ))
+        .select(
+            "j", "r2_sum", "b", "l2",
+            F.expr(
+                "(CAST(l2 AS DOUBLE) - CAST(b AS DOUBLE) * 5 * 36 / 2)"
+                " / SQRT(CAST(b AS DOUBLE) * 25 * 6 * 24 / 36)"
+            ).alias("z_stat"),
+        )
+        .orderBy("j")
+    )

@@ -60,6 +60,13 @@ BASELINE_MEDIANS: dict[str, float] = {
     "b17_lwt_cas_replay": 3.70,
     "j131_semdedup": 0.82,
     "j127_ngram_decontamination": 1.42,
+    # round-11 additions (VERDICT r10 item 7): isolated 5-run medians
+    # after a 3-run JIT deep-warm, idle box, 2026-08-16 (shallow-warm
+    # sessions read 2.5/1.2 with monotonically falling runs — still
+    # JIT-dominated; the deep-warm medians match in-sweep conditions:
+    # 0.53/0.63 in the same day's 38-query sweep).
+    "e127_brunner_munzel": 0.85,
+    "f59_dfa_alpha": 0.88,
 }
 
 # Sub-second queries wobble ±100-200 ms on a shared box regardless of plan
