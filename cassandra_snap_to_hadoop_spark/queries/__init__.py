@@ -118,6 +118,12 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     # (bit-parallel LCS, VERDICT r10 item 3) — its round-10 driver line
     # was rows-only; this slot upgrades it to hash evidence.
     "j72_rouge_l",
+    # batch 2: the round-11 stats tier
+    "f62_dickey_fuller",
+    "e129_bartlett_variance",
+    "e130_page_trend",
+    "e131_ansari_bradley",
+    "e132_stuart_maxwell",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -793,3 +793,249 @@ def e130_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j")
     )
+
+
+# Ansari-Bradley z chain on the exact doubled-score integers
+# (w2x = Σ_X s2, s2tot = Σ_all c·s2, ss2q = Σ_all c·s2²): the
+# tie-robust normal approximation E[W] = n1·s̄, Var[W] =
+# n1n2(N·Σs² − (Σs)²)/(N²(N−1)) on the doubled lattice.
+_E131_Z = """
+    (CAST(w2x AS DOUBLE) - CAST(n1 AS DOUBLE) * s2tot / (n1 + n2))
+    / SQRT(CAST(n1 AS DOUBLE) * n2
+           * ((n1 + n2) * CAST(ss2q AS DOUBLE) - CAST(s2tot AS DOUBLE) * s2tot)
+           / ((n1 + n2) * CAST((n1 + n2) AS DOUBLE) * (n1 + n2 - 1)))
+"""
+
+
+@register(
+    "e131_ansari_bradley",
+    oracle=f"""
+    WITH hx AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), hy AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ), pooled AS (
+        SELECT v, COALESCE(x.c, 0) AS cx, COALESCE(y.c, 0) AS cy
+        FROM (SELECT v, c FROM hx) x FULL OUTER JOIN hy y USING (v)
+    ), ranked AS (
+        -- doubled pooled midrank (e127's lattice), then the doubled
+        -- Ansari-Bradley score s2 = min(m2, 2(N+1) - m2)
+        SELECT v, cx, cy,
+               2 * (SUM(cx + cy) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (cx + cy)) + (cx + cy) + 1 AS m2,
+               SUM(cx + cy) OVER () AS n_tot
+        FROM pooled
+    ), scored AS (
+        SELECT v, cx, cy,
+               LEAST(m2, 2 * (n_tot + 1) - m2) AS s2
+        FROM ranked
+    ), summ AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS n1,
+               CAST(SUM(cy) AS BIGINT) AS n2,
+               CAST(SUM(cx * s2) AS BIGINT) AS w2x,
+               CAST(SUM((cx + cy) * s2) AS BIGINT) AS s2tot,
+               CAST(SUM((cx + cy) * s2 * s2) AS BIGINT) AS ss2q
+        FROM scored
+    )
+    SELECT n1, n2, w2x, s2tot, ss2q, {_E131_Z} AS z_stat
+    FROM summ
+    """,
+    survey="E131,E122,E45",
+)
+def e131_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test of SCALE (dispersion) between the R and
+    A return-flag quantity populations — the scale counterpart that
+    completes the nonparametric two-sample family: e45 Mann-Whitney
+    tests location by rank sum, e122 Mood tests the median, e127
+    Brunner-Munzel handles unequal variances, and THIS tests the
+    variances themselves without normality (vs e129 Bartlett's
+    normal-theory version): scores s = min(rank, N+1−rank) are small at
+    both extremes, so a sample with larger spread collects a SMALLER
+    score sum.
+
+    Exactness: e127's doubled-midrank histogram lattice verbatim
+    (m2 = 2·cum_before + c + 1 from one value-ordered cumsum window),
+    doubled scores s2 = min(m2, 2(N+1)−m2) exact BIGINTs, and the
+    tie-robust normal moments (E[W] = n1·s̄, Var[W] =
+    n1n2(N·Σs²−(Σs)²)/(N²(N−1))) run one shared literal IEEE z chain
+    from five exact integers.  Σc·s2² grows as N³ (the e127 rank-stat
+    budget: int64 to ~2e6 rows — documented, same as e127's s2x_q).
+    Pinned against a scipy-convention python replay in tests.
+
+    Scale shape: e127's — one histogram agg per sample (map-side
+    combinable, the only volume term) → value-lattice cumsum window
+    (bounded by |distinct quantity| = 50) → 1-row fold."""
+    li = Tables(spark, sf_dir).lineitem
+    hx = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cx"))
+    )
+    hy = (
+        li.where(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count("*").cast("long").alias("cy"))
+    )
+    pooled = (
+        hx.join(hy, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("cy", F.lit(0)).alias("cy"),
+        )
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = pooled.agg(
+        F.sum(F.col("cx") + F.col("cy")).cast("long").alias("n_tot")
+    )
+    ranked = pooled.crossJoin(F.broadcast(tot)).select(
+        "v", "cx", "cy", "n_tot",
+        (
+            2 * (F.sum(F.col("cx") + F.col("cy")).over(wv) - (F.col("cx") + F.col("cy")))
+            + (F.col("cx") + F.col("cy")) + 1
+        ).alias("m2"),
+    )
+    scored = ranked.select(
+        "cx", "cy",
+        F.least(F.col("m2"), 2 * (F.col("n_tot") + 1) - F.col("m2")).alias("s2"),
+    )
+    summ = scored.agg(
+        F.sum("cx").cast("long").alias("n1"),
+        F.sum("cy").cast("long").alias("n2"),
+        F.sum(F.col("cx") * F.col("s2")).cast("long").alias("w2x"),
+        F.sum((F.col("cx") + F.col("cy")) * F.col("s2")).cast("long").alias("s2tot"),
+        F.sum((F.col("cx") + F.col("cy")) * F.col("s2") * F.col("s2"))
+        .cast("long")
+        .alias("ss2q"),
+    )
+    return summ.select(
+        "n1", "n2", "w2x", "s2tot", "ss2q", F.expr(_E131_Z).alias("z_stat")
+    )
+
+
+@register(
+    "e132_stuart_maxwell",
+    oracle="""
+    WITH classed AS (
+        -- priority class: 0 = urgent/high (1-2), 1 = medium (3),
+        -- 2 = low (4-5); ord = day*1e10 + orderkey is a unique total
+        -- order, so arg_min/arg_max are deterministic
+        SELECT o_custkey,
+               CASE WHEN CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) <= 2
+                    THEN 0
+                    WHEN CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) = 3
+                    THEN 1 ELSE 2 END AS cls,
+               (epoch_us(o_orderdate) // 86400000000) * 10000000000
+                   + o_orderkey AS ord
+        FROM orders
+    ), paired AS (
+        SELECT o_custkey,
+               arg_min(cls, ord) AS a,
+               arg_max(cls, ord) AS b
+        FROM classed GROUP BY 1 HAVING COUNT(*) >= 2
+    ), n AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM paired GROUP BY 1, 2
+    ), cells AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN a = 0 THEN c END), 0) AS BIGINT) AS r0,
+               CAST(COALESCE(SUM(CASE WHEN a = 1 THEN c END), 0) AS BIGINT) AS r1,
+               CAST(COALESCE(SUM(CASE WHEN b = 0 THEN c END), 0) AS BIGINT) AS c0,
+               CAST(COALESCE(SUM(CASE WHEN b = 1 THEN c END), 0) AS BIGINT) AS c1,
+               CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 0 THEN c END), 0)
+                    AS BIGINT) AS n00,
+               CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 1 THEN c END), 0)
+                    AS BIGINT) AS n11,
+               CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 1 THEN c END), 0)
+                    AS BIGINT) AS n01,
+               CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 0 THEN c END), 0)
+                    AS BIGINT) AS n10,
+               CAST(SUM(c) AS BIGINT) AS n_pairs
+        FROM n
+    )
+    SELECT n_pairs,
+           r0 - c0 AS d0, r1 - c1 AS d1,
+           r0 + c0 - 2 * n00 AS s00,
+           r1 + c1 - 2 * n11 AS s11,
+           -(n01 + n10) AS s01,
+           -- chi2 = d' S^-1 d for the 2-dim reduced system, an EXACT
+           -- rational: milli-quantized integer division
+           CAST(1000 * ((r1 + c1 - 2 * n11) * (r0 - c0) * (r0 - c0)
+                        - 2 * (-(n01 + n10)) * (r0 - c0) * (r1 - c1)
+                        + (r0 + c0 - 2 * n00) * (r1 - c1) * (r1 - c1))
+                // ((r0 + c0 - 2 * n00) * (r1 + c1 - 2 * n11)
+                    - (n01 + n10) * (n01 + n10)) AS BIGINT) AS chi2_milli
+    FROM cells
+    """,
+    survey="E132,E78,E95",
+)
+def e132_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell test of MARGINAL HOMOGENEITY on the 3×3 paired
+    table of customer priority classes (first order vs last order) —
+    the k-category generalization e78's McNemar stops at 2×2: does the
+    distribution of order-priority classes SHIFT between a customer's
+    first and latest order, accounting for the pairing?  χ² = d'S⁻¹d
+    on the reduced 2-dim difference vector (the 3rd is linearly
+    dependent), df = 2 — the standard before/after categorical drift
+    test for panels.
+
+    Exactness: pairing is deterministic (arg_min/arg_max over the
+    unique total order day·1e10 + orderkey); the 3×3 counts, margins,
+    difference vector and covariance entries are exact BIGINTs, and
+    because the 2×2 inverse has a closed form the whole χ² is an EXACT
+    RATIONAL — milli-quantized integer division, no float anywhere.
+    Pinned against a pure-python contingency replay in tests.
+
+    Scale shape: one scan → per-customer min_by/max_by hash agg (the
+    volume term, map-side combinable) → 9-cell agg → 1-row closed-form
+    fold.  The e78 shape with a wider lattice."""
+    o = Tables(spark, sf_dir).orders
+    cls = (
+        F.when(F.substring("o_orderpriority", 1, 1).cast("int") <= 2, 0)
+        .when(F.substring("o_orderpriority", 1, 1).cast("int") == 3, 1)
+        .otherwise(2)
+    )
+    ordc = (
+        F.expr("unix_micros(o_orderdate) DIV 86400000000") * F.lit(10000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    classed = o.select(
+        "o_custkey", cls.alias("cls"), ordc.alias("ord")
+    )
+    paired = (
+        classed.groupBy("o_custkey")
+        .agg(
+            F.min_by("cls", "ord").alias("a"),
+            F.max_by("cls", "ord").alias("b"),
+            F.count("*").alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+    n = paired.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+    cells = n.agg(
+        F.coalesce(F.sum(F.when(F.col("a") == 0, F.col("c"))), F.lit(0)).cast("long").alias("r0"),
+        F.coalesce(F.sum(F.when(F.col("a") == 1, F.col("c"))), F.lit(0)).cast("long").alias("r1"),
+        F.coalesce(F.sum(F.when(F.col("b") == 0, F.col("c"))), F.lit(0)).cast("long").alias("c0"),
+        F.coalesce(F.sum(F.when(F.col("b") == 1, F.col("c"))), F.lit(0)).cast("long").alias("c1"),
+        F.coalesce(F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), F.col("c"))), F.lit(0)).cast("long").alias("n00"),
+        F.coalesce(F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), F.col("c"))), F.lit(0)).cast("long").alias("n11"),
+        F.coalesce(F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), F.col("c"))), F.lit(0)).cast("long").alias("n01"),
+        F.coalesce(F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), F.col("c"))), F.lit(0)).cast("long").alias("n10"),
+        F.sum("c").cast("long").alias("n_pairs"),
+    )
+    return cells.select(
+        "n_pairs",
+        (F.col("r0") - F.col("c0")).alias("d0"),
+        (F.col("r1") - F.col("c1")).alias("d1"),
+        (F.col("r0") + F.col("c0") - 2 * F.col("n00")).alias("s00"),
+        (F.col("r1") + F.col("c1") - 2 * F.col("n11")).alias("s11"),
+        (-(F.col("n01") + F.col("n10"))).alias("s01"),
+        F.expr(
+            "CAST(1000 * ((r1 + c1 - 2 * n11) * (r0 - c0) * (r0 - c0)"
+            " - 2 * (-(n01 + n10)) * (r0 - c0) * (r1 - c1)"
+            " + (r0 + c0 - 2 * n00) * (r1 - c1) * (r1 - c1))"
+            " DIV ((r0 + c0 - 2 * n00) * (r1 + c1 - 2 * n11)"
+            " - (n01 + n10) * (n01 + n10)) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )

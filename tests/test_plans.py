@@ -597,6 +597,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     " quantity histogram (the e36/e81 exemption class)",
     "a44_lcs_level_audit": "newest-first file rank over the per-day sstable"
     " relation (calendar-bounded — the e39/f22 exemption class)",
+    "e131_ansari_bradley": "doubled-midrank cumsum over the ≤50-value pooled"
+    " quantity histogram (e127's lattice verbatim — the e36/e81 exemption"
+    " class)",
 }
 
 

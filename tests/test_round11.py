@@ -66,3 +66,233 @@ def test_j72_is_sql_oracled_now():
     driver window / oracle mirror, not here)."""
     q = REGISTRY["j72_rouge_l"]
     assert q.oracle is not None and "list_reduce" in q.oracle
+
+
+# ---------------------------------------------------------------------------
+# Batch-2 pins: independent pure-Python third implementations of the
+# round-11 stats tier (f62 Dickey-Fuller, e129 Bartlett, e130 Page,
+# e131 Ansari-Bradley, e132 Stuart-Maxwell), recomputed from raw
+# parquet so a Spark+DuckDB twin bug cannot hide behind a matching
+# hash.  Integer outputs assert EXACT equality; shared-IEEE floats
+# assert tight relative tolerance.
+# ---------------------------------------------------------------------------
+
+import math
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _daily_mean_cents():
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        d = ts.timestamp() if hasattr(ts, "timestamp") else ts / 1e6
+        day = int(d * 1_000_000) // 86400000000
+        cents = int(Decimal(v * 100).quantize(Decimal(1), ROUND_HALF_UP))
+        cell = per[et][day]
+        cell[0] += cents
+        cell[1] += 1
+    out = {}
+    for et, days in per.items():
+        xs = []
+        for day in sorted(days):
+            s, n = days[day]
+            xs.append(s // n if s >= 0 else -((-s + n - 1) // n) if s % n else s // n)
+        # truncating DIV toward negative infinity == floor for positives;
+        # Spark/DuckDB DIV truncates toward zero — daily sums here are
+        # positive at every shipped SF, so floor == trunc.
+        out[et] = [days[day][0] // days[day][1] for day in sorted(days)]
+    return out
+
+
+def test_f62_dickey_fuller_matches_numpy(spark):
+    series = _daily_mean_cents()
+    got = {
+        r.event_type: r
+        for r in REGISTRY["f62_dickey_fuller"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        z = xs[:-1]
+        y = [b - a for a, b in zip(xs, xs[1:])]
+        n = len(y)
+        sz, sy = sum(z), sum(y)
+        szz = sum(v * v for v in z)
+        szy = sum(a * b for a, b in zip(z, y))
+        syy = sum(v * v for v in y)
+        zz_p = n * szz - sz * sz
+        zy_p = n * szy - sz * sy
+        yy_p = n * syy - sy * sy
+        r = got[et]
+        assert (r.n_obs, r.zz_p, r.zy_p, r.yy_p) == (n, zz_p, zy_p, yy_p)
+        rho = zy_p / zz_p
+        s2 = (yy_p - zy_p * (zy_p / zz_p)) / n / (n - 2)
+        want_df = rho / math.sqrt(n * s2 / zz_p)
+        assert abs(r.df_stat - want_df) < 1e-9 * max(1.0, abs(want_df))
+        # numpy cross-check of the regression slope itself
+        import numpy as np
+
+        A = np.vstack([np.ones(n), np.array(z, dtype=float)]).T
+        coef, *_ = np.linalg.lstsq(A, np.array(y, dtype=float), rcond=None)
+        assert abs(coef[1] - rho) < 1e-9 * max(1.0, abs(rho))
+
+
+def test_e129_bartlett_matches_formula(spark):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    groups = defaultdict(list)
+    for g, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        groups[g].append(round(q * 100))
+    terms_micro = 0
+    ssq_micro = 0
+    inv_micro = 0
+    n_tot = 0
+    k = len(groups)
+    for xs in groups.values():
+        n = len(xs)
+        m = sum(xs) // n
+        d1 = sum(x - m for x in xs)
+        d2 = sum((x - m) * (x - m) for x in xs)
+        var = (d2 - d1 * d1 / n) / (n - 1)
+        terms_micro += round(1_000_000 * (n - 1) * math.log(var))
+        ssq_micro += round(1_000_000 * (n - 1) * var)
+        inv_micro += round(1_000_000 / (n - 1))
+        n_tot += n
+    want_t = (
+        (n_tot - k) * math.log(ssq_micro / 1_000_000 / (n_tot - k))
+        - terms_micro / 1_000_000
+    ) / (1 + (inv_micro / 1_000_000 - 1.0 / (n_tot - k)) / (3 * (k - 1)))
+    r = REGISTRY["e129_bartlett_variance"].fn(spark, SF).collect()[0]
+    assert (r.n_tot, r.k, r.terms_micro) == (n_tot, k, terms_micro)
+    assert abs(r.bartlett_t - want_t) < 1e-9 * max(1.0, abs(want_t))
+    # scipy cross-check on the same data (statistic only, formula route)
+    try:
+        from scipy import stats as sps
+
+        T, _p = sps.bartlett(*groups.values())
+        assert abs(T - want_t) < 5e-3 * max(1.0, abs(T))  # micro-rounding slack
+    except ImportError:
+        pass
+
+
+def test_e130_page_trend_matches_python(spark):
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    c = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = dict(zip(c.column(0).to_pylist(), c.column(1).to_pylist()))
+    cells = defaultdict(int)
+    for ck, pr, price in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        cells[(nat[ck], int(pr[0]))] += round(price * 100)
+    blocks = defaultdict(dict)
+    for (blk, j), v in cells.items():
+        blocks[blk][j] = v
+    complete = {b: trts for b, trts in blocks.items() if len(trts) == 5}
+    r2_sum = defaultdict(int)
+    for trts in complete.values():
+        vs = trts.items()
+        for j, v in vs:
+            rank2 = (
+                2 * sum(1 for _, v2 in vs if v2 < v)
+                + sum(1 for _, v2 in vs if v2 == v)
+                + 1
+            )
+            r2_sum[j] += rank2
+    b = len(complete)
+    l2 = sum(j * s for j, s in r2_sum.items())
+    want_z = (l2 - b * 5 * 36 / 2) / math.sqrt(b * 25 * 6 * 24 / 36)
+    got = {r.j: r for r in REGISTRY["e130_page_trend"].fn(spark, SF).collect()}
+    for j in range(1, 6):
+        assert got[j].r2_sum == r2_sum[j]
+        assert got[j].b == b and got[j].l2 == l2
+        assert abs(got[j].z_stat - want_z) < 1e-9 * max(1.0, abs(want_z))
+
+
+def test_e131_ansari_bradley_matches_python(spark):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    xs, ys = [], []
+    for g, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        if g == "R":
+            xs.append(int(q))
+        elif g == "A":
+            ys.append(int(q))
+    hist = defaultdict(lambda: [0, 0])
+    for v in xs:
+        hist[v][0] += 1
+    for v in ys:
+        hist[v][1] += 1
+    n_tot = len(xs) + len(ys)
+    cum = 0
+    w2x = s2tot = ss2q = 0
+    for v in sorted(hist):
+        cx, cy = hist[v]
+        c = cx + cy
+        m2 = 2 * cum + c + 1
+        s2 = min(m2, 2 * (n_tot + 1) - m2)
+        w2x += cx * s2
+        s2tot += c * s2
+        ss2q += c * s2 * s2
+        cum += c
+    n1, n2 = len(xs), len(ys)
+    want_z = (w2x - n1 * s2tot / (n1 + n2)) / math.sqrt(
+        n1 * n2 * ((n1 + n2) * ss2q - s2tot * s2tot)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    r = REGISTRY["e131_ansari_bradley"].fn(spark, SF).collect()[0]
+    assert (r.n1, r.n2, r.w2x, r.s2tot, r.ss2q) == (n1, n2, w2x, s2tot, ss2q)
+    assert abs(r.z_stat - want_z) < 1e-9 * max(1.0, abs(want_z))
+    # scipy convention cross-check: scipy.stats.ansari's AB statistic is
+    # the (undoubled) X-sample score sum — w2x must equal 2*AB exactly
+    try:
+        from scipy import stats as sps
+
+        ab = sps.ansari(xs, ys)
+        assert w2x == round(2 * ab.statistic)
+    except ImportError:
+        pass
+
+
+def test_e132_stuart_maxwell_matches_python(spark):
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"],
+    )
+    percust = defaultdict(list)
+    for ck, pr, dt, ok in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(),
+        t.column(2).to_pylist(), t.column(3).to_pylist(),
+    ):
+        day = int(dt.timestamp() * 1_000_000) // 86400000000
+        digit = int(pr[0])
+        cls = 0 if digit <= 2 else (1 if digit == 3 else 2)
+        percust[ck].append((day * 10_000_000_000 + ok, cls))
+    n = defaultdict(int)
+    for orders in percust.values():
+        if len(orders) < 2:
+            continue
+        orders.sort()
+        n[(orders[0][1], orders[-1][1])] += 1
+    r0 = sum(c for (a, _b), c in n.items() if a == 0)
+    r1 = sum(c for (a, _b), c in n.items() if a == 1)
+    c0 = sum(c for (_a, b), c in n.items() if b == 0)
+    c1 = sum(c for (_a, b), c in n.items() if b == 1)
+    n00, n11 = n[(0, 0)], n[(1, 1)]
+    n01, n10 = n[(0, 1)], n[(1, 0)]
+    d0, d1 = r0 - c0, r1 - c1
+    s00 = r0 + c0 - 2 * n00
+    s11 = r1 + c1 - 2 * n11
+    s01 = -(n01 + n10)
+    num = s11 * d0 * d0 - 2 * s01 * d0 * d1 + s00 * d1 * d1
+    den = s00 * s11 - s01 * s01
+    want_chi2_milli = 1000 * num // den if (1000 * num) >= 0 else -((-1000 * num) // den)
+    r = REGISTRY["e132_stuart_maxwell"].fn(spark, SF).collect()[0]
+    assert (r.d0, r.d1, r.s00, r.s11, r.s01) == (d0, d1, s00, s11, s01)
+    assert r.n_pairs == sum(n.values())
+    assert r.chi2_milli == want_chi2_milli
+    assert den > 0 and r.chi2_milli >= 0
