@@ -124,6 +124,10 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "e130_page_trend",
     "e131_ansari_bradley",
     "e132_stuart_maxwell",
+    # batch 3: LLM-pipeline LM/classifier tier + Cassandra liveness
+    "j137_stupid_backoff",
+    "j138_quality_classifier",
+    "b24_phi_accrual",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -1039,3 +1039,387 @@ def e132_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (n01 + n10) * (n01 + n10)) AS BIGINT)"
         ).alias("chi2_milli"),
     )
+
+
+# Shared normalized-token split (the established corpus tokenization
+# both engines mirror; see operators/text.tokens).
+_W11_DUCK = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+# The stupid-backoff score chain (Brants 2007), one literal per tier —
+# 0.4 spelled CAST(2 AS DOUBLE)/5 (and 0.16 as its square) so neither
+# engine parses a bare decimal literal (the e84 rule).  OOV floor tier:
+# add-one on the unigram estimate over (N + V).
+_J137_SCORE = """
+    CASE WHEN c123 IS NOT NULL
+         THEN CAST(c123 AS DOUBLE) / c12
+         WHEN c23 IS NOT NULL
+         THEN (CAST(2 AS DOUBLE) / 5) * (CAST(c23 AS DOUBLE) / c2)
+         ELSE (CAST(2 AS DOUBLE) / 5) * (CAST(2 AS DOUBLE) / 5)
+              * ((CAST(COALESCE(c3, 0) AS DOUBLE) + 1) / (nt + nv))
+    END
+"""
+
+
+@register(
+    "j137_stupid_backoff",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_W11_DUCK} AS w FROM documents
+    ), train AS (
+        SELECT doc_id, w FROM toks WHERE doc_id % 2 = 0
+    ), score_docs AS (
+        SELECT doc_id, source, w FROM toks WHERE doc_id % 2 = 1
+    ), tri_t AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+              FROM train WHERE len(w) >= 3)
+    ), big_t AS (
+        SELECT w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT w, unnest(range(1, len(w))) AS i
+              FROM train WHERE len(w) >= 2)
+    ), uni_t AS (
+        SELECT unnest(w) AS w1 FROM train
+    ), c_tri AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c FROM tri_t GROUP BY 1, 2, 3
+    ), c_big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big_t GROUP BY 1, 2
+    ), c_uni AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM uni_t GROUP BY 1
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(COUNT(DISTINCT w1) AS BIGINT) AS nv
+        FROM uni_t
+    ), tri_s AS (
+        SELECT doc_id, source, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 1)) AS i
+              FROM score_docs WHERE len(w) >= 3)
+    ), joined AS (
+        SELECT s.doc_id, s.source,
+               t.c AS c123, b12.c AS c12, b23.c AS c23,
+               u2.c AS c2, u3.c AS c3, tot.nt, tot.nv
+        FROM tri_s s
+        LEFT JOIN c_tri t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+        LEFT JOIN c_big b12 ON b12.w1 = s.w1 AND b12.w2 = s.w2
+        LEFT JOIN c_big b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+        LEFT JOIN c_uni u2 ON u2.w1 = s.w2
+        LEFT JOIN c_uni u3 ON u3.w1 = s.w3
+        CROSS JOIN tot
+    ), terms AS (
+        SELECT doc_id, source,
+               CASE WHEN c123 IS NOT NULL THEN 0
+                    WHEN c23 IS NOT NULL THEN 1 ELSE 2 END AS tier,
+               CAST(ROUND(LN({_J137_SCORE}) * 1000000) AS BIGINT) AS t_micro
+        FROM joined
+    )
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(t_micro) AS BIGINT) AS sb_micro,
+           CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+           CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_backoffs,
+           CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs
+    FROM terms GROUP BY 1, 2
+    """,
+    survey="J137,J103,J41",
+)
+def j137_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    large-corpus LM that DROPS normalization for distributability,
+    which is precisely why it suits a Spark engine): score(w3|w1w2)
+    backs off trigram → 0.4·bigram → 0.16·add-one-unigram, trained on
+    the even-doc_id half and scored on the odd half (same-corpus
+    scoring would never exercise the backoff tiers — the j125
+    discrimination rule; the per-tier hit counts in the output PROVE
+    all three tiers fire).  Completes the LM ladder: j23 unigram, j41
+    bigram MLE, j103 Kneser-Ney (the principled-smoothing contrast),
+    j77 CCNet perplexity buckets — stupid backoff is what production
+    web-scale filtering actually runs.
+
+    Exactness: every count is an exact BIGINT; each trigram's log-score
+    is micro-ROUNDed from the identical rational chain (0.4 spelled
+    2/5 so no bare decimal literal parses as DECIMAL — the e84 rule)
+    and integer-summed per doc (the e105 per-term rule).  Pinned
+    against a pure-python LM replay in tests.
+
+    Scale shape: n-gram hash aggs over the train half (map-side
+    combinable, the volume terms) → scoring trigrams LEFT JOIN the
+    count relations on gram keys — vocabulary-bounded equi joins, the
+    j103/j41 shape; no windows, no pairs."""
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("w")
+    )
+    train = d.where(F.col("doc_id") % 2 == 0)
+    score_docs = d.where(F.col("doc_id") % 2 == 1)
+
+    def grams(df, n, keep=()):
+        cols = [F.col(c) for c in keep]
+        idx = F.explode(
+            F.sequence(F.lit(0), F.size("w") - F.lit(n))
+        ).alias("i")
+        out = df.where(F.size("w") >= n).select(*cols, "w", idx)
+        sel = cols + [
+            F.element_at("w", F.col("i") + F.lit(k + 1)).alias(f"w{k + 1}")
+            for k in range(n)
+        ]
+        return out.select(*sel)
+
+    c_tri = grams(train, 3).groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("c123")
+    )
+    c_big = grams(train, 2).groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    c_uni = train.select(F.explode("w").alias("w1")).groupBy("w1").agg(
+        F.count("*").cast("long").alias("cu")
+    )
+    tot = train.select(F.explode("w").alias("w1")).agg(
+        F.count("*").cast("long").alias("nt"),
+        F.countDistinct("w1").cast("long").alias("nv"),
+    )
+    tri_s = grams(score_docs, 3, keep=("doc_id", "source"))
+    joined = (
+        tri_s.join(c_tri, ["w1", "w2", "w3"], "left")
+        .join(
+            c_big.select(
+                F.col("w1"), F.col("w2"), F.col("cb").alias("c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c_big.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("cb").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c_uni.select(F.col("w1").alias("w2"), F.col("cu").alias("c2")), ["w2"], "left")
+        .join(c_uni.select(F.col("w1").alias("w3"), F.col("cu").alias("c3")), ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = joined.select(
+        "doc_id", "source",
+        F.expr(
+            "CASE WHEN c123 IS NOT NULL THEN 0"
+            " WHEN c23 IS NOT NULL THEN 1 ELSE 2 END"
+        ).alias("tier"),
+        F.expr(f"CAST(ROUND(LN({_J137_SCORE}) * 1000000) AS BIGINT)").alias(
+            "t_micro"
+        ),
+    )
+    return terms.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("t_micro").cast("long").alias("sb_micro"),
+        F.sum(F.when(F.col("tier") == 0, 1).otherwise(0)).cast("long").alias("n_tri_hits"),
+        F.sum(F.when(F.col("tier") == 1, 1).otherwise(0)).cast("long").alias("n_big_backoffs"),
+        F.sum(F.when(F.col("tier") == 2, 1).otherwise(0)).cast("long").alias("n_uni_backoffs"),
+    )
+
+
+# fasttext-style hashed linear quality scorer: 1024 hash buckets, md5
+# milli-weights in [-1000, 1000] (the j3-SRP md5 convention — the model
+# is a deterministic public construction, so BOTH engines rebuild the
+# identical weight table from first principles).
+_J138_W_DUCK = (
+    "CAST(CAST(('0x' || substr(md5('qw:' || CAST(h AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) AS BIGINT) % 2001 - 1000"
+)
+_J138_H_DUCK = (
+    "CAST(CAST(('0x' || substr(md5('qf:' || tok), 1, 15))"
+    " AS UBIGINT) AS BIGINT) % 1024"
+)
+# p = sigmoid(score_milli / (1000 * n_tokens)) — the mean hashed weight
+# as the logit; one shared literal chain from two exact integers.
+_J138_P = """
+    1 / (1 + EXP(-(CAST(score_milli AS DOUBLE) / 1000 / n_tokens)))
+"""
+
+
+@register(
+    "j138_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_W11_DUCK}) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, source, {_J138_H_DUCK} AS h FROM toks
+    ), weights AS (
+        SELECT t.range AS h, {_J138_W_DUCK} AS w
+        FROM range(1024) t
+    ), scored AS (
+        SELECT hs.doc_id, hs.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.w) AS BIGINT) AS score_milli
+        FROM hashed hs JOIN weights w ON w.h = hs.h
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(FLOOR({_J138_P} * 10) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM scored
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="J138,J83,J9",
+)
+def j138_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier INFERENCE (the fasttext-style
+    filter every web-scale curation pipeline runs — GPT-3/LLaMA-class
+    quality filtering is exactly 'hash tokens into buckets, dot with a
+    weight vector, sigmoid, threshold'): j83 certifies the feature-
+    hashing TRANSFORM; this certifies the scoring path end-to-end —
+    per-doc hashed-bag dot product, mean-weight logit, sigmoid, decile
+    bucketing, per-source score distribution (the operational view: how
+    much of each source survives a quality cut at any threshold).
+    Weights are a deterministic public md5 construction (the j3-SRP
+    convention), so both engines rebuild the identical 1024-weight
+    model from first principles — inference mechanics are certified
+    without shipping a learned artifact.
+
+    Exactness: token hashes and milli-weights are exact md5-derived
+    integers; per-doc (n_tokens, score_milli) are exact BIGINTs; the
+    sigmoid and decile bucket run one shared literal IEEE chain from
+    those two integers (identical rationals → identical doubles →
+    identical FLOOR).  Pinned against a pure-python hashlib replay.
+
+    Scale shape: token explode → 1024-row broadcast weight join →
+    per-doc hash agg (map-side combinable) → per-(source, bucket) agg.
+    One corpus scan, vocabulary-independent, no windows."""
+    d = Tables(spark, sf_dir).documents
+    from cassandra_snap_to_hadoop_spark.operators.text import tokens
+
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id", "source",
+        F.expr(
+            "CAST(conv(substring(md5(concat('qf:', tok)), 1, 15), 16, 10)"
+            " AS BIGINT) % 1024"
+        ).alias("h"),
+    )
+    weights = spark.range(1024).select(
+        F.col("id").alias("h"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('qw:', CAST(id AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT) % 2001 - 1000"
+        ).alias("w"),
+    )
+    scored = (
+        hashed.join(F.broadcast(weights), "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("score_milli"),
+        )
+    )
+    return (
+        scored.groupBy(
+            "source",
+            F.expr(f"CAST(FLOOR({_J138_P} * 10) AS INT)").alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score_milli").cast("long").alias("sum_score_milli"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@register(
+    "b24_phi_accrual",
+    oracle="""
+    WITH hb AS (
+        SELECT user_id % 8 AS node, epoch_us(ts) AS t
+        FROM events
+    ), gaps AS (
+        SELECT node, t - LAG(t) OVER (PARTITION BY node ORDER BY t) AS gap
+        FROM hb
+    ), stats AS (
+        SELECT node,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) // COUNT(gap) AS BIGINT) AS mean_us
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+    ), lastbeat AS (
+        SELECT node, CAST(MAX(t) AS BIGINT) AS last_t FROM hb GROUP BY 1
+    ), now_t AS (
+        SELECT CAST(MAX(t) AS BIGINT) AS now FROM hb
+    )
+    SELECT s.node, s.n_gaps, s.mean_us,
+           CAST(n.now - l.last_t AS BIGINT) AS cur_gap_us,
+           -- exponential-model phi (Hayashibara 2004 simplification):
+           -- phi = -log10 P(gap >= cur) = cur / (mean * ln 10); one
+           -- shared chain from exact micros integers
+           CAST(ROUND(1000 * (CAST(n.now - l.last_t AS DOUBLE)
+                / (CAST(s.mean_us AS DOUBLE) * LN(CAST(10 AS DOUBLE)))))
+               AS BIGINT) AS phi_milli,
+           CAST(CASE WHEN CAST(n.now - l.last_t AS DOUBLE)
+                          / (CAST(s.mean_us AS DOUBLE)
+                             * LN(CAST(10 AS DOUBLE))) >= 8
+                     THEN 1 ELSE 0 END AS INTEGER) AS suspect
+    FROM stats s JOIN lastbeat l ON l.node = s.node CROSS JOIN now_t n
+    ORDER BY s.node
+    """,
+    survey="B24,B13,K15",
+)
+def b24_phi_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The φ accrual failure detector (Hayashibara et al. 2004) —
+    Cassandra's actual liveness mechanism (`phi_convict_threshold`,
+    default 8): every node tracks heartbeat inter-arrival times and
+    converts the CURRENT silence into a suspicion level φ =
+    −log₁₀ P(gap ≥ observed), so the detector outputs a continuous
+    confidence that adapts to each node's own cadence instead of a
+    fixed timeout — the B-family's gossip/liveness operator beside
+    b13's ring balance and b15's quorum repair.  Exponential
+    inter-arrival model (the standard simplification): φ =
+    gap/(mean·ln 10); heartbeats are each node's (user_id % 8) event
+    stream, "now" is the global max timestamp (deterministic — the
+    snapshot instant).
+
+    Exactness: gaps, means ("truncating integer micros) and the current
+    gap are exact BIGINT micros; φ_milli and the ≥8 conviction flag run
+    one shared literal IEEE chain from those integers.  Pinned against
+    a pure-python replay in tests.
+
+    Scale shape: per-node LAG window (user-partitioned — the f42/k15
+    class) → per-node hash agg → 8-row broadcast fold.  Volume enters
+    only the scan and the partitioned window sort."""
+    e = Tables(spark, sf_dir).events
+    hb = e.select(
+        (F.col("user_id") % 8).alias("node"),
+        F.expr("unix_micros(ts)").alias("t"),
+    )
+    w = Window.partitionBy("node").orderBy("t")
+    gaps = hb.select(
+        "node", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    stats = gaps.groupBy("node").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.expr("CAST(SUM(gap) DIV COUNT(gap) AS BIGINT)").alias("mean_us"),
+    )
+    lastbeat = hb.groupBy("node").agg(F.max("t").cast("long").alias("last_t"))
+    now_t = hb.agg(F.max("t").cast("long").alias("now"))
+    return (
+        stats.join(lastbeat, "node")
+        .crossJoin(F.broadcast(now_t))
+        .select(
+            "node", "n_gaps", "mean_us",
+            (F.col("now") - F.col("last_t")).cast("long").alias("cur_gap_us"),
+            F.expr(
+                "CAST(ROUND(1000 * (CAST(now - last_t AS DOUBLE)"
+                " / (CAST(mean_us AS DOUBLE) * LN(CAST(10 AS DOUBLE)))))"
+                " AS BIGINT)"
+            ).alias("phi_milli"),
+            F.expr(
+                "CAST(CASE WHEN CAST(now - last_t AS DOUBLE)"
+                " / (CAST(mean_us AS DOUBLE) * LN(CAST(10 AS DOUBLE))) >= 8"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("suspect"),
+        )
+        .orderBy("node")
+    )

@@ -296,3 +296,120 @@ def test_e132_stuart_maxwell_matches_python(spark):
     assert r.n_pairs == sum(n.values())
     assert r.chi2_milli == want_chi2_milli
     assert den > 0 and r.chi2_milli >= 0
+
+
+# ------------------------------------------------------------- batch 3 pins
+
+import hashlib
+import re as _re
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def _docs():
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return list(
+        zip(t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist())
+    )
+
+
+def test_j137_stupid_backoff_matches_python(spark):
+    docs = _docs()
+    from collections import Counter
+
+    tri, big, uni = Counter(), Counter(), Counter()
+    for did, _src, text in docs:
+        if did % 2 != 0:
+            continue
+        w = _norm_tokens(text)
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+        tri.update(zip(w, w[1:], w[2:]))
+    nt, nv = sum(uni.values()), len(uni)
+    want = {}
+    fired = [0, 0, 0]
+    for did, src, text in docs:
+        if did % 2 != 1:
+            continue
+        w = _norm_tokens(text)
+        if len(w) < 3:
+            continue
+        s_micro = 0
+        tiers = [0, 0, 0]
+        for g in zip(w, w[1:], w[2:]):
+            if g in tri:
+                s = tri[g] / big[(g[0], g[1])]
+                tiers[0] += 1
+            elif (g[1], g[2]) in big:
+                s = (2 / 5) * (big[(g[1], g[2])] / uni[g[1]])
+                tiers[1] += 1
+            else:
+                s = (2 / 5) * (2 / 5) * ((uni.get(g[2], 0) + 1) / (nt + nv))
+                tiers[2] += 1
+            s_micro += round(math.log(s) * 1_000_000)
+        want[did] = (src, len(w) - 2, s_micro, *tiers)
+        for i in range(3):
+            fired[i] += tiers[i]
+    got = {
+        r.doc_id: (r.source, r.n_trigrams, r.sb_micro, r.n_tri_hits,
+                   r.n_big_backoffs, r.n_uni_backoffs)
+        for r in REGISTRY["j137_stupid_backoff"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # discrimination: ALL THREE backoff tiers must fire on the fixture
+    assert all(f > 0 for f in fired), fired
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_j138_quality_classifier_matches_python(spark):
+    docs = _docs()
+    weights = {h: _h60(f"qw:{h}") % 2001 - 1000 for h in range(1024)}
+    agg = {}
+    for did, src, text in docs:
+        toks = _norm_tokens(text)
+        score = sum(weights[_h60(f"qf:{t}") % 1024] for t in toks)
+        n = len(toks)
+        p = 1 / (1 + math.exp(-(score / 1000 / n)))
+        bucket = math.floor(p * 10)
+        key = (src, bucket)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += score
+        a[2] += n
+    got = {
+        (r.source, r.bucket): (r.n_docs, r.sum_score_milli, r.sum_tokens)
+        for r in REGISTRY["j138_quality_classifier"].fn(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # discrimination: more than one bucket must appear
+    assert len({b for _s, b in got}) > 1
+
+
+def test_b24_phi_accrual_matches_python(spark):
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    beats = defaultdict(list)
+    for uid, ts in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        beats[uid % 8].append(int(ts.timestamp() * 1_000_000))
+    now = max(max(v) for v in beats.values())
+    want = {}
+    for node, ts_list in beats.items():
+        ts_list.sort()
+        gaps = [b - a for a, b in zip(ts_list, ts_list[1:])]
+        mean = sum(gaps) // len(gaps)
+        cur = now - ts_list[-1]
+        phi = cur / (mean * math.log(10))
+        want[node] = (
+            len(gaps), mean, cur, round(1000 * phi), 1 if phi >= 8 else 0
+        )
+    got = {
+        r.node: (r.n_gaps, r.mean_us, r.cur_gap_us, r.phi_milli, r.suspect)
+        for r in REGISTRY["b24_phi_accrual"].fn(spark, SF).collect()
+    }
+    assert got == want
