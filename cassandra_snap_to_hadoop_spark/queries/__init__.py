@@ -128,6 +128,8 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "j137_stupid_backoff",
     "j138_quality_classifier",
     "b24_phi_accrual",
+    # batch 4: the PITR seam — snapshot + commitlog replay
+    "a49_commitlog_replay",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -1423,3 +1423,191 @@ def b24_phi_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def _stage_commitlog_segments(sf_dir: str):
+    """Two commitlog segments of deterministic post-snapshot mutations
+    over the supplier base (split by key parity — replay must merge
+    across segments): a STALE write that must LOSE to the base (k%2:
+    s_nationkey := 999 at base_ts − 100 — the LWW discrimination
+    mutation), a winning cell write (k%3: s_acctbal += 100 at +500), a
+    cell tombstone (k%7: s_name at +600), and a partition delete (k%11:
+    at +700, shadowing everything)."""
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.sources.commitlog import (
+        CELL_TOMBSTONE,
+        CELL_WRITE,
+        PARTITION_DELETE,
+        write_commitlog_segment,
+    )
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+
+    base = _staged("a49_commitlog", sf_dir, "supplier")
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    segs: dict[int, list] = {1: [], 2: []}
+    for k, bal in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        seg = segs[1 if k % 2 == 0 else 2]
+        ts0 = k * 1000
+        if k % 2 == 0:
+            seg.append((ts0 - 100, CELL_WRITE, (k,), "s_nationkey", 999))
+        if k % 3 == 0:
+            seg.append((ts0 + 500, CELL_WRITE, (k,), "s_acctbal", bal + 100.0))
+        if k % 7 == 0:
+            seg.append((ts0 + 600, CELL_TOMBSTONE, (k,), "s_name"))
+        if k % 11 == 0:
+            seg.append((ts0 + 700, PARTITION_DELETE, (k,)))
+    for sid, muts in segs.items():
+        muts.sort(key=lambda m: (m[0], m[1]))
+        write_commitlog_segment(
+            str(base / f"CommitLog-1-{sid}.log"), sid, muts, meta
+        )
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a49_commitlog_replay",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_name END AS v_name,
+           s_nationkey AS v_nationkey,
+           CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100
+                ELSE s_acctbal END AS v_acctbal,
+           CAST(s_suppkey * 1000
+                + CASE WHEN s_suppkey % 7 = 0 THEN 600
+                       WHEN s_suppkey % 3 = 0 THEN 500
+                       ELSE 0 END AS BIGINT) AS writetime_us
+    FROM supplier WHERE s_suppkey % 11 <> 0
+    """,
+    survey="A49,A2,B2,B3",
+)
+def a49_commitlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore: snapshot + COMMITLOG REPLAY — the other
+    half of the reference's job (a snapshot is a consistent cut;
+    everything after it lives in the commitlog, and Cassandra's
+    documented PITR is restore-snapshot-then-replay-archived-segments).
+    Two CRC-framed segments (``sources/commitlog.py`` — header CRC,
+    per-entry length+checksum, explicit end marker; a truncated or
+    corrupt segment fails loudly, proven in tests/test_commitlog.py)
+    carry four mutation classes over the supplier base: a STALE write
+    that must LOSE to the snapshot (the LWW discrimination mutation — a
+    replay that applied mutations unconditionally would emit 999s), a
+    winning cell write, a cell tombstone, and a partition delete.
+
+    The replay is RELATIONAL, not imperative: segments parse
+    executor-side (binaryFile → one task per segment → Arrow batches),
+    union with the snapshot's melted cell relation, partition deletes
+    shadow by timestamp via one broadcastable join, and a single
+    max_by-per-(key, column) aggregation reconciles — b2/b3's certified
+    LWW semantics produced by the same declarative shapes, so a
+    10k-segment archive replays as an ordinary Spark job with no
+    driver-side state.
+
+    Exactness: timestamps and ops are exact integers; values ride the
+    SSTable codec's type encodings (one type system across the restore
+    path); the only float is the +100.00 balance delta, the identical
+    IEEE double addition in both engines.
+
+    Scale shape: one snapshot scan + one binaryFile scan (one task per
+    segment), a 3×-melt, a per-key delete agg (broadcastable — deletes
+    are rare), one (key, col) hash agg, one per-key wide agg.  Two
+    shuffles end to end, both on the partition key."""
+    import pandas as pd
+
+    from cassandra_snap_to_hadoop_spark.sources.commitlog import (
+        parse_commitlog_segment,
+    )
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+
+    apply_runtime_confs(spark)
+    clog = _stage_commitlog_segments(sf_dir)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+
+    mut_schema = (
+        "ts long, op int, s_suppkey long, col string,"
+        " v_str string, v_int int, v_dbl double"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for m in parse_commitlog_segment(bytes(content), meta):
+                    col, v = m["col"], m["value"]
+                    rows.append(
+                        (
+                            m["ts"],
+                            m["op"],
+                            m["key"][0],
+                            col,
+                            v if col == "s_name" else None,
+                            v if col == "s_nationkey" else None,
+                            v if col == "s_acctbal" else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["ts", "op", "s_suppkey", "col", "v_str", "v_int", "v_dbl"],
+            )
+
+    muts = (
+        spark.read.format("binaryFile")
+        .load(str(clog) + "/CommitLog-*.log")
+        .select("content")
+        .mapInPandas(parse, mut_schema)
+    )
+    s = Tables(spark, sf_dir).supplier
+    base_cells = s.selectExpr(
+        "s_suppkey",
+        "s_suppkey * 1000 AS ts",
+        "0 AS op",
+        """stack(3,
+            's_name', s_name, CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+            's_nationkey', CAST(NULL AS STRING), CAST(s_nationkey AS INT),
+                CAST(NULL AS DOUBLE),
+            's_acctbal', CAST(NULL AS STRING), CAST(NULL AS INT), s_acctbal
+        ) AS (col, v_str, v_int, v_dbl)""",
+    ).select("ts", "op", "s_suppkey", "col", "v_str", "v_int", "v_dbl")
+    cell_events = muts.where(F.col("op") != 1).unionByName(base_cells)
+    deletes = (
+        muts.where(F.col("op") == 1)
+        .groupBy("s_suppkey")
+        .agg(F.max("ts").alias("del_ts"))
+    )
+    live = cell_events.join(F.broadcast(deletes), "s_suppkey", "left").where(
+        F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts"))
+    )
+    winners = live.groupBy("s_suppkey", "col").agg(
+        F.max_by(F.struct("op", "v_str", "v_int", "v_dbl"), "ts").alias("w"),
+        F.max("ts").alias("wt"),
+    )
+    return (
+        winners.groupBy("s_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("col") == "s_name") & (F.col("w.op") == 0),
+                    F.col("w.v_str"),
+                )
+            ).alias("v_name"),
+            F.max(
+                F.when(
+                    (F.col("col") == "s_nationkey") & (F.col("w.op") == 0),
+                    F.col("w.v_int"),
+                )
+            ).alias("v_nationkey"),
+            F.max(
+                F.when(
+                    (F.col("col") == "s_acctbal") & (F.col("w.op") == 0),
+                    F.col("w.v_dbl"),
+                )
+            ).alias("v_acctbal"),
+            F.max("wt").cast("long").alias("writetime_us"),
+        )
+    )
