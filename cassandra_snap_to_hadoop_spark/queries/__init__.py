@@ -130,6 +130,7 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "b24_phi_accrual",
     # batch 4: the PITR seam — snapshot + commitlog replay
     "a49_commitlog_replay",
+    "a50_sstable_compressed_roundtrip",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -1611,3 +1611,106 @@ def a49_commitlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("wt").cast("long").alias("writetime_us"),
         )
     )
+
+
+def _stage_supplier_compressed_sstables(sf_dir: str):
+    """Two DEFLATE-compressed ma generations of the a33/a36/a40/a45
+    supplier truth (1 KiB uncompressed chunks so every SF yields a
+    multi-chunk file): Data.db holds independently-compressed chunks
+    each tailed by a CRC of the compressed bytes; CompressionInfo.db
+    carries the chunk map.  Compression rides the 3.x (ma) generation
+    tag — in our miniature family the digest/CRC.db components of 4.x+
+    describe uncompressed bytes, so the compressed leg composes with
+    the ma core (matching how the real formats moved chunk checksums
+    INTO the compressed stream for compressed tables)."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+    from cassandra_snap_to_hadoop_spark.sources.sstable_compression import (
+        write_compressed_data_db,
+    )
+    from cassandra_snap_to_hadoop_spark.sources.sstable_ma import (
+        serialize_ma_partitions,
+        stats_path_for,
+        write_stats_db,
+    )
+
+    base = _staged("a50_sstable_cmp", sf_dir, "supplier")
+    snap = base / "ks1" / "supplier" / "snapshots" / "tag-r11c"
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    snap.mkdir(parents=True)
+    (snap / "schema.cql").write_text(_SUPPLIER_CQL)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+    gens = _supplier_partitions(sf_dir)
+    for gen, parts in gens.items():
+        raw, stats = serialize_ma_partitions(parts, meta)
+        p = str(snap / f"ma-{gen}-big-Data.db")
+        write_compressed_data_db(p, raw, chunk_length=1024)
+        write_stats_db(stats_path_for(p), stats)
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a50_sstable_compressed_roundtrip",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END AS v_name,
+           CASE WHEN s_suppkey % 5 = 0 THEN CAST(NULL AS INTEGER)
+                ELSE s_nationkey END AS v_nationkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE s_acctbal END AS v_acctbal,
+           CAST(s_suppkey * 1000 AS BIGINT) AS writetime_us,
+           CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS v_gen
+    FROM supplier WHERE s_suppkey % 97 <> 0
+    """,
+    survey="A50,A2,A27,B3",
+)
+def a50_sstable_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-SSTable leg (``CompressionInfo.db``) — real
+    Cassandra tables are compressed (LZ4 default, DeflateCompressor
+    the built-in alternative this engine implements faithfully via
+    zlib); every prior rung stored Data.db uncompressed.  The supplier
+    truth rides DEFLATE-chunked ma generations: independently
+    compressed 1 KiB chunks each tailed by a CRC of the COMPRESSED
+    bytes (the 3.0+ convention), with the chunk map in the
+    CRC-protected CompressionInfo.db sidecar.  Dispatch is BY
+    COMPONENT PRESENCE (a CompressionInfo.db beside the Data.db),
+    exactly how real readers decide — so compression composes with the
+    whole format family instead of forking it.
+
+    The oracle is the a33/a36/a40/a45 oracle VERBATIM: one hash now
+    certifies FIVE byte layouts (ka / ma / nb / oa / deflate-ma) of the
+    same relational truth.  The reader verifies the sidecar CRC, every
+    chunk's compressed-bytes CRC (index-named on failure), offset
+    consistency and the reassembled length before decoding a row —
+    corruption tests in tests/test_sstable_compression.py.
+
+    Scale shape: as every roundtrip in the family — one InputPartition
+    per Data.db, executor-side decompress + decode into Arrow batches;
+    the chunk map is what a production range read seeks with, and the
+    sequential full-decompress here is the Spark-ingest access
+    pattern."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import snapshot_scan
+
+    apply_runtime_confs(spark)
+    base = _stage_supplier_compressed_sstables(sf_dir)
+    df = snapshot_scan(
+        spark,
+        str(base),
+        "ks1",
+        "supplier",
+        "tag-r11c",
+        writetime="true",
+        as_of=str(_AS_OF),
+    )
+    return df.select(
+        "s_suppkey",
+        F.col("s_name").alias("v_name"),
+        F.col("s_nationkey").alias("v_nationkey"),
+        F.col("s_acctbal").alias("v_acctbal"),
+        F.col("_writetime").alias("writetime_us"),
+        F.regexp_extract(F.col("_sstable"), r"ma-(\d+)-big-Data\.db$", 1)
+        .cast("int")
+        .alias("v_gen"),
+    )

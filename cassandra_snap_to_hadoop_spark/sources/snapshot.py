@@ -350,6 +350,18 @@ class _SnapshotReader(DataSourceReader):
 
         with open(partition.path, "rb") as fh:
             raw = fh.read()
+        # Compression is orthogonal to the row format and signalled BY
+        # COMPONENT PRESENCE (exactly how real readers decide): a
+        # CompressionInfo.db beside the Data.db means chunked-compressed
+        # bytes — verify + decompress executor-side, then dispatch the
+        # row core as usual.
+        from cassandra_snap_to_hadoop_spark.sources.sstable_compression import (
+            compression_info_path_for,
+            decompress_data_db,
+        )
+
+        if _os.path.exists(compression_info_path_for(partition.path)):
+            raw = decompress_data_db(partition.path, raw)
         base = _os.path.basename(partition.path)
         if base.startswith("oa-"):
             from cassandra_snap_to_hadoop_spark.sources.sstable_oa import (
