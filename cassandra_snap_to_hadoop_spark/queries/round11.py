@@ -1714,3 +1714,158 @@ def a50_sstable_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("int")
         .alias("v_gen"),
     )
+
+
+# Welch-ANOVA per-group nano-lattice terms (1e9 — the w_i magnitudes
+# are ~1e-3 on the cents-variance scale, so nano keeps 6 significant
+# digits through the lattice; a DEFINED quantization shared by both
+# engines and the python pin): w = n/s², wx = w·x̄, both from the e129
+# two-pass centered integers.
+_E133_VAR = "((CAST(d2 AS DOUBLE) - CAST(d1 AS DOUBLE) * d1 / n_i) / (n_i - 1))"
+_E133_W_NANO = f"""
+    CAST(ROUND(1000000000 * (n_i / {_E133_VAR})) AS BIGINT)
+"""
+_E133_WX_NANO = f"""
+    CAST(ROUND(1000000000 * (n_i / {_E133_VAR})
+         * (CAST(sx AS DOUBLE) / n_i)) AS BIGINT)
+"""
+
+
+@register(
+    "e133_welch_anova",
+    oracle=f"""
+    WITH vals AS (
+        SELECT l_returnflag AS grp,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS x
+        FROM lineitem
+    ), means AS (
+        SELECT grp, CAST(SUM(x) // COUNT(*) AS BIGINT) AS m
+        FROM vals GROUP BY 1
+    ), g AS (
+        SELECT v.grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(v.x) AS BIGINT) AS sx,
+               CAST(SUM(v.x - mm.m) AS BIGINT) AS d1,
+               CAST(SUM((v.x - mm.m) * (v.x - mm.m)) AS BIGINT) AS d2
+        FROM vals v JOIN means mm ON mm.grp = v.grp
+        GROUP BY 1
+    ), gw AS (
+        SELECT grp, n_i, sx, d1, d2,
+               {_E133_W_NANO} AS w_nano, {_E133_WX_NANO} AS wx_nano
+        FROM g
+    ), tot AS (
+        SELECT CAST(SUM(w_nano) AS BIGINT) AS w_tot,
+               CAST(SUM(wx_nano) AS BIGINT) AS wx_tot,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM gw
+    ), terms AS (
+        -- stage 2: per-group A/B terms against the integer totals,
+        -- micro-rounded then integer-summed (the e105 rule)
+        SELECT CAST(SUM(CAST(ROUND(1000000 * (CAST(w_nano AS DOUBLE) / 1000000000)
+                   * ((CAST(sx AS DOUBLE) / n_i)
+                      - (CAST(wx_tot AS DOUBLE) / w_tot))
+                   * ((CAST(sx AS DOUBLE) / n_i)
+                      - (CAST(wx_tot AS DOUBLE) / w_tot))) AS BIGINT))
+                   AS BIGINT) AS a_micro,
+               CAST(SUM(CAST(ROUND(1000000000
+                   * (1 - CAST(w_nano AS DOUBLE) / w_tot)
+                   * (1 - CAST(w_nano AS DOUBLE) / w_tot)
+                   / (n_i - 1)) AS BIGINT)) AS BIGINT) AS b_nano,
+               CAST(MAX(k) AS BIGINT) AS k
+        FROM gw CROSS JOIN tot
+    )
+    SELECT k, a_micro, b_nano,
+           (CAST(a_micro AS DOUBLE) / 1000000 / (k - 1))
+           / (1 + (2 * CAST(k - 2 AS DOUBLE) / (k * k - 1))
+                  * (CAST(b_nano AS DOUBLE) / 1000000000)) AS welch_f,
+           (CAST(k * k - 1 AS DOUBLE) / 3)
+           / (CAST(b_nano AS DOUBLE) / 1000000000) AS df2
+    FROM terms
+    """,
+    survey="E133,E49,E52",
+)
+def e133_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA over the three return-flag
+    quantity populations — the unequal-variance completion of the
+    k-sample family exactly as e52's Welch t completes the t-test and
+    e127's Brunner-Munzel completes Mann-Whitney: e49's classic F
+    assumes a common variance (which e129/e108 exist to TEST); Welch's
+    F* = Σw_i(x̄_i−x̄_w)²/(k−1) over the Satterthwaite-style correction
+    needs no such assumption and is the recommended default (Delacre
+    2019).  df2 = (k²−1)/(3Σ(1−w_i/W)²/(n_i−1)) emitted alongside.
+
+    Exactness: per-group (n, Σx, d1, d2) are the e129 two-pass centered
+    integers; w_i and w_i·x̄_i are nano-rounded per group and
+    integer-summed, the stage-2 A/B terms are micro/nano-rounded
+    against those integer totals and integer-summed (the e105 rule —
+    3-double FP sums are order-nondeterministic in Spark, integer sums
+    are not); the final F*/df2 run one shared literal chain.  Pinned
+    against a scipy-formula python replay in tests.
+
+    Scale shape: the e129 shape — two map-side hash aggs + 3-row
+    broadcast, then two KB folds."""
+    li = Tables(spark, sf_dir).lineitem
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+    )
+    means = vals.groupBy("grp").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("m")
+    )
+    g = (
+        vals.join(F.broadcast(means), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") - F.col("m")).cast("long").alias("d1"),
+            F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .cast("long")
+            .alias("d2"),
+        )
+    )
+    gw = g.select(
+        "grp", "n_i", "sx", "d1", "d2",
+        F.expr(_E133_W_NANO).alias("w_nano"),
+        F.expr(_E133_WX_NANO).alias("wx_nano"),
+    )
+    tot = gw.agg(
+        F.sum("w_nano").cast("long").alias("w_tot"),
+        F.sum("wx_nano").cast("long").alias("wx_tot"),
+        F.count("*").cast("long").alias("k"),
+    )
+    terms = gw.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(1000000 * (CAST(w_nano AS DOUBLE) / 1000000000)"
+                " * ((CAST(sx AS DOUBLE) / n_i)"
+                " - (CAST(wx_tot AS DOUBLE) / w_tot))"
+                " * ((CAST(sx AS DOUBLE) / n_i)"
+                " - (CAST(wx_tot AS DOUBLE) / w_tot))) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("a_micro"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(1000000000"
+                " * (1 - CAST(w_nano AS DOUBLE) / w_tot)"
+                " * (1 - CAST(w_nano AS DOUBLE) / w_tot)"
+                " / (n_i - 1)) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("b_nano"),
+        F.max("k").cast("long").alias("k"),
+    )
+    return terms.select(
+        "k", "a_micro", "b_nano",
+        F.expr(
+            "(CAST(a_micro AS DOUBLE) / 1000000 / (k - 1))"
+            " / (1 + (2 * CAST(k - 2 AS DOUBLE) / (k * k - 1))"
+            " * (CAST(b_nano AS DOUBLE) / 1000000000))"
+        ).alias("welch_f"),
+        F.expr(
+            "(CAST(k * k - 1 AS DOUBLE) / 3)"
+            " / (CAST(b_nano AS DOUBLE) / 1000000000)"
+        ).alias("df2"),
+    )

@@ -413,3 +413,64 @@ def test_b24_phi_accrual_matches_python(spark):
         for r in REGISTRY["b24_phi_accrual"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_e133_welch_anova_matches_formula(spark):
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    groups = defaultdict(list)
+    for g, q in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        groups[g].append(round(q * 100))
+    k = len(groups)
+    per = []
+    for xs in groups.values():
+        n = len(xs)
+        m = sum(xs) // n
+        d1 = sum(x - m for x in xs)
+        d2 = sum((x - m) * (x - m) for x in xs)
+        var = (d2 - d1 * d1 / n) / (n - 1)
+        w_nano = round(1_000_000_000 * (n / var))
+        wx_nano = round(1_000_000_000 * (n / var) * (sum(xs) / n))
+        per.append((n, sum(xs), w_nano, wx_nano))
+    w_tot = sum(p[2] for p in per)
+    wx_tot = sum(p[3] for p in per)
+    a_micro = sum(
+        round(
+            1_000_000 * (w_nano / 1_000_000_000)
+            * ((sx / n) - (wx_tot / w_tot)) ** 2
+        )
+        for n, sx, w_nano, _wx in per
+    )
+    b_nano = sum(
+        round(1_000_000_000 * (1 - w_nano / w_tot) ** 2 / (n - 1))
+        for n, _sx, w_nano, _wx in per
+    )
+    want_f = (a_micro / 1_000_000 / (k - 1)) / (
+        1 + (2 * (k - 2) / (k * k - 1)) * (b_nano / 1_000_000_000)
+    )
+    want_df2 = ((k * k - 1) / 3) / (b_nano / 1_000_000_000)
+    r = REGISTRY["e133_welch_anova"].fn(spark, SF).collect()[0]
+    assert (r.k, r.a_micro, r.b_nano) == (k, a_micro, b_nano)
+    assert abs(r.welch_f - want_f) < 1e-9 * max(1.0, abs(want_f))
+    assert abs(r.df2 - want_df2) < 1e-9 * max(1.0, want_df2)
+    # lattice-free textbook Welch F (floats all the way): the nano/micro
+    # lattice must agree to ~1e-4 relative — a formula error would not
+    import statistics
+
+    ws, wxs = [], []
+    for xs in groups.values():
+        n = len(xs)
+        var = statistics.variance(xs)
+        ws.append(n / var)
+        wxs.append((n / var) * (sum(xs) / n))
+    W = sum(ws)
+    xw = sum(wxs) / W
+    A = sum(
+        w * ((sum(xs) / len(xs)) - xw) ** 2
+        for w, xs in zip(ws, groups.values())
+    ) / (k - 1)
+    B = sum(
+        (1 - w / W) ** 2 / (len(xs) - 1)
+        for w, xs in zip(ws, groups.values())
+    )
+    free_f = A / (1 + (2 * (k - 2) / (k * k - 1)) * B)
+    assert abs(want_f - free_f) < 1e-4 * max(1.0, abs(free_f))
