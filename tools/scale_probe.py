@@ -92,6 +92,8 @@ def main() -> None:
 
     li1 = t.lineitem
     liN = amplify(t.lineitem, ["l_orderkey"])
+    sup1 = t.supplier
+    supN = amplify(t.supplier, ["s_suppkey"])
     o1 = t.orders
     oN = amplify(t.orders, ["o_orderkey"])
     e1 = t.events
@@ -1837,6 +1839,100 @@ def main() -> None:
             )
         )
 
+    def commitlog_replay_shape(s_base):
+        """a49's RELATIONAL replay shape (round-11 probe): melted base
+        cell relation ∪ synthetic mutation relation → broadcastable
+        delete join → max_by-per-(key, col) agg → per-key wide agg.
+        The amplification axis is KEY VOLUME (the supplier base ×N);
+        mutations are synthesized in-plan at the a49 staging rates —
+        the probe measures the replay joins/aggs (the per-segment parse
+        is linear file I/O by construction)."""
+        base_cells = s_base.selectExpr(
+            "s_suppkey",
+            "s_suppkey * 1000 AS ts",
+            "0 AS op",
+            """stack(3,
+                's_name', s_name, CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+                's_nationkey', CAST(NULL AS STRING), CAST(s_nationkey AS INT),
+                    CAST(NULL AS DOUBLE),
+                's_acctbal', CAST(NULL AS STRING), CAST(NULL AS INT), s_acctbal
+            ) AS (col, v_str, v_int, v_dbl)""",
+        ).select("ts", "op", "s_suppkey", "col", "v_str", "v_int", "v_dbl")
+        muts = s_base.selectExpr(
+            "s_suppkey",
+            "s_suppkey * 1000 + 500 AS ts",
+            "CASE WHEN s_suppkey % 11 = 0 THEN 1"
+            " WHEN s_suppkey % 7 = 0 THEN 2 ELSE 0 END AS op",
+            "'s_acctbal' AS col",
+            "CAST(NULL AS STRING) AS v_str",
+            "CAST(NULL AS INT) AS v_int",
+            "s_acctbal + 100 AS v_dbl",
+        ).select("ts", "op", "s_suppkey", "col", "v_str", "v_int", "v_dbl")
+        cell_events = muts.filter(F.col("op") != 1).unionByName(base_cells)
+        deletes = (
+            muts.filter(F.col("op") == 1)
+            .groupBy("s_suppkey")
+            .agg(F.max("ts").alias("del_ts"))
+        )
+        live = cell_events.join(
+            F.broadcast(deletes), "s_suppkey", "left"
+        ).where(F.col("del_ts").isNull() | (F.col("ts") > F.col("del_ts")))
+        winners = live.groupBy("s_suppkey", "col").agg(
+            F.max_by(F.struct("op", "v_str", "v_int", "v_dbl"), "ts").alias("w"),
+            F.max("ts").alias("wt"),
+        )
+        return winners.groupBy("s_suppkey").agg(
+            F.max(F.when(F.col("w.op") == 0, F.col("w.v_dbl"))).alias("v"),
+            F.max("wt").alias("wt"),
+        )
+
+    def stupid_backoff_shape(d):
+        """j137's shape (round-11 probe): train-half n-gram hash aggs →
+        scoring trigrams LEFT-joined to the trigram/bigram/unigram count
+        relations (vocabulary-bounded equi joins).  Marker-mutated doc
+        amplification keeps a realistic vocab growth curve."""
+        from cassandra_snap_to_hadoop_spark.operators.text import tokens as _tokens
+
+        dd = d.select("doc_id", _tokens(F.col("text")).alias("w"))
+        train = dd.where(F.col("doc_id") % 2 == 0)
+        score = dd.where(F.col("doc_id") % 2 == 1)
+
+        def grams(df, n, keep=()):
+            cols = [F.col(c) for c in keep]
+            idx = F.explode(F.sequence(F.lit(0), F.size("w") - F.lit(n))).alias("i")
+            out = df.where(F.size("w") >= n).select(*cols, "w", idx)
+            sel = cols + [
+                F.element_at("w", F.col("i") + F.lit(k + 1)).alias(f"w{k + 1}")
+                for k in range(n)
+            ]
+            return out.select(*sel)
+
+        c_tri = grams(train, 3).groupBy("w1", "w2", "w3").agg(
+            F.count("*").alias("c123")
+        )
+        c_big = grams(train, 2).groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+        tri_s = grams(score, 3, keep=("doc_id",))
+        joined = (
+            tri_s.join(c_tri, ["w1", "w2", "w3"], "left")
+            .join(
+                c_big.select("w1", "w2", F.col("cb").alias("c12")),
+                ["w1", "w2"],
+                "left",
+            )
+            .join(
+                c_big.select(
+                    F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                    F.col("cb").alias("c23"),
+                ),
+                ["w2", "w3"],
+                "left",
+            )
+        )
+        return joined.groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c123").isNotNull(), 1).otherwise(0)).alias("hits"),
+        )
+
     shapes = [
         ("scan+agg", lambda: agg_shape(li1), lambda: agg_shape(liN)),
         ("dsir-importance", lambda: dsir_shape(d1), lambda: dsir_shape(dN)),
@@ -1897,6 +1993,10 @@ def main() -> None:
         ("sampen-pair-days", lambda: sampen_pair_shape(30), lambda: sampen_pair_shape(30 * mult)),
         ("bm-lattice-windows", lambda: bm_histogram_shape(li1, 1), lambda: bm_histogram_shape(li1, mult)),
         ("lcs-level-files", lambda: lcs_level_shape(li1, 1), lambda: lcs_level_shape(li1, mult)),
+        # a49's relational replay on the KEY-VOLUME axis; j137's n-gram
+        # LEFT joins on the marker-mutated corpus axis.
+        ("commitlog-replay", lambda: commitlog_replay_shape(sup1), lambda: commitlog_replay_shape(supN)),
+        ("stupid-backoff-joins", lambda: stupid_backoff_shape(d1_marked), lambda: stupid_backoff_shape(dN_marked)),
         ("winnowing-pairs", lambda: winnow_shape(d1_marked), lambda: winnow_shape(dN_marked)),
         ("srp-bucket-knn", lambda: srp_knn_shape(emb1), lambda: srp_knn_shape(embN)),
         ("minhash-md5-bands", lambda: minhash_md5_shape(d1_marked), lambda: minhash_md5_shape(dN_marked)),
