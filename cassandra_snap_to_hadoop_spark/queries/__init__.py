@@ -132,6 +132,7 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "a49_commitlog_replay",
     "a50_sstable_compressed_roundtrip",
     "e133_welch_anova",
+    "f63_croston",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -1869,3 +1869,122 @@ def e133_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(b_nano AS DOUBLE) / 1000000000)"
         ).alias("df2"),
     )
+
+
+@register(
+    "f63_croston",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), demand AS (
+        -- deterministic md5 demand calendar (40% of days): the
+        -- fixture's intermittency dial — the shipped events table is
+        -- DENSE, and Croston on a dense series degenerates to SES
+        -- (the j125 discrimination rule), so the demand days are a
+        -- scale-stable public construction both engines rebuild
+        SELECT event_type, d, x
+        FROM daily
+        WHERE CAST(CAST(('0x' || substr(md5(event_type || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+              % 10 < 4
+    ), numbered AS (
+        SELECT event_type, d, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY d) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_demands,
+               d - LAG(d) OVER (PARTITION BY event_type ORDER BY d) AS gap
+        FROM demand
+    ), chain AS (
+        SELECT event_type, rn, n_demands,
+               x AS z, CAST(1000 AS BIGINT) AS p
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.event_type, b.rn, b.n_demands,
+               (b.x + 4 * c.z) // 5,
+               (1000 * b.gap + 4 * c.p) // 5
+        FROM chain c
+        JOIN numbered b
+          ON b.event_type = c.event_type AND b.rn = c.rn + 1
+    )
+    SELECT event_type, n_demands,
+           CAST(z AS BIGINT) AS z_cents,
+           CAST(p AS BIGINT) AS p_milli,
+           CAST(1000000 * z // p AS BIGINT) AS rate_milli
+    FROM chain WHERE rn = n_demands
+    ORDER BY event_type
+    """,
+    survey="F63,F24,SQL-4",
+)
+def f63_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) — THE intermittent-demand forecaster
+    (sparse series with many zero periods, where SES over the raw
+    series chases zeros): smooth the non-zero demand SIZES and the
+    inter-demand INTERVALS separately (both SES, α = 1/5 here) and
+    forecast the per-period rate z/p.  Completes the forecasting tier
+    (f24/f27/f31 Holt/Holt-Winters for dense series, f28 seasonal
+    decomposition) with the sparse-series member — the standard
+    spare-parts/long-tail-SKU model.
+
+    The demand calendar is a deterministic md5 thinning (40% of days,
+    keyed on (type, day)) because the shipped events table is DENSE and
+    Croston on a dense series degenerates to SES with p ≡ 1 — the j125
+    discrimination rule; both engines rebuild the identical calendar
+    from first principles (the j3-SRP md5 convention), and the pin
+    asserts genuine intermittency (mean interval > 1 day for every
+    type).
+
+    Exactness: the genuinely order-dependent double recursion runs on
+    the integer lattice with truncating division (z' = (x + 4z) DIV 5,
+    p' = (1000·gap + 4p) DIV 5, init z₁ = x₁, p₁ = 1000 — f31's
+    WITH RECURSIVE lockstep pattern exactly), so both engines iterate
+    bit-identical state; the rate is an exact integer division.
+
+    Scale shape: f31's — the demand relation is calendar-bounded
+    (|types| × demand-days, KB at any corpus size), pinned to one
+    partition; each UnionLoop iteration is a |types|-row frontier
+    join.  Volume enters only the daily pre-agg."""
+    ev = Tables(spark, sf_dir).events
+    ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    ).where(
+        F.expr(
+            "CAST(conv(substring(md5(concat(event_type, ':',"
+            " CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10 < 4"
+        )
+    ).coalesce(1).createOrReplaceTempView("cs2h_daily_croston")
+    return spark.sql(
+        """
+        WITH RECURSIVE numbered AS (
+            SELECT event_type, d, x,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY d) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_demands,
+                   d - LAG(d) OVER (PARTITION BY event_type ORDER BY d) AS gap
+            FROM cs2h_daily_croston
+        ), chain AS (
+            SELECT event_type, rn, n_demands,
+                   x AS z, CAST(1000 AS BIGINT) AS p
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT b.event_type, b.rn, b.n_demands,
+                   (b.x + 4 * c.z) DIV 5,
+                   (1000 * b.gap + 4 * c.p) DIV 5
+            FROM chain c
+            JOIN numbered b
+              ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        )
+        SELECT event_type, n_demands,
+               z AS z_cents,
+               p AS p_milli,
+               1000000 * z DIV p AS rate_milli
+        FROM chain WHERE rn = n_demands
+        ORDER BY event_type
+        """
+    )

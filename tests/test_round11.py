@@ -474,3 +474,35 @@ def test_e133_welch_anova_matches_formula(spark):
     )
     free_f = A / (1 + (2 * (k - 2) / (k * k - 1)) * B)
     assert abs(want_f - free_f) < 1e-4 * max(1.0, abs(free_f))
+
+
+def test_f63_croston_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    per = defaultdict(lambda: defaultdict(int))
+    for et, ts, v in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        day = int(ts.timestamp() * 1_000_000) // 86400000000
+        per[et][day] += int(Decimal(v * 100).quantize(Decimal(1), ROUND_HALF_UP))
+    want = {}
+    for et, days in per.items():
+        demand = [
+            (d, x)
+            for d, x in sorted(days.items())
+            if _h60(f"{et}:{d}") % 10 < 4
+        ]
+        gaps = [b - a for (a, _), (b, _) in zip(demand, demand[1:])]
+        # genuine intermittency: mean interval strictly > 1 day
+        assert sum(gaps) / len(gaps) > 1, (et, gaps)
+        z, p = demand[0][1], 1000
+        for (d, x), gap in zip(demand[1:], gaps):
+            z = (x + 4 * z) // 5
+            p = (1000 * gap + 4 * p) // 5
+        want[et] = (len(demand), z, p, 1_000_000 * z // p)
+    got = {
+        r.event_type: (r.n_demands, r.z_cents, r.p_milli, r.rate_milli)
+        for r in REGISTRY["f63_croston"].fn(spark, SF).collect()
+    }
+    assert got == want
