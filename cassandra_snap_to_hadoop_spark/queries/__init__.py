@@ -133,6 +133,7 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "a50_sstable_compressed_roundtrip",
     "e133_welch_anova",
     "f63_croston",
+    "a51_sstable_schema_evolution",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -1988,3 +1988,109 @@ def f63_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+def _stage_supplier_evolved_sstables(sf_dir: str):
+    """Schema evolution across generations: gen 1 (even keys) was
+    written BEFORE ``ALTER TABLE supplier ADD s_acctbal`` — its
+    cell-addressed ka rows simply carry no s_acctbal cell, exactly how
+    real old SSTables look after an ALTER (Cassandra never rewrites
+    them); gen 2 (odd keys) is post-evolution with the full cell set.
+    The snapshot's schema.cql records the CURRENT (evolved) schema, as
+    real snapshots do."""
+    import pyarrow.parquet as pq
+
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import parse_table_meta
+    from cassandra_snap_to_hadoop_spark.sources.sstable import write_data_db
+
+    base = _staged("a51_sstable_evo", sf_dir, "supplier")
+    snap = base / "ks1" / "supplier" / "snapshots" / "tag-r11e"
+    if (base / "_SUCCESS").exists():
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    snap.mkdir(parents=True)
+    (snap / "schema.cql").write_text(_SUPPLIER_CQL)
+    meta = parse_table_meta(_SUPPLIER_CQL)
+    t = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    gens: dict[int, list] = {1: [], 2: []}
+    for k, name, nat, bal in zip(*(t.column(c).to_pylist() for c in t.column_names)):
+        ts = k * 1000
+        cells = {
+            "s_name": ("live", ts, name),
+            "s_nationkey": ("live", ts, nat),
+        }
+        if k % 2 == 1:
+            cells["s_acctbal"] = ("live", ts, bal)
+        gens[1 if k % 2 == 0 else 2].append(
+            {
+                "key": (k,),
+                "deletion": None,
+                "rows": [{"clustering": (), "marker_ts": ts, "cells": cells}],
+            }
+        )
+    write_data_db(str(snap / "ks1-supplier-ka-1-Data.db"), gens[1], meta)
+    write_data_db(str(snap / "ks1-supplier-ka-2-Data.db"), gens[2], meta)
+    (base / "_SUCCESS").touch()
+    return base
+
+
+@register(
+    "a51_sstable_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name AS v_name, s_nationkey AS v_nationkey,
+           CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal
+                ELSE CAST(NULL AS DOUBLE) END AS v_acctbal,
+           CAST(s_suppkey * 1000 AS BIGINT) AS writetime_us,
+           CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS v_gen
+    FROM supplier
+    """,
+    survey="A51,A2,H4",
+)
+def a51_sstable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ACROSS SSTable generations — the ALTER TABLE ADD
+    reality every long-lived cluster carries: Cassandra never rewrites
+    old SSTables when a column is added, so a snapshot after an ALTER
+    mixes generations written under different schemas, and the read
+    path resolves the difference (missing cells read as NULL under the
+    current schema).  Gen 1 here predates ``ADD s_acctbal`` (its
+    cell-addressed ka rows carry no such cell); gen 2 is
+    post-evolution; schema.cql records the CURRENT schema, as real
+    snapshots do.  h4 certifies schema evolution for parquet unions —
+    this certifies it at the SSTable cell level, where it is a property
+    of the cell-addressed FORMAT rather than of a schema-merge option.
+
+    The oracle recomputes the NULL pattern from the parquet truth; a
+    hash match certifies that the ka decoder's sparse-cell path (absent
+    cell → NULL, row liveness via the marker) agrees with relational
+    semantics — the first fixture to exercise MISSING cells rather than
+    tombstoned ones.
+
+    Scale shape: the family's — one InputPartition per generation,
+    executor-side decode; schema resolution is per-cell name dispatch,
+    no plan-level cost."""
+    from cassandra_snap_to_hadoop_spark.sources.snapshot import snapshot_scan
+
+    apply_runtime_confs(spark)
+    base = _stage_supplier_evolved_sstables(sf_dir)
+    df = snapshot_scan(
+        spark,
+        str(base),
+        "ks1",
+        "supplier",
+        "tag-r11e",
+        writetime="true",
+        as_of=str(_AS_OF),
+    )
+    return df.select(
+        "s_suppkey",
+        F.col("s_name").alias("v_name"),
+        F.col("s_nationkey").alias("v_nationkey"),
+        F.col("s_acctbal").alias("v_acctbal"),
+        F.col("_writetime").alias("writetime_us"),
+        F.regexp_extract(F.col("_sstable"), r"ka-(\d+)-Data\.db$", 1)
+        .cast("int")
+        .alias("v_gen"),
+    )
