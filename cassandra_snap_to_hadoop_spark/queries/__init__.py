@@ -134,6 +134,7 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "e133_welch_anova",
     "f63_croston",
     "a51_sstable_schema_evolution",
+    "e134_fisher_z_corr_compare",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -2094,3 +2094,127 @@ def a51_sstable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("v_gen"),
     )
+
+
+# Fisher z comparison of two Pearson correlations: per-group r from the
+# two-pass centered integer moments, z = atanh(r) spelled as
+# 0.5*ln((1+r)/(1-r)) — one shared literal chain per group, then the
+# two-sample z over sqrt(1/(n1-3) + 1/(n2-3)).
+_E134_R = """
+    (CAST(dxy AS DOUBLE) - CAST(dx AS DOUBLE) * dy / n_i)
+    / SQRT((CAST(dxx AS DOUBLE) - CAST(dx AS DOUBLE) * dx / n_i)
+           * (CAST(dyy AS DOUBLE) - CAST(dy AS DOUBLE) * dy / n_i))
+"""
+_E134_FZ = f"""
+    (CAST(1 AS DOUBLE) / 2) * LN((1 + {_E134_R}) / (1 - {_E134_R}))
+"""
+
+
+@register(
+    "e134_fisher_z_corr_compare",
+    oracle=f"""
+    WITH vals AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), means AS (
+        SELECT grp, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mx,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS my
+        FROM vals GROUP BY 1
+    ), g AS (
+        SELECT v.grp, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(v.x - m.mx) AS BIGINT) AS dx,
+               CAST(SUM(v.y - m.my) AS BIGINT) AS dy,
+               CAST(SUM((v.x - m.mx) * (v.x - m.mx)) AS BIGINT) AS dxx,
+               CAST(SUM((v.y - m.my) * (v.y - m.my)) AS BIGINT) AS dyy,
+               CAST(SUM((v.x - m.mx) * (v.y - m.my)) AS BIGINT) AS dxy
+        FROM vals v JOIN means m ON m.grp = v.grp
+        GROUP BY 1
+    ), fz AS (
+        SELECT grp, n_i,
+               CAST(ROUND(1000000 * ({_E134_R})) AS BIGINT) AS r_micro,
+               {_E134_FZ} AS z_f
+        FROM g
+    ), wide AS (
+        SELECT MAX(CASE WHEN grp = 'R' THEN n_i END) AS n1,
+               MAX(CASE WHEN grp = 'A' THEN n_i END) AS n2,
+               MAX(CASE WHEN grp = 'R' THEN r_micro END) AS r1_micro,
+               MAX(CASE WHEN grp = 'A' THEN r_micro END) AS r2_micro,
+               MAX(CASE WHEN grp = 'R' THEN z_f END) AS z1,
+               MAX(CASE WHEN grp = 'A' THEN z_f END) AS z2
+        FROM fz
+    )
+    SELECT n1, n2, r1_micro, r2_micro,
+           (z1 - z2) / SQRT(CAST(1 AS DOUBLE) / (n1 - 3)
+                            + CAST(1 AS DOUBLE) / (n2 - 3)) AS z_stat
+    FROM wide
+    """,
+    survey="E134,E88,E46",
+)
+def e134_fisher_z_corr_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher z-test for EQUALITY OF TWO CORRELATIONS — the inference
+    the correlation tier computes but never tests (e46 Spearman and
+    e88 partial correlation ESTIMATE; e84's DeLong compares paired
+    AUCs): is corr(quantity, discount) the SAME in the R and A
+    return-flag populations?  r per group → variance-stabilizing
+    z = atanh(r) → two-sample z over sqrt(1/(n₁−3) + 1/(n₂−3)) — the
+    standard two-independent-correlations comparison (Fisher 1921).
+
+    Exactness: per-group moments ride the e129 two-pass integer-mean-
+    centered lattice ((dx, dy, dxx, dyy, dxy) exact BIGINTs, int64 to
+    ~3e9 rows/group); r, atanh and the final z run shared literal IEEE
+    chains from those integers, with r also emitted micro-rounded for
+    hash-stable inspection.  Pinned against numpy corrcoef + the
+    textbook Fisher formula in tests.
+
+    Scale shape: the e129 shape — two map-side hash aggs + 2-row
+    broadcast + a 2-row pivot fold; volume enters only the scans."""
+    li = Tables(spark, sf_dir).lineitem
+    vals = li.where(F.col("l_returnflag").isin("R", "A")).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    means = vals.groupBy("grp").agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mx"),
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("my"),
+    )
+    g = (
+        vals.join(F.broadcast(means), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_i"),
+            F.sum(F.col("x") - F.col("mx")).cast("long").alias("dx"),
+            F.sum(F.col("y") - F.col("my")).cast("long").alias("dy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .cast("long")
+            .alias("dxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .cast("long")
+            .alias("dyy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .cast("long")
+            .alias("dxy"),
+        )
+    )
+    fz = g.select(
+        "grp", "n_i",
+        F.expr(f"CAST(ROUND(1000000 * ({_E134_R})) AS BIGINT)").alias("r_micro"),
+        F.expr(_E134_FZ).alias("z_f"),
+    )
+    wide = fz.agg(
+        F.max(F.when(F.col("grp") == "R", F.col("n_i"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "A", F.col("n_i"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "R", F.col("r_micro"))).alias("r1_micro"),
+        F.max(F.when(F.col("grp") == "A", F.col("r_micro"))).alias("r2_micro"),
+        F.max(F.when(F.col("grp") == "R", F.col("z_f"))).alias("z1"),
+        F.max(F.when(F.col("grp") == "A", F.col("z_f"))).alias("z2"),
+    )
+    return wide.select(
+        "n1", "n2", "r1_micro", "r2_micro",
+        F.expr(
+            "(z1 - z2) / SQRT(CAST(1 AS DOUBLE) / (n1 - 3)"
+            " + CAST(1 AS DOUBLE) / (n2 - 3))"
+        ).alias("z_stat"),
+    )

@@ -506,3 +506,42 @@ def test_f63_croston_matches_python(spark):
         for r in REGISTRY["f63_croston"].fn(spark, SF).collect()
     }
     assert got == want
+
+
+def test_e134_fisher_z_matches_numpy(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+    groups = defaultdict(lambda: ([], []))
+    for g, q, disc in zip(
+        t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()
+    ):
+        if g in ("R", "A"):
+            groups[g][0].append(int(q))
+            groups[g][1].append(round(disc * 100))
+    stats = {}
+    for g, (xs, ys) in groups.items():
+        n = len(xs)
+        mx, my = sum(xs) // n, sum(ys) // n
+        dx = sum(x - mx for x in xs)
+        dy = sum(y - my for y in ys)
+        dxx = sum((x - mx) ** 2 for x in xs)
+        dyy = sum((y - my) ** 2 for y in ys)
+        dxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        r = (dxy - dx * dy / n) / math.sqrt(
+            (dxx - dx * dx / n) * (dyy - dy * dy / n)
+        )
+        stats[g] = (n, r, (1 / 2) * math.log((1 + r) / (1 - r)))
+        # numpy cross-check of r itself
+        import numpy as np
+
+        r_np = np.corrcoef(np.array(xs, dtype=float), np.array(ys, dtype=float))[0, 1]
+        assert abs(r - r_np) < 1e-9
+    n1, r1, z1 = stats["R"]
+    n2, r2, z2 = stats["A"]
+    want_z = (z1 - z2) / math.sqrt(1 / (n1 - 3) + 1 / (n2 - 3))
+    row = REGISTRY["e134_fisher_z_corr_compare"].fn(spark, SF).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.r1_micro == round(1_000_000 * r1)
+    assert row.r2_micro == round(1_000_000 * r2)
+    assert abs(row.z_stat - want_z) < 1e-9 * max(1.0, abs(want_z))
