@@ -2218,3 +2218,137 @@ def e134_fisher_z_corr_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(1 AS DOUBLE) / (n2 - 3))"
         ).alias("z_stat"),
     )
+
+
+# RBO persistence weights p^(d-1) at p = 0.9, micro-quantized (the j134
+# pinned-constant convention — asserted against 0.9**(d-1) in tests).
+_J139_W = tuple(
+    (d, round((0.9 ** (d - 1)) * 1_000_000)) for d in range(1, 11)
+)
+_J139_W_SQL = ", ".join(f"({d}, {w})" for d, w in _J139_W)
+
+
+@register(
+    "j139_rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS ev
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), scores AS (
+        SELECT query_id, neighbor_id,
+               CAST(SUM(ca * cb) AS BIGINT) AS dot,
+               CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS dist2
+        FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(ROUND(CAST(u.a AS DOUBLE) * 100) AS BIGINT) AS ca,
+                   CAST(ROUND(CAST(u.b AS DOUBLE) * 100) AS BIGINT) AS cb
+            FROM pairs,
+                 LATERAL (SELECT unnest(qv) AS a, unnest(ev) AS b,
+                                 generate_subscripts(qv, 1) AS i) u
+        ) GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS r_dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist2 ASC, neighbor_id) AS r_l2
+        FROM scores
+    ), w(d, w_micro) AS (VALUES {_J139_W_SQL}),
+    terms AS (
+        -- X_d = |top-d(dot) ∩ top-d(L2)|; per-depth term
+        -- (1-p)·p^(d-1)·X_d/d on the exact integer lattice:
+        -- nano units, truncating division by d then by 10 at the end
+        SELECT r.query_id, w.d,
+               CAST(SUM(CASE WHEN r.r_dot <= w.d AND r.r_l2 <= w.d
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x_d,
+               w.w_micro
+        FROM ranked r CROSS JOIN w
+        WHERE r.r_dot <= 10 OR r.r_l2 <= 10
+        GROUP BY 1, 2, 4
+    )
+    SELECT query_id,
+           CAST(MAX(CASE WHEN d = 10 THEN x_d END) AS BIGINT) AS x10,
+           CAST(SUM(1000 * w_micro * x_d // d) // 10 AS BIGINT) AS rbo_nano
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    survey="J139,J135,J134",
+)
+def j139_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber/Moffat/Zobel 2010) between the dot-
+    and L2-order retrievals — the top-weighted ranking-similarity
+    metric that completes the retrieval-eval tier's comparison leg
+    (j134 scores ONE ranking against labels, j135 FUSES two rankings;
+    RBO measures how much two rankings AGREE, weighting the top —
+    Kendall/Spearman over full lists treat depth 1 and depth 1000
+    alike, which is wrong for search): truncated RBO@10 =
+    (1−p)·Σ_{{d≤10}} p^{{d−1}}·|A_d ∩ B_d|/d at the standard p = 0.9.
+
+    ENTIRELY float-free: the rankings are j135's exact centi-lattice
+    integer keys with deterministic ties; the persistence weights
+    p^{{d−1}} are pinned micro integers (the j134 convention, asserted
+    against 0.9**(d−1) in tests); each depth term is an exact
+    truncating division — no IEEE anywhere, so the hash certifies the
+    metric to the last nano unit.
+
+    Scale shape: j135's — 8 broadcast queries × corpus scan → exact
+    integer scores → two rank windows → a ≤20-rows-per-query candidate
+    relation × 10-row depth lattice → per-query fold.  The ANN ladder
+    cuts the corpus term in production, as for every J3-family query."""
+    e = Tables(spark, sf_dir).embeddings
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = q.crossJoin(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ev"))
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    cents = pairs.select(
+        "query_id", "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qv, ev, (a, b) ->"
+            " CAST(ROUND(CAST(a AS DOUBLE) * 100) AS BIGINT)"
+            " * CAST(ROUND(CAST(b AS DOUBLE) * 100) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(zip_with(qv, ev, (a, b) ->"
+            " (CAST(ROUND(CAST(a AS DOUBLE) * 100) AS BIGINT)"
+            "  - CAST(ROUND(CAST(b AS DOUBLE) * 100) AS BIGINT))"
+            " * (CAST(ROUND(CAST(a AS DOUBLE) * 100) AS BIGINT)"
+            "    - CAST(ROUND(CAST(b AS DOUBLE) * 100) AS BIGINT))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    wl = Window.partitionBy("query_id").orderBy(F.asc("dist2"), "neighbor_id")
+    ranked = cents.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(wd).alias("r_dot"),
+        F.row_number().over(wl).alias("r_l2"),
+    )
+    depths = spark.createDataFrame(list(_J139_W), "d int, w_micro long")
+    terms = (
+        ranked.where((F.col("r_dot") <= 10) | (F.col("r_l2") <= 10))
+        .crossJoin(F.broadcast(depths))
+        .groupBy("query_id", "d", "w_micro")
+        .agg(
+            F.sum(
+                F.when((F.col("r_dot") <= F.col("d")) & (F.col("r_l2") <= F.col("d")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x_d")
+        )
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("d") == 10, F.col("x_d"))).cast("long").alias("x10"),
+            F.expr(
+                "CAST(SUM(1000 * w_micro * x_d DIV d) DIV 10 AS BIGINT)"
+            ).alias("rbo_nano"),
+        )
+        .orderBy("query_id")
+    )

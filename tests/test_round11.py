@@ -545,3 +545,61 @@ def test_e134_fisher_z_matches_numpy(spark):
     assert row.r1_micro == round(1_000_000 * r1)
     assert row.r2_micro == round(1_000_000 * r2)
     assert abs(row.z_stat - want_z) < 1e-9 * max(1.0, abs(want_z))
+
+
+def test_j139_rbo_weights_and_python_replay(spark):
+    """The persistence weights must be the micro-rounded 0.9^(d-1)
+    (the j134 pinned-constant rule), and the whole RBO fold must match
+    an independent python replay from the raw embeddings."""
+    from cassandra_snap_to_hadoop_spark.queries.round11 import _J139_W
+
+    for d, w in _J139_W:
+        assert w == round((0.9 ** (d - 1)) * 1_000_000)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        vid: [round(float(x) * 100) for x in emb]
+        for vid, emb in zip(t.column(0).to_pylist(), t.column(1).to_pylist())
+    }
+    want = {}
+    for qid in range(8):
+        if qid not in vecs:
+            continue
+        qv = vecs[qid]
+        scored = []
+        for nid, ev in vecs.items():
+            if nid == qid:
+                continue
+            dot = sum(a * b for a, b in zip(qv, ev))
+            dist2 = sum((a - b) * (a - b) for a, b in zip(qv, ev))
+            scored.append((nid, dot, dist2))
+        r_dot = {
+            nid: i + 1
+            for i, (nid, _d, _l) in enumerate(
+                sorted(scored, key=lambda s: (-s[1], s[0]))
+            )
+        }
+        r_l2 = {
+            nid: i + 1
+            for i, (nid, _d, _l) in enumerate(
+                sorted(scored, key=lambda s: (s[2], s[0]))
+            )
+        }
+        rbo_nano = 0
+        x10 = None
+        for d, w in _J139_W:
+            x_d = sum(
+                1 for nid in r_dot if r_dot[nid] <= d and r_l2[nid] <= d
+            )
+            rbo_nano += 1000 * w * x_d // d
+            if d == 10:
+                x10 = x_d
+        want[qid] = (x10, rbo_nano // 10)
+    got = {
+        r.query_id: (r.x10, r.rbo_nano)
+        for r in REGISTRY["j139_rank_biased_overlap"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # discrimination: the two rankings genuinely differ (RBO < max) and
+    # genuinely agree somewhat (RBO > 0) somewhere
+    vals = [v[1] for v in got.values()]
+    assert any(v > 0 for v in vals) and any(v < 1_000_000_000 for v in vals)
