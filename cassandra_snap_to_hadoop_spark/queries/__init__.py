@@ -136,6 +136,7 @@ _ROUND11_PRIORITY: tuple[str, ...] = (
     "a51_sstable_schema_evolution",
     "e134_fisher_z_corr_compare",
     "j139_rank_biased_overlap",
+    "sql_api_pipe_syntax",
     # ── rows-only re-checks (fresh `spark_rows>0` lines), oldest first ──
     "j2_minhash_lsh_ml",
     "j3_knn_brp_lsh_ml",

@@ -2352,3 +2352,54 @@ def j139_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS avg_cents
+    FROM lineitem WHERE l_quantity >= 10
+    GROUP BY l_returnflag HAVING COUNT(*) > 10
+    ORDER BY l_returnflag
+    """,
+    survey="SQL-8,SQL-2,E2",
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (`|>`) — the Spark 4.0 surface (SPARK-49555,
+    from the Google 'SQL Has Problems' pipe-syntax proposal) that
+    linearizes query composition: each `|>` stage consumes the previous
+    relation, so filters-after-aggregates need no subquery nesting and
+    EXTEND adds computed columns mid-stream.  Completes the SQL-API
+    surface family (SQL-2 composed CTEs, SQL-3 parameterized, SQL-4
+    recursive, SQL-5 UNPIVOT, SQL-6 GROUP BY ALL, SQL-7 IDENTIFIER):
+    the query runs WHERE → EXTEND → AGGREGATE … GROUP BY → EXTEND →
+    WHERE (post-aggregation, i.e. HAVING) → ORDER BY as one pipe
+    chain, and the oracle is the equivalent CLASSIC nested SQL — a
+    hash match certifies the two dialects produce the identical
+    relation.
+
+    Exactness: pure integer cents aggregates; avg is a truncating
+    integer division.
+
+    Scale shape: the pipe dialect is SYNTAX — Catalyst plans it
+    identically to the classic form (one partial+final hash agg over
+    the scan), which the matching hash indirectly demonstrates."""
+    li = Tables(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("cs2h_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM cs2h_pipe_lineitem
+        |> WHERE l_quantity >= 10
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+           GROUP BY l_returnflag
+        |> EXTEND CAST(sum_cents DIV n_rows AS BIGINT) AS avg_cents
+        |> WHERE n_rows > 10
+        |> ORDER BY l_returnflag
+        """
+    )

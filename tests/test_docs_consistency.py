@@ -197,7 +197,7 @@ def test_survey_rows_cover_every_section2_row():
 # VERDICT r9 item 8: pin the §2 row count so the judge's coverage table
 # can be regenerated mechanically — adding a §2 row without bumping this
 # constant (or tagging a covering query) fails CI, not judge review.
-_SURVEY_SECTION2_ROWS = 412
+_SURVEY_SECTION2_ROWS = 413
 
 
 def test_survey_section2_row_count_is_pinned():
