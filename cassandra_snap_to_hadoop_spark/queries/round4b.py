@@ -78,26 +78,60 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle runs the textually-parallel ANSI recursion (``//``
     vs ``DIV`` is the only dialect difference); both engines truncate
     integer division toward zero, so every intermediate balance is
-    bit-identical."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("cs2h_orders")
+    bit-identical.
+
+    Optimization (r11, guide §3.3/§2.4): the UnionLoop's step plan used to
+    inline the whole ``base``/``capped`` derivation — parquet scan +
+    exchange + two windows — under EVERY loop iteration, so the 12-step
+    recursion paid 13 scans and 13 window exchanges of orders (measured
+    5.4 s at sf0.1).  ``capped`` is now computed once as a DataFrame and
+    ``localCheckpoint``-materialized (the documented stage-boundary cut:
+    curation funnel / dup_clusters precedent), and the UNCHANGED
+    WITH RECURSIVE runs over the materialized view — each iteration joins
+    the frontier against in-memory KB-scale rows.  Same rows, same
+    arithmetic, same recursion; 13 scans → 1."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = Window.partitionBy("o_custkey")
+    capped = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(w_rn).alias("rn"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("amt_cents"),
+            F.count(F.lit(1)).over(w_all).alias("n_all"),
+        )
+        .where(F.col("rn") <= _CHAIN_CAP)
+        .select(
+            "custkey",
+            "rn",
+            "amt_cents",
+            F.least(F.col("n_all"), F.lit(_CHAIN_CAP)).alias("n_chain"),
+        )
+        .localCheckpoint()
+    )
+    capped.createOrReplaceTempView("cs2h_rec_capped")
+    # Join-strategy selection for the loop step (guide §3.1): AQE cannot
+    # re-plan inside a UnionLoop, so the step join defaults to a full
+    # shuffle of BOTH sides per iteration.  The materialized row count is
+    # already known (the checkpoint ran), so mirror AQE's own rule here:
+    # broadcast the loop-invariant ``capped`` side iff its estimated size
+    # sits under the session's autoBroadcastJoinThreshold; at cluster
+    # scale the relation is data-sized, the condition fails, and the plan
+    # stays a partitioned join.  (~48 bytes per 4-col row of long/int.)
+    n_capped = capped.count()
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    hint = "/*+ BROADCAST(b) */ " if 0 < thr and n_capped * 48 < thr else ""
     return spark.sql(
         f"""
-        WITH RECURSIVE base AS (
-            SELECT o_custkey AS custkey,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn,
-                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt_cents,
-                   COUNT(*) OVER (PARTITION BY o_custkey) AS n_all
-            FROM cs2h_orders
-        ), capped AS (
-            SELECT custkey, rn, amt_cents,
-                   LEAST(n_all, {_CHAIN_CAP}) AS n_chain
-            FROM base WHERE rn <= {_CHAIN_CAP}
+        WITH RECURSIVE capped AS (
+            SELECT custkey, rn, amt_cents, n_chain FROM cs2h_rec_capped
         ), chain AS (
             SELECT custkey, rn, n_chain, amt_cents AS bal_cents
             FROM capped WHERE rn = 1
             UNION ALL
-            SELECT b.custkey, b.rn, b.n_chain,
+            SELECT {hint}b.custkey, b.rn, b.n_chain,
                    (c.bal_cents * 105) DIV 100 + b.amt_cents
             FROM chain c
             JOIN capped b ON b.custkey = c.custkey AND b.rn = c.rn + 1
