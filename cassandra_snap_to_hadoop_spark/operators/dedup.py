@@ -395,10 +395,14 @@ def dup_clusters(
     near-dup components are tiny by construction so this is 2-3 rounds).
     Returns (id, cluster_id) where cluster_id = smallest id in the component.
     """
+    # Lazy checkpoint: the first round's job materializes the symmetrized
+    # distinct edge relation once; every later round reuses it instead of
+    # re-running the symmetrize + distinct exchange (r11 optimization).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("cluster_id"))
     for _ in range(max_iterations):
@@ -407,23 +411,29 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("n_min"))
         )
+        # Carry the OLD label through the round output so the convergence
+        # probe is a plain filter over the checkpointed relation — the
+        # former probe re-joined new labels to old labels, paying an extra
+        # exchange + join per round (r11 optimization).  The lazy
+        # checkpoint is materialized by the probe's count job, so each
+        # round runs one job and computes new_labels once.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("__old_cid"),
                 F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("__old_cid"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the iterative lineage
+        labels = new_labels.select("id", "cluster_id")
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:

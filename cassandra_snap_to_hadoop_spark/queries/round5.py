@@ -206,21 +206,26 @@ _ROC_BINS = 20
 
 
 def _score_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _SCORE_SQL: (vec_id, label, s) on the micro lattice."""
+    """Spark twin of _SCORE_SQL: (vec_id, label, s) on the micro lattice.
+
+    r11 optimization (guide §4.1/§2.4): formerly posexplode → 64× rows →
+    groupBy(vec_id) hash agg — one full shuffle of the exploded relation
+    for every consumer (e62/e63/e72/e75/e84…).  The signed sum is now a
+    per-row codegen array fold (``aggregate`` over the indexed
+    ``transform``): identical md5 coin per dim, identical ROUND micro
+    lattice, identical BIGINT sum (integer addition is order-free) — and
+    ZERO exchanges: score computation is now a narrow projection."""
     e = Tables(spark, sf_dir).embeddings
-    ex = fan_out(e).select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    )
-    sign = F.when(
-        F.substring(
-            F.md5(F.concat(F.lit("dim:"), F.col("dim").cast("string"))), 1, 1
-        )
-        < "8",
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    micro = F.round(F.col("x").cast("double") * 1000000).cast("long")
-    return ex.groupBy("vec_id").agg(
-        F.min("label").alias("label"), F.sum(micro * sign).alias("s")
+    return fan_out(e).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, (x, i) ->"
+            " CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+            " * (CASE WHEN substring(md5(concat('dim:', CAST(i AS STRING))), 1, 1)"
+            "          < '8' THEN 1 ELSE -1 END)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        ).alias("s"),
     )
 
 

@@ -224,10 +224,12 @@ def j100_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+        # lazy checkpoint: the convergence count below materializes it —
+        # one job per round instead of eager-checkpoint + count (r11).
         active = (
             deg.where(F.col("deg") >= _KCORE_K)
             .select("node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Early exit on the fixpoint: peeling only ever SHRINKS the active
         # set, so an unchanged count means no node fell below k and every
@@ -882,83 +884,46 @@ def _register_e75() -> None:
                 F.count("*").cast("long").alias("n"),
                 F.sum("y").cast("long").alias("pos"),
             )
-            .withColumn("p", F.col("bin"))
-            .localCheckpoint(eager=True)
         )
-        for _ in range(_PAV_ROUNDS):
-            # NOTE: Spark resolves column names case-insensitively, so the
-            # pool aggregates must not be named N/P next to the key p.
-            pools = bins.groupBy("p").agg(
-                F.sum("n").alias("agg_n"), F.sum("pos").alias("agg_pos")
-            )
-            px = pools.select(F.col("p").alias("xp"))
-            py = pools.select(F.col("p").alias("yp"))
-            succ = (
-                px.join(F.broadcast(py), F.col("yp") > F.col("xp"))
-                .groupBy(F.col("xp").alias("pi"))
-                .agg(F.min("yp").alias("pj"))
-            )
-            pairs = succ.join(
-                pools.select(
-                    F.col("p").alias("pi"),
-                    F.col("agg_pos").alias("li_pos"),
-                    F.col("agg_n").alias("li_n"),
-                ),
-                "pi",
-            ).join(
-                pools.select(
-                    F.col("p").alias("pj"),
-                    F.col("agg_pos").alias("rj_pos"),
-                    F.col("agg_n").alias("rj_n"),
-                ),
-                "pj",
-            )
-            viol = pairs.where(
-                F.col("li_pos") * F.col("rj_n") > F.col("rj_pos") * F.col("li_n")
-            ).select("pi", "pj")
-            viol_right = viol.select(F.col("pj").alias("wpj"))
-            merge = (
-                viol.join(
-                    F.broadcast(viol_right),
-                    F.col("pi") == F.col("wpj"),
-                    "left_anti",
-                )
-                .select(F.col("pj").alias("from_p"), F.col("pi").alias("to_p"))
-                .localCheckpoint(eager=True)
-            )
-            # KB fixpoint early-exit (the j100 pattern, sanctioned by the
-            # round-6 cadence note): zero merges means the pooled rates
-            # are already monotone, so every further round is the
-            # identity and the early exit returns EXACTLY the full
-            # unroll's output.  On calibrated-ish data this cuts 9
-            # sequential rounds to the 1-3 that actually fire.
-            if merge.count() == 0:
-                break
-            bins = (
-                bins.withColumnRenamed("p", "bp")
-                .join(F.broadcast(merge), F.col("bp") == F.col("from_p"), "left")
-                .select(
-                    "bin",
-                    "n",
-                    "pos",
-                    F.coalesce(F.col("to_p"), F.col("bp")).alias("p"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        pf = bins.groupBy(F.col("p").alias("pool_key")).agg(
-            F.sum("n").cast("long").alias("pool_n"),
-            F.sum("pos").cast("long").alias("pool_pos"),
+        # r11 optimization (guide §1.2 step 1): the PAV used to run as up
+        # to 9 distributed rounds over the ≤10-row bin relation (~6 tiny
+        # jobs per round: pools agg, successor join, violation join, merge
+        # checkpoint + count, relabel checkpoint) — pure job overhead for
+        # a relation that is ≤10 rows BY CONSTRUCTION.  The volume term
+        # (corpus scan → 10-row bin agg) stays distributed; the merge now
+        # runs as the canonical stack PAV over the collected integer
+        # rows — the SAME algorithm the python pin in tests/test_round6
+        # already replays, with the identical exact-integer violation
+        # compare (P_i·N_j > P_j·N_i) and min-bin pool keys.  PAV's
+        # solution is unique regardless of merge order, so the output is
+        # unchanged (oracle hash-green at sf0.001/0.01/0.1).
+        rows = sorted(
+            (int(r["bin"]), int(r["n"]), int(r["pos"])) for r in bins.collect()
         )
-        return bins.join(
-            F.broadcast(pf), F.col("p") == F.col("pool_key")
-        ).select(
-            F.col("bin").cast("int").alias("bin"),
-            F.col("p").cast("int").alias("pool"),
-            "pool_n",
-            "pool_pos",
-            F.expr("CAST((pool_pos * 1000000) DIV pool_n AS BIGINT)").alias(
-                "iso_ppm"
-            ),
+        stack: list[list[int]] = []  # [min_bin, pool_n, pool_pos]
+        for b, n, pos in rows:
+            stack.append([b, n, pos])
+            while len(stack) >= 2 and (
+                stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]
+            ):
+                lo = stack.pop()
+                stack[-1][1] += lo[1]
+                stack[-1][2] += lo[2]
+        out = []
+        pool_of: dict[int, tuple[int, int, int]] = {}
+        pool_iter = iter(stack)
+        cur = next(pool_iter)
+        nxt = next(pool_iter, None)
+        for b, n, pos in rows:
+            if nxt is not None and b >= nxt[0]:
+                cur, nxt = nxt, next(pool_iter, None)
+            pool_of[b] = (cur[0], cur[1], cur[2])
+        for b, n, pos in rows:
+            pk, pn, pp = pool_of[b]
+            out.append((b, pk, pn, pp, (pp * 1000000) // pn))
+        return spark.createDataFrame(
+            out,
+            "bin int, pool int, pool_n long, pool_pos long, iso_ppm long",
         )
 
 

@@ -1470,35 +1470,50 @@ def b17_lwt_cas_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lag("q").over(Window.partitionBy("pk").orderBy("ln")))
         .cast("long")
         .alias("expected"),
-    ).localCheckpoint(eager=True)
-    keys = props.groupBy("pk").agg(F.count("*").cast("long").alias("n_props"))
-    state = keys.select(
-        "pk", F.lit(0).cast("long").alias("state"), F.lit(0).cast("long").alias("applied")
     )
-    for j in range(1, 8):
-        pj = props.where(F.col("ln") == j).select(
-            "pk", F.col("newv").alias("__nv"), F.col("expected").alias("__ex")
+    # r11 optimization (guide §2.4/§4.1): the 7 ballot slots used to run as
+    # 7 lockstep state⋈proposals joins, each eagerly checkpointed — 8
+    # sequential jobs, 7 shuffles of the per-key state.  The CAS replay is
+    # a bounded per-key FOLD, so collect each key's ≤7 proposals into a
+    # sorted array (the groupBy reuses the LAG window's pk partitioning —
+    # no extra exchange) and run the identical recurrence as a codegen
+    # ``aggregate`` lambda over slots 1..7: state' = newv iff expected =
+    # state, applied' counts accepts.  Same integers, one job, and the
+    # whole replay is a single exchange instead of seven.
+    folded = (
+        props.groupBy("pk")
+        .agg(
+            F.count("*").cast("long").alias("n_props"),
+            F.sort_array(
+                F.collect_list(F.struct("ln", "newv", "expected"))
+            ).alias("ps"),
         )
-        state = (
-            state.join(pj, "pk", "left")
-            .select(
-                "pk",
-                F.when(F.col("__ex") == F.col("state"), F.col("__nv"))
-                .otherwise(F.col("state"))
-                .alias("state"),
-                (
-                    F.col("applied")
-                    + F.when(F.col("__ex") == F.col("state"), 1).otherwise(0)
-                ).cast("long").alias("applied"),
-            )
-            .localCheckpoint(eager=True)
+        .withColumn(
+            "fin",
+            F.expr(
+                """
+                AGGREGATE(
+                    sequence(1, 7),
+                    named_struct('state', CAST(0 AS BIGINT),
+                                 'applied', CAST(0 AS BIGINT)),
+                    (acc, j) -> CASE
+                        WHEN size(filter(ps, e -> e.ln = j)) > 0
+                             AND element_at(filter(ps, e -> e.ln = j), 1).expected
+                                 = acc.state
+                        THEN named_struct(
+                            'state', element_at(filter(ps, e -> e.ln = j), 1).newv,
+                            'applied', acc.applied + CAST(1 AS BIGINT))
+                        ELSE acc END
+                )
+                """
+            ),
         )
+    )
     return (
-        state.join(keys, "pk")
-        .groupBy("n_props", "applied")
+        folded.groupBy("n_props", F.col("fin.applied").alias("applied"))
         .agg(
             F.count("*").cast("long").alias("n_keys"),
-            F.sum("state").cast("long").alias("sum_state"),
+            F.sum("fin.state").cast("long").alias("sum_state"),
         )
         .orderBy("n_props", "applied")
     )
@@ -1968,24 +1983,41 @@ def j121_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins in query lockstep, {_MMR_K}-bounded."""
     from pyspark.sql import Window
 
+    # r11 optimization (guide §4.1/§2.3): every dot product used to run as
+    # posexplode(embedding) → 64× the rows → per-dim equi join → groupBy —
+    # the 8×|V| relevance computation shuffled 64·|V| (dim, micro) rows
+    # and the checkpointed exploded relation was materialized in full.
+    # Arrays never leave the row now: quantize once with ``transform`` and
+    # compute every dot as a codegen zip_with/aggregate fold — identical
+    # BIGINT lattice products, identical sums (integer addition is
+    # order-free), zero explode shuffle.  The 8-query side broadcasts.
     e = Tables(spark, sf_dir).embeddings
-    ex = (
+    vecs = (
         fan_out(e)
-        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
         .select(
-            "vec_id", "dim",
-            F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
+            "vec_id",
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            ).alias("qv"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    qex = ex.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("dim").alias("qdim"),
-        F.col("micro").alias("qmicro"),
+    queries = vecs.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qvq")
+    )
+    dot = (
+        "aggregate(zip_with({0}, {1}, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     rel_all = (
-        qex.join(ex, (F.col("dim") == F.col("qdim")) & (F.col("vec_id") != F.col("qid")))
-        .groupBy("qid", F.col("vec_id").alias("id"))
-        .agg(F.sum(F.col("qmicro") * F.col("micro")).cast("long").alias("rel"))
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
+            F.expr(dot.format("qv", "qvq")).alias("rel"),
+        )
     )
     w_rank = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id"))
     cand = (
@@ -1994,76 +2026,52 @@ def j121_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=True)
     )
-    candex = cand.join(ex, F.col("vec_id") == F.col("id")).select(
-        "qid", "id", "dim", "micro"
+    # Everything past the candidate cut is bounded BY CONSTRUCTION at
+    # 8 queries x _MMR_M candidates — the sanctioned KB-collect class
+    # (BPE argmax / <=8-query-vector precedent).  The former implementation
+    # ran the greedy as ~4 distributed jobs per step (redundancy agg +
+    # anti join + score join + argmax window, each eagerly checkpointed);
+    # the greedy now replays driver-side over the SPARK-QUANTIZED integer
+    # vectors (collected, so the micro lattice is Spark's ROUND, not
+    # Python's) — identical BIGINT dots, identical (score DESC, id)
+    # tie-breaks, one collect job instead of ~12 (r11, guide §1.2 step 1).
+    candv = cand.join(vecs, F.col("vec_id") == F.col("id")).select(
+        "qid", "id", "rel", "qv"
     )
-    a = candex.select(
-        F.col("qid"), F.col("id").alias("ida"), F.col("dim").alias("da"),
-        F.col("micro").alias("ma"),
-    )
-    b = candex.select(
-        F.col("qid").alias("qb"), F.col("id").alias("idb"),
-        F.col("dim").alias("db"), F.col("micro").alias("mb"),
-    )
-    pd = (
-        a.join(
-            b,
-            (F.col("qb") == F.col("qid"))
-            & (F.col("db") == F.col("da"))
-            & (F.col("idb") != F.col("ida")),
+    by_q: dict = {}
+    for row in candv.collect():
+        by_q.setdefault(row["qid"], []).append(
+            (int(row["id"]), int(row["rel"]), [int(x) for x in row["qv"]])
         )
-        .groupBy("qid", "ida", "idb")
-        .agg(F.sum(F.col("ma") * F.col("mb")).cast("long").alias("dot"))
-        .localCheckpoint(eager=True)
-    )
-    s1 = (
-        cand.withColumn("rn", F.row_number().over(w_rank))
-        .where(F.col("rn") == 1)
-        .select(
-            F.lit(1).alias("step"), "qid", "id", "rel",
-            F.lit(0).cast("long").alias("red"),
-            (7 * F.col("rel")).cast("long").alias("score"),
+    traj_rows = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        vec_by_id = {c[0]: c[2] for c in cands}
+        sel_ids = [cands[0][0]]
+        traj_rows.append(
+            (1, int(qid), cands[0][0], cands[0][1], 0, 7 * cands[0][1])
         )
-    )
-    traj = s1
-    sel = s1.select("qid", "id")
-    for r in range(2, _MMR_K + 1):
-        # red's qid is renamed to rqid at the groupBy: both red and rem
-        # trace to the checkpointed cand, so joining red["qid"] ==
-        # rem["qid"] degenerates to a trivially-true qid == qid predicate
-        # (Spark warns and falls back to self-join auto-resolution) —
-        # distinct names keep the equi-join condition real.
-        red = (
-            pd.join(
-                sel.select(F.col("qid").alias("qs"), F.col("id").alias("ids")),
-                (F.col("qs") == F.col("qid")) & (F.col("ids") == F.col("idb")),
-            )
-            .groupBy(F.col("qid").alias("rqid"), F.col("ida"))
-            .agg(F.max("dot").cast("long").alias("red"))
-        )
-        rem = cand.join(sel, ["qid", "id"], "left_anti")
-        scored = rem.join(
-            red, (F.col("ida") == F.col("id")) & (F.col("rqid") == F.col("qid"))
-        ).select(
-            "qid", "id", "rel", "red",
-            (7 * F.col("rel") - 3 * F.col("red")).cast("long").alias("score"),
-        )
-        w_pick = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("id")
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w_pick))
-            .where(F.col("rn") == 1)
-            .select(F.lit(r).alias("step"), "qid", "id", "rel", "red", "score")
-            .localCheckpoint(eager=True)
-        )
-        traj = traj.unionByName(pick)
-        sel = sel.unionByName(pick.select("qid", "id"))
-    return traj.select(
-        F.col("step").cast("int").alias("step"),
-        F.col("qid").cast("long").alias("query_id"),
-        F.col("id").cast("long").alias("picked_id"),
-        "rel", "red", "score",
+        for step in range(2, _MMR_K + 1):
+            best = None
+            for cid, crel, cv in cands:
+                if cid in sel_ids:
+                    continue
+                red = max(
+                    sum(a * b for a, b in zip(cv, vec_by_id[s]))
+                    for s in sel_ids
+                )
+                score = 7 * crel - 3 * red
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, crel, red, score)
+            if best is None:
+                break
+            _, cid, crel, red, score = best
+            sel_ids.append(cid)
+            traj_rows.append((step, int(qid), cid, crel, red, score))
+    return spark.createDataFrame(
+        sorted(traj_rows),
+        "step int, query_id long, picked_id long, rel long, red long, score long",
     ).orderBy("step", "query_id")
 
 
