@@ -59,8 +59,17 @@ def curation_funnel(
     (tools/scale_probe.py measures both variants side by side).
     """
     mat = materialize if materialize is not None else (lambda df, _name: df.localCheckpoint())
+    # Project to the columns the downstream stages actually read BEFORE the
+    # stage-boundary cut (guide §2.3 "project before the exchange"): the
+    # quality gate only needs (id, text[, block]) afterwards, so the
+    # unused feature columns (digit/space ratios etc.) are pruned out of
+    # both the computation and the checkpointed bytes (r11 optimization).
+    keep_cols = [id_col, text_col] + ([block_col] if block_col else [])
     quality = mat(
-        quality_features(docs, text_col).filter(F.col("quality_ok") == 1), "1_quality"
+        quality_features(docs, text_col)
+        .filter(F.col("quality_ok") == 1)
+        .select(*keep_cols),
+        "1_quality",
     )
     survivors = mat(
         quality.withColumn("__h", F.md5(normalize_text(F.col(text_col))))

@@ -2697,24 +2697,30 @@ def e127_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsums over the ≤57-value grid, two 1-row folds; the corpus scan
     is the only volume term."""
     li = Tables(spark, sf_dir).lineitem
-    hx = (
-        li.where(F.col("l_returnflag") == "R")
-        .groupBy(
-            (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
-        )
-        .agg(F.count("*").cast("long").alias("cx"))
-    )
-    hy = (
-        li.where(F.col("l_returnflag") == "A")
-        .groupBy(F.col("l_quantity").cast("long").alias("v"))
-        .agg(F.count("*").cast("long").alias("cy"))
-    )
+    # r11 optimization (guide §1.1 first-principles): ONE scan builds both
+    # sample histograms via conditional aggregation (formerly two filtered
+    # scans + a full-outer join; a value present in only one sample gets 0
+    # in the other — identical to the old COALESCE), and the ≤57-row
+    # ranked grid checkpoints eagerly so the two downstream folds (sizes,
+    # devs) read it instead of re-deriving the scan subtree (the plan held
+    # SIX Scan nodes; now one).
     pooled = (
-        hx.join(hy, "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce(F.col("cx"), F.lit(0)).alias("cx"),
-            F.coalesce(F.col("cy"), F.lit(0)).alias("cy"),
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.col("l_quantity").cast("long") + F.col("l_partkey") % 7,
+            )
+            .otherwise(F.col("l_quantity").cast("long"))
+            .alias("v")
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("cx"),
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("cy"),
         )
     )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -2727,7 +2733,7 @@ def e127_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m2"),
         (2 * (F.sum("cx").over(wv) - F.col("cx")) + F.col("cx") + 1).alias("w2x"),
         (2 * (F.sum("cy").over(wv) - F.col("cy")) + F.col("cy") + 1).alias("w2y"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = ranked.agg(
         F.sum("cx").cast("long").alias("n1"),
         F.sum("cy").cast("long").alias("n2"),
