@@ -1645,22 +1645,24 @@ def f59_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((rn - 1) % w) + 1").alias("k"),
         "y",
     )
-    complete = (
-        cells.groupBy("event_type", "w", "wid")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") == F.col("w"))
-        .drop("cnt")
-    )
+    # r11 (guide §2.4): the oracle's ``complete`` CTE (groups HAVING
+    # COUNT(*) = w) joined back onto cells only to drop incomplete tail
+    # windows — filtering whole groups, never rows, so the identical
+    # moments fall out of ONE aggregation with the count kept as a
+    # HAVING-style post-filter (plan: the cells subtree + the self-join's
+    # two exchanges disappear).
     wstats = (
-        cells.join(complete, ["event_type", "w", "wid"])
-        .groupBy("event_type", "w", "wid")
+        cells.groupBy("event_type", "w", "wid")
         .agg(
             F.sum("y").cast("long").alias("sy"),
             F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
             F.sum(F.col("k") * F.col("y")).cast("long").alias("sky"),
             F.sum("k").cast("long").alias("sk"),
             F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+            F.count("*").alias("cnt"),
         )
+        .where(F.col("cnt") == F.col("w"))
+        .drop("cnt")
     )
     rss = wstats.select(
         "event_type", "w",
@@ -1674,14 +1676,23 @@ def f59_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(rss_micro) DIV COUNT(*) AS BIGINT)").alias("f2"),
         F.count("*").cast("long").alias("n_windows"),
     )
-    a8 = agg.where(F.col("w") == 8).select(
-        "event_type", F.col("f2").alias("f2_w8"), F.col("n_windows").alias("n_w8")
-    )
-    a24 = agg.where(F.col("w") == 24).select(
-        "event_type", F.col("f2").alias("f2_w24"), F.col("n_windows").alias("n_w24")
+    # r11 (guide §2.4): the w=8 / w=24 legs used to split ``agg`` and
+    # inner-join the halves back on event_type — re-deriving the whole
+    # events subtree per leg.  One conditional pivot over the tiny agg
+    # relation is identical (the IS NOT NULL filter reproduces the inner
+    # join: a type missing either leg is dropped).
+    wide = (
+        agg.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("w") == 8, F.col("f2"))).alias("f2_w8"),
+            F.max(F.when(F.col("w") == 8, F.col("n_windows"))).alias("n_w8"),
+            F.max(F.when(F.col("w") == 24, F.col("f2"))).alias("f2_w24"),
+            F.max(F.when(F.col("w") == 24, F.col("n_windows"))).alias("n_w24"),
+        )
+        .where(F.col("n_w8").isNotNull() & F.col("n_w24").isNotNull())
     )
     return (
-        a8.join(a24, "event_type")
+        wide
         .select(
             "event_type", "n_w8", "f2_w8", "n_w24", "f2_w24",
             F.expr(

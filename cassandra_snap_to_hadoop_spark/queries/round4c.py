@@ -563,48 +563,105 @@ def j86_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest cluster id (argmin over (d, cid) — Spark min(struct) ==
     DuckDB QUALIFY row_number over (d, cid)).
 
-    Scale: centroids are K×dims rows — always broadcast-side KB; each
-    iteration is one broadcast join + two map-side-combinable hash aggs
-    over the exploded point relation (the canonical distributed-KMeans
-    shape); iteration count is a compile-time constant."""
+    Scale (r11 optimization, guide §1.2 "fix the distributed algorithm" +
+    §4.2 "hand whole batches to vectorized native libraries"): centroids
+    are K×dims integers — a KB-bounded relation BY CONSTRUCTION (the
+    e75/BPE bounded-collect precedent), so each Lloyd round is the
+    canonical distributed-KMeans sufficient-statistics pass: one
+    Arrow-batched numpy kernel computes every point's exact int64
+    argmin distance against the K current centroids AND the per-cluster
+    partial sums (count, Σd, Σp_0..Σp_63) WITHIN the batch — ≤K rows
+    leave each batch, so the one exchange carries K-row partials, never
+    points (guide §2.3 "aggregate before you shuffle").  Spark folds the
+    partials (SUM ... DIV SUM on the BIGINT lattice) into the next
+    round's centroids; the quantized point relation localCheckpoints
+    once and every round's job reads it instead of re-deriving the scan
+    (the old plan held 7 scans / 15 exchanges; now 1 scan + one K-row
+    agg exchange per round).  int64 exactness: coords ≤ 2.1e6 in
+    magnitude so d ≤ 64·(4.2e6)² ≈ 1.1e15 and batch partials stay far
+    inside int64; numpy argmin over the cid-sorted centroid matrix
+    breaks distance ties on the LOWEST cid, matching the oracle's
+    QUALIFY ORDER BY d, cid."""
+    import numpy as np
+    import pyarrow as pa
+
     emb = Tables(spark, sf_dir).embeddings
-    pts = (
-        fan_out(emb)
-        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
-        .select(
-            "vec_id", "dim",
-            F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("pv"),
-        )
+    quant = F.expr(
+        "transform(embedding,"
+        " v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
     )
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K).select(
-        F.col("vec_id").alias("cid")
-    )
-    cent = (
-        pts.join(F.broadcast(seeds), pts.vec_id == seeds.cid)
-        .select("cid", "dim", F.col("pv").alias("cv"))
+    # No fan_out here (r11): the per-row work is a vectorized numpy batch
+    # kernel, not interpreted string ops, so the scan's natural split is
+    # the right parallelism at every scale — forcing 32 partitions onto a
+    # KB-scale local input just multiplies per-task Arrow/Python setup
+    # across every Lloyd round (guide §2.2 "fewer, larger map tasks").
+    pts = emb.select("vec_id", quant.alias("pv")).localCheckpoint(eager=False)
+    seed_rows = pts.orderBy("vec_id").limit(_KM_K).collect()
+    # cent: ordered [(cid, [cv_0..cv_{dims-1}])] — Spark-quantized BIGINTs.
+    cent = sorted((int(r["vec_id"]), [int(x) for x in r["pv"]]) for r in seed_rows)
+    dims = len(cent[0][1])
+    part_schema = (
+        "cid long, n long, sd long, "
+        + ", ".join(f"s{d} long" for d in range(dims))
     )
 
-    def assign(cent: DataFrame) -> DataFrame:
-        diff = F.col("pv") - F.col("cv")
-        dist = (
-            pts.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(diff * diff).alias("d"))
-        )
-        return dist.groupBy("vec_id").agg(
-            F.min(F.struct("d", "cid")).alias("m")
-        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    def partials_fn(cent_lit: list[tuple[int, list[int]]]):
+        cids = np.array([c for c, _ in cent_lit], dtype=np.int64)
+        cmat = np.array([cv for _, cv in cent_lit], dtype=np.int64)  # K×dims
+
+        def f(batches):
+            for batch in batches:
+                col = batch.column(batch.schema.get_field_index("pv"))
+                if len(col) == 0:
+                    continue
+                vec = np.stack(col.to_numpy(zero_copy_only=False)).astype(
+                    np.int64, copy=False
+                )  # n×dims
+                diff = vec[:, None, :] - cmat[None, :, :]
+                dist = np.einsum("nkd,nkd->nk", diff, diff)  # exact int64
+                amin = dist.argmin(axis=1)  # first (lowest-cid) on ties
+                d = dist[np.arange(len(vec)), amin]
+                out_cids = []
+                for i, cid in enumerate(cids):
+                    mask = amin == i
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    out_cids.append(
+                        [cid, n, int(d[mask].sum())] + vec[mask].sum(axis=0).tolist()
+                    )
+                cols = list(zip(*out_cids))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=pa.int64()) for c in cols],
+                    ["cid", "n", "sd"] + [f"s{d}" for d in range(dims)],
+                )
+
+        return f
 
     for _ in range(_KM_ITERS):
-        a = assign(cent).select("vec_id", "cid")
-        cent = (
-            pts.join(a, "vec_id")
-            .groupBy("cid", "dim")
-            .agg(F.expr("CAST(SUM(pv) DIV COUNT(*) AS BIGINT)").alias("cv"))
+        upd = (
+            pts.select("pv")
+            .mapInArrow(partials_fn(cent), part_schema)
+            .groupBy("cid")
+            .agg(
+                *[
+                    F.expr(f"CAST(SUM(s{d}) DIV SUM(n) AS BIGINT)").alias(f"c{d}")
+                    for d in range(dims)
+                ]
+            )
+            .collect()
         )
-    final = assign(cent)
-    return final.groupBy(F.col("cid").alias("cluster")).agg(
-        F.count("*").alias("n_points"), F.sum("d").alias("inertia")
+        cent = sorted(
+            (int(r["cid"]), [int(r[f"c{d}"]) for d in range(dims)]) for r in upd
+        )
+    return (
+        pts.select("pv")
+        .mapInArrow(partials_fn(cent), part_schema)
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.sum("n").cast("long").alias("n_points"),
+            F.sum("sd").cast("long").alias("inertia"),
+        )
     )
 
 

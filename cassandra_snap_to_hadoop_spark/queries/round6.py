@@ -513,51 +513,60 @@ def j101_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sums are BIGINT and association-free; md5 features hash
     identically in both engines.
 
-    Scale shape: the bigram stream is one corpus-scan explode (TF-IDF
-    volume); both count relations hash-agg to ≤ B rows; the scoring join
-    broadcasts the B-row feature table onto the stream — no shuffle
-    beyond the per-doc agg.  Selection (top-k by weight) composes with
-    j58/j43's certified samplers."""
+    Scale shape (r11 optimization, guide §1.1 first-principles + §2.3
+    "shuffle keys and metadata instead of payloads"): ONE corpus-scan
+    explode builds the per-(doc, en?, feature) count proxy, which
+    localCheckpoints and feeds everything — the old plan re-derived the
+    tokenize+md5 stream FOUR times (target counts, source counts, the
+    two totals, the scoring join).  The feature table now folds out of
+    the proxy with conditional sums (c_t = Σ en counts, c_s = Σ all) and
+    BOTH totals come from the ≤B-row feature relation itself (n_s = Σc_s,
+    n_t = Σc_t) — zero extra corpus passes; the scoring join broadcasts
+    the B-row table onto the proxy and weights each feature by its
+    per-doc count (Σ cnt·r ≡ the old per-instance Σ r, exact BIGINTs).
+    Selection (top-k by weight) composes with j58/j43's certified
+    samplers."""
     d = fan_out(Tables(spark, sf_dir).documents)
     w = tokens(F.col("text"))
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.array_join(F.slice(w, i, 2), " "),
     )
-    bg = (
+    bgc = (
         d.filter(F.size(w) >= 2)
         .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
         .select(
             "doc_id",
-            "lang",
+            (F.col("lang") == "en").alias("en"),
             F.pmod(
                 F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10).cast("long"),
                 F.lit(_DSIR_B),
             ).alias("f"),
         )
+        .groupBy("doc_id", "en", "f")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    ct = bg.where(F.col("lang") == "en").groupBy("f").agg(F.count("*").alias("c_t"))
-    cs = bg.groupBy("f").agg(F.count("*").alias("c_s"))
-    tt = bg.where(F.col("lang") == "en").agg(F.count("*").alias("n_t"))
-    ts = bg.agg(F.count("*").alias("n_s"))
-    feat = (
-        cs.join(ct, "f", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(ts))
-        .select(
-            "f",
-            F.expr(
-                f"CAST(FLOOR(ln(((COALESCE(c_t, 0) + 1) * (n_s + {_DSIR_B})) * 1.0"
-                f" / ((c_s + 1) * (n_t + {_DSIR_B}))) * 1000000) AS BIGINT)"
-            ).alias("r"),
-        )
+    counts = bgc.groupBy("f").agg(
+        F.sum("cnt").alias("c_s"),
+        F.sum(F.when(F.col("en"), F.col("cnt")).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    feat = counts.crossJoin(F.broadcast(totals)).select(
+        "f",
+        F.expr(
+            f"CAST(FLOOR(ln(((c_t + 1) * (n_s + {_DSIR_B})) * 1.0"
+            f" / ((c_s + 1) * (n_t + {_DSIR_B}))) * 1000000) AS BIGINT)"
+        ).alias("r"),
     )
     return (
-        bg.join(F.broadcast(feat), "f")
+        bgc.join(F.broadcast(feat), "f")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("r").cast("long").alias("w_micro"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("r")).cast("long").alias("w_micro"),
         )
     )
 

@@ -523,13 +523,23 @@ def j127_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(w) - 7),"
         " i -> concat_ws(' ', slice(w, i, 8)))"
     )
+    # r11 (guide §3.3): train_hits (the tiny colliding subset) is consumed
+    # TWICE (hits and collide), each re-deriving the whole gram semi join —
+    # checkpoint it so the expensive subtree runs once.  The gram relation
+    # itself (sh) deliberately does NOT checkpoint: materializing the
+    # heavy 8-gram strings buys little over the pipelined re-derivation
+    # (isolated noop medians at sf0.1: 4.4 s original, ~2.7 s with this
+    # checkpoint, within noise of also checkpointing sh — the §8 "don't
+    # move heavy payloads" lesson applied to a cache decision).
     sh = (
         t.where(F.size("w") >= 8)
         .select("doc_id", "source", "is_eval", F.explode(grams).alias("s"))
         .distinct()
     )
     ev = sh.where(F.col("is_eval")).select("s").distinct()
-    train_hits = sh.where(~F.col("is_eval")).join(ev, "s")
+    train_hits = (
+        sh.where(~F.col("is_eval")).join(ev, "s").localCheckpoint(eager=False)
+    )
     hits = train_hits.select("doc_id", "source").distinct()
     collide = train_hits.agg(
         F.countDistinct("s").cast("long").alias("n_collision_grams")

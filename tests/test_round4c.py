@@ -320,11 +320,16 @@ def test_kmeans_lloyd_partitions_all_points(spark):
     assert total == n
 
 
-def test_kmeans_centroids_are_broadcast(spark):
-    """The per-iteration distance join must broadcast the KB-sized
-    centroid side, never shuffle the point relation for it."""
+def test_kmeans_assignment_never_joins_or_shuffles_points(spark):
+    """r11 shape: the Lloyd assignment is an Arrow-batched kernel over the
+    checkpointed point relation with centroid literals — the final plan
+    must carry NO join of the point relation at all (the K×dims centroids
+    ride inside the kernel closure) and only the K-row partials may cross
+    the one aggregation exchange."""
     plan = plan_string(REGISTRY["j86_kmeans_lloyd"].fn(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert plan.count("+- Exchange") <= 1, plan
 
 
 # ----------------------------------------------------------------- DBSCAN
