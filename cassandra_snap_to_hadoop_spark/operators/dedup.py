@@ -609,9 +609,11 @@ def ppjoin_pairs(
     # for free, and verification below becomes a codegen array_intersect on
     # two bounded arrays instead of a second exploded join (measured ~2x on
     # the whole query at sf0.1).
+    # r11: ``sets`` feeds THREE consumers (sizes + both verification
+    # sides) — without a cut each re-runs the groupBy + sort shuffle.
     sets = ex.groupBy("id").agg(
         F.sort_array(F.collect_list("sh")).alias("shs"), F.count("*").alias("sz")
-    )
+    ).localCheckpoint(eager=False)
     # Global document frequency per shingle — the canonical prefix order.
     dfreq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     from pyspark.sql.window import Window
@@ -647,10 +649,13 @@ def ppjoin_pairs(
         # (J is a small-denominator rational), so the plain compare is
         # exact here.
         verify_keep_expr = lambda lo, hi: lo >= F.lit(threshold) * hi  # noqa: E731
+    # r11: ``prefix`` is both sides of the candidate self-join — cut the
+    # lineage so the dfreq join + per-doc rank window run once, not twice.
     prefix = (
         ranked.join(sizes, "id")
         .filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1)
         .select("id", "sh", "sz", "pos")
+        .localCheckpoint(eager=False)
     )
     # Candidate join on prefix shingles with BOTH classic prunes:
     #   * size filter:        J >= t  =>  min(|x|,|y|) >= t * max(|x|,|y|)
@@ -748,7 +753,13 @@ def simhash_hamming_pairs(
         raise ValueError("pigeonhole guarantee needs max_hamming <= n_bands - 1")
     if bits % n_bands:
         raise ValueError("bits must divide evenly into n_bands blocks")
-    fp = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash)
+    # r11: the fingerprint relation is BOTH sides of the band self-join —
+    # without a lineage cut the whole simhash pass (token explode + md5 +
+    # 64 conditional bit votes) runs twice.  (id, simhash) is two longs
+    # per document, the cheapest possible thing to materialize.
+    fp = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash).localCheckpoint(
+        eager=False
+    )
     width = bits // n_bands
     mask = (1 << width) - 1
     bands = fp.select(

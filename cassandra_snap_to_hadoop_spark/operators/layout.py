@@ -143,8 +143,6 @@ def global_rank(
     (the sum of the per-partition counts — already collected, no extra
     job), which :func:`ntile_expr` needs for closed-form bucketing.
     """
-    from pyspark.sql.window import Window
-
     # localCheckpoint is CORRECTNESS here, not an optimization:
     # repartitionByRange samples its boundaries per execution, and the
     # counts job and the ranking job are separate executions — without
@@ -168,11 +166,24 @@ def global_rank(
     offset_col = F.coalesce(
         *[F.when(F.col("__pid") == p, F.lit(o)) for p, o in offsets.items()]
     ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # r11 (guide §2.4 "remove shuffles outright"): the local rank used to
+    # be a ``row_number() OVER (PARTITION BY __pid ...)`` window — but the
+    # checkpointed RDD reports UnknownPartitioning, so Spark inserted a
+    # full hash exchange of the fact relation on __pid (re-shuffling data
+    # that was ALREADY laid out by the range partitioner) plus a second
+    # sort.  ``sortWithinPartitions`` (no exchange) + the documented
+    # ``monotonically_increasing_id`` layout — partition index in the
+    # high bits, the 0-based row position within the partition in the low
+    # 33 — yields the identical local rank as pure codegen arithmetic.
+    # Bit-identical: the sort order and partition boundaries are pinned
+    # by the checkpoint, so offset + low-bits + 1 == offset + row_number.
+    local = (
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1
+    )
     ranked = (
-        keyed.withColumn("__local", F.row_number().over(w))
-        .withColumn(out_col, (offset_col + F.col("__local")).cast("long"))
-        .drop("__pid", "__local")
+        keyed.sortWithinPartitions(*order_cols)
+        .withColumn(out_col, (offset_col + local).cast("long"))
+        .drop("__pid")
     )
     if return_total:
         return ranked, acc

@@ -191,56 +191,78 @@ def j100_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same peeling as MATERIALIZED CTEs; a pure-Python
     iterative peel pins the true fixpoint in tests/test_round6.py.
 
-    Scale shape: the edge relation localCheckpoints once; each round is
-    two hash semi-joins onto the active set plus one hash agg — |E| + 2|V|
-    shuffle per round with a fixed round budget.  Output = core nodes
-    with their in-core degree (at the fixpoint d_T == degree within the
-    final core)."""
+    Scale shape (r11 optimization — the standard DELTA peel): the old
+    loop recomputed the induced-subgraph degree from scratch each round
+    (edges semi-joined onto the active set twice + a 2|E| union agg:
+    ~3|E| shuffled bytes per round).  Degrees-within-active obey
+    deg_{{r+1}}(v) = deg_r(v) − #edges(v → dropped_r), so each round now
+    touches only the edges INCIDENT TO THE JUST-DROPPED nodes: one join
+    of the symmetric edge relation onto the (shrinking) dropped set —
+    AQE broadcasts it once it is small — plus two KB-side hash joins to
+    apply the per-node delta.  The identical trajectory d_1..d_8 as the
+    oracle's unrolled CTE chain: d_1 = full degree; membership, degree
+    values and the ROUNDS budget are unchanged, rounds after the
+    fixpoint are the identity (the j90 argument), and every value stays
+    an exact BIGINT.  Output = core nodes with their in-core degree."""
     li = Tables(spark, sf_dir).lineitem
-    edges = (
+    b = (F.col("l_partkey") + F.lit(1000000000).cast("long")).alias("dst")
+    a = F.col("l_orderkey").alias("src")
+    # Symmetric distinct edge relation in ONE shuffle: the node id spaces
+    # are disjoint (orderkey < 1e9 <= shifted partkey), so symmetrize-
+    # then-distinct == distinct-then-symmetrize, and a single 2|E|
+    # distinct replaces the old (distinct checkpoint + two reads).
+    sym = (
         li.where(F.col("l_quantity") >= 25)
         .select(
-            F.col("l_orderkey").alias("a"),
-            (F.col("l_partkey") + F.lit(1000000000).cast("long")).alias("b"),
+            F.explode(
+                F.array(
+                    F.struct(a, b),
+                    F.struct(
+                        (F.col("l_partkey") + F.lit(1000000000).cast("long")).alias(
+                            "src"
+                        ),
+                        F.col("l_orderkey").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    active = (
-        edges.select(F.col("a").alias("node"))
-        .union(edges.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # live == d_r: (node, degree within the round-r active set).  The
+    # first degree relation is the plain symmetric-degree agg (== the
+    # oracle's d1, since a0 is exactly the edge-endpoint set).
+    live = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
     )
-    deg = None
-    prev_n = -1
-    for _ in range(_KCORE_ROUNDS):
-        both = edges.join(
-            active.select(F.col("node").alias("a")), "a"
-        ).join(active.select(F.col("node").alias("b")), "b")
-        deg = (
-            both.select(F.col("a").alias("node"))
-            .unionAll(both.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
+    # 7 delta updates carry d_1 -> d_8 (the oracle's 8 materialized
+    # degree relations); an empty dropped set is the fixpoint — every
+    # remaining round is the identity, stop paying for no-op rounds.
+    # ``live.where(deg >= k)`` IS the anti join against dropped (exact
+    # complement of the same relation), so each round is just the delta
+    # join + one left join that AQE broadcasts once dropped is small.
+    for _ in range(_KCORE_ROUNDS - 1):
+        dropped = live.where(F.col("deg") < _KCORE_K).select("node")
+        if dropped.limit(1).count() == 0:
+            break
+        delta = (
+            sym.join(dropped.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("dd"))
         )
-        # lazy checkpoint: the convergence count below materializes it —
-        # one job per round instead of eager-checkpoint + count (r11).
-        active = (
-            deg.where(F.col("deg") >= _KCORE_K)
-            .select("node")
+        live = (
+            live.where(F.col("deg") >= _KCORE_K)
+            .join(delta, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("dd"), F.lit(0))).alias("deg"),
+            )
             .localCheckpoint(eager=False)
         )
-        # Early exit on the fixpoint: peeling only ever SHRINKS the active
-        # set, so an unchanged count means no node fell below k and every
-        # remaining round is the identity — the output equals the full
-        # 8-round unroll the oracle executes (the j90 fixpoint argument),
-        # we just stop paying for no-op rounds.  One KB count per round.
-        cur_n = active.count()
-        if cur_n == prev_n:
-            break
-        prev_n = cur_n
-    return deg.where(F.col("deg") >= _KCORE_K).select(
+    return live.where(F.col("deg") >= _KCORE_K).select(
         "node", F.col("deg").cast("long").alias("core_degree")
     )
 
