@@ -135,9 +135,12 @@ def j70_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     pre = d.select("doc_id", "lang", F.substring("text", 1, 40).alias("s"))
+    # r11: ``t`` is both sides of the neighborhood self-join — cut the
+    # lineage once (guide §2.4) so the corpus scan + per-lang rank window
+    # run once, not twice; the relation is (id, lang, 40-char prefix, rn).
     t = pre.withColumn(
         "rn", F.row_number().over(Window.partitionBy("lang").orderBy("s", "doc_id"))
-    )
+    ).localCheckpoint(eager=False)
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b,

@@ -123,18 +123,25 @@ def sql_api_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_capped = capped.count()
     thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     hint = "/*+ BROADCAST(b) */ " if 0 < thr and n_capped * 48 < thr else ""
+    # The step join only needs (custkey, rn, amt_cents) from the build
+    # side — n_chain is constant per custkey, so the frontier carries it
+    # (c.n_chain) and the per-iteration broadcast rebuild ships 3 columns
+    # instead of 4 (guide §2.3 "project before the exchange"; UnionLoop
+    # rebuilds the build side every iteration, so the narrowing pays 12x).
     return spark.sql(
         f"""
         WITH RECURSIVE capped AS (
             SELECT custkey, rn, amt_cents, n_chain FROM cs2h_rec_capped
+        ), step AS (
+            SELECT custkey, rn, amt_cents FROM cs2h_rec_capped
         ), chain AS (
             SELECT custkey, rn, n_chain, amt_cents AS bal_cents
             FROM capped WHERE rn = 1
             UNION ALL
-            SELECT {hint}b.custkey, b.rn, b.n_chain,
+            SELECT {hint}b.custkey, b.rn, c.n_chain,
                    (c.bal_cents * 105) DIV 100 + b.amt_cents
             FROM chain c
-            JOIN capped b ON b.custkey = c.custkey AND b.rn = c.rn + 1
+            JOIN step b ON b.custkey = c.custkey AND b.rn = c.rn + 1
         )
         SELECT custkey, CAST(n_chain AS BIGINT) AS n_orders,
                bal_cents AS final_bal_cents

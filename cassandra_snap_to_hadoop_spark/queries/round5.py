@@ -491,14 +491,24 @@ def j91_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(0, _WIN_W - 1)
     )
+    # r11: ``fps`` feeds the df aggregation AND (via ``kept``) both sides
+    # of the pair self-join — without a lineage cut the tokenize + explode
+    # + md5 + sliding-min subtree re-derives once per consumer (4 corpus
+    # scans in the before-plan, guide §2.4).  The selected-fingerprint
+    # relation is two longs per row (~2/(w+1) of the gram count), so
+    # materializing it once is cheap; ``kept`` is cut too so the df join
+    # runs once, not once per join side.
     fps = (
         grams.withColumn("fp", F.min("h").over(w))
         .filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     freq = fps.groupBy("fp").agg(F.count("*").alias("df"))
-    kept = fps.join(freq.filter(F.col("df") <= _WIN_DF_CAP), "fp")
+    kept = fps.join(freq.filter(F.col("df") <= _WIN_DF_CAP), "fp").localCheckpoint(
+        eager=False
+    )
     a = kept.select(F.col("fp"), F.col("doc_id").alias("id_a"))
     b = kept.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("id_b"))
     return (
