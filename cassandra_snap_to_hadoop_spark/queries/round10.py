@@ -1998,9 +1998,15 @@ def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Tables(spark, sf_dir).documents
+    # r11 (guide §2.4): the shingle explode fed mh + three ex.distinct()
+    # consumers (sizes/ea/eb), and mh/cand each feed two joins — fully
+    # lazy that re-derived the tokenize+explode subtree per consumer
+    # (26 Exchanges).  Lazy (persist-backed) cuts: ex once, its distinct
+    # once, the 17-long signature relation once, the candidate pairs once.
     ex = fan_out(d).select(
         "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
+    exd = ex.distinct().localCheckpoint(eager=False)
 
     def h(i: int) -> F.Column:
         return F.conv(
@@ -2009,7 +2015,7 @@ def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mh = ex.groupBy("doc_id").agg(
         *[F.min(h(i)).alias(f"mh_{i}") for i in range(_MH_N)]
-    )
+    ).localCheckpoint(eager=False)
     bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -2021,6 +2027,7 @@ def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ma = mh.select(
         F.col("doc_id").alias("id_a"),
@@ -2038,9 +2045,9 @@ def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ma, "id_a").join(mb, "id_b")
         .select("id_a", "id_b", match_expr.alias("mh_matches"))
     )
-    sizes = ex.distinct().groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    ea = ex.distinct().select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    eb = ex.distinct().select(F.col("doc_id").alias("eb_id"), F.col("sh").alias("sh_b"))
+    sizes = exd.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    ea = exd.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    eb = exd.select(F.col("doc_id").alias("eb_id"), F.col("sh").alias("sh_b"))
     inter = (
         cand.join(ea, "id_a")
         .join(eb, (F.col("id_b") == F.col("eb_id")) & (F.col("sh_a") == F.col("sh_b")))

@@ -1157,10 +1157,14 @@ def j60_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation is a SHINGLE-equi join bounded by df <= 50 per key
     (never corpus-quadratic); norms broadcast onto the pair aggregate."""
     d = fan_out(Tables(spark, sf_dir).documents)
+    # r11 (guide §2.4): sh feeds the df stats, the n_docs agg and the
+    # weighting join; w feeds norms + the rare pair sides — fully lazy
+    # the shingle explode re-derived per consumer (27 Exchanges).  Lazy
+    # (persist-backed) cuts compute each relation once.
     sh = d.select(
         F.col("doc_id").alias("doc"),
         F.explode(shingles(F.col("text"), 3)).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     stats = sh.groupBy("s").agg(F.count("*").alias("df"))
     nd = sh.select("doc").distinct().agg(F.count("*").alias("n_docs"))
     w = (
@@ -1174,8 +1178,10 @@ def j60_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wt"),
         )
-    )
-    norms = w.groupBy("doc").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm2"))
+    ).localCheckpoint(eager=False)
+    norms = w.groupBy("doc").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("nrm2")
+    ).localCheckpoint(eager=False)
     rare = w.filter(F.col("df") <= 50).select("doc", "s", "wt")
     a = rare.select(F.col("doc").alias("doc_a"), "s", F.col("wt").alias("wa"))
     b = rare.select(F.col("doc").alias("doc_b"), "s", F.col("wt").alias("wb"))

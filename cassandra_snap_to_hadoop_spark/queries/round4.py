@@ -1293,8 +1293,17 @@ def j79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # r11 (guide §2.4): e0/und/orient each feed 2-4 consumers on the
+        # bounded %512 graph — fully lazy this re-derived the lineitem
+        # scan + distinct per consumer (50 Exchanges).  Lazy
+        # (persist-backed) cuts compute each relation once.
+        .localCheckpoint(eager=False)
     )
-    und = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = und.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
     keyed = (
         und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
@@ -1308,7 +1317,7 @@ def j79_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orient = keyed.filter(F.col("ka") < F.col("kb")).select(
         F.col("ua").alias("u"), F.col("ub").alias("w"), F.col("kb").alias("kw")
-    )
+    ).localCheckpoint(eager=False)
     e1 = orient.select(F.col("u"), F.col("w").alias("v1"), F.col("kw").alias("k1"))
     e2 = orient.select(F.col("u"), F.col("w").alias("v2"), F.col("kw").alias("k2"))
     wedges = e1.join(e2, "u").filter(F.col("k1") < F.col("k2")).select("v1", "v2")

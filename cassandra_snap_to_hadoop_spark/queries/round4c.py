@@ -1274,6 +1274,11 @@ def j89_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("pv"),
         )
     )
+    # r11 (guide §2.4): ``cells`` feeds nodes + both self-join sides, and
+    # ``edges``/per-round ``lab`` are each read twice per round — fully
+    # lazy this unrolled to 54 Exchanges re-deriving the posexplode
+    # subtree.  Lazy localCheckpoints (persist-backed) compute each
+    # relation once; the loop stays a single lazy plan (no driver jobs).
     cells = pts.groupBy(
         "vec_id", "label", F.expr("dim0 DIV 8").alias("band")
     ).agg(
@@ -1282,7 +1287,7 @@ def j89_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pv") >= 0, F.expr("CAST(1 AS BIGINT) << (dim0 % 8)")
             ).otherwise(0)
         ).alias("cell")
-    )
+    ).localCheckpoint(eager=False)
     nodes = cells.select("vec_id", "label").distinct()
     a, b = cells.alias("a"), cells.alias("b")
     edges = (
@@ -1294,6 +1299,7 @@ def j89_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     lab = nodes.filter(F.col("vec_id") % _LP_SEED_MOD == 0).select(
         "vec_id", F.col("label").cast("long").alias("lab"), F.lit(0).alias("rnd")
@@ -1313,7 +1319,7 @@ def j89_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct(F.negate(F.col("c")).alias("nc"), "lab")).alias("m"))
             .select("vec_id", F.col("m.lab").alias("lab"), F.lit(r).alias("rnd"))
         )
-        lab = lab.unionByName(asg)
+        lab = lab.unionByName(asg).localCheckpoint(eager=False)
     return (
         nodes.join(lab, "vec_id", "left")
         .groupBy(

@@ -1426,6 +1426,8 @@ def j93_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB weight broadcast) → a |clusters|·|labels| ≤ 640-cell contingency
     relation → KB joins.  One corpus scan."""
     e = Tables(spark, sf_dir).embeddings
+    # r11: ``ex`` feeds both the dim-domain distinct and the dot products
+    # — cut once so the corpus posexplode runs once (guide §2.4).
     ex = fan_out(e).select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -1433,7 +1435,7 @@ def j93_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "dim",
         F.round(F.col("x").cast("double") * 1000000).cast("long").alias("micro"),
-    )
+    ).localCheckpoint(eager=False)
     dims = ex.select("dim").distinct()
     planes = spark.range(_SRP_PLANES).select(F.col("id").cast("int").alias("p"))
     weights = dims.crossJoin(F.broadcast(planes)).select(
@@ -1473,9 +1475,14 @@ def j93_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
         ).alias("cluster"),
     )
+    # r11: ``cells`` (≤640 rows) feeds ~10 downstream consumers (margins,
+    # totals, MI/H folds, majority join) — without a lineage cut each one
+    # re-derives the whole corpus-scan subtree (posexplode + SRP dots +
+    # two aggs): 111 Exchanges in the before-plan.  One eager KB-sized
+    # materialization makes everything downstream KB joins (guide §2.4).
     cells = assign.groupBy("cluster", "label").agg(
         F.count("*").cast("long").alias("n_cl")
-    )
+    ).localCheckpoint(eager=True)
     mc = cells.groupBy("cluster").agg(F.sum("n_cl").cast("long").alias("n_c"))
     ml = cells.groupBy("label").agg(F.sum("n_cl").cast("long").alias("n_l"))
     tot = cells.agg(F.sum("n_cl").cast("long").alias("n"))
@@ -1955,9 +1962,12 @@ def j94_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sz") >= 2)
         .drop("sz")
     )
+    # r11 (guide §2.4): ``members`` (≥2-member component rows, KB-scale)
+    # feeds the representative/language folds and the final join chain —
+    # four derivations of the comp⋈documents join without a cut.
     members = comp.join(F.broadcast(sized), "component_id").join(
         d.select("doc_id", "lang", "source", "n_chars"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     rep = members.groupBy("component_id").agg(
         F.max("n_chars").alias("rep_n_chars")
     )

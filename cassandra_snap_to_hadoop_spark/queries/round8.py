@@ -734,16 +734,22 @@ def e96_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = d.select("doc_id", (F.col("n_chars") % 3).alias("cat"))
     r2 = d.select("doc_id", F.expr("(n_chars div 7) % 3").alias("cat"))
     r3 = d.select("doc_id", ((F.col("doc_id") * 31) % 3).alias("cat"))
+    # r11 (guide §2.4): cell feeds per_item + cat_tot, which in turn feed
+    # two folds each — fully lazy the 3x-union corpus scan re-derived per
+    # consumer (28 Exchanges).  Lazy (persist-backed) cuts run it once.
     cell = (
         r1.unionByName(r2)
         .unionByName(r3)
         .groupBy("doc_id", "cat")
         .agg(F.count("*").cast("long").alias("nij"))
+        .localCheckpoint(eager=False)
     )
     per_item = cell.groupBy("doc_id").agg(
         (F.sum(F.col("nij") * F.col("nij")) - 3).cast("long").alias("agree2")
-    )
-    cat_tot = cell.groupBy("cat").agg(F.sum("nij").cast("long").alias("cj"))
+    ).localCheckpoint(eager=False)
+    cat_tot = cell.groupBy("cat").agg(
+        F.sum("nij").cast("long").alias("cj")
+    ).localCheckpoint(eager=False)
     n = per_item.agg(F.count("*").cast("long").alias("n_items"))
     pbar = (
         per_item.agg(F.sum("agree2").cast("long").alias("sa"))

@@ -2286,23 +2286,27 @@ def f54_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     )
     winsz = numbered.sparkSession.createDataFrame([(8,), (24,)], "w int")
+    # r11 (guide §2.4): cells/cc/wstats/agg each feed two consumers on the
+    # calendar-bounded relation — fully lazy this re-derived the events
+    # scan + daily agg + rank window per consumer (41 Exchanges).  Lazy
+    # (persist-backed) cuts compute each stage once.
     cells = numbered.crossJoin(F.broadcast(winsz)).select(
         "event_type", "w",
         F.expr("(rn - 1) DIV w").alias("wid"),
         F.expr("((rn - 1) % w) + 1").alias("k"),
         "x",
-    )
+    ).localCheckpoint(eager=False)
     complete = (
         cells.groupBy("event_type", "w", "wid")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") == F.col("w"))
         .drop("cnt")
     )
-    cc = cells.join(complete, ["event_type", "w", "wid"])
+    cc = cells.join(complete, ["event_type", "w", "wid"]).localCheckpoint(eager=False)
     wstats = cc.groupBy("event_type", "w", "wid").agg(
         F.sum("x").cast("long").alias("s"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     wz = Window.partitionBy("event_type", "w", "wid").orderBy("k")
     z = cc.join(wstats, ["event_type", "w", "wid"]).select(
         "event_type", "w", "wid",
@@ -2328,7 +2332,7 @@ def f54_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_win.groupBy("event_type", "w").agg(
         F.expr("CAST(SUM(rs2_micro) DIV COUNT(*) AS BIGINT)").alias("rs2"),
         F.count("*").cast("long").alias("n_windows"),
-    )
+    ).localCheckpoint(eager=False)
     a8 = agg.where(F.col("w") == 8).select(
         "event_type", F.col("rs2").alias("rs2_w8"), F.col("n_windows").alias("n_w8")
     )
