@@ -2016,7 +2016,10 @@ def j133_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = ex.groupBy("doc_id").agg(
         *[F.min(h(i)).alias(f"mh_{i}") for i in range(_MH_N)]
     ).localCheckpoint(eager=False)
-    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    # r11 (guide §2.4): both self-join sides — cut once.
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS).localCheckpoint(
+        eager=False
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -584,9 +584,12 @@ def e53_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         j78_nearest_centroid_eval,
     )
 
+    # r11 (guide §2.4): the |labels|² confusion relation feeds the row,
+    # column and total folds — one KB cut runs j78's embeddings pipeline
+    # once, not three times.
     cm = j78_nearest_centroid_eval(spark, sf_dir).select(
         F.col("true_label").alias("t"), F.col("pred_label").alias("p"), "n"
-    )
+    ).localCheckpoint(eager=False)
     rows_ = cm.groupBy("t").agg(F.sum("n").alias("r"))
     cols_ = cm.groupBy("p").agg(F.sum("n").alias("c"))
     tot = cm.agg(

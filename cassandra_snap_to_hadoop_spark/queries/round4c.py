@@ -117,10 +117,14 @@ def j2_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         fan_out(d)
         .select(F.col("doc_id"), F.explode(shingles(F.col("text"), 3)).alias("sh"))
+        # r11 (guide §2.4): ``ex`` feeds sizes + both verification join
+        # sides — cut once so the shingle explode runs once, not thrice.
+        .localCheckpoint(eager=False)
     )
+    # r11 (guide §2.4): both self-join sides — cut once.
     bands = md5_minhash_bands(
         d, n_hashes=_MH_N, rows_per_band=_MH_ROWS
-    )
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -131,6 +135,9 @@ def j2_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        # r11: ``cand`` feeds the verification join AND the final left
+        # join — cut once.
+        .localCheckpoint(eager=False)
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ea = ex.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -152,7 +152,11 @@ def j90_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Tables(spark, sf_dir).documents
-    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    # r11 (guide §2.4): ``bands`` feeds the hub agg AND the pair join —
+    # one cut runs the MinHash pipeline once, not twice.
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS).localCheckpoint(
+        eager=False
+    )
     hubs = (
         bands.groupBy("band", "bkey")
         .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
@@ -1938,7 +1942,11 @@ def j94_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Tables(spark, sf_dir).documents
-    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    # r11 (guide §2.4): ``bands`` feeds the hub agg AND the pair join —
+    # one cut runs the MinHash pipeline once, not twice.
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS).localCheckpoint(
+        eager=False
+    )
     hubs = (
         bands.groupBy("band", "bkey")
         .agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
@@ -2460,6 +2468,10 @@ def j97_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Tables(spark, sf_dir).documents
     truth = jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.3)
+    # r11: checkpointing ``bands`` here was MEASURED SLOWER (2.7 -> 3.8 s
+    # noop) unlike every sibling band consumer — the truth side derives
+    # the same shingle explode, and cutting bands breaks the runtime
+    # stage sharing between the two pipelines.  Left uncut deliberately.
     bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -3022,7 +3034,10 @@ def j99_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - 1).cast("long").alias("docs_removed"),
         F.sum(F.col("chars") - F.col("surv_chars")).cast("long").alias("chars_removed"),
     ).select("tier", "docs_removed", "chars_removed")
-    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS)
+    # r11 (guide §2.4): bands feeds hubs + the pair join — cut once.
+    bands = md5_minhash_bands(d, n_hashes=_MH_N, rows_per_band=_MH_ROWS).localCheckpoint(
+        eager=False
+    )
     hubs = (
         bands.groupBy("band", "bkey")
         .agg(F.min("doc_id").alias("hub"), F.count("*").alias("nb"))

@@ -1191,8 +1191,13 @@ def j103_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "bg"),
         )
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # r11 (guide §2.4): ``b`` feeds the four count relations AND the
+        # scoring join — five derivations of the tokenize+posexplode
+        # subtree without a cut (15 Exchanges).  One persist-backed cut
+        # runs the corpus pass once.
+        .localCheckpoint(eager=False)
     )
-    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
     u1 = b.groupBy("w1").agg(F.count("*").alias("c1"))
     nf = b.groupBy("w1").agg(F.countDistinct("w2").alias("nf"))
     np_ = b.groupBy("w2").agg(F.countDistinct("w1").alias("np"))

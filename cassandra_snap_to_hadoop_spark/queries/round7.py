@@ -964,11 +964,14 @@ def _register_e84() -> None:
                 "sb"
             )
         )
+        # r11 (guide §2.4): ``both`` feeds the bounds agg AND the binning
+        # — without a cut the two score scans (sa fold + sb posexplode)
+        # each ran twice.  (vec_id-count rows of 3 ints: cheap to hold.)
         both = sc.join(sb, "vec_id").select(
             F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
             F.col("s").alias("sa"),
             "sb",
-        )
+        ).localCheckpoint(eager=False)
         bounds = both.agg(
             F.min("sa").alias("loa"),
             F.max("sa").alias("hia"),

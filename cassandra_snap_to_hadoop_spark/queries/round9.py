@@ -92,9 +92,12 @@ def e116_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("subj"), F.col("l_linenumber").alias("item")
         )
         .agg(F.min("l_quantity").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
     )
     complete = cells.groupBy("subj").count().where(F.col("count") == 4).select("subj")
-    cc = cells.join(complete, "subj")
+    # r11 (guide §2.4): cells feeds the completeness agg + the block
+    # join, cc feeds three folds — cuts run the fact scan once.
+    cc = cells.join(complete, "subj").localCheckpoint(eager=False)
     item_var = (
         cc.groupBy("item")
         .agg(
@@ -416,8 +419,11 @@ def e119_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("subj"), F.col("l_linenumber").alias("item")
         )
         .agg(F.min("l_quantity").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
     )
     complete = cells.groupBy("subj").count().where(F.col("count") == 4).select("subj")
+    # r11 (guide §2.4): cells feeds the completeness agg + the block
+    # join — cut so the fact scan + cell agg run once.
     cc = cells.join(complete, "subj")
     per_subj = cc.groupBy("subj").agg(
         F.sum("x").cast("long").alias("s"),

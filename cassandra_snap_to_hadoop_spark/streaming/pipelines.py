@@ -454,6 +454,11 @@ def incremental_curation_pipeline(
         except Exception:  # first batch: no curated store yet
             fresh = in_batch
         if near_dup:
+            # r11 (guide §2.4): ``fresh`` feeds the band-key derivation,
+            # the near-dup anti join AND the final write — cut once so the
+            # quality gate + dedup window + store anti-join run once per
+            # batch, not three times.
+            fresh = fresh.localCheckpoint()
             batch_bands = minhash_band_keys(fresh, "doc_id", "text").localCheckpoint()
             try:
                 corpus_bands = ss.read.parquet(f"{bands_dir}/batch_id=*").select("band", "bkey")
