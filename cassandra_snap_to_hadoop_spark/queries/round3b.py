@@ -162,8 +162,13 @@ def j51_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the per-doc join inputs but corpus statistics (df, avgdl, N)
     stay corpus-wide — restricting stats to the output subset is the
     classic BM25 implementation bug."""
-    tfc = _tf(spark, sf_dir)
-    dl = tfc.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    # r11 (guide §2.4): tfc feeds dl/topterms/the query join, dl feeds
+    # stats + the scoring join, tfq feeds df + scoring — persist-backed
+    # cuts run the tokenize+tf pipeline once (18 Exchanges before).
+    tfc = _tf(spark, sf_dir).localCheckpoint(eager=False)
+    dl = tfc.groupBy("doc").agg(
+        F.sum("tf").cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("n_tokens"),
@@ -176,7 +181,7 @@ def j51_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("term")
     )
-    tfq = tfc.join(F.broadcast(topterms), "term")
+    tfq = tfc.join(F.broadcast(topterms), "term").localCheckpoint(eager=False)
     dfq = tfq.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
     unats = F.floor(
@@ -414,10 +419,14 @@ def j52_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("term")
     ).filter((F.col("term") != "") & ~F.col("term").isin(list(_STOP)))
-    dt = tok.distinct()
+    # r11 (guide §2.4): dt feeds the df ranking + the vocab join, dv
+    # feeds both pair-join sides — cuts run the token explode once.
+    dt = tok.distinct().localCheckpoint(eager=False)
     dfc = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     vocab = dfc.orderBy(F.col("df").desc(), "term").limit(100)
-    dv = dt.join(F.broadcast(vocab.select("term")), "term").select("doc", "term")
+    dv = dt.join(F.broadcast(vocab.select("term")), "term").select(
+        "doc", "term"
+    ).localCheckpoint(eager=False)
     nd = Tables(spark, sf_dir).documents.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )

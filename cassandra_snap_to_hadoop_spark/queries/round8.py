@@ -382,6 +382,11 @@ def b15_quorum_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(replication factor), the 100 TB cost is 3 scans + 1 agg + 3 joins
     — exactly the coordinator's per-read cost amortized batch-side."""
     o = fan_out(Tables(spark, sf_dir).orders)
+    # r11 (guide §2.4): ``reconciled`` feeds the total + three audit
+    # joins — fully lazy the LWW agg (and the scan under it) re-derived
+    # per consumer (23 Exchanges).  One persist-backed cut on the agg
+    # runs it once; cutting ``base`` itself was measured SLOWER (the
+    # replica projections re-derive cheaply in parallel from the scan).
     base = o.select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
@@ -402,7 +407,7 @@ def b15_quorum_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciled = allv.groupBy("k").agg(
         F.max("ts").alias("ts"),
         F.expr("max_by(v, struct(ts, v))").cast("long").alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     tot = reconciled.agg(
         F.sum("v").cast("long").alias("total_value"),
         F.count("*").cast("long").alias("n_keys"),
