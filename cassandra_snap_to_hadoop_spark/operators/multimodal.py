@@ -80,20 +80,43 @@ def decode_stub(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
+            # r11 (guide §4.2): byte stats were per-row pure-Python
+            # sum()/min()/max() over the payload bytes; one numpy
+            # reduceat pass over the batch's concatenated buffer
+            # computes identical values (exact int sums -> the same
+            # IEEE division; a zero-length segment makes reduceat echo a
+            # neighbouring byte, masked out below).  Only the sha256
+            # stays per row (no vectorized form).
+            vals = payloads.tolist()
+            lens = np.fromiter(
+                (0 if b is None else len(b) for b in vals), dtype=np.int64, count=len(vals)
+            )
+            empty = lens == 0
+            flat = np.frombuffer(b"".join(bytes(b) for b in vals if b), dtype=np.uint8)
+            if len(flat):
+                starts = (np.cumsum(lens) - lens).clip(max=len(flat) - 1)
+                sums = np.add.reduceat(flat.astype(np.int64), starts)
+                mins = np.minimum.reduceat(flat, starts).astype(np.int64)
+                maxs = np.maximum.reduceat(flat, starts).astype(np.int64)
+            else:
+                sums = np.zeros(len(lens), dtype=np.int64)
+                mins = maxs = sums
+            mean_vals = sums.astype("float64") / np.where(empty, 1, lens)
             out = pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "byte_mean": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if b else None
-                    ),
-                    "byte_min": payloads.map(lambda b: min(b) if b else None),
-                    "byte_max": payloads.map(lambda b: max(b) if b else None),
-                    "sha_prefix": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest()[:16] if b is not None else None
-                    ),
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_mean": [None if e else m for e, m in zip(empty, mean_vals)],
+                    "byte_min": [None if e else int(m) for e, m in zip(empty, mins)],
+                    "byte_max": [None if e else int(m) for e, m in zip(empty, maxs)],
+                    "sha_prefix": [
+                        hashlib.sha256(b).hexdigest()[:16] if b is not None else None
+                        for b in vals
+                    ],
                 }
             )
             yield out
