@@ -593,8 +593,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     " pairwise-difference lattice (domain-bounded)",
     "f55_kuiper_two_sample": "global-ECDF cumsum over the DISTINCT rounded-"
     "value grid — e36's machinery verbatim (the e36/e81 exemption class)",
-    "e127_brunner_munzel": "midrank cumsums over the ≤57-value pooled"
-    " quantity histogram (the e36/e81 exemption class)",
+    # e127_brunner_munzel left the allowlist in r11: its midrank cumsum
+    # windows (≤57-row grid) now run inside the eagerly checkpointed
+    # ranked-grid relation, so the returned plan no longer contains a
+    # global window (the tightness check below enforces removal).
     "a44_lcs_level_audit": "newest-first file rank over the per-day sstable"
     " relation (calendar-bounded — the e39/f22 exemption class)",
     "e131_ansari_bradley": "doubled-midrank cumsum over the ≤50-value pooled"
