@@ -322,6 +322,11 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__nl", n_lines)
         .select("doc_id", F.explode(lines).alias("pl"))
         .select("doc_id", F.col("pl.pos").alias("pos"), F.col("pl.line").alias("line"))
+        # r11 (guide §2.4): the line relation feeds the df agg, the
+        # anti-join probe side and the per-doc totals — cut once so the
+        # banner-injection + tokenize + line-chunking explode runs once,
+        # not three times (the j125 gram-relation precedent).
+        .localCheckpoint(eager=False)
     )
     boiler = (
         exploded.groupBy("line")
@@ -721,7 +726,14 @@ def j37_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing scales with docs^2."""
     d = fan_out(Tables(spark, sf_dir).documents)
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    # r11 (guide §2.4): the (source, term) count relation feeds the
+    # per-source totals, the corpus counts and the contribution join —
+    # cut once so the tokenize+explode+agg chain runs once, not thrice.
+    per_src = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
     corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus.agg(F.sum("cc").alias("nn"))
@@ -775,13 +787,15 @@ def j38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole card is one corpus scan + a handful of tiny re-aggs — the
     'print the report' query that runs after every pipeline stage."""
     d = Tables(spark, sf_dir).documents
+    # r11 (guide §2.4): the narrow per-doc stats projection feeds all ten
+    # card rows — cut once so the scan + tokenize runs once, not 10×.
     t = d.select(
         "doc_id",
         "lang",
         "source",
         F.size(tokens(F.col("text"))).alias("n_toks"),
         F.length("text").alias("n_chars"),
-    )
+    ).localCheckpoint(eager=False)
 
     def stat(name, col):
         return t.agg(col.cast("long").alias("value")).select(

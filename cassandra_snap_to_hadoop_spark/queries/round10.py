@@ -627,17 +627,21 @@ def e123_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross, one window cumsum over ≤99 rows — at any corpus
     size the pair term is |domain|², never n²."""
     li = Tables(spark, sf_dir).lineitem
+    # r11 (guide §2.4): each ≤50-row histogram feeds the pairwise cross
+    # AND its sample-size fold — cut both so lineitem scans twice, not 4×.
     hx = (
         li.where(F.col("l_returnflag") == "R")
         .groupBy(
             (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
         )
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     hy = (
         li.where(F.col("l_returnflag") == "A")
         .groupBy(F.col("l_quantity").cast("long").alias("v"))
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     diffs = (
         hx.select(F.col("v").alias("vx"), F.col("c").alias("cx"))
@@ -1478,17 +1482,21 @@ def e125_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: e123's — two histogram aggs on the value lattice, a
     broadcast cross, one fold; pair term is domain², never n²."""
     li = Tables(spark, sf_dir).lineitem
+    # r11 (guide §2.4): each ≤50-row histogram feeds the pairwise cross
+    # AND its sample-size fold — cut both so lineitem scans twice, not 4×.
     hx = (
         li.where(F.col("l_returnflag") == "R")
         .groupBy(
             (F.col("l_quantity").cast("long") + F.col("l_partkey") % 7).alias("v")
         )
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     hy = (
         li.where(F.col("l_returnflag") == "A")
         .groupBy(F.col("l_quantity").cast("long").alias("v"))
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     cx = hx.select(F.col("v").alias("vx"), F.col("c").alias("cx")).crossJoin(
         F.broadcast(hy.select(F.col("v").alias("vy"), F.col("c").alias("cy")))

@@ -761,6 +761,9 @@ def e130_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("v")
         )
+        # r11 (guide §2.4): e103's cut — the ≤125-row cell grid feeds the
+        # completeness agg, both self-join sides and the block count.
+        .localCheckpoint(eager=False)
     )
     complete = cells.groupBy("blk").count().where(F.col("count") == 5).select("blk")
     cc = cells.join(complete, "blk")

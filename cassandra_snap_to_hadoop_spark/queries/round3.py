@@ -353,14 +353,20 @@ def j41_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(w, i).alias("w1"), F.element_at(w, (i + 1).cast("int")).alias("w2")
         ),
     )
+    # r11 (guide §2.4, the j103 cut): the bigram instance stream feeds
+    # the count agg AND the scoring join, the unigram counts feed two
+    # join legs, and the token total folds out of the unigram counts
+    # (Σcnt ≡ COUNT(*) over the token stream — exact integers) instead
+    # of re-exploding the corpus a fourth time.
     b = (
         d.filter(F.size(w) >= 2)
         .select("doc_id", F.explode(bigrams).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
     toks = d.select(F.explode(w).alias("tok"))
-    u = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(F.count("*").alias("n"))
+    u = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
+    tot = u.agg(F.sum("cnt").alias("n"))
     bc = b.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
     scored = (
         b.join(bc, ["w1", "w2"])

@@ -809,7 +809,19 @@ def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(w, i, 3), " "),
     )
     sh = d.filter(F.size(w) >= 3).select("source", F.explode(shingles).alias("s"))
-    per_src = sh.groupBy("source").agg(F.hll_sketch_agg("s").alias("sk"))
+    # r11 (guide §2.4): the sketch side used to aggregate the RAW shingle
+    # stream while the exact side re-derived the same stream for its
+    # distinct — two full tokenize+explode passes.  HLL register state is
+    # duplicate-insensitive (max per hashed value), so the sketch over
+    # the distinct (source, s) relation is bit-identical; both sides now
+    # share ONE cut distinct relation, and the |sources|-row sketch
+    # relation cuts for its two self-join sides.
+    sh0 = sh.distinct().localCheckpoint(eager=False)
+    per_src = (
+        sh0.groupBy("source")
+        .agg(F.hll_sketch_agg("s").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
     a = per_src.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
     b = per_src.select(F.col("source").alias("src_b"), F.col("sk").alias("sk_b"))
     est_a = F.hll_sketch_estimate("sk_a")
@@ -826,8 +838,8 @@ def e24_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_u.cast("long").alias("est_union"),
         )
     )
-    # exact side: the e24x mask-histogram identity (NO join on values)
-    sh0 = sh.distinct()
+    # exact side: the e24x mask-histogram identity (NO join on values),
+    # reading the same cut sh0 relation as the sketch side (r11).
     mask = sh0.groupBy("s").agg(F.sort_array(F.collect_set("source")).alias("m"))
     hist = mask.groupBy("m").agg(F.count("*").cast("long").alias("cnt"))
     srcs = d.select("source").distinct()

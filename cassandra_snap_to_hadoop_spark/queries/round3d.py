@@ -867,10 +867,14 @@ def j67_ngram_overlap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded pair set.  clip2/total2 are exact integers, so p2 is the same
     binary double in both engines — no rounding."""
     d = Tables(spark, sf_dir).documents
+    # r11 (guide §2.4): the bounded candidate-pair set feeds the clipped
+    # join AND the output join — cut once so the j63 blocking pipeline
+    # runs once, not twice.
     pairs = (
         j63_sorted_neighborhood_pairs(spark, sf_dir)
         .filter(F.col("score") >= 2)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     toks = F.split(normalize_text(F.col("text")), " ")
     grams = (
@@ -886,7 +890,13 @@ def j67_ngram_overlap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    # r11 (guide §2.4): per-doc bigram counts feed the totals agg and
+    # both clipped-intersection legs — cut once, one explode+agg pass.
+    gc = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = gc.groupBy("doc_id").agg(F.sum("c").alias("total"))
     ga = gc.select(F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca"))
     gb = gc.select(F.col("doc_id").alias("_gb"), F.col("g").alias("g_b"), F.col("c").alias("cb"))

@@ -451,9 +451,12 @@ def j85_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = o.groupBy(F.col("o_custkey").alias("id")).agg(
         F.expr("CAST(COUNT(*) AS BIGINT) DIV 2").alias("act")
     )
+    # r11 (guide §2.4): the 5-col record relation feeds the total, three
+    # u-stat aggs and both blocking-join sides — cut once so the
+    # customer⋈orders derivation runs once, not six times.
     rec = cust.join(act, "id", "left").select(
         "id", "nation", "seg", "blk", F.coalesce(F.col("act"), F.lit(0)).alias("act")
-    )
+    ).localCheckpoint(eager=False)
     n = rec.agg(F.count("*").cast("long").alias("n"))
 
     def u_num(field: str) -> DataFrame:
@@ -891,7 +894,14 @@ def j88_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     grouped = words.withColumn("grp", F.sum("stop").over(w_doc))
-    members = grouped.filter(F.col("stop") == 0).select("doc_id", "grp", "w", "pos")
+    # r11 (guide §2.4): the candidate-word relation feeds the phrase
+    # assembly and two scoring joins (3 explode+window passes → 1), and
+    # the phrase relation feeds the degree join AND the output join.
+    members = (
+        grouped.filter(F.col("stop") == 0)
+        .select("doc_id", "grp", "w", "pos")
+        .localCheckpoint(eager=False)
+    )
     phrases = members.groupBy("doc_id", "grp").agg(
         F.array_join(
             F.transform(
@@ -901,7 +911,7 @@ def j88_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
         F.count("*").alias("n_words"),
-    )
+    ).localCheckpoint(eager=False)
     wstats = (
         members.join(phrases.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
         .groupBy("w")

@@ -284,7 +284,10 @@ def e62_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), a broadcast 2-scalar bounds join, one hash agg to
     {_ROC_BINS} rows, then KB-sized broadcast joins.  Nothing after the
     score agg scales with corpus size."""
-    sc = _score_df(spark, sf_dir)
+    # r11 (guide §2.4): the narrow score projection feeds the bounds fold
+    # AND the binning (2 scans + 2 array folds → 1), and the ≤bins-row
+    # histogram feeds both cumulative-join sides and the totals fold.
+    sc = _score_df(spark, sf_dir).localCheckpoint(eager=False)
     bounds = sc.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     binned = sc.crossJoin(F.broadcast(bounds)).select(
         F.expr(f"CAST((s - lo) * {_ROC_BINS} DIV (hi - lo + 1) AS INT)").alias(
@@ -295,7 +298,7 @@ def e62_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = binned.groupBy("bin").agg(
         F.sum("y").cast("long").alias("n_pos"),
         (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bins.alias("a"), F.broadcast(bins.alias("b"))
     cum = (
         a.join(b, F.col("b.bin") >= F.col("a.bin"))
@@ -606,6 +609,12 @@ def j3_knn_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     other vector simply emit nothing (honest SRP behavior — multi-probe
     is the documented recall upgrade at scale)."""
     e = Tables(spark, sf_dir).embeddings
+    # r11 (guide §2.4): the packed bucket relation feeds the query slice
+    # AND the candidate side — cut it (fresh-session noop medians at
+    # sf0.1: 1.94 s before, 1.75 s with this cut).  Cutting the
+    # posexploded micro lattice itself was measured SLOWER (2.09 s):
+    # materializing the 64× row explosion costs more than the repeated
+    # narrow explode — the j127 heavy-relation rule.
     ex = fan_out(e).select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -650,7 +659,7 @@ def j3_knn_srp_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dot") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
             .otherwise(F.lit(0))
         ).alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
     q = buckets.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "bucket"
     )
@@ -1640,17 +1649,34 @@ def e65_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(Tables(spark, sf_dir).documents)
     t = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    g = t.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # r11 (guide §2.3/§2.4): the token stream fed BOTH the head-vocab
+    # derivation and the lumped per-source recount — two full tokenize +
+    # explode passes.  ONE (source, tok) count proxy now checkpoints;
+    # the global vocab ranking sums it per token (identical counts), the
+    # OOV lumping re-aggregates it (identical lumped counts — exact
+    # integer sums commute), and the lumped grid checkpoints for its
+    # four downstream folds.
+    sc0 = (
+        t.groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cnt0"))
+        .localCheckpoint(eager=False)
+    )
+    g = sc0.groupBy("tok").agg(F.sum("cnt0").alias("cnt"))
     vocab = (
         g.orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(_JSD_V)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
-    tv = t.join(F.broadcast(vocab), "tok", "left").select(
+    tv = sc0.join(F.broadcast(vocab), "tok", "left").select(
         "source",
         F.when(F.col("in_vocab").isNull(), F.lit("\x00")).otherwise(F.col("tok")).alias("tok"),
+        "cnt0",
     )
-    sc = tv.groupBy("source", "tok").agg(F.count("*").cast("long").alias("cnt"))
+    sc = (
+        tv.groupBy("source", "tok")
+        .agg(F.sum("cnt0").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     gv = sc.groupBy("tok").agg(F.sum("cnt").cast("long").alias("gcnt"))
     ns = sc.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
     ntot = sc.agg(F.sum("cnt").cast("long").alias("n"))
@@ -2177,7 +2203,9 @@ def e68_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to e62 — score hash agg, broadcast bounds,
     {_ROC_BINS}-row KB joins."""
-    sc = _score_df(spark, sf_dir)
+    # r11 (guide §2.4): e62's cuts — score projection feeds bounds AND
+    # binning; the bin histogram feeds both cumulative sides + totals.
+    sc = _score_df(spark, sf_dir).localCheckpoint(eager=False)
     bounds = sc.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     binned = sc.crossJoin(F.broadcast(bounds)).select(
         F.expr(f"CAST((s - lo) * {_ROC_BINS} DIV (hi - lo + 1) AS INT)").alias("bin"),
@@ -2186,7 +2214,7 @@ def e68_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = binned.groupBy("bin").agg(
         F.sum("y").cast("long").alias("n_pos"),
         (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = bins.alias("a"), F.broadcast(bins.alias("b"))
     cum = (
         a.join(b, F.col("b.bin") >= F.col("a.bin"))
@@ -2844,7 +2872,14 @@ def e71_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash agg to the |langs|·|sources| bounded grid →
     KB joins → a 1-row summary."""
     d = Tables(spark, sf_dir).documents
-    cells = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    # r11 (guide §2.4): the bounded contingency grid feeds both margins,
+    # the total, the grid join and the dims fold — cut once so the
+    # documents scan+agg runs once, not five times.
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     nl = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("nl"))
     ns = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ns"))
     tot = cells.agg(F.sum("o").cast("long").alias("n"))

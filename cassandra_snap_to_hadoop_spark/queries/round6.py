@@ -427,10 +427,17 @@ def e73_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate relations are KB and combine via broadcast — the only
     volume term is the join being audited."""
     t = Tables(spark, sf_dir)
+    # r11 (guide §2.4): each single-column key relation feeds its global
+    # agg, its bucket agg and the actual-count join — cut both so each
+    # filtered scan runs once, not three times.
     a = t.lineitem.where(F.col("l_quantity") >= 45).select(
         F.col("l_partkey").alias("k")
+    ).localCheckpoint(eager=False)
+    b = (
+        t.part.where(F.col("p_size") >= 40)
+        .select(F.col("p_partkey").alias("k"))
+        .localCheckpoint(eager=False)
     )
-    b = t.part.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("k"))
     ga = a.agg(
         F.count("*").cast("long").alias("n_a"),
         F.countDistinct("k").cast("long").alias("ndv_a"),
@@ -1672,10 +1679,14 @@ def _register_j105() -> None:
             .distinct()
             .withColumn("is_direct_f", F.lit(1))
         )
+        # r11 (guide §2.4): the distinct shingle relation feeds both
+        # intersection legs and the size agg — cut once so the tokenize
+        # + explode + distinct chain runs once, not three times.
         sh = (
             fan_out(d)
             .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         sx = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
         sy = sh.select(F.col("doc_id").alias("yid"), F.col("sh").alias("sh_b"))

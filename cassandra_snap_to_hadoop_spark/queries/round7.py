@@ -1708,21 +1708,27 @@ def e91_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan → two day-sliced distinct sets + one semi
     join; every relation after the scan is |users-per-day|."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the narrow (user, day) projection feeds the
+    # min-day fold, both capture slices and the true-count agg (4 scans
+    # → 1), and each distinct capture set feeds its size fold AND the
+    # overlap join — cut all three.
     days = ev.select(
         "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    )
+    ).localCheckpoint(eager=False)
     d1 = days.agg(F.min("day").alias("d1"))
     c1 = (
         days.crossJoin(F.broadcast(d1))
         .where(F.col("day") == F.col("d1"))
         .select("user_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     c2 = (
         days.crossJoin(F.broadcast(d1))
         .where(F.col("day") == F.col("d1") + 1)
         .select("user_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     m = (
         c1.agg(F.count("*").cast("long").alias("n1"))
@@ -2027,7 +2033,10 @@ def b14_merkle_repair_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             rng.alias("rng"), F.md5(F.concat_ws(":", "k", "ck", "q")).alias("rh")
         ).distinct()
 
-    ha, hb = hashed(a), hashed(b)
+    # r11 (guide §2.4): each replica's distinct row-hash set feeds its
+    # Merkle rollup AND the repair anti join — cut both so the lineitem
+    # scan + md5 + distinct chain runs once per replica, not twice.
+    ha, hb = hashed(a).localCheckpoint(eager=False), hashed(b).localCheckpoint(eager=False)
 
     def merkle(df):
         return df.groupBy("rng").agg(
@@ -2054,6 +2063,9 @@ def b14_merkle_repair_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("in_sync"),
         )
+        # r11: the 16-row range comparison feeds the out-of-sync filter
+        # and the output join.
+        .localCheckpoint(eager=False)
     )
     out_of_sync = cmp_.where(F.col("in_sync") == 0).select(F.col("rng").alias("orng"))
     diff = (

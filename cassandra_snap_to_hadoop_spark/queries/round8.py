@@ -509,14 +509,21 @@ def j111_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED per class over ≤|bins| rows — never a corpus-volume
     window."""
     c = fan_out(Tables(spark, sf_dir).customer)
+    # r11 (guide §2.4): the narrow 3-col projection feeds the global, the
+    # class and the cell aggs (3 scans → 1), and the ≤bins-row global
+    # histogram feeds the n/m folds and the grid cross — cut both.
     sens = c.select(
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
         F.expr(
             "CAST(ROUND(c_acctbal * 100) AS BIGINT) div 200000"
         ).alias("b"),
+    ).localCheckpoint(eager=False)
+    glob = (
+        sens.groupBy("b")
+        .agg(F.count("*").cast("long").alias("cg"))
+        .localCheckpoint(eager=False)
     )
-    glob = sens.groupBy("b").agg(F.count("*").cast("long").alias("cg"))
     ntot = glob.agg(F.sum("cg").cast("long").alias("n"))
     nbins = glob.agg(F.count("*").cast("long").alias("m"))
     cls = sens.groupBy("seg", "nat").agg(F.count("*").cast("long").alias("ng"))
@@ -1363,7 +1370,14 @@ def j113_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("r"))
     )
-    ff = wc.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    # r11 (guide §2.4): the tiny count-of-counts table feeds the token
+    # total, both adjacency legs and the unseen row — cut once so the
+    # trigram explode+agg chain runs once, not four times.
+    ff = (
+        wc.groupBy("r")
+        .agg(F.count("*").cast("long").alias("n_r"))
+        .localCheckpoint(eager=False)
+    )
     ntok = ff.agg(F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n"))
     a = ff.select(F.col("r"), F.col("n_r"))
     b = ff.select((F.col("r") - 1).alias("rm1"), F.col("n_r").alias("n_next"))

@@ -334,6 +334,10 @@ def e103_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("v")
         )
+        # r11 (guide §2.4): the ≤125-row cell grid feeds the completeness
+        # agg, both self-join sides and the block count — one cut keeps
+        # the orders⋈customer fact join from re-running per consumer.
+        .localCheckpoint(eager=False)
     )
     complete = cells.groupBy("blk").count().filter(F.col("count") == 5).select("blk")
     cc = cells.join(F.broadcast(complete), "blk")
@@ -529,9 +533,12 @@ def f45_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 1-row fold all run on the |days| relation (KB at any
     volume)."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the calendar-bounded daily series feeds the n/s
+    # fold, the denominator fold and both lag-join sides — cut once so
+    # the events scan+agg runs once, not four times.
     daily = ev.groupBy(
         F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     stats = daily.agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
     )
@@ -643,11 +650,13 @@ def f46_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar-bounded per-type day relation (KB), one hash join per
     leg on the type key."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): per-type daily series feeds stats, the
+    # denominator leg and both lag-join sides — one cut, one events scan.
     daily = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
-    )
+    ).localCheckpoint(eager=False)
     stats = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
     )
@@ -761,7 +770,13 @@ def e105_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(F.col("o_orderpriority").alias("pr"), F.col("c_mktsegment").alias("seg"))
-    cells = base.groupBy("pr", "seg").agg(F.count("*").cast("long").alias("o"))
+    # r11 (guide §2.4): the 25-cell grid feeds both margins, the total
+    # and the term join — cut once so the fact join runs once.
+    cells = (
+        base.groupBy("pr", "seg")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rt = cells.groupBy("pr").agg(F.sum("o").cast("long").alias("r"))
     ct = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("c"))
     n = cells.agg(F.sum("o").cast("long").alias("n"))
@@ -1201,9 +1216,11 @@ def f47_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): daily feeds the cumulative windows AND the
+    # per-type stats fold — cut once, one events scan.
     daily = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -1833,11 +1850,13 @@ def f48_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan → (type, day) agg; the two lag joins and the
     fold live on the calendar-bounded per-type day relation (KB)."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): daily is all three legs of the lag-1/lag-7 join
+    # — cut once, one events scan.
     daily = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
-    )
+    ).localCheckpoint(eager=False)
     a = daily.select("event_type", "day", F.col("x").alias("x_t"))
     b1 = daily.select(
         F.col("event_type").alias("et1"), F.col("day").alias("d1"),
@@ -2399,9 +2418,11 @@ def f49_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification and entropy folds all live on the calendar-bounded
     per-type day relation (KB)."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the per-type daily series is all three legs of
+    # the consecutive-triple join — cut once, one events scan.
     daily = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("va"))
     b = daily.select(
         F.col("event_type").alias("etb"), F.col("day").alias("db"),
@@ -2512,7 +2533,13 @@ def e109_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(F.col("o_orderpriority").alias("pr"), F.col("c_mktsegment").alias("seg"))
-    cells = base.groupBy("pr", "seg").agg(F.count("*").cast("long").alias("o"))
+    # r11 (guide §2.4): the 25-cell grid feeds both margins, the total
+    # and the term join — cut once so the fact join runs once.
+    cells = (
+        base.groupBy("pr", "seg")
+        .agg(F.count("*").cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rt = cells.groupBy("pr").agg(F.sum("o").cast("long").alias("r"))
     ct = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("c"))
     n = cells.agg(F.sum("o").cast("long").alias("n"))
@@ -2859,9 +2886,12 @@ def f50_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to f45 — daily agg, KB lag join, 1-row
     fold."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the calendar-bounded daily series feeds the n/s
+    # fold, the denominator fold and both lag-join sides — cut once so
+    # the events scan+agg runs once, not four times.
     daily = ev.groupBy(
         F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     stats = daily.agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
     )
@@ -3669,10 +3699,14 @@ def j125_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = toks.select(
         "source", "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tk").alias("tk2")
     )
+    # r11 (guide §2.4): the distinct-gram relation feeds the size agg and
+    # BOTH intersection-join legs — cut once so the tokenize + posexplode
+    # + adjacency-join + distinct chain runs once, not three times.
     grams = (
         toks.join(nxt, ["source", "doc_id", "pos"])
         .select("source", "doc_id", F.concat_ws(" ", "tk", "tk2").alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("source", "doc_id").agg(
         F.count("*").cast("long").alias("sz")

@@ -1138,6 +1138,9 @@ def f52_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("y"),
         )
+        # r11 (guide §2.4): daily feeds the stats fold and both lag-join
+        # sides — cut once, one events scan.
+        .localCheckpoint(eager=False)
     )
     stats = daily.agg(
         F.count("*").cast("long").alias("n"),
@@ -1164,6 +1167,9 @@ def f52_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("num"),
         )
+        # r11: the 15-row lag table feeds the best-lag pick and the
+        # output scan.
+        .localCheckpoint(eager=False)
     )
     best = pairs.orderBy(
         F.col("num").desc(), F.abs(F.col("k")).asc(), F.col("k").asc()
@@ -1949,50 +1955,56 @@ def j131_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the clustering exactly as the paper argues (never
     corpus²) — → threshold filter → per-label folds."""
     e = Tables(spark, sf_dir).embeddings
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    ).select(
-        "vec_id", "label", "dim",
-        F.round(F.col("x").cast("double") * 100).cast("long").alias("c"),
+    # r11 (guide §4.1/§2.4, the j121 precedent): the per-dim posexplode +
+    # (label, dim)-keyed equi join + (va, vb) re-agg shuffled 64× rows and
+    # re-derived the exploded scan three times.  The same exact integers
+    # now ride one narrow projection — quantized array + codegen norm fold
+    # per row — cut once; the within-label pair join computes each dot as
+    # a zip_with/aggregate fold (integer sum over dims, order-free, so
+    # bit-identical to the exploded SUM).
+    q = (
+        e.select(
+            "vec_id",
+            "label",
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "qv",
+            F.expr(
+                "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ).alias("n2"),
+        )
+        .localCheckpoint(eager=False)
     )
-    norms = ex.groupBy("vec_id", "label").agg(
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
-    )
-    a = ex.select(
+    a = q.select(
         F.col("label").alias("la"), F.col("vec_id").alias("va"),
-        F.col("dim").alias("da"), F.col("c").alias("ca"),
+        F.col("qv").alias("qa"), F.col("n2").alias("n2a"),
     )
-    b = ex.select(
+    b = q.select(
         F.col("label").alias("lb"), F.col("vec_id").alias("vb"),
-        F.col("dim").alias("db"), F.col("c").alias("cb"),
+        F.col("qv").alias("qb"), F.col("n2").alias("n2b"),
     )
     dots = (
-        a.join(
-            b,
-            (F.col("lb") == F.col("la"))
-            & (F.col("db") == F.col("da"))
-            & (F.col("vb") > F.col("va")),
+        a.join(b, (F.col("lb") == F.col("la")) & (F.col("vb") > F.col("va")))
+        .select(
+            F.col("la").alias("label"), "va", "vb", "n2a", "n2b",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+            ).alias("dot"),
         )
-        .groupBy(F.col("la").alias("label"), "va", "vb")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
     )
-    dup_pairs = (
-        dots.join(
-            norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("n2a")),
-            "va",
-        )
-        .join(
-            norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("n2b")),
-            "vb",
-        )
-        .where(
-            (F.col("dot") > 0)
-            & (100 * F.col("dot") * F.col("dot") > 81 * F.col("n2a") * F.col("n2b"))
-        )
-        .select("label", "va", "vb")
-    )
+    dup_pairs = dots.where(
+        (F.col("dot") > 0)
+        & (100 * F.col("dot") * F.col("dot") > 81 * F.col("n2a") * F.col("n2b"))
+    ).select("label", "va", "vb").localCheckpoint(eager=False)
     pruned = dup_pairs.select("label", "vb").distinct()
-    per_label = norms.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    per_label = q.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
     dp = dup_pairs.groupBy("label").agg(F.count("*").cast("long").alias("n_pairs"))
     pr = pruned.groupBy("label").agg(F.count("*").cast("long").alias("n_pruned"))
     return (
