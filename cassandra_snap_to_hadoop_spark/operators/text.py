@@ -99,12 +99,21 @@ def language_id_learned(
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
     train = words.filter(F.col("doc_id") % train_mod == 0)
-    counts = train.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    # r11 (guide §2.4): the (lang, token) count relation feeds the lang
+    # domain, the vocabulary domain and the grid join — cut once, and
+    # derive both distinct domains from it (a lang/token appears in
+    # counts iff it appears in train — identical sets), so the train
+    # explode runs once, not four times.
+    counts = (
+        train.groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # full (lang x train-vocab) grid so unseen (lang, token) pairs get the
     # smoothing floor instead of silently dropping out of the join
     grid = (
-        train.select("lang").distinct()
-        .crossJoin(train.select("w").distinct())
+        counts.select("lang").distinct()
+        .crossJoin(counts.select("w").distinct())
         .join(counts, ["lang", "w"], "left")
         .select("lang", "w", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )

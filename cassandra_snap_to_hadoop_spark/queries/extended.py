@@ -903,22 +903,28 @@ def e14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller (the join side is always the shrunken funnel, AQE broadcasts
     it).  Timestamps compare exactly (micros on both engines)."""
     e = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): each funnel stage feeds the next stage's join
+    # AND its own count row — cut all three so the chained stages scan
+    # events three times (once per stage), not six.
     fv = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fv"))
+        .localCheckpoint(eager=False)
     )
     fc = (
         e.join(fv, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("fc"))
+        .localCheckpoint(eager=False)
     )
     fp = (
         e.join(fc, "user_id")
         .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("fp"))
+        .localCheckpoint(eager=False)
     )
     stages = [("1_viewed", fv), ("2_clicked_after_view", fc), ("3_purchased_after_click", fp)]
     counts = [

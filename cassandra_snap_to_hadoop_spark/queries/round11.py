@@ -1169,6 +1169,12 @@ def j137_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return out.select(*sel)
 
+    # r11 (guide §2.4): the unigram counts feed two scoring legs and
+    # the totals fold out of them (Σcu ≡ COUNT(*), COUNT(rows) ≡
+    # COUNT(DISTINCT w1) — exact integers), saving the fourth tokenize
+    # pass.  The tri/bigram count relations are vocabulary-sized and
+    # NOT cut (c_tri has one consumer; persisting c_big costs more than
+    # its one re-derivation — guide §5).
     c_tri = grams(train, 3).groupBy("w1", "w2", "w3").agg(
         F.count("*").cast("long").alias("c123")
     )
@@ -1177,10 +1183,10 @@ def j137_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_uni = train.select(F.explode("w").alias("w1")).groupBy("w1").agg(
         F.count("*").cast("long").alias("cu")
-    )
-    tot = train.select(F.explode("w").alias("w1")).agg(
-        F.count("*").cast("long").alias("nt"),
-        F.countDistinct("w1").cast("long").alias("nv"),
+    ).localCheckpoint(eager=False)
+    tot = c_uni.agg(
+        F.sum("cu").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("nv"),
     )
     tri_s = grams(score_docs, 3, keep=("doc_id", "source"))
     joined = (

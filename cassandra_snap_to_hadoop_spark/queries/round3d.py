@@ -582,7 +582,13 @@ def e37_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the contingency table is |langs| x |sources| — the corpus
     scan is the only big stage."""
     d = Tables(spark, sf_dir).documents
-    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    # r11 (guide §2.4): the bounded contingency grid feeds both margins,
+    # the total and the term join — cut once (the e71 shape).
+    cells = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rws = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cls = cells.groupBy("source").agg(F.sum("o").alias("c"))
     ntot = cells.agg(F.sum("o").alias("N"))

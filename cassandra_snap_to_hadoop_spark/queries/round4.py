@@ -1128,11 +1128,18 @@ def e48_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggs; n_orders rides in as a broadcast scalar.  No all-pairs
     anywhere: two parts never meet unless a real basket contains both."""
     li = Tables(spark, sf_dir).lineitem
+    # r11 (guide §2.4): the item-support relation feeds two join legs
+    # and is cut.  (The distinct basket-item relation is data-sized and
+    # NOT cut — guide §5's caching trade-off.)
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     ).distinct()
     n = items.agg(F.countDistinct("ok").alias("n_orders"))
-    isup = items.groupBy("part").agg(F.count("*").alias("n_item"))
+    isup = (
+        items.groupBy("part")
+        .agg(F.count("*").alias("n_item"))
+        .localCheckpoint(eager=False)
+    )
     a = items.select("ok", F.col("part").alias("part_a"))
     b = items.select("ok", F.col("part").alias("part_b"))
     pairs = (

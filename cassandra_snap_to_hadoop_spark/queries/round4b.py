@@ -1121,12 +1121,24 @@ def e55_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round(F.col("x").cast("double") * 1_000).cast("long").alias("milli"),
     )
-    cent = ex.groupBy("label", "dim").agg(
-        F.expr("sum(milli) div count(*)").alias("cmilli"),
-        F.count("*").alias("n_l"),
+    # r11 (guide §2.4): ONE (label, dim) sum/count agg checkpoints; the
+    # per-cluster centroid is its integer division and the global
+    # centroid folds out of it (Σ per-label sums ≡ global sum, Σ counts
+    # ≡ global count — exact BIGINTs), so the posexplode runs twice
+    # (centroid agg + SSW join), not three times.
+    cent_raw = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("milli").alias("smilli"), F.count("*").alias("n_l"))
+        .localCheckpoint(eager=False)
     )
-    gcent = ex.groupBy("dim").agg(
-        F.expr("sum(milli) div count(*)").alias("gmilli")
+    cent = cent_raw.select(
+        "label",
+        "dim",
+        F.expr("smilli div n_l").alias("cmilli"),
+        "n_l",
+    )
+    gcent = cent_raw.groupBy("dim").agg(
+        F.expr("sum(smilli) div sum(n_l)").alias("gmilli")
     )
     ssw_t = (
         ex.join(F.broadcast(cent), ["label", "dim"])

@@ -776,10 +776,19 @@ def j87_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
         F.col("ay") - F.col("y")
     ) * (F.col("ay") - F.col("y"))
-    nbr_pairs = probes.join(
-        home.select("id", "x", "y", "cx", "cy"),
-        (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
-    ).filter(dist2 <= e * e)
+    # r11 (guide §2.3/§2.4): the verified pair relation feeds the
+    # neighbor count AND the border derivation — project to the two id
+    # columns those consumers read, then cut, so the 3x3 probe join runs
+    # once and the materialization is two longs per pair.
+    nbr_pairs = (
+        probes.join(
+            home.select("id", "x", "y", "cx", "cy"),
+            (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+        )
+        .filter(dist2 <= e * e)
+        .select("a_id", "id")
+        .localCheckpoint(eager=False)
+    )
     nbr = nbr_pairs.groupBy(F.col("a_id").alias("id")).agg(
         F.count("*").alias("n_neighbors")
     )

@@ -1095,6 +1095,10 @@ def e64_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e62 pattern — no unpartitioned window); the corpus is touched
     once."""
     e = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the |types|-row pv relation feeds both
+    # rank-join sides and is cut; the events projection is NOT cut —
+    # persisting a data-sized relation costs more than the second
+    # parquet scan (guide §5).
     ev = e.select(
         "event_type",
         F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
@@ -1143,6 +1147,7 @@ def e64_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("z") * 1000).cast("long").alias("z_milli"),
             F.floor(F.expr(_AS_P_TWO) * 1000000).cast("long").alias("p_micro"),
         )
+        .localCheckpoint(eager=False)
     )
     a, b = pv.alias("a"), F.broadcast(pv.alias("b"))
     ranked = (
@@ -2634,9 +2639,11 @@ def e70_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): daily feeds the bounds fold AND the spine join
+    # — cut once, one events scan.
     daily = e.groupBy(
         F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").alias("x"))
+    ).agg(F.count("*").alias("x")).localCheckpoint(eager=False)
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.sequence(F.lit(0), F.col("d1") - F.col("d0"))).alias("t"),

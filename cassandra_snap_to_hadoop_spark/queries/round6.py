@@ -1805,6 +1805,11 @@ def e77_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_cal"),
         )
     )
+    # r11 (guide §2.4): the per-nation calibration stats feed 4
+    # consumers and the quantile relation feeds the test pass AND the
+    # output join — both cut.  (The order-level star-join projection is
+    # deliberately NOT cut: persisting a data-sized relation costs more
+    # than re-scanning parquet — guide §5, measured in-sweep.)
     cal = (
         o.where(F.col("is_cal") == 1)
         .groupBy("nat")
@@ -1812,6 +1817,7 @@ def e77_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("t"),
             F.count("*").cast("long").alias("n_cal"),
         )
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -1828,6 +1834,7 @@ def e77_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(cal), "nat")
         .where(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
         .select("nat", F.col("r").cast("long").alias("q_scaled"))
+        .localCheckpoint(eager=False)
     )
     test = (
         o.where(F.col("is_cal") == 0)

@@ -468,9 +468,11 @@ def f38_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan → calendar-bounded daily agg; the lag join and
     everything after run on the |days| relation (KB at any volume)."""
     ev = Tables(spark, sf_dir).events
+    # r11 (guide §2.4): the f45 cut — daily feeds the n/s fold, the
+    # denominator fold and both lag-join sides; one events scan.
     daily = ev.groupBy(
         F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     stats = daily.agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
     )

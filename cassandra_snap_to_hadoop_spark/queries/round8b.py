@@ -2649,9 +2649,12 @@ def j123_rouge_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.join(nxt, ["source", "doc_id", "pos"]).select(
         "source", "doc_id", F.concat_ws(" ", "tk", "tk2").alias("g")
     )
+    # r11 (guide §2.4): per-doc bigram counts feed the totals agg and
+    # both clipped-join legs — cut once (the j67/j125 gram-relation
+    # pattern), one tokenize + adjacency-join pass.
     gc = grams.groupBy("source", "doc_id", "g").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     totals = gc.groupBy("source", "doc_id").agg(F.sum("c").cast("long").alias("tot"))
     cand = totals.select(
         F.col("source").alias("sc"), F.col("doc_id").alias("cand_id"),

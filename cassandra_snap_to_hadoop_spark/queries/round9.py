@@ -2084,7 +2084,13 @@ def e121_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1 + CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 10000000)"
         ).alias("r2"),
     )
-    cells = per.groupBy("r1", "r2").agg(F.count("*").cast("long").alias("c"))
+    # r11 (guide §2.4): the bounded rating grid feeds the total, both
+    # margins and the observed-weight fold — cut once.
+    cells = (
+        per.groupBy("r1", "r2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cells.agg(F.sum("c").cast("long").alias("n"))
     rows_ = cells.groupBy("r1").agg(F.sum("c").cast("long").alias("rc"))
     cols_ = cells.groupBy("r2").agg(F.sum("c").cast("long").alias("cc"))
