@@ -103,6 +103,26 @@ HEADLINE = [
 N_RUNS = 3
 
 
+def _drop_persisted(spark) -> None:
+    """Unpersist dead RDD blocks between queries.
+
+    The engine's lazy ``localCheckpoint`` lineage cuts persist their
+    relation on first use; every timed run builds FRESH DataFrames, so
+    the previous run's persisted blocks are unreachable dead weight
+    that otherwise waits on the JVM ContextCleaner.  Dropping them at
+    each query boundary keeps session memory flat across the sweep and
+    guarantees no persisted state crosses query boundaries (the
+    no-cross-run-caching contract).  Timing methodology is unchanged:
+    count-timed median of N_RUNS after one warm run, cleanup OUTSIDE
+    the timed region."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:
+        pass  # introspection API drift must never fail the bench
+
+
 def _guard_limits() -> tuple[dict[str, float], float, float]:
     """Load the guard's baseline medians + slack + ratio bar from
     tools/bench_guard.py (single source of truth — ADVICE r10 item 2;
@@ -133,6 +153,7 @@ def main() -> None:
             q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        _drop_persisted(spark)
 
     # Contention re-check (VERDICT r9 item 7): three rounds of guard
     # adjudication (r7/r8/r9) traced every sweep flag to shared-box /
@@ -164,6 +185,7 @@ def main() -> None:
         iso = round(sorted(runs)[len(runs) // 2], 3)
         reruns[name] = [timings[name], iso]
         timings[name] = iso
+        _drop_persisted(spark)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -173,6 +173,15 @@ def check_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) 
             results.append(check_query(spark, name, sf_dir, con))
         except Exception as exc:  # surface, don't abort the sweep
             results.append(ParityResult(name, False, "error", issues=[f"{type(exc).__name__}: {exc}"]))
+        # r11: unpersist dead lazy-localCheckpoint blocks between queries
+        # so the 525-query sweep's memory stays flat (bench.py's
+        # _drop_persisted rationale; results are unaffected).
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist()
+        except Exception:
+            pass
     return results
 
 
