@@ -78,8 +78,14 @@ def a10_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query checks the invariant that actually matters: compaction
     must be a byte-for-byte content no-op.
     """
-    small_dir = _SCRATCH / "a10_small"
-    compact_dir = _SCRATCH / "a10_compact"
+    # Keyed by sf name (r11): the fixed path raced when two processes
+    # ran a10 against DIFFERENT scale factors concurrently (observed in
+    # a parallel sweep+pytest session: the reader saw a mixed-corpus
+    # directory).  Same-run semantics are unchanged — the staging is
+    # still rebuilt from scratch every invocation.
+    sf_name = Path(sf_dir.rstrip("/")).name
+    small_dir = _SCRATCH / f"a10_small_{sf_name}"
+    compact_dir = _SCRATCH / f"a10_compact_{sf_name}"
     for d in (small_dir, compact_dir):
         shutil.rmtree(d, ignore_errors=True)
 
