@@ -2005,89 +2005,85 @@ def b14_merkle_repair_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: every digest is md5 (engine-identical); range digests are
     md5 over '' -joined SORTED row hashes (DuckDB ORDER BY inside
-    string_agg == Spark sort_array(collect_list)); set diffs are exact.
+    string_agg == Spark sort_array over the collected set); set diffs
+    are exact.
 
-    Scale shape: one scan per replica → per-range hash agg (the sorted
-    digest is the only per-range reduction; ranges bound memory) → KB
-    range compare; the fine diff touches ONLY mismatched ranges — at
-    100 TB that is the entire point of the protocol."""
+    Scale shape: ONE lineitem scan emits both replicas' row hashes (B's
+    hash equals A's except at the bump keys, so the divergence model is
+    re-hashed, not re-scanned) → ONE per-range hash agg builds both
+    replicas' distinct hash sets side by side (the sorted digest is the
+    only per-range reduction; ranges bound memory) → digest compare and
+    the fine diff are column folds over that 16-row relation, and the
+    diff is only evaluated for mismatched ranges — at 100 TB that is
+    the entire point of the protocol."""
     li = Tables(spark, sf_dir).lineitem
     a = li.select(
         F.col("l_orderkey").alias("k"),
         F.col("l_linenumber").alias("ck"),
         F.round("l_quantity").cast("long").alias("q"),
     )
-    b = a.where(F.col("k") % 997 != 0).select(
+
+    # r11 second pass (guide §1.1 first-principles + §2.4): the whole
+    # protocol is ONE exchange.  Replica B is replica A minus the k%997
+    # drops with q bumped only at k%499 — so B's row hash EQUALS A's for
+    # every non-bumped row, and one scan computes rng + rh_a once per row
+    # and re-hashes only the ~1/499 bumped rows (the old two-branch build
+    # paid two lineitem scans and ~4 md5/row).  The per-replica DISTINCT
+    # (the testdata's (orderkey, linenumber) is NOT unique, and Merkle
+    # anti-entropy reconciles row-version SETS — dedup is BY HASH VALUE,
+    # exactly as before) moves INSIDE the range rollup as collect_set:
+    # no separate distinct exchange, no checkpoint.  Both replicas' sets
+    # are conditional aggregates of one groupBy(rng) (collect_set skips
+    # the NULLs the conditions produce), so the digest compare AND the
+    # fine diff (array_except on the per-range sorted sets) fold into the
+    # same 16-row relation — the old plan's distinct exchange, two
+    # rollup aggs, range join and repair anti-join all collapse into one
+    # partial-aggregated exchange.  Memory class is unchanged: the
+    # digest ALREADY required each range's full hash set in one task;
+    # more/narrower ranges (real repair subdivides the ring) shrink both.
+    rng = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "k", "ck")), 1, 1), 16, 10
+    ).cast("long")
+    rows = a.select(
         "k",
-        "ck",
-        F.when(F.col("k") % 499 == 0, F.col("q") + 1).otherwise(F.col("q")).alias("q"),
+        rng.alias("rng"),
+        F.md5(F.concat_ws(":", "k", "ck", "q")).alias("rh_a"),
+        F.when(
+            F.col("k") % 499 == 0,
+            F.md5(F.concat_ws(":", F.col("k"), F.col("ck"), F.col("q") + 1)),
+        ).alias("rh_bump"),
     )
-
-    def hashed(df):
-        rng = F.conv(
-            F.substring(F.md5(F.concat_ws(":", "k", "ck")), 1, 1), 16, 10
-        ).cast("long")
-        # DISTINCT: the testdata's (orderkey, linenumber) is NOT unique,
-        # and Merkle anti-entropy reconciles row-version SETS anyway —
-        # without it a set EXCEPT vs a bag anti-join disagree (sf0.1
-        # mirror caught exactly that).
-        return df.select(
-            rng.alias("rng"), F.md5(F.concat_ws(":", "k", "ck", "q")).alias("rh")
-        ).distinct()
-
-    # r11 (guide §2.4): each replica's distinct row-hash set feeds its
-    # Merkle rollup AND the repair anti join — cut both so the lineitem
-    # scan + md5 + distinct chain runs once per replica, not twice.
-    ha, hb = hashed(a).localCheckpoint(eager=False), hashed(b).localCheckpoint(eager=False)
-
-    def merkle(df):
-        return df.groupBy("rng").agg(
-            F.md5(F.concat_ws("", F.sort_array(F.collect_list("rh")))).alias("mh"),
-            F.count("*").cast("long").alias("n"),
-        )
-
-    ma, mb = merkle(ha), merkle(hb)
-    cmp_ = (
-        ma.select("rng", F.col("mh").alias("mha"), F.col("n").alias("n_a"))
-        .join(
-            mb.select(F.col("rng").alias("rngb"), F.col("mh").alias("mhb"),
-                      F.col("n").alias("nb")),
-            F.col("rngb") == F.col("rng"),
-            "left",
-        )
-        .select(
-            "rng",
-            "n_a",
-            F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_b"),
-            F.when(
-                F.col("mhb").isNotNull() & (F.col("mha") == F.col("mhb")), 1
+    per = rows.groupBy("rng").agg(
+        F.sort_array(F.collect_set("rh_a")).alias("hsa"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    F.col("k") % 997 != 0,
+                    F.coalesce(F.col("rh_bump"), F.col("rh_a")),
+                )
             )
-            .otherwise(0)
-            .alias("in_sync"),
-        )
-        # r11: the 16-row range comparison feeds the out-of-sync filter
-        # and the output join.
-        .localCheckpoint(eager=False)
+        ).alias("hsb"),
     )
-    out_of_sync = cmp_.where(F.col("in_sync") == 0).select(F.col("rng").alias("orng"))
-    diff = (
-        ha.join(hb, ["rng", "rh"], "left_anti")
-        .join(F.broadcast(out_of_sync), F.col("orng") == F.col("rng"))
-        .groupBy("rng")
-        .agg(F.count("*").cast("long").alias("n_repair"))
-    )
-    return (
-        cmp_.join(diff.withColumnRenamed("rng", "drng"),
-                  F.col("drng") == F.col("rng"), "left")
-        .select(
-            F.col("rng").cast("int").alias("token_range"),
-            "n_a",
-            "n_b",
-            F.col("in_sync").cast("int").alias("in_sync"),
-            F.coalesce(F.col("n_repair"), F.lit(0)).cast("long").alias(
-                "n_repair_rows"
-            ),
-        )
+    # Digest/compare semantics identical to the old two-rollup form: a
+    # range with no B rows has an EMPTY hsb (the old left join's NULL
+    # digest) — n_b = 0 and in_sync = 0 (n_b > 0 guards the compare the
+    # way mhb IS NOT NULL used to); in-sync ranges report 0 repair rows,
+    # mismatched ranges report |A \ B| exactly.  Every A range has ≥1 row
+    # by construction (B's keys are a subset of A's), matching the old
+    # A-side-driven output.
+    mha = F.md5(F.concat_ws("", F.col("hsa")))
+    mhb = F.md5(F.concat_ws("", F.col("hsb")))
+    n_b = F.size("hsb").cast("long")
+    in_sync = F.when((n_b > 0) & (mha == mhb), 1).otherwise(0)
+    return per.select(
+        F.col("rng").cast("int").alias("token_range"),
+        F.size("hsa").cast("long").alias("n_a"),
+        n_b.alias("n_b"),
+        in_sync.cast("int").alias("in_sync"),
+        F.when(in_sync == 1, F.lit(0))
+        .otherwise(F.size(F.array_except("hsa", "hsb")))
+        .cast("long")
+        .alias("n_repair_rows"),
     )
 
 
