@@ -50,7 +50,11 @@ def minhash_lsh_pairs_ml(
         F.col(id_col).alias("id"), shingles(F.col(text_col), 3).alias("words")
     )
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(toks).filter(F.size("words") > 0)
+    # r11 (guide §2.4): ``feats`` is BOTH sides of approxSimilarityJoin
+    # (and the fit input) — without a lineage cut the shingle explode +
+    # HashingTF pipeline re-derives once per consumer.  One cut, same
+    # deterministic vectors (seed-fixed model, values unchanged).
+    feats = tf.transform(toks).filter(F.size("words") > 0).localCheckpoint(eager=False)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, jaccard_distance_threshold, distCol="jaccard_dist")

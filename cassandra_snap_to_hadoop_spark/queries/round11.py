@@ -1967,22 +1967,33 @@ def f63_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10 < 4"
         )
     ).coalesce(1).createOrReplaceTempView("cs2h_daily_croston")
+    # r11 (the sql_api_recursive_cte/f29 treatment): materialize the
+    # loop-invariant ``numbered`` once — the UnionLoop used to re-derive
+    # the events scan + daily agg + md5 thinning + windows under every
+    # iteration — and broadcast the KB step side.  Values and oracle
+    # text unchanged.
+    spark.sql(
+        """
+        SELECT event_type, d, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY d) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_demands,
+               d - LAG(d) OVER (PARTITION BY event_type ORDER BY d) AS gap
+        FROM cs2h_daily_croston
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_croston")
     return spark.sql(
         """
         WITH RECURSIVE numbered AS (
-            SELECT event_type, d, x,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                           ORDER BY d) AS BIGINT) AS rn,
-                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
-                       AS n_demands,
-                   d - LAG(d) OVER (PARTITION BY event_type ORDER BY d) AS gap
-            FROM cs2h_daily_croston
+            SELECT event_type, d, x, rn, n_demands, gap
+            FROM cs2h_numbered_croston
         ), chain AS (
             SELECT event_type, rn, n_demands,
                    x AS z, CAST(1000 AS BIGINT) AS p
             FROM numbered WHERE rn = 1
             UNION ALL
-            SELECT b.event_type, b.rn, b.n_demands,
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_demands,
                    (b.x + 4 * c.z) DIV 5,
                    (1000 * b.gap + 4 * c.p) DIV 5
             FROM chain c

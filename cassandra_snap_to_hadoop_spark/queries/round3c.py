@@ -642,15 +642,48 @@ def j59_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells / LSH buckets, the j3 scale tiers) and this pairing layer is
     unchanged."""
     e = Tables(spark, sf_dir).embeddings
-    a = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
-    b = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"))
+    # r11 (guide §1.2 per-task work): the L2 norm used to be re-folded
+    # PER PAIR inside cosine() — 3 64-term folds per candidate where one
+    # suffices.  Each side now carries its norm from a per-row projection
+    # (identical IEEE fold over identical operands ⇒ bit-identical
+    # values; the pair term keeps the exact dot/(na*nb) expression), so
+    # the quadratic stage does one dot per pair instead of dot + 2 norms.
+    from cassandra_snap_to_hadoop_spark.operators.similarity import dot, l2_norm
+
+    a = e.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("qa"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("qb"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     scored = (
         a.join(b, "lbl")
         .filter(F.col("qa") != F.col("qb"))
-        .select("qa", "qb", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "qa",
+            "qb",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("qa").orderBy(F.col("cos").desc(), "qb")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("qa", "qb", "cos")
+    # r11 (guide §2.4): ``best`` is BOTH sides of the reciprocity join —
+    # without a cut the whole label-blocked quadratic scoring pass runs
+    # twice.  Top-1-per-vector is n rows, the cheapest possible cut.
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qa", "qb", "cos")
+        .localCheckpoint(eager=False)
+    )
     m2 = best.select(F.col("qa").alias("rb"), F.col("qb").alias("ra"))
     return (
         best.join(m2, (F.col("qa") == F.col("ra")) & (F.col("qb") == F.col("rb")))

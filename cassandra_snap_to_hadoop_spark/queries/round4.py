@@ -675,18 +675,29 @@ def j72_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks30", F.slice(tokens(F.col("text")), 1, 30)
     )
     pairs = _snm_candidate_pairs(d, carry=["toks30"], w=4)
+    # r11 (guide §1.2 per-task work): the match-mask loop used to
+    # materialize zip_with(toks30_b, sequence, struct) FRESH for every
+    # outer token — O(n·m) struct-array allocations per pair.  The
+    # 1-based position array is hoisted to a per-row column and the
+    # inner fold indexes toks30_b directly (element_at is O(1), always
+    # in bounds by construction), producing the identical OR-of-bits
+    # mask value with no per-xe allocation.
     mm = F.expr(
         """
         transform(toks30_a, xe ->
-            aggregate(zip_with(toks30_b, sequence(0, size(toks30_b) - 1),
-                               (t, j) -> struct(t, j)),
+            aggregate(pos_b,
                       CAST(0 AS BIGINT),
-                      (acc, s) -> acc | IF(s.t = xe,
-                                           shiftleft(CAST(1 AS BIGINT), s.j),
-                                           CAST(0 AS BIGINT))))
+                      (acc, jj) -> acc | IF(element_at(toks30_b, jj) = xe,
+                                            shiftleft(CAST(1 AS BIGINT), jj - 1),
+                                            CAST(0 AS BIGINT))))
         """
     )
-    folded = pairs.select(
+    folded = pairs.withColumn(
+        "pos_b",
+        F.when(
+            F.size("toks30_b") > 0, F.sequence(F.lit(1), F.size("toks30_b"))
+        ).otherwise(F.array().cast("array<int>")),
+    ).select(
         "id_a",
         "id_b",
         F.size("toks30_a").alias("nx"),

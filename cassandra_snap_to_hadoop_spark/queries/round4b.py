@@ -1007,25 +1007,37 @@ def f29_cusum_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at ANY corpus size — it is calendar-bounded, not volume-bounded), so
     # pin it to ONE partition; with the BROADCAST hint below each of the
     # ~30 UnionLoop iterations is then a KB broadcast join instead of a
-    # default-partition-count shuffle pair.  The remaining wall-clock is
-    # the per-iteration job-scheduling floor (~0.3-0.6 s/step under a
-    # cold plain session), not data volume.
+    # default-partition-count shuffle pair.
     ev.groupBy(
         "event_type",
         F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
     ).coalesce(1).createOrReplaceTempView("cs2h_daily_cusum")
+    # r11 (the sql_api_recursive_cte treatment, guide §3.3/§2.4): the
+    # UnionLoop inlines its step plan under EVERY iteration, so the whole
+    # events scan + daily agg + three windows used to run ~30× (once per
+    # calendar day).  ``numbered`` is loop-INVARIANT — materialize it
+    # once (KB, calendar-bounded) and recurse over the checkpointed view;
+    # each iteration is then a broadcast join of the frontier against
+    # in-memory rows.  Values, recursion and oracle text are unchanged
+    # (measured 14.7 s → ~4 s noop at sf0.1).
+    spark.sql(
+        """
+        SELECT event_type, day_idx, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               SUM(x) OVER (PARTITION BY event_type)
+                   DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
+        FROM cs2h_daily_cusum
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_cusum")
     return spark.sql(
         """
         WITH RECURSIVE numbered AS (
-            SELECT event_type, day_idx, x,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY day_idx) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n_days,
-                   SUM(x) OVER (PARTITION BY event_type)
-                       DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
-            FROM cs2h_daily_cusum
+            SELECT event_type, day_idx, x, rn, n_days, mu
+            FROM cs2h_numbered_cusum
         ), chain AS (
             SELECT event_type, rn, n_days, mu,
                    GREATEST(CAST(0 AS BIGINT), x - mu - mu DIV 20) AS s,
@@ -1498,27 +1510,56 @@ def i21_builtin_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers end to end (distance IS an integer).  Candidates:
     per-lang sorted-neighborhood window of width 3 (~3·n pairs, never
     n²) on 30-char prefixes (bounded per-pair DP cost — Spark's builtin
-    also takes a threshold arg for early exit at cluster scale)."""
+    also takes a threshold arg for early exit at cluster scale).
+
+    r11 (guide §3.3 "avoid accidental exploding joins"): the neighbor
+    band used to be a self-join whose only EQUI key was ``lang`` (a
+    handful of values) with the rn band as a post-join predicate — the
+    sort-merge join therefore compared every same-lang pair, O(n²) per
+    language (measured 48 s noop at sf0.1).  ``b.rn − a.rn ∈ {1,2,3}``
+    within the (lang, ORDER BY s, doc_id) window IS ``LEAD(·, k)`` over
+    the very window that assigned rn, so each row now emits its ≤3
+    following neighbors from one window pass: same pairs, same
+    distances, zero joins, and the one exchange is the window's own
+    hash-by-lang (partition tails produce NULL leads, exactly the rows
+    the old band join had no partner for)."""
     from pyspark.sql.window import Window
 
     d = Tables(spark, sf_dir).documents
     pre = d.select("doc_id", "lang", F.substring("text", 1, 30).alias("s"))
-    t = pre.withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("lang").orderBy("s", "doc_id")),
+    w = Window.partitionBy("lang").orderBy("s", "doc_id")
+    leads = pre.select(
+        "doc_id",
+        "s",
+        *[
+            c
+            for k in (1, 2, 3)
+            for c in (
+                F.lead("doc_id", k).over(w).alias(f"id{k}"),
+                F.lead("s", k).over(w).alias(f"s{k}"),
+            )
+        ],
     )
-    a, b = t.alias("a"), t.alias("b")
+    t = leads.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"id{k}").alias("id_b"), F.col(f"s{k}").alias("s_b")
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("nb"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + 3),
-        )
+        t.where(F.col("nb.id_b").isNotNull())
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("long").alias(
+            F.col("doc_id").alias("id_a"),
+            F.col("nb.id_b").alias("id_b"),
+            F.levenshtein(F.col("s"), F.col("nb.s_b")).cast("long").alias(
                 "edit_dist"
             ),
         )

@@ -226,20 +226,31 @@ def f31_holt_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
     ).coalesce(1).createOrReplaceTempView("cs2h_daily_holt")
+    # r11 (the sql_api_recursive_cte/f29 treatment): ``numbered`` is
+    # loop-invariant but the UnionLoop inlines it under every iteration —
+    # the events scan + daily agg + windows used to run once per calendar
+    # day.  Materialize once (KB, calendar-bounded) and broadcast the
+    # step side; values, recursion and oracle text unchanged.
+    spark.sql(
+        """
+        SELECT event_type, day_idx, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM cs2h_daily_holt
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_holt")
     return spark.sql(
         """
         WITH RECURSIVE numbered AS (
-            SELECT event_type, day_idx, x,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY day_idx) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
-            FROM cs2h_daily_holt
+            SELECT event_type, day_idx, x, rn, n_days
+            FROM cs2h_numbered_holt
         ), chain AS (
             SELECT event_type, rn, n_days,
                    x AS lvl, CAST(0 AS BIGINT) AS trend
             FROM numbered WHERE rn = 1
             UNION ALL
-            SELECT b.event_type, b.rn, b.n_days,
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days,
                    (b.x + 4 * (c.lvl + c.trend)) DIV 5,
                    (((b.x + 4 * (c.lvl + c.trend)) DIV 5 - c.lvl)
                     + 9 * c.trend) DIV 10
@@ -1177,20 +1188,30 @@ def f32_kalman_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("z")
     ).coalesce(1).createOrReplaceTempView("cs2h_daily_kalman")
+    # r11 (the sql_api_recursive_cte/f29 treatment): materialize the
+    # loop-invariant ``numbered`` once — the UnionLoop used to re-derive
+    # the events scan + daily agg + windows under every iteration — and
+    # broadcast the KB step side.  Values and oracle text unchanged.
+    spark.sql(
+        """
+        SELECT event_type, day_idx, z,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM cs2h_daily_kalman
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_kalman")
     return spark.sql(
         f"""
         WITH RECURSIVE numbered AS (
-            SELECT event_type, day_idx, z,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY day_idx) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n_days
-            FROM cs2h_daily_kalman
+            SELECT event_type, day_idx, z, rn, n_days
+            FROM cs2h_numbered_kalman
         ), chain AS (
             SELECT event_type, rn, n_days,
                    z AS x, CAST({_KF_P0} AS BIGINT) AS p
             FROM numbered WHERE rn = 1
             UNION ALL
-            SELECT b.event_type, b.rn, b.n_days,
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days,
                    c.x + ((c.p + {_KF_Q}) * (b.z - c.x))
                          DIV (c.p + {_KF_Q} + {_KF_R}),
                    (c.p + {_KF_Q})

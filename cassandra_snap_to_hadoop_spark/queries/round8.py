@@ -873,16 +873,26 @@ def f42_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
     ).coalesce(1).createOrReplaceTempView("cs2h_daily_ewma")
+    # r11 (the sql_api_recursive_cte/f29 treatment): materialize the
+    # loop-invariant ``numbered`` once — the UnionLoop used to re-derive
+    # the events scan + daily agg + windows under every iteration — and
+    # broadcast the KB step side.  Values and oracle text unchanged.
+    spark.sql(
+        """
+        SELECT event_type, day_idx, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               SUM(x) OVER (PARTITION BY event_type)
+                   DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
+        FROM cs2h_daily_ewma
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_ewma")
     return spark.sql(
         """
         WITH RECURSIVE numbered AS (
-            SELECT event_type, day_idx, x,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY day_idx) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n_days,
-                   SUM(x) OVER (PARTITION BY event_type)
-                       DIV COUNT(*) OVER (PARTITION BY event_type) AS mu
-            FROM cs2h_daily_ewma
+            SELECT event_type, day_idx, x, rn, n_days, mu
+            FROM cs2h_numbered_ewma
         ), chain AS (
             SELECT event_type, rn, n_days, mu,
                    (x + 7 * mu) DIV 8 AS z,
@@ -891,7 +901,7 @@ def f42_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END AS n_alarms
             FROM numbered WHERE rn = 1
             UNION ALL
-            SELECT b.event_type, b.rn, b.n_days, b.mu,
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days, b.mu,
                    (b.x + 7 * c.z) DIV 8,
                    GREATEST(c.max_dev, ABS((b.x + 7 * c.z) DIV 8 - b.mu)),
                    c.n_alarms + CASE WHEN ABS((b.x + 7 * c.z) DIV 8 - b.mu)
