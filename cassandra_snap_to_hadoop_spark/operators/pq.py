@@ -105,10 +105,20 @@ def train_codebooks(
 
 
 def _lit_matrix(mat: np.ndarray) -> Column:
-    """(k, d) numpy -> array<array<double>> literal column."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in mat]
+    """(k, d) numpy -> array<array<double>> literal column.
+
+    r11 (guide §1.2 per-task work, applied to the DRIVER): ONE ``F.expr``
+    per matrix — the old ``F.array(F.array(F.lit(...)))`` nesting (and
+    ``F.lit(list)``, which PySpark expands to the same thing) made k·d
+    py4j round-trips per call site (16 codebooks × 2 call sites ≈ 4k
+    calls), which dominated the PQ queries' plan-BUILD time.  The SQL
+    string parses JVM-side in one call; ``repr`` emits the shortest
+    round-trip decimal and Java's parseDouble returns the identical
+    bits, so values are unchanged."""
+    rows = ",".join(
+        "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")" for row in mat
     )
+    return F.expr(f"array({rows})")
 
 
 def _sub_d2(subvec: Column, cent: Column) -> Column:

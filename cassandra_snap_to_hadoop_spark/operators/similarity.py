@@ -231,20 +231,22 @@ def similarity_join_lsh(
         F.explode(srp_bucket_keys(F.col(vec_col), planes, bands)).alias("bkey"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
+    # r11 (guide §2.3 "shuffle fewer bytes"): cosine is computed INSIDE
+    # the band join and the threshold filter runs before the dedup, so
+    # the distinct exchange carries (id, id, cos) instead of two
+    # 64-double vectors per candidate.  A pair colliding in k bands pays
+    # k dots (k ≤ bands) but the dot is deterministic on identical
+    # operands, so the duplicates are bit-identical rows and
+    # distinct-after-filter ≡ filter-after-distinct: same output rows.
+    return (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+            F.round(dot(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .distinct()
     )
 
 

@@ -259,11 +259,27 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     t = df.select(F.col(id_col), w.alias("__w"), grams.alias("__grams"))
-    max_tok = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("__w")),
-            lambda tk: F.size(F.filter(F.col("__w"), lambda x: x == tk)),
-        )
+    # r11 (guide §1.2 per-task work): the hottest-token count used to be
+    # O(tokens × vocab) per row (per distinct token, filter the whole
+    # token array).  Max multiplicity ≡ the longest equal-run of the
+    # SORTED token array, so one array_sort + one linear fold computes
+    # the identical integer in O(n log n) per row.  (NULL-text rows stay
+    # NULL through sort/aggregate exactly as through the old
+    # distinct/transform chain.)
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    max_tok = F.aggregate(
+        F.array_sort(F.col("__w")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return t.select(
         id_col,

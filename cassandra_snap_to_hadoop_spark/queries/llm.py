@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators import similarity as sim
 from cassandra_snap_to_hadoop_spark.operators import text as tx
 from cassandra_snap_to_hadoop_spark.operators.dedup import (
@@ -158,7 +158,11 @@ def j2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors are L2-normalized per row BEFORE the pair join (one dot product
     per pair instead of dot + two norms — 3x on the quadratic term)."""
     e = Tables(spark, sf_dir).embeddings
-    n = e.select("vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv"))
+    # fan_out: the quadratic dot-product stage inherited the one-split
+    # local scan's parallelism (no-op at real scale).
+    n = fan_out(e).select(
+        "vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv")
+    )
     a, b = n.alias("a"), n.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -282,7 +286,11 @@ def j4_pairwise_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded pairwise similarity: all-pairs cosine WITHIN a label block
     (the blocking is what keeps it off the O(n^2) cliff at scale)."""
     e = Tables(spark, sf_dir).embeddings
-    n = e.select("vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv"))
+    # fan_out: the quadratic dot-product stage inherited the one-split
+    # local scan's parallelism (no-op at real scale).
+    n = fan_out(e).select(
+        "vec_id", "label", sim.l2_normalize(F.col("embedding")).alias("nv")
+    )
     a, b = n.alias("a"), n.alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -313,16 +321,34 @@ def j4_pairwise_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J5",
 )
 def j5_shingling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenization + k-shingling statistics per document."""
+    """Tokenization + k-shingling statistics per document.
+
+    r11 (guide §1.2 per-task work): the token array is projected once
+    and the shingle transform is built over it (the old shape re-ran
+    normalize+split inside ``shingles``), and ``first_shingle`` is
+    ``array_min`` over the raw shingle array instead of a full
+    ``array_sort(distinct)[0]`` — min(raw) ≡ sort(distinct)[0] (same
+    comparator, distinct cannot change the minimum, empty → NULL in
+    both), so values are identical with O(n) instead of O(n log n)
+    per row and no sorted-copy allocation."""
     d = Tables(spark, sf_dir).documents
-    words = tx.tokens(F.col("text"))
-    sh = shingles(F.col("text"), 3)
-    return d.select(
+    # fan_out: the shingle HOFs are the whole query and a one-split local
+    # scan serialized them on one core (no-op at real scale).
+    toks = fan_out(d).select("doc_id", tx.tokens(F.col("text")).alias("w"))
+    n = F.size("w") - F.lit(2)
+    raw = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
         "doc_id",
-        F.size(words).cast("int").alias("n_tokens"),
-        F.size(F.array_distinct(words)).cast("int").alias("n_distinct_tokens"),
-        F.size(sh).cast("int").alias("n_shingles"),
-        F.array_sort(sh).getItem(0).alias("first_shingle"),
+        F.size("w").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("int").alias("n_distinct_tokens"),
+        F.size(F.array_distinct(raw)).cast("int").alias("n_shingles"),
+        F.array_min(raw).alias("first_shingle"),
     )
 
 

@@ -1355,9 +1355,6 @@ def b22_rack_aware_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs driver state.  Law pinned in tests: every token gets exactly
     3 replicas on 3 distinct racks."""
     li = Tables(spark, sf_dir).lineitem
-    ring = spark.createDataFrame(
-        [(p, n, n % 3) for p, n in _B22_RING], "pos int, node int, rack int"
-    )
     # Per-rack rank on the FINEST available row identity
     # (l_orderkey, l_linenumber, cents) — the synthetic lineitem has no
     # unique physical row id, so rows identical in all three count once
@@ -1370,14 +1367,36 @@ def b22_rack_aware_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 1200).alias("token"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    walk = keyed.crossJoin(F.broadcast(ring)).select(
-        "l_orderkey", "l_linenumber", "token", "cents", "node", "rack",
-        ((F.col("pos") - (F.col("token") / 100).cast("int") + 12) % 12).alias("dist"),
+    # r11 (guide §2.3 "shuffle keys, not payloads"): the rack-aware walk
+    # is a pure function of ``token DIV 100`` (12 values) — the old
+    # key×ring cross fed a 12·n-row sort window keyed by the full row
+    # identity just to pick each rack's min-dist ring row.  Enumerating
+    # the walk per (tok100, rack) driver-side (36 integer rows, same
+    # min-dist rule, dists are distinct within a rack so no tie exists)
+    # and broadcast-joining it onto the DISTINCT row identities (the
+    # window's partition key collapsed duplicates; distinct() is the
+    # same collapse) keeps every output value identical while the one
+    # data-sized exchange carries n distinct skinny rows instead of a
+    # 12·n-row window sort.
+    place = spark.createDataFrame(
+        [
+            (t, node, rack, dist)
+            for t in range(12)
+            for rack in (0, 1, 2)
+            for dist, node in [
+                min(
+                    ((p - t + 12) % 12, n)
+                    for p, n in _B22_RING
+                    if n % 3 == rack
+                )
+            ]
+        ],
+        "tok100 int, node int, rack int, dist int",
     )
-    w = Window.partitionBy(
-        "l_orderkey", "l_linenumber", "cents", "rack"
-    ).orderBy("dist")
-    fpr = walk.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    fpr = keyed.distinct().join(
+        F.broadcast(place),
+        (F.col("token") / 100).cast("int") == F.col("tok100"),
+    )
     return (
         fpr.groupBy("node")
         .agg(

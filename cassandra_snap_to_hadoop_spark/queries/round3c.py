@@ -154,7 +154,11 @@ def j3_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", l2_normalize(F.col("embedding"))
     )
     books = pq.train_codebooks(e, m=16, ksub=32, sample_n=400, iters=8, seed=7)
-    coded = pq.encode(e, books).select("vec_id", "codes")
+    # r11 (guide §2.5): the embeddings file is one input split locally, so
+    # the 16×32-fold encode ran on one core; fan_out spreads the rows only
+    # when the scan is under-split (no-op at real scale; row-wise encode —
+    # values and code assignment are per-row, unchanged).
+    coded = pq.encode(fan_out(e), books).select("vec_id", "codes")
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators.dedup import (
     normalize_text,
     ppjoin_pairs,
@@ -661,7 +661,13 @@ def e38_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     B = 100
-    ex = o.select(
+    # r11 (guide §2.5/§3.3): the B-way explode inherits the scan's split
+    # count — a small parquet file is ONE split, so the B·n md5 gates ran
+    # on one core.  fan_out round-robins the narrow PRE-explode rows
+    # (2 columns) only when the scan is under-split (no-op at real
+    # scale); the exchange carries n rows, not B·n.  Gate, agg and
+    # values are unchanged (measured 7.7 -> 1.1 s warm noop at sf0.1).
+    ex = fan_out(o).select(
         "o_orderkey", "cents", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
     )
     gate = md5_coin(F.col("o_orderkey"), F.col("b"))
@@ -1443,18 +1449,37 @@ def j69_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast-KNN shape with a threshold instead of top-k.  Cosines are
     computed by the shared codegen HOF (pre-normalized dot), rounded 4dp
     only at presentation."""
-    from cassandra_snap_to_hadoop_spark.operators.similarity import cosine
+    from cassandra_snap_to_hadoop_spark.operators.similarity import dot, l2_norm
 
-    emb = Tables(spark, sf_dir).embeddings
+    # r11 (the j59 treatment, guide §1.2): cosine() re-folded the L2
+    # norms PER PAIR — each side now carries its norm from a per-row
+    # projection (identical IEEE fold over identical operands ⇒
+    # bit-identical values; the pair term keeps the exact dot/(na·nb)
+    # expression), and fan_out spreads the quadratic stage off the
+    # one-split local scan (no-op at real scale).
+    emb = fan_out(Tables(spark, sf_dir).embeddings)
     train = emb.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("tid"), F.col("label").alias("lbl"), F.col("embedding").alias("te")
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("te"),
+        l2_norm(F.col("embedding")).alias("tn"),
     )
     ev = emb.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("eval_id"), F.col("label").alias("lbl"), F.col("embedding").alias("ee")
+        F.col("vec_id").alias("eval_id"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("ee"),
+        l2_norm(F.col("embedding")).alias("en"),
     )
     hits = (
         ev.join(train, "lbl")
-        .select("eval_id", "lbl", cosine(F.col("ee"), F.col("te")).alias("cos"))
+        .select(
+            "eval_id",
+            "lbl",
+            F.when(
+                (F.col("en") > 0) & (F.col("tn") > 0),
+                dot(F.col("ee"), F.col("te")) / (F.col("en") * F.col("tn")),
+            ).alias("cos"),
+        )
         .groupBy("eval_id")
         .agg(F.max("cos").alias("best_cos"))
     )

@@ -867,15 +867,26 @@ def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("x")).coalesce(1).createOrReplaceTempView(
         "cs2h_daily_hw"
     )
+    # r11 (the sql_api_recursive_cte/f29 treatment): materialize the
+    # loop-invariant ``numbered`` once — the UnionLoop used to re-derive
+    # the events scan + daily agg + windows under every one of ~23
+    # iterations — and broadcast the KB step side.  Values and oracle
+    # text unchanged.
+    spark.sql(
+        """
+        SELECT event_type, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+        FROM cs2h_daily_hw
+        """
+    ).localCheckpoint(eager=False).createOrReplaceTempView("cs2h_numbered_hw")
     return spark.sql(
         """
         WITH RECURSIVE numbered AS (
-            SELECT event_type, x,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                           ORDER BY day) AS BIGINT) AS rn,
-                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
-                       AS n_days
-            FROM cs2h_daily_hw
+            SELECT event_type, x, rn, n_days
+            FROM cs2h_numbered_hw
         ), fw AS (
             SELECT event_type, CAST(SUM(x) DIV 7 AS BIGINT) AS l7
             FROM numbered WHERE rn <= 7 GROUP BY 1
@@ -896,7 +907,7 @@ def f27_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), chain AS (
             SELECT * FROM base
             UNION ALL
-            SELECT b.event_type, b.rn, b.n_days,
+            SELECT /*+ BROADCAST(b) */ b.event_type, b.rn, b.n_days,
                    (b.x - c.s1 + 4 * (c.lvl + c.trend)) DIV 5,
                    (((b.x - c.s1 + 4 * (c.lvl + c.trend)) DIV 5 - c.lvl)
                     + 9 * c.trend) DIV 10,

@@ -1527,9 +1527,14 @@ def a35_bloom_file_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iceberg bloom skipping restated relationally."""
     li = Tables(spark, sf_dir).lineitem
     ks = spark.range(_BLOOM_K).select(F.col("id").alias("k"))
-    tagged = li.select(
-        F.expr("unix_micros(l_shipdate) DIV 2592000000000").alias("file_id"),
-        "l_partkey",
+    # fan_out (guide §2.5): the K·n md5 bit build (and the three distinct
+    # partial aggs) inherited the one-split local scan's single task;
+    # no-op at real scale where the fact scan is already parallel.
+    tagged = fan_out(
+        li.select(
+            F.expr("unix_micros(l_shipdate) DIV 2592000000000").alias("file_id"),
+            "l_partkey",
+        )
     )
     bit = (
         F.conv(

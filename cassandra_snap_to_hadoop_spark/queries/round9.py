@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.registry import register
 
 
@@ -1517,25 +1517,39 @@ def j130_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     small broadcast side; the corpus side is the volume term) → top-3
     window per probe → KB vote/flag folds.  The probe rate is the cost
     dial; at 100 TB the production analogue samples per label stratum."""
+    # r11 (the j121/j131 treatment, guide §2.3/§4.1): the per-dim
+    # posexplode + broadcast dim-equi join shuffled 64× rows per pair
+    # into a (pid, nid)-keyed aggregation just to sum micro·pm over
+    # dims.  Quantize each vector ONCE via transform and compute every
+    # dot as a zip_with/aggregate codegen fold — the identical exact
+    # BIGINT sum (integer addition is associative; same 64 products) —
+    # with the probe side broadcast (sanctioned BNLJ: the probe subset
+    # is bounded by the %25 sampling rule).  fan_out spreads the
+    # corpus side off the one-split local scan (no-op at real scale).
     e = Tables(spark, sf_dir).embeddings
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
-    ).select(
-        "vec_id", "label", "dim",
-        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("micro"),
+    q = e.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("mv"),
     )
-    probes = ex.where(F.col("vec_id") % 25 == 0).select(
+    probes = q.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("pid"), F.col("label").alias("plabel"),
-        F.col("dim").alias("pd"), F.col("micro").alias("pm"),
+        F.col("mv").alias("pv"),
     )
     dots = (
-        ex.join(
-            F.broadcast(probes),
-            (F.col("dim") == F.col("pd")) & (F.col("vec_id") != F.col("pid")),
+        fan_out(q)
+        .join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid", "plabel",
+            F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+            F.aggregate(
+                F.zip_with(F.col("mv"), F.col("pv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
         )
-        .groupBy("pid", "plabel", F.col("vec_id").alias("nid"),
-                 F.col("label").alias("nlabel"))
-        .agg(F.sum(F.col("micro") * F.col("pm")).cast("long").alias("dot"))
     )
     from pyspark.sql.window import Window
 

@@ -60,7 +60,10 @@ def j17_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py repetition_signals."""
     from cassandra_snap_to_hadoop_spark.operators.text import repetition_signals
 
-    d = Tables(spark, sf_dir).documents
+    # r11 (guide §2.5): fan_out — the per-row HOF profile is the whole
+    # query, and a one-split local scan serialized it on one core
+    # (no-op at real scale).
+    d = fan_out(Tables(spark, sf_dir).documents)
     return repetition_signals(d, "doc_id", "text")
 
 
