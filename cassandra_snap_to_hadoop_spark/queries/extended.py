@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.operators import similarity as sim
 from cassandra_snap_to_hadoop_spark.queries._util import qsum, round4
 from cassandra_snap_to_hadoop_spark.registry import register
@@ -656,7 +656,9 @@ def j15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     join fan-out; the synthetic corpus has no such degenerate n-grams."""
     from cassandra_snap_to_hadoop_spark.operators.dedup import shingles
 
-    d = Tables(spark, sf_dir).documents
+    # fan_out (guide §2.5): the 5-gram shingle HOF runs once per join
+    # side and inherited the one-split local scan (no-op at real scale).
+    d = fan_out(Tables(spark, sf_dir).documents)
     hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     sh = d.select(
         F.col("doc_id"),

@@ -16,7 +16,8 @@ registry did not yet cover, each the canonical member of its class:
     corpus, exact integer ECDF numerators (no float compare).  SQL.
   * f24 Holt double-exponential smoothing forecast per user — the
     level+trend recursion is genuinely not window-expressible, so it is
-    an applyInPandas fold like f15.  Rows-only; Python-reference-tested.
+    a per-user Python fold (mapInPandas since r11; was applyInPandas).
+    SQL-certified since round 10; Python-reference-tested.
   * j64 simhash Hamming near-dup pairs via the PIGEONHOLE band index
     (Manku WWW'07) — completeness vs brute force test-pinned.  Rows-only
     (xxhash64-seeded fingerprints).
@@ -412,9 +413,14 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily event-count series: level/trend recursion with the classic
     init (l₁ = x₁, b₁ = x₂ − x₁) plus a 7-day-ahead linear forecast.
     Each smoothed value depends on the previous state, so the recursion
-    is genuinely not window-expressible — the canonical applyInPandas
-    fold: one shuffle on user_id, the sequential scan runs per group
-    over the group's bounded day span, nothing collects.
+    is genuinely not window-expressible — a per-user Python fold: one
+    shuffle on user_id, the sequential scan runs per group over the
+    group's bounded day span, nothing collects.  r11 moved the fold
+    from applyInPandas (one Python invocation PER USER — the per-group
+    overhead dominated) to the guide-§4.5 iterator form: one mapInPandas
+    call per partition over user-contiguous sorted rows, straddling
+    groups carried across Arrow batches; identical per-user fold and
+    integers.
 
     SQL-CERTIFIED since round 10 (VERDICT r9 item 4 — the f31/f27
     conversion applied back to THIS registration): the fold moves to
@@ -436,7 +442,7 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pre-aggregation (user × day counts) does the data
     reduction; the engine fold then touches |users| × |days| rows in
-    one applyInPandas pass (the oracle's recursion is the CERTIFICATE,
+    one partition-wise pass (the oracle's recursion is the CERTIFICATE,
     not the production plan)."""
     import pandas as pd
 
@@ -445,10 +451,9 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = abs(a) // b
         return q if a >= 0 else -q
 
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("d")
-        lo, hi = int(pdf["d"].iloc[0]), int(pdf["d"].iloc[-1])
-        counts = dict(zip(pdf["d"].astype(int), pdf["n"].astype(int)))
+    def holt_one(uid: int, ds: list[int], ns: list[int]) -> tuple:
+        counts = dict(zip(ds, ns))
+        lo, hi = min(ds), max(ds)
         xs = [counts.get(d, 0) * 1_000_000 for d in range(lo, hi + 1)]
         lvl = xs[0]
         trend = xs[1] - xs[0] if len(xs) > 1 else 0
@@ -456,24 +461,55 @@ def f24_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev = lvl
             lvl = tdiv(x + lvl + trend, 2)
             trend = tdiv(3 * (lvl - prev) + 7 * trend, 10)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_days": [len(xs)],
-                "level_micros": [lvl],
-                "trend_micros": [trend],
-                "forecast7_micros": [lvl + 7 * trend],
-            }
-        )
+        return (uid, len(xs), lvl, trend, lvl + 7 * trend)
+
+    # r11 (guide §4.5 iterator form): the applyInPandas fold invoked the
+    # Python function once PER USER (~|users| tiny pandas frames — the
+    # per-group overhead dominated the query).  The identical per-user
+    # fold now runs under ONE mapInPandas call per partition:
+    # repartition(user_id) + sortWithinPartitions makes each user's
+    # daily rows contiguous, groups that straddle Arrow batches carry
+    # over, and each batch yields one result frame.  Same fold, same
+    # integers, one row per user.
+    def holt_partition(batches):
+        cols = ["user_id", "n_days", "level_micros", "trend_micros",
+                "forecast7_micros"]
+
+        def fold_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = [
+                holt_one(int(uid), list(g["d"].astype(int)), list(g["n"].astype(int)))
+                for uid, g in pdf.groupby("user_id", sort=False)
+            ]
+            return pd.DataFrame(out, columns=cols)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_uid = pdf["user_id"].iloc[-1]
+            tail = pdf["user_id"] == last_uid
+            carry = pdf[tail]
+            done = pdf[~tail]
+            if len(done):
+                yield fold_frame(done)
+        if carry is not None and len(carry):
+            yield fold_frame(carry)
 
     e = Tables(spark, sf_dir).events
     daily = e.groupBy(
         "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("d")
     ).agg(F.count("*").alias("n"))
-    return daily.groupBy("user_id").applyInPandas(
-        holt,
-        "user_id long, n_days long, level_micros long, trend_micros long,"
-        " forecast7_micros long",
+    return (
+        daily.repartition("user_id")
+        .sortWithinPartitions("user_id", "d")
+        .mapInPandas(
+            holt_partition,
+            "user_id long, n_days long, level_micros long, trend_micros long,"
+            " forecast7_micros long",
+        )
     )
 
 
