@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_snap_to_hadoop_spark.io import Tables
+from cassandra_snap_to_hadoop_spark.io import Tables, fan_out
 from cassandra_snap_to_hadoop_spark.registry import register
 
 
@@ -477,7 +477,11 @@ def e46_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
     from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
 
-    d = Tables(spark, sf_dir).documents
+    # r11 (guide §2.5): fan_out — the y tokenize runs once per consumer
+    # single-task off the one-split local scan (no-op at real scale).
+    # ``base`` itself is NOT checkpointed: it is data-sized, the
+    # batch-3 rule (cut only aggregated/bounded relations).
+    d = fan_out(Tables(spark, sf_dir).documents)
     base = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("y"),
