@@ -149,6 +149,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# r12 (VERDICT r11 item 5): ``df.rdd.getNumPartitions()`` converts the plan
+# to an RDD on the driver on EVERY fan_out call — harmless once, measurable
+# when the same query is built repeatedly (bench re-runs, plan suite).  The
+# split count of a given (application, analyzed plan, split-size conf)
+# triple is deterministic, so memoize it on the plan's semantic hash; a
+# stale/wrong entry could only mis-decide the repartition heuristic, never
+# change results.
+_FAN_OUT_CACHE: dict[tuple, int] = {}
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure enough partitions for CPU-heavy per-row work (shingling,
     hashing, vector math).
@@ -158,8 +168,23 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scan already yields thousands of splits and this is a no-op — the
     round-robin repartition only fires when the input is under-split.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    key = None
+    try:
+        key = (
+            sess.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            sess.conf.get("spark.sql.files.maxPartitionBytes", ""),
+        )
+        n = _FAN_OUT_CACHE.get(key)
+    except Exception:  # internal-API drift: fall back to direct computation
+        n = None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _FAN_OUT_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
 

@@ -147,11 +147,63 @@ def encode_expr(vec_col: Column, codebooks: list[np.ndarray]) -> Column:
     return F.array(*codes)
 
 
+def _fold_d2_matrix(sub: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dsub) x (ksub, dsub) -> (n, ksub) squared L2 distances with the
+    SAME sequential accumulation order as the JVM ``_sub_d2`` fold
+    (((0 + d0²) + d1²) + ...): one IEEE-double add per dimension, in index
+    order, so distances — and therefore argmin code assignment and ADC
+    sums — are bit-identical to the HOF tier they replace."""
+    n, dsub = sub.shape
+    acc = np.zeros((n, cents.shape[0]), dtype=np.float64)
+    for t in range(dsub):
+        d = sub[:, t : t + 1] - cents[None, :, t]
+        acc = acc + d * d
+    return acc
+
+
 def encode(
     corpus: DataFrame, codebooks: list[np.ndarray], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Corpus with a ``codes`` column (array<int>, length M) appended."""
-    return corpus.withColumn("codes", encode_expr(F.col(vec_col), codebooks))
+    """Corpus with a ``codes`` column (array<int>, length M) appended.
+
+    r12 (guide §4.2, VERDICT r11 item 4): the per-row encode used to be the
+    ``encode_expr`` HOF ladder — M×K zip_with/aggregate folds that Spark
+    evaluates INTERPRETED per element (higher-order lambdas do not codegen),
+    which made the encode pass the PQ query's dominant cost.  It is now one
+    ``mapInArrow`` numpy kernel per batch (the j86/j107 precedent): distances
+    accumulate in the same sequential order as the fold (bit-identical codes
+    — pinned against the numpy reference in tests/test_pq.py), all other
+    columns pass through untouched as Arrow buffers."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    books = [np.ascontiguousarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    dim = m * dsub
+
+    def encode_batches(batches):
+        for batch in batches:
+            col = batch.column(vec_col)
+            n = len(col)
+            try:
+                mat = np.asarray(
+                    col.values.to_numpy(zero_copy_only=False), dtype=np.float64
+                ).reshape(n, dim)
+            except Exception:  # non-contiguous / null-bearing fallback
+                mat = np.array(col.to_pylist(), dtype=np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                d2 = _fold_d2_matrix(mat[:, j * dsub : (j + 1) * dsub], books[j])
+                codes[:, j] = d2.argmin(axis=1)
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m)
+            codes_arr = pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+            yield batch.append_column("codes", codes_arr)
+
+    out_schema = T.StructType(corpus.schema.fields + [
+        T.StructField("codes", T.ArrayType(T.IntegerType()))
+    ])
+    return corpus.mapInArrow(encode_batches, out_schema)
 
 
 def adc_topk(
@@ -165,29 +217,68 @@ def adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance top-k: smallest approximate squared L2 first.
 
-    The query side precomputes its M×K lookup table in-plan (exact subspace
-    distances to every sub-centroid); the corpus side then pays M
-    ``element_at`` lookups per pair.  Queries (with LUTs) broadcast; the
-    encoded corpus is never shuffled until the final per-query top-k
-    window, which sees only corpus rows — at scale, insert a per-partition
-    partial top-k (as knn_bruteforce_arrow does) before the window."""
+    The query side precomputes its M×K lookup table (exact subspace
+    distances to every sub-centroid); a corpus vector's approximate
+    distance is M table lookups summed.
+
+    r12 (guide §4.2, VERDICT r11 item 4): the scoring used to be a
+    broadcast join of every corpus row against every query with an
+    interpreted zip_with/aggregate fold per pair.  It is now ONE
+    ``mapInArrow`` kernel over the encoded corpus: queries are collected
+    once (bounded by the same contract that let them broadcast — KB-scale),
+    their LUTs are built with the fold's exact sequential add order (bit-
+    identical adist), and each batch emits only its per-query partial top-k
+    (the knn_bruteforce_arrow pattern), so the final window sees
+    O(batches·q·k) rows instead of O(n·q)."""
+    import pyarrow as pa
+
     m = len(codebooks)
-    dsub = codebooks[0].shape[1]
-    luts = []
+    books = [np.ascontiguousarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    nq = len(q_ids)
+    # (nq, m, ksub) LUT, accumulated dimension-by-dimension like the fold.
+    luts = np.empty((nq, m, books[0].shape[0]), dtype=np.float64)
     for j in range(m):
-        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub).cast("array<double>")
-        luts.append(F.transform(_lit_matrix(codebooks[j]), lambda c: _sub_d2(sub, c)))
-    q = queries.select(query_id_col, F.array(*luts).alias("__lut"))
-    scored = corpus_codes.join(
-        F.broadcast(q), F.col(id_col) != F.col(query_id_col)
-    ).select(
-        query_id_col,
-        F.col(id_col).alias("neighbor_id"),
-        F.aggregate(
-            F.zip_with(F.col("codes"), F.col("__lut"), lambda c, row: F.element_at(row, c + 1)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("adist"),
+        luts[:, j, :] = _fold_d2_matrix(q_mat[:, j * dsub : (j + 1) * dsub], books[j])
+
+    def adc_batches(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            col = batch.column("codes")
+            n = len(ids)
+            try:
+                codes = np.asarray(
+                    col.values.to_numpy(zero_copy_only=False), dtype=np.int64
+                ).reshape(n, m)
+            except Exception:
+                codes = np.array(col.to_pylist(), dtype=np.int64)
+            # (n, nq) ADC sums, one lookup-add per subspace in j order —
+            # the fold's exact add sequence.
+            acc = np.zeros((n, nq), dtype=np.float64)
+            for j in range(m):
+                acc = acc + luts[:, j, codes[:, j]].T
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                mask = ids != q_ids[qi]
+                cand_ids = ids[mask]
+                cand_d = acc[mask, qi]
+                order = np.lexsort((cand_ids, cand_d))[: min(k, len(cand_ids))]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_d.extend(cand_d[order])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    query_id_col: np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "adist": np.asarray(out_d, dtype=np.float64),
+                }
+            )
+
+    scored = corpus_codes.select(id_col, "codes").mapInArrow(
+        adc_batches, f"{query_id_col} long, neighbor_id long, adist double"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("adist").asc(), F.col("neighbor_id"))
     return (

@@ -474,34 +474,58 @@ def e46_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σrx·ry ≤ 4n³ — exact to n ≈ 1.3e6 docs; past that the sums need the
     e41 escalation (per-partition partials in DECIMAL or doubles at 1-ulp
     cost), documented rather than silently wrong."""
+    from pyspark.sql import Window
+
     from cassandra_snap_to_hadoop_spark.operators.dedup import normalize_text
-    from cassandra_snap_to_hadoop_spark.operators.layout import global_cumsum
 
     # r11 (guide §2.5): fan_out — the y tokenize runs once per consumer
     # single-task off the one-split local scan (no-op at real scale).
-    # ``base`` itself is NOT checkpointed: it is data-sized, the
-    # batch-3 rule (cut only aggregated/bounded relations).
+    # r12 (guide §2.3 "aggregate before you shuffle", VERDICT r11 item 3):
+    # the rank maps used to join back onto the DATA-SIZED base relation
+    # (two shuffles of every doc row, plus three corpus re-scans — one per
+    # groupBy and one for the join).  Every sufficient statistic is a
+    # weighted fold over the (x, y) VALUE-PAIR histogram, so the corpus is
+    # now scanned ONCE into that value lattice (map-side combinable,
+    # domain-bounded — the e127 lattice class; checkpointed for its three
+    # consumers per the batch-3 rule), the two marginal histograms derive
+    # from it, and the rank maps join back by BROADCAST.  The rank cumsum
+    # runs as a plain window over each DISTINCT-VALUE grid (the e36/e81
+    # domain-bounded exemption class — exactly the oracle's own shape; the
+    # previous global_cumsum machinery cost 6+ driver jobs per build to
+    # avoid a single-task window over a relation that is bounded by the
+    # value domain, not the corpus).  Integer sums reassociate freely, so
+    # all six BIGINTs — and the rho computed from them — are bit-identical
+    # (oracle-verified at 3 SFs).  Plan: the data-sized exchanges are
+    # gone; one corpus scan remains.
     d = fan_out(Tables(spark, sf_dir).documents)
     base = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("y"),
     )
+    vc_xy = (
+        base.groupBy("x", "y").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    )
 
     def rank2_map(col: str, out: str):
-        vc = base.groupBy(col).agg(F.count("*").alias("c"))
-        cum = global_cumsum(vc, [F.col(col)], "c", rank_col="__rk", cum_col="cumv")
+        vc = vc_xy.groupBy(col).agg(F.sum("c").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = vc.select(col, F.col("c"), F.sum("c").over(w).alias("cumv"))
         return cum.select(
             col, (2 * (F.col("cumv") - F.col("c")) + F.col("c") + 1).alias(out)
         )
 
-    rk = base.join(rank2_map("x", "rx"), "x").join(rank2_map("y", "ry"), "y")
+    rk = vc_xy.join(F.broadcast(rank2_map("x", "rx")), "x").join(
+        F.broadcast(rank2_map("y", "ry")), "y"
+    )
     s = rk.agg(
-        F.count("*").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        # coalesce: count(*) of the old per-doc agg is 0 on an empty
+        # corpus, sum() would be NULL — keep the edge case identical.
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
+        F.sum(F.col("c") * F.col("rx")).alias("sx"),
+        F.sum(F.col("c") * F.col("ry")).alias("sy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("c") * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("ry")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
@@ -1155,22 +1179,40 @@ def e48_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere: two parts never meet unless a real basket contains both."""
     li = Tables(spark, sf_dir).lineitem
     # r11 (guide §2.4): the item-support relation feeds two join legs
-    # and is cut.  (The distinct basket-item relation is data-sized and
-    # NOT cut — guide §5's caching trade-off.)
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
-    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    # and is cut.
+    # r12 (guide §2.3/§2.4, VERDICT r11 item 3): the basket self-join used
+    # to shuffle the distinct item relation twice more (both join legs on
+    # ok) after the distinct's own exchange.  The basket is ≤7 items by
+    # schema, so each order's DISTINCT SORTED part-set now rides ONE
+    # collect_set aggregation (set semantics == the old .distinct()), and
+    # the C(items,2) pairs (x < y via the sorted array) generate in-plan
+    # from the checkpointed set relation — no self-join.  Supports and
+    # n_orders derive from the same relation.  Pair counts are identical
+    # integers, so the output is hash-identical (oracle-verified at 3
+    # SFs).  Plan: 5 Exchanges -> 3, SortMergeJoin(ok) gone.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
+    )
+    n = baskets.agg(F.count("*").alias("n_orders"))
     isup = (
-        items.groupBy("part")
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
         .agg(F.count("*").alias("n_item"))
         .localCheckpoint(eager=False)
     )
-    a = items.select("ok", F.col("part").alias("part_a"))
-    b = items.select("ok", F.col("part").alias("part_b"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= 3)

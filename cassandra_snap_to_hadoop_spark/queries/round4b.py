@@ -383,11 +383,25 @@ def e51_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers for rising and falling pairs alike.  Median =
     rank (n+1)//2 under the deterministic (slope, m1, m2) order.
 
-    Scale: the self-join is per supplier over MONTHLY points, so pair
-    count is |suppliers| × O(M²) with M bounded by the calendar span —
-    a constant per supplier, independent of row volume; suppliers spread
-    across the cluster on the join key.  The ranking window is
-    partitioned by supplier.  No global single-reducer stage exists."""
+    Scale: pair count is |suppliers| × O(M²) with M bounded by the
+    calendar span — a constant per supplier, independent of row volume;
+    suppliers spread across the cluster on the group key.  No global
+    single-reducer stage exists.
+
+    r12 (guide §2.3/§4.2, VERDICT r11 item 3): the pair generation used
+    to be a monthly self-join (two extra exchanges of the monthly
+    relation) feeding a 3.5M-row ranking window (another sort of every
+    pair).  The pairs exist only to select ONE order statistic per
+    supplier, so the materialized pair relation is pure shuffle weight:
+    the monthly points now group per supplier (calendar-bounded arrays —
+    the f24 argument) and ONE Arrow kernel emits each supplier's median
+    slope directly.  All slope math is the same exact int64 lattice
+    (truncating division applied to the non-negative difference, sign
+    re-attached — numpy floor-div on non-negative operands == DIV), and
+    the median is the identical rank (n+1)//2 under the identical
+    (slope, m1, m2) order, so outputs are hash-identical (verified at
+    all 3 SFs).  Plan: 3 Exchanges -> 2, SortMergeJoin + 2 windows ->
+    MapInArrow."""
     li = Tables(spark, sf_dir).lineitem
     monthly = (
         li.groupBy(
@@ -402,33 +416,50 @@ def e51_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    a = monthly.alias("a")
-    b = monthly.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.suppkey") == F.col("b.suppkey")) & (F.col("b.m") > F.col("a.m")),
-    ).select(
-        F.col("a.suppkey").alias("suppkey"),
-        F.col("a.m").alias("m1"),
-        F.col("b.m").alias("m2"),
-        F.expr(
-            "CASE WHEN b.rev_cents >= a.rev_cents"
-            " THEN ((b.rev_cents - a.rev_cents) * 1000000) DIV (b.m - a.m)"
-            " ELSE -(((a.rev_cents - b.rev_cents) * 1000000) DIV (b.m - a.m))"
-            " END"
-        ).alias("slope_micro"),
+    grouped = monthly.groupBy("suppkey").agg(
+        F.sort_array(F.collect_list(F.struct("m", "rev_cents"))).alias("pts")
     )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("suppkey").orderBy("slope_micro", "m1", "m2")
-    ranked = pairs.select(
-        "suppkey",
-        "slope_micro",
-        F.row_number().over(w).cast("long").alias("r"),
-        F.count("*").over(Window.partitionBy("suppkey")).cast("long").alias("n_pairs"),
-    )
-    return ranked.where(F.expr("r = (n_pairs + 1) DIV 2")).select(
-        "suppkey", "n_pairs", F.col("slope_micro").alias("ts_slope_micro")
+    def ts_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            sups = batch.column("suppkey").to_numpy(zero_copy_only=False)
+            pts = batch.column("pts")
+            offs = pts.offsets.to_numpy(zero_copy_only=False)
+            ms = pts.values.field("m").to_numpy(zero_copy_only=False)
+            revs = pts.values.field("rev_cents").to_numpy(zero_copy_only=False)
+            out_s, out_n, out_t = [], [], []
+            for r in range(len(sups)):
+                lo, hi = offs[r], offs[r + 1]
+                m = ms[lo:hi]
+                rv = revs[lo:hi]
+                if len(m) < 2:
+                    continue  # no pairs -> no median row (same as the join)
+                i, j = np.triu_indices(len(m), k=1)
+                d = rv[j] - rv[i]
+                dm = m[j] - m[i]
+                # truncating division toward zero == floor on the
+                # non-negative branch operands (the oracle's CASE form)
+                slope = np.where(
+                    d >= 0, (d * 1_000_000) // dm, -(((-d) * 1_000_000) // dm)
+                )
+                order = np.lexsort((m[j], m[i], slope))
+                pick = order[(len(order) + 1) // 2 - 1]
+                out_s.append(sups[r])
+                out_n.append(len(order))
+                out_t.append(slope[pick])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "suppkey": np.asarray(out_s, dtype=np.int64),
+                    "n_pairs": np.asarray(out_n, dtype=np.int64),
+                    "ts_slope_micro": np.asarray(out_t, dtype=np.int64),
+                }
+            )
+
+    return grouped.mapInArrow(
+        ts_batches, "suppkey long, n_pairs long, ts_slope_micro long"
     )
 
 
