@@ -101,6 +101,14 @@ HEADLINE = [
 ]
 
 N_RUNS = 3
+# r12 (VERDICT r11 item 7): sub-second keys carried no signal — one cold
+# box window drifted 15 untouched queries 0.77-0.90x.  Keys whose median
+# lands under this threshold get extra runs (median of 7 instead of 3) and
+# every key reports its [min, max] spread, so a 20% move on a 0.3 s query
+# can be told apart from scheduler noise.  Methodology is otherwise
+# unchanged (count-timed median after one warm run).
+FAST_KEY_SEC = 0.5
+N_RUNS_FAST = 7
 
 
 def _drop_persisted(spark) -> None:
@@ -144,6 +152,7 @@ def main() -> None:
     registry = load_all()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = registry[name]
         q.fn(spark, sf_dir).count()  # warm (JIT, code cache, FS cache)
@@ -152,7 +161,15 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        # sub-second keys: extend to N_RUNS_FAST total so the median sits
+        # on more samples (noise floor on this box is ~0.1 s per run)
+        if sorted(runs)[len(runs) // 2] < FAST_KEY_SEC:
+            for _ in range(N_RUNS_FAST - N_RUNS):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         _drop_persisted(spark)
 
     # Contention re-check (VERDICT r9 item 7): three rounds of guard
@@ -194,6 +211,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # additions-only key (r12): per-query [min, max] across its timed
+        # runs, so sub-second medians carry their own error bars.
+        "spread": spread,
     }
     if reruns:
         out["reruns"] = reruns

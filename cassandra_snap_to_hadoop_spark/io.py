@@ -169,7 +169,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     round-robin repartition only fires when the input is under-split.
     """
     sess = df.sparkSession
+    explicit = min_partitions is not None
     target = min_partitions or sess.sparkContext.defaultParallelism
+    # r12 (guide §2.4 — don't add shuffles for marginal parallelism): the
+    # default heuristic now fires only when the input is SEVERELY
+    # under-split (below a quarter of the core count), not merely below
+    # it.  Measured: repartitioning a 4-16-split text scan to 32 costs a
+    # full shuffle of the payload and made j29 SLOWER on 32 cores than 8
+    # at 10x data; the 1-split local case (fan_out's reason to exist)
+    # still fires.  Callers passing an explicit min_partitions keep the
+    # strict threshold — they know their kernel's parallelism needs.
+    floor = target if explicit else max(2, target // 4)
     key = None
     try:
         key = (
@@ -184,7 +194,7 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         n = df.rdd.getNumPartitions()
         if key is not None:
             _FAN_OUT_CACHE[key] = n
-    if n >= target:
+    if n >= floor:
         return df
     return df.repartition(target)
 

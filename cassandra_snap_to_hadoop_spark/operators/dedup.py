@@ -85,7 +85,16 @@ def jaccard_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    # r12 (guide §2.4): per-doc shingle count == size of the (distinct)
+    # shingle array — a map-only expression over the input, NOT another
+    # explode + groupBy exchange.  The old ex.groupBy derivation ran the
+    # full shingling+explode+shuffle a third and fourth time (once per
+    # size-join leg); docs whose array is empty gain a sz=0 row here, but
+    # they can never appear in ``inter``, so the inner joins drop them —
+    # output unchanged (oracle-verified).
+    sizes = fan_out(df).select(
+        F.col(id_col).alias("id"), F.size(shingles(F.col(text_col), k)).alias("sz")
+    )
     join_keys = ["sh"] + (["blk"] if block_col else [])
     a = ex.alias("a")
     b = ex.alias("b")
@@ -130,7 +139,10 @@ def containment_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    # r12: map-only size derivation — see the jaccard_pairs note above.
+    sizes = fan_out(df).select(
+        F.col(id_col).alias("id"), F.size(shingles(F.col(text_col), k)).alias("sz")
+    )
     join_keys = ["sh"] + (["blk"] if block_col else [])
     a = ex.alias("a")
     b = ex.alias("b")

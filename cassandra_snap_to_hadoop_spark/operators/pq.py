@@ -114,7 +114,19 @@ def _lit_matrix(mat: np.ndarray) -> Column:
     calls), which dominated the PQ queries' plan-BUILD time.  The SQL
     string parses JVM-side in one call; ``repr`` emits the shortest
     round-trip decimal and Java's parseDouble returns the identical
-    bits, so values are unchanged."""
+    bits, so values are unchanged.
+
+    r12 (ADVICE r11): non-finite centroid values (a NaN embedding
+    propagated through k-means) would render as 'nanD'/'infD', which the
+    SQL parser rejects — turning a data problem into an opaque plan-build
+    ParseException.  Fail with a clear message instead."""
+    import math
+
+    if not all(math.isfinite(float(v)) for row in mat for v in row):
+        raise ValueError(
+            "_lit_matrix: non-finite centroid value (NaN/Inf embedding "
+            "reached codebook training); clean or filter the vector input"
+        )
     rows = ",".join(
         "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")" for row in mat
     )

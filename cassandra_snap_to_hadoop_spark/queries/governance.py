@@ -300,8 +300,13 @@ def j29_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF document-frequency pass; nothing is ever O(docs²)."""
     d = fan_out(Tables(spark, sf_dir).documents)
     # 5% document-frequency threshold derived IN-PLAN (broadcast scalar join
-    # below) — no eager count() job during query construction.
-    thr = d.agg((F.count("*") * F.lit(0.05)).alias("__df_thr"))
+    # below) — no eager count() job during query construction.  r12: the
+    # count reads the RAW table, not the fanned-out relation — a count
+    # never needs the repartition (it would drag the text shuffle into the
+    # scalar subquery's path).
+    thr = Tables(spark, sf_dir).documents.agg(
+        (F.count("*") * F.lit(0.05)).alias("__df_thr")
+    )
     injected = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 != 0, F.concat(F.lit(_BANNER + " "), F.col("text")))

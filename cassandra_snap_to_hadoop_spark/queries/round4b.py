@@ -1053,6 +1053,12 @@ def f29_cusum_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each iteration is then a broadcast join of the frontier against
     # in-memory rows.  Values, recursion and oracle text are unchanged
     # (measured 14.7 s → ~4 s noop at sf0.1).
+    # Cluster-robustness caveat (ADVICE r11, shared by the f29-family /
+    # ml_lsh / j59 lazy localCheckpoints): checkpointed blocks live
+    # UNREPLICATED on executors — executor loss or dynamic-allocation
+    # decommission mid-query fails the job with no lineage fallback.
+    # Fine for the local bench; a long-lived cluster deployment should
+    # swap in reliable checkpointing or persist(MEMORY_AND_DISK).
     spark.sql(
         """
         SELECT event_type, day_idx, x,

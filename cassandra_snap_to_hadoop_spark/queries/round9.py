@@ -1510,6 +1510,12 @@ def j130_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties; the majority vote tie-breaks by (count, nearest-rank, label) —
     a total order, so the winner is deterministic in both engines.
 
+    Precondition (ADVICE r11): embeddings are fixed-width and non-empty.
+    The zip_with/aggregate dot yields 0 for an empty pair of arrays,
+    which would admit such pairs into the top-3 window, whereas the old
+    posexplode join dropped them — on ragged/empty vector data, filter
+    size(mv) > 0 (and size equality) before the pair join.
+
     Output per label: probe count, flagged count, flag ppm — the
     label-quality leaderboard a curation pipeline triages by.
 

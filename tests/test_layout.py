@@ -186,3 +186,52 @@ def test_global_rank_invariant_to_partition_count(spark):
         assert sorted(rows.values()) == list(range(1, n + 1))
         by_part[parts] = rows
     assert by_part[4] == by_part[32]
+
+
+def test_local_rank_budget_guard_raises():
+    """r12: a range partition holding more rows than the local-rank
+    position can index must fail loudly, not corrupt ranks silently."""
+    import pytest as _pytest
+
+    from cassandra_snap_to_hadoop_spark.operators.layout import (
+        _check_local_rank_budget,
+    )
+
+    _check_local_rank_budget({0: 10, 1: (1 << 33) - 1})  # at the edge: fine
+    with _pytest.raises(ValueError, match="local-rank budget"):
+        _check_local_rank_budget({0: 1 << 33})
+    with _pytest.raises(ValueError, match="local-rank budget"):
+        _check_local_rank_budget({0: 1 << 31}, limit=1 << 31)
+
+
+def test_derive_range_partitions_floor_and_scaling(spark):
+    """r12: the derived range-partition count uses the core count as the
+    floor on small inputs (bench-comparable locally) and grows with the
+    optimizer's size estimate."""
+    from cassandra_snap_to_hadoop_spark.operators.layout import (
+        _RANGE_PARTITION_TARGET_BYTES,
+        _derive_range_partitions,
+    )
+
+    e = load(spark, SF, "events").select("event_id", "value")
+    floor = spark.sparkContext.defaultParallelism
+    assert _derive_range_partitions(e) == floor
+    # arithmetic form: a 1 TB estimate must yield far more partitions
+    big = (1 << 40) // _RANGE_PARTITION_TARGET_BYTES
+    assert big > floor  # the ceil-div branch is what global_rank would use
+
+
+def test_fan_out_memoizes_split_count(spark):
+    """r12: repeated fan_out of the same plan must not re-convert the plan
+    to an RDD — the split count is cached on the analyzed plan's semantic
+    hash."""
+    from cassandra_snap_to_hadoop_spark import io as io_mod
+
+    df = load(spark, SF, "documents").select("doc_id", "text")
+    io_mod._FAN_OUT_CACHE.clear()
+    out1 = io_mod.fan_out(df)
+    assert len(io_mod._FAN_OUT_CACHE) == 1
+    key, cached_n = next(iter(io_mod._FAN_OUT_CACHE.items()))
+    out2 = io_mod.fan_out(load(spark, SF, "documents").select("doc_id", "text"))
+    assert len(io_mod._FAN_OUT_CACHE) == 1  # same semantic hash -> cache hit
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()

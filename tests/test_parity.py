@@ -16,14 +16,41 @@ from cassandra_snap_to_hadoop_spark.registry import load_all
 REGISTRY = load_all()
 ALL = sorted(REGISTRY)
 
+# r12 (VERDICT r11 item 1): the 525-query parametrized parity sweep is the
+# single biggest block of the default suite and exactly duplicates both
+# the driver's own oracle gate and the standalone CLI
+# (``python -m cassandra_snap_to_hadoop_spark.oracle``).  The full sweep
+# moves behind the ``planfull`` marker (run:  pytest tests/ -m planfull);
+# the default run keeps the driver-visible bench HEADLINE tier plus the
+# entry-contract smoke, so a headline correctness regression still fails
+# the default gate.
+
+
+def _headline_names() -> list[str]:
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("cs2h_bench_for_parity", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return sorted(set(mod.HEADLINE))
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     return duck_connection(sf_dir)
 
 
-@pytest.mark.parametrize("name", ALL)
+@pytest.mark.parametrize("name", _headline_names())
 def test_query_parity(spark, sf_dir, duck, name):
+    res = check_query(spark, name, sf_dir, duck)
+    assert res.ok, str(res)
+
+
+@pytest.mark.planfull
+@pytest.mark.parametrize("name", ALL)
+def test_query_parity_full(spark, sf_dir, duck, name):
     res = check_query(spark, name, sf_dir, duck)
     assert res.ok, str(res)
 

@@ -42,6 +42,7 @@ def sparkm(spark):
 
 @SLOW
 @given(rows=cells)
+@pytest.mark.deep
 def test_lww_merge_idempotent_and_key_unique(sparkm, rows):
     # unique-ify seq so the ordering is total
     rows = [(pk, ck, wt, i, v) for i, (pk, ck, wt, _, v) in enumerate(rows)]
@@ -67,6 +68,7 @@ def test_lww_merge_idempotent_and_key_unique(sparkm, rows):
     xs=st.lists(st.integers(-100, 100), min_size=0, max_size=20),
     ys=st.lists(st.integers(-100, 100), min_size=0, max_size=20),
 )
+@pytest.mark.deep
 def test_union_count_additivity_and_set_ops(sparkm, xs, ys):
     a = sparkm.createDataFrame([(x,) for x in xs] or [(None,)], "v int").filter("v is not null")
     b = sparkm.createDataFrame([(y,) for y in ys] or [(None,)], "v int").filter("v is not null")
@@ -79,6 +81,7 @@ def test_union_count_additivity_and_set_ops(sparkm, xs, ys):
 
 @SLOW
 @given(xs=st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=1, max_size=25))
+@pytest.mark.deep
 def test_semi_join_is_inner_projection(sparkm, xs):
     left = sparkm.createDataFrame([(k, v) for k, v in xs], "k int, v int")
     right = sparkm.createDataFrame([(k,) for k in range(0, 2)], "k int")
@@ -144,6 +147,7 @@ def test_session_windows_partition_events(spark, sf_dir):
 
 @SLOW
 @given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=30))
+@pytest.mark.deep
 def test_quantized_sum_engine_invariant(sparkm, vals):
     """qsum is partitioning-independent: 1 partition == 8 partitions."""
     from cassandra_snap_to_hadoop_spark.queries._util import qsum
@@ -188,6 +192,7 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, wide.collect()))
 
 
+@pytest.mark.deep
 def test_partition_count_invariance(spark, sf_dir):
     """Results must not depend on the shuffle-partition count — the
     failure mode of every duplicate-key/tiebreak bug this repo has hit
@@ -393,6 +398,7 @@ def _ref_exact_substring_dedup(texts: list[str], k: int):
     ),
     k=st.integers(2, 4),
 )
+@pytest.mark.deep
 def test_exact_substring_dedup_matches_python_reference(sparkm, texts, k):
     """The distributed ExactSubstr (gram-hash agg + coverage anti-join)
     must agree with a direct quadratic Python restatement on arbitrary
@@ -423,6 +429,7 @@ def test_exact_substring_dedup_matches_python_reference(sparkm, texts, k):
         max_size=40,
     )
 )
+@pytest.mark.deep
 def test_d19_pit_semantics_match_python_reference(sparkm, events):
     """The join-free merged-stream PIT formulation must agree with a
     direct Python restatement ('last dim update strictly before the fact
@@ -486,6 +493,7 @@ def test_d19_pit_semantics_match_python_reference(sparkm, events):
         max_size=30,
     )
 )
+@pytest.mark.deep
 def test_e26_attribution_conservation_on_arbitrary_events(sparkm, events):
     """Conservation generalized off the fixture: for ANY event soup, the
     channel totals must sum exactly to the purchases' total micro-value,
@@ -541,6 +549,7 @@ def test_e26_attribution_conservation_on_arbitrary_events(sparkm, events):
         max_size=25,
     )
 )
+@pytest.mark.deep
 def test_f22_sweep_equals_bruteforce_stab_everywhere(sparkm, intervals):
     """The delta-sweep open-count at EVERY boundary day must equal the
     brute-force stab count (# intervals with lo <= day < hi) — not just

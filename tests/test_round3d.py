@@ -681,6 +681,7 @@ def test_linear_interpolation_matches_python_reference(spark, sf_dir):
     texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=2, max_size=10),
     t=st.sampled_from([0.5, 0.75, 0.8]),
 )
+@pytest.mark.deep
 def test_ppjoin_lossless_on_generated_corpora(spark, texts, t):
     """The prefix-filter completeness theorem must hold for ARBITRARY
     corpora (degenerate texts, empty shingle sets, all-identical docs),
@@ -727,6 +728,7 @@ def test_incremental_mv_fold_is_order_invariant(spark, sf_dir, order):
 @given(
     texts=st.lists(st.text(alphabet="abc d", min_size=0, max_size=25), min_size=2, max_size=8)
 )
+@pytest.mark.deep
 def test_pigeonhole_equals_bruteforce_on_generated_corpora(spark, texts):
     """Band-index completeness must hold for arbitrary corpora, including
     empty texts (no tokens -> no fingerprint) and identical texts

@@ -6,6 +6,8 @@ cross-check."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 import re
@@ -1300,6 +1302,7 @@ def test_winnowing_density_and_coverage_properties():
     run()
 
 
+@pytest.mark.deep
 def test_dup_clusters_equals_union_find_on_random_graphs(spark):
     """The registered hash-min propagation must equal exact union-find on
     arbitrary random edge sets (not just the corpus's LSH graph) —

@@ -3,6 +3,8 @@ twin) and the round-6 certified-twin conversions' cross-tier pins."""
 
 from __future__ import annotations
 
+import pytest
+
 from itertools import combinations
 
 from pyspark.sql import functions as F
@@ -219,6 +221,7 @@ def test_two_phase_cc_equals_union_find_on_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+@pytest.mark.deep
 def test_two_phase_cc_beats_hashmin_rounds_on_paths(spark):
     """The round-count win the dup_clusters docstring promises: on a path
     graph (worst-case diameter), hash-min pays ~one round per hop while
